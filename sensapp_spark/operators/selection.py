@@ -1,0 +1,144 @@
+"""Selection pipeline: sensors → time-range scan → per-sensor top-N.
+
+This is the reference's entire query engine (operators Q1-Q11,
+src/storage/sqlite/storage.rs:429-489), re-expressed as one declarative
+DataFrame plan:
+
+    sensors.filter(matchers) ──broadcast semi-join──▶ values scan
+                                  │  time-range filter  (parquet pushdown)
+                                  ▼
+                    window row_number() ≤ limit per sensor
+                                  ▼
+                        orderBy(sensor_id, time)
+
+Scale notes (100 TB posture):
+
+* The sensors dimension is small (≤ millions of rows) while value tables are
+  huge; the semi-join is explicitly ``broadcast()`` so the big scan never
+  shuffles for selection.
+* The time-range predicate lands in the Parquet scan as ``PushedFilters``
+  and prunes month partitions — same effect as the reference's ClickHouse
+  ``PARTITION BY toYYYYMM`` (clickhouse init.sql:38).
+* Per-sensor LIMIT uses a rank window; Spark's physical planning inserts
+  partial top-K (``WindowGroupLimit``) before the shuffle, which is the
+  distributed generalization of the reference's PG ``LATERAL … LIMIT``
+  pushdown (src/storage/postgresql/batch_queries.rs:192-207) and strictly
+  better than the SQLite client-side counting
+  (src/storage/sqlite/batch_queries.rs:147-194).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from sensapp_spark.config import CONFIG
+from sensapp_spark.operators.matchers import LabelMatcher, matchers_predicate
+
+
+def select_sensors(
+    sensors: DataFrame,
+    matchers: list[LabelMatcher],
+    numeric_only: bool = False,
+) -> DataFrame:
+    """Operator Q1-Q4: label-matcher sensor selection.
+
+    ``numeric_only`` restricts to Integer/Numeric/Float types
+    (reference src/storage/sqlite/matchers.rs:47-50).
+    """
+    out = sensors.filter(matchers_predicate(matchers))
+    if numeric_only:
+        out = out.filter(F.col("type").isin("Integer", "Numeric", "Float"))
+    return out
+
+
+def time_range(
+    df: DataFrame,
+    start: dt.datetime | None = None,
+    end: dt.datetime | None = None,
+    time_col: str = "time",
+) -> DataFrame:
+    """Operator Q5: inclusive-both-ends time filter, both bounds optional
+    (reference src/storage/sqlite/storage.rs:679-693)."""
+    if start is not None:
+        df = df.filter(F.col(time_col) >= F.lit(start))
+    if end is not None:
+        df = df.filter(F.col(time_col) <= F.lit(end))
+    return df
+
+
+def per_sensor_limit(
+    df: DataFrame,
+    limit: int | None,
+    key_col: str = "sensor_id",
+    time_col: str = "time",
+    tiebreakers: list[str] | None = None,
+) -> DataFrame:
+    """Operator Q7: first-N rows per sensor in time order.
+
+    Default limit is 10,000,000 (reference src/storage/mod.rs:15-17). Ties on
+    the timestamp are broken by extra columns when provided — the reference
+    leaves tie order unspecified (SURVEY §7.4 risk 6); we make it
+    deterministic so results are reproducible across runs and engines.
+    """
+    n = limit if limit is not None else CONFIG.default_query_limit
+    order = [F.col(time_col).asc()] + [F.col(c).asc() for c in (tiebreakers or [])]
+    w = Window.partitionBy(key_col).orderBy(*order)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= n)
+        .drop("__rn")
+    )
+
+
+def query_samples(
+    sensors: DataFrame,
+    values: DataFrame,
+    matchers: list[LabelMatcher],
+    start: dt.datetime | None = None,
+    end: dt.datetime | None = None,
+    limit: int | None = None,
+    numeric_only: bool = False,
+    tiebreakers: list[str] | None = None,
+) -> DataFrame:
+    """The full Q1-Q9 pipeline: matcher selection, broadcast semi-join into
+    the value scan, inclusive time range, per-sensor limit, time sort.
+
+    Returns ``(sensor_id, time, value, name, type, unit, labels)`` — result
+    assembly (Q9) is the join back to sensor metadata.
+    """
+    selected = select_sensors(sensors, matchers, numeric_only)
+    # Broadcast the (small) selected-sensor set into the (huge) value scan:
+    # a broadcast hash semi-join — no shuffle of the fact table.
+    ids = F.broadcast(selected.select("sensor_id"))
+    scan = values.join(ids, "sensor_id", "leftsemi")
+    scan = time_range(scan, start, end)
+    scan = per_sensor_limit(scan, limit, tiebreakers=tiebreakers)
+    out = scan.join(F.broadcast(selected), "sensor_id", "left")
+    return out.orderBy("sensor_id", "time")
+
+
+def fetch_series(
+    sensors: DataFrame,
+    values: DataFrame,
+    sensor_id: str,
+    start: dt.datetime | None = None,
+    end: dt.datetime | None = None,
+    limit: int | None = None,
+) -> DataFrame:
+    """Operator Q11: single-series fetch by UUID with optional range/limit
+    (reference src/storage/sqlite/storage.rs:275-427)."""
+    meta = sensors.filter(F.col("sensor_id") == sensor_id)
+    scan = time_range(values.filter(F.col("sensor_id") == sensor_id), start, end)
+    n = limit if limit is not None else CONFIG.default_query_limit
+    scan = scan.orderBy("time").limit(n)
+    return scan.join(F.broadcast(meta), "sensor_id", "left")
+
+
+def dedup_values(values: DataFrame) -> DataFrame:
+    """Offline dedupe: drop duplicate (sensor_id, time, value) rows
+    (reference src/storage/sqlite/storage.rs:632-661 — DELETE keeping
+    MIN(rowid), here a distributed ``dropDuplicates`` rewrite)."""
+    return values.dropDuplicates(["sensor_id", "time", "value"])

@@ -1,0 +1,352 @@
+"""Driver-contract query registry: Spark implementation + DuckDB oracle per
+operator from SURVEY.md §2.
+
+Each ``QUERIES[name]`` is ``(spark, sf_dir) -> DataFrame``; ``ORACLES[name]``
+is the equivalent ANSI SQL DuckDB runs over the same parquet (views
+``region nation customer supplier part orders lineitem events documents
+embeddings``). Column names are aliased identically on both sides, floats
+that undergo arithmetic are rounded identically on both sides, and
+timestamps are µs on both sides (see plans/testdata.py).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sensapp_spark.operators import (
+    LabelMatcher,
+    MatcherType,
+    metrics_summary,
+    per_sensor_limit,
+    query_samples,
+    series_list,
+)
+from sensapp_spark.operators.selection import dedup_values, fetch_series, time_range
+from sensapp_spark.plans import testdata as td
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+T_START = dt.datetime(2024, 1, 5)
+T_END = dt.datetime(2024, 1, 20)
+
+# Shared oracle CTE prologue: the events→(sensors, values) derivation from
+# plans/testdata.py in DuckDB SQL.
+_PRELUDE = f"""
+WITH sensors AS ({td.SENSORS_SQL}),
+     vals AS ({td.VALUES_SQL})
+"""
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def _out(df: DataFrame) -> DataFrame:
+    """Standard sample-query projection (operator Q9 result assembly)."""
+    return df.select("sensor_id", "time", "value", "name")
+
+
+# ---------------------------------------------------------------------------
+# Q1/Q10 — label-matcher selection (reference src/storage/sqlite/matchers.rs)
+# ---------------------------------------------------------------------------
+
+@register(
+    "matcher_name_equal",
+    _PRELUDE
+    + """
+    SELECT v.sensor_id, v.time, v.value, s.name
+    FROM vals v JOIN sensors s USING (sensor_id)
+    WHERE s.name = 'click'
+    """,
+)
+def matcher_name_equal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q1: __name__ equality matcher over the full pipeline."""
+    return _out(
+        query_samples(
+            td.events_sensors(spark, sf_dir),
+            td.events_values(spark, sf_dir),
+            [LabelMatcher("__name__", "click", MatcherType.EQUAL)],
+        )
+    )
+
+
+@register(
+    "matcher_label_equal",
+    _PRELUDE
+    + """
+    SELECT v.sensor_id, v.time, v.value, s.name
+    FROM vals v JOIN sensors s USING (sensor_id)
+    WHERE s.region_label = 'r1'
+    """,
+)
+def matcher_label_equal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q1: label equality matcher — absent label never matches."""
+    return _out(
+        query_samples(
+            td.events_sensors(spark, sf_dir),
+            td.events_values(spark, sf_dir),
+            [LabelMatcher("region", "r1", MatcherType.EQUAL)],
+        )
+    )
+
+
+@register(
+    "matcher_label_not_equal",
+    _PRELUDE
+    + """
+    SELECT v.sensor_id, v.time, v.value, s.name
+    FROM vals v JOIN sensors s USING (sensor_id)
+    WHERE s.name = 'view'
+      AND (s.region_label IS NULL OR s.region_label <> 'r1')
+    """,
+)
+def matcher_label_not_equal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q1 absent-label semantics: != matches sensors lacking the label
+    (reference src/storage/query.rs:18-22)."""
+    return _out(
+        query_samples(
+            td.events_sensors(spark, sf_dir),
+            td.events_values(spark, sf_dir),
+            [
+                LabelMatcher("__name__", "view", MatcherType.EQUAL),
+                LabelMatcher("region", "r1", MatcherType.NOT_EQUAL),
+            ],
+        )
+    )
+
+
+@register(
+    "matcher_name_regex",
+    _PRELUDE
+    + """
+    SELECT v.sensor_id, v.time, v.value, s.name
+    FROM vals v JOIN sensors s USING (sensor_id)
+    WHERE regexp_matches(s.name, '^(click|view)$')
+    """,
+)
+def matcher_name_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q1: __name__ regex matcher."""
+    return _out(
+        query_samples(
+            td.events_sensors(spark, sf_dir),
+            td.events_values(spark, sf_dir),
+            [LabelMatcher("__name__", "^(click|view)$", MatcherType.REGEX_MATCH)],
+        )
+    )
+
+
+@register(
+    "matcher_label_not_regex",
+    _PRELUDE
+    + """
+    SELECT v.sensor_id, v.time, v.value, s.name
+    FROM vals v JOIN sensors s USING (sensor_id)
+    WHERE s.name = 'signup'
+      AND (s.region_label IS NULL OR NOT regexp_matches(s.region_label, 'r[12]'))
+    """,
+)
+def matcher_label_not_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q1 absent-label semantics for !~ (reference src/storage/query.rs:31-34)."""
+    return _out(
+        query_samples(
+            td.events_sensors(spark, sf_dir),
+            td.events_values(spark, sf_dir),
+            [
+                LabelMatcher("__name__", "signup", MatcherType.EQUAL),
+                LabelMatcher("region", "r[12]", MatcherType.REGEX_NOT_MATCH),
+            ],
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q5/Q7/Q11 — time range, per-sensor top-N, single-series fetch
+# ---------------------------------------------------------------------------
+
+@register(
+    "time_range_scan",
+    _PRELUDE
+    + f"""
+    SELECT v.sensor_id, v.time, v.value, s.name
+    FROM vals v JOIN sensors s USING (sensor_id)
+    WHERE s.name = 'purchase'
+      AND v.time >= TIMESTAMP '{T_START}' AND v.time <= TIMESTAMP '{T_END}'
+    """,
+)
+def time_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q5: inclusive-both-ends time-range filter — pushed down to parquet."""
+    return _out(
+        query_samples(
+            td.events_sensors(spark, sf_dir),
+            td.events_values(spark, sf_dir),
+            [LabelMatcher("__name__", "purchase", MatcherType.EQUAL)],
+            start=T_START,
+            end=T_END,
+        )
+    )
+
+
+@register(
+    "per_sensor_topn",
+    _PRELUDE
+    + """
+    SELECT sensor_id, time, value, event_id FROM (
+        SELECT v.*, row_number() OVER (
+            PARTITION BY v.sensor_id ORDER BY v.time, v.event_id) AS rn
+        FROM vals v JOIN sensors s USING (sensor_id)
+        WHERE s.name = 'error'
+    ) WHERE rn <= 3
+    """,
+)
+def per_sensor_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q7: first-3 samples per sensor in time order, event_id tiebreak.
+    Physical plan uses WindowGroupLimit (partial top-K before shuffle)."""
+    df = query_samples(
+        td.events_sensors(spark, sf_dir),
+        td.events_values(spark, sf_dir),
+        [LabelMatcher("__name__", "error", MatcherType.EQUAL)],
+        limit=3,
+        tiebreakers=["event_id"],
+    )
+    return df.select("sensor_id", "time", "value", "event_id")
+
+
+@register(
+    "single_series_fetch",
+    _PRELUDE
+    + f"""
+    SELECT sensor_id, time, value FROM vals
+    WHERE sensor_id = 'click/7'
+      AND time >= TIMESTAMP '{T_START}' AND time <= TIMESTAMP '{T_END}'
+    ORDER BY time LIMIT 100
+    """,
+)
+def single_series_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q11: single series by id with range + limit
+    (reference src/storage/sqlite/storage.rs:275-427)."""
+    df = fetch_series(
+        td.events_sensors(spark, sf_dir),
+        td.events_values(spark, sf_dir),
+        "click/7",
+        start=T_START,
+        end=T_END,
+        limit=100,
+    )
+    return df.select("sensor_id", "time", "value")
+
+
+@register(
+    "dedup_exact_values",
+    _PRELUDE
+    + """
+    SELECT DISTINCT sensor_id, time, value
+    FROM (SELECT * FROM vals UNION ALL SELECT * FROM vals)
+    """,
+)
+def dedup_exact_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-dedup: exact duplicate elimination on (sensor_id, time, value)
+    (reference src/storage/sqlite/storage.rs:632-661). Input is doubled to
+    prove the rewrite actually removes rows."""
+    v = td.events_values(spark, sf_dir).select("sensor_id", "time", "value")
+    return dedup_values(v.union(v))
+
+
+# ---------------------------------------------------------------------------
+# C1-C4 — catalog aggregates
+# ---------------------------------------------------------------------------
+
+@register(
+    "catalog_metrics_summary",
+    _PRELUDE
+    + """
+    SELECT name, type,
+           CAST(NULL AS VARCHAR) AS unit,
+           COUNT(DISTINCT sensor_id) AS series_count,
+           array_to_string(list_sort(list_distinct(flatten(list(keys)))),
+                           ',') AS label_keys
+    FROM (
+        SELECT name, type, sensor_id,
+               CASE WHEN region_label IS NULL THEN ['user']
+                    ELSE ['user', 'region'] END AS keys
+        FROM sensors
+    )
+    GROUP BY name, type
+    """,
+)
+def catalog_metrics_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C1: metrics_summary view — GROUP BY (name,type) over the dimension
+    only; never touches value tables, so cost is O(sensors) at any scale."""
+    df = metrics_summary(td.events_sensors(spark, sf_dir))
+    return df.select(
+        "name",
+        "type",
+        "unit",
+        "series_count",
+        F.array_join("label_keys", ",").alias("label_keys"),
+    )
+
+
+@register(
+    "catalog_series_list",
+    _PRELUDE
+    + """
+    SELECT sensor_id,
+           name || '{' ||
+           CASE WHEN region_label IS NULL THEN ''
+                ELSE 'region="' || region_label || '",' END ||
+           'user="' || user_label || '"' || '}' AS series
+    FROM sensors
+    WHERE name = 'signup'
+    """,
+)
+def catalog_series_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4: series listing with Prometheus-style id ``name{k="v",…}``
+    (reference src/ingestors/http/crud.rs:405-414)."""
+    df = series_list(td.events_sensors(spark, sf_dir), metric="signup")
+    return df.select("sensor_id", "series")
+
+
+# ---------------------------------------------------------------------------
+# Beyond-reference: sample-level aggregation (what simple_promql.rs:149-171
+# rejects, expressed as native Spark aggregates)
+# ---------------------------------------------------------------------------
+
+@register(
+    "downsample_1h",
+    _PRELUDE
+    + """
+    SELECT s.name, date_trunc('hour', v.time) AS bucket,
+           COUNT(*) AS n,
+           ROUND(AVG(v.value), 6) AS avg_value,
+           MIN(v.value) AS min_value,
+           MAX(v.value) AS max_value
+    FROM vals v JOIN sensors s USING (sensor_id)
+    GROUP BY s.name, date_trunc('hour', v.time)
+    """,
+)
+def downsample_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Beyond-reference: hourly downsampling per metric. Partial aggregation
+    (map-side combine) keeps the shuffle tiny — bytes ∝ buckets, not rows."""
+    sensors = td.events_sensors(spark, sf_dir)
+    vals = td.events_values(spark, sf_dir)
+    joined = vals.join(F.broadcast(sensors.select("sensor_id", "name")), "sensor_id")
+    return (
+        joined.groupBy("name", F.date_trunc("hour", "time").alias("bucket"))
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+    )

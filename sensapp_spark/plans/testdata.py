@@ -1,0 +1,104 @@
+"""Adapter: driver testdata → sensapp data model (FIXTURES.md §F9).
+
+The driver's synthetic ``events`` table plays the value tables (timestamped
+facts per key) and a derived dimension plays ``sensors``:
+
+* one sensor per (event_type, user_id) pair — name = event_type,
+  labels = {user: <user_id>, region: r<user_id%3> (absent when %3 == 0)};
+* ``sensor_id`` is the deterministic string ``event_type/user_id`` so the
+  DuckDB oracle can reproduce it in pure SQL (the production blake3-keyed
+  UUID of sensapp_spark.datamodel.sensor is covered by unit tests instead);
+* the ``region`` label is deliberately absent for a third of sensors to
+  exercise the absent-label matcher semantics of
+  reference src/storage/query.rs:18-34.
+
+Scale note: the sensors frame is built by a distinct over the fact table
+here because the testdata has no dimension file; in production the sensors
+dimension is its own small table (MERGE-maintained on ingest) and this
+aggregation never happens at query time.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        return load_events(spark, sf_dir)
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet stores ns-precision timestamps, which the Spark parquet
+    reader rejects (PARQUET_TYPE_ILLEGAL). Read them as raw int64 ns and
+    truncate to µs JVM-side. Integer ``DIV`` keeps full precision — a double
+    division would round at ~256 ns granularity for 2024 epochs (53-bit
+    mantissa < 1.7e18)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ev.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+
+
+def events_sensors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sensors dimension derived from events: one series per
+    (event_type, user_id)."""
+    ev = load(spark, sf_dir, "events")
+    base = ev.select("event_type", "user_id").distinct()
+    user = F.col("user_id").cast("string")
+    region = F.when(
+        F.col("user_id") % 3 != 0,
+        F.concat(F.lit("r"), (F.col("user_id") % 3).cast("string")),
+    )
+    labels = F.map_filter(
+        F.create_map(
+            F.lit("user"), user,
+            F.lit("region"), region,
+        ),
+        lambda k, v: v.isNotNull(),
+    )
+    return base.select(
+        F.concat(F.col("event_type"), F.lit("/"), user).alias("sensor_id"),
+        F.col("event_type").alias("name"),
+        F.lit("Float").alias("type"),
+        F.lit(None).cast("string").alias("unit"),
+        F.lit(None).cast("string").alias("unit_description"),
+        labels.alias("labels"),
+    )
+
+
+def events_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Float value table derived from events. ``event_id`` is kept as a
+    deterministic tiebreaker for equal timestamps (SURVEY §7.4 risk 6)."""
+    ev = load(spark, sf_dir, "events")
+    return ev.select(
+        F.concat(F.col("event_type"), F.lit("/"), F.col("user_id").cast("string")).alias(
+            "sensor_id"
+        ),
+        F.col("ts").alias("time"),
+        F.col("value").alias("value"),
+        F.col("event_id"),
+    )
+
+
+# The same derivation in DuckDB SQL, for oracle queries. DuckDB reads the
+# ns-precision parquet timestamps as TIMESTAMP_NS; cast to µs TIMESTAMP to
+# match Spark's TimestampType exactly.
+SENSORS_SQL = """
+    SELECT event_type || '/' || CAST(user_id AS VARCHAR) AS sensor_id,
+           event_type AS name,
+           'Float' AS type,
+           CAST(user_id AS VARCHAR) AS user_label,
+           CASE WHEN user_id % 3 <> 0
+                THEN 'r' || CAST(user_id % 3 AS VARCHAR) END AS region_label
+    FROM (SELECT DISTINCT event_type, user_id FROM events)
+"""
+
+VALUES_SQL = """
+    SELECT event_type || '/' || CAST(user_id AS VARCHAR) AS sensor_id,
+           CAST(ts AS TIMESTAMP) AS time,
+           value,
+           event_id
+    FROM events
+"""

@@ -1,0 +1,23 @@
+"""Shared pytest fixtures: one SparkSession per test run, sf0.001 testdata."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_SMOKE = "/root/testdata/sf0.001"
+SF_ORACLE = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="session")
+def spark():
+    from sensapp_spark.session import get_spark
+
+    spark = get_spark(app_name="sensapp-spark-tests", master="local[4]",
+                      shuffle_partitions=4)
+    yield spark
+    spark.stop()

@@ -1,0 +1,72 @@
+"""Sensor identity tests — reference src/datamodel/sensor.rs:355-387."""
+
+from __future__ import annotations
+
+import pytest
+
+from sensapp_spark.datamodel.sensor import _HAVE_BLAKE3, Sensor, sensor_uuid
+from sensapp_spark.datamodel.types import SensorType
+
+
+def test_uuid_deterministic():
+    a = sensor_uuid("temp", SensorType.FLOAT, "°C", {"env": "prod"})
+    b = sensor_uuid("temp", SensorType.FLOAT, "°C", {"env": "prod"})
+    assert a == b
+
+
+def test_uuid_label_order_invariant():
+    # Labels are sorted before hashing (sensor.rs:43-51).
+    a = sensor_uuid("t", SensorType.FLOAT, None, {"a": "1", "b": "2"})
+    b = sensor_uuid("t", SensorType.FLOAT, None, {"b": "2", "a": "1"})
+    assert a == b
+
+
+def test_uuid_differs_by_component():
+    base = sensor_uuid("t", SensorType.FLOAT, None, {})
+    assert sensor_uuid("t2", SensorType.FLOAT, None, {}) != base
+    assert sensor_uuid("t", SensorType.INTEGER, None, {}) != base
+    assert sensor_uuid("t", SensorType.FLOAT, "m", {}) != base
+    assert sensor_uuid("t", SensorType.FLOAT, None, {"k": "v"}) != base
+
+
+def test_uuid_prefix_groups_by_name():
+    # First 4 bytes hash the name only (sensor.rs:159-175): two series of
+    # the same metric share their UUID prefix and sort adjacently.
+    a = sensor_uuid("metric", SensorType.FLOAT, None, {"env": "a"})
+    b = sensor_uuid("metric", SensorType.FLOAT, None, {"env": "b"})
+    assert a[:8] == b[:8]
+    assert a != b
+
+
+def test_uuid_version_and_variant():
+    u = sensor_uuid("t", SensorType.FLOAT)
+    assert u[14] == "8"  # version nibble
+    assert u[19] in "89ab"  # RFC 4122 variant
+
+
+def test_special_characters_rejected():
+    with pytest.raises(ValueError):
+        sensor_uuid("bad\x1ename", SensorType.FLOAT)
+    with pytest.raises(ValueError):
+        sensor_uuid("t", SensorType.FLOAT, labels={"k\x1f": "v"})
+
+
+def test_salt_changes_uuid():
+    a = sensor_uuid("t", SensorType.FLOAT, salt="salt-a")
+    b = sensor_uuid("t", SensorType.FLOAT, salt="salt-b")
+    assert a != b
+
+
+@pytest.mark.skipif(not _HAVE_BLAKE3, reason="blake3 package not installed")
+def test_golden_uuid_blake3():
+    # Golden value from reference sensor.rs:366-370.
+    u = sensor_uuid("TestSensor", SensorType.LOCATION, "WGS84", {},
+                    salt="sensapp")
+    assert u == "20115fa5-aecd-8271-835d-07bfee981d6a"
+
+
+def test_sensor_dataclass_autouuid():
+    s = Sensor("temp", SensorType.FLOAT, "°C", {"env": "prod"})
+    assert s.uuid == sensor_uuid("temp", SensorType.FLOAT, "°C", {"env": "prod"})
+    row = s.as_row()
+    assert row[1] == "temp" and row[2] == "Float"
