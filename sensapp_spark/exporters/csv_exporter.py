@@ -1,0 +1,117 @@
+"""CSV exporters (operators X2 single, X3 multi/long).
+
+Row formatting is JVM-side (`lines_*` return a DataFrame of formatted
+lines); `to_csv_*` assemble the final string on the driver — use the
+`lines` variants + `df.write.text` for exports too large to materialize.
+
+Reference shapes:
+
+* single (src/exporters/csv.rs:16-118): header ``timestamp,value``
+  (Location: ``timestamp,latitude,longitude``), RFC3339 timestamps, CSV
+  quoting for strings, JSON always quoted, Blob base64.
+* multi (src/exporters/csv.rs:125-171): long layout
+  ``timestamp,sensor_id,sensor_name,value,type[,<label keys sorted>…]``;
+  label keys are the union across sensors, missing label → empty cell.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from sensapp_spark.datamodel.types import SensorType
+from sensapp_spark.exporters.text import (
+    TYPE_TEXT,
+    csv_escape,
+    rfc3339_col,
+    value_text,
+)
+
+
+def _single_line(df: DataFrame, sensor_type: SensorType) -> F.Column:
+    ts = rfc3339_col(F.col("time"))
+    if sensor_type is SensorType.LOCATION:
+        return F.concat_ws(
+            ",", ts, F.col("value.latitude").cast("string"),
+            F.col("value.longitude").cast("string"),
+        )
+    if sensor_type in (SensorType.STRING, SensorType.JSON):
+        # JSON is always quoted in the reference (csv.rs:90-103); strings
+        # quoted only when needed (csv.rs:53-66).
+        txt = F.col("value")
+        if sensor_type is SensorType.JSON:
+            return F.concat_ws(
+                ",", ts,
+                F.concat(F.lit('"'), F.regexp_replace(txt, '"', '""'), F.lit('"')),
+            )
+        return F.concat_ws(",", ts, csv_escape(txt))
+    return F.concat_ws(",", ts, value_text(F.col("value"), sensor_type))
+
+
+def lines_single(df: DataFrame, sensor_type: SensorType) -> DataFrame:
+    """Formatted data lines (no header), in time order."""
+    return (
+        df.orderBy("time")
+        .select(_single_line(df, sensor_type).alias("line"))
+    )
+
+
+def csv_header_single(sensor_type: SensorType) -> str:
+    if sensor_type is SensorType.LOCATION:
+        return "timestamp,latitude,longitude"
+    return "timestamp,value"
+
+
+def to_csv_single(df: DataFrame, sensor_type: SensorType) -> str:
+    lines = [r.line for r in lines_single(df, sensor_type).collect()]
+    return "\n".join([csv_header_single(sensor_type)] + lines) + "\n"
+
+
+def multi_label_keys(df: DataFrame) -> list[str]:
+    """Union of label keys across the exported sensors, sorted
+    (csv.rs:130-140). One tiny aggregation over the already-selected rows."""
+    row = df.select(
+        F.array_sort(
+            F.array_distinct(F.flatten(F.collect_list(F.map_keys("labels"))))
+        ).alias("keys")
+    ).first()
+    return list(row.keys) if row and row.keys else []
+
+
+def lines_multi(df: DataFrame, sensor_type: SensorType,
+                label_keys: list[str]) -> DataFrame:
+    """Long-format lines for one typed result frame joined with metadata
+    ``(sensor_id, time, value, name, labels)``."""
+    ts = rfc3339_col(F.col("time"))
+    if sensor_type is SensorType.LOCATION:
+        value = F.concat(
+            F.col("value.latitude").cast("string"), F.lit(";"),
+            F.col("value.longitude").cast("string"),
+        )
+    else:
+        value = csv_escape(value_text(F.col("value"), sensor_type))
+    cols = [
+        ts,
+        F.col("sensor_id"),
+        csv_escape(F.col("name")),
+        value,
+        F.lit(TYPE_TEXT[sensor_type]),
+    ]
+    cols += [
+        csv_escape(F.coalesce(F.element_at("labels", F.lit(k)), F.lit("")))
+        for k in label_keys
+    ]
+    return (
+        df.orderBy("sensor_id", "time")
+        .select(F.concat_ws(",", *cols).alias("line"))
+    )
+
+
+def to_csv_multi(df: DataFrame, sensor_type: SensorType) -> str:
+    """Multi-sensor export of one typed frame (the common case: a matcher
+    query over one value table)."""
+    keys = multi_label_keys(df)
+    header = ",".join(["timestamp", "sensor_id", "sensor_name", "value", "type"]
+                      + keys)
+    lines = [r.line for r in lines_multi(df, sensor_type, keys).collect()]
+    return "\n".join([header] + lines) + "\n"

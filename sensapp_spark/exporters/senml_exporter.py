@@ -1,0 +1,96 @@
+"""SenML exporter (operator X1) — RFC 8428 JSON records.
+
+Reference src/exporters/senml.rs:16-157:
+
+* per sensor: a base record ``{bn: uuid, _name, bt: first-ts-seconds,
+  bver: 10, bu?: unit, _labels?: {...}}`` merged with the first sample
+  record; following samples carry relative time ``t`` (seconds from
+  ``bt``, 0 for the first);
+* value keys: Integer/Float → ``v``, Numeric → ``v`` as f64,
+  String → ``vs``, Boolean → ``vb``, Blob → ``vd`` (base64), Json →
+  ``vs`` of the JSON text, Location → two records per sample with
+  ``n: "lat"|"lon"`` (senml.rs:280-298);
+* multi-sensor: records concatenated; ``bver`` kept only on the very
+  first record of the array (senml.rs:24-44);
+* times are millisecond-truncated (``datetime_to_ms``, senml.rs:7-9).
+
+SenML is inherently a per-sensor sequential document, so final assembly
+is driver-side (as in the reference); sorting and time arithmetic run in
+Spark first.
+"""
+
+from __future__ import annotations
+
+import base64
+import json
+from itertools import groupby
+from typing import Any
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from sensapp_spark.datamodel.types import SensorType
+
+
+def _sample_records(sensor_type: SensorType, row, rel: float) -> list[dict]:
+    t = rel if rel else 0
+    if sensor_type is SensorType.LOCATION:
+        return [
+            {"t": t, "n": "lat", "v": row.value.latitude},
+            {"t": t, "n": "lon", "v": row.value.longitude},
+        ]
+    if sensor_type in (SensorType.INTEGER, SensorType.FLOAT):
+        entry = ("v", row.value)
+    elif sensor_type is SensorType.NUMERIC:
+        entry = ("v", float(row.value))  # lossy f64, like senml.rs:197-205
+    elif sensor_type is SensorType.STRING:
+        entry = ("vs", row.value)
+    elif sensor_type is SensorType.BOOLEAN:
+        entry = ("vb", row.value)
+    elif sensor_type is SensorType.JSON:
+        v = row.value if isinstance(row.value, str) else json.dumps(row.value)
+        entry = ("vs", v)
+    elif sensor_type is SensorType.BLOB:
+        raw = row.value if isinstance(row.value, (bytes, bytearray)) else bytes(row.value)
+        entry = ("vd", base64.b64encode(raw).decode())
+    else:  # pragma: no cover
+        raise ValueError(f"no SenML mapping for {sensor_type}")
+    return [{"t": t, entry[0]: entry[1]}]
+
+
+def to_senml(df: DataFrame, sensor_type: SensorType) -> list[dict]:
+    """``(sensor_id, time, value, name, unit, labels)`` → SenML record list."""
+    rows = df.orderBy("sensor_id", "time").select(
+        "sensor_id", "name", "unit", "labels",
+        (F.unix_micros("time") / 1000).cast("long").alias("t_ms"),
+        "value",
+    ).collect()
+
+    records: list[dict] = []
+    first_sensor = True
+    for _, group in groupby(rows, key=lambda r: r.sensor_id):
+        sensor_rows = list(group)
+        head = sensor_rows[0]
+        base_ms = head.t_ms
+        base: dict[str, Any] = {"bn": head.sensor_id, "_name": head.name,
+                                "bt": base_ms / 1000.0}
+        if first_sensor:
+            base["bver"] = 10  # only the very first record keeps bver
+            first_sensor = False
+        if head.unit:
+            base["bu"] = head.unit
+        if head.labels:
+            base["_labels"] = dict(head.labels)
+
+        flat: list[dict] = []
+        for r in sensor_rows:
+            flat.extend(
+                _sample_records(sensor_type, r, (r.t_ms - base_ms) / 1000.0)
+            )
+        if flat:
+            base.update(flat[0])
+            records.append(base)
+            records.extend(flat[1:])
+        else:
+            records.append(base)
+    return records
