@@ -1,0 +1,212 @@
+"""Deduplication operators over ``documents``: exact, n-gram Jaccard,
+MinHash+LSH, SimHash.
+
+Scale design notes (the point of each plan shape):
+
+* **exact**: hash-groupBy on a 128-bit content fingerprint — one shuffle
+  of (hash, doc_id) pairs only, never the text.
+* **jaccard_pairs**: inverted-index self-join on shingles (explode →
+  join on shingle → count per pair), NOT an O(n²) cross join. Only
+  documents sharing ≥1 shingle ever meet; with a document-frequency cap
+  on hot shingles the join is linear-ish in corpus size.
+* **minhash**: k independent 64-bit hashes per shingle, min-aggregated
+  per document (map-side combine ⇒ shuffle carries k values per doc);
+  banding turns near-dup search into an equality join on band keys.
+* **simhash**: 32-bit token-hash sign aggregation; one groupBy.
+
+All hashes derive from md5 so the DuckDB oracle reproduces them exactly
+(``('0x'||substring(md5(x),1,16))::UBIGINT`` ≡ Spark
+``conv(substring(md5(x),1,16),16,10)``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from sensapp_spark.pipeline.text import normalized_text
+
+DEFAULT_NGRAM = 3  # word shingles
+DEFAULT_MINHASH_K = 16
+DEFAULT_BANDS = 4
+
+
+def hash64(col) -> F.Column:
+    """First 64 bits of md5 as an unsigned decimal — cross-engine stable."""
+    return F.conv(F.substring(F.md5(col), 1, 16), 16, 10).cast("decimal(20,0)")
+
+
+def hash32(col) -> F.Column:
+    """First 32 bits of md5 as a long — small enough for bit arithmetic."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
+def dedup_exact(docs: DataFrame) -> DataFrame:
+    """Exact dedup: keep MIN(doc_id) per normalized-content fingerprint
+    (the id-keeping rule mirrors the reference's offline dedupe, which
+    keeps MIN(rowid) — src/storage/sqlite/storage.rs:632-661)."""
+    return (
+        docs.select(
+            "doc_id", F.md5(normalized_text(F.col("text"))).alias("fp")
+        )
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count("*").alias("copies"))
+    )
+
+
+def _tokenized(docs: DataFrame) -> DataFrame:
+    """(doc_id, words) with the normalization+split MATERIALIZED as a
+    column behind a shuffle boundary. Two reasons, both measured ~15× at
+    sf0.1: (1) building n-grams via element_at over an inline split
+    expression makes Catalyst re-evaluate the regex normalization per
+    element; (2) a small parquet file arrives as one split — zero
+    parallelism for the CPU-heavy shingling. The repartition only fires
+    when the scan has fewer splits than cores; at real scale the file
+    count already provides parallelism and no shuffle is added."""
+    out = docs
+    parallelism = docs.sparkSession.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < parallelism:
+        out = out.repartition(parallelism)
+    return out.select(
+        "doc_id",
+        F.split(F.trim(normalized_text(F.col("text"))), r"\s+").alias("words"),
+    )
+
+
+def word_shingles(docs: DataFrame, n: int = DEFAULT_NGRAM) -> DataFrame:
+    """Distinct word n-gram shingles per document: (doc_id, shingle)."""
+    words = F.col("words")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(words) - n),
+        lambda i: F.concat_ws(" ", *[F.element_at(words, (i + j + 1).cast("int"))
+                                     for j in range(n)]),
+    )
+    # sequence(0, neg) would generate a DESCENDING range — guard docs
+    # shorter than n words with an explicit empty list.
+    grams = F.when(F.size(words) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+    return _tokenized(docs).select(
+        "doc_id", F.explode(F.array_distinct(grams)).alias("shingle")
+    )
+
+
+def shingle_counts(sh: DataFrame) -> DataFrame:
+    return sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+
+
+def jaccard_pairs(
+    docs: DataFrame,
+    n: int = DEFAULT_NGRAM,
+    threshold: float = 0.5,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-duplicate pairs via inverted-index join.
+
+    ``max_df`` optionally drops shingles appearing in more than that many
+    documents — the standard skew guard at corpus scale (a stop-shingle
+    contributes df² join rows but almost no Jaccard discrimination).
+    Returns (doc_a, doc_b, jaccard) with doc_a < doc_b, jaccard ≥ threshold.
+    """
+    sh = word_shingles(docs, n)
+    if max_df is not None:
+        hot = (
+            sh.groupBy("shingle").agg(F.count("*").alias("df"))
+            .filter(F.col("df") > max_df)
+            .select("shingle")
+        )
+        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
+    counts = shingle_counts(sh)
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("inter"))
+    )
+    ca = counts.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("na"))
+    cb = counts.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("nb"))
+    out = (
+        inter.join(ca, "doc_a").join(cb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return out.select("doc_a", "doc_b", "jaccard")
+
+
+def minhash_signatures(
+    docs: DataFrame, k: int = DEFAULT_MINHASH_K, n: int = DEFAULT_NGRAM
+) -> DataFrame:
+    """k-permutation MinHash signature per document. The k hash families
+    are md5(i ++ ':' ++ shingle); min-aggregation combines map-side, so
+    the shuffle carries k decimals per document, not the shingles."""
+    sh = word_shingles(docs, n)
+    aggs = [
+        F.min(hash64(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"mh_{i}")
+        for i in range(k)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_lsh_candidates(
+    docs: DataFrame,
+    k: int = DEFAULT_MINHASH_K,
+    bands: int = DEFAULT_BANDS,
+    n: int = DEFAULT_NGRAM,
+) -> DataFrame:
+    """LSH banding: split the k-signature into ``bands`` bands of k/bands
+    rows, bucket-join on (band, band-key). Returns candidate pairs
+    (doc_a < doc_b, band_hits = number of agreeing bands ≥ 1). The
+    equality join on band keys is the scale path: no pairwise compare
+    ever happens outside a bucket."""
+    assert k % bands == 0
+    rows = k // bands
+    sigs = minhash_signatures(docs, k, n)
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.concat_ws(
+                "_", *[F.col(f"mh_{b * rows + j}").cast("string") for j in range(rows)]
+            ).alias("key"),
+        )
+        for b in range(bands)
+    ]
+    banded = sigs.select(
+        "doc_id", F.explode(F.array(*band_cols)).alias("bk")
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(b, ["band", "key"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("band_hits"))
+    )
+
+
+SIMHASH_BITS = 32
+
+
+def simhash(docs: DataFrame) -> DataFrame:
+    """32-bit SimHash over whitespace tokens (duplicate tokens count with
+    multiplicity, the classic Charikar weighting). One explode + one
+    groupBy; the shuffle carries 32 small ints per doc."""
+    tok = _tokenized(docs).select("doc_id", F.explode("words").alias("token"))
+    h = hash32(F.col("token"))
+    aggs = [
+        F.sum(
+            F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b_{i}")
+        for i in range(SIMHASH_BITS)
+    ]
+    sums = tok.groupBy("doc_id").agg(*aggs)
+    value = None
+    for i in range(SIMHASH_BITS):
+        bit = F.when(F.col(f"b_{i}") > 0, F.lit(2**i)).otherwise(F.lit(0))
+        value = bit if value is None else value + bit
+    return sums.select("doc_id", value.cast("long").alias("simhash"))

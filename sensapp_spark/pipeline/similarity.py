@@ -1,0 +1,113 @@
+"""Similarity search over ``embeddings(vec_id, embedding float[], label)``.
+
+* ``cosine_topk`` — brute-force exact top-k for one query vector: a
+  single narrow projection (zip_with dot product folded JVM-side) + a
+  top-k sort. O(n·d) work, no shuffle beyond the final k-row TakeOrdered.
+* ``hyperplane_lsh_topk`` — the scale path: random-hyperplane LSH.
+  Every vector gets a b-bit sign bucket; the query searches only its
+  bucket (+ optional multi-probe neighbors at Hamming distance 1). The
+  hyperplanes are derived deterministically from md5 so the DuckDB
+  oracle builds the identical buckets — and at 100 TB the bucket id is a
+  partition key: each probe touches 1/2^b of the data.
+
+All float math is done in double precision with a left-to-right fold on
+both engines, then rounded, so value-hash comparison is stable.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a, b) -> F.Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a) -> F.Column:
+    return F.sqrt(_dot(a, a))
+
+
+def cosine_similarity(a, b) -> F.Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def cosine_topk(
+    embeddings: DataFrame, query: list[float], k: int = 10
+) -> DataFrame:
+    """Exact brute-force cosine top-k, ties broken by vec_id."""
+    q = F.array(*[F.lit(float(x)) for x in query])
+    scored = embeddings.select(
+        "vec_id",
+        F.round(cosine_similarity(F.col("embedding"), q), 6).alias("cosine"),
+    )
+    return scored.orderBy(F.col("cosine").desc(), F.col("vec_id")).limit(k)
+
+
+# --------------------------------------------------------------------------
+# Random-hyperplane LSH
+# --------------------------------------------------------------------------
+
+def hyperplanes(n_planes: int, dim: int) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes in [-1, 1): component (p, d)
+    = md5("p:d") scaled. Reproducible in SQL: the oracle inlines the same
+    constants."""
+    planes = []
+    for p in range(n_planes):
+        row = []
+        for d in range(dim):
+            h = int(hashlib.md5(f"{p}:{d}".encode()).hexdigest()[:8], 16)
+            row.append(round(h / 0x100000000 * 2 - 1, 6))
+        planes.append(row)
+    return planes
+
+
+def bucket_expr(vec, planes: list[list[float]]) -> F.Column:
+    """Sign-bit bucket id of a vector column under the given hyperplanes."""
+    bucket = F.lit(0)
+    for i, plane in enumerate(planes):
+        p = F.array(*[F.lit(c) for c in plane])
+        bucket = bucket + F.when(_dot(vec, p) > 0, F.lit(2**i)).otherwise(F.lit(0))
+    return bucket.cast("int")
+
+
+def _py_dot(a: list[float], b: list[float]) -> float:
+    return sum(x * y for x, y in zip(a, b))
+
+
+def query_bucket(query: list[float], planes: list[list[float]]) -> int:
+    return sum(
+        2**i for i, plane in enumerate(planes) if _py_dot(query, plane) > 0
+    )
+
+
+def hyperplane_lsh_topk(
+    embeddings: DataFrame,
+    query: list[float],
+    k: int = 10,
+    n_planes: int = 4,
+    multiprobe: bool = True,
+) -> DataFrame:
+    """Approximate top-k: exact cosine *within* the query's LSH bucket
+    (plus Hamming-1 neighbor buckets when ``multiprobe``)."""
+    dim = len(query)
+    planes = hyperplanes(n_planes, dim)
+    qb = query_bucket(query, planes)
+    probes = [qb] + ([qb ^ (1 << i) for i in range(n_planes)] if multiprobe else [])
+    q = F.array(*[F.lit(float(x)) for x in query])
+    bucketed = embeddings.withColumn(
+        "bucket", bucket_expr(F.col("embedding"), planes)
+    )
+    candidates = bucketed.filter(F.col("bucket").isin(probes))
+    scored = candidates.select(
+        "vec_id",
+        "bucket",
+        F.round(cosine_similarity(F.col("embedding"), q), 6).alias("cosine"),
+    )
+    return scored.orderBy(F.col("cosine").desc(), F.col("vec_id")).limit(k)

@@ -1,0 +1,119 @@
+"""Text-analysis operators over a ``documents(doc_id, text, …)`` table.
+
+All operators are single-pass, shuffle-free Catalyst projections (narrow
+transformations) — at 100 TB they scale linearly with input splits and
+never repartition. The regex patterns are ASCII-explicit so the Java
+(Spark) and RE2 (DuckDB) dialects agree; every pattern/weight constant
+here is imported by the oracle-SQL builder so both engines compute the
+same definition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# BPE-ish tokenizer: letter runs, single digits, punctuation marks —
+# the shape GPT-style byte-pair pretokenizers produce (letters/digits/
+# punctuation split), without a vocab.
+BPE_PATTERN = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+PUNCT_PATTERN = r"[^A-Za-z0-9_\s]"
+DIGIT_PATTERN = r"[0-9]"
+UPPER_PATTERN = r"[A-Z]"
+
+STOPWORDS = {
+    "en": "the|a|an|and|or|of|to|in|is|it|that|for|on|with|as|was|are",
+    "de": "der|die|das|und|oder|von|zu|im|ist|es|dass|für|auf|mit|als|war",
+    "fr": "le|la|les|et|ou|de|du|à|en|est|il|que|pour|sur|avec|comme",
+    "es": "el|la|los|las|y|o|de|del|a|en|es|que|para|sobre|con|como",
+}
+LANG_PRIORITY = ("en", "de", "fr", "es")  # tie-break order, first wins
+
+
+def _stop_re(lang: str) -> str:
+    return rf"\b({STOPWORDS[lang]})\b"
+
+
+def ws_token_count(col) -> F.Column:
+    return F.size(F.split(F.trim(col), r"\s+"))
+
+
+def token_stats(docs: DataFrame) -> DataFrame:
+    """Token counting: whitespace tokens + BPE-ish regex tokens + chars."""
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        ws_token_count(t).alias("ws_tokens"),
+        F.regexp_count(t, F.lit(BPE_PATTERN)).alias("bpe_tokens"),
+        F.length(t).alias("chars"),
+    )
+
+
+# Quality-score weights (arbitrary but fixed; mirrored in the oracle SQL).
+QUALITY_WEIGHTS = {
+    "w_len": 0.25,       # saturating length credit
+    "w_stop": 0.35,      # stopword presence (natural language signal)
+    "w_punct": -0.25,    # punctuation-noise penalty
+    "w_digit": -0.15,    # digit-soup penalty
+}
+
+
+def quality_scores(docs: DataFrame) -> DataFrame:
+    """Heuristic document quality: length/stopword/punct/digit ratios
+    combined into one score in [0,1]-ish, rounded for oracle parity."""
+    t = F.col("text")
+    length = F.length(t).cast("double")
+    words = ws_token_count(t).cast("double")
+    stop_ratio = F.regexp_count(F.lower(t), F.lit(_stop_re("en"))) / words
+    punct_ratio = F.regexp_count(t, F.lit(PUNCT_PATTERN)) / length
+    digit_ratio = F.regexp_count(t, F.lit(DIGIT_PATTERN)) / length
+    len_credit = F.least(length / F.lit(500.0), F.lit(1.0))
+    w = QUALITY_WEIGHTS
+    score = (
+        F.lit(w["w_len"]) * len_credit
+        + F.lit(w["w_stop"]) * F.least(stop_ratio * 2, F.lit(1.0))
+        + F.lit(w["w_punct"]) * punct_ratio
+        + F.lit(w["w_digit"]) * digit_ratio
+    )
+    return docs.select(
+        "doc_id",
+        F.round(len_credit, 6).alias("len_credit"),
+        F.round(stop_ratio, 6).alias("stop_ratio"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(digit_ratio, 6).alias("digit_ratio"),
+        F.round(score, 6).alias("quality"),
+    )
+
+
+def lang_id(docs: DataFrame) -> DataFrame:
+    """N-gram-heuristic language ID: stopword-hit counts per language,
+    argmax with fixed priority tie-break. One projection, no shuffle."""
+    lowered = F.lower(F.col("text"))
+    hits = {
+        lang: F.regexp_count(lowered, F.lit(_stop_re(lang)))
+        for lang in LANG_PRIORITY
+    }
+    best = F.greatest(*hits.values())
+    lang_expr = F.when(best == 0, F.lit("und"))
+    for lang in LANG_PRIORITY:
+        lang_expr = lang_expr.when(hits[lang] == best, F.lit(lang))
+    cols = [F.col("doc_id")]
+    cols += [hits[lang].alias(f"hits_{lang}") for lang in LANG_PRIORITY]
+    cols.append(lang_expr.alias("lang_pred"))
+    return docs.select(*cols)
+
+
+def normalized_text(col) -> F.Column:
+    """Canonical form for fingerprinting/dedup: lowercase, collapsed
+    whitespace, trimmed."""
+    return F.lower(F.trim(F.regexp_replace(col, r"\s+", " ")))
+
+
+def fingerprint(docs: DataFrame) -> DataFrame:
+    """Document fingerprint: md5 of the normalized text (md5 so the DuckDB
+    oracle computes the identical value; a keyed xxhash64 would be the
+    production choice)."""
+    return docs.select(
+        "doc_id",
+        F.md5(normalized_text(F.col("text"))).alias("fingerprint"),
+    )

@@ -1,0 +1,351 @@
+"""Driver-contract entries for the training-data pipeline operators
+(dedup, similarity, text analysis, multimodal) over the ``documents`` and
+``embeddings`` testdata tables.
+
+Every oracle is generated from the SAME constants the Spark operators
+use (regex patterns, hash construction, hyperplanes), so both engines
+compute one definition. Hashes are md5-derived on both sides
+(Spark ``conv(substr(md5(x),1,16),16,10)`` ≡ DuckDB
+``('0x'||substring(md5(x),1,16))::UBIGINT``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sensapp_spark.pipeline import multimodal as mm
+from sensapp_spark.pipeline import text as tx
+from sensapp_spark.pipeline.dedup import (
+    DEFAULT_BANDS,
+    DEFAULT_MINHASH_K,
+    SIMHASH_BITS,
+    dedup_exact,
+    jaccard_pairs,
+    minhash_lsh_candidates,
+    minhash_signatures,
+    simhash,
+)
+from sensapp_spark.pipeline.similarity import (
+    cosine_topk,
+    hyperplane_lsh_topk,
+    hyperplanes,
+)
+
+PIPELINE_QUERIES: dict = {}
+PIPELINE_ORACLES: dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn):
+        PIPELINE_QUERIES[name] = fn
+        if oracle is not None:
+            PIPELINE_ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+# SQL building blocks mirroring text.normalized_text / word_shingles.
+_NORM_SQL = (
+    "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+)
+_WORDS_SQL = f"regexp_split_to_array(trim({_NORM_SQL}), '\\s+')"
+_SHINGLES_CTE = f"""
+words AS (SELECT doc_id, {_WORDS_SQL} AS w FROM documents),
+sh AS (
+    SELECT doc_id, unnest(list_distinct(
+        [w[i] || ' ' || w[i+1] || ' ' || w[i+2] FOR i IN range(1, len(w)-1)]
+    )) AS shingle
+    FROM words WHERE len(w) >= 3
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+@register(
+    "text_token_stats",
+    f"""
+    SELECT doc_id,
+           len(regexp_split_to_array(trim(text), '\\s+')) AS ws_tokens,
+           len(regexp_extract_all(text, '{tx.BPE_PATTERN}')) AS bpe_tokens,
+           length(text) AS chars
+    FROM documents
+    """,
+)
+def text_token_stats(spark, sf_dir):
+    """Token counting (whitespace + BPE-ish regex) — narrow projection."""
+    return tx.token_stats(_docs(spark, sf_dir))
+
+
+_STOP_EN = tx.STOPWORDS["en"]
+
+@register(
+    "text_quality",
+    f"""
+    SELECT doc_id,
+      ROUND(LEAST(length(text)/500.0, 1.0), 6) AS len_credit,
+      ROUND(sr, 6) AS stop_ratio,
+      ROUND(pr, 6) AS punct_ratio,
+      ROUND(dr, 6) AS digit_ratio,
+      ROUND({tx.QUALITY_WEIGHTS['w_len']} * LEAST(length(text)/500.0, 1.0)
+          + {tx.QUALITY_WEIGHTS['w_stop']} * LEAST(sr*2, 1.0)
+          + {tx.QUALITY_WEIGHTS['w_punct']} * pr
+          + {tx.QUALITY_WEIGHTS['w_digit']} * dr, 6) AS quality
+    FROM (
+      SELECT doc_id, text,
+        len(regexp_extract_all(lower(text), '\\b({_STOP_EN})\\b'))
+          / CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS DOUBLE) AS sr,
+        len(regexp_extract_all(text, '{tx.PUNCT_PATTERN}'))
+          / CAST(length(text) AS DOUBLE) AS pr,
+        len(regexp_extract_all(text, '{tx.DIGIT_PATTERN}'))
+          / CAST(length(text) AS DOUBLE) AS dr
+      FROM documents)
+    """,
+)
+def text_quality(spark, sf_dir):
+    """Quality scoring: length/stopword/punct/digit ratio composite."""
+    return tx.quality_scores(_docs(spark, sf_dir))
+
+
+def _langid_oracle() -> str:
+    hits = ", ".join(
+        f"len(regexp_extract_all(lower(text), '\\b({tx.STOPWORDS[lang]})\\b'))"
+        f" AS hits_{lang}"
+        for lang in tx.LANG_PRIORITY
+    )
+    best = "GREATEST(" + ", ".join(f"hits_{lang}" for lang in tx.LANG_PRIORITY) + ")"
+    cases = " ".join(
+        f"WHEN hits_{lang} = {best} THEN '{lang}'" for lang in tx.LANG_PRIORITY
+    )
+    return f"""
+    SELECT doc_id, hits_en, hits_de, hits_fr, hits_es,
+           CASE WHEN {best} = 0 THEN 'und' {cases} END AS lang_pred
+    FROM (SELECT doc_id, text, {hits} FROM documents)
+    """
+
+
+@register("text_lang_id", _langid_oracle())
+def text_lang_id(spark, sf_dir):
+    """Language ID: stopword-hit argmax with fixed tie-break order."""
+    return tx.lang_id(_docs(spark, sf_dir))
+
+
+@register(
+    "text_fingerprint",
+    f"SELECT doc_id, md5({_NORM_SQL}) AS fingerprint FROM documents",
+)
+def text_fingerprint(spark, sf_dir):
+    """Content fingerprint: md5 over normalized text."""
+    return tx.fingerprint(_docs(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# Dedup
+# ---------------------------------------------------------------------------
+
+@register(
+    "dedup_exact_docs",
+    f"""
+    SELECT md5({_NORM_SQL}) AS fp, MIN(doc_id) AS keep_doc_id,
+           COUNT(*) AS copies
+    FROM documents GROUP BY 1
+    """,
+)
+def dedup_exact_docs(spark, sf_dir):
+    """Exact dedup via content-hash groupBy (shuffles 16-byte keys, not text)."""
+    return dedup_exact(_docs(spark, sf_dir))
+
+
+@register(
+    "dedup_jaccard_pairs",
+    f"""
+    WITH {_SHINGLES_CTE},
+    counts AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+        FROM sh a JOIN sh b USING (shingle)
+        WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+    SELECT doc_a, doc_b,
+           ROUND(i / CAST(ca.n + cb.n - i AS DOUBLE), 6) AS jaccard
+    FROM inter
+    JOIN counts ca ON ca.doc_id = doc_a
+    JOIN counts cb ON cb.doc_id = doc_b
+    WHERE ROUND(i / CAST(ca.n + cb.n - i AS DOUBLE), 6) >= 0.2
+    """,
+)
+def dedup_jaccard_pairs(spark, sf_dir):
+    """N-gram Jaccard near-dup pairs via inverted-index join (no n² scan)."""
+    return jaccard_pairs(_docs(spark, sf_dir), threshold=0.2)
+
+
+def _minhash_sig_sql() -> str:
+    mins = ", ".join(
+        f"MIN(('0x' || substring(md5('{i}:' || shingle), 1, 16))::UBIGINT)"
+        f" AS mh_{i}"
+        for i in range(DEFAULT_MINHASH_K)
+    )
+    return f"WITH {_SHINGLES_CTE} SELECT doc_id, {mins} FROM sh GROUP BY doc_id"
+
+
+@register("dedup_minhash_signatures", _minhash_sig_sql())
+def dedup_minhash_signatures(spark, sf_dir):
+    """MinHash signatures: k md5 families, min-combined map-side."""
+    return minhash_signatures(_docs(spark, sf_dir))
+
+
+def _lsh_oracle() -> str:
+    rows = DEFAULT_MINHASH_K // DEFAULT_BANDS
+    band_keys = ", ".join(
+        "(" + str(b) + ", "
+        + " || '_' || ".join(
+            f"mh_{b * rows + j}::VARCHAR" for j in range(rows)
+        ) + ")"
+        for b in range(DEFAULT_BANDS)
+    )
+    # DuckDB lacks lateral VALUES over columns; use UNION ALL per band.
+    selects = " UNION ALL ".join(
+        "SELECT doc_id, " + str(b) + " AS band, "
+        + " || '_' || ".join(f"mh_{b * rows + j}::VARCHAR" for j in range(rows))
+        + " AS key FROM sigs"
+        for b in range(DEFAULT_BANDS)
+    )
+    return f"""
+    WITH {_SHINGLES_CTE},
+    sigs AS (
+        SELECT doc_id, {", ".join(
+            f"MIN(('0x' || substring(md5('{i}:' || shingle), 1, 16))::UBIGINT) AS mh_{i}"
+            for i in range(DEFAULT_MINHASH_K))}
+        FROM sh GROUP BY doc_id),
+    banded AS ({selects})
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS band_hits
+    FROM banded a JOIN banded b ON a.band = b.band AND a.key = b.key
+    WHERE a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    """
+
+
+@register("dedup_minhash_lsh", _lsh_oracle())
+def dedup_minhash_lsh(spark, sf_dir):
+    """LSH banding: candidate pairs from band-key equality joins."""
+    return minhash_lsh_candidates(_docs(spark, sf_dir))
+
+
+def _simhash_oracle() -> str:
+    sums = ", ".join(
+        f"SUM(CASE WHEN (h // {2**i}) % 2 = 1 THEN 1 ELSE -1 END) AS b_{i}"
+        for i in range(SIMHASH_BITS)
+    )
+    value = " + ".join(
+        f"(CASE WHEN b_{i} > 0 THEN {2**i} ELSE 0 END)" for i in range(SIMHASH_BITS)
+    )
+    return f"""
+    WITH words AS (SELECT doc_id, {_WORDS_SQL} AS w FROM documents),
+    tok AS (SELECT doc_id, unnest(w) AS token FROM words),
+    h AS (SELECT doc_id,
+                 ('0x' || substring(md5(token), 1, 8))::UBIGINT AS h FROM tok),
+    sums AS (SELECT doc_id, {sums} FROM h GROUP BY doc_id)
+    SELECT doc_id, CAST({value} AS BIGINT) AS simhash FROM sums
+    """
+
+
+@register("dedup_simhash", _simhash_oracle())
+def dedup_simhash(spark, sf_dir):
+    """32-bit SimHash per document (Charikar sign aggregation)."""
+    return simhash(_docs(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+QUERY_VEC = hyperplanes(1, 64)[0]  # deterministic pseudo-random query vector
+_Q_SQL = "[" + ", ".join(str(x) for x in QUERY_VEC) + "]::DOUBLE[]"
+ANN_K = 20
+
+
+@register(
+    "ann_cosine_topk",
+    f"""
+    SELECT vec_id, cosine FROM (
+        SELECT vec_id,
+               ROUND(list_dot_product(embedding::DOUBLE[], {_Q_SQL})
+                 / (sqrt(list_dot_product(embedding::DOUBLE[],
+                                          embedding::DOUBLE[]))
+                    * sqrt(list_dot_product({_Q_SQL}, {_Q_SQL}))), 6)
+               AS cosine
+        FROM embeddings)
+    ORDER BY cosine DESC, vec_id LIMIT {ANN_K}
+    """,
+)
+def ann_cosine_topk(spark, sf_dir):
+    """Brute-force exact cosine top-k (the baseline scan: O(n·d), no
+    shuffle until the k-row TakeOrdered)."""
+    return cosine_topk(_emb(spark, sf_dir), QUERY_VEC, ANN_K)
+
+
+def _lsh_ann_oracle() -> str:
+    from sensapp_spark.pipeline.similarity import query_bucket
+
+    planes = hyperplanes(4, 64)
+    qb = query_bucket(QUERY_VEC, planes)
+    probes = [qb] + [qb ^ (1 << i) for i in range(4)]
+    bucket = " + ".join(
+        f"(CASE WHEN list_dot_product(embedding::DOUBLE[], "
+        f"[{', '.join(str(c) for c in planes[i])}]::DOUBLE[]) > 0 "
+        f"THEN {2**i} ELSE 0 END)"
+        for i in range(4)
+    )
+    return f"""
+    SELECT vec_id, bucket, cosine FROM (
+        SELECT vec_id, {bucket} AS bucket,
+               ROUND(list_dot_product(embedding::DOUBLE[], {_Q_SQL})
+                 / (sqrt(list_dot_product(embedding::DOUBLE[],
+                                          embedding::DOUBLE[]))
+                    * sqrt(list_dot_product({_Q_SQL}, {_Q_SQL}))), 6)
+               AS cosine
+        FROM embeddings)
+    WHERE bucket IN ({", ".join(str(p) for p in probes)})
+    ORDER BY cosine DESC, vec_id LIMIT {ANN_K}
+    """
+
+
+@register("ann_lsh_topk", _lsh_ann_oracle())
+def ann_lsh_topk(spark, sf_dir):
+    """Hyperplane-LSH ANN: exact cosine within the query's bucket (+
+    Hamming-1 multiprobe) — each probe scans 1/2^b of the data."""
+    return hyperplane_lsh_topk(_emb(spark, sf_dir), QUERY_VEC, ANN_K)
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing
+# ---------------------------------------------------------------------------
+
+@register(
+    "multimodal_features",
+    """
+    SELECT doc_id AS media_id,
+           octet_length(encode(text)) AS byte_len,
+           substring(sha256(text), 1, 16) AS sha_prefix,
+           64 + ('0x' || substring(md5(text), 1, 2))::INT % 192 AS width,
+           64 + ('0x' || substring(md5(text), 3, 2))::INT % 192 AS height
+    FROM documents
+    """,
+)
+def multimodal_features(spark, sf_dir):
+    """Binary-column feature extraction via Arrow-batched mapInPandas
+    (deterministic stub decode — the oracle reproduces it from the same
+    md5 bytes)."""
+    media = mm.attach_binary(_docs(spark, sf_dir))
+    return mm.extract_features(media, fake=True)

@@ -31,6 +31,18 @@ from sensapp_spark.plans import testdata as td
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
 
+
+def _register_pipeline() -> None:
+    """Merge the training-data pipeline entries (imported lazily at the
+    bottom of this module to avoid a circular import)."""
+    from sensapp_spark.plans.pipeline_queries import (
+        PIPELINE_ORACLES,
+        PIPELINE_QUERIES,
+    )
+
+    QUERIES.update(PIPELINE_QUERIES)
+    ORACLES.update(PIPELINE_ORACLES)
+
 T_START = dt.datetime(2024, 1, 5)
 T_END = dt.datetime(2024, 1, 20)
 
@@ -350,3 +362,6 @@ def downsample_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("value").alias("max_value"),
         )
     )
+
+
+_register_pipeline()

@@ -16,11 +16,23 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _ensure_worker_pythonpath() -> None:
+    """Python workers import UDF modules by name; make sure the repo root
+    is importable in workers regardless of the driver's CWD."""
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    current = os.environ.get("PYTHONPATH", "")
+    if root not in current.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            f"{root}{os.pathsep}{current}" if current else root
+        )
+
+
 def get_spark(
     app_name: str = "sensapp-spark",
     master: str | None = None,
     shuffle_partitions: int | None = None,
 ) -> SparkSession:
+    _ensure_worker_pythonpath()
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
     master = master or f"local[{cpus}]"
     shuffle = shuffle_partitions or int(os.environ.get("SENSAPP_SHUFFLE_PARTITIONS", "32"))
