@@ -1,0 +1,171 @@
+"""The sensor lake: persistent table layout + write path (operators
+B4/B5, X-dedup, X-vac).
+
+Layout mirrors the reference's proven ClickHouse shape
+(src/storage/clickhouse/migrations/20240223133248_init.sql:34-41):
+
+* ``sensors/`` — small dimension table (the upsert target; the
+  reference's dimension get-or-create caches, sqlite_utilities.rs:9-270,
+  become one MERGE-style rewrite of a tiny table);
+* ``<type>_values/`` — 8 narrow tall fact tables ``(sensor_id, time,
+  value)`` **partitioned by month(time)** — the analogue of ClickHouse
+  ``PARTITION BY toYYYYMM(timestamp_us)``; time-range queries prune
+  whole month directories before any IO;
+* dictionary tables are NOT ported: Parquet dictionary encoding + the
+  labels MAP column subsume them (docs/DATAMODEL.md:168-178).
+
+This build targets plain Parquet (no Delta in the container). On a real
+deployment the sensors upsert is a Delta ``MERGE INTO`` and
+``optimize``/``dedup_rewrite`` are ``OPTIMIZE ZORDER BY (sensor_id,
+time)`` / ``DELETE`` — the call sites are the same; only the atomic-swap
+mechanics differ (documented per method).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+import shutil
+import uuid as uuid_mod
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sensapp_spark.datamodel.types import (
+    SENSOR_SCHEMA,
+    SensorType,
+    value_schema,
+    value_table_name,
+)
+from sensapp_spark.ingest.csv_importer import IngestBatch
+
+MONTH_COL = "month"
+
+
+class SensorLake:
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    # -- paths -------------------------------------------------------------
+
+    def _sensors_path(self) -> str:
+        return os.path.join(self.root, "sensors")
+
+    def _values_path(self, stype: SensorType) -> str:
+        return os.path.join(self.root, value_table_name(stype))
+
+    # -- write path (B4/B5) --------------------------------------------------
+
+    def publish(self, batch: IngestBatch) -> None:
+        """One reference 'transaction': upsert the sensors dimension, then
+        append the typed value frames (reference storage.rs:69-77 wraps
+        both in one SQL txn; Parquet appends are atomic per-file, the
+        dimension swap is atomic per-directory — Delta gives real ACID)."""
+        self.upsert_sensors(batch.sensors)
+        for stype, df in batch.values.items():
+            self.append_values(stype, df)
+
+    def upsert_sensors(self, sensors: DataFrame) -> None:
+        """MERGE-by-rewrite: the dimension is small (≤ millions), so a
+        dedup-union rewrite is cheap; the deterministic UUID is the merge
+        key — re-publishing a sensor is a no-op (Delta: MERGE INTO)."""
+        path = self._sensors_path()
+        if os.path.exists(path):
+            merged = (
+                self.sensors()
+                .unionByName(sensors)
+                .dropDuplicates(["sensor_id"])
+            )
+        else:
+            merged = sensors
+        self._atomic_overwrite(merged, path)
+
+    def append_values(self, stype: SensorType, df: DataFrame) -> None:
+        (
+            df.withColumn(MONTH_COL, F.date_format("time", "yyyy-MM"))
+            .write.partitionBy(MONTH_COL)
+            .mode("append")
+            .parquet(self._values_path(stype))
+        )
+
+    # -- read path -----------------------------------------------------------
+
+    def sensors(self) -> DataFrame:
+        path = self._sensors_path()
+        if not os.path.exists(path):
+            return self.spark.createDataFrame([], SENSOR_SCHEMA)
+        return self.spark.read.parquet(path)
+
+    def values(
+        self,
+        stype: SensorType,
+        start: dt.datetime | None = None,
+        end: dt.datetime | None = None,
+    ) -> DataFrame:
+        """Typed scan with month-partition pruning derived from the time
+        range: the ``month`` predicate prunes directories at planning
+        time; the ``time`` predicate pushes into the row-group reader."""
+        path = self._values_path(stype)
+        if not os.path.exists(path):
+            return self.spark.createDataFrame(
+                [], value_schema(stype).add(MONTH_COL, "string")
+            )
+        df = self.spark.read.parquet(path)
+        if start is not None:
+            df = df.filter(F.col(MONTH_COL) >= start.strftime("%Y-%m"))
+            df = df.filter(F.col("time") >= F.lit(start))
+        if end is not None:
+            df = df.filter(F.col(MONTH_COL) <= end.strftime("%Y-%m"))
+            df = df.filter(F.col("time") <= F.lit(end))
+        return df
+
+    # -- admin ops (X-dedup, X-vac) ------------------------------------------
+
+    def dedup_rewrite(self, stype: SensorType) -> None:
+        """Offline dedupe: drop duplicate (sensor_id, time, value) rows —
+        the distributed rewrite of reference storage.rs:632-661 (DELETE
+        keeping MIN(rowid) + VACUUM)."""
+        path = self._values_path(stype)
+        if not os.path.exists(path):
+            return
+        deduped = (
+            self.spark.read.parquet(path)
+            .dropDuplicates(["sensor_id", "time", "value"])
+        )
+        self._atomic_overwrite(deduped, path, partition_by=MONTH_COL)
+
+    def optimize(self, stype: SensorType, files_per_month: int = 1) -> None:
+        """Compaction: rewrite each month partition into ``files_per_month``
+        files sorted by (sensor_id, time) — the analogue of ClickHouse
+        OPTIMIZE / Delta ZORDER clustering (clickhouse init.sql:40)."""
+        path = self._values_path(stype)
+        if not os.path.exists(path):
+            return
+        compacted = (
+            self.spark.read.parquet(path)
+            .repartition(files_per_month, F.col(MONTH_COL))
+            .sortWithinPartitions("sensor_id", "time")
+        )
+        self._atomic_overwrite(compacted, path, partition_by=MONTH_COL)
+
+    # -- internals -----------------------------------------------------------
+
+    def _atomic_overwrite(
+        self, df: DataFrame, path: str, partition_by: str | None = None
+    ) -> None:
+        """Write to a temp dir, then swap. (Delta/Iceberg make this a real
+        atomic commit; for local parquet a directory rename is the best
+        available approximation.)"""
+        tmp = f"{path}__tmp_{uuid_mod.uuid4().hex[:8]}"
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(partition_by)
+        writer.parquet(tmp)
+        old = f"{path}__old_{uuid_mod.uuid4().hex[:8]}"
+        if os.path.exists(path):
+            os.rename(path, old)
+        os.rename(tmp, path)
+        if os.path.exists(old):
+            shutil.rmtree(old)

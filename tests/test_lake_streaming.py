@@ -1,0 +1,121 @@
+"""SensorLake write/read/admin tests + Structured Streaming ingest
+(B4/B5, X-dedup, X-vac, streaming lifecycle)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from sensapp_spark.datamodel.types import SensorType
+from sensapp_spark.ingest.csv_importer import IngestBatch, plan_csv
+from sensapp_spark.storage.lake import SensorLake
+from sensapp_spark.streaming.ingest import stream_csv_directory
+
+T0 = dt.datetime(2024, 1, 15)
+T1 = dt.datetime(2024, 2, 15)
+
+
+def make_batch(spark, rows, sensors=None):
+    sensors = sensors or [("u1", "temp", "Float", None, None, {})]
+    return IngestBatch(
+        sensors=spark.createDataFrame(
+            sensors,
+            "sensor_id string, name string, type string, unit string, "
+            "unit_description string, labels map<string,string>"),
+        values={SensorType.FLOAT: spark.createDataFrame(
+            rows, "sensor_id string, time timestamp, value double")},
+    )
+
+
+def test_publish_and_read(spark, tmp_path):
+    lake = SensorLake(spark, str(tmp_path / "lake"))
+    lake.publish(make_batch(spark, [("u1", T0, 1.0), ("u1", T1, 2.0)]))
+    assert lake.sensors().count() == 1
+    assert lake.values(SensorType.FLOAT).count() == 2
+
+
+def test_month_partitioning_and_pruning(spark, tmp_path):
+    lake = SensorLake(spark, str(tmp_path / "lake"))
+    lake.publish(make_batch(spark, [("u1", T0, 1.0), ("u1", T1, 2.0)]))
+    root = str(tmp_path / "lake" / "float_values")
+    assert sorted(d for d in os.listdir(root) if d.startswith("month=")) == [
+        "month=2024-01", "month=2024-02"]
+    pruned = lake.values(SensorType.FLOAT, start=dt.datetime(2024, 2, 1))
+    assert [r.value for r in pruned.collect()] == [2.0]
+    # The month predicate must appear as a partition filter in the plan.
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "month" in plan
+
+
+def test_sensor_upsert_idempotent(spark, tmp_path):
+    lake = SensorLake(spark, str(tmp_path / "lake"))
+    b = make_batch(spark, [("u1", T0, 1.0)])
+    lake.publish(b)
+    lake.publish(make_batch(spark, [("u1", T1, 2.0)]))  # same sensor again
+    assert lake.sensors().count() == 1
+    assert lake.values(SensorType.FLOAT).count() == 2
+
+
+def test_dedup_rewrite(spark, tmp_path):
+    lake = SensorLake(spark, str(tmp_path / "lake"))
+    lake.publish(make_batch(spark, [("u1", T0, 1.0)]))
+    lake.publish(make_batch(spark, [("u1", T0, 1.0)]))  # exact duplicate
+    assert lake.values(SensorType.FLOAT).count() == 2
+    lake.dedup_rewrite(SensorType.FLOAT)
+    assert lake.values(SensorType.FLOAT).count() == 1
+
+
+def test_optimize_compacts_and_sorts(spark, tmp_path):
+    lake = SensorLake(spark, str(tmp_path / "lake"))
+    for i in range(3):
+        lake.publish(make_batch(
+            spark, [("u1", T0 + dt.timedelta(minutes=i), float(i))]))
+    lake.optimize(SensorType.FLOAT)
+    root = str(tmp_path / "lake" / "float_values" / "month=2024-01")
+    files = [f for f in os.listdir(root) if f.endswith(".parquet")]
+    assert len(files) == 1
+    assert lake.values(SensorType.FLOAT).count() == 3
+
+
+CSV1 = """datetime,sensor_name,value,unit
+2024-01-01T00:00:00Z,temp,20.5,°C
+2024-01-01T00:01:00Z,temp,21.0,°C
+"""
+CSV2 = """datetime,sensor_name,value,unit
+2024-01-01T00:02:00Z,temp,21.5,°C
+2024-01-01T00:00:00Z,hum,60.0,%
+"""
+
+
+def test_stream_csv_directory(spark, tmp_path):
+    in_dir = tmp_path / "incoming"
+    in_dir.mkdir()
+    lake = SensorLake(spark, str(tmp_path / "lake"))
+    plan = plan_csv(
+        ["datetime", "sensor_name", "value", "unit"],
+        [["2024-01-01T00:00:00Z", "temp", "20.5", "°C"]],
+    )
+    (in_dir / "a.csv").write_text(CSV1)
+    q = stream_csv_directory(
+        spark, str(in_dir), lake, plan,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        trigger_available_now=True,
+    )
+    q.awaitTermination(120)
+    assert lake.values(SensorType.FLOAT).count() == 2
+
+    # Second file arrives → new micro-batch appends, sensors upsert.
+    (in_dir / "b.csv").write_text(CSV2)
+    q2 = stream_csv_directory(
+        spark, str(in_dir), lake, plan,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        trigger_available_now=True,
+    )
+    q2.awaitTermination(120)
+    assert lake.values(SensorType.FLOAT).count() == 4
+    names = {r.name for r in lake.sensors().collect()}
+    assert names == {"temp", "hum"}
