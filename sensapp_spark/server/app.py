@@ -1,0 +1,236 @@
+"""HTTP gateway (operator S6 + route surface of reference
+src/ingestors/http/server.rs:88-110).
+
+Routes:
+
+* ``POST /publish`` — Content-Type dispatch: JSON → SenML, Arrow IPC →
+  Arrow, otherwise CSV (server.rs:178-204)
+* ``POST /api/v2/write`` — InfluxDB line protocol (bucket/org/precision)
+* ``POST /api/v1/prometheus_remote_write`` — snappy protobuf
+* ``POST /api/v1/prometheus_remote_read`` — SAMPLES response
+* ``GET /api/v1/query?query=<promql>&format=`` — simple PromQL
+* ``GET /series/<uuid>?start&end&limit&format=`` — single series
+* ``GET /metrics`` / ``GET /series`` — DCAT catalogs (C3/C4)
+* ``POST /api/v1/admin/vacuum`` — dedup+compact every value table
+* ``GET /health``
+
+The gateway is a thin control plane: every data-path operation is the
+same distributed DataFrame pipeline the library exposes; Flask only does
+parsing, dispatch, and serialization.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from flask import Flask, Response, jsonify, request
+
+from sensapp_spark.datamodel.types import SensorType
+from sensapp_spark.exporters import (
+    to_arrow_multi,
+    to_csv_multi,
+    to_jsonl,
+    to_senml,
+)
+from sensapp_spark.exporters.prometheus_read import handle_read_request
+from sensapp_spark.ingest.arrow_importer import ingest_arrow
+from sensapp_spark.ingest.csv_importer import CsvFormatError, ingest_csv
+from sensapp_spark.ingest.influxdb_importer import LineProtocolError, ingest_lines
+from sensapp_spark.ingest.prometheus_write import (
+    RemoteWriteError,
+    ingest_remote_write,
+)
+from sensapp_spark.ingest.senml_importer import SenMLError, ingest_senml
+from sensapp_spark.operators.catalog import metrics_list, series_list
+from sensapp_spark.operators.dcat import metrics_catalog, series_catalog
+from sensapp_spark.operators.selection import query_samples, time_range
+from sensapp_spark.query.promql import PromQLError, parse_promql_query
+from sensapp_spark.storage.lake import SensorLake
+
+VALID_FORMATS = ("senml", "csv", "jsonl", "arrow")
+
+EXPORT_MEDIA = {
+    "senml": "application/senml+json",
+    "csv": "text/csv",
+    "jsonl": "application/x-ndjson",
+    "arrow": "application/vnd.apache.arrow.file",
+}
+
+
+def _parse_rfc3339(raw: str | None) -> dt.datetime | None:
+    if raw is None:
+        return None
+    text = raw.replace("Z", "+00:00")
+    parsed = dt.datetime.fromisoformat(text)
+    if parsed.tzinfo is not None:
+        parsed = parsed.astimezone(dt.timezone.utc).replace(tzinfo=None)
+    return parsed
+
+
+def create_app(spark, lake: SensorLake) -> Flask:
+    app = Flask("sensapp_spark")
+
+    def _export(df, fmt: str, stype: SensorType) -> Response:
+        cols = df.select("sensor_id", "time", "value", "name", "unit", "labels")
+        if fmt == "csv":
+            body = to_csv_multi(cols, stype)
+        elif fmt == "jsonl":
+            body = to_jsonl(cols, stype)
+        elif fmt == "arrow":
+            body = to_arrow_multi(cols, stype)
+        else:
+            return jsonify(to_senml(cols, stype))
+        return Response(body, mimetype=EXPORT_MEDIA[fmt])
+
+    @app.errorhandler(400)
+    def bad_request(e):
+        return jsonify({"error": str(e.description or e)}), 400
+
+    @app.get("/health")
+    def health():
+        return jsonify({"status": "ok"})
+
+    @app.post("/publish")
+    def publish():
+        ctype = (request.content_type or "").split(";")[0].strip()
+        body = request.get_data()
+        try:
+            if ctype == "application/json":
+                batch = ingest_senml(spark, body.decode())
+            elif ctype in ("application/vnd.apache.arrow.file",
+                           "application/vnd.apache.arrow.stream"):
+                batch = ingest_arrow(spark, body)
+            else:  # CSV is the default (server.rs:195-203)
+                import tempfile
+
+                with tempfile.NamedTemporaryFile(
+                    "w", suffix=".csv", delete=False
+                ) as f:
+                    f.write(body.decode())
+                    path = f.name
+                batch = ingest_csv(spark, path)
+        except (SenMLError, CsvFormatError, ValueError) as e:
+            return jsonify({"error": str(e)}), 400
+        lake.publish(batch)
+        return jsonify({"status": "published"})
+
+    @app.post("/api/v2/write")
+    def influx_write():
+        try:
+            batch = ingest_lines(
+                spark,
+                request.get_data().decode(),
+                precision=request.args.get("precision", "ns"),
+                bucket=request.args.get("bucket"),
+                org=request.args.get("org"),
+            )
+        except LineProtocolError as e:
+            return jsonify({"error": str(e)}), 400
+        lake.publish(batch)
+        return "", 204  # InfluxDB API returns 204 No Content
+
+    @app.post("/api/v1/prometheus_remote_write")
+    def prom_write():
+        try:
+            batch = ingest_remote_write(spark, request.get_data())
+        except (RemoteWriteError, ValueError) as e:
+            return jsonify({"error": str(e)}), 400
+        lake.publish(batch)
+        return "", 204
+
+    @app.post("/api/v1/prometheus_remote_read")
+    def prom_read():
+        try:
+            body = handle_read_request(
+                request.get_data(), lake.sensors(), lake.values
+            )
+        except ValueError as e:
+            return jsonify({"error": str(e)}), 400
+        return Response(
+            body,
+            mimetype="application/x-protobuf",
+            headers={"Content-Encoding": "snappy"},
+        )
+
+    @app.get("/api/v1/query")
+    def promql_query():
+        query = request.args.get("query")
+        if not query:
+            return jsonify({"error": "missing query parameter"}), 400
+        fmt = request.args.get("format", "senml")
+        if fmt not in VALID_FORMATS:
+            return jsonify({"error": f"invalid format: {fmt}"}), 400
+        try:
+            parsed = parse_promql_query(query)
+        except PromQLError as e:
+            return jsonify({"error": str(e)}), 400
+        start = parsed.start_time.replace(tzinfo=None)
+        end = parsed.end_time.replace(tzinfo=None)
+        # The simple endpoint serves Float series (the reference's
+        # fixture path); extend per-type on demand.
+        df = query_samples(
+            lake.sensors(),
+            lake.values(SensorType.FLOAT, parsed.start_time, parsed.end_time),
+            parsed.matchers,
+            start=start,
+            end=end,
+        )
+        return _export(df, fmt, SensorType.FLOAT)
+
+    @app.get("/series/<sensor_id>")
+    def get_series(sensor_id: str):
+        fmt = request.args.get("format", "senml")
+        if fmt not in VALID_FORMATS:
+            return jsonify({"error": f"invalid format: {fmt}"}), 400
+        try:
+            start = _parse_rfc3339(request.args.get("start"))
+            end = _parse_rfc3339(request.args.get("end"))
+        except ValueError as e:
+            return jsonify({"error": f"bad datetime: {e}"}), 400
+        limit = request.args.get("limit", type=int)
+        meta = lake.sensors().filter(f"sensor_id = '{sensor_id}'").collect()
+        if not meta:
+            return jsonify({"error": "sensor not found"}), 404
+        stype = SensorType.from_label(meta[0].type)
+        vals = time_range(lake.values(stype), start, end).filter(
+            f"sensor_id = '{sensor_id}'"
+        )
+        if limit:
+            vals = vals.orderBy("time").limit(limit)
+        from pyspark.sql import functions as F
+
+        df = vals.join(F.broadcast(lake.sensors()), "sensor_id", "left")
+        return _export(df, fmt, stype)
+
+    @app.get("/metrics")
+    def metrics():
+        df = metrics_list(
+            lake.sensors(),
+            name_contains=request.args.get("name"),
+            name_regex=request.args.get("name_regex"),
+            sensor_type=request.args.get("sensor_type"),
+        )
+        return jsonify(metrics_catalog(df))
+
+    @app.get("/series")
+    def series():
+        matchers = None
+        selector = request.args.get("selector")
+        if selector:
+            try:
+                matchers = parse_promql_query(selector).matchers
+            except PromQLError as e:
+                return jsonify({"error": str(e)}), 400
+        df = series_list(
+            lake.sensors(), metric=request.args.get("metric"), matchers=matchers
+        )
+        return jsonify(series_catalog(df))
+
+    @app.post("/api/v1/admin/vacuum")
+    def vacuum():
+        for stype in SensorType:
+            lake.dedup_rewrite(stype)
+            lake.optimize(stype)
+        return jsonify({"status": "vacuumed"})
+
+    return app

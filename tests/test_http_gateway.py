@@ -1,0 +1,160 @@
+"""HTTP gateway integration tests (S6 + C3/C4 DCAT) — the route surface
+of reference src/ingestors/http/server.rs, driven through the Flask test
+client against a real lake."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from sensapp_spark.server.app import create_app
+from sensapp_spark.storage.lake import SensorLake
+
+CSV = """datetime,sensor_name,value,unit
+2024-01-01T00:00:00Z,temperature,20.5,°C
+2024-01-01T00:01:00Z,temperature,21.0,°C
+2024-01-01T00:00:00Z,humidity,65.0,%
+"""
+
+
+@pytest.fixture(scope="module")
+def client(spark, tmp_path_factory):
+    lake = SensorLake(spark, str(tmp_path_factory.mktemp("lake")))
+    app = create_app(spark, lake)
+    app.testing = True
+    with app.test_client() as c:
+        yield c
+
+
+def test_health(client):
+    assert client.get("/health").get_json() == {"status": "ok"}
+
+
+def test_publish_csv_and_query(client):
+    r = client.post("/publish", data=CSV, content_type="text/csv")
+    assert r.status_code == 200, r.get_data()
+
+    # PromQL instant query within lookback won't match 2024 data; use a
+    # matrix selector long enough to reach it — or query via /series.
+    r = client.get("/api/v1/query?query=temperature[100000h]&format=csv")
+    assert r.status_code == 200
+    body = r.get_data(as_text=True)
+    assert body.splitlines()[0].startswith("timestamp,sensor_id,sensor_name")
+    assert "temperature,20.5,float" in body
+    assert "humidity" not in body
+
+
+def test_promql_rejection_didactic(client):
+    r = client.get("/api/v1/query?query=sum(temperature)")
+    assert r.status_code == 400
+    assert "Aggregation" in r.get_json()["error"]
+
+
+def test_invalid_format(client):
+    r = client.get("/api/v1/query?query=temperature&format=xml")
+    assert r.status_code == 400
+
+
+def test_metrics_dcat_catalog(client):
+    r = client.get("/metrics")
+    doc = r.get_json()
+    assert doc["@type"] == "dcat:Catalog"
+    names = {d["@id"] for d in doc["dcat:dataset"]}
+    assert {"temperature", "humidity"} <= names
+    temp = next(d for d in doc["dcat:dataset"] if d["@id"] == "temperature")
+    assert temp["sensor:seriesCount"] == 1
+    assert temp["sensor:unit"] == "°C"
+    assert "float" in temp["dcat:keyword"]
+
+
+def test_metrics_filters(client):
+    doc = client.get("/metrics?name=TEMP").get_json()
+    assert [d["@id"] for d in doc["dcat:dataset"]] == ["temperature"]
+
+
+def test_series_catalog_and_fetch(client):
+    doc = client.get("/series?metric=temperature").get_json()
+    (ds,) = doc["dcat:dataset"]
+    uuid = ds["dct:identifier"]
+    # Fetch the series by UUID in JSONL.
+    r = client.get(f"/series/{uuid}?format=jsonl")
+    lines = [json.loads(x) for x in r.get_data(as_text=True).splitlines()]
+    assert len(lines) == 2
+    assert lines[0]["sensor_name"] == "temperature"
+    assert lines[0]["value"] == 20.5
+
+
+def test_series_selector(client):
+    doc = client.get("/series?selector={__name__=\"humidity\"}").get_json()
+    assert len(doc["dcat:dataset"]) == 1
+
+
+def test_series_404(client):
+    assert client.get("/series/no-such-uuid").status_code == 404
+
+
+def test_series_limit_and_range(client):
+    doc = client.get("/series?metric=temperature").get_json()
+    uuid = doc["dcat:dataset"][0]["dct:identifier"]
+    r = client.get(f"/series/{uuid}?format=jsonl&limit=1")
+    assert len(r.get_data(as_text=True).splitlines()) == 1
+    r = client.get(
+        f"/series/{uuid}?format=jsonl&start=2024-01-01T00:00:30Z")
+    lines = r.get_data(as_text=True).splitlines()
+    assert len(lines) == 1 and json.loads(lines[0])["value"] == 21.0
+
+
+def test_influx_write(client):
+    r = client.post("/api/v2/write?bucket=b&precision=s",
+                    data="weather,site=x temp=11.5 1700000000")
+    assert r.status_code == 204
+    doc = client.get("/metrics?name_regex=weather.*").get_json()
+    assert len(doc["dcat:dataset"]) == 1
+    assert doc["dcat:dataset"][0]["@id"] == "weather temp"
+
+
+def test_prometheus_write_read_roundtrip(client):
+    from sensapp_spark.wire import snappy_codec
+    from sensapp_spark.wire.prompb import (
+        ReadQuery, TimeSeries, decode_read_response, encode_read_request,
+        encode_write_request,
+    )
+    from sensapp_spark.operators.matchers import LabelMatcher, MatcherType
+
+    body = snappy_codec.compress(encode_write_request([
+        TimeSeries(labels=[("__name__", "prom_metric"), ("env", "prod")],
+                   samples=[(9.5, 1700000000000)]),
+    ]))
+    assert client.post("/api/v1/prometheus_remote_write",
+                       data=body).status_code == 204
+
+    req = snappy_codec.compress(encode_read_request([
+        ReadQuery(start_ms=1699999000000, end_ms=1700001000000,
+                  matchers=[LabelMatcher("__name__", "prom_metric",
+                                         MatcherType.EQUAL)]),
+    ]))
+    r = client.post("/api/v1/prometheus_remote_read", data=req)
+    assert r.status_code == 200
+    (series,) = decode_read_response(snappy_codec.decompress(r.get_data()))
+    assert dict(series[0].labels) == {"__name__": "prom_metric", "env": "prod"}
+    assert series[0].samples == [(9.5, 1700000000000)]
+
+
+def test_vacuum(client):
+    assert client.post("/api/v1/admin/vacuum").get_json() == {
+        "status": "vacuumed"}
+
+
+def test_publish_senml(client):
+    payload = json.dumps([
+        {"bn": "senml_sensor", "bt": 1704067200, "bu": "m", "v": 3.5}])
+    r = client.post("/publish", data=payload, content_type="application/json")
+    assert r.status_code == 200
+    doc = client.get("/metrics?name=senml").get_json()
+    assert doc["dcat:dataset"][0]["sensor:unit"] == "m"
+
+
+def test_publish_bad_csv(client):
+    r = client.post("/publish", data="a,b\nx,y\n", content_type="text/csv")
+    assert r.status_code == 400
