@@ -85,3 +85,52 @@ def handle_read_request(
     results = execute_read_queries(queries, sensors, values_for)
     response = encode_read_response(results)
     return snappy_codec.compress(response)
+
+
+def handle_read_request_streamed(
+    body: bytes,
+    sensors: DataFrame,
+    values_for: Callable[[SensorType], DataFrame],
+    compressed: bool = True,
+) -> bytes:
+    """ReadRequest bytes → STREAMED_XOR_CHUNKS response (operator X7).
+
+    Frame format (reference src/parsing/prometheus/stream_writer.rs:7-13):
+    per non-empty query: uvarint message length + 4-byte big-endian
+    CRC32-Castagnoli of the message + protobuf ``ChunkedReadResponse``
+    {1: repeated ChunkedSeries{1: labels, 2: Chunk{1: min_ms, 2: max_ms,
+    3: type=1 (XOR), 4: data}}, 2: query_index}. Each series carries one
+    Gorilla XOR chunk; empty responses are skipped like Prometheus does.
+    """
+    from sensapp_spark.wire.protowire import Writer, encode_varint
+    from sensapp_spark.wire.xorchunk import crc32c, encode_xor_chunk
+
+    raw = snappy_codec.decompress(body) if compressed else body
+    queries, _accepted = decode_read_request(raw)
+    results = execute_read_queries(queries, sensors, values_for)
+
+    out = bytearray()
+    for query_index, series_list in enumerate(results):
+        if not series_list:
+            continue  # stream_writer.rs:27-39
+        w = Writer()
+        for ts in series_list:
+            sw = Writer()
+            for name, value in ts.labels:
+                sw.message(1, Writer().string(1, name).string(2, value))
+            samples = [(ts_ms, v) for v, ts_ms in ts.samples]
+            chunk = (
+                Writer()
+                .varint(1, samples[0][0])
+                .varint(2, samples[-1][0])
+                .varint(3, 1)  # Encoding::XOR
+                .bytes_field(4, encode_xor_chunk(samples))
+            )
+            sw.message(2, chunk)
+            w.message(1, sw)
+        w.varint(2, query_index)
+        msg = bytes(w)
+        out += encode_varint(len(msg))
+        out += crc32c(msg).to_bytes(4, "big")
+        out += msg
+    return bytes(out)

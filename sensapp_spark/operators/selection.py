@@ -117,7 +117,12 @@ def query_samples(
     scan = time_range(scan, start, end)
     scan = per_sensor_limit(scan, limit, tiebreakers=tiebreakers)
     out = scan.join(F.broadcast(selected), "sensor_id", "left")
-    return out.orderBy("sensor_id", "time")
+    # Ordering guarantee (Q6): the limit window leaves rows partitioned by
+    # sensor and time-sorted within each sensor — the same per-series
+    # order the reference returns. A GLOBAL orderBy here would add a full
+    # range-exchange for nothing; exporters that need total order sort at
+    # the edge.
+    return out
 
 
 def fetch_series(

@@ -364,4 +364,148 @@ def downsample_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Beyond-reference: PromQL-class aggregations (the expressions
+# simple_promql.rs:149-171 rejects), composite/virtual sensors
+# (docs/DATAMODEL.md:125-131 — designed there, implemented here)
+# ---------------------------------------------------------------------------
+
+@register(
+    "promql_rate_1h",
+    _PRELUDE
+    + """
+    SELECT sensor_id, date_trunc('hour', time) AS bucket,
+           ROUND((arg_max(value, time) - arg_min(value, time))
+                 / ((epoch_us(max(time)) - epoch_us(min(time))) / 1000000.0),
+                 6) AS rate
+    FROM vals
+    GROUP BY sensor_id, date_trunc('hour', time)
+    HAVING epoch_us(max(time)) > epoch_us(min(time))
+    """,
+)
+def promql_rate_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL-style rate(): per-sensor per-hour (last-first)/seconds.
+    max_by/min_by are JVM aggregates with map-side partials — one shuffle
+    keyed (sensor, bucket), no window needed."""
+    vals = td.events_values(spark, sf_dir)
+    # µs-precision span: unix_timestamp would truncate to whole seconds
+    # and drift from the oracle's epoch_us arithmetic.
+    span = (F.unix_micros(F.max("time")) - F.unix_micros(F.min("time"))) / 1e6
+    return (
+        vals.groupBy("sensor_id", F.date_trunc("hour", "time").alias("bucket"))
+        .agg(
+            F.round(
+                (F.max_by("value", "time") - F.min_by("value", "time")) / span,
+                6,
+            ).alias("rate"),
+            span.alias("__span"),
+        )
+        .filter(F.col("__span") > 0)
+        .drop("__span")
+    )
+
+
+@register(
+    "agg_sum_by_label",
+    _PRELUDE
+    + """
+    SELECT name, COALESCE(region_label, 'none') AS region,
+           ROUND(SUM(value), 6) AS total, COUNT(*) AS n
+    FROM vals JOIN sensors USING (sensor_id)
+    GROUP BY name, COALESCE(region_label, 'none')
+    """,
+)
+def agg_sum_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL-style sum by(name, region): label-grouped aggregation over
+    samples — rejected by the reference, a two-line groupBy here."""
+    sensors = td.events_sensors(spark, sf_dir)
+    vals = td.events_values(spark, sf_dir)
+    joined = vals.join(
+        F.broadcast(sensors.select("sensor_id", "name", "labels")), "sensor_id"
+    )
+    region = F.coalesce(F.element_at("labels", F.lit("region")), F.lit("none"))
+    return joined.groupBy("name", region.alias("region")).agg(
+        F.round(F.sum("value"), 6).alias("total"), F.count("*").alias("n")
+    )
+
+
+@register(
+    "agg_percentiles",
+    _PRELUDE
+    + """
+    SELECT name,
+           ROUND(quantile_cont(value, 0.5), 6) AS p50,
+           ROUND(quantile_cont(value, 0.95), 6) AS p95,
+           ROUND(quantile_cont(value, 0.99), 6) AS p99
+    FROM vals JOIN sensors USING (sensor_id)
+    GROUP BY name
+    """,
+)
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per metric (Spark ``percentile`` ≡
+    DuckDB ``quantile_cont``). At 100 TB swap for
+    ``approx_percentile`` — sketch-mergeable, one pass."""
+    sensors = td.events_sensors(spark, sf_dir)
+    vals = td.events_values(spark, sf_dir)
+    joined = vals.join(F.broadcast(sensors.select("sensor_id", "name")), "sensor_id")
+    return joined.groupBy("name").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.95)"), 6).alias("p95"),
+        F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
+    )
+
+
+@register(
+    "virtual_sensor_join",
+    _PRELUDE
+    + """
+    , click AS (
+        SELECT v.sensor_id, date_trunc('day', v.time) AS bucket,
+               AVG(value) AS click_avg
+        FROM vals v JOIN sensors s USING (sensor_id)
+        WHERE s.name = 'click' GROUP BY 1, 2),
+    views AS (
+        SELECT replace(sensor_id, 'view/', 'click/') AS sensor_id,
+               date_trunc('day', time) AS bucket, AVG(value) AS view_avg
+        FROM vals JOIN sensors USING (sensor_id)
+        WHERE name = 'view' GROUP BY 1, 2)
+    SELECT sensor_id, bucket,
+           ROUND(click_avg, 6) AS click_avg,
+           ROUND(view_avg, 6) AS view_avg,
+           ROUND(click_avg / NULLIF(view_avg, 0), 6) AS ratio
+    FROM click JOIN views USING (sensor_id, bucket)
+    """,
+)
+def virtual_sensor_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite 'virtual sensor' (docs/DATAMODEL.md:125-131, designed but
+    never built in the reference): two series resampled to a shared
+    window and joined on (series, bucket). Both sides pre-aggregate
+    before the join, so the shuffle carries buckets, not samples."""
+    sensors = td.events_sensors(spark, sf_dir)
+    vals = td.events_values(spark, sf_dir)
+    joined = vals.join(F.broadcast(sensors.select("sensor_id", "name")), "sensor_id")
+    bucket = F.date_trunc("day", "time").alias("bucket")
+    click = (
+        joined.filter(F.col("name") == "click")
+        .groupBy("sensor_id", bucket)
+        .agg(F.avg("value").alias("click_avg"))
+    )
+    views = (
+        joined.filter(F.col("name") == "view")
+        .withColumn(
+            "sensor_id", F.regexp_replace("sensor_id", "^view/", "click/")
+        )
+        .groupBy("sensor_id", bucket)
+        .agg(F.avg("value").alias("view_avg"))
+    )
+    return click.join(views, ["sensor_id", "bucket"]).select(
+        "sensor_id", "bucket",
+        F.round("click_avg", 6).alias("click_avg"),
+        F.round("view_avg", 6).alias("view_avg"),
+        F.round(F.try_divide(F.col("click_avg"),
+                             F.nullif(F.col("view_avg"), F.lit(0.0))), 6)
+        .alias("ratio"),
+    )
+
+
 _register_pipeline()

@@ -30,6 +30,13 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+# The derived sensors dimension is a distinct-aggregate over the fact
+# table; within one session it is immutable per sf_dir, so cache the
+# (tiny) result instead of re-shuffling it for every query. In
+# production the dimension is a real table and this memo disappears.
+_SENSORS_CACHE: dict[tuple[int, str], DataFrame] = {}
+
+
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events.parquet stores ns-precision timestamps, which the Spark parquet
     reader rejects (PARQUET_TYPE_ILLEGAL). Read them as raw int64 ns and
@@ -44,6 +51,10 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 def events_sensors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sensors dimension derived from events: one series per
     (event_type, user_id)."""
+    key = (id(spark), sf_dir)
+    cached = _SENSORS_CACHE.get(key)
+    if cached is not None:
+        return cached
     ev = load(spark, sf_dir, "events")
     base = ev.select("event_type", "user_id").distinct()
     user = F.col("user_id").cast("string")
@@ -58,14 +69,16 @@ def events_sensors(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         lambda k, v: v.isNotNull(),
     )
-    return base.select(
+    out = base.select(
         F.concat(F.col("event_type"), F.lit("/"), user).alias("sensor_id"),
         F.col("event_type").alias("name"),
         F.lit("Float").alias("type"),
         F.lit(None).cast("string").alias("unit"),
         F.lit(None).cast("string").alias("unit_description"),
         labels.alias("labels"),
-    )
+    ).cache()
+    _SENSORS_CACHE[key] = out
+    return out
 
 
 def events_values(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -140,10 +140,33 @@ def create_app(spark, lake: SensorLake) -> Flask:
 
     @app.post("/api/v1/prometheus_remote_read")
     def prom_read():
+        # Response type chosen from accepted_response_types, like
+        # reference prometheus_read.rs:105-175: STREAMED_XOR_CHUNKS when
+        # the client accepts it, SAMPLES otherwise.
+        from sensapp_spark.exporters.prometheus_read import (
+            handle_read_request_streamed,
+        )
+        from sensapp_spark.wire import snappy_codec
+        from sensapp_spark.wire.prompb import (
+            RESPONSE_TYPE_STREAMED_XOR_CHUNKS,
+            decode_read_request,
+        )
+
+        raw_body = request.get_data()
         try:
-            body = handle_read_request(
-                request.get_data(), lake.sensors(), lake.values
-            )
+            _, accepted = decode_read_request(snappy_codec.decompress(raw_body))
+            if RESPONSE_TYPE_STREAMED_XOR_CHUNKS in accepted:
+                body = handle_read_request_streamed(
+                    raw_body, lake.sensors(), lake.values
+                )
+                return Response(
+                    body,
+                    mimetype=(
+                        "application/x-streamed-protobuf; "
+                        "proto=prometheus.ChunkedReadResponse"
+                    ),
+                )
+            body = handle_read_request(raw_body, lake.sensors(), lake.values)
         except ValueError as e:
             return jsonify({"error": str(e)}), 400
         return Response(

@@ -137,7 +137,9 @@ def encode_write_request(series: list[TimeSeries]) -> bytes:
     return bytes(w)
 
 
-def encode_read_request(queries: list[ReadQuery]) -> bytes:
+def encode_read_request(
+    queries: list[ReadQuery], accepted: list[int] | None = None
+) -> bytes:
     w = Writer()
     for q in queries:
         qw = Writer().varint(1, q.start_ms).varint(2, q.end_ms)
@@ -150,6 +152,8 @@ def encode_read_request(queries: list[ReadQuery]) -> bytes:
                 .string(3, m.value),
             )
         w.message(1, qw)
+    for a in accepted or []:
+        w.varint(2, a)
     return bytes(w)
 
 
