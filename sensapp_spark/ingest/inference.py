@@ -362,3 +362,21 @@ def likely_geo_columns(
     if lon is None:
         return None
     return lat, lon
+
+
+# --------------------------------------------------------------------------
+# I6 — UUID literal recognizer (reference src/infer/uuid.rs:26-60)
+# --------------------------------------------------------------------------
+
+_UUID_RE = re.compile(
+    r"[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-"
+    r"[0-9a-fA-F]{4}-[0-9a-fA-F]{12}"
+)
+
+
+def parse_uuid(s: str) -> str | None:
+    """Operator I6: recognize a UUID literal (8-4-4-4-12 hex groups);
+    returns the canonical lowercase form or None."""
+    if _UUID_RE.fullmatch(s):
+        return s.lower()
+    return None

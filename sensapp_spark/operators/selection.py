@@ -147,3 +147,42 @@ def dedup_values(values: DataFrame) -> DataFrame:
     (reference src/storage/sqlite/storage.rs:632-661 — DELETE keeping
     MIN(rowid), here a distributed ``dropDuplicates`` rewrite)."""
     return values.dropDuplicates(["sensor_id", "time", "value"])
+
+
+def query_all_types(
+    lake,
+    matchers: list[LabelMatcher],
+    start: dt.datetime | None = None,
+    end: dt.datetime | None = None,
+    limit: int | None = None,
+    numeric_only: bool = False,
+) -> dict:
+    """Operator Q8/Q9: per-type scan dispatch over a SensorLake.
+
+    The reference groups selected sensors by SensorType and issues one
+    batch query per type table (src/storage/sqlite/batch_queries.rs:25-116;
+    the PG backend runs the 8 queries concurrently via tokio::spawn).
+    Spark's equivalent concurrency is free: each returned DataFrame is an
+    independent job over its own table, and a caller that materializes
+    them together gets stage-level parallelism. Sensors whose type table
+    has no matching rows simply produce an empty frame — the analogue of
+    the reference's empty-result pre-fill (storage.rs:459-475).
+
+    Returns {SensorType: DataFrame} for exactly the types the matched
+    sensors use — unmatched type tables are never scanned.
+    """
+    from sensapp_spark.datamodel.types import SensorType
+
+    selected = select_sensors(lake.sensors(), matchers, numeric_only)
+    types_present = [
+        SensorType.from_label(r.type)
+        for r in selected.select("type").distinct().collect()
+    ]
+    out = {}
+    for stype in types_present:
+        values = lake.values(stype, start, end)
+        out[stype] = query_samples(
+            selected, values, matchers, start=start, end=end,
+            limit=limit, numeric_only=numeric_only,
+        )
+    return out

@@ -87,6 +87,44 @@ def query_bucket(query: list[float], planes: list[list[float]]) -> int:
     )
 
 
+def embedding_neardup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.9,
+    n_planes: int = 4,
+    dim: int = 64,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, LSH-blocked.
+
+    Vectors are bucketed by hyperplane sign bits; exact cosine runs only
+    within a bucket (equality self-join — never a full cross join). At
+    corpus scale the bucket id is the shuffle key and each bucket is
+    1/2^b of the data; recall can be raised with more probe rounds on
+    rotated plane sets. Returns (vec_a, vec_b, cosine) with
+    vec_a < vec_b and cosine ≥ threshold.
+    """
+    planes = hyperplanes(n_planes, dim)
+    bucketed = embeddings.select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("emb"),
+        bucket_expr(F.col("embedding"), planes).alias("bucket"),
+    )
+    a = bucketed.alias("a")
+    b = bucketed.alias("b")
+    pairs = (
+        a.join(b, "bucket")
+        .filter(F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round(
+                cosine_similarity(F.col("a.emb"), F.col("b.emb")), 6
+            ).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+    return pairs
+
+
 def hyperplane_lsh_topk(
     embeddings: DataFrame,
     query: list[float],

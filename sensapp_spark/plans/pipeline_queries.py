@@ -28,8 +28,10 @@ from sensapp_spark.pipeline.dedup import (
 )
 from sensapp_spark.pipeline.similarity import (
     cosine_topk,
+    embedding_neardup_pairs,
     hyperplane_lsh_topk,
     hyperplanes,
+    query_bucket,
 )
 
 PIPELINE_QUERIES: dict = {}
@@ -327,6 +329,37 @@ def ann_lsh_topk(spark, sf_dir):
     Hamming-1 multiprobe) — each probe scans 1/2^b of the data."""
     return hyperplane_lsh_topk(_emb(spark, sf_dir), QUERY_VEC, ANN_K)
 
+
+
+def _emb_neardup_oracle() -> str:
+    planes = hyperplanes(4, 64)
+    bucket = " + ".join(
+        f"(CASE WHEN list_dot_product(embedding::DOUBLE[], "
+        f"[{', '.join(str(c) for c in planes[i])}]::DOUBLE[]) > 0 "
+        f"THEN {2**i} ELSE 0 END)"
+        for i in range(4)
+    )
+    return f"""
+    WITH bucketed AS (
+        SELECT vec_id, embedding::DOUBLE[] AS emb, {bucket} AS bucket
+        FROM embeddings)
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           ROUND(list_dot_product(a.emb, b.emb)
+             / (sqrt(list_dot_product(a.emb, a.emb))
+                * sqrt(list_dot_product(b.emb, b.emb))), 6) AS cosine
+    FROM bucketed a JOIN bucketed b USING (bucket)
+    WHERE a.vec_id < b.vec_id
+      AND ROUND(list_dot_product(a.emb, b.emb)
+             / (sqrt(list_dot_product(a.emb, a.emb))
+                * sqrt(list_dot_product(b.emb, b.emb))), 6) >= 0.3
+    """
+
+
+@register("dedup_embedding_pairs", _emb_neardup_oracle())
+def dedup_embedding_pairs(spark, sf_dir):
+    """Embedding-cosine near-dup pairs: exact cosine within hyperplane-LSH
+    buckets (equality join on bucket id — no cross join)."""
+    return embedding_neardup_pairs(_emb(spark, sf_dir), threshold=0.3)
 
 # ---------------------------------------------------------------------------
 # Multimodal plumbing
