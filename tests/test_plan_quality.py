@@ -1,0 +1,119 @@
+"""Physical-plan regression tests: the scale-critical plan properties
+(broadcast joins, pushdown, partial top-K, no Python in the hot path)
+asserted explicitly so a refactor can't silently regress them."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from sensapp_spark.datamodel.types import SENSOR_SCHEMA, SensorType
+from sensapp_spark.ingest.csv_importer import IngestBatch
+from sensapp_spark.operators import LabelMatcher, MatcherType, query_samples
+from sensapp_spark.storage.lake import SensorLake
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def lake(spark, tmp_path_factory):
+    lake = SensorLake(spark, str(tmp_path_factory.mktemp("plans_lake")))
+    sensors = spark.createDataFrame(
+        [(f"u{i}", "metric", "Float", None, None, {"host": f"h{i}"})
+         for i in range(4)],
+        SENSOR_SCHEMA,
+    )
+    rows = [
+        (f"u{i}", dt.datetime(2024, m, 1), float(i * m))
+        for i in range(4) for m in (1, 2, 3)
+    ]
+    values = spark.createDataFrame(
+        rows, "sensor_id string, time timestamp, value double")
+    lake.publish(IngestBatch(sensors=sensors, values={SensorType.FLOAT: values}))
+    return lake
+
+
+def _query(lake, **kw):
+    return query_samples(
+        lake.sensors(), lake.values(SensorType.FLOAT, kw.get("start"), kw.get("end")),
+        [LabelMatcher("__name__", "metric", MatcherType.EQUAL)], **kw)
+
+
+def test_selection_uses_broadcast_semi_join(lake):
+    plan = plan_of(_query(lake))
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    # The fact scan must not be shuffled for the join: no
+    # ShuffledHashJoin/SortMergeJoin anywhere in the selection pipeline.
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
+def test_no_python_in_query_hot_path(lake):
+    plan = plan_of(_query(lake, limit=5))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "mapInPandas" not in plan.lower()
+
+
+def test_limit_uses_window_group_limit(lake):
+    plan = plan_of(_query(lake, limit=5))
+    assert "WindowGroupLimit" in plan
+
+
+def test_time_range_prunes_month_partitions(lake):
+    df = _query(lake, start=dt.datetime(2024, 3, 1))
+    plan = plan_of(df)
+    assert "PartitionFilters" in plan
+    assert "month" in plan
+    # And the time predicate reaches the parquet reader.
+    assert "PushedFilters" in plan and "time" in plan
+
+
+def test_full_scan_reads_value_columns_only(lake):
+    # Column pruning: a projection of (sensor_id, value) must not read
+    # the time column from parquet.
+    df = lake.values(SensorType.FLOAT).select("sensor_id", "value")
+    plan = plan_of(df)
+    scan_line = next(line for line in plan.splitlines() if "ReadSchema" in line)
+    assert "value" in scan_line and "time" not in scan_line.split("ReadSchema")[1]
+
+
+def test_whole_stage_codegen_covers_selection(lake):
+    df = _query(lake)
+    df.collect()  # AQE shows codegen spans only in the final plan
+    plan = plan_of(df)
+    assert "isFinalPlan=true" in plan
+    # Whole-stage-codegen stages print as "*(n)" markers; the filter,
+    # window, and both joins must all sit inside codegen'd stages.
+    assert "*(" in plan
+    for op in ("Project", "Filter", "BroadcastHashJoin"):
+        assert any(
+            "*(" in line and op in line for line in plan.splitlines()
+        ), f"{op} not inside a codegen stage"
+
+
+def test_catalog_aggregate_has_partial_agg(lake):
+    from sensapp_spark.operators.catalog import metrics_summary
+
+    plan = plan_of(metrics_summary(lake.sensors()))
+    # Partial aggregation before the exchange (map-side combine).
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_exact_dedup_shuffles_hashes_not_text(spark):
+    from sensapp_spark.pipeline.dedup import dedup_exact
+
+    docs = spark.createDataFrame(
+        [(1, "some long document text " * 50, "en", "s", 100)],
+        "doc_id long, text string, lang string, source string, n_chars long")
+    plan = plan_of(dedup_exact(docs))
+    # Map-side combine: a partial HashAggregate below the exchange whose
+    # output carries only (fp, partial min/count) — the text column never
+    # crosses the wire.
+    partial = next(line for line in plan.splitlines()
+                   if "HashAggregate" in line and "partial_" in line)
+    assert plan.index(partial) > plan.index("Exchange")  # below the shuffle
+    out_cols = partial.split("output=[")[1]
+    assert "text" not in out_cols and "fp" in out_cols

@@ -1,0 +1,156 @@
+"""Property-based tests (hypothesis) — beyond the reference's
+example-based suite (SURVEY §5 notes it has no property testing).
+
+Each property pins an invariant that example tests can't sweep:
+codec round-trips over arbitrary inputs, parser/lattice laws, identity
+hash stability.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from sensapp_spark.datamodel.sensor import sensor_uuid
+from sensapp_spark.datamodel.types import SensorType
+from sensapp_spark.ingest.inference import (
+    InferredType,
+    infer_cell,
+    infer_column,
+)
+from sensapp_spark.wire import snappy_codec
+from sensapp_spark.wire.protowire import (
+    Writer,
+    decode_varint,
+    encode_varint,
+    iter_fields,
+    signed64,
+)
+from sensapp_spark.wire.xorchunk import decode_xor_chunk, encode_xor_chunk
+
+# -- codecs -----------------------------------------------------------------
+
+
+@given(st.binary(max_size=200_000))
+@settings(max_examples=50, deadline=None)
+def test_snappy_roundtrip_any_bytes(payload):
+    assert snappy_codec.decompress(snappy_codec.compress(payload)) == payload
+
+
+@given(st.integers(min_value=0, max_value=2**64 - 1))
+def test_varint_roundtrip(n):
+    value, pos = decode_varint(encode_varint(n), 0)
+    assert value == n
+
+
+@given(st.integers(min_value=-(2**63), max_value=2**63 - 1))
+def test_varint_signed64_roundtrip(n):
+    raw, _ = decode_varint(encode_varint(n), 0)
+    assert signed64(raw) == n
+
+
+_ts_values = st.floats(
+    allow_nan=False, allow_infinity=True, width=64
+)
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(min_value=0, max_value=10_000_000),
+                  _ts_values),
+        min_size=0, max_size=200,
+    )
+)
+@settings(max_examples=60, deadline=None)
+def test_xor_chunk_roundtrip_random_series(deltas):
+    t = 1_600_000_000_000
+    samples = []
+    for d, v in deltas:
+        t += d
+        samples.append((t, v))
+    assert decode_xor_chunk(encode_xor_chunk(samples)) == samples
+
+
+@given(st.lists(st.tuples(st.text(max_size=20), st.text(max_size=20)),
+                max_size=10))
+def test_protowire_string_fields_roundtrip(pairs):
+    w = Writer()
+    for name, value in pairs:
+        w.message(1, Writer().string(1, name).string(2, value))
+    decoded = []
+    for f, _, v in iter_fields(bytes(w)):
+        inner = {g: x for g, _, x in iter_fields(v)}
+        decoded.append((inner.get(1, b"").decode(), inner.get(2, b"").decode()))
+    assert decoded == pairs
+
+
+# -- inference laws ---------------------------------------------------------
+
+
+@given(st.integers(min_value=-(2**63), max_value=2**63 - 1))
+def test_integers_always_infer_integer(n):
+    assert infer_cell(str(n)) == (InferredType.INTEGER, n)
+
+
+@given(st.floats(allow_nan=False, allow_infinity=False))
+def test_finite_float_repr_infers_numeric_kind(f):
+    kind, value = infer_cell(repr(f))
+    assert kind in (InferredType.INTEGER, InferredType.FLOAT)
+    assert math.isclose(float(value), f, rel_tol=1e-15)
+
+
+@given(st.lists(st.sampled_from(["1", "2.5", "true", "x", "{}",
+                                 "2020-01-01T00:00:00Z", ""]),
+                min_size=1, max_size=8))
+def test_lattice_string_dominates(cells):
+    # Law: if any cell is a String, the column is String with original
+    # content (columns.rs:57-61).
+    kinds = {infer_cell(c)[0] for c in cells}
+    k, values = infer_column(cells)
+    if InferredType.STRING in kinds:
+        assert k is InferredType.STRING and values == cells
+
+
+@given(st.lists(st.integers(-10**15, 10**15).map(str), min_size=1, max_size=20))
+def test_lattice_pure_integers(cells):
+    assert infer_column(cells) == (InferredType.INTEGER,
+                                   [int(c) for c in cells])
+
+
+@given(st.datetimes(min_value=dt.datetime(1900, 1, 1),
+                    max_value=dt.datetime(2100, 1, 1)))
+def test_iso_datetime_cells_infer_datetime(d):
+    s = d.strftime("%Y-%m-%dT%H:%M:%S") + "Z"
+    kind, value = infer_cell(s)
+    assert kind is InferredType.DATETIME
+    assert value == d.replace(microsecond=0, tzinfo=dt.timezone.utc)
+
+
+# -- identity ---------------------------------------------------------------
+
+_label_text = st.text(
+    alphabet=st.characters(blacklist_characters="\x0b\x1c\x1d\x1e\x1f",
+                           blacklist_categories=("Cs",)),
+    max_size=12,
+)
+
+
+@given(st.dictionaries(_label_text, _label_text, max_size=5))
+@settings(max_examples=50, deadline=None)
+def test_sensor_uuid_label_order_invariance(labels):
+    a = sensor_uuid("m", SensorType.FLOAT, None, labels)
+    b = sensor_uuid("m", SensorType.FLOAT, None,
+                    dict(reversed(list(labels.items()))))
+    assert a == b
+
+
+@given(_label_text.filter(lambda s: s))
+@settings(max_examples=50, deadline=None)
+def test_sensor_uuid_name_prefix_property(name):
+    # First 8 hex chars depend only on the name (sensor.rs:159-175).
+    a = sensor_uuid(name, SensorType.FLOAT, None, {"k": "1"})
+    b = sensor_uuid(name, SensorType.INTEGER, "unit", {"k": "2"})
+    assert a[:8] == b[:8]
