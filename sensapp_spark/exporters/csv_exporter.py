@@ -115,3 +115,16 @@ def to_csv_multi(df: DataFrame, sensor_type: SensorType) -> str:
                       + keys)
     lines = [r.line for r in lines_multi(df, sensor_type, keys).collect()]
     return "\n".join([header] + lines) + "\n"
+
+
+def write_csv_multi(
+    df: DataFrame, sensor_type: SensorType, path: str
+) -> list[str]:
+    """Distributed long-format CSV export: formatted lines written as text
+    files, one per partition — the scale path the reference lacks (its
+    exporters build one giant String driver-side, SURVEY §7.4 risk 10).
+    Returns the label-key header columns so callers can emit the header.
+    """
+    keys = multi_label_keys(df)
+    lines_multi(df, sensor_type, keys).write.mode("overwrite").text(path)
+    return keys

@@ -67,3 +67,9 @@ def lines_jsonl(df: DataFrame, sensor_type: SensorType) -> DataFrame:
 
 def to_jsonl(df: DataFrame, sensor_type: SensorType) -> str:
     return "".join(r.line + "\n" for r in lines_jsonl(df, sensor_type).collect())
+
+
+def write_jsonl(df: DataFrame, sensor_type: SensorType, path: str) -> None:
+    """Distributed JSONL export: one text file per partition; a billion-row
+    export never materializes on the driver."""
+    lines_jsonl(df, sensor_type).write.mode("overwrite").text(path)

@@ -46,8 +46,9 @@ def execute_read_queries(
     value tables and assemble protobuf-ready series."""
     results: list[list[TimeSeries]] = []
     for q in queries:
-        start = dt.datetime(1970, 1, 1) + dt.timedelta(milliseconds=q.start_ms)
-        end = dt.datetime(1970, 1, 1) + dt.timedelta(milliseconds=q.end_ms)
+        epoch = dt.datetime(1970, 1, 1, tzinfo=dt.timezone.utc)
+        start = epoch + dt.timedelta(milliseconds=q.start_ms)
+        end = epoch + dt.timedelta(milliseconds=q.end_ms)
         per_series: dict[str, TimeSeries] = {}
         for stype in NUMERIC_TYPES:
             vals = values_for(stype)

@@ -260,6 +260,9 @@ def ingest_csv(
 
 
 def apply_plan(spark: SparkSession, raw: DataFrame, plan: CsvPlan) -> IngestBatch:
+    # All engine timestamps are UTC; iso8601_to_timestamp anchors dates
+    # via to_timestamp(date), which reads the session timezone.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     ts_kind = plan.column_types.get(plan.datetime_column) if plan.datetime_column else None
     if plan.datetime_column is not None:
         timed = raw.withColumn(

@@ -195,9 +195,10 @@ def ingest_lines(
             ns = point.timestamp_ns * factor
             # Integer µs arithmetic — float seconds would round at ~256 ns
             # for current epochs.
-            ts = dt.datetime(1970, 1, 1) + dt.timedelta(microseconds=ns // 1000)
+            ts = dt.datetime(1970, 1, 1, tzinfo=dt.timezone.utc) \
+                + dt.timedelta(microseconds=ns // 1000)
         else:
-            ts = now.replace(tzinfo=None)
+            ts = now
         labels = dict(base_labels + point.tags)
         for field_key, (stype, value) in point.fields:
             name = sensor_name(point.measurement, field_key)

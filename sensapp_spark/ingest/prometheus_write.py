@@ -51,7 +51,8 @@ def ingest_remote_write(
         if uid not in sensors:
             sensors[uid] = (uid, name, SensorType.FLOAT.label, None, None, labels)
         for value, ts_ms in ts.samples:
-            t = dt.datetime(1970, 1, 1) + dt.timedelta(milliseconds=ts_ms)
+            t = dt.datetime(1970, 1, 1, tzinfo=dt.timezone.utc) \
+                + dt.timedelta(milliseconds=ts_ms)
             rows.append((uid, t, value))
 
     sensors_df = spark.createDataFrame(list(sensors.values()), SENSOR_SCHEMA)

@@ -119,9 +119,9 @@ def ingest_senml(
         uid = sensor_uuid(name, stype, unit, {})
         sensor_rows.append((uid, name, stype.label, unit, None, {}))
         for rec in recs:
-            ts = dt.datetime.fromtimestamp(rec["time"], dt.timezone.utc).replace(
-                tzinfo=None
-            )
+            # tz-aware UTC: a naive datetime would be reinterpreted in
+            # the driver process timezone by createDataFrame.
+            ts = dt.datetime.fromtimestamp(rec["time"], dt.timezone.utc)
             values.setdefault(stype, []).append(
                 (uid, ts, _convert(rec["value"], stype))
             )

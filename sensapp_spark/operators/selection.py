@@ -54,6 +54,16 @@ def select_sensors(
     return out
 
 
+def _utc_lit(value: dt.datetime) -> F.Column:
+    """Timestamp literal pinned to UTC. PySpark converts a NAIVE datetime
+    through the driver *process* timezone — on a TZ≠UTC host that silently
+    shifts every bound. All engine timestamps are UTC (reference
+    docs/DATAMODEL.md:184-186), so naive inputs mean UTC."""
+    if value.tzinfo is None:
+        value = value.replace(tzinfo=dt.timezone.utc)
+    return F.lit(value)
+
+
 def time_range(
     df: DataFrame,
     start: dt.datetime | None = None,
@@ -63,9 +73,9 @@ def time_range(
     """Operator Q5: inclusive-both-ends time filter, both bounds optional
     (reference src/storage/sqlite/storage.rs:679-693)."""
     if start is not None:
-        df = df.filter(F.col(time_col) >= F.lit(start))
+        df = df.filter(F.col(time_col) >= _utc_lit(start))
     if end is not None:
-        df = df.filter(F.col(time_col) <= F.lit(end))
+        df = df.filter(F.col(time_col) <= _utc_lit(end))
     return df
 
 

@@ -49,10 +49,16 @@ def register(name: str, oracle: str | None = None):
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sensapp_spark.plans.testdata import ensure_session_confs
+
+    ensure_session_confs(spark)
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sensapp_spark.plans.testdata import ensure_session_confs
+
+    ensure_session_confs(spark)
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
 

@@ -37,13 +37,22 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 _SENSORS_CACHE: dict[tuple[int, str], DataFrame] = {}
 
 
+def ensure_session_confs(spark: SparkSession) -> None:
+    """Confs every registry query depends on, set defensively because the
+    DRIVER brings its own SparkSession (not our get_spark): UTC session
+    timezone (date_trunc/bucketing must agree with the DuckDB oracle) and
+    ns-parquet compatibility."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events.parquet stores ns-precision timestamps, which the Spark parquet
     reader rejects (PARQUET_TYPE_ILLEGAL). Read them as raw int64 ns and
     truncate to µs JVM-side. Integer ``DIV`` keeps full precision — a double
     division would round at ~256 ns granularity for 2024 epochs (53-bit
     mantissa < 1.7e18)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ensure_session_confs(spark)
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     return ev.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
 

@@ -164,3 +164,26 @@ def test_arrow_multi_long_schema(float_df):
     assert table.column("value").to_pylist()[0] == "20.5"
     assert json.loads(table.column("labels").to_pylist()[0]) == {
         "env": "prod", "room": "a"}
+
+
+def test_write_csv_multi_distributed(float_df, tmp_path):
+    from sensapp_spark.exporters.csv_exporter import write_csv_multi
+
+    out = str(tmp_path / "csv_out")
+    keys = write_csv_multi(float_df, SensorType.FLOAT, out)
+    assert keys == ["env", "room"]
+    spark = float_df.sparkSession
+    lines = sorted(r.value for r in spark.read.text(out).collect())
+    assert len(lines) == 3
+    assert lines[0].startswith("2024-01-01T00:00:00+00:00,u1,temp,20.5,float")
+
+
+def test_write_jsonl_distributed(float_df, tmp_path):
+    from sensapp_spark.exporters.jsonl_exporter import write_jsonl
+
+    out = str(tmp_path / "jsonl_out")
+    write_jsonl(float_df, SensorType.FLOAT, out)
+    spark = float_df.sparkSession
+    rows = [json.loads(r.value) for r in spark.read.text(out).collect()]
+    assert len(rows) == 3
+    assert {r["sensor_uuid"] for r in rows} == {"u1", "u2"}

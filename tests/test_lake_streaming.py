@@ -119,3 +119,45 @@ def test_stream_csv_directory(spark, tmp_path):
     assert lake.values(SensorType.FLOAT).count() == 4
     names = {r.name for r in lake.sensors().collect()}
     assert names == {"temp", "hum"}
+
+
+def test_stream_lines_socket(spark, tmp_path):
+    """Real socket feed → line-protocol parse → lake (S4 streaming path)."""
+    import socket
+    import socketserver
+    import threading
+    import time as time_mod
+
+    from sensapp_spark.streaming.ingest import stream_lines_socket
+
+    lines = (b"weather,site=x temp=11.5 1700000000000000000\n"
+             b"weather,site=y temp=12.5 1700000060000000000\n")
+
+    class Handler(socketserver.BaseRequestHandler):
+        def handle(self):
+            self.request.sendall(lines)
+            time_mod.sleep(20)  # keep the connection open for the source
+
+    server = socketserver.ThreadingTCPServer(("127.0.0.1", 0), Handler)
+    server.daemon_threads = True
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+
+    lake = SensorLake(spark, str(tmp_path / "socket_lake"))
+    q = stream_lines_socket(
+        spark, "127.0.0.1", port, lake,
+        checkpoint_dir=str(tmp_path / "socket_ckpt"))
+    try:
+        deadline = time_mod.time() + 90
+        while time_mod.time() < deadline:
+            if lake.values(SensorType.FLOAT).count() >= 2:
+                break
+            time_mod.sleep(1)
+        assert lake.values(SensorType.FLOAT).count() == 2
+        names = {r.name for r in lake.sensors().collect()}
+        assert names == {"weather temp"}
+        sites = {r.labels["site"] for r in lake.sensors().collect()}
+        assert sites == {"x", "y"}
+    finally:
+        q.stop()
+        server.shutdown()
