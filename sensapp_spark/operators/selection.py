@@ -196,3 +196,38 @@ def query_all_types(
             limit=limit, numeric_only=numeric_only,
         )
     return out
+
+
+def per_sensor_limit_salted(
+    df: DataFrame,
+    limit: int,
+    salt_partitions: int = 16,
+    key_col: str = "sensor_id",
+    time_col: str = "time",
+    tiebreakers: list[str] | None = None,
+) -> DataFrame:
+    """Skew-resistant per-sensor top-N: two-phase top-K.
+
+    ``WindowGroupLimit`` already prunes map-side, but ALL surviving rows
+    of one sensor still land in a single reduce partition — a hot sensor
+    with billions of in-range rows serializes on one task. Phase 1 ranks
+    within (sensor, salt) — ``salt_partitions``-way parallel, each
+    emitting ≤ limit rows; phase 2 re-ranks the ≤ limit·salt survivors
+    per sensor. Same result set as ``per_sensor_limit`` for any input.
+
+    Use for small limits over possibly-degenerate key distributions; the
+    plain window is better when limit is huge (salting multiplies the
+    intermediate by salt_partitions).
+    """
+    order = [F.col(time_col).asc()] + [F.col(c).asc() for c in (tiebreakers or [])]
+    salted = df.withColumn(
+        "__salt", F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]),
+                         F.lit(salt_partitions)),
+    )
+    w1 = Window.partitionBy(key_col, "__salt").orderBy(*order)
+    phase1 = (
+        salted.withColumn("__rn", F.row_number().over(w1))
+        .filter(F.col("__rn") <= limit)
+        .drop("__rn", "__salt")
+    )
+    return per_sensor_limit(phase1, limit, key_col, time_col, tiebreakers)

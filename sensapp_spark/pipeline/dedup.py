@@ -210,3 +210,82 @@ def simhash(docs: DataFrame) -> DataFrame:
         bit = F.when(F.col(f"b_{i}") > 0, F.lit(2**i)).otherwise(F.lit(0))
         value = bit if value is None else value + bit
     return sums.select("doc_id", value.cast("long").alias("simhash"))
+
+
+def neardup_components(
+    pairs: DataFrame,
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Connected components over near-duplicate pairs → dedup clusters.
+
+    Pair generation (Jaccard / MinHash-LSH / embedding) yields edges;
+    choosing which documents to KEEP requires the transitive closure:
+    A~B, B~C ⇒ {A,B,C} is one cluster even if A~C was never scored.
+
+    Algorithm: min-label propagation with POINTER JUMPING — each round
+    takes the min over (own label, neighbors' labels, label-of-label).
+    The label-of-label hop halves chain lengths every round, so
+    convergence is O(log diameter) instead of O(diameter): 20 rounds
+    cover components of depth ~2^20. Each round is two joins + one
+    aggregation over one (node, label) row per node; the loop is
+    driver-controlled with an early-exit convergence check.
+
+    Input: (doc_a, doc_b) edge frame. Output: (doc_id, component) where
+    component = MIN(doc_id) of the cluster — the canonical survivor,
+    matching the keep-MIN rule of exact dedup.
+    """
+    edges = (
+        pairs.selectExpr("doc_a AS src", "doc_b AS dst")
+        .union(pairs.selectExpr("doc_b AS src", "doc_a AS dst"))
+        .distinct()
+        .cache()
+    )
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("component", F.col("doc_id"))
+        .cache()
+    )
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.doc_id)
+            .groupBy("src")
+            .agg(F.min("component").alias("n_comp"))
+        )
+        stepped = (
+            labels.join(neighbor_min, labels.doc_id == neighbor_min.src, "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("n_comp"), F.col("component"))
+                ).alias("component"),
+            )
+        )
+        # Pointer jumping: follow the label one more hop (label-of-label).
+        hop = stepped.select(
+            F.col("doc_id").alias("h_id"), F.col("component").alias("h_comp")
+        )
+        new_labels = (
+            stepped.join(hop, stepped.component == hop.h_id, "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("component"),
+                    F.coalesce(F.col("h_comp"), F.col("component")),
+                ).alias("component"),
+            )
+            .cache()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels

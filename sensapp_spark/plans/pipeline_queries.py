@@ -24,6 +24,7 @@ from sensapp_spark.pipeline.dedup import (
     jaccard_pairs,
     minhash_lsh_candidates,
     minhash_signatures,
+    neardup_components,
     simhash,
 )
 from sensapp_spark.pipeline.similarity import (
@@ -196,6 +197,39 @@ def dedup_exact_docs(spark, sf_dir):
 def dedup_jaccard_pairs(spark, sf_dir):
     """N-gram Jaccard near-dup pairs via inverted-index join (no n² scan)."""
     return jaccard_pairs(_docs(spark, sf_dir), threshold=0.2)
+
+
+@register(
+    "dedup_components",
+    f"""
+    WITH RECURSIVE {_SHINGLES_CTE},
+    counts AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+        FROM sh a JOIN sh b USING (shingle)
+        WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+    pairs AS (
+        SELECT doc_a, doc_b FROM inter
+        JOIN counts ca ON ca.doc_id = doc_a
+        JOIN counts cb ON cb.doc_id = doc_b
+        WHERE ROUND(i / CAST(ca.n + cb.n - i AS DOUBLE), 6) >= 0.2),
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION SELECT doc_b, doc_a FROM pairs),
+    reach AS (
+        SELECT src AS doc_id, src AS peer FROM edges
+        UNION
+        SELECT r.doc_id, e.dst FROM reach r JOIN edges e ON e.src = r.peer)
+    SELECT doc_id, MIN(peer) AS component FROM reach GROUP BY doc_id
+    """,
+)
+def dedup_components(spark, sf_dir):
+    """Near-dup clusters: connected components (iterative min-label
+    propagation) over the Jaccard pair graph — the transitive-closure
+    step every production dedup needs after pair generation. The oracle
+    computes the same components with a recursive CTE."""
+    pairs = jaccard_pairs(_docs(spark, sf_dir), threshold=0.2)
+    return neardup_components(pairs)
 
 
 def _minhash_sig_sql() -> str:
