@@ -215,6 +215,7 @@ def simhash(docs: DataFrame) -> DataFrame:
 def neardup_components(
     pairs: DataFrame,
     max_iterations: int = 20,
+    driver_threshold: int = 1_000_000,
 ) -> DataFrame:
     """Connected components over near-duplicate pairs → dedup clusters.
 
@@ -240,6 +241,34 @@ def neardup_components(
         .distinct()
         .cache()
     )
+    # Near-dup edge sets are tiny relative to the corpus (pairs above a
+    # similarity threshold). Below ``driver_threshold`` edges, a driver
+    # union-find beats N iterative Spark jobs by seconds of pure job
+    # overhead; the distributed loop below remains the path for graphs
+    # that don't fit one machine.
+    n_edges = edges.count()
+    if n_edges <= driver_threshold:
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent.get(root, root) != root:
+                root = parent[root]
+            while parent.get(x, x) != x:  # path compression
+                parent[x], x = root, parent[x]
+            return root
+
+        for row in edges.toLocalIterator():
+            ra, rb = find(row.src), find(row.dst)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        nodes = {n for row in edges.select("src").distinct().toLocalIterator()
+                 for n in (row.src,)}
+        spark = pairs.sparkSession
+        edges.unpersist()
+        return spark.createDataFrame(
+            [(n, find(n)) for n in sorted(nodes)], "doc_id long, component long"
+        )
     labels = (
         edges.select(F.col("src").alias("doc_id"))
         .distinct()

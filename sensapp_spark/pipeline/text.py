@@ -64,24 +64,36 @@ def quality_scores(docs: DataFrame) -> DataFrame:
     t = F.col("text")
     length = F.length(t).cast("double")
     words = ws_token_count(t).cast("double")
-    stop_ratio = F.regexp_count(F.lower(t), F.lit(_stop_re("en"))) / words
-    punct_ratio = F.regexp_count(t, F.lit(PUNCT_PATTERN)) / length
-    digit_ratio = F.regexp_count(t, F.lit(DIGIT_PATTERN)) / length
-    len_credit = F.least(length / F.lit(500.0), F.lit(1.0))
-    w = QUALITY_WEIGHTS
+    # The composite runs in EXACT DECIMAL arithmetic over the rounded
+    # components. Weighted sums of 6-decimal values land on exact
+    # half-way points of the 6th decimal constantly (0.25 × x quantizes
+    # at quarter-micros), where double rounding is ULP-sensitive and
+    # engines disagree; the decimal(18,6) cast normalizes ULP noise and
+    # both Spark and DuckDB round exact decimals half-away-from-zero.
+    stop_ratio = F.round(
+        F.regexp_count(F.lower(t), F.lit(_stop_re("en"))) / words, 6
+    )
+    punct_ratio = F.round(F.regexp_count(t, F.lit(PUNCT_PATTERN)) / length, 6)
+    digit_ratio = F.round(F.regexp_count(t, F.lit(DIGIT_PATTERN)) / length, 6)
+    len_credit = F.round(F.least(length / F.lit(500.0), F.lit(1.0)), 6)
+
+    def dec(col):
+        return col.cast("decimal(18,6)")
+
+    w = {k: F.lit(str(v)).cast("decimal(4,2)") for k, v in QUALITY_WEIGHTS.items()}
     score = (
-        F.lit(w["w_len"]) * len_credit
-        + F.lit(w["w_stop"]) * F.least(stop_ratio * 2, F.lit(1.0))
-        + F.lit(w["w_punct"]) * punct_ratio
-        + F.lit(w["w_digit"]) * digit_ratio
+        w["w_len"] * dec(len_credit)
+        + w["w_stop"] * F.least(dec(stop_ratio) * 2, F.lit("1").cast("decimal(18,6)"))
+        + w["w_punct"] * dec(punct_ratio)
+        + w["w_digit"] * dec(digit_ratio)
     )
     return docs.select(
         "doc_id",
-        F.round(len_credit, 6).alias("len_credit"),
-        F.round(stop_ratio, 6).alias("stop_ratio"),
-        F.round(punct_ratio, 6).alias("punct_ratio"),
-        F.round(digit_ratio, 6).alias("digit_ratio"),
-        F.round(score, 6).alias("quality"),
+        len_credit.alias("len_credit"),
+        stop_ratio.alias("stop_ratio"),
+        punct_ratio.alias("punct_ratio"),
+        digit_ratio.alias("digit_ratio"),
+        F.round(score, 6).cast("double").alias("quality"),
     )
 
 

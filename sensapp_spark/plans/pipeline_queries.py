@@ -103,23 +103,27 @@ _STOP_EN = tx.STOPWORDS["en"]
 @register(
     "text_quality",
     f"""
-    SELECT doc_id,
-      ROUND(LEAST(length(text)/500.0, 1.0), 6) AS len_credit,
-      ROUND(sr, 6) AS stop_ratio,
-      ROUND(pr, 6) AS punct_ratio,
-      ROUND(dr, 6) AS digit_ratio,
-      ROUND({tx.QUALITY_WEIGHTS['w_len']} * LEAST(length(text)/500.0, 1.0)
-          + {tx.QUALITY_WEIGHTS['w_stop']} * LEAST(sr*2, 1.0)
-          + {tx.QUALITY_WEIGHTS['w_punct']} * pr
-          + {tx.QUALITY_WEIGHTS['w_digit']} * dr, 6) AS quality
+    SELECT doc_id, len_credit, stop_ratio, punct_ratio, digit_ratio,
+      CAST(ROUND(
+            {tx.QUALITY_WEIGHTS['w_len']}::DECIMAL(4,2)
+              * len_credit::DECIMAL(18,6)
+          + {tx.QUALITY_WEIGHTS['w_stop']}::DECIMAL(4,2)
+              * LEAST(stop_ratio::DECIMAL(18,6) * 2,
+                      1::DECIMAL(18,6))::DECIMAL(18,6)
+          + {tx.QUALITY_WEIGHTS['w_punct']}::DECIMAL(4,2)
+              * punct_ratio::DECIMAL(18,6)
+          + {tx.QUALITY_WEIGHTS['w_digit']}::DECIMAL(4,2)
+              * digit_ratio::DECIMAL(18,6), 6) AS DOUBLE) AS quality
     FROM (
-      SELECT doc_id, text,
-        len(regexp_extract_all(lower(text), '\\b({_STOP_EN})\\b'))
-          / CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS DOUBLE) AS sr,
-        len(regexp_extract_all(text, '{tx.PUNCT_PATTERN}'))
-          / CAST(length(text) AS DOUBLE) AS pr,
-        len(regexp_extract_all(text, '{tx.DIGIT_PATTERN}'))
-          / CAST(length(text) AS DOUBLE) AS dr
+      SELECT doc_id,
+        ROUND(LEAST(length(text)/500.0e0, 1.0e0), 6) AS len_credit,
+        ROUND(len(regexp_extract_all(lower(text), '\\b({_STOP_EN})\\b'))
+          / CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS DOUBLE),
+          6) AS stop_ratio,
+        ROUND(len(regexp_extract_all(text, '{tx.PUNCT_PATTERN}'))
+          / CAST(length(text) AS DOUBLE), 6) AS punct_ratio,
+        ROUND(len(regexp_extract_all(text, '{tx.DIGIT_PATTERN}'))
+          / CAST(length(text) AS DOUBLE), 6) AS digit_ratio
       FROM documents)
     """,
 )

@@ -376,7 +376,7 @@ def downsample_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     + """
     SELECT sensor_id, date_trunc('hour', time) AS bucket,
            ROUND((arg_max(value, time) - arg_min(value, time))
-                 / ((epoch_us(max(time)) - epoch_us(min(time))) / 1000000.0),
+                 / ((epoch_us(max(time)) - epoch_us(min(time))) / 1e6),
                  6) AS rate
     FROM vals
     GROUP BY sensor_id, date_trunc('hour', time)

@@ -15,42 +15,54 @@ from sensapp_spark.operators.selection import (
 from sensapp_spark.pipeline.dedup import neardup_components
 
 
-def components_of(spark, edges):
+# threshold=0 forces the distributed pointer-jumping loop; the default
+# exercises the driver union-find fast path.
+PATHS = pytest.mark.parametrize("threshold", [0, 1_000_000],
+                                ids=["distributed", "driver"])
+
+
+def components_of(spark, edges, threshold):
     df = spark.createDataFrame(edges, "doc_a long, doc_b long")
-    rows = neardup_components(df).collect()
+    rows = neardup_components(df, driver_threshold=threshold).collect()
     comps: dict[int, set] = {}
     for r in rows:
         comps.setdefault(r.component, set()).add(r.doc_id)
     return {frozenset(v) for v in comps.values()}
 
 
-def test_components_chain(spark):
+@PATHS
+def test_components_chain(spark, threshold):
     # A-B, B-C, C-D: one component even though A-D never scored.
-    assert components_of(spark, [(1, 2), (2, 3), (3, 4)]) == {
+    assert components_of(spark, [(1, 2), (2, 3), (3, 4)], threshold) == {
         frozenset({1, 2, 3, 4})}
 
 
-def test_components_disjoint_clusters(spark):
-    got = components_of(spark, [(1, 2), (5, 6), (6, 7), (10, 11)])
+@PATHS
+def test_components_disjoint_clusters(spark, threshold):
+    got = components_of(spark, [(1, 2), (5, 6), (6, 7), (10, 11)], threshold)
     assert got == {frozenset({1, 2}), frozenset({5, 6, 7}),
                    frozenset({10, 11})}
 
 
-def test_components_cycle(spark):
-    assert components_of(spark, [(1, 2), (2, 3), (3, 1)]) == {
+@PATHS
+def test_components_cycle(spark, threshold):
+    assert components_of(spark, [(1, 2), (2, 3), (3, 1)], threshold) == {
         frozenset({1, 2, 3})}
 
 
-def test_components_label_is_min_doc_id(spark):
+@PATHS
+def test_components_label_is_min_doc_id(spark, threshold):
     df = spark.createDataFrame([(9, 4), (4, 7)], "doc_a long, doc_b long")
-    labels = {r.doc_id: r.component for r in neardup_components(df).collect()}
+    labels = {r.doc_id: r.component
+              for r in neardup_components(df, driver_threshold=threshold).collect()}
     assert labels == {4: 4, 7: 4, 9: 4}
 
 
 def test_components_deep_chain_converges(spark):
-    # Long path graph exercises multiple propagation rounds.
+    # Long path graph exercises multiple pointer-jumping rounds on the
+    # distributed path specifically.
     edges = [(i, i + 1) for i in range(0, 30)]
-    got = components_of(spark, edges)
+    got = components_of(spark, edges, threshold=0)
     assert got == {frozenset(range(31))}
 
 
