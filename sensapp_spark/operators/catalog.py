@@ -69,6 +69,19 @@ def series_list(
     return out.withColumn("series", series_id())
 
 
+def sensor_catalog(sensors: DataFrame) -> DataFrame:
+    """Operator C2: the ``sensor_catalog_view`` projection. The reference
+    joins sensors⋈units (src/storage/sqlite/migrations/
+    20250819143000_add_sensor_catalog_view.sql:2-11); this engine's
+    dimension is already denormalized, so the view is a projection."""
+    return sensors.select(
+        "sensor_id", "name", "type",
+        F.col("unit").alias("unit_name"),
+        F.col("unit_description"),
+        "labels",
+    )
+
+
 def metrics_list(
     sensors: DataFrame,
     name_contains: str | None = None,

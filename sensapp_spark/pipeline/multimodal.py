@@ -50,6 +50,12 @@ def attach_binary(docs: DataFrame) -> DataFrame:
     """Demo adapter: treat each document's utf-8 bytes as an opaque media
     payload with typed metadata — the real pipeline reads payloads from
     object storage with ``binaryFile`` or parquet binary columns."""
+    # Small single-split inputs would serialize the (CPU-bound) decode
+    # into one Python worker; spread below core count, like the shingle
+    # tokenizer. Real media tables have many splits and skip this.
+    parallelism = docs.sparkSession.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < parallelism:
+        docs = docs.repartition(parallelism)
     return docs.select(
         F.col("doc_id").alias("media_id"),
         F.encode("text", "utf-8").alias("payload"),

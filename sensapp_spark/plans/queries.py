@@ -460,13 +460,14 @@ def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     _PRELUDE
     + """
     , click AS (
-        SELECT v.sensor_id, date_trunc('day', v.time) AS bucket,
+        SELECT v.sensor_id, CAST(date_trunc('day', v.time) AS DATE) AS bucket,
                AVG(value) AS click_avg
         FROM vals v JOIN sensors s USING (sensor_id)
         WHERE s.name = 'click' GROUP BY 1, 2),
     views AS (
         SELECT replace(sensor_id, 'view/', 'click/') AS sensor_id,
-               date_trunc('day', time) AS bucket, AVG(value) AS view_avg
+               CAST(date_trunc('day', time) AS DATE) AS bucket,
+               AVG(value) AS view_avg
         FROM vals JOIN sensors USING (sensor_id)
         WHERE name = 'view' GROUP BY 1, 2)
     SELECT sensor_id, bucket,
@@ -484,7 +485,10 @@ def virtual_sensor_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     sensors = td.events_sensors(spark, sf_dir)
     vals = td.events_values(spark, sf_dir)
     joined = vals.join(F.broadcast(sensors.select("sensor_id", "name")), "sensor_id")
-    bucket = F.date_trunc("day", "time").alias("bucket")
+    # DATE on both sides — DuckDB's date_trunc('day') yields DATE while
+    # Spark's yields TIMESTAMP; the driver hashes raw values, so the
+    # bucket type must agree exactly.
+    bucket = F.to_date(F.date_trunc("day", "time")).alias("bucket")
     click = (
         joined.filter(F.col("name") == "click")
         .groupBy("sensor_id", bucket)

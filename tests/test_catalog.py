@@ -40,3 +40,13 @@ def test_metrics_list_filters(sensors):
     assert metrics_list(sensors, name_contains="CP").count() == 1
     assert metrics_list(sensors, name_regex="^m").count() == 2
     assert metrics_list(sensors, sensor_type="Integer").count() == 1
+
+
+def test_sensor_catalog_projection(sensors):
+    from sensapp_spark.operators.catalog import sensor_catalog
+
+    out = sensor_catalog(sensors)
+    assert out.columns == ["sensor_id", "name", "type", "unit_name",
+                           "unit_description", "labels"]
+    row = {r.sensor_id: r for r in out.collect()}
+    assert row["u1"].unit_name == "percent"
