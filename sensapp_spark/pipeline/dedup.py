@@ -235,9 +235,23 @@ def neardup_components(
     component = MIN(doc_id) of the cluster — the canonical survivor,
     matching the keep-MIN rule of exact dedup.
     """
+    # Symmetrize in ONE pass over pairs: a union of two projections of
+    # the same frame would execute the (expensive) pair-generation plan
+    # twice — Spark does not share subplans across union branches.
     edges = (
-        pairs.selectExpr("doc_a AS src", "doc_b AS dst")
-        .union(pairs.selectExpr("doc_b AS src", "doc_a AS dst"))
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+                    ),
+                    F.struct(
+                        F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")
+                    ),
+                )
+            ).alias("e")
+        )
+        .select("e.src", "e.dst")
         .distinct()
         .cache()
     )
@@ -258,16 +272,20 @@ def neardup_components(
                 parent[x], x = root, parent[x]
             return root
 
-        for row in edges.toLocalIterator():
+        # One collect, not toLocalIterator: ≤ driver_threshold edges fit
+        # the driver easily, and toLocalIterator schedules one job per
+        # partition sequentially. The symmetrized edge list carries every
+        # node in src, so no second distinct job for the node set.
+        rows = edges.collect()
+        for row in rows:
             ra, rb = find(row.src), find(row.dst)
             if ra != rb:
                 parent[max(ra, rb)] = min(ra, rb)
-        nodes = {n for row in edges.select("src").distinct().toLocalIterator()
-                 for n in (row.src,)}
+        nodes = sorted({row.src for row in rows})
         spark = pairs.sparkSession
         edges.unpersist()
         return spark.createDataFrame(
-            [(n, find(n)) for n in sorted(nodes)], "doc_id long, component long"
+            [(n, find(n)) for n in nodes], "doc_id long, component long"
         )
     labels = (
         edges.select(F.col("src").alias("doc_id"))

@@ -46,16 +46,21 @@ FEATURE_SCHEMA = T.StructType(
 )
 
 
-def attach_binary(docs: DataFrame) -> DataFrame:
+def attach_binary(docs: DataFrame, spread: bool = False) -> DataFrame:
     """Demo adapter: treat each document's utf-8 bytes as an opaque media
     payload with typed metadata — the real pipeline reads payloads from
-    object storage with ``binaryFile`` or parquet binary columns."""
-    # Small single-split inputs would serialize the (CPU-bound) decode
-    # into one Python worker; spread below core count, like the shingle
-    # tokenizer. Real media tables have many splits and skip this.
-    parallelism = docs.sparkSession.sparkContext.defaultParallelism
-    if docs.rdd.getNumPartitions() < parallelism:
-        docs = docs.repartition(parallelism)
+    object storage with ``binaryFile`` or parquet binary columns.
+
+    ``spread=True`` repartitions a below-core-count input up to full
+    parallelism so a CPU-heavy decode isn't serialized into a few Python
+    workers. Off by default: real media tables arrive with many file
+    splits (binaryFile yields one split per file) where the shuffle is a
+    no-op, and on small demo inputs the shuffle + per-partition Python
+    worker spin-up costs far more than the stub decode saves."""
+    if spread:
+        parallelism = docs.sparkSession.sparkContext.defaultParallelism
+        if docs.rdd.getNumPartitions() < parallelism:
+            docs = docs.repartition(parallelism)
     return docs.select(
         F.col("doc_id").alias("media_id"),
         F.encode("text", "utf-8").alias("payload"),
