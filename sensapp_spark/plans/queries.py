@@ -329,6 +329,40 @@ def catalog_series_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.select("sensor_id", "series")
 
 
+@register(
+    "catalog_sensor_view",
+    _PRELUDE
+    + """
+    SELECT sensor_id, name, type,
+           CAST(NULL AS VARCHAR) AS unit_name,
+           CASE WHEN region_label IS NULL THEN 'user=' || user_label
+                ELSE 'region=' || region_label || ',user=' || user_label
+           END AS labels
+    FROM sensors
+    """,
+)
+def catalog_sensor_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C2: the ``sensor_catalog_view`` projection (reference joins
+    sensors⋈units; here the dimension is denormalized so it is a pure
+    projection — no join at any scale). Labels are rendered as a sorted
+    ``k=v`` string for cross-engine comparison of the MAP column."""
+    from sensapp_spark.operators.catalog import sensor_catalog
+
+    cat = sensor_catalog(td.events_sensors(spark, sf_dir))
+    labels_str = F.array_join(
+        F.array_sort(
+            F.transform(
+                F.map_entries("labels"),
+                lambda e: F.concat(e.key, F.lit("="), e.value),
+            )
+        ),
+        ",",
+    )
+    return cat.select(
+        "sensor_id", "name", "type", "unit_name", labels_str.alias("labels")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Beyond-reference: sample-level aggregation (what simple_promql.rs:149-171
 # rejects, expressed as native Spark aggregates)
@@ -460,13 +494,13 @@ def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     _PRELUDE
     + """
     , click AS (
-        SELECT v.sensor_id, CAST(date_trunc('day', v.time) AS DATE) AS bucket,
+        SELECT v.sensor_id, strftime(date_trunc('day', v.time), '%Y-%m-%d') AS bucket,
                AVG(value) AS click_avg
         FROM vals v JOIN sensors s USING (sensor_id)
         WHERE s.name = 'click' GROUP BY 1, 2),
     views AS (
         SELECT replace(sensor_id, 'view/', 'click/') AS sensor_id,
-               CAST(date_trunc('day', time) AS DATE) AS bucket,
+               strftime(date_trunc('day', time), '%Y-%m-%d') AS bucket,
                AVG(value) AS view_avg
         FROM vals JOIN sensors USING (sensor_id)
         WHERE name = 'view' GROUP BY 1, 2)
@@ -485,10 +519,13 @@ def virtual_sensor_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     sensors = td.events_sensors(spark, sf_dir)
     vals = td.events_values(spark, sf_dir)
     joined = vals.join(F.broadcast(sensors.select("sensor_id", "name")), "sensor_id")
-    # DATE on both sides — DuckDB's date_trunc('day') yields DATE while
-    # Spark's yields TIMESTAMP; the driver hashes raw values, so the
-    # bucket type must agree exactly.
-    bucket = F.to_date(F.date_trunc("day", "time")).alias("bucket")
+    # STRING bucket on both sides: DuckDB's date_trunc('day') yields DATE
+    # while Spark's yields TIMESTAMP, and date-vs-timestamp marshals
+    # differently through every comparison layer (raw rows, pandas).
+    # A formatted string is identical everywhere.
+    bucket = F.date_format(F.date_trunc("day", "time"), "yyyy-MM-dd").alias(
+        "bucket"
+    )
     click = (
         joined.filter(F.col("name") == "click")
         .groupBy("sensor_id", bucket)
@@ -510,6 +547,77 @@ def virtual_sensor_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                              F.nullif(F.col("view_avg"), F.lit(0.0))), 6)
         .alias("ratio"),
     )
+
+
+@register(
+    "asof_align",
+    """
+    WITH click AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS time, value AS click_value
+        FROM events WHERE event_type = 'click'),
+    v AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS time, MAX(value) AS view_value
+        FROM events WHERE event_type = 'view' GROUP BY 1, 2)
+    SELECT c.user_id, c.time, c.click_value,
+           v.time AS time_right, v.view_value AS view_value_right
+    FROM click c ASOF LEFT JOIN v
+      ON c.user_id = v.user_id AND c.time >= v.time
+    """,
+)
+def asof_align(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Beyond-reference: backward as-of join — every click sample gains
+    the user's most recent view sample at or before it. Oracle is
+    DuckDB's native ASOF LEFT JOIN. The right side is reduced to one row
+    per (user, timestamp) first so duplicate-timestamp winners are
+    well-defined in both engines."""
+    from sensapp_spark.operators.timeseries import asof_join
+
+    ev = td.load_events(spark, sf_dir)
+    left = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("ts").alias("time"),
+        F.col("value").alias("click_value"),
+    )
+    right = (
+        ev.filter(F.col("event_type") == "view")
+        .select("user_id", F.col("ts").alias("time"), "value")
+        .groupBy("user_id", "time")
+        .agg(F.max("value").alias("view_value"))
+    )
+    return asof_join(
+        left, right, on=["user_id"], time_col="time",
+        value_cols=["view_value"],
+    )
+
+
+@register(
+    "events_sessionize",
+    """
+    WITH e AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS time, event_id FROM events),
+    flagged AS (
+        SELECT user_id, time, event_id,
+               CASE WHEN lag(time) OVER w IS NULL
+                         OR epoch(time) - epoch(lag(time) OVER w) > 1800
+                    THEN 1 ELSE 0 END AS is_new
+        FROM e WINDOW w AS (PARTITION BY user_id ORDER BY time))
+    SELECT user_id, time, event_id,
+           SUM(is_new) OVER (PARTITION BY user_id ORDER BY time
+                             ROWS UNBOUNDED PRECEDING) AS session_id
+    FROM flagged
+    """,
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Beyond-reference: gap-based sessionization (30-min inactivity)
+    per user over the full event stream. Timestamp ties are safe without
+    a tiebreaker: tied rows have gap 0, so every row of a tie group lands
+    in the same session whichever order the engines scan them."""
+    from sensapp_spark.operators.timeseries import sessionize
+
+    ev = td.load_events(spark, sf_dir).select(
+        "user_id", F.col("ts").alias("time"), "event_id"
+    )
+    return sessionize(ev, on=["user_id"], gap_seconds=1800)
 
 
 _register_pipeline()

@@ -1,0 +1,92 @@
+"""Unit tests for the as-of join and sessionization operators
+(operators/timeseries.py) — semantics on hand-built frames; cross-engine
+parity is covered by test_oracle_parity.py (asof_align,
+events_sessionize)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from sensapp_spark.operators.timeseries import asof_join, sessionize
+
+
+def _ts(minute: int, second: int = 0) -> dt.datetime:
+    return dt.datetime(2024, 1, 1, 0, minute, second)
+
+
+def test_asof_backward_inclusive(spark):
+    left = spark.createDataFrame(
+        [("a", _ts(0)), ("a", _ts(5)), ("a", _ts(10))], "k string, time timestamp"
+    )
+    right = spark.createDataFrame(
+        [("a", _ts(5), 50.0), ("a", _ts(7), 70.0)],
+        "k string, time timestamp, value double",
+    )
+    out = {
+        r.time.minute: r.value_right
+        for r in asof_join(left, right, on=["k"]).collect()
+    }
+    assert out[0] is None          # nothing at or before 00:00
+    assert out[5] == 50.0          # equal timestamp matches (inclusive)
+    assert out[10] == 70.0         # latest prior sample wins
+
+
+def test_asof_keys_do_not_leak(spark):
+    left = spark.createDataFrame([("a", _ts(9))], "k string, time timestamp")
+    right = spark.createDataFrame(
+        [("b", _ts(1), 1.0)], "k string, time timestamp, value double"
+    )
+    [row] = asof_join(left, right, on=["k"]).collect()
+    assert row.value_right is None
+
+
+def test_asof_tolerance(spark):
+    left = spark.createDataFrame(
+        [("a", _ts(10)), ("a", _ts(30))], "k string, time timestamp"
+    )
+    right = spark.createDataFrame(
+        [("a", _ts(9), 9.0)], "k string, time timestamp, value double"
+    )
+    out = {
+        r.time.minute: (r.value_right, r.time_right)
+        for r in asof_join(
+            left, right, on=["k"], tolerance_seconds=300
+        ).collect()
+    }
+    assert out[10] == (9.0, _ts(9))       # 60 s old — within tolerance
+    assert out[30] == (None, None)        # 21 min old — cut
+
+def test_asof_carries_left_payload(spark):
+    left = spark.createDataFrame(
+        [("a", _ts(5), "x")], "k string, time timestamp, tag string"
+    )
+    right = spark.createDataFrame(
+        [("a", _ts(1), 1.5)], "k string, time timestamp, value double"
+    )
+    [row] = asof_join(left, right, on=["k"]).collect()
+    assert (row.tag, row.value_right) == ("x", 1.5)
+
+
+def test_sessionize_gaps(spark):
+    base = dt.datetime(2024, 1, 1)
+
+    def at(seconds: int) -> dt.datetime:
+        return base + dt.timedelta(seconds=seconds)
+
+    events = spark.createDataFrame(
+        [
+            ("u", at(0)),
+            ("u", at(600)),     # 600 s gap — same session
+            ("u", at(2401)),    # 1801 s gap — new session
+            ("u", at(4201)),    # exactly 1800 s — same session (strict >)
+            ("v", at(0)),       # other key independent
+        ],
+        "k string, time timestamp",
+    )
+    out = sessionize(events, on=["k"], gap_seconds=1800).collect()
+    by_key = {(r.k, r.time): r.session_id for r in out}
+    assert by_key[("u", at(0))] == 1
+    assert by_key[("u", at(600))] == 1
+    assert by_key[("u", at(2401))] == 2
+    assert by_key[("u", at(4201))] == 2
+    assert by_key[("v", at(0))] == 1
