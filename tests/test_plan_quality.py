@@ -117,3 +117,31 @@ def test_exact_dedup_shuffles_hashes_not_text(spark):
     assert plan.index(partial) > plan.index("Exchange")  # below the shuffle
     out_cols = partial.split("output=[")[1]
     assert "text" not in out_cols and "fp" in out_cols
+
+
+def test_asof_join_is_single_shuffle_no_join_node(spark):
+    from sensapp_spark.operators.timeseries import asof_join
+
+    left = spark.createDataFrame(
+        [("a", dt.datetime(2024, 1, 1))], "k string, time timestamp")
+    right = spark.createDataFrame(
+        [("a", dt.datetime(2024, 1, 1), 1.0)],
+        "k string, time timestamp, value double")
+    plan = plan_of(asof_join(left, right, on=["k"]))
+    # The union+window formulation must not plan a join at all — and the
+    # whole alignment must cost exactly one hash exchange on the key.
+    for node in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin"):
+        assert node not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_sessionize_is_single_shuffle(spark):
+    from sensapp_spark.operators.timeseries import sessionize
+
+    events = spark.createDataFrame(
+        [("a", dt.datetime(2024, 1, 1))], "k string, time timestamp")
+    plan = plan_of(sessionize(events, on=["k"]))
+    # lag + running sum share one (key, time) sort: one exchange, one Sort.
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("Sort ") <= 1 or plan.count("[Sort") <= 1
