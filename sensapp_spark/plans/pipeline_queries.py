@@ -374,6 +374,50 @@ def ann_lsh_topk(spark, sf_dir):
     return hyperplane_lsh_topk(_emb(spark, sf_dir), QUERY_VEC, ANN_K)
 
 
+def _ivf_oracle() -> str:
+    from sensapp_spark.pipeline.similarity import IVF_NLIST, IVF_NPROBE
+
+    def cos(a: str, b: str) -> str:
+        return (
+            f"ROUND(list_dot_product({a}, {b})"
+            f" / (sqrt(list_dot_product({a}, {a}))"
+            f" * sqrt(list_dot_product({b}, {b}))), 6)"
+        )
+
+    e = "e.embedding::DOUBLE[]"
+    return f"""
+    WITH centroids AS (
+        SELECT vec_id AS cid, embedding::DOUBLE[] AS cvec
+        FROM embeddings WHERE vec_id < {IVF_NLIST}),
+    probes AS (
+        SELECT cid FROM centroids
+        ORDER BY {cos("cvec", _Q_SQL)} DESC, cid LIMIT {IVF_NPROBE}),
+    assigned AS (
+        SELECT vec_id, cid AS centroid_id FROM (
+            SELECT e.vec_id, c.cid,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY {cos(e, "c.cvec")} DESC, c.cid) AS rn
+            FROM embeddings e CROSS JOIN centroids c)
+        WHERE rn = 1)
+    SELECT e.vec_id, a.centroid_id, {cos(e, _Q_SQL)} AS cosine
+    FROM embeddings e JOIN assigned a USING (vec_id)
+    WHERE a.centroid_id IN (SELECT cid FROM probes)
+    ORDER BY cosine DESC, e.vec_id LIMIT {ANN_K}
+    """
+
+
+@register("ann_ivf_topk", _ivf_oracle())
+def ann_ivf_topk(spark, sf_dir):
+    """IVF ANN: deterministic codebook (first nlist vectors), shuffle-free
+    nearest-centroid assignment, exact cosine over the nprobe probed
+    lists only. The oracle recomputes assignment with a windowed argmax —
+    same codebook, same rounding, same tie rule."""
+    from sensapp_spark.pipeline.similarity import ivf_topk
+
+    return ivf_topk(_emb(spark, sf_dir), QUERY_VEC, ANN_K)
+
+
 
 def _emb_neardup_oracle() -> str:
     planes = hyperplanes(4, 64)

@@ -145,3 +145,17 @@ def test_sessionize_is_single_shuffle(spark):
     # lag + running sum share one (key, time) sort: one exchange, one Sort.
     assert plan.count("Exchange hashpartitioning") == 1
     assert plan.count("Sort ") <= 1 or plan.count("[Sort") <= 1
+
+
+def test_ivf_assignment_is_shuffle_free(spark):
+    from sensapp_spark.pipeline.similarity import ivf_assign
+
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(4)],
+        "vec_id long, embedding array<float>")
+    plan = plan_of(ivf_assign(emb, [(0, [1.0, 0.0]), (1, [0.0, 1.0])]))
+    # Nearest-centroid assignment must be a pure projection: no exchange,
+    # no join, no Python.
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
