@@ -125,3 +125,47 @@ def sessionize(
     ).cast("long")
     running = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     return events.withColumn("session_id", F.sum(is_new).over(running))
+
+
+def gapfill(
+    observed: DataFrame,
+    on: Sequence[str],
+    time_col: str = "bucket",
+    value_col: str = "value",
+    step_seconds: int = 3600,
+) -> DataFrame:
+    """Regularize an irregular series: per key, generate the dense
+    ``step_seconds`` grid spanning that key's observed range, left-join
+    the observations, and forward-fill holes with the last observation
+    (rows created by the fill carry ``gap_filled = true``).
+
+    This is the downsample-then-fill resampling the reference only
+    sketches for its "virtual sensors" (docs/DATAMODEL.md:125-131);
+    ``observed`` is expected to be pre-aggregated to one row per
+    (key, aligned bucket) — e.g. an hourly AVG — so the grid join is
+    over the *aggregated* frame, never raw samples. The explode is at
+    most (range/step) rows per key, and the forward fill reuses the
+    (key, time) sort from the join-side shuffle.
+    """
+    on = list(on)
+    spans = observed.groupBy(*on).agg(
+        F.min(time_col).alias("__b0"), F.max(time_col).alias("__b1")
+    )
+    grid = spans.select(
+        *on,
+        F.explode(
+            F.expr(f"sequence(__b0, __b1, interval {int(step_seconds)} second)")
+        ).alias(time_col),
+    )
+    joined = grid.join(observed, [*on, time_col], "left")
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(F.col(time_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        *on,
+        time_col,
+        F.last(F.col(value_col), ignorenulls=True).over(w).alias(value_col),
+        F.col(value_col).isNull().alias("gap_filled"),
+    )

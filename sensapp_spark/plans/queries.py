@@ -550,6 +550,86 @@ def virtual_sensor_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "gapfill_1h",
+    _PRELUDE
+    + """
+    , clicks AS (
+        SELECT v.sensor_id, v.time, v.value
+        FROM vals v JOIN sensors s USING (sensor_id)
+        WHERE s.name = 'click'
+          AND CAST(split_part(v.sensor_id, '/', 2) AS BIGINT) < 20),
+    hourly AS (
+        SELECT sensor_id, date_trunc('hour', time) AS bucket,
+               ROUND(AVG(value), 6) AS value
+        FROM clicks GROUP BY 1, 2),
+    spans AS (
+        SELECT sensor_id, MIN(bucket) AS b0, MAX(bucket) AS b1
+        FROM hourly GROUP BY 1),
+    grid AS (
+        SELECT sensor_id,
+               unnest(generate_series(b0, b1, INTERVAL 1 HOUR)) AS bucket
+        FROM spans)
+    SELECT g.sensor_id,
+           strftime(g.bucket, '%Y-%m-%d %H:%M:%S') AS bucket,
+           last_value(h.value IGNORE NULLS) OVER (
+               PARTITION BY g.sensor_id ORDER BY g.bucket
+               ROWS UNBOUNDED PRECEDING) AS value,
+           h.value IS NULL AS gap_filled
+    FROM grid g LEFT JOIN hourly h USING (sensor_id, bucket)
+    """,
+)
+def gapfill_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Beyond-reference: hourly resampling with forward fill — dense
+    per-sensor grid over the observed span, holes carry the last
+    observation and a ``gap_filled`` flag. Runs on the *hourly
+    aggregate*, so grid size is bounded by span/step per sensor
+    regardless of raw sample rate."""
+    from sensapp_spark.operators.timeseries import gapfill
+
+    sensors = td.events_sensors(spark, sf_dir)
+    vals = td.events_values(spark, sf_dir)
+    clicks = (
+        vals.join(F.broadcast(sensors.select("sensor_id", "name")), "sensor_id")
+        .filter(
+            (F.col("name") == "click")
+            & (F.split("sensor_id", "/").getItem(1).cast("long") < 20)
+        )
+    )
+    hourly = clicks.groupBy(
+        "sensor_id", F.date_trunc("hour", "time").alias("bucket")
+    ).agg(F.round(F.avg("value"), 6).alias("value"))
+    filled = gapfill(hourly, on=["sensor_id"], time_col="bucket")
+    return filled.select(
+        "sensor_id",
+        F.date_format("bucket", "yyyy-MM-dd HH:mm:ss").alias("bucket"),
+        "value",
+        "gap_filled",
+    )
+
+
+@register(
+    "catalog_metrics_rollup",
+    _PRELUDE
+    + """
+    SELECT name, type,
+           COUNT(DISTINCT sensor_id) AS series_count,
+           COUNT(*) AS sensor_rows
+    FROM sensors GROUP BY ROLLUP (name, type)
+    """,
+)
+def catalog_metrics_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Beyond-reference: grouping-sets catalog aggregate — per-(metric,
+    type) counts plus per-metric and grand-total rows in one pass
+    (Spark ``rollup`` ≡ SQL GROUP BY ROLLUP). The reference's catalog
+    can only produce the flat per-metric view (C1)."""
+    sensors = td.events_sensors(spark, sf_dir)
+    return sensors.rollup("name", "type").agg(
+        F.countDistinct("sensor_id").alias("series_count"),
+        F.count("*").alias("sensor_rows"),
+    )
+
+
+@register(
     "asof_align",
     """
     WITH click AS (

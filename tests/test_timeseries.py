@@ -90,3 +90,24 @@ def test_sessionize_gaps(spark):
     assert by_key[("u", at(2401))] == 2
     assert by_key[("u", at(4201))] == 2
     assert by_key[("v", at(0))] == 1
+
+
+def test_gapfill_forward_fills_and_flags(spark):
+    from sensapp_spark.operators.timeseries import gapfill
+
+    hourly = spark.createDataFrame(
+        [
+            ("s", dt.datetime(2024, 1, 1, 0), 1.0),
+            ("s", dt.datetime(2024, 1, 1, 3), 4.0),   # 2 missing hours
+            ("t", dt.datetime(2024, 1, 1, 5), 9.0),   # single point
+        ],
+        "sensor_id string, bucket timestamp, value double",
+    )
+    out = gapfill(hourly, on=["sensor_id"]).collect()
+    rows = {(r.sensor_id, r.bucket.hour): (r.value, r.gap_filled) for r in out}
+    assert len(out) == 5  # 4 grid hours for s, 1 for t
+    assert rows[("s", 0)] == (1.0, False)
+    assert rows[("s", 1)] == (1.0, True)
+    assert rows[("s", 2)] == (1.0, True)
+    assert rows[("s", 3)] == (4.0, False)
+    assert rows[("t", 5)] == (9.0, False)
