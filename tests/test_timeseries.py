@@ -111,3 +111,79 @@ def test_gapfill_forward_fills_and_flags(spark):
     assert rows[("s", 2)] == (1.0, True)
     assert rows[("s", 3)] == (4.0, False)
     assert rows[("t", 5)] == (9.0, False)
+
+
+def test_asof_matches_pandas_merge_asof_on_random_data(spark):
+    """Independent oracle: pandas.merge_asof (backward, exact-match
+    allowed) over seeded random data — 10 keys, hundreds of rows,
+    colliding timestamps between sides."""
+    import random
+
+    import pandas as pd
+
+    rng = random.Random(42)
+    keys = [f"k{i}" for i in range(10)]
+    left_rows = [
+        (rng.choice(keys), _ts(0) + dt.timedelta(seconds=rng.randrange(0, 36000)))
+        for _ in range(300)
+    ]
+    right_rows = {
+        (rng.choice(keys), _ts(0) + dt.timedelta(seconds=rng.randrange(0, 36000)))
+        for _ in range(200)
+    }  # set: unique (key, time) so the matched value is well-defined
+    right_rows = [(k, t, float(i)) for i, (k, t) in enumerate(sorted(right_rows))]
+
+    left = spark.createDataFrame(left_rows, "k string, time timestamp")
+    right = spark.createDataFrame(
+        right_rows, "k string, time timestamp, value double"
+    )
+    got = {
+        (r.k, r.time, r.value_right)
+        for r in asof_join(left, right, on=["k"]).collect()
+    }
+
+    lpd = pd.DataFrame(left_rows, columns=["k", "time"]).sort_values("time")
+    rpd = pd.DataFrame(
+        right_rows, columns=["k", "time", "value"]
+    ).sort_values("time")
+    merged = pd.merge_asof(
+        lpd, rpd, on="time", by="k", direction="backward",
+        allow_exact_matches=True, suffixes=("", "_r"),
+    )
+    want = {
+        (row.k, row.time.to_pydatetime(),
+         None if pd.isna(row.value) else float(row.value))
+        for row in merged.itertuples(index=False)
+    }
+    assert got == want
+
+
+def test_sessionize_matches_python_reference_on_random_data(spark):
+    import random
+
+    rng = random.Random(7)
+    rows = sorted(
+        {
+            (f"k{rng.randrange(5)}",
+             _ts(0) + dt.timedelta(seconds=rng.randrange(0, 200_000)))
+            for _ in range(400)
+        }
+    )
+    df = spark.createDataFrame(rows, "k string, time timestamp")
+    got = {
+        (r.k, r.time): r.session_id
+        for r in sessionize(df, on=["k"], gap_seconds=900).collect()
+    }
+
+    want = {}
+    by_key: dict = {}
+    for k, t in rows:  # sorted (k, time)
+        by_key.setdefault(k, []).append(t)
+    for k, times in by_key.items():
+        sid, last = 0, None
+        for t in times:
+            if last is None or (t - last).total_seconds() > 900:
+                sid += 1
+            last = t
+            want[(k, t)] = sid
+    assert got == want
