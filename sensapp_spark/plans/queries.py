@@ -550,6 +550,46 @@ def virtual_sensor_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "promql_ext_sum_rate",
+    _PRELUDE
+    + """
+    , rates AS (
+        SELECT sensor_id,
+               (arg_max(value, time) - arg_min(value, time))
+                 / ((epoch_us(MAX(time)) - epoch_us(MIN(time))) / 1e6)
+                 AS value
+        FROM vals
+        WHERE time >= TIMESTAMP '2024-01-01'
+          AND time <= TIMESTAMP '2024-02-01'
+          AND sensor_id IN (SELECT sensor_id FROM sensors
+                            WHERE name = 'click')
+        GROUP BY sensor_id
+        HAVING epoch_us(MAX(time)) > epoch_us(MIN(time)))
+    SELECT s.region_label AS region, ROUND(SUM(r.value), 6) AS value
+    FROM rates r JOIN sensors s USING (sensor_id)
+    GROUP BY 1
+    """,
+)
+def promql_ext_sum_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Beyond-reference: the full extended-PromQL path — the string
+    ``sum by (region) (rate(click[31d]))`` parsed and evaluated as a
+    DataFrame plan (the reference 400s this exact expression class,
+    simple_promql.rs:149-171). ``now`` pinned for determinism."""
+    from sensapp_spark.query.promql_ext import (
+        evaluate_extended,
+        parse_extended,
+    )
+
+    eq = parse_extended(
+        "sum by (region) (rate(click[31d]))", now=dt.datetime(2024, 2, 1)
+    )
+    out = evaluate_extended(
+        td.events_sensors(spark, sf_dir), td.events_values(spark, sf_dir), eq
+    )
+    return out.select("region", F.round("value", 6).alias("value"))
+
+
+@register(
     "gapfill_1h",
     _PRELUDE
     + """

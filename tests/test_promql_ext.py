@@ -1,0 +1,138 @@
+"""Extended-PromQL parser + evaluator (query/promql_ext.py): the
+expression classes the reference rejects, evaluated as DataFrame plans.
+The BASE parser must keep rejecting them (parity) — asserted here too."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from sensapp_spark.operators.matchers import MatcherType
+from sensapp_spark.query.promql import PromQLError, parse_promql_query
+from sensapp_spark.query.promql_ext import (
+    evaluate_extended,
+    parse_extended,
+)
+
+NOW = dt.datetime(2024, 2, 1)
+
+
+# -- parser -----------------------------------------------------------------
+
+def test_plain_selector_passthrough():
+    eq = parse_extended('metric{env="prod"}[5m]', NOW)
+    assert eq.func is None and eq.agg is None
+    assert eq.selector.matchers[0].value == "metric"
+    assert eq.selector.start_time == NOW - dt.timedelta(minutes=5)
+
+
+def test_rate_requires_range():
+    eq = parse_extended("rate(metric[1h])", NOW)
+    assert eq.func == "rate"
+    assert eq.selector.start_time == NOW - dt.timedelta(hours=1)
+    with pytest.raises(PromQLError) as e:
+        parse_extended("rate(metric)", NOW)
+    assert e.value.kind == "call"
+
+
+@pytest.mark.parametrize("query,by", [
+    ('sum(rate(metric[1h]))', []),
+    ('sum by (region) (rate(metric[1h]))', ["region"]),
+    ('sum(rate(metric[1h])) by (region)', ["region"]),
+])
+def test_agg_by_positions(query, by):
+    eq = parse_extended(query, NOW)
+    assert eq.agg == "sum" and eq.func == "rate" and eq.by == by
+
+
+def test_agg_over_plain_selector():
+    eq = parse_extended('avg by (host) (metric{env="prod"})', NOW)
+    assert eq.agg == "avg" and eq.func is None and eq.by == ["host"]
+
+
+def test_parse_errors():
+    for bad, kind in [
+        ("sum by (r) (sum(metric))", "aggregation"),   # nested agg
+        ("sum by (r) (metric) by (q)", "parse"),       # duplicate by
+        ("sum(metric) extra", "parse"),                # trailing junk
+        ("rate(metric[1h]", "parse"),                  # unbalanced
+    ]:
+        with pytest.raises(PromQLError) as e:
+            parse_extended(bad, NOW)
+        assert e.value.kind == kind
+
+
+def test_metric_named_like_agg_still_plain_selector():
+    # "sum" with no parens is a metric name, not an aggregation.
+    eq = parse_extended("sum_total", NOW)
+    assert eq.agg is None
+    assert eq.selector.matchers[0].matcher_type == MatcherType.EQUAL
+
+
+def test_base_parser_still_rejects():
+    for bad, kind in [
+        ("sum(metric)", "aggregation"),
+        ("rate(metric[1h])", "call"),
+    ]:
+        with pytest.raises(PromQLError) as e:
+            parse_promql_query(bad)
+        assert e.value.kind == kind
+
+
+# -- evaluator --------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def frames(spark):
+    sensors = spark.createDataFrame(
+        [
+            ("s1", "m", "Float", None, None, {"region": "r1"}),
+            ("s2", "m", "Float", None, None, {"region": "r2"}),
+            ("s3", "m", "Float", None, None, {}),
+            ("x1", "other", "Float", None, None, {"region": "r1"}),
+        ],
+        "sensor_id string, name string, type string, unit string, "
+        "unit_description string, labels map<string,string>",
+    )
+    t0 = dt.datetime(2024, 1, 31, 23, 0)
+    rows = []
+    for sid, vals in [("s1", [1.0, 5.0]), ("s2", [2.0, 4.0]),
+                      ("s3", [7.0, 7.5]), ("x1", [100.0, 200.0])]:
+        for i, v in enumerate(vals):
+            rows.append((sid, t0 + dt.timedelta(minutes=30 * i), v))
+    values = spark.createDataFrame(
+        rows, "sensor_id string, time timestamp, value double")
+    return sensors, values
+
+
+def _eval(spark, frames, query):
+    sensors, values = frames
+    return evaluate_extended(sensors, values, parse_extended(query, NOW))
+
+
+def test_instant_vector_is_last_sample(spark, frames):
+    out = {r.sensor_id: r.value for r in _eval(spark, frames, "m").collect()}
+    assert out == {"s1": 5.0, "s2": 4.0, "s3": 7.5}
+
+
+def test_rate_and_increase(spark, frames):
+    rate = {r.sensor_id: r.value
+            for r in _eval(spark, frames, "rate(m[1h])").collect()}
+    assert rate["s1"] == pytest.approx(4.0 / 1800)
+    inc = {r.sensor_id: r.value
+           for r in _eval(spark, frames, "increase(m[1h])").collect()}
+    assert inc == {"s1": 4.0, "s2": 2.0, "s3": 0.5}
+
+
+def test_sum_by_label_and_absent_label_group(spark, frames):
+    out = {r.region: r.value for r in _eval(
+        spark, frames, "sum by (region) (increase(m[1h]))").collect()}
+    assert out == {"r1": 4.0, "r2": 2.0, None: 0.5}
+
+
+def test_avg_over_time_and_global_count(spark, frames):
+    avg = {r.sensor_id: r.value for r in _eval(
+        spark, frames, "avg_over_time(m[1h])").collect()}
+    assert avg == {"s1": 3.0, "s2": 3.0, "s3": 7.25}
+    [row] = _eval(spark, frames, "count(m)").collect()
+    assert row.value == 3  # selector excludes 'other'
