@@ -183,6 +183,35 @@ def create_app(spark, lake: SensorLake) -> Flask:
         fmt = request.args.get("format", "senml")
         if fmt not in VALID_FORMATS:
             return jsonify({"error": f"invalid format: {fmt}"}), 400
+        # Opt-in extension: ?extended=true additionally accepts the
+        # aggregation/function classes the reference rejects
+        # (rate/increase/*_over_time, sum/avg/… by(label)) and returns
+        # the instant vector as JSON. Without the flag the endpoint
+        # reproduces the reference's 400s exactly.
+        if request.args.get("extended", "").lower() in ("1", "true"):
+            from sensapp_spark.query.promql_ext import (
+                evaluate_extended,
+                parse_extended,
+            )
+
+            try:
+                eq = parse_extended(query)
+            except PromQLError as e:
+                return jsonify({"error": str(e)}), 400
+            if eq.func is not None or eq.agg is not None:
+                out = evaluate_extended(
+                    lake.sensors(),
+                    lake.values(
+                        SensorType.FLOAT,
+                        eq.selector.start_time,
+                        eq.selector.end_time,
+                    ),
+                    eq,
+                )
+                return jsonify(
+                    {"result": [row.asDict(recursive=True)
+                                for row in out.collect()]}
+                )
         try:
             parsed = parse_promql_query(query)
         except PromQLError as e:

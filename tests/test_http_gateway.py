@@ -158,3 +158,38 @@ def test_publish_senml(client):
 def test_publish_bad_csv(client):
     r = client.post("/publish", data="a,b\nx,y\n", content_type="text/csv")
     assert r.status_code == 400
+
+
+def test_extended_promql_opt_in(client):
+    # Self-sufficient when run alone: (re-)publish the fixture CSV.
+    # Duplicate samples don't change avg/max, so a re-publish in the
+    # full-module run is harmless.
+    assert client.post(
+        "/publish", data=CSV, content_type="text/csv"
+    ).status_code == 200
+
+    # Without the flag: the reference's rejection, byte-compatible.
+    r = client.get("/api/v1/query?query=avg_over_time(temperature[100000h])")
+    assert r.status_code == 400
+
+    # With the flag: the same expression evaluates to an instant vector.
+    r = client.get(
+        "/api/v1/query?query=avg_over_time(temperature[100000h])"
+        "&extended=true"
+    )
+    assert r.status_code == 200
+    result = r.get_json()["result"]
+    assert len(result) == 1
+    assert result[0]["value"] == pytest.approx((20.5 + 21.0) / 2)
+
+    # Ungrouped aggregation across the selector's series.
+    r = client.get(
+        "/api/v1/query?query=sum(max_over_time(temperature[100000h]))"
+        "&extended=true"
+    )
+    assert r.status_code == 200
+    assert r.get_json()["result"][0]["value"] == pytest.approx(21.0)
+
+    # Parse errors still 400 under the flag.
+    r = client.get("/api/v1/query?query=sum(temperature) junk&extended=true")
+    assert r.status_code == 400
