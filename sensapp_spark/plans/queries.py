@@ -590,6 +590,185 @@ def promql_ext_sum_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "promql_ext_topk",
+    _PRELUDE
+    + """
+    , sums AS (
+        SELECT sensor_id, SUM(value) AS value
+        FROM vals
+        WHERE time >= TIMESTAMP '2024-01-01'
+          AND time <= TIMESTAMP '2024-02-01'
+          AND sensor_id IN (SELECT sensor_id FROM sensors
+                            WHERE name = 'click')
+        GROUP BY sensor_id)
+    SELECT sensor_id, ROUND(value, 6) AS value FROM (
+        SELECT sensor_id, value,
+               row_number() OVER (ORDER BY value DESC, sensor_id) AS rn
+        FROM sums) WHERE rn <= 3
+    """,
+)
+def promql_ext_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Beyond-reference: PromQL ``topk(3, sum_over_time(click[31d]))`` —
+    series selection by extreme value. The row_number window runs over
+    the per-series instant vector (dimension-sized), never over raw
+    samples, so the single-partition window is not a scale hazard."""
+    from sensapp_spark.query.promql_ext import (
+        evaluate_extended,
+        parse_extended,
+    )
+
+    eq = parse_extended(
+        "topk(3, sum_over_time(click[31d]))", now=dt.datetime(2024, 2, 1)
+    )
+    out = evaluate_extended(
+        td.events_sensors(spark, sf_dir), td.events_values(spark, sf_dir), eq
+    )
+    return out.select("sensor_id", F.round("value", 6).alias("value"))
+
+
+@register(
+    "promql_ext_quantile_over_time",
+    _PRELUDE
+    + """
+    SELECT sensor_id,
+           ROUND(quantile_cont(value, 0.9), 6) AS value
+    FROM vals
+    WHERE time >= TIMESTAMP '2024-01-01'
+      AND time <= TIMESTAMP '2024-02-01'
+      AND sensor_id IN (SELECT sensor_id FROM sensors WHERE name = 'view')
+    GROUP BY sensor_id
+    """,
+)
+def promql_ext_quantile_over_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Beyond-reference: parametric range function
+    ``quantile_over_time(0.9, view[31d])`` — Spark ``percentile`` ≡
+    DuckDB ``quantile_cont`` (both linear interpolation). One shuffle,
+    map-side partials."""
+    from sensapp_spark.query.promql_ext import (
+        evaluate_extended,
+        parse_extended,
+    )
+
+    eq = parse_extended(
+        "quantile_over_time(0.9, view[31d])", now=dt.datetime(2024, 2, 1)
+    )
+    out = evaluate_extended(
+        td.events_sensors(spark, sf_dir), td.events_values(spark, sf_dir), eq
+    )
+    return out.select("sensor_id", F.round("value", 6).alias("value"))
+
+
+@register(
+    "promql_ext_without",
+    _PRELUDE
+    + """
+    , incs AS (
+        SELECT sensor_id,
+               arg_max(value, time) - arg_min(value, time) AS value
+        FROM vals
+        WHERE time >= TIMESTAMP '2024-01-01'
+          AND time <= TIMESTAMP '2024-02-01'
+          AND sensor_id IN (SELECT sensor_id FROM sensors
+                            WHERE name = 'view')
+        GROUP BY sensor_id
+        HAVING epoch_us(MAX(time)) > epoch_us(MIN(time)))
+    SELECT CASE WHEN s.region_label IS NULL THEN ''
+                ELSE 'region="' || s.region_label || '"' END AS labels,
+           ROUND(SUM(i.value), 6) AS value
+    FROM incs i JOIN sensors s USING (sensor_id)
+    GROUP BY 1
+    """,
+)
+def promql_ext_without(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Beyond-reference: ``sum without (user) (increase(view[31d]))`` —
+    grouping by the complement label set, keyed on the canonical string
+    of the remaining labels (Spark cannot group by MAP)."""
+    from sensapp_spark.query.promql_ext import (
+        evaluate_extended,
+        parse_extended,
+    )
+
+    eq = parse_extended(
+        "sum without (user) (increase(view[31d]))",
+        now=dt.datetime(2024, 2, 1),
+    )
+    out = evaluate_extended(
+        td.events_sensors(spark, sf_dir), td.events_values(spark, sf_dir), eq
+    )
+    return out.select("labels", F.round("value", 6).alias("value"))
+
+
+@register(
+    "promql_ext_offset",
+    _PRELUDE
+    + """
+    SELECT sensor_id, ROUND(AVG(value), 6) AS value
+    FROM vals
+    WHERE time >= TIMESTAMP '2024-01-11'
+      AND time <= TIMESTAMP '2024-01-21'
+      AND sensor_id IN (SELECT sensor_id FROM sensors
+                        WHERE name = 'purchase')
+    GROUP BY sensor_id
+    """,
+)
+def promql_ext_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Beyond-reference: the ``offset`` modifier —
+    ``avg_over_time(purchase[10d] offset 11d)`` at now=2024-02-01 reads
+    the shifted window [2024-01-11, 2024-01-21]. Pure plan-time window
+    arithmetic: the shifted range still pushes down to the scan."""
+    from sensapp_spark.query.promql_ext import (
+        evaluate_extended,
+        parse_extended,
+    )
+
+    eq = parse_extended(
+        "avg_over_time(purchase[10d] offset 11d)",
+        now=dt.datetime(2024, 2, 1),
+    )
+    out = evaluate_extended(
+        td.events_sensors(spark, sf_dir), td.events_values(spark, sf_dir), eq
+    )
+    return out.select("sensor_id", F.round("value", 6).alias("value"))
+
+
+@register(
+    "promql_ext_stddev_by",
+    _PRELUDE
+    + """
+    , last AS (
+        SELECT sensor_id, arg_max(value, time) AS value
+        FROM vals
+        WHERE time >= TIMESTAMP '2024-01-01'
+          AND time <= TIMESTAMP '2024-02-01'
+          AND sensor_id IN (SELECT sensor_id FROM sensors
+                            WHERE name = 'click')
+        GROUP BY sensor_id)
+    SELECT s.region_label AS region,
+           ROUND(stddev_pop(l.value), 6) AS value
+    FROM last l JOIN sensors s USING (sensor_id)
+    GROUP BY 1
+    """,
+)
+def promql_ext_stddev_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Beyond-reference: ``stddev by (region) (last_over_time(click[31d]))``
+    — population stddev (Prometheus semantics) of each region's series'
+    last samples."""
+    from sensapp_spark.query.promql_ext import (
+        evaluate_extended,
+        parse_extended,
+    )
+
+    eq = parse_extended(
+        "stddev by (region) (last_over_time(click[31d]))",
+        now=dt.datetime(2024, 2, 1),
+    )
+    out = evaluate_extended(
+        td.events_sensors(spark, sf_dir), td.events_values(spark, sf_dir), eq
+    )
+    return out.select("region", F.round("value", 6).alias("value"))
+
+
+@register(
     "gapfill_1h",
     _PRELUDE
     + """

@@ -5,12 +5,14 @@ DataFrame plans behind an explicit opt-in.
 The base parser (query/promql.py) reproduces the reference's rejection
 matrix byte-for-byte and stays the default. This module adds what
 SURVEY §2.8 lists as the "free wins": range functions
-(``rate(m[5m])``, ``increase``, ``delta``, ``*_over_time``) and
-aggregation operators (``sum/avg/min/max/count``, with ``by (label,…)``
-grouping in either PromQL position). Grammar is deliberately the
-Prometheus *core*: one optional aggregation over one optional range
-function over one selector — no binary ops, no subqueries; anything
-else still raises the didactic ``PromQLError``.
+(``rate(m[5m])``, ``increase``, ``delta``, ``*_over_time`` incl.
+parametric ``quantile_over_time(φ, m[5m])``), aggregation operators
+(``sum/avg/min/max/count/stddev/stdvar/quantile/topk/bottomk``, with
+``by (label,…)`` / ``without (label,…)`` grouping in either PromQL
+position), and the ``offset <duration>`` selector modifier. Grammar is
+deliberately the Prometheus *core*: one optional aggregation over one
+optional range function over one selector — no binary ops, no
+subqueries; anything else still raises the didactic ``PromQLError``.
 
 Evaluation shapes (all single-shuffle, map-side partial aggregates):
 
@@ -20,7 +22,12 @@ Evaluation shapes (all single-shuffle, map-side partial aggregates):
 * instant selector → last sample per series (``max_by(value, time)``).
 * aggregation → second ``groupBy`` over ``element_at(labels, k)`` keys —
   by then the frame is one row per *series*, so this shuffle is
-  dimension-sized, not sample-sized.
+  dimension-sized, not sample-sized. ``without`` groups on the
+  canonical string of the remaining label set (Spark cannot group by a
+  MAP column directly).
+* ``topk``/``bottomk`` → row_number window over the per-series instant
+  vector; the window input is one row per series (dimension-sized), so
+  the single-partition global window is not a scale hazard.
 """
 
 from __future__ import annotations
@@ -29,11 +36,13 @@ import datetime as dt
 import re
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from sensapp_spark.operators.selection import select_sensors, time_range
 from sensapp_spark.query.promql import (
+    _DUR_MS,
+    _DURATION_RE,
     ParsedQuery,
     PromQLError,
     parse_promql_query,
@@ -41,11 +50,23 @@ from sensapp_spark.query.promql import (
 
 RANGE_FUNCS = frozenset(
     "rate increase delta avg_over_time sum_over_time min_over_time "
-    "max_over_time count_over_time last_over_time".split()
+    "max_over_time count_over_time last_over_time quantile_over_time "
+    "stddev_over_time stdvar_over_time present_over_time".split()
 )
-AGG_OPS = frozenset("sum avg min max count".split())
+AGG_OPS = frozenset(
+    "sum avg min max count stddev stdvar quantile topk bottomk".split()
+)
+# Aggregations / range functions taking a scalar first argument.
+PARAM_AGGS = frozenset("quantile topk bottomk".split())
+PARAM_FUNCS = frozenset(["quantile_over_time"])
 
 _NAME_RE = re.compile(r"[a-zA-Z_][a-zA-Z0-9_]*")
+_PARAM_RE = re.compile(r"\s*([0-9]+(?:\.[0-9]+)?(?:[eE][+-]?[0-9]+)?)\s*,")
+_OFFSET_RE = re.compile(
+    r"^(?P<body>.*?)\s+offset\s+(?P<dur>(?:[0-9]+(?:\.[0-9]+)?"
+    r"(?:ms|s|m|h|d|w|y))+)\s*$",
+    re.S,
+)
 
 
 @dataclass
@@ -54,6 +75,9 @@ class ExtendedQuery:
     func: str | None = None
     agg: str | None = None
     by: list[str] = field(default_factory=list)
+    without: list[str] = field(default_factory=list)
+    param: float | None = None
+    func_param: float | None = None
 
 
 def _strip_parens(s: str) -> tuple[str, str]:
@@ -81,35 +105,89 @@ def _strip_parens(s: str) -> tuple[str, str]:
     raise PromQLError("parse", "Failed to parse PromQL query: unbalanced '('")
 
 
-def _parse_by(rest: str) -> tuple[list[str], str]:
-    rest = rest.lstrip()
-    if not rest.startswith("("):
+def _parse_grouping(rest: str) -> tuple[str | None, list[str], str]:
+    """Parse an optional ``by (…)`` / ``without (…)`` clause at the head
+    of ``rest``; returns (mode, labels, remaining)."""
+    stripped = rest.lstrip()
+    mode = None
+    for kw in ("by", "without"):
+        if stripped.startswith(kw) and not _NAME_RE.match(
+            stripped[len(kw):] or " "
+        ):
+            mode = kw
+            stripped = stripped[len(kw):].lstrip()
+            break
+    if mode is None:
+        return None, [], rest
+    if not stripped.startswith("("):
         raise PromQLError(
-            "parse", "Failed to parse PromQL query: expected '(' after 'by'"
+            "parse",
+            f"Failed to parse PromQL query: expected '(' after '{mode}'",
         )
-    inner, trailing = _strip_parens(rest)
+    inner, trailing = _strip_parens(stripped)
     labels = [x.strip() for x in inner.split(",") if x.strip()]
     for lbl in labels:
         if not _NAME_RE.fullmatch(lbl):
             raise PromQLError(
                 "parse", f"Failed to parse PromQL query: bad label '{lbl}'"
             )
-    return labels, trailing
+    return mode, labels, trailing
+
+
+def _split_param(inner: str, head: str) -> tuple[float, str]:
+    """Split the scalar first argument of ``topk(3, …)``-style calls."""
+    m = _PARAM_RE.match(inner)
+    if not m:
+        raise PromQLError(
+            "parse",
+            f"{head}() requires a scalar first argument — "
+            f"e.g. {head}(0.9, metric).",
+        )
+    return float(m.group(1)), inner[m.end():]
+
+
+def _duration_ms(text: str) -> int:
+    total, pos = 0, 0
+    while pos < len(text):
+        m = _DURATION_RE.match(text, pos)
+        if not m:
+            break
+        total += int(float(m.group(1)) * _DUR_MS[m.group(2)])
+        pos = m.end()
+    return total
+
+
+def _parse_selector(text: str, now: dt.datetime) -> ParsedQuery:
+    """Selector parse with the PromQL ``offset <dur>`` modifier: shifts
+    the evaluation window back — ``m[5m] offset 1h`` reads
+    [now-1h-5m, now-1h]. The base parser (reference parity) rejects it."""
+    m = _OFFSET_RE.match(text.strip())
+    if m:
+        shift = dt.timedelta(milliseconds=_duration_ms(m.group("dur")))
+        q = parse_promql_query(m.group("body"), now)
+        return ParsedQuery(
+            matchers=q.matchers,
+            start_time=q.start_time - shift if q.start_time else None,
+            end_time=q.end_time - shift if q.end_time else None,
+        )
+    return parse_promql_query(text, now)
 
 
 def parse_extended(query: str, now: dt.datetime | None = None) -> ExtendedQuery:
-    """Parse selector | FUNC(matrix-selector) | AGG [by (…)] ( inner )."""
+    """Parse selector | FUNC(matrix-selector) | AGG [by|without (…)] ( inner )."""
     now = now or dt.datetime.now(dt.timezone.utc)
     s = query.strip()
     m = _NAME_RE.match(s)
     head = m.group(0) if m else None
     rest = s[m.end():].lstrip() if m else s
 
-    if head in AGG_OPS and (rest.startswith("(") or rest.startswith("by")):
-        by: list[str] = []
-        if rest.startswith("by"):
-            by, rest = _parse_by(rest[2:])
-            rest = rest.lstrip()
+    if head in AGG_OPS and (
+        rest.startswith("(")
+        or rest.startswith("by")
+        or rest.startswith("without")
+    ):
+        mode, labels, rest = _parse_grouping(rest)
+        rest = rest.lstrip()
         if not rest.startswith("("):
             raise PromQLError(
                 "parse",
@@ -117,25 +195,37 @@ def parse_extended(query: str, now: dt.datetime | None = None) -> ExtendedQuery:
             )
         inner, trailing = _strip_parens(rest)
         trailing = trailing.strip()
-        if trailing.startswith("by"):
-            if by:
-                raise PromQLError(
-                    "parse", "Failed to parse PromQL query: duplicate 'by'"
-                )
-            by, trailing = _parse_by(trailing[2:])
+        if trailing:
+            mode2, labels2, trailing = _parse_grouping(trailing)
+            if mode2 is not None:
+                if mode is not None:
+                    raise PromQLError(
+                        "parse",
+                        f"Failed to parse PromQL query: duplicate '{mode2}'",
+                    )
+                mode, labels = mode2, labels2
             trailing = trailing.strip()
         if trailing:
             raise PromQLError(
                 "parse",
                 f"Unexpected trailing content in query: '{trailing}'",
             )
+        param = None
+        if head in PARAM_AGGS:
+            param, inner = _split_param(inner, head)
         sub = parse_extended(inner, now)
         if sub.agg is not None:
             raise PromQLError(
                 "aggregation", "Nested aggregations are not supported."
             )
         return ExtendedQuery(
-            selector=sub.selector, func=sub.func, agg=head, by=by
+            selector=sub.selector,
+            func=sub.func,
+            agg=head,
+            by=labels if mode == "by" else [],
+            without=labels if mode == "without" else [],
+            param=param,
+            func_param=sub.func_param,
         )
 
     if head in RANGE_FUNCS and rest.startswith("("):
@@ -145,14 +235,21 @@ def parse_extended(query: str, now: dt.datetime | None = None) -> ExtendedQuery:
                 "parse",
                 f"Unexpected trailing content in query: '{trailing.strip()}'",
             )
+        func_param = None
+        if head in PARAM_FUNCS:
+            func_param, inner = _split_param(inner, head)
         if "[" not in inner:
             raise PromQLError(
                 "call",
                 f"{head}() requires a range vector — e.g. {head}(metric[5m]).",
             )
-        return ExtendedQuery(selector=parse_promql_query(inner, now), func=head)
+        return ExtendedQuery(
+            selector=_parse_selector(inner, now),
+            func=head,
+            func_param=func_param,
+        )
 
-    return ExtendedQuery(selector=parse_promql_query(query, now))
+    return ExtendedQuery(selector=_parse_selector(query, now))
 
 
 _OVER_TIME = {
@@ -161,7 +258,42 @@ _OVER_TIME = {
     "min_over_time": F.min,
     "max_over_time": F.max,
     "count_over_time": F.count,
+    # Prometheus *_over_time deviation functions use POPULATION
+    # stddev/variance (prometheus/prometheus promql/functions.go
+    # funcStddevOverTime), not sample.
+    "stddev_over_time": F.stddev_pop,
+    "stdvar_over_time": F.var_pop,
 }
+
+_AGG_FNS = {
+    "sum": F.sum,
+    "avg": F.avg,
+    "min": F.min,
+    "max": F.max,
+    "count": F.count,
+    "stddev": F.stddev_pop,
+    "stdvar": F.var_pop,
+}
+
+
+def _labels_without(without: list[str]):
+    """Canonical string of the label set minus ``without`` keys (and the
+    metric name, which Prometheus aggregation always drops): sorted
+    ``k="v"`` pairs — group-by key usable on both Spark and any SQL
+    oracle, since Spark cannot group by a MAP column."""
+    drop = list(without)
+    remaining = F.map_filter(
+        F.col("labels"), lambda k, _: ~k.isin(drop) if drop else F.lit(True)
+    )
+    return F.array_join(
+        F.array_sort(
+            F.transform(
+                F.map_entries(remaining),
+                lambda e: F.concat(e.key, F.lit('="'), e.value, F.lit('"')),
+            )
+        ),
+        ",",
+    )
 
 
 def evaluate_extended(
@@ -193,6 +325,16 @@ def evaluate_extended(
         per_series = scan.groupBy("sensor_id").agg(
             F.max_by("value", "time").alias("value")
         )
+    elif eq.func == "present_over_time":
+        per_series = scan.groupBy("sensor_id").agg(
+            F.max(F.lit(1.0)).alias("value")
+        )
+    elif eq.func == "quantile_over_time":
+        per_series = scan.groupBy("sensor_id").agg(
+            F.percentile("value", F.lit(eq.func_param))
+            .cast("double")
+            .alias("value")
+        )
     else:
         agg_fn = _OVER_TIME[eq.func]
         per_series = scan.groupBy("sensor_id").agg(
@@ -205,14 +347,35 @@ def evaluate_extended(
     if eq.agg is None:
         return out.select("sensor_id", "name", "labels", "value")
 
-    keys = [
-        F.element_at(F.col("labels"), lbl).alias(lbl) for lbl in eq.by
-    ]
-    agg_col = {
-        "sum": F.sum, "avg": F.avg, "min": F.min, "max": F.max,
-        "count": F.count,
-    }[eq.agg]("value")
-    if eq.agg == "count":
-        agg_col = agg_col.cast("long")
-    grouped = out.groupBy(*keys) if keys else out.groupBy()
+    if eq.agg in ("topk", "bottomk"):
+        # Series selection, not aggregation: keep the k extreme series
+        # (per by-group when given). Input is the per-series instant
+        # vector — dimension-sized — so a driver-global window is fine.
+        order = (
+            F.col("value").desc() if eq.agg == "topk" else F.col("value").asc()
+        )
+        part = [F.element_at(F.col("labels"), lbl) for lbl in eq.by]
+        w = (
+            Window.partitionBy(*part) if part else Window.partitionBy()
+        ).orderBy(order, F.col("sensor_id"))
+        return (
+            out.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= int(eq.param))
+            .select("sensor_id", "name", "labels", "value")
+        )
+
+    if eq.agg == "quantile":
+        agg_col = F.percentile("value", F.lit(eq.param)).cast("double")
+    else:
+        agg_col = _AGG_FNS[eq.agg]("value")
+        if eq.agg == "count":
+            agg_col = agg_col.cast("long")
+
+    if eq.without:
+        grouped = out.groupBy(_labels_without(eq.without).alias("labels"))
+    else:
+        keys = [
+            F.element_at(F.col("labels"), lbl).alias(lbl) for lbl in eq.by
+        ]
+        grouped = out.groupBy(*keys) if keys else out.groupBy()
     return grouped.agg(agg_col.alias("value"))

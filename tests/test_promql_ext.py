@@ -136,3 +136,89 @@ def test_avg_over_time_and_global_count(spark, frames):
     assert avg == {"s1": 3.0, "s2": 3.0, "s3": 7.25}
     [row] = _eval(spark, frames, "count(m)").collect()
     assert row.value == 3  # selector excludes 'other'
+
+
+# -- round-2 grammar: without/topk/quantile/offset/parametric funcs ---------
+
+def test_parse_without_and_params():
+    eq = parse_extended("sum without (user) (rate(m[1h]))", NOW)
+    assert eq.agg == "sum" and eq.without == ["user"] and eq.by == []
+    eq = parse_extended("topk(3, m)", NOW)
+    assert eq.agg == "topk" and eq.param == 3.0
+    eq = parse_extended("quantile_over_time(0.9, m[30m])", NOW)
+    assert eq.func == "quantile_over_time" and eq.func_param == 0.9
+    assert eq.selector.start_time == NOW - dt.timedelta(minutes=30)
+    with pytest.raises(PromQLError):
+        parse_extended("topk(m)", NOW)  # missing scalar arg
+    with pytest.raises(PromQLError) as e:
+        parse_extended("sum by (a) (m) without (b)", NOW)
+    assert e.value.kind == "parse"  # duplicate grouping clause
+
+
+def test_parse_offset():
+    eq = parse_extended("m[30m] offset 1h", NOW)
+    assert eq.selector.end_time == NOW - dt.timedelta(hours=1)
+    assert eq.selector.start_time == NOW - dt.timedelta(hours=1, minutes=30)
+    eq = parse_extended("sum(increase(m[30m] offset 2h))", NOW)
+    assert eq.agg == "sum" and eq.func == "increase"
+    assert eq.selector.end_time == NOW - dt.timedelta(hours=2)
+    # Base parser (reference parity) must keep rejecting offset.
+    with pytest.raises(PromQLError):
+        parse_promql_query("m[30m] offset 1h", NOW)
+
+
+def test_metric_named_by_prefix_is_not_grouping():
+    # 'sum byte_total' must not treat 'byte_total' as a 'by' clause.
+    with pytest.raises(PromQLError):
+        parse_extended("sum byte_total (m)", NOW)
+
+
+def test_stddev_and_quantile_aggs(spark, frames):
+    # last values: s1=5, s2=4, s3=7.5 → pop-stddev of the three
+    [row] = _eval(spark, frames, "stddev(m)").collect()
+    import statistics
+    assert row.value == pytest.approx(statistics.pstdev([5.0, 4.0, 7.5]))
+    [row] = _eval(spark, frames, "quantile(0.5, m)").collect()
+    assert row.value == pytest.approx(5.0)
+
+
+def test_topk_bottomk(spark, frames):
+    top = _eval(spark, frames, "topk(2, m)").collect()
+    assert sorted(r.sensor_id for r in top) == ["s1", "s3"]
+    bottom = _eval(spark, frames, "bottomk(1, last_over_time(m[1h]))").collect()
+    assert [r.sensor_id for r in bottom] == ["s2"]
+    # per-group topk: 1 series per region (absent region is its own group)
+    per = _eval(spark, frames, "topk by (region) (1, m)").collect()
+    assert sorted(r.sensor_id for r in per) == ["s1", "s2", "s3"]
+
+
+def test_sum_without(spark, frames):
+    out = {r.labels: r.value for r in _eval(
+        spark, frames, "sum without (region) (increase(m[1h]))").collect()}
+    # all three series lose their region label → grouped by empty set
+    assert out == {"": 6.5}
+    keep = {r.labels: r.value for r in _eval(
+        spark, frames, "sum without (nosuch) (increase(m[1h]))").collect()}
+    assert keep == {'region="r1"': 4.0, 'region="r2"': 2.0, "": 0.5}
+
+
+def test_quantile_stddev_present_over_time(spark, frames):
+    q = {r.sensor_id: r.value for r in _eval(
+        spark, frames, "quantile_over_time(0.5, m[1h])").collect()}
+    assert q == {"s1": 3.0, "s2": 3.0, "s3": 7.25}
+    sd = {r.sensor_id: r.value for r in _eval(
+        spark, frames, "stddev_over_time(m[1h])").collect()}
+    assert sd["s1"] == pytest.approx(2.0)  # pstdev([1, 5])
+    pres = {r.sensor_id: r.value for r in _eval(
+        spark, frames, "present_over_time(m[1h])").collect()}
+    assert pres == {"s1": 1.0, "s2": 1.0, "s3": 1.0}
+
+
+def test_offset_window_excludes_recent_samples(spark, frames):
+    # offset 45m shifts the window to [22:15, 23:15] — only the first
+    # sample of each series (23:00) is inside; the range filter is
+    # inclusive-both-ends (reference Q5 semantics), so a 30m offset
+    # would still catch the 23:30 samples on the boundary.
+    out = {r.sensor_id: r.value for r in _eval(
+        spark, frames, "sum_over_time(m[1h] offset 45m)").collect()}
+    assert out == {"s1": 1.0, "s2": 2.0, "s3": 7.0}
