@@ -236,13 +236,24 @@ def dedup_components(spark, sf_dir):
     return neardup_components(pairs)
 
 
+# Kirsch-Mitzenmacher double hashing, mirroring dedup.minhash_signatures:
+# one md5 per shingle, h1 = first 15 hex chars (60 bits), h2 = next 13
+# (52 bits), family i = h1 + i*h2 (< 2^61, fits BIGINT both engines).
+_MH_H = (
+    "hashed AS (SELECT doc_id, "
+    "('0x' || substring(md5(shingle), 1, 15))::BIGINT AS h1, "
+    "('0x' || substring(md5(shingle), 16, 13))::BIGINT AS h2 FROM sh)"
+)
+
+
 def _minhash_sig_sql() -> str:
     mins = ", ".join(
-        f"MIN(('0x' || substring(md5('{i}:' || shingle), 1, 16))::UBIGINT)"
-        f" AS mh_{i}"
-        for i in range(DEFAULT_MINHASH_K)
+        f"MIN(h1 + {i} * h2) AS mh_{i}" for i in range(DEFAULT_MINHASH_K)
     )
-    return f"WITH {_SHINGLES_CTE} SELECT doc_id, {mins} FROM sh GROUP BY doc_id"
+    return (
+        f"WITH {_SHINGLES_CTE}, {_MH_H} "
+        f"SELECT doc_id, {mins} FROM hashed GROUP BY doc_id"
+    )
 
 
 @register("dedup_minhash_signatures", _minhash_sig_sql())
@@ -268,12 +279,12 @@ def _lsh_oracle() -> str:
         for b in range(DEFAULT_BANDS)
     )
     return f"""
-    WITH {_SHINGLES_CTE},
+    WITH {_SHINGLES_CTE}, {_MH_H},
     sigs AS (
         SELECT doc_id, {", ".join(
-            f"MIN(('0x' || substring(md5('{i}:' || shingle), 1, 16))::UBIGINT) AS mh_{i}"
+            f"MIN(h1 + {i} * h2) AS mh_{i}"
             for i in range(DEFAULT_MINHASH_K))}
-        FROM sh GROUP BY doc_id),
+        FROM hashed GROUP BY doc_id),
     banded AS ({selects})
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS band_hits
     FROM banded a JOIN banded b ON a.band = b.band AND a.key = b.key
