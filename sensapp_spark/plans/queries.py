@@ -769,6 +769,50 @@ def promql_ext_stddev_by(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "promql_ext_binary_ratio",
+    _PRELUDE
+    + """
+    , rates AS (
+        SELECT v.sensor_id, s.name,
+               CASE WHEN s.region_label IS NULL
+                    THEN 'user="' || s.user_label || '"'
+                    ELSE 'region="' || s.region_label
+                         || '",user="' || s.user_label || '"' END AS labels,
+               (arg_max(v.value, v.time) - arg_min(v.value, v.time))
+                 / ((epoch_us(MAX(v.time)) - epoch_us(MIN(v.time))) / 1e6)
+                 AS value
+        FROM vals v JOIN sensors s USING (sensor_id)
+        WHERE v.time >= TIMESTAMP '2024-01-01'
+          AND v.time <= TIMESTAMP '2024-02-01'
+          AND s.name IN ('click', 'view')
+        GROUP BY 1, 2, 3
+        HAVING epoch_us(MAX(v.time)) > epoch_us(MIN(v.time)))
+    SELECT l.labels, ROUND(l.value / r.value, 6) AS value
+    FROM (SELECT * FROM rates WHERE name = 'click') l
+    JOIN (SELECT * FROM rates WHERE name = 'view') r USING (labels)
+    """,
+)
+def promql_ext_binary_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Beyond-reference: binary operation with one-to-one vector
+    matching — ``rate(click[31d]) / rate(view[31d])`` pairs each user's
+    click series with their view series on the full label set (metric
+    name excluded, Prometheus semantics). Both operands are per-series
+    aggregates, so the equality join is dimension-sized."""
+    from sensapp_spark.query.promql_ext import (
+        evaluate_binary,
+        parse_extended_expr,
+    )
+
+    bq = parse_extended_expr(
+        "rate(click[31d]) / rate(view[31d])", now=dt.datetime(2024, 2, 1)
+    )
+    out = evaluate_binary(
+        td.events_sensors(spark, sf_dir), td.events_values(spark, sf_dir), bq
+    )
+    return out.select("labels", F.round("value", 6).alias("value"))
+
+
+@register(
     "gapfill_1h",
     _PRELUDE
     + """

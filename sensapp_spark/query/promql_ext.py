@@ -80,6 +80,20 @@ class ExtendedQuery:
     func_param: float | None = None
 
 
+@dataclass
+class BinaryQuery:
+    """One top-level arithmetic operation between two vector expressions
+    (or a vector and a scalar), with Prometheus one-to-one vector
+    matching: series pair up on their full label set (metric name
+    excluded), restricted by ``on (…)`` or ``ignoring (…)``."""
+
+    op: str  # + - * /
+    left: "ExtendedQuery | float"
+    right: "ExtendedQuery | float"
+    on: list[str] = field(default_factory=list)
+    ignoring: list[str] = field(default_factory=list)
+
+
 def _strip_parens(s: str) -> tuple[str, str]:
     """``s`` starts at '('; return (inner, trailing) respecting quoted
     strings (label values may contain parentheses)."""
@@ -252,6 +266,103 @@ def parse_extended(query: str, now: dt.datetime | None = None) -> ExtendedQuery:
     return ExtendedQuery(selector=_parse_selector(query, now))
 
 
+def _find_top_level_op(s: str) -> int | None:
+    """Index of the single top-level arithmetic operator, outside any
+    parens/brackets/quotes; None when absent. Two top-level operators is
+    a didactic error (one binary operation per query)."""
+    depth, quote, found = 0, "", None
+    i = 0
+    while i < len(s):
+        c = s[i]
+        if quote:
+            if c == "\\" and quote != "`":
+                i += 2
+                continue
+            if c == quote:
+                quote = ""
+        elif c in "\"'`":
+            quote = c
+        elif c in "([":
+            depth += 1
+        elif c in ")]":
+            depth -= 1
+        elif depth == 0 and c in "+-*/":
+            if found is not None:
+                raise PromQLError(
+                    "binary",
+                    "Only one binary operation per query is supported.",
+                )
+            found = i
+        i += 1
+    return found
+
+
+def parse_extended_expr(
+    query: str, now: dt.datetime | None = None
+) -> "ExtendedQuery | BinaryQuery":
+    """Full extended grammar: ``expr [op [on|ignoring (…)] expr]`` where
+    each side is the `parse_extended` grammar or a scalar literal."""
+    now = now or dt.datetime.now(dt.timezone.utc)
+    idx = _find_top_level_op(query.strip())
+    if idx is None:
+        return parse_extended(query, now)
+    s = query.strip()
+    op, left_text, rest = s[idx], s[:idx].strip(), s[idx + 1:].strip()
+    mode, labels, rest = _parse_matching(rest)
+    right_text = rest.strip()
+    if not left_text or not right_text:
+        raise PromQLError(
+            "parse", "Failed to parse PromQL query: missing binary operand"
+        )
+
+    def side(text: str) -> "ExtendedQuery | float":
+        if re.fullmatch(
+            r"[0-9]+(\.[0-9]*)?([eE][+-]?[0-9]+)?|\.[0-9]+", text
+        ):
+            return float(text)
+        return parse_extended(text, now)
+
+    left, right = side(left_text), side(right_text)
+    if isinstance(left, float) and isinstance(right, float):
+        raise PromQLError(
+            "literal",
+            "Literal values are not valid queries. Use a metric selector "
+            "like 'metric_name{label=\"value\"}'.",
+        )
+    return BinaryQuery(
+        op=op,
+        left=left,
+        right=right,
+        on=labels if mode == "on" else [],
+        ignoring=labels if mode == "ignoring" else [],
+    )
+
+
+def _parse_matching(rest: str) -> tuple[str | None, list[str], str]:
+    """Parse an optional ``on (…)`` / ``ignoring (…)`` matching clause."""
+    stripped = rest.lstrip()
+    for kw in ("on", "ignoring"):
+        if stripped.startswith(kw) and not _NAME_RE.match(
+            stripped[len(kw):] or " "
+        ):
+            after = stripped[len(kw):].lstrip()
+            if not after.startswith("("):
+                raise PromQLError(
+                    "parse",
+                    f"Failed to parse PromQL query: expected '(' after '{kw}'",
+                )
+            inner, trailing = _strip_parens(after)
+            labels = [x.strip() for x in inner.split(",") if x.strip()]
+            for lbl in labels:
+                if not _NAME_RE.fullmatch(lbl):
+                    raise PromQLError(
+                        "parse",
+                        f"Failed to parse PromQL query: bad label '{lbl}'",
+                    )
+            return kw, labels, trailing
+    return None, [], rest
+
+
 _OVER_TIME = {
     "avg_over_time": F.avg,
     "sum_over_time": F.sum,
@@ -379,3 +490,72 @@ def evaluate_extended(
         ]
         grouped = out.groupBy(*keys) if keys else out.groupBy()
     return grouped.agg(agg_col.alias("value"))
+
+
+def _matching_key(on: list[str], ignoring: list[str]) -> F.Column:
+    """The one-to-one matching key: canonical string of ``on`` labels
+    (absent label ⇒ empty value, Prometheus semantics) or of the full
+    label set minus ``ignoring`` (metric name always excluded)."""
+    if on:
+        parts = [
+            F.concat(
+                F.lit(f'{k}="'),
+                F.coalesce(F.element_at(F.col("labels"), k), F.lit("")),
+                F.lit('"'),
+            )
+            for k in sorted(on)
+        ]
+        return F.concat_ws(",", *parts)
+    return _labels_without(ignoring)
+
+
+def evaluate_binary(
+    sensors: DataFrame, values: DataFrame, bq: BinaryQuery
+) -> DataFrame:
+    """Evaluate one arithmetic operation between two instant vectors
+    with one-to-one matching, or between a vector and a scalar.
+
+    Vector∘vector returns ``(labels, value)`` keyed on the matching
+    label string (the metric name is dropped, as in Prometheus);
+    vector∘scalar keeps the series shape ``(sensor_id, name, labels,
+    value)``. Both operand vectors are series-sized (post per-series
+    aggregation), so the equality join is dimension-sized — AQE is free
+    to broadcast it. Many-to-one matches (duplicate keys on a side)
+    multiply rows; Prometheus rejects them at runtime, here they are
+    documented as undefined instead of paying a duplicate check."""
+
+    def apply(lc: F.Column, rc: F.Column) -> F.Column:
+        return {
+            "+": lc + rc,
+            "-": lc - rc,
+            "*": lc * rc,
+            "/": lc / rc,
+        }[bq.op]
+
+    if isinstance(bq.left, float) or isinstance(bq.right, float):
+        eq = bq.right if isinstance(bq.left, float) else bq.left
+        out = evaluate_extended(sensors, values, eq)
+        if isinstance(bq.left, float):
+            value = apply(F.lit(bq.left), F.col("value"))
+        else:
+            value = apply(F.col("value"), F.lit(bq.right))
+        cols = [c for c in ("sensor_id", "name", "labels") if c in out.columns]
+        return out.select(*cols, value.alias("value"))
+
+    for side_eq in (bq.left, bq.right):
+        if side_eq.agg not in (None, "topk", "bottomk"):
+            raise PromQLError(
+                "binary",
+                "Aggregated operands in vector-to-vector binary "
+                "operations are not supported; aggregate the result "
+                "instead.",
+            )
+    left = evaluate_extended(sensors, values, bq.left)
+    right = evaluate_extended(sensors, values, bq.right)
+    key = _matching_key(bq.on, bq.ignoring)
+    lk = left.select(key.alias("labels"), F.col("value").alias("__lv"))
+    rk = right.select(key.alias("labels"), F.col("value").alias("__rv"))
+    return (
+        lk.join(rk, "labels")
+        .select("labels", apply(F.col("__lv"), F.col("__rv")).alias("value"))
+    )

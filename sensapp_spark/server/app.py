@@ -190,14 +190,37 @@ def create_app(spark, lake: SensorLake) -> Flask:
         # reproduces the reference's 400s exactly.
         if request.args.get("extended", "").lower() in ("1", "true"):
             from sensapp_spark.query.promql_ext import (
+                BinaryQuery,
+                evaluate_binary,
                 evaluate_extended,
-                parse_extended,
+                parse_extended_expr,
             )
 
             try:
-                eq = parse_extended(query)
+                eq = parse_extended_expr(query)
             except PromQLError as e:
                 return jsonify({"error": str(e)}), 400
+            if isinstance(eq, BinaryQuery):
+                # Load the envelope of both operands' windows; each
+                # side re-applies its own exact range inside evaluate.
+                sels = [
+                    s.selector
+                    for s in (eq.left, eq.right)
+                    if not isinstance(s, float)
+                ]
+                out = evaluate_binary(
+                    lake.sensors(),
+                    lake.values(
+                        SensorType.FLOAT,
+                        min(s.start_time for s in sels),
+                        max(s.end_time for s in sels),
+                    ),
+                    eq,
+                )
+                return jsonify(
+                    {"result": [row.asDict(recursive=True)
+                                for row in out.collect()]}
+                )
             if eq.func is not None or eq.agg is not None:
                 out = evaluate_extended(
                     lake.sensors(),

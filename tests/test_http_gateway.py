@@ -193,3 +193,34 @@ def test_extended_promql_opt_in(client):
     # Parse errors still 400 under the flag.
     r = client.get("/api/v1/query?query=sum(temperature) junk&extended=true")
     assert r.status_code == 400
+
+
+def test_extended_promql_binary(client):
+    assert client.post(
+        "/publish", data=CSV, content_type="text/csv"
+    ).status_code == 200
+
+    # Vector * scalar keeps the series shape.
+    r = client.get(
+        "/api/v1/query?query=max_over_time(temperature[100000h]) * 2"
+        "&extended=true"
+    )
+    assert r.status_code == 200
+    result = r.get_json()["result"]
+    assert len(result) == 1
+    assert result[0]["value"] == pytest.approx(42.0)
+
+    # Vector / vector matches the series with itself (same label set).
+    r = client.get(
+        "/api/v1/query?query="
+        "max_over_time(temperature[100000h]) / "
+        "max_over_time(temperature[100000h])&extended=true"
+    )
+    assert r.status_code == 200
+    result = r.get_json()["result"]
+    assert len(result) == 1
+    assert result[0]["value"] == pytest.approx(1.0)
+
+    # Without the flag, binary expressions keep the reference's 400.
+    r = client.get("/api/v1/query?query=a / b")
+    assert r.status_code == 400

@@ -147,6 +147,31 @@ def test_sessionize_is_single_shuffle(spark):
     assert plan.count("Sort ") <= 1 or plan.count("[Sort") <= 1
 
 
+def test_promql_ext_agg_two_shuffles_no_big_join(spark):
+    from sensapp_spark.query.promql_ext import (
+        evaluate_extended,
+        parse_extended,
+    )
+
+    sensors = spark.createDataFrame(
+        [("s1", "m", "Float", None, None, {"region": "r1"})],
+        "sensor_id string, name string, type string, unit string, "
+        "unit_description string, labels map<string,string>",
+    )
+    values = spark.createDataFrame(
+        [("s1", dt.datetime(2024, 1, 1), 1.0)],
+        "sensor_id string, time timestamp, value double")
+    eq = parse_extended("sum by (region) (rate(m[1h]))",
+                        dt.datetime(2024, 2, 1))
+    plan = plan_of(evaluate_extended(sensors, values, eq))
+    # Sample-sized data crosses exactly one exchange (per-series rate);
+    # the second exchange groups the series-sized instant vector. All
+    # joins against the dimension must be broadcast.
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
 def test_ivf_assignment_is_shuffle_free(spark):
     from sensapp_spark.pipeline.similarity import ivf_assign
 

@@ -11,8 +11,11 @@ import pytest
 from sensapp_spark.operators.matchers import MatcherType
 from sensapp_spark.query.promql import PromQLError, parse_promql_query
 from sensapp_spark.query.promql_ext import (
+    BinaryQuery,
+    evaluate_binary,
     evaluate_extended,
     parse_extended,
+    parse_extended_expr,
 )
 
 NOW = dt.datetime(2024, 2, 1)
@@ -212,6 +215,62 @@ def test_quantile_stddev_present_over_time(spark, frames):
     pres = {r.sensor_id: r.value for r in _eval(
         spark, frames, "present_over_time(m[1h])").collect()}
     assert pres == {"s1": 1.0, "s2": 1.0, "s3": 1.0}
+
+
+def test_parse_binary():
+    bq = parse_extended_expr("rate(a[5m]) / rate(b[5m])", NOW)
+    assert isinstance(bq, BinaryQuery) and bq.op == "/"
+    assert bq.left.func == "rate" and bq.right.func == "rate"
+    bq = parse_extended_expr("a / on(user) b", NOW)
+    assert bq.on == ["user"] and bq.ignoring == []
+    bq = parse_extended_expr("a - ignoring(region) b", NOW)
+    assert bq.ignoring == ["region"]
+    bq = parse_extended_expr("m * 2", NOW)
+    assert bq.right == 2.0
+    # non-binary falls through to the plain grammar
+    eq = parse_extended_expr("sum(rate(m[5m]))", NOW)
+    assert not isinstance(eq, BinaryQuery) and eq.agg == "sum"
+    with pytest.raises(PromQLError) as e:
+        parse_extended_expr("a + b + c", NOW)
+    assert e.value.kind == "binary"
+    with pytest.raises(PromQLError) as e:
+        parse_extended_expr("1 + 2", NOW)
+    assert e.value.kind == "literal"
+
+
+def test_binary_scalar(spark, frames):
+    sensors, values = frames
+    bq = parse_extended_expr("increase(m[1h]) * 2", NOW)
+    out = {r.sensor_id: r.value
+           for r in evaluate_binary(sensors, values, bq).collect()}
+    assert out == {"s1": 8.0, "s2": 4.0, "s3": 1.0}
+    # scalar on the left, non-commutative op
+    bq = parse_extended_expr("10 - last_over_time(m[1h])", NOW)
+    out = {r.sensor_id: r.value
+           for r in evaluate_binary(sensors, values, bq).collect()}
+    assert out == {"s1": 5.0, "s2": 6.0, "s3": 2.5}
+
+
+def test_binary_vector_matching(spark, frames):
+    sensors, values = frames
+    # Self-ratio: every series matches itself on its full label set.
+    bq = parse_extended_expr("increase(m[1h]) / increase(m[1h])", NOW)
+    out = evaluate_binary(sensors, values, bq).collect()
+    assert {r.labels for r in out} == {'region="r1"', 'region="r2"', ""}
+    assert all(r.value == pytest.approx(1.0) for r in out)
+    # on(region): s3 (no region) matches via empty-value key.
+    bq = parse_extended_expr(
+        "last_over_time(m[1h]) - on(region) avg_over_time(m[1h])", NOW)
+    out = {r.labels: r.value
+           for r in evaluate_binary(sensors, values, bq).collect()}
+    assert out['region="r1"'] == pytest.approx(2.0)  # 5 - 3
+    assert out['region=""'] == pytest.approx(0.25)  # 7.5 - 7.25
+    # aggregated vector operand → didactic rejection
+    with pytest.raises(PromQLError) as e:
+        evaluate_binary(
+            sensors, values,
+            parse_extended_expr("sum(m) / sum(m)", NOW))
+    assert e.value.kind == "binary"
 
 
 def test_offset_window_excludes_recent_samples(spark, frames):
