@@ -1,0 +1,53 @@
+"""Streaming windowed downsampling — watermarked tumbling-window
+aggregation over a value stream (SURVEY §2.8: the reference has no
+streaming semantics at all; its PromQL endpoint additionally rejects
+aggregation outright, src/ingestors/http/simple_promql.rs:149-171).
+
+Batch counterpart: plans/queries.downsample_1h (groupBy hour bucket).
+The streaming form adds what only a stream needs: an event-time
+watermark that (a) bounds aggregation state — window state is evicted
+once the watermark passes the window end — and (b) defines the
+late-data contract: samples arriving later than ``watermark`` behind
+the stream's max event time are dropped, everything inside the bound
+is aggregated exactly-once into its window.
+
+Scale notes: tumbling windows partition by (sensor_id, window), the
+same single-shuffle shape as the batch downsample; partial aggregates
+combine map-side within each micro-batch before the shuffle, and state
+size is O(open windows × sensors), independent of sample rate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def downsample_stream(
+    values: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "1 hour",
+    time_col: str = "time",
+) -> DataFrame:
+    """Per-sensor tumbling-window count/avg/min/max over a streaming
+    value frame. Append-mode semantics: a window's single final row is
+    emitted once the watermark passes its end — no partial re-emits,
+    which makes the sink contract idempotent."""
+    return (
+        values.withWatermark(time_col, watermark)
+        .groupBy("sensor_id", F.window(time_col, window).alias("w"))
+        .agg(
+            F.count("*").alias("n"),
+            F.avg("value").alias("avg_value"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+        .select(
+            "sensor_id",
+            F.col("w.start").alias("bucket"),
+            "n",
+            "avg_value",
+            "min_value",
+            "max_value",
+        )
+    )
