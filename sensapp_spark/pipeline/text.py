@@ -121,6 +121,24 @@ def normalized_text(col) -> F.Column:
     return F.lower(F.trim(F.regexp_replace(col, r"\s+", " ")))
 
 
+def top_terms(docs: DataFrame, k: int = 20, min_len: int = 3) -> DataFrame:
+    """Corpus top-k terms by document frequency. Per-document
+    ``array_distinct`` BEFORE the explode keeps the shuffle at one row
+    per (doc, distinct term) without a separate distinct stage; the
+    final top-k is a TakeOrdered over the term-df frame (k rows to the
+    driver). Ties at the k-th place break lexicographically so the
+    result is deterministic across engines."""
+    words = F.split(F.trim(normalized_text(F.col("text"))), r"\s+")
+    tok = docs.select(F.explode(F.array_distinct(words)).alias("token"))
+    return (
+        tok.filter(F.length("token") >= min_len)
+        .groupBy("token")
+        .agg(F.count("*").alias("df"))
+        .orderBy(F.desc("df"), "token")
+        .limit(k)
+    )
+
+
 def fingerprint(docs: DataFrame) -> DataFrame:
     """Document fingerprint: md5 of the normalized text (md5 so the DuckDB
     oracle computes the identical value; a keyed xxhash64 would be the

@@ -324,6 +324,75 @@ def dedup_simhash(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Deterministic sampling / dataset splits
+# ---------------------------------------------------------------------------
+
+_SAMPLE_RATES = {"en": 50, "de": 30}
+_SAMPLE_DEFAULT = 10
+
+
+def _bucket_sql(salt: str) -> str:
+    return (
+        f"(('0x' || substring(md5('{salt}:' || CAST(doc_id AS VARCHAR)),"
+        f" 1, 8))::UBIGINT % 100)::INT"
+    )
+
+
+@register(
+    "sample_stratified",
+    f"""
+    SELECT doc_id, lang, {_bucket_sql('sensapp-sample')} AS bucket
+    FROM documents
+    WHERE {_bucket_sql('sensapp-sample')} <
+          CASE lang WHEN 'en' THEN 50 WHEN 'de' THEN 30 ELSE 10 END
+    """,
+)
+def sample_stratified(spark, sf_dir):
+    """Deterministic stratified sampling: per-language keep rates from a
+    salted content-hash bucket — reproducible across engines and runs,
+    filter pushed into the scan (no shuffle)."""
+    from sensapp_spark.pipeline.sampling import stratified_sample
+
+    return stratified_sample(
+        _docs(spark, sf_dir), _SAMPLE_RATES, default_pct=_SAMPLE_DEFAULT
+    )
+
+
+@register(
+    "dataset_split",
+    f"""
+    SELECT doc_id,
+           CASE WHEN {_bucket_sql('sensapp-split')} < 80 THEN 'train'
+                WHEN {_bucket_sql('sensapp-split')} < 90 THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+    """,
+)
+def dataset_split(spark, sf_dir):
+    """Deterministic train/val/test assignment (80/10/10) by hash
+    bucket — new documents join splits without disturbing old ones."""
+    from sensapp_spark.pipeline.sampling import split_assign
+
+    return split_assign(_docs(spark, sf_dir))
+
+
+@register(
+    "text_top_terms",
+    f"""
+    WITH words AS (SELECT doc_id, {_WORDS_SQL} AS w FROM documents),
+    tok AS (SELECT doc_id, unnest(list_distinct(w)) AS token FROM words)
+    SELECT token, COUNT(*) AS df FROM tok
+    WHERE length(token) >= 3
+    GROUP BY token ORDER BY df DESC, token LIMIT 20
+    """,
+)
+def text_top_terms(spark, sf_dir):
+    """Corpus top-20 terms by document frequency (per-doc distinct
+    before the explode; deterministic k-th-place tie-break)."""
+    return tx.top_terms(_docs(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
 # Similarity search
 # ---------------------------------------------------------------------------
 
