@@ -82,6 +82,35 @@ def sensor_catalog(sensors: DataFrame) -> DataFrame:
     )
 
 
+def label_names(sensors: DataFrame) -> DataFrame:
+    """Beyond-reference (Prometheus HTTP API ``/api/v1/labels``): sorted
+    distinct label keys across all series, plus the reserved
+    ``__name__``. Dimension-only aggregate — per-row ``map_keys`` then a
+    distinct over short strings."""
+    keys = sensors.select(F.explode(F.map_keys("labels")).alias("label"))
+    reserved = sensors.sparkSession.createDataFrame(
+        [("__name__",)], "label string"
+    )
+    return keys.union(reserved).distinct().orderBy("label")
+
+
+def label_values(sensors: DataFrame, label: str) -> DataFrame:
+    """Beyond-reference (Prometheus ``/api/v1/label/<name>/values``):
+    sorted distinct values of one label; ``__name__`` yields metric
+    names. Series lacking the label contribute nothing (Prometheus
+    semantics — absent is not empty-string here)."""
+    if label == "__name__":
+        col = F.col("name")
+    else:
+        col = F.element_at("labels", F.lit(label))
+    return (
+        sensors.select(col.alias("value"))
+        .filter(F.col("value").isNotNull())
+        .distinct()
+        .orderBy("value")
+    )
+
+
 def metrics_list(
     sensors: DataFrame,
     name_contains: str | None = None,

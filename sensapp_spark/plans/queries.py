@@ -363,6 +363,23 @@ def catalog_sensor_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "catalog_label_values",
+    _PRELUDE
+    + """
+    SELECT DISTINCT region_label AS value FROM sensors
+    WHERE region_label IS NOT NULL
+    """,
+)
+def catalog_label_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Beyond-reference: Prometheus ``/api/v1/label/<name>/values`` —
+    distinct values of one label over the dimension only (absent labels
+    contribute nothing)."""
+    from sensapp_spark.operators.catalog import label_values
+
+    return label_values(td.events_sensors(spark, sf_dir), "region")
+
+
 # ---------------------------------------------------------------------------
 # Beyond-reference: sample-level aggregation (what simple_promql.rs:149-171
 # rejects, expressed as native Spark aggregates)

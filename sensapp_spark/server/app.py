@@ -308,4 +308,20 @@ def create_app(spark, lake: SensorLake) -> Flask:
             lake.optimize(stype)
         return jsonify({"status": "vacuumed"})
 
+    # Beyond-reference: Prometheus HTTP-API label browsing (the
+    # response envelope is Prometheus' {"status","data"} shape).
+    @app.get("/api/v1/labels")
+    def labels():
+        from sensapp_spark.operators.catalog import label_names
+
+        data = [r.label for r in label_names(lake.sensors()).collect()]
+        return jsonify({"status": "success", "data": data})
+
+    @app.get("/api/v1/label/<name>/values")
+    def label_values_route(name):
+        from sensapp_spark.operators.catalog import label_values
+
+        data = [r.value for r in label_values(lake.sensors(), name).collect()]
+        return jsonify({"status": "success", "data": data})
+
     return app

@@ -50,3 +50,19 @@ def test_sensor_catalog_projection(sensors):
                            "unit_description", "labels"]
     row = {r.sensor_id: r for r in out.collect()}
     assert row["u1"].unit_name == "percent"
+
+
+def test_label_names_and_values(sensors):
+    from sensapp_spark.operators.catalog import label_names, label_values
+
+    assert [r.label for r in label_names(sensors).collect()] == [
+        "__name__", "env", "host",
+    ]
+    assert [r.value for r in label_values(sensors, "env").collect()] == [
+        "dev", "prod",
+    ]
+    # __name__ yields metric names; absent label yields nothing.
+    assert [r.value for r in label_values(sensors, "__name__").collect()] == [
+        "cpu", "mem",
+    ]
+    assert label_values(sensors, "nosuch").count() == 0

@@ -224,3 +224,23 @@ def test_extended_promql_binary(client):
     # Without the flag, binary expressions keep the reference's 400.
     r = client.get("/api/v1/query?query=a / b")
     assert r.status_code == 400
+
+
+def test_label_browsing_endpoints(client):
+    assert client.post(
+        "/publish", data=CSV, content_type="text/csv"
+    ).status_code == 200
+
+    r = client.get("/api/v1/labels")
+    assert r.status_code == 200
+    body = r.get_json()
+    assert body["status"] == "success"
+    assert "__name__" in body["data"]
+
+    r = client.get("/api/v1/label/__name__/values")
+    assert r.status_code == 200
+    assert "temperature" in r.get_json()["data"]
+
+    r = client.get("/api/v1/label/nosuch/values")
+    assert r.status_code == 200
+    assert r.get_json()["data"] == []
