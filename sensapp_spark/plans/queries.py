@@ -830,6 +830,40 @@ def promql_ext_binary_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "promql_ext_scalar_funcs",
+    _PRELUDE
+    + """
+    SELECT sensor_id,
+           ROUND(LEAST(sqrt(AVG(value)), 2.5), 6) AS value
+    FROM vals
+    WHERE time >= TIMESTAMP '2024-01-01'
+      AND time <= TIMESTAMP '2024-02-01'
+      AND sensor_id IN (SELECT sensor_id FROM sensors
+                        WHERE name = 'purchase')
+    GROUP BY sensor_id
+    """,
+)
+def promql_ext_scalar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Beyond-reference: element-wise function chain over an instant
+    vector — ``clamp_max(sqrt(avg_over_time(purchase[31d])), 2.5)``.
+    Post-functions stay whole-stage-codegen JVM expressions on the
+    aggregated frame."""
+    from sensapp_spark.query.promql_ext import (
+        evaluate_extended,
+        parse_extended,
+    )
+
+    eq = parse_extended(
+        "clamp_max(sqrt(avg_over_time(purchase[31d])), 2.5)",
+        now=dt.datetime(2024, 2, 1),
+    )
+    out = evaluate_extended(
+        td.events_sensors(spark, sf_dir), td.events_values(spark, sf_dir), eq
+    )
+    return out.select("sensor_id", F.round("value", 6).alias("value"))
+
+
+@register(
     "gapfill_1h",
     _PRELUDE
     + """

@@ -54,11 +54,19 @@ RANGE_FUNCS = frozenset(
     "stddev_over_time stdvar_over_time present_over_time".split()
 )
 AGG_OPS = frozenset(
-    "sum avg min max count stddev stdvar quantile topk bottomk".split()
+    "sum avg min max count group count_values stddev stdvar quantile "
+    "topk bottomk".split()
 )
 # Aggregations / range functions taking a scalar first argument.
 PARAM_AGGS = frozenset("quantile topk bottomk".split())
 PARAM_FUNCS = frozenset(["quantile_over_time"])
+# Element-wise functions over an instant vector's values, applied after
+# any aggregation. TAIL_PARAM ones take a scalar SECOND argument.
+SCALAR_FUNCS = frozenset(
+    "abs ceil floor round sqrt exp ln log2 log10 sgn clamp_min "
+    "clamp_max".split()
+)
+TAIL_PARAM_FUNCS = frozenset("round clamp_min clamp_max".split())
 
 _NAME_RE = re.compile(r"[a-zA-Z_][a-zA-Z0-9_]*")
 _PARAM_RE = re.compile(r"\s*([0-9]+(?:\.[0-9]+)?(?:[eE][+-]?[0-9]+)?)\s*,")
@@ -78,6 +86,11 @@ class ExtendedQuery:
     without: list[str] = field(default_factory=list)
     param: float | None = None
     func_param: float | None = None
+    # count_values' label name (the grouping key column of the output).
+    label_param: str | None = None
+    # Element-wise post-functions, innermost first: [("abs", None),
+    # ("clamp_max", 10.0)] for clamp_max(abs(x), 10).
+    post: list[tuple[str, float | None]] = field(default_factory=list)
 
 
 @dataclass
@@ -160,6 +173,47 @@ def _split_param(inner: str, head: str) -> tuple[float, str]:
     return float(m.group(1)), inner[m.end():]
 
 
+def _split_tail_param(
+    inner: str, head: str, required: bool
+) -> tuple[float | None, str]:
+    """Split the scalar LAST argument of ``clamp_min(expr, 0)``-style
+    calls (``round``'s is optional, defaulting to 1)."""
+    depth, quote, last = 0, "", None
+    i = 0
+    while i < len(inner):
+        c = inner[i]
+        if quote:
+            if c == "\\" and quote != "`":
+                i += 2
+                continue
+            if c == quote:
+                quote = ""
+        elif c in "\"'`":
+            quote = c
+        elif c in "([":
+            depth += 1
+        elif c in ")]":
+            depth -= 1
+        elif c == "," and depth == 0:
+            last = i
+        i += 1
+    if last is None:
+        if required:
+            raise PromQLError(
+                "parse",
+                f"{head}() requires a scalar second argument — "
+                f"e.g. {head}(metric, 0).",
+            )
+        return None, inner
+    tail = inner[last + 1:].strip()
+    if not re.fullmatch(r"-?[0-9]+(\.[0-9]*)?([eE][+-]?[0-9]+)?", tail):
+        raise PromQLError(
+            "parse",
+            f"{head}() requires a scalar second argument, got '{tail}'.",
+        )
+    return float(tail), inner[:last]
+
+
 def _duration_ms(text: str) -> int:
     total, pos = 0, 0
     while pos < len(text):
@@ -195,6 +249,24 @@ def parse_extended(query: str, now: dt.datetime | None = None) -> ExtendedQuery:
     head = m.group(0) if m else None
     rest = s[m.end():].lstrip() if m else s
 
+    if head in SCALAR_FUNCS and rest.startswith("("):
+        inner, trailing = _strip_parens(rest)
+        if trailing.strip():
+            raise PromQLError(
+                "parse",
+                f"Unexpected trailing content in query: '{trailing.strip()}'",
+            )
+        p = None
+        if head in TAIL_PARAM_FUNCS:
+            p, inner = _split_tail_param(
+                inner, head, required=head != "round"
+            )
+            if head == "round" and p is None:
+                p = 1.0
+        sub = parse_extended(inner, now)
+        sub.post.append((head, p))
+        return sub
+
     if head in AGG_OPS and (
         rest.startswith("(")
         or rest.startswith("by")
@@ -225,12 +297,29 @@ def parse_extended(query: str, now: dt.datetime | None = None) -> ExtendedQuery:
                 f"Unexpected trailing content in query: '{trailing}'",
             )
         param = None
+        label_param = None
         if head in PARAM_AGGS:
             param, inner = _split_param(inner, head)
+        elif head == "count_values":
+            m = re.match(r"""\s*["']([a-zA-Z_][a-zA-Z0-9_]*)["']\s*,""", inner)
+            if not m:
+                raise PromQLError(
+                    "parse",
+                    'count_values() requires a label-name first argument '
+                    '— e.g. count_values("version", build_info).',
+                )
+            label_param = m.group(1)
+            inner = inner[m.end():]
         sub = parse_extended(inner, now)
         if sub.agg is not None:
             raise PromQLError(
                 "aggregation", "Nested aggregations are not supported."
+            )
+        if sub.post:
+            raise PromQLError(
+                "aggregation",
+                "Scalar functions under an aggregation are not supported; "
+                "apply them outside — e.g. abs(sum(metric)).",
             )
         return ExtendedQuery(
             selector=sub.selector,
@@ -240,6 +329,7 @@ def parse_extended(query: str, now: dt.datetime | None = None) -> ExtendedQuery:
             without=labels if mode == "without" else [],
             param=param,
             func_param=sub.func_param,
+            label_param=label_param,
         )
 
     if head in RANGE_FUNCS and rest.startswith("("):
@@ -387,6 +477,43 @@ _AGG_FNS = {
 }
 
 
+def _apply_post(df: DataFrame, post: list[tuple[str, float | None]]) -> DataFrame:
+    """Apply element-wise post-functions (innermost first) to ``value``.
+    All stay whole-stage-codegen JVM expressions; ``ceil``/``floor``
+    cast back to double (Spark returns LONG, Prometheus floats).
+    ``round(v, n)`` rounds to the nearest multiple of n, ties up —
+    Spark's HALF_UP matches Prometheus here."""
+    if not post:
+        return df
+    col = F.col("value")
+    for name, p in post:
+        if name == "abs":
+            col = F.abs(col)
+        elif name == "ceil":
+            col = F.ceil(col).cast("double")
+        elif name == "floor":
+            col = F.floor(col).cast("double")
+        elif name == "sqrt":
+            col = F.sqrt(col)
+        elif name == "exp":
+            col = F.exp(col)
+        elif name == "ln":
+            col = F.log(col)
+        elif name == "log2":
+            col = F.log2(col)
+        elif name == "log10":
+            col = F.log10(col)
+        elif name == "sgn":
+            col = F.signum(col)
+        elif name == "round":
+            col = F.round(col / F.lit(p), 0) * F.lit(p)
+        elif name == "clamp_min":
+            col = F.greatest(col, F.lit(p))
+        elif name == "clamp_max":
+            col = F.least(col, F.lit(p))
+    return df.withColumn("value", col.cast("double"))
+
+
 def _labels_without(without: list[str]):
     """Canonical string of the label set minus ``without`` keys (and the
     metric name, which Prometheus aggregation always drops): sorted
@@ -456,7 +583,24 @@ def evaluate_extended(
         F.broadcast(selected.select("sensor_id", "name", "labels")), "sensor_id"
     )
     if eq.agg is None:
-        return out.select("sensor_id", "name", "labels", "value")
+        return _apply_post(
+            out.select("sensor_id", "name", "labels", "value"), eq.post
+        )
+
+    if eq.agg == "count_values":
+        # Group by the sample value itself (plus any by-labels); the
+        # value column becomes the count. The key keeps its double type
+        # instead of Prometheus' stringified label value — engine-
+        # portable (no float-formatting divergence).
+        keys = [F.col("value").alias(eq.label_param)] + [
+            F.element_at(F.col("labels"), lbl).alias(lbl) for lbl in eq.by
+        ]
+        return _apply_post(
+            out.groupBy(*keys).agg(
+                F.count("*").cast("long").alias("value")
+            ),
+            eq.post,
+        )
 
     if eq.agg in ("topk", "bottomk"):
         # Series selection, not aggregation: keep the k extreme series
@@ -469,14 +613,17 @@ def evaluate_extended(
         w = (
             Window.partitionBy(*part) if part else Window.partitionBy()
         ).orderBy(order, F.col("sensor_id"))
-        return (
+        return _apply_post(
             out.withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") <= int(eq.param))
-            .select("sensor_id", "name", "labels", "value")
+            .select("sensor_id", "name", "labels", "value"),
+            eq.post,
         )
 
     if eq.agg == "quantile":
         agg_col = F.percentile("value", F.lit(eq.param)).cast("double")
+    elif eq.agg == "group":
+        agg_col = F.max(F.lit(1.0))
     else:
         agg_col = _AGG_FNS[eq.agg]("value")
         if eq.agg == "count":
@@ -489,7 +636,7 @@ def evaluate_extended(
             F.element_at(F.col("labels"), lbl).alias(lbl) for lbl in eq.by
         ]
         grouped = out.groupBy(*keys) if keys else out.groupBy()
-    return grouped.agg(agg_col.alias("value"))
+    return _apply_post(grouped.agg(agg_col.alias("value")), eq.post)
 
 
 def _matching_key(on: list[str], ignoring: list[str]) -> F.Column:

@@ -217,6 +217,51 @@ def test_quantile_stddev_present_over_time(spark, frames):
     assert pres == {"s1": 1.0, "s2": 1.0, "s3": 1.0}
 
 
+def test_parse_scalar_funcs_and_count_values():
+    eq = parse_extended("clamp_max(abs(rate(m[5m])), 10)", NOW)
+    assert eq.func == "rate"
+    assert eq.post == [("abs", None), ("clamp_max", 10.0)]
+    eq = parse_extended("round(m)", NOW)
+    assert eq.post == [("round", 1.0)]
+    eq = parse_extended("round(m, 0.5)", NOW)
+    assert eq.post == [("round", 0.5)]
+    eq = parse_extended('count_values("val", m)', NOW)
+    assert eq.agg == "count_values" and eq.label_param == "val"
+    with pytest.raises(PromQLError):
+        parse_extended("clamp_min(m)", NOW)  # missing scalar arg
+    with pytest.raises(PromQLError):
+        parse_extended("count_values(m)", NOW)  # missing label arg
+    with pytest.raises(PromQLError) as e:
+        parse_extended("sum(abs(m))", NOW)  # post under agg unsupported
+    assert e.value.kind == "aggregation"
+
+
+def test_scalar_funcs_evaluate(spark, frames):
+    # last values: s1=5, s2=4, s3=7.5
+    out = {r.sensor_id: r.value for r in _eval(
+        spark, frames, "clamp_max(m, 5)").collect()}
+    assert out == {"s1": 5.0, "s2": 4.0, "s3": 5.0}
+    out = {r.sensor_id: r.value for r in _eval(
+        spark, frames, "floor(sqrt(m))").collect()}
+    assert out == {"s1": 2.0, "s2": 2.0, "s3": 2.0}
+    out = {r.sensor_id: r.value for r in _eval(
+        spark, frames, "round(m, 2)").collect()}
+    assert out == {"s1": 6.0, "s2": 4.0, "s3": 8.0}
+    # post-function applied after the aggregation
+    [row] = _eval(spark, frames, "abs(sum(increase(m[1h])))").collect()
+    assert row.value == pytest.approx(6.5)
+
+
+def test_count_values_and_group(spark, frames):
+    sensors, values = frames
+    out = {r.val: r.value for r in _eval(
+        spark, frames, 'count_values("val", m)').collect()}
+    assert out == {5.0: 1, 4.0: 1, 7.5: 1}
+    grp = {r.region: r.value for r in _eval(
+        spark, frames, "group by (region) (m)").collect()}
+    assert grp == {"r1": 1.0, "r2": 1.0, None: 1.0}
+
+
 def test_parse_binary():
     bq = parse_extended_expr("rate(a[5m]) / rate(b[5m])", NOW)
     assert isinstance(bq, BinaryQuery) and bq.op == "/"
