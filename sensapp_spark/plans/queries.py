@@ -830,6 +830,47 @@ def promql_ext_binary_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "promql_ext_label_replace",
+    _PRELUDE
+    + """
+    , last AS (
+        SELECT sensor_id, arg_max(value, time) AS value
+        FROM vals
+        WHERE time >= TIMESTAMP '2024-01-01'
+          AND time <= TIMESTAMP '2024-02-01'
+          AND sensor_id IN (SELECT sensor_id FROM sensors
+                            WHERE name = 'click')
+        GROUP BY sensor_id)
+    SELECT 'u' || substring(s.user_label, 1, 1) AS bucket,
+           ROUND(SUM(l.value), 6) AS value
+    FROM last l JOIN sensors s USING (sensor_id)
+    GROUP BY 1
+    """,
+)
+def promql_ext_label_replace(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Beyond-reference: label manipulation feeding an aggregation —
+    ``sum by (bucket) (label_replace(last_over_time(click[31d]),
+    "bucket", "u$1", "user", "([0-9]).*"))`` groups series by the first
+    digit of their user label. The rewrite is a JVM map expression on
+    the series-sized vector; the oracle derives the same bucket with
+    substring arithmetic (independent implementation)."""
+    from sensapp_spark.query.promql_ext import (
+        evaluate_extended,
+        parse_extended,
+    )
+
+    eq = parse_extended(
+        'sum by (bucket) (label_replace(last_over_time(click[31d]), '
+        '"bucket", "u$1", "user", "([0-9]).*"))',
+        now=dt.datetime(2024, 2, 1),
+    )
+    out = evaluate_extended(
+        td.events_sensors(spark, sf_dir), td.events_values(spark, sf_dir), eq
+    )
+    return out.select("bucket", F.round("value", 6).alias("value"))
+
+
+@register(
     "promql_ext_scalar_funcs",
     _PRELUDE
     + """

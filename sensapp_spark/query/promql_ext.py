@@ -45,6 +45,7 @@ from sensapp_spark.query.promql import (
     _DURATION_RE,
     ParsedQuery,
     PromQLError,
+    _Scanner,
     parse_promql_query,
 )
 
@@ -67,6 +68,10 @@ SCALAR_FUNCS = frozenset(
     "clamp_max".split()
 )
 TAIL_PARAM_FUNCS = frozenset("round clamp_min clamp_max".split())
+# Label-manipulation functions over the series vector (applied before
+# any enclosing aggregation, so `sum by (dst) (label_replace(...))`
+# groups on the rewritten label).
+LABEL_FUNCS = frozenset(["label_replace", "label_join"])
 
 _NAME_RE = re.compile(r"[a-zA-Z_][a-zA-Z0-9_]*")
 _PARAM_RE = re.compile(r"\s*([0-9]+(?:\.[0-9]+)?(?:[eE][+-]?[0-9]+)?)\s*,")
@@ -91,6 +96,9 @@ class ExtendedQuery:
     # Element-wise post-functions, innermost first: [("abs", None),
     # ("clamp_max", 10.0)] for clamp_max(abs(x), 10).
     post: list[tuple[str, float | None]] = field(default_factory=list)
+    # Label rewrites, innermost first: ("label_replace", (dst, repl,
+    # src, regex)) / ("label_join", (dst, sep, src1, src2, …)).
+    label_ops: list[tuple[str, tuple]] = field(default_factory=list)
 
 
 @dataclass
@@ -214,6 +222,52 @@ def _split_tail_param(
     return float(tail), inner[:last]
 
 
+def _split_args(inner: str) -> list[str]:
+    """Split at top-level commas (outside parens/brackets/quotes)."""
+    parts, depth, quote, start = [], 0, "", 0
+    i = 0
+    while i < len(inner):
+        c = inner[i]
+        if quote:
+            if c == "\\" and quote != "`":
+                i += 2
+                continue
+            if c == quote:
+                quote = ""
+        elif c in "\"'`":
+            quote = c
+        elif c in "([":
+            depth += 1
+        elif c in ")]":
+            depth -= 1
+        elif c == "," and depth == 0:
+            parts.append(inner[start:i])
+            start = i + 1
+        i += 1
+    parts.append(inner[start:])
+    return parts
+
+
+def _string_arg(text: str, head: str) -> str:
+    """Parse one string-literal argument (same escape semantics as the
+    selector scanner: backslash escapes n/t/r, else drops to the raw
+    char — regex backslashes must be doubled)."""
+    sc = _Scanner(text.strip())
+    try:
+        value = sc.string_literal()
+    except PromQLError:
+        raise PromQLError(
+            "parse",
+            f"{head}() expects a string literal, got '{text.strip()}'",
+        ) from None
+    if sc.rest().strip():
+        raise PromQLError(
+            "parse",
+            f"{head}(): unexpected content after string: '{sc.rest().strip()}'",
+        )
+    return value
+
+
 def _duration_ms(text: str) -> int:
     total, pos = 0, 0
     while pos < len(text):
@@ -248,6 +302,41 @@ def parse_extended(query: str, now: dt.datetime | None = None) -> ExtendedQuery:
     m = _NAME_RE.match(s)
     head = m.group(0) if m else None
     rest = s[m.end():].lstrip() if m else s
+
+    if head in LABEL_FUNCS and rest.startswith("("):
+        inner, trailing = _strip_parens(rest)
+        if trailing.strip():
+            raise PromQLError(
+                "parse",
+                f"Unexpected trailing content in query: '{trailing.strip()}'",
+            )
+        args = _split_args(inner)
+        if head == "label_replace" and len(args) != 5:
+            raise PromQLError(
+                "parse",
+                "label_replace() expects 5 arguments "
+                "(vector, dst, replacement, src, regex).",
+            )
+        if head == "label_join" and len(args) < 4:
+            raise PromQLError(
+                "parse",
+                "label_join() expects at least 4 arguments "
+                "(vector, dst, separator, src, …).",
+            )
+        sub = parse_extended(args[0], now)
+        if sub.agg is not None:
+            raise PromQLError(
+                "aggregation",
+                f"{head}() applies to series vectors; aggregate outside — "
+                f"e.g. sum by (dst) ({head}(…)).",
+            )
+        strs = tuple(_string_arg(a, head) for a in args[1:])
+        if not _NAME_RE.fullmatch(strs[0]):
+            raise PromQLError(
+                "parse", f"{head}(): invalid destination label '{strs[0]}'"
+            )
+        sub.label_ops.append((head, strs))
+        return sub
 
     if head in SCALAR_FUNCS and rest.startswith("("):
         inner, trailing = _strip_parens(rest)
@@ -330,6 +419,7 @@ def parse_extended(query: str, now: dt.datetime | None = None) -> ExtendedQuery:
             param=param,
             func_param=sub.func_param,
             label_param=label_param,
+            label_ops=sub.label_ops,
         )
 
     if head in RANGE_FUNCS and rest.startswith("("):
@@ -514,6 +604,41 @@ def _apply_post(df: DataFrame, post: list[tuple[str, float | None]]) -> DataFram
     return df.withColumn("value", col.cast("double"))
 
 
+def _apply_label_ops(df: DataFrame, ops: list[tuple[str, tuple]]) -> DataFrame:
+    """Rewrite the labels map per label_replace/label_join (innermost
+    first). Prometheus semantics: an absent source label reads as "",
+    the regex must FULL-match or the vector passes unchanged, and an
+    empty result drops the destination label. All JVM map expressions —
+    no shuffle, no Python."""
+    for op, args in ops:
+        labels = F.col("labels")
+        if op == "label_replace":
+            dst, repl, src, regex = args
+            src_val = F.coalesce(F.element_at(labels, src), F.lit(""))
+            full = f"^(?:{regex})$"
+            newv = F.regexp_replace(src_val, full, repl)
+            matched = src_val.rlike(full)
+        else:
+            dst, sep, *srcs = args
+            newv = F.concat_ws(
+                sep,
+                *[
+                    F.coalesce(F.element_at(labels, s), F.lit(""))
+                    for s in srcs
+                ],
+            )
+            matched = F.lit(True)
+        without_dst = F.map_filter(labels, lambda k, _: k != dst)
+        updated = F.when(
+            newv != "",
+            F.map_concat(without_dst, F.create_map(F.lit(dst), newv)),
+        ).otherwise(without_dst)
+        df = df.withColumn(
+            "labels", F.when(matched, updated).otherwise(labels)
+        )
+    return df
+
+
 def _labels_without(without: list[str]):
     """Canonical string of the label set minus ``without`` keys (and the
     metric name, which Prometheus aggregation always drops): sorted
@@ -582,6 +707,8 @@ def evaluate_extended(
     out = per_series.join(
         F.broadcast(selected.select("sensor_id", "name", "labels")), "sensor_id"
     )
+    if eq.label_ops:
+        out = _apply_label_ops(out, eq.label_ops)
     if eq.agg is None:
         return _apply_post(
             out.select("sensor_id", "name", "labels", "value"), eq.post

@@ -262,6 +262,60 @@ def test_count_values_and_group(spark, frames):
     assert grp == {"r1": 1.0, "r2": 1.0, None: 1.0}
 
 
+def test_parse_label_funcs():
+    eq = parse_extended(
+        'label_replace(m, "dst", "$1", "region", "r(.*)")', NOW)
+    assert eq.label_ops == [("label_replace", ("dst", "$1", "region", "r(.*)"))]
+    eq = parse_extended(
+        'sum by (dst) (label_join(rate(m[5m]), "dst", "-", "region"))', NOW)
+    assert eq.agg == "sum" and eq.func == "rate"
+    assert eq.label_ops == [("label_join", ("dst", "-", "region"))]
+    with pytest.raises(PromQLError):
+        parse_extended('label_replace(m, "dst", "x")', NOW)  # arity
+    with pytest.raises(PromQLError):
+        parse_extended('label_replace(m, "1bad", "x", "a", ".*")', NOW)
+    with pytest.raises(PromQLError) as e:
+        parse_extended('label_replace(sum(m), "d", "x", "a", ".*")', NOW)
+    assert e.value.kind == "aggregation"
+
+
+def test_label_replace_evaluates(spark, frames):
+    # region r1/r2 → bucket "b1"/"b2"; s3 (absent region) unmatched by
+    # the digit regex, so it keeps its label set (no bucket label).
+    out = {r.sensor_id: dict(r.labels) for r in _eval(
+        spark, frames,
+        'label_replace(m, "bucket", "b$1", "region", "r([0-9])")'
+    ).collect()}
+    assert out["s1"] == {"region": "r1", "bucket": "b1"}
+    assert out["s2"] == {"region": "r2", "bucket": "b2"}
+    assert out["s3"] == {}
+
+    # Aggregation over the rewritten label — absent bucket is its own
+    # group (None key), matching by-label semantics.
+    agg = {r.bucket: r.value for r in _eval(
+        spark, frames,
+        'sum by (bucket) (label_replace(increase(m[1h]), '
+        '"bucket", "b$1", "region", "r([0-9])"))'
+    ).collect()}
+    assert agg == {"b1": 4.0, "b2": 2.0, None: 0.5}
+
+    # Empty replacement drops the destination label.
+    out = {r.sensor_id: dict(r.labels) for r in _eval(
+        spark, frames,
+        'label_replace(m, "region", "", "region", ".*")'
+    ).collect()}
+    assert all(lbls == {} for lbls in out.values())
+
+
+def test_label_join_evaluates(spark, frames):
+    out = {r.sensor_id: dict(r.labels) for r in _eval(
+        spark, frames,
+        'label_join(m, "combo", "-", "region", "region")'
+    ).collect()}
+    assert out["s1"]["combo"] == "r1-r1"
+    assert out["s3"]["combo"] == "-"  # absent sources read as ""
+
+
 def test_parse_binary():
     bq = parse_extended_expr("rate(a[5m]) / rate(b[5m])", NOW)
     assert isinstance(bq, BinaryQuery) and bq.op == "/"
