@@ -830,6 +830,58 @@ def promql_ext_binary_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "promql_ext_range_query",
+    _PRELUDE
+    + """
+    , steps AS (SELECT unnest(generate_series(0, 20)) AS i),
+    win AS (
+        SELECT v.sensor_id, s.i,
+               arg_max(v.value, v.time) - arg_min(v.value, v.time) AS rise,
+               (epoch_us(MAX(v.time)) - epoch_us(MIN(v.time))) / 1e6 AS span
+        FROM vals v
+        JOIN steps s
+          ON v.time <= TIMESTAMP '2024-01-05' + s.i * INTERVAL '1 day'
+         AND v.time >= TIMESTAMP '2024-01-05' + s.i * INTERVAL '1 day'
+                        - INTERVAL '2 days'
+        WHERE v.sensor_id IN (SELECT sensor_id FROM sensors
+                              WHERE name = 'click')
+        GROUP BY 1, 2
+        HAVING epoch_us(MAX(v.time)) > epoch_us(MIN(v.time)))
+    SELECT sensor_id,
+           strftime(TIMESTAMP '2024-01-05' + i * INTERVAL '1 day',
+                    '%Y-%m-%d %H:%M:%S') AS t,
+           ROUND(rise / span, 6) AS value
+    FROM win
+    """,
+)
+def promql_ext_range_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Beyond-reference: Prometheus range query — ``rate(click[2d])``
+    evaluated at 21 daily steps over [2024-01-05, 2024-01-25]. Sliding
+    windows become a bounded explode (ceil(range/step)=2 step indices
+    per sample) feeding one (sensor, step)-keyed reduction; the oracle
+    recomputes each window with an inequality join."""
+    from sensapp_spark.query.promql_ext import (
+        evaluate_range,
+        parse_extended,
+    )
+
+    eq = parse_extended("rate(click[2d])", now=dt.datetime(2024, 2, 1))
+    out = evaluate_range(
+        td.events_sensors(spark, sf_dir),
+        td.events_values(spark, sf_dir),
+        eq,
+        start=dt.datetime(2024, 1, 5),
+        end=dt.datetime(2024, 1, 25),
+        step_seconds=86400,
+    )
+    return out.select(
+        "sensor_id",
+        F.date_format("t", "yyyy-MM-dd HH:mm:ss").alias("t"),
+        F.round("value", 6).alias("value"),
+    )
+
+
+@register(
     "promql_ext_label_replace",
     _PRELUDE
     + """

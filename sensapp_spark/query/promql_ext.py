@@ -659,6 +659,35 @@ def _labels_without(without: list[str]):
     )
 
 
+def _per_series_agg(
+    scan: DataFrame, eq: ExtendedQuery, keys: tuple[str, ...] = ("sensor_id",)
+) -> DataFrame:
+    """The per-series window reduction for ``eq.func`` grouped by
+    ``keys`` — (sensor_id,) for an instant evaluation, (sensor_id,
+    step) for a range query. One shuffle, map-side partials."""
+    gb = scan.groupBy(*keys)
+    if eq.func in (None, "last_over_time"):
+        return gb.agg(F.max_by("value", "time").alias("value"))
+    if eq.func in ("rate", "increase", "delta"):
+        span = (F.unix_micros(F.max("time")) - F.unix_micros(F.min("time"))) / 1e6
+        rise = F.max_by("value", "time") - F.min_by("value", "time")
+        value = rise / span if eq.func == "rate" else rise
+        return (
+            gb.agg(value.alias("value"), span.alias("__span"))
+            .filter(F.col("__span") > 0)
+            .drop("__span")
+        )
+    if eq.func == "present_over_time":
+        return gb.agg(F.max(F.lit(1.0)).alias("value"))
+    if eq.func == "quantile_over_time":
+        return gb.agg(
+            F.percentile("value", F.lit(eq.func_param))
+            .cast("double")
+            .alias("value")
+        )
+    return gb.agg(_OVER_TIME[eq.func]("value").cast("double").alias("value"))
+
+
 def evaluate_extended(
     sensors: DataFrame, values: DataFrame, eq: ExtendedQuery
 ) -> DataFrame:
@@ -670,39 +699,7 @@ def evaluate_extended(
                        "leftsemi")
     scan = time_range(scan, q.start_time, q.end_time)
 
-    if eq.func is None:
-        per_series = scan.groupBy("sensor_id").agg(
-            F.max_by("value", "time").alias("value")
-        )
-    elif eq.func in ("rate", "increase", "delta"):
-        span = (F.unix_micros(F.max("time")) - F.unix_micros(F.min("time"))) / 1e6
-        rise = F.max_by("value", "time") - F.min_by("value", "time")
-        value = rise / span if eq.func == "rate" else rise
-        per_series = (
-            scan.groupBy("sensor_id")
-            .agg(value.alias("value"), span.alias("__span"))
-            .filter(F.col("__span") > 0)
-            .drop("__span")
-        )
-    elif eq.func == "last_over_time":
-        per_series = scan.groupBy("sensor_id").agg(
-            F.max_by("value", "time").alias("value")
-        )
-    elif eq.func == "present_over_time":
-        per_series = scan.groupBy("sensor_id").agg(
-            F.max(F.lit(1.0)).alias("value")
-        )
-    elif eq.func == "quantile_over_time":
-        per_series = scan.groupBy("sensor_id").agg(
-            F.percentile("value", F.lit(eq.func_param))
-            .cast("double")
-            .alias("value")
-        )
-    else:
-        agg_fn = _OVER_TIME[eq.func]
-        per_series = scan.groupBy("sensor_id").agg(
-            agg_fn("value").cast("double").alias("value")
-        )
+    per_series = _per_series_agg(scan, eq)
 
     out = per_series.join(
         F.broadcast(selected.select("sensor_id", "name", "labels")), "sensor_id"
@@ -764,6 +761,98 @@ def evaluate_extended(
         ]
         grouped = out.groupBy(*keys) if keys else out.groupBy()
     return _apply_post(grouped.agg(agg_col.alias("value")), eq.post)
+
+
+def evaluate_range(
+    sensors: DataFrame,
+    values: DataFrame,
+    eq: ExtendedQuery,
+    start: dt.datetime,
+    end: dt.datetime,
+    step_seconds: float,
+) -> DataFrame:
+    """Prometheus range query: evaluate ``eq`` at every step in
+    [start, end] (the matrix selector's range — or the 1 h instant
+    lookback — slides with each step). Output adds a ``t`` column (the
+    step timestamp); aggregations group per (labels…, t).
+
+    Plan shape: each sample is exploded to the step indices whose
+    window [t-R, t] covers it — a bounded fan-out of ceil(R/step) rows
+    per sample (the classic sliding-window-as-explode) — then the SAME
+    per-series reduction as the instant path runs grouped by (series,
+    step). One shuffle keyed (sensor, step) with map-side partials; no
+    per-step jobs, no driver loop. Range endpoints are inclusive-both,
+    matching the engine's Q5 time-range semantics (Prometheus itself
+    uses a left-open window)."""
+    q = eq.selector
+    lookback = q.end_time - q.start_time
+    r_us = int(lookback.total_seconds() * 1_000_000)
+    s_us = int(step_seconds * 1_000_000)
+    start_us = int(start.replace(tzinfo=dt.timezone.utc).timestamp() * 1e6)
+    n_steps = int(
+        (end.replace(tzinfo=dt.timezone.utc).timestamp() * 1e6 - start_us)
+        // s_us
+    )
+
+    selected = select_sensors(sensors, q.matchers)
+    scan = values.join(
+        F.broadcast(selected.select("sensor_id")), "sensor_id", "leftsemi"
+    )
+    scan = time_range(scan, start - lookback, end)
+
+    tau = F.unix_micros("time")
+    idx0 = F.greatest(
+        F.lit(0), -F.floor((tau - F.lit(start_us)) / -s_us).cast("long")
+    )  # ceil((tau-start)/S) via negated floor — stays integral
+    idx1 = F.least(
+        F.lit(n_steps),
+        F.floor((tau + F.lit(r_us) - F.lit(start_us)) / s_us).cast("long"),
+    )
+    # sequence() counts DOWNWARD for idx0 > idx1 (a sample falling
+    # between two step windows has an empty step set) — filter before
+    # the explode.
+    exploded = scan.filter(idx0 <= idx1).withColumn(
+        "__i", F.explode(F.sequence(idx0, idx1))
+    )
+
+    per_step = _per_series_agg(exploded, eq, keys=("sensor_id", "__i"))
+    t_col = F.timestamp_micros(
+        (F.lit(start_us) + F.col("__i") * s_us).cast("long")
+    ).alias("t")
+
+    out = per_step.join(
+        F.broadcast(selected.select("sensor_id", "name", "labels")),
+        "sensor_id",
+    )
+    if eq.label_ops:
+        out = _apply_label_ops(out, eq.label_ops)
+    if eq.agg is None:
+        return _apply_post(
+            out.select("sensor_id", "name", "labels", t_col, "value"),
+            eq.post,
+        )
+    if eq.agg in ("topk", "bottomk", "count_values"):
+        raise PromQLError(
+            "aggregation",
+            f"{eq.agg}() is not supported in range queries yet.",
+        )
+    if eq.agg == "quantile":
+        agg_col = F.percentile("value", F.lit(eq.param)).cast("double")
+    elif eq.agg == "group":
+        agg_col = F.max(F.lit(1.0))
+    else:
+        agg_col = _AGG_FNS[eq.agg]("value")
+        if eq.agg == "count":
+            agg_col = agg_col.cast("long")
+    if eq.without:
+        keys = [_labels_without(eq.without).alias("labels")]
+    else:
+        keys = [
+            F.element_at(F.col("labels"), lbl).alias(lbl) for lbl in eq.by
+        ]
+    return _apply_post(
+        out.groupBy(*keys, t_col).agg(agg_col.alias("value")), eq.post
+    )
 
 
 def _matching_key(on: list[str], ignoring: list[str]) -> F.Column:

@@ -308,6 +308,69 @@ def create_app(spark, lake: SensorLake) -> Flask:
             lake.optimize(stype)
         return jsonify({"status": "vacuumed"})
 
+    # Beyond-reference: Prometheus range queries — evaluate an extended
+    # expression at step intervals over [start, end].
+    @app.get("/api/v1/query_range")
+    def promql_query_range():
+        from sensapp_spark.query.promql_ext import (
+            evaluate_range,
+            parse_extended,
+        )
+
+        query = request.args.get("query")
+        if not query:
+            return jsonify({"error": "missing query parameter"}), 400
+
+        def parse_time(name):
+            raw = request.args.get(name)
+            if raw is None:
+                raise ValueError(f"missing {name} parameter")
+            try:
+                return dt.datetime.fromtimestamp(
+                    float(raw), dt.timezone.utc
+                ).replace(tzinfo=None)
+            except ValueError:
+                return dt.datetime.fromisoformat(raw.replace("Z", "+00:00")) \
+                    .astimezone(dt.timezone.utc).replace(tzinfo=None)
+
+        try:
+            start = parse_time("start")
+            end = parse_time("end")
+            raw_step = request.args.get("step", "60")
+            try:
+                step = float(raw_step)
+            except ValueError:
+                from sensapp_spark.query.promql_ext import _duration_ms
+
+                step = _duration_ms(raw_step) / 1000.0
+            if step <= 0 or end < start:
+                raise ValueError("step must be > 0 and end >= start")
+            eq = parse_extended(query)
+        except (ValueError, PromQLError) as e:
+            return jsonify({"error": str(e)}), 400
+        out = evaluate_range(
+            lake.sensors(),
+            lake.values(
+                SensorType.FLOAT,
+                start - (eq.selector.end_time - eq.selector.start_time),
+                end,
+            ),
+            eq,
+            start=start,
+            end=end,
+            step_seconds=step,
+        )
+        # ISO-format the step timestamp explicitly (Flask would render
+        # datetime values as RFC-822 strings).
+        from pyspark.sql import functions as F
+
+        out = out.withColumn(
+            "t", F.date_format("t", "yyyy-MM-dd'T'HH:mm:ss")
+        )
+        return jsonify(
+            {"result": [row.asDict(recursive=True) for row in out.collect()]}
+        )
+
     # Beyond-reference: Prometheus HTTP-API label browsing (the
     # response envelope is Prometheus' {"status","data"} shape).
     @app.get("/api/v1/labels")

@@ -226,6 +226,32 @@ def test_extended_promql_binary(client):
     assert r.status_code == 400
 
 
+def test_query_range_endpoint(client):
+    assert client.post(
+        "/publish", data=CSV, content_type="text/csv"
+    ).status_code == 200
+
+    # Fixture samples are at 2024-01-01T00:00/00:01 (20.5, 21.0). Steps
+    # at :00 and :02 with a 1m window.
+    r = client.get(
+        "/api/v1/query_range?query=sum_over_time(temperature[1m])"
+        "&start=2024-01-01T00:00:00Z&end=2024-01-01T00:02:00Z&step=120"
+    )
+    assert r.status_code == 200
+    rows = {row["t"][:19]: row["value"] for row in r.get_json()["result"]}
+    assert rows["2024-01-01T00:00:00"] == pytest.approx(20.5)
+    assert rows["2024-01-01T00:02:00"] == pytest.approx(21.0)
+
+    r = client.get("/api/v1/query_range?query=temperature&start=bad"
+                   "&end=2024-01-01T00:00:00Z")
+    assert r.status_code == 400
+    r = client.get(
+        "/api/v1/query_range?query=temperature"
+        "&start=2024-01-01T00:00:00Z&end=2024-01-01T01:00:00Z&step=0"
+    )
+    assert r.status_code == 400
+
+
 def test_label_browsing_endpoints(client):
     assert client.post(
         "/publish", data=CSV, content_type="text/csv"

@@ -14,6 +14,7 @@ from sensapp_spark.query.promql_ext import (
     BinaryQuery,
     evaluate_binary,
     evaluate_extended,
+    evaluate_range,
     parse_extended,
     parse_extended_expr,
 )
@@ -314,6 +315,73 @@ def test_label_join_evaluates(spark, frames):
     ).collect()}
     assert out["s1"]["combo"] == "r1-r1"
     assert out["s3"]["combo"] == "-"  # absent sources read as ""
+
+
+def test_range_query_sliding_windows(spark, frames):
+    sensors, values = frames
+    # Samples at 23:00 and 23:30 (Jan 31). Steps every 30 min from
+    # 23:00 to Feb 1 00:00 with a 1h window.
+    eq = parse_extended("sum_over_time(m[1h])", NOW)
+    out = evaluate_range(
+        sensors, values, eq,
+        start=dt.datetime(2024, 1, 31, 23, 0),
+        end=dt.datetime(2024, 2, 1, 0, 0),
+        step_seconds=1800,
+    )
+    got = {(r.sensor_id, r.t.strftime("%H:%M")): r.value
+           for r in out.collect()}
+    # s1: samples 1.0@23:00, 5.0@23:30.
+    assert got[("s1", "23:00")] == 1.0        # window [22:00, 23:00]
+    assert got[("s1", "23:30")] == 6.0        # both samples
+    assert got[("s1", "00:00")] == 6.0        # both still inside 1h
+    # decoy metric excluded entirely
+    assert not any(sid == "x1" for sid, _ in got)
+
+
+def test_range_query_instant_and_agg(spark, frames):
+    sensors, values = frames
+    # Instant selector: last sample within the 1h lookback per step.
+    eq = parse_extended("m", NOW)
+    out = evaluate_range(
+        sensors, values, eq,
+        start=dt.datetime(2024, 1, 31, 23, 0),
+        end=dt.datetime(2024, 2, 1, 0, 0),
+        step_seconds=3600,
+    )
+    got = {(r.sensor_id, r.t.strftime("%H:%M")): r.value
+           for r in out.collect()}
+    assert got[("s1", "23:00")] == 1.0
+    assert got[("s1", "00:00")] == 5.0   # last within [23:00, 00:00]
+
+    # by-label aggregation per step.
+    eq = parse_extended("sum by (region) (sum_over_time(m[1h]))", NOW)
+    out = evaluate_range(
+        sensors, values, eq,
+        start=dt.datetime(2024, 1, 31, 23, 30),
+        end=dt.datetime(2024, 2, 1, 0, 0),
+        step_seconds=1800,
+    )
+    got = {(r.region, r.t.strftime("%H:%M")): r.value
+           for r in out.collect()}
+    assert got[("r1", "23:30")] == 6.0
+    assert got[("r2", "00:00")] == 6.0
+    assert got[(None, "23:30")] == 14.5
+
+
+def test_range_query_rate_needs_two_samples(spark, frames):
+    sensors, values = frames
+    eq = parse_extended("rate(m[1h])", NOW)
+    out = evaluate_range(
+        sensors, values, eq,
+        start=dt.datetime(2024, 1, 31, 23, 0),
+        end=dt.datetime(2024, 2, 1, 0, 0),
+        step_seconds=1800,
+    )
+    got = {(r.sensor_id, r.t.strftime("%H:%M")): r.value
+           for r in out.collect()}
+    # At 23:00 each series has ONE sample in window → no rate row.
+    assert ("s1", "23:00") not in got
+    assert got[("s1", "23:30")] == pytest.approx(4.0 / 1800)
 
 
 def test_parse_binary():
