@@ -830,6 +830,31 @@ def promql_ext_binary_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "value_histogram",
+    _PRELUDE
+    + """
+    SELECT s.name, CAST(floor(v.value / 10) * 10 AS DOUBLE) AS bucket,
+           COUNT(*) AS n
+    FROM vals v JOIN sensors s USING (sensor_id)
+    GROUP BY 1, 2
+    """,
+)
+def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Beyond-reference: fixed-width value-distribution histogram per
+    metric (width 10). One groupBy with map-side partials — shuffle
+    bytes ∝ metrics × buckets, independent of sample count."""
+    sensors = td.events_sensors(spark, sf_dir)
+    vals = td.events_values(spark, sf_dir)
+    joined = vals.join(
+        F.broadcast(sensors.select("sensor_id", "name")), "sensor_id"
+    )
+    bucket = (F.floor(F.col("value") / 10) * 10).cast("double")
+    return joined.groupBy("name", bucket.alias("bucket")).agg(
+        F.count("*").alias("n")
+    )
+
+
+@register(
     "promql_ext_range_query",
     _PRELUDE
     + """

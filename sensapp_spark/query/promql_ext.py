@@ -96,6 +96,9 @@ class ExtendedQuery:
     # Element-wise post-functions, innermost first: [("abs", None),
     # ("clamp_max", 10.0)] for clamp_max(abs(x), 10).
     post: list[tuple[str, float | None]] = field(default_factory=list)
+    # Element-wise functions INSIDE an aggregation — sum(abs(x)) —
+    # applied to the per-series vector before the aggregate.
+    series_post: list[tuple[str, float | None]] = field(default_factory=list)
     # Label rewrites, innermost first: ("label_replace", (dst, repl,
     # src, regex)) / ("label_join", (dst, sep, src1, src2, …)).
     label_ops: list[tuple[str, tuple]] = field(default_factory=list)
@@ -404,12 +407,6 @@ def parse_extended(query: str, now: dt.datetime | None = None) -> ExtendedQuery:
             raise PromQLError(
                 "aggregation", "Nested aggregations are not supported."
             )
-        if sub.post:
-            raise PromQLError(
-                "aggregation",
-                "Scalar functions under an aggregation are not supported; "
-                "apply them outside — e.g. abs(sum(metric)).",
-            )
         return ExtendedQuery(
             selector=sub.selector,
             func=sub.func,
@@ -420,6 +417,7 @@ def parse_extended(query: str, now: dt.datetime | None = None) -> ExtendedQuery:
             func_param=sub.func_param,
             label_param=label_param,
             label_ops=sub.label_ops,
+            series_post=sub.post,
         )
 
     if head in RANGE_FUNCS and rest.startswith("("):
@@ -706,6 +704,8 @@ def evaluate_extended(
     )
     if eq.label_ops:
         out = _apply_label_ops(out, eq.label_ops)
+    if eq.series_post:
+        out = _apply_post(out, eq.series_post)
     if eq.agg is None:
         return _apply_post(
             out.select("sensor_id", "name", "labels", "value"), eq.post
@@ -826,6 +826,8 @@ def evaluate_range(
     )
     if eq.label_ops:
         out = _apply_label_ops(out, eq.label_ops)
+    if eq.series_post:
+        out = _apply_post(out, eq.series_post)
     if eq.agg is None:
         return _apply_post(
             out.select("sensor_id", "name", "labels", t_col, "value"),

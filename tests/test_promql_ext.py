@@ -232,9 +232,10 @@ def test_parse_scalar_funcs_and_count_values():
         parse_extended("clamp_min(m)", NOW)  # missing scalar arg
     with pytest.raises(PromQLError):
         parse_extended("count_values(m)", NOW)  # missing label arg
-    with pytest.raises(PromQLError) as e:
-        parse_extended("sum(abs(m))", NOW)  # post under agg unsupported
-    assert e.value.kind == "aggregation"
+    # Scalar functions inside an aggregation apply per series first.
+    eq = parse_extended("sum(abs(m))", NOW)
+    assert eq.agg == "sum" and eq.series_post == [("abs", None)]
+    assert eq.post == []
 
 
 def test_scalar_funcs_evaluate(spark, frames):
@@ -251,6 +252,9 @@ def test_scalar_funcs_evaluate(spark, frames):
     # post-function applied after the aggregation
     [row] = _eval(spark, frames, "abs(sum(increase(m[1h])))").collect()
     assert row.value == pytest.approx(6.5)
+    # ... and inside one: clamp per series BEFORE the sum.
+    [row] = _eval(spark, frames, "sum(clamp_max(m, 5))").collect()
+    assert row.value == pytest.approx(5.0 + 4.0 + 5.0)
 
 
 def test_count_values_and_group(spark, frames):
