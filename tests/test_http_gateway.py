@@ -232,9 +232,10 @@ def test_query_range_endpoint(client):
     ).status_code == 200
 
     # Fixture samples are at 2024-01-01T00:00/00:01 (20.5, 21.0). Steps
-    # at :00 and :02 with a 1m window.
+    # at :00 and :02 with a 1m window. max_over_time is insensitive to
+    # the duplicate samples accumulated by earlier tests' re-publishes.
     r = client.get(
-        "/api/v1/query_range?query=sum_over_time(temperature[1m])"
+        "/api/v1/query_range?query=max_over_time(temperature[1m])"
         "&start=2024-01-01T00:00:00Z&end=2024-01-01T00:02:00Z&step=120"
     )
     assert r.status_code == 200
