@@ -829,6 +829,52 @@ def promql_ext_binary_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("labels", F.round("value", 6).alias("value"))
 
 
+_GEO_DLAT = 2000.0 / 111.0  # within_radius' bbox half-height, degrees
+
+
+@register(
+    "geo_within_radius",
+    _PRELUDE
+    + f"""
+    , pts AS (
+        SELECT event_id,
+               80 * sin(value) AS latitude,
+               170 * sin(2 * value) AS longitude
+        FROM vals)
+    SELECT event_id,
+           ROUND(2 * 6371.0 * asin(sqrt(
+                 pow(sin(radians(0.0 - latitude) / 2), 2)
+               + cos(radians(latitude)) * cos(radians(0.0))
+               * pow(sin(radians(0.0 - longitude) / 2), 2))), 6)
+               AS distance_km
+    FROM pts
+    WHERE latitude >= {-_GEO_DLAT!r} AND latitude <= {_GEO_DLAT!r}
+      AND 2 * 6371.0 * asin(sqrt(
+                 pow(sin(radians(0.0 - latitude) / 2), 2)
+               + cos(radians(latitude)) * cos(radians(0.0))
+               * pow(sin(radians(0.0 - longitude) / 2), 2))) <= 2000.0
+    """,
+)
+def geo_within_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Beyond-reference: Location-type spatial selection — points within
+    2000 km of (0, 0) with exact haversine distance, behind a pushed-
+    down bounding-box pre-filter (operators/geo.py). Points are derived
+    deterministically from the events values (the testdata has no geo
+    column); both engines compute the same derivation."""
+    from sensapp_spark.operators.geo import within_radius
+
+    vals = td.events_values(spark, sf_dir)
+    pts = vals.select(
+        "event_id",
+        (F.lit(80.0) * F.sin("value")).alias("latitude"),
+        (F.lit(170.0) * F.sin(F.col("value") * 2)).alias("longitude"),
+    )
+    out = within_radius(pts, 0.0, 0.0, 2000.0)
+    return out.select(
+        "event_id", F.round("distance_km", 6).alias("distance_km")
+    )
+
+
 @register(
     "value_histogram",
     _PRELUDE
