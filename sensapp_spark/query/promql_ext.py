@@ -833,10 +833,32 @@ def evaluate_range(
             out.select("sensor_id", "name", "labels", t_col, "value"),
             eq.post,
         )
-    if eq.agg in ("topk", "bottomk", "count_values"):
-        raise PromQLError(
-            "aggregation",
-            f"{eq.agg}() is not supported in range queries yet.",
+    if eq.agg == "count_values":
+        keys = [F.col("value").alias(eq.label_param)] + [
+            F.element_at(F.col("labels"), lbl).alias(lbl) for lbl in eq.by
+        ]
+        return _apply_post(
+            out.groupBy(*keys, t_col).agg(
+                F.count("*").cast("long").alias("value")
+            ),
+            eq.post,
+        )
+    if eq.agg in ("topk", "bottomk"):
+        # k extreme series PER STEP (and per by-group). The window input
+        # is series × steps — bounded by the step count, never by the
+        # sample count.
+        order = (
+            F.col("value").desc() if eq.agg == "topk" else F.col("value").asc()
+        )
+        part = [F.col("__i")] + [
+            F.element_at(F.col("labels"), lbl) for lbl in eq.by
+        ]
+        w = Window.partitionBy(*part).orderBy(order, F.col("sensor_id"))
+        return _apply_post(
+            out.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= int(eq.param))
+            .select("sensor_id", "name", "labels", t_col, "value"),
+            eq.post,
         )
     if eq.agg == "quantile":
         agg_col = F.percentile("value", F.lit(eq.param)).cast("double")

@@ -22,6 +22,7 @@ parsing, dispatch, and serialization.
 from __future__ import annotations
 
 import datetime as dt
+import json
 
 from flask import Flask, Response, jsonify, request
 
@@ -367,9 +368,41 @@ def create_app(spark, lake: SensorLake) -> Flask:
         out = out.withColumn(
             "t", F.date_format("t", "yyyy-MM-dd'T'HH:mm:ss")
         )
-        return jsonify(
-            {"result": [row.asDict(recursive=True) for row in out.collect()]}
-        )
+        rows = [row.asDict(recursive=True) for row in out.collect()]
+        if request.args.get("format") == "matrix":
+            # Prometheus-style matrix: one entry per series with its
+            # label set and the (t, value) samples in step order.
+            series: dict = {}
+            for d in rows:
+                t, v = d.pop("t"), d.pop("value")
+                metric: dict = {}
+                lbls = d.pop("labels", None)
+                if isinstance(lbls, dict):
+                    metric.update(lbls)
+                elif lbls is not None:
+                    metric["labels"] = lbls
+                name = d.pop("name", None)
+                if name is not None:
+                    metric["__name__"] = name
+                metric.update(
+                    {k: str(val) for k, val in d.items() if val is not None}
+                )
+                key = json.dumps(metric, sort_keys=True)
+                series.setdefault(
+                    key, {"metric": metric, "values": []}
+                )["values"].append([t, v])
+            for entry in series.values():
+                entry["values"].sort(key=lambda tv: tv[0])
+            return jsonify(
+                {
+                    "status": "success",
+                    "data": {
+                        "resultType": "matrix",
+                        "result": list(series.values()),
+                    },
+                }
+            )
+        return jsonify({"result": rows})
 
     # Beyond-reference: Prometheus HTTP-API label browsing (the
     # response envelope is Prometheus' {"status","data"} shape).

@@ -243,6 +243,19 @@ def test_query_range_endpoint(client):
     assert rows["2024-01-01T00:00:00"] == pytest.approx(20.5)
     assert rows["2024-01-01T00:02:00"] == pytest.approx(21.0)
 
+    # Prometheus-style matrix grouping.
+    r = client.get(
+        "/api/v1/query_range?query=max_over_time(temperature[1m])"
+        "&start=2024-01-01T00:00:00Z&end=2024-01-01T00:02:00Z&step=120"
+        "&format=matrix"
+    )
+    assert r.status_code == 200
+    body = r.get_json()
+    assert body["data"]["resultType"] == "matrix"
+    [entry] = body["data"]["result"]
+    assert entry["metric"]["__name__"] == "temperature"
+    assert [v for _, v in entry["values"]] == [20.5, 21.0]
+
     r = client.get("/api/v1/query_range?query=temperature&start=bad"
                    "&end=2024-01-01T00:00:00Z")
     assert r.status_code == 400

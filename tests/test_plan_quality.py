@@ -172,6 +172,35 @@ def test_promql_ext_agg_two_shuffles_no_big_join(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
+def test_range_query_single_sample_shuffle(spark):
+    from sensapp_spark.query.promql_ext import (
+        evaluate_range,
+        parse_extended,
+    )
+
+    sensors = spark.createDataFrame(
+        [("s1", "m", "Float", None, None, {"region": "r1"})],
+        "sensor_id string, name string, type string, unit string, "
+        "unit_description string, labels map<string,string>",
+    )
+    values = spark.createDataFrame(
+        [("s1", dt.datetime(2024, 1, 10), 1.0)],
+        "sensor_id string, time timestamp, value double")
+    eq = parse_extended("rate(m[1h])", dt.datetime(2024, 2, 1))
+    df = evaluate_range(
+        sensors, values, eq,
+        start=dt.datetime(2024, 1, 1),
+        end=dt.datetime(2024, 1, 31),
+        step_seconds=3600,
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # Sample-sized data (post-explode) crosses exactly ONE exchange —
+    # the (sensor, step) reduction; metadata joins stay broadcast.
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
 def test_ivf_assignment_is_shuffle_free(spark):
     from sensapp_spark.pipeline.similarity import ivf_assign
 

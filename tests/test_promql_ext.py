@@ -372,6 +372,29 @@ def test_range_query_instant_and_agg(spark, frames):
     assert got[(None, "23:30")] == 14.5
 
 
+def test_range_query_topk_per_step(spark, frames):
+    sensors, values = frames
+    eq = parse_extended("topk(1, sum_over_time(m[1h]))", NOW)
+    out = evaluate_range(
+        sensors, values, eq,
+        start=dt.datetime(2024, 1, 31, 23, 0),
+        end=dt.datetime(2024, 2, 1, 0, 0),
+        step_seconds=1800,
+    )
+    got = {r.t.strftime("%H:%M"): r.sensor_id for r in out.collect()}
+    # 23:00: sums are s1=1, s2=2, s3=7 → s3; 23:30/00:00: s3=14.5 tops.
+    assert got == {"23:00": "s3", "23:30": "s3", "00:00": "s3"}
+    eq = parse_extended("bottomk(1, sum_over_time(m[1h]))", NOW)
+    out = evaluate_range(
+        sensors, values, eq,
+        start=dt.datetime(2024, 1, 31, 23, 0),
+        end=dt.datetime(2024, 1, 31, 23, 0),
+        step_seconds=1800,
+    )
+    [row] = out.collect()
+    assert row.sensor_id == "s1"  # sum 1.0 at 23:00
+
+
 def test_range_query_rate_needs_two_samples(spark, frames):
     sensors, values = frames
     eq = parse_extended("rate(m[1h])", NOW)
