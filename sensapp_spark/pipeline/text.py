@@ -139,6 +139,49 @@ def top_terms(docs: DataFrame, k: int = 20, min_len: int = 3) -> DataFrame:
     )
 
 
+def tfidf_top_term(docs: DataFrame, min_len: int = 3) -> DataFrame:
+    """Each document's most characteristic term by smoothed TF-IDF:
+    tf = term count / doc token count, idf = ln((N+1)/(df+1)) + 1.
+
+    Plan: one (doc, term) count aggregation, one term-level df
+    aggregation, corpus size N as a broadcast single-row cross join,
+    then a per-doc rank window. doc_len and df are corpus-/vocabulary-
+    sized, so neither is broadcast-hinted — AQE picks the strategy from
+    runtime sizes. Ties break lexicographically so the winner is
+    deterministic across engines."""
+    words = F.split(F.trim(normalized_text(F.col("text"))), r"\s+")
+    tok = docs.select(
+        "doc_id", F.explode(words).alias("token")
+    ).filter(F.length("token") >= min_len)
+    counts = tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf_n"))
+    doc_len = counts.groupBy("doc_id").agg(F.sum("tf_n").alias("len_n"))
+    df_ = counts.groupBy("token").agg(F.count("*").alias("df"))
+    n_docs = docs.agg(F.count("*").alias("n_docs"))
+    scored = (
+        counts.join(doc_len, "doc_id")
+        .join(df_, "token")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.round(
+                (F.col("tf_n") / F.col("len_n"))
+                * (F.log((F.col("n_docs") + 1) / (F.col("df") + 1)) + 1),
+                6,
+            ),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("token")
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("doc_id", F.col("token").alias("top_term"), "tfidf")
+    )
+
+
 def fingerprint(docs: DataFrame) -> DataFrame:
     """Document fingerprint: md5 of the normalized text (md5 so the DuckDB
     oracle computes the identical value; a keyed xxhash64 would be the

@@ -377,6 +377,36 @@ def dataset_split(spark, sf_dir):
 
 
 @register(
+    "text_tfidf_top",
+    f"""
+    WITH words AS (SELECT doc_id, {_WORDS_SQL} AS w FROM documents),
+    tok AS (SELECT doc_id, unnest(w) AS token FROM words),
+    counts AS (
+        SELECT doc_id, token, COUNT(*) AS tf_n FROM tok
+        WHERE length(token) >= 3 GROUP BY 1, 2),
+    doc_len AS (SELECT doc_id, SUM(tf_n) AS len_n FROM counts GROUP BY 1),
+    dfreq AS (SELECT token, COUNT(*) AS df FROM counts GROUP BY 1),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+        SELECT c.doc_id, c.token,
+               ROUND((c.tf_n / CAST(l.len_n AS DOUBLE))
+                     * (ln((n.n_docs + 1) / CAST(d.df + 1 AS DOUBLE)) + 1),
+                     6) AS tfidf
+        FROM counts c JOIN doc_len l USING (doc_id)
+        JOIN dfreq d USING (token) CROSS JOIN n)
+    SELECT doc_id, token AS top_term, tfidf FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY doc_id ORDER BY tfidf DESC, token) AS rn
+        FROM scored) WHERE rn = 1
+    """,
+)
+def text_tfidf_top(spark, sf_dir):
+    """Per-document most characteristic term by smoothed TF-IDF
+    (deterministic lexicographic tie-break)."""
+    return tx.tfidf_top_term(_docs(spark, sf_dir))
+
+
+@register(
     "text_top_terms",
     f"""
     WITH words AS (SELECT doc_id, {_WORDS_SQL} AS w FROM documents),
