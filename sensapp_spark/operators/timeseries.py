@@ -127,6 +127,126 @@ def sessionize(
     return events.withColumn("session_id", F.sum(is_new).over(running))
 
 
+def rolling_mean(
+    values: DataFrame,
+    on: Sequence[str],
+    time_col: str = "time",
+    value_col: str = "value",
+    window_rows: int = 5,
+    tiebreakers: Sequence[str] = (),
+) -> DataFrame:
+    """Trailing moving average over the last ``window_rows`` observations
+    per key (current row included). One shuffle on ``on``; the frame is
+    ROWS-bounded so state per row is O(window_rows) — no unbounded
+    running state, safe at any series length. ``tiebreakers`` make the
+    row order (and therefore the result) deterministic when timestamps
+    collide."""
+    on = list(on)
+    order = [F.col(time_col).asc()] + [F.col(t).asc() for t in tiebreakers]
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(*order)
+        .rowsBetween(-(window_rows - 1), Window.currentRow)
+    )
+    return values.withColumn(
+        f"{value_col}_rolling", F.avg(F.col(value_col)).over(w)
+    )
+
+
+def m4_downsample(
+    values: DataFrame,
+    on: Sequence[str],
+    time_col: str = "time",
+    value_col: str = "value",
+    bucket: str = "day",
+    tiebreaker: str | None = None,
+) -> DataFrame:
+    """M4 visualization downsampling (Jugel et al., PVLDB 7(10), 2014):
+    per (key, time bucket) keep min, max, first and last — the four
+    samples that bound the line a pixel column can render. One groupBy
+    with map-side partials: shuffle bytes ∝ keys × buckets, independent
+    of raw sample rate — the standard way to ship a 100 TB series to a
+    dashboard without lying about extremes.
+
+    ``first``/``last`` pick by (time, tiebreaker) so duplicate
+    timestamps resolve identically on any engine."""
+    on = list(on)
+    order = (
+        F.struct(F.col(time_col), F.col(tiebreaker))
+        if tiebreaker
+        else F.col(time_col)
+    )
+    return values.groupBy(
+        *on, F.date_trunc(bucket, F.col(time_col)).alias("bucket")
+    ).agg(
+        F.count("*").alias("n"),
+        F.min(value_col).alias("v_min"),
+        F.max(value_col).alias("v_max"),
+        F.min_by(value_col, order).alias("v_first"),
+        F.max_by(value_col, order).alias("v_last"),
+        F.min(time_col).alias("t_first"),
+        F.max(time_col).alias("t_last"),
+    )
+
+
+def zscore_outliers(
+    values: DataFrame,
+    on: Sequence[str],
+    value_col: str = "value",
+    threshold: float = 2.5,
+) -> DataFrame:
+    """Per-key z-score anomaly flags: rows whose value deviates from the
+    key's mean by more than ``threshold`` population standard
+    deviations. Two-pass: a dimension-sized stats aggregate joined back
+    to the scan (AQE broadcasts it), then a filter — both passes are
+    single-shuffle, and the join carries 3 doubles per key, not
+    samples."""
+    on = list(on)
+    stats = values.groupBy(*on).agg(
+        F.avg(value_col).alias("__mu"),
+        F.stddev_pop(value_col).alias("__sigma"),
+    )
+    z = (F.col(value_col) - F.col("__mu")) / F.col("__sigma")
+    return (
+        values.join(stats, on)
+        .filter(F.col("__sigma") > 0)
+        .withColumn("zscore", z)
+        .filter(F.abs(F.col("zscore")) > threshold)
+        .drop("__mu", "__sigma")
+    )
+
+
+def interval_count(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    time_col: str = "time",
+    lookback_seconds: float = 300.0,
+    count_alias: str = "n_right",
+) -> DataFrame:
+    """For every left-side row, the number of right-side rows of the
+    same key within the trailing interval ``(t - lookback, t]`` — the
+    bounded "recent activity" join (e.g. views preceding each click).
+
+    Plan: equi-join on ``on`` with the interval as a range conjunct —
+    Spark sort-merges on the key and filters the range, so the pair
+    blowup is bounded by events-per-key-per-interval, never the cross
+    product. Left-outer so quiet intervals count 0."""
+    on = list(on)
+    lt = F.col(f"l.{time_col}")
+    rt = F.col(f"r.{time_col}")
+    cond = [F.col(f"l.{k}") == F.col(f"r.{k}") for k in on]
+    cond.append(rt > lt - F.expr(f"INTERVAL {float(lookback_seconds)} SECONDS"))
+    cond.append(rt <= lt)
+    lcols = [F.col(f"l.{c}") for c in left.columns]
+    joined = left.alias("l").join(
+        right.alias("r"), on=cond, how="left"
+    )
+    return joined.groupBy(*lcols).agg(
+        F.count(rt).alias(count_alias)
+    )
+
+
 def gapfill(
     observed: DataFrame,
     on: Sequence[str],

@@ -182,6 +182,50 @@ def tfidf_top_term(docs: DataFrame, min_len: int = 3) -> DataFrame:
     )
 
 
+# ASCII-explicit PII patterns — valid in both Java regex (Spark) and
+# RE2 (DuckDB): no backreferences, no lookaround.
+PII_PATTERNS = {
+    "emails": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phones": r"\+?[0-9]{1,3}[-. ]?\(?[0-9]{3}\)?[-. ][0-9]{3}[-. ][0-9]{4}",
+    "ipv4s": r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b",
+}
+
+
+def pii_scan(docs: DataFrame) -> DataFrame:
+    """Per-document PII indicator counts (emails / phone-shaped numbers /
+    IPv4 literals) and an any-hit flag — the redaction-triage pass a
+    training pipeline runs before release. Narrow projection, regex
+    evaluated JVM-side; at 100 TB this is a map-only scan."""
+    t = F.col("text")
+    counts = {
+        name: F.regexp_count(t, F.lit(pat)).alias(name)
+        for name, pat in PII_PATTERNS.items()
+    }
+    total = None
+    for name in PII_PATTERNS:
+        c = F.regexp_count(t, F.lit(PII_PATTERNS[name]))
+        total = c if total is None else total + c
+    return docs.select(
+        "doc_id", *counts.values(), (total > 0).alias("has_pii")
+    )
+
+
+def type_token_ratio(docs: DataFrame) -> DataFrame:
+    """Lexical-diversity profile: whitespace token count, distinct token
+    count, and their ratio (type-token ratio) over the normalized text.
+    The distinct runs per document inside ``array_distinct`` — no
+    explode, no shuffle."""
+    words = F.split(F.trim(normalized_text(F.col("text"))), r"\s+")
+    total = F.size(words).cast("double")
+    distinct = F.size(F.array_distinct(words)).cast("long")
+    return docs.select(
+        "doc_id",
+        total.cast("long").alias("total_tokens"),
+        distinct.alias("distinct_tokens"),
+        F.round(distinct / total, 6).alias("ttr"),
+    )
+
+
 def fingerprint(docs: DataFrame) -> DataFrame:
     """Document fingerprint: md5 of the normalized text (md5 so the DuckDB
     oracle computes the identical value; a keyed xxhash64 would be the

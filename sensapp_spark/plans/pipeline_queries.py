@@ -560,6 +560,101 @@ def dedup_embedding_pairs(spark, sf_dir):
     return embedding_neardup_pairs(_emb(spark, sf_dir), threshold=0.3)
 
 # ---------------------------------------------------------------------------
+# Clustering
+# ---------------------------------------------------------------------------
+
+def _kmeans_oracle() -> str:
+    from sensapp_spark.pipeline.clustering import KMEANS_K
+
+    def cos(a: str, b: str) -> str:
+        return (
+            f"ROUND(list_dot_product({a}, {b})"
+            f" / (sqrt(list_dot_product({a}, {a}))"
+            f" * sqrt(list_dot_product({b}, {b}))), 6)"
+        )
+
+    e = "e.embedding::DOUBLE[]"
+    # DuckDB lists are 1-indexed; Spark getItem is 0-indexed.
+    mean_vec = "[" + ", ".join(
+        f"ROUND(avg(embedding[{i + 1}]::DOUBLE), 6)" for i in range(64)
+    ) + "]"
+    assign = """
+    SELECT vec_id, cid AS cluster FROM (
+        SELECT e.vec_id, c.cid,
+               ROW_NUMBER() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY {cos} DESC, c.cid) AS rn
+        FROM embeddings e CROSS JOIN {cents} c)
+    WHERE rn = 1
+    """
+    return f"""
+    WITH c0 AS (
+        SELECT vec_id AS cid, embedding::DOUBLE[] AS cvec
+        FROM embeddings WHERE vec_id < {KMEANS_K}),
+    a1 AS ({assign.format(cos=cos(e, "c.cvec"), cents="c0")}),
+    c1 AS (
+        SELECT cluster AS cid, {mean_vec} AS cvec
+        FROM embeddings JOIN a1 USING (vec_id) GROUP BY cluster),
+    a2 AS ({assign.format(cos=cos(e, "c.cvec"), cents="c1")})
+    SELECT vec_id, cluster FROM a2
+    """
+
+
+@register("embedding_kmeans", _kmeans_oracle())
+def embedding_kmeans(spark, sf_dir):
+    """Spherical k-means (2 Lloyd rounds, deterministic init): cluster
+    assignment over the embedding corpus. Assignment is a shuffle-free
+    codegen projection; only the k×dim codebook ever reaches the
+    driver. The oracle replays both rounds with windowed argmax CTEs."""
+    from sensapp_spark.pipeline.clustering import kmeans_assign
+
+    return kmeans_assign(_emb(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# Text: lexical diversity + PII triage
+# ---------------------------------------------------------------------------
+
+@register(
+    "text_type_token_ratio",
+    f"""
+    WITH words AS (SELECT doc_id, {_WORDS_SQL} AS w FROM documents)
+    SELECT doc_id,
+           len(w) AS total_tokens,
+           len(list_distinct(w)) AS distinct_tokens,
+           ROUND(len(list_distinct(w)) / CAST(len(w) AS DOUBLE), 6) AS ttr
+    FROM words
+    """,
+)
+def text_type_token_ratio(spark, sf_dir):
+    """Lexical diversity (type-token ratio) — per-doc array_distinct,
+    no explode, no shuffle."""
+    return tx.type_token_ratio(_docs(spark, sf_dir))
+
+
+def _pii_oracle() -> str:
+    counts = ", ".join(
+        f"len(regexp_extract_all(text, '{pat}')) AS {name}"
+        for name, pat in tx.PII_PATTERNS.items()
+    )
+    total = " + ".join(f"{name}" for name in tx.PII_PATTERNS)
+    return f"""
+    SELECT doc_id, emails, phones, ipv4s, ({total}) > 0 AS has_pii
+    FROM (SELECT doc_id, {counts} FROM documents)
+    """
+
+
+@register("text_pii_scan", _pii_oracle())
+def text_pii_scan(spark, sf_dir):
+    """PII triage counts (emails / phones / IPv4) per document. The
+    synthetic corpus is PII-free, so the value here is the shared
+    regex-dialect contract (ASCII-explicit patterns, no lookaround);
+    positive-match behavior is covered by unit tests with fixture
+    text."""
+    return tx.pii_scan(_docs(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
 # Multimodal plumbing
 # ---------------------------------------------------------------------------
 

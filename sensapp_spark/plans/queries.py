@@ -1178,4 +1178,498 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessionize(ev, on=["user_id"], gap_seconds=1800)
 
 
+# ---------------------------------------------------------------------------
+# Extended-PromQL round 3: instantaneous/derivative functions, set
+# operations, comparison filters
+# ---------------------------------------------------------------------------
+
+_W31 = """v.time >= TIMESTAMP '2024-01-01'
+          AND v.time <= TIMESTAMP '2024-02-01'"""
+
+
+def _ext(spark, sf_dir, expr, now=dt.datetime(2024, 2, 1)):
+    from sensapp_spark.query.promql_ext import evaluate_extended, parse_extended
+
+    return evaluate_extended(
+        td.events_sensors(spark, sf_dir),
+        td.events_values(spark, sf_dir),
+        parse_extended(expr, now=now),
+    )
+
+
+def _ext_bin(spark, sf_dir, expr, now=dt.datetime(2024, 2, 1)):
+    from sensapp_spark.query.promql_ext import (
+        evaluate_binary,
+        parse_extended_expr,
+    )
+
+    return evaluate_binary(
+        td.events_sensors(spark, sf_dir),
+        td.events_values(spark, sf_dir),
+        parse_extended_expr(expr, now=now),
+    )
+
+
+@register(
+    "promql_ext_irate",
+    _PRELUDE
+    + f"""
+    , ranked AS (
+        SELECT v.sensor_id, v.time, v.value,
+               row_number() OVER (PARTITION BY v.sensor_id
+                                  ORDER BY v.time DESC, v.value DESC) AS rn
+        FROM vals v
+        WHERE {_W31}
+          AND v.sensor_id IN (SELECT sensor_id FROM sensors
+                              WHERE name = 'click'))
+    SELECT sensor_id,
+           ROUND((arg_min(value, rn) - arg_max(value, rn))
+                 / ((epoch_us(MAX(time)) - epoch_us(MIN(time))) / 1e6),
+                 6) AS value
+    FROM ranked WHERE rn <= 2
+    GROUP BY sensor_id
+    HAVING epoch_us(MAX(time)) > epoch_us(MIN(time))
+    """,
+)
+def promql_ext_irate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Beyond-reference: ``irate(click[31d])`` — instantaneous rate from
+    the last two samples. The per-series top-2 plans as WindowGroupLimit
+    (partial top-K before the shuffle), so the exchange carries ≤2 rows
+    per input partition per series at any sample rate."""
+    out = _ext(spark, sf_dir, "irate(click[31d])")
+    return out.select("sensor_id", F.round("value", 6).alias("value"))
+
+
+@register(
+    "promql_ext_changes",
+    _PRELUDE
+    + f"""
+    , lagged AS (
+        SELECT v.sensor_id,
+               CASE WHEN lag(v.value) OVER w IS NOT NULL
+                         AND v.value <> lag(v.value) OVER w
+                    THEN 1 ELSE 0 END AS f
+        FROM vals v
+        WHERE {_W31}
+          AND v.sensor_id IN (SELECT sensor_id FROM sensors
+                              WHERE name = 'view')
+        WINDOW w AS (PARTITION BY v.sensor_id
+                     ORDER BY v.time, v.value))
+    SELECT sensor_id, CAST(SUM(f) AS DOUBLE) AS value
+    FROM lagged GROUP BY sensor_id
+    """,
+)
+def promql_ext_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Beyond-reference: ``changes(view[31d])`` — consecutive-pair value
+    changes per series; one lag window + sum sharing a single exchange."""
+    return _ext(spark, sf_dir, "changes(view[31d])").select(
+        "sensor_id", "value"
+    )
+
+
+@register(
+    "promql_ext_deriv",
+    _PRELUDE
+    + f"""
+    SELECT v.sensor_id,
+           ROUND(regr_slope(v.value,
+                 (epoch_us(v.time)
+                  - epoch_us(TIMESTAMP '2024-01-01')) / 1e6), 6)
+           + 0.0 AS value
+    FROM vals v
+    WHERE {_W31}
+      AND v.sensor_id IN (SELECT sensor_id FROM sensors
+                          WHERE name = 'purchase')
+    GROUP BY v.sensor_id
+    HAVING var_pop(epoch_us(v.time) / 1e6) > 0
+    """,
+)
+def promql_ext_deriv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Beyond-reference: ``deriv(purchase[31d])`` — least-squares slope
+    per series (covar_pop/var_pop JVM aggregates, single shuffle; x
+    centered on the window start for cross-engine float stability).
+    ``+ 0.0`` canonicalizes IEEE negative zero on both engines."""
+    return _ext(spark, sf_dir, "deriv(purchase[31d])").select(
+        "sensor_id", (F.round("value", 6) + F.lit(0.0)).alias("value")
+    )
+
+
+# Pinned evaluation time (2024-02-01) and window start (2024-01-01) in
+# epoch seconds; regression x is centered on the window start.
+_EVAL_S = 1706745600
+_START_S = 1704067200
+
+
+@register(
+    "promql_ext_predict_linear",
+    _PRELUDE
+    + f"""
+    SELECT v.sensor_id,
+           ROUND(AVG(v.value)
+                 + regr_slope(v.value,
+                       (epoch_us(v.time) - {_START_S}::BIGINT * 1000000) / 1e6)
+                   * ({_EVAL_S} - {_START_S} + 86400
+                      - AVG((epoch_us(v.time)
+                             - {_START_S}::BIGINT * 1000000) / 1e6)),
+                 6) AS value
+    FROM vals v
+    WHERE {_W31}
+      AND v.sensor_id IN (SELECT sensor_id FROM sensors
+                          WHERE name = 'purchase')
+    GROUP BY v.sensor_id
+    HAVING var_pop(epoch_us(v.time) / 1e6) > 0
+    """,
+)
+def promql_ext_predict_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Beyond-reference: ``predict_linear(purchase[31d], 86400)`` — the
+    regression line extrapolated one day past the evaluation time."""
+    return _ext(spark, sf_dir, "predict_linear(purchase[31d], 86400)").select(
+        "sensor_id", F.round("value", 6).alias("value")
+    )
+
+
+@register(
+    "promql_ext_timestamp",
+    _PRELUDE
+    + f"""
+    SELECT v.sensor_id,
+           ROUND(epoch_us(MAX(v.time)) / 1e6, 6) AS value
+    FROM vals v
+    WHERE {_W31}
+      AND v.sensor_id IN (SELECT sensor_id FROM sensors
+                          WHERE name = 'click')
+    GROUP BY v.sensor_id
+    """,
+)
+def promql_ext_timestamp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Beyond-reference: ``timestamp(click[31d])`` — each series' last
+    sample time as a value in seconds (µs kept in the fraction)."""
+    return _ext(spark, sf_dir, "timestamp(click[31d])").select(
+        "sensor_id", F.round("value", 6).alias("value")
+    )
+
+
+@register(
+    "promql_ext_and",
+    _PRELUDE
+    + f"""
+    , cl AS (
+        SELECT v.sensor_id, s.user_label,
+               arg_max(v.value, v.time) AS value
+        FROM vals v JOIN sensors s USING (sensor_id)
+        WHERE s.name = 'click' AND {_W31}
+        GROUP BY 1, 2),
+    vw AS (
+        SELECT DISTINCT s.user_label
+        FROM vals v JOIN sensors s USING (sensor_id)
+        WHERE s.name = 'view' AND s.region_label = 'r1' AND {_W31})
+    SELECT cl.sensor_id, ROUND(cl.value, 6) AS value
+    FROM cl JOIN vw USING (user_label)
+    """,
+)
+def promql_ext_and(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Beyond-reference: set operation ``and`` with ``on(user)``
+    matching — click series restricted to users whose view series
+    carries region r1. A dimension-sized left-semi join."""
+    out = _ext_bin(
+        spark,
+        sf_dir,
+        'last_over_time(click[31d]) and on(user) '
+        'last_over_time(view{region="r1"}[31d])',
+    )
+    return out.select("sensor_id", F.round("value", 6).alias("value"))
+
+
+@register(
+    "promql_ext_unless",
+    _PRELUDE
+    + f"""
+    , cl AS (
+        SELECT v.sensor_id, s.user_label,
+               arg_max(v.value, v.time) AS value
+        FROM vals v JOIN sensors s USING (sensor_id)
+        WHERE s.name = 'click' AND {_W31}
+        GROUP BY 1, 2),
+    vw AS (
+        SELECT DISTINCT s.user_label
+        FROM vals v JOIN sensors s USING (sensor_id)
+        WHERE s.name = 'view' AND s.region_label = 'r1' AND {_W31})
+    SELECT cl.sensor_id, ROUND(cl.value, 6) AS value
+    FROM cl WHERE user_label NOT IN (SELECT user_label FROM vw)
+    """,
+)
+def promql_ext_unless(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Beyond-reference: set operation ``unless`` (left-anti join on the
+    matching key) — the complement of promql_ext_and."""
+    out = _ext_bin(
+        spark,
+        sf_dir,
+        'last_over_time(click[31d]) unless on(user) '
+        'last_over_time(view{region="r1"}[31d])',
+    )
+    return out.select("sensor_id", F.round("value", 6).alias("value"))
+
+
+@register(
+    "promql_ext_or",
+    _PRELUDE
+    + f"""
+    SELECT v.sensor_id, ROUND(arg_max(v.value, v.time), 6) AS value
+    FROM vals v JOIN sensors s USING (sensor_id)
+    WHERE s.name = 'click' AND s.region_label IN ('r1', 'r2')
+      AND {_W31}
+    GROUP BY v.sensor_id
+    """,
+)
+def promql_ext_or(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Beyond-reference: set operation ``or`` — union of two disjoint
+    selections (right side contributes only series whose matching key
+    is absent on the left)."""
+    out = _ext_bin(
+        spark,
+        sf_dir,
+        'last_over_time(click{region="r1"}[31d]) or '
+        'last_over_time(click{region="r2"}[31d])',
+    )
+    return out.select("sensor_id", F.round("value", 6).alias("value"))
+
+
+@register(
+    "promql_ext_gt_bool",
+    _PRELUDE
+    + f"""
+    SELECT v.sensor_id,
+           CASE WHEN AVG(v.value) > 50 THEN 1.0 ELSE 0.0 END AS value
+    FROM vals v
+    WHERE {_W31}
+      AND v.sensor_id IN (SELECT sensor_id FROM sensors
+                          WHERE name = 'purchase')
+    GROUP BY v.sensor_id
+    """,
+)
+def promql_ext_gt_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Beyond-reference: comparison with the ``bool`` modifier —
+    ``avg_over_time(purchase[31d]) > bool 50`` keeps every series with a
+    0/1 value."""
+    return _ext_bin(
+        spark, sf_dir, "avg_over_time(purchase[31d]) > bool 50"
+    ).select("sensor_id", "value")
+
+
+@register(
+    "promql_ext_filter_gt",
+    _PRELUDE
+    + f"""
+    SELECT v.sensor_id, ROUND(AVG(v.value), 6) AS value
+    FROM vals v
+    WHERE {_W31}
+      AND v.sensor_id IN (SELECT sensor_id FROM sensors
+                          WHERE name = 'purchase')
+    GROUP BY v.sensor_id
+    HAVING AVG(v.value) > 50
+    """,
+)
+def promql_ext_filter_gt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Beyond-reference: comparison as filter (Prometheus default) —
+    ``avg_over_time(purchase[31d]) > 50`` drops non-matching series,
+    values unchanged."""
+    out = _ext_bin(spark, sf_dir, "avg_over_time(purchase[31d]) > 50")
+    return out.select("sensor_id", F.round("value", 6).alias("value"))
+
+
+# ---------------------------------------------------------------------------
+# Beyond-reference: visualization downsampling, rolling windows,
+# anomaly detection, trailing-interval joins, cross-series correlation
+# ---------------------------------------------------------------------------
+
+@register(
+    "downsample_m4",
+    _PRELUDE
+    + """
+    SELECT v.sensor_id, date_trunc('day', v.time) AS bucket,
+           COUNT(*) AS n,
+           MIN(v.value) AS v_min, MAX(v.value) AS v_max,
+           arg_min(v.value, epoch_us(v.time)::HUGEINT * 100000000
+                            + v.event_id) AS v_first,
+           arg_max(v.value, epoch_us(v.time)::HUGEINT * 100000000
+                            + v.event_id) AS v_last,
+           MIN(v.time) AS t_first, MAX(v.time) AS t_last
+    FROM vals v
+    WHERE v.sensor_id IN (SELECT sensor_id FROM sensors
+                          WHERE name = 'error')
+    GROUP BY 1, 2
+    """,
+)
+def downsample_m4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Beyond-reference: M4 visualization downsampling (min/max/first/
+    last per pixel bucket, Jugel et al. PVLDB'14). Shuffle bytes ∝
+    series × buckets, independent of sample rate."""
+    from sensapp_spark.operators.timeseries import m4_downsample
+
+    sensors = td.events_sensors(spark, sf_dir)
+    vals = td.events_values(spark, sf_dir).join(
+        F.broadcast(
+            sensors.filter(F.col("name") == "error").select("sensor_id")
+        ),
+        "sensor_id",
+        "leftsemi",
+    )
+    return m4_downsample(
+        vals, on=["sensor_id"], bucket="day", tiebreaker="event_id"
+    )
+
+
+@register(
+    "rolling_avg",
+    _PRELUDE
+    + """
+    SELECT v.sensor_id, v.time, v.event_id,
+           ROUND(AVG(v.value) OVER (
+               PARTITION BY v.sensor_id
+               ORDER BY v.time, v.event_id
+               ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6) AS value_rolling
+    FROM vals v
+    WHERE v.sensor_id IN (SELECT sensor_id FROM sensors
+                          WHERE name = 'signup')
+    """,
+)
+def rolling_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Beyond-reference: trailing 5-row moving average per series — a
+    ROWS-bounded window, O(window) state per row at any series length."""
+    from sensapp_spark.operators.timeseries import rolling_mean
+
+    sensors = td.events_sensors(spark, sf_dir)
+    vals = td.events_values(spark, sf_dir).join(
+        F.broadcast(
+            sensors.filter(F.col("name") == "signup").select("sensor_id")
+        ),
+        "sensor_id",
+        "leftsemi",
+    )
+    out = rolling_mean(
+        vals, on=["sensor_id"], window_rows=5, tiebreakers=["event_id"]
+    )
+    return out.select(
+        "sensor_id", "time", "event_id",
+        F.round("value_rolling", 6).alias("value_rolling"),
+    )
+
+
+@register(
+    "anomaly_zscore",
+    _PRELUDE
+    + """
+    , stats AS (
+        SELECT sensor_id, AVG(value) AS mu, stddev_pop(value) AS sigma
+        FROM vals GROUP BY sensor_id)
+    SELECT v.event_id, v.sensor_id,
+           ROUND((v.value - s.mu) / s.sigma, 6) AS zscore
+    FROM vals v JOIN stats s USING (sensor_id)
+    WHERE s.sigma > 0 AND abs((v.value - s.mu) / s.sigma) > 2.5
+    """,
+)
+def anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Beyond-reference: per-series z-score anomalies (|z| > 2.5).
+    Dimension-sized stats aggregate broadcast-joined back to the scan."""
+    from sensapp_spark.operators.timeseries import zscore_outliers
+
+    out = zscore_outliers(
+        td.events_values(spark, sf_dir), on=["sensor_id"], threshold=2.5
+    )
+    return out.select(
+        "event_id", "sensor_id", F.round("zscore", 6).alias("zscore")
+    )
+
+
+@register(
+    "interval_join_5m",
+    """
+    WITH clicks AS (
+        SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS time
+        FROM events WHERE event_type = 'click'),
+    views AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS time
+        FROM events WHERE event_type = 'view')
+    SELECT c.event_id, COUNT(v.time) AS n_views
+    FROM clicks c LEFT JOIN views v
+      ON v.user_id = c.user_id
+     AND v.time > c.time - INTERVAL 300 SECOND
+     AND v.time <= c.time
+    GROUP BY c.event_id
+    """,
+)
+def interval_join_5m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Beyond-reference: trailing-interval join — views by the same user
+    in the 5 minutes before each click. Equi-join on user with the
+    interval as a range conjunct; pair blowup bounded by events-per-
+    user-per-interval."""
+    from sensapp_spark.operators.timeseries import interval_count
+
+    ev = td.load_events(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "event_id", F.col("ts").alias("time")
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("ts").alias("time")
+    )
+    out = interval_count(
+        clicks, views, on=["user_id"], lookback_seconds=300,
+        count_alias="n_views",
+    )
+    return out.select("event_id", "n_views")
+
+
+@register(
+    "series_corr_daily",
+    """
+    WITH daily AS (
+        SELECT user_id, event_type,
+               date_trunc('day', CAST(ts AS TIMESTAMP)) AS d,
+               AVG(value) AS v
+        FROM events WHERE event_type IN ('click', 'view')
+        GROUP BY 1, 2, 3),
+    paired AS (
+        SELECT c.user_id, c.d, c.v AS cv, w.v AS wv
+        FROM (SELECT * FROM daily WHERE event_type = 'click') c
+        JOIN (SELECT * FROM daily WHERE event_type = 'view') w
+          USING (user_id, d))
+    SELECT user_id, ROUND(corr(cv, wv), 6) AS click_view_corr,
+           COUNT(*) AS n_days
+    FROM paired GROUP BY user_id
+    HAVING var_pop(cv) > 0 AND var_pop(wv) > 0
+    """,
+)
+def series_corr_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Beyond-reference: cross-series correlation — each user's click
+    and view series aligned on daily buckets, Pearson correlation across
+    days. Both sides pre-aggregate to buckets before the join, so the
+    shuffle carries days, not samples."""
+    ev = td.load_events(spark, sf_dir).filter(
+        F.col("event_type").isin("click", "view")
+    )
+    daily = ev.groupBy(
+        "user_id",
+        "event_type",
+        F.date_trunc("day", "ts").alias("d"),
+    ).agg(F.avg("value").alias("v"))
+    c = daily.filter(F.col("event_type") == "click").select(
+        "user_id", "d", F.col("v").alias("cv")
+    )
+    w = daily.filter(F.col("event_type") == "view").select(
+        "user_id", "d", F.col("v").alias("wv")
+    )
+    paired = c.join(w, ["user_id", "d"])
+    return (
+        paired.groupBy("user_id")
+        .agg(
+            F.round(F.corr("cv", "wv"), 6).alias("click_view_corr"),
+            F.count("*").alias("n_days"),
+            F.var_pop("cv").alias("__vc"),
+            F.var_pop("wv").alias("__vw"),
+        )
+        .filter((F.col("__vc") > 0) & (F.col("__vw") > 0))
+        .drop("__vc", "__vw")
+    )
+
+
 _register_pipeline()

@@ -50,10 +50,15 @@ from sensapp_spark.query.promql import (
 )
 
 RANGE_FUNCS = frozenset(
-    "rate increase delta avg_over_time sum_over_time min_over_time "
+    "rate increase delta irate idelta changes resets deriv predict_linear "
+    "avg_over_time sum_over_time min_over_time "
     "max_over_time count_over_time last_over_time quantile_over_time "
     "stddev_over_time stdvar_over_time present_over_time".split()
 )
+# Instant-vector functions (argument is an instant selector, not a range).
+INSTANT_FUNCS = frozenset(["timestamp"])
+# Range functions taking a scalar SECOND argument.
+TAIL_PARAM_RANGE_FUNCS = frozenset(["predict_linear"])
 AGG_OPS = frozenset(
     "sum avg min max count group count_values stddev stdvar quantile "
     "topk bottomk".split()
@@ -106,16 +111,21 @@ class ExtendedQuery:
 
 @dataclass
 class BinaryQuery:
-    """One top-level arithmetic operation between two vector expressions
+    """One top-level binary operation between two vector expressions
     (or a vector and a scalar), with Prometheus one-to-one vector
     matching: series pair up on their full label set (metric name
-    excluded), restricted by ``on (…)`` or ``ignoring (…)``."""
+    excluded), restricted by ``on (…)`` or ``ignoring (…)``.
 
-    op: str  # + - * /
+    ``op`` is arithmetic (``+ - * /``), comparison (``> < >= <= ==
+    !=``, optionally with the ``bool`` modifier), or a set operation
+    (``and or unless``)."""
+
+    op: str
     left: "ExtendedQuery | float"
     right: "ExtendedQuery | float"
     on: list[str] = field(default_factory=list)
     ignoring: list[str] = field(default_factory=list)
+    bool_mode: bool = False
 
 
 def _strip_parens(s: str) -> tuple[str, str]:
@@ -430,6 +440,8 @@ def parse_extended(query: str, now: dt.datetime | None = None) -> ExtendedQuery:
         func_param = None
         if head in PARAM_FUNCS:
             func_param, inner = _split_param(inner, head)
+        elif head in TAIL_PARAM_RANGE_FUNCS:
+            func_param, inner = _split_tail_param(inner, head, required=True)
         if "[" not in inner:
             raise PromQLError(
                 "call",
@@ -441,36 +453,103 @@ def parse_extended(query: str, now: dt.datetime | None = None) -> ExtendedQuery:
             func_param=func_param,
         )
 
+    if head in INSTANT_FUNCS and rest.startswith("("):
+        inner, trailing = _strip_parens(rest)
+        if trailing.strip():
+            raise PromQLError(
+                "parse",
+                f"Unexpected trailing content in query: '{trailing.strip()}'",
+            )
+        sub = parse_extended(inner, now)
+        if sub.func is not None or sub.agg is not None or sub.post:
+            raise PromQLError(
+                "call",
+                f"{head}() applies to a plain instant selector — "
+                f"e.g. {head}(metric).",
+            )
+        sub.func = head
+        return sub
+
     return ExtendedQuery(selector=_parse_selector(query, now))
 
 
-def _find_top_level_op(s: str) -> int | None:
-    """Index of the single top-level arithmetic operator, outside any
-    parens/brackets/quotes; None when absent. Two top-level operators is
-    a didactic error (one binary operation per query)."""
-    depth, quote, found = 0, "", None
+_SET_OPS = ("and", "unless", "or")
+_CMP_OPS = (">=", "<=", "==", "!=", ">", "<")
+
+
+def _depth_at(s: str) -> list[int]:
+    """Per-character nesting depth over ``()[]{}``, with -1 marking
+    characters inside string literals — used to find top-level binary
+    operators without tripping on label matchers or quoted values."""
+    depths = [0] * len(s)
+    depth, quote = 0, ""
     i = 0
     while i < len(s):
         c = s[i]
         if quote:
+            depths[i] = -1
             if c == "\\" and quote != "`":
+                if i + 1 < len(s):
+                    depths[i + 1] = -1
                 i += 2
                 continue
             if c == quote:
                 quote = ""
         elif c in "\"'`":
             quote = c
-        elif c in "([":
+            depths[i] = -1
+        elif c in "([{":
             depth += 1
-        elif c in ")]":
+            depths[i] = depth
+        elif c in ")]}":
+            depths[i] = depth
             depth -= 1
-        elif depth == 0 and c in "+-*/":
-            if found is not None:
-                raise PromQLError(
-                    "binary",
-                    "Only one binary operation per query is supported.",
-                )
-            found = i
+        else:
+            depths[i] = depth
+        i += 1
+    return depths
+
+
+def _find_top_level_op(s: str) -> tuple[int, str] | None:
+    """The single top-level binary operator (position, token), outside
+    any parens/brackets/braces/quotes; None when absent. Two top-level
+    operators is a didactic error (one binary operation per query).
+
+    Scans set-operation keywords first (whole words), then two-char
+    comparisons, then single-char comparison/arithmetic operators."""
+    depths = _depth_at(s)
+    found: tuple[int, str] | None = None
+
+    def record(i: int, tok: str) -> None:
+        nonlocal found
+        if found is not None:
+            raise PromQLError(
+                "binary",
+                "Only one binary operation per query is supported.",
+            )
+        found = (i, tok)
+
+    for m in re.finditer(r"(?<![A-Za-z0-9_:])(and|unless|or)(?![A-Za-z0-9_:])", s):
+        if depths[m.start()] == 0:
+            record(m.start(), m.group(1))
+    if found is not None:
+        return found
+
+    i = 0
+    while i < len(s):
+        if depths[i] != 0:
+            i += 1
+            continue
+        two = s[i:i + 2]
+        if two in (">=", "<=", "==", "!="):
+            record(i, two)
+            i += 2
+            continue
+        c = s[i]
+        if c in "><":
+            record(i, c)
+        elif c in "+-*/":
+            record(i, c)
         i += 1
     return found
 
@@ -481,11 +560,18 @@ def parse_extended_expr(
     """Full extended grammar: ``expr [op [on|ignoring (…)] expr]`` where
     each side is the `parse_extended` grammar or a scalar literal."""
     now = now or dt.datetime.now(dt.timezone.utc)
-    idx = _find_top_level_op(query.strip())
-    if idx is None:
-        return parse_extended(query, now)
     s = query.strip()
-    op, left_text, rest = s[idx], s[:idx].strip(), s[idx + 1:].strip()
+    hit = _find_top_level_op(s)
+    if hit is None:
+        return parse_extended(query, now)
+    idx, op = hit
+    left_text, rest = s[:idx].strip(), s[idx + len(op):].strip()
+    bool_mode = False
+    if op in _CMP_OPS:
+        m = re.match(r"bool(?![A-Za-z0-9_])", rest)
+        if m:
+            bool_mode = True
+            rest = rest[m.end():].lstrip()
     mode, labels, rest = _parse_matching(rest)
     right_text = rest.strip()
     if not left_text or not right_text:
@@ -507,12 +593,21 @@ def parse_extended_expr(
             "Literal values are not valid queries. Use a metric selector "
             "like 'metric_name{label=\"value\"}'.",
         )
+    if op in _SET_OPS and (
+        isinstance(left, float) or isinstance(right, float)
+    ):
+        raise PromQLError(
+            "binary",
+            f"'{op}' is a set operation between two instant vectors; "
+            "scalars have no label sets to match on.",
+        )
     return BinaryQuery(
         op=op,
         left=left,
         right=right,
         on=labels if mode == "on" else [],
         ignoring=labels if mode == "ignoring" else [],
+        bool_mode=bool_mode,
     )
 
 
@@ -539,6 +634,14 @@ def _parse_matching(rest: str) -> tuple[str | None, list[str], str]:
                     )
             return kw, labels, trailing
     return None, [], rest
+
+
+def _epoch_us(ts: dt.datetime) -> int:
+    """Naive timestamps are interpreted as UTC (the engine's session
+    timezone) — same convention as evaluate_range."""
+    if ts.tzinfo is None:
+        ts = ts.replace(tzinfo=dt.timezone.utc)
+    return int(ts.timestamp() * 1_000_000)
 
 
 _OVER_TIME = {
@@ -658,11 +761,19 @@ def _labels_without(without: list[str]):
 
 
 def _per_series_agg(
-    scan: DataFrame, eq: ExtendedQuery, keys: tuple[str, ...] = ("sensor_id",)
+    scan: DataFrame,
+    eq: ExtendedQuery,
+    keys: tuple[str, ...] = ("sensor_id",),
+    eval_us: F.Column | None = None,
 ) -> DataFrame:
     """The per-series window reduction for ``eq.func`` grouped by
     ``keys`` — (sensor_id,) for an instant evaluation, (sensor_id,
-    step) for a range query. One shuffle, map-side partials."""
+    step) for a range query. One shuffle, map-side partials.
+
+    ``eval_us`` is the evaluation timestamp in µs as a post-aggregation
+    column expression (a literal for instant queries, derived from the
+    step index for range queries) — only ``predict_linear`` reads it.
+    """
     gb = scan.groupBy(*keys)
     if eq.func in (None, "last_over_time"):
         return gb.agg(F.max_by("value", "time").alias("value"))
@@ -674,6 +785,84 @@ def _per_series_agg(
             gb.agg(value.alias("value"), span.alias("__span"))
             .filter(F.col("__span") > 0)
             .drop("__span")
+        )
+    if eq.func in ("irate", "idelta"):
+        # Last TWO samples per series: a per-key top-2 window. The
+        # row_number + filter pair plans as WindowGroupLimit — each map
+        # task keeps only its local top-2 before the shuffle, so the
+        # exchange carries ≤ 2 rows per (key, input-partition), not the
+        # full scan. Ties on time break by value (documented; the
+        # reference has no tiebreak either, SURVEY §7.4 risk 6).
+        w = Window.partitionBy(*keys).orderBy(
+            F.col("time").desc(), F.col("value").desc()
+        )
+        top2 = scan.withColumn("__rn", F.row_number().over(w)).filter(
+            F.col("__rn") <= 2
+        )
+        span = (F.unix_micros(F.max("time")) - F.unix_micros(F.min("time"))) / 1e6
+        rise = F.min_by("value", "__rn") - F.max_by("value", "__rn")
+        value = rise / span if eq.func == "irate" else rise
+        return (
+            top2.groupBy(*keys)
+            .agg(value.alias("value"), span.alias("__span"))
+            .filter(F.col("__span") > 0)
+            .drop("__span")
+        )
+    if eq.func in ("changes", "resets"):
+        # Consecutive-pair comparison per series: one lag window on the
+        # (key, time) sort, then a sum — the groupBy reuses the window's
+        # partitioning, so the plan has a single exchange.
+        w = Window.partitionBy(*keys).orderBy(
+            F.col("time").asc(), F.col("value").asc()
+        )
+        prev = F.lag("value").over(w)
+        hit = (
+            (F.col("value") != prev)
+            if eq.func == "changes"
+            else (F.col("value") < prev)
+        )
+        flagged = scan.withColumn(
+            "__f", (prev.isNotNull() & hit).cast("long")
+        )
+        return flagged.groupBy(*keys).agg(
+            F.sum("__f").cast("double").alias("value")
+        )
+    if eq.func in ("deriv", "predict_linear"):
+        # Least-squares slope over the window (Prometheus simple linear
+        # regression): covar_pop/var_pop are JVM aggregates with
+        # map-side partials — same single-shuffle shape as rate().
+        # x is centered on the window start: regressing on raw epoch
+        # seconds (~1.7e9) loses ~9 digits of covariance precision to
+        # cancellation, enough to flip the 6th decimal between engines
+        # (Prometheus itself centers on the first sample's timestamp
+        # for the same reason).
+        x0 = _epoch_us(eq.selector.start_time)
+        x = (F.unix_micros(F.col("time")) - F.lit(x0)) / F.lit(1e6)
+        y = F.col("value")
+        agged = gb.agg(
+            F.avg(x).alias("__ax"),
+            F.avg(y).alias("__ay"),
+            F.covar_pop(x, y).alias("__cxy"),
+            F.var_pop(x).alias("__vx"),
+        ).filter(F.col("__vx") > 0)
+        slope = F.col("__cxy") / F.col("__vx")
+        if eq.func == "deriv":
+            value = slope
+        else:
+            if eval_us is None:
+                raise PromQLError(
+                    "call", "predict_linear() needs an evaluation time."
+                )
+            eval_sec = (eval_us - F.lit(x0)) / F.lit(1e6)
+            value = F.col("__ay") + slope * (
+                eval_sec + F.lit(eq.func_param) - F.col("__ax")
+            )
+        return agged.select(*keys, value.alias("value"))
+    if eq.func == "timestamp":
+        # Instant-vector function: the last sample's timestamp in
+        # seconds (µs precision preserved in the fraction).
+        return gb.agg(
+            (F.max(F.unix_micros("time")) / F.lit(1e6)).alias("value")
         )
     if eq.func == "present_over_time":
         return gb.agg(F.max(F.lit(1.0)).alias("value"))
@@ -697,7 +886,10 @@ def evaluate_extended(
                        "leftsemi")
     scan = time_range(scan, q.start_time, q.end_time)
 
-    per_series = _per_series_agg(scan, eq)
+    eval_us = (
+        F.lit(_epoch_us(q.end_time)) if q.end_time is not None else None
+    )
+    per_series = _per_series_agg(scan, eq, eval_us=eval_us)
 
     out = per_series.join(
         F.broadcast(selected.select("sensor_id", "name", "labels")), "sensor_id"
@@ -815,7 +1007,10 @@ def evaluate_range(
         "__i", F.explode(F.sequence(idx0, idx1))
     )
 
-    per_step = _per_series_agg(exploded, eq, keys=("sensor_id", "__i"))
+    step_eval_us = (F.lit(start_us) + F.col("__i") * F.lit(s_us)).cast("long")
+    per_step = _per_series_agg(
+        exploded, eq, keys=("sensor_id", "__i"), eval_us=step_eval_us
+    )
     t_col = F.timestamp_micros(
         (F.lit(start_us) + F.col("__i") * s_us).cast("long")
     ).alias("t")
@@ -902,14 +1097,22 @@ def evaluate_binary(
     """Evaluate one arithmetic operation between two instant vectors
     with one-to-one matching, or between a vector and a scalar.
 
-    Vector∘vector returns ``(labels, value)`` keyed on the matching
-    label string (the metric name is dropped, as in Prometheus);
-    vector∘scalar keeps the series shape ``(sensor_id, name, labels,
-    value)``. Both operand vectors are series-sized (post per-series
-    aggregation), so the equality join is dimension-sized — AQE is free
-    to broadcast it. Many-to-one matches (duplicate keys on a side)
-    multiply rows; Prometheus rejects them at runtime, here they are
-    documented as undefined instead of paying a duplicate check."""
+    Vector∘vector arithmetic returns ``(labels, value)`` keyed on the
+    matching label string (the metric name is dropped, as in
+    Prometheus); vector∘scalar and the set operations keep the series
+    shape ``(sensor_id, name, labels, value)``. Both operand vectors
+    are series-sized (post per-series aggregation), so the equality
+    join is dimension-sized — AQE is free to broadcast it. Many-to-one
+    matches (duplicate keys on a side) multiply rows; Prometheus
+    rejects them at runtime, here they are documented as undefined
+    instead of paying a duplicate check.
+
+    Comparisons follow Prometheus: without ``bool`` they FILTER the
+    left vector (value unchanged); with ``bool`` every series survives
+    with value 1.0/0.0. Set operations (``and``/``unless``/``or``)
+    become left-semi / left-anti joins / a union with an anti-join on
+    the matching key — no value columns cross sides, so all three stay
+    dimension-sized joins."""
 
     def apply(lc: F.Column, rc: F.Column) -> F.Column:
         return {
@@ -917,17 +1120,57 @@ def evaluate_binary(
             "-": lc - rc,
             "*": lc * rc,
             "/": lc / rc,
+            ">": lc > rc,
+            "<": lc < rc,
+            ">=": lc >= rc,
+            "<=": lc <= rc,
+            "==": lc == rc,
+            "!=": lc != rc,
         }[bq.op]
+
+    if bq.op in _SET_OPS:
+        for side_eq in (bq.left, bq.right):
+            if side_eq.agg is not None:
+                raise PromQLError(
+                    "binary",
+                    f"'{bq.op}' operates on series vectors; aggregated "
+                    "operands have no series identity to match on.",
+                )
+        left = evaluate_extended(sensors, values, bq.left)
+        right = evaluate_extended(sensors, values, bq.right)
+        key = _matching_key(bq.on, bq.ignoring)
+        lk = left.withColumn("__k", key)
+        rk = right.select(key.alias("__k")).distinct()
+        cols = ["sensor_id", "name", "labels", "value"]
+        if bq.op == "and":
+            return lk.join(rk, "__k", "leftsemi").select(*cols)
+        if bq.op == "unless":
+            return lk.join(rk, "__k", "leftanti").select(*cols)
+        # or: all left series, plus right series whose key matches no
+        # left series.
+        lkeys = left.select(key.alias("__k")).distinct()
+        extra = (
+            right.withColumn("__k", key)
+            .join(lkeys, "__k", "leftanti")
+            .select(*cols)
+        )
+        return left.select(*cols).unionByName(extra)
 
     if isinstance(bq.left, float) or isinstance(bq.right, float):
         eq = bq.right if isinstance(bq.left, float) else bq.left
         out = evaluate_extended(sensors, values, eq)
         if isinstance(bq.left, float):
-            value = apply(F.lit(bq.left), F.col("value"))
+            res = apply(F.lit(bq.left), F.col("value"))
         else:
-            value = apply(F.col("value"), F.lit(bq.right))
+            res = apply(F.col("value"), F.lit(bq.right))
         cols = [c for c in ("sensor_id", "name", "labels") if c in out.columns]
-        return out.select(*cols, value.alias("value"))
+        if bq.op in _CMP_OPS:
+            if bq.bool_mode:
+                return out.select(
+                    *cols, res.cast("double").alias("value")
+                )
+            return out.filter(res).select(*cols, "value")
+        return out.select(*cols, res.alias("value"))
 
     for side_eq in (bq.left, bq.right):
         if side_eq.agg not in (None, "topk", "bottomk"):
@@ -942,7 +1185,16 @@ def evaluate_binary(
     key = _matching_key(bq.on, bq.ignoring)
     lk = left.select(key.alias("labels"), F.col("value").alias("__lv"))
     rk = right.select(key.alias("labels"), F.col("value").alias("__rv"))
-    return (
-        lk.join(rk, "labels")
-        .select("labels", apply(F.col("__lv"), F.col("__rv")).alias("value"))
+    joined = lk.join(rk, "labels")
+    if bq.op in _CMP_OPS:
+        cond = apply(F.col("__lv"), F.col("__rv"))
+        if bq.bool_mode:
+            return joined.select(
+                "labels", cond.cast("double").alias("value")
+            )
+        return joined.filter(cond).select(
+            "labels", F.col("__lv").alias("value")
+        )
+    return joined.select(
+        "labels", apply(F.col("__lv"), F.col("__rv")).alias("value")
     )

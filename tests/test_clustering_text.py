@@ -1,0 +1,114 @@
+"""Spherical k-means clustering + round-2 text operators (type-token
+ratio, PII scan)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from sensapp_spark.pipeline.clustering import (
+    KMEANS_K,
+    init_centroids,
+    kmeans_assign,
+)
+from sensapp_spark.pipeline.text import pii_scan, type_token_ratio
+
+EMB = "/root/testdata/sf0.001/embeddings.parquet"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(EMB)
+
+
+def _cos(a, b):
+    dot = sum(x * y for x, y in zip(a, b))
+    na = math.sqrt(sum(x * x for x in a))
+    nb = math.sqrt(sum(x * x for x in b))
+    return dot / (na * nb)
+
+
+def test_init_centroids_are_first_k(emb):
+    cents = init_centroids(emb, 4)
+    assert [c[0] for c in cents] == [0, 1, 2, 3]
+
+
+def test_kmeans_assign_deterministic(emb):
+    a = {r.vec_id: r.cluster for r in kmeans_assign(emb).collect()}
+    b = {r.vec_id: r.cluster for r in kmeans_assign(emb).collect()}
+    assert a == b
+    assert set(a.values()) <= set(range(KMEANS_K))
+    assert len(a) == emb.count()
+
+
+def test_kmeans_first_round_matches_naive(emb):
+    """Round-1 assignment (against the init codebook) replayed in plain
+    Python must agree with the Spark expression."""
+    cents = init_centroids(emb, KMEANS_K)
+    rows = emb.select("vec_id", "embedding").collect()
+    naive = {}
+    for r in rows:
+        v = [float(x) for x in r.embedding]
+        scored = sorted(
+            ((round(_cos(v, cvec), 6), -cid) for cid, cvec in cents),
+            reverse=True,
+        )
+        naive[r.vec_id] = -scored[0][1]
+    one_round = kmeans_assign(emb, rounds=1)
+    got = {r.vec_id: r.cluster for r in one_round.collect()}
+    assert got == naive
+
+
+def test_kmeans_update_moves_centroids(emb):
+    """After one Lloyd update the assignment must differ from round 1
+    for at least one vector (centroids moved off the seed points)."""
+    r1 = {r.vec_id: r.cluster for r in kmeans_assign(emb, rounds=1).collect()}
+    r2 = {r.vec_id: r.cluster for r in kmeans_assign(emb, rounds=2).collect()}
+    assert r1 != r2
+
+
+# ---------------------------------------------------------------------------
+# text
+# ---------------------------------------------------------------------------
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+def test_type_token_ratio(spark):
+    out = type_token_ratio(
+        _docs(spark, ["the cat the dog", "all distinct words here"])
+    ).collect()
+    got = {r.doc_id: (r.total_tokens, r.distinct_tokens, r.ttr)
+           for r in out}
+    assert got[0] == (4, 3, 0.75)
+    assert got[1] == (4, 4, 1.0)
+
+
+def test_type_token_ratio_normalizes_case(spark):
+    out = type_token_ratio(_docs(spark, ["The THE the"])).collect()
+    assert out[0].distinct_tokens == 1
+
+
+def test_pii_scan_detects_patterns(spark):
+    out = pii_scan(
+        _docs(
+            spark,
+            [
+                "contact alice@example.com or bob@corp.io today",
+                "call +1 (555) 123-4567 now",
+                "server at 192.168.1.250 responded",
+                "perfectly clean text",
+            ],
+        )
+    ).collect()
+    got = {r.doc_id: r for r in out}
+    assert got[0].emails == 2 and got[0].has_pii
+    assert got[1].phones == 1 and got[1].has_pii
+    assert got[2].ipv4s == 1 and got[2].has_pii
+    assert not got[3].has_pii
+    assert got[3].emails == got[3].phones == got[3].ipv4s == 0
