@@ -95,18 +95,23 @@ def shingle_counts(sh: DataFrame) -> DataFrame:
     return sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
 
 
+DEFAULT_MAX_DF = 1000
+
+
 def jaccard_pairs(
     docs: DataFrame,
     n: int = DEFAULT_NGRAM,
     threshold: float = 0.5,
-    max_df: int | None = None,
+    max_df: int | None = DEFAULT_MAX_DF,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-duplicate pairs via inverted-index join.
 
-    ``max_df`` optionally drops shingles appearing in more than that many
-    documents — the standard skew guard at corpus scale (a stop-shingle
-    contributes df² join rows but almost no Jaccard discrimination).
-    Returns (doc_a, doc_b, jaccard) with doc_a < doc_b, jaccard ≥ threshold.
+    ``max_df`` drops shingles appearing in more than that many documents —
+    the skew guard that keeps the inverted-index join linear-ish at corpus
+    scale (a stop-shingle contributes df² join rows but almost no Jaccard
+    discrimination). It defaults ON; pass ``max_df=None`` explicitly for
+    exact small-corpus runs. Returns (doc_a, doc_b, jaccard) with
+    doc_a < doc_b, jaccard ≥ threshold.
     """
     sh = word_shingles(docs, n)
     if max_df is not None:

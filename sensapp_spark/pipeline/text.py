@@ -197,17 +197,21 @@ def pii_scan(docs: DataFrame) -> DataFrame:
     training pipeline runs before release. Narrow projection, regex
     evaluated JVM-side; at 100 TB this is a map-only scan."""
     t = F.col("text")
-    counts = {
-        name: F.regexp_count(t, F.lit(pat)).alias(name)
-        for name, pat in PII_PATTERNS.items()
-    }
+    counted = docs.select(
+        "doc_id",
+        *(
+            F.regexp_count(t, F.lit(pat)).alias(name)
+            for name, pat in PII_PATTERNS.items()
+        ),
+    )
+    # Each regex runs exactly once: has_pii derives from the already-
+    # computed count columns in a second projection (collapsed by
+    # Catalyst into one stage, but never re-evaluating the regexes).
     total = None
     for name in PII_PATTERNS:
-        c = F.regexp_count(t, F.lit(PII_PATTERNS[name]))
+        c = F.col(name)
         total = c if total is None else total + c
-    return docs.select(
-        "doc_id", *counts.values(), (total > 0).alias("has_pii")
-    )
+    return counted.withColumn("has_pii", total > 0)
 
 
 def type_token_ratio(docs: DataFrame) -> DataFrame:

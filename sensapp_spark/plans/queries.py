@@ -1160,8 +1160,9 @@ def asof_align(spark: SparkSession, sf_dir: str) -> DataFrame:
                     THEN 1 ELSE 0 END AS is_new
         FROM e WINDOW w AS (PARTITION BY user_id ORDER BY time))
     SELECT user_id, time, event_id,
-           SUM(is_new) OVER (PARTITION BY user_id ORDER BY time
-                             ROWS UNBOUNDED PRECEDING) AS session_id
+           CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY time
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS session_id
     FROM flagged
     """,
 )
@@ -1223,7 +1224,9 @@ def _ext_bin(spark, sf_dir, expr, now=dt.datetime(2024, 2, 1)):
           AND v.sensor_id IN (SELECT sensor_id FROM sensors
                               WHERE name = 'click'))
     SELECT sensor_id,
-           ROUND((arg_min(value, rn) - arg_max(value, rn))
+           ROUND(CASE WHEN arg_min(value, rn) < arg_max(value, rn)
+                      THEN arg_min(value, rn)
+                      ELSE arg_min(value, rn) - arg_max(value, rn) END
                  / ((epoch_us(MAX(time)) - epoch_us(MIN(time))) / 1e6),
                  6) AS value
     FROM ranked WHERE rn <= 2
@@ -1233,7 +1236,8 @@ def _ext_bin(spark, sf_dir, expr, now=dt.datetime(2024, 2, 1)):
 )
 def promql_ext_irate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Beyond-reference: ``irate(click[31d])`` — instantaneous rate from
-    the last two samples. The per-series top-2 plans as WindowGroupLimit
+    the last two samples, with Prometheus counter-reset handling (last <
+    prev ⇒ rise = last). The per-series top-2 plans as WindowGroupLimit
     (partial top-K before the shuffle), so the exchange carries ≤2 rows
     per input partition per series at any sample rate."""
     out = _ext(spark, sf_dir, "irate(click[31d])")
@@ -1489,9 +1493,9 @@ def promql_ext_filter_gt(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT v.sensor_id, date_trunc('day', v.time) AS bucket,
            COUNT(*) AS n,
            MIN(v.value) AS v_min, MAX(v.value) AS v_max,
-           arg_min(v.value, epoch_us(v.time)::HUGEINT * 100000000
+           arg_min(v.value, epoch_us(v.time)::HUGEINT * 18446744073709551616
                             + v.event_id) AS v_first,
-           arg_max(v.value, epoch_us(v.time)::HUGEINT * 100000000
+           arg_max(v.value, epoch_us(v.time)::HUGEINT * 18446744073709551616
                             + v.event_id) AS v_last,
            MIN(v.time) AS t_first, MAX(v.time) AS t_last
     FROM vals v
@@ -1503,7 +1507,10 @@ def promql_ext_filter_gt(spark: SparkSession, sf_dir: str) -> DataFrame:
 def downsample_m4(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Beyond-reference: M4 visualization downsampling (min/max/first/
     last per pixel bucket, Jugel et al. PVLDB'14). Shuffle bytes ∝
-    series × buckets, independent of sample rate."""
+    series × buckets, independent of sample rate. The oracle linearizes
+    the (time, event_id) ordering as epoch_us·2^64 + event_id — 2^64
+    exceeds the full BIGINT span, so the encoding is collision-free for
+    any event_id and matches Spark's struct(time, event_id) ordering."""
     from sensapp_spark.operators.timeseries import m4_downsample
 
     sensors = td.events_sensors(spark, sf_dir)

@@ -47,14 +47,24 @@ def ensure_session_confs(spark: SparkSession) -> None:
 
 
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet stores ns-precision timestamps, which the Spark parquet
-    reader rejects (PARQUET_TYPE_ILLEGAL). Read them as raw int64 ns and
-    truncate to µs JVM-side. Integer ``DIV`` keeps full precision — a double
-    division would round at ~256 ns granularity for 2024 epochs (53-bit
-    mantissa < 1.7e18)."""
+    """Load the events fact table, normalizing ``ts`` to a µs timestamp.
+
+    Earlier driver testdata stored ns-precision timestamps (which Spark's
+    parquet reader surfaces as int64 under the nanosAsLong conf); current
+    testdata stores µs TIMESTAMP directly. Handle both: if ``ts`` arrives
+    as a long, it is ns — integer-DIV to µs (a double division would round
+    at ~256 ns granularity for 2024 epochs, 53-bit mantissa < 1.7e18)."""
     ensure_session_confs(spark)
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    return ev.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    if dict(ev.dtypes)["ts"] == "bigint":
+        ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    else:
+        # Parquet µs timestamps with isAdjustedToUTC=false surface as
+        # TIMESTAMP_NTZ; cast to TimestampType (session tz is pinned UTC,
+        # so the wall clock is preserved) for the epoch-arithmetic
+        # operators downstream.
+        ev = ev.withColumn("ts", F.col("ts").cast("timestamp"))
+    return ev
 
 
 def events_sensors(spark: SparkSession, sf_dir: str) -> DataFrame:

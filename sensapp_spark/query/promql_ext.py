@@ -800,8 +800,16 @@ def _per_series_agg(
             F.col("__rn") <= 2
         )
         span = (F.unix_micros(F.max("time")) - F.unix_micros(F.min("time"))) / 1e6
-        rise = F.min_by("value", "__rn") - F.max_by("value", "__rn")
-        value = rise / span if eq.func == "irate" else rise
+        last = F.min_by("value", "__rn")
+        prev = F.max_by("value", "__rn")
+        if eq.func == "irate":
+            # Prometheus counter-reset handling: last < prev means the
+            # counter restarted, so the rise since the reset is the last
+            # value itself (idelta is a gauge function — raw difference).
+            rise = F.when(last < prev, last).otherwise(last - prev)
+            value = rise / span
+        else:
+            value = last - prev
         return (
             top2.groupBy(*keys)
             .agg(value.alias("value"), span.alias("__span"))

@@ -126,6 +126,27 @@ def test_irate_single_sample_dropped(spark):
     assert _eval(spark, sensors, vals, "irate(m[1h])").count() == 0
 
 
+def test_irate_counter_reset_clamps(spark):
+    # last (7) < prev (100): Prometheus treats this as a counter reset
+    # and uses the last value itself as the rise.
+    sensors, vals = _mk(
+        spark, [("m/1", 0, 50.0), ("m/1", 10, 100.0), ("m/1", 20, 7.0)]
+    )
+    out = _eval(spark, sensors, vals, "irate(m[1h])").collect()
+    assert len(out) == 1
+    assert out[0].value == pytest.approx(7.0 / 10.0)
+
+
+def test_idelta_no_reset_clamp(spark):
+    # idelta is a gauge function: raw (possibly negative) difference.
+    sensors, vals = _mk(
+        spark, [("m/1", 0, 50.0), ("m/1", 10, 100.0), ("m/1", 20, 7.0)]
+    )
+    out = _eval(spark, sensors, vals, "idelta(m[1h])").collect()
+    assert len(out) == 1
+    assert out[0].value == pytest.approx(7.0 - 100.0)
+
+
 def test_idelta(spark):
     sensors, vals = _mk(
         spark, [("m/1", 0, 1.0), ("m/1", 10, 7.0), ("m/1", 20, 4.0)]
