@@ -1,13 +1,23 @@
 """Multimodal column plumbing: opaque ``binary`` payloads + typed
 metadata, processed by Arrow-batched ``mapInPandas`` stages.
 
-The container has no image/audio codecs, so the decode kernels are
-STUBS: ``decode_image_stub`` raises ``NotImplementedError`` unless
-``fake=True``, in which case it produces a deterministic fake decode
-(dimensions derived from the payload hash) so the Spark-side plumbing —
-schema, batch shape, partitioning — is real and testable end-to-end.
-Swap ``_decode_one`` for a PIL/ffmpeg call in production; nothing else
+The decode kernel (``parse_media_header``) is REAL: a pure-Python
+container-header parser for PNG / GIF / BMP / WAV that reads dimensions,
+channels, and sample rate from the actual bytes — it works on genuine
+files (unit-tested against fully valid fixtures, CRCs and all). Only
+*pixel/sample* decoding (``decode_pixels``) is stubbed behind
+``NotImplementedError`` because the container ships no image/audio
+codecs; swap it for PIL/libvips/ffmpeg in production and nothing else
 changes.
+
+The demo corpus has no binary files, so ``attach_binary`` synthesizes a
+structurally real PNG per document with pure JVM expressions (signature +
+IHDR carrying md5-derived dimensions + a tEXt chunk holding the document
+bytes + IEND). Chunk CRCs are zeroed placeholders — the header parser,
+like most fast-path decoders, does not verify CRCs — which keeps every
+payload byte reproducible in the DuckDB oracle (blob concat of unhex()
+pieces), so the driver's correctness gate checks the real decode path
+end-to-end.
 
 Scale notes: payloads stay in executor memory one Arrow batch at a time
 (``spark.sql.execution.arrow.maxRecordsPerBatch`` bounds batch bytes);
@@ -17,12 +27,12 @@ joins happen on the small extracted-feature frame, never on the blobs.
 
 from __future__ import annotations
 
-import hashlib
+import struct
 from collections.abc import Iterator
 
 import pandas as pd
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -40,48 +50,174 @@ FEATURE_SCHEMA = T.StructType(
         T.StructField("media_id", T.LongType(), False),
         T.StructField("byte_len", T.LongType(), False),
         T.StructField("sha_prefix", T.StringType(), False),
+        T.StructField("format", T.StringType(), True),
         T.StructField("width", T.IntegerType(), True),
         T.StructField("height", T.IntegerType(), True),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("channels", T.IntegerType(), True),
     ]
 )
 
 
+# ---------------------------------------------------------------------------
+# Real container-header parsers (pure Python, no codec libraries)
+# ---------------------------------------------------------------------------
+
+def parse_media_header(payload: bytes) -> dict:
+    """Sniff + parse the container header of ``payload``.
+
+    Returns a dict with ``format`` plus whichever of ``width``,
+    ``height``, ``sample_rate``, ``channels`` the container declares;
+    ``{"format": None}`` for unrecognized bytes. Parses the genuine
+    binary layouts (big-endian PNG IHDR, little-endian GIF screen
+    descriptor / BMP DIB header / RIFF-WAVE fmt chunk); CRCs are not
+    verified (fast-path decoder behavior)."""
+    if len(payload) >= 24 and payload[:8] == b"\x89PNG\r\n\x1a\n":
+        # First chunk must be IHDR: 4B length, b'IHDR', 4B W, 4B H (BE).
+        if payload[12:16] == b"IHDR":
+            w, h = struct.unpack(">II", payload[16:24])
+            return {"format": "png", "width": w, "height": h}
+    if len(payload) >= 10 and payload[:6] in (b"GIF87a", b"GIF89a"):
+        w, h = struct.unpack("<HH", payload[6:10])
+        return {"format": "gif", "width": w, "height": h}
+    if len(payload) >= 26 and payload[:2] == b"BM":
+        hdr_size = struct.unpack("<I", payload[14:18])[0]
+        if hdr_size >= 40 and len(payload) >= 26:  # BITMAPINFOHEADER
+            w, h = struct.unpack("<ii", payload[18:26])
+            return {"format": "bmp", "width": w, "height": abs(h)}
+        if hdr_size == 12 and len(payload) >= 22:  # BITMAPCOREHEADER
+            w, h = struct.unpack("<HH", payload[18:22])
+            return {"format": "bmp", "width": w, "height": h}
+    if (
+        len(payload) >= 36
+        and payload[:4] == b"RIFF"
+        and payload[8:12] == b"WAVE"
+    ):
+        # Walk chunks to the fmt chunk (usually at offset 12).
+        off = 12
+        while off + 8 <= len(payload):
+            cid = payload[off : off + 4]
+            size = struct.unpack("<I", payload[off + 4 : off + 8])[0]
+            if cid == b"fmt " and off + 16 <= len(payload):
+                channels, rate = struct.unpack(
+                    "<HI", payload[off + 10 : off + 16]
+                )
+                return {
+                    "format": "wav",
+                    "sample_rate": rate,
+                    "channels": channels,
+                }
+            off += 8 + size + (size & 1)
+    return {"format": None}
+
+
+def decode_pixels(payload: bytes):  # pragma: no cover - declared stub
+    """Pixel/sample decode — requires a codec library (PIL / libvips /
+    ffmpeg) that is not in this container. The header parse above and
+    all Spark-side plumbing are real; swap this one function in
+    production."""
+    raise NotImplementedError(
+        "pixel decode requires PIL/libvips/ffmpeg — not in this container"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Demo payload synthesis (JVM expressions — oracle-reproducible)
+# ---------------------------------------------------------------------------
+
+def _be4(col: Column) -> Column:
+    """4-byte big-endian encoding of an int column as BINARY."""
+    return F.unhex(F.lpad(F.hex(col), 8, "0"))
+
+
+def synthesize_png(text_col: Column, width: Column, height: Column) -> Column:
+    """A structurally real PNG BINARY built from JVM expressions:
+    signature, IHDR (8-bit RGBA, given dimensions), one tEXt chunk with
+    keyword ``doc`` carrying the utf-8 text, IEND. Chunk CRCs are zeroed
+    placeholders so every byte is reproducible in SQL on any engine;
+    total length is 61 + octet_length(text)."""
+    text_bytes = F.encode(text_col, "UTF-8")
+    return F.concat(
+        F.unhex(F.lit("89504E470D0A1A0A")),              # signature
+        F.unhex(F.lit("0000000D49484452")),              # IHDR len + type
+        _be4(width),
+        _be4(height),
+        F.unhex(F.lit("0806000000")),                    # depth/color/etc
+        F.unhex(F.lit("00000000")),                      # IHDR crc (zeroed)
+        _be4(F.octet_length(text_col) + F.lit(4)),       # tEXt len
+        F.unhex(F.lit("74455874")),                      # 'tEXt'
+        F.encode(F.lit("doc"), "UTF-8"),
+        F.unhex(F.lit("00")),                            # keyword NUL
+        text_bytes,
+        F.unhex(F.lit("00000000")),                      # tEXt crc (zeroed)
+        F.unhex(F.lit("0000000049454E44AE426082")),      # IEND (real crc)
+    )
+
+
+def _md5_byte(col: Column, i: int) -> Column:
+    """i-th byte of md5(col) as an int (hex-pair parse — same formula the
+    DuckDB oracle uses)."""
+    return F.conv(F.substring(F.md5(col), 2 * i + 1, 2), 16, 10).cast("int")
+
+
 def attach_binary(docs: DataFrame, spread: bool = False) -> DataFrame:
-    """Demo adapter: treat each document's utf-8 bytes as an opaque media
-    payload with typed metadata — the real pipeline reads payloads from
-    object storage with ``binaryFile`` or parquet binary columns.
+    """Demo adapter: synthesize a real PNG payload per document (see
+    ``synthesize_png``) with md5-derived dimensions — the real pipeline
+    reads payloads from object storage with ``binaryFile`` or parquet
+    binary columns.
 
     ``spread=True`` repartitions a below-core-count input up to full
     parallelism so a CPU-heavy decode isn't serialized into a few Python
     workers. Off by default: real media tables arrive with many file
     splits (binaryFile yields one split per file) where the shuffle is a
     no-op, and on small demo inputs the shuffle + per-partition Python
-    worker spin-up costs far more than the stub decode saves."""
+    worker spin-up costs far more than the header parse saves."""
     if spread:
         parallelism = docs.sparkSession.sparkContext.defaultParallelism
         if docs.rdd.getNumPartitions() < parallelism:
             docs = docs.repartition(parallelism)
+    text = F.col("text")
+    width = _md5_byte(text, 0) % 192 + 64
+    height = _md5_byte(text, 1) % 192 + 64
     return docs.select(
         F.col("doc_id").alias("media_id"),
-        F.encode("text", "utf-8").alias("payload"),
+        synthesize_png(text, width, height).alias("payload"),
         F.lit("image").alias("media_type"),
         F.create_map(F.lit("source"), F.col("source")).alias("meta"),
     )
 
 
-def _decode_one(payload: bytes, fake: bool) -> tuple[int | None, int | None]:
-    if not fake:
-        raise NotImplementedError(
-            "image decode requires PIL/libvips — not in this container; "
-            "pass fake=True for the deterministic stub"
-        )
-    # Deterministic fake: dimensions from the content hash.
-    h = hashlib.md5(payload).digest()
-    return 64 + h[0] % 192, 64 + h[1] % 192
+def attach_video_meta(docs: DataFrame, fps: int = 24) -> DataFrame:
+    """Demo adapter for the video path: payload stays opaque (the text
+    bytes — video containers aren't synthesized), while typed metadata
+    carries the frame count and rate the way a production table stores
+    probed container metadata alongside the blob. ``n_frames`` derives
+    deterministically from the content hash."""
+    text = F.col("text")
+    n_frames = _md5_byte(text, 2) % 240 + 1
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(text, "UTF-8").alias("payload"),
+        F.lit("video").alias("media_type"),
+        F.create_map(
+            F.lit("n_frames"), n_frames.cast("string"),
+            F.lit("fps"), F.lit(fps).cast("string"),
+        ).alias("meta"),
+    )
 
 
-def extract_features(media: DataFrame, fake: bool = True) -> DataFrame:
-    """Arrow-batched feature extraction over binary payloads.
+# ---------------------------------------------------------------------------
+# Feature extraction (Arrow-batched mapInPandas over the real parser)
+# ---------------------------------------------------------------------------
+
+def extract_features(media: DataFrame) -> DataFrame:
+    """Arrow-batched feature extraction over binary payloads using the
+    real container-header parser.
+
+    ``sha_prefix`` fingerprints the payload as sha256 over its UPPERCASE
+    HEX encoding (not the raw bytes): DuckDB's hash functions are
+    VARCHAR-only, and hashing the hex form keeps the value reproducible
+    by the SQL oracle on the identical payload bytes.
 
     The worker function is a self-contained closure (no module-level
     references) so cloudpickle ships it by value — workers need no
@@ -89,29 +225,59 @@ def extract_features(media: DataFrame, fake: bool = True) -> DataFrame:
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib as _hl
+        import struct as _st
 
         import pandas as _pd
 
-        def decode(payload: bytes) -> tuple[int | None, int | None]:
-            if not fake:
-                raise NotImplementedError(
-                    "image decode requires PIL/libvips — not in this container"
-                )
-            h = _hl.md5(payload).digest()
-            return 64 + h[0] % 192, 64 + h[1] % 192
+        def parse(p: bytes) -> dict:
+            if len(p) >= 24 and p[:8] == b"\x89PNG\r\n\x1a\n":
+                if p[12:16] == b"IHDR":
+                    w, h = _st.unpack(">II", p[16:24])
+                    return {"format": "png", "width": w, "height": h}
+            if len(p) >= 10 and p[:6] in (b"GIF87a", b"GIF89a"):
+                w, h = _st.unpack("<HH", p[6:10])
+                return {"format": "gif", "width": w, "height": h}
+            if len(p) >= 26 and p[:2] == b"BM":
+                w, h = _st.unpack("<ii", p[18:26])
+                return {"format": "bmp", "width": w, "height": abs(h)}
+            if len(p) >= 36 and p[:4] == b"RIFF" and p[8:12] == b"WAVE":
+                off = 12
+                while off + 8 <= len(p):
+                    cid = p[off : off + 4]
+                    size = _st.unpack("<I", p[off + 4 : off + 8])[0]
+                    if cid == b"fmt " and off + 16 <= len(p):
+                        ch, rate = _st.unpack("<HI", p[off + 10 : off + 16])
+                        return {
+                            "format": "wav", "sample_rate": rate,
+                            "channels": ch,
+                        }
+                    off += 8 + size + (size & 1)
+            return {"format": None}
 
         for pdf in batches:
             payloads = [bytes(p) for p in pdf["payload"]]
-            dims = [decode(p) for p in payloads]
+            infos = [parse(p) for p in payloads]
             yield _pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "byte_len": [len(p) for p in payloads],
                     "sha_prefix": [
-                        _hl.sha256(p).hexdigest()[:16] for p in payloads
+                        _hl.sha256(p.hex().upper().encode()).hexdigest()[:16]
+                        for p in payloads
                     ],
-                    "width": [d[0] for d in dims],
-                    "height": [d[1] for d in dims],
+                    "format": [i.get("format") for i in infos],
+                    "width": _pd.array(
+                        [i.get("width") for i in infos], dtype="Int32"
+                    ),
+                    "height": _pd.array(
+                        [i.get("height") for i in infos], dtype="Int32"
+                    ),
+                    "sample_rate": _pd.array(
+                        [i.get("sample_rate") for i in infos], dtype="Int32"
+                    ),
+                    "channels": _pd.array(
+                        [i.get("channels") for i in infos], dtype="Int32"
+                    ),
                 }
             )
 
@@ -119,13 +285,20 @@ def extract_features(media: DataFrame, fake: bool = True) -> DataFrame:
 
 
 def frame_sample_plan(media: DataFrame, every_n: int = 10) -> DataFrame:
-    """Video frame-sampling plumbing: explodes a (stubbed) frame index
-    list per payload — the real kernel would emit decoded frames. Shows
-    the schema/partitioning shape: one row per sampled frame, frames
-    co-partitioned with their source media."""
-    n_frames = (F.length("payload") % 300 + 1).cast("int")  # fake frame count
+    """Video frame sampling driven by container metadata: one row per
+    sampled frame index with its presentation timestamp in ms
+    (integer arithmetic: ``idx * 1000 DIV fps``). This is the real
+    sampling plan — a bounded JVM-side ``sequence`` explode, frames
+    co-partitioned with their source media; only the per-frame pixel
+    decode (``decode_pixels``) would be attached in production."""
+    n_frames = F.element_at("meta", F.lit("n_frames")).cast("int")
+    fps = F.element_at("meta", F.lit("fps")).cast("int")
     idx = F.sequence(F.lit(0), n_frames - 1, F.lit(every_n))
-    return media.select(
-        "media_id", F.explode(idx).alias("frame_idx"),
-        F.lit(None).cast("binary").alias("frame_payload"),  # stub
+    out = media.select(
+        "media_id", fps.alias("__fps"), F.explode(idx).alias("frame_idx")
+    )
+    return out.select(
+        "media_id",
+        "frame_idx",
+        F.expr("frame_idx * 1000 DIV __fps").alias("frame_ts_ms"),
     )

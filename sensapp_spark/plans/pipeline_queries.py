@@ -661,17 +661,68 @@ def text_pii_scan(spark, sf_dir):
 @register(
     "multimodal_features",
     """
+    WITH dims AS (
+        SELECT doc_id, text,
+               64 + ('0x' || substring(md5(text), 1, 2))::INT % 192 AS width,
+               64 + ('0x' || substring(md5(text), 3, 2))::INT % 192 AS height
+        FROM documents),
+    png AS (
+        SELECT doc_id, width, height,
+               unhex('89504E470D0A1A0A0000000D49484452')
+               || unhex(lpad(to_hex(width), 8, '0'))
+               || unhex(lpad(to_hex(height), 8, '0'))
+               || unhex('080600000000000000')
+               || unhex(lpad(to_hex(octet_length(encode(text)) + 4), 8, '0'))
+               || unhex('74455874') || encode('doc') || unhex('00')
+               || encode(text)
+               || unhex('00000000')
+               || unhex('0000000049454E44AE426082') AS payload
+        FROM dims)
     SELECT doc_id AS media_id,
-           octet_length(encode(text)) AS byte_len,
-           substring(sha256(text), 1, 16) AS sha_prefix,
-           64 + ('0x' || substring(md5(text), 1, 2))::INT % 192 AS width,
-           64 + ('0x' || substring(md5(text), 3, 2))::INT % 192 AS height
-    FROM documents
+           octet_length(payload) AS byte_len,
+           substring(sha256(hex(payload)), 1, 16) AS sha_prefix,
+           'png' AS format, width, height
+    FROM png
     """,
 )
 def multimodal_features(spark, sf_dir):
-    """Binary-column feature extraction via Arrow-batched mapInPandas
-    (deterministic stub decode — the oracle reproduces it from the same
-    md5 bytes)."""
+    """Binary-column feature extraction via Arrow-batched mapInPandas over
+    the REAL container-header parser (pipeline/multimodal.py): payloads
+    are structurally real PNGs synthesized with JVM expressions, and the
+    oracle rebuilds the identical bytes with SQL blob concat — so the
+    decode path itself is driver-verified, not a hash stub."""
     media = mm.attach_binary(_docs(spark, sf_dir))
-    return mm.extract_features(media, fake=True)
+    feats = mm.extract_features(media)
+    return feats.select(
+        "media_id", "byte_len", "sha_prefix", "format", "width", "height"
+    )
+
+
+@register(
+    "multimodal_frames",
+    """
+    SELECT doc_id AS media_id,
+           frame_idx,
+           (frame_idx * 1000) // 24 AS frame_ts_ms
+    FROM (
+        SELECT doc_id,
+               unnest(generate_series(0, n_frames - 1, 10)) AS frame_idx
+        FROM (
+            SELECT doc_id,
+                   1 + ('0x' || substring(md5(text), 5, 2))::INT % 240
+                       AS n_frames
+            FROM documents))
+    """,
+)
+def multimodal_frames(spark, sf_dir):
+    """Metadata-driven video frame sampling: every 10th frame index with
+    its integer-ms presentation timestamp — a bounded JVM sequence
+    explode, frames co-partitioned with their source media (the per-
+    frame pixel decode is the declared ``decode_pixels`` stub)."""
+    media = mm.attach_video_meta(_docs(spark, sf_dir), fps=24)
+    out = mm.frame_sample_plan(media, every_n=10)
+    return out.select(
+        "media_id",
+        F.col("frame_idx").cast("long").alias("frame_idx"),
+        F.col("frame_ts_ms").cast("long").alias("frame_ts_ms"),
+    )
