@@ -18,6 +18,7 @@ from sensapp_spark.pipeline import multimodal as mm
 from sensapp_spark.pipeline import text as tx
 from sensapp_spark.pipeline.dedup import (
     DEFAULT_BANDS,
+    DEFAULT_MAX_DF,
     DEFAULT_MINHASH_K,
     SIMHASH_BITS,
     dedup_exact,
@@ -83,56 +84,66 @@ sh AS (
 # Text analysis
 # ---------------------------------------------------------------------------
 
-@register(
-    "text_token_stats",
-    f"""
-    SELECT doc_id,
-           len(regexp_split_to_array(trim(text), '\\s+')) AS ws_tokens,
-           len(regexp_extract_all(text, '{tx.BPE_PATTERN}')) AS bpe_tokens,
-           length(text) AS chars
-    FROM documents
-    """,
-)
-def text_token_stats(spark, sf_dir):
-    """Token counting (whitespace + BPE-ish regex) — narrow projection."""
-    return tx.token_stats(_docs(spark, sf_dir))
-
-
 _STOP_EN = tx.STOPWORDS["en"]
 
+
 @register(
-    "text_quality",
+    "text_profile",
     f"""
-    SELECT doc_id, len_credit, stop_ratio, punct_ratio, digit_ratio,
-      CAST(ROUND(
-            {tx.QUALITY_WEIGHTS['w_len']}::DECIMAL(4,2)
-              * len_credit::DECIMAL(18,6)
-          + {tx.QUALITY_WEIGHTS['w_stop']}::DECIMAL(4,2)
-              * LEAST(stop_ratio::DECIMAL(18,6) * 2,
-                      1::DECIMAL(18,6))::DECIMAL(18,6)
-          + {tx.QUALITY_WEIGHTS['w_punct']}::DECIMAL(4,2)
-              * punct_ratio::DECIMAL(18,6)
-          + {tx.QUALITY_WEIGHTS['w_digit']}::DECIMAL(4,2)
-              * digit_ratio::DECIMAL(18,6), 6) AS DOUBLE) AS quality
-    FROM (
-      SELECT doc_id,
-        ROUND(LEAST(length(text)/500.0e0, 1.0e0), 6) AS len_credit,
-        ROUND(len(regexp_extract_all(lower(text), '\\b({_STOP_EN})\\b'))
-          / CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS DOUBLE),
-          6) AS stop_ratio,
-        ROUND(len(regexp_extract_all(text, '{tx.PUNCT_PATTERN}'))
-          / CAST(length(text) AS DOUBLE), 6) AS punct_ratio,
-        ROUND(len(regexp_extract_all(text, '{tx.DIGIT_PATTERN}'))
-          / CAST(length(text) AS DOUBLE), 6) AS digit_ratio
-      FROM documents)
+    WITH toks AS (
+        SELECT doc_id,
+               len(regexp_split_to_array(trim(text), '\\s+')) AS ws_tokens,
+               len(regexp_extract_all(text, '{tx.BPE_PATTERN}')) AS bpe_tokens,
+               length(text) AS chars
+        FROM documents),
+    qual AS (
+        SELECT doc_id, len_credit, stop_ratio, punct_ratio, digit_ratio,
+          CAST(ROUND(
+                {tx.QUALITY_WEIGHTS['w_len']}::DECIMAL(4,2)
+                  * len_credit::DECIMAL(18,6)
+              + {tx.QUALITY_WEIGHTS['w_stop']}::DECIMAL(4,2)
+                  * LEAST(stop_ratio::DECIMAL(18,6) * 2,
+                          1::DECIMAL(18,6))::DECIMAL(18,6)
+              + {tx.QUALITY_WEIGHTS['w_punct']}::DECIMAL(4,2)
+                  * punct_ratio::DECIMAL(18,6)
+              + {tx.QUALITY_WEIGHTS['w_digit']}::DECIMAL(4,2)
+                  * digit_ratio::DECIMAL(18,6), 6) AS DOUBLE) AS quality
+        FROM (
+          SELECT doc_id,
+            ROUND(LEAST(length(text)/500.0e0, 1.0e0), 6) AS len_credit,
+            ROUND(len(regexp_extract_all(lower(text), '\\b({_STOP_EN})\\b'))
+              / CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS DOUBLE),
+              6) AS stop_ratio,
+            ROUND(len(regexp_extract_all(text, '{tx.PUNCT_PATTERN}'))
+              / CAST(length(text) AS DOUBLE), 6) AS punct_ratio,
+            ROUND(len(regexp_extract_all(text, '{tx.DIGIT_PATTERN}'))
+              / CAST(length(text) AS DOUBLE), 6) AS digit_ratio
+          FROM documents)),
+    ttr AS (
+        SELECT doc_id,
+               len(w) AS total_tokens,
+               len(list_distinct(w)) AS distinct_tokens,
+               ROUND(len(list_distinct(w)) / CAST(len(w) AS DOUBLE), 6) AS ttr
+        FROM (SELECT doc_id, {_WORDS_SQL} AS w FROM documents))
+    SELECT doc_id, ws_tokens, bpe_tokens, chars,
+           len_credit, stop_ratio, punct_ratio, digit_ratio, quality,
+           total_tokens, distinct_tokens, ttr
+    FROM toks JOIN qual USING (doc_id) JOIN ttr USING (doc_id)
     """,
 )
-def text_quality(spark, sf_dir):
-    """Quality scoring: length/stopword/punct/digit ratio composite."""
-    return tx.quality_scores(_docs(spark, sf_dir))
+def text_profile(spark, sf_dir):
+    """Per-document text profile as one joined entry (driver window caps
+    at 50 rows): token counting (whitespace + BPE-ish regex), quality
+    scoring (length/stopword/punct/digit composite), and lexical
+    diversity (type-token ratio). All three are map-only narrow
+    projections; the join keys are co-partitioned per document."""
+    docs = _docs(spark, sf_dir)
+    out = tx.token_stats(docs)
+    out = out.join(tx.quality_scores(docs), "doc_id")
+    return out.join(tx.type_token_ratio(docs), "doc_id")
 
 
-def _langid_oracle() -> str:
+def _signals_oracle() -> str:
     hits = ", ".join(
         f"len(regexp_extract_all(lower(text), '\\b({tx.STOPWORDS[lang]})\\b'))"
         f" AS hits_{lang}"
@@ -142,26 +153,38 @@ def _langid_oracle() -> str:
     cases = " ".join(
         f"WHEN hits_{lang} = {best} THEN '{lang}'" for lang in tx.LANG_PRIORITY
     )
+    pii_counts = ", ".join(
+        f"len(regexp_extract_all(text, '{pat}')) AS {name}"
+        for name, pat in tx.PII_PATTERNS.items()
+    )
+    pii_total = " + ".join(tx.PII_PATTERNS)
     return f"""
-    SELECT doc_id, hits_en, hits_de, hits_fr, hits_es,
-           CASE WHEN {best} = 0 THEN 'und' {cases} END AS lang_pred
-    FROM (SELECT doc_id, text, {hits} FROM documents)
+    WITH lang AS (
+        SELECT doc_id, hits_en, hits_de, hits_fr, hits_es,
+               CASE WHEN {best} = 0 THEN 'und' {cases} END AS lang_pred
+        FROM (SELECT doc_id, text, {hits} FROM documents)),
+    fp AS (SELECT doc_id, md5({_NORM_SQL}) AS fingerprint FROM documents),
+    pii AS (
+        SELECT doc_id, emails, phones, ipv4s, ({pii_total}) > 0 AS has_pii
+        FROM (SELECT doc_id, {pii_counts} FROM documents))
+    SELECT doc_id, hits_en, hits_de, hits_fr, hits_es, lang_pred,
+           fingerprint, emails, phones, ipv4s, has_pii
+    FROM lang JOIN fp USING (doc_id) JOIN pii USING (doc_id)
     """
 
 
-@register("text_lang_id", _langid_oracle())
-def text_lang_id(spark, sf_dir):
-    """Language ID: stopword-hit argmax with fixed tie-break order."""
-    return tx.lang_id(_docs(spark, sf_dir))
-
-
-@register(
-    "text_fingerprint",
-    f"SELECT doc_id, md5({_NORM_SQL}) AS fingerprint FROM documents",
-)
-def text_fingerprint(spark, sf_dir):
-    """Content fingerprint: md5 over normalized text."""
-    return tx.fingerprint(_docs(spark, sf_dir))
+@register("text_signals", _signals_oracle())
+def text_signals(spark, sf_dir):
+    """Per-document content signals as one joined entry: language ID
+    (stopword-hit argmax, fixed tie-break order), the md5 content
+    fingerprint over normalized text, and PII triage counts (emails /
+    phones / IPv4 — the synthetic corpus is PII-free, so the value here
+    is the shared regex-dialect contract; positive matches are covered
+    by unit tests). All map-only scans."""
+    docs = _docs(spark, sf_dir)
+    out = tx.lang_id(docs)
+    out = out.join(tx.fingerprint(docs), "doc_id")
+    return out.join(tx.pii_scan(docs), "doc_id")
 
 
 # ---------------------------------------------------------------------------
@@ -181,14 +204,24 @@ def dedup_exact_docs(spark, sf_dir):
     return dedup_exact(_docs(spark, sf_dir))
 
 
+# The max_df hot-shingle guard (defaults ON in jaccard_pairs) expressed
+# in SQL: shingles above the document-frequency cap are dropped BEFORE
+# per-doc counts, exactly as the Spark side does.
+_SHF_CTE = f"""
+    cold AS (SELECT shingle FROM sh GROUP BY shingle
+             HAVING COUNT(*) <= {DEFAULT_MAX_DF}),
+    shf AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN cold USING (shingle))
+"""
+
+
 @register(
     "dedup_jaccard_pairs",
     f"""
-    WITH {_SHINGLES_CTE},
-    counts AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    WITH {_SHINGLES_CTE}, {_SHF_CTE},
+    counts AS (SELECT doc_id, COUNT(*) AS n FROM shf GROUP BY doc_id),
     inter AS (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
-        FROM sh a JOIN sh b USING (shingle)
+        FROM shf a JOIN shf b USING (shingle)
         WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
     SELECT doc_a, doc_b,
            ROUND(i / CAST(ca.n + cb.n - i AS DOUBLE), 6) AS jaccard
@@ -199,18 +232,19 @@ def dedup_exact_docs(spark, sf_dir):
     """,
 )
 def dedup_jaccard_pairs(spark, sf_dir):
-    """N-gram Jaccard near-dup pairs via inverted-index join (no n² scan)."""
+    """N-gram Jaccard near-dup pairs via inverted-index join (no n² scan);
+    the max_df skew guard is on by default and mirrored in the oracle."""
     return jaccard_pairs(_docs(spark, sf_dir), threshold=0.2)
 
 
 @register(
     "dedup_components",
     f"""
-    WITH RECURSIVE {_SHINGLES_CTE},
-    counts AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    WITH RECURSIVE {_SHINGLES_CTE}, {_SHF_CTE},
+    counts AS (SELECT doc_id, COUNT(*) AS n FROM shf GROUP BY doc_id),
     inter AS (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
-        FROM sh a JOIN sh b USING (shingle)
+        FROM shf a JOIN shf b USING (shingle)
         WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
     pairs AS (
         SELECT doc_a, doc_b FROM inter
@@ -339,45 +373,56 @@ def _bucket_sql(salt: str) -> str:
 
 
 @register(
-    "sample_stratified",
+    "sample_split",
     f"""
-    SELECT doc_id, lang, {_bucket_sql('sensapp-sample')} AS bucket
-    FROM documents
-    WHERE {_bucket_sql('sensapp-sample')} <
-          CASE lang WHEN 'en' THEN 50 WHEN 'de' THEN 30 ELSE 10 END
+    WITH strat AS (
+        SELECT doc_id, lang, {_bucket_sql('sensapp-sample')} AS bucket
+        FROM documents
+        WHERE {_bucket_sql('sensapp-sample')} <
+              CASE lang WHEN 'en' THEN 50 WHEN 'de' THEN 30 ELSE 10 END),
+    splits AS (
+        SELECT doc_id,
+               CASE WHEN {_bucket_sql('sensapp-split')} < 80 THEN 'train'
+                    WHEN {_bucket_sql('sensapp-split')} < 90 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents)
+    SELECT d.doc_id, sp.split,
+           st.doc_id IS NOT NULL AS sampled, st.bucket, st.lang
+    FROM documents d
+    JOIN splits sp USING (doc_id)
+    LEFT JOIN strat st USING (doc_id)
     """,
 )
-def sample_stratified(spark, sf_dir):
-    """Deterministic stratified sampling: per-language keep rates from a
-    salted content-hash bucket — reproducible across engines and runs,
-    filter pushed into the scan (no shuffle)."""
-    from sensapp_spark.pipeline.sampling import stratified_sample
+def sample_split(spark, sf_dir):
+    """Deterministic sampling + dataset splits as one joined entry:
+    every document gets its 80/10/10 train/val/test assignment from a
+    salted content-hash bucket, plus whether the stratified sampler
+    (per-language keep rates, independent salt) selected it.
+    Reproducible across engines and runs; both derivations are map-only
+    scans, the join is per-document."""
+    from sensapp_spark.pipeline.sampling import split_assign, stratified_sample
 
-    return stratified_sample(
-        _docs(spark, sf_dir), _SAMPLE_RATES, default_pct=_SAMPLE_DEFAULT
+    docs = _docs(spark, sf_dir)
+    splits = split_assign(docs).select("doc_id", "split")
+    strat = stratified_sample(
+        docs, _SAMPLE_RATES, default_pct=_SAMPLE_DEFAULT
+    ).select("doc_id", "bucket", "lang")
+    return (
+        docs.select("doc_id")
+        .join(splits, "doc_id")
+        .join(
+            strat.withColumn("sampled", F.lit(True)), "doc_id", "left"
+        )
+        .select(
+            "doc_id", "split",
+            F.coalesce("sampled", F.lit(False)).alias("sampled"),
+            "bucket", "lang",
+        )
     )
 
 
 @register(
-    "dataset_split",
-    f"""
-    SELECT doc_id,
-           CASE WHEN {_bucket_sql('sensapp-split')} < 80 THEN 'train'
-                WHEN {_bucket_sql('sensapp-split')} < 90 THEN 'val'
-                ELSE 'test' END AS split
-    FROM documents
-    """,
-)
-def dataset_split(spark, sf_dir):
-    """Deterministic train/val/test assignment (80/10/10) by hash
-    bucket — new documents join splits without disturbing old ones."""
-    from sensapp_spark.pipeline.sampling import split_assign
-
-    return split_assign(_docs(spark, sf_dir))
-
-
-@register(
-    "text_tfidf_top",
+    "text_terms",
     f"""
     WITH words AS (SELECT doc_id, {_WORDS_SQL} AS w FROM documents),
     tok AS (SELECT doc_id, unnest(w) AS token FROM words),
@@ -393,33 +438,41 @@ def dataset_split(spark, sf_dir):
                      * (ln((n.n_docs + 1) / CAST(d.df + 1 AS DOUBLE)) + 1),
                      6) AS tfidf
         FROM counts c JOIN doc_len l USING (doc_id)
-        JOIN dfreq d USING (token) CROSS JOIN n)
-    SELECT doc_id, token AS top_term, tfidf FROM (
+        JOIN dfreq d USING (token) CROSS JOIN n),
+    dtok AS (SELECT doc_id, unnest(list_distinct(w)) AS token FROM words)
+    SELECT 'tfidf_top' AS scope, doc_id, token AS term, tfidf AS score
+    FROM (
         SELECT *, row_number() OVER (
             PARTITION BY doc_id ORDER BY tfidf DESC, token) AS rn
         FROM scored) WHERE rn = 1
+    UNION ALL
+    SELECT 'corpus_top', CAST(NULL AS BIGINT), token, CAST(df AS DOUBLE)
+    FROM (
+        SELECT token, COUNT(*) AS df FROM dtok
+        WHERE length(token) >= 3
+        GROUP BY token ORDER BY df DESC, token LIMIT 20)
     """,
 )
-def text_tfidf_top(spark, sf_dir):
-    """Per-document most characteristic term by smoothed TF-IDF
-    (deterministic lexicographic tie-break)."""
-    return tx.tfidf_top_term(_docs(spark, sf_dir))
-
-
-@register(
-    "text_top_terms",
-    f"""
-    WITH words AS (SELECT doc_id, {_WORDS_SQL} AS w FROM documents),
-    tok AS (SELECT doc_id, unnest(list_distinct(w)) AS token FROM words)
-    SELECT token, COUNT(*) AS df FROM tok
-    WHERE length(token) >= 3
-    GROUP BY token ORDER BY df DESC, token LIMIT 20
-    """,
-)
-def text_top_terms(spark, sf_dir):
-    """Corpus top-20 terms by document frequency (per-doc distinct
-    before the explode; deterministic k-th-place tie-break)."""
-    return tx.top_terms(_docs(spark, sf_dir))
+def text_terms(spark, sf_dir):
+    """Term statistics as one tagged union: each document's most
+    characteristic term by smoothed TF-IDF (deterministic lexicographic
+    tie-break), plus the corpus top-20 terms by document frequency
+    (per-doc distinct before the explode; deterministic k-th-place
+    tie-break)."""
+    docs = _docs(spark, sf_dir)
+    tfidf = tx.tfidf_top_term(docs).select(
+        F.lit("tfidf_top").alias("scope"),
+        "doc_id",
+        F.col("top_term").alias("term"),
+        F.col("tfidf").alias("score"),
+    )
+    corpus = tx.top_terms(docs).select(
+        F.lit("corpus_top").alias("scope"),
+        F.lit(None).cast("long").alias("doc_id"),
+        F.col("token").alias("term"),
+        F.col("df").cast("double").alias("score"),
+    )
+    return tfidf.unionByName(corpus)
 
 
 # ---------------------------------------------------------------------------
@@ -615,43 +668,6 @@ def embedding_kmeans(spark, sf_dir):
 # Text: lexical diversity + PII triage
 # ---------------------------------------------------------------------------
 
-@register(
-    "text_type_token_ratio",
-    f"""
-    WITH words AS (SELECT doc_id, {_WORDS_SQL} AS w FROM documents)
-    SELECT doc_id,
-           len(w) AS total_tokens,
-           len(list_distinct(w)) AS distinct_tokens,
-           ROUND(len(list_distinct(w)) / CAST(len(w) AS DOUBLE), 6) AS ttr
-    FROM words
-    """,
-)
-def text_type_token_ratio(spark, sf_dir):
-    """Lexical diversity (type-token ratio) — per-doc array_distinct,
-    no explode, no shuffle."""
-    return tx.type_token_ratio(_docs(spark, sf_dir))
-
-
-def _pii_oracle() -> str:
-    counts = ", ".join(
-        f"len(regexp_extract_all(text, '{pat}')) AS {name}"
-        for name, pat in tx.PII_PATTERNS.items()
-    )
-    total = " + ".join(f"{name}" for name in tx.PII_PATTERNS)
-    return f"""
-    SELECT doc_id, emails, phones, ipv4s, ({total}) > 0 AS has_pii
-    FROM (SELECT doc_id, {counts} FROM documents)
-    """
-
-
-@register("text_pii_scan", _pii_oracle())
-def text_pii_scan(spark, sf_dir):
-    """PII triage counts (emails / phones / IPv4) per document. The
-    synthetic corpus is PII-free, so the value here is the shared
-    regex-dialect contract (ASCII-explicit patterns, no lookaround);
-    positive-match behavior is covered by unit tests with fixture
-    text."""
-    return tx.pii_scan(_docs(spark, sf_dir))
 
 
 # ---------------------------------------------------------------------------

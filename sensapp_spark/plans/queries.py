@@ -71,114 +71,101 @@ def _out(df: DataFrame) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # Q1/Q10 — label-matcher selection (reference src/storage/sqlite/matchers.rs)
+#
+# The driver's correctness file caps at 50 registry rows, so several
+# entries below verify a FAMILY of operators as one tagged union/join:
+# each member runs through its real operator code path, gets a distinct
+# tag column, and the union hash covers every member row-for-row. The
+# individual operators stay independently callable library functions.
 # ---------------------------------------------------------------------------
 
+def _union_tagged(parts: list[tuple[str, DataFrame]], tag_col: str) -> DataFrame:
+    from functools import reduce
+
+    tagged = [
+        df.select(F.lit(tag).alias(tag_col), "*") for tag, df in parts
+    ]
+    return reduce(lambda a, b: a.unionByName(b), tagged)
+
+
 @register(
-    "matcher_name_equal",
+    "matcher_positive",
     _PRELUDE
     + """
-    SELECT v.sensor_id, v.time, v.value, s.name
+    SELECT 'name_equal' AS matcher_case,
+           v.sensor_id, v.time, v.value, s.name
     FROM vals v JOIN sensors s USING (sensor_id)
     WHERE s.name = 'click'
-    """,
-)
-def matcher_name_equal(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Q1: __name__ equality matcher over the full pipeline."""
-    return _out(
-        query_samples(
-            td.events_sensors(spark, sf_dir),
-            td.events_values(spark, sf_dir),
-            [LabelMatcher("__name__", "click", MatcherType.EQUAL)],
-        )
-    )
-
-
-@register(
-    "matcher_label_equal",
-    _PRELUDE
-    + """
-    SELECT v.sensor_id, v.time, v.value, s.name
+    UNION ALL
+    SELECT 'label_equal', v.sensor_id, v.time, v.value, s.name
     FROM vals v JOIN sensors s USING (sensor_id)
     WHERE s.region_label = 'r1'
-    """,
-)
-def matcher_label_equal(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Q1: label equality matcher — absent label never matches."""
-    return _out(
-        query_samples(
-            td.events_sensors(spark, sf_dir),
-            td.events_values(spark, sf_dir),
-            [LabelMatcher("region", "r1", MatcherType.EQUAL)],
-        )
-    )
-
-
-@register(
-    "matcher_label_not_equal",
-    _PRELUDE
-    + """
-    SELECT v.sensor_id, v.time, v.value, s.name
-    FROM vals v JOIN sensors s USING (sensor_id)
-    WHERE s.name = 'view'
-      AND (s.region_label IS NULL OR s.region_label <> 'r1')
-    """,
-)
-def matcher_label_not_equal(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Q1 absent-label semantics: != matches sensors lacking the label
-    (reference src/storage/query.rs:18-22)."""
-    return _out(
-        query_samples(
-            td.events_sensors(spark, sf_dir),
-            td.events_values(spark, sf_dir),
-            [
-                LabelMatcher("__name__", "view", MatcherType.EQUAL),
-                LabelMatcher("region", "r1", MatcherType.NOT_EQUAL),
-            ],
-        )
-    )
-
-
-@register(
-    "matcher_name_regex",
-    _PRELUDE
-    + """
-    SELECT v.sensor_id, v.time, v.value, s.name
+    UNION ALL
+    SELECT 'name_regex', v.sensor_id, v.time, v.value, s.name
     FROM vals v JOIN sensors s USING (sensor_id)
     WHERE regexp_matches(s.name, '^(click|view)$')
     """,
 )
-def matcher_name_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Q1: __name__ regex matcher."""
-    return _out(
-        query_samples(
-            td.events_sensors(spark, sf_dir),
-            td.events_values(spark, sf_dir),
+def matcher_positive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q1 positive matchers — __name__ equality, label equality (absent
+    label never matches), and __name__ regex — as one tagged union."""
+    sensors = td.events_sensors(spark, sf_dir)
+    vals = td.events_values(spark, sf_dir)
+    cases = [
+        ("name_equal", [LabelMatcher("__name__", "click", MatcherType.EQUAL)]),
+        ("label_equal", [LabelMatcher("region", "r1", MatcherType.EQUAL)]),
+        (
+            "name_regex",
             [LabelMatcher("__name__", "^(click|view)$", MatcherType.REGEX_MATCH)],
-        )
+        ),
+    ]
+    return _union_tagged(
+        [(tag, _out(query_samples(sensors, vals, ms))) for tag, ms in cases],
+        "matcher_case",
     )
 
 
 @register(
-    "matcher_label_not_regex",
+    "matcher_negative",
     _PRELUDE
     + """
-    SELECT v.sensor_id, v.time, v.value, s.name
+    SELECT 'label_not_equal' AS matcher_case,
+           v.sensor_id, v.time, v.value, s.name
+    FROM vals v JOIN sensors s USING (sensor_id)
+    WHERE s.name = 'view'
+      AND (s.region_label IS NULL OR s.region_label <> 'r1')
+    UNION ALL
+    SELECT 'label_not_regex', v.sensor_id, v.time, v.value, s.name
     FROM vals v JOIN sensors s USING (sensor_id)
     WHERE s.name = 'signup'
       AND (s.region_label IS NULL OR NOT regexp_matches(s.region_label, 'r[12]'))
     """,
 )
-def matcher_label_not_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Q1 absent-label semantics for !~ (reference src/storage/query.rs:31-34)."""
-    return _out(
-        query_samples(
-            td.events_sensors(spark, sf_dir),
-            td.events_values(spark, sf_dir),
+def matcher_negative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q1 negative matchers with the reference's absent-label semantics:
+    != and !~ match sensors lacking the label entirely
+    (src/storage/query.rs:18-34)."""
+    sensors = td.events_sensors(spark, sf_dir)
+    vals = td.events_values(spark, sf_dir)
+    cases = [
+        (
+            "label_not_equal",
+            [
+                LabelMatcher("__name__", "view", MatcherType.EQUAL),
+                LabelMatcher("region", "r1", MatcherType.NOT_EQUAL),
+            ],
+        ),
+        (
+            "label_not_regex",
             [
                 LabelMatcher("__name__", "signup", MatcherType.EQUAL),
                 LabelMatcher("region", "r[12]", MatcherType.REGEX_NOT_MATCH),
             ],
-        )
+        ),
+    ]
+    return _union_tagged(
+        [(tag, _out(query_samples(sensors, vals, ms))) for tag, ms in cases],
+        "matcher_case",
     )
 
 
@@ -310,45 +297,33 @@ def catalog_metrics_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "catalog_series_list",
-    _PRELUDE
-    + """
-    SELECT sensor_id,
-           name || '{' ||
-           CASE WHEN region_label IS NULL THEN ''
-                ELSE 'region="' || region_label || '",' END ||
-           'user="' || user_label || '"' || '}' AS series
-    FROM sensors
-    WHERE name = 'signup'
-    """,
-)
-def catalog_series_list(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """C4: series listing with Prometheus-style id ``name{k="v",…}``
-    (reference src/ingestors/http/crud.rs:405-414)."""
-    df = series_list(td.events_sensors(spark, sf_dir), metric="signup")
-    return df.select("sensor_id", "series")
-
-
-@register(
-    "catalog_sensor_view",
+    "catalog_series_view",
     _PRELUDE
     + """
     SELECT sensor_id, name, type,
            CAST(NULL AS VARCHAR) AS unit_name,
            CASE WHEN region_label IS NULL THEN 'user=' || user_label
                 ELSE 'region=' || region_label || ',user=' || user_label
-           END AS labels
+           END AS labels,
+           name || '{' ||
+           CASE WHEN region_label IS NULL THEN ''
+                ELSE 'region="' || region_label || '",' END ||
+           'user="' || user_label || '"' || '}' AS series
     FROM sensors
     """,
 )
-def catalog_sensor_view(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """C2: the ``sensor_catalog_view`` projection (reference joins
-    sensors⋈units; here the dimension is denormalized so it is a pure
-    projection — no join at any scale). Labels are rendered as a sorted
-    ``k=v`` string for cross-engine comparison of the MAP column."""
+def catalog_series_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C2 + C4 as one joined entry: the ``sensor_catalog_view``
+    projection (reference joins sensors⋈units; this dimension is
+    denormalized, so a pure projection) joined on sensor_id to the
+    series listing with Prometheus-style id ``name{k="v",…}``
+    (src/ingestors/http/crud.rs:405-414). Labels render as a sorted
+    ``k=v`` string for cross-engine MAP comparison; both are
+    dimension-only plans at any scale."""
     from sensapp_spark.operators.catalog import sensor_catalog
 
-    cat = sensor_catalog(td.events_sensors(spark, sf_dir))
+    sensors = td.events_sensors(spark, sf_dir)
+    cat = sensor_catalog(sensors)
     labels_str = F.array_join(
         F.array_sort(
             F.transform(
@@ -358,9 +333,10 @@ def catalog_sensor_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         ",",
     )
+    series = series_list(sensors).select("sensor_id", "series")
     return cat.select(
         "sensor_id", "name", "type", "unit_name", labels_str.alias("labels")
-    )
+    ).join(series, "sensor_id")
 
 
 @register(
@@ -386,25 +362,39 @@ def catalog_label_values(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 @register(
-    "downsample_1h",
+    "downsample_rate_1h",
     _PRELUDE
     + """
-    SELECT s.name, date_trunc('hour', v.time) AS bucket,
+    SELECT 'downsample' AS kind, s.name AS series,
+           date_trunc('hour', v.time) AS bucket,
            COUNT(*) AS n,
            ROUND(AVG(v.value), 6) AS avg_value,
            MIN(v.value) AS min_value,
-           MAX(v.value) AS max_value
+           MAX(v.value) AS max_value,
+           CAST(NULL AS DOUBLE) AS rate
     FROM vals v JOIN sensors s USING (sensor_id)
     GROUP BY s.name, date_trunc('hour', v.time)
+    UNION ALL
+    SELECT 'rate', sensor_id, date_trunc('hour', time),
+           CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+           ROUND((arg_max(value, time) - arg_min(value, time))
+                 / ((epoch_us(max(time)) - epoch_us(min(time))) / 1e6), 6)
+    FROM vals
+    GROUP BY sensor_id, date_trunc('hour', time)
+    HAVING epoch_us(max(time)) > epoch_us(min(time))
     """,
 )
-def downsample_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Beyond-reference: hourly downsampling per metric. Partial aggregation
-    (map-side combine) keeps the shuffle tiny — bytes ∝ buckets, not rows."""
+def downsample_rate_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Beyond-reference downsampling family as one tagged union: hourly
+    min/avg/max/count per metric, and PromQL-style rate() per sensor per
+    hour ((last-first)/seconds via max_by/min_by JVM aggregates). Both
+    are single-shuffle partial aggregations — shuffle bytes ∝ buckets,
+    not samples, at any scale."""
     sensors = td.events_sensors(spark, sf_dir)
     vals = td.events_values(spark, sf_dir)
     joined = vals.join(F.broadcast(sensors.select("sensor_id", "name")), "sensor_id")
-    return (
+    down = (
         joined.groupBy("name", F.date_trunc("hour", "time").alias("bucket"))
         .agg(
             F.count("*").alias("n"),
@@ -412,37 +402,17 @@ def downsample_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("value").alias("min_value"),
             F.max("value").alias("max_value"),
         )
+        .select(
+            F.lit("downsample").alias("kind"),
+            F.col("name").alias("series"),
+            "bucket", "n", "avg_value", "min_value", "max_value",
+            F.lit(None).cast("double").alias("rate"),
+        )
     )
-
-
-# ---------------------------------------------------------------------------
-# Beyond-reference: PromQL-class aggregations (the expressions
-# simple_promql.rs:149-171 rejects), composite/virtual sensors
-# (docs/DATAMODEL.md:125-131 — designed there, implemented here)
-# ---------------------------------------------------------------------------
-
-@register(
-    "promql_rate_1h",
-    _PRELUDE
-    + """
-    SELECT sensor_id, date_trunc('hour', time) AS bucket,
-           ROUND((arg_max(value, time) - arg_min(value, time))
-                 / ((epoch_us(max(time)) - epoch_us(min(time))) / 1e6),
-                 6) AS rate
-    FROM vals
-    GROUP BY sensor_id, date_trunc('hour', time)
-    HAVING epoch_us(max(time)) > epoch_us(min(time))
-    """,
-)
-def promql_rate_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PromQL-style rate(): per-sensor per-hour (last-first)/seconds.
-    max_by/min_by are JVM aggregates with map-side partials — one shuffle
-    keyed (sensor, bucket), no window needed."""
-    vals = td.events_values(spark, sf_dir)
     # µs-precision span: unix_timestamp would truncate to whole seconds
     # and drift from the oracle's epoch_us arithmetic.
     span = (F.unix_micros(F.max("time")) - F.unix_micros(F.min("time"))) / 1e6
-    return (
+    rate = (
         vals.groupBy("sensor_id", F.date_trunc("hour", "time").alias("bucket"))
         .agg(
             F.round(
@@ -452,23 +422,45 @@ def promql_rate_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
             span.alias("__span"),
         )
         .filter(F.col("__span") > 0)
-        .drop("__span")
+        .select(
+            F.lit("rate").alias("kind"),
+            F.col("sensor_id").alias("series"),
+            "bucket",
+            F.lit(None).cast("long").alias("n"),
+            F.lit(None).cast("double").alias("avg_value"),
+            F.lit(None).cast("double").alias("min_value"),
+            F.lit(None).cast("double").alias("max_value"),
+            "rate",
+        )
     )
+    return down.unionByName(rate)
 
+
+# ---------------------------------------------------------------------------
+# Beyond-reference: PromQL-class aggregations (the expressions
+# simple_promql.rs:149-171 rejects), composite/virtual sensors
+# (docs/DATAMODEL.md:125-131 — designed there, implemented here)
+# ---------------------------------------------------------------------------
 
 @register(
-    "agg_sum_by_label",
+    "agg_stats_by_label",
     _PRELUDE
     + """
     SELECT name, COALESCE(region_label, 'none') AS region,
-           ROUND(SUM(value), 6) AS total, COUNT(*) AS n
+           ROUND(SUM(value), 6) AS total, COUNT(*) AS n,
+           ROUND(quantile_cont(value, 0.5), 6) AS p50,
+           ROUND(quantile_cont(value, 0.95), 6) AS p95,
+           ROUND(quantile_cont(value, 0.99), 6) AS p99
     FROM vals JOIN sensors USING (sensor_id)
     GROUP BY name, COALESCE(region_label, 'none')
     """,
 )
-def agg_sum_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PromQL-style sum by(name, region): label-grouped aggregation over
-    samples — rejected by the reference, a two-line groupBy here."""
+def agg_stats_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL-style sum by(name, region) plus exact interpolated
+    percentiles (Spark ``percentile`` ≡ DuckDB ``quantile_cont``) in one
+    label-grouped aggregation over samples — the expression class the
+    reference 400s. One shuffle with map-side partials; at 100 TB swap
+    ``percentile`` for ``approx_percentile`` (sketch-mergeable)."""
     sensors = td.events_sensors(spark, sf_dir)
     vals = td.events_values(spark, sf_dir)
     joined = vals.join(
@@ -476,30 +468,8 @@ def agg_sum_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     region = F.coalesce(F.element_at("labels", F.lit("region")), F.lit("none"))
     return joined.groupBy("name", region.alias("region")).agg(
-        F.round(F.sum("value"), 6).alias("total"), F.count("*").alias("n")
-    )
-
-
-@register(
-    "agg_percentiles",
-    _PRELUDE
-    + """
-    SELECT name,
-           ROUND(quantile_cont(value, 0.5), 6) AS p50,
-           ROUND(quantile_cont(value, 0.95), 6) AS p95,
-           ROUND(quantile_cont(value, 0.99), 6) AS p99
-    FROM vals JOIN sensors USING (sensor_id)
-    GROUP BY name
-    """,
-)
-def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact interpolated percentiles per metric (Spark ``percentile`` ≡
-    DuckDB ``quantile_cont``). At 100 TB swap for
-    ``approx_percentile`` — sketch-mergeable, one pass."""
-    sensors = td.events_sensors(spark, sf_dir)
-    vals = td.events_values(spark, sf_dir)
-    joined = vals.join(F.broadcast(sensors.select("sensor_id", "name")), "sensor_id")
-    return joined.groupBy("name").agg(
+        F.round(F.sum("value"), 6).alias("total"),
+        F.count("*").alias("n"),
         F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
         F.round(F.expr("percentile(value, 0.95)"), 6).alias("p95"),
         F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
@@ -567,7 +537,7 @@ def virtual_sensor_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "promql_ext_sum_rate",
+    "promql_ext_agg",
     _PRELUDE
     + """
     , rates AS (
@@ -581,29 +551,96 @@ def virtual_sensor_join(spark: SparkSession, sf_dir: str) -> DataFrame:
           AND sensor_id IN (SELECT sensor_id FROM sensors
                             WHERE name = 'click')
         GROUP BY sensor_id
+        HAVING epoch_us(MAX(time)) > epoch_us(MIN(time))),
+    lastv AS (
+        SELECT sensor_id, arg_max(value, time) AS value
+        FROM vals
+        WHERE time >= TIMESTAMP '2024-01-01'
+          AND time <= TIMESTAMP '2024-02-01'
+          AND sensor_id IN (SELECT sensor_id FROM sensors
+                            WHERE name = 'click')
+        GROUP BY sensor_id),
+    incs AS (
+        SELECT sensor_id,
+               arg_max(value, time) - arg_min(value, time) AS value
+        FROM vals
+        WHERE time >= TIMESTAMP '2024-01-01'
+          AND time <= TIMESTAMP '2024-02-01'
+          AND sensor_id IN (SELECT sensor_id FROM sensors
+                            WHERE name = 'view')
+        GROUP BY sensor_id
         HAVING epoch_us(MAX(time)) > epoch_us(MIN(time)))
-    SELECT s.region_label AS region, ROUND(SUM(r.value), 6) AS value
-    FROM rates r JOIN sensors s USING (sensor_id)
-    GROUP BY 1
+    SELECT 'sum_rate_by' AS op, s.region_label AS key,
+           ROUND(SUM(r.value), 6) AS value
+    FROM rates r JOIN sensors s USING (sensor_id) GROUP BY 2
+    UNION ALL
+    SELECT 'stddev_by', s.region_label, ROUND(stddev_pop(l.value), 6)
+    FROM lastv l JOIN sensors s USING (sensor_id) GROUP BY 2
+    UNION ALL
+    SELECT 'sum_without', CASE WHEN s.region_label IS NULL THEN ''
+                ELSE 'region="' || s.region_label || '"' END,
+           ROUND(SUM(i.value), 6)
+    FROM incs i JOIN sensors s USING (sensor_id) GROUP BY 2
+    UNION ALL
+    SELECT 'label_replace', 'u' || substring(s.user_label, 1, 1),
+           ROUND(SUM(l.value), 6)
+    FROM lastv l JOIN sensors s USING (sensor_id) GROUP BY 2
     """,
 )
-def promql_ext_sum_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Beyond-reference: the full extended-PromQL path — the string
-    ``sum by (region) (rate(click[31d]))`` parsed and evaluated as a
-    DataFrame plan (the reference 400s this exact expression class,
-    simple_promql.rs:149-171). ``now`` pinned for determinism."""
+def promql_ext_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Beyond-reference: the extended-PromQL aggregation family — every
+    expression class the reference 400s (simple_promql.rs:149-171),
+    parsed from the PromQL string and evaluated as DataFrame plans, as
+    one tagged union:
+
+    * ``sum by (region) (rate(click[31d]))``
+    * ``stddev by (region) (last_over_time(click[31d]))`` (population
+      stddev, Prometheus semantics)
+    * ``sum without (user) (increase(view[31d]))`` — complement-label
+      grouping keyed on the canonical remaining-labels string
+    * ``sum by (bucket) (label_replace(last_over_time(click[31d]),
+      "bucket", "u$1", "user", "([0-9]).*"))`` — label manipulation
+      feeding an aggregation
+
+    ``now`` pinned for determinism. Every member aggregates series-sized
+    frames after a per-series window reduction — one sample-scan shuffle
+    each, dimension-sized joins after."""
     from sensapp_spark.query.promql_ext import (
         evaluate_extended,
         parse_extended,
     )
 
-    eq = parse_extended(
-        "sum by (region) (rate(click[31d]))", now=dt.datetime(2024, 2, 1)
-    )
-    out = evaluate_extended(
-        td.events_sensors(spark, sf_dir), td.events_values(spark, sf_dir), eq
-    )
-    return out.select("region", F.round("value", 6).alias("value"))
+    sensors = td.events_sensors(spark, sf_dir)
+    vals = td.events_values(spark, sf_dir)
+    now = dt.datetime(2024, 2, 1)
+    cases = [
+        ("sum_rate_by", "sum by (region) (rate(click[31d]))", "region"),
+        (
+            "stddev_by",
+            "stddev by (region) (last_over_time(click[31d]))",
+            "region",
+        ),
+        ("sum_without", "sum without (user) (increase(view[31d]))", "labels"),
+        (
+            "label_replace",
+            'sum by (bucket) (label_replace(last_over_time(click[31d]), '
+            '"bucket", "u$1", "user", "([0-9]).*"))',
+            "bucket",
+        ),
+    ]
+    parts = []
+    for tag, expr, key_col in cases:
+        out = evaluate_extended(sensors, vals, parse_extended(expr, now=now))
+        parts.append(
+            (
+                tag,
+                out.select(
+                    F.col(key_col).alias("key"),
+                    F.round("value", 6).alias("value"),
+                ),
+            )
+        )
+    return _union_tagged(parts, "op")
 
 
 @register(
@@ -644,145 +681,69 @@ def promql_ext_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "promql_ext_quantile_over_time",
+    "promql_ext_instant",
     _PRELUDE
     + """
-    SELECT sensor_id,
+    SELECT 'quantile' AS func, sensor_id,
            ROUND(quantile_cont(value, 0.9), 6) AS value
     FROM vals
     WHERE time >= TIMESTAMP '2024-01-01'
       AND time <= TIMESTAMP '2024-02-01'
       AND sensor_id IN (SELECT sensor_id FROM sensors WHERE name = 'view')
     GROUP BY sensor_id
-    """,
-)
-def promql_ext_quantile_over_time(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Beyond-reference: parametric range function
-    ``quantile_over_time(0.9, view[31d])`` — Spark ``percentile`` ≡
-    DuckDB ``quantile_cont`` (both linear interpolation). One shuffle,
-    map-side partials."""
-    from sensapp_spark.query.promql_ext import (
-        evaluate_extended,
-        parse_extended,
-    )
-
-    eq = parse_extended(
-        "quantile_over_time(0.9, view[31d])", now=dt.datetime(2024, 2, 1)
-    )
-    out = evaluate_extended(
-        td.events_sensors(spark, sf_dir), td.events_values(spark, sf_dir), eq
-    )
-    return out.select("sensor_id", F.round("value", 6).alias("value"))
-
-
-@register(
-    "promql_ext_without",
-    _PRELUDE
-    + """
-    , incs AS (
-        SELECT sensor_id,
-               arg_max(value, time) - arg_min(value, time) AS value
-        FROM vals
-        WHERE time >= TIMESTAMP '2024-01-01'
-          AND time <= TIMESTAMP '2024-02-01'
-          AND sensor_id IN (SELECT sensor_id FROM sensors
-                            WHERE name = 'view')
-        GROUP BY sensor_id
-        HAVING epoch_us(MAX(time)) > epoch_us(MIN(time)))
-    SELECT CASE WHEN s.region_label IS NULL THEN ''
-                ELSE 'region="' || s.region_label || '"' END AS labels,
-           ROUND(SUM(i.value), 6) AS value
-    FROM incs i JOIN sensors s USING (sensor_id)
-    GROUP BY 1
-    """,
-)
-def promql_ext_without(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Beyond-reference: ``sum without (user) (increase(view[31d]))`` —
-    grouping by the complement label set, keyed on the canonical string
-    of the remaining labels (Spark cannot group by MAP)."""
-    from sensapp_spark.query.promql_ext import (
-        evaluate_extended,
-        parse_extended,
-    )
-
-    eq = parse_extended(
-        "sum without (user) (increase(view[31d]))",
-        now=dt.datetime(2024, 2, 1),
-    )
-    out = evaluate_extended(
-        td.events_sensors(spark, sf_dir), td.events_values(spark, sf_dir), eq
-    )
-    return out.select("labels", F.round("value", 6).alias("value"))
-
-
-@register(
-    "promql_ext_offset",
-    _PRELUDE
-    + """
-    SELECT sensor_id, ROUND(AVG(value), 6) AS value
+    UNION ALL
+    SELECT 'avg_offset', sensor_id, ROUND(AVG(value), 6)
     FROM vals
     WHERE time >= TIMESTAMP '2024-01-11'
       AND time <= TIMESTAMP '2024-01-21'
       AND sensor_id IN (SELECT sensor_id FROM sensors
                         WHERE name = 'purchase')
     GROUP BY sensor_id
+    UNION ALL
+    SELECT 'clamp_sqrt', sensor_id,
+           ROUND(LEAST(sqrt(AVG(value)), 2.5), 6)
+    FROM vals
+    WHERE time >= TIMESTAMP '2024-01-01'
+      AND time <= TIMESTAMP '2024-02-01'
+      AND sensor_id IN (SELECT sensor_id FROM sensors
+                        WHERE name = 'purchase')
+    GROUP BY sensor_id
     """,
 )
-def promql_ext_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Beyond-reference: the ``offset`` modifier —
-    ``avg_over_time(purchase[10d] offset 11d)`` at now=2024-02-01 reads
-    the shifted window [2024-01-11, 2024-01-21]. Pure plan-time window
-    arithmetic: the shifted range still pushes down to the scan."""
+def promql_ext_instant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Beyond-reference: instant-vector evaluation family as one tagged
+    union —
+
+    * ``quantile_over_time(0.9, view[31d])`` (Spark ``percentile`` ≡
+      DuckDB ``quantile_cont``, both linear interpolation)
+    * ``avg_over_time(purchase[10d] offset 11d)`` — the offset modifier
+      is pure plan-time window arithmetic; the shifted range still
+      pushes down to the scan
+    * ``clamp_max(sqrt(avg_over_time(purchase[31d])), 2.5)`` —
+      element-wise post-functions stay whole-stage-codegen JVM
+      expressions on the aggregated frame."""
     from sensapp_spark.query.promql_ext import (
         evaluate_extended,
         parse_extended,
     )
 
-    eq = parse_extended(
-        "avg_over_time(purchase[10d] offset 11d)",
-        now=dt.datetime(2024, 2, 1),
-    )
-    out = evaluate_extended(
-        td.events_sensors(spark, sf_dir), td.events_values(spark, sf_dir), eq
-    )
-    return out.select("sensor_id", F.round("value", 6).alias("value"))
-
-
-@register(
-    "promql_ext_stddev_by",
-    _PRELUDE
-    + """
-    , last AS (
-        SELECT sensor_id, arg_max(value, time) AS value
-        FROM vals
-        WHERE time >= TIMESTAMP '2024-01-01'
-          AND time <= TIMESTAMP '2024-02-01'
-          AND sensor_id IN (SELECT sensor_id FROM sensors
-                            WHERE name = 'click')
-        GROUP BY sensor_id)
-    SELECT s.region_label AS region,
-           ROUND(stddev_pop(l.value), 6) AS value
-    FROM last l JOIN sensors s USING (sensor_id)
-    GROUP BY 1
-    """,
-)
-def promql_ext_stddev_by(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Beyond-reference: ``stddev by (region) (last_over_time(click[31d]))``
-    — population stddev (Prometheus semantics) of each region's series'
-    last samples."""
-    from sensapp_spark.query.promql_ext import (
-        evaluate_extended,
-        parse_extended,
-    )
-
-    eq = parse_extended(
-        "stddev by (region) (last_over_time(click[31d]))",
-        now=dt.datetime(2024, 2, 1),
-    )
-    out = evaluate_extended(
-        td.events_sensors(spark, sf_dir), td.events_values(spark, sf_dir), eq
-    )
-    return out.select("region", F.round("value", 6).alias("value"))
+    sensors = td.events_sensors(spark, sf_dir)
+    vals = td.events_values(spark, sf_dir)
+    now = dt.datetime(2024, 2, 1)
+    cases = [
+        ("quantile", "quantile_over_time(0.9, view[31d])"),
+        ("avg_offset", "avg_over_time(purchase[10d] offset 11d)"),
+        ("clamp_sqrt", "clamp_max(sqrt(avg_over_time(purchase[31d])), 2.5)"),
+    ]
+    parts = [
+        (
+            tag,
+            evaluate_extended(sensors, vals, parse_extended(expr, now=now))
+            .select("sensor_id", F.round("value", 6).alias("value")),
+        )
+        for tag, expr in cases
+    ]
+    return _union_tagged(parts, "func")
 
 
 @register(
@@ -953,81 +914,6 @@ def promql_ext_range_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "promql_ext_label_replace",
-    _PRELUDE
-    + """
-    , last AS (
-        SELECT sensor_id, arg_max(value, time) AS value
-        FROM vals
-        WHERE time >= TIMESTAMP '2024-01-01'
-          AND time <= TIMESTAMP '2024-02-01'
-          AND sensor_id IN (SELECT sensor_id FROM sensors
-                            WHERE name = 'click')
-        GROUP BY sensor_id)
-    SELECT 'u' || substring(s.user_label, 1, 1) AS bucket,
-           ROUND(SUM(l.value), 6) AS value
-    FROM last l JOIN sensors s USING (sensor_id)
-    GROUP BY 1
-    """,
-)
-def promql_ext_label_replace(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Beyond-reference: label manipulation feeding an aggregation —
-    ``sum by (bucket) (label_replace(last_over_time(click[31d]),
-    "bucket", "u$1", "user", "([0-9]).*"))`` groups series by the first
-    digit of their user label. The rewrite is a JVM map expression on
-    the series-sized vector; the oracle derives the same bucket with
-    substring arithmetic (independent implementation)."""
-    from sensapp_spark.query.promql_ext import (
-        evaluate_extended,
-        parse_extended,
-    )
-
-    eq = parse_extended(
-        'sum by (bucket) (label_replace(last_over_time(click[31d]), '
-        '"bucket", "u$1", "user", "([0-9]).*"))',
-        now=dt.datetime(2024, 2, 1),
-    )
-    out = evaluate_extended(
-        td.events_sensors(spark, sf_dir), td.events_values(spark, sf_dir), eq
-    )
-    return out.select("bucket", F.round("value", 6).alias("value"))
-
-
-@register(
-    "promql_ext_scalar_funcs",
-    _PRELUDE
-    + """
-    SELECT sensor_id,
-           ROUND(LEAST(sqrt(AVG(value)), 2.5), 6) AS value
-    FROM vals
-    WHERE time >= TIMESTAMP '2024-01-01'
-      AND time <= TIMESTAMP '2024-02-01'
-      AND sensor_id IN (SELECT sensor_id FROM sensors
-                        WHERE name = 'purchase')
-    GROUP BY sensor_id
-    """,
-)
-def promql_ext_scalar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Beyond-reference: element-wise function chain over an instant
-    vector — ``clamp_max(sqrt(avg_over_time(purchase[31d])), 2.5)``.
-    Post-functions stay whole-stage-codegen JVM expressions on the
-    aggregated frame."""
-    from sensapp_spark.query.promql_ext import (
-        evaluate_extended,
-        parse_extended,
-    )
-
-    eq = parse_extended(
-        "clamp_max(sqrt(avg_over_time(purchase[31d])), 2.5)",
-        now=dt.datetime(2024, 2, 1),
-    )
-    out = evaluate_extended(
-        td.events_sensors(spark, sf_dir), td.events_values(spark, sf_dir), eq
-    )
-    return out.select("sensor_id", F.round("value", 6).alias("value"))
-
-
-@register(
     "gapfill_1h",
     _PRELUDE
     + """
@@ -1108,30 +994,51 @@ def catalog_metrics_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "asof_align",
+    "event_context_join",
     """
     WITH click AS (
-        SELECT user_id, CAST(ts AS TIMESTAMP) AS time, value AS click_value
+        SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS time,
+               value AS click_value
         FROM events WHERE event_type = 'click'),
     v AS (
         SELECT user_id, CAST(ts AS TIMESTAMP) AS time, MAX(value) AS view_value
-        FROM events WHERE event_type = 'view' GROUP BY 1, 2)
-    SELECT c.user_id, c.time, c.click_value,
-           v.time AS time_right, v.view_value AS view_value_right
-    FROM click c ASOF LEFT JOIN v
-      ON c.user_id = v.user_id AND c.time >= v.time
+        FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+    viewsraw AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS time
+        FROM events WHERE event_type = 'view'),
+    aligned AS (
+        SELECT c.event_id, c.user_id, c.time, c.click_value,
+               v.time AS time_right, v.view_value AS view_value_right
+        FROM click c ASOF LEFT JOIN v
+          ON c.user_id = v.user_id AND c.time >= v.time),
+    counts AS (
+        SELECT c.event_id, COUNT(v.time) AS n_views_5m
+        FROM click c LEFT JOIN viewsraw v
+          ON v.user_id = c.user_id
+         AND v.time > c.time - INTERVAL 300 SECOND
+         AND v.time <= c.time
+        GROUP BY c.event_id)
+    SELECT a.event_id, a.user_id, a.time, a.click_value,
+           a.time_right, a.view_value_right, c.n_views_5m
+    FROM aligned a JOIN counts c USING (event_id)
     """,
 )
-def asof_align(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Beyond-reference: backward as-of join — every click sample gains
-    the user's most recent view sample at or before it. Oracle is
-    DuckDB's native ASOF LEFT JOIN. The right side is reduced to one row
-    per (user, timestamp) first so duplicate-timestamp winners are
-    well-defined in both engines."""
-    from sensapp_spark.operators.timeseries import asof_join
+def event_context_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Beyond-reference: temporal context enrichment — each click gains
+    (a) the user's most recent view sample at or before it via the
+    backward as-of join (single-shuffle union + forward-fill window, no
+    join node) and (b) the count of views in the trailing 5 minutes via
+    the interval join (equi-join on user with the range as a conjunct;
+    pair blowup bounded by events-per-user-per-interval). The oracle
+    uses DuckDB's native ASOF LEFT JOIN — an independent formulation.
+    The as-of right side is reduced to one row per (user, timestamp)
+    first so duplicate-timestamp winners are well-defined in both
+    engines."""
+    from sensapp_spark.operators.timeseries import asof_join, interval_count
 
     ev = td.load_events(spark, sf_dir)
     left = ev.filter(F.col("event_type") == "click").select(
+        "event_id",
         "user_id",
         F.col("ts").alias("time"),
         F.col("value").alias("click_value"),
@@ -1142,10 +1049,21 @@ def asof_align(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id", "time")
         .agg(F.max("value").alias("view_value"))
     )
-    return asof_join(
+    aligned = asof_join(
         left, right, on=["user_id"], time_col="time",
         value_cols=["view_value"],
     )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("ts").alias("time")
+    )
+    counts = interval_count(
+        left.select("user_id", "event_id", "time"), views,
+        on=["user_id"], lookback_seconds=300, count_alias="n_views_5m",
+    ).select("event_id", "n_views_5m")
+    return aligned.select(
+        "event_id", "user_id", "time", "click_value",
+        "time_right", "view_value_right",
+    ).join(counts, "event_id")
 
 
 @register(
@@ -1211,8 +1129,14 @@ def _ext_bin(spark, sf_dir, expr, now=dt.datetime(2024, 2, 1)):
     )
 
 
+# Pinned evaluation time (2024-02-01) and window start (2024-01-01) in
+# epoch seconds; regression x is centered on the window start.
+_EVAL_S = 1706745600
+_START_S = 1704067200
+
+
 @register(
-    "promql_ext_irate",
+    "promql_ext_range_funcs",
     _PRELUDE
     + f"""
     , ranked AS (
@@ -1222,33 +1146,8 @@ def _ext_bin(spark, sf_dir, expr, now=dt.datetime(2024, 2, 1)):
         FROM vals v
         WHERE {_W31}
           AND v.sensor_id IN (SELECT sensor_id FROM sensors
-                              WHERE name = 'click'))
-    SELECT sensor_id,
-           ROUND(CASE WHEN arg_min(value, rn) < arg_max(value, rn)
-                      THEN arg_min(value, rn)
-                      ELSE arg_min(value, rn) - arg_max(value, rn) END
-                 / ((epoch_us(MAX(time)) - epoch_us(MIN(time))) / 1e6),
-                 6) AS value
-    FROM ranked WHERE rn <= 2
-    GROUP BY sensor_id
-    HAVING epoch_us(MAX(time)) > epoch_us(MIN(time))
-    """,
-)
-def promql_ext_irate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Beyond-reference: ``irate(click[31d])`` — instantaneous rate from
-    the last two samples, with Prometheus counter-reset handling (last <
-    prev ⇒ rise = last). The per-series top-2 plans as WindowGroupLimit
-    (partial top-K before the shuffle), so the exchange carries ≤2 rows
-    per input partition per series at any sample rate."""
-    out = _ext(spark, sf_dir, "irate(click[31d])")
-    return out.select("sensor_id", F.round("value", 6).alias("value"))
-
-
-@register(
-    "promql_ext_changes",
-    _PRELUDE
-    + f"""
-    , lagged AS (
+                              WHERE name = 'click')),
+    lagged AS (
         SELECT v.sensor_id,
                CASE WHEN lag(v.value) OVER w IS NOT NULL
                          AND v.value <> lag(v.value) OVER w
@@ -1259,85 +1158,47 @@ def promql_ext_irate(spark: SparkSession, sf_dir: str) -> DataFrame:
                               WHERE name = 'view')
         WINDOW w AS (PARTITION BY v.sensor_id
                      ORDER BY v.time, v.value))
-    SELECT sensor_id, CAST(SUM(f) AS DOUBLE) AS value
+    SELECT 'irate' AS func, sensor_id,
+           ROUND(CASE WHEN arg_min(value, rn) < arg_max(value, rn)
+                      THEN arg_min(value, rn)
+                      ELSE arg_min(value, rn) - arg_max(value, rn) END
+                 / ((epoch_us(MAX(time)) - epoch_us(MIN(time))) / 1e6),
+                 6) AS value
+    FROM ranked WHERE rn <= 2
+    GROUP BY sensor_id
+    HAVING epoch_us(MAX(time)) > epoch_us(MIN(time))
+    UNION ALL
+    SELECT 'changes', sensor_id, CAST(SUM(f) AS DOUBLE)
     FROM lagged GROUP BY sensor_id
-    """,
-)
-def promql_ext_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Beyond-reference: ``changes(view[31d])`` — consecutive-pair value
-    changes per series; one lag window + sum sharing a single exchange."""
-    return _ext(spark, sf_dir, "changes(view[31d])").select(
-        "sensor_id", "value"
-    )
-
-
-@register(
-    "promql_ext_deriv",
-    _PRELUDE
-    + f"""
-    SELECT v.sensor_id,
+    UNION ALL
+    SELECT 'deriv', v.sensor_id,
            ROUND(regr_slope(v.value,
                  (epoch_us(v.time)
-                  - epoch_us(TIMESTAMP '2024-01-01')) / 1e6), 6)
-           + 0.0 AS value
+                  - epoch_us(TIMESTAMP '2024-01-01')) / 1e6), 6) + 0.0
     FROM vals v
     WHERE {_W31}
       AND v.sensor_id IN (SELECT sensor_id FROM sensors
                           WHERE name = 'purchase')
     GROUP BY v.sensor_id
     HAVING var_pop(epoch_us(v.time) / 1e6) > 0
-    """,
-)
-def promql_ext_deriv(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Beyond-reference: ``deriv(purchase[31d])`` — least-squares slope
-    per series (covar_pop/var_pop JVM aggregates, single shuffle; x
-    centered on the window start for cross-engine float stability).
-    ``+ 0.0`` canonicalizes IEEE negative zero on both engines."""
-    return _ext(spark, sf_dir, "deriv(purchase[31d])").select(
-        "sensor_id", (F.round("value", 6) + F.lit(0.0)).alias("value")
-    )
-
-
-# Pinned evaluation time (2024-02-01) and window start (2024-01-01) in
-# epoch seconds; regression x is centered on the window start.
-_EVAL_S = 1706745600
-_START_S = 1704067200
-
-
-@register(
-    "promql_ext_predict_linear",
-    _PRELUDE
-    + f"""
-    SELECT v.sensor_id,
+    UNION ALL
+    SELECT 'predict_linear', v.sensor_id,
            ROUND(AVG(v.value)
                  + regr_slope(v.value,
                        (epoch_us(v.time) - {_START_S}::BIGINT * 1000000) / 1e6)
                    * ({_EVAL_S} - {_START_S} + 86400
                       - AVG((epoch_us(v.time)
                              - {_START_S}::BIGINT * 1000000) / 1e6)),
-                 6) AS value
+                 6)
     FROM vals v
     WHERE {_W31}
       AND v.sensor_id IN (SELECT sensor_id FROM sensors
                           WHERE name = 'purchase')
     GROUP BY v.sensor_id
     HAVING var_pop(epoch_us(v.time) / 1e6) > 0
-    """,
-)
-def promql_ext_predict_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Beyond-reference: ``predict_linear(purchase[31d], 86400)`` — the
-    regression line extrapolated one day past the evaluation time."""
-    return _ext(spark, sf_dir, "predict_linear(purchase[31d], 86400)").select(
-        "sensor_id", F.round("value", 6).alias("value")
-    )
-
-
-@register(
-    "promql_ext_timestamp",
-    _PRELUDE
-    + f"""
-    SELECT v.sensor_id,
-           ROUND(epoch_us(MAX(v.time)) / 1e6, 6) AS value
+    UNION ALL
+    SELECT 'timestamp', v.sensor_id,
+           ROUND(epoch_us(MAX(v.time)) / 1e6, 6)
     FROM vals v
     WHERE {_W31}
       AND v.sensor_id IN (SELECT sensor_id FROM sensors
@@ -1345,16 +1206,44 @@ def promql_ext_predict_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY v.sensor_id
     """,
 )
-def promql_ext_timestamp(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Beyond-reference: ``timestamp(click[31d])`` — each series' last
-    sample time as a value in seconds (µs kept in the fraction)."""
-    return _ext(spark, sf_dir, "timestamp(click[31d])").select(
-        "sensor_id", F.round("value", 6).alias("value")
-    )
+def promql_ext_range_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Beyond-reference: the per-series range-function family as one
+    tagged union —
+
+    * ``irate(click[31d])`` — instantaneous rate from the last two
+      samples with Prometheus counter-reset handling (last < prev ⇒
+      rise = last); the per-series top-2 plans as WindowGroupLimit, so
+      the exchange carries ≤2 rows per (series, input partition)
+    * ``changes(view[31d])`` — consecutive-pair changes; one lag window
+      + sum sharing a single exchange
+    * ``deriv(purchase[31d])`` — least-squares slope (covar_pop/var_pop
+      JVM aggregates; x centered on the window start for cross-engine
+      float stability; ``+ 0.0`` canonicalizes IEEE negative zero)
+    * ``predict_linear(purchase[31d], 86400)`` — the regression line
+      extrapolated one day past the evaluation time
+    * ``timestamp(click[31d])`` — last sample time in seconds."""
+    cases = [
+        ("irate", "irate(click[31d])", "round"),
+        ("changes", "changes(view[31d])", "raw"),
+        ("deriv", "deriv(purchase[31d])", "round_negzero"),
+        ("predict_linear", "predict_linear(purchase[31d], 86400)", "round"),
+        ("timestamp", "timestamp(click[31d])", "round"),
+    ]
+    parts = []
+    for tag, expr, post in cases:
+        out = _ext(spark, sf_dir, expr)
+        if post == "round":
+            value = F.round("value", 6)
+        elif post == "round_negzero":
+            value = F.round("value", 6) + F.lit(0.0)
+        else:
+            value = F.col("value")
+        parts.append((tag, out.select("sensor_id", value.alias("value"))))
+    return _union_tagged(parts, "func")
 
 
 @register(
-    "promql_ext_and",
+    "promql_ext_set_ops",
     _PRELUDE
     + f"""
     , cl AS (
@@ -1367,104 +1256,66 @@ def promql_ext_timestamp(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT DISTINCT s.user_label
         FROM vals v JOIN sensors s USING (sensor_id)
         WHERE s.name = 'view' AND s.region_label = 'r1' AND {_W31})
-    SELECT cl.sensor_id, ROUND(cl.value, 6) AS value
+    SELECT 'and' AS op, cl.sensor_id, ROUND(cl.value, 6) AS value
     FROM cl JOIN vw USING (user_label)
-    """,
-)
-def promql_ext_and(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Beyond-reference: set operation ``and`` with ``on(user)``
-    matching — click series restricted to users whose view series
-    carries region r1. A dimension-sized left-semi join."""
-    out = _ext_bin(
-        spark,
-        sf_dir,
-        'last_over_time(click[31d]) and on(user) '
-        'last_over_time(view{region="r1"}[31d])',
-    )
-    return out.select("sensor_id", F.round("value", 6).alias("value"))
-
-
-@register(
-    "promql_ext_unless",
-    _PRELUDE
-    + f"""
-    , cl AS (
-        SELECT v.sensor_id, s.user_label,
-               arg_max(v.value, v.time) AS value
-        FROM vals v JOIN sensors s USING (sensor_id)
-        WHERE s.name = 'click' AND {_W31}
-        GROUP BY 1, 2),
-    vw AS (
-        SELECT DISTINCT s.user_label
-        FROM vals v JOIN sensors s USING (sensor_id)
-        WHERE s.name = 'view' AND s.region_label = 'r1' AND {_W31})
-    SELECT cl.sensor_id, ROUND(cl.value, 6) AS value
+    UNION ALL
+    SELECT 'unless', cl.sensor_id, ROUND(cl.value, 6)
     FROM cl WHERE user_label NOT IN (SELECT user_label FROM vw)
-    """,
-)
-def promql_ext_unless(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Beyond-reference: set operation ``unless`` (left-anti join on the
-    matching key) — the complement of promql_ext_and."""
-    out = _ext_bin(
-        spark,
-        sf_dir,
-        'last_over_time(click[31d]) unless on(user) '
-        'last_over_time(view{region="r1"}[31d])',
-    )
-    return out.select("sensor_id", F.round("value", 6).alias("value"))
-
-
-@register(
-    "promql_ext_or",
-    _PRELUDE
-    + f"""
-    SELECT v.sensor_id, ROUND(arg_max(v.value, v.time), 6) AS value
+    UNION ALL
+    SELECT 'or', v.sensor_id, ROUND(arg_max(v.value, v.time), 6)
     FROM vals v JOIN sensors s USING (sensor_id)
     WHERE s.name = 'click' AND s.region_label IN ('r1', 'r2')
       AND {_W31}
     GROUP BY v.sensor_id
     """,
 )
-def promql_ext_or(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Beyond-reference: set operation ``or`` — union of two disjoint
-    selections (right side contributes only series whose matching key
-    is absent on the left)."""
-    out = _ext_bin(
-        spark,
-        sf_dir,
-        'last_over_time(click{region="r1"}[31d]) or '
-        'last_over_time(click{region="r2"}[31d])',
-    )
-    return out.select("sensor_id", F.round("value", 6).alias("value"))
+def promql_ext_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Beyond-reference: the PromQL set-operation family as one tagged
+    union — ``and on(user)`` (dimension-sized left-semi join),
+    ``unless on(user)`` (left-anti), and ``or`` (union where the right
+    side contributes only absent matching keys)."""
+    cases = [
+        (
+            "and",
+            'last_over_time(click[31d]) and on(user) '
+            'last_over_time(view{region="r1"}[31d])',
+        ),
+        (
+            "unless",
+            'last_over_time(click[31d]) unless on(user) '
+            'last_over_time(view{region="r1"}[31d])',
+        ),
+        (
+            "or",
+            'last_over_time(click{region="r1"}[31d]) or '
+            'last_over_time(click{region="r2"}[31d])',
+        ),
+    ]
+    parts = [
+        (
+            tag,
+            _ext_bin(spark, sf_dir, expr).select(
+                "sensor_id", F.round("value", 6).alias("value")
+            ),
+        )
+        for tag, expr in cases
+    ]
+    return _union_tagged(parts, "op")
 
 
 @register(
-    "promql_ext_gt_bool",
+    "promql_ext_compare",
     _PRELUDE
     + f"""
-    SELECT v.sensor_id,
+    SELECT 'gt_bool' AS op, v.sensor_id,
            CASE WHEN AVG(v.value) > 50 THEN 1.0 ELSE 0.0 END AS value
     FROM vals v
     WHERE {_W31}
       AND v.sensor_id IN (SELECT sensor_id FROM sensors
                           WHERE name = 'purchase')
     GROUP BY v.sensor_id
-    """,
-)
-def promql_ext_gt_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Beyond-reference: comparison with the ``bool`` modifier —
-    ``avg_over_time(purchase[31d]) > bool 50`` keeps every series with a
-    0/1 value."""
-    return _ext_bin(
-        spark, sf_dir, "avg_over_time(purchase[31d]) > bool 50"
-    ).select("sensor_id", "value")
-
-
-@register(
-    "promql_ext_filter_gt",
-    _PRELUDE
-    + f"""
-    SELECT v.sensor_id, ROUND(AVG(v.value), 6) AS value
+    UNION ALL
+    SELECT 'filter_gt', v.sensor_id, ROUND(AVG(v.value), 6)
     FROM vals v
     WHERE {_W31}
       AND v.sensor_id IN (SELECT sensor_id FROM sensors
@@ -1473,12 +1324,20 @@ def promql_ext_gt_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
     HAVING AVG(v.value) > 50
     """,
 )
-def promql_ext_filter_gt(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Beyond-reference: comparison as filter (Prometheus default) —
-    ``avg_over_time(purchase[31d]) > 50`` drops non-matching series,
-    values unchanged."""
-    out = _ext_bin(spark, sf_dir, "avg_over_time(purchase[31d]) > 50")
-    return out.select("sensor_id", F.round("value", 6).alias("value"))
+def promql_ext_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Beyond-reference: PromQL comparisons as one tagged union —
+    ``avg_over_time(purchase[31d]) > bool 50`` (keep all series, 0/1
+    value) and ``… > 50`` (Prometheus default: filter, values
+    unchanged)."""
+    gt_bool = _ext_bin(
+        spark, sf_dir, "avg_over_time(purchase[31d]) > bool 50"
+    ).select("sensor_id", "value")
+    filter_gt = _ext_bin(
+        spark, sf_dir, "avg_over_time(purchase[31d]) > 50"
+    ).select("sensor_id", F.round("value", 6).alias("value"))
+    return _union_tagged(
+        [("gt_bool", gt_bool), ("filter_gt", filter_gt)], "op"
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1527,103 +1386,57 @@ def downsample_m4(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "rolling_avg",
+    "rolling_anomaly",
     _PRELUDE
     + """
-    SELECT v.sensor_id, v.time, v.event_id,
-           ROUND(AVG(v.value) OVER (
-               PARTITION BY v.sensor_id
-               ORDER BY v.time, v.event_id
-               ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6) AS value_rolling
-    FROM vals v
-    WHERE v.sensor_id IN (SELECT sensor_id FROM sensors
-                          WHERE name = 'signup')
+    SELECT 'rolling_avg' AS kind, sensor_id, event_id, value FROM (
+        SELECT v.sensor_id, v.event_id,
+               ROUND(AVG(v.value) OVER (
+                   PARTITION BY v.sensor_id
+                   ORDER BY v.time, v.event_id
+                   ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6) AS value
+        FROM vals v
+        WHERE v.sensor_id IN (SELECT sensor_id FROM sensors
+                              WHERE name = 'signup'))
+    UNION ALL
+    SELECT 'zscore', sensor_id, event_id, value FROM (
+        WITH stats AS (
+            SELECT sensor_id, AVG(value) AS mu, stddev_pop(value) AS sigma
+            FROM vals GROUP BY sensor_id)
+        SELECT v.sensor_id, v.event_id,
+               ROUND((v.value - s.mu) / s.sigma, 6) AS value
+        FROM vals v JOIN stats s USING (sensor_id)
+        WHERE s.sigma > 0 AND abs((v.value - s.mu) / s.sigma) > 2.5)
     """,
 )
-def rolling_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Beyond-reference: trailing 5-row moving average per series — a
-    ROWS-bounded window, O(window) state per row at any series length."""
-    from sensapp_spark.operators.timeseries import rolling_mean
+def rolling_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Beyond-reference: per-sample derived series as one tagged union —
+    trailing 5-row moving average per signup series (ROWS-bounded
+    window, O(window) state per row) and per-series z-score anomalies
+    (|z| > 2.5; dimension-sized stats aggregate broadcast back to the
+    scan)."""
+    from sensapp_spark.operators.timeseries import rolling_mean, zscore_outliers
 
     sensors = td.events_sensors(spark, sf_dir)
-    vals = td.events_values(spark, sf_dir).join(
+    vals = td.events_values(spark, sf_dir)
+    signup = vals.join(
         F.broadcast(
             sensors.filter(F.col("name") == "signup").select("sensor_id")
         ),
         "sensor_id",
         "leftsemi",
     )
-    out = rolling_mean(
-        vals, on=["sensor_id"], window_rows=5, tiebreakers=["event_id"]
+    rolling = rolling_mean(
+        signup, on=["sensor_id"], window_rows=5, tiebreakers=["event_id"]
+    ).select(
+        "sensor_id", "event_id", F.round("value_rolling", 6).alias("value")
     )
-    return out.select(
-        "sensor_id", "time", "event_id",
-        F.round("value_rolling", 6).alias("value_rolling"),
+    zscore = zscore_outliers(vals, on=["sensor_id"], threshold=2.5).select(
+        "sensor_id", "event_id", F.round("zscore", 6).alias("value")
     )
-
-
-@register(
-    "anomaly_zscore",
-    _PRELUDE
-    + """
-    , stats AS (
-        SELECT sensor_id, AVG(value) AS mu, stddev_pop(value) AS sigma
-        FROM vals GROUP BY sensor_id)
-    SELECT v.event_id, v.sensor_id,
-           ROUND((v.value - s.mu) / s.sigma, 6) AS zscore
-    FROM vals v JOIN stats s USING (sensor_id)
-    WHERE s.sigma > 0 AND abs((v.value - s.mu) / s.sigma) > 2.5
-    """,
-)
-def anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Beyond-reference: per-series z-score anomalies (|z| > 2.5).
-    Dimension-sized stats aggregate broadcast-joined back to the scan."""
-    from sensapp_spark.operators.timeseries import zscore_outliers
-
-    out = zscore_outliers(
-        td.events_values(spark, sf_dir), on=["sensor_id"], threshold=2.5
+    return _union_tagged(
+        [("rolling_avg", rolling), ("zscore", zscore)], "kind"
     )
-    return out.select(
-        "event_id", "sensor_id", F.round("zscore", 6).alias("zscore")
-    )
-
-
-@register(
-    "interval_join_5m",
-    """
-    WITH clicks AS (
-        SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS time
-        FROM events WHERE event_type = 'click'),
-    views AS (
-        SELECT user_id, CAST(ts AS TIMESTAMP) AS time
-        FROM events WHERE event_type = 'view')
-    SELECT c.event_id, COUNT(v.time) AS n_views
-    FROM clicks c LEFT JOIN views v
-      ON v.user_id = c.user_id
-     AND v.time > c.time - INTERVAL 300 SECOND
-     AND v.time <= c.time
-    GROUP BY c.event_id
-    """,
-)
-def interval_join_5m(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Beyond-reference: trailing-interval join — views by the same user
-    in the 5 minutes before each click. Equi-join on user with the
-    interval as a range conjunct; pair blowup bounded by events-per-
-    user-per-interval."""
-    from sensapp_spark.operators.timeseries import interval_count
-
-    ev = td.load_events(spark, sf_dir)
-    clicks = ev.filter(F.col("event_type") == "click").select(
-        "user_id", "event_id", F.col("ts").alias("time")
-    )
-    views = ev.filter(F.col("event_type") == "view").select(
-        "user_id", F.col("ts").alias("time")
-    )
-    out = interval_count(
-        clicks, views, on=["user_id"], lookback_seconds=300,
-        count_alias="n_views",
-    )
-    return out.select("event_id", "n_views")
 
 
 @register(
@@ -1676,6 +1489,183 @@ def series_corr_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter((F.col("__vc") > 0) & (F.col("__vw") > 0))
         .drop("__vc", "__vw")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Typed value tables (SURVEY §1.2 / §7.4 risks 2 and 5): oracle-checked
+# entries for the non-Float types. The testdata is Float-only, so each
+# entry derives a typed value table from events deterministically (the
+# way geo_within_radius derives coordinates) and queries it through the
+# engine's typed-column machinery — Decimal(38,18) exactness, Boolean
+# aggregates, the Location struct, JSON extraction, Blob base64 —
+# matching reference semantics at src/storage/sqlite/sqlite_publishers.rs:34-66.
+# ---------------------------------------------------------------------------
+
+@register(
+    "typed_decimal",
+    """
+    WITH dec AS (
+        SELECT event_type || '/' || CAST(user_id AS VARCHAR) AS sensor_id,
+               CAST(CAST(event_id AS VARCHAR) || '.'
+                    || lpad(CAST(event_id % 997 AS VARCHAR), 3, '0')
+                    AS DECIMAL(38,18)) AS value
+        FROM events)
+    SELECT sensor_id,
+           CAST(CAST(SUM(value) AS DECIMAL(38,18)) AS VARCHAR) AS total,
+           COUNT(*) AS n
+    FROM dec GROUP BY sensor_id
+    """,
+)
+def typed_decimal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Numeric (exact decimal) value table: DecimalType(38,18) per
+    SURVEY §1.2 (the reference's rust_decimal / ClickHouse
+    Decimal128(38)). Values are constructed from integers via string
+    form — exact in both engines — and the per-sensor SUM is emitted as
+    its canonical string so the driver hash proves *decimal* exactness,
+    not float proximity. Decimal sums use JVM partial aggregation like
+    any numeric."""
+    from sensapp_spark.datamodel.types import SensorType, value_schema
+
+    ev = td.load_events(spark, sf_dir)
+    dec_type = value_schema(SensorType.NUMERIC)["value"].dataType
+    dec = ev.select(
+        F.concat(
+            F.col("event_type"), F.lit("/"), F.col("user_id").cast("string")
+        ).alias("sensor_id"),
+        F.concat(
+            F.col("event_id").cast("string"),
+            F.lit("."),
+            F.lpad((F.col("event_id") % 997).cast("string"), 3, "0"),
+        ).cast(dec_type).alias("value"),
+    )
+    return dec.groupBy("sensor_id").agg(
+        F.sum("value").cast(dec_type).cast("string").alias("total"),
+        F.count("*").alias("n"),
+    )
+
+
+@register(
+    "typed_boolean",
+    """
+    WITH b AS (
+        SELECT event_type || '/' || CAST(user_id AS VARCHAR) AS sensor_id,
+               event_id % 7 < 3 AS value
+        FROM events)
+    SELECT sensor_id,
+           COUNT(*) AS n,
+           COUNT(*) FILTER (WHERE value) AS n_true,
+           bool_and(value) AS all_true,
+           bool_or(value) AS any_true
+    FROM b GROUP BY sensor_id
+    """,
+)
+def typed_boolean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean value table (BooleanType per SURVEY §1.2): per-sensor
+    count / true-count / conjunction / disjunction — all JVM aggregates
+    with map-side partials."""
+    from sensapp_spark.datamodel.types import SensorType, value_schema
+
+    ev = td.load_events(spark, sf_dir)
+    bool_type = value_schema(SensorType.BOOLEAN)["value"].dataType
+    b = ev.select(
+        F.concat(
+            F.col("event_type"), F.lit("/"), F.col("user_id").cast("string")
+        ).alias("sensor_id"),
+        (F.col("event_id") % 7 < 3).cast(bool_type).alias("value"),
+    )
+    return b.groupBy("sensor_id").agg(
+        F.count("*").alias("n"),
+        F.count_if("value").alias("n_true"),
+        F.bool_and("value").alias("all_true"),
+        F.bool_or("value").alias("any_true"),
+    )
+
+
+@register(
+    "typed_location",
+    """
+    WITH pts AS (
+        SELECT event_id,
+               80 * sin(value) AS latitude,
+               170 * sin(2 * value) AS longitude
+        FROM events)
+    SELECT event_id,
+           ROUND(latitude, 6) AS latitude,
+           ROUND(longitude, 6) AS longitude
+    FROM pts
+    WHERE latitude >= 0 AND latitude <= 45
+      AND longitude >= 0 AND longitude <= 90
+    """,
+)
+def typed_location(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Location value table: the STRUCT{latitude, longitude} column of
+    SURVEY §1.2 (reference stores two REAL columns, sqlite
+    init.sql:88-95). Values are packed into the real LOCATION_STRUCT
+    type, bbox-filtered on the struct fields (predicates push down to
+    parquet on a struct column), and unpacked for comparison."""
+    from sensapp_spark.operators.geo import bbox_filter
+
+    ev = td.load_events(spark, sf_dir)
+    # The lake's Location type is LOCATION_STRUCT (non-null fields);
+    # derived expressions are nullable, so the struct is built directly —
+    # same field names/types, no cast (Spark cannot cast TO non-null).
+    pts = ev.select(
+        "event_id",
+        F.struct(
+            (F.lit(80.0) * F.sin("value")).alias("latitude"),
+            (F.lit(170.0) * F.sin(F.col("value") * 2)).alias("longitude"),
+        ).alias("value"),
+    ).select(
+        "event_id",
+        F.col("value.latitude").alias("latitude"),
+        F.col("value.longitude").alias("longitude"),
+    )
+    out = bbox_filter(pts, 0.0, 45.0, 0.0, 90.0)
+    return out.select(
+        "event_id",
+        F.round("latitude", 6).alias("latitude"),
+        F.round("longitude", 6).alias("longitude"),
+    )
+
+
+@register(
+    "typed_json_blob",
+    """
+    SELECT event_id,
+           json_extract_string(props, '$.k') AS k,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+           octet_length(encode(event_type || '/'
+                               || CAST(event_id AS VARCHAR))) AS blob_len,
+           to_base64(encode(event_type || '/'
+                            || CAST(event_id AS VARCHAR))) AS blob_b64
+    FROM events
+    """,
+)
+def typed_json_blob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Json + Blob value tables in one per-event frame: JSON field
+    extraction from the events ``props`` column (StringType storage +
+    ``get_json_object`` on read, per SURVEY §1.2) and a BinaryType
+    payload round-tripped through base64 (the reference's Blob export
+    encoding, src/exporters/csv.rs Blob→base64). Both are map-only
+    JVM expressions — no shuffle at any scale."""
+    from sensapp_spark.datamodel.types import SensorType, value_schema
+
+    ev = td.load_events(spark, sf_dir)
+    blob_type = value_schema(SensorType.BLOB)["value"].dataType
+    blob = F.encode(
+        F.concat(
+            F.col("event_type"), F.lit("/"), F.col("event_id").cast("string")
+        ),
+        "UTF-8",
+    ).cast(blob_type)
+    k = F.get_json_object("props", "$.k")
+    return ev.select(
+        "event_id",
+        k.alias("k"),
+        (k.cast("long") % 10).alias("k_bucket"),
+        F.octet_length(blob).alias("blob_len"),
+        F.base64(blob).alias("blob_b64"),
     )
 
 
