@@ -80,7 +80,7 @@ def parse_media_header(payload: bytes) -> dict:
     if len(payload) >= 10 and payload[:6] in (b"GIF87a", b"GIF89a"):
         w, h = struct.unpack("<HH", payload[6:10])
         return {"format": "gif", "width": w, "height": h}
-    if len(payload) >= 26 and payload[:2] == b"BM":
+    if len(payload) >= 22 and payload[:2] == b"BM":
         hdr_size = struct.unpack("<I", payload[14:18])[0]
         if hdr_size >= 40 and len(payload) >= 26:  # BITMAPINFOHEADER
             w, h = struct.unpack("<ii", payload[18:26])
@@ -237,9 +237,17 @@ def extract_features(media: DataFrame) -> DataFrame:
             if len(p) >= 10 and p[:6] in (b"GIF87a", b"GIF89a"):
                 w, h = _st.unpack("<HH", p[6:10])
                 return {"format": "gif", "width": w, "height": h}
-            if len(p) >= 26 and p[:2] == b"BM":
-                w, h = _st.unpack("<ii", p[18:26])
-                return {"format": "bmp", "width": w, "height": abs(h)}
+            if len(p) >= 22 and p[:2] == b"BM":
+                # Mirror parse_media_header's DIB dispatch exactly:
+                # 40-byte BITMAPINFOHEADER (signed, top-down negative
+                # height) vs 12-byte BITMAPCOREHEADER (unsigned shorts).
+                hdr_size = _st.unpack("<I", p[14:18])[0]
+                if hdr_size >= 40 and len(p) >= 26:
+                    w, h = _st.unpack("<ii", p[18:26])
+                    return {"format": "bmp", "width": w, "height": abs(h)}
+                if hdr_size == 12 and len(p) >= 22:
+                    w, h = _st.unpack("<HH", p[18:22])
+                    return {"format": "bmp", "width": w, "height": h}
             if len(p) >= 36 and p[:4] == b"RIFF" and p[8:12] == b"WAVE":
                 off = 12
                 while off + 8 <= len(p):

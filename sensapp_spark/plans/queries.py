@@ -1587,12 +1587,10 @@ def typed_boolean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH pts AS (
         SELECT event_id,
-               80 * sin(value) AS latitude,
-               170 * sin(2 * value) AS longitude
+               ROUND(80 * sin(value), 6) AS latitude,
+               ROUND(170 * sin(2 * value), 6) AS longitude
         FROM events)
-    SELECT event_id,
-           ROUND(latitude, 6) AS latitude,
-           ROUND(longitude, 6) AS longitude
+    SELECT event_id, latitude, longitude
     FROM pts
     WHERE latitude >= 0 AND latitude <= 45
       AND longitude >= 0 AND longitude <= 90
@@ -1610,23 +1608,25 @@ def typed_location(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The lake's Location type is LOCATION_STRUCT (non-null fields);
     # derived expressions are nullable, so the struct is built directly —
     # same field names/types, no cast (Spark cannot cast TO non-null).
+    # Coordinates are rounded to 6 places BEFORE the bbox predicate (in
+    # both engines): libm sin() may differ in the last ulp between the
+    # JVM and DuckDB, and an unrounded boundary comparison would make
+    # row membership platform-dependent. 6 decimals ≈ 0.1 m — below any
+    # meaningful geo resolution, far above ulp noise.
     pts = ev.select(
         "event_id",
         F.struct(
-            (F.lit(80.0) * F.sin("value")).alias("latitude"),
-            (F.lit(170.0) * F.sin(F.col("value") * 2)).alias("longitude"),
+            F.round(F.lit(80.0) * F.sin("value"), 6).alias("latitude"),
+            F.round(F.lit(170.0) * F.sin(F.col("value") * 2), 6).alias(
+                "longitude"
+            ),
         ).alias("value"),
     ).select(
         "event_id",
         F.col("value.latitude").alias("latitude"),
         F.col("value.longitude").alias("longitude"),
     )
-    out = bbox_filter(pts, 0.0, 45.0, 0.0, 90.0)
-    return out.select(
-        "event_id",
-        F.round("latitude", 6).alias("latitude"),
-        F.round("longitude", 6).alias("longitude"),
-    )
+    return bbox_filter(pts, 0.0, 45.0, 0.0, 90.0)
 
 
 @register(
@@ -1634,7 +1634,8 @@ def typed_location(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT event_id,
            json_extract_string(props, '$.k') AS k,
-           CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+           TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) % 10
+               AS k_bucket,
            octet_length(encode(event_type || '/'
                                || CAST(event_id AS VARCHAR))) AS blob_len,
            to_base64(encode(event_type || '/'

@@ -12,7 +12,10 @@ Routes:
 * ``GET /series/<uuid>?start&end&limit&format=`` — single series
 * ``GET /metrics`` / ``GET /series`` — DCAT catalogs (C3/C4)
 * ``POST /api/v1/admin/vacuum`` — dedup+compact every value table
-* ``GET /health``
+* ``GET /`` — frontpage: instance name as JSON (server.rs:151-155)
+* ``GET /health`` — legacy combined probe (kept for compatibility)
+* ``GET /health/live`` / ``GET /health/ready`` — split k8s-style probes
+  (server.rs:111-112, health.rs:37-76); readiness checks storage
 
 The gateway is a thin control plane: every data-path operation is the
 same distributed DataFrame pipeline the library exposes; Flask only does
@@ -87,9 +90,44 @@ def create_app(spark, lake: SensorLake) -> Flask:
     def bad_request(e):
         return jsonify({"error": str(e.description or e)}), 400
 
+    @app.get("/")
+    def frontpage():
+        # Reference serves the instance name as a JSON string
+        # (server.rs:151-155: `Json(state.name)`).
+        return jsonify(app.name)
+
     @app.get("/health")
     def health():
         return jsonify({"status": "ok"})
+
+    @app.get("/health/live")
+    def health_live():
+        # Liveness never touches storage (health.rs:37-44): if the
+        # process can respond, it is alive.
+        return jsonify({"status": "ok"})
+
+    @app.get("/health/ready")
+    def health_ready():
+        # Readiness = storage reachable (health.rs:53-76: calls
+        # storage.health_check()). The Spark analogue: the session is
+        # open and the lake's sensors dimension is resolvable (a
+        # metadata-only check — no job is launched for an empty lake,
+        # and schema resolution is the cheapest end-to-end probe of the
+        # catalog path).
+        try:
+            lake.sensors().schema
+            return jsonify({"status": "ready", "database": "ok"})
+        except Exception as e:  # pragma: no cover - storage fault path
+            return (
+                jsonify(
+                    {
+                        "status": "not_ready",
+                        "database": "error",
+                        "error": str(e),
+                    }
+                ),
+                503,
+            )
 
     @app.post("/publish")
     def publish():

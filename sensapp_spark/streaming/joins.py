@@ -3,8 +3,10 @@ between two live value streams (SURVEY §2.8: the reference has no
 streaming semantics and no sample-level joins at all; its "virtual
 sensor" sketch in docs/DATAMODEL.md:125-131 is the batch cousin).
 
-Batch counterparts: plans/queries.interval_join_5m (trailing-interval
-count) and operators/timeseries.asof_join. The streaming form is the
+Batch counterparts: the registry's `event_context_join` family entry
+(plans/queries.py — trailing-interval count + as-of alignment, folded
+from the former interval_join_5m/asof_align entries) built on
+operators/timeseries.asof_join. The streaming form is the
 shape Structured Streaming actually supports for two unbounded inputs:
 an equi-key join with a bounded event-time range condition, plus
 watermarks on BOTH sides so the engine can bound join state.

@@ -31,6 +31,28 @@ def test_health(client):
     assert client.get("/health").get_json() == {"status": "ok"}
 
 
+def test_frontpage(client):
+    # Reference returns the instance name as a bare JSON string
+    # (server.rs:151-155).
+    r = client.get("/")
+    assert r.status_code == 200
+    assert isinstance(r.get_json(), str)
+
+
+def test_health_live(client):
+    r = client.get("/health/live")
+    assert r.status_code == 200
+    assert r.get_json() == {"status": "ok"}
+
+
+def test_health_ready(client):
+    # Readiness probes storage (health.rs:53-76): on a healthy lake the
+    # response mirrors ReadinessResponse{status, database}.
+    r = client.get("/health/ready")
+    assert r.status_code == 200
+    assert r.get_json() == {"status": "ready", "database": "ok"}
+
+
 def test_publish_csv_and_query(client):
     r = client.post("/publish", data=CSV, content_type="text/csv")
     assert r.status_code == 200, r.get_data()

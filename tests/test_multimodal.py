@@ -58,6 +58,16 @@ def make_bmp(width: int, height: int) -> bytes:
     return header + dib + pixels
 
 
+def make_bmp_core(width: int, height: int) -> bytes:
+    """OS/2-style BMP with the 12-byte BITMAPCOREHEADER (unsigned
+    16-bit dimensions) — the legacy DIB variant."""
+    row = ((width * 3 + 3) // 4) * 4
+    pixels = b"\x00" * (row * height)
+    dib = struct.pack("<IHHHH", 12, width, height, 1, 24)
+    header = struct.pack("<2sIHHI", b"BM", 14 + 12 + len(pixels), 0, 0, 26)
+    return header + dib + pixels
+
+
 def make_wav(sample_rate: int, channels: int, n_samples: int) -> bytes:
     data = b"\x00\x00" * n_samples * channels
     fmt = struct.pack("<HHIIHH", 1, channels, sample_rate,
@@ -81,6 +91,12 @@ def test_parse_gif():
 def test_parse_bmp():
     assert parse_media_header(make_bmp(17, 9)) == {
         "format": "bmp", "width": 17, "height": 9,
+    }
+
+
+def test_parse_bmp_core_header():
+    assert parse_media_header(make_bmp_core(31, 7)) == {
+        "format": "bmp", "width": 31, "height": 7,
     }
 
 
@@ -150,6 +166,7 @@ def test_extract_features_on_genuine_mixed_corpus(spark):
         (3, make_bmp(17, 9)),
         (4, make_wav(16000, 1, 5)),
         (5, b"not media"),
+        (6, make_bmp_core(31, 7)),
     ]
     media = spark.createDataFrame(
         [(i, p, "image", None) for i, p in fixtures],
@@ -164,6 +181,7 @@ def test_extract_features_on_genuine_mixed_corpus(spark):
         "wav", 16000, 1,
     )
     assert out[5].format is None and out[5].width is None
+    assert (out[6].format, out[6].width, out[6].height) == ("bmp", 31, 7)
 
 
 def test_frame_sample_plan(spark, docs):

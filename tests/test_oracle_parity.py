@@ -8,9 +8,11 @@ The dtype check exists because the driver's value-hash is type-sensitive:
 round 2's ``events_sessionize`` produced identical VALUES but hashed
 differently because DuckDB emitted HUGEINT where Spark emitted BIGINT —
 and the old string-normalizing gate here let it through. Dtypes are
-compared in canonical form (datetime units and pandas nullable-vs-numpy
-carriers collapsed — both engines marshal those identically through the
-driver's comparison — but integer widths and int-vs-float kept strict).
+compared in canonical form (datetime units, pandas nullable-vs-numpy
+carriers, AND integer widths all collapsed — int32 vs int64 passes, as
+``canonical_dtypes`` documents) while the int-vs-float KIND stays
+strict: the HUGEINT regression is caught because HUGEINT marshals to
+float64, flipping the kind.
 """
 
 from __future__ import annotations

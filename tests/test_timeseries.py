@@ -1,6 +1,7 @@
 """Unit tests for the as-of join and sessionization operators
 (operators/timeseries.py) — semantics on hand-built frames; cross-engine
-parity is covered by test_oracle_parity.py (asof_align,
+parity is covered by test_oracle_parity.py (event_context_join — the
+family union that folded in the former asof_align entry — and
 events_sessionize)."""
 
 from __future__ import annotations
