@@ -12,22 +12,24 @@ Semantics follow reference src/datamodel/sensor.rs:82-178:
 * the key is derived from a configurable salt (sensor.rs:74-80).
 
 The reference derives the MAC key with ``blake3::derive_key`` and hashes
-with keyed BLAKE3. The ``blake3`` package is not available in this
-environment, so when it is missing we substitute keyed BLAKE2b (stdlib)
-with the same derivation string — equally deterministic and collision-
-resistant, but NOT byte-identical to the reference's UUIDs. When the
-``blake3`` package is importable the exact reference bytes are produced
-(golden test vs sensor.rs:366-370 runs conditionally).
+with keyed BLAKE3 (sensor.rs:74-80, 153-172). Both modes are implemented
+in pure Python (``datamodel/blake3_pure.py``, written from the public
+BLAKE3 spec), so UUIDs are byte-identical to the reference's in every
+environment — the golden test vs sensor.rs:366-370 always runs. When the
+compiled ``blake3`` wheel happens to be importable it is preferred for
+speed; outputs are identical either way. UUID assignment is a driver-side
+small-dimension operation (per-batch sensor metadata, not per-row), so
+the pure-Python rate is never a query bottleneck.
 """
 
 from __future__ import annotations
 
-import hashlib
 import uuid as uuid_mod
 from dataclasses import dataclass, field
 from functools import lru_cache
 
 from sensapp_spark.config import CONFIG
+from sensapp_spark.datamodel.blake3_pure import blake3_derive_key, blake3_keyed
 from sensapp_spark.datamodel.types import SensorType
 
 try:  # pragma: no cover - depends on environment
@@ -47,15 +49,16 @@ _SPECIAL = frozenset((11, 28, 29, 30, 31))
 @lru_cache(maxsize=8)
 def _mac_key(salt: str) -> bytes:
     if _HAVE_BLAKE3:
-        return _blake3.blake3(salt.encode(), derive_key_context=_KEY_CONTEXT.decode()).digest()
-    # Fallback: 32-byte key via BLAKE2b keyed by the context string.
-    return hashlib.blake2b(salt.encode(), key=_KEY_CONTEXT[:64], digest_size=32).digest()
+        return _blake3.blake3(
+            salt.encode(), derive_key_context=_KEY_CONTEXT.decode()
+        ).digest()
+    return blake3_derive_key(_KEY_CONTEXT.decode(), salt.encode())
 
 
 def _keyed_hash(key: bytes, data: bytes, out_len: int) -> bytes:
     if _HAVE_BLAKE3:
         return _blake3.blake3(data, key=key).digest(length=out_len)
-    return hashlib.blake2b(data, key=key, digest_size=out_len).digest()
+    return blake3_keyed(key, data, out_len)
 
 
 def _check_special(s: str, what: str) -> None:

@@ -4,7 +4,7 @@ from __future__ import annotations
 
 import pytest
 
-from sensapp_spark.datamodel.sensor import _HAVE_BLAKE3, Sensor, sensor_uuid
+from sensapp_spark.datamodel.sensor import Sensor, sensor_uuid
 from sensapp_spark.datamodel.types import SensorType
 
 
@@ -57,12 +57,27 @@ def test_salt_changes_uuid():
     assert a != b
 
 
-@pytest.mark.skipif(not _HAVE_BLAKE3, reason="blake3 package not installed")
 def test_golden_uuid_blake3():
-    # Golden value from reference sensor.rs:366-370.
+    # Golden value from reference sensor.rs:366-370 (produced there by
+    # the official Rust blake3 crate). The pure-Python BLAKE3 in
+    # datamodel/blake3_pure.py reproduces it byte-for-byte, so this runs
+    # unconditionally — with the compiled wheel when available, the pure
+    # fallback otherwise.
     u = sensor_uuid("TestSensor", SensorType.LOCATION, "WGS84", {},
                     salt="sensapp")
     assert u == "20115fa5-aecd-8271-835d-07bfee981d6a"
+
+
+def test_golden_uuid_with_label():
+    # Reference sensor.rs:372-387 re-derives with one label and asserts
+    # the UUID changes; the exact labeled value is not pinned there, so
+    # assert the divergence plus the shared name prefix.
+    base = sensor_uuid("TestSensor", SensorType.LOCATION, "WGS84", {},
+                       salt="sensapp")
+    labeled = sensor_uuid("TestSensor", SensorType.LOCATION, "WGS84",
+                          {"location": "office"}, salt="sensapp")
+    assert labeled != base
+    assert labeled[:8] == base[:8]
 
 
 def test_sensor_dataclass_autouuid():
