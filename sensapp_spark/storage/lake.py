@@ -96,7 +96,9 @@ class SensorLake:
         path = self._sensors_path()
         if not os.path.exists(path):
             return self.spark.createDataFrame([], SENSOR_SCHEMA)
-        return self.spark.read.parquet(path)
+        # Explicit schema for the same reason as values(): no footer
+        # inference, no race against a concurrent dimension rewrite.
+        return self.spark.read.schema(SENSOR_SCHEMA).parquet(path)
 
     def values(
         self,
@@ -108,11 +110,16 @@ class SensorLake:
         range: the ``month`` predicate prunes directories at planning
         time; the ``time`` predicate pushes into the row-group reader."""
         path = self._values_path(stype)
+        schema = value_schema(stype).add(MONTH_COL, "string")
         if not os.path.exists(path):
-            return self.spark.createDataFrame(
-                [], value_schema(stype).add(MONTH_COL, "string")
-            )
-        df = self.spark.read.parquet(path)
+            return self.spark.createDataFrame([], schema)
+        # Explicit schema: the table's layout is known, so nothing is
+        # inferred from footers — a scan planned while a concurrent
+        # publish is materializing the directory (streaming ingest polls
+        # do this) sees an empty-but-valid frame instead of an
+        # UNABLE_TO_INFER_SCHEMA race, and the driver skips the footer
+        # sampling entirely (one less metadata pass on wide tables).
+        df = self.spark.read.schema(schema).parquet(path)
         if start is not None:
             df = df.filter(F.col(MONTH_COL) >= start.strftime("%Y-%m"))
             df = df.filter(F.col("time") >= F.lit(start))

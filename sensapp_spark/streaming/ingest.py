@@ -93,11 +93,21 @@ def stream_lines_socket(
     lake: SensorLake,
     checkpoint_dir: str,
     with_numeric: bool = False,
+    max_lines_per_publish: int = 8192,
 ) -> StreamingQuery:
     """InfluxDB line-protocol over a socket: each micro-batch's lines are
-    parsed by the S4 parser (pure function — runs fine inside
-    foreachBatch on the driver for control-plane-sized feeds; file-scale
-    replays should use the distributed text-scan path instead)."""
+    parsed by the S4 parser (pure function — runs on the driver for
+    control-plane-sized feeds; file-scale replays should use the
+    distributed text-scan path instead).
+
+    Driver memory is BOUNDED regardless of micro-batch size: lines are
+    pulled through ``toLocalIterator`` (one partition resident at a
+    time, never the whole batch) and published in slices of
+    ``max_lines_per_publish`` — the same ≤8192 chunk bound the
+    reference's batch splitter enforces (B2,
+    src/datamodel/batch_builder.rs:90-108), so a burst on the socket
+    cannot accumulate an unbounded line list the way a whole-batch
+    ``collect()`` would."""
     from sensapp_spark.ingest.influxdb_importer import ingest_lines
 
     raw = (
@@ -108,10 +118,20 @@ def stream_lines_socket(
     )
 
     def publish(batch_df: DataFrame, epoch_id: int) -> None:
-        lines = [r.value for r in batch_df.collect()]
-        if not lines:
-            return
-        lake.publish(ingest_lines(spark, "\n".join(lines), with_numeric=with_numeric))
+        buf: list[str] = []
+        for row in batch_df.toLocalIterator():
+            buf.append(row.value)
+            if len(buf) >= max_lines_per_publish:
+                lake.publish(
+                    ingest_lines(
+                        spark, "\n".join(buf), with_numeric=with_numeric
+                    )
+                )
+                buf.clear()
+        if buf:
+            lake.publish(
+                ingest_lines(spark, "\n".join(buf), with_numeric=with_numeric)
+            )
 
     return (
         raw.writeStream.foreachBatch(publish)
