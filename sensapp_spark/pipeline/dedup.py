@@ -61,11 +61,17 @@ def _tokenized(docs: DataFrame) -> DataFrame:
     expression makes Catalyst re-evaluate the regex normalization per
     element; (2) a small parquet file arrives as one split — zero
     parallelism for the CPU-heavy shingling. The repartition only fires
-    when the scan has fewer splits than cores; at real scale the file
-    count already provides parallelism and no shuffle is added."""
+    when the scan has fewer input FILES than cores; at real scale the
+    file count already provides parallelism and no shuffle is added.
+    ``inputFiles()`` is a listing-only probe — unlike
+    ``rdd.getNumPartitions()`` it does not materialize an RDD handle or
+    force plan analysis on the hot path; non-file sources (in-memory
+    test frames) report zero files and are left untouched (they already
+    carry parallel partitioning)."""
     out = docs
     parallelism = docs.sparkSession.sparkContext.defaultParallelism
-    if docs.rdd.getNumPartitions() < parallelism:
+    n_files = len(docs.inputFiles())
+    if 0 < n_files < parallelism:
         out = out.repartition(parallelism)
     return out.select(
         "doc_id",
@@ -115,23 +121,62 @@ def jaccard_pairs(
     """
     sh = word_shingles(docs, n)
     if max_df is not None:
+        # Fused guarded path: one df aggregation feeds the hot-shingle
+        # anti-join, then the filtered postings group into per-shingle
+        # doc lists that are BOUNDED by max_df (no skew bomb), and both
+        # the pair expansion and the per-doc counts derive from that one
+        # grouped exchange (ReuseExchange shares the shuffle write), so
+        # the CPU-heavy shingling runs twice total — df pass + grouped
+        # pass — instead of three times plus a sort-merge self-join.
         hot = (
             sh.groupBy("shingle").agg(F.count("*").alias("df"))
             .filter(F.col("df") > max_df)
             .select("shingle")
         )
-        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
-    counts = shingle_counts(sh)
-    a = sh.alias("a")
-    b = sh.alias("b")
-    inter = (
-        a.join(b, "shingle")
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        sh_f = sh.join(F.broadcast(hot), "shingle", "left_anti")
+        grouped = sh_f.groupBy("shingle").agg(
+            F.collect_list("doc_id").alias("docs")
         )
-        .agg(F.count("*").alias("inter"))
-    )
+        lst = F.col("docs")
+        pair_lists = F.flatten(
+            F.transform(
+                lst,
+                lambda x, i: F.transform(
+                    F.slice(lst, i + 2, F.size(lst)),
+                    lambda y: F.struct(
+                        F.least(x, y).alias("doc_a"),
+                        F.greatest(x, y).alias("doc_b"),
+                    ),
+                ),
+            )
+        )
+        inter = (
+            grouped.select(F.explode(pair_lists).alias("p"))
+            .groupBy(F.col("p.doc_a").alias("doc_a"),
+                     F.col("p.doc_b").alias("doc_b"))
+            .agg(F.count("*").alias("inter"))
+        )
+        counts = (
+            grouped.select(F.explode("docs").alias("doc_id"))
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("n_shingles"))
+        )
+    else:
+        # Exact unguarded path (small corpora): classic inverted-index
+        # self-join — per-shingle doc lists would be unbounded here, so
+        # the join's spill-friendly machinery is the safer shape.
+        counts = shingle_counts(sh)
+        a = sh.alias("a")
+        b = sh.alias("b")
+        inter = (
+            a.join(b, "shingle")
+            .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+            .groupBy(
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+            )
+            .agg(F.count("*").alias("inter"))
+        )
     ca = counts.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("na"))
     cb = counts.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("nb"))
     out = (

@@ -173,8 +173,11 @@ def attach_binary(docs: DataFrame, spread: bool = False) -> DataFrame:
     no-op, and on small demo inputs the shuffle + per-partition Python
     worker spin-up costs far more than the header parse saves."""
     if spread:
+        # inputFiles() is a listing-only probe (no RDD materialization /
+        # forced analysis); non-file sources report zero files and are
+        # left untouched.
         parallelism = docs.sparkSession.sparkContext.defaultParallelism
-        if docs.rdd.getNumPartitions() < parallelism:
+        if 0 < len(docs.inputFiles()) < parallelism:
             docs = docs.repartition(parallelism)
     text = F.col("text")
     width = _md5_byte(text, 0) % 192 + 64
