@@ -1,23 +1,26 @@
 """Multimodal column plumbing: opaque ``binary`` payloads + typed
 metadata, processed by Arrow-batched ``mapInPandas`` stages.
 
-The decode kernel (``parse_media_header``) is REAL: a pure-Python
-container-header parser for PNG / GIF / BMP / WAV that reads dimensions,
-channels, and sample rate from the actual bytes — it works on genuine
-files (unit-tested against fully valid fixtures, CRCs and all). Only
-*pixel/sample* decoding (``decode_pixels``) is stubbed behind
-``NotImplementedError`` because the container ships no image/audio
-codecs; swap it for PIL/libvips/ffmpeg in production and nothing else
+The decode kernels are REAL, no codec library required: a pure-Python
+container-header parser for PNG / GIF / BMP / WAV (dimensions, channels,
+sample rate from the actual bytes), a full PNG pixel decode with stdlib
+``zlib`` (IDAT inflate + the five PNG row filters), an uncompressed
+24-bit BMP pixel decode, and a PCM16 WAV sample decode — all unit-tested
+against fully valid fixtures (CRCs and all). Only GIF pixel decode stays
+behind ``NotImplementedError`` (LZW codec genuinely absent here); swap
+PIL/libvips/ffmpeg into ``decode_pixels`` in production and nothing else
 changes.
 
 The demo corpus has no binary files, so ``attach_binary`` synthesizes a
-structurally real PNG per document with pure JVM expressions (signature +
-IHDR carrying md5-derived dimensions + a tEXt chunk holding the document
-bytes + IEND). Chunk CRCs are zeroed placeholders — the header parser,
-like most fast-path decoders, does not verify CRCs — which keeps every
-payload byte reproducible in the DuckDB oracle (blob concat of unhex()
-pieces), so the driver's correctness gate checks the real decode path
-end-to-end.
+DECODABLE PNG per document with pure JVM expressions: signature, IHDR
+with an md5-derived width, a genuine zlib IDAT stream (stored-mode
+deflate, adler32 computed in closed form — see ``synthesize_png``), a
+tEXt chunk holding the document bytes, IEND. Chunk CRCs are zeroed
+placeholders — the header parser, like most fast-path decoders, does not
+verify CRCs, though the adler32 IS verified by ``zlib.decompress`` —
+which keeps every payload byte reproducible in the DuckDB oracle (blob
+concat of unhex() pieces), so the driver's correctness gate checks the
+real decode path end-to-end, pixels included.
 
 Scale notes: payloads stay in executor memory one Arrow batch at a time
 (``spark.sql.execution.arrow.maxRecordsPerBatch`` bounds batch bytes);
@@ -55,6 +58,9 @@ FEATURE_SCHEMA = T.StructType(
         T.StructField("height", T.IntegerType(), True),
         T.StructField("sample_rate", T.IntegerType(), True),
         T.StructField("channels", T.IntegerType(), True),
+        T.StructField("mean_r", T.DoubleType(), True),
+        T.StructField("mean_g", T.DoubleType(), True),
+        T.StructField("mean_b", T.DoubleType(), True),
     ]
 )
 
@@ -111,13 +117,188 @@ def parse_media_header(payload: bytes) -> dict:
     return {"format": None}
 
 
-def decode_pixels(payload: bytes):  # pragma: no cover - declared stub
-    """Pixel/sample decode — requires a codec library (PIL / libvips /
-    ffmpeg) that is not in this container. The header parse above and
-    all Spark-side plumbing are real; swap this one function in
-    production."""
+def decode_png_pixels(payload: bytes) -> tuple[int, int, int, bytes]:
+    """REAL PNG pixel decode with stdlib ``zlib`` only: walk chunks,
+    inflate the concatenated IDAT stream, undo the five row filters
+    (None/Sub/Up/Average/Paeth, PNG spec §9), and return
+    ``(width, height, channels, pixels)`` with ``pixels`` row-major
+    unfiltered bytes. Supports 8-bit depth, gray/gray+alpha/RGB/RGBA,
+    non-interlaced (the overwhelmingly common layout); anything else
+    raises ``NotImplementedError``. Chunk CRCs are not verified
+    (fast-path decoder behavior) but the zlib adler32 IS — a corrupt
+    stream raises."""
+    import zlib
+
+    if payload[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG")
+    pos = 8
+    ihdr = None
+    idat = bytearray()
+    while pos + 8 <= len(payload):
+        ln = int.from_bytes(payload[pos : pos + 4], "big")
+        ctype = payload[pos + 4 : pos + 8]
+        if ctype == b"IHDR":
+            ihdr = payload[pos + 8 : pos + 8 + ln]
+        elif ctype == b"IDAT":
+            idat += payload[pos + 8 : pos + 8 + ln]
+        elif ctype == b"IEND":
+            break
+        pos += 12 + ln  # length + type + data + CRC
+    if ihdr is None or len(ihdr) < 13 or not idat:
+        raise ValueError("missing IHDR/IDAT")
+    w, h = struct.unpack(">II", ihdr[:8])
+    depth, color, _comp, _filt, interlace = ihdr[8:13]
+    if depth != 8 or interlace != 0:
+        raise NotImplementedError("only 8-bit non-interlaced PNGs")
+    try:
+        channels = {0: 1, 2: 3, 4: 2, 6: 4}[color]
+    except KeyError:
+        raise NotImplementedError(f"color type {color}") from None
+    raw = zlib.decompress(bytes(idat))
+    stride = w * channels
+    if len(raw) != h * (1 + stride):
+        raise ValueError("pixel data length does not match dimensions")
+    out = bytearray()
+    prev = bytes(stride)
+    bpp = channels  # bytes per pixel at 8-bit depth
+    for r in range(h):
+        base = r * (1 + stride)
+        ft = raw[base]
+        row = bytearray(raw[base + 1 : base + 1 + stride])
+        if ft == 1:  # Sub
+            for i in range(bpp, stride):
+                row[i] = (row[i] + row[i - bpp]) & 0xFF
+        elif ft == 2:  # Up
+            for i in range(stride):
+                row[i] = (row[i] + prev[i]) & 0xFF
+        elif ft == 3:  # Average
+            for i in range(stride):
+                a = row[i - bpp] if i >= bpp else 0
+                row[i] = (row[i] + ((a + prev[i]) >> 1)) & 0xFF
+        elif ft == 4:  # Paeth
+            for i in range(stride):
+                a = row[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                row[i] = (row[i] + pred) & 0xFF
+        elif ft != 0:
+            raise ValueError(f"unknown filter type {ft}")
+        out += row
+        prev = row
+    return w, h, channels, bytes(out)
+
+
+def decode_bmp_pixels(payload: bytes) -> tuple[int, int, int, bytes]:
+    """REAL uncompressed 24-bit BMP decode: honors the pixel-data
+    offset, 4-byte row padding, bottom-up vs top-down row order, and
+    both DIB header flavors. Returns ``(width, height, 3, pixels)``
+    with pixels row-major top-down in RGB order (BMP stores BGR)."""
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP")
+    data_off = struct.unpack("<I", payload[10:14])[0]
+    hdr_size = struct.unpack("<I", payload[14:18])[0]
+    if hdr_size == 12:  # BITMAPCOREHEADER
+        w, h = struct.unpack("<HH", payload[18:22])
+        bpp = struct.unpack("<H", payload[24:26])[0]
+        top_down = False
+        compression = 0
+    else:  # BITMAPINFOHEADER and later
+        w, h = struct.unpack("<ii", payload[18:26])
+        top_down = h < 0
+        h = abs(h)
+        bpp = struct.unpack("<H", payload[28:30])[0]
+        compression = struct.unpack("<I", payload[30:34])[0]
+    if bpp != 24 or compression != 0:
+        raise NotImplementedError("only uncompressed 24-bit BMPs")
+    row_bytes = ((w * 3 + 3) // 4) * 4
+    rows = []
+    for r in range(h):
+        src = r if top_down else (h - 1 - r)
+        line = payload[data_off + src * row_bytes :][: w * 3]
+        # BGR → RGB per pixel
+        rgb = bytearray(len(line))
+        rgb[0::3] = line[2::3]
+        rgb[1::3] = line[1::3]
+        rgb[2::3] = line[0::3]
+        rows.append(bytes(rgb))
+    return w, h, 3, b"".join(rows)
+
+
+def decode_wav_samples(payload: bytes) -> tuple[int, int, list]:
+    """REAL PCM16 WAV decode: returns ``(sample_rate, channels,
+    samples)`` with interleaved int16 samples."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a WAV")
+    off = 12
+    rate = channels = None
+    bits = None
+    data = None
+    while off + 8 <= len(payload):
+        cid = payload[off : off + 4]
+        size = struct.unpack("<I", payload[off + 4 : off + 8])[0]
+        body = payload[off + 8 : off + 8 + size]
+        if cid == b"fmt ":
+            channels, rate = struct.unpack("<HI", body[2:8])
+            bits = struct.unpack("<H", body[14:16])[0]
+        elif cid == b"data":
+            data = body
+        off += 8 + size + (size & 1)
+    if rate is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    if bits != 16:
+        raise NotImplementedError("only PCM16 WAVs")
+    n = len(data) // 2
+    return rate, channels, list(struct.unpack(f"<{n}h", data[: 2 * n]))
+
+
+def decode_pixels(payload: bytes):
+    """Pixel/sample decode over the sniffed container format. PNG
+    (stdlib zlib inflate + row unfilter), uncompressed 24-bit BMP, and
+    PCM16 WAV are decoded for REAL; GIF raises ``NotImplementedError``
+    because its pixel data is LZW-compressed and no LZW codec ships in
+    this environment (swap in PIL/libvips/ffmpeg in production — the
+    Spark-side plumbing does not change)."""
+    fmt = parse_media_header(payload).get("format")
+    if fmt == "png":
+        return decode_png_pixels(payload)
+    if fmt == "bmp":
+        return decode_bmp_pixels(payload)
+    if fmt == "wav":
+        return decode_wav_samples(payload)
     raise NotImplementedError(
-        "pixel decode requires PIL/libvips/ffmpeg — not in this container"
+        f"pixel decode for {fmt or 'unknown container'} requires a codec "
+        "library (GIF is LZW-compressed) — not in this environment"
+    )
+
+
+def _rgb_means(payload: bytes):
+    """(mean_r, mean_g, mean_b) from a real pixel decode, or Nones when
+    the payload has no decodable image pixels. Gray maps to r=g=b;
+    alpha channels are ignored."""
+    try:
+        fmt = parse_media_header(payload).get("format")
+        if fmt == "png":
+            w, h, ch, px = decode_png_pixels(payload)
+        elif fmt == "bmp":
+            w, h, ch, px = decode_bmp_pixels(payload)
+        else:
+            return (None, None, None)
+    except Exception:
+        return (None, None, None)
+    n = w * h
+    if n == 0:
+        return (None, None, None)
+    if ch == 1 or ch == 2:  # gray / gray+alpha
+        s = sum(px[0::ch])
+        m = s / n
+        return (m, m, m)
+    return (
+        sum(px[0::ch]) / n,
+        sum(px[1::ch]) / n,
+        sum(px[2::ch]) / n,
     )
 
 
@@ -130,20 +311,68 @@ def _be4(col: Column) -> Column:
     return F.unhex(F.lpad(F.hex(col), 8, "0"))
 
 
-def synthesize_png(text_col: Column, width: Column, height: Column) -> Column:
-    """A structurally real PNG BINARY built from JVM expressions:
-    signature, IHDR (8-bit RGBA, given dimensions), one tEXt chunk with
+def _hex2(col: Column) -> Column:
+    """2-hex-digit (1-byte) encoding of an int column as a STRING."""
+    return F.lpad(F.hex(col), 2, "0")
+
+
+def _div(col: Column, n: int) -> Column:
+    """Integer division on a non-negative long column."""
+    return F.floor(col / n).cast("long")
+
+
+def synthesize_png(
+    text_col: Column, width: Column, r: Column, g: Column, b: Column
+) -> Column:
+    """A DECODABLE PNG BINARY built from JVM expressions: signature,
+    IHDR (8-bit RGBA, width × 1), a real zlib IDAT stream (stored-mode
+    deflate block carrying one filter-0 scanline of ``width`` constant
+    (r, g, b, 255) pixels, with the adler32 checksum computed in closed
+    form — stdlib ``zlib.decompress`` accepts it), one tEXt chunk with
     keyword ``doc`` carrying the utf-8 text, IEND. Chunk CRCs are zeroed
-    placeholders so every byte is reproducible in SQL on any engine;
-    total length is 61 + octet_length(text)."""
+    placeholders (the fast-path parser skips them; adler32 is the
+    integrity check that IS verified) so every byte is reproducible in
+    SQL on any engine — the DuckDB oracle rebuilds identical blobs.
+
+    adler32 closed form for the scanline [0x00, (r g b 255) × W] of
+    length m = 1 + 4W:  S0 = W(r+g+b+255);  A = (1 + S0) mod 65521;
+    S1 = Σ j·byte_j = W(2r+3g+4b+5·255) + 2W(W−1)(r+g+b+255);
+    B = (m + (m+1)·S0 − S1) mod 65521;  checksum = B·2^16 + A."""
     text_bytes = F.encode(text_col, "UTF-8")
+    w = width.cast("long")
+    rr, gg, bb = r.cast("long"), g.cast("long"), b.cast("long")
+    m = F.lit(1) + w * 4  # raw scanline length (filter byte + RGBA · W)
+    s0 = w * (rr + gg + bb + 255)
+    a = (F.lit(1) + s0) % 65521
+    s1 = w * (rr * 2 + gg * 3 + bb * 4 + 5 * 255) + (
+        F.lit(2) * w * (w - 1) * (rr + gg + bb + 255)
+    )
+    bsum = (m + (m + 1) * s0 - s1) % 65521
+    adler = bsum * F.lit(65536) + a
+    nlen = F.lit(65535) - m  # one's complement of LEN, 16-bit
+    scanline_hex = F.concat(
+        F.lit("00"),  # filter type 0 (None)
+        F.repeat(F.concat(_hex2(rr), _hex2(gg), _hex2(bb), F.lit("FF")), w.cast("int")),
+    )
+    idat_data = F.concat(
+        F.unhex(F.lit("7801")),                          # zlib hdr (no dict)
+        F.unhex(F.lit("01")),                            # BFINAL=1, stored
+        F.unhex(F.concat(_hex2(m % 256), _hex2(_div(m, 256)))),       # LEN LE
+        F.unhex(F.concat(_hex2(nlen % 256), _hex2(_div(nlen, 256)))),  # NLEN LE
+        F.unhex(scanline_hex),
+        _be4(adler),                                     # adler32 (BE)
+    )
     return F.concat(
         F.unhex(F.lit("89504E470D0A1A0A")),              # signature
         F.unhex(F.lit("0000000D49484452")),              # IHDR len + type
         _be4(width),
-        _be4(height),
+        _be4(F.lit(1)),                                  # height = 1
         F.unhex(F.lit("0806000000")),                    # depth/color/etc
         F.unhex(F.lit("00000000")),                      # IHDR crc (zeroed)
+        _be4(m + F.lit(11)),                             # IDAT len
+        F.unhex(F.lit("49444154")),                      # 'IDAT'
+        idat_data,
+        F.unhex(F.lit("00000000")),                      # IDAT crc (zeroed)
         _be4(F.octet_length(text_col) + F.lit(4)),       # tEXt len
         F.unhex(F.lit("74455874")),                      # 'tEXt'
         F.encode(F.lit("doc"), "UTF-8"),
@@ -181,10 +410,15 @@ def attach_binary(docs: DataFrame, spread: bool = False) -> DataFrame:
             docs = docs.repartition(parallelism)
     text = F.col("text")
     width = _md5_byte(text, 0) % 192 + 64
-    height = _md5_byte(text, 1) % 192 + 64
+    # Constant-color scanline: RGB from md5 bytes 3..5 (byte 1 fed the
+    # old synthetic height — height is now a real 1 so the IDAT stream
+    # decodes; byte 2 feeds the video n_frames).
+    r = _md5_byte(text, 3)
+    g = _md5_byte(text, 4)
+    b = _md5_byte(text, 5)
     return docs.select(
         F.col("doc_id").alias("media_id"),
-        synthesize_png(text, width, height).alias("payload"),
+        synthesize_png(text, width, r, g, b).alias("payload"),
         F.lit("image").alias("media_type"),
         F.create_map(F.lit("source"), F.col("source")).alias("meta"),
     )
@@ -214,61 +448,31 @@ def attach_video_meta(docs: DataFrame, fps: int = 24) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def extract_features(media: DataFrame) -> DataFrame:
-    """Arrow-batched feature extraction over binary payloads using the
-    real container-header parser.
+    """Arrow-batched feature extraction over binary payloads: the real
+    container-header parser for format/dimension metadata plus the REAL
+    pixel decode (``_rgb_means`` → zlib-inflated, unfiltered PNG rows /
+    unpadded BMP rows) for per-channel color means.
 
     ``sha_prefix`` fingerprints the payload as sha256 over its UPPERCASE
     HEX encoding (not the raw bytes): DuckDB's hash functions are
     VARCHAR-only, and hashing the hex form keeps the value reproducible
     by the SQL oracle on the identical payload bytes.
 
-    The worker function is a self-contained closure (no module-level
-    references) so cloudpickle ships it by value — workers need no
-    importable ``sensapp_spark`` on their path."""
+    The worker references the module-level parser/decoders directly —
+    ONE implementation, no closure copy to drift out of sync (a 12-byte
+    DIB header divergence slipped into the old duplicated closure).
+    Workers therefore need ``sensapp_spark`` importable, which local
+    mode gives for free and clusters get from the standard
+    ``--py-files``/pex deployment."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib as _hl
-        import struct as _st
-
-        import pandas as _pd
-
-        def parse(p: bytes) -> dict:
-            if len(p) >= 24 and p[:8] == b"\x89PNG\r\n\x1a\n":
-                if p[12:16] == b"IHDR":
-                    w, h = _st.unpack(">II", p[16:24])
-                    return {"format": "png", "width": w, "height": h}
-            if len(p) >= 10 and p[:6] in (b"GIF87a", b"GIF89a"):
-                w, h = _st.unpack("<HH", p[6:10])
-                return {"format": "gif", "width": w, "height": h}
-            if len(p) >= 22 and p[:2] == b"BM":
-                # Mirror parse_media_header's DIB dispatch exactly:
-                # 40-byte BITMAPINFOHEADER (signed, top-down negative
-                # height) vs 12-byte BITMAPCOREHEADER (unsigned shorts).
-                hdr_size = _st.unpack("<I", p[14:18])[0]
-                if hdr_size >= 40 and len(p) >= 26:
-                    w, h = _st.unpack("<ii", p[18:26])
-                    return {"format": "bmp", "width": w, "height": abs(h)}
-                if hdr_size == 12 and len(p) >= 22:
-                    w, h = _st.unpack("<HH", p[18:22])
-                    return {"format": "bmp", "width": w, "height": h}
-            if len(p) >= 36 and p[:4] == b"RIFF" and p[8:12] == b"WAVE":
-                off = 12
-                while off + 8 <= len(p):
-                    cid = p[off : off + 4]
-                    size = _st.unpack("<I", p[off + 4 : off + 8])[0]
-                    if cid == b"fmt " and off + 16 <= len(p):
-                        ch, rate = _st.unpack("<HI", p[off + 10 : off + 16])
-                        return {
-                            "format": "wav", "sample_rate": rate,
-                            "channels": ch,
-                        }
-                    off += 8 + size + (size & 1)
-            return {"format": None}
 
         for pdf in batches:
             payloads = [bytes(p) for p in pdf["payload"]]
-            infos = [parse(p) for p in payloads]
-            yield _pd.DataFrame(
+            infos = [parse_media_header(p) for p in payloads]
+            means = [_rgb_means(p) for p in payloads]
+            yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "byte_len": [len(p) for p in payloads],
@@ -277,17 +481,26 @@ def extract_features(media: DataFrame) -> DataFrame:
                         for p in payloads
                     ],
                     "format": [i.get("format") for i in infos],
-                    "width": _pd.array(
+                    "width": pd.array(
                         [i.get("width") for i in infos], dtype="Int32"
                     ),
-                    "height": _pd.array(
+                    "height": pd.array(
                         [i.get("height") for i in infos], dtype="Int32"
                     ),
-                    "sample_rate": _pd.array(
+                    "sample_rate": pd.array(
                         [i.get("sample_rate") for i in infos], dtype="Int32"
                     ),
-                    "channels": _pd.array(
+                    "channels": pd.array(
                         [i.get("channels") for i in infos], dtype="Int32"
+                    ),
+                    "mean_r": pd.array(
+                        [m[0] for m in means], dtype="Float64"
+                    ),
+                    "mean_g": pd.array(
+                        [m[1] for m in means], dtype="Float64"
+                    ),
+                    "mean_b": pd.array(
+                        [m[2] for m in means], dtype="Float64"
                     ),
                 }
             )

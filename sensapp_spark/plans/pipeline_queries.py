@@ -679,38 +679,69 @@ def embedding_kmeans(spark, sf_dir):
     """
     WITH dims AS (
         SELECT doc_id, text,
-               64 + ('0x' || substring(md5(text), 1, 2))::INT % 192 AS width,
-               64 + ('0x' || substring(md5(text), 3, 2))::INT % 192 AS height
+               64 + ('0x' || substring(md5(text), 1, 2))::INT % 192 AS w,
+               ('0x' || substring(md5(text), 7, 2))::INT AS r,
+               ('0x' || substring(md5(text), 9, 2))::INT AS g,
+               ('0x' || substring(md5(text), 11, 2))::INT AS b
         FROM documents),
+    adler AS (
+        -- closed-form adler32 of the scanline [00, (r g b ff) * w]:
+        -- length m = 1+4w, S0 = w(r+g+b+255), S1 = sum j*byte_j.
+        SELECT *,
+               1 + 4 * w::BIGINT AS m,
+               w::BIGINT * (r + g + b + 255) AS s0,
+               w::BIGINT * (2*r + 3*g + 4*b + 5*255)
+                 + 2 * w::BIGINT * (w - 1) * (r + g + b + 255) AS s1
+        FROM dims),
     png AS (
-        SELECT doc_id, width, height,
+        SELECT doc_id, w, r, g, b,
                unhex('89504E470D0A1A0A0000000D49484452')
-               || unhex(lpad(to_hex(width), 8, '0'))
-               || unhex(lpad(to_hex(height), 8, '0'))
+               || unhex(lpad(to_hex(w), 8, '0'))
+               || unhex('00000001')
                || unhex('080600000000000000')
+               || unhex(lpad(to_hex(m + 11), 8, '0'))
+               || unhex('49444154')
+               || unhex('780101')
+               || unhex(lpad(to_hex(m % 256), 2, '0')
+                        || lpad(to_hex(m // 256), 2, '0'))
+               || unhex(lpad(to_hex((65535 - m) % 256), 2, '0')
+                        || lpad(to_hex((65535 - m) // 256), 2, '0'))
+               || unhex('00' || repeat(lpad(to_hex(r), 2, '0')
+                                       || lpad(to_hex(g), 2, '0')
+                                       || lpad(to_hex(b), 2, '0')
+                                       || 'FF', w))
+               || unhex(lpad(to_hex(
+                      ((m + (m + 1) * s0 - s1) % 65521) * 65536
+                      + (1 + s0) % 65521), 8, '0'))
+               || unhex('00000000')
                || unhex(lpad(to_hex(octet_length(encode(text)) + 4), 8, '0'))
                || unhex('74455874') || encode('doc') || unhex('00')
                || encode(text)
                || unhex('00000000')
                || unhex('0000000049454E44AE426082') AS payload
-        FROM dims)
+        FROM adler)
     SELECT doc_id AS media_id,
            octet_length(payload) AS byte_len,
            substring(sha256(hex(payload)), 1, 16) AS sha_prefix,
-           'png' AS format, width, height
+           'png' AS format, w AS width, 1 AS height,
+           r::DOUBLE AS mean_r, g::DOUBLE AS mean_g, b::DOUBLE AS mean_b
     FROM png
     """,
 )
 def multimodal_features(spark, sf_dir):
-    """Binary-column feature extraction via Arrow-batched mapInPandas over
-    the REAL container-header parser (pipeline/multimodal.py): payloads
-    are structurally real PNGs synthesized with JVM expressions, and the
-    oracle rebuilds the identical bytes with SQL blob concat — so the
-    decode path itself is driver-verified, not a hash stub."""
+    """Binary-column feature extraction via Arrow-batched mapInPandas
+    over the REAL decoders (pipeline/multimodal.py): payloads are
+    DECODABLE PNGs synthesized with JVM expressions (genuine zlib IDAT,
+    closed-form adler32), the Spark side zlib-inflates and unfilters the
+    pixel rows to produce mean_r/g/b, and the oracle rebuilds the
+    identical bytes with SQL blob concat and predicts the means from the
+    constant-color scanline — the full pixel decode path is
+    driver-verified end-to-end."""
     media = mm.attach_binary(_docs(spark, sf_dir))
     feats = mm.extract_features(media)
     return feats.select(
-        "media_id", "byte_len", "sha_prefix", "format", "width", "height"
+        "media_id", "byte_len", "sha_prefix", "format", "width", "height",
+        "mean_r", "mean_g", "mean_b",
     )
 
 

@@ -14,7 +14,10 @@ import pytest
 from sensapp_spark.pipeline.multimodal import (
     attach_binary,
     attach_video_meta,
+    decode_bmp_pixels,
     decode_pixels,
+    decode_png_pixels,
+    decode_wav_samples,
     extract_features,
     frame_sample_plan,
     parse_media_header,
@@ -117,9 +120,114 @@ def test_parse_unknown_bytes():
     assert parse_media_header(b"") == {"format": None}
 
 
-def test_decode_pixels_is_declared_stub():
+def _filter_rows(rows: list[bytes], ftypes: list[int], bpp: int) -> bytes:
+    """FORWARD PNG row filtering (encoder direction) — the module only
+    implements the inverse, so round-tripping through this validates the
+    unfilter logic independently."""
+    out = b""
+    prev = bytes(len(rows[0]))
+    for row, ft in zip(rows, ftypes):
+        n = len(row)
+        if ft == 0:
+            enc = row
+        elif ft == 1:
+            enc = bytes(
+                (row[i] - (row[i - bpp] if i >= bpp else 0)) & 0xFF
+                for i in range(n)
+            )
+        elif ft == 2:
+            enc = bytes((row[i] - prev[i]) & 0xFF for i in range(n))
+        elif ft == 3:
+            enc = bytes(
+                (row[i] - (((row[i - bpp] if i >= bpp else 0) + prev[i]) >> 1))
+                & 0xFF
+                for i in range(n)
+            )
+        elif ft == 4:
+            enc = bytearray()
+            for i in range(n):
+                a = row[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                enc.append((row[i] - pred) & 0xFF)
+            enc = bytes(enc)
+        out += bytes([ft]) + enc
+        prev = row
+    return out
+
+
+def make_png_pixels(
+    width: int, height: int, rows: list[bytes], ftypes: list[int]
+) -> bytes:
+    """Fully valid RGBA PNG (real CRCs, real zlib) from explicit pixel
+    rows, filtered per-row with the given filter types."""
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        crc = zlib.crc32(ctype + data) & 0xFFFFFFFF
+        return struct.pack(">I", len(data)) + ctype + data + struct.pack(">I", crc)
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 6, 0, 0, 0)
+    idat = zlib.compress(_filter_rows(rows, ftypes, bpp=4))
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", idat)
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_decode_png_all_filter_types():
+    # 3×5 RGBA image with deterministic pseudo-random pixels; every
+    # filter type 0-4 appears at least once.
+    width, height = 3, 5
+    rows = [
+        bytes(((r * 37 + i * 11 + 7) % 256) for i in range(width * 4))
+        for r in range(height)
+    ]
+    for ftypes in ([0, 1, 2, 3, 4], [4, 3, 2, 1, 0], [2, 2, 4, 4, 3]):
+        p = make_png_pixels(width, height, rows, ftypes)
+        w, h, ch, px = decode_png_pixels(p)
+        assert (w, h, ch) == (width, height, 4)
+        assert px == b"".join(rows), f"unfilter failed for {ftypes}"
+
+
+def test_decode_png_zero_image():
+    w, h, ch, px = decode_png_pixels(make_png(4, 3))
+    assert (w, h, ch) == (4, 3, 4)
+    assert px == b"\x00" * (4 * 3 * 4)
+
+
+def test_decode_png_corrupt_adler_raises():
+    p = bytearray(make_png(2, 2))
+    # Flip a byte inside IDAT (after the zlib header) — adler32 must
+    # catch it.
+    idat_at = p.find(b"IDAT") + 6
+    p[idat_at] ^= 0xFF
+    with pytest.raises(Exception):
+        decode_png_pixels(bytes(p))
+
+
+def test_decode_bmp_pixels():
+    # make_bmp writes all-zero 24-bit pixels, bottom-up.
+    w, h, ch, px = decode_bmp_pixels(make_bmp(5, 3))
+    assert (w, h, ch) == (5, 3, 3)
+    assert px == b"\x00" * (5 * 3 * 3)
+
+
+def test_decode_wav_samples():
+    rate, channels, samples = decode_wav_samples(make_wav(16000, 1, 7))
+    assert (rate, channels) == (16000, 1)
+    assert samples == [0] * 7
+
+
+def test_decode_pixels_dispatch():
+    assert decode_pixels(make_png(2, 2))[0:2] == (2, 2)
+    assert decode_pixels(make_bmp(2, 2))[0:2] == (2, 2)
+    assert decode_pixels(make_wav(8000, 1, 2))[0] == 8000
     with pytest.raises(NotImplementedError):
-        decode_pixels(make_png(2, 2))
+        decode_pixels(make_gif(2, 2))  # LZW codec genuinely absent
 
 
 # ---------------------------------------------------------------------------
@@ -131,7 +239,7 @@ def docs(spark):
     return spark.read.parquet(f"{SF}/documents.parquet").limit(20).cache()
 
 
-def test_synthesized_png_parses_with_real_parser(spark, docs):
+def test_synthesized_png_parses_and_decodes(spark, docs):
     rows = attach_binary(docs).select("media_id", "payload").collect()
     assert rows
     for r in rows:
@@ -139,7 +247,15 @@ def test_synthesized_png_parses_with_real_parser(spark, docs):
         info = parse_media_header(payload)
         assert info["format"] == "png"
         assert 64 <= info["width"] < 256
-        assert 64 <= info["height"] < 256
+        assert info["height"] == 1
+        # The synthesized IDAT is a genuine zlib stream: the real
+        # decoder inflates it (adler32 verified) into one constant-color
+        # RGBA scanline.
+        w, h, ch, px = decode_png_pixels(payload)
+        assert (w, h, ch) == (info["width"], 1, 4)
+        first = px[:4]
+        assert first[3] == 255
+        assert px == first * w
 
 
 def test_extract_features_matches_direct_parse(spark, docs):
@@ -157,6 +273,9 @@ def test_extract_features_matches_direct_parse(spark, docs):
             payload.hex().upper().encode()
         ).hexdigest()[:16]
         assert f.sha_prefix == expected_sha
+        # Pixel-derived means: constant-color scanline → exact RGB.
+        _, _, _, px = decode_png_pixels(payload)
+        assert (f.mean_r, f.mean_g, f.mean_b) == (px[0], px[1], px[2])
 
 
 def test_extract_features_on_genuine_mixed_corpus(spark):
@@ -182,6 +301,11 @@ def test_extract_features_on_genuine_mixed_corpus(spark):
     )
     assert out[5].format is None and out[5].width is None
     assert (out[6].format, out[6].width, out[6].height) == ("bmp", 31, 7)
+    # Pixel means: decodable zero images → 0.0; wav/unknown → null.
+    assert (out[1].mean_r, out[1].mean_g, out[1].mean_b) == (0.0, 0.0, 0.0)
+    assert (out[3].mean_r, out[3].mean_g, out[3].mean_b) == (0.0, 0.0, 0.0)
+    assert out[2].mean_r is None  # GIF: header parsed, pixels LZW
+    assert out[4].mean_r is None and out[5].mean_r is None
 
 
 def test_frame_sample_plan(spark, docs):
