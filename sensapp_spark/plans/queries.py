@@ -1503,83 +1503,90 @@ def series_corr_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 @register(
-    "typed_decimal",
+    "typed_scalar",
     """
     WITH dec AS (
         SELECT event_type || '/' || CAST(user_id AS VARCHAR) AS sensor_id,
                CAST(CAST(event_id AS VARCHAR) || '.'
                     || lpad(CAST(event_id % 997 AS VARCHAR), 3, '0')
                     AS DECIMAL(38,18)) AS value
+        FROM events),
+    b AS (
+        SELECT event_type || '/' || CAST(user_id AS VARCHAR) AS sensor_id,
+               event_id % 7 < 3 AS value
         FROM events)
-    SELECT sensor_id,
+    SELECT 'decimal' AS ttype, sensor_id,
+           COUNT(*) AS n,
            CAST(CAST(SUM(value) AS DECIMAL(38,18)) AS VARCHAR) AS total,
-           COUNT(*) AS n
+           CAST(NULL AS BIGINT) AS n_true,
+           -- FALSE (not NULL) sentinels: pandas marshals a NULL BOOLEAN
+           -- as float NaN in DuckDB but object None in Spark, which the
+           -- driver hash distinguishes; the ttype tag disambiguates.
+           FALSE AS all_true,
+           FALSE AS any_true
     FROM dec GROUP BY sensor_id
+    UNION ALL
+    SELECT 'boolean', sensor_id,
+           COUNT(*),
+           CAST(NULL AS VARCHAR),
+           COUNT(*) FILTER (WHERE value),
+           bool_and(value),
+           bool_or(value)
+    FROM b GROUP BY sensor_id
     """,
 )
-def typed_decimal(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Numeric (exact decimal) value table: DecimalType(38,18) per
-    SURVEY §1.2 (the reference's rust_decimal / ClickHouse
-    Decimal128(38)). Values are constructed from integers via string
-    form — exact in both engines — and the per-sensor SUM is emitted as
-    its canonical string so the driver hash proves *decimal* exactness,
-    not float proximity. Decimal sums use JVM partial aggregation like
-    any numeric."""
+def typed_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Numeric (exact decimal) + Boolean value tables as one tagged
+    family union (SURVEY §1.2 types; formerly the separate
+    ``typed_decimal``/``typed_boolean`` entries — consolidated to keep
+    the registry at its 50-row driver budget).
+
+    Decimal leg: DecimalType(38,18) (the reference's rust_decimal /
+    ClickHouse Decimal128(38)); values constructed from integers via
+    string form — exact in both engines — and the per-sensor SUM emitted
+    as its canonical string so the driver hash proves *decimal*
+    exactness, not float proximity. Boolean leg: per-sensor count /
+    true-count / conjunction / disjunction. All JVM aggregates with
+    map-side partials."""
     from sensapp_spark.datamodel.types import SensorType, value_schema
 
     ev = td.load_events(spark, sf_dir)
     dec_type = value_schema(SensorType.NUMERIC)["value"].dataType
+    bool_type = value_schema(SensorType.BOOLEAN)["value"].dataType
+    sensor_id = F.concat(
+        F.col("event_type"), F.lit("/"), F.col("user_id").cast("string")
+    ).alias("sensor_id")
     dec = ev.select(
-        F.concat(
-            F.col("event_type"), F.lit("/"), F.col("user_id").cast("string")
-        ).alias("sensor_id"),
+        sensor_id,
         F.concat(
             F.col("event_id").cast("string"),
             F.lit("."),
             F.lpad((F.col("event_id") % 997).cast("string"), 3, "0"),
         ).cast(dec_type).alias("value"),
-    )
-    return dec.groupBy("sensor_id").agg(
-        F.sum("value").cast(dec_type).cast("string").alias("total"),
+    ).groupBy("sensor_id").agg(
         F.count("*").alias("n"),
+        F.sum("value").cast(dec_type).cast("string").alias("total"),
+    ).select(
+        "sensor_id", "n", "total",
+        F.lit(None).cast("long").alias("n_true"),
+        # FALSE sentinels, not NULL: see the oracle SQL comment.
+        F.lit(False).alias("all_true"),
+        F.lit(False).alias("any_true"),
     )
-
-
-@register(
-    "typed_boolean",
-    """
-    WITH b AS (
-        SELECT event_type || '/' || CAST(user_id AS VARCHAR) AS sensor_id,
-               event_id % 7 < 3 AS value
-        FROM events)
-    SELECT sensor_id,
-           COUNT(*) AS n,
-           COUNT(*) FILTER (WHERE value) AS n_true,
-           bool_and(value) AS all_true,
-           bool_or(value) AS any_true
-    FROM b GROUP BY sensor_id
-    """,
-)
-def typed_boolean(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Boolean value table (BooleanType per SURVEY §1.2): per-sensor
-    count / true-count / conjunction / disjunction — all JVM aggregates
-    with map-side partials."""
-    from sensapp_spark.datamodel.types import SensorType, value_schema
-
-    ev = td.load_events(spark, sf_dir)
-    bool_type = value_schema(SensorType.BOOLEAN)["value"].dataType
-    b = ev.select(
-        F.concat(
-            F.col("event_type"), F.lit("/"), F.col("user_id").cast("string")
-        ).alias("sensor_id"),
+    boo = ev.select(
+        sensor_id,
         (F.col("event_id") % 7 < 3).cast(bool_type).alias("value"),
-    )
-    return b.groupBy("sensor_id").agg(
+    ).groupBy("sensor_id").agg(
         F.count("*").alias("n"),
         F.count_if("value").alias("n_true"),
         F.bool_and("value").alias("all_true"),
         F.bool_or("value").alias("any_true"),
+    ).select(
+        "sensor_id", "n",
+        F.lit(None).cast("string").alias("total"),
+        "n_true", "all_true", "any_true",
     )
+    return _union_tagged([("decimal", dec), ("boolean", boo)], "ttype")
 
 
 @register(
@@ -1668,6 +1675,151 @@ def typed_json_blob(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.octet_length(blob).alias("blob_len"),
         F.base64(blob).alias("blob_b64"),
     )
+
+
+@register(
+    "query_all_types_dispatch",
+    """
+    WITH src AS (
+        SELECT event_type, CAST(ts AS TIMESTAMP) AS time, value,
+               user_id, event_id
+        FROM events
+        WHERE event_id % 10 = 0
+          AND event_type = 'click'
+          AND CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-05'
+          AND CAST(ts AS TIMESTAMP) <= TIMESTAMP '2024-01-20')
+    SELECT 'Float' AS vtype, event_type || '/Float' AS sensor_id, time,
+           event_type AS name,
+           value AS value_float,
+           CAST(NULL AS BIGINT) AS value_long,
+           -- FALSE (not NULL) sentinel: pandas marshals NULL BOOLEAN as
+           -- float NaN in DuckDB but object None in Spark; the vtype
+           -- tag disambiguates real FALSE from not-this-type.
+           FALSE AS value_bool,
+           CAST(NULL AS VARCHAR) AS value_str
+    FROM src
+    UNION ALL
+    SELECT 'Integer', event_type || '/Integer', time, event_type,
+           CAST(NULL AS DOUBLE), user_id,
+           FALSE, CAST(NULL AS VARCHAR)
+    FROM src
+    UNION ALL
+    SELECT 'Boolean', event_type || '/Boolean', time, event_type,
+           CAST(NULL AS DOUBLE), CAST(NULL AS BIGINT),
+           event_id % 2 = 0, CAST(NULL AS VARCHAR)
+    FROM src
+    UNION ALL
+    SELECT 'String', event_type || '/String', time, event_type,
+           CAST(NULL AS DOUBLE), CAST(NULL AS BIGINT),
+           FALSE,
+           event_type || '#' || CAST(user_id % 5 AS VARCHAR)
+    FROM src
+    """,
+)
+def query_all_types_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q8/Q9 driven END-TO-END through real storage: a SensorLake is
+    written (sensors dimension + four typed value tables, month-
+    partitioned parquet — operators B4/B5), then fetched through
+    ``query_all_types`` itself — matcher selection, per-type table
+    dispatch, time range, result assembly — matching the reference's
+    per-type batch-query fan-out (src/storage/sqlite/batch_queries.rs:
+    25-116; the PG backend runs the type queries concurrently, which
+    Spark gets as independent jobs per returned frame). The four typed
+    result frames union under a type tag with one value column per
+    Spark type, so the driver hash covers every dispatched row with
+    native types intact.
+
+    Events are thinned 10× (event_id % 10) to bound the per-run lake
+    write; the lake lands in a per-sf temp dir rebuilt on each call so
+    the entry is idempotent."""
+    import os
+    import shutil
+    import tempfile
+
+    from sensapp_spark.datamodel.types import SensorType
+    from sensapp_spark.operators.selection import query_all_types
+    from sensapp_spark.storage.lake import SensorLake
+
+    ev = td.load_events(spark, sf_dir).filter(F.col("event_id") % 10 == 0)
+    base = os.path.join(
+        tempfile.gettempdir(),
+        "sensapp_q8_lake_" + os.path.basename(os.path.normpath(sf_dir)),
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    lake = SensorLake(spark, base)
+
+    value_exprs = {
+        SensorType.FLOAT: F.col("value"),
+        SensorType.INTEGER: F.col("user_id"),
+        SensorType.BOOLEAN: F.col("event_id") % 2 == 0,
+        SensorType.STRING: F.concat(
+            F.col("event_type"), F.lit("#"),
+            (F.col("user_id") % 5).cast("string"),
+        ),
+    }
+    et = ev.select("event_type").distinct()
+    sensor_frames = []
+    for stype in value_exprs:
+        sensor_frames.append(
+            et.select(
+                F.concat("event_type", F.lit(f"/{stype.label}")).alias(
+                    "sensor_id"
+                ),
+                F.col("event_type").alias("name"),
+                F.lit(stype.label).alias("type"),
+                F.lit(None).cast("string").alias("unit"),
+                F.lit(None).cast("string").alias("unit_description"),
+                F.create_map(F.lit("et"), F.col("event_type")).alias(
+                    "labels"
+                ),
+            )
+        )
+    from functools import reduce
+
+    lake.upsert_sensors(reduce(lambda a, b: a.unionByName(b), sensor_frames))
+    for stype, expr in value_exprs.items():
+        lake.append_values(
+            stype,
+            ev.select(
+                F.concat("event_type", F.lit(f"/{stype.label}")).alias(
+                    "sensor_id"
+                ),
+                F.col("ts").alias("time"),
+                expr.alias("value"),
+            ),
+        )
+
+    matchers = [LabelMatcher("et", "click", MatcherType.EQUAL)]
+    res = query_all_types(lake, matchers, start=T_START, end=T_END)
+
+    null_cols = {
+        "value_float": F.lit(None).cast("double"),
+        "value_long": F.lit(None).cast("long"),
+        # FALSE sentinel, not NULL: see the oracle SQL comment.
+        "value_bool": F.lit(False),
+        "value_str": F.lit(None).cast("string"),
+    }
+    typed_col = {
+        SensorType.FLOAT: "value_float",
+        SensorType.INTEGER: "value_long",
+        SensorType.BOOLEAN: "value_bool",
+        SensorType.STRING: "value_str",
+    }
+    parts = []
+    for stype, col_name in typed_col.items():
+        df = res[stype]
+        cols = dict(null_cols)
+        cols[col_name] = F.col("value")
+        parts.append(
+            (
+                stype.label,
+                df.select(
+                    "sensor_id", "time", "name",
+                    *[expr.alias(name) for name, expr in cols.items()],
+                ),
+            )
+        )
+    return _union_tagged(parts, "vtype")
 
 
 _register_pipeline()
