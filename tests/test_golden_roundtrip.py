@@ -1,0 +1,191 @@
+"""Golden ingest→export round-trip corpus (reference conformance ports:
+tests/simple_promql.rs per-format output checks, tests/query_export.rs
+394-452 CSV round-trip integrity).
+
+Fixture CSV/SenML are ingested through the HTTP gateway, queried back
+through the PromQL and series endpoints, and every export format is
+BYTE-compared against a committed golden file under ``tests/golden/``.
+Any format drift — header wording, float rendering, RFC3339 shape,
+quoting, SenML record layout, Arrow IPC framing — fails the suite.
+
+Stability of the goldens rests on: deterministic sensor UUIDs (byte-
+exact BLAKE3 parity with the reference), fixture-pinned timestamps,
+exporter edge sorts (sensor_id, time), and sorted label-key unions.
+
+To regenerate after an INTENTIONAL format change:
+
+    GOLDEN_REGEN=1 python -m pytest tests/test_golden_roundtrip.py
+
+then review the diff like any code change.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import pathlib
+
+import pytest
+
+from sensapp_spark.server.app import create_app
+from sensapp_spark.storage.lake import SensorLake
+
+GOLDEN_DIR = pathlib.Path(__file__).parent / "golden"
+REGEN = os.environ.get("GOLDEN_REGEN") == "1"
+
+MULTI_CSV = (GOLDEN_DIR / "input_multi.csv").read_text()
+SENML_IN = (GOLDEN_DIR / "input_pressure.senml.json").read_text()
+
+
+def check_golden(name: str, payload: bytes) -> None:
+    path = GOLDEN_DIR / name
+    if REGEN:
+        path.write_bytes(payload)
+        return
+    assert path.exists(), f"golden file {name} missing — run GOLDEN_REGEN=1"
+    expected = path.read_bytes()
+    assert payload == expected, (
+        f"{name}: export drifted from golden ({len(payload)} vs "
+        f"{len(expected)} bytes) — if intentional, regenerate with "
+        "GOLDEN_REGEN=1 and review the diff"
+    )
+
+
+@pytest.fixture(scope="module")
+def client(spark, tmp_path_factory):
+    """Gateway over a FRESH lake holding only this module's fixtures, so
+    goldens never depend on other tests' ingestions."""
+    lake = SensorLake(spark, str(tmp_path_factory.mktemp("golden_lake")))
+    app = create_app(spark, lake)
+    app.testing = True
+    with app.test_client() as c:
+        r = c.post("/publish", data=MULTI_CSV, content_type="text/csv")
+        assert r.status_code == 200, r.get_data()
+        r = c.post("/publish", data=SENML_IN, content_type="application/json")
+        assert r.status_code == 200, r.get_data()
+        yield c
+
+
+# ---------------------------------------------------------------------------
+# PromQL query endpoint, every format (simple_promql.rs conformance edge)
+# ---------------------------------------------------------------------------
+
+PROMQL = "/api/v1/query?query=temperature[1000000h]&format="
+
+
+def test_golden_promql_csv(client):
+    r = client.get(PROMQL + "csv")
+    assert r.status_code == 200
+    check_golden("promql_temperature.csv", r.get_data())
+
+
+def test_golden_promql_jsonl(client):
+    r = client.get(PROMQL + "jsonl")
+    assert r.status_code == 200
+    check_golden("promql_temperature.jsonl", r.get_data())
+
+
+def test_golden_promql_senml(client):
+    r = client.get(PROMQL + "senml")
+    assert r.status_code == 200
+    # Canonical compact JSON so the golden is insensitive to HTTP
+    # prettification but pins keys, order, and every value byte.
+    body = json.dumps(r.get_json(), separators=(",", ":"), sort_keys=False)
+    check_golden("promql_temperature.senml.json", body.encode())
+
+
+def test_golden_promql_arrow(client):
+    r = client.get(PROMQL + "arrow")
+    assert r.status_code == 200
+    check_golden("promql_temperature.arrow", r.get_data())
+
+
+# ---------------------------------------------------------------------------
+# Single-series fetch by UUID (query_export.rs:394-452 round-trip edge)
+# ---------------------------------------------------------------------------
+
+def _series_uuid(client, metric: str) -> str:
+    doc = client.get(f"/series?metric={metric}").get_json()
+    (ds,) = doc["dcat:dataset"]
+    return ds["dct:identifier"]
+
+
+def test_golden_series_uuid_stable(client):
+    """The UUID embedded in the goldens is the deterministic BLAKE3
+    identity — if this changes, every cross-engine diff breaks, so pin
+    it explicitly too."""
+    check_golden(
+        "series_uuids.json",
+        json.dumps(
+            {
+                "temperature": _series_uuid(client, "temperature"),
+                "humidity": _series_uuid(client, "humidity"),
+                "pressure": _series_uuid(client, "pressure"),
+            },
+            separators=(",", ":"),
+        ).encode(),
+    )
+
+
+def test_golden_series_csv(client):
+    uuid = _series_uuid(client, "temperature")
+    r = client.get(f"/series/{uuid}?format=csv")
+    assert r.status_code == 200
+    check_golden("series_temperature.csv", r.get_data())
+
+
+def test_golden_series_senml_roundtrip(client):
+    """SenML in → SenML out: the reference's round-trip integrity check
+    (same samples, canonical base-time layout)."""
+    uuid = _series_uuid(client, "pressure")
+    r = client.get(f"/series/{uuid}?format=senml")
+    assert r.status_code == 200
+    body = json.dumps(r.get_json(), separators=(",", ":"), sort_keys=False)
+    check_golden("series_pressure.senml.json", body.encode())
+
+
+def test_golden_series_jsonl(client):
+    uuid = _series_uuid(client, "humidity")
+    r = client.get(f"/series/{uuid}?format=jsonl")
+    assert r.status_code == 200
+    check_golden("series_humidity.jsonl", r.get_data())
+
+
+# ---------------------------------------------------------------------------
+# Integrity invariants that hold regardless of golden regeneration
+# (ported assertions from query_export.rs:360-389)
+# ---------------------------------------------------------------------------
+
+def test_csv_round_trip_row_count(client):
+    r = client.get(PROMQL + "csv")
+    exported = r.get_data(as_text=True)
+    # input_multi.csv: header + 3 temperature rows (+ humidity rows that
+    # must NOT appear in a temperature query).
+    lines = exported.strip().splitlines()
+    assert len(lines) == 1 + 3
+    assert lines[0].startswith("timestamp,sensor_id,sensor_name")
+    assert all("temperature" in ln for ln in lines[1:])
+    assert "humidity" not in exported
+    for v in ("20.5", "21.0", "21.5"):
+        assert v in exported
+
+
+def test_jsonl_parses_and_matches_input_values(client):
+    r = client.get(PROMQL + "jsonl")
+    rows = [json.loads(x) for x in r.get_data(as_text=True).splitlines()]
+    assert [x["value"] for x in rows] == [20.5, 21.0, 21.5]
+    assert all(x["sensor_name"] == "temperature" for x in rows)
+
+
+def test_arrow_parses_and_matches_input_values(client):
+    import io
+
+    import pyarrow as pa
+
+    r = client.get(PROMQL + "arrow")
+    table = pa.ipc.open_file(io.BytesIO(r.get_data())).read_all()
+    assert table.num_rows == 3
+    # Multi-sensor Arrow is the long layout with stringified values
+    # (arrow_exporter.to_arrow_multi) — one schema across all types.
+    assert sorted(table.column("value").to_pylist()) == ["20.5", "21.0", "21.5"]
+    assert table.column("sensor_name").to_pylist() == ["temperature"] * 3
