@@ -133,7 +133,13 @@ def jaccard_pairs(
             .filter(F.col("df") > max_df)
             .select("shingle")
         )
-        sh_f = sh.join(F.broadcast(hot), "shingle", "left_anti")
+        # No broadcast HINT on the hot set: on a typical corpus it is
+        # tiny and AQE broadcasts it anyway, but on a degenerate corpus
+        # (small vocabulary, heavy duplication) MILLIONS of shingles can
+        # cross max_df and a forced broadcast OOMs the driver — observed
+        # empirically on the 10× scale dry run (scripts/bench_scale10.py).
+        # Letting AQE choose keeps the fast path and removes the cliff.
+        sh_f = sh.join(hot, "shingle", "left_anti")
         grouped = sh_f.groupBy("shingle").agg(
             F.collect_list("doc_id").alias("docs")
         )
@@ -177,8 +183,21 @@ def jaccard_pairs(
             )
             .agg(F.count("*").alias("inter"))
         )
-    ca = counts.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("na"))
-    cb = counts.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("nb"))
+    # "shuffle_hash" hints: Catalyst's STATIC size estimate for `inter`
+    # (downstream of a grouped explode) can be bogus-small, and without
+    # a hint the planner then BROADCASTS the pair frame — tens of
+    # millions of rows — and OOMs the driver (observed on the 10× scale
+    # dry run, scripts/bench_scale10.py). The hint pins a shuffled hash
+    # join with the per-doc counts as build side: no sort of the huge
+    # pair frame, per-partition build bounded by n_docs/partitions, and
+    # within noise of the broadcast plan at bench scale (measured
+    # 2.4 vs 2.6 s warm at sf0.1).
+    ca = counts.select(
+        F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("na")
+    ).hint("shuffle_hash")
+    cb = counts.select(
+        F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("nb")
+    ).hint("shuffle_hash")
     out = (
         inter.join(ca, "doc_a").join(cb, "doc_b")
         .withColumn(
@@ -371,6 +390,14 @@ def neardup_components(
         hop = stepped.select(
             F.col("doc_id").alias("h_id"), F.col("component").alias("h_comp")
         )
+        # localCheckpoint (eager) rather than cache: each iteration
+        # references `labels` twice and `stepped` twice, so without
+        # lineage TRUNCATION the logical plan doubles per iteration —
+        # at ~20 iterations that is a 2^20-node plan and the driver
+        # dies in the optimizer long before any task runs (observed on
+        # the 10× scale dry run; cache() preserves lineage and does not
+        # prevent it). Checkpointing materializes the ~(node, label)
+        # frame — small — and resets the plan to a leaf each round.
         new_labels = (
             stepped.join(hop, stepped.component == hop.h_id, "left")
             .select(
@@ -380,7 +407,7 @@ def neardup_components(
                     F.coalesce(F.col("h_comp"), F.col("component")),
                 ).alias("component"),
             )
-            .cache()
+            .localCheckpoint(eager=True)
         )
         changed = (
             new_labels.alias("n")
