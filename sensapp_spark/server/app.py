@@ -13,6 +13,8 @@ Routes:
 * ``GET /metrics`` / ``GET /series`` — DCAT catalogs (C3/C4)
 * ``POST /api/v1/admin/vacuum`` — dedup+compact every value table
 * ``GET /`` — frontpage: instance name as JSON (server.rs:151-155)
+* ``GET /docs`` — OpenAPI 3 document generated from the live route
+  table (server.rs:40-52,84 — reference's ApiDoc derive + Scalar UI)
 * ``GET /health`` — legacy combined probe (kept for compatibility)
 * ``GET /health/live`` / ``GET /health/ready`` — split k8s-style probes
   (server.rs:111-112, health.rs:37-76); readiness checks storage
@@ -95,6 +97,57 @@ def create_app(spark, lake: SensorLake) -> Flask:
         # Reference serves the instance name as a JSON string
         # (server.rs:151-155: `Json(state.name)`).
         return jsonify(app.name)
+
+    @app.get("/docs")
+    def api_docs():
+        # Reference serves interactive docs at /docs built from an
+        # OpenAPI document (server.rs:84 + the ApiDoc derive at
+        # server.rs:40-52). The equivalent machine-readable OpenAPI 3
+        # document is generated here from the live route table, tagged
+        # with the reference's five tag groups.
+        tags = {
+            "/": "SensApp", "/publish": "SensApp", "/metrics": "SensApp",
+            "/series": "SensApp", "/series/<sensor_id>": "SensApp",
+            "/api/v1/query": "SensApp", "/api/v1/query_range": "SensApp",
+            "/api/v2/write": "InfluxDB",
+            "/api/v1/prometheus_remote_write": "Prometheus",
+            "/api/v1/prometheus_remote_read": "Prometheus",
+            "/api/v1/admin/vacuum": "Admin",
+            "/health": "Health", "/health/live": "Health",
+            "/health/ready": "Health",
+        }
+        paths: dict = {}
+        for rule in app.url_map.iter_rules():
+            if rule.endpoint == "static" or str(rule) == "/docs":
+                continue
+            path = str(rule).replace("<", "{").replace(">", "}")
+            ops = paths.setdefault(path, {})
+            for method in sorted(rule.methods - {"HEAD", "OPTIONS"}):
+                ops[method.lower()] = {
+                    "tags": [tags.get(str(rule), "SensApp")],
+                    "operationId": f"{method.lower()}_{rule.endpoint}",
+                    "responses": {"200": {"description": "OK"}},
+                }
+        return jsonify(
+            {
+                "openapi": "3.0.3",
+                "info": {"title": "SensApp API", "version": "0.3.0"},
+                "tags": [
+                    {"name": "SensApp", "description": "SensApp API"},
+                    {"name": "InfluxDB", "description": "InfluxDB Write API"},
+                    {
+                        "name": "Prometheus",
+                        "description": "Prometheus Remote Write and Read API",
+                    },
+                    {
+                        "name": "Admin",
+                        "description": "Administrative operations",
+                    },
+                    {"name": "Health", "description": "Health check endpoints"},
+                ],
+                "paths": paths,
+            }
+        )
 
     @app.get("/health")
     def health():

@@ -45,6 +45,26 @@ def test_health_live(client):
     assert r.get_json() == {"status": "ok"}
 
 
+def test_openapi_docs(client):
+    # /docs serves the OpenAPI 3 document the reference builds with its
+    # ApiDoc derive (server.rs:40-52,84).
+    doc = client.get("/docs").get_json()
+    assert doc["openapi"].startswith("3.")
+    assert doc["info"]["title"] == "SensApp API"
+    assert {t["name"] for t in doc["tags"]} == {
+        "SensApp", "InfluxDB", "Prometheus", "Admin", "Health",
+    }
+    paths = doc["paths"]
+    for route in ("/", "/publish", "/metrics", "/series",
+                  "/series/{sensor_id}", "/api/v2/write",
+                  "/api/v1/prometheus_remote_write",
+                  "/api/v1/prometheus_remote_read", "/api/v1/query",
+                  "/api/v1/admin/vacuum", "/health/live", "/health/ready"):
+        assert route in paths, route
+    assert "post" in paths["/publish"]
+    assert "get" in paths["/api/v1/query"]
+
+
 def test_health_ready(client):
     # Readiness probes storage (health.rs:53-76): on a healthy lake the
     # response mirrors ReadinessResponse{status, database}.
