@@ -152,6 +152,126 @@ def test_golden_series_jsonl(client):
 
 
 # ---------------------------------------------------------------------------
+# InfluxDB line-protocol ingest edge (S4) → export
+# ---------------------------------------------------------------------------
+
+INFLUX_LINES = (
+    "weather,site=golden temp=11.5,hum=63i 1700000000000000000\n"
+    "weather,site=golden temp=12.25,hum=61i 1700000060000000000\n"
+    "weather,site=other temp=9.0 1700000120000000000\n"
+)
+
+
+@pytest.fixture(scope="module")
+def influx_client(client):
+    r = client.post("/api/v2/write?bucket=golden&org=test", data=INFLUX_LINES)
+    assert r.status_code == 204, r.get_data()
+    return client
+
+
+def test_golden_influx_csv(influx_client):
+    # Sensor name is urlencode(measurement) + ' ' + urlencode(field)
+    # (reference influxdb.rs:53-61); labels carry tags + bucket/org.
+    doc = influx_client.get("/series?metric=weather%20temp").get_json()
+    ids = sorted(
+        (
+            {k: v for d in ds["sensor:labels"] for k, v in d.items()}["site"],
+            ds["dct:identifier"],
+        )
+        for ds in doc["dcat:dataset"]
+    )
+    assert [s for s, _ in ids] == ["golden", "other"]
+    r = influx_client.get(f"/series/{ids[0][1]}?format=csv")
+    assert r.status_code == 200
+    check_golden("influx_weather_temp.csv", r.get_data())
+
+
+def test_golden_influx_integer_field_jsonl(influx_client):
+    doc = influx_client.get("/series?metric=weather%20hum").get_json()
+    (ds,) = doc["dcat:dataset"]
+    r = influx_client.get(f"/series/{ds['dct:identifier']}?format=jsonl")
+    assert r.status_code == 200
+    check_golden("influx_weather_hum.jsonl", r.get_data())
+    rows = [json.loads(x) for x in r.get_data(as_text=True).splitlines()]
+    assert [x["value"] for x in rows] == [63, 61]
+    assert all(x["type"] == "integer" for x in rows)
+
+
+# ---------------------------------------------------------------------------
+# Prometheus remote write → remote read wire round trip (S5 + X6)
+# ---------------------------------------------------------------------------
+
+def test_golden_prometheus_read_response(client):
+    from sensapp_spark.operators.matchers import LabelMatcher, MatcherType
+    from sensapp_spark.wire import snappy_codec
+    from sensapp_spark.wire.prompb import (
+        ReadQuery,
+        TimeSeries,
+        encode_read_request,
+        encode_write_request,
+    )
+
+    body = snappy_codec.compress(
+        encode_write_request(
+            [
+                TimeSeries(
+                    labels=[("__name__", "golden_metric"), ("env", "prod")],
+                    samples=[(9.5, 1700000000000), (10.25, 1700000060000)],
+                )
+            ]
+        )
+    )
+    assert (
+        client.post("/api/v1/prometheus_remote_write", data=body).status_code
+        == 204
+    )
+
+    req = snappy_codec.compress(
+        encode_read_request(
+            [
+                ReadQuery(
+                    start_ms=1699999000000,
+                    end_ms=1700001000000,
+                    matchers=[
+                        LabelMatcher(
+                            "__name__", "golden_metric", MatcherType.EQUAL
+                        )
+                    ],
+                )
+            ]
+        )
+    )
+    r = client.post("/api/v1/prometheus_remote_read", data=req)
+    assert r.status_code == 200
+    # Golden-pin the DECOMPRESSED protobuf ReadResponse: label order,
+    # varint encoding, sample layout — the X6 wire format itself
+    # (reference converter.rs:22-120).
+    check_golden(
+        "prometheus_read_response.pb",
+        snappy_codec.decompress(r.get_data()),
+    )
+
+
+def test_golden_xor_chunk_stream():
+    # X7: Gorilla/XOR chunk bytes for a fixed sample set — pins the
+    # bit-level framing (reference chunk_encoder.rs:20-97 via
+    # rusty_chunkenc). Round-trip asserted too, so a regeneration that
+    # breaks symmetry cannot slip through.
+    from sensapp_spark.wire.xorchunk import decode_xor_chunk, encode_xor_chunk
+
+    samples = [
+        (1700000000000, 20.5),
+        (1700000015000, 20.5),
+        (1700000030000, 21.25),
+        (1700000045500, 19.75),
+        (1700000060000, -3.375),
+    ]
+    chunk = encode_xor_chunk(samples)
+    assert decode_xor_chunk(chunk) == samples
+    check_golden("xor_chunk.bin", chunk)
+
+
+# ---------------------------------------------------------------------------
 # Integrity invariants that hold regardless of golden regeneration
 # (ported assertions from query_export.rs:360-389)
 # ---------------------------------------------------------------------------
