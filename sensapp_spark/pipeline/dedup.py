@@ -128,18 +128,21 @@ def jaccard_pairs(
         # grouped exchange (ReuseExchange shares the shuffle write), so
         # the CPU-heavy shingling runs twice total — df pass + grouped
         # pass — instead of three times plus a sort-merge self-join.
-        hot = (
+        keep = (
             sh.groupBy("shingle").agg(F.count("*").alias("df"))
-            .filter(F.col("df") > max_df)
+            .filter(F.col("df") <= max_df)
             .select("shingle")
         )
-        # No broadcast HINT on the hot set: on a typical corpus it is
-        # tiny and AQE broadcasts it anyway, but on a degenerate corpus
-        # (small vocabulary, heavy duplication) MILLIONS of shingles can
-        # cross max_df and a forced broadcast OOMs the driver — observed
-        # empirically on the 10× scale dry run (scripts/bench_scale10.py).
-        # Letting AQE choose keeps the fast path and removes the cliff.
-        sh_f = sh.join(hot, "shingle", "left_anti")
+        # INNER join against the kept (non-hot) shingles with a
+        # shuffle_hash hint, not a broadcast anti-join against the hot
+        # set: the hot set is unbounded on a degenerate corpus (small
+        # vocabulary, heavy duplication — its forced broadcast OOM'd the
+        # driver on the 10× dry run, scripts/bench_scale10.py), and a
+        # broadcast buys nothing here anyway — sh must shuffle on
+        # shingle for the grouped aggregation regardless, and the
+        # hash-partitioned join output is REUSED by that groupBy (zero
+        # extra exchanges; verified in the executed plan).
+        sh_f = sh.join(keep.hint("shuffle_hash"), "shingle")
         grouped = sh_f.groupBy("shingle").agg(
             F.collect_list("doc_id").alias("docs")
         )
@@ -258,7 +261,13 @@ def minhash_lsh_candidates(
     banded = sigs.select(
         "doc_id", F.explode(F.array(*band_cols)).alias("bk")
     ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
-    a, b = banded.alias("a"), banded.alias("b")
+    # shuffle_hash hint: the banded frame is bands × n_docs rows, so a
+    # planner-chosen broadcast (static estimates downstream of the
+    # signature explode are unreliable) becomes an OOM cliff at corpus
+    # scale; the shuffled hash self-join partitions both sides on
+    # (band, key) — the bucketed equality join this operator is — and
+    # stays linear at any corpus size.
+    a, b = banded.alias("a"), banded.hint("shuffle_hash").alias("b")
     return (
         a.join(b, ["band", "key"])
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))

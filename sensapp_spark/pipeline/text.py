@@ -146,9 +146,12 @@ def tfidf_top_term(docs: DataFrame, min_len: int = 3) -> DataFrame:
     Plan: one (doc, term) count aggregation, one term-level df
     aggregation, corpus size N as a broadcast single-row cross join,
     then a per-doc rank window. doc_len and df are corpus-/vocabulary-
-    sized, so neither is broadcast-hinted — AQE picks the strategy from
-    runtime sizes. Ties break lexicographically so the winner is
-    deterministic across engines."""
+    sized, so their joins carry shuffle_hash hints: the STATIC planner
+    otherwise broadcasts them off unreliable explode-derived size
+    estimates (the executed plan showed BroadcastExchange over the
+    tokenize subtree) — an OOM cliff at corpus scale that AQE cannot
+    undo once a broadcast join is statically planned. Ties break
+    lexicographically so the winner is deterministic across engines."""
     words = F.split(F.trim(normalized_text(F.col("text"))), r"\s+")
     tok = docs.select(
         "doc_id", F.explode(words).alias("token")
@@ -158,8 +161,8 @@ def tfidf_top_term(docs: DataFrame, min_len: int = 3) -> DataFrame:
     df_ = counts.groupBy("token").agg(F.count("*").alias("df"))
     n_docs = docs.agg(F.count("*").alias("n_docs"))
     scored = (
-        counts.join(doc_len, "doc_id")
-        .join(df_, "token")
+        counts.join(doc_len.hint("shuffle_hash"), "doc_id")
+        .join(df_.hint("shuffle_hash"), "token")
         .crossJoin(F.broadcast(n_docs))
         .withColumn(
             "tfidf",
