@@ -152,6 +152,33 @@ def test_golden_series_jsonl(client):
 
 
 # ---------------------------------------------------------------------------
+# DCAT catalog surface (C3/C4 JSON-LD templating)
+# ---------------------------------------------------------------------------
+
+def test_golden_dcat_metrics(client):
+    doc = client.get("/metrics").get_json()
+    # Catalog order: sort datasets by @id so the golden is insensitive
+    # to aggregation partition order, then pin every byte of the
+    # JSON-LD templating (contexts, keywords, units, series counts).
+    doc["dcat:dataset"] = sorted(doc["dcat:dataset"], key=lambda d: d["@id"])
+    check_golden(
+        "dcat_metrics.json",
+        json.dumps(doc, separators=(",", ":"), sort_keys=True).encode(),
+    )
+
+
+def test_golden_dcat_series(client):
+    doc = client.get("/series?metric=temperature").get_json()
+    doc["dcat:dataset"] = sorted(
+        doc["dcat:dataset"], key=lambda d: d["dct:identifier"]
+    )
+    check_golden(
+        "dcat_series_temperature.json",
+        json.dumps(doc, separators=(",", ":"), sort_keys=True).encode(),
+    )
+
+
+# ---------------------------------------------------------------------------
 # InfluxDB line-protocol ingest edge (S4) → export
 # ---------------------------------------------------------------------------
 
