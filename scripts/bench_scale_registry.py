@@ -1,0 +1,98 @@
+"""Full-registry 10× scale run: every driver-contract query executed
+over a 10× corpus — events scaled to ~1M rows / ~7,500 series (replica
+shifts the user_id space so the SERIES axis grows, which is the axis
+that grows in production), documents/embeddings from the near-dup 10×
+corpus of scripts/bench_scale10.py, remaining tables linked from the
+base sf.
+
+This is the empirical complement to the sf0.1 bench: same plans, 10×
+the data, timings per entry. A super-linear blowup or a failure here is
+a scale defect the bench cannot see.
+
+Usage: python scripts/bench_scale_registry.py [base_sf_dir]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+BASE = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+OUT_DIR = "/tmp/sensapp_sf1"
+REPLICAS = 10
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def build_events(spark) -> None:
+    from pyspark.sql import functions as F
+
+    ev = spark.read.parquet(f"{BASE}/events.parquet")
+    k = F.col("k")
+    big = ev.select(
+        "*", F.explode(F.sequence(F.lit(0), F.lit(REPLICAS - 1))).alias("k")
+    ).select(
+        (F.col("event_id") * REPLICAS + k).alias("event_id"),
+        # Shift each replica by k seconds so timestamps stay distinct
+        # and window/session behavior is realistic, not degenerate ties.
+        (F.col("ts") + F.make_dt_interval(secs=k.cast("double"))).alias("ts"),
+        # Shift the user space so the SERIES count scales 10×.
+        (F.col("user_id") + k * 100000).alias("user_id"),
+        "event_type", "value", "props",
+    )
+    big.repartition(32).write.mode("overwrite").parquet(
+        f"{OUT_DIR}/events.parquet"
+    )
+
+
+def main() -> int:
+    import __spark_entry__ as mod
+    from sensapp_spark.session import get_spark
+
+    spark = get_spark(
+        master=f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]",
+        shuffle_partitions=32,
+    )
+    os.makedirs(OUT_DIR, exist_ok=True)
+    for t in TABLES:
+        dst = f"{OUT_DIR}/{t}.parquet"
+        if t == "events" or os.path.exists(dst):
+            continue
+        os.symlink(f"{BASE}/{t}.parquet", dst)
+    if not os.path.exists(f"{OUT_DIR}/documents.parquet"):
+        print("run scripts/bench_scale10.py first (documents/embeddings)",
+              file=sys.stderr)
+        return 1
+    t0 = time.time()
+    build_events(spark)
+    print(f"## events built in {time.time()-t0:.1f}s", file=sys.stderr,
+          flush=True)
+
+    report: dict = {}
+    total = 0.0
+    for name, fn in mod.queries().items():
+        t0 = time.time()
+        try:
+            n = fn(spark, OUT_DIR).count()
+            sec = time.time() - t0
+            report[name] = {"sec": round(sec, 2), "rows": n}
+            total += sec
+        except Exception as e:
+            report[name] = {
+                "error": str(e).splitlines()[0][:200],
+                "sec": round(time.time() - t0, 2),
+            }
+        print(f"## {name}: {report[name]}", file=sys.stderr, flush=True)
+    print(json.dumps({"sf": "10x-sf0.1", "total_sec": round(total, 1),
+                      "queries": report}, indent=2))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
