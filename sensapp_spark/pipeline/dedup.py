@@ -390,6 +390,10 @@ def neardup_components(
             labels.join(neighbor_min, labels.doc_id == neighbor_min.src, "left")
             .select(
                 "doc_id",
+                # Thread the PREVIOUS label through so convergence can be
+                # tested on the checkpointed frame itself — no extra
+                # new-vs-old join per round.
+                F.col("component").alias("old_comp"),
                 F.least(
                     F.col("component"), F.coalesce(F.col("n_comp"), F.col("component"))
                 ).alias("component"),
@@ -411,6 +415,7 @@ def neardup_components(
             stepped.join(hop, stepped.component == hop.h_id, "left")
             .select(
                 "doc_id",
+                "old_comp",
                 F.least(
                     F.col("component"),
                     F.coalesce(F.col("h_comp"), F.col("component")),
@@ -418,15 +423,15 @@ def neardup_components(
             )
             .localCheckpoint(eager=True)
         )
+        # Convergence check over the already-materialized checkpoint —
+        # a local filter, not a join.
         changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.component") != F.col("o.component"))
+            new_labels.filter(F.col("component") != F.col("old_comp"))
             .limit(1)
             .count()
         )
         labels.unpersist()
-        labels = new_labels
+        labels = new_labels.select("doc_id", "component")
         if changed == 0:
             break
     edges.unpersist()
