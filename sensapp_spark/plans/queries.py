@@ -1778,6 +1778,9 @@ def query_all_types_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     lake.upsert_sensors(reduce(lambda a, b: a.unionByName(b), sensor_frames))
     for stype, expr in value_exprs.items():
+        # coalesce(8): the thinned per-type frame is small, and a
+        # 32-task write per type is pure scheduler overhead here; real
+        # ingest sizes its writers from the micro-batch, not this demo.
         lake.append_values(
             stype,
             ev.select(
@@ -1786,7 +1789,7 @@ def query_all_types_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
                 F.col("ts").alias("time"),
                 expr.alias("value"),
-            ),
+            ).coalesce(8),
         )
 
     matchers = [LabelMatcher("et", "click", MatcherType.EQUAL)]
