@@ -279,6 +279,41 @@ def test_golden_prometheus_read_response(client):
     )
 
 
+def test_golden_prometheus_streamed_chunks(client):
+    """STREAMED_XOR_CHUNKS negotiation end-to-end: uvarint length +
+    CRC32C framing around ChunkedReadResponse protobufs carrying
+    Gorilla XOR chunks (X7; reference stream_writer.rs:7-13). Depends
+    on test_golden_prometheus_read_response having published
+    golden_metric (module order)."""
+    from sensapp_spark.operators.matchers import LabelMatcher, MatcherType
+    from sensapp_spark.wire import snappy_codec
+    from sensapp_spark.wire.prompb import (
+        RESPONSE_TYPE_STREAMED_XOR_CHUNKS,
+        ReadQuery,
+        encode_read_request,
+    )
+
+    req = snappy_codec.compress(
+        encode_read_request(
+            [
+                ReadQuery(
+                    start_ms=1699999000000,
+                    end_ms=1700001000000,
+                    matchers=[
+                        LabelMatcher(
+                            "__name__", "golden_metric", MatcherType.EQUAL
+                        )
+                    ],
+                )
+            ],
+            accepted=[RESPONSE_TYPE_STREAMED_XOR_CHUNKS],
+        )
+    )
+    r = client.post("/api/v1/prometheus_remote_read", data=req)
+    assert r.status_code == 200
+    check_golden("prometheus_streamed_chunks.bin", r.get_data())
+
+
 def test_golden_xor_chunk_stream():
     # X7: Gorilla/XOR chunk bytes for a fixed sample set — pins the
     # bit-level framing (reference chunk_encoder.rs:20-97 via
