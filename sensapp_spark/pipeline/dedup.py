@@ -21,7 +21,7 @@ All hashes derive from md5 so the DuckDB oracle reproduces them exactly
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from sensapp_spark.pipeline.text import normalized_text
@@ -235,17 +235,33 @@ def minhash_signatures(
     return hashed.groupBy("doc_id").agg(*aggs)
 
 
+DEFAULT_MAX_BUCKET = 500
+
+
 def minhash_lsh_candidates(
     docs: DataFrame,
     k: int = DEFAULT_MINHASH_K,
     bands: int = DEFAULT_BANDS,
     n: int = DEFAULT_NGRAM,
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
 ) -> DataFrame:
     """LSH banding: split the k-signature into ``bands`` bands of k/bands
     rows, bucket-join on (band, band-key). Returns candidate pairs
     (doc_a < doc_b, band_hits = number of agreeing bands ≥ 1). The
     equality join on band keys is the scale path: no pairwise compare
-    ever happens outside a bucket."""
+    ever happens outside a bucket.
+
+    ``max_bucket`` is the skew guard WITHIN a bucket: a bucket of B
+    near-identical documents (mass duplication — boilerplate pages,
+    mirrored dumps) would emit B²/2 clique pairs; a 5,000-copy cluster
+    measured 13.3M pairs and a 50k-copy cluster would be 1.25B from one
+    bucket. Buckets larger than ``max_bucket`` instead emit STAR edges
+    (bucket-min hub → member): linear in bucket size, and connectivity-
+    preserving, so ``neardup_components`` finds the same clusters —
+    what a full bucket means is precisely "these documents are
+    near-identical", so the clique adds no information the star lacks.
+    Pass ``max_bucket=None`` for exact clique semantics on small
+    corpora."""
     assert k % bands == 0
     rows = k // bands
     sigs = minhash_signatures(docs, k, n)
@@ -267,11 +283,36 @@ def minhash_lsh_candidates(
     # scale; the shuffled hash self-join partitions both sides on
     # (band, key) — the bucketed equality join this operator is — and
     # stays linear at any corpus size.
-    a, b = banded.alias("a"), banded.hint("shuffle_hash").alias("b")
-    return (
+    if max_bucket is None:
+        a, b = banded.alias("a"), banded.hint("shuffle_hash").alias("b")
+        return (
+            a.join(b, ["band", "key"])
+            .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+            .groupBy(
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+            )
+            .agg(F.count("*").alias("band_hits"))
+        )
+    bucket_w = Window.partitionBy("band", "key")
+    bs = banded.withColumn("sz", F.count("*").over(bucket_w)).withColumn(
+        "hub", F.min("doc_id").over(bucket_w)
+    )
+    small = bs.filter(F.col("sz") <= max_bucket).select("doc_id", "band", "key")
+    a, b = small.alias("a"), small.hint("shuffle_hash").alias("b")
+    clique = (
         a.join(b, ["band", "key"])
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+    )
+    star = bs.filter(
+        (F.col("sz") > max_bucket) & (F.col("doc_id") != F.col("hub"))
+    ).select(F.col("hub").alias("doc_a"), F.col("doc_id").alias("doc_b"))
+    return (
+        clique.unionByName(star)
+        .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("band_hits"))
     )
 

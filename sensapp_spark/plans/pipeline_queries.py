@@ -18,6 +18,7 @@ from sensapp_spark.pipeline import multimodal as mm
 from sensapp_spark.pipeline import text as tx
 from sensapp_spark.pipeline.dedup import (
     DEFAULT_BANDS,
+    DEFAULT_MAX_BUCKET,
     DEFAULT_MAX_DF,
     DEFAULT_MINHASH_K,
     SIMHASH_BITS,
@@ -319,10 +320,24 @@ def _lsh_oracle() -> str:
             f"MIN(h1 + {i} * h2) AS mh_{i}"
             for i in range(DEFAULT_MINHASH_K))}
         FROM hashed GROUP BY doc_id),
-    banded AS ({selects})
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS band_hits
-    FROM banded a JOIN banded b ON a.band = b.band AND a.key = b.key
-    WHERE a.doc_id < b.doc_id
+    banded AS ({selects}),
+    -- max_bucket star-edge guard, mirrored from
+    -- pipeline/dedup.minhash_lsh_candidates: oversized buckets emit
+    -- hub→member edges instead of cliques.
+    bs AS (
+        SELECT banded.*,
+               COUNT(*) OVER (PARTITION BY band, key) AS sz,
+               MIN(doc_id) OVER (PARTITION BY band, key) AS hub
+        FROM banded),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bs a JOIN bs b ON a.band = b.band AND a.key = b.key
+        WHERE a.sz <= {DEFAULT_MAX_BUCKET} AND a.doc_id < b.doc_id
+        UNION ALL
+        SELECT hub, doc_id FROM bs
+        WHERE sz > {DEFAULT_MAX_BUCKET} AND doc_id <> hub)
+    SELECT doc_a, doc_b, COUNT(*) AS band_hits
+    FROM pairs
     GROUP BY 1, 2
     """
 
