@@ -87,11 +87,15 @@ def query_bucket(query: list[float], planes: list[list[float]]) -> int:
     )
 
 
+DEFAULT_MAX_EMB_BUCKET = 2000
+
+
 def embedding_neardup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.9,
     n_planes: int = 4,
     dim: int = 64,
+    max_bucket: int | None = DEFAULT_MAX_EMB_BUCKET,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, LSH-blocked.
 
@@ -101,28 +105,77 @@ def embedding_neardup_pairs(
     1/2^b of the data; recall can be raised with more probe rounds on
     rotated plane sets. Returns (vec_a, vec_b, cosine) with
     vec_a < vec_b and cosine ≥ threshold.
+
+    ``max_bucket`` is the mass-duplication guard (same design as the
+    MinHash-LSH bucket guard): a bucket of B near-identical vectors —
+    one embedding duplicated across a mirrored corpus — emits B²/2
+    clique pairs (12.5M measured for a 5,000-copy vector). Oversized
+    buckets instead emit STAR pairs (bucket-min hub vs member, with the
+    REAL pairwise cosine, still threshold-filtered): linear in bucket
+    size, connectivity-preserving for downstream components. Pass
+    ``max_bucket=None`` for exact clique semantics.
+
+    Sizing: unlike MinHash band keys (whose buckets hold only
+    near-identical documents), hyperplane buckets hold ~n/2^planes
+    vectors of ANY corpus, so the cap must sit above the expected
+    occupancy for the chosen plane count — and at larger corpora the
+    right move is MORE planes (buckets shrink exponentially), not a
+    larger cap. The default cap of 2000 leaves a 4-plane layout
+    untouched up to ~32k vectors while still catching the
+    mass-duplication spike.
     """
+    from pyspark.sql import Window
+
     planes = hyperplanes(n_planes, dim)
     bucketed = embeddings.select(
         "vec_id",
         F.col("embedding").cast("array<double>").alias("emb"),
         bucket_expr(F.col("embedding"), planes).alias("bucket"),
     )
-    a = bucketed.alias("a")
-    b = bucketed.alias("b")
-    pairs = (
-        a.join(b, "bucket")
-        .filter(F.col("a.vec_id") < F.col("b.vec_id"))
+
+    def scored(left, right):
+        return (
+            left.join(right, "bucket")
+            .filter(F.col("a.vec_id") < F.col("b.vec_id"))
+            .select(
+                F.col("a.vec_id").alias("vec_a"),
+                F.col("b.vec_id").alias("vec_b"),
+                F.round(
+                    cosine_similarity(F.col("a.emb"), F.col("b.emb")), 6
+                ).alias("cosine"),
+            )
+            .filter(F.col("cosine") >= threshold)
+        )
+
+    if max_bucket is None:
+        return scored(bucketed.alias("a"), bucketed.alias("b"))
+
+    w = Window.partitionBy("bucket")
+    sized = bucketed.withColumn("sz", F.count("*").over(w)).withColumn(
+        "hub", F.min("vec_id").over(w)
+    )
+    small = sized.filter(F.col("sz") <= max_bucket).select(
+        "vec_id", "emb", "bucket"
+    )
+    clique = scored(small.alias("a"), small.alias("b"))
+    big = sized.filter(F.col("sz") > max_bucket)
+    hubs = big.filter(F.col("vec_id") == F.col("hub")).select(
+        "bucket", F.col("vec_id").alias("vec_a"), F.col("emb").alias("h_emb")
+    )
+    star = (
+        big.filter(F.col("vec_id") != F.col("hub"))
+        .select("bucket", F.col("vec_id").alias("vec_b"), "emb")
+        .join(hubs, "bucket")
         .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
+            "vec_a",
+            "vec_b",
             F.round(
-                cosine_similarity(F.col("a.emb"), F.col("b.emb")), 6
+                cosine_similarity(F.col("h_emb"), F.col("emb")), 6
             ).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
     )
-    return pairs
+    return clique.unionByName(star)
 
 
 def hyperplane_lsh_topk(

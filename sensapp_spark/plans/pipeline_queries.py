@@ -605,19 +605,34 @@ def _emb_neardup_oracle() -> str:
         f"THEN {2**i} ELSE 0 END)"
         for i in range(4)
     )
+    from sensapp_spark.pipeline.similarity import DEFAULT_MAX_EMB_BUCKET
+
+    cos = (
+        "ROUND(list_dot_product(a.emb, b.emb)"
+        " / (sqrt(list_dot_product(a.emb, a.emb))"
+        " * sqrt(list_dot_product(b.emb, b.emb))), 6)"
+    )
     return f"""
     WITH bucketed AS (
         SELECT vec_id, embedding::DOUBLE[] AS emb, {bucket} AS bucket
-        FROM embeddings)
-    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-           ROUND(list_dot_product(a.emb, b.emb)
-             / (sqrt(list_dot_product(a.emb, a.emb))
-                * sqrt(list_dot_product(b.emb, b.emb))), 6) AS cosine
-    FROM bucketed a JOIN bucketed b USING (bucket)
-    WHERE a.vec_id < b.vec_id
-      AND ROUND(list_dot_product(a.emb, b.emb)
-             / (sqrt(list_dot_product(a.emb, a.emb))
-                * sqrt(list_dot_product(b.emb, b.emb))), 6) >= 0.3
+        FROM embeddings),
+    -- max_bucket star-edge guard, mirrored from
+    -- pipeline/similarity.embedding_neardup_pairs: oversized buckets
+    -- emit hub→member pairs (real cosine) instead of cliques.
+    bs AS (
+        SELECT bucketed.*,
+               COUNT(*) OVER (PARTITION BY bucket) AS sz,
+               MIN(vec_id) OVER (PARTITION BY bucket) AS hub
+        FROM bucketed)
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, {cos} AS cosine
+    FROM bs a JOIN bs b USING (bucket)
+    WHERE a.sz <= {DEFAULT_MAX_EMB_BUCKET}
+      AND a.vec_id < b.vec_id AND {cos} >= 0.3
+    UNION ALL
+    SELECT a.vec_id, b.vec_id, {cos} AS cosine
+    FROM bs a JOIN bs b USING (bucket)
+    WHERE a.sz > {DEFAULT_MAX_EMB_BUCKET}
+      AND a.vec_id = a.hub AND b.vec_id <> b.hub AND {cos} >= 0.3
     """
 
 
