@@ -213,3 +213,95 @@ def test_ivf_assignment_is_shuffle_free(spark):
     assert "Exchange" not in plan
     assert "Join" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+# ---------------------------------------------------------------------------
+# Round-4 scale regressions: no planner-chosen broadcast of
+# explode-derived frames, and bucket-clique guards stay bounded.
+# ---------------------------------------------------------------------------
+
+def _broadcast_over_explode(plan: str) -> int:
+    """Count BroadcastExchange nodes whose build subtree contains a
+    Generate (explode): the static size estimate below an explode is
+    unreliable, so such a broadcast is an OOM cliff at corpus scale
+    (observed live on the 10× dry run before the round-4 fixes)."""
+    lines = plan.splitlines()
+    bad = 0
+    for i, ln in enumerate(lines):
+        if "BroadcastExchange" not in ln:
+            continue
+        indent = len(ln) - len(ln.lstrip(" :+-"))
+        sub = []
+        for nxt in lines[i + 1:]:
+            nind = len(nxt) - len(nxt.lstrip(" :+-"))
+            if nind <= indent:
+                break
+            sub.append(nxt)
+        if "Generate" in "\n".join(sub):
+            bad += 1
+    return bad
+
+
+@pytest.fixture(scope="module")
+def docs_small(spark):
+    return spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).cache()
+
+
+def test_no_broadcast_of_explode_derived_frames(spark, docs_small):
+    from sensapp_spark.pipeline.dedup import (
+        jaccard_pairs,
+        minhash_lsh_candidates,
+    )
+    from sensapp_spark.pipeline.text import tfidf_top_term
+
+    for df in (
+        jaccard_pairs(docs_small),
+        minhash_lsh_candidates(docs_small),
+        tfidf_top_term(docs_small),
+    ):
+        assert _broadcast_over_explode(plan_of(df)) == 0
+
+
+def test_lsh_bucket_guard_emits_star_edges(spark):
+    """A mass-duplicated cluster larger than max_bucket must produce
+    O(cluster) candidate pairs (star edges), not O(cluster²) cliques,
+    while keeping the cluster connected for components."""
+    from sensapp_spark.pipeline.dedup import (
+        minhash_lsh_candidates,
+        neardup_components,
+    )
+
+    n = 60
+    docs = spark.createDataFrame(
+        [(i, f"the same near identical boilerplate text copy {i % 2}", "en",
+          "s", 40) for i in range(n)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    pairs = minhash_lsh_candidates(docs, max_bucket=10)
+    rows = pairs.count()
+    # Clique would be ~n²/2 = 1770; star edges are ≤ n per band.
+    assert rows < 4 * n, f"bucket guard failed: {rows} pairs"
+    comp = neardup_components(pairs.select("doc_a", "doc_b"))
+    # All 60 docs still collapse into the duplicate clusters.
+    assert comp.count() == n
+    assert comp.select("component").distinct().count() <= 2
+
+
+def test_embedding_bucket_guard_bounds_pairs(spark):
+    from sensapp_spark.pipeline.similarity import embedding_neardup_pairs
+
+    n = 50
+    vec = [1.0] + [0.0] * 63
+    emb = spark.createDataFrame(
+        [(i, [v + i * 1e-6 for v in vec], 0) for i in range(n)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    guarded = embedding_neardup_pairs(emb, threshold=0.5, max_bucket=10)
+    exact = embedding_neardup_pairs(emb, threshold=0.5, max_bucket=None)
+    g, e = guarded.count(), exact.count()
+    assert e == n * (n - 1) // 2  # clique
+    assert g == n - 1, f"star guard failed: {g}"  # hub→member
+    # Star pairs still carry real cosines above the threshold.
+    assert guarded.filter(F.col("cosine") < 0.5).count() == 0
