@@ -206,3 +206,79 @@ def test_geo_guesser_range_validation():
 
 def test_geo_guesser_requires_both():
     assert likely_geo_columns(["latitude"], [(I.FLOAT, [45.0])]) is None
+
+
+# ---------------------------------------------------------------------------
+# Reference parser edge-case parity (tests/parser_edge_cases.rs) —
+# behaviors verified identical to the Rust nom chain.
+# ---------------------------------------------------------------------------
+
+def test_i64_bounds_and_overflow():
+    # parser_edge_cases.rs:45-58: i64 extremes stay Integer; one past
+    # the bound falls through to the float parser (Rust from_str fails
+    # the same way).
+    assert infer_cell("9223372036854775807") == (
+        InferredType.INTEGER, 9223372036854775807)
+    assert infer_cell("-9223372036854775808") == (
+        InferredType.INTEGER, -9223372036854775808)
+    t, v = infer_cell("9223372036854775808")
+    assert t is InferredType.FLOAT
+
+
+def test_scientific_notation_is_float():
+    # parser_edge_cases.rs:59-61
+    assert infer_cell("1.5e10") == (InferredType.FLOAT, 1.5e10)
+    assert infer_cell("2.5E-3") == (InferredType.FLOAT, 2.5e-3)
+
+
+def test_boolean_lookalikes_stay_strings():
+    # parser_edge_cases.rs:85-96: yes/no are NOT booleans; 1/0 are ints.
+    assert infer_cell("yes") == (InferredType.STRING, "yes")
+    assert infer_cell("no") == (InferredType.STRING, "no")
+    assert infer_cell("1") == (InferredType.INTEGER, 1)
+    assert infer_cell("0") == (InferredType.INTEGER, 0)
+
+
+def test_unicode_passthrough():
+    # parser_edge_cases.rs:156-186
+    for s in ("café", "北京", "🚀", 'data"with"quotes', "data\nwith\nnewlines"):
+        assert infer_cell(s) == (InferredType.STRING, s)
+
+
+def test_numeric_mode_preserves_decimal_precision():
+    # parser_edge_cases.rs:257-283: exact Decimals under numeric mode,
+    # floats otherwise.
+    from decimal import Decimal
+
+    t, v = infer_column(["123.456789", "987.654321", "0.000001"], numeric=True)
+    assert t is InferredType.NUMERIC
+    assert v == [Decimal("123.456789"), Decimal("987.654321"),
+                 Decimal("0.000001")]
+    t2, _ = infer_column(["123.456789", "987.654321", "0.000001"],
+                         numeric=False)
+    assert t2 is InferredType.FLOAT
+
+
+def test_timestamp_ms_name_detection():
+    # parser_edge_cases.rs:285-302: "timestamp_ms" beats plain integer
+    # columns via the name+epoch-range score.
+    cols = [
+        (InferredType.INTEGER, [1, 2, 3]),
+        (InferredType.INTEGER,
+         [1609459200000, 1609459260000, 1609459320000]),
+        (InferredType.FLOAT, [20.5, 21.0, 21.5]),
+    ]
+    assert likely_datetime_column(
+        ["id", "timestamp_ms", "value"], cols) == "timestamp_ms"
+
+
+def test_abbreviated_geo_columns_lat_lng():
+    # parser_edge_cases.rs:369-387: lat/lng abbreviations + value-range
+    # validation.
+    geo = likely_geo_columns(
+        ["lat", "lng", "speed"],
+        [(InferredType.FLOAT, [40.7128, 40.7129, 40.7130]),
+         (InferredType.FLOAT, [-74.0060, -74.0061, -74.0062]),
+         (InferredType.FLOAT, [50.0, 55.0, 60.0])],
+    )
+    assert geo == ("lat", "lng")
