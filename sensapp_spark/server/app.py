@@ -221,8 +221,35 @@ def create_app(spark, lake: SensorLake) -> Flask:
         lake.publish(batch)
         return "", 204  # InfluxDB API returns 204 No Content
 
+    def _verify_prom_headers(version_header: str):
+        """Strict Prometheus wire-header validation, mirroring the
+        reference's verify_headers (prometheus_write.rs:21-73 and
+        prometheus_read.rs:24-77): content-encoding must be snappy,
+        content-type must be application/x-protobuf, and the protocol
+        version header must be 0.1.0 — each missing/unsupported header
+        is a 400 with the same didactic message."""
+        enc = request.headers.get("content-encoding")
+        if enc is None:
+            return "Missing content-encoding header"
+        if enc.lower() != "snappy":
+            return "Unsupported content-encoding, must be snappy"
+        ctype = request.headers.get("content-type")
+        if ctype is None:
+            return "Missing content-type header"
+        if ctype.lower() != "application/x-protobuf":
+            return "Unsupported content-type, must be application/x-protobuf"
+        version = request.headers.get(version_header)
+        if version is None:
+            return f"Missing {version_header} header"
+        if version != "0.1.0":
+            return f"Unsupported {version_header}, must be 0.1.0"
+        return None
+
     @app.post("/api/v1/prometheus_remote_write")
     def prom_write():
+        err = _verify_prom_headers("x-prometheus-remote-write-version")
+        if err is not None:
+            return jsonify({"error": err}), 400
         try:
             batch = ingest_remote_write(spark, request.get_data())
         except (RemoteWriteError, ValueError) as e:
@@ -244,6 +271,9 @@ def create_app(spark, lake: SensorLake) -> Flask:
             decode_read_request,
         )
 
+        err = _verify_prom_headers("x-prometheus-remote-read-version")
+        if err is not None:
+            return jsonify({"error": err}), 400
         raw_body = request.get_data()
         try:
             _, accepted = decode_read_request(snappy_codec.decompress(raw_body))

@@ -34,6 +34,11 @@ GOLDEN_DIR = pathlib.Path(__file__).parent / "golden"
 REGEN = os.environ.get("GOLDEN_REGEN") == "1"
 
 MULTI_CSV = (GOLDEN_DIR / "input_multi.csv").read_text()
+_READ_HEADERS = {
+    "content-encoding": "snappy",
+    "content-type": "application/x-protobuf",
+    "x-prometheus-remote-read-version": "0.1.0",
+}
 SENML_IN = (GOLDEN_DIR / "input_pressure.senml.json").read_text()
 
 
@@ -248,8 +253,15 @@ def test_golden_prometheus_read_response(client):
             ]
         )
     )
+    headers = {
+        "content-encoding": "snappy",
+        "content-type": "application/x-protobuf",
+        "x-prometheus-remote-write-version": "0.1.0",
+    }
     assert (
-        client.post("/api/v1/prometheus_remote_write", data=body).status_code
+        client.post(
+            "/api/v1/prometheus_remote_write", data=body, headers=headers
+        ).status_code
         == 204
     )
 
@@ -268,7 +280,9 @@ def test_golden_prometheus_read_response(client):
             ]
         )
     )
-    r = client.post("/api/v1/prometheus_remote_read", data=req)
+    r = client.post(
+        "/api/v1/prometheus_remote_read", data=req, headers=_READ_HEADERS
+    )
     assert r.status_code == 200
     # Golden-pin the DECOMPRESSED protobuf ReadResponse: label order,
     # varint encoding, sample layout — the X6 wire format itself
@@ -309,7 +323,9 @@ def test_golden_prometheus_streamed_chunks(client):
             accepted=[RESPONSE_TYPE_STREAMED_XOR_CHUNKS],
         )
     )
-    r = client.post("/api/v1/prometheus_remote_read", data=req)
+    r = client.post(
+        "/api/v1/prometheus_remote_read", data=req, headers=_READ_HEADERS
+    )
     assert r.status_code == 200
     check_golden("prometheus_streamed_chunks.bin", r.get_data())
 

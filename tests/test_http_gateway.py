@@ -11,6 +11,17 @@ import pytest
 from sensapp_spark.server.app import create_app
 from sensapp_spark.storage.lake import SensorLake
 
+PROM_WRITE_HEADERS = {
+    "content-encoding": "snappy",
+    "content-type": "application/x-protobuf",
+    "x-prometheus-remote-write-version": "0.1.0",
+}
+PROM_READ_HEADERS = {
+    "content-encoding": "snappy",
+    "content-type": "application/x-protobuf",
+    "x-prometheus-remote-read-version": "0.1.0",
+}
+
 CSV = """datetime,sensor_name,value,unit
 2024-01-01T00:00:00Z,temperature,20.5,°C
 2024-01-01T00:01:00Z,temperature,21.0,°C
@@ -168,15 +179,16 @@ def test_prometheus_write_read_roundtrip(client):
         TimeSeries(labels=[("__name__", "prom_metric"), ("env", "prod")],
                    samples=[(9.5, 1700000000000)]),
     ]))
-    assert client.post("/api/v1/prometheus_remote_write",
-                       data=body).status_code == 204
+    assert client.post("/api/v1/prometheus_remote_write", data=body,
+                       headers=PROM_WRITE_HEADERS).status_code == 204
 
     req = snappy_codec.compress(encode_read_request([
         ReadQuery(start_ms=1699999000000, end_ms=1700001000000,
                   matchers=[LabelMatcher("__name__", "prom_metric",
                                          MatcherType.EQUAL)]),
     ]))
-    r = client.post("/api/v1/prometheus_remote_read", data=req)
+    r = client.post("/api/v1/prometheus_remote_read", data=req,
+                    headers=PROM_READ_HEADERS)
     assert r.status_code == 200
     (series,) = decode_read_response(snappy_codec.decompress(r.get_data()))
     assert dict(series[0].labels) == {"__name__": "prom_metric", "env": "prod"}
@@ -326,3 +338,29 @@ def test_label_browsing_endpoints(client):
     r = client.get("/api/v1/label/nosuch/values")
     assert r.status_code == 200
     assert r.get_json()["data"] == []
+
+
+def test_prometheus_headers_strictly_validated(client):
+    # Reference verify_headers (prometheus_write.rs:21-73,
+    # prometheus_read.rs:24-77): missing or unsupported wire headers are
+    # didactic 400s.
+    r = client.post("/api/v1/prometheus_remote_read", data=b"")
+    assert r.status_code == 400
+    assert "Missing content-encoding" in r.get_json()["error"]
+
+    bad = dict(PROM_READ_HEADERS, **{"content-encoding": "gzip"})
+    r = client.post("/api/v1/prometheus_remote_read", data=b"", headers=bad)
+    assert r.status_code == 400
+    assert "must be snappy" in r.get_json()["error"]
+
+    bad = dict(PROM_READ_HEADERS)
+    del bad["x-prometheus-remote-read-version"]
+    r = client.post("/api/v1/prometheus_remote_read", data=b"", headers=bad)
+    assert r.status_code == 400
+    assert "x-prometheus-remote-read-version" in r.get_json()["error"]
+
+    bad = dict(PROM_WRITE_HEADERS,
+               **{"x-prometheus-remote-write-version": "9.9"})
+    r = client.post("/api/v1/prometheus_remote_write", data=b"", headers=bad)
+    assert r.status_code == 400
+    assert "must be 0.1.0" in r.get_json()["error"]
