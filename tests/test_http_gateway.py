@@ -364,3 +364,53 @@ def test_prometheus_headers_strictly_validated(client):
     r = client.post("/api/v1/prometheus_remote_write", data=b"", headers=bad)
     assert r.status_code == 400
     assert "must be 0.1.0" in r.get_json()["error"]
+
+
+def test_publish_arrow_roundtrip(client):
+    # Arrow IPC ingest through the gateway Content-Type dispatch
+    # (reference arrow_integration.rs:187-292 + server.rs:178-204), then
+    # query the series back.
+    import datetime as dt
+    import io
+
+    import pyarrow as pa
+    from pyarrow import ipc
+
+    table = pa.table(
+        {
+            "timestamp": pa.array(
+                [dt.datetime(2024, 2, 1, 0, 0, s) for s in (0, 30)],
+                type=pa.timestamp("us"),
+            ),
+            "value": pa.array([7.25, 7.5], type=pa.float64()),
+            "sensor_name": pa.array(["arrow_gateway_metric"] * 2),
+        }
+    )
+    sink = io.BytesIO()
+    with ipc.new_file(sink, table.schema) as w:
+        w.write_table(table)
+    r = client.post(
+        "/publish",
+        data=sink.getvalue(),
+        content_type="application/vnd.apache.arrow.file",
+    )
+    assert r.status_code == 200, r.get_data()
+
+    doc = client.get("/series?metric=arrow_gateway_metric").get_json()
+    (ds,) = doc["dcat:dataset"]
+    r = client.get(f"/series/{ds['dct:identifier']}?format=jsonl")
+    rows = [json.loads(x) for x in r.get_data(as_text=True).splitlines()]
+    assert [x["value"] for x in rows] == [7.25, 7.5]
+    assert all(x["type"] == "float" for x in rows)
+
+
+def test_publish_arrow_invalid_payload(client):
+    # arrow_integration.rs:341-371: not-an-Arrow payload is a 400, not a
+    # 500.
+    r = client.post(
+        "/publish",
+        data=b"definitely not arrow bytes",
+        content_type="application/vnd.apache.arrow.file",
+    )
+    assert r.status_code == 400
+    assert "Arrow" in r.get_json()["error"]
