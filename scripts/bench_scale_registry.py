@@ -60,15 +60,20 @@ def main() -> int:
         shuffle_partitions=32,
     )
     os.makedirs(OUT_DIR, exist_ok=True)
-    for t in TABLES:
-        dst = f"{OUT_DIR}/{t}.parquet"
-        if t == "events" or os.path.exists(dst):
-            continue
-        os.symlink(f"{BASE}/{t}.parquet", dst)
-    if not os.path.exists(f"{OUT_DIR}/documents.parquet"):
+    # documents/embeddings must be the REAL 10× synthesis from
+    # bench_scale10.py — never symlink those, or the run silently
+    # benches 1× data under a 10× label.
+    if not os.path.exists(f"{OUT_DIR}/documents.parquet") or not os.path.exists(
+        f"{OUT_DIR}/embeddings.parquet"
+    ):
         print("run scripts/bench_scale10.py first (documents/embeddings)",
               file=sys.stderr)
         return 1
+    for t in TABLES:
+        dst = f"{OUT_DIR}/{t}.parquet"
+        if t in ("events", "documents", "embeddings") or os.path.exists(dst):
+            continue
+        os.symlink(f"{BASE}/{t}.parquet", dst)
     t0 = time.time()
     build_events(spark)
     print(f"## events built in {time.time()-t0:.1f}s", file=sys.stderr,

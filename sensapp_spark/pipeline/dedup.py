@@ -54,6 +54,57 @@ def dedup_exact(docs: DataFrame) -> DataFrame:
     )
 
 
+def _parse_byte_conf(raw: str) -> int:
+    """Parse a Spark size conf value ("134217728b", "128MB", "1g")."""
+    s = raw.strip().lower()
+    mult = 1
+    for suffix, m in (("kb", 1 << 10), ("mb", 1 << 20), ("gb", 1 << 30),
+                      ("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30),
+                      ("b", 1)):
+        if s.endswith(suffix):
+            s = s[: -len(suffix)]
+            mult = m
+            break
+    return int(s) * mult
+
+
+def scan_needs_spread(df: DataFrame) -> bool:
+    """True when a file-scan input genuinely yields fewer splits than
+    cores. Split count is ESTIMATED per file as ceil(size /
+    maxPartitionBytes) — a single large parquet file already splits into
+    many tasks, so counting files alone would trigger a pointless full
+    shuffle of the corpus (flagged in review; remote URIs whose size we
+    cannot stat fall back to one-split-per-file, and object-store
+    corpora arrive many-filed anyway). Non-file sources report no files
+    and are left untouched — in-memory frames already carry parallel
+    partitioning."""
+    import os
+    from urllib.parse import unquote, urlparse
+
+    spark = df.sparkSession
+    parallelism = spark.sparkContext.defaultParallelism
+    files = df.inputFiles()
+    if not files:
+        return False
+    max_bytes = _parse_byte_conf(
+        spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728b")
+    )
+    splits = 0
+    for uri in files:
+        parsed = urlparse(uri)
+        if parsed.scheme in ("file", ""):
+            try:
+                size = os.path.getsize(unquote(parsed.path))
+                splits += max(1, -(-size // max_bytes))
+                continue
+            except OSError:
+                pass
+        splits += 1
+        if splits >= parallelism:
+            return False
+    return splits < parallelism
+
+
 def _tokenized(docs: DataFrame) -> DataFrame:
     """(doc_id, words) with the normalization+split MATERIALIZED as a
     column behind a shuffle boundary. Two reasons, both measured ~15× at
@@ -61,18 +112,17 @@ def _tokenized(docs: DataFrame) -> DataFrame:
     expression makes Catalyst re-evaluate the regex normalization per
     element; (2) a small parquet file arrives as one split — zero
     parallelism for the CPU-heavy shingling. The repartition only fires
-    when the scan has fewer input FILES than cores; at real scale the
-    file count already provides parallelism and no shuffle is added.
-    ``inputFiles()`` is a listing-only probe — unlike
-    ``rdd.getNumPartitions()`` it does not materialize an RDD handle or
-    force plan analysis on the hot path; non-file sources (in-memory
-    test frames) report zero files and are left untouched (they already
-    carry parallel partitioning)."""
+    when the scan genuinely yields fewer SPLITS than cores
+    (``scan_needs_spread`` — size-aware, so one big splittable file is
+    not shuffled); at real scale the file layout already provides
+    parallelism and no shuffle is added. The probe is listing-only —
+    unlike ``rdd.getNumPartitions()`` it does not materialize an RDD
+    handle or force plan analysis on the hot path."""
     out = docs
-    parallelism = docs.sparkSession.sparkContext.defaultParallelism
-    n_files = len(docs.inputFiles())
-    if 0 < n_files < parallelism:
-        out = out.repartition(parallelism)
+    if scan_needs_spread(docs):
+        out = out.repartition(
+            docs.sparkSession.sparkContext.defaultParallelism
+        )
     return out.select(
         "doc_id",
         F.split(F.trim(normalized_text(F.col("text"))), r"\s+").alias("words"),
@@ -421,6 +471,7 @@ def neardup_components(
         .withColumn("component", F.col("doc_id"))
         .cache()
     )
+    first_round = True
     for _ in range(max_iterations):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.doc_id)
@@ -471,7 +522,17 @@ def neardup_components(
             .limit(1)
             .count()
         )
-        labels.unpersist()
+        if first_round:
+            # Only the round-0 seed frame is cache()'d; later rounds are
+            # localCheckpoints, whose blocks are freed by the
+            # ContextCleaner once the previous round's frame becomes
+            # unreachable (the reassignment below drops the last Python
+            # reference). Each block set is one (doc_id, old, new) row
+            # per node — small — so one-GC-cycle latency is fine; an
+            # explicit unpersist() on a checkpointed frame would be a
+            # no-op, not a cleanup.
+            labels.unpersist()
+            first_round = False
         labels = new_labels.select("doc_id", "component")
         if changed == 0:
             break

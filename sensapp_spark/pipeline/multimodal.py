@@ -214,6 +214,11 @@ def decode_bmp_pixels(payload: bytes) -> tuple[int, int, int, bytes]:
     if bpp != 24 or compression != 0:
         raise NotImplementedError("only uncompressed 24-bit BMPs")
     row_bytes = ((w * 3 + 3) // 4) * 4
+    # Validate the pixel region against the declared dimensions (same
+    # contract as the PNG decoder's length check): a truncated payload
+    # must raise, not silently return short pixel data.
+    if data_off + h * row_bytes > len(payload):
+        raise ValueError("BMP pixel data shorter than declared dimensions")
     rows = []
     for r in range(h):
         src = r if top_down else (h - 1 - r)
@@ -402,12 +407,15 @@ def attach_binary(docs: DataFrame, spread: bool = False) -> DataFrame:
     no-op, and on small demo inputs the shuffle + per-partition Python
     worker spin-up costs far more than the header parse saves."""
     if spread:
-        # inputFiles() is a listing-only probe (no RDD materialization /
-        # forced analysis); non-file sources report zero files and are
-        # left untouched.
-        parallelism = docs.sparkSession.sparkContext.defaultParallelism
-        if 0 < len(docs.inputFiles()) < parallelism:
-            docs = docs.repartition(parallelism)
+        # Size-aware split estimate (scan_needs_spread): listing-only,
+        # no RDD materialization, and a single large splittable file is
+        # not needlessly shuffled.
+        from sensapp_spark.pipeline.dedup import scan_needs_spread
+
+        if scan_needs_spread(docs):
+            docs = docs.repartition(
+                docs.sparkSession.sparkContext.defaultParallelism
+            )
     text = F.col("text")
     width = _md5_byte(text, 0) % 192 + 64
     # Constant-color scanline: RGB from md5 bytes 3..5 (byte 1 fed the

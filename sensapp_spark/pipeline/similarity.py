@@ -110,10 +110,17 @@ def embedding_neardup_pairs(
     MinHash-LSH bucket guard): a bucket of B near-identical vectors —
     one embedding duplicated across a mirrored corpus — emits B²/2
     clique pairs (12.5M measured for a 5,000-copy vector). Oversized
-    buckets instead emit STAR pairs (bucket-min hub vs member, with the
-    REAL pairwise cosine, still threshold-filtered): linear in bucket
-    size, connectivity-preserving for downstream components. Pass
-    ``max_bucket=None`` for exact clique semantics.
+    buckets instead emit STAR pairs: bucket-min hub vs member, carrying
+    the REAL pairwise cosine but NOT threshold-filtered — they are
+    connectivity edges (like the MinHash star edges), so downstream
+    components still link the bucket even when some member's similarity
+    to the hub falls under the threshold. Clique pairs (small buckets)
+    keep the ``cosine ≥ threshold`` contract exactly. In an oversized
+    bucket, member↔member similarity is only observed via the hub — a
+    recall trade that is sound for the mass-duplication case the guard
+    targets; if ordinary buckets exceed the cap, the layout needs more
+    hyperplanes, not a bigger cap. Pass ``max_bucket=None`` for exact
+    clique semantics.
 
     Sizing: unlike MinHash band keys (whose buckets hold only
     near-identical documents), hyperplane buckets hold ~n/2^planes
@@ -173,7 +180,8 @@ def embedding_neardup_pairs(
                 cosine_similarity(F.col("h_emb"), F.col("emb")), 6
             ).alias("cosine"),
         )
-        .filter(F.col("cosine") >= threshold)
+        # Deliberately NOT threshold-filtered: see docstring — star
+        # pairs are connectivity edges.
     )
     return clique.unionByName(star)
 

@@ -629,10 +629,12 @@ def _emb_neardup_oracle() -> str:
     WHERE a.sz <= {DEFAULT_MAX_EMB_BUCKET}
       AND a.vec_id < b.vec_id AND {cos} >= 0.3
     UNION ALL
+    -- Star pairs are connectivity edges: real cosine, NOT
+    -- threshold-filtered (matches embedding_neardup_pairs).
     SELECT a.vec_id, b.vec_id, {cos} AS cosine
     FROM bs a JOIN bs b USING (bucket)
     WHERE a.sz > {DEFAULT_MAX_EMB_BUCKET}
-      AND a.vec_id = a.hub AND b.vec_id <> b.hub AND {cos} >= 0.3
+      AND a.vec_id = a.hub AND b.vec_id <> b.hub
     """
 
 

@@ -1671,7 +1671,11 @@ def typed_json_blob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select(
         "event_id",
         k.alias("k"),
-        (k.cast("long") % 10).alias("k_bucket"),
+        # try_cast, not cast: under ANSI mode (Spark 4 default) a strict
+        # cast THROWS on non-numeric input where the DuckDB oracle's
+        # TRY_CAST returns NULL — try_cast gives the same null-on-failure
+        # semantics on both engines.
+        (k.try_cast("long") % 10).alias("k_bucket"),
         F.octet_length(blob).alias("blob_len"),
         F.base64(blob).alias("blob_b64"),
     )

@@ -161,14 +161,21 @@ def create_app(spark, lake: SensorLake) -> Flask:
 
     @app.get("/health/ready")
     def health_ready():
-        # Readiness = storage reachable (health.rs:53-76: calls
-        # storage.health_check()). The Spark analogue: the session is
-        # open and the lake's sensors dimension is resolvable (a
-        # metadata-only check — no job is launched for an empty lake,
-        # and schema resolution is the cheapest end-to-end probe of the
-        # catalog path).
+        # Readiness = storage genuinely reachable (health.rs:53-76:
+        # calls storage.health_check(), a live DB round trip). The
+        # Spark analogue runs a REAL bounded read: the lake root must
+        # be listable, and when a sensors dimension exists, one row is
+        # fetched through the actual parquet scan — a metadata-only
+        # schema probe would report ok for a corrupt or unmounted lake.
+        import os as _os
+
         try:
-            lake.sensors().schema
+            _os.listdir(lake.root)  # filesystem round trip
+            if _os.path.exists(lake._sensors_path()):
+                lake.sensors().limit(1).collect()  # real scan, ≤1 row
+            else:
+                # Empty lake: prove the session can still run a job.
+                spark.range(1).collect()
             return jsonify({"status": "ready", "database": "ok"})
         except Exception as e:  # pragma: no cover - storage fault path
             return (

@@ -303,5 +303,7 @@ def test_embedding_bucket_guard_bounds_pairs(spark):
     g, e = guarded.count(), exact.count()
     assert e == n * (n - 1) // 2  # clique
     assert g == n - 1, f"star guard failed: {g}"  # hub→member
-    # Star pairs still carry real cosines above the threshold.
-    assert guarded.filter(F.col("cosine") < 0.5).count() == 0
+    # Star pairs carry the real pairwise cosine (unfiltered
+    # connectivity edges — here the vectors are near-identical, so the
+    # cosines are ~1 regardless).
+    assert guarded.filter(F.col("cosine") > 0.99).count() == n - 1
