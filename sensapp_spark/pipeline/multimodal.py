@@ -5,11 +5,12 @@ The decode kernels are REAL, no codec library required: a pure-Python
 container-header parser for PNG / GIF / BMP / WAV (dimensions, channels,
 sample rate from the actual bytes), a full PNG pixel decode with stdlib
 ``zlib`` (IDAT inflate + the five PNG row filters), an uncompressed
-24-bit BMP pixel decode, and a PCM16 WAV sample decode — all unit-tested
-against fully valid fixtures (CRCs and all). Only GIF pixel decode stays
-behind ``NotImplementedError`` (LZW codec genuinely absent here); swap
-PIL/libvips/ffmpeg into ``decode_pixels`` in production and nothing else
-changes.
+24-bit BMP pixel decode, a PCM16 WAV sample decode, and a from-scratch
+GIF decode (variable-width LZW per GIF89a Appendix F, palette mapping,
+4-pass deinterlace) — all unit-tested against fully valid fixtures
+(CRCs and all), the GIF path additionally pinned to a well-known
+public 1×1 GIF byte string so the LZW bit conventions match external
+encoders, not just our own test encoder.
 
 The demo corpus has no binary files, so ``attach_binary`` synthesizes a
 DECODABLE PNG per document with pure JVM expressions: signature, IHDR
@@ -232,6 +233,132 @@ def decode_bmp_pixels(payload: bytes) -> tuple[int, int, int, bytes]:
     return w, h, 3, b"".join(rows)
 
 
+def _lzw_decode(data: bytes, min_code_size: int, max_pixels: int) -> bytes:
+    """Variable-width LZW decode per GIF89a Appendix F (public spec).
+
+    Codes are packed LSB-first; the code width starts at
+    ``min_code_size + 1`` and grows by one whenever the table fills the
+    current width (mirror of the encoder growing after assigning an
+    index that no longer fits), capping at 12 bits; CLEAR resets the
+    table, EOI ends the stream. Output is the flat index stream,
+    truncated to ``max_pixels`` (trailing garbage after a full frame is
+    ignored, matching lenient real-world decoders)."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    base = [bytes([i]) for i in range(clear)] + [b"", b""]
+    table = list(base)
+    code_size = min_code_size + 1
+    out = bytearray()
+    bitpos = 0
+    nbits = len(data) * 8
+    prev = None
+    while bitpos + code_size <= nbits and len(out) < max_pixels:
+        byte_i = bitpos >> 3
+        window = int.from_bytes(data[byte_i : byte_i + 3], "little")
+        code = (window >> (bitpos & 7)) & ((1 << code_size) - 1)
+        bitpos += code_size
+        if code == clear:
+            table = list(base)
+            code_size = min_code_size + 1
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if prev is None:
+            if code >= clear:
+                raise ValueError("LZW stream starts with a non-literal")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            if len(table) < 4096:
+                table.append(prev + entry[:1])
+        elif code == len(table) and len(table) < 4096:  # KwKwK
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError("corrupt LZW stream (code out of range)")
+        # Width grows one step ahead of the encoder's table (the
+        # decoder is one entry behind until the next code arrives).
+        if len(table) >= (1 << code_size) and code_size < 12:
+            code_size += 1
+        out += entry
+        prev = entry
+    return bytes(out[:max_pixels])
+
+
+def decode_gif_pixels(payload: bytes) -> tuple[int, int, int, bytes]:
+    """REAL GIF pixel decode, pure Python from the public GIF89a spec:
+    logical screen descriptor, global/local color table, extension-block
+    skipping, sub-block reassembly, variable-width LZW decompression
+    (``_lzw_decode``), palette mapping, and 4-pass interlace reordering.
+    Decodes the FIRST image frame; returns ``(width, height, 3,
+    pixels)`` with row-major top-down RGB bytes (the frame's own
+    dimensions, which for animations may be a sub-rectangle of the
+    screen). Transparency is ignored — the transparent index still maps
+    through the palette, which is what mean-color features want."""
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    gct = None
+    packed = payload[10]
+    pos = 13
+    if packed & 0x80:  # global color table present
+        n = 2 << (packed & 0x07)
+        gct = payload[pos : pos + 3 * n]
+        pos += 3 * n
+    while pos < len(payload):
+        block = payload[pos]
+        pos += 1
+        if block == 0x3B:  # trailer
+            break
+        if block == 0x21:  # extension: label byte + sub-blocks
+            pos += 1
+            while pos < len(payload) and payload[pos]:
+                pos += 1 + payload[pos]
+            pos += 1  # block terminator
+            continue
+        if block != 0x2C:
+            raise ValueError(f"unknown GIF block 0x{block:02x}")
+        # Image descriptor.
+        w, h = struct.unpack("<HH", payload[pos + 4 : pos + 8])
+        ipacked = payload[pos + 8]
+        pos += 9
+        ct = gct
+        if ipacked & 0x80:  # local color table overrides
+            n = 2 << (ipacked & 0x07)
+            ct = payload[pos : pos + 3 * n]
+            pos += 3 * n
+        if ct is None:
+            raise ValueError("GIF image has no color table")
+        min_code_size = payload[pos]
+        pos += 1
+        chunks = bytearray()
+        while pos < len(payload) and payload[pos]:
+            ln = payload[pos]
+            chunks += payload[pos + 1 : pos + 1 + ln]
+            pos += 1 + ln
+        indices = _lzw_decode(bytes(chunks), min_code_size, w * h)
+        if len(indices) < w * h:
+            raise ValueError("GIF pixel data shorter than frame")
+        if ipacked & 0x40:  # interlaced: 4-pass row order
+            order = (
+                list(range(0, h, 8))
+                + list(range(4, h, 8))
+                + list(range(2, h, 4))
+                + list(range(1, h, 2))
+            )
+            rows: list[bytes] = [b""] * h
+            for i, r in enumerate(order):
+                rows[r] = indices[i * w : (i + 1) * w]
+            indices = b"".join(rows)
+        lut = [ct[3 * i : 3 * i + 3].ljust(3, b"\x00") for i in range(len(ct) // 3)]
+        try:
+            px = b"".join(lut[i] for i in indices)
+        except IndexError:
+            raise ValueError("GIF index outside color table") from None
+        return w, h, 3, px
+    raise ValueError("GIF has no image frame")
+
+
 def decode_wav_samples(payload: bytes) -> tuple[int, int, list]:
     """REAL PCM16 WAV decode: returns ``(sample_rate, channels,
     samples)`` with interleaved int16 samples."""
@@ -260,23 +387,23 @@ def decode_wav_samples(payload: bytes) -> tuple[int, int, list]:
 
 
 def decode_pixels(payload: bytes):
-    """Pixel/sample decode over the sniffed container format. PNG
-    (stdlib zlib inflate + row unfilter), uncompressed 24-bit BMP, and
-    PCM16 WAV are decoded for REAL; GIF raises ``NotImplementedError``
-    because its pixel data is LZW-compressed and no LZW codec ships in
-    this environment (swap in PIL/libvips/ffmpeg in production — the
-    Spark-side plumbing does not change)."""
+    """Pixel/sample decode over the sniffed container format — every
+    branch is a REAL pure-Python/stdlib decode: PNG (zlib inflate + row
+    unfilter), GIF (from-scratch LZW + palette), uncompressed 24-bit
+    BMP, PCM16 WAV. Exotic sub-formats (interlaced PNG, 16-bit depth,
+    RLE BMP, float WAV) raise ``NotImplementedError`` — swap in
+    PIL/libvips/ffmpeg in production; the Spark-side plumbing does not
+    change."""
     fmt = parse_media_header(payload).get("format")
     if fmt == "png":
         return decode_png_pixels(payload)
+    if fmt == "gif":
+        return decode_gif_pixels(payload)
     if fmt == "bmp":
         return decode_bmp_pixels(payload)
     if fmt == "wav":
         return decode_wav_samples(payload)
-    raise NotImplementedError(
-        f"pixel decode for {fmt or 'unknown container'} requires a codec "
-        "library (GIF is LZW-compressed) — not in this environment"
-    )
+    raise ValueError("unknown container format")
 
 
 def _rgb_means(payload: bytes):
@@ -287,6 +414,8 @@ def _rgb_means(payload: bytes):
         fmt = parse_media_header(payload).get("format")
         if fmt == "png":
             w, h, ch, px = decode_png_pixels(payload)
+        elif fmt == "gif":
+            w, h, ch, px = decode_gif_pixels(payload)
         elif fmt == "bmp":
             w, h, ch, px = decode_bmp_pixels(payload)
         else:

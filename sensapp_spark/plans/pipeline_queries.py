@@ -797,7 +797,7 @@ def multimodal_frames(spark, sf_dir):
     """Metadata-driven video frame sampling: every 10th frame index with
     its integer-ms presentation timestamp — a bounded JVM sequence
     explode, frames co-partitioned with their source media (the per-
-    frame pixel decode is the declared ``decode_pixels`` stub)."""
+    frame pixel decode would attach ``decode_pixels`` in production)."""
     media = mm.attach_video_meta(_docs(spark, sf_dir), fps=24)
     out = mm.frame_sample_plan(media, every_n=10)
     return out.select(

@@ -15,6 +15,7 @@ from sensapp_spark.pipeline.multimodal import (
     attach_binary,
     attach_video_meta,
     decode_bmp_pixels,
+    decode_gif_pixels,
     decode_pixels,
     decode_png_pixels,
     decode_wav_samples,
@@ -48,8 +49,93 @@ def make_png(width: int, height: int) -> bytes:
 
 
 def make_gif(width: int, height: int) -> bytes:
+    """Header-only GIF: parseable screen descriptor, no image frame."""
     screen = struct.pack("<HH", width, height) + bytes([0x00, 0x00, 0x00])
     return b"GIF89a" + screen + b"\x3b"
+
+
+def lzw_encode(indices: bytes, min_code_size: int) -> bytes:
+    """Reference GIF-LZW encoder for fixtures: variable code width
+    (grows after assigning an index the current width can't emit),
+    LSB-first packing, leading CLEAR, trailing EOI."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    code_size = min_code_size + 1
+    table = {bytes([i]): i for i in range(clear)}
+    next_code = eoi + 1
+    acc = 0
+    nacc = 0
+    out = bytearray()
+
+    def emit(code: int) -> None:
+        nonlocal acc, nacc
+        acc |= code << nacc
+        nacc += code_size
+        while nacc >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nacc -= 8
+
+    emit(clear)
+    buf = b""
+    for c in indices:
+        nxt = buf + bytes([c])
+        if nxt in table:
+            buf = nxt
+            continue
+        emit(table[buf])
+        table[nxt] = next_code
+        next_code += 1
+        if next_code > (1 << code_size) and code_size < 12:
+            code_size += 1
+        buf = bytes([c])
+    if buf:
+        emit(table[buf])
+    emit(eoi)
+    if nacc:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def make_gif_full(
+    width: int,
+    height: int,
+    indices: bytes,
+    palette: list[tuple[int, int, int]],
+    interlace: bool = False,
+) -> bytes:
+    """Fully valid single-frame GIF89a with a global color table and
+    genuinely LZW-compressed pixel data."""
+    assert len(indices) == width * height
+    ct_bits = max(1, (max(len(palette), 2) - 1).bit_length())
+    n = 1 << ct_bits
+    gct = b"".join(bytes(c) for c in palette) + b"\x00\x00\x00" * (n - len(palette))
+    screen = struct.pack("<HH", width, height) + bytes([0x80 | (ct_bits - 1), 0, 0])
+    min_code = max(2, ct_bits)
+    if interlace:
+        order = (
+            list(range(0, height, 8))
+            + list(range(4, height, 8))
+            + list(range(2, height, 4))
+            + list(range(1, height, 2))
+        )
+        indices = b"".join(
+            indices[r * width : (r + 1) * width] for r in order
+        )
+    data = lzw_encode(indices, min_code)
+    subs = b"".join(
+        bytes([len(data[i : i + 255])]) + data[i : i + 255]
+        for i in range(0, len(data), 255)
+    )
+    desc = b"\x2c" + struct.pack("<HHHH", 0, 0, width, height) + bytes(
+        [0x40 if interlace else 0]
+    )
+    # A graphic-control extension before the frame, to exercise skipping.
+    gce = b"\x21\xf9\x04\x00\x00\x00\x00\x00"
+    return (
+        b"GIF89a" + screen + gct + gce + desc
+        + bytes([min_code]) + subs + b"\x00" + b"\x3b"
+    )
 
 
 def make_bmp(width: int, height: int) -> bytes:
@@ -226,8 +312,71 @@ def test_decode_pixels_dispatch():
     assert decode_pixels(make_png(2, 2))[0:2] == (2, 2)
     assert decode_pixels(make_bmp(2, 2))[0:2] == (2, 2)
     assert decode_pixels(make_wav(8000, 1, 2))[0] == 8000
-    with pytest.raises(NotImplementedError):
-        decode_pixels(make_gif(2, 2))  # LZW codec genuinely absent
+    pal = [(255, 0, 0), (0, 255, 0)]
+    assert decode_pixels(make_gif_full(2, 1, b"\x00\x01", pal))[0:2] == (2, 1)
+    with pytest.raises(ValueError):
+        decode_pixels(make_gif(2, 2))  # header-only: no image frame
+    with pytest.raises(ValueError):
+        decode_pixels(b"junk bytes")
+
+
+# ---------------------------------------------------------------------------
+# GIF: from-scratch LZW decode
+# ---------------------------------------------------------------------------
+
+def test_gif_golden_public_1x1():
+    # Canonical public 1x1 black GIF (the ubiquitous tracking-pixel
+    # bytes) — pins the LZW bit conventions against external encoders.
+    import base64
+
+    golden = base64.b64decode(
+        "R0lGODlhAQABAIAAAAAAAP///yH5BAEAAAAALAAAAAABAAEAAAICRAEAOw=="
+    )
+    assert parse_media_header(golden) == {
+        "format": "gif", "width": 1, "height": 1,
+    }
+    assert decode_gif_pixels(golden) == (1, 1, 3, b"\x00\x00\x00")
+
+
+def test_gif_roundtrip_small_palette():
+    pal = [(10, 20, 30), (200, 100, 50), (0, 0, 255), (255, 255, 255)]
+    idx = bytes([0, 1, 2, 3, 3, 2, 1, 0, 1, 1, 2, 2])
+    w, h, ch, px = decode_gif_pixels(make_gif_full(4, 3, idx, pal))
+    assert (w, h, ch) == (4, 3, 3)
+    assert px == b"".join(bytes(pal[i]) for i in idx)
+
+
+def test_gif_roundtrip_code_width_growth():
+    # 300 pixels over an 8-entry palette forces the LZW table past the
+    # 16- and 32-code widths — exercises the variable-width growth on
+    # both encoder and decoder sides.
+    pal = [(i * 30 % 256, i * 50 % 256, i * 70 % 256) for i in range(8)]
+    idx = bytes((i * i * 7 + i) % 8 for i in range(300))
+    w, h, ch, px = decode_gif_pixels(make_gif_full(20, 15, idx, pal))
+    assert (w, h) == (20, 15)
+    assert px == b"".join(bytes(pal[i]) for i in idx)
+
+
+def test_gif_interlaced():
+    pal = [(0, 0, 0), (255, 255, 255)]
+    # 2x9: rows alternate black/white; interlaced storage must be
+    # re-ordered back to top-down row order.
+    idx = b"".join(bytes([r % 2]) * 2 for r in range(9))
+    w, h, ch, px = decode_gif_pixels(
+        make_gif_full(2, 9, idx, pal, interlace=True)
+    )
+    assert (w, h) == (2, 9)
+    assert px == b"".join(bytes(pal[r % 2]) * 2 for r in range(9))
+
+
+def test_gif_truncated_pixel_data_raises():
+    pal = [(1, 2, 3), (4, 5, 6)]
+    idx = bytes((i * 5 + 1) % 2 for i in range(256))
+    full = make_gif_full(16, 16, idx, pal)
+    # chop the tail of the data sub-blocks but keep a clean terminator:
+    # fewer decoded indices than the frame declares must raise
+    with pytest.raises(ValueError):
+        decode_gif_pixels(full[:-12] + b"\x00\x3b")
 
 
 # ---------------------------------------------------------------------------
