@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from sensapp_spark.pipeline.text import normalized_text
+from sensapp_spark.pipeline.text import normalized_text, word_ngrams
 
 DEFAULT_NGRAM = 3  # word shingles
 DEFAULT_MINHASH_K = 16
@@ -130,20 +130,48 @@ def _tokenized(docs: DataFrame) -> DataFrame:
 
 
 def word_shingles(docs: DataFrame, n: int = DEFAULT_NGRAM) -> DataFrame:
-    """Distinct word n-gram shingles per document: (doc_id, shingle)."""
-    words = F.col("words")
-    grams = F.transform(
-        F.sequence(F.lit(0), F.size(words) - n),
-        lambda i: F.concat_ws(" ", *[F.element_at(words, (i + j + 1).cast("int"))
-                                     for j in range(n)]),
-    )
-    # sequence(0, neg) would generate a DESCENDING range — guard docs
-    # shorter than n words with an explicit empty list.
-    grams = F.when(F.size(words) >= n, grams).otherwise(
-        F.array().cast("array<string>")
-    )
+    """Distinct word n-gram shingles per document: (doc_id, shingle).
+    The n-gram construction (including the short-document guard) is
+    ``text.word_ngrams`` — one implementation shared with the
+    repetition signals."""
+    grams = word_ngrams(F.col("words"), n)
     return _tokenized(docs).select(
         "doc_id", F.explode(F.array_distinct(grams)).alias("shingle")
+    )
+
+
+def benchmark_collisions(
+    docs: DataFrame, bench: DataFrame, n: int = 3, threshold: int = 2
+) -> DataFrame:
+    """Benchmark decontamination: per-document count of distinct word
+    n-grams that also appear anywhere in a held-out benchmark corpus,
+    plus the ``contaminated`` flag (``n_collisions >= threshold``).
+    Training pipelines run this against eval suites before training so
+    test questions leaking into the corpus don't inflate scores.
+
+    Scale shape: the benchmark is tiny relative to the corpus (eval
+    suites are MBs), so its distinct gram set is explicitly
+    ``broadcast()`` — the corpus-side gram stream joins map-side with
+    no shuffle of corpus data; the only shuffle is the per-doc count,
+    keyed by doc_id with map-side combine. ``word_shingles`` emits
+    distinct grams per document, so ``count(*)`` counts distinct
+    colliding grams."""
+    doc_grams = word_shingles(docs, n)
+    bench_grams = word_shingles(bench, n).select("shingle").distinct()
+    hits = (
+        doc_grams.join(F.broadcast(bench_grams), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_collisions"))
+    )
+    n_coll = F.coalesce(F.col("n_collisions"), F.lit(0))
+    return (
+        docs.select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            n_coll.alias("n_collisions"),
+            (n_coll >= threshold).alias("contaminated"),
+        )
     )
 
 

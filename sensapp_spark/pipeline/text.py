@@ -233,6 +233,63 @@ def type_token_ratio(docs: DataFrame) -> DataFrame:
     )
 
 
+def word_ngrams(words: F.Column, n: int) -> F.Column:
+    """Array of word n-grams over an ``array<string>`` column; empty for
+    inputs shorter than ``n`` (guards ``sequence``'s descending-range
+    behavior on negative stops)."""
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(words) - n),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(words, (i + j + 1).cast("int")) for j in range(n)]
+        ),
+    )
+    return F.when(F.size(words) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def repetition_signals(docs: DataFrame) -> DataFrame:
+    """Gopher-style repetition quality signals: the fraction of all word
+    bigrams occupied by the single most frequent bigram, and the
+    fraction of word trigrams that are repeats of an earlier trigram.
+    High values mark boilerplate / template / keyword-stuffed documents
+    that near-dup passes miss (the repetition is WITHIN one document).
+
+    Shuffle-free: the bigram mode runs inside per-row higher-order
+    functions (``transform`` + ``filter`` + ``array_max``), which is
+    O(distinct x total) per document — the right trade for chunked
+    corpora where documents are bounded (a few k tokens); an
+    explode + groupBy variant is the fallback for unbounded documents.
+    """
+    words = F.split(F.trim(normalized_text(F.col("text"))), r"\s+")
+    g2 = word_ngrams(words, 2)
+    g3 = word_ngrams(words, 3)
+    top2 = F.array_max(
+        F.transform(
+            F.array_distinct(g2),
+            lambda x: F.size(F.filter(g2, lambda y: y == x)),
+        )
+    )
+    n2 = F.size(g2).cast("long")
+    n3 = F.size(g3).cast("long")
+    return docs.select(
+        "doc_id",
+        n2.alias("bigram_total"),
+        F.when(n2 > 0, F.round(top2 / n2.cast("double"), 6)).alias(
+            "top_bigram_frac"
+        ),
+        n3.alias("trigram_total"),
+        F.when(
+            n3 > 0,
+            F.round(
+                F.lit(1.0)
+                - F.size(F.array_distinct(g3)) / n3.cast("double"),
+                6,
+            ),
+        ).alias("dup_trigram_frac"),
+    )
+
+
 def fingerprint(docs: DataFrame) -> DataFrame:
     """Document fingerprint: md5 of the normalized text (md5 so the DuckDB
     oracle computes the identical value; a keyed xxhash64 would be the

@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from sensapp_spark.pipeline import dedup as dd
 from sensapp_spark.pipeline import multimodal as mm
 from sensapp_spark.pipeline import text as tx
 from sensapp_spark.pipeline.dedup import (
@@ -125,23 +126,49 @@ _STOP_EN = tx.STOPWORDS["en"]
                len(w) AS total_tokens,
                len(list_distinct(w)) AS distinct_tokens,
                ROUND(len(list_distinct(w)) / CAST(len(w) AS DOUBLE), 6) AS ttr
-        FROM (SELECT doc_id, {_WORDS_SQL} AS w FROM documents))
+        FROM (SELECT doc_id, {_WORDS_SQL} AS w FROM documents)),
+    ngrams AS (
+        SELECT doc_id,
+          CASE WHEN len(w) >= 2 THEN
+            [w[i] || ' ' || w[i+1] FOR i IN range(1, len(w))]
+          ELSE []::VARCHAR[] END AS g2,
+          CASE WHEN len(w) >= 3 THEN
+            [w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+             FOR i IN range(1, len(w) - 1)]
+          ELSE []::VARCHAR[] END AS g3
+        FROM (SELECT doc_id, {_WORDS_SQL} AS w FROM documents)),
+    rep AS (
+        SELECT doc_id,
+          len(g2) AS bigram_total,
+          CASE WHEN len(g2) > 0 THEN
+            ROUND(list_max(list_transform(list_distinct(g2),
+                    x -> len(list_filter(g2, y -> y = x))))
+                  / CAST(len(g2) AS DOUBLE), 6) END AS top_bigram_frac,
+          len(g3) AS trigram_total,
+          CASE WHEN len(g3) > 0 THEN
+            ROUND(1 - len(list_distinct(g3)) / CAST(len(g3) AS DOUBLE), 6)
+          END AS dup_trigram_frac
+        FROM ngrams)
     SELECT doc_id, ws_tokens, bpe_tokens, chars,
            len_credit, stop_ratio, punct_ratio, digit_ratio, quality,
-           total_tokens, distinct_tokens, ttr
+           total_tokens, distinct_tokens, ttr,
+           bigram_total, top_bigram_frac, trigram_total, dup_trigram_frac
     FROM toks JOIN qual USING (doc_id) JOIN ttr USING (doc_id)
+         JOIN rep USING (doc_id)
     """,
 )
 def text_profile(spark, sf_dir):
     """Per-document text profile as one joined entry (driver window caps
     at 50 rows): token counting (whitespace + BPE-ish regex), quality
-    scoring (length/stopword/punct/digit composite), and lexical
-    diversity (type-token ratio). All three are map-only narrow
+    scoring (length/stopword/punct/digit composite), lexical diversity
+    (type-token ratio), and Gopher-style repetition signals (top-bigram
+    fraction, duplicate-trigram fraction). All four are map-only narrow
     projections; the join keys are co-partitioned per document."""
     docs = _docs(spark, sf_dir)
     out = tx.token_stats(docs)
     out = out.join(tx.quality_scores(docs), "doc_id")
-    return out.join(tx.type_token_ratio(docs), "doc_id")
+    out = out.join(tx.type_token_ratio(docs), "doc_id")
+    return out.join(tx.repetition_signals(docs), "doc_id")
 
 
 def _signals_oracle() -> str:
@@ -159,6 +186,7 @@ def _signals_oracle() -> str:
         for name, pat in tx.PII_PATTERNS.items()
     )
     pii_total = " + ".join(tx.PII_PATTERNS)
+    tri = "w[i] || ' ' || w[i+1] || ' ' || w[i+2]"
     return f"""
     WITH lang AS (
         SELECT doc_id, hits_en, hits_de, hits_fr, hits_es,
@@ -167,10 +195,30 @@ def _signals_oracle() -> str:
     fp AS (SELECT doc_id, md5({_NORM_SQL}) AS fingerprint FROM documents),
     pii AS (
         SELECT doc_id, emails, phones, ipv4s, ({pii_total}) > 0 AS has_pii
-        FROM (SELECT doc_id, {pii_counts} FROM documents))
+        FROM (SELECT doc_id, {pii_counts} FROM documents)),
+    words AS (SELECT doc_id, {_WORDS_SQL} AS w FROM documents),
+    bench_grams AS (
+        SELECT DISTINCT unnest([{tri} FOR i IN range(1, len(w) - 1)])
+               AS shingle
+        FROM words WHERE len(w) >= 3 AND doc_id % 97 = 0),
+    doc_grams AS (
+        SELECT doc_id,
+               unnest(list_distinct([{tri} FOR i IN range(1, len(w) - 1)]))
+               AS shingle
+        FROM words WHERE len(w) >= 3),
+    coll AS (
+        SELECT doc_id, COUNT(*) AS n_collisions
+        FROM doc_grams JOIN bench_grams USING (shingle) GROUP BY doc_id),
+    decontam AS (
+        SELECT d.doc_id,
+               COALESCE(c.n_collisions, 0) AS n_collisions,
+               COALESCE(c.n_collisions, 0) >= 2 AS contaminated
+        FROM documents d LEFT JOIN coll c USING (doc_id))
     SELECT doc_id, hits_en, hits_de, hits_fr, hits_es, lang_pred,
-           fingerprint, emails, phones, ipv4s, has_pii
+           fingerprint, emails, phones, ipv4s, has_pii,
+           n_collisions, contaminated
     FROM lang JOIN fp USING (doc_id) JOIN pii USING (doc_id)
+         JOIN decontam USING (doc_id)
     """
 
 
@@ -178,14 +226,21 @@ def _signals_oracle() -> str:
 def text_signals(spark, sf_dir):
     """Per-document content signals as one joined entry: language ID
     (stopword-hit argmax, fixed tie-break order), the md5 content
-    fingerprint over normalized text, and PII triage counts (emails /
+    fingerprint over normalized text, PII triage counts (emails /
     phones / IPv4 — the synthetic corpus is PII-free, so the value here
     is the shared regex-dialect contract; positive matches are covered
-    by unit tests). All map-only scans."""
+    by unit tests), and benchmark decontamination (distinct trigram
+    collisions against a held-out benchmark slice, broadcast-joined).
+    Map-only scans except the decontam count (one doc_id-keyed
+    aggregation with map-side combine)."""
     docs = _docs(spark, sf_dir)
     out = tx.lang_id(docs)
     out = out.join(tx.fingerprint(docs), "doc_id")
-    return out.join(tx.pii_scan(docs), "doc_id")
+    out = out.join(tx.pii_scan(docs), "doc_id")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    return out.join(
+        dd.benchmark_collisions(docs, bench, n=3, threshold=2), "doc_id"
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -13,7 +13,12 @@ from sensapp_spark.pipeline.clustering import (
     init_centroids,
     kmeans_assign,
 )
-from sensapp_spark.pipeline.text import pii_scan, type_token_ratio
+from sensapp_spark.pipeline.dedup import benchmark_collisions
+from sensapp_spark.pipeline.text import (
+    pii_scan,
+    repetition_signals,
+    type_token_ratio,
+)
 
 EMB = "/root/testdata/sf0.001/embeddings.parquet"
 
@@ -112,3 +117,65 @@ def test_pii_scan_detects_patterns(spark):
     assert got[2].ipv4s == 1 and got[2].has_pii
     assert not got[3].has_pii
     assert got[3].emails == got[3].phones == got[3].ipv4s == 0
+
+
+def test_repetition_signals_known_values(spark):
+    out = repetition_signals(
+        _docs(
+            spark,
+            [
+                # bigrams: "buy now"x3, "now buy"x2 -> top 3/5; trigrams:
+                # 4 total, 2 distinct (each repeats) -> dup 1 - 2/4
+                "buy now buy now buy now",
+                "all words here are unique tokens",
+                "one",      # shorter than any n-gram window
+            ],
+        )
+    ).collect()
+    got = {r.doc_id: r for r in out}
+    assert got[0].bigram_total == 5
+    assert got[0].top_bigram_frac == 0.6
+    assert got[0].trigram_total == 4
+    assert got[0].dup_trigram_frac == 0.5
+    assert got[1].top_bigram_frac == round(1 / 5, 6)
+    assert got[1].dup_trigram_frac == 0.0
+    assert got[2].bigram_total == 0 and got[2].top_bigram_frac is None
+    assert got[2].trigram_total == 0 and got[2].dup_trigram_frac is None
+
+
+def test_repetition_signals_normalizes_case(spark):
+    out = repetition_signals(_docs(spark, ["Spam SPAM spam spam"])).collect()
+    # all bigrams identical after normalization
+    assert out[0].top_bigram_frac == 1.0
+
+
+def test_benchmark_collisions(spark):
+    docs = _docs(
+        spark,
+        [
+            "the quick brown fox jumps high",   # shares 2 trigrams w/ bench
+            "the quick brown cat sits",          # shares 1 ("the quick brown")
+            "totally unrelated filler content",  # shares 0
+        ],
+    )
+    bench = _docs(spark, ["the quick brown fox runs"])
+    out = benchmark_collisions(docs, bench, n=3, threshold=2).collect()
+    got = {r.doc_id: r for r in out}
+    assert got[0].n_collisions == 2 and got[0].contaminated
+    assert got[1].n_collisions == 1 and not got[1].contaminated
+    assert got[2].n_collisions == 0 and not got[2].contaminated
+
+
+def test_benchmark_collisions_counts_distinct_grams_once(spark):
+    # the colliding trigram appears twice in the doc but counts once
+    docs = _docs(spark, ["alpha beta gamma alpha beta gamma"])
+    bench = _docs(spark, ["alpha beta gamma"])
+    out = benchmark_collisions(docs, bench, n=3, threshold=1).collect()
+    assert out[0].n_collisions == 1 and out[0].contaminated
+
+
+def test_benchmark_collisions_broadcasts_bench_side(spark):
+    docs = _docs(spark, ["a b c d e"] * 4)
+    bench = _docs(spark, ["a b c"])
+    plan = benchmark_collisions(docs, bench)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
