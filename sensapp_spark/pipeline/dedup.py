@@ -156,22 +156,38 @@ def benchmark_collisions(
     keyed by doc_id with map-side combine. ``word_shingles`` emits
     distinct grams per document, so ``count(*)`` counts distinct
     colliding grams."""
+    hits = benchmark_collision_hits(docs, bench, n)
+    return attach_collisions(docs.select("doc_id"), hits, threshold)
+
+
+def benchmark_collision_hits(
+    docs: DataFrame, bench: DataFrame, n: int = 3
+) -> DataFrame:
+    """(doc_id, n_collisions) for documents with at least one benchmark
+    n-gram collision — the join-side half of ``benchmark_collisions``,
+    exposed so callers that already hold a per-doc frame can left-join
+    it without re-scanning the corpus for the doc_id spine."""
     doc_grams = word_shingles(docs, n)
     bench_grams = word_shingles(bench, n).select("shingle").distinct()
-    hits = (
+    return (
         doc_grams.join(F.broadcast(bench_grams), "shingle")
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_collisions"))
     )
+
+
+def attach_collisions(
+    per_doc: DataFrame, hits: DataFrame, threshold: int = 2
+) -> DataFrame:
+    """Left-join collision counts onto a per-document frame, filling
+    zero for collision-free documents and deriving ``contaminated``."""
     n_coll = F.coalesce(F.col("n_collisions"), F.lit(0))
     return (
-        docs.select("doc_id")
-        .join(hits, "doc_id", "left")
-        .select(
-            "doc_id",
-            n_coll.alias("n_collisions"),
-            (n_coll >= threshold).alias("contaminated"),
-        )
+        per_doc.join(hits, "doc_id", "left")
+        .withColumn("__n", n_coll)
+        .drop("n_collisions")
+        .withColumnRenamed("__n", "n_collisions")
+        .withColumn("contaminated", F.col("n_collisions") >= threshold)
     )
 
 

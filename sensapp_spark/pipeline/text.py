@@ -38,15 +38,22 @@ def ws_token_count(col) -> F.Column:
     return F.size(F.split(F.trim(col), r"\s+"))
 
 
-def token_stats(docs: DataFrame) -> DataFrame:
-    """Token counting: whitespace tokens + BPE-ish regex tokens + chars."""
+def token_stat_cols() -> list[F.Column]:
+    """Column expressions for token counting — exposed separately so the
+    registry's fused profile entry can compute every per-doc metric in
+    ONE projection over ONE scan (zero joins) while the standalone
+    operator keeps the same definition."""
     t = F.col("text")
-    return docs.select(
-        "doc_id",
+    return [
         ws_token_count(t).alias("ws_tokens"),
         F.regexp_count(t, F.lit(BPE_PATTERN)).alias("bpe_tokens"),
         F.length(t).alias("chars"),
-    )
+    ]
+
+
+def token_stats(docs: DataFrame) -> DataFrame:
+    """Token counting: whitespace tokens + BPE-ish regex tokens + chars."""
+    return docs.select("doc_id", *token_stat_cols())
 
 
 # Quality-score weights (arbitrary but fixed; mirrored in the oracle SQL).
@@ -58,9 +65,9 @@ QUALITY_WEIGHTS = {
 }
 
 
-def quality_scores(docs: DataFrame) -> DataFrame:
-    """Heuristic document quality: length/stopword/punct/digit ratios
-    combined into one score in [0,1]-ish, rounded for oracle parity."""
+def quality_score_cols() -> list[F.Column]:
+    """Column expressions for the heuristic quality score (see
+    ``token_stat_cols`` for why these are exposed)."""
     t = F.col("text")
     length = F.length(t).cast("double")
     words = ws_token_count(t).cast("double")
@@ -87,19 +94,25 @@ def quality_scores(docs: DataFrame) -> DataFrame:
         + w["w_punct"] * dec(punct_ratio)
         + w["w_digit"] * dec(digit_ratio)
     )
-    return docs.select(
-        "doc_id",
+    return [
         len_credit.alias("len_credit"),
         stop_ratio.alias("stop_ratio"),
         punct_ratio.alias("punct_ratio"),
         digit_ratio.alias("digit_ratio"),
         F.round(score, 6).cast("double").alias("quality"),
-    )
+    ]
 
 
-def lang_id(docs: DataFrame) -> DataFrame:
-    """N-gram-heuristic language ID: stopword-hit counts per language,
-    argmax with fixed priority tie-break. One projection, no shuffle."""
+def quality_scores(docs: DataFrame) -> DataFrame:
+    """Heuristic document quality: length/stopword/punct/digit ratios
+    combined into one score in [0,1]-ish, rounded for oracle parity."""
+    return docs.select("doc_id", *quality_score_cols())
+
+
+def lang_id_cols() -> list[F.Column]:
+    """Column expressions for language ID (the repeated regexp-count
+    subtrees inside ``lang_pred`` are evaluated once per row by
+    whole-stage-codegen subexpression elimination)."""
     lowered = F.lower(F.col("text"))
     hits = {
         lang: F.regexp_count(lowered, F.lit(_stop_re(lang)))
@@ -109,10 +122,15 @@ def lang_id(docs: DataFrame) -> DataFrame:
     lang_expr = F.when(best == 0, F.lit("und"))
     for lang in LANG_PRIORITY:
         lang_expr = lang_expr.when(hits[lang] == best, F.lit(lang))
-    cols = [F.col("doc_id")]
-    cols += [hits[lang].alias(f"hits_{lang}") for lang in LANG_PRIORITY]
+    cols = [hits[lang].alias(f"hits_{lang}") for lang in LANG_PRIORITY]
     cols.append(lang_expr.alias("lang_pred"))
-    return docs.select(*cols)
+    return cols
+
+
+def lang_id(docs: DataFrame) -> DataFrame:
+    """N-gram-heuristic language ID: stopword-hit counts per language,
+    argmax with fixed priority tie-break. One projection, no shuffle."""
+    return docs.select("doc_id", *lang_id_cols())
 
 
 def normalized_text(col) -> F.Column:
@@ -194,22 +212,20 @@ PII_PATTERNS = {
 }
 
 
-def pii_scan(docs: DataFrame) -> DataFrame:
-    """Per-document PII indicator counts (emails / phone-shaped numbers /
-    IPv4 literals) and an any-hit flag — the redaction-triage pass a
-    training pipeline runs before release. Narrow projection, regex
-    evaluated JVM-side; at 100 TB this is a map-only scan."""
+def pii_count_cols() -> list[F.Column]:
     t = F.col("text")
-    counted = docs.select(
-        "doc_id",
-        *(
-            F.regexp_count(t, F.lit(pat)).alias(name)
-            for name, pat in PII_PATTERNS.items()
-        ),
-    )
-    # Each regex runs exactly once: has_pii derives from the already-
-    # computed count columns in a second projection (collapsed by
-    # Catalyst into one stage, but never re-evaluating the regexes).
+    return [
+        F.regexp_count(t, F.lit(pat)).alias(name)
+        for name, pat in PII_PATTERNS.items()
+    ]
+
+
+def with_pii_flag(counted: DataFrame) -> DataFrame:
+    """Adds ``has_pii`` on top of already-computed count columns. Each
+    regex runs exactly once: the flag derives from the count columns in
+    a second projection (collapsed by Catalyst into one stage, but
+    never re-evaluating the regexes — CollapseProject declines to
+    inline duplicated non-cheap expressions)."""
     total = None
     for name in PII_PATTERNS:
         c = F.col(name)
@@ -217,20 +233,33 @@ def pii_scan(docs: DataFrame) -> DataFrame:
     return counted.withColumn("has_pii", total > 0)
 
 
+def pii_scan(docs: DataFrame) -> DataFrame:
+    """Per-document PII indicator counts (emails / phone-shaped numbers /
+    IPv4 literals) and an any-hit flag — the redaction-triage pass a
+    training pipeline runs before release. Narrow projection, regex
+    evaluated JVM-side; at 100 TB this is a map-only scan."""
+    return with_pii_flag(docs.select("doc_id", *pii_count_cols()))
+
+
+def ttr_cols() -> list[F.Column]:
+    """Column expressions for the type-token ratio over the materialized
+    ``__words`` array from ``words_col``."""
+    words = F.col("__words")
+    total = F.size(words).cast("double")
+    distinct = F.size(F.array_distinct(words)).cast("long")
+    return [
+        total.cast("long").alias("total_tokens"),
+        distinct.alias("distinct_tokens"),
+        F.round(distinct / total, 6).alias("ttr"),
+    ]
+
+
 def type_token_ratio(docs: DataFrame) -> DataFrame:
     """Lexical-diversity profile: whitespace token count, distinct token
     count, and their ratio (type-token ratio) over the normalized text.
     The distinct runs per document inside ``array_distinct`` — no
     explode, no shuffle."""
-    words = F.split(F.trim(normalized_text(F.col("text"))), r"\s+")
-    total = F.size(words).cast("double")
-    distinct = F.size(F.array_distinct(words)).cast("long")
-    return docs.select(
-        "doc_id",
-        total.cast("long").alias("total_tokens"),
-        distinct.alias("distinct_tokens"),
-        F.round(distinct / total, 6).alias("ttr"),
-    )
+    return docs.select("doc_id", words_col()).select("doc_id", *ttr_cols())
 
 
 def word_ngrams(words: F.Column, n: int) -> F.Column:
@@ -257,13 +286,48 @@ def repetition_signals(docs: DataFrame) -> DataFrame:
 
     Shuffle-free: the bigram mode runs inside per-row higher-order
     functions (``transform`` + ``filter`` + ``array_max``), which is
-    O(distinct x total) per document — the right trade for chunked
-    corpora where documents are bounded (a few k tokens); an
-    explode + groupBy variant is the fallback for unbounded documents.
+    O(distinct x total) array comparisons per document — the right
+    trade for chunked corpora where documents are bounded (a few k
+    tokens); an explode + groupBy variant is the fallback for unbounded
+    documents. The token array and the gram arrays MUST each be
+    materialized behind their own projection (``words_col`` then
+    ``gram_cols``): inlined, ``element_at`` inside the n-gram lambda
+    re-evaluates the regex normalization+split per ELEMENT (the same
+    trap ``dedup._tokenized`` documents, ~15x there), and the gram
+    expression re-evaluates per distinct bigram inside the mode HOF —
+    measured minutes instead of seconds at sf0.1. CollapseProject
+    keeps the stages split because the aliases are non-cheap and
+    multiply referenced.
     """
-    words = F.split(F.trim(normalized_text(F.col("text"))), r"\s+")
-    g2 = word_ngrams(words, 2)
-    g3 = word_ngrams(words, 3)
+    return (
+        docs.select("doc_id", words_col())
+        .select("doc_id", *gram_cols())
+        .select("doc_id", *repetition_cols())
+    )
+
+
+def words_col() -> F.Column:
+    """The normalized token array, to MATERIALIZE (own projection)
+    before any per-element consumer."""
+    return F.split(F.trim(normalized_text(F.col("text"))), r"\s+").alias(
+        "__words"
+    )
+
+
+def gram_cols() -> list[F.Column]:
+    """Materialized bigram/trigram arrays (from ``__words``) feeding
+    ``repetition_cols``."""
+    words = F.col("__words")
+    return [
+        word_ngrams(words, 2).alias("__g2"),
+        word_ngrams(words, 3).alias("__g3"),
+    ]
+
+
+def repetition_cols() -> list[F.Column]:
+    """Column expressions for the repetition signals over the
+    materialized ``__g2``/``__g3`` arrays from ``gram_cols``."""
+    g2, g3 = F.col("__g2"), F.col("__g3")
     top2 = F.array_max(
         F.transform(
             F.array_distinct(g2),
@@ -272,8 +336,7 @@ def repetition_signals(docs: DataFrame) -> DataFrame:
     )
     n2 = F.size(g2).cast("long")
     n3 = F.size(g3).cast("long")
-    return docs.select(
-        "doc_id",
+    return [
         n2.alias("bigram_total"),
         F.when(n2 > 0, F.round(top2 / n2.cast("double"), 6)).alias(
             "top_bigram_frac"
@@ -287,14 +350,15 @@ def repetition_signals(docs: DataFrame) -> DataFrame:
                 6,
             ),
         ).alias("dup_trigram_frac"),
-    )
+    ]
+
+
+def fingerprint_cols() -> list[F.Column]:
+    return [F.md5(normalized_text(F.col("text"))).alias("fingerprint")]
 
 
 def fingerprint(docs: DataFrame) -> DataFrame:
     """Document fingerprint: md5 of the normalized text (md5 so the DuckDB
     oracle computes the identical value; a keyed xxhash64 would be the
     production choice)."""
-    return docs.select(
-        "doc_id",
-        F.md5(normalized_text(F.col("text"))).alias("fingerprint"),
-    )
+    return docs.select("doc_id", *fingerprint_cols())

@@ -158,17 +158,28 @@ _STOP_EN = tx.STOPWORDS["en"]
     """,
 )
 def text_profile(spark, sf_dir):
-    """Per-document text profile as one joined entry (driver window caps
+    """Per-document text profile as one fused entry (driver window caps
     at 50 rows): token counting (whitespace + BPE-ish regex), quality
     scoring (length/stopword/punct/digit composite), lexical diversity
     (type-token ratio), and Gopher-style repetition signals (top-bigram
-    fraction, duplicate-trigram fraction). All four are map-only narrow
-    projections; the join keys are co-partitioned per document."""
+    fraction, duplicate-trigram fraction). All four operators expose
+    their column expressions, so the union is ONE narrow two-stage
+    projection over ONE scan — zero joins, zero shuffles (the earlier
+    join-of-four-projections shape re-scanned the corpus 4x and
+    broadcast 3 frames; at 100 TB the broadcasts would flip to shuffled
+    joins). The token and gram arrays materialize in their own inner
+    stages (see ``repetition_signals`` for why)."""
     docs = _docs(spark, sf_dir)
-    out = tx.token_stats(docs)
-    out = out.join(tx.quality_scores(docs), "doc_id")
-    out = out.join(tx.type_token_ratio(docs), "doc_id")
-    return out.join(tx.repetition_signals(docs), "doc_id")
+    staged = docs.select("doc_id", "text", tx.words_col()).select(
+        "doc_id", "text", F.col("__words"), *tx.gram_cols()
+    )
+    return staged.select(
+        "doc_id",
+        *tx.token_stat_cols(),
+        *tx.quality_score_cols(),
+        *tx.ttr_cols(),
+        *tx.repetition_cols(),
+    )
 
 
 def _signals_oracle() -> str:
@@ -231,16 +242,21 @@ def text_signals(spark, sf_dir):
     is the shared regex-dialect contract; positive matches are covered
     by unit tests), and benchmark decontamination (distinct trigram
     collisions against a held-out benchmark slice, broadcast-joined).
-    Map-only scans except the decontam count (one doc_id-keyed
-    aggregation with map-side combine)."""
+    Language/fingerprint/PII fuse into one narrow projection over one
+    scan (see ``text_profile``); the decontam frame is the only join
+    (its count is a doc_id-keyed aggregation with map-side combine)."""
     docs = _docs(spark, sf_dir)
-    out = tx.lang_id(docs)
-    out = out.join(tx.fingerprint(docs), "doc_id")
-    out = out.join(tx.pii_scan(docs), "doc_id")
-    bench = docs.filter(F.col("doc_id") % 97 == 0)
-    return out.join(
-        dd.benchmark_collisions(docs, bench, n=3, threshold=2), "doc_id"
+    out = tx.with_pii_flag(
+        docs.select(
+            "doc_id",
+            *tx.lang_id_cols(),
+            *tx.fingerprint_cols(),
+            *tx.pii_count_cols(),
+        )
     )
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    hits = dd.benchmark_collision_hits(docs, bench, n=3)
+    return dd.attach_collisions(out, hits, threshold=2)
 
 
 # ---------------------------------------------------------------------------
