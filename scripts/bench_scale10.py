@@ -98,7 +98,9 @@ def build_corpus(spark):
 
 
 def main() -> int:
-    from sensapp_spark.pipeline import clustering, dedup, similarity
+    from pyspark.sql import functions as F
+
+    from sensapp_spark.pipeline import clustering, dedup, similarity, text
     from sensapp_spark.session import get_spark
 
     spark = get_spark(
@@ -136,6 +138,10 @@ def main() -> int:
         ),
         "ann_ivf_topk": lambda: similarity.ivf_topk(emb, query_vec, k=10),
         "kmeans_assign": lambda: clustering.kmeans_assign(emb),
+        "repetition_signals": lambda: text.repetition_signals(docs),
+        "benchmark_collisions": lambda: dedup.benchmark_collisions(
+            docs, docs.filter(F.col("doc_id") % 970 == 0), n=3
+        ),
     }
 
     report = {"corpus": {"docs": n_docs, "embeddings": n_emb,

@@ -517,6 +517,46 @@ def synthesize_png(
     )
 
 
+# Fixed 128-entry GIF palette: entry i = (i, 255-i, 2i mod 256). A
+# module-level hex constant so the Spark expressions and the DuckDB
+# oracle inline the identical 384 bytes.
+GIF_PALETTE_HEX = "".join(
+    f"{i:02X}{255 - i:02X}{(2 * i) % 256:02X}" for i in range(128)
+)
+
+
+def synthesize_gif(width: Column, pix: Column) -> Column:
+    """A DECODABLE GIF89a BINARY built from JVM expressions: header,
+    logical screen descriptor with a 128-entry global color table
+    (``GIF_PALETTE_HEX``), one image frame of ``width`` x 1 constant
+    pixels of palette index ``pix``, LZW data emitted as BYTE-ALIGNED
+    8-bit literal codes (min code size 7 → initial code width 8; CLEAR,
+    then ``width`` literals, then EOI). Byte alignment means every code
+    is exactly one byte, so the stream is a plain SQL concat — no bit
+    packing. The decoder's table grows by one entry per literal after
+    the first; capping ``width`` at 125 keeps it below 256 entries, so
+    the code width never grows past 8 bits and the stream stays
+    aligned. The DuckDB oracle rebuilds identical bytes."""
+    w = width.cast("long")
+    p = pix.cast("long")
+    return F.concat(
+        F.unhex(F.lit("474946383961")),                  # 'GIF89a'
+        F.unhex(F.concat(_hex2(w), F.lit("00"))),        # screen W (LE)
+        F.unhex(F.lit("0100")),                          # screen H = 1
+        F.unhex(F.lit("F60000")),                        # GCT, 128 entries
+        F.unhex(F.lit(GIF_PALETTE_HEX)),
+        F.unhex(F.lit("2C00000000")),                    # image descriptor
+        F.unhex(F.concat(_hex2(w), F.lit("00"))),        # frame W (LE)
+        F.unhex(F.lit("010000")),                        # frame H, packed
+        F.unhex(F.lit("07")),                            # min code size
+        F.unhex(_hex2(w + 2)),                           # sub-block length
+        F.unhex(F.lit("80")),                            # CLEAR (code 128)
+        F.unhex(F.repeat(_hex2(p), w.cast("int"))),      # W literal codes
+        F.unhex(F.lit("81")),                            # EOI (code 129)
+        F.unhex(F.lit("003B")),                          # terminator+trailer
+    )
+
+
 def _md5_byte(col: Column, i: int) -> Column:
     """i-th byte of md5(col) as an int (hex-pair parse — same formula the
     DuckDB oracle uses)."""
@@ -524,10 +564,13 @@ def _md5_byte(col: Column, i: int) -> Column:
 
 
 def attach_binary(docs: DataFrame, spread: bool = False) -> DataFrame:
-    """Demo adapter: synthesize a real PNG payload per document (see
-    ``synthesize_png``) with md5-derived dimensions — the real pipeline
-    reads payloads from object storage with ``binaryFile`` or parquet
-    binary columns.
+    """Demo adapter: synthesize a real payload per document — a GIF89a
+    for every 4th document by content hash (``synthesize_gif``), a PNG
+    for the rest (``synthesize_png``), both with md5-derived dimensions
+    and colors, so BOTH pixel-decode paths (zlib inflate+unfilter and
+    LZW+palette) are exercised end-to-end. The real pipeline reads
+    payloads from object storage with ``binaryFile`` or parquet binary
+    columns.
 
     ``spread=True`` repartitions a below-core-count input up to full
     parallelism so a CPU-heavy decode isn't serialized into a few Python
@@ -553,9 +596,15 @@ def attach_binary(docs: DataFrame, spread: bool = False) -> DataFrame:
     r = _md5_byte(text, 3)
     g = _md5_byte(text, 4)
     b = _md5_byte(text, 5)
+    is_gif = _md5_byte(text, 6) % 4 == 0
+    gif_w = _md5_byte(text, 0) % 62 + 64   # 64..125: code width stays 8
+    gif_p = _md5_byte(text, 3) % 128       # palette index
+    payload = F.when(is_gif, synthesize_gif(gif_w, gif_p)).otherwise(
+        synthesize_png(text, width, r, g, b)
+    )
     return docs.select(
         F.col("doc_id").alias("media_id"),
-        synthesize_png(text, width, r, g, b).alias("payload"),
+        payload.alias("payload"),
         F.lit("image").alias("media_type"),
         F.create_map(F.lit("source"), F.col("source")).alias("meta"),
     )

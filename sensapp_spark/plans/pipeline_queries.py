@@ -779,13 +779,16 @@ def embedding_kmeans(spark, sf_dir):
 
 @register(
     "multimodal_features",
-    """
+    f"""
     WITH dims AS (
         SELECT doc_id, text,
                64 + ('0x' || substring(md5(text), 1, 2))::INT % 192 AS w,
                ('0x' || substring(md5(text), 7, 2))::INT AS r,
                ('0x' || substring(md5(text), 9, 2))::INT AS g,
-               ('0x' || substring(md5(text), 11, 2))::INT AS b
+               ('0x' || substring(md5(text), 11, 2))::INT AS b,
+               ('0x' || substring(md5(text), 13, 2))::INT % 4 = 0 AS is_gif,
+               64 + ('0x' || substring(md5(text), 1, 2))::INT % 62 AS gw,
+               ('0x' || substring(md5(text), 7, 2))::INT % 128 AS gp
         FROM documents),
     adler AS (
         -- closed-form adler32 of the scanline [00, (r g b ff) * w]:
@@ -797,7 +800,22 @@ def embedding_kmeans(spark, sf_dir):
                  + 2 * w::BIGINT * (w - 1) * (r + g + b + 255) AS s1
         FROM dims),
     png AS (
-        SELECT doc_id, w, r, g, b,
+        SELECT doc_id, w, r, g, b, is_gif, gw, gp,
+               CASE WHEN is_gif THEN
+               unhex('474946383961')
+               || unhex(lpad(to_hex(gw), 2, '0') || '00')
+               || unhex('0100F60000')
+               || unhex('{mm.GIF_PALETTE_HEX}')
+               || unhex('2C00000000')
+               || unhex(lpad(to_hex(gw), 2, '0') || '00')
+               || unhex('010000')
+               || unhex('07')
+               || unhex(lpad(to_hex(gw + 2), 2, '0'))
+               || unhex('80')
+               || unhex(repeat(lpad(to_hex(gp), 2, '0'), gw))
+               || unhex('81')
+               || unhex('003B')
+               ELSE
                unhex('89504E470D0A1A0A0000000D49484452')
                || unhex(lpad(to_hex(w), 8, '0'))
                || unhex('00000001')
@@ -821,25 +839,31 @@ def embedding_kmeans(spark, sf_dir):
                || unhex('74455874') || encode('doc') || unhex('00')
                || encode(text)
                || unhex('00000000')
-               || unhex('0000000049454E44AE426082') AS payload
+               || unhex('0000000049454E44AE426082')
+               END AS payload
         FROM adler)
     SELECT doc_id AS media_id,
            octet_length(payload) AS byte_len,
            substring(sha256(hex(payload)), 1, 16) AS sha_prefix,
-           'png' AS format, w AS width, 1 AS height,
-           r::DOUBLE AS mean_r, g::DOUBLE AS mean_g, b::DOUBLE AS mean_b
+           CASE WHEN is_gif THEN 'gif' ELSE 'png' END AS format,
+           CASE WHEN is_gif THEN gw ELSE w END AS width,
+           1 AS height,
+           CASE WHEN is_gif THEN gp ELSE r END::DOUBLE AS mean_r,
+           CASE WHEN is_gif THEN 255 - gp ELSE g END::DOUBLE AS mean_g,
+           CASE WHEN is_gif THEN (2 * gp) % 256 ELSE b END::DOUBLE AS mean_b
     FROM png
     """,
 )
 def multimodal_features(spark, sf_dir):
     """Binary-column feature extraction via Arrow-batched mapInPandas
     over the REAL decoders (pipeline/multimodal.py): payloads are
-    DECODABLE PNGs synthesized with JVM expressions (genuine zlib IDAT,
-    closed-form adler32), the Spark side zlib-inflates and unfilters the
-    pixel rows to produce mean_r/g/b, and the oracle rebuilds the
-    identical bytes with SQL blob concat and predicts the means from the
-    constant-color scanline — the full pixel decode path is
-    driver-verified end-to-end."""
+    DECODABLE PNGs (genuine zlib IDAT, closed-form adler32) and GIFs
+    (byte-aligned 8-bit literal LZW, 128-entry palette) synthesized
+    with JVM expressions; the Spark side zlib-inflates + unfilters the
+    PNG rows and LZW-decompresses + palette-maps the GIF frames to
+    produce mean_r/g/b, and the oracle rebuilds the identical bytes
+    with SQL blob concat and predicts the means in closed form — BOTH
+    pixel decode paths are driver-verified end-to-end."""
     media = mm.attach_binary(_docs(spark, sf_dir))
     feats = mm.extract_features(media)
     return feats.select(

@@ -388,42 +388,60 @@ def docs(spark):
     return spark.read.parquet(f"{SF}/documents.parquet").limit(20).cache()
 
 
-def test_synthesized_png_parses_and_decodes(spark, docs):
+def test_synthesized_payloads_parse_and_decode(spark, docs):
     rows = attach_binary(docs).select("media_id", "payload").collect()
     assert rows
+    formats = set()
     for r in rows:
         payload = bytes(r.payload)
         info = parse_media_header(payload)
-        assert info["format"] == "png"
-        assert 64 <= info["width"] < 256
+        formats.add(info["format"])
         assert info["height"] == 1
-        # The synthesized IDAT is a genuine zlib stream: the real
-        # decoder inflates it (adler32 verified) into one constant-color
-        # RGBA scanline.
-        w, h, ch, px = decode_png_pixels(payload)
-        assert (w, h, ch) == (info["width"], 1, 4)
-        first = px[:4]
-        assert first[3] == 255
-        assert px == first * w
+        if info["format"] == "png":
+            assert 64 <= info["width"] < 256
+            # The synthesized IDAT is a genuine zlib stream: the real
+            # decoder inflates it (adler32 verified) into one constant-
+            # color RGBA scanline.
+            w, h, ch, px = decode_png_pixels(payload)
+            assert (w, h, ch) == (info["width"], 1, 4)
+            first = px[:4]
+            assert first[3] == 255
+            assert px == first * w
+        else:
+            assert info["format"] == "gif"
+            # Byte-aligned literal LZW: the real decoder must recover a
+            # constant-color palette-mapped row at widths 64..125.
+            assert 64 <= info["width"] <= 125
+            w, h, ch, px = decode_gif_pixels(payload)
+            assert (w, h, ch) == (info["width"], 1, 3)
+            assert px == px[:3] * w
+            assert (px[1], px[2]) == (255 - px[0], (2 * px[0]) % 256)
+    # the md5-derived format split lands both kinds in the first 20 docs
+    assert formats == {"png", "gif"}
 
 
 def test_extract_features_matches_direct_parse(spark, docs):
     media = attach_binary(docs)
     feats = {r.media_id: r for r in extract_features(media).collect()}
+    seen = set()
     for r in media.collect():
         payload = bytes(r.payload)
         info = parse_media_header(payload)
         f = feats[r.media_id]
+        seen.add(f.format)
         assert f.byte_len == len(payload)
         assert f.width == info["width"]
         assert f.height == info["height"]
-        assert f.format == "png"
+        assert f.format == info["format"]
         expected_sha = hashlib.sha256(
             payload.hex().upper().encode()
         ).hexdigest()[:16]
         assert f.sha_prefix == expected_sha
         # Pixel-derived means: constant-color scanline → exact RGB.
-        _, _, _, px = decode_png_pixels(payload)
+        if f.format == "png":
+            _, _, _, px = decode_png_pixels(payload)
+        else:
+            _, _, _, px = decode_gif_pixels(payload)
         assert (f.mean_r, f.mean_g, f.mean_b) == (px[0], px[1], px[2])
 
 
