@@ -109,6 +109,24 @@ def quality_scores(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id", *quality_score_cols())
 
 
+def source_quality(docs: DataFrame) -> DataFrame:
+    """Per-source (domain) quality rollup: document count and mean
+    quality score — the stat domain-level corpus filtering keys on
+    (keep/boost/drop whole sources by aggregate quality). One shuffle
+    keyed by source with map-side combine.
+
+    The mean is engine-exact: the 6-decimal quality scores are summed
+    as integer micros (lossless) and ONE IEEE division produces the
+    mean, so Spark and the SQL oracle emit bit-identical doubles with
+    no rounding-boundary sensitivity."""
+    q = docs.select("source", *quality_score_cols())
+    micro = F.round(F.col("quality") * F.lit(1e6)).cast("long")
+    return q.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        (F.sum(micro) / (F.count("*") * F.lit(1e6))).alias("avg_quality"),
+    )
+
+
 def lang_id_cols() -> list[F.Column]:
     """Column expressions for language ID (the repeated regexp-count
     subtrees inside ``lang_pred`` are evaluated once per row by

@@ -88,18 +88,11 @@ sh AS (
 
 _STOP_EN = tx.STOPWORDS["en"]
 
-
-@register(
-    "text_profile",
-    f"""
-    WITH toks AS (
-        SELECT doc_id,
-               len(regexp_split_to_array(trim(text), '\\s+')) AS ws_tokens,
-               len(regexp_extract_all(text, '{tx.BPE_PATTERN}')) AS bpe_tokens,
-               length(text) AS chars
-        FROM documents),
-    qual AS (
-        SELECT doc_id, len_credit, stop_ratio, punct_ratio, digit_ratio,
+# Per-document quality CTE (mirrors text.quality_score_cols) — shared by
+# the text_profile oracle and the text_terms source-quality rollup.
+_QUAL_CTE = f"""qual AS (
+        SELECT doc_id, source,
+               len_credit, stop_ratio, punct_ratio, digit_ratio,
           CAST(ROUND(
                 {tx.QUALITY_WEIGHTS['w_len']}::DECIMAL(4,2)
                   * len_credit::DECIMAL(18,6)
@@ -111,7 +104,7 @@ _STOP_EN = tx.STOPWORDS["en"]
               + {tx.QUALITY_WEIGHTS['w_digit']}::DECIMAL(4,2)
                   * digit_ratio::DECIMAL(18,6), 6) AS DOUBLE) AS quality
         FROM (
-          SELECT doc_id,
+          SELECT doc_id, source,
             ROUND(LEAST(length(text)/500.0e0, 1.0e0), 6) AS len_credit,
             ROUND(len(regexp_extract_all(lower(text), '\\b({_STOP_EN})\\b'))
               / CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS DOUBLE),
@@ -120,7 +113,19 @@ _STOP_EN = tx.STOPWORDS["en"]
               / CAST(length(text) AS DOUBLE), 6) AS punct_ratio,
             ROUND(len(regexp_extract_all(text, '{tx.DIGIT_PATTERN}'))
               / CAST(length(text) AS DOUBLE), 6) AS digit_ratio
-          FROM documents)),
+          FROM documents))"""
+
+
+@register(
+    "text_profile",
+    f"""
+    WITH toks AS (
+        SELECT doc_id,
+               len(regexp_split_to_array(trim(text), '\\s+')) AS ws_tokens,
+               len(regexp_extract_all(text, '{tx.BPE_PATTERN}')) AS bpe_tokens,
+               length(text) AS chars
+        FROM documents),
+    {_QUAL_CTE},
     ttr AS (
         SELECT doc_id,
                len(w) AS total_tokens,
@@ -525,7 +530,8 @@ def sample_split(spark, sf_dir):
                      6) AS tfidf
         FROM counts c JOIN doc_len l USING (doc_id)
         JOIN dfreq d USING (token) CROSS JOIN n),
-    dtok AS (SELECT doc_id, unnest(list_distinct(w)) AS token FROM words)
+    dtok AS (SELECT doc_id, unnest(list_distinct(w)) AS token FROM words),
+    {_QUAL_CTE}
     SELECT 'tfidf_top' AS scope, doc_id, token AS term, tfidf AS score
     FROM (
         SELECT *, row_number() OVER (
@@ -537,14 +543,20 @@ def sample_split(spark, sf_dir):
         SELECT token, COUNT(*) AS df FROM dtok
         WHERE length(token) >= 3
         GROUP BY token ORDER BY df DESC, token LIMIT 20)
+    UNION ALL
+    SELECT 'source_quality', CAST(NULL AS BIGINT), source,
+           SUM(CAST(ROUND(quality * 1000000) AS BIGINT))
+             / (COUNT(*) * 1000000.0)
+    FROM qual GROUP BY source
     """,
 )
 def text_terms(spark, sf_dir):
-    """Term statistics as one tagged union: each document's most
-    characteristic term by smoothed TF-IDF (deterministic lexicographic
-    tie-break), plus the corpus top-20 terms by document frequency
-    (per-doc distinct before the explode; deterministic k-th-place
-    tie-break)."""
+    """Corpus-level statistics as one tagged union: each document's
+    most characteristic term by smoothed TF-IDF (deterministic
+    lexicographic tie-break), the corpus top-20 terms by document
+    frequency (per-doc distinct before the explode; deterministic
+    k-th-place tie-break), and the per-source mean-quality rollup
+    (micro-integer-summed so the mean is engine-exact)."""
     docs = _docs(spark, sf_dir)
     tfidf = tx.tfidf_top_term(docs).select(
         F.lit("tfidf_top").alias("scope"),
@@ -558,7 +570,13 @@ def text_terms(spark, sf_dir):
         F.col("token").alias("term"),
         F.col("df").cast("double").alias("score"),
     )
-    return tfidf.unionByName(corpus)
+    srcq = tx.source_quality(docs).select(
+        F.lit("source_quality").alias("scope"),
+        F.lit(None).cast("long").alias("doc_id"),
+        F.col("source").alias("term"),
+        F.col("avg_quality").alias("score"),
+    )
+    return tfidf.unionByName(corpus).unionByName(srcq)
 
 
 # ---------------------------------------------------------------------------

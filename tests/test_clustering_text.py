@@ -179,3 +179,23 @@ def test_benchmark_collisions_broadcasts_bench_side(spark):
     bench = _docs(spark, ["a b c"])
     plan = benchmark_collisions(docs, bench)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_source_quality_rollup(spark):
+    docs = spark.createDataFrame(
+        [
+            (0, "the quick brown fox and the hen", "a"),
+            (1, "x" * 600, "a"),
+            (2, "nine 9 9 9 !!!", "b"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    from sensapp_spark.pipeline.text import quality_scores, source_quality
+
+    per_doc = {r.doc_id: r.quality for r in quality_scores(docs).collect()}
+    out = {r.source: r for r in source_quality(docs).collect()}
+    assert out["a"].n_docs == 2 and out["b"].n_docs == 1
+    # micro-integer mean: exact to the last bit of one IEEE division
+    exp_a = (round(per_doc[0] * 1e6) + round(per_doc[1] * 1e6)) / (2 * 1e6)
+    assert out["a"].avg_quality == exp_a
+    assert out["b"].avg_quality == round(per_doc[2] * 1e6) / 1e6
