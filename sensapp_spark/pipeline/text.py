@@ -280,6 +280,22 @@ def type_token_ratio(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id", words_col()).select("doc_id", *ttr_cols())
 
 
+def spread_if_needed(docs: DataFrame) -> DataFrame:
+    """Repartition a below-core-count scan up to full parallelism before
+    CPU-heavy per-row work (regex + n-gram HOFs) — same size-aware probe
+    as ``dedup._tokenized``: at real scale the file layout already
+    yields enough splits and no shuffle is added; on a small demo file
+    the one-task plan serializes the per-row work (measured 4x at
+    sf0.1 for the fused profile)."""
+    from sensapp_spark.pipeline.dedup import scan_needs_spread
+
+    if scan_needs_spread(docs):
+        return docs.repartition(
+            docs.sparkSession.sparkContext.defaultParallelism
+        )
+    return docs
+
+
 def word_ngrams(words: F.Column, n: int) -> F.Column:
     """Array of word n-grams over an ``array<string>`` column; empty for
     inputs shorter than ``n`` (guards ``sequence``'s descending-range
@@ -318,7 +334,8 @@ def repetition_signals(docs: DataFrame) -> DataFrame:
     multiply referenced.
     """
     return (
-        docs.select("doc_id", words_col())
+        spread_if_needed(docs)
+        .select("doc_id", words_col())
         .select("doc_id", *gram_cols())
         .select("doc_id", *repetition_cols())
     )

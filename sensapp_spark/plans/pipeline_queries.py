@@ -173,8 +173,10 @@ def text_profile(spark, sf_dir):
     join-of-four-projections shape re-scanned the corpus 4x and
     broadcast 3 frames; at 100 TB the broadcasts would flip to shuffled
     joins). The token and gram arrays materialize in their own inner
-    stages (see ``repetition_signals`` for why)."""
-    docs = _docs(spark, sf_dir)
+    stages (see ``repetition_signals`` for why), and a below-core-count
+    scan spreads to full parallelism before the per-row HOF work
+    (``spread_if_needed`` — no-op at real scale)."""
+    docs = tx.spread_if_needed(_docs(spark, sf_dir))
     staged = docs.select("doc_id", "text", tx.words_col()).select(
         "doc_id", "text", F.col("__words"), *tx.gram_cols()
     )
@@ -250,7 +252,7 @@ def text_signals(spark, sf_dir):
     Language/fingerprint/PII fuse into one narrow projection over one
     scan (see ``text_profile``); the decontam frame is the only join
     (its count is a doc_id-keyed aggregation with map-side combine)."""
-    docs = _docs(spark, sf_dir)
+    docs = tx.spread_if_needed(_docs(spark, sf_dir))
     out = tx.with_pii_flag(
         docs.select(
             "doc_id",
