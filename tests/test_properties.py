@@ -154,3 +154,39 @@ def test_sensor_uuid_name_prefix_property(name):
     a = sensor_uuid(name, SensorType.FLOAT, None, {"k": "1"})
     b = sensor_uuid(name, SensorType.INTEGER, "unit", {"k": "2"})
     assert a[:8] == b[:8]
+
+
+# ---------------------------------------------------------------------------
+# GIF LZW codec round-trip (pipeline/multimodal.py)
+# ---------------------------------------------------------------------------
+
+@settings(max_examples=60, deadline=None)
+@given(
+    w=st.integers(min_value=1, max_value=40),
+    h=st.integers(min_value=1, max_value=12),
+    n_colors=st.integers(min_value=2, max_value=16),
+    data=st.data(),
+    interlace=st.booleans(),
+)
+def test_gif_lzw_roundtrip_arbitrary_frames(w, h, n_colors, data, interlace):
+    """Any index frame over any small palette must survive the full
+    container encode (test encoder) → decode (real decoder) cycle,
+    including variable code-width growth and interlaced row order."""
+    from tests.test_multimodal import make_gif_full
+
+    from sensapp_spark.pipeline.multimodal import decode_gif_pixels
+
+    palette = [(i * 17 % 256, i * 29 % 256, i * 43 % 256)
+               for i in range(n_colors)]
+    idx = bytes(
+        data.draw(
+            st.lists(
+                st.integers(min_value=0, max_value=n_colors - 1),
+                min_size=w * h, max_size=w * h,
+            )
+        )
+    )
+    payload = make_gif_full(w, h, idx, palette, interlace=interlace)
+    got_w, got_h, ch, px = decode_gif_pixels(payload)
+    assert (got_w, got_h, ch) == (w, h, 3)
+    assert px == b"".join(bytes(palette[i]) for i in idx)
