@@ -24,7 +24,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from sensapp_spark.pipeline.text import normalized_text, word_ngrams
+from sensapp_spark.pipeline.text import (
+    normalized_text,
+    spread_if_needed,
+    word_ngrams,
+)
 
 DEFAULT_NGRAM = 3  # word shingles
 DEFAULT_MINHASH_K = 16
@@ -118,12 +122,7 @@ def _tokenized(docs: DataFrame) -> DataFrame:
     parallelism and no shuffle is added. The probe is listing-only —
     unlike ``rdd.getNumPartitions()`` it does not materialize an RDD
     handle or force plan analysis on the hot path."""
-    out = docs
-    if scan_needs_spread(docs):
-        out = out.repartition(
-            docs.sparkSession.sparkContext.defaultParallelism
-        )
-    return out.select(
+    return spread_if_needed(docs).select(
         "doc_id",
         F.split(F.trim(normalized_text(F.col("text"))), r"\s+").alias("words"),
     )
@@ -181,12 +180,11 @@ def attach_collisions(
 ) -> DataFrame:
     """Left-join collision counts onto a per-document frame, filling
     zero for collision-free documents and deriving ``contaminated``."""
-    n_coll = F.coalesce(F.col("n_collisions"), F.lit(0))
     return (
         per_doc.join(hits, "doc_id", "left")
-        .withColumn("__n", n_coll)
-        .drop("n_collisions")
-        .withColumnRenamed("__n", "n_collisions")
+        .withColumn(
+            "n_collisions", F.coalesce(F.col("n_collisions"), F.lit(0))
+        )
         .withColumn("contaminated", F.col("n_collisions") >= threshold)
     )
 

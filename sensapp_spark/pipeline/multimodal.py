@@ -298,6 +298,8 @@ def decode_gif_pixels(payload: bytes) -> tuple[int, int, int, bytes]:
     through the palette, which is what mean-color features want."""
     if payload[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF")
+    if len(payload) < 14:
+        raise ValueError("GIF truncated inside the screen descriptor")
     gct = None
     packed = payload[10]
     pos = 13
@@ -319,6 +321,8 @@ def decode_gif_pixels(payload: bytes) -> tuple[int, int, int, bytes]:
         if block != 0x2C:
             raise ValueError(f"unknown GIF block 0x{block:02x}")
         # Image descriptor.
+        if pos + 9 > len(payload):
+            raise ValueError("GIF truncated inside the image descriptor")
         w, h = struct.unpack("<HH", payload[pos + 4 : pos + 8])
         ipacked = payload[pos + 8]
         pos += 9
@@ -329,6 +333,8 @@ def decode_gif_pixels(payload: bytes) -> tuple[int, int, int, bytes]:
             pos += 3 * n
         if ct is None:
             raise ValueError("GIF image has no color table")
+        if pos >= len(payload):
+            raise ValueError("GIF truncated before the LZW stream")
         min_code_size = payload[pos]
         pos += 1
         chunks = bytearray()
@@ -579,15 +585,9 @@ def attach_binary(docs: DataFrame, spread: bool = False) -> DataFrame:
     no-op, and on small demo inputs the shuffle + per-partition Python
     worker spin-up costs far more than the header parse saves."""
     if spread:
-        # Size-aware split estimate (scan_needs_spread): listing-only,
-        # no RDD materialization, and a single large splittable file is
-        # not needlessly shuffled.
-        from sensapp_spark.pipeline.dedup import scan_needs_spread
+        from sensapp_spark.pipeline.text import spread_if_needed
 
-        if scan_needs_spread(docs):
-            docs = docs.repartition(
-                docs.sparkSession.sparkContext.defaultParallelism
-            )
+        docs = spread_if_needed(docs)
     text = F.col("text")
     width = _md5_byte(text, 0) % 192 + 64
     # Constant-color scanline: RGB from md5 bytes 3..5 (byte 1 fed the

@@ -138,9 +138,27 @@ def embedding_neardup_pairs(
         bucket_expr(F.col("embedding"), planes).alias("bucket"),
     )
 
-    def scored(left, right):
+    def scored(left, n_rows: int | None = None):
+        # Join-strategy choice matters enormously here: the bucket key
+        # has only 2^n_planes distinct values, so a shuffled join (SMJ
+        # or SHJ) serializes each bucket's quadratic expansion onto ONE
+        # reducer — measured 6x slower than broadcasting the build side,
+        # where the expansion parallelizes across the probe side's input
+        # partitions. When the probe told us the row count, broadcast a
+        # bounded build side (the guarded clique side always is bounded,
+        # by 2^n_planes * max_bucket); fall back to shuffle_hash (never
+        # a sort of the expanded stream) when it is not — at that corpus
+        # size the plane count should be raised anyway, which restores
+        # reducer parallelism via bucket count. With no count
+        # (max_bucket=None exact path), the planner/AQE decides.
+        if n_rows is None:
+            right = left
+        elif n_rows * (dim * 8 + 32) < (64 << 20):
+            right = F.broadcast(left)
+        else:
+            right = left.hint("shuffle_hash")
         return (
-            left.join(right, "bucket")
+            left.alias("a").join(right.alias("b"), "bucket")
             .filter(F.col("a.vec_id") < F.col("b.vec_id"))
             .select(
                 F.col("a.vec_id").alias("vec_a"),
@@ -153,7 +171,7 @@ def embedding_neardup_pairs(
         )
 
     if max_bucket is None:
-        return scored(bucketed.alias("a"), bucketed.alias("b"))
+        return scored(bucketed)
 
     # Bucket occupancy via aggregation + broadcast, NOT a window: there
     # are at most 2^n_planes buckets, so the size frame is tiny, the
@@ -171,14 +189,23 @@ def embedding_neardup_pairs(
     # it emitted zero star edges, and one extra pass over the vectors
     # is far cheaper than that overhead on the quadratic join it
     # guards. Same driver-side adaptivity precedent as
-    # ``neardup_components``'s threshold probe.
-    if (sizes.agg(F.max("sz").alias("m")).first().m or 0) <= max_bucket:
-        return scored(bucketed.alias("a"), bucketed.alias("b"))
-    sized = bucketed.join(F.broadcast(sizes), "bucket")
+    # ``neardup_components``'s threshold probe. The probe COLLECTS the
+    # tiny size frame so the guarded branch rebuilds it as a local
+    # relation instead of re-scanning the vectors a second time.
+    size_rows = sizes.collect()
+    if max((r.sz for r in size_rows), default=0) <= max_bucket:
+        return scored(bucketed, sum(r.sz for r in size_rows))
+    sizes_local = embeddings.sparkSession.createDataFrame(
+        [(r.bucket, r.sz, r.hub) for r in size_rows],
+        "bucket int, sz bigint, hub bigint",
+    )
+    sized = bucketed.join(F.broadcast(sizes_local), "bucket")
     small = sized.filter(F.col("sz") <= max_bucket).select(
         "vec_id", "emb", "bucket"
     )
-    clique = scored(small.alias("a"), small.alias("b"))
+    clique = scored(
+        small, sum(r.sz for r in size_rows if r.sz <= max_bucket)
+    )
     big = sized.filter(F.col("sz") > max_bucket)
     hubs = big.filter(F.col("vec_id") == F.col("hub")).select(
         "bucket", F.col("vec_id").alias("vec_a"), F.col("emb").alias("h_emb")
@@ -186,7 +213,10 @@ def embedding_neardup_pairs(
     star = (
         big.filter(F.col("vec_id") != F.col("hub"))
         .select("bucket", F.col("vec_id").alias("vec_b"), "emb")
-        .join(hubs, "bucket")
+        # hubs is one row per oversized bucket — always tiny; without
+        # the hint this planned as a sort-merge join of the big-bucket
+        # members.
+        .join(F.broadcast(hubs), "bucket")
         .select(
             "vec_a",
             "vec_b",

@@ -252,17 +252,19 @@ def text_signals(spark, sf_dir):
     Language/fingerprint/PII fuse into one narrow projection over one
     scan (see ``text_profile``); the decontam frame is the only join
     (its count is a doc_id-keyed aggregation with map-side combine)."""
-    docs = tx.spread_if_needed(_docs(spark, sf_dir))
+    raw = _docs(spark, sf_dir)
     out = tx.with_pii_flag(
-        docs.select(
+        tx.spread_if_needed(raw).select(
             "doc_id",
             *tx.lang_id_cols(),
             *tx.fingerprint_cols(),
             *tx.pii_count_cols(),
         )
     )
-    bench = docs.filter(F.col("doc_id") % 97 == 0)
-    hits = dd.benchmark_collision_hits(docs, bench, n=3)
+    # The gram path spreads inside dedup._tokenized — hand it the raw
+    # scan so the corpus is not repartitioned twice.
+    bench = raw.filter(F.col("doc_id") % 97 == 0)
+    hits = dd.benchmark_collision_hits(raw, bench, n=3)
     return dd.attach_collisions(out, hits, threshold=2)
 
 

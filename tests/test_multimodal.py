@@ -84,10 +84,11 @@ def lzw_encode(indices: bytes, min_code_size: int) -> bytes:
             buf = nxt
             continue
         emit(table[buf])
-        table[nxt] = next_code
-        next_code += 1
-        if next_code > (1 << code_size) and code_size < 12:
-            code_size += 1
+        if next_code < 4096:  # freeze at the 12-bit cap (deferred clear)
+            table[nxt] = next_code
+            next_code += 1
+            if next_code > (1 << code_size) and code_size < 12:
+                code_size += 1
         buf = bytes([c])
     if buf:
         emit(table[buf])
@@ -367,6 +368,16 @@ def test_gif_interlaced():
     )
     assert (w, h) == (2, 9)
     assert px == b"".join(bytes(pal[r % 2]) * 2 for r in range(9))
+
+
+def test_gif_truncation_raises_value_error_everywhere():
+    # Every truncation point must surface as ValueError (the
+    # decode_pixels error contract), never IndexError/struct.error.
+    pal = [(1, 2, 3), (4, 5, 6)]
+    full = make_gif_full(16, 16, bytes(256), pal)
+    for cut in range(7, len(full), 11):
+        with pytest.raises(ValueError):
+            decode_gif_pixels(full[:cut])
 
 
 def test_gif_truncated_pixel_data_raises():
