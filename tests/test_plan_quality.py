@@ -307,3 +307,28 @@ def test_embedding_bucket_guard_bounds_pairs(spark):
     # connectivity edges — here the vectors are near-identical, so the
     # cosines are ~1 regardless).
     assert guarded.filter(F.col("cosine") > 0.99).count() == n - 1
+
+
+def test_registry_wide_join_shapes(spark):
+    """Every registry entry's executed plan must stay free of cartesian
+    products, and SortMergeJoin / nested-loop joins may only appear on
+    the known-sound allowlist (SMJ on high-cardinality keys;
+    text_terms' intentional broadcast 1-row scalar cross join). This
+    pins the whole registry against the class of regression where a
+    planner choice serializes a quadratic expansion onto one reducer
+    (caught live on the embedding clique join at 10x)."""
+    import __spark_entry__ as mod
+
+    allowed_smj = {"virtual_sensor_join", "gapfill_1h"}
+    allowed_bnlj = {"text_terms"}
+    sf = "/root/testdata/sf0.001"
+    offences = []
+    for name, fn in mod.queries().items():
+        plan = fn(spark, sf)._jdf.queryExecution().executedPlan().toString()
+        if "CartesianProduct" in plan:
+            offences.append(f"{name}: CartesianProduct")
+        if "SortMergeJoin" in plan and name not in allowed_smj:
+            offences.append(f"{name}: SortMergeJoin")
+        if "BroadcastNestedLoopJoin" in plan and name not in allowed_bnlj:
+            offences.append(f"{name}: BroadcastNestedLoopJoin")
+    assert not offences, offences
