@@ -54,15 +54,18 @@ def cosine_topk(
 # Random-hyperplane LSH
 # --------------------------------------------------------------------------
 
-def hyperplanes(n_planes: int, dim: int) -> list[list[float]]:
+def hyperplanes(n_planes: int, dim: int, table: int = 0) -> list[list[float]]:
     """Deterministic pseudo-random hyperplanes in [-1, 1): component (p, d)
     = md5("p:d") scaled. Reproducible in SQL: the oracle inlines the same
-    constants."""
+    constants. ``table`` salts the constants so multi-table LSH gets
+    independent plane sets; table 0 keeps the original unsalted keys so
+    existing bucket assignments (and oracles) are unchanged."""
     planes = []
     for p in range(n_planes):
         row = []
         for d in range(dim):
-            h = int(hashlib.md5(f"{p}:{d}".encode()).hexdigest()[:8], 16)
+            key = f"{p}:{d}" if table == 0 else f"t{table}:{p}:{d}"
+            h = int(hashlib.md5(key.encode()).hexdigest()[:8], 16)
             row.append(round(h / 0x100000000 * 2 - 1, 6))
         planes.append(row)
     return planes
@@ -236,18 +239,38 @@ def hyperplane_lsh_topk(
     k: int = 10,
     n_planes: int = 4,
     multiprobe: bool = True,
+    n_tables: int = 1,
 ) -> DataFrame:
-    """Approximate top-k: exact cosine *within* the query's LSH bucket
-    (plus Hamming-1 neighbor buckets when ``multiprobe``)."""
+    """Approximate top-k: exact cosine over the union of the query's
+    LSH bucket candidates (plus Hamming-1 neighbor buckets when
+    ``multiprobe``) across ``n_tables`` independent plane sets.
+
+    Multiple tables are the standard recall lever orthogonal to
+    multiprobe: a true neighbor missed by one table's partition is
+    found by another with independent planes, while each table still
+    prunes to (1 + n_planes)/2^n_planes of the corpus. The candidate
+    predicate is a single OR over per-table bucket membership, so the
+    whole thing stays ONE map-only scan + TakeOrdered regardless of
+    table count; with a bucket-partitioned layout the probe lists
+    become partition pruning instead of a scan filter. The reported
+    ``bucket`` column is table 0's (output schema is table-count
+    independent)."""
     dim = len(query)
-    planes = hyperplanes(n_planes, dim)
-    qb = query_bucket(query, planes)
-    probes = [qb] + ([qb ^ (1 << i) for i in range(n_planes)] if multiprobe else [])
     q = F.array(*[F.lit(float(x)) for x in query])
-    bucketed = embeddings.withColumn(
-        "bucket", bucket_expr(F.col("embedding"), planes)
-    )
-    candidates = bucketed.filter(F.col("bucket").isin(probes))
+    cond = None
+    bucket0 = None
+    for t in range(n_tables):
+        planes = hyperplanes(n_planes, dim, table=t)
+        qb = query_bucket(query, planes)
+        probes = [qb] + (
+            [qb ^ (1 << i) for i in range(n_planes)] if multiprobe else []
+        )
+        b = bucket_expr(F.col("embedding"), planes)
+        if t == 0:
+            bucket0 = b
+        member = b.isin(probes)
+        cond = member if cond is None else (cond | member)
+    candidates = embeddings.withColumn("bucket", bucket0).filter(cond)
     scored = candidates.select(
         "vec_id",
         "bucket",
