@@ -109,6 +109,49 @@ def quality_scores(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id", *quality_score_cols())
 
 
+def chunk_plan(
+    docs: DataFrame, chunk_tokens: int = 64, overlap: int = 16
+) -> DataFrame:
+    """Token-window chunking with overlap — the segmentation every
+    pretraining / RAG pipeline applies to long documents before
+    tokenization: windows of ``chunk_tokens`` tokens starting every
+    ``chunk_tokens - overlap`` tokens (the final window may be short;
+    a document shorter than one window is a single chunk).
+
+    Returns (doc_id, chunk_idx, token_start, n_tokens, chunk_fp) where
+    ``chunk_fp`` is the md5 of the space-joined chunk text — the
+    content fingerprint downstream chunk-level dedup keys on.
+
+    Plan shape: the window starts are a bounded JVM ``sequence`` and
+    the chunk text a per-row ``slice`` + ``concat_ws`` — one
+    posexplode, no shuffle, chunks co-partitioned with their source
+    document (the text analog of ``multimodal.frame_sample_plan``)."""
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    step = chunk_tokens - overlap
+    staged = spread_if_needed(docs).select("doc_id", words_col())
+    words = F.col("__words")
+    n = F.size(words)
+    # Window starts: 0, step, 2*step, ... while start < n; guarantee at
+    # least one window, and never start a window that only re-covers
+    # the tail of the previous one (start + overlap >= n stops).
+    last_start = F.greatest(
+        F.lit(0), F.floor((n - F.lit(overlap + 1)) / step).cast("int") * step
+    )
+    starts = F.sequence(F.lit(0), last_start, F.lit(step))
+    exploded = staged.select(
+        "doc_id", words.alias("__w"), F.posexplode(starts).alias("chunk_idx", "token_start")
+    )
+    chunk = F.slice(F.col("__w"), F.col("token_start") + 1, chunk_tokens)
+    return exploded.select(
+        "doc_id",
+        "chunk_idx",
+        F.col("token_start").cast("long").alias("token_start"),
+        F.size(chunk).cast("long").alias("n_tokens"),
+        F.md5(F.concat_ws(" ", chunk)).alias("chunk_fp"),
+    )
+
+
 def source_quality(docs: DataFrame) -> DataFrame:
     """Per-source (domain) quality rollup: document count and mean
     quality score — the stat domain-level corpus filtering keys on

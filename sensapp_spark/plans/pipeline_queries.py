@@ -896,10 +896,13 @@ def multimodal_features(spark, sf_dir):
 
 @register(
     "multimodal_frames",
-    """
-    SELECT doc_id AS media_id,
-           frame_idx,
-           (frame_idx * 1000) // 24 AS frame_ts_ms
+    f"""
+    SELECT 'frame' AS scope,
+           doc_id AS media_id,
+           frame_idx AS idx,
+           (frame_idx * 1000) // 24 AS pos,
+           CAST(NULL AS BIGINT) AS n_tokens,
+           CAST(NULL AS VARCHAR) AS fp
     FROM (
         SELECT doc_id,
                unnest(generate_series(0, n_frames - 1, 10)) AS frame_idx
@@ -908,17 +911,53 @@ def multimodal_features(spark, sf_dir):
                    1 + ('0x' || substring(md5(text), 5, 2))::INT % 240
                        AS n_frames
             FROM documents))
+    UNION ALL
+    SELECT 'chunk', doc_id, token_start // 48, token_start,
+           len(chunk), md5(array_to_string(chunk, ' '))
+    FROM (
+        SELECT doc_id, token_start,
+               list_slice(w, token_start + 1, token_start + 64) AS chunk
+        FROM (
+            SELECT doc_id, w,
+                   unnest(generate_series(
+                       0,
+                       GREATEST(0, CAST(FLOOR((len(w) - 17)::DOUBLE / 48)
+                                        AS INT) * 48),
+                       48)) AS token_start
+            FROM (SELECT doc_id, {_WORDS_SQL} AS w FROM documents)))
     """,
 )
 def multimodal_frames(spark, sf_dir):
-    """Metadata-driven video frame sampling: every 10th frame index with
-    its integer-ms presentation timestamp — a bounded JVM sequence
-    explode, frames co-partitioned with their source media (the per-
-    frame pixel decode would attach ``decode_pixels`` in production)."""
+    """Content segmentation plans as one tagged union — the sampling
+    step long inputs go through before per-segment decode/tokenize:
+
+    * ``frame``: metadata-driven video frame sampling (every 10th frame
+      index with its integer-ms presentation timestamp) — a bounded JVM
+      sequence explode, frames co-partitioned with their source media
+      (the per-frame pixel decode would attach ``decode_pixels`` in
+      production).
+    * ``chunk``: token-window document chunking, 64-token windows with
+      16-token overlap (``text.chunk_plan``) — one posexplode, chunks
+      co-partitioned with their document, md5 content fingerprint per
+      chunk for downstream chunk-level dedup.
+    """
     media = mm.attach_video_meta(_docs(spark, sf_dir), fps=24)
-    out = mm.frame_sample_plan(media, every_n=10)
-    return out.select(
+    frames = mm.frame_sample_plan(media, every_n=10).select(
+        F.lit("frame").alias("scope"),
         "media_id",
-        F.col("frame_idx").cast("long").alias("frame_idx"),
-        F.col("frame_ts_ms").cast("long").alias("frame_ts_ms"),
+        F.col("frame_idx").cast("long").alias("idx"),
+        F.col("frame_ts_ms").cast("long").alias("pos"),
+        F.lit(None).cast("long").alias("n_tokens"),
+        F.lit(None).cast("string").alias("fp"),
     )
+    chunks = tx.chunk_plan(
+        _docs(spark, sf_dir), chunk_tokens=64, overlap=16
+    ).select(
+        F.lit("chunk").alias("scope"),
+        F.col("doc_id").alias("media_id"),
+        F.col("chunk_idx").cast("long").alias("idx"),
+        F.col("token_start").alias("pos"),
+        "n_tokens",
+        F.col("chunk_fp").alias("fp"),
+    )
+    return frames.unionByName(chunks)

@@ -199,3 +199,53 @@ def test_source_quality_rollup(spark):
     exp_a = (round(per_doc[0] * 1e6) + round(per_doc[1] * 1e6)) / (2 * 1e6)
     assert out["a"].avg_quality == exp_a
     assert out["b"].avg_quality == round(per_doc[2] * 1e6) / 1e6
+
+
+def test_chunk_plan_windows_and_overlap(spark):
+    from sensapp_spark.pipeline.text import chunk_plan
+
+    # 10 tokens, window 4, overlap 1 -> step 3: starts 0,3,6 (start 9
+    # would only re-cover the tail: 9+overlap >= 10).
+    docs = _docs(spark, [" ".join(f"w{i}" for i in range(10))])
+    out = sorted(
+        chunk_plan(docs, chunk_tokens=4, overlap=1).collect(),
+        key=lambda r: r.chunk_idx,
+    )
+    assert [(r.chunk_idx, r.token_start, r.n_tokens) for r in out] == [
+        (0, 0, 4), (1, 3, 4), (2, 6, 4),
+    ]
+    # fingerprints are over the actual chunk text
+    import hashlib
+
+    assert out[0].chunk_fp == hashlib.md5(b"w0 w1 w2 w3").hexdigest()
+    assert out[2].chunk_fp == hashlib.md5(b"w6 w7 w8 w9").hexdigest()
+
+
+def test_chunk_plan_short_doc_single_chunk(spark):
+    from sensapp_spark.pipeline.text import chunk_plan
+
+    docs = _docs(spark, ["just three words", "one"])
+    out = chunk_plan(docs, chunk_tokens=64, overlap=16).collect()
+    got = {r.doc_id: (r.chunk_idx, r.token_start, r.n_tokens) for r in out}
+    assert len(out) == 2
+    assert got[0] == (0, 0, 3)
+    assert got[1] == (0, 0, 1)
+
+
+def test_chunk_plan_exact_multiple_no_empty_tail(spark):
+    from sensapp_spark.pipeline.text import chunk_plan
+
+    # 8 tokens, window 4, overlap 0 -> exactly two full windows, and no
+    # third window starting at 8 (empty).
+    docs = _docs(spark, [" ".join("abcdefgh")])
+    out = chunk_plan(docs, chunk_tokens=4, overlap=0).collect()
+    assert sorted((r.token_start, r.n_tokens) for r in out) == [(0, 4), (4, 4)]
+
+
+def test_chunk_plan_rejects_bad_overlap(spark):
+    import pytest as _pytest
+
+    from sensapp_spark.pipeline.text import chunk_plan
+
+    with _pytest.raises(ValueError):
+        chunk_plan(_docs(spark, ["a b"]), chunk_tokens=4, overlap=4)
