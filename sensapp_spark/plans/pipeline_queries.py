@@ -275,14 +275,52 @@ def text_signals(spark, sf_dir):
 @register(
     "dedup_exact_docs",
     f"""
-    SELECT md5({_NORM_SQL}) AS fp, MIN(doc_id) AS keep_doc_id,
-           COUNT(*) AS copies
-    FROM documents GROUP BY 1
+    SELECT 'doc' AS scope, md5({_NORM_SQL}) AS fp,
+           MIN(doc_id) AS keep_doc_id, COUNT(*) AS copies
+    FROM documents GROUP BY 2
+    UNION ALL
+    SELECT 'chunk', fp, MIN(doc_id), COUNT(*)
+    FROM (
+        SELECT doc_id,
+               md5(array_to_string(
+                   list_slice(w, token_start + 1, token_start + 64), ' '))
+               AS fp
+        FROM (
+            SELECT doc_id, w,
+                   unnest(generate_series(
+                       0,
+                       GREATEST(0, CAST(FLOOR((len(w) - 17)::DOUBLE / 48)
+                                        AS INT) * 48),
+                       48)) AS token_start
+            FROM (SELECT doc_id, {_WORDS_SQL} AS w FROM documents)))
+    GROUP BY 2
     """,
 )
 def dedup_exact_docs(spark, sf_dir):
-    """Exact dedup via content-hash groupBy (shuffles 16-byte keys, not text)."""
-    return dedup_exact(_docs(spark, sf_dir))
+    """Exact dedup at both content grains as one tagged union:
+
+    * ``doc``: whole-document content-hash groupBy (shuffles 16-byte
+      keys, not text).
+    * ``chunk``: the same keep-MIN rule over 64/16 token-window chunk
+      fingerprints (``text.chunk_plan``) — span-level dedup, which
+      catches boilerplate shared across otherwise-distinct documents
+      that document-grain dedup misses. Same plan shape: fingerprints
+      computed map-side, one groupBy on the 16-byte key.
+    """
+    docs = _docs(spark, sf_dir)
+    doc_grain = dedup_exact(docs).select(
+        F.lit("doc").alias("scope"), "fp", "keep_doc_id", "copies"
+    )
+    chunk_grain = (
+        tx.chunk_plan(docs, chunk_tokens=64, overlap=16)
+        .groupBy(F.col("chunk_fp").alias("fp"))
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count("*").alias("copies"),
+        )
+        .select(F.lit("chunk").alias("scope"), "fp", "keep_doc_id", "copies")
+    )
+    return doc_grain.unionByName(chunk_grain)
 
 
 # The max_df hot-shingle guard (defaults ON in jaccard_pairs) expressed
