@@ -142,6 +142,10 @@ def main() -> int:
         "benchmark_collisions": lambda: dedup.benchmark_collisions(
             docs, docs.filter(F.col("doc_id") % 970 == 0), n=3
         ),
+        "chunk_plan": lambda: text.chunk_plan(docs),
+        "chunk_dedup": lambda: text.chunk_plan(docs)
+        .groupBy("chunk_fp")
+        .agg(F.min("doc_id").alias("keep"), F.count("*").alias("copies")),
     }
 
     report = {"corpus": {"docs": n_docs, "embeddings": n_emb,
