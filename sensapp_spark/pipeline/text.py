@@ -1,11 +1,13 @@
 """Text-analysis operators over a ``documents(doc_id, text, …)`` table.
 
-All operators are single-pass, shuffle-free Catalyst projections (narrow
-transformations) — at 100 TB they scale linearly with input splits and
-never repartition. The regex patterns are ASCII-explicit so the Java
-(Spark) and RE2 (DuckDB) dialects agree; every pattern/weight constant
-here is imported by the oracle-SQL builder so both engines compute the
-same definition.
+The per-document operators (tokens, quality, language, repetition,
+fingerprint, PII) are single-pass Catalyst projections — at 100 TB they
+scale linearly with input splits; the corpus-level ones shuffle exactly
+once on a small key (term df, source rollup) or posexplode bounded
+per-row output (chunking). The regex patterns are ASCII-explicit so the
+Java (Spark) and RE2 (DuckDB) dialects agree; every pattern/weight
+constant here is imported by the oracle-SQL builder so both engines
+compute the same definition.
 """
 
 from __future__ import annotations
