@@ -432,6 +432,90 @@ def simhash(docs: DataFrame) -> DataFrame:
     return sums.select("doc_id", value.cast("long").alias("simhash"))
 
 
+def simhash_pairs(
+    docs: DataFrame,
+    bands: int = 4,
+    max_hamming: int = 3,
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
+) -> DataFrame:
+    """SimHash near-duplicate pairs via byte banding (the classic
+    Manku/Charikar arrangement): the 32-bit signature splits into
+    ``bands`` 8-bit bands; by pigeonhole, any pair within Hamming
+    distance ``max_hamming < bands`` agrees on at least one whole band,
+    so a (band, key) equality self-join finds every such pair — no
+    all-pairs scan — and the exact Hamming distance (``bit_count`` of
+    the XOR) verifies candidates. Returns (doc_a, doc_b, hamming) with
+    doc_a < doc_b and hamming <= max_hamming.
+
+    ``max_bucket`` is the same mass-duplication star-edge guard as the
+    MinHash-LSH and embedding generators: oversized buckets emit
+    hub→member edges carrying the REAL Hamming distance but NOT
+    distance-filtered (connectivity edges for components). Signatures
+    ride through the band join, so verification costs no extra join."""
+    assert max_hamming < bands, "pigeonhole soundness needs max_hamming < bands"
+    sig = simhash(docs)
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.shiftright(F.col("simhash"), 8 * b)
+            .bitwiseAND(F.lit(255))
+            .alias("key"),
+        )
+        for b in range(bands)
+    ]
+    banded = sig.select(
+        "doc_id", "simhash", F.explode(F.array(*band_structs)).alias("bk")
+    ).select(
+        "doc_id", "simhash", F.col("bk.band").alias("band"),
+        F.col("bk.key").alias("key"),
+    )
+    hamming = F.bit_count(
+        F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    ).cast("long")
+
+    def cliques(frame):
+        a, b = frame.alias("a"), frame.hint("shuffle_hash").alias("b")
+        return (
+            a.join(b, ["band", "key"])
+            .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+            .select(
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+                hamming.alias("hamming"),
+            )
+            .filter(F.col("hamming") <= max_hamming)
+        )
+
+    if max_bucket is None:
+        return cliques(banded).groupBy("doc_a", "doc_b").agg(
+            F.max("hamming").alias("hamming")
+        )
+    bucket_w = Window.partitionBy("band", "key")
+    bs = banded.withColumn("sz", F.count("*").over(bucket_w)).withColumn(
+        "hub", F.min("doc_id").over(bucket_w)
+    ).withColumn("hub_sig", F.min(F.struct("doc_id", "simhash")).over(bucket_w))
+    small = bs.filter(F.col("sz") <= max_bucket).select(
+        "doc_id", "simhash", "band", "key"
+    )
+    star = (
+        bs.filter((F.col("sz") > max_bucket) & (F.col("doc_id") != F.col("hub")))
+        .select(
+            F.col("hub").alias("doc_a"),
+            F.col("doc_id").alias("doc_b"),
+            F.bit_count(
+                F.col("hub_sig.simhash").bitwiseXOR(F.col("simhash"))
+            ).cast("long").alias("hamming"),
+        )
+        # Deliberately NOT distance-filtered: connectivity edges.
+    )
+    return (
+        cliques(small)
+        .unionByName(star)
+        .groupBy("doc_a", "doc_b")
+        .agg(F.max("hamming").alias("hamming"))
+    )
+
+
 def neardup_components(
     pairs: DataFrame,
     max_iterations: int = 20,

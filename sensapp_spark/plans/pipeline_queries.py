@@ -474,20 +474,68 @@ def _simhash_oracle() -> str:
     value = " + ".join(
         f"(CASE WHEN b_{i} > 0 THEN {2**i} ELSE 0 END)" for i in range(SIMHASH_BITS)
     )
+    band_selects = " UNION ALL ".join(
+        f"SELECT doc_id, simhash, {b} AS band, "
+        f"(simhash >> {8 * b}) & 255 AS key FROM sig"
+        for b in range(4)
+    )
     return f"""
     WITH words AS (SELECT doc_id, {_WORDS_SQL} AS w FROM documents),
     tok AS (SELECT doc_id, unnest(w) AS token FROM words),
     h AS (SELECT doc_id,
                  ('0x' || substring(md5(token), 1, 8))::UBIGINT AS h FROM tok),
-    sums AS (SELECT doc_id, {sums} FROM h GROUP BY doc_id)
-    SELECT doc_id, CAST({value} AS BIGINT) AS simhash FROM sums
+    sums AS (SELECT doc_id, {sums} FROM h GROUP BY doc_id),
+    sig AS (SELECT doc_id, CAST({value} AS BIGINT) AS simhash FROM sums),
+    banded AS ({band_selects}),
+    -- max_bucket star-edge guard, mirrored from dedup.simhash_pairs
+    bs AS (
+        SELECT banded.*,
+               COUNT(*) OVER (PARTITION BY band, key) AS sz,
+               MIN(doc_id) OVER (PARTITION BY band, key) AS hub,
+               FIRST_VALUE(simhash) OVER (
+                   PARTITION BY band, key ORDER BY doc_id) AS hub_sig
+        FROM banded),
+    cl AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               bit_count(xor(a.simhash, b.simhash)) AS hamming
+        FROM bs a JOIN bs b ON a.band = b.band AND a.key = b.key
+        WHERE a.sz <= {DEFAULT_MAX_BUCKET} AND a.doc_id < b.doc_id
+          AND bit_count(xor(a.simhash, b.simhash)) <= 3),
+    st AS (
+        SELECT hub AS doc_a, doc_id AS doc_b,
+               bit_count(xor(hub_sig, simhash)) AS hamming
+        FROM bs WHERE sz > {DEFAULT_MAX_BUCKET} AND doc_id <> hub)
+    SELECT 'sig' AS scope, doc_id AS a, CAST(NULL AS BIGINT) AS b,
+           simhash AS val
+    FROM sig
+    UNION ALL
+    SELECT 'pair', doc_a, doc_b, CAST(MAX(hamming) AS BIGINT)
+    FROM (SELECT * FROM cl UNION ALL SELECT * FROM st)
+    GROUP BY 2, 3
     """
 
 
 @register("dedup_simhash", _simhash_oracle())
 def dedup_simhash(spark, sf_dir):
-    """32-bit SimHash per document (Charikar sign aggregation)."""
-    return simhash(_docs(spark, sf_dir))
+    """SimHash as one tagged union: the 32-bit per-document signature
+    (Charikar sign aggregation) AND the near-duplicate pairs it yields
+    via byte banding + exact Hamming verification
+    (``dedup.simhash_pairs`` — pigeonhole-complete for distance <= 3,
+    star-edge guarded against mass duplication)."""
+    docs = _docs(spark, sf_dir)
+    sigs = simhash(docs).select(
+        F.lit("sig").alias("scope"),
+        F.col("doc_id").alias("a"),
+        F.lit(None).cast("long").alias("b"),
+        F.col("simhash").alias("val"),
+    )
+    pairs = dd.simhash_pairs(docs).select(
+        F.lit("pair").alias("scope"),
+        F.col("doc_a").alias("a"),
+        F.col("doc_b").alias("b"),
+        F.col("hamming").alias("val"),
+    )
+    return sigs.unionByName(pairs)
 
 
 # ---------------------------------------------------------------------------

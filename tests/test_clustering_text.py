@@ -249,3 +249,43 @@ def test_chunk_plan_rejects_bad_overlap(spark):
 
     with _pytest.raises(ValueError):
         chunk_plan(_docs(spark, ["a b"]), chunk_tokens=4, overlap=4)
+
+
+def test_simhash_pairs_complete_vs_bruteforce(spark):
+    """Banding must find EXACTLY the pairs within Hamming distance 3
+    (pigeonhole completeness) — verified against an all-pairs replay."""
+    from sensapp_spark.pipeline.dedup import simhash, simhash_pairs
+
+    texts = []
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    words = base.split()
+    for i in range(12):
+        # small perturbations so several signatures land within d<=3
+        t = list(words)
+        t[i % len(t)] = f"mut{i}"
+        texts.append(" ".join(t))
+    texts.append(base)
+    docs = _docs(spark, texts)
+    sigs = {r.doc_id: r.simhash for r in simhash(docs).collect()}
+    expect = set()
+    ids = sorted(sigs)
+    for i in ids:
+        for j in ids:
+            if i < j and bin(sigs[i] ^ sigs[j]).count("1") <= 3:
+                expect.add((i, j, bin(sigs[i] ^ sigs[j]).count("1")))
+    got = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in simhash_pairs(docs, max_bucket=None).collect()
+    }
+    assert got == expect and expect  # non-trivial fixture
+
+
+def test_simhash_pairs_star_guard(spark):
+    from sensapp_spark.pipeline.dedup import simhash_pairs
+
+    n = 30
+    docs = _docs(spark, ["identical duplicated content here"] * n)
+    out = simhash_pairs(docs, max_bucket=10).collect()
+    # star edges: hub(0) -> member, one per member, real hamming 0
+    assert len(out) == n - 1
+    assert all(r.doc_a == 0 and r.hamming == 0 for r in out)
