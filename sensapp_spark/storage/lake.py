@@ -83,6 +83,16 @@ class SensorLake:
         self._atomic_overwrite(merged, path)
 
     def append_values(self, stype: SensorType, df: DataFrame) -> None:
+        # Replicate the reference's publisher policy: non-finite floats
+        # (NaN/±Inf) are silently dropped at write time
+        # (src/storage/sqlite/sqlite_publishers.rs:63-66 — SURVEY §7.4
+        # risk 5, decided as replicate-for-parity so cross-engine row
+        # counts diff clean). Typed columns other than FLOAT cannot
+        # carry non-finite values.
+        if stype is SensorType.FLOAT:
+            df = df.filter(
+                ~F.isnan("value") & (F.abs("value") != float("inf"))
+            )
         (
             df.withColumn(MONTH_COL, F.date_format("time", "yyyy-MM"))
             .write.partitionBy(MONTH_COL)

@@ -122,3 +122,28 @@ def test_very_long_sensor_name(spark, tmp_path):
     assert row.name == long_name and len(row.name) == 1000
     # Deterministic identity: recomputing the UUID gives the same value.
     assert sensor_uuid(long_name, SensorType.FLOAT) == uid
+
+
+def test_nonfinite_floats_dropped_at_publish(spark, tmp_path):
+    """The reference's publisher silently drops NaN/Inf float samples
+    (src/storage/sqlite/sqlite_publishers.rs:63-66) — replicated so
+    cross-engine row counts diff clean (SURVEY §7.4 risk 5)."""
+    lake = SensorLake(spark, str(tmp_path / "lake"))
+    t0 = dt.datetime(2024, 1, 1)
+    lake.publish(
+        _batch(
+            spark,
+            SensorType.FLOAT,
+            "sensor_id string, time timestamp, value double",
+            [
+                ("u1", t0, 1.5),
+                ("u1", t0 + dt.timedelta(seconds=1), float("nan")),
+                ("u1", t0 + dt.timedelta(seconds=2), float("inf")),
+                ("u1", t0 + dt.timedelta(seconds=3), float("-inf")),
+                ("u1", t0 + dt.timedelta(seconds=4), -2.5),
+            ],
+            type_name="Float",
+        )
+    )
+    got = sorted(r.value for r in lake.values(SensorType.FLOAT).collect())
+    assert got == [-2.5, 1.5]
