@@ -190,3 +190,39 @@ def test_gif_lzw_roundtrip_arbitrary_frames(w, h, n_colors, data, interlace):
     got_w, got_h, ch, px = decode_gif_pixels(payload)
     assert (got_w, got_h, ch) == (w, h, 3)
     assert px == b"".join(bytes(palette[i]) for i in idx)
+
+
+# ---------------------------------------------------------------------------
+# Chunk-plan window arithmetic (pipeline/text.py) — pure replay of the
+# closed-form last-start, no Spark session needed
+# ---------------------------------------------------------------------------
+
+@settings(max_examples=200, deadline=None)
+@given(
+    n=st.integers(min_value=1, max_value=5000),
+    chunk=st.integers(min_value=2, max_value=512),
+    data=st.data(),
+)
+def test_chunk_windows_cover_exactly(n, chunk, data):
+    """The closed-form window starts must (a) cover every token,
+    (b) start a window only when it adds new tokens, (c) overlap
+    consecutive windows by exactly `overlap` away from the tail, and
+    (d) emit exactly one window for short documents."""
+    import math
+
+    overlap = data.draw(st.integers(min_value=0, max_value=chunk - 1))
+    step = chunk - overlap
+    last_start = max(0, math.floor((n - overlap - 1) / step) * step)
+    starts = list(range(0, last_start + 1, step))
+    covered = set()
+    prev_end = None
+    for s in starts:
+        end = min(n, s + chunk)
+        assert s < n, f"window starts past the document ({s} >= {n})"
+        if prev_end is not None:
+            assert end > prev_end, "window adds no new tokens"
+        covered.update(range(s, end))
+        prev_end = end
+    assert covered == set(range(n)), "tokens not fully covered"
+    if n <= chunk:
+        assert starts == [0]
