@@ -154,6 +154,60 @@ def chunk_plan(
     )
 
 
+def lm_perplexity(docs: DataFrame, alpha: float = 0.5) -> DataFrame:
+    """Corpus-trained bigram-LM perplexity per document — the classic
+    language-model quality filter (CCNet-style: score each document by
+    how predictable its text is under an n-gram model; gibberish and
+    keyword soup score high perplexity, fluent text low). The LM here
+    is trained on the corpus itself, so the operator is fully
+    self-contained and SQL-expressible.
+
+    Model: add-alpha smoothed bigram probabilities
+    ``P(b|a) = (c(a b) + alpha) / (c(a) + alpha * V)`` with unigram
+    counts as the conditioning mass and V the corpus vocabulary size;
+    ``ppl(doc) = exp(-mean ln P)`` over the document's bigrams (with
+    multiplicity), rounded to 4 decimals. Documents with fewer than two
+    tokens have no bigrams and are absent from the output.
+
+    Scale shape: the LM "tables" are two aggregations (bigram counts,
+    unigram counts — both map-side combined); scoring is one join of
+    the exploded doc-bigram stream against the bigram table keyed by
+    the gram string and one against the prefix unigram — the same
+    shuffle profile as TF-IDF. V is a broadcast one-row scalar. At a
+    real corpus the LM tables are themselves distributed — no driver
+    materialization anywhere."""
+    staged = spread_if_needed(docs).select("doc_id", words_col())
+    words = F.col("__words")
+    doc_bigrams = staged.select(
+        "doc_id", F.explode(word_ngrams(words, 2)).alias("gram")
+    )
+    unigrams = staged.select(F.explode(words).alias("token"))
+    uni_counts = unigrams.groupBy("token").agg(F.count("*").alias("c_a"))
+    vocab = unigrams.agg(
+        F.countDistinct("token").cast("double").alias("v")
+    )
+    bi_counts = doc_bigrams.groupBy("gram").agg(F.count("*").alias("c_ab"))
+    scored = (
+        doc_bigrams.join(bi_counts.hint("shuffle_hash"), "gram")
+        .withColumn("prefix", F.split(F.col("gram"), " ")[0])
+        .join(
+            uni_counts.hint("shuffle_hash"),
+            F.col("prefix") == F.col("token"),
+        )
+        .crossJoin(F.broadcast(vocab))
+        .withColumn(
+            "lp",
+            F.log(
+                (F.col("c_ab") + F.lit(alpha))
+                / (F.col("c_a") + F.lit(alpha) * F.col("v"))
+            ),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.round(F.exp(-F.avg("lp")), 4).alias("perplexity")
+    )
+
+
 def source_quality(docs: DataFrame) -> DataFrame:
     """Per-source (domain) quality rollup: document count and mean
     quality score — the stat domain-level corpus filtering keys on

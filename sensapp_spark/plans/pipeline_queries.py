@@ -638,6 +638,28 @@ def sample_split(spark, sf_dir):
            SUM(CAST(ROUND(quality * 1000000) AS BIGINT))
              / (COUNT(*) * 1000000.0)
     FROM qual GROUP BY source
+    UNION ALL
+    SELECT 'perplexity', doc_id, CAST(NULL AS VARCHAR), perplexity
+    FROM (
+        WITH bigrams AS (
+            SELECT doc_id,
+                   unnest([w[i] || ' ' || w[i+1] FOR i IN range(1, len(w))])
+                   AS gram
+            FROM words WHERE len(w) >= 2),
+        uni AS (
+            SELECT t AS token, COUNT(*) AS c_a
+            FROM (SELECT unnest(w) AS t FROM words) GROUP BY 1),
+        vv AS (
+            SELECT COUNT(DISTINCT t)::DOUBLE AS v
+            FROM (SELECT unnest(w) AS t FROM words)),
+        bi AS (SELECT gram, COUNT(*) AS c_ab FROM bigrams GROUP BY 1)
+        SELECT doc_id,
+               ROUND(exp(-AVG(ln((c_ab + 0.5) / (c_a + 0.5 * v)))), 4)
+               AS perplexity
+        FROM bigrams JOIN bi USING (gram)
+        JOIN uni ON split_part(gram, ' ', 1) = token
+        CROSS JOIN vv
+        GROUP BY doc_id)
     """,
 )
 def text_terms(spark, sf_dir):
@@ -645,8 +667,10 @@ def text_terms(spark, sf_dir):
     most characteristic term by smoothed TF-IDF (deterministic
     lexicographic tie-break), the corpus top-20 terms by document
     frequency (per-doc distinct before the explode; deterministic
-    k-th-place tie-break), and the per-source mean-quality rollup
-    (micro-integer-summed so the mean is engine-exact)."""
+    k-th-place tie-break), the per-source mean-quality rollup
+    (micro-integer-summed so the mean is engine-exact), and the
+    corpus-trained bigram-LM perplexity per document
+    (``text.lm_perplexity`` — the CCNet-style LM quality filter)."""
     docs = _docs(spark, sf_dir)
     tfidf = tx.tfidf_top_term(docs).select(
         F.lit("tfidf_top").alias("scope"),
@@ -666,7 +690,13 @@ def text_terms(spark, sf_dir):
         F.col("source").alias("term"),
         F.col("avg_quality").alias("score"),
     )
-    return tfidf.unionByName(corpus).unionByName(srcq)
+    ppl = tx.lm_perplexity(docs).select(
+        F.lit("perplexity").alias("scope"),
+        "doc_id",
+        F.lit(None).cast("string").alias("term"),
+        F.col("perplexity").alias("score"),
+    )
+    return tfidf.unionByName(corpus).unionByName(srcq).unionByName(ppl)
 
 
 # ---------------------------------------------------------------------------

@@ -289,3 +289,49 @@ def test_simhash_pairs_star_guard(spark):
     # star edges: hub(0) -> member, one per member, real hamming 0
     assert len(out) == n - 1
     assert all(r.doc_a == 0 and r.hamming == 0 for r in out)
+
+
+def test_lm_perplexity_matches_hand_computation(spark):
+    import math
+
+    from sensapp_spark.pipeline.text import lm_perplexity
+
+    texts = ["a b a b", "a b c", "z"]
+    docs = _docs(spark, texts)
+    # corpus stats over normalized tokens
+    toks = [t.split() for t in texts]
+    uni: dict = {}
+    bi: dict = {}
+    for ws in toks:
+        for w_ in ws:
+            uni[w_] = uni.get(w_, 0) + 1
+        for x, y in zip(ws, ws[1:]):
+            bi[(x, y)] = bi.get((x, y), 0) + 1
+    v = len(uni)
+
+    def ppl(ws):
+        lps = [
+            math.log((bi[(x, y)] + 0.5) / (uni[x] + 0.5 * v))
+            for x, y in zip(ws, ws[1:])
+        ]
+        return round(math.exp(-sum(lps) / len(lps)), 4)
+
+    got = {r.doc_id: r.perplexity for r in lm_perplexity(docs).collect()}
+    assert got[0] == ppl(toks[0])
+    assert got[1] == ppl(toks[1])
+    assert 2 not in got  # single-token doc: no bigrams, absent
+
+
+def test_lm_perplexity_flags_unpredictable_text(spark):
+    from sensapp_spark.pipeline.text import lm_perplexity
+
+    common = "the quick brown fox jumps over the lazy dog"
+    docs = _docs(
+        spark,
+        [common] * 8 + ["zx qv wk jh pl mn bt cd rs tu"],
+    )
+    got = {r.doc_id: r.perplexity for r in lm_perplexity(docs).collect()}
+    fluent = got[0]
+    gibberish = got[8]
+    # The repeated (well-modeled) text must be far more predictable.
+    assert gibberish > 3 * fluent
