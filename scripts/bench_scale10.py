@@ -146,6 +146,8 @@ def main() -> int:
         "chunk_dedup": lambda: text.chunk_plan(docs)
         .groupBy("chunk_fp")
         .agg(F.min("doc_id").alias("keep"), F.count("*").alias("copies")),
+        "simhash_pairs": lambda: dedup.simhash_pairs(docs),
+        "lm_perplexity": lambda: text.lm_perplexity(docs),
     }
 
     report = {"corpus": {"docs": n_docs, "embeddings": n_emb,
