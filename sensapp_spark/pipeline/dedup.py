@@ -491,16 +491,20 @@ def simhash_pairs(
             F.max("hamming").alias("hamming")
         )
     bucket_w = Window.partitionBy("band", "key")
+    # One min-struct window yields both the hub id and its signature.
     bs = banded.withColumn("sz", F.count("*").over(bucket_w)).withColumn(
-        "hub", F.min("doc_id").over(bucket_w)
-    ).withColumn("hub_sig", F.min(F.struct("doc_id", "simhash")).over(bucket_w))
+        "hub_sig", F.min(F.struct("doc_id", "simhash")).over(bucket_w)
+    )
     small = bs.filter(F.col("sz") <= max_bucket).select(
         "doc_id", "simhash", "band", "key"
     )
     star = (
-        bs.filter((F.col("sz") > max_bucket) & (F.col("doc_id") != F.col("hub")))
+        bs.filter(
+            (F.col("sz") > max_bucket)
+            & (F.col("doc_id") != F.col("hub_sig.doc_id"))
+        )
         .select(
-            F.col("hub").alias("doc_a"),
+            F.col("hub_sig.doc_id").alias("doc_a"),
             F.col("doc_id").alias("doc_b"),
             F.bit_count(
                 F.col("hub_sig.simhash").bitwiseXOR(F.col("simhash"))

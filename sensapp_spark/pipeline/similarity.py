@@ -255,6 +255,8 @@ def hyperplane_lsh_topk(
     become partition pruning instead of a scan filter. The reported
     ``bucket`` column is table 0's (output schema is table-count
     independent)."""
+    if n_tables < 1:
+        raise ValueError("n_tables must be at least 1")
     dim = len(query)
     q = F.array(*[F.lit(float(x)) for x in query])
     cond = None

@@ -69,21 +69,30 @@ QUALITY_WEIGHTS = {
 
 def quality_score_cols() -> list[F.Column]:
     """Column expressions for the heuristic quality score (see
-    ``token_stat_cols`` for why these are exposed)."""
+    ``token_stat_cols`` for why these are exposed).
+
+    Zero denominators (empty or whitespace-only text) yield NULL
+    ratios — and therefore a NULL quality — instead of throwing:
+    under Spark 4's default ANSI mode an unguarded division is a
+    DIVIDE_BY_ZERO poison pill for any streaming query these columns
+    ride on (one malformed document would crash-loop the stream from
+    its checkpoint)."""
     t = F.col("text")
     length = F.length(t).cast("double")
     words = ws_token_count(t).cast("double")
+
+    def ratio(num, den):
+        return F.when(den > 0, F.round(num / den, 6))
+
     # The composite runs in EXACT DECIMAL arithmetic over the rounded
     # components. Weighted sums of 6-decimal values land on exact
     # half-way points of the 6th decimal constantly (0.25 × x quantizes
     # at quarter-micros), where double rounding is ULP-sensitive and
     # engines disagree; the decimal(18,6) cast normalizes ULP noise and
     # both Spark and DuckDB round exact decimals half-away-from-zero.
-    stop_ratio = F.round(
-        F.regexp_count(F.lower(t), F.lit(_stop_re("en"))) / words, 6
-    )
-    punct_ratio = F.round(F.regexp_count(t, F.lit(PUNCT_PATTERN)) / length, 6)
-    digit_ratio = F.round(F.regexp_count(t, F.lit(DIGIT_PATTERN)) / length, 6)
+    stop_ratio = ratio(F.regexp_count(F.lower(t), F.lit(_stop_re("en"))), words)
+    punct_ratio = ratio(F.regexp_count(t, F.lit(PUNCT_PATTERN)), length)
+    digit_ratio = ratio(F.regexp_count(t, F.lit(DIGIT_PATTERN)), length)
     len_credit = F.round(F.least(length / F.lit(500.0), F.lit(1.0)), 6)
 
     def dec(col):
@@ -183,9 +192,9 @@ def lm_perplexity(docs: DataFrame, alpha: float = 0.5) -> DataFrame:
     )
     unigrams = staged.select(F.explode(words).alias("token"))
     uni_counts = unigrams.groupBy("token").agg(F.count("*").alias("c_a"))
-    vocab = unigrams.agg(
-        F.countDistinct("token").cast("double").alias("v")
-    )
+    # V = row count of the grouped frame — no second distinct
+    # aggregation over the raw token stream.
+    vocab = uni_counts.agg(F.count("*").cast("double").alias("v"))
     bi_counts = doc_bigrams.groupBy("gram").agg(F.count("*").alias("c_ab"))
     scored = (
         doc_bigrams.join(bi_counts.hint("shuffle_hash"), "gram")

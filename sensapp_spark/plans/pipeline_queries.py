@@ -104,15 +104,20 @@ _QUAL_CTE = f"""qual AS (
               + {tx.QUALITY_WEIGHTS['w_digit']}::DECIMAL(4,2)
                   * digit_ratio::DECIMAL(18,6), 6) AS DOUBLE) AS quality
         FROM (
+          -- zero denominators (empty/whitespace text) yield NULL,
+          -- mirroring text.quality_score_cols' ANSI-safe guards
           SELECT doc_id, source,
             ROUND(LEAST(length(text)/500.0e0, 1.0e0), 6) AS len_credit,
-            ROUND(len(regexp_extract_all(lower(text), '\\b({_STOP_EN})\\b'))
-              / CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS DOUBLE),
-              6) AS stop_ratio,
-            ROUND(len(regexp_extract_all(text, '{tx.PUNCT_PATTERN}'))
-              / CAST(length(text) AS DOUBLE), 6) AS punct_ratio,
-            ROUND(len(regexp_extract_all(text, '{tx.DIGIT_PATTERN}'))
-              / CAST(length(text) AS DOUBLE), 6) AS digit_ratio
+            CASE WHEN len(regexp_split_to_array(trim(text), '\\s+')) > 0 THEN
+              ROUND(len(regexp_extract_all(lower(text), '\\b({_STOP_EN})\\b'))
+                / CAST(len(regexp_split_to_array(trim(text), '\\s+'))
+                       AS DOUBLE), 6) END AS stop_ratio,
+            CASE WHEN length(text) > 0 THEN
+              ROUND(len(regexp_extract_all(text, '{tx.PUNCT_PATTERN}'))
+                / CAST(length(text) AS DOUBLE), 6) END AS punct_ratio,
+            CASE WHEN length(text) > 0 THEN
+              ROUND(len(regexp_extract_all(text, '{tx.DIGIT_PATTERN}'))
+                / CAST(length(text) AS DOUBLE), 6) END AS digit_ratio
           FROM documents))"""
 
 
@@ -272,6 +277,30 @@ def text_signals(spark, sf_dir):
 # Dedup
 # ---------------------------------------------------------------------------
 
+
+
+# 64/16 token-window chunk stream, generated from the SAME parameters as
+# text.chunk_plan(chunk_tokens=64, overlap=16): (doc_id, token_start,
+# chunk) rows, one per window. Shared by the dedup_exact_docs and
+# multimodal_frames oracles so the window arithmetic cannot drift.
+_CHUNK_TOKENS = 64
+_CHUNK_OVERLAP = 16
+_CHUNK_STEP = _CHUNK_TOKENS - _CHUNK_OVERLAP
+_CHUNKS_SQL = f"""
+        SELECT doc_id, token_start,
+               list_slice(w, token_start + 1,
+                          token_start + {_CHUNK_TOKENS}) AS chunk
+        FROM (
+            SELECT doc_id, w,
+                   unnest(generate_series(
+                       0,
+                       GREATEST(0, CAST(FLOOR((len(w) - {_CHUNK_OVERLAP + 1})::DOUBLE
+                                              / {_CHUNK_STEP})
+                                        AS INT) * {_CHUNK_STEP}),
+                       {_CHUNK_STEP})) AS token_start
+            FROM (SELECT doc_id, {_WORDS_SQL} AS w FROM documents))"""
+
+
 @register(
     "dedup_exact_docs",
     f"""
@@ -281,18 +310,8 @@ def text_signals(spark, sf_dir):
     UNION ALL
     SELECT 'chunk', fp, MIN(doc_id), COUNT(*)
     FROM (
-        SELECT doc_id,
-               md5(array_to_string(
-                   list_slice(w, token_start + 1, token_start + 64), ' '))
-               AS fp
-        FROM (
-            SELECT doc_id, w,
-                   unnest(generate_series(
-                       0,
-                       GREATEST(0, CAST(FLOOR((len(w) - 17)::DOUBLE / 48)
-                                        AS INT) * 48),
-                       48)) AS token_start
-            FROM (SELECT doc_id, {_WORDS_SQL} AS w FROM documents)))
+        SELECT doc_id, md5(array_to_string(chunk, ' ')) AS fp
+        FROM ({_CHUNKS_SQL}))
     GROUP BY 2
     """,
 )
@@ -491,7 +510,8 @@ def _simhash_oracle() -> str:
     bs AS (
         SELECT banded.*,
                COUNT(*) OVER (PARTITION BY band, key) AS sz,
-               MIN(doc_id) OVER (PARTITION BY band, key) AS hub,
+               FIRST_VALUE(doc_id) OVER (
+                   PARTITION BY band, key ORDER BY doc_id) AS hub,
                FIRST_VALUE(simhash) OVER (
                    PARTITION BY band, key ORDER BY doc_id) AS hub_sig
         FROM banded),
@@ -1028,19 +1048,9 @@ def multimodal_features(spark, sf_dir):
                        AS n_frames
             FROM documents))
     UNION ALL
-    SELECT 'chunk', doc_id, token_start // 48, token_start,
+    SELECT 'chunk', doc_id, token_start // {_CHUNK_STEP}, token_start,
            len(chunk), md5(array_to_string(chunk, ' '))
-    FROM (
-        SELECT doc_id, token_start,
-               list_slice(w, token_start + 1, token_start + 64) AS chunk
-        FROM (
-            SELECT doc_id, w,
-                   unnest(generate_series(
-                       0,
-                       GREATEST(0, CAST(FLOOR((len(w) - 17)::DOUBLE / 48)
-                                        AS INT) * 48),
-                       48)) AS token_start
-            FROM (SELECT doc_id, {_WORDS_SQL} AS w FROM documents)))
+    FROM ({_CHUNKS_SQL})
     """,
 )
 def multimodal_frames(spark, sf_dir):

@@ -147,3 +147,29 @@ def test_nonfinite_floats_dropped_at_publish(spark, tmp_path):
     )
     got = sorted(r.value for r in lake.values(SensorType.FLOAT).collect())
     assert got == [-2.5, 1.5]
+
+
+def test_null_float_samples_survive_publish(spark, tmp_path):
+    """NULL samples are NOT part of the non-finite drop policy (a blank
+    CSV cell casts to NULL and the reference stores it) — a bare NaN
+    predicate would silently drop them."""
+    lake = SensorLake(spark, str(tmp_path / "lake"))
+    t0 = dt.datetime(2024, 1, 1)
+    lake.publish(
+        _batch(
+            spark,
+            SensorType.FLOAT,
+            "sensor_id string, time timestamp, value double",
+            [
+                ("u1", t0, 1.0),
+                ("u1", t0 + dt.timedelta(seconds=1), None),
+                ("u1", t0 + dt.timedelta(seconds=2), float("nan")),
+            ],
+            type_name="Float",
+        )
+    )
+    got = [
+        r.value
+        for r in lake.values(SensorType.FLOAT).orderBy("time").collect()
+    ]
+    assert got == [1.0, None]

@@ -114,3 +114,33 @@ def test_stream_state_is_bounded_by_watermark(spark, tmp_path):
     plan = out._jdf.queryExecution().logical().toString()
     assert "EventTimeWatermark" in plan
     assert "DeduplicateWithinWatermark" in plan
+
+
+def test_empty_document_does_not_poison_the_stream(spark, tmp_path):
+    """An empty/whitespace-only document must not crash the micro-batch
+    (ANSI divide-by-zero poison pill): NULL quality drops it at the
+    gate and the stream keeps running."""
+    data_dir = str(tmp_path / "in")
+    os.makedirs(data_dir)
+    stream = spark.readStream.schema(SCHEMA).parquet(data_dir)
+    out = hygiene_stream(stream, watermark="10 minutes", min_quality=0.05)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("hygiene_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        good = "the quick brown fox naps in the warm sun with a friend"
+        _drop_file(
+            spark,
+            [(1, "", T0), (2, "   ", T0), (3, good, T0)],
+            data_dir,
+            "b1",
+        )
+        got = _await_rows(spark, q, {3})
+        assert got == {3}
+        assert q.exception() is None
+    finally:
+        q.stop()
