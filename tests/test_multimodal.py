@@ -499,3 +499,36 @@ def test_frame_sample_plan(spark, docs):
         assert idxs == list(range(0, n, 10))
         for r in rows:
             assert r.frame_ts_ms == r.frame_idx * 1000 // 24
+
+def test_gif_local_color_table_overrides_global():
+    # Global table says red; the frame carries a LOCAL table saying
+    # blue — the decoder must use the local one.
+    gpal = [(255, 0, 0), (0, 0, 0)]
+    lpal = [(0, 0, 255), (255, 255, 255)]
+    w, h = 3, 2
+    idx = bytes([0, 1, 0, 1, 0, 1])
+    base = make_gif_full(w, h, idx, gpal)
+    # splice a local color table into the image descriptor
+    gct_size = 2 * 3  # padded to 2 entries
+    desc_pos = base.index(b"\x2c")
+    packed_pos = desc_pos + 9
+    lct = bytes([c for rgb in lpal for c in rgb])
+    patched = (
+        base[:packed_pos]
+        + bytes([base[packed_pos] | 0x80 | 0x00])  # LCT flag, size 0 -> 2
+        + lct
+        + base[packed_pos + 1:]
+    )
+    got = decode_gif_pixels(patched)
+    assert got == (w, h, 3, b"".join(bytes(lpal[i]) for i in idx))
+
+
+def test_gif_multi_frame_returns_first():
+    pal = [(9, 9, 9), (200, 200, 200)]
+    f1 = make_gif_full(2, 2, bytes([0, 1, 1, 0]), pal)
+    f2 = make_gif_full(2, 2, bytes([1, 1, 1, 1]), pal)
+    # graft frame 2's descriptor+data after frame 1's (before trailer)
+    two = f1[:-1] + f2[f2.index(b"\x2c"):]
+    w, h, ch, px = decode_gif_pixels(two)
+    assert (w, h) == (2, 2)
+    assert px == b"".join(bytes(pal[i]) for i in [0, 1, 1, 0])
