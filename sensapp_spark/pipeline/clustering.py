@@ -83,6 +83,25 @@ def update_centroids(
     ]
 
 
+def kmeans_codebook(
+    embeddings: DataFrame,
+    k: int = KMEANS_K,
+    rounds: int = KMEANS_ROUNDS,
+    dim: int = 64,
+) -> list[tuple[int, list[float]]]:
+    """The TRAINED centroids after ``rounds - 1`` Lloyd updates — the
+    production IVF codebook (``similarity.ivf_topk(codebook=...)``
+    accepts it directly). Driver traffic stays k x dim floats per
+    update; the scans are the same ones ``kmeans_assign`` runs."""
+    cents = init_centroids(embeddings, k)
+    for _ in range(rounds - 1):
+        assigned = embeddings.withColumn(
+            "cluster", assign_expr(F.col("embedding"), cents)
+        )
+        cents = update_centroids(assigned, dim)
+    return cents
+
+
 def kmeans_assign(
     embeddings: DataFrame,
     k: int = KMEANS_K,

@@ -357,12 +357,18 @@ def ivf_topk(
     k: int = 10,
     nlist: int = IVF_NLIST,
     nprobe: int = IVF_NPROBE,
+    codebook: list[tuple[int, list[float]]] | None = None,
 ) -> DataFrame:
     """IVF ANN search: coarse-quantize once, then exact cosine over only
     the ``nprobe`` probed lists (~nprobe/nlist of the data). At scale the
     assignment is written once at ingest with ``centroid_id`` as the
-    partition key, making a probe a partition-pruned scan."""
-    cents = ivf_centroids(embeddings, nlist)
+    partition key, making a probe a partition-pruned scan.
+
+    ``codebook`` swaps in trained centroids (e.g.
+    ``clustering.kmeans_codebook``) for the deterministic first-nlist
+    default — better-balanced lists on clustered corpora; the rest of
+    the index is unchanged."""
+    cents = codebook if codebook is not None else ivf_centroids(embeddings, nlist)
     probes = ivf_probes(query, cents, nprobe)
     q = F.array(*[F.lit(float(x)) for x in query])
     return (

@@ -66,3 +66,16 @@ def test_tables_probe_independent_planes():
     assert t0 != t1
     # table 0 must keep the original unsalted constants
     assert t0 == sim.hyperplanes(4, 8)
+
+
+def test_ivf_accepts_trained_codebook(emb, queries):
+    from sensapp_spark.pipeline.clustering import kmeans_codebook
+
+    cb = kmeans_codebook(emb, rounds=3)
+    r = _recall(
+        emb, queries, lambda q: sim.ivf_topk(emb, q, k=K, codebook=cb)
+    )
+    # Functional floor: the trained codebook is a drop-in (recall on
+    # this near-uniform corpus measures slightly BELOW the first-nlist
+    # default — recorded in BASELINE.md; it wins on clustered corpora).
+    assert r >= 0.6, f"trained-codebook IVF collapsed: {r:.3f}"
