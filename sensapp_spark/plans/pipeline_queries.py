@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from sensapp_spark.pipeline import assemble as am
 from sensapp_spark.pipeline import dedup as dd
 from sensapp_spark.pipeline import multimodal as mm
 from sensapp_spark.pipeline import text as tx
@@ -87,6 +88,52 @@ sh AS (
 # ---------------------------------------------------------------------------
 
 _STOP_EN = tx.STOPWORDS["en"]
+
+# Bigram-LM perplexity per document, generated once and shared by the
+# text_terms and sample_split oracles; requires a `words` CTE named
+# `words AS (SELECT doc_id, {_WORDS_SQL} AS w FROM documents)` in scope.
+_PPL_FROM_WORDS = """
+        WITH bigrams AS (
+            SELECT doc_id,
+                   unnest([w[i] || ' ' || w[i+1] FOR i IN range(1, len(w))])
+                   AS gram
+            FROM words WHERE len(w) >= 2),
+        uni AS (
+            SELECT t AS token, COUNT(*) AS c_a
+            FROM (SELECT unnest(w) AS t FROM words) GROUP BY 1),
+        vv AS (
+            SELECT COUNT(DISTINCT t)::DOUBLE AS v
+            FROM (SELECT unnest(w) AS t FROM words)),
+        bi AS (SELECT gram, COUNT(*) AS c_ab FROM bigrams GROUP BY 1)
+        SELECT doc_id,
+               ROUND(exp(-AVG(ln((c_ab + 0.5) / (c_a + 0.5 * v)))), 4)
+               AS perplexity
+        FROM bigrams JOIN bi USING (gram)
+        JOIN uni ON split_part(gram, ' ', 1) = token
+        CROSS JOIN vv
+        GROUP BY doc_id"""
+
+# Benchmark-decontamination CTE chain (trigram collisions vs the
+# doc_id % 97 held-out slice), shared by the text_signals and
+# sample_split oracles; requires the `words` CTE in scope. Ends with
+# `decontam(doc_id, n_collisions, contaminated)`.
+_DECONTAM_CTES = """bench_grams AS (
+        SELECT DISTINCT unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2] FOR i IN range(1, len(w) - 1)])
+               AS shingle
+        FROM words WHERE len(w) >= 3 AND doc_id % 97 = 0),
+    doc_grams AS (
+        SELECT doc_id,
+               unnest(list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] FOR i IN range(1, len(w) - 1)]))
+               AS shingle
+        FROM words WHERE len(w) >= 3),
+    coll AS (
+        SELECT doc_id, COUNT(*) AS n_collisions
+        FROM doc_grams JOIN bench_grams USING (shingle) GROUP BY doc_id),
+    decontam AS (
+        SELECT d.doc_id,
+               COALESCE(c.n_collisions, 0) AS n_collisions,
+               COALESCE(c.n_collisions, 0) >= 2 AS contaminated
+        FROM documents d LEFT JOIN coll c USING (doc_id))"""
 
 # Per-document quality CTE (mirrors text.quality_score_cols) — shared by
 # the text_profile oracle and the text_terms source-quality rollup.
@@ -209,7 +256,6 @@ def _signals_oracle() -> str:
         for name, pat in tx.PII_PATTERNS.items()
     )
     pii_total = " + ".join(tx.PII_PATTERNS)
-    tri = "w[i] || ' ' || w[i+1] || ' ' || w[i+2]"
     return f"""
     WITH lang AS (
         SELECT doc_id, hits_en, hits_de, hits_fr, hits_es,
@@ -220,23 +266,7 @@ def _signals_oracle() -> str:
         SELECT doc_id, emails, phones, ipv4s, ({pii_total}) > 0 AS has_pii
         FROM (SELECT doc_id, {pii_counts} FROM documents)),
     words AS (SELECT doc_id, {_WORDS_SQL} AS w FROM documents),
-    bench_grams AS (
-        SELECT DISTINCT unnest([{tri} FOR i IN range(1, len(w) - 1)])
-               AS shingle
-        FROM words WHERE len(w) >= 3 AND doc_id % 97 = 0),
-    doc_grams AS (
-        SELECT doc_id,
-               unnest(list_distinct([{tri} FOR i IN range(1, len(w) - 1)]))
-               AS shingle
-        FROM words WHERE len(w) >= 3),
-    coll AS (
-        SELECT doc_id, COUNT(*) AS n_collisions
-        FROM doc_grams JOIN bench_grams USING (shingle) GROUP BY doc_id),
-    decontam AS (
-        SELECT d.doc_id,
-               COALESCE(c.n_collisions, 0) AS n_collisions,
-               COALESCE(c.n_collisions, 0) >= 2 AS contaminated
-        FROM documents d LEFT JOIN coll c USING (doc_id))
+    {_DECONTAM_CTES}
     SELECT doc_id, hits_en, hits_de, hits_fr, hits_es, lang_pred,
            fingerprint, emails, phones, ipv4s, has_pii,
            n_collisions, contaminated
@@ -586,12 +616,38 @@ def _bucket_sql(salt: str) -> str:
                CASE WHEN {_bucket_sql('sensapp-split')} < 80 THEN 'train'
                     WHEN {_bucket_sql('sensapp-split')} < 90 THEN 'val'
                     ELSE 'test' END AS split
-        FROM documents)
+        FROM documents),
+    words AS (SELECT doc_id, {_WORDS_SQL} AS w FROM documents),
+    {_DECONTAM_CTES},
+    {_QUAL_CTE},
+    canon AS (
+        SELECT md5({_NORM_SQL}) AS fp, MIN(doc_id) AS keep_doc_id
+        FROM documents GROUP BY 1),
+    dup AS (
+        SELECT doc_id, doc_id <> keep_doc_id AS is_dup
+        FROM (SELECT doc_id, md5({_NORM_SQL}) AS fp FROM documents)
+        JOIN canon USING (fp)),
+    ppl AS ({_PPL_FROM_WORDS}),
+    verdict AS (
+        SELECT q.doc_id,
+               CASE WHEN dup.is_dup THEN 'duplicate'
+                    WHEN dc.n_collisions >= 2 THEN 'contaminated'
+                    WHEN q.quality IS NULL OR q.quality < {am.DEFAULT_MIN_QUALITY}
+                        THEN 'low_quality'
+                    WHEN ppl.perplexity > {am.DEFAULT_MAX_PERPLEXITY}
+                        THEN 'high_perplexity'
+               END AS drop_reason
+        FROM qual q
+        JOIN dup USING (doc_id)
+        JOIN decontam dc USING (doc_id)
+        LEFT JOIN ppl USING (doc_id))
     SELECT d.doc_id, sp.split,
-           st.doc_id IS NOT NULL AS sampled, st.bucket, st.lang
+           st.doc_id IS NOT NULL AS sampled, st.bucket, st.lang,
+           v.drop_reason IS NULL AS kept, v.drop_reason
     FROM documents d
     JOIN splits sp USING (doc_id)
     LEFT JOIN strat st USING (doc_id)
+    JOIN verdict v USING (doc_id)
     """,
 )
 def sample_split(spark, sf_dir):
@@ -601,6 +657,7 @@ def sample_split(spark, sf_dir):
     (per-language keep rates, independent salt) selected it.
     Reproducible across engines and runs; both derivations are map-only
     scans, the join is per-document."""
+    from sensapp_spark.pipeline.assemble import corpus_verdict
     from sensapp_spark.pipeline.sampling import split_assign, stratified_sample
 
     docs = _docs(spark, sf_dir)
@@ -608,16 +665,19 @@ def sample_split(spark, sf_dir):
     strat = stratified_sample(
         docs, _SAMPLE_RATES, default_pct=_SAMPLE_DEFAULT
     ).select("doc_id", "bucket", "lang")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    verdict = corpus_verdict(docs, bench)
     return (
         docs.select("doc_id")
         .join(splits, "doc_id")
         .join(
             strat.withColumn("sampled", F.lit(True)), "doc_id", "left"
         )
+        .join(verdict, "doc_id")
         .select(
             "doc_id", "split",
             F.coalesce("sampled", F.lit(False)).alias("sampled"),
-            "bucket", "lang",
+            "bucket", "lang", "kept", "drop_reason",
         )
     )
 
@@ -660,26 +720,7 @@ def sample_split(spark, sf_dir):
     FROM qual GROUP BY source
     UNION ALL
     SELECT 'perplexity', doc_id, CAST(NULL AS VARCHAR), perplexity
-    FROM (
-        WITH bigrams AS (
-            SELECT doc_id,
-                   unnest([w[i] || ' ' || w[i+1] FOR i IN range(1, len(w))])
-                   AS gram
-            FROM words WHERE len(w) >= 2),
-        uni AS (
-            SELECT t AS token, COUNT(*) AS c_a
-            FROM (SELECT unnest(w) AS t FROM words) GROUP BY 1),
-        vv AS (
-            SELECT COUNT(DISTINCT t)::DOUBLE AS v
-            FROM (SELECT unnest(w) AS t FROM words)),
-        bi AS (SELECT gram, COUNT(*) AS c_ab FROM bigrams GROUP BY 1)
-        SELECT doc_id,
-               ROUND(exp(-AVG(ln((c_ab + 0.5) / (c_a + 0.5 * v)))), 4)
-               AS perplexity
-        FROM bigrams JOIN bi USING (gram)
-        JOIN uni ON split_part(gram, ' ', 1) = token
-        CROSS JOIN vv
-        GROUP BY doc_id)
+    FROM ({_PPL_FROM_WORDS})
     """,
 )
 def text_terms(spark, sf_dir):
