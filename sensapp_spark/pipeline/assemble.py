@@ -60,11 +60,17 @@ def corpus_verdict(
     qual = spread_if_needed(docs).select("doc_id", *quality_score_cols())
     hits = benchmark_collision_hits(docs, bench, n=decontam_ngram)
     ppl = lm_perplexity(docs)
+    # shuffle_hash hints: these are doc_id-keyed joins of per-doc
+    # frames derived from aggregations/HOFs whose static size estimates
+    # are unreliable — without the hint one side planned as a
+    # sort-merge join, paying a sort of every per-doc frame for no
+    # benefit on an equality key (caught by the registry-wide
+    # join-shape test).
     joined = (
         qual.select("doc_id", "quality")
-        .join(dup, "doc_id")
-        .join(hits, "doc_id", "left")
-        .join(ppl, "doc_id", "left")
+        .join(dup.hint("shuffle_hash"), "doc_id")
+        .join(hits.hint("shuffle_hash"), "doc_id", "left")
+        .join(ppl.hint("shuffle_hash"), "doc_id", "left")
     )
     n_coll = F.coalesce(F.col("n_collisions"), F.lit(0))
     reason = (

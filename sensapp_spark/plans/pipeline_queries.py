@@ -673,7 +673,10 @@ def sample_split(spark, sf_dir):
         .join(
             strat.withColumn("sampled", F.lit(True)), "doc_id", "left"
         )
-        .join(verdict, "doc_id")
+        # shuffle_hash: the verdict frame sits behind joins of
+        # unreliable-estimate frames — without the hint this equality
+        # join planned as a sort-merge (registry-wide join-shape test).
+        .join(verdict.hint("shuffle_hash"), "doc_id")
         .select(
             "doc_id", "split",
             F.coalesce("sampled", F.lit(False)).alias("sampled"),

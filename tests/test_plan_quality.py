@@ -320,7 +320,8 @@ def test_registry_wide_join_shapes(spark):
     import __spark_entry__ as mod
 
     allowed_smj = {"virtual_sensor_join", "gapfill_1h"}
-    allowed_bnlj = {"text_terms"}
+    # both carry lm_perplexity's broadcast one-row vocabulary scalar
+    allowed_bnlj = {"text_terms", "sample_split"}
     sf = "/root/testdata/sf0.001"
     offences = []
     for name, fn in mod.queries().items():
