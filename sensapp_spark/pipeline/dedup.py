@@ -453,6 +453,14 @@ def simhash_pairs(
     distance-filtered (connectivity edges for components). Signatures
     ride through the band join, so verification costs no extra join."""
     assert max_hamming < bands, "pigeonhole soundness needs max_hamming < bands"
+    # 8-bit bands must tile the 32-bit signature: with bands > 4 the
+    # high bands shift past the signature and every document shares
+    # key 0 — one degenerate corpus-wide bucket that the max_bucket
+    # guard would silently convert into unfiltered hub star edges.
+    assert bands * 8 <= SIMHASH_BITS, (
+        f"bands={bands} exceeds the {SIMHASH_BITS}-bit signature "
+        f"(need bands * 8 <= {SIMHASH_BITS})"
+    )
     sig = simhash(docs)
     band_structs = [
         F.struct(

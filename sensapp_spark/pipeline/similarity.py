@@ -125,6 +125,20 @@ def embedding_neardup_pairs(
     hyperplanes, not a bigger cap. Pass ``max_bucket=None`` for exact
     clique semantics.
 
+    EAGER-EVALUATION CONTRACT (batch-only): with a ``max_bucket`` set,
+    calling this function runs one tiny probe job immediately (the
+    ≤2^n_planes-row bucket-size aggregation) to pick the join strategy
+    — it is not usable on streaming inputs, and the input frame must
+    be DETERMINISTIC (re-computable to the same rows), or the probed
+    sizes could disagree with the data the subsequent join re-scans.
+    Deterministic parquet/table scans (the intended input) satisfy
+    this trivially; if the input is a non-deterministic derivation
+    (e.g. involves sampling or ``rand()``), ``.cache()`` + materialize
+    it first so the probe and the join observe the same rows. We do
+    not cache internally: pinning the full embedding corpus for one
+    probe is the wrong trade at scale, and the probe's aggregation
+    scan is cheap relative to the quadratic join it sizes.
+
     Sizing: unlike MinHash band keys (whose buckets hold only
     near-identical documents), hyperplane buckets hold ~n/2^planes
     vectors of ANY corpus, so the cap must sit above the expected

@@ -226,12 +226,16 @@ def source_quality(docs: DataFrame) -> DataFrame:
     The mean is engine-exact: the 6-decimal quality scores are summed
     as integer micros (lossless) and ONE IEEE division produces the
     mean, so Spark and the SQL oracle emit bit-identical doubles with
-    no rounding-boundary sensitivity."""
+    no rounding-boundary sensitivity. Unscored documents (NULL quality
+    — empty/whitespace text) are excluded from the mean: the
+    denominator is COUNT(quality), the SQL NULL-skipping count, so
+    ``avg_quality`` is the mean of SCORED documents, not a zero-padded
+    mean. ``n_docs`` still counts every document of the source."""
     q = docs.select("source", *quality_score_cols())
     micro = F.round(F.col("quality") * F.lit(1e6)).cast("long")
     return q.groupBy("source").agg(
         F.count("*").alias("n_docs"),
-        (F.sum(micro) / (F.count("*") * F.lit(1e6))).alias("avg_quality"),
+        (F.sum(micro) / (F.count(micro) * F.lit(1e6))).alias("avg_quality"),
     )
 
 

@@ -719,7 +719,7 @@ def sample_split(spark, sf_dir):
     UNION ALL
     SELECT 'source_quality', CAST(NULL AS BIGINT), source,
            SUM(CAST(ROUND(quality * 1000000) AS BIGINT))
-             / (COUNT(*) * 1000000.0)
+             / (COUNT(quality) * 1000000.0)
     FROM qual GROUP BY source
     UNION ALL
     SELECT 'perplexity', doc_id, CAST(NULL AS VARCHAR), perplexity

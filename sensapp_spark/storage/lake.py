@@ -87,12 +87,15 @@ class SensorLake:
         # (NaN/±Inf) are silently dropped at write time
         # (src/storage/sqlite/sqlite_publishers.rs:63-66 — SURVEY §7.4
         # risk 5, decided as replicate-for-parity so cross-engine row
-        # counts diff clean). NULL samples are NOT part of that policy
-        # and pass through (a blank CSV cell casts to NULL and the
-        # reference stores it); the explicit isNull arm keeps them —
-        # a bare NaN predicate evaluates to NULL on NULL input and
-        # would silently drop the row. Typed columns other than FLOAT
-        # cannot carry non-finite values.
+        # counts diff clean). NULL samples passing through is an
+        # intentional EXTENSION beyond the reference: its Sample<f64>
+        # cannot represent NULL and float_values.value is NOT NULL, so
+        # the reference can never contain NULL float rows — we choose
+        # to keep them (a blank CSV cell casts to NULL) rather than
+        # drop data. The explicit isNull arm is what keeps them: a
+        # bare NaN predicate evaluates to NULL on NULL input and would
+        # silently drop the row. Typed columns other than FLOAT cannot
+        # carry non-finite values.
         if stype is SensorType.FLOAT:
             df = df.filter(
                 F.col("value").isNull()
