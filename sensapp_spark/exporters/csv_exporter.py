@@ -1,8 +1,17 @@
 """CSV exporters (operators X2 single, X3 multi/long).
 
 Row formatting is JVM-side (`lines_*` return a DataFrame of formatted
-lines); `to_csv_*` assemble the final string on the driver — use the
-`lines` variants + `df.write.text` for exports too large to materialize.
+lines). Three driver-side assembly strategies, by result size:
+
+* `to_csv_*` — full-collect into one string (what the reference's
+  exporters do, src/exporters/csv.rs); right for small results.
+* `iter_csv_*` — bounded-memory generators over ``toLocalIterator``:
+  the driver holds one chunk (and one prefetched partition) at a time.
+  The HTTP gateway switches to these above its row threshold, so a
+  near-limit export (the reference caps at 10M rows,
+  src/storage/mod.rs:15-17) never materializes a multi-GB string.
+* `write_csv_multi` — fully distributed `df.write.text`, no driver
+  data path at all; for offline exports beyond HTTP scale.
 
 Reference shapes:
 
@@ -67,6 +76,37 @@ def to_csv_single(df: DataFrame, sensor_type: SensorType) -> str:
     return "\n".join([csv_header_single(sensor_type)] + lines) + "\n"
 
 
+CHUNK_ROWS = 8192
+
+
+def _iter_chunks(lines: DataFrame, header: str, chunk_rows: int):
+    """Yield the header, then formatted lines in ``chunk_rows`` batches.
+
+    ``toLocalIterator(prefetchPartitions=True)`` bounds driver memory to
+    one in-flight partition plus one prefetched — after the `orderBy`,
+    partitions are range-sorted, so sequential iteration preserves the
+    global order and the concatenated chunks are byte-identical to the
+    full-collect assembly."""
+    yield header + "\n"
+    buf: list[str] = []
+    for r in lines.toLocalIterator(prefetchPartitions=True):
+        buf.append(r.line)
+        if len(buf) >= chunk_rows:
+            yield "\n".join(buf) + "\n"
+            buf.clear()
+    if buf:
+        yield "\n".join(buf) + "\n"
+
+
+def iter_csv_single(df: DataFrame, sensor_type: SensorType,
+                    chunk_rows: int = CHUNK_ROWS):
+    """Bounded-memory generator form of :func:`to_csv_single`."""
+    return _iter_chunks(
+        lines_single(df, sensor_type), csv_header_single(sensor_type),
+        chunk_rows,
+    )
+
+
 def multi_label_keys(df: DataFrame) -> list[str]:
     """Union of label keys across the exported sensors, sorted
     (csv.rs:130-140). One tiny aggregation over the already-selected rows."""
@@ -115,6 +155,18 @@ def to_csv_multi(df: DataFrame, sensor_type: SensorType) -> str:
                       + keys)
     lines = [r.line for r in lines_multi(df, sensor_type, keys).collect()]
     return "\n".join([header] + lines) + "\n"
+
+
+def iter_csv_multi(df: DataFrame, sensor_type: SensorType,
+                   chunk_rows: int = CHUNK_ROWS):
+    """Bounded-memory generator form of :func:`to_csv_multi`."""
+    keys = multi_label_keys(df)
+    header = ",".join(
+        ["timestamp", "sensor_id", "sensor_name", "value", "type"] + keys
+    )
+    return _iter_chunks(
+        lines_multi(df, sensor_type, keys), header, chunk_rows
+    )
 
 
 def write_csv_multi(

@@ -69,6 +69,25 @@ def to_jsonl(df: DataFrame, sensor_type: SensorType) -> str:
     return "".join(r.line + "\n" for r in lines_jsonl(df, sensor_type).collect())
 
 
+def iter_jsonl(df: DataFrame, sensor_type: SensorType,
+               chunk_rows: int = 8192):
+    """Bounded-memory generator form of :func:`to_jsonl`: one chunk of
+    formatted lines on the driver at a time (``toLocalIterator`` with one
+    prefetched partition); the ``orderBy`` range-sorts partitions, so
+    sequential iteration keeps the global order and the streamed bytes
+    equal the full-collect assembly."""
+    buf: list[str] = []
+    for r in lines_jsonl(df, sensor_type).toLocalIterator(
+        prefetchPartitions=True
+    ):
+        buf.append(r.line)
+        if len(buf) >= chunk_rows:
+            yield "\n".join(buf) + "\n"
+            buf.clear()
+    if buf:
+        yield "\n".join(buf) + "\n"
+
+
 def write_jsonl(df: DataFrame, sensor_type: SensorType, path: str) -> None:
     """Distributed JSONL export: one text file per partition; a billion-row
     export never materializes on the driver."""

@@ -58,19 +58,24 @@ def _sample_records(sensor_type: SensorType, row, rel: float) -> list[dict]:
     return [{"t": t, entry[0]: entry[1]}]
 
 
-def to_senml(df: DataFrame, sensor_type: SensorType) -> list[dict]:
-    """``(sensor_id, time, value, name, unit, labels)`` → SenML record list."""
-    rows = df.orderBy("sensor_id", "time").select(
+def _ordered_rows(df: DataFrame) -> DataFrame:
+    return df.orderBy("sensor_id", "time").select(
         "sensor_id", "name", "unit", "labels",
         (F.unix_micros("time") / 1000).cast("long").alias("t_ms"),
         "value",
-    ).collect()
+    )
 
-    records: list[dict] = []
+
+def _records_from_rows(rows, sensor_type: SensorType):
+    """SenML records from (sensor_id, time)-ordered rows — works over any
+    iterable, so the same logic backs the full-collect list and the
+    bounded-memory generator. Fully streaming: only the sensor's FIRST
+    row is held (for base-record assembly); every later sample is
+    emitted as it arrives, so driver memory stays O(1) in samples even
+    for a single multi-million-sample sensor."""
     first_sensor = True
     for _, group in groupby(rows, key=lambda r: r.sensor_id):
-        sensor_rows = list(group)
-        head = sensor_rows[0]
+        head = next(group)
         base_ms = head.t_ms
         base: dict[str, Any] = {"bn": head.sensor_id, "_name": head.name,
                                 "bt": base_ms / 1000.0}
@@ -82,15 +87,29 @@ def to_senml(df: DataFrame, sensor_type: SensorType) -> list[dict]:
         if head.labels:
             base["_labels"] = dict(head.labels)
 
-        flat: list[dict] = []
-        for r in sensor_rows:
-            flat.extend(
-                _sample_records(sensor_type, r, (r.t_ms - base_ms) / 1000.0)
+        head_recs = _sample_records(sensor_type, head, 0)
+        base.update(head_recs[0])
+        yield base
+        yield from head_recs[1:]
+        for r in group:
+            yield from _sample_records(
+                sensor_type, r, (r.t_ms - base_ms) / 1000.0
             )
-        if flat:
-            base.update(flat[0])
-            records.append(base)
-            records.extend(flat[1:])
-        else:
-            records.append(base)
-    return records
+
+
+def to_senml(df: DataFrame, sensor_type: SensorType) -> list[dict]:
+    """``(sensor_id, time, value, name, unit, labels)`` → SenML record list."""
+    return list(_records_from_rows(_ordered_rows(df).collect(), sensor_type))
+
+
+def iter_senml(df: DataFrame, sensor_type: SensorType):
+    """Bounded-memory generator of SenML records: ``toLocalIterator`` pulls
+    one partition at a time (range-sorted by the ``orderBy``, so sensors
+    arrive contiguously and in order), and at most one sensor's rows are
+    buffered for base-record assembly. A sensor's samples can span a
+    partition boundary; ``groupby`` handles that transparently since the
+    iterator is globally ordered."""
+    return _records_from_rows(
+        _ordered_rows(df).toLocalIterator(prefetchPartitions=True),
+        sensor_type,
+    )

@@ -33,6 +33,10 @@ from flask import Flask, Response, jsonify, request
 
 from sensapp_spark.datamodel.types import SensorType
 from sensapp_spark.exporters import (
+    iter_arrow_multi,
+    iter_csv_multi,
+    iter_jsonl,
+    iter_senml,
     to_arrow_multi,
     to_csv_multi,
     to_jsonl,
@@ -73,11 +77,54 @@ def _parse_rfc3339(raw: str | None) -> dt.datetime | None:
     return parsed
 
 
-def create_app(spark, lake: SensorLake) -> Flask:
+DEFAULT_STREAM_THRESHOLD = 100_000
+
+
+def create_app(
+    spark,
+    lake: SensorLake,
+    stream_threshold: int | None = DEFAULT_STREAM_THRESHOLD,
+) -> Flask:
+    """``stream_threshold``: export row count above which responses are
+    served as chunked streams with bounded driver memory instead of one
+    fully-collected body. The reference materializes every export
+    driver-side up to its 10M-row limit (src/storage/mod.rs:15-17 +
+    src/exporters/*) — at that limit that is a multi-GB driver string,
+    the one reference behavior SURVEY §7.4 risk 10 says NOT to copy.
+    ``None`` disables streaming (always collect)."""
     app = Flask("sensapp_spark")
+
+    def _stream_senml(records) -> Response:
+        def gen():
+            yield "["
+            first = True
+            for rec in records:
+                yield ("" if first else ",") + json.dumps(
+                    rec, sort_keys=True, separators=(",", ":")
+                )
+                first = False
+            yield "]\n"
+
+        return Response(gen(), mimetype="application/json")
 
     def _export(df, fmt: str, stype: SensorType) -> Response:
         cols = df.select("sensor_id", "time", "value", "name", "unit", "labels")
+        # Size probe: CollectLimit scans at most threshold+1 rows, so the
+        # probe is O(threshold) regardless of the export's true size —
+        # never a full count of a 10M-row result.
+        streamed = stream_threshold is not None and (
+            cols.limit(stream_threshold + 1).count() > stream_threshold
+        )
+        if streamed:
+            if fmt == "csv":
+                gen = iter_csv_multi(cols, stype)
+            elif fmt == "jsonl":
+                gen = iter_jsonl(cols, stype)
+            elif fmt == "arrow":
+                gen = iter_arrow_multi(cols, stype)
+            else:
+                return _stream_senml(iter_senml(cols, stype))
+            return Response(gen, mimetype=EXPORT_MEDIA[fmt])
         if fmt == "csv":
             body = to_csv_multi(cols, stype)
         elif fmt == "jsonl":
