@@ -387,3 +387,69 @@ def test_arrow_parses_and_matches_input_values(client):
     # (arrow_exporter.to_arrow_multi) — one schema across all types.
     assert sorted(table.column("value").to_pylist()) == ["20.5", "21.0", "21.5"]
     assert table.column("sensor_name").to_pylist() == ["temperature"] * 3
+
+
+# ---------------------------------------------------------------------------
+# Arrow IPC ingest edge (S3) → export: the last wire format without a
+# golden fixture (reference tests/arrow_integration.rs — publish an IPC
+# file, query back, check values/types survive byte-exactly)
+# ---------------------------------------------------------------------------
+
+ARROW_POWER = (GOLDEN_DIR / "input_power.arrow").read_bytes()
+ARROW_COUNT = (GOLDEN_DIR / "input_count.arrow").read_bytes()
+
+
+@pytest.fixture(scope="module")
+def arrow_client(client):
+    for payload in (ARROW_POWER, ARROW_COUNT):
+        r = client.post(
+            "/publish",
+            data=payload,
+            content_type="application/vnd.apache.arrow.file",
+        )
+        assert r.status_code == 200, r.get_data()
+    return client
+
+
+def test_golden_arrow_ingest_csv(arrow_client):
+    """input_power.arrow (float64, two sensor_names) → per-series CSV."""
+    uuid = _series_uuid(arrow_client, "power_a")
+    r = arrow_client.get(f"/series/{uuid}?format=csv")
+    assert r.status_code == 200
+    check_golden("arrow_power_a.csv", r.get_data())
+
+
+def test_golden_arrow_ingest_jsonl(arrow_client):
+    uuid = _series_uuid(arrow_client, "power_b")
+    r = arrow_client.get(f"/series/{uuid}?format=jsonl")
+    assert r.status_code == 200
+    check_golden("arrow_power_b.jsonl", r.get_data())
+
+
+def test_golden_arrow_ingest_arrow_roundtrip(arrow_client):
+    """Arrow in → Arrow out: IPC framing both directions."""
+    uuid = _series_uuid(arrow_client, "power_a")
+    r = arrow_client.get(f"/series/{uuid}?format=arrow")
+    assert r.status_code == 200
+    check_golden("arrow_power_a.arrow", r.get_data())
+
+
+def test_golden_arrow_ingest_int64_nameless(arrow_client):
+    """input_count.arrow has no sensor_name column → default name,
+    Int64 value → Integer sensor type (arrow.rs:143-296 dispatch)."""
+    uuid = _series_uuid(arrow_client, "arrow_sensor")
+    r = arrow_client.get(f"/series/{uuid}?format=jsonl")
+    assert r.status_code == 200
+    check_golden("arrow_count.jsonl", r.get_data())
+    rows = [json.loads(x) for x in r.get_data(as_text=True).splitlines()]
+    assert [x["value"] for x in rows] == [41, 42, 43, 44]
+    assert all(x["type"] == "integer" for x in rows)
+
+
+def test_arrow_ingest_values_roundtrip(arrow_client):
+    """Integrity regardless of regeneration: the float values survive
+    ingest→storage→export exactly (power-of-two fractions: lossless)."""
+    uuid = _series_uuid(arrow_client, "power_a")
+    r = arrow_client.get(f"/series/{uuid}?format=jsonl")
+    rows = [json.loads(x) for x in r.get_data(as_text=True).splitlines()]
+    assert [x["value"] for x in rows] == [230.5, 231.25, 229.75]
