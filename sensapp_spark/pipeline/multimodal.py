@@ -118,54 +118,28 @@ def parse_media_header(payload: bytes) -> dict:
     return {"format": None}
 
 
-def decode_png_pixels(payload: bytes) -> tuple[int, int, int, bytes]:
-    """REAL PNG pixel decode with stdlib ``zlib`` only: walk chunks,
-    inflate the concatenated IDAT stream, undo the five row filters
-    (None/Sub/Up/Average/Paeth, PNG spec §9), and return
-    ``(width, height, channels, pixels)`` with ``pixels`` row-major
-    unfiltered bytes. Supports 8-bit depth, gray/gray+alpha/RGB/RGBA,
-    non-interlaced (the overwhelmingly common layout); anything else
-    raises ``NotImplementedError``. Chunk CRCs are not verified
-    (fast-path decoder behavior) but the zlib adler32 IS — a corrupt
-    stream raises."""
-    import zlib
+# Adam7 pass grid (PNG spec §8.2): (row_start, col_start, row_step,
+# col_step) for each of the 7 passes, in transmission order.
+_ADAM7 = [
+    (0, 0, 8, 8), (0, 4, 8, 8), (4, 0, 8, 4), (0, 2, 4, 4),
+    (2, 0, 4, 2), (0, 1, 2, 2), (1, 0, 2, 1),
+]
 
-    if payload[:8] != b"\x89PNG\r\n\x1a\n":
-        raise ValueError("not a PNG")
-    pos = 8
-    ihdr = None
-    idat = bytearray()
-    while pos + 8 <= len(payload):
-        ln = int.from_bytes(payload[pos : pos + 4], "big")
-        ctype = payload[pos + 4 : pos + 8]
-        if ctype == b"IHDR":
-            ihdr = payload[pos + 8 : pos + 8 + ln]
-        elif ctype == b"IDAT":
-            idat += payload[pos + 8 : pos + 8 + ln]
-        elif ctype == b"IEND":
-            break
-        pos += 12 + ln  # length + type + data + CRC
-    if ihdr is None or len(ihdr) < 13 or not idat:
-        raise ValueError("missing IHDR/IDAT")
-    w, h = struct.unpack(">II", ihdr[:8])
-    depth, color, _comp, _filt, interlace = ihdr[8:13]
-    if depth != 8 or interlace != 0:
-        raise NotImplementedError("only 8-bit non-interlaced PNGs")
-    try:
-        channels = {0: 1, 2: 3, 4: 2, 6: 4}[color]
-    except KeyError:
-        raise NotImplementedError(f"color type {color}") from None
-    raw = zlib.decompress(bytes(idat))
-    stride = w * channels
-    if len(raw) != h * (1 + stride):
+
+def _png_unfilter(raw: bytes, off: int, w_px: int, h_px: int,
+                  bpp: int) -> tuple[bytes, int]:
+    """Undo the five PNG row filters (None/Sub/Up/Average/Paeth, spec
+    §9) for one (sub-)image of ``h_px`` scanlines starting at ``off`` in
+    the inflated stream. Returns (pixel bytes, next offset)."""
+    stride = w_px * bpp
+    if off + h_px * (1 + stride) > len(raw):
         raise ValueError("pixel data length does not match dimensions")
     out = bytearray()
     prev = bytes(stride)
-    bpp = channels  # bytes per pixel at 8-bit depth
-    for r in range(h):
-        base = r * (1 + stride)
-        ft = raw[base]
-        row = bytearray(raw[base + 1 : base + 1 + stride])
+    for _ in range(h_px):
+        ft = raw[off]
+        row = bytearray(raw[off + 1 : off + 1 + stride])
+        off += 1 + stride
         if ft == 1:  # Sub
             for i in range(bpp, stride):
                 row[i] = (row[i] + row[i - bpp]) & 0xFF
@@ -189,7 +163,103 @@ def decode_png_pixels(payload: bytes) -> tuple[int, int, int, bytes]:
             raise ValueError(f"unknown filter type {ft}")
         out += row
         prev = row
-    return w, h, channels, bytes(out)
+    return bytes(out), off
+
+
+def decode_png_pixels(payload: bytes) -> tuple[int, int, int, bytes]:
+    """REAL PNG pixel decode with stdlib ``zlib`` only: walk chunks,
+    inflate the concatenated IDAT stream, undo the five row filters
+    (None/Sub/Up/Average/Paeth, PNG spec §9), and return
+    ``(width, height, channels, pixels)`` with ``pixels`` row-major
+    unfiltered bytes. Supports:
+
+    * gray / gray+alpha / RGB / RGBA at 8- and 16-bit depth (16-bit
+      samples are narrowed to their high byte — the standard 8-bit
+      feature view);
+    * palette (color type 3, 8-bit indices) — indices are mapped
+      through PLTE so the result is plain RGB;
+    * Adam7 interlacing (spec §8.2) for all of the above — each pass is
+      unfiltered as its own sub-image and scattered into place.
+
+    Sub-byte palette depths (1/2/4-bit) raise ``NotImplementedError``.
+    Chunk CRCs are not verified (fast-path decoder behavior) but the
+    zlib adler32 IS — a corrupt stream raises."""
+    import zlib
+
+    if payload[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG")
+    pos = 8
+    ihdr = None
+    plte = None
+    idat = bytearray()
+    while pos + 8 <= len(payload):
+        ln = int.from_bytes(payload[pos : pos + 4], "big")
+        ctype = payload[pos + 4 : pos + 8]
+        if ctype == b"IHDR":
+            ihdr = payload[pos + 8 : pos + 8 + ln]
+        elif ctype == b"PLTE":
+            plte = payload[pos + 8 : pos + 8 + ln]
+        elif ctype == b"IDAT":
+            idat += payload[pos + 8 : pos + 8 + ln]
+        elif ctype == b"IEND":
+            break
+        pos += 12 + ln  # length + type + data + CRC
+    if ihdr is None or len(ihdr) < 13 or not idat:
+        raise ValueError("missing IHDR/IDAT")
+    w, h = struct.unpack(">II", ihdr[:8])
+    depth, color, _comp, _filt, interlace = ihdr[8:13]
+    try:
+        channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color]
+    except KeyError:
+        raise NotImplementedError(f"color type {color}") from None
+    if depth not in (8, 16) or (color == 3 and depth != 8):
+        raise NotImplementedError(
+            f"unsupported bit depth {depth} for color type {color}"
+        )
+    if interlace not in (0, 1):
+        raise ValueError(f"unknown interlace method {interlace}")
+    if color == 3 and (plte is None or len(plte) % 3):
+        raise ValueError("palette PNG missing a valid PLTE chunk")
+    bps = depth // 8  # bytes per sample
+    bpp = channels * bps
+    raw = zlib.decompress(bytes(idat))
+
+    if interlace == 0:
+        pixels, off = _png_unfilter(raw, 0, w, h, bpp)
+        if off != len(raw):
+            raise ValueError("pixel data length does not match dimensions")
+    else:  # Adam7: 7 independently-filtered sub-images, scattered
+        img = bytearray(w * h * bpp)
+        off = 0
+        for row0, col0, rstep, cstep in _ADAM7:
+            pw = (w - col0 + cstep - 1) // cstep
+            ph = (h - row0 + rstep - 1) // rstep
+            if pw <= 0 or ph <= 0:
+                continue  # pass empty at this image size (spec §8.2)
+            sub, off = _png_unfilter(raw, off, pw, ph, bpp)
+            for ri in range(ph):
+                src = ri * pw * bpp
+                dst_row = (row0 + ri * rstep) * w * bpp
+                for ci in range(pw):
+                    dst = dst_row + (col0 + ci * cstep) * bpp
+                    img[dst : dst + bpp] = sub[src : src + bpp]
+                    src += bpp
+        if off != len(raw):
+            raise ValueError("pixel data length does not match dimensions")
+        pixels = bytes(img)
+
+    if depth == 16:
+        # Big-endian samples: the high byte is every even offset.
+        pixels = pixels[0::2]
+    if color == 3:
+        out = bytearray(w * h * 3)
+        n_entries = len(plte) // 3
+        for i, idx in enumerate(pixels):
+            if idx >= n_entries:
+                raise ValueError("palette index out of range")
+            out[3 * i : 3 * i + 3] = plte[3 * idx : 3 * idx + 3]
+        return w, h, 3, bytes(out)
+    return w, h, channels, pixels
 
 
 def decode_bmp_pixels(payload: bytes) -> tuple[int, int, int, bytes]:

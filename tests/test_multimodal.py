@@ -532,3 +532,148 @@ def test_gif_multi_frame_returns_first():
     w, h, ch, px = decode_gif_pixels(two)
     assert (w, h) == (2, 2)
     assert px == b"".join(bytes(pal[i]) for i in [0, 1, 1, 0])
+
+
+# ---------------------------------------------------------------------------
+# PNG palette / Adam7 / 16-bit branches (spec §8.2, §9; forward encoder
+# below is written from the same public spec, so round-trips validate
+# the inverse independently)
+# ---------------------------------------------------------------------------
+
+_ADAM7_TEST = [
+    (0, 0, 8, 8), (0, 4, 8, 8), (4, 0, 8, 4), (0, 2, 4, 4),
+    (2, 0, 4, 2), (0, 1, 2, 2), (1, 0, 2, 1),
+]
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    crc = zlib.crc32(ctype + data) & 0xFFFFFFFF
+    return struct.pack(">I", len(data)) + ctype + data + struct.pack(">I", crc)
+
+
+def make_png_full(
+    width: int,
+    height: int,
+    rows: list[bytes],
+    *,
+    color: int,
+    depth: int = 8,
+    bpp: int,
+    palette: bytes | None = None,
+    interlace: int = 0,
+    ftype: int = 0,
+) -> bytes:
+    """Valid PNG from raw pixel rows for any color type / depth /
+    interlace combination under test. Adam7 passes are extracted and
+    forward-filtered independently (prev-row resets per pass)."""
+    if interlace == 0:
+        raw = _filter_rows(rows, [ftype] * height, bpp=bpp)
+    else:
+        raw = b""
+        for row0, col0, rstep, cstep in _ADAM7_TEST:
+            sub_rows = []
+            for r in range(row0, height, rstep):
+                row = rows[r]
+                cells = [
+                    row[c * bpp : (c + 1) * bpp]
+                    for c in range(col0, width, cstep)
+                ]
+                if cells:
+                    sub_rows.append(b"".join(cells))
+            if sub_rows:
+                raw += _filter_rows(
+                    sub_rows, [ftype] * len(sub_rows), bpp=bpp
+                )
+    ihdr = struct.pack(">IIBBBBB", width, height, depth, color, 0, 0, interlace)
+    out = b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
+    if palette is not None:
+        out += _png_chunk(b"PLTE", palette)
+    out += _png_chunk(b"IDAT", zlib.compress(raw))
+    return out + _png_chunk(b"IEND", b"")
+
+
+_PAL = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 17, 34, 51])  # 4 entries
+
+
+def test_decode_png_palette():
+    # 3x2 of indices; expect PLTE-mapped RGB out (channels becomes 3).
+    rows = [bytes([0, 1, 2]), bytes([3, 3, 0])]
+    p = make_png_full(3, 2, rows, color=3, bpp=1, palette=_PAL, ftype=1)
+    w, h, ch, px = decode_png_pixels(p)
+    assert (w, h, ch) == (3, 2, 3)
+    assert px == bytes(
+        [255, 0, 0, 0, 255, 0, 0, 0, 255, 17, 34, 51, 17, 34, 51, 255, 0, 0]
+    )
+
+
+def test_decode_png_adam7_matches_progressive():
+    # 9x9 RGB gradient: interlaced and non-interlaced encodes of the
+    # SAME image must decode identically (9x9 exercises every pass,
+    # including partially-empty edges).
+    rows = [
+        bytes(
+            v
+            for c in range(9)
+            for v in ((r * 28) & 0xFF, (c * 28) & 0xFF, (r * c) & 0xFF)
+        )
+        for r in range(9)
+    ]
+    plain = make_png_full(9, 9, rows, color=2, bpp=3, ftype=4)
+    inter = make_png_full(9, 9, rows, color=2, bpp=3, interlace=1, ftype=4)
+    assert decode_png_pixels(plain) == decode_png_pixels(inter)
+    w, h, ch, px = decode_png_pixels(inter)
+    assert (w, h, ch) == (9, 9, 3) and px == b"".join(rows)
+
+
+def test_decode_png_palette_adam7():
+    rows = [bytes((r + c) % 4 for c in range(5)) for r in range(6)]
+    inter = make_png_full(
+        5, 6, rows, color=3, bpp=1, palette=_PAL, interlace=1
+    )
+    plain = make_png_full(5, 6, rows, color=3, bpp=1, palette=_PAL)
+    assert decode_png_pixels(inter) == decode_png_pixels(plain)
+    assert decode_png_pixels(inter)[2] == 3  # RGB out
+
+
+def test_decode_png_16bit_gray_high_byte():
+    # 2x2 gray16 big-endian samples; decode narrows to the high byte.
+    samples = [0x0102, 0xFF00, 0x8040, 0x00FF]
+    rows = [
+        struct.pack(">2H", *samples[0:2]),
+        struct.pack(">2H", *samples[2:4]),
+    ]
+    p = make_png_full(2, 2, rows, color=0, depth=16, bpp=2, ftype=2)
+    w, h, ch, px = decode_png_pixels(p)
+    assert (w, h, ch) == (2, 2, 1)
+    assert px == bytes([0x01, 0xFF, 0x80, 0x00])
+
+
+def test_decode_png_palette_errors():
+    rows = [bytes([0, 1])]
+    no_plte = make_png_full(2, 1, rows, color=3, bpp=1)
+    with pytest.raises(ValueError, match="PLTE"):
+        decode_png_pixels(no_plte)
+    import pytest as _pytest
+    with _pytest.raises(NotImplementedError):
+        # 4-bit palette depth stays unsupported (sub-byte packing).
+        decode_png_pixels(
+            make_png_full(2, 1, rows, color=3, depth=4, bpp=1, palette=_PAL)
+        )
+    # Index beyond the palette is data corruption, not a decode result.
+    bad_idx = make_png_full(2, 1, [bytes([0, 200])], color=3, bpp=1,
+                            palette=_PAL)
+    with _pytest.raises(ValueError, match="palette index"):
+        decode_png_pixels(bad_idx)
+
+
+def test_adam7_grid_partitions_image():
+    """The pass table must tile every pixel exactly once (guards against
+    a wrong table that the shared encoder/decoder would round-trip
+    'successfully' while leaving holes)."""
+    for w, h in ((16, 16), (9, 9), (1, 1), (3, 5), (8, 2)):
+        seen = {}
+        for row0, col0, rstep, cstep in _ADAM7_TEST:
+            for r in range(row0, h, rstep):
+                for c in range(col0, w, cstep):
+                    seen[(r, c)] = seen.get((r, c), 0) + 1
+        assert seen == {(r, c): 1 for r in range(h) for c in range(w)}, (w, h)
