@@ -225,12 +225,22 @@ def _datetime_cast(col: F.Column, kind: InferredType) -> F.Column:
 def _with_row_index(df: DataFrame) -> DataFrame:
     """Stable 0-based row index in file order — only used for the quirky
     no-datetime-column fallback (csv.rs:106-111), which targets small
-    config-style files; zipWithIndex is a full pass but exact."""
-    schema = T.StructType(
-        [T.StructField("__idx", T.LongType(), False)] + list(df.schema.fields)
+    config-style files. Fully JVM-side: ``monotonically_increasing_id``
+    preserves the file scan's within-and-across-partition order
+    (partition id in the high bits), and one single-partition
+    ``row_number`` densifies it to 0..n-1 — the coalesce(1) is exactly
+    as bounded as the fallback itself (small files by definition), and
+    nothing round-trips through Python row serialization."""
+    from pyspark.sql import Window
+
+    w = Window.orderBy("__mono")
+    return (
+        df.withColumn("__mono", F.monotonically_increasing_id())
+        .coalesce(1)
+        .withColumn("__idx", F.row_number().over(w) - F.lit(1))
+        .drop("__mono")
+        .select("__idx", *df.columns)
     )
-    rdd = df.rdd.zipWithIndex().map(lambda pair: (pair[1], *pair[0]))
-    return df.sparkSession.createDataFrame(rdd, schema)
 
 
 def read_csv_sample(

@@ -23,9 +23,11 @@ mechanics differ (documented per method).
 
 from __future__ import annotations
 
+import contextlib
 import datetime as dt
 import os
 import shutil
+import time
 import uuid as uuid_mod
 
 from pyspark.sql import DataFrame, SparkSession
@@ -70,17 +72,26 @@ class SensorLake:
     def upsert_sensors(self, sensors: DataFrame) -> None:
         """MERGE-by-rewrite: the dimension is small (≤ millions), so a
         dedup-union rewrite is cheap; the deterministic UUID is the merge
-        key — re-publishing a sensor is a no-op (Delta: MERGE INTO)."""
+        key — re-publishing a sensor is a no-op (Delta: MERGE INTO).
+
+        The read→union→swap is guarded by a directory lock so two
+        concurrent publishers can't each read the old dimension and
+        have one's sensors vanish in the other's rewrite (lost update).
+        The lock is a local-filesystem ``mkdir`` — correct for this
+        build's single-host lake; on object storage the real fix is the
+        documented Delta ``MERGE INTO``, which serializes via the table
+        log instead."""
         path = self._sensors_path()
-        if os.path.exists(path):
-            merged = (
-                self.sensors()
-                .unionByName(sensors)
-                .dropDuplicates(["sensor_id"])
-            )
-        else:
-            merged = sensors
-        self._atomic_overwrite(merged, path)
+        with self._dir_lock(path):
+            if os.path.exists(path):
+                merged = (
+                    self.sensors()
+                    .unionByName(sensors)
+                    .dropDuplicates(["sensor_id"])
+                )
+            else:
+                merged = sensors
+            self._atomic_overwrite(merged, path)
 
     def append_values(self, stype: SensorType, df: DataFrame) -> None:
         # Replicate the reference's publisher policy: non-finite floats
@@ -151,15 +162,23 @@ class SensorLake:
     def dedup_rewrite(self, stype: SensorType) -> None:
         """Offline dedupe: drop duplicate (sensor_id, time, value) rows —
         the distributed rewrite of reference storage.rs:632-661 (DELETE
-        keeping MIN(rowid) + VACUUM)."""
+        keeping MIN(rowid) + VACUUM).
+
+        Serialized against other maintenance rewrites of this table via
+        the directory lock. An append landing DURING the rewrite window
+        is still lost (read happened before the appended file existed) —
+        that read-vs-append race is exactly what a transaction-log table
+        format closes (Delta OPTIMIZE commits against the log); run
+        vacuum in a maintenance window on the plain-parquet build."""
         path = self._values_path(stype)
         if not os.path.exists(path):
             return
-        deduped = (
-            self.spark.read.parquet(path)
-            .dropDuplicates(["sensor_id", "time", "value"])
-        )
-        self._atomic_overwrite(deduped, path, partition_by=MONTH_COL)
+        with self._dir_lock(path):
+            deduped = (
+                self.spark.read.parquet(path)
+                .dropDuplicates(["sensor_id", "time", "value"])
+            )
+            self._atomic_overwrite(deduped, path, partition_by=MONTH_COL)
 
     def optimize(self, stype: SensorType, files_per_month: int = 1) -> None:
         """Compaction: rewrite each month partition into ``files_per_month``
@@ -168,14 +187,49 @@ class SensorLake:
         path = self._values_path(stype)
         if not os.path.exists(path):
             return
-        compacted = (
-            self.spark.read.parquet(path)
-            .repartition(files_per_month, F.col(MONTH_COL))
-            .sortWithinPartitions("sensor_id", "time")
-        )
-        self._atomic_overwrite(compacted, path, partition_by=MONTH_COL)
+        with self._dir_lock(path):
+            compacted = (
+                self.spark.read.parquet(path)
+                .repartition(files_per_month, F.col(MONTH_COL))
+                .sortWithinPartitions("sensor_id", "time")
+            )
+            self._atomic_overwrite(compacted, path, partition_by=MONTH_COL)
 
     # -- internals -----------------------------------------------------------
+
+    @contextlib.contextmanager
+    def _dir_lock(self, path: str, timeout: float = 30.0,
+                  stale_after: float = 300.0):
+        """Exclusive advisory lock on a table directory via atomic
+        ``mkdir`` (POSIX guarantees exactly one creator). A lock older
+        than ``stale_after`` is treated as abandoned by a dead writer
+        and broken; waiting past ``timeout`` raises instead of silently
+        proceeding unserialized."""
+        lock = f"{path}.lock"
+        deadline = time.monotonic() + timeout
+        while True:
+            try:
+                os.mkdir(lock)
+                break
+            except FileExistsError:
+                try:
+                    if time.time() - os.stat(lock).st_mtime > stale_after:
+                        os.rmdir(lock)  # break a dead writer's lock
+                        continue
+                except OSError:
+                    continue  # holder released (or broke) it — retry now
+                if time.monotonic() > deadline:
+                    raise TimeoutError(
+                        f"could not acquire lake lock {lock} within "
+                        f"{timeout}s — remove it manually if its writer "
+                        "is dead"
+                    )
+                time.sleep(0.05)
+        try:
+            yield
+        finally:
+            with contextlib.suppress(OSError):
+                os.rmdir(lock)
 
     def _atomic_overwrite(
         self, df: DataFrame, path: str, partition_by: str | None = None

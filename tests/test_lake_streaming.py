@@ -161,3 +161,59 @@ def test_stream_lines_socket(spark, tmp_path):
     finally:
         q.stop()
         server.shutdown()
+
+
+def test_concurrent_upserts_lose_nothing(spark, tmp_path):
+    """Two (here: eight) writers upserting the dimension concurrently:
+    the directory lock serializes the read-union-swap, so every
+    publisher's sensors survive — without it, interleaved read→rewrite
+    pairs drop whichever writer read the older dimension (lost update)."""
+    import threading
+
+    lake = SensorLake(spark, str(tmp_path / "lake"))
+    errors = []
+
+    def publish(i: int) -> None:
+        sensors = [(f"u{i}", f"s{i}", "Float", None, None, {})]
+        try:
+            lake.upsert_sensors(
+                spark.createDataFrame(
+                    sensors,
+                    "sensor_id string, name string, type string, "
+                    "unit string, unit_description string, "
+                    "labels map<string,string>",
+                )
+            )
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+
+    threads = [threading.Thread(target=publish, args=(i,)) for i in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors
+    got = {r.sensor_id for r in lake.sensors().collect()}
+    assert got == {f"u{i}" for i in range(8)}
+    # Lock is released — a follow-up upsert proceeds immediately.
+    publish(99)
+    assert not errors
+    assert lake.sensors().count() == 9
+    assert not os.path.exists(str(tmp_path / "lake" / "sensors.lock"))
+
+
+def test_dir_lock_timeout_and_stale_break(spark, tmp_path):
+    lake = SensorLake(spark, str(tmp_path / "lake"))
+    path = lake._sensors_path()
+    lock = f"{path}.lock"
+    os.mkdir(lock)
+    # Held and fresh → a second writer times out loudly.
+    with pytest.raises(TimeoutError, match="lake lock"):
+        with lake._dir_lock(path, timeout=0.3):
+            pass
+    # Aged past stale_after → treated as a dead writer's leftover.
+    old = time.time() - 1000
+    os.utime(lock, (old, old))
+    with lake._dir_lock(path, timeout=0.3, stale_after=60):
+        assert os.path.exists(lock)  # re-acquired by us
+    assert not os.path.exists(lock)
