@@ -93,12 +93,37 @@ def query_bucket(query: list[float], planes: list[list[float]]) -> int:
 DEFAULT_MAX_EMB_BUCKET = 2000
 
 
+def auto_planes(
+    n: int,
+    max_bucket: int = DEFAULT_MAX_EMB_BUCKET,
+    lo: int = 1,
+    hi: int = 24,
+) -> int:
+    """Hyperplane count for an ``n``-vector corpus: the smallest b with
+    expected occupancy n/2^b at or under a QUARTER of the guard cap.
+    Hyperplane buckets are not balanced — md5-derived planes are not
+    orthonormal, and sign-bit correlations make the largest bucket run
+    2-3x the mean (measured 2.7x at 64k vectors) — so the 4x headroom
+    keeps ordinary buckets clear of the cap and the star-edge guard
+    firing only on genuine duplication spikes. This is the docstring's
+    "more planes, not a bigger cap" lever applied automatically:
+    occupancy stays ~constant as the corpus grows 100x because b grows
+    by log2(100) ≈ 7."""
+    import math
+
+    target = max(1, max_bucket // 4)
+    if n <= target:
+        return lo
+    return min(hi, max(lo, math.ceil(math.log2(n / target))))
+
+
 def embedding_neardup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.9,
-    n_planes: int = 4,
+    n_planes: int | None = 4,
     dim: int = 64,
     max_bucket: int | None = DEFAULT_MAX_EMB_BUCKET,
+    n_tables: int = 1,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, LSH-blocked.
 
@@ -146,9 +171,50 @@ def embedding_neardup_pairs(
     right move is MORE planes (buckets shrink exponentially), not a
     larger cap. The default cap of 2000 leaves a 4-plane layout
     untouched up to ~32k vectors while still catching the
-    mass-duplication spike.
+    mass-duplication spike. Pass ``n_planes=None`` to apply that lever
+    automatically: one count() job sizes b via :func:`auto_planes`, so
+    occupancy stays under the cap at any corpus size with no manual
+    tuning (adds an eager job — same batch-only contract as the probe).
+
+    More planes cost recall at the bucket boundary; ``n_tables`` > 1
+    recovers it the standard way — the pair sets from ``n_tables``
+    independent plane sets (salted via ``hyperplanes(table=t)``) are
+    unioned and deduped on (vec_a, vec_b). A true near-pair split by
+    one table's partition is co-bucketed by another; each table still
+    prunes its join to 1/2^b of the corpus, and the dedup is one
+    shuffle of the (small) pair set, not of the vectors.
     """
-    planes = hyperplanes(n_planes, dim)
+    if n_planes is None:
+        n_planes = auto_planes(
+            embeddings.count(),
+            max_bucket if max_bucket is not None else DEFAULT_MAX_EMB_BUCKET,
+        )
+    if n_tables < 1:
+        raise ValueError("n_tables must be at least 1")
+    per_table = [
+        _neardup_pairs_one_table(
+            embeddings, threshold, hyperplanes(n_planes, dim, table=t),
+            dim, max_bucket,
+        )
+        for t in range(n_tables)
+    ]
+    if len(per_table) == 1:
+        return per_table[0]
+    out = per_table[0]
+    for t in per_table[1:]:
+        out = out.unionByName(t)
+    # The same (vec_a, vec_b) pair carries the same exact rounded cosine
+    # from every table (clique or star alike), so key-only dedup is safe.
+    return out.dropDuplicates(["vec_a", "vec_b"])
+
+
+def _neardup_pairs_one_table(
+    embeddings: DataFrame,
+    threshold: float,
+    planes: list[list[float]],
+    dim: int,
+    max_bucket: int | None,
+) -> DataFrame:
     bucketed = embeddings.select(
         "vec_id",
         F.col("embedding").cast("array<double>").alias("emb"),

@@ -79,3 +79,103 @@ def test_ivf_accepts_trained_codebook(emb, queries):
     # this near-uniform corpus measures slightly BELOW the first-nlist
     # default — recorded in BASELINE.md; it wins on clustered corpora).
     assert r >= 0.6, f"trained-codebook IVF collapsed: {r:.3f}"
+
+
+# ---------------------------------------------------------------------------
+# Auto-sized hyperplane count (the "more planes, not a bigger cap"
+# lever applied automatically) + multi-table recall recovery
+# ---------------------------------------------------------------------------
+
+def test_auto_planes_math():
+    cap = sim.DEFAULT_MAX_EMB_BUCKET  # 2000 → target occupancy 500
+    assert sim.auto_planes(500, cap) == 1       # tiny corpus: floor
+    assert sim.auto_planes(32_000, cap) == 6    # ceil(log2(64))
+    assert sim.auto_planes(3_200_000, cap) == 13
+    assert sim.auto_planes(10**12, cap) == 24   # ceiling
+    assert sim.auto_planes(0, cap) == 1
+
+
+def _synth_vectors(spark, n: int, dim: int = 16):
+    """n deterministic pseudo-random unit-cube vectors, built JVM-side
+    (hash-derived components — no driver materialization)."""
+    from pyspark.sql import functions as F
+
+    comps = [
+        ((F.pmod(F.hash(F.col("id"), F.lit(d)), F.lit(2001)) - 1000)
+         / 1000.0).cast("float")
+        for d in range(dim)
+    ]
+    return spark.range(n).select(
+        F.col("id").alias("vec_id"), F.array(*comps).alias("embedding")
+    )
+
+
+@pytest.mark.parametrize("n", [4_000, 16_000, 64_000])
+def test_auto_planes_keeps_occupancy_under_cap(spark, n):
+    """At 3 corpus sizes spanning 16x, the auto-sized plane count keeps
+    every bucket's occupancy under the guard cap with no manual tuning
+    (the scenario that previously required hand-raising n_planes)."""
+    from pyspark.sql import functions as F
+
+    cap = sim.DEFAULT_MAX_EMB_BUCKET
+    b = sim.auto_planes(n, cap)
+    planes = sim.hyperplanes(b, 16)
+    vecs = _synth_vectors(spark, n)
+    sizes = (
+        vecs.select(sim.bucket_expr(F.col("embedding"), planes).alias("bk"))
+        .groupBy("bk").count()
+    )
+    max_sz = sizes.agg(F.max("count")).first()[0]
+    assert max_sz <= cap, (n, b, max_sz)
+    # And the plane count actually scales: 16x more vectors → +4 bits.
+    assert sim.auto_planes(16 * n, cap) == min(24, b + 4) or n == 4_000
+
+
+def test_multi_table_recovers_split_pairs(spark):
+    """A near-dup pair split across one table's hyperplane boundary is
+    recovered by an independent table; the union dedups cleanly."""
+    from pyspark.sql import functions as F
+
+    # Near-dup clusters around hash-derived anchors: pairs (2i, 2i+1)
+    # are near-identical, so each SHOULD be found; boundary splits are
+    # the only reason one goes missing.
+    anchors = _synth_vectors(spark, 200).withColumnRenamed("vec_id", "a_id")
+    pts = (
+        anchors.select(
+            "a_id",
+            F.explode(F.array(F.lit(0), F.lit(1))).alias("j"),
+            "embedding",
+        )
+        .select(
+            (F.col("a_id") * 2 + F.col("j")).alias("vec_id"),
+            # 0.02 per component ≈ 0.035 rad: cosine ≈ 0.9994 (still a
+            # near-dup at 0.999) while each plane splits the pair with
+            # ~1% probability — so table 0 misses a handful of the 200
+            # and the independent tables win them back.
+            F.transform(
+                "embedding",
+                lambda x: x + (F.col("j") * F.lit(2e-2)),
+            ).cast("array<float>").alias("embedding"),
+        )
+    )
+    def true_pairs(df):
+        rows = df.filter(
+            (F.col("vec_a") % 2 == 0) & (F.col("vec_b") == F.col("vec_a") + 1)
+        ).collect()
+        return {(r.vec_a, r.vec_b) for r in rows}
+
+    one = sim.embedding_neardup_pairs(
+        pts, threshold=0.999, n_planes=6, n_tables=1, dim=16
+    )
+    three = sim.embedding_neardup_pairs(
+        pts, threshold=0.999, n_planes=6, n_tables=3, dim=16
+    )
+    r1, r3 = true_pairs(one), true_pairs(three)
+    assert r1 <= r3, "multi-table must be a superset of table 0"
+    assert len(r3) > len(r1), (
+        f"expected boundary-split pairs recovered (t1={len(r1)}, t3={len(r3)})"
+    )
+    assert len(r3) <= 200
+    # Dedup soundness: no (vec_a, vec_b) key appears twice.
+    total = three.count()
+    assert three.select("vec_a", "vec_b").distinct().count() == total
