@@ -14,6 +14,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from sensapp_spark.plans.pipeline_queries import BENCH_MEMBERS  # noqa: E402
 from sensapp_spark.plans.queries import QUERIES  # noqa: E402
 from sensapp_spark.session import get_spark  # noqa: E402
 
@@ -40,14 +41,36 @@ def main() -> None:
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - start, 4)
 
+    # Per-member walls for the family-union entries, so a union growing
+    # a new member reads as scope growth rather than a regression of
+    # the existing members. Members re-execute in isolation, so they do
+    # NOT sum to the family wall (shared scans/exchanges re-run) and
+    # are excluded from the headline total. Disable with
+    # SPARK_GRAFT_MEMBERS=0.
+    members: dict[str, dict[str, float]] = {}
+    if os.environ.get("SPARK_GRAFT_MEMBERS", "1") != "0":
+        for family, parts in BENCH_MEMBERS.items():
+            members[family] = {}
+            for part, fn in parts.items():
+                start = time.perf_counter()
+                fn(spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                members[family][part] = round(
+                    time.perf_counter() - start, 4
+                )
+
     total = round(sum(timings.values()), 4)
-    print(json.dumps({
+    out = {
         "metric": "total_query_wall_seconds",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": sf,
-    }))
+    }
+    if members:
+        out["members"] = members
+    print(json.dumps(out))
     spark.stop()
 
 

@@ -1131,3 +1131,87 @@ def multimodal_frames(spark, sf_dir):
         F.col("chunk_fp").alias("fp"),
     )
     return frames.unionByName(chunks)
+
+
+# ---------------------------------------------------------------------------
+# Per-member bench decomposition (BENCH_r* evidence, not a query surface)
+# ---------------------------------------------------------------------------
+
+def _scoped(entry: str, tag: str):
+    def fn(spark, sf_dir):
+        return PIPELINE_QUERIES[entry](spark, sf_dir).filter(
+            F.col("scope") == tag
+        )
+
+    return fn
+
+
+def _split_member(spark, sf_dir):
+    from sensapp_spark.pipeline.sampling import split_assign
+
+    return split_assign(_docs(spark, sf_dir)).select("doc_id", "split")
+
+
+def _strat_member(spark, sf_dir):
+    from sensapp_spark.pipeline.sampling import stratified_sample
+
+    return stratified_sample(
+        _docs(spark, sf_dir), _SAMPLE_RATES, default_pct=_SAMPLE_DEFAULT
+    )
+
+
+def _verdict_member(spark, sf_dir):
+    from sensapp_spark.pipeline.assemble import corpus_verdict
+
+    docs = _docs(spark, sf_dir)
+    return corpus_verdict(docs, docs.filter(F.col("doc_id") % 97 == 0))
+
+
+def _signals_base_member(spark, sf_dir):
+    raw = tx.spread_if_needed(_docs(spark, sf_dir))
+    return tx.with_pii_flag(
+        raw.select(
+            "doc_id", *tx.lang_id_cols(), *tx.fingerprint_cols(),
+            *tx.pii_count_cols(),
+        )
+    )
+
+
+def _decontam_member(spark, sf_dir):
+    raw = _docs(spark, sf_dir)
+    return dd.benchmark_collision_hits(
+        raw, raw.filter(F.col("doc_id") % 97 == 0), n=3
+    )
+
+
+# Which registry entries are FAMILY UNIONS, and how to time each member
+# alone. Tagged unions re-run the entry filtered to one scope literal —
+# Catalyst folds the other branches' `lit(tag) = x` predicates to false
+# and prunes them to empty relations, so the member's plan executes in
+# isolation. Composed-join families (sample_split, text_signals)
+# re-derive each member from its underlying operator. Fused single-scan
+# entries (text_profile, multimodal_features) are deliberately absent:
+# their members share one scan by construction, so per-member walls
+# would double-count the shared cost rather than decompose it.
+BENCH_MEMBERS: dict[str, dict] = {
+    "dedup_exact_docs": {
+        t: _scoped("dedup_exact_docs", t) for t in ("doc", "chunk")
+    },
+    "dedup_simhash": {t: _scoped("dedup_simhash", t) for t in ("sig", "pair")},
+    "text_terms": {
+        t: _scoped("text_terms", t)
+        for t in ("tfidf_top", "corpus_top", "source_quality", "perplexity")
+    },
+    "multimodal_frames": {
+        t: _scoped("multimodal_frames", t) for t in ("frame", "chunk")
+    },
+    "sample_split": {
+        "split_assign": _split_member,
+        "stratified_sample": _strat_member,
+        "corpus_verdict": _verdict_member,
+    },
+    "text_signals": {
+        "signals": _signals_base_member,
+        "decontam": _decontam_member,
+    },
+}
