@@ -335,3 +335,21 @@ def test_lm_perplexity_flags_unpredictable_text(spark):
     gibberish = got[8]
     # The repeated (well-modeled) text must be far more predictable.
     assert gibberish > 3 * fluent
+
+
+def test_jaccard_prefix_matches_baseline(spark):
+    """PPJoin prefix filtering is lossless: identical pair set and
+    jaccard values to the unguarded inverted-index baseline on the real
+    testdata corpus."""
+    from sensapp_spark.pipeline.dedup import jaccard_pairs, jaccard_pairs_prefix
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    base = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in jaccard_pairs(docs, threshold=0.3, max_df=None).collect()
+    }
+    pfx = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in jaccard_pairs_prefix(docs, threshold=0.3).collect()
+    }
+    assert base == pfx and len(base) > 0
