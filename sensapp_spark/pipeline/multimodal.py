@@ -263,10 +263,12 @@ def decode_png_pixels(payload: bytes) -> tuple[int, int, int, bytes]:
 
 
 def decode_bmp_pixels(payload: bytes) -> tuple[int, int, int, bytes]:
-    """REAL uncompressed 24-bit BMP decode: honors the pixel-data
-    offset, 4-byte row padding, bottom-up vs top-down row order, and
-    both DIB header flavors. Returns ``(width, height, 3, pixels)``
-    with pixels row-major top-down in RGB order (BMP stores BGR)."""
+    """REAL BMP decode: honors the pixel-data offset, 4-byte row
+    padding, bottom-up vs top-down row order, and both DIB header
+    flavors. Supports uncompressed 24-bit, 8-bit palette, and RLE8
+    (run-length + absolute/delta/EOL escapes per the public BMP spec).
+    Returns ``(width, height, 3, pixels)`` with pixels row-major
+    top-down in RGB order (BMP stores BGR)."""
     if payload[:2] != b"BM":
         raise ValueError("not a BMP")
     data_off = struct.unpack("<I", payload[10:14])[0]
@@ -282,25 +284,108 @@ def decode_bmp_pixels(payload: bytes) -> tuple[int, int, int, bytes]:
         h = abs(h)
         bpp = struct.unpack("<H", payload[28:30])[0]
         compression = struct.unpack("<I", payload[30:34])[0]
-    if bpp != 24 or compression != 0:
-        raise NotImplementedError("only uncompressed 24-bit BMPs")
-    row_bytes = ((w * 3 + 3) // 4) * 4
-    # Validate the pixel region against the declared dimensions (same
-    # contract as the PNG decoder's length check): a truncated payload
-    # must raise, not silently return short pixel data.
-    if data_off + h * row_bytes > len(payload):
-        raise ValueError("BMP pixel data shorter than declared dimensions")
-    rows = []
-    for r in range(h):
-        src = r if top_down else (h - 1 - r)
-        line = payload[data_off + src * row_bytes :][: w * 3]
-        # BGR → RGB per pixel
-        rgb = bytearray(len(line))
-        rgb[0::3] = line[2::3]
-        rgb[1::3] = line[1::3]
-        rgb[2::3] = line[0::3]
-        rows.append(bytes(rgb))
-    return w, h, 3, b"".join(rows)
+    if bpp == 24 and compression == 0:
+        row_bytes = ((w * 3 + 3) // 4) * 4
+        # Validate the pixel region against the declared dimensions
+        # (same contract as the PNG decoder's length check): a
+        # truncated payload must raise, not silently return short data.
+        if data_off + h * row_bytes > len(payload):
+            raise ValueError("BMP pixel data shorter than declared dimensions")
+        rows = []
+        for r in range(h):
+            src = r if top_down else (h - 1 - r)
+            line = payload[data_off + src * row_bytes :][: w * 3]
+            # BGR → RGB per pixel
+            rgb = bytearray(len(line))
+            rgb[0::3] = line[2::3]
+            rgb[1::3] = line[1::3]
+            rgb[2::3] = line[0::3]
+            rows.append(bytes(rgb))
+        return w, h, 3, b"".join(rows)
+    if bpp == 8 and compression in (0, 1):
+        palette = _bmp_palette(payload, hdr_size)
+        if compression == 0:
+            row_bytes = ((w + 3) // 4) * 4
+            if data_off + h * row_bytes > len(payload):
+                raise ValueError(
+                    "BMP pixel data shorter than declared dimensions"
+                )
+            idx_rows = [
+                payload[data_off + (r if top_down else h - 1 - r)
+                        * row_bytes :][:w]
+                for r in range(h)
+            ]
+        else:  # RLE8 (always bottom-up per the BMP spec)
+            idx_rows = _bmp_rle8(payload[data_off:], w, h)
+            idx_rows.reverse()
+        out = bytearray(w * h * 3)
+        pos = 0
+        for row in idx_rows:
+            for idx in row:
+                out[pos : pos + 3] = palette[idx]
+                pos += 3
+        return w, h, 3, bytes(out)
+    raise NotImplementedError(
+        f"unsupported BMP layout (bpp={bpp}, compression={compression})"
+    )
+
+
+def _bmp_palette(payload: bytes, hdr_size: int) -> list[bytes]:
+    """256-entry RGB palette from the color table following the DIB
+    header: BGRA quads (BGR triples for the 12-byte core header).
+    Missing/short tables fill with black, out-of-range indices then
+    decode deterministically instead of raising."""
+    entry = 3 if hdr_size == 12 else 4
+    base = 14 + hdr_size
+    table = []
+    for i in range(256):
+        off = base + i * entry
+        if off + 3 <= len(payload):
+            b, g, r = payload[off : off + 3]
+            table.append(bytes((r, g, b)))
+        else:
+            table.append(b"\x00\x00\x00")
+    return table
+
+
+def _bmp_rle8(data: bytes, w: int, h: int) -> list[bytes]:
+    """RLE8 run decode (BMP spec): (count, value) runs; escape 0
+    introduces end-of-line (0), end-of-bitmap (1), delta (2: dx,dy of
+    transparent skip — filled with index 0), or absolute mode (n >= 3:
+    n literal bytes, word-aligned). Returns h rows bottom-up."""
+    rows: list[bytes] = []
+    cur = bytearray()
+    i = 0
+    def flush():
+        cur.extend(b"\x00" * (w - len(cur)))
+        rows.append(bytes(cur[:w]))
+        cur.clear()
+    while i + 1 < len(data) and len(rows) < h:
+        n, v = data[i], data[i + 1]
+        i += 2
+        if n > 0:
+            cur.extend(bytes([v]) * n)
+        elif v == 0:  # end of line
+            flush()
+        elif v == 1:  # end of bitmap
+            break
+        elif v == 2:  # delta: skip dx pixels / dy lines
+            if i + 2 > len(data):
+                raise ValueError("truncated RLE8 delta")
+            dx, dy = data[i], data[i + 1]
+            i += 2
+            for _ in range(dy):
+                flush()
+            cur.extend(b"\x00" * dx)
+        else:  # absolute run of v literal indices, word-aligned
+            if i + v > len(data):
+                raise ValueError("truncated RLE8 absolute run")
+            cur.extend(data[i : i + v])
+            i += v + (v & 1)
+    if cur or len(rows) < h:
+        while len(rows) < h:
+            flush()
+    return rows
 
 
 def _lzw_decode(data: bytes, min_code_size: int, max_pixels: int) -> bytes:
@@ -436,40 +521,53 @@ def decode_gif_pixels(payload: bytes) -> tuple[int, int, int, bytes]:
 
 
 def decode_wav_samples(payload: bytes) -> tuple[int, int, list]:
-    """REAL PCM16 WAV decode: returns ``(sample_rate, channels,
-    samples)`` with interleaved int16 samples."""
+    """REAL WAV decode: returns ``(sample_rate, channels, samples)``
+    with interleaved samples. Supported sample formats (RIFF/WAVE
+    public spec): PCM16 (int16), PCM8 (unsigned, recentred to signed
+    int like every audio stack does), and IEEE float32 (format code 3,
+    kept as floats). Other layouts (PCM24, ADPCM, float64) raise
+    ``NotImplementedError``."""
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise ValueError("not a WAV")
     off = 12
     rate = channels = None
-    bits = None
+    fmt_code = bits = None
     data = None
     while off + 8 <= len(payload):
         cid = payload[off : off + 4]
         size = struct.unpack("<I", payload[off + 4 : off + 8])[0]
         body = payload[off + 8 : off + 8 + size]
         if cid == b"fmt ":
-            channels, rate = struct.unpack("<HI", body[2:8])
+            fmt_code, channels, rate = struct.unpack("<HHI", body[0:8])
             bits = struct.unpack("<H", body[14:16])[0]
         elif cid == b"data":
             data = body
         off += 8 + size + (size & 1)
     if rate is None or data is None:
         raise ValueError("missing fmt/data chunk")
-    if bits != 16:
-        raise NotImplementedError("only PCM16 WAVs")
-    n = len(data) // 2
-    return rate, channels, list(struct.unpack(f"<{n}h", data[: 2 * n]))
+    if fmt_code == 1 and bits == 16:
+        n = len(data) // 2
+        return rate, channels, list(struct.unpack(f"<{n}h", data[: 2 * n]))
+    if fmt_code == 1 and bits == 8:
+        # PCM8 is unsigned with midpoint 128.
+        return rate, channels, [b - 128 for b in data]
+    if fmt_code == 3 and bits == 32:
+        n = len(data) // 4
+        return rate, channels, list(struct.unpack(f"<{n}f", data[: 4 * n]))
+    raise NotImplementedError(
+        f"unsupported WAV sample format (fmt={fmt_code}, bits={bits})"
+    )
 
 
 def decode_pixels(payload: bytes):
     """Pixel/sample decode over the sniffed container format — every
     branch is a REAL pure-Python/stdlib decode: PNG (zlib inflate + row
-    unfilter), GIF (from-scratch LZW + palette), uncompressed 24-bit
-    BMP, PCM16 WAV. Exotic sub-formats (interlaced PNG, 16-bit depth,
-    RLE BMP, float WAV) raise ``NotImplementedError`` — swap in
-    PIL/libvips/ffmpeg in production; the Spark-side plumbing does not
-    change."""
+    unfilter; 8/16-bit, palette, Adam7 interlace), GIF (from-scratch
+    LZW + palette + deinterlace), BMP (24-bit, 8-bit palette, RLE8),
+    WAV (PCM16/PCM8/float32). Genuinely exotic layouts (sub-byte PNG
+    depths, RLE4/16/32-bpp BMP, ADPCM) raise ``NotImplementedError`` —
+    swap in PIL/libvips/ffmpeg in production; the Spark-side plumbing
+    does not change."""
     fmt = parse_media_header(payload).get("format")
     if fmt == "png":
         return decode_png_pixels(payload)

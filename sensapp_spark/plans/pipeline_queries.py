@@ -406,6 +406,36 @@ def dedup_jaccard_pairs(spark, sf_dir):
 
 
 @register(
+    "dedup_jaccard_prefix",
+    f"""
+    WITH {_SHINGLES_CTE},
+    counts AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+        FROM sh a JOIN sh b USING (shingle)
+        WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+    SELECT doc_a, doc_b,
+           ROUND(i / CAST(ca.n + cb.n - i AS DOUBLE), 6) AS jaccard
+    FROM inter
+    JOIN counts ca ON ca.doc_id = doc_a
+    JOIN counts cb ON cb.doc_id = doc_b
+    WHERE ROUND(i / CAST(ca.n + cb.n - i AS DOUBLE), 6) >= 0.2
+    """,
+)
+def dedup_jaccard_prefix(spark, sf_dir):
+    """PPJoin prefix-filtered Jaccard pairs (``jaccard_pairs_prefix``):
+    rare-first prefix index + length filter + sorted-array verify —
+    EXACT (no df guard), so the oracle is the plain unguarded Jaccard
+    definition over all shingles. The Zipf-profile alternative to the
+    inverted-index path (BASELINE.md §"Prefix-filter experiment":
+    measured faster AND exact on long-tailed shingle frequencies; the
+    flat-profile default stays ``dedup_jaccard_pairs``)."""
+    from sensapp_spark.pipeline.dedup import jaccard_pairs_prefix
+
+    return jaccard_pairs_prefix(_docs(spark, sf_dir), threshold=0.2)
+
+
+@register(
     "dedup_components",
     f"""
     WITH RECURSIVE {_SHINGLES_CTE}, {_SHF_CTE},

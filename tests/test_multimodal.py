@@ -677,3 +677,85 @@ def test_adam7_grid_partitions_image():
                 for c in range(col0, w, cstep):
                     seen[(r, c)] = seen.get((r, c), 0) + 1
         assert seen == {(r, c): 1 for r in range(h) for c in range(w)}, (w, h)
+
+
+# ---------------------------------------------------------------------------
+# BMP 8-bit palette / RLE8 and WAV float32 / PCM8 branches
+# ---------------------------------------------------------------------------
+
+_BMP_PAL = [(255, 0, 0), (0, 255, 0), (0, 0, 255), (10, 20, 30)]
+
+
+def _bmp_header8(width, height, data, compression):
+    pal = b"".join(bytes((b, g, r, 0)) for r, g, b in _BMP_PAL)
+    pal += b"\x00" * 4 * (256 - len(_BMP_PAL))
+    dib = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 8, compression,
+                      len(data), 2835, 2835, len(_BMP_PAL), 0)
+    off = 14 + 40 + len(pal)
+    header = struct.pack("<2sIHHI", b"BM", off + len(data), 0, 0, off)
+    return header + dib + pal + data
+
+
+def test_decode_bmp_8bit_palette():
+    # 3x2, bottom-up storage: file rows are (bottom) [3,3,0], (top) [0,1,2]
+    rows_file = [bytes([3, 3, 0]) + b"\x00", bytes([0, 1, 2]) + b"\x00"]
+    p = _bmp_header8(3, 2, b"".join(rows_file), compression=0)
+    w, h, ch, px = decode_bmp_pixels(p)
+    assert (w, h, ch) == (3, 2, 3)
+    # top-down output: row0 = indices 0,1,2 -> red, green, blue
+    assert px[:9] == bytes([255, 0, 0, 0, 255, 0, 0, 0, 255])
+    assert px[9:] == bytes([10, 20, 30, 10, 20, 30, 255, 0, 0])
+
+
+def test_decode_bmp_rle8():
+    # 4x3 bottom-up RLE8 stream:
+    #   bottom row: run 4x index 1 | EOL
+    #   middle row: absolute [0,1,2] (pad) + run 1x3 | EOL
+    #   top row:    delta skip 2 (filled 0), run 2x index 2 | EOB
+    rle = bytes(
+        [4, 1, 0, 0,
+         0, 3, 0, 1, 2, 0x00, 1, 3, 0, 0,
+         0, 2, 2, 0, 2, 2, 0, 1]
+    )
+    p = _bmp_header8(4, 3, rle, compression=1)
+    w, h, ch, px = decode_bmp_pixels(p)
+    assert (w, h, ch) == (4, 3, 3)
+    def rgb(*idxs):
+        return b"".join(bytes(_BMP_PAL[i]) for i in idxs)
+    assert px[0:12] == rgb(0, 0, 2, 2)      # top: delta skip then 2x blue
+    assert px[12:24] == rgb(0, 1, 2, 3)     # middle: absolute + run
+    assert px[24:36] == rgb(1, 1, 1, 1)     # bottom: 4x green
+
+
+def make_wav_float(sample_rate, channels, samples):
+    data = struct.pack(f"<{len(samples)}f", *samples)
+    fmt = struct.pack("<HHIIHH", 3, channels, sample_rate,
+                      sample_rate * channels * 4, channels * 4, 32)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def test_decode_wav_float32():
+    samples = [0.0, 0.5, -0.25, 1.0]
+    rate, ch, out = decode_wav_samples(make_wav_float(16000, 1, samples))
+    assert (rate, ch) == (16000, 1)
+    assert out == pytest.approx(samples)
+
+
+def test_decode_wav_pcm8():
+    data = bytes([0, 128, 255])
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 8000, 1, 8)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    rate, ch, out = decode_wav_samples(b"RIFF" + struct.pack("<I", len(body)) + body)
+    assert out == [-128, 0, 127]
+
+
+def test_decode_wav_unsupported_raises():
+    data = b"\x00" * 6
+    fmt = struct.pack("<HHIIHH", 2, 1, 8000, 8000, 1, 4)  # ADPCM
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    with pytest.raises(NotImplementedError):
+        decode_wav_samples(b"RIFF" + struct.pack("<I", len(body)) + body)
