@@ -44,34 +44,42 @@ def execute_read_queries(
 ) -> list[list[TimeSeries]]:
     """Run each query through the Q1-Q9 pipeline over the three numeric
     value tables and assemble protobuf-ready series."""
-    results: list[list[TimeSeries]] = []
-    for q in queries:
-        epoch = dt.datetime(1970, 1, 1, tzinfo=dt.timezone.utc)
-        start = epoch + dt.timedelta(milliseconds=q.start_ms)
-        end = epoch + dt.timedelta(milliseconds=q.end_ms)
-        per_series: dict[str, TimeSeries] = {}
-        for stype in NUMERIC_TYPES:
-            vals = values_for(stype)
-            if vals is None:
-                continue
-            out = query_samples(
-                sensors, vals, q.matchers,
-                start=start, end=end, limit=limit, numeric_only=True,
-            ).select(
-                "sensor_id", "name", "labels",
-                (F.unix_micros("time") / 1000).cast("long").alias("ts_ms"),
-                F.col("value").cast("double").alias("value"),  # P4 lossy cast
-            )
-            for row in out.toLocalIterator():
-                series = per_series.get(row.sensor_id)
-                if series is None:
-                    labels = [("__name__", row.name)] + sorted(
-                        (row.labels or {}).items()
-                    )
-                    series = per_series[row.sensor_id] = TimeSeries(labels=labels)
-                series.samples.append((row.value, row.ts_ms))
-        results.append([per_series[k] for k in sorted(per_series)])
-    return results
+    return [
+        _execute_one_query(q, sensors, values_for, limit) for q in queries
+    ]
+
+
+def _execute_one_query(
+    q: ReadQuery,
+    sensors: DataFrame,
+    values_for: Callable[[SensorType], DataFrame],
+    limit: int | None = None,
+) -> list[TimeSeries]:
+    epoch = dt.datetime(1970, 1, 1, tzinfo=dt.timezone.utc)
+    start = epoch + dt.timedelta(milliseconds=q.start_ms)
+    end = epoch + dt.timedelta(milliseconds=q.end_ms)
+    per_series: dict[str, TimeSeries] = {}
+    for stype in NUMERIC_TYPES:
+        vals = values_for(stype)
+        if vals is None:
+            continue
+        out = query_samples(
+            sensors, vals, q.matchers,
+            start=start, end=end, limit=limit, numeric_only=True,
+        ).select(
+            "sensor_id", "name", "labels",
+            (F.unix_micros("time") / 1000).cast("long").alias("ts_ms"),
+            F.col("value").cast("double").alias("value"),  # P4 lossy cast
+        )
+        for row in out.toLocalIterator():
+            series = per_series.get(row.sensor_id)
+            if series is None:
+                labels = [("__name__", row.name)] + sorted(
+                    (row.labels or {}).items()
+                )
+                series = per_series[row.sensor_id] = TimeSeries(labels=labels)
+            series.samples.append((row.value, row.ts_ms))
+    return [per_series[k] for k in sorted(per_series)]
 
 
 def handle_read_request(
@@ -103,15 +111,30 @@ def handle_read_request_streamed(
     3: type=1 (XOR), 4: data}}, 2: query_index}. Each series carries one
     Gorilla XOR chunk; empty responses are skipped like Prometheus does.
     """
+    return b"".join(
+        iter_read_request_streamed(body, sensors, values_for, compressed)
+    )
+
+
+def iter_read_request_streamed(
+    body: bytes,
+    sensors: DataFrame,
+    values_for: Callable[[SensorType], DataFrame],
+    compressed: bool = True,
+):
+    """Generator form of :func:`handle_read_request_streamed`: yields one
+    framed ``ChunkedReadResponse`` message per non-empty query AS each
+    query executes, so the HTTP layer can stream frames while later
+    queries are still running and driver memory is bounded by a single
+    query's series (the frame granularity the wire format exists for —
+    stream_writer.rs frames per query and skips empty ones)."""
     from sensapp_spark.wire.protowire import Writer, encode_varint
     from sensapp_spark.wire.xorchunk import crc32c, encode_xor_chunk
 
     raw = snappy_codec.decompress(body) if compressed else body
     queries, _accepted = decode_read_request(raw)
-    results = execute_read_queries(queries, sensors, values_for)
-
-    out = bytearray()
-    for query_index, series_list in enumerate(results):
+    for query_index, q in enumerate(queries):
+        series_list = _execute_one_query(q, sensors, values_for)
         if not series_list:
             continue  # stream_writer.rs:27-39
         w = Writer()
@@ -131,7 +154,4 @@ def handle_read_request_streamed(
             w.message(1, sw)
         w.varint(2, query_index)
         msg = bytes(w)
-        out += encode_varint(len(msg))
-        out += crc32c(msg).to_bytes(4, "big")
-        out += msg
-    return bytes(out)
+        yield encode_varint(len(msg)) + crc32c(msg).to_bytes(4, "big") + msg

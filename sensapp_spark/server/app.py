@@ -317,7 +317,7 @@ def create_app(
         # reference prometheus_read.rs:105-175: STREAMED_XOR_CHUNKS when
         # the client accepts it, SAMPLES otherwise.
         from sensapp_spark.exporters.prometheus_read import (
-            handle_read_request_streamed,
+            iter_read_request_streamed,
         )
         from sensapp_spark.wire import snappy_codec
         from sensapp_spark.wire.prompb import (
@@ -332,11 +332,15 @@ def create_app(
         try:
             _, accepted = decode_read_request(snappy_codec.decompress(raw_body))
             if RESPONSE_TYPE_STREAMED_XOR_CHUNKS in accepted:
-                body = handle_read_request_streamed(
+                # Genuinely streamed: each ChunkedReadResponse frame is
+                # flushed as its query finishes (the request was already
+                # decoded above, so malformed payloads 400 before any
+                # frame goes out).
+                frames = iter_read_request_streamed(
                     raw_body, lake.sensors(), lake.values
                 )
                 return Response(
-                    body,
+                    frames,
                     mimetype=(
                         "application/x-streamed-protobuf; "
                         "proto=prometheus.ChunkedReadResponse"
