@@ -127,11 +127,15 @@ _ADAM7 = [
 
 
 def _png_unfilter(raw: bytes, off: int, w_px: int, h_px: int,
-                  bpp: int) -> tuple[bytes, int]:
+                  bpp: int, stride: int | None = None) -> tuple[bytes, int]:
     """Undo the five PNG row filters (None/Sub/Up/Average/Paeth, spec
     §9) for one (sub-)image of ``h_px`` scanlines starting at ``off`` in
-    the inflated stream. Returns (pixel bytes, next offset)."""
-    stride = w_px * bpp
+    the inflated stream. ``bpp`` is the FILTER distance in bytes (spec:
+    max(1, bytes per pixel) — 1 for sub-byte depths); ``stride`` is the
+    scanline byte length (defaults to ``w_px * bpp`` for byte-aligned
+    depths). Returns (pixel bytes, next offset)."""
+    if stride is None:
+        stride = w_px * bpp
     if off + h_px * (1 + stride) > len(raw):
         raise ValueError("pixel data length does not match dimensions")
     out = bytearray()
@@ -176,12 +180,13 @@ def decode_png_pixels(payload: bytes) -> tuple[int, int, int, bytes]:
     * gray / gray+alpha / RGB / RGBA at 8- and 16-bit depth (16-bit
       samples are narrowed to their high byte — the standard 8-bit
       feature view);
-    * palette (color type 3, 8-bit indices) — indices are mapped
+    * palette (color type 3, 1/2/4/8-bit indices) — indices are mapped
       through PLTE so the result is plain RGB;
+    * sub-byte grayscale (1/2/4-bit, MSB-first packing per spec §7.2)
+      — samples are rescaled to full 8-bit range (x * 255/max);
     * Adam7 interlacing (spec §8.2) for all of the above — each pass is
       unfiltered as its own sub-image and scattered into place.
 
-    Sub-byte palette depths (1/2/4-bit) raise ``NotImplementedError``.
     Chunk CRCs are not verified (fast-path decoder behavior) but the
     zlib adler32 IS — a corrupt stream raises."""
     import zlib
@@ -212,7 +217,9 @@ def decode_png_pixels(payload: bytes) -> tuple[int, int, int, bytes]:
         channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color]
     except KeyError:
         raise NotImplementedError(f"color type {color}") from None
-    if depth not in (8, 16) or (color == 3 and depth != 8):
+    allowed = {0: (1, 2, 4, 8, 16), 2: (8, 16), 3: (1, 2, 4, 8),
+               4: (8, 16), 6: (8, 16)}[color]
+    if depth not in allowed:
         raise NotImplementedError(
             f"unsupported bit depth {depth} for color type {color}"
         )
@@ -220,30 +227,53 @@ def decode_png_pixels(payload: bytes) -> tuple[int, int, int, bytes]:
         raise ValueError(f"unknown interlace method {interlace}")
     if color == 3 and (plte is None or len(plte) % 3):
         raise ValueError("palette PNG missing a valid PLTE chunk")
-    bps = depth // 8  # bytes per sample
-    bpp = channels * bps
+    # Filter distance in bytes (spec §9: max(1, bytes per pixel)) and
+    # expanded per-pixel width after sub-byte unpack / before 16-bit
+    # narrowing.
+    bpp = max(1, channels * depth // 8)
+    exp_bpp = channels * (2 if depth == 16 else 1)
+
+    def decode_subimage(pw: int, ph: int, off: int) -> tuple[bytes, int]:
+        """Unfilter one (sub-)image and expand sub-byte samples to one
+        byte each, so downstream scatter/palette logic is uniform."""
+        stride = (pw * channels * depth + 7) // 8
+        buf, off = _png_unfilter(raw, off, pw, ph, bpp, stride)
+        if depth >= 8:
+            return buf, off
+        mask = (1 << depth) - 1
+        ppb = 8 // depth
+        out = bytearray(pw * ph)
+        pos = 0
+        for r in range(ph):
+            row = buf[r * stride : (r + 1) * stride]
+            for c in range(pw):
+                shift = 8 - depth * ((c % ppb) + 1)
+                out[pos] = (row[c // ppb] >> shift) & mask
+                pos += 1
+        return bytes(out), off
+
     raw = zlib.decompress(bytes(idat))
 
     if interlace == 0:
-        pixels, off = _png_unfilter(raw, 0, w, h, bpp)
+        pixels, off = decode_subimage(w, h, 0)
         if off != len(raw):
             raise ValueError("pixel data length does not match dimensions")
     else:  # Adam7: 7 independently-filtered sub-images, scattered
-        img = bytearray(w * h * bpp)
+        img = bytearray(w * h * exp_bpp)
         off = 0
         for row0, col0, rstep, cstep in _ADAM7:
             pw = (w - col0 + cstep - 1) // cstep
             ph = (h - row0 + rstep - 1) // rstep
             if pw <= 0 or ph <= 0:
                 continue  # pass empty at this image size (spec §8.2)
-            sub, off = _png_unfilter(raw, off, pw, ph, bpp)
+            sub, off = decode_subimage(pw, ph, off)
             for ri in range(ph):
-                src = ri * pw * bpp
-                dst_row = (row0 + ri * rstep) * w * bpp
+                src = ri * pw * exp_bpp
+                dst_row = (row0 + ri * rstep) * w * exp_bpp
                 for ci in range(pw):
-                    dst = dst_row + (col0 + ci * cstep) * bpp
-                    img[dst : dst + bpp] = sub[src : src + bpp]
-                    src += bpp
+                    dst = dst_row + (col0 + ci * cstep) * exp_bpp
+                    img[dst : dst + exp_bpp] = sub[src : src + exp_bpp]
+                    src += exp_bpp
         if off != len(raw):
             raise ValueError("pixel data length does not match dimensions")
         pixels = bytes(img)
@@ -251,6 +281,10 @@ def decode_png_pixels(payload: bytes) -> tuple[int, int, int, bytes]:
     if depth == 16:
         # Big-endian samples: the high byte is every even offset.
         pixels = pixels[0::2]
+    elif depth < 8 and color == 0:
+        # Rescale sub-byte gray to full 8-bit range (0..max -> 0..255).
+        scale = 255 // ((1 << depth) - 1)
+        pixels = bytes(v * scale for v in pixels)
     if color == 3:
         out = bytearray(w * h * 3)
         n_entries = len(plte) // 3
@@ -564,10 +598,10 @@ def decode_pixels(payload: bytes):
     branch is a REAL pure-Python/stdlib decode: PNG (zlib inflate + row
     unfilter; 8/16-bit, palette, Adam7 interlace), GIF (from-scratch
     LZW + palette + deinterlace), BMP (24-bit, 8-bit palette, RLE8),
-    WAV (PCM16/PCM8/float32). Genuinely exotic layouts (sub-byte PNG
-    depths, RLE4/16/32-bpp BMP, ADPCM) raise ``NotImplementedError`` —
-    swap in PIL/libvips/ffmpeg in production; the Spark-side plumbing
-    does not change."""
+    WAV (PCM16/PCM8/float32). Genuinely exotic layouts (RLE4/16/32-bpp
+    BMP, ADPCM) raise ``NotImplementedError`` — swap in
+    PIL/libvips/ffmpeg in production; the Spark-side plumbing does not
+    change."""
     fmt = parse_media_header(payload).get("format")
     if fmt == "png":
         return decode_png_pixels(payload)

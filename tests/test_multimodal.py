@@ -655,9 +655,10 @@ def test_decode_png_palette_errors():
         decode_png_pixels(no_plte)
     import pytest as _pytest
     with _pytest.raises(NotImplementedError):
-        # 4-bit palette depth stays unsupported (sub-byte packing).
+        # 16-bit palette indices are not a thing (spec: palette depth
+        # <= 8) — rejected loudly, not mis-decoded.
         decode_png_pixels(
-            make_png_full(2, 1, rows, color=3, depth=4, bpp=1, palette=_PAL)
+            make_png_full(2, 1, rows, color=3, depth=16, bpp=1, palette=_PAL)
         )
     # Index beyond the palette is data corruption, not a decode result.
     bad_idx = make_png_full(2, 1, [bytes([0, 200])], color=3, bpp=1,
@@ -759,3 +760,85 @@ def test_decode_wav_unsupported_raises():
     body += b"data" + struct.pack("<I", len(data)) + data
     with pytest.raises(NotImplementedError):
         decode_wav_samples(b"RIFF" + struct.pack("<I", len(body)) + body)
+
+
+# ---------------------------------------------------------------------------
+# PNG sub-byte depths (1/2/4-bit gray + palette, MSB-first packing)
+# ---------------------------------------------------------------------------
+
+def _pack_bits(values, depth):
+    """MSB-first bit packing of one scanline of sub-byte samples
+    (spec §7.2), padded to a byte boundary."""
+    out = bytearray()
+    acc = nbits = 0
+    for v in values:
+        acc = (acc << depth) | v
+        nbits += depth
+        if nbits == 8:
+            out.append(acc)
+            acc = nbits = 0
+    if nbits:
+        out.append(acc << (8 - nbits))
+    return bytes(out)
+
+
+def make_png_subbyte(width, height, value_rows, *, color, depth,
+                     palette=None, interlace=0):
+    """Valid sub-byte PNG from per-pixel value rows."""
+    def pack(rows_vals):
+        return [_pack_bits(r, depth) for r in rows_vals]
+
+    if interlace == 0:
+        packed = pack(value_rows)
+        raw = b"".join(b"\x00" + r for r in packed)
+    else:
+        raw = b""
+        for row0, col0, rstep, cstep in _ADAM7_TEST:
+            sub = [
+                [value_rows[r][c] for c in range(col0, width, cstep)]
+                for r in range(row0, height, rstep)
+                if range(col0, width, cstep)
+            ]
+            sub = [s for s in sub if s]
+            if sub:
+                raw += b"".join(b"\x00" + r for r in pack(sub))
+    ihdr = struct.pack(">IIBBBBB", width, height, depth, color, 0, 0,
+                       interlace)
+    out = b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
+    if palette is not None:
+        out += _png_chunk(b"PLTE", palette)
+    out += _png_chunk(b"IDAT", zlib.compress(raw))
+    return out + _png_chunk(b"IEND", b"")
+
+
+def test_decode_png_1bit_gray():
+    rows = [[1, 0, 1, 0, 1, 0, 1, 0, 1], [0] * 9, [1] * 9]
+    p = make_png_subbyte(9, 3, rows, color=0, depth=1)
+    w, h, ch, px = decode_png_pixels(p)
+    assert (w, h, ch) == (9, 3, 1)
+    assert px == bytes(v * 255 for r in rows for v in r)
+
+
+def test_decode_png_2bit_gray_scaling():
+    rows = [[0, 1, 2, 3, 3]]
+    p = make_png_subbyte(5, 1, rows, color=0, depth=2)
+    assert decode_png_pixels(p)[3] == bytes([0, 85, 170, 255, 255])
+
+
+def test_decode_png_4bit_palette():
+    rows = [[0, 1, 2], [3, 3, 0]]
+    p = make_png_subbyte(3, 2, rows, color=3, depth=4, palette=_PAL)
+    w, h, ch, px = decode_png_pixels(p)
+    assert (w, h, ch) == (3, 2, 3)
+    assert px == bytes(
+        [255, 0, 0, 0, 255, 0, 0, 0, 255, 17, 34, 51, 17, 34, 51, 255, 0, 0]
+    )
+
+
+def test_decode_png_subbyte_adam7_matches_progressive():
+    rows = [[(r * 3 + c) % 4 for c in range(9)] for r in range(9)]
+    plain = make_png_subbyte(9, 9, rows, color=3, depth=2, palette=_PAL)
+    inter = make_png_subbyte(9, 9, rows, color=3, depth=2, palette=_PAL,
+                             interlace=1)
+    assert decode_png_pixels(plain) == decode_png_pixels(inter)
+    assert decode_png_pixels(plain)[2] == 3
