@@ -353,6 +353,15 @@ def jaccard_pairs_prefix(
             "pfx_len",
             F.col("n_sh") - F.ceil(F.col("n_sh") * F.lit(threshold)) + 1,
         )
+        # Three consumers (prefix postings, both verify sides) reference
+        # this frame, and their alias-renamed subtrees defeat
+        # ReuseExchange — without the checkpoint the shingling + df join
+        # + regroup (the CPU-heavy 2/3 of the whole join) execute three
+        # times. A LAZY localCheckpoint materializes the regrouped sets
+        # once on first use; lifetime is tied to RDD GC, so no explicit
+        # unpersist bookkeeping leaks onto callers. Same precedent as
+        # neardup_components' lineage cut.
+        .localCheckpoint(eager=False)
     )
     postings = per_doc.select(
         "doc_id", "n_sh",
