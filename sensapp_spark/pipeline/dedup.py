@@ -403,6 +403,90 @@ def jaccard_pairs_prefix(
     )
 
 
+DEFAULT_WINNOW_K = 5
+DEFAULT_WINNOW_WINDOW = 4
+
+
+def winnow_fingerprints(
+    docs: DataFrame,
+    k: int = DEFAULT_WINNOW_K,
+    window: int = DEFAULT_WINNOW_WINDOW,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03 — the MOSS algorithm, used at corpus scale for The
+    Stack's code dedup): hash every word k-gram, slide a ``window`` of
+    consecutive hashes, and keep each window's minimum. Guarantees any
+    shared run of at least k + window - 1 words between two documents
+    contributes at least one IDENTICAL fingerprint to both — local
+    similarity detection with a fingerprint set ~2/(window+1) the size
+    of the full k-gram set.
+
+    Everything is per-document higher-order functions over one scan —
+    no shuffle; hashes are md5-derived so the DuckDB oracle builds the
+    identical values. Returns (doc_id, fp) with distinct fingerprint
+    VALUES per document (winnowing's positional tie-break rule affects
+    which positions are reported, not the selected value set, so value
+    sets are canonical across engines). Documents shorter than k words
+    emit nothing; documents with fewer than ``window`` k-grams emit
+    their single global minimum."""
+    gram_hash = F.transform(
+        word_ngrams(F.col("words"), k),
+        lambda g: F.conv(F.substring(F.md5(g), 1, 16), 16, 10)
+        .cast("decimal(20,0)"),
+    )
+    staged = _tokenized(docs).select("doc_id", gram_hash.alias("h"))
+    minima = F.transform(
+        F.sequence(F.lit(0), F.size("h") - window),
+        lambda j: F.array_min(F.slice("h", j + 1, window)),
+    )
+    fps = (
+        F.when(F.size("h") >= window, F.array_distinct(minima))
+        .when(F.size("h") > 0, F.array(F.array_min("h")))
+        .otherwise(F.array().cast("array<decimal(20,0)>"))
+    )
+    return staged.select("doc_id", F.explode(fps).alias("fp"))
+
+
+def winnow_pairs(
+    docs: DataFrame,
+    k: int = DEFAULT_WINNOW_K,
+    window: int = DEFAULT_WINNOW_WINDOW,
+    min_shared: int = 2,
+    max_df: int | None = DEFAULT_MAX_DF,
+) -> DataFrame:
+    """Candidate near-dup pairs by shared winnowing fingerprints:
+    (doc_a, doc_b, shared) with doc_a < doc_b and at least
+    ``min_shared`` common fingerprints — each shared fingerprint
+    witnesses a common run of >= k + window - 1 words, so ``shared``
+    measures COPIED SPANS (plagiarism/boilerplate reuse), not just
+    set-overlap similarity like Jaccard.
+
+    Same scale shape as the inverted-index Jaccard join, but over the
+    winnowed sets (~2/(window+1) the postings volume): fingerprint-
+    keyed equality self-join with map-side-combined pair counts;
+    ``max_df`` drops corpus-wide boilerplate fingerprints exactly like
+    the hot-shingle guard."""
+    fps = winnow_fingerprints(docs, k, window)
+    if max_df is not None:
+        keep = (
+            fps.groupBy("fp").agg(F.count("*").alias("df"))
+            .filter(F.col("df") <= max_df)
+            .select("fp")
+        )
+        fps = fps.join(keep.hint("shuffle_hash"), "fp")
+    a, b = fps.alias("a"), fps.hint("shuffle_hash").alias("b")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(F.count("*").alias("shared"))
+        .filter(F.col("shared") >= min_shared)
+    )
+
+
 def minhash_signatures(
     docs: DataFrame, k: int = DEFAULT_MINHASH_K, n: int = DEFAULT_NGRAM
 ) -> DataFrame:

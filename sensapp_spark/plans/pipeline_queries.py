@@ -436,6 +436,54 @@ def dedup_jaccard_prefix(spark, sf_dir):
 
 
 @register(
+    "dedup_winnow_pairs",
+    f"""
+    WITH words AS (SELECT doc_id, {_WORDS_SQL} AS w FROM documents),
+    grams AS (
+        SELECT doc_id,
+            CASE WHEN len(w) >= 5 THEN
+                [array_to_string(w[i:i+4], ' ') FOR i IN range(1, len(w) - 3)]
+            ELSE []::VARCHAR[] END AS gs
+        FROM words),
+    h AS (
+        SELECT doc_id,
+               [('0x' || substring(md5(g), 1, 16))::UBIGINT FOR g IN gs]
+               AS hs
+        FROM grams),
+    fps AS (
+        SELECT DISTINCT doc_id, fp FROM (
+            SELECT doc_id, unnest(
+                CASE WHEN len(hs) >= 4 THEN
+                    list_distinct(
+                        [list_min(hs[j:j+3]) FOR j IN range(1, len(hs) - 2)])
+                WHEN len(hs) > 0 THEN [list_min(hs)]
+                ELSE []::UBIGINT[] END) AS fp
+            FROM h)),
+    kept AS (
+        SELECT fps.doc_id, fps.fp FROM fps
+        JOIN (SELECT fp FROM fps GROUP BY fp
+              HAVING COUNT(*) <= {DEFAULT_MAX_DF}) hot USING (fp))
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+    FROM kept a JOIN kept b USING (fp)
+    WHERE a.doc_id < b.doc_id
+    GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    """,
+)
+def dedup_winnow_pairs(spark, sf_dir):
+    """Winnowing-fingerprint near-dup candidates (MOSS / The Stack's
+    code-dedup algorithm): per-doc window minima over word 5-gram
+    hashes (``dedup.winnow_fingerprints`` — one scan, per-doc HOFs, no
+    shuffle), then shared-fingerprint pair counts via the guarded
+    inverted-index join. A shared fingerprint witnesses a common run of
+    >= k + window - 1 = 8 words, so ``shared`` measures copied spans —
+    the plagiarism/boilerplate criterion, complementary to Jaccard's
+    set overlap and SimHash's bit proximity."""
+    from sensapp_spark.pipeline.dedup import winnow_pairs
+
+    return winnow_pairs(_docs(spark, sf_dir), min_shared=2)
+
+
+@register(
     "dedup_components",
     f"""
     WITH RECURSIVE {_SHINGLES_CTE}, {_SHF_CTE},

@@ -353,3 +353,62 @@ def test_jaccard_prefix_matches_baseline(spark):
         for r in jaccard_pairs_prefix(docs, threshold=0.3).collect()
     }
     assert base == pfx and len(base) > 0
+
+
+def test_winnow_guarantee_and_edges(spark):
+    """Winnowing's core guarantee: any shared run of >= k + window - 1
+    words yields at least one identical fingerprint in both documents
+    (SIGMOD'03 thm); plus the short-document edges."""
+    from sensapp_spark.pipeline.dedup import (
+        DEFAULT_WINNOW_K,
+        DEFAULT_WINNOW_WINDOW,
+        winnow_fingerprints,
+        winnow_pairs,
+    )
+
+    run_len = DEFAULT_WINNOW_K + DEFAULT_WINNOW_WINDOW - 1  # 8 words
+    shared_run = " ".join(f"s{i}" for i in range(run_len))
+    docs = spark.createDataFrame(
+        [
+            (1, f"alpha beta {shared_run} gamma delta"),
+            (2, f"one two three {shared_run} four"),
+            (3, "unrelated words entirely different content here now"),
+            (4, "tiny doc"),                      # < k words: no grams
+            (5, " ".join(f"u{i}" for i in range(DEFAULT_WINNOW_K))),
+        ],
+        "doc_id long, text string",
+    )
+    fps = winnow_fingerprints(docs)
+    by_doc = {
+        r.doc_id: r["cnt"]
+        for r in fps.groupBy("doc_id").agg(F.count("*").alias("cnt")).collect()
+    }
+    assert 4 not in by_doc          # sub-k doc emits nothing
+    assert by_doc[5] == 1           # single gram -> single min
+    pairs = {
+        (r.doc_a, r.doc_b): r.shared
+        for r in winnow_pairs(docs, min_shared=1).collect()
+    }
+    assert (1, 2) in pairs          # the guarantee
+    assert all(3 not in p for p in pairs)
+
+
+def test_winnow_fingerprints_are_subset_of_gram_hashes(spark):
+    """Every fingerprint is the hash of an actual k-gram of the doc
+    (window minima select, never invent)."""
+    from sensapp_spark.pipeline.dedup import hash64, winnow_fingerprints
+    from sensapp_spark.pipeline.text import word_ngrams
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    fps = winnow_fingerprints(docs)
+    grams = docs.select(
+        "doc_id",
+        F.explode(
+            word_ngrams(F.split(F.trim(
+                F.lower(F.regexp_replace("text", r"\s+", " "))), r"\s+"), 5)
+        ).alias("g"),
+    ).select("doc_id", hash64(F.col("g")).alias("fp"))
+    missing = fps.join(grams, ["doc_id", "fp"], "left_anti").count()
+    assert missing == 0
+    # And winnowing genuinely compresses: fewer fps than grams.
+    assert fps.count() < grams.count()
