@@ -390,55 +390,12 @@ _SHF_CTE = f"""
     inter AS (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
         FROM shf a JOIN shf b USING (shingle)
-        WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
-    SELECT doc_a, doc_b,
-           ROUND(i / CAST(ca.n + cb.n - i AS DOUBLE), 6) AS jaccard
-    FROM inter
-    JOIN counts ca ON ca.doc_id = doc_a
-    JOIN counts cb ON cb.doc_id = doc_b
-    WHERE ROUND(i / CAST(ca.n + cb.n - i AS DOUBLE), 6) >= 0.2
-    """,
-)
-def dedup_jaccard_pairs(spark, sf_dir):
-    """N-gram Jaccard near-dup pairs via inverted-index join (no n² scan);
-    the max_df skew guard is on by default and mirrored in the oracle."""
-    return jaccard_pairs(_docs(spark, sf_dir), threshold=0.2)
-
-
-@register(
-    "dedup_jaccard_prefix",
-    f"""
-    WITH {_SHINGLES_CTE},
-    counts AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
-    inter AS (
+        WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+    counts_all AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter_all AS (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
         FROM sh a JOIN sh b USING (shingle)
-        WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
-    SELECT doc_a, doc_b,
-           ROUND(i / CAST(ca.n + cb.n - i AS DOUBLE), 6) AS jaccard
-    FROM inter
-    JOIN counts ca ON ca.doc_id = doc_a
-    JOIN counts cb ON cb.doc_id = doc_b
-    WHERE ROUND(i / CAST(ca.n + cb.n - i AS DOUBLE), 6) >= 0.2
-    """,
-)
-def dedup_jaccard_prefix(spark, sf_dir):
-    """PPJoin prefix-filtered Jaccard pairs (``jaccard_pairs_prefix``):
-    rare-first prefix index + length filter + sorted-array verify —
-    EXACT (no df guard), so the oracle is the plain unguarded Jaccard
-    definition over all shingles. The Zipf-profile alternative to the
-    inverted-index path (BASELINE.md §"Prefix-filter experiment":
-    measured faster AND exact on long-tailed shingle frequencies; the
-    flat-profile default stays ``dedup_jaccard_pairs``)."""
-    from sensapp_spark.pipeline.dedup import jaccard_pairs_prefix
-
-    return jaccard_pairs_prefix(_docs(spark, sf_dir), threshold=0.2)
-
-
-@register(
-    "dedup_winnow_pairs",
-    f"""
-    WITH words AS (SELECT doc_id, {_WORDS_SQL} AS w FROM documents),
+        WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
     grams AS (
         SELECT doc_id,
             CASE WHEN len(w) >= 5 THEN
@@ -463,24 +420,65 @@ def dedup_jaccard_prefix(spark, sf_dir):
         SELECT fps.doc_id, fps.fp FROM fps
         JOIN (SELECT fp FROM fps GROUP BY fp
               HAVING COUNT(*) <= {DEFAULT_MAX_DF}) hot USING (fp))
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+    SELECT 'inverted' AS scope, doc_a, doc_b,
+           ROUND(i / CAST(ca.n + cb.n - i AS DOUBLE), 6) AS score
+    FROM inter
+    JOIN counts ca ON ca.doc_id = doc_a
+    JOIN counts cb ON cb.doc_id = doc_b
+    WHERE ROUND(i / CAST(ca.n + cb.n - i AS DOUBLE), 6) >= 0.2
+    UNION ALL
+    SELECT 'prefix', doc_a, doc_b,
+           ROUND(i / CAST(ca.n + cb.n - i AS DOUBLE), 6)
+    FROM inter_all
+    JOIN counts_all ca ON ca.doc_id = doc_a
+    JOIN counts_all cb ON cb.doc_id = doc_b
+    WHERE ROUND(i / CAST(ca.n + cb.n - i AS DOUBLE), 6) >= 0.2
+    UNION ALL
+    SELECT 'winnow', a.doc_id, b.doc_id, CAST(COUNT(*) AS DOUBLE)
     FROM kept a JOIN kept b USING (fp)
     WHERE a.doc_id < b.doc_id
-    GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    GROUP BY 2, 3 HAVING COUNT(*) >= 2
     """,
 )
-def dedup_winnow_pairs(spark, sf_dir):
-    """Winnowing-fingerprint near-dup candidates (MOSS / The Stack's
-    code-dedup algorithm): per-doc window minima over word 5-gram
-    hashes (``dedup.winnow_fingerprints`` — one scan, per-doc HOFs, no
-    shuffle), then shared-fingerprint pair counts via the guarded
-    inverted-index join. A shared fingerprint witnesses a common run of
-    >= k + window - 1 = 8 words, so ``shared`` measures copied spans —
-    the plagiarism/boilerplate criterion, complementary to Jaccard's
-    set overlap and SimHash's bit proximity."""
-    from sensapp_spark.pipeline.dedup import winnow_pairs
+def dedup_jaccard_pairs(spark, sf_dir):
+    """Span/set near-dup pair generators as one tagged union:
 
-    return winnow_pairs(_docs(spark, sf_dir), min_shared=2)
+    * ``inverted`` — n-gram Jaccard via the guarded inverted-index join
+      (max_df skew guard ON, mirrored in the oracle) — the flat-profile
+      production default.
+    * ``prefix`` — PPJoin prefix-filtered Jaccard
+      (``jaccard_pairs_prefix``): rare-first prefix index + length
+      filter + sorted-array verify, EXACT (no guard), so its oracle arm
+      is the plain unguarded Jaccard definition. The Zipf-profile
+      alternative (BASELINE.md §"Prefix-filter experiment": measured
+      faster AND exact on long-tailed shingle frequencies).
+    * ``winnow`` — winnowing-fingerprint candidates (MOSS / The Stack's
+      code-dedup algorithm): per-doc window minima over word 5-gram
+      hashes (one scan, per-doc HOFs, no shuffle), pair counts via the
+      guarded inverted-index join over the winnowed sets. A shared
+      fingerprint witnesses a common run of >= k + window - 1 = 8
+      words, so the score counts copied spans — complementary to
+      Jaccard's set overlap and SimHash's bit proximity.
+    """
+    from sensapp_spark.pipeline.dedup import (
+        jaccard_pairs_prefix,
+        winnow_pairs,
+    )
+
+    docs = _docs(spark, sf_dir)
+    inverted = jaccard_pairs(docs, threshold=0.2).select(
+        F.lit("inverted").alias("scope"), "doc_a", "doc_b",
+        F.col("jaccard").alias("score"),
+    )
+    prefix = jaccard_pairs_prefix(docs, threshold=0.2).select(
+        F.lit("prefix").alias("scope"), "doc_a", "doc_b",
+        F.col("jaccard").alias("score"),
+    )
+    winnow = winnow_pairs(docs, min_shared=2).select(
+        F.lit("winnow").alias("scope"), "doc_a", "doc_b",
+        F.col("shared").cast("double").alias("score"),
+    )
+    return inverted.unionByName(prefix).unionByName(winnow)
 
 
 @register(
@@ -1276,6 +1274,10 @@ BENCH_MEMBERS: dict[str, dict] = {
         t: _scoped("dedup_exact_docs", t) for t in ("doc", "chunk")
     },
     "dedup_simhash": {t: _scoped("dedup_simhash", t) for t in ("sig", "pair")},
+    "dedup_jaccard_pairs": {
+        t: _scoped("dedup_jaccard_pairs", t)
+        for t in ("inverted", "prefix", "winnow")
+    },
     "text_terms": {
         t: _scoped("text_terms", t)
         for t in ("tfidf_top", "corpus_top", "source_quality", "perplexity")
