@@ -148,6 +148,11 @@ def main() -> int:
         .agg(F.min("doc_id").alias("keep"), F.count("*").alias("copies")),
         "simhash_pairs": lambda: dedup.simhash_pairs(docs),
         "lm_perplexity": lambda: text.lm_perplexity(docs),
+        "winnow_pairs": lambda: dedup.winnow_pairs(docs),
+        # NOTE: jaccard_pairs_prefix is measured on its own harness
+        # (bench_ppjoin_zipf.py) on BOTH frequency profiles — on this
+        # flat-profile corpus it is the known-5x-slower path, so it is
+        # excluded here to keep the dry run's wall bounded.
     }
 
     report = {"corpus": {"docs": n_docs, "embeddings": n_emb,
