@@ -195,6 +195,45 @@ class SensorLake:
             )
             self._atomic_overwrite(compacted, path, partition_by=MONTH_COL)
 
+    # -- materialized catalog (C1/C2 snapshot) -------------------------------
+
+    def materialize_catalog(self) -> None:
+        """ClickHouse ``AggregatingMergeTree`` MV analogue (reference
+        clickhouse init.sql:121-146, SURVEY §7.3): snapshot the C1
+        metrics-summary and C2 sensor-catalog views as parquet tables,
+        swapped atomically under the maintenance lock. The gateway's
+        /metrics and /series recompute-on-read by default (the
+        dimension is small and broadcast); a deployment whose dimension
+        outgrows that points the catalog reads at these snapshots and
+        refreshes on publish cadence — same freshness contract as the
+        reference's MV, which also lags until the merge runs."""
+        from sensapp_spark.operators.catalog import (
+            metrics_summary,
+            sensor_catalog,
+        )
+
+        metrics_path = os.path.join(self.root, "catalog_metrics")
+        sensors_path = os.path.join(self.root, "catalog_sensors")
+        with self._dir_lock(os.path.join(self.root, "catalog")):
+            self._atomic_overwrite(metrics_summary(self.sensors()),
+                                   metrics_path)
+            self._atomic_overwrite(sensor_catalog(self.sensors()),
+                                   sensors_path)
+
+    def catalog_metrics(self) -> DataFrame | None:
+        """The materialized C1 view, or None if never materialized."""
+        path = os.path.join(self.root, "catalog_metrics")
+        if not os.path.exists(path):
+            return None
+        return self.spark.read.parquet(path)
+
+    def catalog_sensors(self) -> DataFrame | None:
+        """The materialized C2 view, or None if never materialized."""
+        path = os.path.join(self.root, "catalog_sensors")
+        if not os.path.exists(path):
+            return None
+        return self.spark.read.parquet(path)
+
     # -- internals -----------------------------------------------------------
 
     @contextlib.contextmanager

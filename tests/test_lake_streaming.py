@@ -217,3 +217,34 @@ def test_dir_lock_timeout_and_stale_break(spark, tmp_path):
     with lake._dir_lock(path, timeout=0.3, stale_after=60):
         assert os.path.exists(lock)  # re-acquired by us
     assert not os.path.exists(lock)
+
+
+def test_materialized_catalog_snapshot(spark, tmp_path):
+    """C1/C2 snapshots equal the recompute-on-read views, refresh after
+    a publish, and return None before the first materialization."""
+    from sensapp_spark.operators.catalog import metrics_summary
+
+    lake = SensorLake(spark, str(tmp_path / "lake"))
+    assert lake.catalog_metrics() is None and lake.catalog_sensors() is None
+
+    lake.publish(make_batch(spark, [("u1", T0, 1.0)]))
+    lake.materialize_catalog()
+    snap = {r.name: r.series_count for r in lake.catalog_metrics().collect()}
+    live = {
+        r.name: r.series_count
+        for r in metrics_summary(lake.sensors()).collect()
+    }
+    assert snap == live == {"temp": 1}
+    assert lake.catalog_sensors().count() == 1
+
+    # A new sensor does not appear until re-materialization (MV-style
+    # freshness), then does.
+    lake.publish(make_batch(
+        spark, [("u2", T0, 2.0)],
+        sensors=[("u2", "hum", "Float", None, None, {})],
+    ))
+    assert {r.name for r in lake.catalog_metrics().collect()} == {"temp"}
+    lake.materialize_catalog()
+    assert {r.name for r in lake.catalog_metrics().collect()} == {
+        "temp", "hum",
+    }
