@@ -189,6 +189,86 @@ def m4_downsample(
     )
 
 
+def lttb_downsample(
+    values: DataFrame,
+    on: Sequence[str],
+    time_col: str = "time",
+    value_col: str = "value",
+    bucket: str = "day",
+) -> DataFrame:
+    """LTTB visualization downsampling (Steinarsson 2013,
+    largest-triangle-three-buckets), parallel variant: one
+    representative point per (key, time bucket), chosen to maximize the
+    triangle area against the NEIGHBOR BUCKETS' average points. Classic
+    LTTB anchors on the previously *selected* point — a sequential
+    dependency; anchoring on the previous bucket's *average* (the
+    standard parallel relaxation, also what LTTB uses for the NEXT
+    bucket) makes every bucket's choice independent, so the whole thing
+    is one groupBy + a bucket-grain window + a bucket-keyed join — no
+    per-series sequential pass, shuffle bytes ∝ keys × buckets like M4.
+
+    Cross-engine determinism: bucket anchors are computed from EXACT
+    integer sums (epoch-micros as decimal(38,0); values as rounded
+    micro-longs) with a single double conversion, so Spark and a SQL
+    oracle derive bit-identical anchors regardless of partial-sum
+    order; ties on triangle area resolve by (time, value) ascending.
+    First/last buckets keep their first/last point, as in LTTB.
+
+    Returns one row per (key, bucket): ``(…, bucket, n, t_sel,
+    v_sel)``."""
+    on = list(on)
+    samples = values.select(
+        *on,
+        F.date_trunc(bucket, F.col(time_col)).alias("bucket"),
+        F.col(time_col).alias("t"),
+        F.col(value_col).alias("v"),
+        F.unix_micros(F.col(time_col)).alias("t_us"),
+        F.round(F.col(value_col) * F.lit(1e6)).cast("long").alias("mv"),
+    )
+    aggs = samples.groupBy(*on, "bucket").agg(
+        F.count("*").alias("n"),
+        (F.sum(F.col("t_us").cast("decimal(38,0)")).cast("double")
+         / F.count("*")).alias("at"),
+        (F.sum("mv").cast("double")
+         / (F.count("*") * F.lit(1e6))).alias("av"),
+    )
+    w = Window.partitionBy(*on).orderBy("bucket")
+    nb = aggs.select(
+        *on, "bucket", "n",
+        F.lag("at").over(w).alias("pat"),
+        F.lag("av").over(w).alias("pav"),
+        F.lead("at").over(w).alias("nat"),
+        F.lead("av").over(w).alias("nav"),
+    )
+    # Bucket stats are keys × buckets rows — far below the sample frame,
+    # but derived through a window whose static size estimate is
+    # unreliable; pin the hash join (same rationale as the verdict
+    # joins).
+    j = samples.join(nb.hint("shuffle_hash"), on + ["bucket"])
+    area = F.abs(
+        (F.col("pat") - F.col("nat")) * (F.col("v") - F.col("pav"))
+        - (F.col("pat") - F.col("t_us")) * (F.col("nav") - F.col("pav"))
+    )
+    ord1 = (
+        F.when(F.col("pat").isNull() & F.col("nat").isNull(),
+               F.col("t_us").cast("double"))       # single bucket: first
+        .when(F.col("pat").isNull(), F.col("t_us").cast("double"))
+        .when(F.col("nat").isNull(), -F.col("t_us").cast("double"))
+        .otherwise(-area)                          # middle: max area
+    )
+    sel = Window.partitionBy(*on, "bucket").orderBy(
+        ord1.asc(), F.col("t_us").asc(), F.col("mv").asc()
+    )
+    return (
+        j.withColumn("__rn", F.row_number().over(sel))
+        .filter(F.col("__rn") == 1)
+        .select(
+            *on, "bucket", "n",
+            F.col("t").alias("t_sel"), F.col("v").alias("v_sel"),
+        )
+    )
+
+
 def zscore_outliers(
     values: DataFrame,
     on: Sequence[str],

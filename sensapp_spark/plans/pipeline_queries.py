@@ -1222,6 +1222,18 @@ def _scoped(entry: str, tag: str):
     return fn
 
 
+def _scoped_main(entry: str, tag: str):
+    """Like _scoped but for entries registered in the MAIN registry
+    (plans.queries); imported late to avoid the circular module load."""
+
+    def fn(spark, sf_dir):
+        from sensapp_spark.plans.queries import QUERIES
+
+        return QUERIES[entry](spark, sf_dir).filter(F.col("scope") == tag)
+
+    return fn
+
+
 def _split_member(spark, sf_dir):
     from sensapp_spark.pipeline.sampling import split_assign
 
@@ -1284,6 +1296,9 @@ BENCH_MEMBERS: dict[str, dict] = {
     },
     "multimodal_frames": {
         t: _scoped("multimodal_frames", t) for t in ("frame", "chunk")
+    },
+    "downsample_m4": {
+        t: _scoped_main("downsample_m4", t) for t in ("m4", "lttb")
     },
     "sample_split": {
         "split_assign": _split_member,

@@ -1349,7 +1349,35 @@ def promql_ext_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
     "downsample_m4",
     _PRELUDE
     + """
-    SELECT v.sensor_id, date_trunc('day', v.time) AS bucket,
+    , err AS (
+        SELECT v.* FROM vals v
+        WHERE v.sensor_id IN (SELECT sensor_id FROM sensors
+                              WHERE name = 'error')),
+    lt_base AS (
+        SELECT sensor_id, date_trunc('day', time) AS bucket,
+               time AS t, value AS v, epoch_us(time) AS t_us,
+               CAST(ROUND(value * 1000000) AS BIGINT) AS mv
+        FROM err),
+    lt_agg AS (
+        SELECT sensor_id, bucket, COUNT(*) AS n,
+               CAST(SUM(t_us) AS DOUBLE) / COUNT(*) AS at,
+               CAST(SUM(mv) AS DOUBLE) / (COUNT(*) * 1000000.0) AS av
+        FROM lt_base GROUP BY 1, 2),
+    lt_nb AS (
+        SELECT *, lag(at) OVER w AS pat, lag(av) OVER w AS pav,
+               lead(at) OVER w AS nat, lead(av) OVER w AS nav
+        FROM lt_agg WINDOW w AS (PARTITION BY sensor_id ORDER BY bucket)),
+    lt_sel AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY sensor_id, bucket
+            ORDER BY CASE
+                WHEN pat IS NULL THEN CAST(t_us AS DOUBLE)
+                WHEN nat IS NULL THEN -CAST(t_us AS DOUBLE)
+                ELSE -abs((pat - nat) * (v - pav)
+                          - (pat - t_us) * (nav - pav)) END ASC,
+                t_us ASC, mv ASC) AS rn
+        FROM lt_base JOIN lt_nb USING (sensor_id, bucket))
+    SELECT 'm4' AS scope, v.sensor_id, date_trunc('day', v.time) AS bucket,
            COUNT(*) AS n,
            MIN(v.value) AS v_min, MAX(v.value) AS v_max,
            arg_min(v.value, epoch_us(v.time)::HUGEINT * 18446744073709551616
@@ -1357,20 +1385,34 @@ def promql_ext_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
            arg_max(v.value, epoch_us(v.time)::HUGEINT * 18446744073709551616
                             + v.event_id) AS v_last,
            MIN(v.time) AS t_first, MAX(v.time) AS t_last
-    FROM vals v
-    WHERE v.sensor_id IN (SELECT sensor_id FROM sensors
-                          WHERE name = 'error')
-    GROUP BY 1, 2
+    FROM err v
+    GROUP BY 2, 3
+    UNION ALL
+    SELECT 'lttb', sensor_id, bucket, n, v, v, v, v, t, t
+    FROM lt_sel WHERE rn = 1
     """,
 )
 def downsample_m4(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Beyond-reference: M4 visualization downsampling (min/max/first/
-    last per pixel bucket, Jugel et al. PVLDB'14). Shuffle bytes ∝
-    series × buckets, independent of sample rate. The oracle linearizes
-    the (time, event_id) ordering as epoch_us·2^64 + event_id — 2^64
-    exceeds the full BIGINT span, so the encoding is collision-free for
-    any event_id and matches Spark's struct(time, event_id) ordering."""
-    from sensapp_spark.operators.timeseries import m4_downsample
+    """Beyond-reference visualization downsampling as one tagged union:
+
+    * ``m4`` — min/max/first/last per pixel bucket (Jugel et al.
+      PVLDB'14). Shuffle bytes ∝ series × buckets, independent of
+      sample rate. The oracle linearizes the (time, event_id) ordering
+      as epoch_us·2^64 + event_id — 2^64 exceeds the full BIGINT span,
+      so the encoding is collision-free for any event_id and matches
+      Spark's struct(time, event_id) ordering.
+    * ``lttb`` — largest-triangle-three-buckets (Steinarsson 2013),
+      parallel bucket-average-anchor variant
+      (``timeseries.lttb_downsample``): one perceptually-best point per
+      bucket, selection fully parallel (no per-series sequential pass);
+      anchors from exact integer sums so both engines pick identical
+      points. The LTTB point degenerates the m4 quadruple
+      (v_min=…=v_last, t_first=t_last) so both members share a schema.
+    """
+    from sensapp_spark.operators.timeseries import (
+        lttb_downsample,
+        m4_downsample,
+    )
 
     sensors = td.events_sensors(spark, sf_dir)
     vals = td.events_values(spark, sf_dir).join(
@@ -1380,9 +1422,19 @@ def downsample_m4(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sensor_id",
         "leftsemi",
     )
-    return m4_downsample(
+    m4 = m4_downsample(
         vals, on=["sensor_id"], bucket="day", tiebreaker="event_id"
+    ).select(
+        F.lit("m4").alias("scope"), "sensor_id", "bucket", "n",
+        "v_min", "v_max", "v_first", "v_last", "t_first", "t_last",
     )
+    lttb = lttb_downsample(vals, on=["sensor_id"], bucket="day").select(
+        F.lit("lttb").alias("scope"), "sensor_id", "bucket", "n",
+        F.col("v_sel").alias("v_min"), F.col("v_sel").alias("v_max"),
+        F.col("v_sel").alias("v_first"), F.col("v_sel").alias("v_last"),
+        F.col("t_sel").alias("t_first"), F.col("t_sel").alias("t_last"),
+    )
+    return m4.unionByName(lttb)
 
 
 @register(

@@ -106,3 +106,47 @@ def test_single_shuffle_rolling_plan(spark):
     )._jdf.queryExecution().executedPlan().toString()
     # each branch: exactly one Exchange feeding the Window
     assert plan.count("Exchange") <= 2
+
+
+def test_lttb_selects_spike_and_edges(spark):
+    """Parallel LTTB: a middle bucket's representative is the point with
+    the largest triangle against the neighbor-bucket averages (the
+    spike), while first/last buckets keep their first/last sample."""
+    import datetime as dt
+
+    from sensapp_spark.operators.timeseries import lttb_downsample
+
+    def d(day, hour):
+        return dt.datetime(2024, 3, day, hour)
+
+    rows = [
+        # day 1 (first bucket): two flat points — expect the FIRST
+        ("s", d(1, 1), 10.0), ("s", d(1, 9), 11.0),
+        # day 2 (middle): flat line plus one spike — expect the SPIKE
+        ("s", d(2, 1), 10.0), ("s", d(2, 5), 99.0), ("s", d(2, 9), 10.0),
+        # day 3 (last): two points — expect the LAST
+        ("s", d(3, 1), 10.0), ("s", d(3, 9), 12.0),
+    ]
+    df = spark.createDataFrame(rows, "sensor_id string, time timestamp, value double")
+    out = {
+        r.bucket.day: (r.t_sel, r.v_sel, r.n)
+        for r in lttb_downsample(df, on=["sensor_id"], bucket="day").collect()
+    }
+    assert out[1] == (d(1, 1), 10.0, 2)
+    assert out[2] == (d(2, 5), 99.0, 3)
+    assert out[3] == (d(3, 9), 12.0, 2)
+
+
+def test_lttb_single_bucket_and_ties(spark):
+    import datetime as dt
+
+    from sensapp_spark.operators.timeseries import lttb_downsample
+
+    df = spark.createDataFrame(
+        [("s", dt.datetime(2024, 3, 1, 3), 5.0),
+         ("s", dt.datetime(2024, 3, 1, 1), 7.0)],
+        "sensor_id string, time timestamp, value double",
+    )
+    (row,) = lttb_downsample(df, on=["sensor_id"], bucket="day").collect()
+    # Single bucket: earliest point wins.
+    assert row.t_sel == dt.datetime(2024, 3, 1, 1) and row.v_sel == 7.0
