@@ -14,7 +14,7 @@ from __future__ import annotations
 import datetime as dt
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from sensapp_spark.operators import (
@@ -840,25 +840,89 @@ def geo_within_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
     "value_histogram",
     _PRELUDE
     + """
-    SELECT s.name, CAST(floor(v.value / 10) * 10 AS DOUBLE) AS bucket,
-           COUNT(*) AS n
-    FROM vals v JOIN sensors s USING (sensor_id)
-    GROUP BY 1, 2
+    , hist AS (
+        SELECT s.name, CAST(floor(v.value / 10) * 10 AS DOUBLE) AS bucket,
+               COUNT(*) AS n
+        FROM vals v JOIN sensors s USING (sensor_id)
+        GROUP BY 1, 2),
+    cum AS (
+        SELECT *, SUM(n) OVER (PARTITION BY name ORDER BY bucket) AS c,
+               SUM(n) OVER (PARTITION BY name) AS total
+        FROM hist),
+    ranked AS (
+        SELECT cum.*, phi, phi * total AS rnk,
+               row_number() OVER (
+                   PARTITION BY name, phi ORDER BY bucket) AS rn
+        FROM cum CROSS JOIN (SELECT unnest([0.5, 0.9, 0.99]) AS phi)
+        WHERE c >= phi * total)
+    SELECT 'hist' AS scope, name, bucket, n, CAST(NULL AS DOUBLE) AS value
+    FROM hist
+    UNION ALL
+    SELECT 'quantile', name, phi, CAST(total AS BIGINT),
+           ROUND(bucket + 10.0 * (rnk - (c - n)) / n, 6)
+    FROM ranked WHERE rn = 1
     """,
 )
 def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Beyond-reference: fixed-width value-distribution histogram per
-    metric (width 10). One groupBy with map-side partials — shuffle
-    bytes ∝ metrics × buckets, independent of sample count."""
+    """Beyond-reference histogram family as one tagged union:
+
+    * ``hist`` — fixed-width value-distribution histogram per metric
+      (width 10). One groupBy with map-side partials — shuffle bytes ∝
+      metrics × buckets, independent of sample count.
+    * ``quantile`` — ``histogram_quantile``-style interpolated
+      quantiles (φ ∈ {0.5, 0.9, 0.99}) computed FROM the histogram, the
+      way Prometheus computes them from cumulative le-buckets: rank =
+      φ·total, locate the first bucket whose cumulative count reaches
+      it, interpolate linearly inside (q = lo + width·(rank - cumPrev)/
+      n_bucket). Everything downstream of the histogram is keys×buckets
+      -sized — the quantile costs no second pass over the samples,
+      which is the whole point of histogram quantiles at scale.
+    """
     sensors = td.events_sensors(spark, sf_dir)
     vals = td.events_values(spark, sf_dir)
     joined = vals.join(
         F.broadcast(sensors.select("sensor_id", "name")), "sensor_id"
     )
     bucket = (F.floor(F.col("value") / 10) * 10).cast("double")
-    return joined.groupBy("name", bucket.alias("bucket")).agg(
+    hist = joined.groupBy("name", bucket.alias("bucket")).agg(
         F.count("*").alias("n")
     )
+    wcum = Window.partitionBy("name").orderBy("bucket")
+    cum = hist.withColumn("c", F.sum("n").over(wcum)).withColumn(
+        "total", F.sum("n").over(Window.partitionBy("name"))
+    )
+    phis = F.explode(
+        F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99))
+    ).alias("phi")
+    ranked = (
+        cum.select("*", phis)
+        .withColumn("rnk", F.col("phi") * F.col("total"))
+        .filter(F.col("c") >= F.col("rnk"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("name", "phi").orderBy("bucket")
+            ),
+        )
+        .filter(F.col("rn") == 1)
+    )
+    quantile = ranked.select(
+        F.lit("quantile").alias("scope"),
+        "name",
+        F.col("phi").alias("bucket"),
+        F.col("total").alias("n"),
+        F.round(
+            F.col("bucket")
+            + F.lit(10.0) * (F.col("rnk") - (F.col("c") - F.col("n")))
+            / F.col("n"),
+            6,
+        ).alias("value"),
+    )
+    h = hist.select(
+        F.lit("hist").alias("scope"), "name", "bucket", "n",
+        F.lit(None).cast("double").alias("value"),
+    )
+    return h.unionByName(quantile)
 
 
 @register(
