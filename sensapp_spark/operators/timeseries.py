@@ -189,6 +189,55 @@ def m4_downsample(
     )
 
 
+def ewma(
+    values: DataFrame,
+    on: Sequence[str],
+    time_col: str = "time",
+    value_col: str = "value",
+    alpha: float = 0.3,
+    window_rows: int = 20,
+    tiebreakers: Sequence[str] = (),
+) -> DataFrame:
+    """Bounded-window exponentially-weighted moving average per key.
+
+    Classic EWMA is a sequential per-series recurrence (s_t = a·v_t +
+    (1-a)·s_{t-1}) — it does not distribute. Truncating to the last
+    ``window_rows`` observations with renormalized weights (1-a)^k is
+    the bounded-state form: the contribution of anything older is
+    (1-a)^window_rows ≈ e.g. 0.7^20 < 0.1%, and the whole computation
+    becomes one ROWS-bounded window + per-row higher-order functions —
+    O(window) state per row, one shuffle on the key, any series length.
+
+    Cross-engine determinism: the weighted sums fold LEFT-TO-RIGHT on
+    both engines (Spark ``aggregate``; DuckDB ``list_reduce``), so the
+    IEEE partial-sum order is pinned and results agree to the rounded
+    output. ``tiebreakers`` make the row order deterministic when
+    timestamps collide."""
+    on = list(on)
+    order = [F.col(time_col).asc()] + [F.col(t).asc() for t in tiebreakers]
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(*order)
+        .rowsBetween(-(window_rows - 1), Window.currentRow)
+    )
+    staged = values.withColumn(
+        "__arr", F.collect_list(F.col(value_col)).over(w)
+    )
+    m = F.size("__arr")
+    decay = F.lit(1.0 - alpha)
+    wts = F.transform(
+        F.sequence(F.lit(1), m),
+        lambda i: F.pow(decay, (m - i).cast("double")),
+    )
+    num = F.aggregate(
+        F.zip_with("__arr", wts, lambda v, wt: v * wt),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    den = F.aggregate(wts, F.lit(0.0), lambda a, x: a + x)
+    return staged.withColumn(f"{value_col}_ewma", num / den).drop("__arr")
+
+
 def lttb_downsample(
     values: DataFrame,
     on: Sequence[str],

@@ -1523,14 +1523,37 @@ def downsample_m4(spark: SparkSession, sf_dir: str) -> DataFrame:
                ROUND((v.value - s.mu) / s.sigma, 6) AS value
         FROM vals v JOIN stats s USING (sensor_id)
         WHERE s.sigma > 0 AND abs((v.value - s.mu) / s.sigma) > 2.5)
+    UNION ALL
+    SELECT 'ewma', sensor_id, event_id, value FROM (
+        WITH warr AS (
+            SELECT v.sensor_id, v.event_id,
+                   list(v.value) OVER (
+                       PARTITION BY v.sensor_id
+                       ORDER BY v.time, v.event_id
+                       ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS arr
+            FROM vals v
+            WHERE v.sensor_id IN (SELECT sensor_id FROM sensors
+                                  WHERE name = 'signup'))
+        SELECT sensor_id, event_id,
+               ROUND(
+                 list_reduce(
+                     [arr[i] * pow(0.7, len(arr) - i)
+                      FOR i IN range(1, len(arr) + 1)], (a, b) -> a + b)
+                 / list_reduce(
+                     [pow(0.7, len(arr) - i)
+                      FOR i IN range(1, len(arr) + 1)], (a, b) -> a + b),
+                 6) AS value
+        FROM warr)
     """,
 )
 def rolling_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Beyond-reference: per-sample derived series as one tagged union —
     trailing 5-row moving average per signup series (ROWS-bounded
-    window, O(window) state per row) and per-series z-score anomalies
+    window, O(window) state per row), per-series z-score anomalies
     (|z| > 2.5; dimension-sized stats aggregate broadcast back to the
-    scan)."""
+    scan), and bounded-window EWMA smoothing (``timeseries.ewma`` —
+    the distributed truncated-renormalized form of the sequential EWMA
+    recurrence; left-to-right folds keep both engines bit-aligned)."""
     from sensapp_spark.operators.timeseries import rolling_mean, zscore_outliers
 
     sensors = td.events_sensors(spark, sf_dir)
@@ -1550,8 +1573,17 @@ def rolling_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     zscore = zscore_outliers(vals, on=["sensor_id"], threshold=2.5).select(
         "sensor_id", "event_id", F.round("zscore", 6).alias("value")
     )
+    from sensapp_spark.operators.timeseries import ewma
+
+    smoothed = ewma(
+        signup, on=["sensor_id"], alpha=0.3, window_rows=20,
+        tiebreakers=["event_id"],
+    ).select(
+        "sensor_id", "event_id", F.round("value_ewma", 6).alias("value")
+    )
     return _union_tagged(
-        [("rolling_avg", rolling), ("zscore", zscore)], "kind"
+        [("rolling_avg", rolling), ("zscore", zscore), ("ewma", smoothed)],
+        "kind",
     )
 
 

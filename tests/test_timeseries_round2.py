@@ -150,3 +150,28 @@ def test_lttb_single_bucket_and_ties(spark):
     (row,) = lttb_downsample(df, on=["sensor_id"], bucket="day").collect()
     # Single bucket: earliest point wins.
     assert row.t_sel == dt.datetime(2024, 3, 1, 1) and row.v_sel == 7.0
+
+
+def test_ewma_weights_and_truncation(spark):
+    """EWMA closed form: hand-computed truncated-renormalized weights
+    over a short series; deterministic order via tiebreaker."""
+    import datetime as dt
+
+    from sensapp_spark.operators.timeseries import ewma
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [("s", t0 + dt.timedelta(minutes=i), i, float(v))
+            for i, v in enumerate([10, 20, 30, 40])]
+    df = spark.createDataFrame(
+        rows, "sensor_id string, time timestamp, event_id long, value double")
+    out = {
+        r.event_id: r.value_ewma
+        for r in ewma(df, on=["sensor_id"], alpha=0.5, window_rows=3,
+                      tiebreakers=["event_id"]).collect()
+    }
+    # window 3, decay 0.5: weights (0.25, 0.5, 1) renormalized by 1.75
+    assert out[0] == pytest.approx(10.0)
+    assert out[1] == pytest.approx((10 * 0.5 + 20 * 1) / 1.5)
+    assert out[2] == pytest.approx((10 * 0.25 + 20 * 0.5 + 30) / 1.75)
+    # truncation: the first sample has fallen out of the 3-row window
+    assert out[3] == pytest.approx((20 * 0.25 + 30 * 0.5 + 40) / 1.75)
