@@ -29,10 +29,14 @@ def downsample_stream(
     watermark: str = "1 hour",
     time_col: str = "time",
 ) -> DataFrame:
-    """Per-sensor tumbling-window count/avg/min/max over a streaming
-    value frame. Append-mode semantics: a window's single final row is
-    emitted once the watermark passes its end — no partial re-emits,
-    which makes the sink contract idempotent."""
+    """Per-sensor tumbling-window count/avg/min/max plus the M4
+    first/last samples (``min_by``/``max_by`` on event time — both are
+    plain declarative aggregates, so they partial-combine map-side and
+    keep O(1) state per open window exactly like min/max; the window's
+    full M4 quadruple streams with no extra state). Append-mode
+    semantics: a window's single final row is emitted once the
+    watermark passes its end — no partial re-emits, which makes the
+    sink contract idempotent."""
     return (
         values.withWatermark(time_col, watermark)
         .groupBy("sensor_id", F.window(time_col, window).alias("w"))
@@ -41,6 +45,8 @@ def downsample_stream(
             F.avg("value").alias("avg_value"),
             F.min("value").alias("min_value"),
             F.max("value").alias("max_value"),
+            F.min_by("value", time_col).alias("first_value"),
+            F.max_by("value", time_col).alias("last_value"),
         )
         .select(
             "sensor_id",
@@ -49,5 +55,7 @@ def downsample_stream(
             "avg_value",
             "min_value",
             "max_value",
+            "first_value",
+            "last_value",
         )
     )

@@ -77,6 +77,8 @@ def test_windows_finalize_and_late_data_drops(spark, tmp_path):
         assert set(out) == {("s1", t.replace(hour=10))}
         row = out[("s1", t.replace(hour=10))]
         assert row.n == 2 and row.avg_value == 1.5 and row.max_value == 2.0
+        # M4 edge samples: first at 10:00 (1.0), last at 10:30 (2.0).
+        assert row.first_value == 1.0 and row.last_value == 2.0
 
         batch2 = [
             # Late arrival at 10:15 — behind the watermark (11:15):
