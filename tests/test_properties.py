@@ -226,3 +226,60 @@ def test_chunk_windows_cover_exactly(n, chunk, data):
     assert covered == set(range(n)), "tokens not fully covered"
     if n <= chunk:
         assert starts == [0]
+
+
+# ---------------------------------------------------------------------------
+# PNG decode round-trip (round-5 branches: filters x color types x
+# depths x Adam7) — the forward encoder lives in test_multimodal and is
+# written independently from the same public spec
+# ---------------------------------------------------------------------------
+
+@settings(max_examples=40, deadline=None)
+@given(
+    w=st.integers(1, 11),
+    h=st.integers(1, 11),
+    color=st.sampled_from([0, 2, 4, 6]),
+    ftype=st.integers(0, 4),
+    interlace=st.sampled_from([0, 1]),
+    seed=st.integers(0, 2**31),
+)
+def test_png_roundtrip_any_geometry(w, h, color, ftype, interlace, seed):
+    import random
+
+    from test_multimodal import make_png_full
+
+    from sensapp_spark.pipeline.multimodal import decode_png_pixels
+
+    ch = {0: 1, 2: 3, 4: 2, 6: 4}[color]
+    rng = random.Random(seed)
+    rows = [bytes(rng.randrange(256) for _ in range(w * ch))
+            for _ in range(h)]
+    p = make_png_full(w, h, rows, color=color, bpp=ch,
+                      interlace=interlace, ftype=ftype)
+    got = decode_png_pixels(p)
+    assert got == (w, h, ch, b"".join(rows))
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    w=st.integers(1, 9),
+    h=st.integers(1, 9),
+    depth=st.sampled_from([1, 2, 4]),
+    interlace=st.sampled_from([0, 1]),
+    seed=st.integers(0, 2**31),
+)
+def test_png_subbyte_gray_roundtrip(w, h, depth, interlace, seed):
+    import random
+
+    from test_multimodal import make_png_subbyte
+
+    from sensapp_spark.pipeline.multimodal import decode_png_pixels
+
+    rng = random.Random(seed)
+    mx = (1 << depth) - 1
+    rows = [[rng.randrange(mx + 1) for _ in range(w)] for _ in range(h)]
+    p = make_png_subbyte(w, h, rows, color=0, depth=depth,
+                         interlace=interlace)
+    scale = 255 // mx
+    got = decode_png_pixels(p)
+    assert got == (w, h, 1, bytes(v * scale for r in rows for v in r))
