@@ -447,12 +447,26 @@ def ivf_topk(
     ``codebook`` swaps in trained centroids (e.g.
     ``clustering.kmeans_codebook``) for the deterministic first-nlist
     default — better-balanced lists on clustered corpora; the rest of
-    the index is unchanged."""
+    the index is unchanged.
+
+    If the input frame ALREADY carries a ``centroid_id`` column (the
+    ingest-time layout: assignment written once, table partitioned by
+    it), the per-query assignment scan is skipped entirely and the
+    probe filter becomes a partition-pruning predicate — the scan
+    touches only ~nprobe/nlist of the FILES, not just of the rows
+    (measured in scripts/bench_ivf_layout.py / BASELINE.md §"IVF
+    partitioned layout"). The caller must pass the same ``codebook``
+    the layout was written with."""
     cents = codebook if codebook is not None else ivf_centroids(embeddings, nlist)
     probes = ivf_probes(query, cents, nprobe)
     q = F.array(*[F.lit(float(x)) for x in query])
+    assigned = (
+        embeddings
+        if "centroid_id" in embeddings.columns
+        else ivf_assign(embeddings, cents)
+    )
     return (
-        ivf_assign(embeddings, cents)
+        assigned
         .filter(F.col("centroid_id").isin(probes))
         .select(
             "vec_id",

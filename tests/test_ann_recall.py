@@ -179,3 +179,28 @@ def test_multi_table_recovers_split_pairs(spark):
     # Dedup soundness: no (vec_a, vec_b) key appears twice.
     total = three.count()
     assert three.select("vec_a", "vec_b").distinct().count() == total
+
+
+def test_ivf_precomputed_assignment_layout(spark, emb, queries, tmp_path):
+    """ivf_topk over a WRITTEN table that already carries centroid_id
+    (the ingest-time partitioned layout) returns the identical top-k as
+    the per-query assignment path; its plan contains no assignment
+    projection (array_max over the centroid structs) and prunes
+    partitions on centroid_id."""
+    cents = sim.ivf_centroids(emb)
+    path = str(tmp_path / "by_list")
+    sim.ivf_assign(emb, cents).write.partitionBy("centroid_id").parquet(path)
+    stored = spark.read.parquet(path)
+    for q in queries[:2]:
+        a = sim.ivf_topk(emb, q, k=10, codebook=cents).collect()
+        b = sim.ivf_topk(stored, q, k=10, codebook=cents).collect()
+        assert [(r.vec_id, r.cosine) for r in a] == [
+            (r.vec_id, r.cosine) for r in b
+        ]
+    plan = sim.ivf_topk(
+        stored, queries[0], k=10, codebook=cents
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "array_max" not in plan  # no per-query quantization
+    assert "PartitionFilters" in plan and "centroid_id" in plan.split(
+        "PartitionFilters"
+    )[1][:150]  # directory-level pruning, not just a row filter
