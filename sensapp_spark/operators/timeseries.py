@@ -212,8 +212,13 @@ def ewma(
     both engines (Spark ``aggregate``; DuckDB ``list_reduce``), so the
     IEEE partial-sum order is pinned and results agree to the rounded
     output. ``tiebreakers`` make the row order deterministic when
-    timestamps collide."""
+    timestamps collide. NULL samples are dropped up front — Spark's
+    ``collect_list`` silently omits NULLs from the window array while
+    SQL ``list()`` keeps them, so an explicit filter is the only
+    definition both engines share (EWMA over observed values; mirror
+    with ``WHERE value IS NOT NULL`` in any SQL counterpart)."""
     on = list(on)
+    values = values.filter(F.col(value_col).isNotNull())
     order = [F.col(time_col).asc()] + [F.col(t).asc() for t in tiebreakers]
     w = (
         Window.partitionBy(*on)

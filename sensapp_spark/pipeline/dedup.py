@@ -429,11 +429,7 @@ def winnow_fingerprints(
     sets are canonical across engines). Documents shorter than k words
     emit nothing; documents with fewer than ``window`` k-grams emit
     their single global minimum."""
-    gram_hash = F.transform(
-        word_ngrams(F.col("words"), k),
-        lambda g: F.conv(F.substring(F.md5(g), 1, 16), 16, 10)
-        .cast("decimal(20,0)"),
-    )
+    gram_hash = F.transform(word_ngrams(F.col("words"), k), hash64)
     staged = _tokenized(docs).select("doc_id", gram_hash.alias("h"))
     minima = F.transform(
         F.sequence(F.lit(0), F.size("h") - window),

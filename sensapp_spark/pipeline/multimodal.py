@@ -312,12 +312,17 @@ def decode_bmp_pixels(payload: bytes) -> tuple[int, int, int, bytes]:
         bpp = struct.unpack("<H", payload[24:26])[0]
         top_down = False
         compression = 0
+        clr_used = 0  # core header has no biClrUsed: full-size table
     else:  # BITMAPINFOHEADER and later
         w, h = struct.unpack("<ii", payload[18:26])
         top_down = h < 0
         h = abs(h)
         bpp = struct.unpack("<H", payload[28:30])[0]
         compression = struct.unpack("<I", payload[30:34])[0]
+        clr_used = (
+            struct.unpack("<I", payload[46:50])[0]
+            if len(payload) >= 50 else 0
+        )
     if bpp == 24 and compression == 0:
         row_bytes = ((w * 3 + 3) // 4) * 4
         # Validate the pixel region against the declared dimensions
@@ -337,7 +342,7 @@ def decode_bmp_pixels(payload: bytes) -> tuple[int, int, int, bytes]:
             rows.append(bytes(rgb))
         return w, h, 3, b"".join(rows)
     if bpp == 8 and compression in (0, 1):
-        palette = _bmp_palette(payload, hdr_size)
+        palette = _bmp_palette(payload, hdr_size, clr_used)
         if compression == 0:
             row_bytes = ((w + 3) // 4) * 4
             if data_off + h * row_bytes > len(payload):
@@ -364,17 +369,22 @@ def decode_bmp_pixels(payload: bytes) -> tuple[int, int, int, bytes]:
     )
 
 
-def _bmp_palette(payload: bytes, hdr_size: int) -> list[bytes]:
+def _bmp_palette(
+    payload: bytes, hdr_size: int, clr_used: int = 0
+) -> list[bytes]:
     """256-entry RGB palette from the color table following the DIB
     header: BGRA quads (BGR triples for the 12-byte core header).
-    Missing/short tables fill with black, out-of-range indices then
-    decode deterministically instead of raising."""
+    ``clr_used`` (biClrUsed) caps how many entries the file actually
+    stores — reading past it would interpret PIXEL data as colors —
+    and indices beyond it (or beyond the payload) map to black, a
+    deterministic fallback instead of content-dependent garbage."""
     entry = 3 if hdr_size == 12 else 4
     base = 14 + hdr_size
+    n = min(clr_used, 256) if clr_used else 256
     table = []
     for i in range(256):
         off = base + i * entry
-        if off + 3 <= len(payload):
+        if i < n and off + 3 <= len(payload):
             b, g, r = payload[off : off + 3]
             table.append(bytes((r, g, b)))
         else:
@@ -403,14 +413,18 @@ def _bmp_rle8(data: bytes, w: int, h: int) -> list[bytes]:
             flush()
         elif v == 1:  # end of bitmap
             break
-        elif v == 2:  # delta: skip dx pixels / dy lines
+        elif v == 2:  # delta: move to (x + dx, y + dy), skipped = 0
             if i + 2 > len(data):
                 raise ValueError("truncated RLE8 delta")
             dx, dy = data[i], data[i + 1]
             i += 2
+            # Per spec the cursor moves RELATIVE to the current (x, y):
+            # after dy line flushes the new row resumes at old_x + dx,
+            # not at dx (skipped pixels are undefined → index 0).
+            x = len(cur)
             for _ in range(dy):
                 flush()
-            cur.extend(b"\x00" * dx)
+            cur.extend(b"\x00" * (x + dx if dy else dx))
         else:  # absolute run of v literal indices, word-aligned
             if i + v > len(data):
                 raise ValueError("truncated RLE8 absolute run")

@@ -455,8 +455,18 @@ def ivf_topk(
     probe filter becomes a partition-pruning predicate — the scan
     touches only ~nprobe/nlist of the FILES, not just of the rows
     (measured in scripts/bench_ivf_layout.py / BASELINE.md §"IVF
-    partitioned layout"). The caller must pass the same ``codebook``
-    the layout was written with."""
+    partitioned layout"). The caller MUST pass the ``codebook`` the
+    layout was written with — enforced: a stored assignment with no
+    explicit codebook raises, because probing ids derived from a
+    freshly-derived codebook against someone else's assignment would
+    silently return wrong (or empty) neighbors."""
+    if "centroid_id" in embeddings.columns and codebook is None:
+        raise ValueError(
+            "input already carries centroid_id (stored IVF layout): "
+            "pass the codebook it was written with — deriving a fresh "
+            "one here would probe list ids that are meaningless "
+            "against the stored assignment"
+        )
     cents = codebook if codebook is not None else ivf_centroids(embeddings, nlist)
     probes = ivf_probes(query, cents, nprobe)
     q = F.array(*[F.lit(float(x)) for x in query])

@@ -1533,7 +1533,8 @@ def downsample_m4(spark: SparkSession, sf_dir: str) -> DataFrame:
                        ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS arr
             FROM vals v
             WHERE v.sensor_id IN (SELECT sensor_id FROM sensors
-                                  WHERE name = 'signup'))
+                                  WHERE name = 'signup')
+              AND v.value IS NOT NULL)
         SELECT sensor_id, event_id,
                ROUND(
                  list_reduce(

@@ -34,8 +34,6 @@ from flask import Flask, Response, jsonify, request
 from sensapp_spark.datamodel.types import SensorType
 from sensapp_spark.exporters import (
     iter_arrow_multi,
-    iter_csv_multi,
-    iter_jsonl,
     iter_senml,
     to_arrow_multi,
     to_csv_multi,
@@ -91,7 +89,10 @@ def create_app(
     driver-side up to its 10M-row limit (src/storage/mod.rs:15-17 +
     src/exporters/*) — at that limit that is a multi-GB driver string,
     the one reference behavior SURVEY §7.4 risk 10 says NOT to copy.
-    ``None`` disables streaming (always collect)."""
+    Text formats decide by PEEK-AHEAD on one iterator (the query
+    executes once, no probe job); Arrow keeps an O(threshold)
+    CollectLimit probe because its golden small path is a single
+    toArrow() batch. ``None`` disables streaming (always collect)."""
     app = Flask("sensapp_spark")
 
     def _stream_senml(records) -> Response:
@@ -108,32 +109,86 @@ def create_app(
         return Response(gen(), mimetype="application/json")
 
     def _export(df, fmt: str, stype: SensorType) -> Response:
-        cols = df.select("sensor_id", "time", "value", "name", "unit", "labels")
-        # Size probe: CollectLimit scans at most threshold+1 rows, so the
-        # probe is O(threshold) regardless of the export's true size —
-        # never a full count of a 10M-row result.
-        streamed = stream_threshold is not None and (
-            cols.limit(stream_threshold + 1).count() > stream_threshold
+        from itertools import chain, islice
+
+        from sensapp_spark.exporters.csv_exporter import (
+            lines_multi,
+            multi_label_keys,
         )
-        if streamed:
+        from sensapp_spark.exporters.jsonl_exporter import lines_jsonl
+
+        cols = df.select("sensor_id", "time", "value", "name", "unit", "labels")
+        if fmt == "arrow":
+            # Arrow keeps a size probe (CollectLimit: O(threshold) work,
+            # never a full count): the small path must produce the
+            # golden single-batch toArrow() bytes, which a row iterator
+            # cannot reassemble, so peek-ahead doesn't apply here.
+            if stream_threshold is not None and (
+                cols.limit(stream_threshold + 1).count() > stream_threshold
+            ):
+                return Response(
+                    iter_arrow_multi(cols, stype),
+                    mimetype=EXPORT_MEDIA[fmt],
+                )
+            return Response(
+                to_arrow_multi(cols, stype), mimetype=EXPORT_MEDIA[fmt]
+            )
+        if stream_threshold is None:
             if fmt == "csv":
-                gen = iter_csv_multi(cols, stype)
+                body = to_csv_multi(cols, stype)
             elif fmt == "jsonl":
-                gen = iter_jsonl(cols, stype)
-            elif fmt == "arrow":
-                gen = iter_arrow_multi(cols, stype)
+                body = to_jsonl(cols, stype)
             else:
-                return _stream_senml(iter_senml(cols, stype))
-            return Response(gen, mimetype=EXPORT_MEDIA[fmt])
+                return jsonify(to_senml(cols, stype))
+            return Response(body, mimetype=EXPORT_MEDIA[fmt])
+        # Peek-ahead (single execution, no probe job): pull up to
+        # threshold+1 rows from the JVM-formatted iterator; a result
+        # that fits assembles the exact collect-path body from the
+        # buffered rows, a larger one streams the buffer + the rest
+        # with bounded driver memory. The upstream query runs ONCE
+        # either way.
+        if fmt == "senml":
+            it = iter_senml(cols, stype)
+            head = list(islice(it, stream_threshold + 1))
+            if len(head) <= stream_threshold:
+                return jsonify(head)
+            return _stream_senml(chain(head, it))
         if fmt == "csv":
-            body = to_csv_multi(cols, stype)
-        elif fmt == "jsonl":
-            body = to_jsonl(cols, stype)
-        elif fmt == "arrow":
-            body = to_arrow_multi(cols, stype)
+            keys = multi_label_keys(cols)
+            header = ",".join(
+                ["timestamp", "sensor_id", "sensor_name", "value", "type"]
+                + keys
+            )
+            rows = lines_multi(cols, stype, keys).toLocalIterator(
+                prefetchPartitions=True
+            )
         else:
-            return jsonify(to_senml(cols, stype))
-        return Response(body, mimetype=EXPORT_MEDIA[fmt])
+            header = None
+            rows = lines_jsonl(cols, stype).toLocalIterator(
+                prefetchPartitions=True
+            )
+        head = [r.line for r in islice(rows, stream_threshold + 1)]
+        if len(head) <= stream_threshold:
+            if fmt == "csv":
+                body = "\n".join([header] + head) + "\n"
+            else:
+                body = "".join(ln + "\n" for ln in head)
+            return Response(body, mimetype=EXPORT_MEDIA[fmt])
+
+        def gen(first=head):
+            if header is not None:
+                yield header + "\n"
+            yield "\n".join(first) + "\n"
+            buf: list[str] = []
+            for r in rows:
+                buf.append(r.line)
+                if len(buf) >= 8192:
+                    yield "\n".join(buf) + "\n"
+                    buf.clear()
+            if buf:
+                yield "\n".join(buf) + "\n"
+
+        return Response(gen(), mimetype=EXPORT_MEDIA[fmt])
 
     @app.errorhandler(400)
     def bad_request(e):

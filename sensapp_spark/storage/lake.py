@@ -238,35 +238,78 @@ class SensorLake:
 
     @contextlib.contextmanager
     def _dir_lock(self, path: str, timeout: float = 30.0,
-                  stale_after: float = 300.0):
+                  grace: float = 2.0):
         """Exclusive advisory lock on a table directory via atomic
-        ``mkdir`` (POSIX guarantees exactly one creator). A lock older
-        than ``stale_after`` is treated as abandoned by a dead writer
-        and broken; waiting past ``timeout`` raises instead of silently
-        proceeding unserialized."""
+        ``mkdir`` (POSIX guarantees exactly one creator), with the
+        holder's PID recorded inside.
+
+        A contended waiter breaks the lock ONLY when the recorded owner
+        process is verifiably dead (``kill(pid, 0)`` raises ESRCH) —
+        never on age, so a long-running rewrite (vacuum on a large
+        table) keeps its mutual exclusion for as long as it genuinely
+        runs. The break itself is an atomic ``rename`` to a unique
+        name: of N waiters observing the same dead lock, exactly one
+        rename succeeds, so two waiters can never both "break in"
+        (the TOCTOU a stat→rmdir→mkdir sequence would allow). ``grace``
+        shields a freshly-created lock whose owner file isn't written
+        yet. Waiting past ``timeout`` on a LIVE holder raises instead
+        of silently proceeding unserialized. Single-host lake contract:
+        PID liveness is meaningful because plain-parquet swap-rewrites
+        are only safe on one host anyway (object storage → Delta)."""
         lock = f"{path}.lock"
+        owner = os.path.join(lock, "owner")
         deadline = time.monotonic() + timeout
         while True:
             try:
                 os.mkdir(lock)
+                with open(owner, "w") as f:
+                    f.write(str(os.getpid()))
                 break
             except FileExistsError:
+                pid = None
                 try:
-                    if time.time() - os.stat(lock).st_mtime > stale_after:
-                        os.rmdir(lock)  # break a dead writer's lock
-                        continue
-                except OSError:
-                    continue  # holder released (or broke) it — retry now
+                    with open(owner) as f:
+                        pid = int(f.read().strip() or "0")
+                except (OSError, ValueError):
+                    pass  # mid-creation or already broken — age-gate below
+                dead = False
+                if pid:
+                    try:
+                        os.kill(pid, 0)
+                    except ProcessLookupError:
+                        dead = True
+                    except OSError:
+                        pass  # e.g. EPERM: process exists, not ours
+                else:
+                    # No owner recorded: give the creator ``grace``
+                    # seconds to write it; an ownerless lock older than
+                    # that is debris from a writer killed mid-acquire.
+                    try:
+                        dead = (
+                            time.time() - os.stat(lock).st_mtime > grace
+                        )
+                    except OSError:
+                        continue  # vanished — retry the mkdir now
+                if dead:
+                    # Atomic break: exactly one waiter wins the rename.
+                    stale = f"{lock}.stale-{uuid_mod.uuid4().hex[:8]}"
+                    try:
+                        os.rename(lock, stale)
+                        shutil.rmtree(stale, ignore_errors=True)
+                    except OSError:
+                        pass  # another waiter broke it first
+                    continue
                 if time.monotonic() > deadline:
                     raise TimeoutError(
                         f"could not acquire lake lock {lock} within "
-                        f"{timeout}s — remove it manually if its writer "
-                        "is dead"
+                        f"{timeout}s — held by live pid {pid}"
                     )
                 time.sleep(0.05)
         try:
             yield
         finally:
+            with contextlib.suppress(OSError):
+                os.remove(owner)
             with contextlib.suppress(OSError):
                 os.rmdir(lock)
 

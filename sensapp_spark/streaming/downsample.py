@@ -28,6 +28,7 @@ def downsample_stream(
     window: str = "1 hour",
     watermark: str = "1 hour",
     time_col: str = "time",
+    tiebreaker: str | None = None,
 ) -> DataFrame:
     """Per-sensor tumbling-window count/avg/min/max plus the M4
     first/last samples (``min_by``/``max_by`` on event time — both are
@@ -36,7 +37,19 @@ def downsample_stream(
     full M4 quadruple streams with no extra state). Append-mode
     semantics: a window's single final row is emitted once the
     watermark passes its end — no partial re-emits, which makes the
-    sink contract idempotent."""
+    sink contract idempotent.
+
+    ``tiebreaker`` names a column that breaks equal-timestamp ties in
+    first/last (same contract as batch ``m4_downsample``); without it,
+    duplicate timestamps make first_value/last_value pick either sample
+    — set it whenever the idempotent-replay guarantee must extend to
+    duplicate-timestamp streams (a checkpoint replay could otherwise
+    finalize a different-but-valid row)."""
+    order = (
+        F.struct(F.col(time_col), F.col(tiebreaker))
+        if tiebreaker
+        else F.col(time_col)
+    )
     return (
         values.withWatermark(time_col, watermark)
         .groupBy("sensor_id", F.window(time_col, window).alias("w"))
@@ -45,8 +58,8 @@ def downsample_stream(
             F.avg("value").alias("avg_value"),
             F.min("value").alias("min_value"),
             F.max("value").alias("max_value"),
-            F.min_by("value", time_col).alias("first_value"),
-            F.max_by("value", time_col).alias("last_value"),
+            F.min_by("value", order).alias("first_value"),
+            F.max_by("value", order).alias("last_value"),
         )
         .select(
             "sensor_id",

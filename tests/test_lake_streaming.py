@@ -206,16 +206,37 @@ def test_dir_lock_timeout_and_stale_break(spark, tmp_path):
     lake = SensorLake(spark, str(tmp_path / "lake"))
     path = lake._sensors_path()
     lock = f"{path}.lock"
+    owner = os.path.join(lock, "owner")
+
+    # Held by a LIVE process (ourselves) → a second writer times out
+    # loudly no matter how old the lock is — age alone never breaks
+    # mutual exclusion (a long vacuum keeps its lock).
     os.mkdir(lock)
-    # Held and fresh → a second writer times out loudly.
-    with pytest.raises(TimeoutError, match="lake lock"):
+    with open(owner, "w") as f:
+        f.write(str(os.getpid()))
+    old = time.time() - 100_000
+    os.utime(lock, (old, old))
+    with pytest.raises(TimeoutError, match="live pid"):
         with lake._dir_lock(path, timeout=0.3):
             pass
-    # Aged past stale_after → treated as a dead writer's leftover.
-    old = time.time() - 1000
-    os.utime(lock, (old, old))
-    with lake._dir_lock(path, timeout=0.3, stale_after=60):
+
+    # Owner provably dead → broken and re-acquired.
+    with open(owner, "w") as f:
+        f.write("999999999")  # beyond pid_max: never a live process
+    with lake._dir_lock(path, timeout=2.0):
         assert os.path.exists(lock)  # re-acquired by us
+    assert not os.path.exists(lock)
+
+    # Ownerless debris (writer killed mid-acquire) breaks after the
+    # grace window, not before.
+    os.mkdir(lock)
+    with pytest.raises(TimeoutError):
+        with lake._dir_lock(path, timeout=0.3, grace=60):
+            pass
+    old = time.time() - 10
+    os.utime(lock, (old, old))
+    with lake._dir_lock(path, timeout=2.0, grace=2.0):
+        pass
     assert not os.path.exists(lock)
 
 

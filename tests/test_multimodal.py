@@ -842,3 +842,36 @@ def test_decode_png_subbyte_adam7_matches_progressive():
                              interlace=1)
     assert decode_png_pixels(plain) == decode_png_pixels(inter)
     assert decode_png_pixels(plain)[2] == 3
+
+
+def test_decode_bmp_rle8_delta_preserves_x():
+    """RLE8 delta with dy > 0 moves RELATIVE to the current cursor:
+    after (dx=1, dy=1) from x=2, the next write lands at x=3 of the
+    next row — not at x=1 (the regression a from-scratch decoder makes
+    when the flush resets x)."""
+    # 4x2 bottom-up: bottom row writes 2 px of idx 1, delta(1,1),
+    # then 1 px of idx 2 lands at x=3 of the TOP row; EOB.
+    rle = bytes([2, 1, 0, 2, 1, 1, 1, 2, 0, 1])
+    p = _bmp_header8(4, 2, rle, compression=1)
+    w, h, ch, px = decode_bmp_pixels(p)
+    def rgb(*idxs):
+        return b"".join(bytes(_BMP_PAL[i]) for i in idxs)
+    assert px[0:12] == rgb(0, 0, 0, 2)   # top row: delta skipped to x=3
+    assert px[12:24] == rgb(1, 1, 0, 0)  # bottom row: 2 px then padding
+
+
+def test_bmp_palette_respects_clr_used():
+    """Indices at/past biClrUsed decode to deterministic black, never
+    to pixel bytes misread as palette entries."""
+    from sensapp_spark.pipeline.multimodal import _bmp_palette
+
+    # Truncated table: only 2 entries stored, biClrUsed=2 declared.
+    data = bytes([0, 1, 2, 3]) * 2  # 8 pixel-ish bytes after the table
+    pal = b"".join(bytes((b, g, r, 0)) for r, g, b in _BMP_PAL[:2])
+    dib = struct.pack("<IiiHHIIiiII", 40, 4, 1, 1, 8, 0, 8, 2835, 2835,
+                      2, 0)
+    payload = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(pal) + len(data),
+                          0, 0, 14 + 40 + len(pal)) + dib + pal + data
+    table = _bmp_palette(payload, 40, clr_used=2)
+    assert table[0] == bytes(_BMP_PAL[0]) and table[1] == bytes(_BMP_PAL[1])
+    assert table[2] == b"\x00\x00\x00"  # NOT the pixel bytes after PLTE

@@ -99,24 +99,21 @@ def test_streamed_senml_parses_equal(env, no_full_collect):
     assert got[0]["bver"] == 10 and len(got) == N_ROWS
 
 
-def test_small_export_still_collects(env, monkeypatch):
-    """Below the threshold the original collect path serves the response
-    (golden-pinned byte shapes stay on the code path that produced them)."""
+def test_small_export_assembles_full_body(env):
+    """Below the threshold the peek-ahead path assembles one complete
+    body byte-identical to the collect assembly (header + rows +
+    trailing newline) — golden byte shapes are preserved."""
     streaming, _ = env
-    calls = []
-    orig = appmod.to_csv_multi
-    monkeypatch.setattr(
-        appmod, "to_csv_multi",
-        lambda *a, **k: calls.append(1) or orig(*a, **k),
-    )
     with streaming.test_client() as c:
         r = c.get("/series?metric=streamtemp")
         assert r.status_code == 200
         sensor_id = r.get_json()["dcat:dataset"][0]["dct:identifier"]
         r = c.get(f"/series/{sensor_id}?format=csv&limit=3")
     assert r.status_code == 200
-    assert calls, "small export should use the collect path"
-    assert r.get_data(as_text=True).count("\n") == 4  # header + 3 rows
+    body = r.get_data(as_text=True)
+    assert body.count("\n") == 4  # header + 3 rows
+    assert body.startswith("timestamp,sensor_id,sensor_name")
+    assert body.endswith("\n") and not body.endswith("\n\n")
 
 
 def test_iter_csv_single_bytes_equal(spark):
