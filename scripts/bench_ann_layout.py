@@ -1,0 +1,126 @@
+"""Hyperplane-LSH bucket-partitioned layout: measure the pruning claim.
+
+Companion to scripts/bench_ivf_layout.py for the second ANN index:
+write ``bucket_expr`` once at ingest, partition the table by it, and
+each probe's candidate list becomes directory-level partition pruning
+instead of a per-query sign-bit projection over the full corpus.
+
+Same 100x corpus (200,000 vectors), 5 queries, 4 planes + Hamming-1
+multiprobe (5 of 16 buckets per query).
+
+Usage: python scripts/bench_ann_layout.py [base_sf_dir] [replicas]
+Results recorded in BASELINE.md §"IVF partitioned layout" (LSH row).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+BASE = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+REPLICAS = int(sys.argv[2]) if len(sys.argv) > 2 else 100
+OUT = "/tmp/sensapp_ann_layout"
+N_QUERIES = 5
+N_PLANES = 4
+
+
+def main() -> int:
+    from pyspark.sql import functions as F
+
+    from sensapp_spark.pipeline.similarity import (
+        bucket_expr,
+        hyperplane_lsh_topk,
+        hyperplanes,
+    )
+    from sensapp_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="lsh-layout",
+        master=f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]",
+        shuffle_partitions=32,
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    base = spark.read.parquet(f"{BASE}/embeddings.parquet")
+    k = F.col("k")
+    emb = (
+        base.select(
+            "vec_id", "embedding", "label",
+            F.explode(F.sequence(F.lit(0), F.lit(REPLICAS - 1))).alias("k"),
+        )
+        .select(
+            (F.col("vec_id") * REPLICAS + k).alias("vec_id"),
+            F.transform(
+                "embedding",
+                lambda x, i: x + ((F.pmod(F.hash(F.col("vec_id"), k, i),
+                                          F.lit(1000)) - 500)
+                                  / F.lit(50000.0)).cast("float"),
+            ).alias("embedding"),
+            "label",
+        )
+    )
+    emb.write.mode("overwrite").parquet(f"{OUT}/flat")
+    flat = spark.read.parquet(f"{OUT}/flat")
+    n = flat.count()
+
+    dim = len(base.first().embedding)
+    planes = hyperplanes(N_PLANES, dim, table=0)
+    t0 = time.time()
+    flat.withColumn(
+        "bucket", bucket_expr(F.col("embedding"), planes)
+    ).write.mode("overwrite").partitionBy("bucket").parquet(
+        f"{OUT}/by_bucket"
+    )
+    layout_write_s = round(time.time() - t0, 1)
+    by_bucket = spark.read.parquet(f"{OUT}/by_bucket")
+
+    queries = [
+        [float(x) for x in r.embedding]
+        for r in base.orderBy("vec_id").limit(N_QUERIES).collect()
+    ]
+
+    def run(frame):
+        t0 = time.time()
+        rows = []
+        for qv in queries:
+            rows.append(
+                tuple(
+                    (r.vec_id, r.cosine)
+                    for r in hyperplane_lsh_topk(
+                        frame, qv, k=10, n_planes=N_PLANES
+                    ).collect()
+                )
+            )
+        return round(time.time() - t0, 2), rows
+
+    run(flat), run(by_bucket)  # warm
+    flat_s, flat_rows = run(flat)
+    part_s, part_rows = run(by_bucket)
+
+    plan = (
+        hyperplane_lsh_topk(by_bucket, queries[0], k=10, n_planes=N_PLANES)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    pruned = "PartitionFilters" in plan and "bucket" in plan.split(
+        "PartitionFilters"
+    )[1][:150]
+
+    print(json.dumps({
+        "corpus": {"vectors": n, "replicas": REPLICAS,
+                   "layout_write_s": layout_write_s},
+        "flat_probe_s": flat_s,
+        "partitioned_probe_s": part_s,
+        "speedup": round(flat_s / part_s, 2) if part_s else None,
+        "results_identical": flat_rows == part_rows,
+        "partition_pruned_plan": bool(pruned),
+    }, indent=2))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

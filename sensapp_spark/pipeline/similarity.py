@@ -334,9 +334,44 @@ def hyperplane_lsh_topk(
     table count; with a bucket-partitioned layout the probe lists
     become partition pruning instead of a scan filter. The reported
     ``bucket`` column is table 0's (output schema is table-count
-    independent)."""
+    independent).
+
+    If the input ALREADY carries a ``bucket`` column (the ingest-time
+    layout: ``bucket_expr`` written once, table partitioned by it —
+    single-table only, since one partition axis can serve one plane
+    set), the per-query sign-bit projection is skipped and the probe
+    list becomes a partition-pruning predicate (measured in
+    scripts/bench_ann_layout.py / BASELINE.md). The stored layout must
+    have been written with the same ``n_planes`` (table 0 planes) —
+    enforced only as far as the probe ids staying in range, so treat
+    the plane count as part of the table's schema contract."""
     if n_tables < 1:
         raise ValueError("n_tables must be at least 1")
+    if "bucket" in embeddings.columns:
+        if n_tables != 1:
+            raise ValueError(
+                "a stored single-axis bucket layout cannot serve "
+                "multi-table probes — write one partitioned table per "
+                "plane set and union the per-table top-k instead"
+            )
+        planes = hyperplanes(n_planes, len(query), table=0)
+        qb = query_bucket(query, planes)
+        probes = [qb] + (
+            [qb ^ (1 << i) for i in range(n_planes)] if multiprobe else []
+        )
+        q0 = F.array(*[F.lit(float(x)) for x in query])
+        return (
+            embeddings.filter(F.col("bucket").isin(probes))
+            .select(
+                "vec_id",
+                "bucket",
+                F.round(
+                    cosine_similarity(F.col("embedding"), q0), 6
+                ).alias("cosine"),
+            )
+            .orderBy(F.col("cosine").desc(), F.col("vec_id"))
+            .limit(k)
+        )
     dim = len(query)
     q = F.array(*[F.lit(float(x)) for x in query])
     cond = None

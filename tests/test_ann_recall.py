@@ -204,3 +204,33 @@ def test_ivf_precomputed_assignment_layout(spark, emb, queries, tmp_path):
     assert "PartitionFilters" in plan and "centroid_id" in plan.split(
         "PartitionFilters"
     )[1][:150]  # directory-level pruning, not just a row filter
+
+
+def test_lsh_precomputed_bucket_layout(spark, emb, queries, tmp_path):
+    """hyperplane_lsh_topk over a WRITTEN bucket-partitioned table (the
+    ingest-time layout) returns the identical top-k as the per-query
+    projection path; the plan prunes partitions and multi-table probes
+    are rejected (one partition axis serves one plane set)."""
+    from pyspark.sql import functions as F
+
+    dim = len(queries[0])
+    planes = sim.hyperplanes(4, dim, table=0)
+    path = str(tmp_path / "by_bucket")
+    emb.withColumn(
+        "bucket", sim.bucket_expr(F.col("embedding"), planes)
+    ).write.partitionBy("bucket").parquet(path)
+    stored = spark.read.parquet(path)
+    for q in queries[:2]:
+        a = sim.hyperplane_lsh_topk(emb, q, k=10).collect()
+        b = sim.hyperplane_lsh_topk(stored, q, k=10).collect()
+        assert [(r.vec_id, r.cosine) for r in a] == [
+            (r.vec_id, r.cosine) for r in b
+        ]
+    plan = sim.hyperplane_lsh_topk(
+        stored, queries[0], k=10
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "bucket" in plan.split(
+        "PartitionFilters"
+    )[1][:150]
+    with pytest.raises(ValueError, match="multi-table"):
+        sim.hyperplane_lsh_topk(stored, queries[0], k=10, n_tables=2)
