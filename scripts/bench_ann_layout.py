@@ -91,7 +91,8 @@ def main() -> int:
                 tuple(
                     (r.vec_id, r.cosine)
                     for r in hyperplane_lsh_topk(
-                        frame, qv, k=10, n_planes=N_PLANES
+                        frame, qv, k=10, n_planes=N_PLANES,
+                        stored_planes=(N_PLANES if "bucket" in frame.columns else None),
                     ).collect()
                 )
             )
@@ -102,7 +103,8 @@ def main() -> int:
     part_s, part_rows = run(by_bucket)
 
     plan = (
-        hyperplane_lsh_topk(by_bucket, queries[0], k=10, n_planes=N_PLANES)
+        hyperplane_lsh_topk(by_bucket, queries[0], k=10, n_planes=N_PLANES,
+                            stored_planes=N_PLANES)
         ._jdf.queryExecution().executedPlan().toString()
     )
     pruned = "PartitionFilters" in plan and "bucket" in plan.split(

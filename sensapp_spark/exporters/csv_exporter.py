@@ -79,23 +79,55 @@ def to_csv_single(df: DataFrame, sensor_type: SensorType) -> str:
 CHUNK_ROWS = 8192
 
 
-def _iter_chunks(lines: DataFrame, header: str, chunk_rows: int):
-    """Yield the header, then formatted lines in ``chunk_rows`` batches.
+def chunk_lines(line_iter, header: str | None = None,
+                chunk_rows: int = CHUNK_ROWS):
+    """Yield an optional header, then lines from any string iterator in
+    ``chunk_rows`` batches — THE single chunked-assembly implementation
+    (the exporters' streaming variants and the gateway's peek-ahead
+    continuation both use it, so the streamed-bytes-equal-full-collect
+    guarantee lives in one place). Closes ``line_iter`` on exhaustion
+    or generator close, so an abandoned Spark local iterator releases
+    its serving thread instead of lingering until GC."""
+    try:
+        if header is not None:
+            yield header + "\n"
+        buf: list[str] = []
+        for line in line_iter:
+            buf.append(line)
+            if len(buf) >= chunk_rows:
+                yield "\n".join(buf) + "\n"
+                buf.clear()
+        if buf:
+            yield "\n".join(buf) + "\n"
+    finally:
+        close = getattr(line_iter, "close", None)
+        if close is not None:
+            close()
+
+
+def row_lines(lines: DataFrame):
+    """Per-line string iterator over a formatted-lines frame, with the
+    underlying Spark local iterator closed on exhaustion or generator
+    close (no serving thread lingering until GC).
 
     ``toLocalIterator(prefetchPartitions=True)`` bounds driver memory to
     one in-flight partition plus one prefetched — after the `orderBy`,
     partitions are range-sorted, so sequential iteration preserves the
-    global order and the concatenated chunks are byte-identical to the
-    full-collect assembly."""
-    yield header + "\n"
-    buf: list[str] = []
-    for r in lines.toLocalIterator(prefetchPartitions=True):
-        buf.append(r.line)
-        if len(buf) >= chunk_rows:
-            yield "\n".join(buf) + "\n"
-            buf.clear()
-    if buf:
-        yield "\n".join(buf) + "\n"
+    global order."""
+    rows = lines.toLocalIterator(prefetchPartitions=True)
+    try:
+        for r in rows:
+            yield r.line
+    finally:
+        close = getattr(rows, "close", None)
+        if close is not None:
+            close()
+
+
+def _iter_chunks(lines: DataFrame, header: str, chunk_rows: int):
+    """Chunked lines of a formatted-lines frame; concatenated chunks are
+    byte-identical to the full-collect assembly."""
+    return chunk_lines(row_lines(lines), header, chunk_rows)
 
 
 def iter_csv_single(df: DataFrame, sensor_type: SensorType,

@@ -72,20 +72,14 @@ def to_jsonl(df: DataFrame, sensor_type: SensorType) -> str:
 def iter_jsonl(df: DataFrame, sensor_type: SensorType,
                chunk_rows: int = 8192):
     """Bounded-memory generator form of :func:`to_jsonl`: one chunk of
-    formatted lines on the driver at a time (``toLocalIterator`` with one
-    prefetched partition); the ``orderBy`` range-sorts partitions, so
-    sequential iteration keeps the global order and the streamed bytes
-    equal the full-collect assembly."""
-    buf: list[str] = []
-    for r in lines_jsonl(df, sensor_type).toLocalIterator(
-        prefetchPartitions=True
-    ):
-        buf.append(r.line)
-        if len(buf) >= chunk_rows:
-            yield "\n".join(buf) + "\n"
-            buf.clear()
-    if buf:
-        yield "\n".join(buf) + "\n"
+    formatted lines on the driver at a time; the streamed bytes equal
+    the full-collect assembly (shared chunk assembly:
+    ``csv_exporter.chunk_lines``)."""
+    from sensapp_spark.exporters.csv_exporter import chunk_lines, row_lines
+
+    return chunk_lines(
+        row_lines(lines_jsonl(df, sensor_type)), None, chunk_rows
+    )
 
 
 def write_jsonl(df: DataFrame, sensor_type: SensorType, path: str) -> None:

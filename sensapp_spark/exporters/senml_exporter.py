@@ -108,8 +108,13 @@ def iter_senml(df: DataFrame, sensor_type: SensorType):
     arrive contiguously and in order), and at most one sensor's rows are
     buffered for base-record assembly. A sensor's samples can span a
     partition boundary; ``groupby`` handles that transparently since the
-    iterator is globally ordered."""
-    return _records_from_rows(
-        _ordered_rows(df).toLocalIterator(prefetchPartitions=True),
-        sensor_type,
-    )
+    iterator is globally ordered. Closing this generator (or exhausting
+    it) closes the underlying Spark local iterator, so an abandoned
+    stream releases its serving thread immediately."""
+    rows = _ordered_rows(df).toLocalIterator(prefetchPartitions=True)
+    try:
+        yield from _records_from_rows(rows, sensor_type)
+    finally:
+        close = getattr(rows, "close", None)
+        if close is not None:
+            close()

@@ -420,9 +420,12 @@ def _bmp_rle8(data: bytes, w: int, h: int) -> list[bytes]:
             i += 2
             # Per spec the cursor moves RELATIVE to the current (x, y):
             # after dy line flushes the new row resumes at old_x + dx,
-            # not at dx (skipped pixels are undefined → index 0).
+            # not at dx (skipped pixels are undefined → index 0). A
+            # malformed dy past the bitmap clamps to the remaining rows
+            # so the output can never exceed h rows (the caller sizes
+            # its pixel buffer as w*h and trusts that bound).
             x = len(cur)
-            for _ in range(dy):
+            for _ in range(min(dy, h - len(rows))):
                 flush()
             cur.extend(b"\x00" * (x + dx if dy else dx))
         else:  # absolute run of v literal indices, word-aligned

@@ -320,6 +320,7 @@ def hyperplane_lsh_topk(
     n_planes: int = 4,
     multiprobe: bool = True,
     n_tables: int = 1,
+    stored_planes: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: exact cosine over the union of the query's
     LSH bucket candidates (plus Hamming-1 neighbor buckets when
@@ -341,13 +342,31 @@ def hyperplane_lsh_topk(
     single-table only, since one partition axis can serve one plane
     set), the per-query sign-bit projection is skipped and the probe
     list becomes a partition-pruning predicate (measured in
-    scripts/bench_ann_layout.py / BASELINE.md). The stored layout must
-    have been written with the same ``n_planes`` (table 0 planes) —
-    enforced only as far as the probe ids staying in range, so treat
-    the plane count as part of the table's schema contract."""
+    scripts/bench_ann_layout.py / BASELINE.md). Using a stored layout
+    requires DECLARING its plane count via ``stored_planes`` — column-
+    name sniffing alone would let a layout written with 8 planes serve
+    4-plane probes, silently scanning the wrong 6% of the corpus; the
+    declaration must match ``n_planes`` (both name the table-0 plane
+    set), and a ``bucket`` column with no declaration raises so a
+    frame that merely happens to carry that name is never
+    misinterpreted."""
     if n_tables < 1:
         raise ValueError("n_tables must be at least 1")
     if "bucket" in embeddings.columns:
+        if stored_planes is None:
+            raise ValueError(
+                "input carries a bucket column: declare the stored "
+                "layout's plane count via stored_planes=<n> (must "
+                "match n_planes), or drop/rename the column if it is "
+                "not an LSH layout"
+            )
+        if stored_planes != n_planes:
+            raise ValueError(
+                f"stored layout was written with {stored_planes} "
+                f"planes but probes were requested for {n_planes} — "
+                "the probe ids would be meaningless against the "
+                "stored buckets"
+            )
         if n_tables != 1:
             raise ValueError(
                 "a stored single-axis bucket layout cannot serve "

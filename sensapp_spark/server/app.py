@@ -97,23 +97,30 @@ def create_app(
 
     def _stream_senml(records) -> Response:
         def gen():
-            yield "["
-            first = True
-            for rec in records:
-                yield ("" if first else ",") + json.dumps(
-                    rec, sort_keys=True, separators=(",", ":")
-                )
-                first = False
-            yield "]\n"
+            try:
+                yield "["
+                first = True
+                for rec in records:
+                    yield ("" if first else ",") + json.dumps(
+                        rec, sort_keys=True, separators=(",", ":")
+                    )
+                    first = False
+                yield "]\n"
+            finally:
+                close = getattr(records, "close", None)
+                if close is not None:
+                    close()  # client disconnect → release the iterator
 
         return Response(gen(), mimetype="application/json")
 
     def _export(df, fmt: str, stype: SensorType) -> Response:
-        from itertools import chain, islice
+        from itertools import islice
 
         from sensapp_spark.exporters.csv_exporter import (
+            chunk_lines,
             lines_multi,
             multi_label_keys,
+            row_lines,
         )
         from sensapp_spark.exporters.jsonl_exporter import lines_jsonl
 
@@ -144,51 +151,54 @@ def create_app(
         # Peek-ahead (single execution, no probe job): pull up to
         # threshold+1 rows from the JVM-formatted iterator; a result
         # that fits assembles the exact collect-path body from the
-        # buffered rows, a larger one streams the buffer + the rest
-        # with bounded driver memory. The upstream query runs ONCE
-        # either way.
+        # buffered rows (closing the abandoned iterator so its Spark
+        # serving thread dies now, not at GC), a larger one streams
+        # the buffer + the rest with bounded driver memory. The
+        # upstream query runs ONCE either way.
+        # NOTE the resumed streams below use `yield from` generators,
+        # not itertools.chain: closing a delegating generator (client
+        # disconnect mid-stream) propagates the close into the
+        # underlying Spark iterator, where chain would drop it to GC.
         if fmt == "senml":
             it = iter_senml(cols, stype)
             head = list(islice(it, stream_threshold + 1))
             if len(head) <= stream_threshold:
+                it.close()
                 return jsonify(head)
-            return _stream_senml(chain(head, it))
+
+            def senml_rest(first=head):
+                yield from first
+                yield from it
+
+            return _stream_senml(senml_rest())
         if fmt == "csv":
             keys = multi_label_keys(cols)
             header = ",".join(
                 ["timestamp", "sensor_id", "sensor_name", "value", "type"]
                 + keys
             )
-            rows = lines_multi(cols, stype, keys).toLocalIterator(
-                prefetchPartitions=True
-            )
+            lines = row_lines(lines_multi(cols, stype, keys))
         else:
             header = None
-            rows = lines_jsonl(cols, stype).toLocalIterator(
-                prefetchPartitions=True
-            )
-        head = [r.line for r in islice(rows, stream_threshold + 1)]
+            lines = row_lines(lines_jsonl(cols, stype))
+        head = list(islice(lines, stream_threshold + 1))
         if len(head) <= stream_threshold:
+            lines.close()
             if fmt == "csv":
                 body = "\n".join([header] + head) + "\n"
             else:
                 body = "".join(ln + "\n" for ln in head)
             return Response(body, mimetype=EXPORT_MEDIA[fmt])
+        def resumed(first=head):
+            yield from first
+            yield from lines
 
-        def gen(first=head):
-            if header is not None:
-                yield header + "\n"
-            yield "\n".join(first) + "\n"
-            buf: list[str] = []
-            for r in rows:
-                buf.append(r.line)
-                if len(buf) >= 8192:
-                    yield "\n".join(buf) + "\n"
-                    buf.clear()
-            if buf:
-                yield "\n".join(buf) + "\n"
-
-        return Response(gen(), mimetype=EXPORT_MEDIA[fmt])
+        # Shared chunk assembly (csv_exporter.chunk_lines): the streamed
+        # bytes stay byte-identical to the full-collect bodies, and the
+        # guarantee lives in exactly one implementation.
+        return Response(
+            chunk_lines(resumed(), header), mimetype=EXPORT_MEDIA[fmt]
+        )
 
     @app.errorhandler(400)
     def bad_request(e):

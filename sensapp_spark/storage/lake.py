@@ -237,81 +237,46 @@ class SensorLake:
     # -- internals -----------------------------------------------------------
 
     @contextlib.contextmanager
-    def _dir_lock(self, path: str, timeout: float = 30.0,
-                  grace: float = 2.0):
-        """Exclusive advisory lock on a table directory via atomic
-        ``mkdir`` (POSIX guarantees exactly one creator), with the
-        holder's PID recorded inside.
+    def _dir_lock(self, path: str, timeout: float = 30.0):
+        """Exclusive advisory lock on a table directory via kernel
+        ``flock`` on a sibling lock file.
 
-        A contended waiter breaks the lock ONLY when the recorded owner
-        process is verifiably dead (``kill(pid, 0)`` raises ESRCH) —
-        never on age, so a long-running rewrite (vacuum on a large
-        table) keeps its mutual exclusion for as long as it genuinely
-        runs. The break itself is an atomic ``rename`` to a unique
-        name: of N waiters observing the same dead lock, exactly one
-        rename succeeds, so two waiters can never both "break in"
-        (the TOCTOU a stat→rmdir→mkdir sequence would allow). ``grace``
-        shields a freshly-created lock whose owner file isn't written
-        yet. Waiting past ``timeout`` on a LIVE holder raises instead
-        of silently proceeding unserialized. Single-host lake contract:
-        PID liveness is meaningful because plain-parquet swap-rewrites
-        are only safe on one host anyway (object storage → Delta)."""
-        lock = f"{path}.lock"
-        owner = os.path.join(lock, "owner")
+        The kernel is the single source of truth: exactly one open file
+        description holds LOCK_EX at a time (two fds conflict even
+        within one process), a crashed or killed holder's lock is
+        RELEASED BY THE KERNEL automatically, and there is consequently
+        no staleness heuristic, no liveness probe, and no break
+        protocol to race on — the failure modes of every
+        mkdir/PID-file scheme (mtime-based breaks voiding a live
+        holder's exclusion; rename/rmdir TOCTOU letting two breakers
+        in) structurally cannot occur. A long-running rewrite keeps its
+        lock for exactly as long as its process lives. Waiting past
+        ``timeout`` on a live holder raises instead of silently
+        proceeding unserialized. Single-host lake contract: flock is
+        per-kernel, and plain-parquet swap-rewrites are only safe on
+        one host anyway (object storage → Delta's transaction log)."""
+        import fcntl
+
+        lock_path = f"{path}.lock"
+        fd = os.open(lock_path, os.O_CREAT | os.O_RDWR, 0o644)
         deadline = time.monotonic() + timeout
-        while True:
-            try:
-                os.mkdir(lock)
-                with open(owner, "w") as f:
-                    f.write(str(os.getpid()))
-                break
-            except FileExistsError:
-                pid = None
-                try:
-                    with open(owner) as f:
-                        pid = int(f.read().strip() or "0")
-                except (OSError, ValueError):
-                    pass  # mid-creation or already broken — age-gate below
-                dead = False
-                if pid:
-                    try:
-                        os.kill(pid, 0)
-                    except ProcessLookupError:
-                        dead = True
-                    except OSError:
-                        pass  # e.g. EPERM: process exists, not ours
-                else:
-                    # No owner recorded: give the creator ``grace``
-                    # seconds to write it; an ownerless lock older than
-                    # that is debris from a writer killed mid-acquire.
-                    try:
-                        dead = (
-                            time.time() - os.stat(lock).st_mtime > grace
-                        )
-                    except OSError:
-                        continue  # vanished — retry the mkdir now
-                if dead:
-                    # Atomic break: exactly one waiter wins the rename.
-                    stale = f"{lock}.stale-{uuid_mod.uuid4().hex[:8]}"
-                    try:
-                        os.rename(lock, stale)
-                        shutil.rmtree(stale, ignore_errors=True)
-                    except OSError:
-                        pass  # another waiter broke it first
-                    continue
-                if time.monotonic() > deadline:
-                    raise TimeoutError(
-                        f"could not acquire lake lock {lock} within "
-                        f"{timeout}s — held by live pid {pid}"
-                    )
-                time.sleep(0.05)
         try:
+            while True:
+                try:
+                    fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+                    break
+                except OSError:
+                    if time.monotonic() > deadline:
+                        raise TimeoutError(
+                            f"could not acquire lake lock {lock_path} "
+                            f"within {timeout}s — held by a live process"
+                        ) from None
+                    time.sleep(0.05)
             yield
         finally:
-            with contextlib.suppress(OSError):
-                os.remove(owner)
-            with contextlib.suppress(OSError):
-                os.rmdir(lock)
+            # Closing the fd releases the lock (kernel-guaranteed); the
+            # empty lock file itself is inert and left in place.
+            os.close(fd)
 
     def _atomic_overwrite(
         self, df: DataFrame, path: str, partition_by: str | None = None

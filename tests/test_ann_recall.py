@@ -222,15 +222,22 @@ def test_lsh_precomputed_bucket_layout(spark, emb, queries, tmp_path):
     stored = spark.read.parquet(path)
     for q in queries[:2]:
         a = sim.hyperplane_lsh_topk(emb, q, k=10).collect()
-        b = sim.hyperplane_lsh_topk(stored, q, k=10).collect()
+        b = sim.hyperplane_lsh_topk(stored, q, k=10, stored_planes=4).collect()
         assert [(r.vec_id, r.cosine) for r in a] == [
             (r.vec_id, r.cosine) for r in b
         ]
     plan = sim.hyperplane_lsh_topk(
-        stored, queries[0], k=10
+        stored, queries[0], k=10, stored_planes=4
     )._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "bucket" in plan.split(
         "PartitionFilters"
     )[1][:150]
     with pytest.raises(ValueError, match="multi-table"):
-        sim.hyperplane_lsh_topk(stored, queries[0], k=10, n_tables=2)
+        sim.hyperplane_lsh_topk(stored, queries[0], k=10, n_tables=2,
+                                stored_planes=4)
+    # Undeclared layout and plane-count mismatch both fail fast.
+    with pytest.raises(ValueError, match="declare the stored"):
+        sim.hyperplane_lsh_topk(stored, queries[0], k=10)
+    with pytest.raises(ValueError, match="written with"):
+        sim.hyperplane_lsh_topk(stored, queries[0], k=10, n_planes=6,
+                                stored_planes=4)

@@ -195,49 +195,47 @@ def test_concurrent_upserts_lose_nothing(spark, tmp_path):
     assert not errors
     got = {r.sensor_id for r in lake.sensors().collect()}
     assert got == {f"u{i}" for i in range(8)}
-    # Lock is released — a follow-up upsert proceeds immediately.
+    # Lock is released — a follow-up upsert proceeds immediately
+    # (the inert flock file itself remains on disk by design).
     publish(99)
     assert not errors
     assert lake.sensors().count() == 9
-    assert not os.path.exists(str(tmp_path / "lake" / "sensors.lock"))
 
 
-def test_dir_lock_timeout_and_stale_break(spark, tmp_path):
+def test_dir_lock_timeout_and_dead_holder_release(spark, tmp_path):
+    import fcntl
+    import subprocess
+    import sys
+
     lake = SensorLake(spark, str(tmp_path / "lake"))
     path = lake._sensors_path()
     lock = f"{path}.lock"
-    owner = os.path.join(lock, "owner")
 
-    # Held by a LIVE process (ourselves) → a second writer times out
-    # loudly no matter how old the lock is — age alone never breaks
-    # mutual exclusion (a long vacuum keeps its lock).
-    os.mkdir(lock)
-    with open(owner, "w") as f:
-        f.write(str(os.getpid()))
+    # Held by a LIVE holder (a second fd — flock conflicts even within
+    # one process) → a waiter times out loudly no matter how old the
+    # lock file is; age never breaks a live holder's exclusion.
+    fd = os.open(lock, os.O_CREAT | os.O_RDWR)
+    fcntl.flock(fd, fcntl.LOCK_EX)
     old = time.time() - 100_000
     os.utime(lock, (old, old))
-    with pytest.raises(TimeoutError, match="live pid"):
+    with pytest.raises(TimeoutError, match="lake lock"):
         with lake._dir_lock(path, timeout=0.3):
             pass
+    os.close(fd)
 
-    # Owner provably dead → broken and re-acquired.
-    with open(owner, "w") as f:
-        f.write("999999999")  # beyond pid_max: never a live process
+    # A holder process that DIES without unlocking: the kernel releases
+    # the lock with it, so the next writer acquires immediately — no
+    # staleness heuristic, no break protocol.
+    subprocess.run(
+        [sys.executable, "-c",
+         "import fcntl, os, sys\n"
+         f"fd = os.open({lock!r}, os.O_CREAT | os.O_RDWR)\n"
+         "fcntl.flock(fd, fcntl.LOCK_EX)\n"
+         "os._exit(0)  # die holding the lock\n"],
+        check=True,
+    )
     with lake._dir_lock(path, timeout=2.0):
-        assert os.path.exists(lock)  # re-acquired by us
-    assert not os.path.exists(lock)
-
-    # Ownerless debris (writer killed mid-acquire) breaks after the
-    # grace window, not before.
-    os.mkdir(lock)
-    with pytest.raises(TimeoutError):
-        with lake._dir_lock(path, timeout=0.3, grace=60):
-            pass
-    old = time.time() - 10
-    os.utime(lock, (old, old))
-    with lake._dir_lock(path, timeout=2.0, grace=2.0):
-        pass
-    assert not os.path.exists(lock)
+        pass  # acquired despite the dead holder never unlocking
 
 
 def test_materialized_catalog_snapshot(spark, tmp_path):

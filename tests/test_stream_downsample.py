@@ -100,3 +100,56 @@ def test_windows_finalize_and_late_data_drops(spark, tmp_path):
         assert out[("s1", t.replace(hour=10))].n == 2
     finally:
         q.stop()
+
+
+def test_tiebreaker_pins_first_last_on_duplicate_timestamps(spark, tmp_path):
+    """Duplicate-timestamp samples: the tiebreaker column makes the
+    streamed M4 first/last deterministic (smallest/largest tiebreaker
+    at the tied instant), matching batch m4_downsample's contract."""
+    data_dir = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ckpt")
+    t = dt.datetime(2024, 1, 1)
+
+    schema = "sensor_id string, time timestamp, value double, seq long"
+    staging = f"{data_dir}/../__stage_tb"
+    rows = [
+        ("s1", t.replace(hour=10, minute=0), 5.0, 2),
+        ("s1", t.replace(hour=10, minute=0), 1.0, 1),  # same instant
+        ("s1", t.replace(hour=10, minute=50), 9.0, 3),
+        ("s1", t.replace(hour=12, minute=0), 0.0, 4),  # closes 10:00
+    ]
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(staging)
+    os.makedirs(data_dir, exist_ok=True)
+    [part] = glob.glob(f"{staging}/part-*.parquet")
+    shutil.move(part, f"{data_dir}/tb.parquet")
+    shutil.rmtree(staging)
+
+    stream = spark.readStream.schema(schema).parquet(data_dir)
+    q = (
+        downsample_stream(stream, window="1 hour", watermark="30 minutes",
+                          tiebreaker="seq")
+        .writeStream.format("memory")
+        .queryName("ds_tb")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        deadline = time.monotonic() + 60
+        got = {}
+        while time.monotonic() < deadline:
+            got = {
+                (r.sensor_id, r.bucket): r
+                for r in spark.sql("SELECT * FROM ds_tb").collect()
+            }
+            if got:
+                break
+            time.sleep(0.5)
+        row = got[("s1", t.replace(hour=10))]
+        # At the tied 10:00 instant, seq=1 (value 1.0) is FIRST by the
+        # tiebreaker even though it arrived second in the file.
+        assert row.first_value == 1.0
+        assert row.last_value == 9.0 and row.n == 3
+    finally:
+        q.stop()
