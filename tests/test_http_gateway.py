@@ -414,3 +414,45 @@ def test_publish_arrow_invalid_payload(client):
     )
     assert r.status_code == 400
     assert "Arrow" in r.get_json()["error"]
+
+
+def test_malformed_csv_rejected_without_partial_writes(spark, tmp_path_factory):
+    """Reference tests/ingestion.rs:195-216: malformed CSV must yield an
+    error response AND create no sensors — a fresh lake proves the
+    no-partial-write half, which the shared-fixture client can't."""
+    lake = SensorLake(spark, str(tmp_path_factory.mktemp("lake_malformed")))
+    app = create_app(spark, lake)
+    app.testing = True
+    with app.test_client() as c:
+        r = c.post(
+            "/publish",
+            data="this,is,not,proper\ncsv,data,missing,headers",
+            content_type="text/csv",
+        )
+    assert r.status_code == 400
+    assert "error" in r.get_json()
+    assert lake.sensors().count() == 0
+
+
+def test_bulk_csv_ingestion_1000_rows(spark, tmp_path_factory):
+    """Reference tests/ingestion.rs:221-258: 1000-sample bulk publish
+    lands every row on one sensor with its unit intact."""
+    lake = SensorLake(spark, str(tmp_path_factory.mktemp("lake_bulk")))
+    app = create_app(spark, lake)
+    app.testing = True
+    lines = ["datetime,sensor_name,value,unit"]
+    for i in range(1000):
+        lines.append(
+            f"2024-01-01T{(i // 3600) % 24:02d}:{(i // 60) % 60:02d}:"
+            f"{i % 60:02d}Z,temperature_bulk,{20.0 + i * 0.01:.1f},°C"
+        )
+    with app.test_client() as c:
+        r = c.post(
+            "/publish", data="\n".join(lines) + "\n", content_type="text/csv"
+        )
+    assert r.status_code == 200
+    from sensapp_spark.datamodel.types import SensorType
+
+    (sensor,) = lake.sensors().collect()
+    assert sensor.name == "temperature_bulk" and sensor.unit == "°C"
+    assert lake.values(SensorType.FLOAT).count() == 1000
