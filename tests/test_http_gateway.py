@@ -456,3 +456,59 @@ def test_bulk_csv_ingestion_1000_rows(spark, tmp_path_factory):
     (sensor,) = lake.sensors().collect()
     assert sensor.name == "temperature_bulk" and sensor.unit == "°C"
     assert lake.values(SensorType.FLOAT).count() == 1000
+
+
+def test_invalid_arrow_payload_rejected(spark, tmp_path_factory):
+    """Reference tests/arrow_integration.rs:341-364: garbage bytes under
+    the Arrow content type yield 400 and ingest nothing."""
+    lake = SensorLake(spark, str(tmp_path_factory.mktemp("lake_badarrow")))
+    app = create_app(spark, lake)
+    app.testing = True
+    with app.test_client() as c:
+        r = c.post(
+            "/publish",
+            data=b"not arrow data",
+            content_type="application/vnd.apache.arrow.file",
+        )
+    assert r.status_code == 400
+    assert lake.sensors().count() == 0
+
+
+def test_arrow_string_roundtrip_through_gateway(spark, tmp_path_factory):
+    """Reference arrow_integration.rs:292-340 + roundtrip mod: a
+    string-typed Arrow file publishes through the gateway (Utf8 →
+    String dispatch) and exports back with the values intact."""
+    import datetime as dt
+    import io
+
+    import pyarrow as pa
+    import pyarrow.ipc as ipc
+
+    t0 = dt.datetime(2024, 5, 1)
+    table = pa.table({
+        "timestamp": pa.array(
+            [t0, t0 + dt.timedelta(seconds=1)], type=pa.timestamp("us")
+        ),
+        "sensor_name": pa.array(["test_string_sensor"] * 2),
+        "value": pa.array(["hello", "world"]),
+    })
+    sink = io.BytesIO()
+    with ipc.new_file(sink, table.schema) as w:
+        w.write_table(table)
+
+    lake = SensorLake(spark, str(tmp_path_factory.mktemp("lake_strarrow")))
+    app = create_app(spark, lake)
+    app.testing = True
+    with app.test_client() as c:
+        r = c.post(
+            "/publish",
+            data=sink.getvalue(),
+            content_type="application/vnd.apache.arrow.file",
+        )
+        assert r.status_code == 200, r.get_data()
+        doc = c.get("/series?metric=test_string_sensor").get_json()
+        (ds,) = doc["dcat:dataset"]
+        r = c.get(f"/series/{ds['dct:identifier']}?format=jsonl")
+    rows = [json.loads(x) for x in r.get_data(as_text=True).splitlines()]
+    assert [x["value"] for x in rows] == ["hello", "world"]
+    assert all(x["type"] == "string" for x in rows)
