@@ -512,3 +512,57 @@ def test_arrow_string_roundtrip_through_gateway(spark, tmp_path_factory):
     rows = [json.loads(x) for x in r.get_data(as_text=True).splitlines()]
     assert [x["value"] for x in rows] == ["hello", "world"]
     assert all(x["type"] == "string" for x in rows)
+
+
+def test_export_empty_result_shapes(spark, tmp_path_factory):
+    """Reference query_export.rs:287-316: an empty export is a lone CSV
+    header and a zero-byte JSONL body — driven through the gateway with
+    a time range that excludes every sample."""
+    lake = SensorLake(spark, str(tmp_path_factory.mktemp("lake_empty")))
+    app = create_app(spark, lake)
+    app.testing = True
+    with app.test_client() as c:
+        assert c.post(
+            "/publish", data=CSV, content_type="text/csv"
+        ).status_code == 200
+        doc = c.get("/series?metric=temperature").get_json()
+        (ds,) = doc["dcat:dataset"]
+        uuid = ds["dct:identifier"]
+        window = "start=1999-01-01T00:00:00Z&end=1999-01-02T00:00:00Z"
+        csv_body = c.get(
+            f"/series/{uuid}?format=csv&{window}"
+        ).get_data(as_text=True)
+        jsonl_body = c.get(
+            f"/series/{uuid}?format=jsonl&{window}"
+        ).get_data(as_text=True)
+    assert csv_body.strip().splitlines() == [
+        csv_body.strip()
+    ] and csv_body.startswith("timestamp,")  # header only
+    assert jsonl_body.strip() == ""  # no lines
+
+
+def test_concurrent_catalog_queries(client):
+    """Reference query_export.rs:136-163: concurrent requests to the
+    catalog endpoints all succeed (Spark handles concurrent jobs from
+    multiple threads; each thread uses its own test client)."""
+    import threading
+
+    assert client.post(
+        "/publish", data=CSV, content_type="text/csv"
+    ).status_code == 200
+    app = client.application
+    results = []
+
+    def hit(path):
+        with app.test_client() as c:
+            results.append((path, c.get(path).status_code))
+
+    threads = [
+        threading.Thread(target=hit, args=(p,))
+        for p in ("/series", "/metrics", "/series")
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert [code for _, code in results] == [200, 200, 200]
