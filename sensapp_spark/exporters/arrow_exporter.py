@@ -59,6 +59,21 @@ def to_arrow_multi(df: DataFrame, sensor_type: SensorType) -> bytes:
     return _ipc_bytes(_multi_frame(df, sensor_type).toArrow())
 
 
+def to_parquet_multi(df: DataFrame, sensor_type: SensorType) -> bytes:
+    """The multi layout as a Parquet file (beyond-reference: the
+    natural download format for a Spark-native engine — a consumer
+    reads it straight back into any engine with types intact). Same
+    columns as the Arrow export; ZSTD, single row group for the
+    request-sized path (offline exports use the lake's partitioned
+    writes instead)."""
+    import pyarrow.parquet as pq
+
+    table = _multi_frame(df, sensor_type).toArrow()
+    sink = io.BytesIO()
+    pq.write_table(table, sink, compression="zstd")
+    return sink.getvalue()
+
+
 def iter_arrow_multi(df: DataFrame, sensor_type: SensorType,
                      chunk_rows: int = 8192):
     """Bounded-memory generator of Arrow IPC *file* bytes for the multi

@@ -55,13 +55,14 @@ from sensapp_spark.operators.selection import query_samples, time_range
 from sensapp_spark.query.promql import PromQLError, parse_promql_query
 from sensapp_spark.storage.lake import SensorLake
 
-VALID_FORMATS = ("senml", "csv", "jsonl", "arrow")
+VALID_FORMATS = ("senml", "csv", "jsonl", "arrow", "parquet")
 
 EXPORT_MEDIA = {
     "senml": "application/senml+json",
     "csv": "text/csv",
     "jsonl": "application/x-ndjson",
     "arrow": "application/vnd.apache.arrow.file",
+    "parquet": "application/vnd.apache.parquet",
 }
 
 
@@ -125,6 +126,18 @@ def create_app(
         from sensapp_spark.exporters.jsonl_exporter import lines_jsonl
 
         cols = df.select("sensor_id", "time", "value", "name", "unit", "labels")
+        if fmt == "parquet":
+            # Beyond-reference download format; request-sized by the
+            # same 10M-row limit contract as every other export (a
+            # consumer wanting more reads the lake's partitioned tables
+            # directly — that IS the scale path for columnar handoff).
+            from sensapp_spark.exporters.arrow_exporter import (
+                to_parquet_multi,
+            )
+
+            return Response(
+                to_parquet_multi(cols, stype), mimetype=EXPORT_MEDIA[fmt]
+            )
         if fmt == "arrow":
             # Arrow keeps a size probe (CollectLimit: O(threshold) work,
             # never a full count): the small path must produce the

@@ -566,3 +566,25 @@ def test_concurrent_catalog_queries(client):
     for t in threads:
         t.join()
     assert [code for _, code in results] == [200, 200, 200]
+
+
+def test_parquet_export_round_trips(client):
+    """Beyond-reference: format=parquet hands back a real Parquet file
+    of the long layout — the natural columnar download for a
+    Spark-native engine (values stringified like the Arrow export)."""
+    import io
+
+    import pyarrow.parquet as pq
+
+    assert client.post(
+        "/publish", data=CSV, content_type="text/csv"
+    ).status_code == 200
+    r = client.get("/api/v1/query?query=temperature[100000h]&format=parquet")
+    assert r.status_code == 200
+    assert r.mimetype == "application/vnd.apache.parquet"
+    table = pq.read_table(io.BytesIO(r.get_data()))
+    assert table.column_names == [
+        "timestamp", "sensor_id", "sensor_name", "value", "type", "labels",
+    ]
+    assert sorted(set(table.column("value").to_pylist())) == ["20.5", "21.0"]
+    assert set(table.column("sensor_name").to_pylist()) == {"temperature"}
