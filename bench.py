@@ -61,6 +61,13 @@ def main() -> None:
                 )
 
     total = round(sum(timings.values()), 4)
+    # The members block is bulky enough to push a single combined JSON
+    # line past the driver's stdout tail window (BENCH_r05 recorded
+    # parsed=null for exactly this reason), so emit it on its own line
+    # FIRST and keep the headline line compact and LAST.
+    if members:
+        print(json.dumps({"metric": "member_walls", "members": members}))
+        sys.stdout.flush()
     out = {
         "metric": "total_query_wall_seconds",
         "value": total,
@@ -68,8 +75,6 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
     }
-    if members:
-        out["members"] = members
     print(json.dumps(out))
     spark.stop()
 

@@ -74,62 +74,119 @@ def to_parquet_multi(df: DataFrame, sensor_type: SensorType) -> bytes:
     return sink.getvalue()
 
 
-def iter_arrow_multi(df: DataFrame, sensor_type: SensorType,
-                     chunk_rows: int = 8192):
-    """Bounded-memory generator of Arrow IPC *file* bytes for the multi
-    layout: rows are pulled through ``toLocalIterator`` (one prefetched
-    partition in flight), batched ``chunk_rows`` at a time into record
-    batches, and the IPC framing (magic, schema, batches, footer) is
-    flushed incrementally through a chunk-capturing sink — the driver
-    never holds more than one batch. The result parses identically to
-    :func:`to_arrow_multi` (same schema; N record batches instead of 1).
+MULTI_ARROW_SCHEMA = pa.schema([
+    ("timestamp", pa.timestamp("us", tz="UTC")),
+    ("sensor_id", pa.string()),
+    ("sensor_name", pa.string()),
+    ("value", pa.string()),
+    ("type", pa.string()),
+    ("labels", pa.string()),
+])
 
-    The timestamp travels as JVM-computed epoch micros (int64) and is
-    cast to ``timestamp[us, UTC]`` in Arrow, so the values are
-    tz-conversion-free and match the ``toArrow`` path exactly."""
+
+class _ChunkSink(io.RawIOBase):
+    """File-like sink that captures writes into a list so incremental
+    framing (IPC blocks, parquet row groups) can be yielded as HTTP
+    chunks as they are produced."""
+
+    def __init__(self):
+        self.chunks: list[bytes] = []
+
+    def writable(self):
+        return True
+
+    def write(self, b):
+        self.chunks.append(bytes(b))
+        return len(b)
+
+    def drain(self) -> bytes:
+        out = b"".join(self.chunks)
+        self.chunks.clear()
+        return out
+
+
+def _iter_multi_batches(df: DataFrame, sensor_type: SensorType,
+                        chunk_rows: int):
+    """Generator of ``chunk_rows``-sized ``pa.RecordBatch`` for the multi
+    layout, pulled through ``toLocalIterator`` (one prefetched partition
+    in flight). The timestamp travels as JVM-computed epoch micros
+    (int64) and is cast to ``timestamp[us, UTC]`` in Arrow, so the
+    values are tz-conversion-free and match the ``toArrow`` path
+    exactly. Closing this generator closes the Spark local iterator —
+    same abandoned-stream contract as row_lines/iter_senml
+    (csv_exporter.py:117-124)."""
     out = _multi_frame(df, sensor_type).select(
         F.unix_micros("timestamp").alias("ts_us"),
         "sensor_id", "sensor_name", "value", "type", "labels",
     )
-    schema = pa.schema([
-        ("timestamp", pa.timestamp("us", tz="UTC")),
-        ("sensor_id", pa.string()),
-        ("sensor_name", pa.string()),
-        ("value", pa.string()),
-        ("type", pa.string()),
-        ("labels", pa.string()),
-    ])
+    schema = MULTI_ARROW_SCHEMA
 
-    chunks: list[bytes] = []
-
-    class _Sink(io.RawIOBase):
-        def writable(self):
-            return True
-
-        def write(self, b):
-            chunks.append(bytes(b))
-            return len(b)
-
-    writer = ipc.new_file(_Sink(), schema)
-    buf: list[tuple] = []
-
-    def _flush_batch():
+    def _batch(buf: list[tuple]) -> pa.RecordBatch:
         cols = list(zip(*buf))
         ts = pa.array(cols[0], type=pa.int64()).cast(schema.field(0).type)
         arrays = [ts] + [
             pa.array(cols[i], type=pa.string()) for i in range(1, 6)
         ]
-        writer.write_batch(pa.record_batch(arrays, schema=schema))
-        buf.clear()
+        return pa.record_batch(arrays, schema=schema)
 
-    for row in out.toLocalIterator(prefetchPartitions=True):
-        buf.append(tuple(row))
-        if len(buf) >= chunk_rows:
-            _flush_batch()
-            yield b"".join(chunks)
-            chunks.clear()
-    if buf:
-        _flush_batch()
-    writer.close()
-    if chunks:
-        yield b"".join(chunks)
+    rows = out.toLocalIterator(prefetchPartitions=True)
+    try:
+        buf: list[tuple] = []
+        for row in rows:
+            buf.append(tuple(row))
+            if len(buf) >= chunk_rows:
+                yield _batch(buf)
+                buf.clear()
+        if buf:
+            yield _batch(buf)
+    finally:
+        close = getattr(rows, "close", None)
+        if close is not None:
+            close()
+
+
+def iter_arrow_multi(df: DataFrame, sensor_type: SensorType,
+                     chunk_rows: int = 8192):
+    """Bounded-memory generator of Arrow IPC *file* bytes for the multi
+    layout: record batches from :func:`_iter_multi_batches`, with the
+    IPC framing (magic, schema, batches, footer) flushed incrementally
+    through a chunk-capturing sink — the driver never holds more than
+    one batch. The result parses identically to :func:`to_arrow_multi`
+    (same schema; N record batches instead of 1)."""
+    sink = _ChunkSink()
+    writer = ipc.new_file(sink, MULTI_ARROW_SCHEMA)
+    batches = _iter_multi_batches(df, sensor_type, chunk_rows)
+    try:
+        for batch in batches:
+            writer.write_batch(batch)
+            yield sink.drain()
+        writer.close()
+        if sink.chunks:
+            yield sink.drain()
+    finally:
+        batches.close()
+
+
+def iter_parquet_multi(df: DataFrame, sensor_type: SensorType,
+                       chunk_rows: int = 8192):
+    """Bounded-memory generator of Parquet file bytes for the multi
+    layout: one row group per ``chunk_rows`` batch, framed incrementally
+    by ``pq.ParquetWriter`` over the same chunk-capturing sink as
+    :func:`iter_arrow_multi`, so a near-limit parquet download never
+    materializes the table on the driver. Reads back with the same
+    schema and rows as :func:`to_parquet_multi` (N row groups instead
+    of 1)."""
+    import pyarrow.parquet as pq
+
+    sink = _ChunkSink()
+    writer = pq.ParquetWriter(sink, MULTI_ARROW_SCHEMA, compression="zstd")
+    batches = _iter_multi_batches(df, sensor_type, chunk_rows)
+    try:
+        for batch in batches:
+            writer.write_table(pa.Table.from_batches([batch]))
+            yield sink.drain()
+        writer.close()
+        if sink.chunks:
+            yield sink.drain()
+    finally:
+        batches.close()

@@ -150,6 +150,17 @@ def multi_label_keys(df: DataFrame) -> list[str]:
     return list(row.keys) if row and row.keys else []
 
 
+def csv_multi_header(label_keys: list[str]) -> str:
+    """THE multi-layout header line (csv.rs:130-140 column order). The
+    gateway's streamed peek-ahead path and both exporter assemblies use
+    this one definition, so a column change can never desynchronize the
+    streamed header from the collected one."""
+    return ",".join(
+        ["timestamp", "sensor_id", "sensor_name", "value", "type"]
+        + label_keys
+    )
+
+
 def lines_multi(df: DataFrame, sensor_type: SensorType,
                 label_keys: list[str]) -> DataFrame:
     """Long-format lines for one typed result frame joined with metadata
@@ -183,8 +194,7 @@ def to_csv_multi(df: DataFrame, sensor_type: SensorType) -> str:
     """Multi-sensor export of one typed frame (the common case: a matcher
     query over one value table)."""
     keys = multi_label_keys(df)
-    header = ",".join(["timestamp", "sensor_id", "sensor_name", "value", "type"]
-                      + keys)
+    header = csv_multi_header(keys)
     lines = [r.line for r in lines_multi(df, sensor_type, keys).collect()]
     return "\n".join([header] + lines) + "\n"
 
@@ -193,11 +203,9 @@ def iter_csv_multi(df: DataFrame, sensor_type: SensorType,
                    chunk_rows: int = CHUNK_ROWS):
     """Bounded-memory generator form of :func:`to_csv_multi`."""
     keys = multi_label_keys(df)
-    header = ",".join(
-        ["timestamp", "sensor_id", "sensor_name", "value", "type"] + keys
-    )
     return _iter_chunks(
-        lines_multi(df, sensor_type, keys), header, chunk_rows
+        lines_multi(df, sensor_type, keys), csv_multi_header(keys),
+        chunk_rows,
     )
 
 

@@ -283,7 +283,11 @@ def lttb_downsample(
         F.count("*").alias("n"),
         (F.sum(F.col("t_us").cast("decimal(38,0)")).cast("double")
          / F.count("*")).alias("at"),
-        (F.sum("mv").cast("double")
+        # mv widens to decimal(38,0) before summing for the same reason
+        # t_us does: a plain LongType sum can overflow on large
+        # buckets/values, while DuckDB's SUM promotes to HUGEINT — the
+        # engines would silently diverge exactly where values are big.
+        (F.sum(F.col("mv").cast("decimal(38,0)")).cast("double")
          / (F.count("*") * F.lit(1e6))).alias("av"),
     )
     w = Window.partitionBy(*on).orderBy("bucket")

@@ -119,6 +119,7 @@ def create_app(
 
         from sensapp_spark.exporters.csv_exporter import (
             chunk_lines,
+            csv_multi_header,
             lines_multi,
             multi_label_keys,
             row_lines,
@@ -127,14 +128,27 @@ def create_app(
 
         cols = df.select("sensor_id", "time", "value", "name", "unit", "labels")
         if fmt == "parquet":
-            # Beyond-reference download format; request-sized by the
-            # same 10M-row limit contract as every other export (a
-            # consumer wanting more reads the lake's partitioned tables
-            # directly — that IS the scale path for columnar handoff).
+            # Beyond-reference download format. Same CollectLimit size
+            # probe as Arrow (the small path stays a single-row-group
+            # to_parquet_multi file); above threshold the body streams
+            # one row group per chunk through ParquetWriter, so a
+            # near-limit parquet request never rebuilds the multi-GB
+            # driver body the other formats already avoid. A consumer
+            # wanting more than the 10M-row limit reads the lake's
+            # partitioned tables directly — that IS the scale path for
+            # columnar handoff.
             from sensapp_spark.exporters.arrow_exporter import (
+                iter_parquet_multi,
                 to_parquet_multi,
             )
 
+            if stream_threshold is not None and (
+                cols.limit(stream_threshold + 1).count() > stream_threshold
+            ):
+                return Response(
+                    iter_parquet_multi(cols, stype),
+                    mimetype=EXPORT_MEDIA[fmt],
+                )
             return Response(
                 to_parquet_multi(cols, stype), mimetype=EXPORT_MEDIA[fmt]
             )
@@ -186,10 +200,7 @@ def create_app(
             return _stream_senml(senml_rest())
         if fmt == "csv":
             keys = multi_label_keys(cols)
-            header = ",".join(
-                ["timestamp", "sensor_id", "sensor_name", "value", "type"]
-                + keys
-            )
+            header = csv_multi_header(keys)
             lines = row_lines(lines_multi(cols, stype, keys))
         else:
             header = None
