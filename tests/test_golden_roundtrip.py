@@ -105,6 +105,32 @@ def test_golden_promql_arrow(client):
     check_golden("promql_temperature.arrow", r.get_data())
 
 
+def test_golden_promql_parquet_content(client):
+    """Parquet bytes are not stable across pyarrow versions (metadata,
+    encodings), so the pin is the DECODED content: schema (names +
+    types) and every row, rendered canonically. Any drift in column
+    layout, types, value text, or row order fails; a pure
+    recompression does not."""
+    import io
+
+    import pyarrow.parquet as pq
+
+    r = client.get(PROMQL + "parquet")
+    assert r.status_code == 200
+    table = pq.read_table(io.BytesIO(r.get_data()))
+    doc = {
+        "schema": [[f.name, str(f.type)] for f in table.schema],
+        "num_rows": table.num_rows,
+        "rows": [
+            [str(v) for v in row.values()] for row in table.to_pylist()
+        ],
+    }
+    check_golden(
+        "promql_temperature.parquet.json",
+        json.dumps(doc, separators=(",", ":")).encode(),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Single-series fetch by UUID (query_export.rs:394-452 round-trip edge)
 # ---------------------------------------------------------------------------

@@ -50,7 +50,7 @@ def env(spark, tmp_path_factory):
         # big-path tests patch the collect exporters away.
         expected = {
             fmt: c.get(QUERY + fmt).get_data()
-            for fmt in ("csv", "jsonl", "arrow", "senml")
+            for fmt in ("csv", "jsonl", "arrow", "senml", "parquet")
         }
     return streaming, expected
 
@@ -62,6 +62,11 @@ def no_full_collect(monkeypatch):
 
     for name in ("to_csv_multi", "to_jsonl", "to_arrow_multi", "to_senml"):
         monkeypatch.setattr(appmod, name, boom)
+    # The gateway imports the parquet exporter lazily per request, so the
+    # patch lands on its home module.
+    import sensapp_spark.exporters.arrow_exporter as arrowmod
+
+    monkeypatch.setattr(arrowmod, "to_parquet_multi", boom)
 
 
 @pytest.mark.parametrize("fmt", ["csv", "jsonl"])
@@ -86,6 +91,24 @@ def test_streamed_arrow_parses_equal(env, no_full_collect):
     # batches (chunk_rows at a time) instead of one.
     assert got.schema.names == want.schema.names
     assert got.combine_chunks().to_pydict() == want.combine_chunks().to_pydict()
+
+
+def test_streamed_parquet_parses_equal(env, no_full_collect):
+    """Above threshold the parquet body streams one row group per chunk
+    (ParquetWriter over the chunk sink) and never calls the buffering
+    to_parquet_multi; the streamed file reads back with the same schema
+    names and values as the collected single-row-group file."""
+    import pyarrow.parquet as pq
+
+    streaming, expected = env
+    with streaming.test_client() as c:
+        r = c.get(QUERY + "parquet")
+    assert r.status_code == 200
+    got = pq.read_table(io.BytesIO(r.get_data()))
+    want = pq.read_table(io.BytesIO(expected["parquet"]))
+    assert got.schema.names == want.schema.names
+    assert got.combine_chunks().to_pydict() == want.combine_chunks().to_pydict()
+    assert got.num_rows == N_ROWS
 
 
 def test_streamed_senml_parses_equal(env, no_full_collect):
