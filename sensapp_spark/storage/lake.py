@@ -236,62 +236,73 @@ class SensorLake:
 
     # -- internals -----------------------------------------------------------
 
-    @contextlib.contextmanager
     def _dir_lock(self, path: str, timeout: float = 30.0):
-        """Exclusive advisory lock on a table directory via kernel
-        ``flock`` on a sibling lock file.
-
-        The kernel is the single source of truth: exactly one open file
-        description holds LOCK_EX at a time (two fds conflict even
-        within one process), a crashed or killed holder's lock is
-        RELEASED BY THE KERNEL automatically, and there is consequently
-        no staleness heuristic, no liveness probe, and no break
-        protocol to race on — the failure modes of every
-        mkdir/PID-file scheme (mtime-based breaks voiding a live
-        holder's exclusion; rename/rmdir TOCTOU letting two breakers
-        in) structurally cannot occur. A long-running rewrite keeps its
-        lock for exactly as long as its process lives. Waiting past
-        ``timeout`` on a live holder raises instead of silently
-        proceeding unserialized. Single-host lake contract: flock is
-        per-kernel, and plain-parquet swap-rewrites are only safe on
-        one host anyway (object storage → Delta's transaction log)."""
-        import fcntl
-
-        lock_path = f"{path}.lock"
-        fd = os.open(lock_path, os.O_CREAT | os.O_RDWR, 0o644)
-        deadline = time.monotonic() + timeout
-        try:
-            while True:
-                try:
-                    fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
-                    break
-                except OSError:
-                    if time.monotonic() > deadline:
-                        raise TimeoutError(
-                            f"could not acquire lake lock {lock_path} "
-                            f"within {timeout}s — held by a live process"
-                        ) from None
-                    time.sleep(0.05)
-            yield
-        finally:
-            # Closing the fd releases the lock (kernel-guaranteed); the
-            # empty lock file itself is inert and left in place.
-            os.close(fd)
+        return dir_lock(path, timeout)
 
     def _atomic_overwrite(
         self, df: DataFrame, path: str, partition_by: str | None = None
     ) -> None:
-        """Write to a temp dir, then swap. (Delta/Iceberg make this a real
-        atomic commit; for local parquet a directory rename is the best
-        available approximation.)"""
-        tmp = f"{path}__tmp_{uuid_mod.uuid4().hex[:8]}"
-        writer = df.write.mode("overwrite")
-        if partition_by:
-            writer = writer.partitionBy(partition_by)
-        writer.parquet(tmp)
-        old = f"{path}__old_{uuid_mod.uuid4().hex[:8]}"
-        if os.path.exists(path):
-            os.rename(path, old)
-        os.rename(tmp, path)
-        if os.path.exists(old):
-            shutil.rmtree(old)
+        atomic_overwrite(df, path, partition_by)
+
+
+@contextlib.contextmanager
+def dir_lock(path: str, timeout: float = 30.0):
+    """Exclusive advisory lock on a table directory via kernel
+    ``flock`` on a sibling lock file. (Module-level: shared by the
+    sensor lake and the ANN index store.)
+
+    The kernel is the single source of truth: exactly one open file
+    description holds LOCK_EX at a time (two fds conflict even
+    within one process), a crashed or killed holder's lock is
+    RELEASED BY THE KERNEL automatically, and there is consequently
+    no staleness heuristic, no liveness probe, and no break
+    protocol to race on — the failure modes of every
+    mkdir/PID-file scheme (mtime-based breaks voiding a live
+    holder's exclusion; rename/rmdir TOCTOU letting two breakers
+    in) structurally cannot occur. A long-running rewrite keeps its
+    lock for exactly as long as its process lives. Waiting past
+    ``timeout`` on a live holder raises instead of silently
+    proceeding unserialized. Single-host lake contract: flock is
+    per-kernel, and plain-parquet swap-rewrites are only safe on
+    one host anyway (object storage → Delta's transaction log)."""
+    import fcntl
+
+    lock_path = f"{path}.lock"
+    fd = os.open(lock_path, os.O_CREAT | os.O_RDWR, 0o644)
+    deadline = time.monotonic() + timeout
+    try:
+        while True:
+            try:
+                fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+                break
+            except OSError:
+                if time.monotonic() > deadline:
+                    raise TimeoutError(
+                        f"could not acquire lake lock {lock_path} "
+                        f"within {timeout}s — held by a live process"
+                    ) from None
+                time.sleep(0.05)
+        yield
+    finally:
+        # Closing the fd releases the lock (kernel-guaranteed); the
+        # empty lock file itself is inert and left in place.
+        os.close(fd)
+
+
+def atomic_overwrite(
+    df: DataFrame, path: str, partition_by: str | None = None
+) -> None:
+    """Write to a temp dir, then swap. (Delta/Iceberg make this a real
+    atomic commit; for local parquet a directory rename is the best
+    available approximation.)"""
+    tmp = f"{path}__tmp_{uuid_mod.uuid4().hex[:8]}"
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(partition_by)
+    writer.parquet(tmp)
+    old = f"{path}__old_{uuid_mod.uuid4().hex[:8]}"
+    if os.path.exists(path):
+        os.rename(path, old)
+    os.rename(tmp, path)
+    if os.path.exists(old):
+        shutil.rmtree(old)
