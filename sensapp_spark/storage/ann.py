@@ -52,7 +52,11 @@ from sensapp_spark.pipeline.similarity import (
     ivf_centroids,
     ivf_topk,
 )
-from sensapp_spark.storage.lake import atomic_overwrite, dir_lock
+from sensapp_spark.storage.lake import (
+    atomic_overwrite,
+    dir_lock,
+    resolve_table,
+)
 
 
 class AnnIndexStore:
@@ -89,7 +93,7 @@ class AnnIndexStore:
 
     def _read_meta(self, name: str, kind: str) -> dict:
         path = self._meta_path(name)
-        if not os.path.exists(path) or not os.path.exists(self._path(name)):
+        if not os.path.exists(path) or resolve_table(self._path(name)) is None:
             raise FileNotFoundError(
                 f"no {kind} layout named {name!r} under {self.root} — "
                 f"write it first with write_{kind}()"
@@ -151,7 +155,10 @@ class AnnIndexStore:
         column) and the codebook it was written with."""
         meta = self._read_meta(name, "ivf")
         cents = [(int(c), [float(x) for x in v]) for c, v in meta["codebook"]]
-        return self.spark.read.parquet(self._path(name)), cents
+        return (
+            self.spark.read.parquet(resolve_table(self._path(name))),
+            cents,
+        )
 
     def ivf_topk(
         self,
@@ -209,8 +216,9 @@ class AnnIndexStore:
         """The stored layout frame (with its ``bucket`` partition
         column) and the plane count it was written with."""
         meta = self._read_meta(name, "lsh")
-        return self.spark.read.parquet(self._path(name)), int(
-            meta["n_planes"]
+        return (
+            self.spark.read.parquet(resolve_table(self._path(name))),
+            int(meta["n_planes"]),
         )
 
     def lsh_topk(

@@ -83,14 +83,13 @@ class SensorLake:
         log instead."""
         path = self._sensors_path()
         with self._dir_lock(path):
-            if os.path.exists(path):
-                merged = (
-                    self.sensors()
-                    .unionByName(sensors)
-                    .dropDuplicates(["sensor_id"])
-                )
-            else:
-                merged = sensors
+            # sensors() resolves the committed version (or an empty
+            # frame before the first commit), so the merge is uniform.
+            merged = (
+                self.sensors()
+                .unionByName(sensors)
+                .dropDuplicates(["sensor_id"])
+            )
             self._atomic_overwrite(merged, path)
 
     def append_values(self, stype: SensorType, df: DataFrame) -> None:
@@ -116,18 +115,43 @@ class SensorLake:
             df.withColumn(MONTH_COL, F.date_format("time", "yyyy-MM"))
             .write.partitionBy(MONTH_COL)
             .mode("append")
-            .parquet(self._values_path(stype))
+            .parquet(self._append_dir(self._values_path(stype)))
         )
+
+    def _append_dir(self, path: str) -> str:
+        """The directory appends land in: the table's current committed
+        version (appends are new uniquely-named part files — safe
+        concurrently, no lock needed). Only the FIRST append on a brand
+        new table takes the lock, to create version 1 + pointer exactly
+        once (two unlocked creators would each flip the pointer and
+        orphan the loser's files)."""
+        data = resolve_table(path)
+        if data is not None:
+            return data
+        with dir_lock(path):
+            data = resolve_table(path)
+            if data is not None:
+                return data
+            os.makedirs(path, exist_ok=True)
+            version = _next_version(path)
+            os.makedirs(os.path.join(path, version))
+            tmp = os.path.join(path, f".ptr_{uuid_mod.uuid4().hex[:8]}")
+            with open(tmp, "w") as f:
+                f.write(version)
+                f.flush()
+                os.fsync(f.fileno())
+            os.replace(tmp, os.path.join(path, CURRENT_PTR))
+            return os.path.join(path, version)
 
     # -- read path -----------------------------------------------------------
 
     def sensors(self) -> DataFrame:
-        path = self._sensors_path()
-        if not os.path.exists(path):
+        data = resolve_table(self._sensors_path())
+        if data is None:
             return self.spark.createDataFrame([], SENSOR_SCHEMA)
         # Explicit schema for the same reason as values(): no footer
         # inference, no race against a concurrent dimension rewrite.
-        return self.spark.read.schema(SENSOR_SCHEMA).parquet(path)
+        return self.spark.read.schema(SENSOR_SCHEMA).parquet(data)
 
     def values(
         self,
@@ -138,9 +162,9 @@ class SensorLake:
         """Typed scan with month-partition pruning derived from the time
         range: the ``month`` predicate prunes directories at planning
         time; the ``time`` predicate pushes into the row-group reader."""
-        path = self._values_path(stype)
+        data = resolve_table(self._values_path(stype))
         schema = value_schema(stype).add(MONTH_COL, "string")
-        if not os.path.exists(path):
+        if data is None:
             return self.spark.createDataFrame([], schema)
         # Explicit schema: the table's layout is known, so nothing is
         # inferred from footers — a scan planned while a concurrent
@@ -148,7 +172,7 @@ class SensorLake:
         # do this) sees an empty-but-valid frame instead of an
         # UNABLE_TO_INFER_SCHEMA race, and the driver skips the footer
         # sampling entirely (one less metadata pass on wide tables).
-        df = self.spark.read.schema(schema).parquet(path)
+        df = self.spark.read.schema(schema).parquet(data)
         if start is not None:
             df = df.filter(F.col(MONTH_COL) >= start.strftime("%Y-%m"))
             df = df.filter(F.col("time") >= F.lit(start))
@@ -171,11 +195,11 @@ class SensorLake:
         format closes (Delta OPTIMIZE commits against the log); run
         vacuum in a maintenance window on the plain-parquet build."""
         path = self._values_path(stype)
-        if not os.path.exists(path):
+        if resolve_table(path) is None:
             return
         with self._dir_lock(path):
             deduped = (
-                self.spark.read.parquet(path)
+                self.spark.read.parquet(resolve_table(path))
                 .dropDuplicates(["sensor_id", "time", "value"])
             )
             self._atomic_overwrite(deduped, path, partition_by=MONTH_COL)
@@ -185,11 +209,11 @@ class SensorLake:
         files sorted by (sensor_id, time) — the analogue of ClickHouse
         OPTIMIZE / Delta ZORDER clustering (clickhouse init.sql:40)."""
         path = self._values_path(stype)
-        if not os.path.exists(path):
+        if resolve_table(path) is None:
             return
         with self._dir_lock(path):
             compacted = (
-                self.spark.read.parquet(path)
+                self.spark.read.parquet(resolve_table(path))
                 .repartition(files_per_month, F.col(MONTH_COL))
                 .sortWithinPartitions("sensor_id", "time")
             )
@@ -222,17 +246,17 @@ class SensorLake:
 
     def catalog_metrics(self) -> DataFrame | None:
         """The materialized C1 view, or None if never materialized."""
-        path = os.path.join(self.root, "catalog_metrics")
-        if not os.path.exists(path):
+        data = resolve_table(os.path.join(self.root, "catalog_metrics"))
+        if data is None:
             return None
-        return self.spark.read.parquet(path)
+        return self.spark.read.parquet(data)
 
     def catalog_sensors(self) -> DataFrame | None:
         """The materialized C2 view, or None if never materialized."""
-        path = os.path.join(self.root, "catalog_sensors")
-        if not os.path.exists(path):
+        data = resolve_table(os.path.join(self.root, "catalog_sensors"))
+        if data is None:
             return None
-        return self.spark.read.parquet(path)
+        return self.spark.read.parquet(data)
 
     # -- internals -----------------------------------------------------------
 
@@ -289,20 +313,94 @@ def dir_lock(path: str, timeout: float = 30.0):
         os.close(fd)
 
 
+CURRENT_PTR = "_CURRENT"
+
+
+def resolve_table(path: str) -> str | None:
+    """The directory holding the table's LIVE data files.
+
+    Versioned layout (what :func:`atomic_overwrite` writes): ``path``
+    contains immutable ``v_<seq>_<rand>/`` data directories plus a
+    ``_CURRENT`` pointer file naming the committed one — read the
+    pointer, return that version dir. Falls back to ``path`` itself for
+    a legacy flat directory (pre-pointer lakes keep working), and
+    ``None`` when the table has never been written."""
+    ptr = os.path.join(path, CURRENT_PTR)
+    if os.path.exists(ptr):
+        with open(ptr) as f:
+            return os.path.join(path, f.read().strip())
+    if os.path.isdir(path):
+        # Legacy only if actual data entries exist: a table dir holding
+        # just uncommitted version dirs / pointer temps (a first commit
+        # in flight) reads as "never written", not as an empty legacy
+        # table.
+        legacy = [
+            d for d in os.listdir(path)
+            if not (d.startswith(".") or d.startswith("v_")
+                    or d == CURRENT_PTR)
+        ]
+        if legacy:
+            return path
+    return None
+
+
+def _next_version(path: str) -> str:
+    """Monotonic version-dir name: zero-padded sequence (so lexicographic
+    sort is commit order) + random suffix (so a crashed writer's
+    half-written dir can never collide with a retry's)."""
+    seq = 0
+    if os.path.isdir(path):
+        for d in os.listdir(path):
+            if d.startswith("v_"):
+                try:
+                    seq = max(seq, int(d.split("_")[1]))
+                except (IndexError, ValueError):
+                    pass
+    return f"v_{seq + 1:08d}_{uuid_mod.uuid4().hex[:8]}"
+
+
+def _prune_versions(path: str, keep: int = 2) -> None:
+    """Drop all but the newest ``keep`` version dirs (commit order =
+    lexicographic order of the zero-padded names)."""
+    versions = sorted(d for d in os.listdir(path) if d.startswith("v_"))
+    for d in versions[:-keep]:
+        shutil.rmtree(os.path.join(path, d), ignore_errors=True)
+
+
 def atomic_overwrite(
     df: DataFrame, path: str, partition_by: str | None = None
 ) -> None:
-    """Write to a temp dir, then swap. (Delta/Iceberg make this a real
-    atomic commit; for local parquet a directory rename is the best
-    available approximation.)"""
-    tmp = f"{path}__tmp_{uuid_mod.uuid4().hex[:8]}"
+    """Rename-based commit protocol: write a fresh IMMUTABLE version
+    directory under the table path, then atomically repoint the
+    ``_CURRENT`` pointer file at it (``os.replace`` of a fsynced temp
+    file — readers observe the old committed version or the new one,
+    never a partial state).
+
+    This replaces the earlier double-rename directory swap, which had
+    two single-host races the pointer protocol closes: (1) a moment
+    with NO directory at ``path`` between the two renames, and (2) the
+    old directory was rmtree'd immediately, so a reader mid-scan of the
+    old files crashed. Here a committed version dir is never mutated,
+    and the PREVIOUS version is retained through the next commit (one
+    full generation of grace for in-flight readers) before pruning.
+
+    Multi-host honesty: ``os.replace`` is atomic on POSIX filesystems
+    (including NFSv4 renames within a directory), so cross-host READERS
+    are safe; concurrent cross-host WRITERS still need the flock (per
+    kernel) or a real transaction log (Delta/Iceberg — the documented
+    deployment mapping) to avoid lost read-merge-write updates. Same
+    contract the reference delegates to its database transaction
+    (src/storage/sqlite/storage.rs:69-77)."""
+    os.makedirs(path, exist_ok=True)
+    version = _next_version(path)
     writer = df.write.mode("overwrite")
     if partition_by:
         writer = writer.partitionBy(partition_by)
-    writer.parquet(tmp)
-    old = f"{path}__old_{uuid_mod.uuid4().hex[:8]}"
-    if os.path.exists(path):
-        os.rename(path, old)
-    os.rename(tmp, path)
-    if os.path.exists(old):
-        shutil.rmtree(old)
+    writer.parquet(os.path.join(path, version))
+    tmp = os.path.join(path, f".ptr_{uuid_mod.uuid4().hex[:8]}")
+    with open(tmp, "w") as f:
+        f.write(version)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, os.path.join(path, CURRENT_PTR))
+    _prune_versions(path)

@@ -41,7 +41,10 @@ def test_publish_and_read(spark, tmp_path):
 def test_month_partitioning_and_pruning(spark, tmp_path):
     lake = SensorLake(spark, str(tmp_path / "lake"))
     lake.publish(make_batch(spark, [("u1", T0, 1.0), ("u1", T1, 2.0)]))
-    root = str(tmp_path / "lake" / "float_values")
+    from sensapp_spark.storage.lake import resolve_table
+
+    # Month dirs live inside the committed version dir (pointer layout).
+    root = resolve_table(str(tmp_path / "lake" / "float_values"))
     assert sorted(d for d in os.listdir(root) if d.startswith("month=")) == [
         "month=2024-01", "month=2024-02"]
     pruned = lake.values(SensorType.FLOAT, start=dt.datetime(2024, 2, 1))
@@ -75,7 +78,12 @@ def test_optimize_compacts_and_sorts(spark, tmp_path):
         lake.publish(make_batch(
             spark, [("u1", T0 + dt.timedelta(minutes=i), float(i))]))
     lake.optimize(SensorType.FLOAT)
-    root = str(tmp_path / "lake" / "float_values" / "month=2024-01")
+    from sensapp_spark.storage.lake import resolve_table
+
+    root = os.path.join(
+        resolve_table(str(tmp_path / "lake" / "float_values")),
+        "month=2024-01",
+    )
     files = [f for f in os.listdir(root) if f.endswith(".parquet")]
     assert len(files) == 1
     assert lake.values(SensorType.FLOAT).count() == 3
