@@ -1300,6 +1300,10 @@ BENCH_MEMBERS: dict[str, dict] = {
     "downsample_m4": {
         t: _scoped_main("downsample_m4", t) for t in ("m4", "lttb")
     },
+    "promql_ext_binary_ratio": {
+        t: _scoped_main("promql_ext_binary_ratio", t)
+        for t in ("ratio", "group_left", "group_right")
+    },
     "sample_split": {
         "split_assign": _split_member,
         "stratified_sample": _strat_member,

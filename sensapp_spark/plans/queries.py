@@ -751,7 +751,7 @@ def promql_ext_instant(spark: SparkSession, sf_dir: str) -> DataFrame:
     _PRELUDE
     + """
     , rates AS (
-        SELECT v.sensor_id, s.name,
+        SELECT v.sensor_id, s.name, s.region_label,
                CASE WHEN s.region_label IS NULL
                     THEN 'user="' || s.user_label || '"'
                     ELSE 'region="' || s.region_label
@@ -763,31 +763,76 @@ def promql_ext_instant(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE v.time >= TIMESTAMP '2024-01-01'
           AND v.time <= TIMESTAMP '2024-02-01'
           AND s.name IN ('click', 'view')
-        GROUP BY 1, 2, 3
-        HAVING epoch_us(MAX(v.time)) > epoch_us(MIN(v.time)))
-    SELECT l.labels, ROUND(l.value / r.value, 6) AS value
+        GROUP BY 1, 2, 3, 4
+        HAVING epoch_us(MAX(v.time)) > epoch_us(MIN(v.time))),
+    region_sum AS (
+        SELECT COALESCE(region_label, '') AS rk, SUM(value) AS value
+        FROM rates WHERE name = 'view' GROUP BY 1)
+    SELECT 'ratio' AS scope, l.labels,
+           ROUND(l.value / r.value, 6) + 0 AS value
     FROM (SELECT * FROM rates WHERE name = 'click') l
     JOIN (SELECT * FROM rates WHERE name = 'view') r USING (labels)
+    UNION ALL
+    SELECT 'group_left', m.labels, ROUND(m.value / g.value, 6) + 0
+    FROM (SELECT * FROM rates WHERE name = 'click') m
+    JOIN region_sum g ON COALESCE(m.region_label, '') = g.rk
+    UNION ALL
+    SELECT 'group_right', m.labels, ROUND(g.value * m.value, 6) + 0
+    FROM (SELECT * FROM rates WHERE name = 'click') m
+    JOIN region_sum g ON COALESCE(m.region_label, '') = g.rk
     """,
 )
 def promql_ext_binary_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Beyond-reference: binary operation with one-to-one vector
-    matching — ``rate(click[31d]) / rate(view[31d])`` pairs each user's
-    click series with their view series on the full label set (metric
-    name excluded, Prometheus semantics). Both operands are per-series
-    aggregates, so the equality join is dimension-sized."""
+    """Beyond-reference: binary vector matching family as one tagged
+    union —
+
+    * ``ratio`` — one-to-one: ``rate(click[31d]) / rate(view[31d])``
+      pairs each user's click series with their view series on the
+      full label set (metric name excluded, Prometheus semantics);
+    * ``group_left`` — MANY-TO-ONE: ``rate(click[31d]) / on (region)
+      group_left sum by (region) (rate(view[31d]))`` joins every
+      user's click rate against their region's single view-rate sum
+      (absent region ⇒ empty-value match group, Prometheus);
+    * ``group_right`` — the mirrored direction: ``sum by (region)
+      (rate(view[31d])) * on (region) group_right rate(click[31d])``.
+
+    All operands are per-series (or per-group) aggregates, so every
+    equality join is dimension-sized and AQE broadcasts the one side."""
     from sensapp_spark.query.promql_ext import (
         evaluate_binary,
         parse_extended_expr,
     )
 
-    bq = parse_extended_expr(
-        "rate(click[31d]) / rate(view[31d])", now=dt.datetime(2024, 2, 1)
-    )
-    out = evaluate_binary(
-        td.events_sensors(spark, sf_dir), td.events_values(spark, sf_dir), bq
-    )
-    return out.select("labels", F.round("value", 6).alias("value"))
+    sensors = td.events_sensors(spark, sf_dir)
+    vals = td.events_values(spark, sf_dir)
+    now = dt.datetime(2024, 2, 1)
+    cases = [
+        ("ratio", "rate(click[31d]) / rate(view[31d])"),
+        (
+            "group_left",
+            "rate(click[31d]) / on (region) group_left "
+            "sum by (region) (rate(view[31d]))",
+        ),
+        (
+            "group_right",
+            "sum by (region) (rate(view[31d])) * on (region) "
+            "group_right rate(click[31d])",
+        ),
+    ]
+    parts = [
+        (
+            tag,
+            evaluate_binary(sensors, vals, parse_extended_expr(expr, now=now))
+            # + 0.0 canonicalizes IEEE -0.0 to 0.0 (a rounded product
+            # can be negative zero, which %.6g renders as "-0" on one
+            # engine and "0" on the other).
+            .select(
+                "labels", (F.round("value", 6) + F.lit(0.0)).alias("value")
+            ),
+        )
+        for tag, expr in cases
+    ]
+    return _union_tagged(parts, "scope")
 
 
 _GEO_DLAT = 2000.0 / 111.0  # within_radius' bbox half-height, degrees

@@ -118,7 +118,13 @@ class BinaryQuery:
 
     ``op`` is arithmetic (``+ - * /``), comparison (``> < >= <= ==
     !=``, optionally with the ``bool`` modifier), or a set operation
-    (``and or unless``)."""
+    (``and or unless``).
+
+    ``group_mode`` enables Prometheus MANY-TO-ONE matching
+    (``group_left``: the left operand is the "many" side;
+    ``group_right`` mirrors). Requires an explicit ``on``/``ignoring``
+    clause (as in Prometheus). ``group_labels`` are the one-side labels
+    copied onto each result series (``group_left(lbl, …)``)."""
 
     op: str
     left: "ExtendedQuery | float"
@@ -126,6 +132,8 @@ class BinaryQuery:
     on: list[str] = field(default_factory=list)
     ignoring: list[str] = field(default_factory=list)
     bool_mode: bool = False
+    group_mode: str | None = None
+    group_labels: list[str] = field(default_factory=list)
 
 
 def _strip_parens(s: str) -> tuple[str, str]:
@@ -573,6 +581,20 @@ def parse_extended_expr(
             bool_mode = True
             rest = rest[m.end():].lstrip()
     mode, labels, rest = _parse_matching(rest)
+    gmode, glabels, rest = _parse_group(rest)
+    if gmode is not None and mode is None:
+        raise PromQLError(
+            "binary",
+            f"group_{gmode} requires an explicit matching clause: write "
+            f"'on (…)' or 'ignoring (…)' before group_{gmode} so the "
+            "many-to-one match group is named.",
+        )
+    if gmode is not None and op in _SET_OPS:
+        raise PromQLError(
+            "binary",
+            f"group_{gmode} cannot be used with set operations "
+            f"('{op}'): set operations match whole series, not groups.",
+        )
     right_text = rest.strip()
     if not left_text or not right_text:
         raise PromQLError(
@@ -601,6 +623,14 @@ def parse_extended_expr(
             f"'{op}' is a set operation between two instant vectors; "
             "scalars have no label sets to match on.",
         )
+    if gmode is not None and (
+        isinstance(left, float) or isinstance(right, float)
+    ):
+        raise PromQLError(
+            "binary",
+            f"group_{gmode} is many-to-one VECTOR matching; a scalar "
+            "operand has no series to group.",
+        )
     return BinaryQuery(
         op=op,
         left=left,
@@ -608,7 +638,33 @@ def parse_extended_expr(
         on=labels if mode == "on" else [],
         ignoring=labels if mode == "ignoring" else [],
         bool_mode=bool_mode,
+        group_mode=gmode,
+        group_labels=glabels,
     )
+
+
+def _parse_group(rest: str) -> tuple[str | None, list[str], str]:
+    """Parse an optional ``group_left``/``group_right`` modifier with its
+    optional copied-label list (``group_left(lbl, …)``)."""
+    stripped = rest.lstrip()
+    for kw in ("group_left", "group_right"):
+        if stripped.startswith(kw) and not _NAME_RE.match(
+            stripped[len(kw):] or " "
+        ):
+            after = stripped[len(kw):].lstrip()
+            labels: list[str] = []
+            if after.startswith("("):
+                inner, after = _strip_parens(after)
+                labels = [x.strip() for x in inner.split(",") if x.strip()]
+                for lbl in labels:
+                    if not _NAME_RE.fullmatch(lbl):
+                        raise PromQLError(
+                            "parse",
+                            "Failed to parse PromQL query: bad label "
+                            f"'{lbl}'",
+                        )
+            return kw[len("group_"):], labels, after
+    return None, [], rest
 
 
 def _parse_matching(rest: str) -> tuple[str | None, list[str], str]:
@@ -740,14 +796,15 @@ def _apply_label_ops(df: DataFrame, ops: list[tuple[str, tuple]]) -> DataFrame:
     return df
 
 
-def _labels_without(without: list[str]):
+def _labels_without(without: list[str], labels_col: F.Column | None = None):
     """Canonical string of the label set minus ``without`` keys (and the
     metric name, which Prometheus aggregation always drops): sorted
     ``k="v"`` pairs — group-by key usable on both Spark and any SQL
     oracle, since Spark cannot group by a MAP column."""
     drop = list(without)
     remaining = F.map_filter(
-        F.col("labels"), lambda k, _: ~k.isin(drop) if drop else F.lit(True)
+        labels_col if labels_col is not None else F.col("labels"),
+        lambda k, _: ~k.isin(drop) if drop else F.lit(True),
     )
     return F.array_join(
         F.array_sort(
@@ -1180,6 +1237,9 @@ def evaluate_binary(
             return out.filter(res).select(*cols, "value")
         return out.select(*cols, res.alias("value"))
 
+    if bq.group_mode is not None:
+        return _evaluate_group_binary(sensors, values, bq, apply)
+
     for side_eq in (bq.left, bq.right):
         if side_eq.agg not in (None, "topk", "bottomk"):
             raise PromQLError(
@@ -1206,3 +1266,125 @@ def evaluate_binary(
     return joined.select(
         "labels", apply(F.col("__lv"), F.col("__rv")).alias("value")
     )
+
+
+def _evaluate_group_binary(
+    sensors: DataFrame, values: DataFrame, bq: BinaryQuery, apply
+) -> DataFrame:
+    """Many-to-one vector matching (``group_left``/``group_right``) —
+    the real-dashboard join the one-to-one path can't express: each
+    "many"-side series joins its match group's single "one"-side series
+    on the ``on``/``ignoring`` key.
+
+    Two "one"-side shapes are accepted:
+
+    * a series vector (the Prometheus info-metric pattern) — optionally
+      with ``group_left(lbl, …)`` copying one-side labels onto the
+      result (one-side value wins a key collision); like the
+      one-to-one path, DUPLICATE one-side keys are documented as
+      undefined rather than paying a runtime uniqueness check;
+    * an aggregation ``by`` EXACTLY the ``on`` labels (``m / on (k)
+      group_left sum by (k) (n)``) — unique per group by construction.
+
+    Output rows carry the MANY side's full label set (canonical
+    string, metric name dropped, copied labels merged in) — Prometheus'
+    many-to-one output shape. Plan: both operands are series-sized
+    instant vectors, so the equality join is dimension-sized and AQE
+    broadcasts the smaller ("one") side; nothing here touches the
+    sample-grain frame."""
+    many_eq = bq.left if bq.group_mode == "left" else bq.right
+    one_eq = bq.right if bq.group_mode == "left" else bq.left
+    if many_eq.agg not in (None, "topk", "bottomk"):
+        raise PromQLError(
+            "binary",
+            f'the group_{bq.group_mode} "many" side must be a series '
+            "vector; aggregate the RESULT instead.",
+        )
+    one_aggregated = one_eq.agg not in (None, "topk", "bottomk")
+    if one_aggregated:
+        if bq.ignoring:
+            raise PromQLError(
+                "binary",
+                'an aggregated "one" side needs \'on (…)\' matching: '
+                "its only labels are its 'by' keys, so 'ignoring' "
+                "cannot address them.",
+            )
+        if one_eq.without or sorted(one_eq.by) != sorted(bq.on):
+            raise PromQLError(
+                "binary",
+                'an aggregated "one" side must group by EXACTLY the '
+                "'on (…)' labels — that is what makes every match "
+                "group single-series.",
+            )
+        if bq.group_labels:
+            raise PromQLError(
+                "binary",
+                f"group_{bq.group_mode}({', '.join(bq.group_labels)}) "
+                'copies labels from the "one" side, but an aggregation '
+                "keeps only its 'by' keys — nothing extra to copy.",
+            )
+    many = evaluate_extended(sensors, values, many_eq)
+    one = evaluate_extended(sensors, values, one_eq)
+    key = _matching_key(bq.on, bq.ignoring)
+    mk = many.withColumn("__k", key)
+    if one_aggregated:
+        # The aggregated frame's columns ARE its by-keys; rebuild the
+        # same canonical key string the many side computes, with NULL
+        # (absent-label group) canonicalized to "" — Prometheus' empty
+        # label value, so absent-label series still match their group.
+        parts = [
+            F.concat(
+                F.lit(f'{k}="'),
+                F.coalesce(F.col(k), F.lit("")),
+                F.lit('"'),
+            )
+            for k in sorted(bq.on)
+        ]
+        ok = one.select(
+            F.concat_ws(",", *parts).alias("__k"),
+            F.col("value").alias("__ov"),
+        )
+    else:
+        sel = [key.alias("__k"), F.col("value").alias("__ov")]
+        if bq.group_labels:
+            sel.append(F.col("labels").alias("__ol"))
+        ok = one.select(*sel)
+    joined = mk.join(ok, "__k")
+    if bq.group_labels:
+        # An absent one-side label is REMOVED from the result (empty
+        # label value ≡ no label, Prometheus), hence the null filter
+        # rather than a coalesce-to-"".
+        extras = F.map_filter(
+            F.map_from_arrays(
+                F.array(*[F.lit(lbl) for lbl in bq.group_labels]),
+                F.array(
+                    *[
+                        F.element_at(F.col("__ol"), lbl)
+                        for lbl in bq.group_labels
+                    ]
+                ),
+            ),
+            lambda _, v: v.isNotNull(),
+        )
+        merged = F.map_concat(
+            F.map_filter(
+                F.col("labels"),
+                lambda k, _: ~k.isin(list(bq.group_labels)),
+            ),
+            extras,
+        )
+    else:
+        merged = F.col("labels")
+    out_labels = _labels_without([], merged).alias("labels")
+    lv = F.col("value") if bq.group_mode == "left" else F.col("__ov")
+    rv = F.col("__ov") if bq.group_mode == "left" else F.col("value")
+    if bq.op in _CMP_OPS:
+        cond = apply(lv, rv)
+        if bq.bool_mode:
+            return joined.select(
+                out_labels, cond.cast("double").alias("value")
+            )
+        # Filtering comparison: keep the LEFT operand's value
+        # (Prometheus), labels from the many side as always.
+        return joined.filter(cond).select(out_labels, lv.alias("value"))
+    return joined.select(out_labels, apply(lv, rv).alias("value"))
