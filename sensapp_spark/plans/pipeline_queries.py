@@ -1304,6 +1304,10 @@ BENCH_MEMBERS: dict[str, dict] = {
         t: _scoped_main("promql_ext_binary_ratio", t)
         for t in ("ratio", "group_left", "group_right")
     },
+    "value_histogram": {
+        t: _scoped_main("value_histogram", t)
+        for t in ("hist", "quantile", "prom_le")
+    },
     "sample_split": {
         "split_assign": _split_member,
         "stratified_sample": _strat_member,

@@ -900,12 +900,48 @@ def geo_within_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
                    PARTITION BY name, phi ORDER BY bucket) AS rn
         FROM cum CROSS JOIN (SELECT unnest([0.5, 0.9, 0.99]) AS phi)
         WHERE c >= phi * total)
+    , click_cum AS (
+        SELECT s.user_label AS u,
+               COUNT(*) FILTER (WHERE v.value <= -0.5) AS c0,
+               COUNT(*) FILTER (WHERE v.value <= 0.0) AS c1,
+               COUNT(*) FILTER (WHERE v.value <= 0.5) AS c2,
+               COUNT(*) AS c3
+        FROM vals v JOIN sensors s USING (sensor_id)
+        WHERE s.name = 'click'
+        GROUP BY 1),
+    click_buckets AS (
+        SELECT u, -0.5 AS le, c0 AS cum FROM click_cum
+        UNION ALL SELECT u, 0.0, c1 FROM click_cum
+        UNION ALL SELECT u, 0.5, c2 FROM click_cum
+        UNION ALL SELECT u, CAST('inf' AS DOUBLE), c3 FROM click_cum),
+    hq AS (
+        SELECT u, phi, le, cum,
+               LAG(le) OVER (PARTITION BY u, phi ORDER BY le) AS ple,
+               LAG(cum) OVER (PARTITION BY u, phi ORDER BY le) AS pcum,
+               MAX(cum) OVER (PARTITION BY u, phi) AS total
+        FROM click_buckets
+        CROSS JOIN (SELECT unnest([0.5, 0.9]) AS phi)),
+    hsel AS (
+        SELECT *, ROW_NUMBER() OVER (
+                   PARTITION BY u, phi ORDER BY le) AS hrn
+        FROM hq WHERE cum >= phi * total)
     SELECT 'hist' AS scope, name, bucket, n, CAST(NULL AS DOUBLE) AS value
     FROM hist
     UNION ALL
     SELECT 'quantile', name, phi, CAST(total AS BIGINT),
            ROUND(bucket + 10.0 * (rnk - (c - n)) / n, 6)
     FROM ranked WHERE rn = 1
+    UNION ALL
+    SELECT 'prom_le', 'user="' || u || '"', phi, CAST(NULL AS BIGINT),
+           ROUND(CASE
+             WHEN isinf(le) THEN ple
+             WHEN pcum IS NULL AND le <= 0 THEN le
+             ELSE (CASE WHEN pcum IS NULL THEN 0 ELSE ple END)
+                  + (le - CASE WHEN pcum IS NULL THEN 0 ELSE ple END)
+                    * (phi * total - COALESCE(pcum, 0))
+                    / (cum - COALESCE(pcum, 0))
+           END, 6) + 0
+    FROM hsel WHERE hrn = 1
     """,
 )
 def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -922,6 +958,12 @@ def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
       n_bucket). Everything downstream of the histogram is keys×buckets
       -sized — the quantile costs no second pass over the samples,
       which is the whole point of histogram quantiles at scale.
+    * ``prom_le`` — the Prometheus-NATIVE form: cumulative
+      ``_bucket``-series keyed by the ``le`` label (built here per
+      click user, thresholds {-0.5, 0, 0.5, +Inf}), quantiled through
+      the real ``histogram_quantile(φ, click_bucket)`` promql_ext
+      path (monotonicity repair + within-bucket interpolation + the
+      +Inf/first-bucket edge rules of prometheus promql/quantile.go).
     """
     sensors = td.events_sensors(spark, sf_dir)
     vals = td.events_values(spark, sf_dir)
@@ -967,7 +1009,83 @@ def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("hist").alias("scope"), "name", "bucket", "n",
         F.lit(None).cast("double").alias("value"),
     )
-    return h.unionByName(quantile)
+
+    # prom_le arm: derive cumulative le-bucket SERIES (the wire shape a
+    # Prometheus client exposes) from the click samples, then quantile
+    # them through the real histogram_quantile evaluation path.
+    from sensapp_spark.query.promql_ext import (
+        evaluate_extended,
+        parse_extended,
+    )
+
+    user = F.element_at(F.col("labels"), F.lit("user"))
+    click = vals.join(
+        F.broadcast(
+            sensors.filter(F.col("name") == "click")
+            .select("sensor_id", "labels")
+        ),
+        "sensor_id",
+    )
+    per_user = click.groupBy(user.alias("user")).agg(
+        F.count(F.when(F.col("value") <= -0.5, 1)).alias("c0"),
+        F.count(F.when(F.col("value") <= 0.0, 1)).alias("c1"),
+        F.count(F.when(F.col("value") <= 0.5, 1)).alias("c2"),
+        F.count("*").alias("c3"),
+    )
+    stacked = per_user.select(
+        "user",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(le).alias("le"),
+                        F.col(c).cast("double").alias("v"),
+                    )
+                    for le, c in (
+                        ("-0.5", "c0"), ("0", "c1"),
+                        ("0.5", "c2"), ("+Inf", "c3"),
+                    )
+                ]
+            )
+        ).alias("b"),
+    )
+    bucket_sid = F.concat_ws(
+        "/", F.lit("click_bucket"), "user", F.col("b.le")
+    ).alias("sensor_id")
+    bsensors = stacked.select(
+        bucket_sid,
+        F.lit("click_bucket").alias("name"),
+        F.lit("Float").alias("type"),
+        F.lit(None).cast("string").alias("unit"),
+        F.lit(None).cast("string").alias("unit_description"),
+        F.create_map(
+            F.lit("user"), F.col("user"), F.lit("le"), F.col("b.le")
+        ).alias("labels"),
+    )
+    bvals = stacked.select(
+        bucket_sid,
+        F.lit(dt.datetime(2024, 1, 31, 23, 30)).cast("timestamp").alias(
+            "time"
+        ),
+        F.col("b.v").alias("value"),
+        F.lit(0).cast("long").alias("event_id"),
+    )
+    now = dt.datetime(2024, 2, 1)
+    prom = [
+        evaluate_extended(
+            bsensors, bvals,
+            parse_extended(f"histogram_quantile({phi}, click_bucket)",
+                           now=now),
+        ).select(
+            F.lit("prom_le").alias("scope"),
+            F.col("labels").alias("name"),
+            F.lit(phi).alias("bucket"),
+            F.lit(None).cast("long").alias("n"),
+            (F.round("value", 6) + F.lit(0.0)).alias("value"),
+        )
+        for phi in (0.5, 0.9)
+    ]
+    return h.unionByName(quantile).unionByName(prom[0]).unionByName(prom[1])
 
 
 @register(

@@ -107,6 +107,8 @@ class ExtendedQuery:
     # Label rewrites, innermost first: ("label_replace", (dst, repl,
     # src, regex)) / ("label_join", (dst, sep, src1, src2, …)).
     label_ops: list[tuple[str, tuple]] = field(default_factory=list)
+    # histogram_quantile(φ, …) wrapping this vector: the φ, or None.
+    hist_quantile: float | None = None
 
 
 @dataclass
@@ -437,6 +439,44 @@ def parse_extended(query: str, now: dt.datetime | None = None) -> ExtendedQuery:
             label_ops=sub.label_ops,
             series_post=sub.post,
         )
+
+    if head == "histogram_quantile" and rest.startswith("("):
+        inner, trailing = _strip_parens(rest)
+        if trailing.strip():
+            raise PromQLError(
+                "parse",
+                f"Unexpected trailing content in query: '{trailing.strip()}'",
+            )
+        # φ may be any scalar, including negative (→ -Inf) — a signed
+        # variant of _PARAM_RE rather than the shared unsigned one.
+        mphi = re.match(
+            r"\s*([+-]?[0-9]+(?:\.[0-9]+)?(?:[eE][+-]?[0-9]+)?)\s*,", inner
+        )
+        if not mphi:
+            raise PromQLError(
+                "call",
+                "histogram_quantile() requires a scalar first argument "
+                "— e.g. histogram_quantile(0.9, metric_bucket).",
+            )
+        param = float(mphi.group(1))
+        inner = inner[mphi.end():]
+        sub = parse_extended(inner, now)
+        if sub.hist_quantile is not None:
+            raise PromQLError(
+                "call",
+                "histogram_quantile() cannot nest inside itself — the "
+                "inner result is a quantile, not a bucket vector.",
+            )
+        if sub.agg is not None:
+            if sub.agg not in _AGG_FNS or sub.without or "le" not in sub.by:
+                raise PromQLError(
+                    "call",
+                    "an aggregation inside histogram_quantile() must "
+                    "keep the le label — e.g. histogram_quantile(0.9, "
+                    "sum by (le, instance) (rate(m_bucket[5m]))).",
+                )
+        sub.hist_quantile = param
+        return sub
 
     if head in RANGE_FUNCS and rest.startswith("("):
         inner, trailing = _strip_parens(rest)
@@ -945,6 +985,17 @@ def evaluate_extended(
 ) -> DataFrame:
     """Evaluate to an instant vector: ``(sensor_id, name, labels, value)``
     — or, aggregated, one row per ``by``-group: ``(*by, value)``."""
+    if eq.hist_quantile is not None:
+        import dataclasses
+
+        vec = evaluate_extended(
+            sensors, values, dataclasses.replace(eq, hist_quantile=None)
+        )
+        return _histogram_le_quantile(
+            vec,
+            eq.hist_quantile,
+            by=(eq.by if eq.agg is not None else None),
+        )
     q = eq.selector
     selected = select_sensors(sensors, q.matchers)
     scan = values.join(F.broadcast(selected.select("sensor_id")), "sensor_id",
@@ -1018,6 +1069,91 @@ def evaluate_extended(
         ]
         grouped = out.groupBy(*keys) if keys else out.groupBy()
     return _apply_post(grouped.agg(agg_col.alias("value")), eq.post)
+
+
+def _histogram_le_quantile(
+    vec: DataFrame, phi: float, by: list[str] | None
+) -> DataFrame:
+    """Prometheus-native ``histogram_quantile`` over cumulative
+    ``le``-bucket series (prometheus/prometheus promql/quantile.go
+    bucketQuantile): group the instant vector by its label set minus
+    ``le``, repair non-monotone counts with a running max, then
+    linear-interpolate within the bucket holding rank ``φ·total``.
+
+    Prometheus edge semantics reproduced: φ<0 → -Inf, φ>1 → +Inf; a
+    group with no ``+Inf`` bucket (or only that bucket) → NaN; rank in
+    the ``+Inf`` bucket → the highest finite ``le``; rank in a first
+    bucket whose upper bound ≤ 0 → that bound (else the lower edge is
+    0).
+
+    ``by`` None means the input is a series vector (labels map, the
+    ``le`` label extracted and dropped from the output key); otherwise
+    the input is ``sum by (le, …)`` output and the group is the
+    remaining by-keys. Every window here partitions the SERIES frame
+    (one row per bucket series) — dimension-sized, so the sort-within-
+    group work is trivial at any corpus scale."""
+    inf = float("inf")
+    if by is None:
+        le_str = F.element_at(F.col("labels"), "le")
+        group = [_labels_without(["le"]).alias("labels")]
+        group_names = ["labels"]
+    else:
+        le_str = F.col("le")
+        group_names = [k for k in by if k != "le"]
+        group = [F.col(k) for k in group_names]
+
+    if phi != phi or phi < 0 or phi > 1:  # NaN / out-of-range φ
+        edge = float("nan") if phi != phi else (-inf if phi < 0 else inf)
+        return (
+            vec.select(*group)
+            .distinct()
+            .select(*group_names, F.lit(edge).alias("value"))
+        )
+
+    le_d = F.when(le_str == "+Inf", F.lit(inf)).otherwise(
+        le_str.cast("double")
+    )
+    staged = vec.select(*group, le_d.alias("__le"), F.col("value"))
+    w_ord = Window.partitionBy(*group_names).orderBy("__le")
+    w_all = Window.partitionBy(*group_names)
+    cum = F.max("value").over(
+        w_ord.rowsBetween(Window.unboundedPreceding, 0)
+    )
+    staged = staged.select(*group_names, "__le", cum.alias("__cum"))
+    staged = staged.select(
+        *group_names,
+        "__le",
+        "__cum",
+        F.max("__cum").over(w_all).alias("__total"),
+        F.max((F.col("__le") == inf).cast("int")).over(w_all).alias(
+            "__has_inf"
+        ),
+        F.lag("__le").over(w_ord).alias("__ple"),
+        F.lag("__cum").over(w_ord).alias("__pcum"),
+    )
+    rank = F.lit(phi) * F.col("__total")
+    chosen = (
+        staged.filter(F.col("__cum") >= rank)
+        .withColumn("__rn", F.row_number().over(w_ord))
+        .filter(F.col("__rn") == 1)
+    )
+    start = F.when(F.col("__pcum").isNull(), F.lit(0.0)).otherwise(
+        F.col("__ple")
+    )
+    rank_adj = rank - F.coalesce(F.col("__pcum"), F.lit(0.0))
+    count = F.col("__cum") - F.coalesce(F.col("__pcum"), F.lit(0.0))
+    value = (
+        F.when(F.col("__has_inf") == 0, F.lit(float("nan")))
+        .when(
+            F.col("__le") == inf,
+            F.coalesce(F.col("__ple"), F.lit(float("nan"))),
+        )
+        .when(
+            F.col("__pcum").isNull() & (F.col("__le") <= 0), F.col("__le")
+        )
+        .otherwise(start + (F.col("__le") - start) * rank_adj / count)
+    )
+    return chosen.select(*group_names, value.alias("value"))
 
 
 def evaluate_range(

@@ -1,0 +1,121 @@
+"""Prometheus-native ``histogram_quantile`` over cumulative
+``le``-bucket series — edge semantics pinned on hand-built frames
+(the DuckDB oracle covers the registry arm; these cover the
+prometheus promql/quantile.go bucketQuantile rules: monotonicity
+repair, +Inf bucket, first-bucket ≤0, φ out of range, missing +Inf).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+
+import pytest
+
+from sensapp_spark.query.promql_ext import (
+    PromQLError,
+    evaluate_extended,
+    parse_extended,
+)
+
+T0 = dt.datetime(2024, 1, 1)
+NOW = T0 + dt.timedelta(minutes=30)
+
+# (sensor_id, labels, cumulative count) — one instant sample each.
+SERIES = [
+    # well-formed histogram: p50 interpolates inside (0.1, 0.5]
+    ("b/i1/0.1", {"instance": "i1", "le": "0.1"}, 10.0),
+    ("b/i1/0.5", {"instance": "i1", "le": "0.5"}, 60.0),
+    ("b/i1/1", {"instance": "i1", "le": "1"}, 90.0),
+    ("b/i1/inf", {"instance": "i1", "le": "+Inf"}, 100.0),
+    # non-monotone dip (scrape race) — repaired by running max
+    ("b/i2/0.1", {"instance": "i2", "le": "0.1"}, 20.0),
+    ("b/i2/0.5", {"instance": "i2", "le": "0.5"}, 15.0),
+    ("b/i2/1", {"instance": "i2", "le": "1"}, 95.0),
+    ("b/i2/inf", {"instance": "i2", "le": "+Inf"}, 100.0),
+    # no +Inf bucket → NaN
+    ("b/i3/1", {"instance": "i3", "le": "1"}, 50.0),
+    # negative first bucket: rank inside it returns its upper bound
+    ("b/i4/-1", {"instance": "i4", "le": "-1"}, 80.0),
+    ("b/i4/0", {"instance": "i4", "le": "0"}, 90.0),
+    ("b/i4/inf", {"instance": "i4", "le": "+Inf"}, 100.0),
+]
+
+
+@pytest.fixture(scope="module")
+def frames(spark):
+    sensors = spark.createDataFrame(
+        [(s, "b", "Float", None, None, lbl) for s, lbl, _ in SERIES],
+        "sensor_id string, name string, type string, unit string, "
+        "unit_description string, labels map<string,string>",
+    )
+    vals = spark.createDataFrame(
+        [(s, T0, v, i) for i, (s, _, v) in enumerate(SERIES)],
+        "sensor_id string, time timestamp, value double, event_id long",
+    )
+    return sensors, vals
+
+
+def _run(frames, expr):
+    sensors, vals = frames
+    out = evaluate_extended(
+        sensors, vals, parse_extended(expr, now=NOW)
+    )
+    return {tuple(r)[0]: r.value for r in out.collect()}
+
+
+def test_interpolation_and_repair(frames):
+    got = _run(frames, "histogram_quantile(0.5, b)")
+    # i1: rank 50 in (0.1, 0.5]: 0.1 + 0.4·(50-10)/50 = 0.42
+    assert got['instance="i1"'] == pytest.approx(0.42)
+    # i2 after repair (20,20,95,100): 0.5 + 0.5·(50-20)/75 = 0.7
+    assert got['instance="i2"'] == pytest.approx(0.7)
+    assert math.isnan(got['instance="i3"'])
+    # i4: rank 50 in first bucket, le=-1 ≤ 0 → its upper bound
+    assert got['instance="i4"'] == -1.0
+
+
+def test_rank_in_inf_bucket_returns_highest_finite_le(frames):
+    got = _run(frames, "histogram_quantile(0.99, b)")
+    assert got['instance="i1"'] == 1.0
+    assert got['instance="i2"'] == 1.0
+
+
+def test_first_positive_bucket_interpolates_from_zero(frames):
+    got = _run(frames, "histogram_quantile(0.05, b)")
+    # i1: rank 5 in (0, 0.1]: 0 + 0.1·5/10 = 0.05
+    assert got['instance="i1"'] == pytest.approx(0.05)
+
+
+def test_aggregated_by_le_shape(frames):
+    got = _run(
+        frames, "histogram_quantile(0.5, sum by (le, instance) (b))"
+    )
+    assert got["i1"] == pytest.approx(0.42)
+
+
+def test_phi_out_of_range(frames):
+    lo = _run(frames, "histogram_quantile(-1, b)")
+    hi = _run(frames, "histogram_quantile(1.5, b)")
+    assert lo['instance="i1"'] == float("-inf")
+    assert hi['instance="i1"'] == float("inf")
+
+
+@pytest.mark.parametrize(
+    "expr, fragment",
+    [
+        (
+            "histogram_quantile(0.5, histogram_quantile(0.5, b))",
+            "cannot nest",
+        ),
+        (
+            "histogram_quantile(0.5, sum by (instance) (b))",
+            "must keep the le label",
+        ),
+        ("histogram_quantile(b)", "scalar first argument"),
+    ],
+)
+def test_rejections(frames, expr, fragment):
+    with pytest.raises(PromQLError) as exc:
+        parse_extended(expr, now=NOW)
+    assert fragment in str(exc.value)
