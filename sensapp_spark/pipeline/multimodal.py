@@ -299,10 +299,12 @@ def decode_png_pixels(payload: bytes) -> tuple[int, int, int, bytes]:
 def decode_bmp_pixels(payload: bytes) -> tuple[int, int, int, bytes]:
     """REAL BMP decode: honors the pixel-data offset, 4-byte row
     padding, bottom-up vs top-down row order, and both DIB header
-    flavors. Supports uncompressed 24-bit, 8-bit palette, and RLE8
-    (run-length + absolute/delta/EOL escapes per the public BMP spec).
-    Returns ``(width, height, 3, pixels)`` with pixels row-major
-    top-down in RGB order (BMP stores BGR)."""
+    flavors. Spec-complete for the raster formats: uncompressed 24-bit,
+    palette at 1/4/8 bpp, RLE8 and RLE4 (run-length +
+    absolute/delta/EOL escapes), and 16/32-bpp direct color with
+    default (X1R5G5B5 / XRGB8888) or explicit BI_BITFIELDS channel
+    masks. Returns ``(width, height, 3, pixels)`` with pixels
+    row-major top-down in RGB order (BMP stores BGR)."""
     if payload[:2] != b"BM":
         raise ValueError("not a BMP")
     data_off = struct.unpack("<I", payload[10:14])[0]
@@ -341,21 +343,33 @@ def decode_bmp_pixels(payload: bytes) -> tuple[int, int, int, bytes]:
             rgb[2::3] = line[0::3]
             rows.append(bytes(rgb))
         return w, h, 3, b"".join(rows)
-    if bpp == 8 and compression in (0, 1):
+    if bpp in (1, 4, 8) and compression in (0, 1, 2):
+        if compression == 1 and bpp != 8:
+            raise ValueError("RLE8 compression requires 8-bit pixels")
+        if compression == 2 and bpp != 4:
+            raise ValueError("RLE4 compression requires 4-bit pixels")
         palette = _bmp_palette(payload, hdr_size, clr_used)
         if compression == 0:
-            row_bytes = ((w + 3) // 4) * 4
+            # Rows pad to a 32-BIT boundary at every depth (spec).
+            row_bytes = ((w * bpp + 31) // 32) * 4
             if data_off + h * row_bytes > len(payload):
                 raise ValueError(
                     "BMP pixel data shorter than declared dimensions"
                 )
             idx_rows = [
-                payload[data_off + (r if top_down else h - 1 - r)
-                        * row_bytes :][:w]
+                _bmp_unpack_indices(
+                    payload[data_off + (r if top_down else h - 1 - r)
+                            * row_bytes :][:row_bytes],
+                    w,
+                    bpp,
+                )
                 for r in range(h)
             ]
-        else:  # RLE8 (always bottom-up per the BMP spec)
+        elif compression == 1:  # RLE8 (always bottom-up per the spec)
             idx_rows = _bmp_rle8(payload[data_off:], w, h)
+            idx_rows.reverse()
+        else:  # RLE4 (always bottom-up per the spec)
+            idx_rows = _bmp_rle4(payload[data_off:], w, h)
             idx_rows.reverse()
         out = bytearray(w * h * 3)
         pos = 0
@@ -364,9 +378,66 @@ def decode_bmp_pixels(payload: bytes) -> tuple[int, int, int, bytes]:
                 out[pos : pos + 3] = palette[idx]
                 pos += 3
         return w, h, 3, bytes(out)
+    if bpp in (16, 32) and compression in (0, 3):
+        # Default masks per the spec: 16-bpp is X1R5G5B5, 32-bpp is
+        # XRGB8888; BI_BITFIELDS (3) reads the three channel masks that
+        # follow a 40-byte INFOHEADER — the same file offset (54) where
+        # the V4/V5 headers store their in-header masks, so one read
+        # covers every header flavor.
+        if compression == 3:
+            if len(payload) < 66:
+                raise ValueError("truncated BI_BITFIELDS masks")
+            rm, gm, bm = struct.unpack("<III", payload[54:66])
+            if not (rm and gm and bm):
+                raise ValueError("zero BI_BITFIELDS channel mask")
+        elif bpp == 16:
+            rm, gm, bm = 0x7C00, 0x03E0, 0x001F
+        else:
+            rm, gm, bm = 0x00FF0000, 0x0000FF00, 0x000000FF
+        step = bpp // 8
+        row_bytes = ((w * step + 3) // 4) * 4
+        if data_off + h * row_bytes > len(payload):
+            raise ValueError("BMP pixel data shorter than declared dimensions")
+        shifts = [_bmp_mask_shift(m) for m in (rm, gm, bm)]
+        out = bytearray(w * h * 3)
+        pos = 0
+        for r in range(h):
+            src = r if top_down else (h - 1 - r)
+            line = payload[data_off + src * row_bytes :][: w * step]
+            for x in range(w):
+                pix = int.from_bytes(line[x * step : (x + 1) * step],
+                                     "little")
+                for shift, maxv in shifts:
+                    out[pos] = ((pix >> shift) & maxv) * 255 // maxv
+                    pos += 1
+        return w, h, 3, bytes(out)
     raise NotImplementedError(
         f"unsupported BMP layout (bpp={bpp}, compression={compression})"
     )
+
+
+def _bmp_mask_shift(mask: int) -> tuple[int, int]:
+    """(right shift, channel max) of a contiguous bitfield mask — the
+    channel value scales to 8-bit as ``v * 255 // max``."""
+    shift = (mask & -mask).bit_length() - 1
+    return shift, mask >> shift
+
+
+def _bmp_unpack_indices(line: bytes, w: int, bpp: int) -> bytes:
+    """Unpack one uncompressed palette scanline to ``w`` byte indices:
+    8-bpp as-is; 4-bpp two pixels per byte, HIGH nibble first; 1-bpp
+    eight pixels per byte, MSB first (spec bit order)."""
+    if bpp == 8:
+        return line[:w]
+    out = bytearray(w)
+    if bpp == 4:
+        for x in range(w):
+            byte = line[x >> 1]
+            out[x] = (byte >> 4) if x % 2 == 0 else (byte & 0x0F)
+    else:  # bpp == 1
+        for x in range(w):
+            out[x] = (line[x >> 3] >> (7 - (x & 7))) & 1
+    return bytes(out)
 
 
 def _bmp_palette(
@@ -433,6 +504,55 @@ def _bmp_rle8(data: bytes, w: int, h: int) -> list[bytes]:
                 raise ValueError("truncated RLE8 absolute run")
             cur.extend(data[i : i + v])
             i += v + (v & 1)
+    if cur or len(rows) < h:
+        while len(rows) < h:
+            flush()
+    return rows
+
+
+def _bmp_rle4(data: bytes, w: int, h: int) -> list[bytes]:
+    """RLE4 run decode (BMP spec), mirroring :func:`_bmp_rle8` with
+    nibble pixels: an encoded run ``(count, value)`` emits ``count``
+    pixels ALTERNATING the high and low nibbles of ``value``; absolute
+    mode packs its literal pixels as nibbles high-first, padded to a
+    16-bit boundary. Escapes (EOL / EOB / delta) are byte-identical to
+    RLE8. Returns h rows of one-byte indices, bottom-up."""
+    rows: list[bytes] = []
+    cur = bytearray()
+    i = 0
+
+    def flush():
+        cur.extend(b"\x00" * (w - len(cur)))
+        rows.append(bytes(cur[:w]))
+        cur.clear()
+
+    while i + 1 < len(data) and len(rows) < h:
+        n, v = data[i], data[i + 1]
+        i += 2
+        if n > 0:
+            hi, lo = v >> 4, v & 0x0F
+            cur.extend(hi if k % 2 == 0 else lo for k in range(n))
+        elif v == 0:  # end of line
+            flush()
+        elif v == 1:  # end of bitmap
+            break
+        elif v == 2:  # delta (same semantics as RLE8's)
+            if i + 2 > len(data):
+                raise ValueError("truncated RLE4 delta")
+            dx, dy = data[i], data[i + 1]
+            i += 2
+            x = len(cur)
+            for _ in range(min(dy, h - len(rows))):
+                flush()
+            cur.extend(b"\x00" * (x + dx if dy else dx))
+        else:  # absolute run of v literal nibbles, word-aligned
+            nbytes = (v + 1) // 2
+            if i + nbytes > len(data):
+                raise ValueError("truncated RLE4 absolute run")
+            for k in range(v):
+                byte = data[i + (k >> 1)]
+                cur.append((byte >> 4) if k % 2 == 0 else (byte & 0x0F))
+            i += nbytes + (nbytes & 1)
     if cur or len(rows) < h:
         while len(rows) < h:
             flush()
@@ -614,11 +734,12 @@ def decode_pixels(payload: bytes):
     """Pixel/sample decode over the sniffed container format — every
     branch is a REAL pure-Python/stdlib decode: PNG (zlib inflate + row
     unfilter; 8/16-bit, palette, Adam7 interlace), GIF (from-scratch
-    LZW + palette + deinterlace), BMP (24-bit, 8-bit palette, RLE8),
-    WAV (PCM16/PCM8/float32). Genuinely exotic layouts (RLE4/16/32-bpp
-    BMP, ADPCM) raise ``NotImplementedError`` — swap in
-    PIL/libvips/ffmpeg in production; the Spark-side plumbing does not
-    change."""
+    LZW + palette + deinterlace), BMP (24-bit, 1/4/8-bit palette,
+    RLE8/RLE4, 16/32-bpp incl. BI_BITFIELDS masks), WAV
+    (PCM16/PCM8/float32). PNG and BMP are raster-spec-complete;
+    genuinely exotic layouts (WAV ADPCM) raise ``NotImplementedError``
+    — swap in PIL/libvips/ffmpeg in production; the Spark-side
+    plumbing does not change."""
     fmt = parse_media_header(payload).get("format")
     if fmt == "png":
         return decode_png_pixels(payload)

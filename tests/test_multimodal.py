@@ -728,6 +728,103 @@ def test_decode_bmp_rle8():
     assert px[24:36] == rgb(1, 1, 1, 1)     # bottom: 4x green
 
 
+def _bmp_pal_lowbpp(width, height, bpp, data, compression=0):
+    """Palette BMP at 1/4 bpp (same 4-color table as _bmp_header8)."""
+    pal = b"".join(bytes((b, g, r, 0)) for r, g, b in _BMP_PAL)
+    dib = struct.pack("<IiiHHIIiiII", 40, width, height, 1, bpp,
+                      compression, len(data), 2835, 2835, len(_BMP_PAL), 0)
+    off = 14 + 40 + len(pal)
+    header = struct.pack("<2sIHHI", b"BM", off + len(data), 0, 0, off)
+    return header + dib + pal + data
+
+
+def _bmp_direct(width, height, bpp, data, compression=0, masks=None):
+    """16/32-bpp direct-color BMP, optionally with BI_BITFIELDS masks
+    (which sit immediately after the 40-byte INFOHEADER)."""
+    extra = struct.pack("<III", *masks) if masks else b""
+    dib = struct.pack("<IiiHHIIiiII", 40, width, height, 1, bpp,
+                      compression, len(data), 2835, 2835, 0, 0)
+    off = 14 + 40 + len(extra)
+    header = struct.pack("<2sIHHI", b"BM", off + len(data), 0, 0, off)
+    return header + dib + extra + data
+
+
+def _rgb(*idxs):
+    return b"".join(bytes(_BMP_PAL[i]) for i in idxs)
+
+
+def test_decode_bmp_4bit_palette():
+    # 3x2 bottom-up, nibbles high-first, rows pad to 4 bytes:
+    # file row order: bottom [3,3,0], top [0,1,2]
+    rows_file = [b"\x33\x00\x00\x00", b"\x01\x20\x00\x00"]
+    p = _bmp_pal_lowbpp(3, 2, 4, b"".join(rows_file))
+    w, h, ch, px = decode_bmp_pixels(p)
+    assert (w, h, ch) == (3, 2, 3)
+    assert px == _rgb(0, 1, 2) + _rgb(3, 3, 0)
+
+
+def test_decode_bmp_1bit_palette():
+    # 3x2 bottom-up, MSB-first bits: bottom 011 -> 0x60, top 101 -> 0xA0
+    rows_file = [b"\x60\x00\x00\x00", b"\xA0\x00\x00\x00"]
+    p = _bmp_pal_lowbpp(3, 2, 1, b"".join(rows_file))
+    w, h, ch, px = decode_bmp_pixels(p)
+    assert (w, h, ch) == (3, 2, 3)
+    assert px == _rgb(1, 0, 1) + _rgb(0, 1, 1)
+
+
+def test_decode_bmp_rle4():
+    # 4x2 bottom-up RLE4:
+    #   bottom row: run 4 of 0x12 (alternating 1,2,1,2) | EOL
+    #   top row:    absolute [3,0,1] (nibbles 0x30 0x10) + run 1 of
+    #               0x20 (pixel 2) | EOB
+    rle = bytes(
+        [4, 0x12, 0, 0,
+         0, 3, 0x30, 0x10, 1, 0x20, 0, 1]
+    )
+    p = _bmp_pal_lowbpp(4, 2, 4, rle, compression=2)
+    w, h, ch, px = decode_bmp_pixels(p)
+    assert (w, h, ch) == (4, 2, 3)
+    assert px[:12] == _rgb(3, 0, 1, 2)   # top
+    assert px[12:] == _rgb(1, 2, 1, 2)   # bottom
+
+
+def test_decode_bmp_16bpp_default_555():
+    # 2x1: pure red (0x7C00) and mid green (0x01E0: 15/31 -> 123)
+    data = struct.pack("<HH", 0x7C00, 0x01E0)
+    w, h, ch, px = decode_bmp_pixels(_bmp_direct(2, 1, 16, data))
+    assert (w, h, ch) == (2, 1, 3)
+    assert px == bytes([255, 0, 0, 0, 15 * 255 // 31, 0])
+
+
+def test_decode_bmp_16bpp_bitfields_565():
+    data = struct.pack("<HH", 0xF800, 0x07E0)  # red max, green max
+    p = _bmp_direct(2, 1, 16, data, compression=3,
+                    masks=(0xF800, 0x07E0, 0x001F))
+    w, h, ch, px = decode_bmp_pixels(p)
+    assert px == bytes([255, 0, 0, 0, 255, 0])
+
+
+def test_decode_bmp_32bpp_default_xrgb():
+    data = struct.pack("<I", 0x00A0B0C0)
+    w, h, ch, px = decode_bmp_pixels(_bmp_direct(1, 1, 32, data))
+    assert px == bytes([0xA0, 0xB0, 0xC0])
+
+
+def test_decode_bmp_32bpp_bitfields_bgra_order():
+    # Explicit masks with blue in the HIGH byte (nonstandard order).
+    data = struct.pack("<I", 0xC0A0B000)
+    p = _bmp_direct(1, 1, 32, data, compression=3,
+                    masks=(0x0000FF00, 0x00FF0000, 0xFF000000))
+    w, h, ch, px = decode_bmp_pixels(p)
+    assert px == bytes([0xB0, 0xA0, 0xC0])
+
+
+def test_decode_bmp_rle4_requires_4bpp():
+    p = _bmp_header8(2, 1, b"\x00\x00", compression=2)
+    with pytest.raises(ValueError, match="RLE4"):
+        decode_bmp_pixels(p)
+
+
 def make_wav_float(sample_rate, channels, samples):
     data = struct.pack(f"<{len(samples)}f", *samples)
     fmt = struct.pack("<HHIIHH", 3, channels, sample_rate,
