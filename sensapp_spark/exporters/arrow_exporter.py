@@ -74,13 +74,18 @@ def to_parquet_multi(df: DataFrame, sensor_type: SensorType) -> bytes:
     return sink.getvalue()
 
 
+# Field nullability matches Spark's toArrow() of _multi_frame exactly
+# (type and labels are non-null constants/coalesces), so an IPC file
+# assembled from this schema is BYTE-identical to the to_arrow_multi
+# path — that identity is what lets the gateway's peek-ahead small path
+# skip the second toArrow job (pinned by the gateway goldens).
 MULTI_ARROW_SCHEMA = pa.schema([
-    ("timestamp", pa.timestamp("us", tz="UTC")),
-    ("sensor_id", pa.string()),
-    ("sensor_name", pa.string()),
-    ("value", pa.string()),
-    ("type", pa.string()),
-    ("labels", pa.string()),
+    pa.field("timestamp", pa.timestamp("us", tz="UTC")),
+    pa.field("sensor_id", pa.string()),
+    pa.field("sensor_name", pa.string()),
+    pa.field("value", pa.string()),
+    pa.field("type", pa.string(), nullable=False),
+    pa.field("labels", pa.string(), nullable=False),
 ])
 
 
@@ -105,57 +110,100 @@ class _ChunkSink(io.RawIOBase):
         return out
 
 
-def _iter_multi_batches(df: DataFrame, sensor_type: SensorType,
-                        chunk_rows: int):
-    """Generator of ``chunk_rows``-sized ``pa.RecordBatch`` for the multi
-    layout, pulled through ``toLocalIterator`` (one prefetched partition
-    in flight). The timestamp travels as JVM-computed epoch micros
-    (int64) and is cast to ``timestamp[us, UTC]`` in Arrow, so the
-    values are tz-conversion-free and match the ``toArrow`` path
-    exactly. Closing this generator closes the Spark local iterator —
-    same abandoned-stream contract as row_lines/iter_senml
-    (csv_exporter.py:117-124)."""
+def _row_batch(buf: list[tuple]) -> pa.RecordBatch:
+    """One RecordBatch from buffered (ts_us, 5×string) row tuples. The
+    timestamp travels as JVM-computed epoch micros (int64) and is cast
+    to ``timestamp[us, UTC]`` in Arrow, so the values are
+    tz-conversion-free and match the ``toArrow`` path exactly."""
+    schema = MULTI_ARROW_SCHEMA
+    cols = list(zip(*buf))
+    ts = pa.array(cols[0], type=pa.int64()).cast(schema.field(0).type)
+    arrays = [ts] + [
+        pa.array(cols[i], type=pa.string()) for i in range(1, 6)
+    ]
+    return pa.record_batch(arrays, schema=schema)
+
+
+def multi_rows(df: DataFrame, sensor_type: SensorType):
+    """Bounded-memory row-tuple iterator for the multi layout
+    (``toLocalIterator``, one prefetched partition in flight). Closing
+    this generator closes the Spark local iterator — same
+    abandoned-stream contract as row_lines/iter_senml
+    (csv_exporter.py:117-124). The gateway peeks THIS iterator to pick
+    collect-vs-stream with a single query execution."""
     out = _multi_frame(df, sensor_type).select(
         F.unix_micros("timestamp").alias("ts_us"),
         "sensor_id", "sensor_name", "value", "type", "labels",
     )
-    schema = MULTI_ARROW_SCHEMA
-
-    def _batch(buf: list[tuple]) -> pa.RecordBatch:
-        cols = list(zip(*buf))
-        ts = pa.array(cols[0], type=pa.int64()).cast(schema.field(0).type)
-        arrays = [ts] + [
-            pa.array(cols[i], type=pa.string()) for i in range(1, 6)
-        ]
-        return pa.record_batch(arrays, schema=schema)
-
     rows = out.toLocalIterator(prefetchPartitions=True)
     try:
-        buf: list[tuple] = []
         for row in rows:
-            buf.append(tuple(row))
-            if len(buf) >= chunk_rows:
-                yield _batch(buf)
-                buf.clear()
-        if buf:
-            yield _batch(buf)
+            yield tuple(row)
     finally:
         close = getattr(rows, "close", None)
         if close is not None:
             close()
 
 
-def iter_arrow_multi(df: DataFrame, sensor_type: SensorType,
-                     chunk_rows: int = 8192):
-    """Bounded-memory generator of Arrow IPC *file* bytes for the multi
-    layout: record batches from :func:`_iter_multi_batches`, with the
-    IPC framing (magic, schema, batches, footer) flushed incrementally
-    through a chunk-capturing sink — the driver never holds more than
-    one batch. The result parses identically to :func:`to_arrow_multi`
-    (same schema; N record batches instead of 1)."""
+def _batches_from_rows(rows, chunk_rows: int):
+    """``chunk_rows``-sized RecordBatches from any row-tuple iterable;
+    closes it on exhaustion or generator close."""
+    try:
+        buf: list[tuple] = []
+        for row in rows:
+            buf.append(row)
+            if len(buf) >= chunk_rows:
+                yield _row_batch(buf)
+                buf.clear()
+        if buf:
+            yield _row_batch(buf)
+    finally:
+        close = getattr(rows, "close", None)
+        if close is not None:
+            close()
+
+
+def _iter_multi_batches(df: DataFrame, sensor_type: SensorType,
+                        chunk_rows: int):
+    return _batches_from_rows(multi_rows(df, sensor_type), chunk_rows)
+
+
+def arrow_multi_bytes_from_rows(rows: list[tuple]) -> bytes:
+    """The complete single-batch IPC file for buffered row tuples —
+    BYTE-identical to ``to_arrow_multi`` of the frame that produced
+    them (schema nullability matched; empty input yields the same
+    schema-only file ``toArrow`` produces), so the gateway's small
+    path needs no second Spark job."""
+    sink = io.BytesIO()
+    with ipc.new_file(sink, MULTI_ARROW_SCHEMA) as writer:
+        if rows:
+            writer.write_batch(_row_batch(rows))
+    return sink.getvalue()
+
+
+def parquet_multi_bytes_from_rows(rows: list[tuple]) -> bytes:
+    """The complete single-row-group Parquet file for buffered row
+    tuples — same decoded content as ``to_parquet_multi`` of the frame
+    that produced them (the parquet golden pins content, not bytes)."""
+    import pyarrow.parquet as pq
+
+    table = pa.Table.from_batches(
+        [_row_batch(rows)] if rows else [], schema=MULTI_ARROW_SCHEMA
+    )
+    sink = io.BytesIO()
+    pq.write_table(table, sink, compression="zstd")
+    return sink.getvalue()
+
+
+def iter_arrow_from_rows(rows, chunk_rows: int = 8192):
+    """Bounded-memory generator of Arrow IPC *file* bytes from any
+    row-tuple iterable: the IPC framing (magic, schema, batches,
+    footer) is flushed incrementally through a chunk-capturing sink —
+    the driver never holds more than one batch. The gateway's resumed
+    peek-ahead path feeds this the buffered head + live iterator."""
     sink = _ChunkSink()
     writer = ipc.new_file(sink, MULTI_ARROW_SCHEMA)
-    batches = _iter_multi_batches(df, sensor_type, chunk_rows)
+    batches = _batches_from_rows(rows, chunk_rows)
     try:
         for batch in batches:
             writer.write_batch(batch)
@@ -167,20 +215,25 @@ def iter_arrow_multi(df: DataFrame, sensor_type: SensorType,
         batches.close()
 
 
-def iter_parquet_multi(df: DataFrame, sensor_type: SensorType,
-                       chunk_rows: int = 8192):
-    """Bounded-memory generator of Parquet file bytes for the multi
-    layout: one row group per ``chunk_rows`` batch, framed incrementally
-    by ``pq.ParquetWriter`` over the same chunk-capturing sink as
-    :func:`iter_arrow_multi`, so a near-limit parquet download never
-    materializes the table on the driver. Reads back with the same
-    schema and rows as :func:`to_parquet_multi` (N row groups instead
+def iter_arrow_multi(df: DataFrame, sensor_type: SensorType,
+                     chunk_rows: int = 8192):
+    """Streaming Arrow IPC for a frame: parses identically to
+    :func:`to_arrow_multi` (same schema; N record batches instead
     of 1)."""
+    return iter_arrow_from_rows(multi_rows(df, sensor_type), chunk_rows)
+
+
+def iter_parquet_from_rows(rows, chunk_rows: int = 8192):
+    """Bounded-memory generator of Parquet file bytes from any
+    row-tuple iterable: one row group per ``chunk_rows`` batch, framed
+    incrementally by ``pq.ParquetWriter`` over the same chunk-capturing
+    sink as the Arrow path, so a near-limit parquet download never
+    materializes the table on the driver."""
     import pyarrow.parquet as pq
 
     sink = _ChunkSink()
     writer = pq.ParquetWriter(sink, MULTI_ARROW_SCHEMA, compression="zstd")
-    batches = _iter_multi_batches(df, sensor_type, chunk_rows)
+    batches = _batches_from_rows(rows, chunk_rows)
     try:
         for batch in batches:
             writer.write_table(pa.Table.from_batches([batch]))
@@ -190,3 +243,10 @@ def iter_parquet_multi(df: DataFrame, sensor_type: SensorType,
             yield sink.drain()
     finally:
         batches.close()
+
+
+def iter_parquet_multi(df: DataFrame, sensor_type: SensorType,
+                       chunk_rows: int = 8192):
+    """Streaming Parquet for a frame: reads back with the same schema
+    and rows as :func:`to_parquet_multi` (N row groups instead of 1)."""
+    return iter_parquet_from_rows(multi_rows(df, sensor_type), chunk_rows)

@@ -33,7 +33,6 @@ from flask import Flask, Response, jsonify, request
 
 from sensapp_spark.datamodel.types import SensorType
 from sensapp_spark.exporters import (
-    iter_arrow_multi,
     iter_senml,
     to_arrow_multi,
     to_csv_multi,
@@ -127,46 +126,56 @@ def create_app(
         from sensapp_spark.exporters.jsonl_exporter import lines_jsonl
 
         cols = df.select("sensor_id", "time", "value", "name", "unit", "labels")
-        if fmt == "parquet":
-            # Beyond-reference download format. Same CollectLimit size
-            # probe as Arrow (the small path stays a single-row-group
-            # to_parquet_multi file); above threshold the body streams
-            # one row group per chunk through ParquetWriter, so a
-            # near-limit parquet request never rebuilds the multi-GB
-            # driver body the other formats already avoid. A consumer
-            # wanting more than the 10M-row limit reads the lake's
-            # partitioned tables directly — that IS the scale path for
-            # columnar handoff.
+        if fmt in ("arrow", "parquet"):
+            # Columnar formats use the SAME single-execution peek-ahead
+            # as the text formats (the former CollectLimit probe job is
+            # gone): peek threshold+1 row tuples off one iterator; a
+            # result that fits assembles the complete file from the
+            # buffered rows — for Arrow BYTE-identical to the golden
+            # toArrow() path (schema nullability matched in
+            # MULTI_ARROW_SCHEMA), for parquet content-identical (its
+            # golden pins decoded content) — and a larger one streams
+            # buffered head + live iterator with bounded driver memory.
+            # A consumer wanting more than the 10M-row limit reads the
+            # lake's partitioned tables directly — that IS the scale
+            # path for columnar handoff.
             from sensapp_spark.exporters.arrow_exporter import (
-                iter_parquet_multi,
+                arrow_multi_bytes_from_rows,
+                iter_arrow_from_rows,
+                iter_parquet_from_rows,
+                multi_rows,
+                parquet_multi_bytes_from_rows,
                 to_parquet_multi,
             )
 
-            if stream_threshold is not None and (
-                cols.limit(stream_threshold + 1).count() > stream_threshold
-            ):
-                return Response(
-                    iter_parquet_multi(cols, stype),
-                    mimetype=EXPORT_MEDIA[fmt],
+            if stream_threshold is None:
+                body = (
+                    to_arrow_multi(cols, stype)
+                    if fmt == "arrow"
+                    else to_parquet_multi(cols, stype)
                 )
-            return Response(
-                to_parquet_multi(cols, stype), mimetype=EXPORT_MEDIA[fmt]
-            )
-        if fmt == "arrow":
-            # Arrow keeps a size probe (CollectLimit: O(threshold) work,
-            # never a full count): the small path must produce the
-            # golden single-batch toArrow() bytes, which a row iterator
-            # cannot reassemble, so peek-ahead doesn't apply here.
-            if stream_threshold is not None and (
-                cols.limit(stream_threshold + 1).count() > stream_threshold
-            ):
-                return Response(
-                    iter_arrow_multi(cols, stype),
-                    mimetype=EXPORT_MEDIA[fmt],
+                return Response(body, mimetype=EXPORT_MEDIA[fmt])
+            rows = multi_rows(cols, stype)
+            head = list(islice(rows, stream_threshold + 1))
+            if len(head) <= stream_threshold:
+                rows.close()
+                body = (
+                    arrow_multi_bytes_from_rows(head)
+                    if fmt == "arrow"
+                    else parquet_multi_bytes_from_rows(head)
                 )
-            return Response(
-                to_arrow_multi(cols, stype), mimetype=EXPORT_MEDIA[fmt]
+                return Response(body, mimetype=EXPORT_MEDIA[fmt])
+
+            def columnar_rest(first=head):
+                yield from first
+                yield from rows
+
+            frames = (
+                iter_arrow_from_rows(columnar_rest())
+                if fmt == "arrow"
+                else iter_parquet_from_rows(columnar_rest())
             )
+            return Response(frames, mimetype=EXPORT_MEDIA[fmt])
         if stream_threshold is None:
             if fmt == "csv":
                 body = to_csv_multi(cols, stype)

@@ -139,6 +139,65 @@ def test_small_export_assembles_full_body(env):
     assert body.endswith("\n") and not body.endswith("\n\n")
 
 
+def test_arrow_small_path_bytes_identical_to_toarrow(spark):
+    """The peek-ahead small path assembles the IPC file from buffered
+    row tuples with NO second Spark job — and the bytes are IDENTICAL
+    to the toArrow() collect path (schema nullability matched), for
+    populated and EMPTY results alike. This identity is what allowed
+    dropping the CollectLimit probe without touching the goldens."""
+    import datetime as dt
+
+    from sensapp_spark.datamodel.types import SensorType
+    from sensapp_spark.exporters.arrow_exporter import (
+        arrow_multi_bytes_from_rows,
+        multi_rows,
+        to_arrow_multi,
+    )
+
+    df = spark.createDataFrame(
+        [("s1", dt.datetime(2024, 1, 1, 0, i), 20.5 + i,
+          "temperature", "°C", {"site": "x"}) for i in range(5)],
+        "sensor_id string, time timestamp, value double, name string, "
+        "unit string, labels map<string,string>",
+    )
+    rows = list(multi_rows(df, SensorType.FLOAT))
+    assert arrow_multi_bytes_from_rows(rows) == to_arrow_multi(
+        df, SensorType.FLOAT
+    )
+    assert arrow_multi_bytes_from_rows([]) == to_arrow_multi(
+        df.limit(0), SensorType.FLOAT
+    )
+
+
+def test_parquet_small_path_content_identical(spark):
+    import datetime as dt
+
+    import pyarrow.parquet as pq
+
+    from sensapp_spark.datamodel.types import SensorType
+    from sensapp_spark.exporters.arrow_exporter import (
+        multi_rows,
+        parquet_multi_bytes_from_rows,
+        to_parquet_multi,
+    )
+
+    df = spark.createDataFrame(
+        [("s1", dt.datetime(2024, 1, 1, 0, i), 20.5 + i,
+          "temperature", "°C", {}) for i in range(5)],
+        "sensor_id string, time timestamp, value double, name string, "
+        "unit string, labels map<string,string>",
+    )
+    rows = list(multi_rows(df, SensorType.FLOAT))
+    got = pq.read_table(io.BytesIO(parquet_multi_bytes_from_rows(rows)))
+    want = pq.read_table(
+        io.BytesIO(to_parquet_multi(df, SensorType.FLOAT))
+    )
+    assert got.schema.names == want.schema.names
+    assert got.to_pydict() == want.to_pydict()
+    empty = pq.read_table(io.BytesIO(parquet_multi_bytes_from_rows([])))
+    assert empty.num_rows == 0 and empty.schema.names == want.schema.names
+
+
 def test_iter_csv_single_bytes_equal(spark):
     """iter_csv_single (the single-series streaming variant) produces the
     byte-identical body of to_csv_single."""
