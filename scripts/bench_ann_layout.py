@@ -31,11 +31,7 @@ N_PLANES = 4
 def main() -> int:
     from pyspark.sql import functions as F
 
-    from sensapp_spark.pipeline.similarity import (
-        bucket_expr,
-        hyperplane_lsh_topk,
-        hyperplanes,
-    )
+    from sensapp_spark.pipeline.similarity import hyperplane_lsh_topk
     from sensapp_spark.session import get_spark
 
     spark = get_spark(
@@ -67,16 +63,16 @@ def main() -> int:
     flat = spark.read.parquet(f"{OUT}/flat")
     n = flat.count()
 
-    dim = len(base.first().embedding)
-    planes = hyperplanes(N_PLANES, dim, table=0)
+    # Write-side through the REAL storage API (round 6: AnnIndexStore
+    # owns bucket-once + partitioned write + plane-count sidecar).
+    from sensapp_spark.storage.ann import AnnIndexStore
+
+    store = AnnIndexStore(spark, f"{OUT}/store")
     t0 = time.time()
-    flat.withColumn(
-        "bucket", bucket_expr(F.col("embedding"), planes)
-    ).write.mode("overwrite").partitionBy("bucket").parquet(
-        f"{OUT}/by_bucket"
-    )
+    store.write_lsh(flat, n_planes=N_PLANES)
     layout_write_s = round(time.time() - t0, 1)
-    by_bucket = spark.read.parquet(f"{OUT}/by_bucket")
+    by_bucket, stored_planes = store.read_lsh()
+    assert stored_planes == N_PLANES
 
     queries = [
         [float(x) for x in r.embedding]

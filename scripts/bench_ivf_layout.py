@@ -36,11 +36,7 @@ N_QUERIES = 5
 def main() -> int:
     from pyspark.sql import functions as F
 
-    from sensapp_spark.pipeline.similarity import (
-        ivf_assign,
-        ivf_centroids,
-        ivf_topk,
-    )
+    from sensapp_spark.pipeline.similarity import ivf_topk
     from sensapp_spark.session import get_spark
 
     spark = get_spark(
@@ -72,15 +68,17 @@ def main() -> int:
     flat = spark.read.parquet(f"{OUT}/flat")
     n = flat.count()
 
-    # Write-side of the layout: assign ONCE with the codebook derived
-    # from the flat table, partition by the list id.
-    cents = ivf_centroids(flat)
+    # Write-side of the layout through the REAL storage API (round 6:
+    # AnnIndexStore owns assign-once + partitioned write + codebook
+    # sidecar; this harness measures the same code a user runs).
+    from sensapp_spark.storage.ann import AnnIndexStore
+
+    store = AnnIndexStore(spark, f"{OUT}/store")
     t0 = time.time()
-    ivf_assign(flat, cents).write.mode("overwrite").partitionBy(
-        "centroid_id"
-    ).parquet(f"{OUT}/by_list")
+    cents = store.write_ivf(flat)
     layout_write_s = round(time.time() - t0, 1)
-    by_list = spark.read.parquet(f"{OUT}/by_list")
+    by_list, stored_cents = store.read_ivf()
+    assert stored_cents == cents
 
     queries = [
         [float(x) for x in r.embedding]

@@ -68,7 +68,12 @@ def main() -> int:
     app.testing = True
 
     report = {}
-    for fmt in ("csv", "jsonl"):
+    # Text formats verify line counts; the columnar formats (round 6:
+    # both now stream row groups / record batches with the same
+    # peek-ahead) are consumed byte-wise only — parsing a 1M-row body
+    # would materialize it and poison the RSS measurement (small-N
+    # parse equivalence is pinned in tests/test_streamed_export.py).
+    for fmt in ("csv", "jsonl", "arrow", "parquet"):
         with app.test_client() as c:
             rss0 = rss_mb()
             t0 = time.time()
@@ -84,13 +89,16 @@ def main() -> int:
             wall = round(time.time() - t0, 1)
             report[fmt] = {
                 "rows": N_ROWS,
-                "lines": lines,
                 "mb_served": round(total / 1e6, 1),
                 "wall_s": wall,
                 "rss_growth_mb": round(rss_mb() - rss0, 1),
             }
-            expect = N_ROWS + (1 if fmt == "csv" else 0)
-            assert lines == expect, (fmt, lines, expect)
+            if fmt in ("csv", "jsonl"):
+                report[fmt]["lines"] = lines
+                expect = N_ROWS + (1 if fmt == "csv" else 0)
+                assert lines == expect, (fmt, lines, expect)
+            else:
+                assert total > 1_000_000, (fmt, total)
 
     print(json.dumps(report, indent=2))
     spark.stop()

@@ -49,9 +49,13 @@ def test_extreme_timestamps_round_trip(spark, tmp_path):
     }
     assert got[t_old] == 42
     assert 84 in got.values()
+    from sensapp_spark.storage.lake import resolve_table
+
     months = sorted(
         d
-        for d in os.listdir(str(tmp_path / "lake" / "integer_values"))
+        for d in os.listdir(
+            resolve_table(str(tmp_path / "lake" / "integer_values"))
+        )
         if d.startswith("month=")
     )
     assert months[0] == "month=1970-01"
