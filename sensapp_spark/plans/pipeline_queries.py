@@ -1222,14 +1222,16 @@ def _scoped(entry: str, tag: str):
     return fn
 
 
-def _scoped_main(entry: str, tag: str):
+def _scoped_main(entry: str, tag: str, col: str = "scope"):
     """Like _scoped but for entries registered in the MAIN registry
-    (plans.queries); imported late to avoid the circular module load."""
+    (plans.queries); imported late to avoid the circular module load.
+    ``col`` names the entry's tag column (most families use ``scope``,
+    promql_ext_range_funcs uses ``func``)."""
 
     def fn(spark, sf_dir):
         from sensapp_spark.plans.queries import QUERIES
 
-        return QUERIES[entry](spark, sf_dir).filter(F.col("scope") == tag)
+        return QUERIES[entry](spark, sf_dir).filter(F.col(col) == tag)
 
     return fn
 
@@ -1307,6 +1309,11 @@ BENCH_MEMBERS: dict[str, dict] = {
     "value_histogram": {
         t: _scoped_main("value_histogram", t)
         for t in ("hist", "quantile", "prom_le")
+    },
+    "promql_ext_range_funcs": {
+        t: _scoped_main("promql_ext_range_funcs", t, col="func")
+        for t in ("irate", "changes", "deriv", "predict_linear",
+                  "timestamp", "subquery")
     },
     "sample_split": {
         "split_assign": _split_member,

@@ -1431,6 +1431,23 @@ _START_S = 1704067200
       AND v.sensor_id IN (SELECT sensor_id FROM sensors
                           WHERE name = 'click')
     GROUP BY v.sensor_id
+    UNION ALL
+    SELECT 'subquery', sensor_id, ROUND(MAX(value), 6)
+    FROM (
+        SELECT v.sensor_id, s.i,
+               (arg_max(v.value, v.time) - arg_min(v.value, v.time))
+                 / ((epoch_us(MAX(v.time)) - epoch_us(MIN(v.time))) / 1e6)
+                 AS value
+        FROM vals v
+        JOIN (SELECT unnest(generate_series(0, 20)) AS i) s
+          ON v.time <= TIMESTAMP '2024-01-05' + s.i * INTERVAL '1 day'
+         AND v.time >= TIMESTAMP '2024-01-05' + s.i * INTERVAL '1 day'
+                        - INTERVAL '2 days'
+        WHERE v.sensor_id IN (SELECT sensor_id FROM sensors
+                              WHERE name = 'click')
+        GROUP BY 1, 2
+        HAVING epoch_us(MAX(v.time)) > epoch_us(MIN(v.time)))
+    GROUP BY sensor_id
     """,
 )
 def promql_ext_range_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1448,7 +1465,13 @@ def promql_ext_range_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
       float stability; ``+ 0.0`` canonicalizes IEEE negative zero)
     * ``predict_linear(purchase[31d], 86400)`` — the regression line
       extrapolated one day past the evaluation time
-    * ``timestamp(click[31d])`` — last sample time in seconds."""
+    * ``timestamp(click[31d])`` — last sample time in seconds
+    * ``max_over_time(rate(click[2d])[20d:1d])`` — a SUBQUERY
+      (round 6): the inner rate evaluates at 21 daily steps through
+      the range-query machinery (one bounded sample explode + one
+      (series, step) reduction — no per-step jobs), then the outer
+      max folds each series' step samples; the outer shuffle is
+      series × steps, dimension-sized."""
     cases = [
         ("irate", "irate(click[31d])", "round"),
         ("changes", "changes(view[31d])", "raw"),
@@ -1466,6 +1489,14 @@ def promql_ext_range_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         else:
             value = F.col("value")
         parts.append((tag, out.select("sensor_id", value.alias("value"))))
+    sq = _ext(
+        spark, sf_dir,
+        "max_over_time(rate(click[2d])[20d:1d])",
+        now=dt.datetime(2024, 1, 25),
+    )
+    parts.append(
+        ("subquery", sq.select("sensor_id", F.round("value", 6).alias("value")))
+    )
     return _union_tagged(parts, "func")
 
 

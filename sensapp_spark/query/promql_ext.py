@@ -79,6 +79,22 @@ TAIL_PARAM_FUNCS = frozenset("round clamp_min clamp_max".split())
 LABEL_FUNCS = frozenset(["label_replace", "label_join"])
 
 _NAME_RE = re.compile(r"[a-zA-Z_][a-zA-Z0-9_]*")
+# expr[<range>:<step>] — the colon is what distinguishes a subquery
+# from a plain matrix selector, so m[5m] never matches here.
+_SUBQUERY_RE = re.compile(
+    r"(?P<body>.*\S)\s*\["
+    r"(?P<rng>(?:[0-9]+(?:\.[0-9]+)?(?:ms|s|m|h|d|w|y))+):"
+    r"(?P<step>(?:[0-9]+(?:\.[0-9]+)?(?:ms|s|m|h|d|w|y))+)?\]",
+    re.S,
+)
+
+
+def _dur_seconds(text: str) -> float:
+    """Seconds of a (possibly compound) PromQL duration like 1h30m."""
+    return sum(
+        float(m.group(1)) * _DUR_MS[m.group(2)]
+        for m in _DURATION_RE.finditer(text)
+    ) / 1000.0
 _PARAM_RE = re.compile(r"\s*([0-9]+(?:\.[0-9]+)?(?:[eE][+-]?[0-9]+)?)\s*,")
 _OFFSET_RE = re.compile(
     r"^(?P<body>.*?)\s+offset\s+(?P<dur>(?:[0-9]+(?:\.[0-9]+)?"
@@ -109,6 +125,12 @@ class ExtendedQuery:
     label_ops: list[tuple[str, tuple]] = field(default_factory=list)
     # histogram_quantile(φ, …) wrapping this vector: the φ, or None.
     hist_quantile: float | None = None
+    # Subquery: eq.func is the OUTER range function, evaluated over the
+    # inner expression's [range:step] step samples ending at sub_eval.
+    sub_inner: "ExtendedQuery | None" = None
+    sub_range_s: float | None = None
+    sub_step_s: float | None = None
+    sub_eval: dt.datetime | None = None
 
 
 @dataclass
@@ -427,6 +449,12 @@ def parse_extended(query: str, now: dt.datetime | None = None) -> ExtendedQuery:
             raise PromQLError(
                 "aggregation", "Nested aggregations are not supported."
             )
+        if sub.sub_inner is not None and sub.sub_inner.agg is not None:
+            raise PromQLError(
+                "aggregation",
+                "Aggregate either inside the subquery or outside it, "
+                "not both.",
+            )
         return ExtendedQuery(
             selector=sub.selector,
             func=sub.func,
@@ -438,6 +466,10 @@ def parse_extended(query: str, now: dt.datetime | None = None) -> ExtendedQuery:
             label_param=label_param,
             label_ops=sub.label_ops,
             series_post=sub.post,
+            sub_inner=sub.sub_inner,
+            sub_range_s=sub.sub_range_s,
+            sub_step_s=sub.sub_step_s,
+            sub_eval=sub.sub_eval,
         )
 
     if head == "histogram_quantile" and rest.startswith("("):
@@ -490,6 +522,47 @@ def parse_extended(query: str, now: dt.datetime | None = None) -> ExtendedQuery:
             func_param, inner = _split_param(inner, head)
         elif head in TAIL_PARAM_RANGE_FUNCS:
             func_param, inner = _split_tail_param(inner, head, required=True)
+        sq = _SUBQUERY_RE.fullmatch(inner.strip())
+        if sq:
+            if head not in SUBQUERY_OUTER:
+                raise PromQLError(
+                    "call",
+                    f"{head}() over a subquery is not supported; "
+                    "supported outer functions: "
+                    f"{', '.join(sorted(SUBQUERY_OUTER))}.",
+                )
+            if not sq.group("step"):
+                raise PromQLError(
+                    "subquery",
+                    "Subqueries need an explicit step — [30m:5m], not "
+                    "[30m:] (this engine has no global evaluation "
+                    "interval to default to).",
+                )
+            sub = parse_extended(sq.group("body"), now)
+            if sub.sub_inner is not None:
+                raise PromQLError(
+                    "subquery", "Nested subqueries are not supported."
+                )
+            if sub.hist_quantile is not None:
+                raise PromQLError(
+                    "subquery",
+                    "histogram_quantile inside a subquery is not "
+                    "supported; quantile the subquery result instead.",
+                )
+            if sub.agg == "count_values":
+                raise PromQLError(
+                    "subquery",
+                    "count_values inside a subquery is not supported.",
+                )
+            return ExtendedQuery(
+                selector=sub.selector,
+                func=head,
+                func_param=func_param,
+                sub_inner=sub,
+                sub_range_s=_dur_seconds(sq.group("rng")),
+                sub_step_s=_dur_seconds(sq.group("step")),
+                sub_eval=now,
+            )
         if "[" not in inner:
             raise PromQLError(
                 "call",
@@ -763,6 +836,19 @@ _AGG_FNS = {
     "stdvar": F.var_pop,
 }
 
+# Outer range functions supported over a subquery's step samples.
+SUBQUERY_OUTER = frozenset(
+    list(_OVER_TIME)
+    + [
+        "last_over_time",
+        "present_over_time",
+        "quantile_over_time",
+        "rate",
+        "increase",
+        "delta",
+    ]
+)
+
 
 def _apply_post(df: DataFrame, post: list[tuple[str, float | None]]) -> DataFrame:
     """Apply element-wise post-functions (innermost first) to ``value``.
@@ -996,6 +1082,17 @@ def evaluate_extended(
             eq.hist_quantile,
             by=(eq.by if eq.agg is not None else None),
         )
+    if eq.sub_inner is not None:
+        out, series_shaped = _evaluate_subquery(sensors, values, eq)
+        if series_shaped:
+            if eq.label_ops:
+                out = _apply_label_ops(out, eq.label_ops)
+            if eq.series_post:
+                out = _apply_post(out, eq.series_post)
+            return _finish_instant(out, eq)
+        # Aggregated-inner subqueries already carry their group keys;
+        # the (parse-rejected) enclosing aggregation never applies.
+        return _apply_post(out, eq.post)
     q = eq.selector
     selected = select_sensors(sensors, q.matchers)
     scan = values.join(F.broadcast(selected.select("sensor_id")), "sensor_id",
@@ -1014,6 +1111,13 @@ def evaluate_extended(
         out = _apply_label_ops(out, eq.label_ops)
     if eq.series_post:
         out = _apply_post(out, eq.series_post)
+    return _finish_instant(out, eq)
+
+
+def _finish_instant(out: DataFrame, eq: ExtendedQuery) -> DataFrame:
+    """Shared instant-vector tail: per-series projection or the
+    aggregation step, over any ``(sensor_id, name, labels, value)``
+    frame (the raw-scan path and the subquery path both end here)."""
     if eq.agg is None:
         return _apply_post(
             out.select("sensor_id", "name", "labels", "value"), eq.post
@@ -1069,6 +1173,67 @@ def evaluate_extended(
         ]
         grouped = out.groupBy(*keys) if keys else out.groupBy()
     return _apply_post(grouped.agg(agg_col.alias("value")), eq.post)
+
+
+def _evaluate_subquery(
+    sensors: DataFrame, values: DataFrame, eq: ExtendedQuery
+) -> tuple[DataFrame, bool]:
+    """Prometheus subquery: evaluate the inner expression at every step
+    of ``[sub_eval - range, sub_eval]`` (the existing range-query
+    machinery — ONE bounded sample explode + one (series, step)
+    reduction, no per-step jobs), then apply the OUTER range function
+    (``eq.func``) over each series' step samples.
+
+    Returns ``(frame, series_shaped)``: a series-shaped inner
+    (unaggregated / topk / bottomk) yields ``(sensor_id, name, labels,
+    value)`` — ready for :func:`_finish_instant` so enclosing
+    aggregations compose — while an aggregated inner keeps its group
+    keys. The outer aggregation groups the STEP frame (series × steps
+    rows, dimension-sized): one cheap shuffle."""
+    inner = eq.sub_inner
+    start = eq.sub_eval - dt.timedelta(seconds=eq.sub_range_s)
+    steps = evaluate_range(
+        sensors, values, inner, start, eq.sub_eval, eq.sub_step_s
+    )
+    series_shaped = "sensor_id" in steps.columns
+    t_us = F.unix_micros("t")
+    outer = eq.func
+    if series_shaped:
+        group = ["sensor_id"]
+        carry = [
+            F.first("name").alias("name"),
+            F.first("labels").alias("labels"),
+        ]
+    else:
+        group = [c for c in steps.columns if c not in ("t", "value")]
+        carry = []
+    grouped = steps.groupBy(*group) if group else steps.groupBy()
+    if outer in ("rate", "increase", "delta"):
+        raw = grouped.agg(
+            *carry,
+            F.max_by("value", t_us).alias("__last"),
+            F.min_by("value", t_us).alias("__first"),
+            ((F.max(t_us) - F.min(t_us)) / 1e6).alias("__span_s"),
+        ).filter(F.col("__span_s") > 0)
+        rise = F.col("__last") - F.col("__first")
+        value = rise / F.col("__span_s") if outer == "rate" else rise
+        return (
+            raw.withColumn("value", value).drop(
+                "__last", "__first", "__span_s"
+            ),
+            series_shaped,
+        )
+    if outer == "last_over_time":
+        val = F.max_by("value", t_us)
+    elif outer == "present_over_time":
+        val = F.max(F.lit(1.0))
+    elif outer == "quantile_over_time":
+        val = F.percentile("value", F.lit(eq.func_param)).cast("double")
+    else:
+        val = _OVER_TIME[outer]("value")
+        if outer == "count_over_time":
+            val = val.cast("long")
+    return grouped.agg(*carry, val.alias("value")), series_shaped
 
 
 def _histogram_le_quantile(
