@@ -57,6 +57,65 @@ def stratified_sample(
     )
 
 
+MIX_SALT = "sensapp-mix"
+MIX_BUCKETS = 1_000_000
+
+
+def mix_rates(
+    weights: dict[str, float], temperature: float
+) -> dict[str, int]:
+    """Per-source keep rates (ppm of :data:`MIX_BUCKETS`) for
+    temperature-based source mixing: with corpus sizes ∝ w_s, keeping
+    r_s ∝ w_s^(1/T − 1) of each source yields final mixture
+    proportions ∝ w_s^(1/T) — the standard pretraining-mix sampler
+    (Conneau & Lample 2019 §3.1 'Language sampling', also mC4/XLM-R).
+    Scaled so the most up-weighted source keeps everything: T=1
+    reproduces the natural mix (every rate = 1), T→∞ flattens toward
+    uniform. Computed driver-side from the (tiny) weights dict so the
+    rates are plain literals in the plan — and inlineable in a SQL
+    oracle."""
+    if temperature <= 0:
+        raise ValueError("temperature must be positive")
+    if not weights or min(weights.values()) <= 0:
+        raise ValueError("weights must be positive and non-empty")
+    rel = {
+        s: float(w) ** (1.0 / temperature - 1.0)
+        for s, w in weights.items()
+    }
+    top = max(rel.values())
+    return {
+        s: int(round(r / top * MIX_BUCKETS)) for s, r in sorted(rel.items())
+    }
+
+
+def temperature_mix(
+    docs: DataFrame,
+    weights: dict[str, float],
+    temperature: float = 1.0,
+    source_col: str = "source",
+) -> DataFrame:
+    """Deterministic temperature-mix subsample: a document is kept iff
+    its salted-hash bucket (ppm granularity, independent salt from
+    sampling/splitting) falls below its source's :func:`mix_rates`
+    rate. Sources absent from ``weights`` are dropped (rate 0). Like
+    every sampler here this is a shuffle-free narrow filter — the
+    bucket derives from the row alone, so at 100 TB it rides the scan
+    stage; and the kept set is reproducible across engines, runs, and
+    re-runs (new documents join the mix without disturbing old
+    membership)."""
+    rates = mix_rates(weights, temperature)
+    rate = F.lit(0)
+    for s, ppm in rates.items():
+        rate = F.when(F.col(source_col) == s, F.lit(ppm)).otherwise(rate)
+    h = hash32(F.concat(F.lit(f"{MIX_SALT}:"), F.col("doc_id").cast("string")))
+    bucket = F.pmod(h, F.lit(MIX_BUCKETS)).cast("int")
+    return (
+        docs.withColumn("mix_bucket", bucket)
+        .filter(F.col("mix_bucket") < rate)
+        .select("doc_id", source_col, "mix_bucket")
+    )
+
+
 def split_assign(
     docs: DataFrame, train_pct: int = 80, val_pct: int = 10
 ) -> DataFrame:

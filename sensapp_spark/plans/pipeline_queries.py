@@ -671,11 +671,30 @@ def dedup_simhash(spark, sf_dir):
 _SAMPLE_RATES = {"en": 50, "de": 30}
 _SAMPLE_DEFAULT = 10
 
+# Temperature-mix member: synthetic per-source weights (source srcN gets
+# weight N+1) at T=2 — rates ∝ w^(1/T − 1), computed ONCE driver-side
+# and inlined identically into the Spark plan and the SQL oracle.
+_MIX_WEIGHTS = {f"src{i}": i + 1 for i in range(20)}
+_MIX_T = 2.0
 
-def _bucket_sql(salt: str) -> str:
+
+def _mix_ppm() -> dict[str, int]:
+    from sensapp_spark.pipeline.sampling import mix_rates
+
+    return mix_rates(_MIX_WEIGHTS, _MIX_T)
+
+
+def _mix_case_sql() -> str:
+    arms = " ".join(
+        f"WHEN '{s}' THEN {p}" for s, p in _mix_ppm().items()
+    )
+    return f"CASE source {arms} ELSE 0 END"
+
+
+def _bucket_sql(salt: str, buckets: int = 100) -> str:
     return (
         f"(('0x' || substring(md5('{salt}:' || CAST(doc_id AS VARCHAR)),"
-        f" 1, 8))::UBIGINT % 100)::INT"
+        f" 1, 8))::UBIGINT % {buckets})::INT"
     )
 
 
@@ -693,6 +712,9 @@ def _bucket_sql(salt: str) -> str:
                     WHEN {_bucket_sql('sensapp-split')} < 90 THEN 'val'
                     ELSE 'test' END AS split
         FROM documents),
+    mix AS (
+        SELECT doc_id FROM documents
+        WHERE {_bucket_sql('sensapp-mix', 1000000)} < {_mix_case_sql()}),
     words AS (SELECT doc_id, {_WORDS_SQL} AS w FROM documents),
     {_DECONTAM_CTES},
     {_QUAL_CTE},
@@ -719,28 +741,40 @@ def _bucket_sql(salt: str) -> str:
         LEFT JOIN ppl USING (doc_id))
     SELECT d.doc_id, sp.split,
            st.doc_id IS NOT NULL AS sampled, st.bucket, st.lang,
-           v.drop_reason IS NULL AS kept, v.drop_reason
+           v.drop_reason IS NULL AS kept, v.drop_reason,
+           mx.doc_id IS NOT NULL AS mix_kept
     FROM documents d
     JOIN splits sp USING (doc_id)
     LEFT JOIN strat st USING (doc_id)
     JOIN verdict v USING (doc_id)
+    LEFT JOIN mix mx USING (doc_id)
     """,
 )
 def sample_split(spark, sf_dir):
     """Deterministic sampling + dataset splits as one joined entry:
     every document gets its 80/10/10 train/val/test assignment from a
-    salted content-hash bucket, plus whether the stratified sampler
-    (per-language keep rates, independent salt) selected it.
-    Reproducible across engines and runs; both derivations are map-only
-    scans, the join is per-document."""
+    salted content-hash bucket, whether the stratified sampler
+    (per-language keep rates, independent salt) selected it, and
+    whether the TEMPERATURE-MIX sampler kept it (round 6: per-source
+    keep rates ∝ w^(1/T − 1) — the pretraining source-mixing sampler,
+    reproducible ppm-granular hash buckets). Reproducible across
+    engines and runs; every derivation is a map-only scan, the joins
+    are per-document."""
     from sensapp_spark.pipeline.assemble import corpus_verdict
-    from sensapp_spark.pipeline.sampling import split_assign, stratified_sample
+    from sensapp_spark.pipeline.sampling import (
+        split_assign,
+        stratified_sample,
+        temperature_mix,
+    )
 
     docs = _docs(spark, sf_dir)
     splits = split_assign(docs).select("doc_id", "split")
     strat = stratified_sample(
         docs, _SAMPLE_RATES, default_pct=_SAMPLE_DEFAULT
     ).select("doc_id", "bucket", "lang")
+    mix = temperature_mix(docs, _MIX_WEIGHTS, _MIX_T).select(
+        "doc_id", F.lit(True).alias("mix_kept")
+    )
     bench = docs.filter(F.col("doc_id") % 97 == 0)
     verdict = corpus_verdict(docs, bench)
     return (
@@ -753,10 +787,12 @@ def sample_split(spark, sf_dir):
         # unreliable-estimate frames — without the hint this equality
         # join planned as a sort-merge (registry-wide join-shape test).
         .join(verdict.hint("shuffle_hash"), "doc_id")
+        .join(mix, "doc_id", "left")
         .select(
             "doc_id", "split",
             F.coalesce("sampled", F.lit(False)).alias("sampled"),
             "bucket", "lang", "kept", "drop_reason",
+            F.coalesce("mix_kept", F.lit(False)).alias("mix_kept"),
         )
     )
 
@@ -1242,6 +1278,12 @@ def _split_member(spark, sf_dir):
     return split_assign(_docs(spark, sf_dir)).select("doc_id", "split")
 
 
+def _mix_member(spark, sf_dir):
+    from sensapp_spark.pipeline.sampling import temperature_mix
+
+    return temperature_mix(_docs(spark, sf_dir), _MIX_WEIGHTS, _MIX_T)
+
+
 def _strat_member(spark, sf_dir):
     from sensapp_spark.pipeline.sampling import stratified_sample
 
@@ -1319,6 +1361,7 @@ BENCH_MEMBERS: dict[str, dict] = {
         "split_assign": _split_member,
         "stratified_sample": _strat_member,
         "corpus_verdict": _verdict_member,
+        "temperature_mix": _mix_member,
     },
     "text_signals": {
         "signals": _signals_base_member,
