@@ -1175,6 +1175,29 @@ def _finish_instant(out: DataFrame, eq: ExtendedQuery) -> DataFrame:
     return _apply_post(grouped.agg(agg_col.alias("value")), eq.post)
 
 
+def data_window(eq: ExtendedQuery) -> tuple[dt.datetime, dt.datetime]:
+    """The sample window an engine must LOAD to evaluate ``eq`` — what
+    a storage layer passes to its partition-pruned scan. For plain
+    expressions this is the selector window; a subquery additionally
+    reaches back ``range`` plus the inner lookback from its evaluation
+    time (the selector window alone would silently starve the earliest
+    steps of their samples)."""
+    if eq.sub_inner is not None:
+        lookback = eq.selector.end_time - eq.selector.start_time
+        start = (
+            eq.sub_eval
+            - dt.timedelta(seconds=eq.sub_range_s)
+            - lookback
+        )
+        end = eq.sub_eval
+        if end.tzinfo is None:
+            end = end.replace(tzinfo=dt.timezone.utc)
+        if start.tzinfo is None:
+            start = start.replace(tzinfo=dt.timezone.utc)
+        return start, end
+    return eq.selector.start_time, eq.selector.end_time
+
+
 def _evaluate_subquery(
     sensors: DataFrame, values: DataFrame, eq: ExtendedQuery
 ) -> tuple[DataFrame, bool]:

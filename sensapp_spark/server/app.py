@@ -469,6 +469,7 @@ def create_app(
         if request.args.get("extended", "").lower() in ("1", "true"):
             from sensapp_spark.query.promql_ext import (
                 BinaryQuery,
+                data_window,
                 evaluate_binary,
                 evaluate_extended,
                 parse_extended_expr,
@@ -479,10 +480,11 @@ def create_app(
             except PromQLError as e:
                 return jsonify({"error": str(e)}), 400
             if isinstance(eq, BinaryQuery):
-                # Load the envelope of both operands' windows; each
+                # Load the envelope of both operands' data windows
+                # (data_window widens for subquery operands); each
                 # side re-applies its own exact range inside evaluate.
-                sels = [
-                    s.selector
+                windows = [
+                    data_window(s)
                     for s in (eq.left, eq.right)
                     if not isinstance(s, float)
                 ]
@@ -490,8 +492,8 @@ def create_app(
                     lake.sensors(),
                     lake.values(
                         SensorType.FLOAT,
-                        min(s.start_time for s in sels),
-                        max(s.end_time for s in sels),
+                        min(w[0] for w in windows),
+                        max(w[1] for w in windows),
                     ),
                     eq,
                 )
@@ -499,14 +501,15 @@ def create_app(
                     {"result": [row.asDict(recursive=True)
                                 for row in out.collect()]}
                 )
-            if eq.func is not None or eq.agg is not None:
+            if (
+                eq.func is not None
+                or eq.agg is not None
+                or eq.hist_quantile is not None
+            ):
+                start, end = data_window(eq)
                 out = evaluate_extended(
                     lake.sensors(),
-                    lake.values(
-                        SensorType.FLOAT,
-                        eq.selector.start_time,
-                        eq.selector.end_time,
-                    ),
+                    lake.values(SensorType.FLOAT, start, end),
                     eq,
                 )
                 return jsonify(

@@ -280,6 +280,53 @@ def test_extended_promql_binary(client):
     assert r.status_code == 400
 
 
+def test_extended_promql_round6_features(client):
+    """Round-6 extended features ride the same HTTP opt-in: subqueries
+    (pinning the WIDENED data window — the samples sit years before the
+    inner lookback alone would reach), many-to-one group matching, and
+    the histogram_quantile dispatch (plain-selector inner must not fall
+    through to the base parser's 400)."""
+    assert client.post(
+        "/publish", data=CSV, content_type="text/csv"
+    ).status_code == 200
+
+    # Subquery: 20 steps of 1000h; early step windows cover the 2024
+    # fixture samples only because the gateway loads data_window(eq),
+    # not the bare selector window.
+    r = client.get(
+        "/api/v1/query?query="
+        "max_over_time(avg_over_time(temperature[10000h])[20000h:1000h])"
+        "&extended=true"
+    )
+    assert r.status_code == 200
+    result = r.get_json()["result"]
+    assert len(result) == 1
+    assert result[0]["value"] == pytest.approx((20.5 + 21.0) / 2)
+
+    # group_left with an aggregated one side; the label is absent on
+    # every series, so all match the empty-value group.
+    r = client.get(
+        "/api/v1/query?query="
+        "max_over_time(temperature[100000h]) / on (site) group_left "
+        "sum by (site) (max_over_time(temperature[100000h]))"
+        "&extended=true"
+    )
+    assert r.status_code == 200
+    result = r.get_json()["result"]
+    assert len(result) == 1
+    assert result[0]["value"] == pytest.approx(1.0)
+
+    # histogram_quantile dispatches through the extended path (a plain
+    # instant selector means func=None/agg=None — previously the shape
+    # that fell through to the base parser's 400).
+    r = client.get(
+        "/api/v1/query?query="
+        "histogram_quantile(0.5, nosuchmetric_bucket)&extended=true"
+    )
+    assert r.status_code == 200
+    assert r.get_json()["result"] == []
+
+
 def test_query_range_endpoint(client):
     assert client.post(
         "/publish", data=CSV, content_type="text/csv"
