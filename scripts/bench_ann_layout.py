@@ -71,7 +71,7 @@ def main() -> int:
     t0 = time.time()
     store.write_lsh(flat, n_planes=N_PLANES)
     layout_write_s = round(time.time() - t0, 1)
-    by_bucket, stored_planes = store.read_lsh()
+    by_bucket, stored_planes, stored_dim = store.read_lsh()
     assert stored_planes == N_PLANES
 
     queries = [

@@ -163,11 +163,6 @@ def _batches_from_rows(rows, chunk_rows: int):
             close()
 
 
-def _iter_multi_batches(df: DataFrame, sensor_type: SensorType,
-                        chunk_rows: int):
-    return _batches_from_rows(multi_rows(df, sensor_type), chunk_rows)
-
-
 def arrow_multi_bytes_from_rows(rows: list[tuple]) -> bytes:
     """The complete single-batch IPC file for buffered row tuples —
     BYTE-identical to ``to_arrow_multi`` of the frame that produced

@@ -27,12 +27,14 @@ SPLIT_SALT = "sensapp-split"
 BUCKETS = 100
 
 
-def sample_bucket(col, salt: str) -> F.Column:
-    """Deterministic bucket in [0, BUCKETS) from md5(salt ':' id) —
+def sample_bucket(col, salt: str, buckets: int = BUCKETS) -> F.Column:
+    """Deterministic bucket in [0, buckets) from md5(salt ':' id) —
     reproducible across engines (DuckDB computes the identical value
-    from the same expression)."""
+    from the same expression). THE single Spark-side bucket formula:
+    every sampler (and the SQL oracle's ``_bucket_sql`` twin) derives
+    from it, so the hashing can never drift between samplers."""
     h = hash32(F.concat(F.lit(f"{salt}:"), col.cast("string")))
-    return F.pmod(h, F.lit(BUCKETS)).cast("int")
+    return F.pmod(h, F.lit(buckets)).cast("int")
 
 
 def stratified_sample(
@@ -107,8 +109,7 @@ def temperature_mix(
     rate = F.lit(0)
     for s, ppm in rates.items():
         rate = F.when(F.col(source_col) == s, F.lit(ppm)).otherwise(rate)
-    h = hash32(F.concat(F.lit(f"{MIX_SALT}:"), F.col("doc_id").cast("string")))
-    bucket = F.pmod(h, F.lit(MIX_BUCKETS)).cast("int")
+    bucket = sample_bucket(F.col("doc_id"), MIX_SALT, buckets=MIX_BUCKETS)
     return (
         docs.withColumn("mix_bucket", bucket)
         .filter(F.col("mix_bucket") < rate)

@@ -455,6 +455,23 @@ def parse_extended(query: str, now: dt.datetime | None = None) -> ExtendedQuery:
                 "Aggregate either inside the subquery or outside it, "
                 "not both.",
             )
+        if sub.hist_quantile is not None:
+            # Outer aggregation over a quantile vector: only ungrouped
+            # value folds are meaningful (the quantile output keys on a
+            # canonical label string, not a label map).
+            if labels:
+                raise PromQLError(
+                    "aggregation",
+                    "Grouped aggregation over histogram_quantile() is "
+                    "not supported — aggregate ungrouped "
+                    "(e.g. max(histogram_quantile(0.9, m_bucket))).",
+                )
+            if head not in _AGG_FNS and head != "quantile":
+                raise PromQLError(
+                    "aggregation",
+                    f"{head}() over histogram_quantile() is not "
+                    "supported.",
+                )
         return ExtendedQuery(
             selector=sub.selector,
             func=sub.func,
@@ -466,6 +483,7 @@ def parse_extended(query: str, now: dt.datetime | None = None) -> ExtendedQuery:
             label_param=label_param,
             label_ops=sub.label_ops,
             series_post=sub.post,
+            hist_quantile=sub.hist_quantile,
             sub_inner=sub.sub_inner,
             sub_range_s=sub.sub_range_s,
             sub_step_s=sub.sub_step_s,
@@ -1074,14 +1092,44 @@ def evaluate_extended(
     if eq.hist_quantile is not None:
         import dataclasses
 
+        # The enclosing agg (if any) is the OUTER one — an aggregated
+        # INNER (sum by (le,…)) travels as eq.agg only when no outer
+        # agg exists (the parser rejects agg-over-agg). Outer agg and
+        # post-functions apply AFTER quantiling, so the inner evaluates
+        # bare; ``by`` including "le" marks the inner-agg shape.
+        inner_agg = eq.agg is not None and "le" in eq.by
         vec = evaluate_extended(
-            sensors, values, dataclasses.replace(eq, hist_quantile=None)
+            sensors,
+            values,
+            dataclasses.replace(
+                eq,
+                hist_quantile=None,
+                post=[],
+                **(
+                    {}
+                    if inner_agg
+                    else {"agg": None, "param": None, "by": [],
+                          "without": []}
+                ),
+            ),
         )
-        return _histogram_le_quantile(
-            vec,
-            eq.hist_quantile,
-            by=(eq.by if eq.agg is not None else None),
+        hq = _histogram_le_quantile(
+            vec, eq.hist_quantile, by=(eq.by if inner_agg else None)
         )
+        if eq.agg is not None and not inner_agg:
+            # Ungrouped outer aggregation over the quantile vector
+            # (max(histogram_quantile(…))) — by/without outer grouping
+            # is parse-rejected.
+            if eq.agg == "quantile":
+                agg_col = F.percentile("value", F.lit(eq.param)).cast(
+                    "double"
+                )
+            else:
+                agg_col = _AGG_FNS[eq.agg]("value")
+                if eq.agg == "count":
+                    agg_col = agg_col.cast("long")
+            hq = hq.groupBy().agg(agg_col.alias("value"))
+        return _apply_post(hq, eq.post)
     if eq.sub_inner is not None:
         out, series_shaped = _evaluate_subquery(sensors, values, eq)
         if series_shaped:
@@ -1184,16 +1232,22 @@ def data_window(eq: ExtendedQuery) -> tuple[dt.datetime, dt.datetime]:
     steps of their samples)."""
     if eq.sub_inner is not None:
         lookback = eq.selector.end_time - eq.selector.start_time
-        start = (
-            eq.sub_eval
-            - dt.timedelta(seconds=eq.sub_range_s)
-            - lookback
-        )
         end = eq.sub_eval
         if end.tzinfo is None:
             end = end.replace(tzinfo=dt.timezone.utc)
-        if start.tzinfo is None:
-            start = start.replace(tzinfo=dt.timezone.utc)
+        sel_end = eq.selector.end_time
+        if sel_end.tzinfo is None:
+            sel_end = sel_end.replace(tzinfo=dt.timezone.utc)
+        # An inner `offset` pushes every step window further back; the
+        # offset is the gap between the evaluation anchor and the
+        # selector's (shifted) end.
+        offset = max(dt.timedelta(0), end - sel_end)
+        start = (
+            end
+            - dt.timedelta(seconds=eq.sub_range_s)
+            - lookback
+            - offset
+        )
         return start, end
     return eq.selector.start_time, eq.selector.end_time
 
@@ -1216,7 +1270,8 @@ def _evaluate_subquery(
     inner = eq.sub_inner
     start = eq.sub_eval - dt.timedelta(seconds=eq.sub_range_s)
     steps = evaluate_range(
-        sensors, values, inner, start, eq.sub_eval, eq.sub_step_s
+        sensors, values, inner, start, eq.sub_eval, eq.sub_step_s,
+        now=eq.sub_eval,  # activates the inner selector's offset
     )
     series_shaped = "sensor_id" in steps.columns
     t_us = F.unix_micros("t")
@@ -1351,6 +1406,7 @@ def evaluate_range(
     start: dt.datetime,
     end: dt.datetime,
     step_seconds: float,
+    now: dt.datetime | None = None,
 ) -> DataFrame:
     """Prometheus range query: evaluate ``eq`` at every step in
     [start, end] (the matrix selector's range — or the 1 h instant
@@ -1364,9 +1420,25 @@ def evaluate_range(
     step). One shuffle keyed (sensor, step) with map-side partials; no
     per-step jobs, no driver loop. Range endpoints are inclusive-both,
     matching the engine's Q5 time-range semantics (Prometheus itself
-    uses a left-open window)."""
+    uses a left-open window).
+
+    ``now`` (the selector's parse-time evaluation anchor) activates the
+    selector's ``offset`` modifier: offset = now − selector end, and
+    each step ``t`` then evaluates over [t − offset − R, t − offset] —
+    implemented by shifting the sample clock by +offset before the
+    step-index math, so the explode/reduce shape is unchanged. Without
+    ``now`` the offset cannot be derived and is ignored (pre-existing
+    registry callers evaluate offset-free selectors)."""
     q = eq.selector
     lookback = q.end_time - q.start_time
+    off_us = 0
+    if now is not None:
+        end_t = q.end_time
+        anchor = now if now.tzinfo else now.replace(tzinfo=dt.timezone.utc)
+        if end_t.tzinfo is None:
+            end_t = end_t.replace(tzinfo=dt.timezone.utc)
+        off_us = max(0, int((anchor - end_t).total_seconds() * 1_000_000))
+    offset = dt.timedelta(microseconds=off_us)
     r_us = int(lookback.total_seconds() * 1_000_000)
     s_us = int(step_seconds * 1_000_000)
     start_us = int(start.replace(tzinfo=dt.timezone.utc).timestamp() * 1e6)
@@ -1379,9 +1451,9 @@ def evaluate_range(
     scan = values.join(
         F.broadcast(selected.select("sensor_id")), "sensor_id", "leftsemi"
     )
-    scan = time_range(scan, start - lookback, end)
+    scan = time_range(scan, start - lookback - offset, end - offset)
 
-    tau = F.unix_micros("time")
+    tau = F.unix_micros("time") + F.lit(off_us)
     idx0 = F.greatest(
         F.lit(0), -F.floor((tau - F.lit(start_us)) / -s_us).cast("long")
     )  # ceil((tau-start)/S) via negated floor — stays integral
@@ -1502,6 +1574,31 @@ def evaluate_binary(
     become left-semi / left-anti joins / a union with an anti-join on
     the matching key — no value columns cross sides, so all three stay
     dimension-sized joins."""
+    # Operands must evaluate to label-map series vectors (or scalars):
+    # a histogram_quantile result keys on a canonical label STRING and
+    # an aggregated-inner subquery keeps its group columns — either
+    # would crash the matching-key expression with an opaque
+    # AnalysisException, so reject them didactically up front (this
+    # covers the set-op, scalar, group, and one-to-one paths alike).
+    for side_eq in (bq.left, bq.right):
+        if isinstance(side_eq, float):
+            continue
+        if side_eq.hist_quantile is not None:
+            raise PromQLError(
+                "binary",
+                "histogram_quantile() operands in binary operations "
+                "are not supported; compute the quantiles separately.",
+            )
+        if (
+            side_eq.sub_inner is not None
+            and side_eq.sub_inner.agg is not None
+        ):
+            raise PromQLError(
+                "binary",
+                "Aggregated-inner subquery operands in binary "
+                "operations are not supported; use a series-shaped "
+                "subquery or aggregate the result.",
+            )
 
     def apply(lc: F.Column, rc: F.Column) -> F.Column:
         return {

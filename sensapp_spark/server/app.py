@@ -626,20 +626,28 @@ def create_app(
                 step = _duration_ms(raw_step) / 1000.0
             if step <= 0 or end < start:
                 raise ValueError("step must be > 0 and end >= start")
-            eq = parse_extended(query)
+            # Explicit parse anchor so the selector's `offset` can be
+            # derived exactly (offset = anchor − selector end).
+            now_parse = dt.datetime.now(dt.timezone.utc)
+            eq = parse_extended(query, now=now_parse)
         except (ValueError, PromQLError) as e:
             return jsonify({"error": str(e)}), 400
+        lookback = eq.selector.end_time - eq.selector.start_time
+        offset = max(
+            dt.timedelta(0), now_parse - eq.selector.end_time
+        )
         out = evaluate_range(
             lake.sensors(),
             lake.values(
                 SensorType.FLOAT,
-                start - (eq.selector.end_time - eq.selector.start_time),
+                start - lookback - offset,
                 end,
             ),
             eq,
             start=start,
             end=end,
             step_seconds=step,
+            now=now_parse,
         )
         # ISO-format the step timestamp explicitly (Flask would render
         # datetime values as RFC-822 strings).

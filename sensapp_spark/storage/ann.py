@@ -23,9 +23,12 @@ The codebook / plane-count the layout was written with is part of the
 index: probing with ids derived from any other codebook would silently
 scan the wrong lists (the similarity functions refuse stored layouts
 without an explicit codebook for this reason — similarity.py:517-523).
-So the store persists that metadata in a ``<table>__meta.json`` sidecar
-written atomically with the data, and the read path hands both back
-together; ``topk`` never lets them drift apart.
+So the store persists that metadata as a ``_ann_meta.json`` file
+INSIDE the committed version directory (underscore-prefixed → hidden
+to parquet scans, like ``_SUCCESS``): the pointer flip publishes data
+and metadata in ONE atomic step, so a reader that resolves the pointer
+once can never pair one version's assignment with another's codebook —
+not even across a concurrent re-index or a writer crash mid-publish.
 
 Reference anchor: the reference has no vector index at all — this is
 beyond-reference scale surface for the training-data pipeline
@@ -36,7 +39,6 @@ from __future__ import annotations
 
 import json
 import os
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -59,15 +61,18 @@ from sensapp_spark.storage.lake import (
 )
 
 
+META_FILE = "_ann_meta.json"
+
+
 class AnnIndexStore:
     """Directory of persisted ANN layouts under ``root``: one
-    partitioned parquet table + one JSON meta sidecar per index name.
-    Writes are serialized per-index by the same kernel-flock lock as
-    the sensor lake's maintenance ops and swapped atomically, so a
-    reader never observes a half-written layout or a data/meta
-    mismatch (meta is replaced AFTER the data swap, inside the lock;
-    both reads happen under no lock — the sidecar always describes
-    either the old complete layout or the new complete layout)."""
+    partitioned parquet table per index name, each committed version
+    carrying its ``_ann_meta.json`` inside the version dir. Writes are
+    serialized per-index by the same kernel-flock lock as the sensor
+    lake's maintenance ops and published by the pointer flip; reads
+    resolve the pointer ONCE and take data + meta from that same
+    immutable version dir — consistency by construction, no reader
+    lock."""
 
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
@@ -79,33 +84,23 @@ class AnnIndexStore:
     def _path(self, name: str) -> str:
         return os.path.join(self.root, name)
 
-    def _meta_path(self, name: str) -> str:
-        return os.path.join(self.root, f"{name}__meta.json")
-
-    def _write_meta(self, name: str, meta: dict) -> None:
-        """Atomic sidecar replace: write-tmp + rename on the same
-        filesystem, so a concurrent reader sees old-or-new, never a
-        partial file."""
-        fd, tmp = tempfile.mkstemp(dir=self.root, suffix=".tmp")
-        with os.fdopen(fd, "w") as f:
-            json.dump(meta, f)
-        os.replace(tmp, self._meta_path(name))
-
-    def _read_meta(self, name: str, kind: str) -> dict:
-        path = self._meta_path(name)
-        if not os.path.exists(path) or resolve_table(self._path(name)) is None:
+    def _resolve(self, name: str, kind: str) -> tuple[str, dict]:
+        """One pointer resolution → (version data dir, its meta)."""
+        data = resolve_table(self._path(name))
+        meta_path = data and os.path.join(data, META_FILE)
+        if data is None or not os.path.exists(meta_path):
             raise FileNotFoundError(
                 f"no {kind} layout named {name!r} under {self.root} — "
                 f"write it first with write_{kind}()"
             )
-        with open(path) as f:
+        with open(meta_path) as f:
             meta = json.load(f)
         if meta.get("kind") != kind:
             raise ValueError(
                 f"layout {name!r} is a {meta.get('kind')!r} index, not "
                 f"{kind!r}"
             )
-        return meta
+        return data, meta
 
     # -- IVF -----------------------------------------------------------------
 
@@ -136,15 +131,18 @@ class AnnIndexStore:
             src = src.drop("centroid_id")
         assigned = ivf_assign(src, cents)
         path = self._path(name)
+        meta = {
+            "kind": "ivf",
+            "nlist": len(cents),
+            "dim": len(cents[0][1]),
+            "codebook": [[cid, vec] for cid, vec in cents],
+        }
         with dir_lock(path):
-            atomic_overwrite(assigned, path, partition_by="centroid_id")
-            self._write_meta(
-                name,
-                {
-                    "kind": "ivf",
-                    "nlist": len(cents),
-                    "codebook": [[cid, vec] for cid, vec in cents],
-                },
+            atomic_overwrite(
+                assigned,
+                path,
+                partition_by="centroid_id",
+                extra_files={META_FILE: json.dumps(meta).encode()},
             )
         return cents
 
@@ -153,12 +151,9 @@ class AnnIndexStore:
     ) -> tuple[DataFrame, list[tuple[int, list[float]]]]:
         """The stored layout frame (with its ``centroid_id`` partition
         column) and the codebook it was written with."""
-        meta = self._read_meta(name, "ivf")
+        data, meta = self._resolve(name, "ivf")
         cents = [(int(c), [float(x) for x in v]) for c, v in meta["codebook"]]
-        return (
-            self.spark.read.parquet(resolve_table(self._path(name))),
-            cents,
-        )
+        return self.spark.read.parquet(data), cents
 
     def ivf_topk(
         self,
@@ -174,6 +169,12 @@ class AnnIndexStore:
         faster at 200k vectors (BASELINE.md §"IVF partitioned
         layout")."""
         frame, cents = self.read_ivf(name)
+        if cents and len(query) != len(cents[0][1]):
+            raise ValueError(
+                f"query vector has {len(query)} dimensions but layout "
+                f"{name!r} was written from {len(cents[0][1])}-dim "
+                "embeddings — probe centroids would be meaningless"
+            )
         return ivf_topk(frame, query, k=k, nprobe=nprobe, codebook=cents)
 
     # -- hyperplane LSH ------------------------------------------------------
@@ -204,21 +205,26 @@ class AnnIndexStore:
             "bucket", bucket_expr(F.col("embedding"), planes)
         )
         path = self._path(name)
+        meta = {"kind": "lsh", "n_planes": n_planes, "dim": dim}
         with dir_lock(path):
-            atomic_overwrite(bucketed, path, partition_by="bucket")
-            self._write_meta(
-                name, {"kind": "lsh", "n_planes": n_planes, "dim": dim}
+            atomic_overwrite(
+                bucketed,
+                path,
+                partition_by="bucket",
+                extra_files={META_FILE: json.dumps(meta).encode()},
             )
 
     def read_lsh(
         self, name: str = "embeddings_lsh"
-    ) -> tuple[DataFrame, int]:
+    ) -> tuple[DataFrame, int, int]:
         """The stored layout frame (with its ``bucket`` partition
-        column) and the plane count it was written with."""
-        meta = self._read_meta(name, "lsh")
+        column), the plane count, and the embedding width it was
+        written with."""
+        data, meta = self._resolve(name, "lsh")
         return (
-            self.spark.read.parquet(resolve_table(self._path(name))),
+            self.spark.read.parquet(data),
             int(meta["n_planes"]),
+            int(meta["dim"]),
         )
 
     def lsh_topk(
@@ -232,7 +238,13 @@ class AnnIndexStore:
         bucket + Hamming-1 neighbors when ``multiprobe``) prune to
         bucket directories — measured 13.1× at 200k vectors
         (BASELINE.md, LSH row)."""
-        frame, n_planes = self.read_lsh(name)
+        frame, n_planes, dim = self.read_lsh(name)
+        if len(query) != dim:
+            raise ValueError(
+                f"query vector has {len(query)} dimensions but layout "
+                f"{name!r} was written from {dim}-dim embeddings — the "
+                "regenerated hyperplanes would probe meaningless buckets"
+            )
         return hyperplane_lsh_topk(
             frame,
             query,

@@ -120,11 +120,18 @@ class SensorLake:
 
     def _append_dir(self, path: str) -> str:
         """The directory appends land in: the table's current committed
-        version (appends are new uniquely-named part files — safe
-        concurrently, no lock needed). Only the FIRST append on a brand
-        new table takes the lock, to create version 1 + pointer exactly
-        once (two unlocked creators would each flip the pointer and
-        orphan the loser's files)."""
+        version. Appends are new uniquely-named part files, so they are
+        safe against OTHER APPENDS with no lock. Against a concurrent
+        MAINTENANCE REWRITE (dedup_rewrite/optimize) the same caveat as
+        the pre-pointer layout applies — and it is dedup_rewrite's
+        documented contract: an append landing during the rewrite
+        window was read neither by the rewrite nor retained past
+        pruning, so run maintenance in a window without active
+        publishers (a transaction-log table format is what closes this
+        for real). Only the FIRST append on a brand new table takes the
+        lock, to create version 1 + pointer exactly once (two unlocked
+        creators would each flip the pointer and orphan the loser's
+        files)."""
         data = resolve_table(path)
         if data is not None:
             return data
@@ -368,7 +375,10 @@ def _prune_versions(path: str, keep: int = 2) -> None:
 
 
 def atomic_overwrite(
-    df: DataFrame, path: str, partition_by: str | None = None
+    df: DataFrame,
+    path: str,
+    partition_by: str | None = None,
+    extra_files: dict[str, bytes] | None = None,
 ) -> None:
     """Rename-based commit protocol: write a fresh IMMUTABLE version
     directory under the table path, then atomically repoint the
@@ -390,13 +400,30 @@ def atomic_overwrite(
     kernel) or a real transaction log (Delta/Iceberg — the documented
     deployment mapping) to avoid lost read-merge-write updates. Same
     contract the reference delegates to its database transaction
-    (src/storage/sqlite/storage.rs:69-77)."""
+    (src/storage/sqlite/storage.rs:69-77).
+
+    ``extra_files`` land INSIDE the version dir before the pointer
+    flip, so table-level metadata (e.g. an ANN index's codebook)
+    commits atomically WITH its data — a reader resolving the pointer
+    once can never pair one version's data with another's metadata.
+    Names must start with ``_`` or ``.`` so Spark's scan treats them
+    as hidden (like ``_SUCCESS``)."""
     os.makedirs(path, exist_ok=True)
     version = _next_version(path)
     writer = df.write.mode("overwrite")
     if partition_by:
         writer = writer.partitionBy(partition_by)
     writer.parquet(os.path.join(path, version))
+    for name, blob in (extra_files or {}).items():
+        if not name.startswith(("_", ".")):
+            raise ValueError(
+                f"extra file {name!r} must start with '_' or '.' so "
+                "parquet scans skip it"
+            )
+        with open(os.path.join(path, version, name), "wb") as f:
+            f.write(blob)
+            f.flush()
+            os.fsync(f.fileno())
     tmp = os.path.join(path, f".ptr_{uuid_mod.uuid4().hex[:8]}")
     with open(tmp, "w") as f:
         f.write(version)

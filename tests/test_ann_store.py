@@ -105,6 +105,28 @@ def test_kind_mismatch_raises(store):
         store.read_lsh("embeddings_ivf")
 
 
+def test_meta_lives_inside_committed_version(store):
+    """The codebook/plane meta commits INSIDE the version dir (hidden
+    `_ann_meta.json`), so one pointer resolution pairs data and meta
+    from the same immutable version — the round-6 review's sidecar
+    race is structurally impossible."""
+    import os
+
+    from sensapp_spark.storage.ann import META_FILE
+    from sensapp_spark.storage.lake import resolve_table
+
+    for name in ("embeddings_ivf", "embeddings_lsh"):
+        data = resolve_table(store._path(name))
+        assert os.path.exists(os.path.join(data, META_FILE))
+
+
+def test_wrong_dim_query_raises(store):
+    with pytest.raises(ValueError, match="dimensions"):
+        store.ivf_topk([0.1, 0.2], k=5)
+    with pytest.raises(ValueError, match="dimensions"):
+        store.lsh_topk([0.1, 0.2], k=5)
+
+
 def test_rewrite_with_new_codebook_rewires_assignment(
     spark, tmp_path, embeddings
 ):

@@ -101,6 +101,25 @@ def test_phi_out_of_range(frames):
     assert hi['instance="i1"'] == float("inf")
 
 
+def test_outer_ungrouped_aggregation_folds_quantiles(frames):
+    """min(histogram_quantile(…)) aggregates the QUANTILES, not the raw
+    bucket counts (the round-6 review found the AGG wrapper dropping
+    hist_quantile). Spark's ordering treats NaN as largest, so min
+    sidesteps the NaN group."""
+    got = _run(frames, "min(histogram_quantile(0.5, b))")
+    assert got == {None: -1.0} or list(got.values()) == [-1.0]
+
+
+def test_post_function_applies_to_quantile_not_buckets(frames):
+    """clamp_max over histogram_quantile clamps the RESULT; clamping
+    the cumulative counts instead would destroy the CDF and pick the
+    wrong bucket (second round-6 review finding)."""
+    got = _run(frames, "clamp_max(histogram_quantile(0.5, b), 0.5)")
+    assert got['instance="i1"'] == pytest.approx(0.42)
+    assert got['instance="i2"'] == 0.5
+    assert got['instance="i4"'] == -1.0
+
+
 @pytest.mark.parametrize(
     "expr, fragment",
     [
@@ -113,6 +132,14 @@ def test_phi_out_of_range(frames):
             "must keep the le label",
         ),
         ("histogram_quantile(b)", "scalar first argument"),
+        (
+            "max by (instance) (histogram_quantile(0.5, b))",
+            "Grouped aggregation over histogram_quantile",
+        ),
+        (
+            "topk(2, histogram_quantile(0.5, b))",
+            "over histogram_quantile() is not supported",
+        ),
     ],
 )
 def test_rejections(frames, expr, fragment):

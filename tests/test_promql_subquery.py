@@ -97,6 +97,54 @@ def test_enclosing_aggregation_composes(frames):
     assert total[0].value == pytest.approx(sum(per_series.values()))
 
 
+def test_subquery_inner_offset_shifts_windows(frames):
+    """`rate(m[2d] offset 5d)` inside a subquery evaluates each step
+    over [t−5d−2d, t−5d] — identical to the offset-free subquery
+    anchored 5 days earlier (round-6 review: the offset was silently
+    ignored)."""
+    sensors, vals = frames
+    shifted = evaluate_extended(
+        sensors, vals,
+        parse_extended(
+            "max_over_time(rate(click[2d] offset 5d)[20d:1d])", now=NOW
+        ),
+    )
+    anchored = evaluate_extended(
+        sensors, vals,
+        parse_extended(
+            "max_over_time(rate(click[2d])[20d:1d])",
+            now=NOW - dt.timedelta(days=5),
+        ),
+    )
+    got = {r.sensor_id: round(r.value, 9) for r in shifted.collect()}
+    want = {r.sensor_id: round(r.value, 9) for r in anchored.collect()}
+    assert got == want and len(got) > 0
+
+
+def test_binary_rejects_non_series_operands(frames):
+    from sensapp_spark.query.promql_ext import (
+        evaluate_binary,
+        parse_extended_expr,
+    )
+
+    sensors, vals = frames
+    for expr, frag in [
+        (
+            "histogram_quantile(0.5, click) / rate(click[2d])",
+            "histogram_quantile() operands",
+        ),
+        (
+            "max_over_time(sum(rate(click[2d]))[20d:1d]) / rate(click[2d])",
+            "Aggregated-inner subquery operands",
+        ),
+    ]:
+        with pytest.raises(PromQLError) as exc:
+            evaluate_binary(
+                sensors, vals, parse_extended_expr(expr, now=NOW)
+            )
+        assert frag in str(exc.value)
+
+
 def test_subquery_count_is_long(frames):
     out = _run(frames, "count_over_time(click[20d:1d])")
     assert dict(out.dtypes)["value"] == "bigint"
