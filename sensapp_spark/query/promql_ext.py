@@ -125,6 +125,12 @@ class ExtendedQuery:
     label_ops: list[tuple[str, tuple]] = field(default_factory=list)
     # histogram_quantile(φ, …) wrapping this vector: the φ, or None.
     hist_quantile: float | None = None
+    # Post-functions that were applied INSIDE histogram_quantile's
+    # argument (to the bucket values) — kept apart from ``post`` so
+    # functions wrapping the quantile can never leak onto the counts.
+    hist_inner_post: list[tuple[str, float | None]] = field(
+        default_factory=list
+    )
     # Subquery: eq.func is the OUTER range function, evaluated over the
     # inner expression's [range:step] step samples ending at sub_eval.
     sub_inner: "ExtendedQuery | None" = None
@@ -484,6 +490,7 @@ def parse_extended(query: str, now: dt.datetime | None = None) -> ExtendedQuery:
             label_ops=sub.label_ops,
             series_post=sub.post,
             hist_quantile=sub.hist_quantile,
+            hist_inner_post=sub.hist_inner_post,
             sub_inner=sub.sub_inner,
             sub_range_s=sub.sub_range_s,
             sub_step_s=sub.sub_step_s,
@@ -525,6 +532,12 @@ def parse_extended(query: str, now: dt.datetime | None = None) -> ExtendedQuery:
                     "keep the le label — e.g. histogram_quantile(0.9, "
                     "sum by (le, instance) (rate(m_bucket[5m]))).",
                 )
+        # Posts parsed so far wrapped the ARGUMENT (bucket values);
+        # posts parsed after this point wrap the quantile. Separate
+        # them so e.g. max(abs(histogram_quantile(…))) applies abs to
+        # quantiles, never to counts.
+        sub.hist_inner_post = sub.post
+        sub.post = []
         sub.hist_quantile = param
         return sub
 
@@ -1094,9 +1107,12 @@ def evaluate_extended(
 
         # The enclosing agg (if any) is the OUTER one — an aggregated
         # INNER (sum by (le,…)) travels as eq.agg only when no outer
-        # agg exists (the parser rejects agg-over-agg). Outer agg and
-        # post-functions apply AFTER quantiling, so the inner evaluates
-        # bare; ``by`` including "le" marks the inner-agg shape.
+        # agg exists (the parser rejects agg-over-agg). The inner
+        # evaluation applies ONLY hist_inner_post (functions inside
+        # the argument, over bucket values); everything wrapping the
+        # quantile — series_post (posts the AGG branch lifted off the
+        # wrapper), the outer agg, and eq.post — applies AFTERWARDS in
+        # parse order: quantile → series_post → agg → post.
         inner_agg = eq.agg is not None and "le" in eq.by
         vec = evaluate_extended(
             sensors,
@@ -1104,18 +1120,20 @@ def evaluate_extended(
             dataclasses.replace(
                 eq,
                 hist_quantile=None,
-                post=[],
+                post=eq.hist_inner_post,
                 **(
                     {}
                     if inner_agg
                     else {"agg": None, "param": None, "by": [],
-                          "without": []}
+                          "without": [], "series_post": []}
                 ),
             ),
         )
         hq = _histogram_le_quantile(
             vec, eq.hist_quantile, by=(eq.by if inner_agg else None)
         )
+        if not inner_agg and eq.series_post:
+            hq = _apply_post(hq, eq.series_post)
         if eq.agg is not None and not inner_agg:
             # Ungrouped outer aggregation over the quantile vector
             # (max(histogram_quantile(…))) — by/without outer grouping
@@ -1387,6 +1405,9 @@ def _histogram_le_quantile(
     count = F.col("__cum") - F.coalesce(F.col("__pcum"), F.lit(0.0))
     value = (
         F.when(F.col("__has_inf") == 0, F.lit(float("nan")))
+        # Zero observations: Prometheus returns NaN; without this arm
+        # the 0/0 division below yields SQL NULL, not NaN.
+        .when(F.col("__total") == 0, F.lit(float("nan")))
         .when(
             F.col("__le") == inf,
             F.coalesce(F.col("__ple"), F.lit(float("nan"))),
@@ -1429,6 +1450,20 @@ def evaluate_range(
     step-index math, so the explode/reduce shape is unchanged. Without
     ``now`` the offset cannot be derived and is ignored (pre-existing
     registry callers evaluate offset-free selectors)."""
+    if eq.sub_inner is not None:
+        raise PromQLError(
+            "subquery",
+            "Subqueries inside range queries are not supported — a "
+            "subquery IS a range evaluation; query the inner "
+            "expression with /api/v1/query_range directly, or the "
+            "whole subquery as an instant query.",
+        )
+    if eq.hist_quantile is not None:
+        raise PromQLError(
+            "call",
+            "histogram_quantile() in range queries is not supported "
+            "yet; evaluate it as an instant query.",
+        )
     q = eq.selector
     lookback = q.end_time - q.start_time
     off_us = 0
@@ -1589,10 +1624,14 @@ def evaluate_binary(
                 "histogram_quantile() operands in binary operations "
                 "are not supported; compute the quantiles separately.",
             )
-        if (
-            side_eq.sub_inner is not None
-            and side_eq.sub_inner.agg is not None
+        if side_eq.sub_inner is not None and side_eq.sub_inner.agg not in (
+            None,
+            "topk",
+            "bottomk",
         ):
+            # topk/bottomk inners stay series-shaped (see
+            # _evaluate_subquery) — only true aggregations lose the
+            # label map.
             raise PromQLError(
                 "binary",
                 "Aggregated-inner subquery operands in binary "

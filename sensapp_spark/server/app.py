@@ -636,19 +636,24 @@ def create_app(
         offset = max(
             dt.timedelta(0), now_parse - eq.selector.end_time
         )
-        out = evaluate_range(
-            lake.sensors(),
-            lake.values(
-                SensorType.FLOAT,
-                start - lookback - offset,
-                end,
-            ),
-            eq,
-            start=start,
-            end=end,
-            step_seconds=step,
-            now=now_parse,
-        )
+        try:
+            out = evaluate_range(
+                lake.sensors(),
+                lake.values(
+                    SensorType.FLOAT,
+                    start - lookback - offset,
+                    end,
+                ),
+                eq,
+                start=start,
+                end=end,
+                step_seconds=step,
+                now=now_parse,
+            )
+        except PromQLError as e:
+            # Shapes evaluate_range rejects (subqueries,
+            # histogram_quantile) are client errors, not 500s.
+            return jsonify({"error": str(e)}), 400
         # ISO-format the step timestamp explicitly (Flask would render
         # datetime values as RFC-822 strings).
         from pyspark.sql import functions as F

@@ -124,6 +124,11 @@ class AnnIndexStore:
             if codebook is not None
             else ivf_centroids(embeddings, nlist)
         )
+        if not cents:
+            raise ValueError(
+                "cannot build an IVF layout from an empty corpus / "
+                "empty codebook"
+            )
         src = embeddings
         if "centroid_id" in src.columns:
             # Re-indexing an existing layout frame: recompute from the

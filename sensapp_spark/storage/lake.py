@@ -366,12 +366,40 @@ def _next_version(path: str) -> str:
     return f"v_{seq + 1:08d}_{uuid_mod.uuid4().hex[:8]}"
 
 
-def _prune_versions(path: str, keep: int = 2) -> None:
-    """Drop all but the newest ``keep`` version dirs (commit order =
-    lexicographic order of the zero-padded names)."""
-    versions = sorted(d for d in os.listdir(path) if d.startswith("v_"))
-    for d in versions[:-keep]:
-        shutil.rmtree(os.path.join(path, d), ignore_errors=True)
+def _prune_versions(path: str, current: str, prev: str | None) -> None:
+    """Keep the just-committed ``current`` plus ``prev`` — the version
+    the pointer named immediately before the flip, i.e. the exact
+    COMMITTED predecessor in-flight readers may still hold (one
+    generation of grace); drop every other ``v_`` dir.
+
+    Anchoring on the recorded pointer value rather than "the newest
+    two names" matters: a crashed writer's never-committed version dir
+    can sort anywhere relative to the committed ones, and counting it
+    toward a name-ordered keep set would evict the predecessor readers
+    still hold while retaining the useless orphan. Orphans are safely
+    deleted here because every committer holds the table flock, so at
+    commit time no live writer owns any other version dir.
+
+    Once a committed predecessor exists (``prev`` non-None — the same
+    grace legacy readers get), a migrated table's pre-pointer flat
+    data entries are removed too; otherwise they would linger as a
+    permanent stale copy of the table."""
+    keep = {current, prev}
+    for d in os.listdir(path):
+        if d.startswith("v_") and d not in keep:
+            shutil.rmtree(os.path.join(path, d), ignore_errors=True)
+    if prev is not None:
+        for d in os.listdir(path):
+            # Everything that is not a version dir, the pointer, or an
+            # in-flight pointer temp is legacy data (including Spark's
+            # hidden .crc shadows).
+            if d.startswith(("v_", ".ptr_")) or d == CURRENT_PTR:
+                continue
+            full = os.path.join(path, d)
+            if os.path.isdir(full):
+                shutil.rmtree(full, ignore_errors=True)
+            else:
+                os.unlink(full)
 
 
 def atomic_overwrite(
@@ -409,6 +437,14 @@ def atomic_overwrite(
     Names must start with ``_`` or ``.`` so Spark's scan treats them
     as hidden (like ``_SUCCESS``)."""
     os.makedirs(path, exist_ok=True)
+    # The pointer's CURRENT value is the committed predecessor that
+    # pruning must retain for in-flight readers — recorded before the
+    # flip (name ordering cannot distinguish it from crash orphans).
+    prev = None
+    ptr = os.path.join(path, CURRENT_PTR)
+    if os.path.exists(ptr):
+        with open(ptr) as f:
+            prev = f.read().strip()
     version = _next_version(path)
     writer = df.write.mode("overwrite")
     if partition_by:
@@ -430,4 +466,4 @@ def atomic_overwrite(
         f.flush()
         os.fsync(f.fileno())
     os.replace(tmp, os.path.join(path, CURRENT_PTR))
-    _prune_versions(path)
+    _prune_versions(path, version, prev)

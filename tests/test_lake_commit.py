@@ -101,6 +101,42 @@ def test_pointer_always_names_a_complete_table(spark, tmp_path):
         assert os.path.exists(os.path.join(current, "_SUCCESS"))
 
 
+def test_crash_orphan_never_evicts_committed_predecessor(spark, tmp_path):
+    """A crashed writer's never-committed version dir (any name order)
+    must not count toward the keep set: the committed predecessor
+    survives the next commit, the orphan is deleted."""
+    lake = SensorLake(spark, str(tmp_path / "lake"))
+    path = lake._sensors_path()
+    _upsert(lake, spark, ["a"])  # commits v_00000001_*
+    (v1,) = _versions(path)
+    # Crash artifacts: one orphan sorting AFTER the committed version,
+    # one BETWEEN it and the next commit's name.
+    os.makedirs(os.path.join(path, "v_00000099_orphan"))
+    os.makedirs(os.path.join(path, f"{v1}x_orphan"))
+    _upsert(lake, spark, ["b"])  # commits v_00000100_* (max seq + 1)
+    kept = _versions(path)
+    assert v1 in kept, "committed predecessor was evicted"
+    assert not any("orphan" in d for d in kept), "crash orphan retained"
+    assert len(kept) == 2
+
+
+def test_legacy_files_cleaned_after_one_generation(spark, tmp_path):
+    """Migrating a flat table: the legacy data files survive the FIRST
+    versioned commit (grace for readers mid-scan of the flat layout)
+    and are removed by the second."""
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame([("x", "n", "Float", None, None, {})],
+                               SENSOR_DDL)
+    df.write.parquet(path)  # legacy flat layout
+    legacy_files = set(os.listdir(path))
+    atomic_overwrite(df, path)
+    assert legacy_files <= set(os.listdir(path))  # grace generation
+    atomic_overwrite(df, path)
+    remaining = set(os.listdir(path))
+    assert not (legacy_files & remaining), "legacy data never cleaned"
+    assert resolve_table(path) is not None
+
+
 def test_legacy_flat_layout_still_resolves(spark, tmp_path):
     """A pre-pointer lake (data files directly under the table path)
     reads as-is, and the first commit on top converts it to the

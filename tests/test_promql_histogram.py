@@ -110,6 +110,57 @@ def test_outer_ungrouped_aggregation_folds_quantiles(frames):
     assert got == {None: -1.0} or list(got.values()) == [-1.0]
 
 
+def test_post_inside_outer_agg_applies_to_quantile(frames):
+    """min(abs(histogram_quantile(…))): abs wraps the QUANTILES (i4's
+    p50 of -1 becomes 1), never the bucket counts (second-pass review:
+    series_post leaked onto the counts). min over {0.42, 0.7, 1.0,
+    NaN} = 0.42 (Spark orders NaN largest)."""
+    got = _run(frames, "min(abs(histogram_quantile(0.5, b)))")
+    assert list(got.values()) == [pytest.approx(0.42)]
+
+
+def test_zero_observation_group_is_nan(frames, spark):
+    """All-zero cumulative buckets (freshly registered histogram) →
+    NaN, not SQL NULL from the 0/0 interpolation."""
+    import datetime as dt
+
+    rows = [
+        ("z/0.5", {"instance": "z", "le": "0.5"}, 0.0),
+        ("z/inf", {"instance": "z", "le": "+Inf"}, 0.0),
+    ]
+    sensors = spark.createDataFrame(
+        [(s, "b", "Float", None, None, lbl) for s, lbl, _ in rows],
+        "sensor_id string, name string, type string, unit string, "
+        "unit_description string, labels map<string,string>",
+    )
+    vals = spark.createDataFrame(
+        [(s, T0, v, i) for i, (s, _, v) in enumerate(rows)],
+        "sensor_id string, time timestamp, value double, event_id long",
+    )
+    out = evaluate_extended(
+        sensors, vals, parse_extended("histogram_quantile(0.5, b)", now=NOW)
+    ).collect()
+    assert len(out) == 1 and math.isnan(out[0].value)
+
+
+def test_range_query_rejects_subquery_and_histogram(frames):
+    import datetime as dt
+
+    from sensapp_spark.query.promql_ext import evaluate_range
+
+    sensors, vals = frames
+    for expr, frag in [
+        ("max_over_time(b[5d:1d])", "Subqueries inside range queries"),
+        ("histogram_quantile(0.9, b)", "histogram_quantile() in range"),
+    ]:
+        with pytest.raises(PromQLError) as exc:
+            evaluate_range(
+                sensors, vals, parse_extended(expr, now=NOW),
+                NOW - dt.timedelta(days=1), NOW, 3600,
+            )
+        assert frag in str(exc.value)
+
+
 def test_post_function_applies_to_quantile_not_buckets(frames):
     """clamp_max over histogram_quantile clamps the RESULT; clamping
     the cumulative counts instead would destroy the CDF and pick the
