@@ -708,6 +708,22 @@ def promql_ext_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
       AND sensor_id IN (SELECT sensor_id FROM sensors
                         WHERE name = 'purchase')
     GROUP BY sensor_id
+    UNION ALL
+    SELECT 'absent_missing', CAST(NULL AS VARCHAR), 1.0
+    WHERE NOT EXISTS (
+        SELECT 1 FROM vals v
+        WHERE v.time >= TIMESTAMP '2024-01-01'
+          AND v.time <= TIMESTAMP '2024-02-01'
+          AND v.sensor_id IN (SELECT sensor_id FROM sensors
+                              WHERE name = 'nosuch'))
+    UNION ALL
+    SELECT 'absent_present', CAST(NULL AS VARCHAR), 1.0
+    WHERE NOT EXISTS (
+        SELECT 1 FROM vals v
+        WHERE v.time >= TIMESTAMP '2024-01-01'
+          AND v.time <= TIMESTAMP '2024-02-01'
+          AND v.sensor_id IN (SELECT sensor_id FROM sensors
+                              WHERE name = 'click'))
     """,
 )
 def promql_ext_instant(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -721,7 +737,12 @@ def promql_ext_instant(spark: SparkSession, sf_dir: str) -> DataFrame:
       pushes down to the scan
     * ``clamp_max(sqrt(avg_over_time(purchase[31d])), 2.5)`` —
       element-wise post-functions stay whole-stage-codegen JVM
-      expressions on the aggregated frame."""
+      expressions on the aggregated frame
+    * ``absent_over_time(nosuch[31d])`` / ``…(click[31d])`` (round 6)
+      — the alerting absence probe: one constant row anti-joined
+      against LIMIT 1 of the matched scan (short-circuits at the
+      first sample; no count); the missing metric yields its row, the
+      present one yields none."""
     from sensapp_spark.query.promql_ext import (
         evaluate_extended,
         parse_extended,
@@ -743,6 +764,21 @@ def promql_ext_instant(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         for tag, expr in cases
     ]
+    for tag, metric in (("absent_missing", "nosuch"),
+                        ("absent_present", "click")):
+        out = evaluate_extended(
+            sensors, vals,
+            parse_extended(f"absent_over_time({metric}[31d])", now=now),
+        )
+        parts.append(
+            (
+                tag,
+                out.select(
+                    F.lit(None).cast("string").alias("sensor_id"),
+                    F.col("value"),
+                ),
+            )
+        )
     return _union_tagged(parts, "func")
 
 

@@ -57,6 +57,9 @@ RANGE_FUNCS = frozenset(
 )
 # Instant-vector functions (argument is an instant selector, not a range).
 INSTANT_FUNCS = frozenset(["timestamp"])
+# Absence probes: a 1-element vector IFF the selector matches no
+# samples in its window (the alerting primitive `absent(up{job="x"})`).
+ABSENT_FUNCS = frozenset(["absent", "absent_over_time"])
 # Range functions taking a scalar SECOND argument.
 TAIL_PARAM_RANGE_FUNCS = frozenset(["predict_linear"])
 AGG_OPS = frozenset(
@@ -381,6 +384,11 @@ def parse_extended(query: str, now: dt.datetime | None = None) -> ExtendedQuery:
                 f"{head}() applies to series vectors; aggregate outside — "
                 f"e.g. sum by (dst) ({head}(…)).",
             )
+        if sub.func in ABSENT_FUNCS:
+            raise PromQLError(
+                "call",
+                f"{head}() over {sub.func}() is not supported.",
+            )
         strs = tuple(_string_arg(a, head) for a in args[1:])
         if not _NAME_RE.fullmatch(strs[0]):
             raise PromQLError(
@@ -454,6 +462,12 @@ def parse_extended(query: str, now: dt.datetime | None = None) -> ExtendedQuery:
         if sub.agg is not None:
             raise PromQLError(
                 "aggregation", "Nested aggregations are not supported."
+            )
+        if sub.func in ABSENT_FUNCS:
+            raise PromQLError(
+                "aggregation",
+                f"Aggregating {sub.func}() is meaningless — its result "
+                "is already a 0-or-1-element vector.",
             )
         if sub.sub_inner is not None and sub.sub_inner.agg is not None:
             raise PromQLError(
@@ -574,6 +588,11 @@ def parse_extended(query: str, now: dt.datetime | None = None) -> ExtendedQuery:
                 raise PromQLError(
                     "subquery", "Nested subqueries are not supported."
                 )
+            if sub.func in ABSENT_FUNCS:
+                raise PromQLError(
+                    "subquery",
+                    f"{sub.func}() inside a subquery is not supported.",
+                )
             if sub.hist_quantile is not None:
                 raise PromQLError(
                     "subquery",
@@ -604,6 +623,35 @@ def parse_extended(query: str, now: dt.datetime | None = None) -> ExtendedQuery:
             func=head,
             func_param=func_param,
         )
+
+    if head in ABSENT_FUNCS and rest.startswith("("):
+        inner, trailing = _strip_parens(rest)
+        if trailing.strip():
+            raise PromQLError(
+                "parse",
+                f"Unexpected trailing content in query: '{trailing.strip()}'",
+            )
+        inner = inner.strip()
+        if _NAME_RE.match(inner) and _NAME_RE.match(inner).group(0) in (
+            RANGE_FUNCS | AGG_OPS | SCALAR_FUNCS | ABSENT_FUNCS
+        ):
+            raise PromQLError(
+                "call",
+                f"{head}() takes a plain selector, not an expression.",
+            )
+        if head == "absent" and "[" in inner:
+            raise PromQLError(
+                "call",
+                "absent() takes an instant selector; use "
+                "absent_over_time(metric[5m]) for a range.",
+            )
+        if head == "absent_over_time" and "[" not in inner:
+            raise PromQLError(
+                "call",
+                "absent_over_time() requires a range vector — e.g. "
+                "absent_over_time(metric[5m]).",
+            )
+        return ExtendedQuery(selector=_parse_selector(inner, now), func=head)
 
     if head in INSTANT_FUNCS and rest.startswith("("):
         inner, trailing = _strip_parens(rest)
@@ -1148,6 +1196,8 @@ def evaluate_extended(
                     agg_col = agg_col.cast("long")
             hq = hq.groupBy().agg(agg_col.alias("value"))
         return _apply_post(hq, eq.post)
+    if eq.func in ABSENT_FUNCS:
+        return _evaluate_absent(sensors, values, eq)
     if eq.sub_inner is not None:
         out, series_shaped = _evaluate_subquery(sensors, values, eq)
         if series_shaped:
@@ -1268,6 +1318,42 @@ def data_window(eq: ExtendedQuery) -> tuple[dt.datetime, dt.datetime]:
         )
         return start, end
     return eq.selector.start_time, eq.selector.end_time
+
+
+def _evaluate_absent(
+    sensors: DataFrame, values: DataFrame, eq: ExtendedQuery
+) -> DataFrame:
+    """``absent(m{…})`` / ``absent_over_time(m[5m])``: a 1-element
+    vector ``(labels, value=1.0)`` iff the selector matches NO samples
+    in its window, else empty — the Prometheus alerting primitive for
+    dead targets. The output labels are the selector's EQUALITY
+    matchers (prometheus promql/functions.go createLabelsForAbsentFunction).
+
+    Plan: one constant row anti-joined against ``LIMIT 1`` of the
+    matched scan — the probe short-circuits at the first matching
+    sample (no count, no full scan), and the filter/semi-join still
+    push down to the value table, so at 100 TB this reads at most one
+    row group of the pruned window."""
+    from sensapp_spark.operators.matchers import MatcherType
+
+    q = eq.selector
+    selected = select_sensors(sensors, q.matchers)
+    scan = values.join(
+        F.broadcast(selected.select("sensor_id")), "sensor_id", "leftsemi"
+    )
+    scan = time_range(scan, q.start_time, q.end_time)
+    pairs = sorted(
+        (m.name, m.value)
+        for m in q.matchers
+        if m.name != "__name__" and m.matcher_type is MatcherType.EQUAL
+    )
+    lbl_str = ",".join(f'{k}="{v}"' for k, v in pairs)
+    one = sensors.sparkSession.range(1).select(
+        F.lit(lbl_str).alias("labels"), F.lit(1.0).alias("value")
+    )
+    return _apply_post(
+        one.join(scan.limit(1), F.lit(True), "left_anti"), eq.post
+    )
 
 
 def _evaluate_subquery(
@@ -1464,6 +1550,12 @@ def evaluate_range(
             "histogram_quantile() in range queries is not supported "
             "yet; evaluate it as an instant query.",
         )
+    if eq.func in ABSENT_FUNCS:
+        raise PromQLError(
+            "call",
+            f"{eq.func}() in range queries is not supported yet; "
+            "evaluate it as an instant query.",
+        )
     q = eq.selector
     lookback = q.end_time - q.start_time
     off_us = 0
@@ -1623,6 +1715,12 @@ def evaluate_binary(
                 "binary",
                 "histogram_quantile() operands in binary operations "
                 "are not supported; compute the quantiles separately.",
+            )
+        if side_eq.func in ABSENT_FUNCS:
+            raise PromQLError(
+                "binary",
+                f"{side_eq.func}() operands in binary operations are "
+                "not supported; alert on the absent vector directly.",
             )
         if side_eq.sub_inner is not None and side_eq.sub_inner.agg not in (
             None,
