@@ -320,8 +320,11 @@ def test_registry_wide_join_shapes(spark):
     import __spark_entry__ as mod
 
     allowed_smj = {"virtual_sensor_join", "gapfill_1h"}
-    # both carry lm_perplexity's broadcast one-row vocabulary scalar
-    allowed_bnlj = {"text_terms", "sample_split"}
+    # text_terms/sample_split carry lm_perplexity's broadcast one-row
+    # vocabulary scalar; promql_ext_instant carries the absent() arms'
+    # 1-row × LIMIT-1 anti join (both sides bounded to one row by
+    # construction — a nested loop over them is one comparison).
+    allowed_bnlj = {"text_terms", "sample_split", "promql_ext_instant"}
     sf = "/root/testdata/sf0.001"
     offences = []
     for name, fn in mod.queries().items():
