@@ -162,10 +162,12 @@ def test_unwritten_and_inflight_tables_resolve_none(spark, tmp_path):
 
 WORKER = textwrap.dedent(
     """
+    import datetime as dt
     import sys
 
     repo, lake_root, tag = sys.argv[1], sys.argv[2], sys.argv[3]
     sys.path.insert(0, repo)
+    from sensapp_spark.datamodel.types import SensorType
     from sensapp_spark.session import get_spark
     from sensapp_spark.storage.lake import SensorLake
 
@@ -179,6 +181,14 @@ WORKER = textwrap.dedent(
         lake.upsert_sensors(spark.createDataFrame(
             [(f"{tag}-{i}", f"name-{tag}-{i}", "Float", None, None, {})],
             ddl,
+        ))
+        # Interleaved lock-free appends into the shared float table:
+        # both workers' rows must survive (unique part files), and the
+        # FIRST append's version-1 creation must not orphan the other
+        # worker's pointer flip (the locked creation branch).
+        lake.append_values(SensorType.FLOAT, spark.createDataFrame(
+            [(f"{tag}-{i}", dt.datetime(2024, 1, 1, i), float(i))],
+            "sensor_id string, time timestamp, value double",
         ))
     spark.stop()
     """
@@ -215,3 +225,10 @@ def test_two_real_processes_publish_concurrently(spark, tmp_path):
     got = {r.sensor_id for r in lake.sensors().collect()}
     want = {f"{t}-{i}" for t in ("p1", "p2") for i in range(4)}
     assert got == want
+    # Every append from both processes landed in the shared table —
+    # the lock-free append path and the locked first-append creation
+    # are race-free across real process boundaries.
+    from sensapp_spark.datamodel.types import SensorType
+
+    vals = {r.sensor_id for r in lake.values(SensorType.FLOAT).collect()}
+    assert vals == want
