@@ -639,13 +639,20 @@ def parse_extended(query: str, now: dt.datetime | None = None) -> ExtendedQuery:
                 "call",
                 f"{head}() takes a plain selector, not an expression.",
             )
-        if head == "absent" and "[" in inner:
+        # Range brackets only count OUTSIDE quoted matcher values —
+        # `up{instance=~"host[0-9]"}` carries no range (_depth_at marks
+        # in-string characters with -1).
+        has_range = any(
+            ch == "[" and d != -1
+            for ch, d in zip(inner, _depth_at(inner))
+        )
+        if head == "absent" and has_range:
             raise PromQLError(
                 "call",
                 "absent() takes an instant selector; use "
                 "absent_over_time(metric[5m]) for a range.",
             )
-        if head == "absent_over_time" and "[" not in inner:
+        if head == "absent_over_time" and not has_range:
             raise PromQLError(
                 "call",
                 "absent_over_time() requires a range vector — e.g. "
@@ -661,7 +668,13 @@ def parse_extended(query: str, now: dt.datetime | None = None) -> ExtendedQuery:
                 f"Unexpected trailing content in query: '{trailing.strip()}'",
             )
         sub = parse_extended(inner, now)
-        if sub.func is not None or sub.agg is not None or sub.post:
+        if (
+            sub.func is not None
+            or sub.agg is not None
+            or sub.post
+            or sub.hist_quantile is not None
+            or sub.sub_inner is not None
+        ):
             raise PromQLError(
                 "call",
                 f"{head}() applies to a plain instant selector — "
@@ -1347,7 +1360,12 @@ def _evaluate_absent(
         for m in q.matchers
         if m.name != "__name__" and m.matcher_type is MatcherType.EQUAL
     )
-    lbl_str = ",".join(f'{k}="{v}"' for k, v in pairs)
+    # Escape backslash/quote in values so the emitted label set stays a
+    # well-formed k="v" list (matcher values may contain either).
+    def _esc(v: str) -> str:
+        return v.replace("\\", "\\\\").replace('"', '\\"')
+
+    lbl_str = ",".join(f'{k}="{_esc(v)}"' for k, v in pairs)
     one = sensors.sparkSession.range(1).select(
         F.lit(lbl_str).alias("labels"), F.lit(1.0).alias("value")
     )

@@ -488,15 +488,21 @@ def create_app(
                     for s in (eq.left, eq.right)
                     if not isinstance(s, float)
                 ]
-                out = evaluate_binary(
-                    lake.sensors(),
-                    lake.values(
-                        SensorType.FLOAT,
-                        min(w[0] for w in windows),
-                        max(w[1] for w in windows),
-                    ),
-                    eq,
-                )
+                try:
+                    out = evaluate_binary(
+                        lake.sensors(),
+                        lake.values(
+                            SensorType.FLOAT,
+                            min(w[0] for w in windows),
+                            max(w[1] for w in windows),
+                        ),
+                        eq,
+                    )
+                except PromQLError as e:
+                    # Operand-shape rejections raised at evaluation
+                    # time (absent/hist/aggregated-inner operands) are
+                    # client errors, not 500s.
+                    return jsonify({"error": str(e)}), 400
                 return jsonify(
                     {"result": [row.asDict(recursive=True)
                                 for row in out.collect()]}
@@ -507,11 +513,14 @@ def create_app(
                 or eq.hist_quantile is not None
             ):
                 start, end = data_window(eq)
-                out = evaluate_extended(
-                    lake.sensors(),
-                    lake.values(SensorType.FLOAT, start, end),
-                    eq,
-                )
+                try:
+                    out = evaluate_extended(
+                        lake.sensors(),
+                        lake.values(SensorType.FLOAT, start, end),
+                        eq,
+                    )
+                except PromQLError as e:
+                    return jsonify({"error": str(e)}), 400
                 return jsonify(
                     {"result": [row.asDict(recursive=True)
                                 for row in out.collect()]}

@@ -326,6 +326,13 @@ def test_extended_promql_round6_features(client):
     assert r.status_code == 200
     assert r.get_json()["result"] == []
 
+    # Evaluation-time operand rejections surface as 400s, never 500s.
+    r = client.get(
+        "/api/v1/query?query=absent(down)%2Babsent(up)&extended=true"
+    )
+    assert r.status_code == 400
+    assert "operands in binary" in r.get_json()["error"]
+
 
 def test_query_range_endpoint(client):
     assert client.post(

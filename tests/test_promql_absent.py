@@ -60,6 +60,28 @@ def test_absent_labels_from_equality_matchers(frames):
     assert [(r.labels, r.value) for r in rows] == [('job="api"', 1.0)]
 
 
+def test_absent_regex_with_brackets_is_instant(frames):
+    """Brackets inside quoted matcher values are not range brackets."""
+    rows = _run(frames, 'absent(down{instance=~"host[0-9]"})')
+    assert len(rows) == 1
+    with pytest.raises(PromQLError, match="requires a range vector"):
+        parse_extended(
+            'absent_over_time(down{instance=~"host[0-9]"})', now=NOW
+        )
+
+
+def test_absent_label_values_escaped(frames):
+    rows = _run(frames, 'absent(down{job="a\\"b"})')
+    assert [r.labels for r in rows] == ['job="a\\"b"']
+
+
+def test_timestamp_over_histogram_rejected(frames):
+    with pytest.raises(PromQLError, match="plain instant selector"):
+        parse_extended(
+            "timestamp(histogram_quantile(0.9, down))", now=NOW
+        )
+
+
 def test_absent_respects_window(frames):
     # Samples exist, but not inside a window that ends before them.
     rows = _run(frames, "absent_over_time(up[1h] offset 30d)")
