@@ -632,8 +632,19 @@ def parse_extended(query: str, now: dt.datetime | None = None) -> ExtendedQuery:
                 f"Unexpected trailing content in query: '{trailing.strip()}'",
             )
         inner = inner.strip()
+        # Every function head the grammar knows is rejected here, not
+        # just the instant-evaluable ones — otherwise e.g.
+        # absent(label_replace(m,…)) falls through to the selector
+        # parser and surfaces a confusing parse error instead of this
+        # didactic one (advisor finding, round 6).
         if _NAME_RE.match(inner) and _NAME_RE.match(inner).group(0) in (
-            RANGE_FUNCS | AGG_OPS | SCALAR_FUNCS | ABSENT_FUNCS
+            RANGE_FUNCS
+            | AGG_OPS
+            | SCALAR_FUNCS
+            | ABSENT_FUNCS
+            | LABEL_FUNCS
+            | INSTANT_FUNCS
+            | {"histogram_quantile"}
         ):
             raise PromQLError(
                 "call",
@@ -1388,7 +1399,13 @@ def _evaluate_subquery(
     value)`` — ready for :func:`_finish_instant` so enclosing
     aggregations compose — while an aggregated inner keeps its group
     keys. The outer aggregation groups the STEP frame (series × steps
-    rows, dimension-sized): one cheap shuffle."""
+    rows, dimension-sized): one cheap shuffle.
+
+    Documented deviation (like the inclusive range endpoints): step
+    timestamps anchor at ``sub_eval − range`` and count forward, while
+    Prometheus aligns subquery steps to ABSOLUTE multiples of the step
+    (timestamps divisible by ``step``), so the sample clock here can be
+    phase-shifted vs upstream by up to one step for the same query."""
     inner = eq.sub_inner
     start = eq.sub_eval - dt.timedelta(seconds=eq.sub_range_s)
     steps = evaluate_range(
@@ -1856,9 +1873,10 @@ def _evaluate_group_binary(
 
     * a series vector (the Prometheus info-metric pattern) — optionally
       with ``group_left(lbl, …)`` copying one-side labels onto the
-      result (one-side value wins a key collision); like the
-      one-to-one path, DUPLICATE one-side keys are documented as
-      undefined rather than paying a runtime uniqueness check;
+      result. DUPLICATE one-side keys raise at execution time (a
+      ``raise_error`` guard over a dimension-sized window count) —
+      Prometheus likewise rejects many-to-many matching at runtime,
+      and silently multiplied series would mislead dashboards;
     * an aggregation ``by`` EXACTLY the ``on`` labels (``m / on (k)
       group_left sum by (k) (n)``) — unique per group by construction.
 
@@ -1925,6 +1943,29 @@ def _evaluate_group_binary(
         if bq.group_labels:
             sel.append(F.col("labels").alias("__ol"))
         ok = one.select(*sel)
+        # Prometheus raises "found duplicate series for the match
+        # group" when the one side is not unique per key; silently
+        # multiplying many-side rows would mislead dashboards. The
+        # window count runs over the series-sized one vector
+        # (dimension-sized) and the guard stays a JVM expression, so
+        # the check is free at sample scale. (The aggregated-one-side
+        # branch is unique per group by construction.)
+        dup = F.count("*").over(Window.partitionBy("__k"))
+        ok = ok.withColumn(
+            "__ov",
+            F.when(
+                dup > 1,
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            f"group_{bq.group_mode}: found duplicate "
+                            'series on the "one" side for match key '
+                        ),
+                        F.col("__k"),
+                    )
+                ).cast("double"),
+            ).otherwise(F.col("__ov")),
+        )
     joined = mk.join(ok, "__k")
     if bq.group_labels:
         # An absent one-side label is REMOVED from the result (empty

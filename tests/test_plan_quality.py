@@ -321,10 +321,15 @@ def test_registry_wide_join_shapes(spark):
 
     allowed_smj = {"virtual_sensor_join", "gapfill_1h"}
     # text_terms/sample_split carry lm_perplexity's broadcast one-row
-    # vocabulary scalar; promql_ext_instant carries the absent() arms'
-    # 1-row × LIMIT-1 anti join (both sides bounded to one row by
-    # construction — a nested loop over them is one comparison).
-    allowed_bnlj = {"text_terms", "sample_split", "promql_ext_instant"}
+    # vocabulary scalar (1 each); promql_ext_instant carries the two
+    # absent() arms' 1-row × LIMIT-1 anti joins (both sides bounded to
+    # one row by construction — a nested loop over them is one
+    # comparison). The allowance is a COUNT per entry, not a blanket
+    # waiver, so an accidental nested-loop join sneaking into any other
+    # arm of these families still fails the gate (advisor finding,
+    # round 6).
+    allowed_bnlj = {"text_terms": 2, "sample_split": 1,
+                    "promql_ext_instant": 2}
     sf = "/root/testdata/sf0.001"
     offences = []
     for name, fn in mod.queries().items():
@@ -333,6 +338,10 @@ def test_registry_wide_join_shapes(spark):
             offences.append(f"{name}: CartesianProduct")
         if "SortMergeJoin" in plan and name not in allowed_smj:
             offences.append(f"{name}: SortMergeJoin")
-        if "BroadcastNestedLoopJoin" in plan and name not in allowed_bnlj:
-            offences.append(f"{name}: BroadcastNestedLoopJoin")
+        bnlj = plan.count("BroadcastNestedLoopJoin")
+        if bnlj > allowed_bnlj.get(name, 0):
+            offences.append(
+                f"{name}: {bnlj} BroadcastNestedLoopJoin(s), "
+                f"allowed {allowed_bnlj.get(name, 0)}"
+            )
     assert not offences, offences

@@ -103,6 +103,14 @@ def test_absent_with_post_function(frames):
         ("max_over_time(absent(down)[1d:1h])", "inside a subquery"),
         ("label_replace(absent(down), \"a\", \"b\", \"c\", \".*\")",
          "is not supported"),
+        # Round-7 advisor fix: EVERY known function head is rejected
+        # didactically inside absent(), not just the instant-evaluable
+        # ones — these three used to fall through to the selector
+        # parser and surface a confusing parse error.
+        ("absent(label_replace(up, \"a\", \"b\", \"c\", \".*\"))",
+         "plain selector"),
+        ("absent(timestamp(up))", "plain selector"),
+        ("absent(histogram_quantile(0.9, up_bucket))", "plain selector"),
     ],
 )
 def test_absent_rejections(frames, expr, fragment):

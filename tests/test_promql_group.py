@@ -108,6 +108,22 @@ def test_group_left_copied_label_wins_collision(frames):
     assert ('team="a",user="u1"', 15.0) in got
 
 
+def test_group_duplicate_one_side_keys_raise(frames):
+    """A non-unique "one" side raises at execution (Prometheus: "found
+    duplicate series for the match group") instead of silently
+    multiplying many-side rows. All four info series lack a team
+    label, so they collide on the empty-team match key that req/u4
+    joins."""
+    sensors, vals = frames
+    out = evaluate_binary(
+        sensors,
+        vals,
+        parse_extended_expr("req * on (team) group_left info", now=NOW),
+    )
+    with pytest.raises(Exception, match="duplicate series"):
+        out.collect()
+
+
 def test_group_comparison_filters_keeping_left_value(frames):
     got = _run(frames, "req > on (team) group_left sum by (team) (cap)")
     assert got == [
