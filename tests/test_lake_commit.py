@@ -102,9 +102,12 @@ def test_pointer_always_names_a_complete_table(spark, tmp_path):
 
 
 def test_crash_orphan_never_evicts_committed_predecessor(spark, tmp_path):
-    """A crashed writer's never-committed version dir (any name order)
-    must not count toward the keep set: the committed predecessor
-    survives the next commit, the orphan is deleted."""
+    """A never-log-referenced version dir (any name order) must not
+    count toward the keep set: the committed predecessor survives the
+    next commit. Since the cross-host CAS protocol, the commit path
+    also never DELETES such a dir — it may be a live writer's in-flight
+    commit, not a crash orphan; reclaiming genuinely dead ones is
+    vacuum_orphans' age-gated job."""
     lake = SensorLake(spark, str(tmp_path / "lake"))
     path = lake._sensors_path()
     _upsert(lake, spark, ["a"])  # commits v_00000001_*
@@ -116,8 +119,18 @@ def test_crash_orphan_never_evicts_committed_predecessor(spark, tmp_path):
     _upsert(lake, spark, ["b"])  # commits v_00000100_* (max seq + 1)
     kept = _versions(path)
     assert v1 in kept, "committed predecessor was evicted"
-    assert not any("orphan" in d for d in kept), "crash orphan retained"
-    assert len(kept) == 2
+    # Commit-time pruning leaves the unreferenced dirs alone…
+    assert sum("orphan" in d for d in kept) == 2, "in-flight dir deleted"
+    # …a young orphan survives the vacuum age gate…
+    assert lake.vacuum_orphans(min_age_s=3600) == {}
+    # …and an old one is reclaimed (age 0 = everything unreferenced).
+    deleted = lake.vacuum_orphans(min_age_s=0.0)
+    assert sorted(deleted.get("sensors", [])) == sorted(
+        ["v_00000099_orphan", f"{v1}x_orphan"]
+    )
+    kept = _versions(path)
+    assert v1 in kept and len(kept) == 2
+    assert {r.sensor_id for r in lake.sensors().collect()} == {"a", "b"}
 
 
 def test_legacy_files_cleaned_after_one_generation(spark, tmp_path):
@@ -158,6 +171,154 @@ def test_unwritten_and_inflight_tables_resolve_none(spark, tmp_path):
     # flipped) is still "never written", not a legacy table.
     os.makedirs(os.path.join(path, "v_00000001_deadbeef"))
     assert resolve_table(path) is None
+
+
+def test_conditional_commit_detects_stale_base(spark, tmp_path):
+    """atomic_overwrite(expected_seq=…) is the CAS write half: a writer
+    whose merge base went stale gets CommitConflict, the committed
+    table is untouched, and the loser's version dir is reclaimed
+    immediately (not left for vacuum)."""
+    from sensapp_spark.storage.lake import CommitConflict, read_committed
+
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame([("x", "n", "Float", None, None, {})],
+                               SENSOR_DDL)
+    seq0 = atomic_overwrite(df, path)  # seq 1
+    seq, data = read_committed(path)
+    assert (seq, data) == (seq0, resolve_table(path))
+    atomic_overwrite(df, path, expected_seq=seq)  # winner: seq 2
+    with pytest.raises(CommitConflict):
+        atomic_overwrite(df, path, expected_seq=seq)  # stale base
+    new_seq, new_data = read_committed(path)
+    assert new_seq == seq + 1
+    # Loser's dir reclaimed: only the two committed generations remain.
+    assert len(_versions(path)) == 2
+
+
+def test_legacy_pointer_table_migrates_into_log(spark, tmp_path):
+    """A pre-log pointer table (v_ dir + _CURRENT, no _commits) keeps
+    resolving, its pointer-era version is backfilled as log entry 0 on
+    the first CAS commit (so it gets reader grace, then pruning, like
+    any committed version), and conditional commits work on top."""
+    import shutil as sh
+
+    from sensapp_spark.storage.lake import read_committed
+
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame([("x", "n", "Float", None, None, {})],
+                               SENSOR_DDL)
+    staging = str(tmp_path / "staging")
+    df.write.parquet(staging)
+    legacy_v = "v_00000001_0ld1ay0t"
+    os.makedirs(path)
+    sh.move(staging, os.path.join(path, legacy_v))
+    with open(os.path.join(path, CURRENT_PTR), "w") as f:
+        f.write(legacy_v)
+    assert resolve_table(path) == os.path.join(path, legacy_v)
+    assert read_committed(path)[0] == 0  # pointer era = seq 0
+
+    atomic_overwrite(df, path, expected_seq=0)  # migrates, claims seq 1
+    assert legacy_v in _versions(path)  # grace generation
+    atomic_overwrite(df, path, expected_seq=1)  # seq 2 → legacy pruned
+    assert legacy_v not in _versions(path)
+    assert resolve_table(path) is not None
+
+
+# Two workers SIMULATING TWO HOSTS: the file barrier forces both to pin
+# their merge base BEFORE either commits — the exact interleaving that
+# silently loses one writer's sensors under read-merge-write protected
+# only by a per-kernel flock the "other host" doesn't share. Under the
+# CAS protocol the loser's conditional commit fails, it re-merges
+# against the winner's table, and both sensors survive.
+CAS_WORKER = textwrap.dedent(
+    """
+    import os
+    import sys
+    import time
+
+    repo, lake_root, tag, barrier = (
+        sys.argv[1], sys.argv[2], sys.argv[3], sys.argv[4]
+    )
+    sys.path.insert(0, repo)
+    from sensapp_spark.session import get_spark
+    from sensapp_spark.storage.lake import SensorLake
+
+    spark = get_spark(app_name=f"cas-worker-{tag}", master="local[2]",
+                      shuffle_partitions=2)
+    spark.sparkContext.setLogLevel("ERROR")
+    lake = SensorLake(spark, lake_root)
+    ddl = ("sensor_id string, name string, type string, unit string, "
+           "unit_description string, labels map<string,string>")
+    attempts = {"n": 0}
+
+    def pause():
+        attempts["n"] += 1
+        if attempts["n"] > 1:
+            return  # retries proceed immediately — base is now fresh
+        open(os.path.join(barrier, f"pinned_{tag}"), "w").close()
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            pinned = [f for f in os.listdir(barrier)
+                      if f.startswith("pinned_")]
+            if len(pinned) >= 2:
+                return
+            time.sleep(0.02)
+        raise RuntimeError("barrier timeout: peer never pinned its base")
+
+    lake.upsert_sensors(
+        spark.createDataFrame(
+            [(f"s-{tag}", f"name-{tag}", "Float", None, None, {})], ddl
+        ),
+        _pause_before_commit=pause,
+    )
+    print(f"ATTEMPTS {attempts['n']}")
+    spark.stop()
+    """
+)
+
+
+def test_two_hosts_lost_update_closed_by_cas(spark, tmp_path):
+    """The round-6 verdict's #1 ask, verified end-to-end: two real
+    processes both read the same dimension state, then both commit.
+    Exactly one wins the link(2) claim; the other observes
+    CommitConflict, re-merges, and commits on top — no lost sensor,
+    and the attempt counts prove the conflict actually fired (1 clean
+    + 2 with one retry), i.e. the race happened rather than being
+    accidentally serialized."""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    lake_root = str(tmp_path / "lake")
+    barrier = tmp_path / "barrier"
+    barrier.mkdir()
+    script = tmp_path / "cas_worker.py"
+    script.write_text(CAS_WORKER)
+
+    procs = []
+    for tag in ("h1", "h2"):
+        cwd = tmp_path / f"cwd_{tag}"
+        cwd.mkdir()
+        procs.append(
+            subprocess.Popen(
+                [sys.executable, str(script), repo, lake_root, tag,
+                 str(barrier)],
+                cwd=str(cwd),
+                stdout=subprocess.PIPE,
+                stderr=subprocess.PIPE,
+            )
+        )
+    attempts = []
+    for p in procs:
+        out, err = p.communicate(timeout=300)
+        assert p.returncode == 0, err.decode()[-2000:]
+        for line in out.decode().splitlines():
+            if line.startswith("ATTEMPTS"):
+                attempts.append(int(line.split()[1]))
+
+    assert sorted(attempts) == [1, 2], (
+        f"expected exactly one CAS retry, got attempts={attempts}"
+    )
+    lake = SensorLake(spark, lake_root)
+    got = {r.sensor_id for r in lake.sensors().collect()}
+    assert got == {"s-h1", "s-h2"}, f"lost update: {got}"
 
 
 WORKER = textwrap.dedent(
