@@ -448,13 +448,20 @@ def ivf_centroids(
 
 
 def ivf_assign(
-    embeddings: DataFrame, centroids: list[tuple[int, list[float]]]
+    embeddings: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    keep_score: bool = False,
 ) -> DataFrame:
     """IVF list assignment: nearest centroid by cosine (ties → smallest
     centroid id). The centroid loop unrolls into ONE narrow projection —
     an array_max over (cosine, -cid) structs — so assignment is
     shuffle-free and whole-stage-codegen'd: the scan cost is O(n·nlist·d)
-    with zero data movement, the shape that survives a 100 TB corpus."""
+    with zero data movement, the shape that survives a 100 TB corpus.
+
+    ``keep_score`` additionally exposes the winning cosine as
+    ``assign_cos`` — the quantization-fit signal the index store's
+    drift tracking aggregates (storage/ann.py); it costs nothing extra
+    (the struct already carries it)."""
     entries = []
     for cid, vec in centroids:
         c = F.array(*[F.lit(x) for x in vec])
@@ -467,7 +474,10 @@ def ivf_assign(
             )
         )
     best = F.array_max(F.array(*entries))
-    return embeddings.withColumn("centroid_id", (-best["n"]).cast("int"))
+    out = embeddings.withColumn("centroid_id", (-best["n"]).cast("int"))
+    if keep_score:
+        out = out.withColumn("assign_cos", best["c"])
+    return out
 
 
 def ivf_probes(

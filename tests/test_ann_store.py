@@ -120,6 +120,162 @@ def test_meta_lives_inside_committed_version(store):
         assert os.path.exists(os.path.join(data, META_FILE))
 
 
+def _versions(path):
+    import os
+
+    return sorted(d for d in os.listdir(path) if d.startswith("v_"))
+
+
+class TestIncrementalAppend:
+    """AnnIndexStore.append — VERDICT r6 gap #2: grow a stored layout
+    against its FROZEN codebook/planes without rewriting the corpus,
+    committed as a new version (hardlink clone + parquet append + CAS
+    claim). Pins: bit-identical top-k vs a full rebuild, pruning
+    intact, version grace, meta bookkeeping, drift report."""
+
+    @pytest.fixture(scope="class")
+    def split(self, embeddings):
+        # Codebook = first-nlist vec_ids (< 8), so base-derived and
+        # full-derived codebooks are identical by construction and the
+        # append genuinely quantizes against the same frozen centroids
+        # a rebuild would use.
+        base = embeddings.filter("vec_id < 350")
+        batch = embeddings.filter("vec_id >= 350")
+        return base, batch
+
+    @pytest.fixture(scope="class")
+    def inc_store(self, spark, tmp_path_factory, split):
+        s = AnnIndexStore(spark, str(tmp_path_factory.mktemp("ann_inc")))
+        base, batch = split
+        s.write_ivf(base, name="ivf_inc")
+        s.append("ivf_inc", batch)
+        s.write_lsh(base, name="lsh_inc", n_planes=4)
+        s.append("lsh_inc", batch)
+        return s
+
+    def test_ivf_append_matches_full_rebuild(
+        self, inc_store, embeddings, query_vec
+    ):
+        full = [
+            (r.vec_id, r.centroid_id, r.cosine)
+            for r in ivf_topk(embeddings, query_vec, k=10).collect()
+        ]
+        appended = [
+            (r.vec_id, r.centroid_id, r.cosine)
+            for r in inc_store.ivf_topk(query_vec, k=10,
+                                        name="ivf_inc").collect()
+        ]
+        assert appended == full and len(appended) == 10
+
+    def test_lsh_append_matches_full_rebuild(
+        self, inc_store, embeddings, query_vec
+    ):
+        full = [
+            (r.vec_id, r.bucket, r.cosine)
+            for r in hyperplane_lsh_topk(
+                embeddings, query_vec, k=10, n_planes=4
+            ).collect()
+        ]
+        appended = [
+            (r.vec_id, r.bucket, r.cosine)
+            for r in inc_store.lsh_topk(query_vec, k=10,
+                                        name="lsh_inc").collect()
+        ]
+        assert appended == full and len(appended) == 10
+
+    def test_append_keeps_partition_pruning(self, inc_store, query_vec):
+        plan = _plan(inc_store.ivf_topk(query_vec, k=10, name="ivf_inc"))
+        assert "PartitionFilters" in plan
+        assert "centroid_id" in plan.split("PartitionFilters")[1][:200]
+
+    def test_append_commits_new_version_with_grace(
+        self, inc_store, split
+    ):
+        """The pre-append version survives one commit (reader grace),
+        then a second append retires it."""
+        path = inc_store._path("ivf_inc")
+        before = _versions(path)
+        assert len(before) == 2  # write + first append
+        _, batch = split
+        inc_store.append("ivf_inc", batch.limit(5))
+        after = _versions(path)
+        assert len(after) == 2 and before[-1] in after
+
+    def test_meta_counts_and_drift(self, inc_store, embeddings):
+        _, meta = inc_store._resolve("ivf_inc", "ivf")
+        # 350 base + 150 first append + 5 second (previous test).
+        assert meta["n_vectors"] == embeddings.count() + 5
+        assert len(meta["appends"]) == 2
+        report = inc_store.drift("ivf_inc")
+        # Same-distribution batch: fit ratio ~1, no re-index nag.
+        assert 0.5 < report["distance_ratio"] < 1.5
+        assert report["recommend_reindex"] is False
+        # LSH never drifts.
+        lsh_report = inc_store.drift("lsh_inc")
+        assert lsh_report["recommend_reindex"] is False
+
+    def test_append_to_missing_layout_raises(self, inc_store, split):
+        with pytest.raises(FileNotFoundError, match="no layout"):
+            inc_store.append("nope", split[1])
+
+
+class TestMultiTableLsh:
+    """Multi-table stored LSH — VERDICT r6 gap #6: N independent plane
+    sets as a leading `table` partition axis; probes prune per-table
+    directories and the candidate union is deduped before one exact
+    top-k. Recall at constant per-table probe fraction must not drop
+    below the single-table layout's (and recovers boundary splits)."""
+
+    N_PLANES = 6  # sparse enough that one table misses neighbors
+
+    @pytest.fixture(scope="class")
+    def mt_store(self, spark, tmp_path_factory, embeddings):
+        s = AnnIndexStore(spark, str(tmp_path_factory.mktemp("ann_mt")))
+        s.write_lsh(embeddings, name="lsh1", n_planes=self.N_PLANES,
+                    n_tables=1)
+        s.write_lsh(embeddings, name="lsh3", n_planes=self.N_PLANES,
+                    n_tables=3)
+        return s
+
+    def _recall(self, store_topk, truth):
+        got = {r.vec_id for r in store_topk.collect()}
+        return len(got & truth) / len(truth)
+
+    def test_multi_table_recall_lift(self, mt_store, embeddings):
+        from sensapp_spark.pipeline.similarity import cosine_topk
+
+        rows = embeddings.filter("vec_id IN (0, 97, 233, 411)").collect()
+        lifts = []
+        for row in rows:
+            q = [float(x) for x in row.embedding]
+            truth = {r.vec_id for r in cosine_topk(embeddings, q,
+                                                   k=10).collect()}
+            r1 = self._recall(mt_store.lsh_topk(q, k=10, name="lsh1"),
+                              truth)
+            r3 = self._recall(mt_store.lsh_topk(q, k=10, name="lsh3"),
+                              truth)
+            assert r3 >= r1, f"vec {row.vec_id}: 3-table {r3} < 1-table {r1}"
+            lifts.append((r1, r3))
+        # The lever must actually lift somewhere, not just tie.
+        assert any(r3 > r1 for r1, r3 in lifts), lifts
+
+    def test_multi_table_plan_prunes_both_axes(self, mt_store, embeddings):
+        row = embeddings.orderBy("vec_id").first()
+        q = [float(x) for x in row.embedding]
+        plan = _plan(mt_store.lsh_topk(q, k=10, name="lsh3"))
+        assert "PartitionFilters" in plan
+        filters = plan.split("PartitionFilters")[1][:400]
+        assert "table" in filters and "bucket" in filters
+
+    def test_single_table_layout_unchanged(self, mt_store, embeddings):
+        """n_tables=1 keeps the original layout shape: no `table`
+        column, so pre-round-7 layouts and their goldens read
+        identically."""
+        frame, n_planes, _ = mt_store.read_lsh("lsh1")
+        assert "table" not in frame.columns
+        assert n_planes == self.N_PLANES
+
+
 def test_wrong_dim_query_raises(store):
     with pytest.raises(ValueError, match="dimensions"):
         store.ivf_topk([0.1, 0.2], k=5)
