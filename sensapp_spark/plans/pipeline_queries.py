@@ -1346,7 +1346,7 @@ BENCH_MEMBERS: dict[str, dict] = {
     },
     "promql_ext_binary_ratio": {
         t: _scoped_main("promql_ext_binary_ratio", t)
-        for t in ("ratio", "group_left", "group_right")
+        for t in ("ratio", "group_left", "group_right", "scalar_div")
     },
     "value_histogram": {
         t: _scoped_main("value_histogram", t)

@@ -724,6 +724,22 @@ def promql_ext_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
           AND v.time <= TIMESTAMP '2024-02-01'
           AND v.sensor_id IN (SELECT sensor_id FROM sensors
                               WHERE name = 'click'))
+    UNION ALL
+    SELECT 'at_anchor', sensor_id, ROUND(AVG(value), 6)
+    FROM vals
+    WHERE time >= TIMESTAMP '2024-01-11'
+      AND time <= TIMESTAMP '2024-01-21'
+      AND sensor_id IN (SELECT sensor_id FROM sensors WHERE name = 'view')
+    GROUP BY sensor_id
+    UNION ALL
+    SELECT 'date_hour', sensor_id, CAST(hour(MAX(time)) AS DOUBLE)
+    FROM vals
+    WHERE time >= TIMESTAMP '2024-01-30 22:59:00'
+      AND time <= TIMESTAMP '2024-01-30 23:59:00'
+      AND sensor_id IN (SELECT sensor_id FROM sensors WHERE name = 'click')
+    GROUP BY sensor_id
+    UNION ALL
+    SELECT 'time_const', CAST(NULL AS VARCHAR), 1706745600.0
     """,
 )
 def promql_ext_instant(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -742,7 +758,11 @@ def promql_ext_instant(spark: SparkSession, sf_dir: str) -> DataFrame:
       — the alerting absence probe: one constant row anti-joined
       against LIMIT 1 of the matched scan (short-circuits at the
       first sample; no count); the missing metric yields its row, the
-      present one yields none."""
+      present one yields none
+    * ``avg_over_time(view[10d] @ 1705795200)`` (round 7) — the
+      absolute evaluation anchor; ``hour(timestamp(click))`` — a
+      calendar function over the instant-vector timestamp; ``time()``
+      — the evaluation clock as a constant vector."""
     from sensapp_spark.query.promql_ext import (
         evaluate_extended,
         parse_extended,
@@ -755,6 +775,20 @@ def promql_ext_instant(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("quantile", "quantile_over_time(0.9, view[31d])"),
         ("avg_offset", "avg_over_time(purchase[10d] offset 11d)"),
         ("clamp_sqrt", "clamp_max(sqrt(avg_over_time(purchase[31d])), 2.5)"),
+        # Round 7: the absolute @ anchor (1705795200 = 2024-01-21 UTC)
+        # fixes the same window the oracle states literally; the
+        # shifted range still pushes down to the scan.
+        ("at_anchor", "avg_over_time(view[10d] @ 1705795200)"),
+        # Round 7: calendar function over an instant-vector function —
+        # the hour (UTC) of each click series' last sample. The @
+        # anchor (2024-01-30 23:59 UTC) pins the 1-hour instant
+        # lookback inside the data range (the testdata ends 2024-01-30
+        # 23:57; an unanchored instant at `now`=2024-02-01 sees
+        # nothing).
+        ("date_hour", "hour(timestamp(click @ 1706659140))"),
+        # Round 7: time() — the evaluation timestamp as a constant
+        # 1-row vector (2024-02-01 UTC = 1706745600).
+        ("time_const", "time()"),
     ]
     parts = [
         (
@@ -816,6 +850,11 @@ def promql_ext_instant(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT 'group_right', m.labels, ROUND(g.value * m.value, 6) + 0
     FROM (SELECT * FROM rates WHERE name = 'click') m
     JOIN region_sum g ON COALESCE(m.region_label, '') = g.rk
+    UNION ALL
+    SELECT 'scalar_div', m.labels,
+           ROUND(m.value / (SELECT SUM(value) FROM rates
+                            WHERE name = 'view'), 6) + 0
+    FROM (SELECT * FROM rates WHERE name = 'click') m
     """,
 )
 def promql_ext_binary_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -854,20 +893,41 @@ def promql_ext_binary_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum by (region) (rate(view[31d])) * on (region) "
             "group_right rate(click[31d])",
         ),
-    ]
-    parts = [
+        # Round 7: scalar() as a binary operand — every click rate
+        # divided by ONE number (the corpus-wide view-rate sum). The
+        # reduction aggregates the series-sized view vector to one row
+        # that broadcasts onto the click side.
         (
-            tag,
-            evaluate_binary(sensors, vals, parse_extended_expr(expr, now=now))
-            # + 0.0 canonicalizes IEEE -0.0 to 0.0 (a rounded product
-            # can be negative zero, which %.6g renders as "-0" on one
-            # engine and "0" on the other).
-            .select(
-                "labels", (F.round("value", 6) + F.lit(0.0)).alias("value")
-            ),
-        )
-        for tag, expr in cases
+            "scalar_div",
+            "rate(click[31d]) / scalar(sum(rate(view[31d])))",
+        ),
     ]
+    from sensapp_spark.query.promql_ext import _labels_without
+
+    parts = []
+    for tag, expr in cases:
+        out = evaluate_binary(
+            sensors, vals, parse_extended_expr(expr, now=now)
+        )
+        if "labels" in out.columns and dict(out.dtypes)["labels"] != "string":
+            # The vector∘scalar path keeps the series shape (labels
+            # MAP); canonicalize to the same k="v" string the
+            # one-to-one arms key on so the union is uniform.
+            out = out.select(
+                _labels_without([]).alias("labels"), "value"
+            )
+        parts.append(
+            (
+                tag,
+                # + 0.0 canonicalizes IEEE -0.0 to 0.0 (a rounded
+                # product can be negative zero, which %.6g renders as
+                # "-0" on one engine and "0" on the other).
+                out.select(
+                    "labels",
+                    (F.round("value", 6) + F.lit(0.0)).alias("value"),
+                ),
+            )
+        )
     return _union_tagged(parts, "scope")
 
 

@@ -80,6 +80,16 @@ TAIL_PARAM_FUNCS = frozenset("round clamp_min clamp_max".split())
 # any enclosing aggregation, so `sum by (dst) (label_replace(...))`
 # groups on the rewritten label).
 LABEL_FUNCS = frozenset(["label_replace", "label_join"])
+# Calendar functions over a vector of epoch-second values (Prometheus:
+# argument defaults to vector(time())). Element-wise — they ride the
+# same post-function machinery as abs/ceil/…, each a JVM expression
+# over timestamp_seconds(value).
+DATE_FUNCS = frozenset(
+    "minute hour day_of_week day_of_month day_of_year month year "
+    "days_in_month".split()
+)
+# Presentation-level ordering of the final instant vector.
+SORT_FUNCS = frozenset(["sort", "sort_desc"])
 
 _NAME_RE = re.compile(r"[a-zA-Z_][a-zA-Z0-9_]*")
 # expr[<range>:<step>] — the colon is what distinguishes a subquery
@@ -108,7 +118,9 @@ _OFFSET_RE = re.compile(
 
 @dataclass
 class ExtendedQuery:
-    selector: ParsedQuery
+    # None for constant vectors (vector(1), time(), hour() with the
+    # default argument) — eq.const carries the value instead.
+    selector: ParsedQuery | None
     func: str | None = None
     agg: str | None = None
     by: list[str] = field(default_factory=list)
@@ -140,6 +152,24 @@ class ExtendedQuery:
     sub_range_s: float | None = None
     sub_step_s: float | None = None
     sub_eval: dt.datetime | None = None
+    # sort()/sort_desc() wrapping the whole expression: "asc"/"desc".
+    sort: str | None = None
+    # Constant 1-element vector (vector(1) / time() / date funcs'
+    # default argument): the value; selector is None.
+    const: float | None = None
+    # The selector carried an absolute `@ <ts>` evaluation anchor —
+    # range evaluation must reject it (a fixed window cannot slide
+    # with the steps).
+    at_fixed: bool = False
+
+
+@dataclass
+class ScalarOf:
+    """``scalar(expr)`` as a binary operand: the inner vector reduces
+    to one scalar (NaN unless exactly one series, Prometheus) that is
+    broadcast onto the other side."""
+
+    eq: ExtendedQuery
 
 
 @dataclass
@@ -333,20 +363,96 @@ def _duration_ms(text: str) -> int:
     return total
 
 
-def _parse_selector(text: str, now: dt.datetime) -> ParsedQuery:
-    """Selector parse with the PromQL ``offset <dur>`` modifier: shifts
-    the evaluation window back — ``m[5m] offset 1h`` reads
-    [now-1h-5m, now-1h]. The base parser (reference parity) rejects it."""
-    m = _OFFSET_RE.match(text.strip())
-    if m:
-        shift = dt.timedelta(milliseconds=_duration_ms(m.group("dur")))
-        q = parse_promql_query(m.group("body"), now)
-        return ParsedQuery(
-            matchers=q.matchers,
-            start_time=q.start_time - shift if q.start_time else None,
-            end_time=q.end_time - shift if q.end_time else None,
+_AT_TAIL_RE = re.compile(
+    r"^(?P<body>.*?)\s*@\s*(?P<ts>[0-9]+(?:\.[0-9]+)?)\s*$", re.S
+)
+_AT_STARTEND_RE = re.compile(r"@\s*(start|end)\s*\(\s*\)")
+
+
+def _parse_selector(
+    text: str, now: dt.datetime
+) -> tuple[ParsedQuery, bool]:
+    """Selector parse with the PromQL evaluation-time modifiers, peeled
+    from the tail in either order (both legal upstream):
+
+    * ``offset <dur>`` shifts the window back — ``m[5m] offset 1h``
+      reads [now-1h-5m, now-1h];
+    * ``@ <unix-seconds>`` anchors the window at an ABSOLUTE time —
+      ``m[5m] @ 1706000000`` reads the 5 minutes ending there. With
+      both present, offset applies relative to the @ anchor
+      (Prometheus semantics) — which the additive peel reproduces
+      regardless of textual order. ``@ start()``/``@ end()`` exist
+      only relative to a range query's window and are rejected
+      didactically.
+
+    Returns ``(query, at_used)`` — range evaluation needs the flag to
+    reject fixed-anchor selectors (their window cannot slide)."""
+    s = text.strip()
+    if _AT_STARTEND_RE.search(s):
+        raise PromQLError(
+            "modifier",
+            "@ start() / @ end() are only meaningful inside a range "
+            "query's window; use an absolute unix timestamp — e.g. "
+            "m @ 1706000000.",
         )
-    return parse_promql_query(text, now)
+    offset_ms = 0
+    at_ts: float | None = None
+    changed = True
+    while changed:
+        changed = False
+        m = _OFFSET_RE.match(s)
+        if m:
+            offset_ms += _duration_ms(m.group("dur"))
+            s = m.group("body").strip()
+            changed = True
+        m = _AT_TAIL_RE.match(s)
+        if m:
+            if at_ts is not None:
+                raise PromQLError(
+                    "modifier", "duplicate @ modifier on one selector."
+                )
+            at_ts = float(m.group("ts"))
+            s = m.group("body").strip()
+            changed = True
+    q = parse_promql_query(s, now)
+    start, end = q.start_time, q.end_time
+    if at_ts is not None and end is not None:
+        lookback = end - start
+        end = dt.datetime.fromtimestamp(at_ts, dt.timezone.utc).replace(
+            tzinfo=None
+        )
+        start = end - lookback
+    if offset_ms:
+        shift = dt.timedelta(milliseconds=offset_ms)
+        start = start - shift if start else None
+        end = end - shift if end else None
+    return (
+        ParsedQuery(matchers=q.matchers, start_time=start, end_time=end),
+        at_ts is not None,
+    )
+
+
+def _reject_wrapped_sort(sub: ExtendedQuery, head: str) -> None:
+    """sort()/sort_desc() order the FINAL vector — anything applied on
+    top would silently discard the ordering, so wrapping is rejected
+    didactically instead."""
+    if sub.sort is not None:
+        raise PromQLError(
+            "call",
+            f"{head}() over sort()/sort_desc() discards the ordering — "
+            "apply sort() outermost.",
+        )
+
+
+def _now_epoch(now: dt.datetime) -> float:
+    if now.tzinfo is None:
+        now = now.replace(tzinfo=dt.timezone.utc)
+    return now.timestamp()
+
+
+_NUMBER_RE = re.compile(
+    r"[+-]?([0-9]+(\.[0-9]*)?|\.[0-9]+)([eE][+-]?[0-9]+)?"
+)
 
 
 def parse_extended(query: str, now: dt.datetime | None = None) -> ExtendedQuery:
@@ -356,6 +462,59 @@ def parse_extended(query: str, now: dt.datetime | None = None) -> ExtendedQuery:
     m = _NAME_RE.match(s)
     head = m.group(0) if m else None
     rest = s[m.end():].lstrip() if m else s
+
+    if head in SORT_FUNCS and rest.startswith("("):
+        inner, trailing = _strip_parens(rest)
+        if trailing.strip():
+            raise PromQLError(
+                "parse",
+                f"Unexpected trailing content in query: '{trailing.strip()}'",
+            )
+        if _find_top_level_op(inner) is not None:
+            raise PromQLError(
+                "call",
+                f"{head}() over a binary operation is not supported; "
+                "sort the result client-side.",
+            )
+        sub = parse_extended(inner, now)
+        if sub.sort is not None:
+            raise PromQLError(
+                "call", "sort()/sort_desc() cannot nest — one ordering."
+            )
+        sub.sort = "asc" if head == "sort" else "desc"
+        return sub
+
+    if head == "time" and rest.startswith("("):
+        inner, trailing = _strip_parens(rest)
+        if trailing.strip() or inner.strip():
+            raise PromQLError("call", "time() takes no arguments.")
+        return ExtendedQuery(selector=None, const=_now_epoch(now))
+
+    if head == "vector" and rest.startswith("("):
+        inner, trailing = _strip_parens(rest)
+        if trailing.strip():
+            raise PromQLError(
+                "parse",
+                f"Unexpected trailing content in query: '{trailing.strip()}'",
+            )
+        inner = inner.strip()
+        if inner == "time()":
+            return ExtendedQuery(selector=None, const=_now_epoch(now))
+        if _NUMBER_RE.fullmatch(inner):
+            return ExtendedQuery(selector=None, const=float(inner))
+        raise PromQLError(
+            "call",
+            "vector() takes a scalar — a number literal or time(); for "
+            "an existing series just query the selector.",
+        )
+
+    if head == "scalar" and rest.startswith("("):
+        raise PromQLError(
+            "call",
+            "scalar() is supported as a binary-operation operand — e.g. "
+            "m / scalar(sum(n)) — not as a standalone query; query the "
+            "vector directly instead.",
+        )
 
     if head in LABEL_FUNCS and rest.startswith("("):
         inner, trailing = _strip_parens(rest)
@@ -378,6 +537,7 @@ def parse_extended(query: str, now: dt.datetime | None = None) -> ExtendedQuery:
                 "(vector, dst, separator, src, …).",
             )
         sub = parse_extended(args[0], now)
+        _reject_wrapped_sort(sub, head)
         if sub.agg is not None:
             raise PromQLError(
                 "aggregation",
@@ -397,7 +557,7 @@ def parse_extended(query: str, now: dt.datetime | None = None) -> ExtendedQuery:
         sub.label_ops.append((head, strs))
         return sub
 
-    if head in SCALAR_FUNCS and rest.startswith("("):
+    if (head in SCALAR_FUNCS or head in DATE_FUNCS) and rest.startswith("("):
         inner, trailing = _strip_parens(rest)
         if trailing.strip():
             raise PromQLError(
@@ -411,7 +571,12 @@ def parse_extended(query: str, now: dt.datetime | None = None) -> ExtendedQuery:
             )
             if head == "round" and p is None:
                 p = 1.0
-        sub = parse_extended(inner, now)
+        if head in DATE_FUNCS and not inner.strip():
+            # Prometheus default argument: vector(time()).
+            sub = ExtendedQuery(selector=None, const=_now_epoch(now))
+        else:
+            sub = parse_extended(inner, now)
+        _reject_wrapped_sort(sub, head)
         sub.post.append((head, p))
         return sub
 
@@ -459,6 +624,7 @@ def parse_extended(query: str, now: dt.datetime | None = None) -> ExtendedQuery:
             label_param = m.group(1)
             inner = inner[m.end():]
         sub = parse_extended(inner, now)
+        _reject_wrapped_sort(sub, head)
         if sub.agg is not None:
             raise PromQLError(
                 "aggregation", "Nested aggregations are not supported."
@@ -509,6 +675,8 @@ def parse_extended(query: str, now: dt.datetime | None = None) -> ExtendedQuery:
             sub_range_s=sub.sub_range_s,
             sub_step_s=sub.sub_step_s,
             sub_eval=sub.sub_eval,
+            const=sub.const,
+            at_fixed=sub.at_fixed,
         )
 
     if head == "histogram_quantile" and rest.startswith("("):
@@ -532,6 +700,13 @@ def parse_extended(query: str, now: dt.datetime | None = None) -> ExtendedQuery:
         param = float(mphi.group(1))
         inner = inner[mphi.end():]
         sub = parse_extended(inner, now)
+        _reject_wrapped_sort(sub, head)
+        if sub.const is not None:
+            raise PromQLError(
+                "call",
+                "histogram_quantile() requires a bucket vector, not a "
+                "constant.",
+            )
         if sub.hist_quantile is not None:
             raise PromQLError(
                 "call",
@@ -584,6 +759,19 @@ def parse_extended(query: str, now: dt.datetime | None = None) -> ExtendedQuery:
                     "interval to default to).",
                 )
             sub = parse_extended(sq.group("body"), now)
+            _reject_wrapped_sort(sub, head)
+            if sub.const is not None:
+                raise PromQLError(
+                    "subquery",
+                    "a constant inside a subquery is constant at every "
+                    "step; query it directly.",
+                )
+            if sub.at_fixed:
+                raise PromQLError(
+                    "subquery",
+                    "@ inside a subquery is not supported — the fixed "
+                    "anchor would make every step identical.",
+                )
             if sub.sub_inner is not None:
                 raise PromQLError(
                     "subquery", "Nested subqueries are not supported."
@@ -618,10 +806,12 @@ def parse_extended(query: str, now: dt.datetime | None = None) -> ExtendedQuery:
                 "call",
                 f"{head}() requires a range vector — e.g. {head}(metric[5m]).",
             )
+        sel, at_used = _parse_selector(inner, now)
         return ExtendedQuery(
-            selector=_parse_selector(inner, now),
+            selector=sel,
             func=head,
             func_param=func_param,
+            at_fixed=at_used,
         )
 
     if head in ABSENT_FUNCS and rest.startswith("("):
@@ -636,15 +826,22 @@ def parse_extended(query: str, now: dt.datetime | None = None) -> ExtendedQuery:
         # just the instant-evaluable ones — otherwise e.g.
         # absent(label_replace(m,…)) falls through to the selector
         # parser and surfaces a confusing parse error instead of this
-        # didactic one (advisor finding, round 6).
-        if _NAME_RE.match(inner) and _NAME_RE.match(inner).group(0) in (
+        # didactic one (advisor finding, round 6). Only an actual CALL
+        # (name followed by '(') is rejected — a metric merely NAMED
+        # like a function, e.g. absent(time{job="x"}), stays a selector.
+        inner_head = _NAME_RE.match(inner)
+        if inner_head and inner[inner_head.end():].lstrip().startswith(
+            "("
+        ) and inner_head.group(0) in (
             RANGE_FUNCS
             | AGG_OPS
             | SCALAR_FUNCS
             | ABSENT_FUNCS
             | LABEL_FUNCS
             | INSTANT_FUNCS
-            | {"histogram_quantile"}
+            | DATE_FUNCS
+            | SORT_FUNCS
+            | {"histogram_quantile", "time", "vector", "scalar"}
         ):
             raise PromQLError(
                 "call",
@@ -669,7 +866,8 @@ def parse_extended(query: str, now: dt.datetime | None = None) -> ExtendedQuery:
                 "absent_over_time() requires a range vector — e.g. "
                 "absent_over_time(metric[5m]).",
             )
-        return ExtendedQuery(selector=_parse_selector(inner, now), func=head)
+        sel, at_used = _parse_selector(inner, now)
+        return ExtendedQuery(selector=sel, func=head, at_fixed=at_used)
 
     if head in INSTANT_FUNCS and rest.startswith("("):
         inner, trailing = _strip_parens(rest)
@@ -685,6 +883,8 @@ def parse_extended(query: str, now: dt.datetime | None = None) -> ExtendedQuery:
             or sub.post
             or sub.hist_quantile is not None
             or sub.sub_inner is not None
+            or sub.const is not None
+            or sub.sort is not None
         ):
             raise PromQLError(
                 "call",
@@ -694,7 +894,8 @@ def parse_extended(query: str, now: dt.datetime | None = None) -> ExtendedQuery:
         sub.func = head
         return sub
 
-    return ExtendedQuery(selector=_parse_selector(query, now))
+    sel, at_used = _parse_selector(query, now)
+    return ExtendedQuery(selector=sel, at_fixed=at_used)
 
 
 _SET_OPS = ("and", "unless", "or")
@@ -817,22 +1018,59 @@ def parse_extended_expr(
             "parse", "Failed to parse PromQL query: missing binary operand"
         )
 
-    def side(text: str) -> "ExtendedQuery | float":
+    def side(text: str) -> "ExtendedQuery | ScalarOf | float":
         if re.fullmatch(
             r"[0-9]+(\.[0-9]*)?([eE][+-]?[0-9]+)?|\.[0-9]+", text
         ):
             return float(text)
-        return parse_extended(text, now)
+        if re.fullmatch(r"time\s*\(\s*\)", text):
+            # time() is a SCALAR in Prometheus — as an operand it is a
+            # plain literal, not an empty-label vector to match on.
+            return _now_epoch(now)
+        m = _NAME_RE.match(text)
+        if (
+            m
+            and m.group(0) == "scalar"
+            and text[m.end():].lstrip().startswith("(")
+        ):
+            inner, trailing = _strip_parens(text[m.end():].lstrip())
+            if trailing.strip():
+                raise PromQLError(
+                    "parse",
+                    "Unexpected trailing content in query: "
+                    f"'{trailing.strip()}'",
+                )
+            sub = parse_extended(inner, now)
+            _reject_wrapped_sort(sub, "scalar")
+            if sub.func in ABSENT_FUNCS:
+                raise PromQLError(
+                    "call",
+                    "scalar() over absent() is not supported; use the "
+                    "absent vector directly.",
+                )
+            return ScalarOf(sub)
+        sub = parse_extended(text, now)
+        if sub.sort is not None:
+            raise PromQLError(
+                "binary",
+                "sort() operands in binary operations are not "
+                "supported — the join discards the ordering; sort the "
+                "result client-side.",
+            )
+        return sub
 
     left, right = side(left_text), side(right_text)
-    if isinstance(left, float) and isinstance(right, float):
+    if isinstance(left, (float, ScalarOf)) and isinstance(
+        right, (float, ScalarOf)
+    ):
         raise PromQLError(
             "literal",
-            "Literal values are not valid queries. Use a metric selector "
-            "like 'metric_name{label=\"value\"}'.",
+            "A scalar-only expression is not a valid query. Use a "
+            "metric selector like 'metric_name{label=\"value\"}'.",
         )
     if op in _SET_OPS and (
-        isinstance(left, float) or isinstance(right, float)
+        isinstance(left, (float, ScalarOf))
+        or isinstance(right, (float, ScalarOf))
     ):
         raise PromQLError(
             "binary",
@@ -840,7 +1078,8 @@ def parse_extended_expr(
             "scalars have no label sets to match on.",
         )
     if gmode is not None and (
-        isinstance(left, float) or isinstance(right, float)
+        isinstance(left, (float, ScalarOf))
+        or isinstance(right, (float, ScalarOf))
     ):
         raise PromQLError(
             "binary",
@@ -987,6 +1226,27 @@ def _apply_post(df: DataFrame, post: list[tuple[str, float | None]]) -> DataFram
             col = F.greatest(col, F.lit(p))
         elif name == "clamp_max":
             col = F.least(col, F.lit(p))
+        elif name in DATE_FUNCS:
+            # Calendar field of the value read as epoch seconds, in UTC
+            # (the engine's session timezone — Prometheus is UTC too).
+            ts = F.timestamp_seconds(col)
+            if name == "minute":
+                col = F.minute(ts)
+            elif name == "hour":
+                col = F.hour(ts)
+            elif name == "day_of_week":
+                # Prometheus: 0 = Sunday; Spark dayofweek: 1 = Sunday.
+                col = F.dayofweek(ts) - F.lit(1)
+            elif name == "day_of_month":
+                col = F.dayofmonth(ts)
+            elif name == "day_of_year":
+                col = F.dayofyear(ts)
+            elif name == "month":
+                col = F.month(ts)
+            elif name == "year":
+                col = F.year(ts)
+            else:  # days_in_month
+                col = F.dayofmonth(F.last_day(ts))
     return df.withColumn("value", col.cast("double"))
 
 
@@ -1173,7 +1433,47 @@ def evaluate_extended(
     sensors: DataFrame, values: DataFrame, eq: ExtendedQuery
 ) -> DataFrame:
     """Evaluate to an instant vector: ``(sensor_id, name, labels, value)``
-    — or, aggregated, one row per ``by``-group: ``(*by, value)``."""
+    — or, aggregated, one row per ``by``-group: ``(*by, value)``.
+    ``sort()``/``sort_desc()`` order the final frame by value (the
+    result is dashboard-sized — series or groups, never samples — so
+    the global sort is presentation cost, not a scale hazard)."""
+    out = _evaluate_extended_core(sensors, values, eq)
+    if eq.sort is not None:
+        direction = (
+            F.col("value").asc_nulls_last()
+            if eq.sort == "asc"
+            else F.col("value").desc_nulls_last()
+        )
+        # Deterministic tie-break on sensor_id when the frame carries
+        # one (the labels MAP is not orderable; aggregated frames'
+        # group keys already disambiguate rows for any consumer).
+        ties = ["sensor_id"] if "sensor_id" in out.columns else []
+        out = out.orderBy(direction, *ties)
+    return out
+
+
+def _const_vector(spark, eq: ExtendedQuery) -> DataFrame:
+    """``vector(s)`` / ``time()`` / a date function's default argument:
+    one series with the EMPTY label set (Prometheus) — flows through
+    label ops, posts, and aggregation like any other instant vector."""
+    one = spark.range(1).select(
+        F.lit(None).cast("string").alias("sensor_id"),
+        F.lit(None).cast("string").alias("name"),
+        F.create_map().cast("map<string,string>").alias("labels"),
+        F.lit(eq.const).cast("double").alias("value"),
+    )
+    if eq.label_ops:
+        one = _apply_label_ops(one, eq.label_ops)
+    if eq.series_post:
+        one = _apply_post(one, eq.series_post)
+    return _finish_instant(one, eq)
+
+
+def _evaluate_extended_core(
+    sensors: DataFrame, values: DataFrame, eq: ExtendedQuery
+) -> DataFrame:
+    if eq.const is not None:
+        return _const_vector(sensors.sparkSession, eq)
     if eq.hist_quantile is not None:
         import dataclasses
 
@@ -1192,6 +1492,7 @@ def evaluate_extended(
             dataclasses.replace(
                 eq,
                 hist_quantile=None,
+                sort=None,  # the outer wrapper sorts; not the buckets
                 post=eq.hist_inner_post,
                 **(
                     {}
@@ -1321,7 +1622,10 @@ def data_window(eq: ExtendedQuery) -> tuple[dt.datetime, dt.datetime]:
     expressions this is the selector window; a subquery additionally
     reaches back ``range`` plus the inner lookback from its evaluation
     time (the selector window alone would silently starve the earliest
-    steps of their samples)."""
+    steps of their samples). Constant vectors read no samples:
+    ``(None, None)``."""
+    if eq.const is not None:
+        return None, None
     if eq.sub_inner is not None:
         lookback = eq.selector.end_time - eq.selector.start_time
         end = eq.sub_eval
@@ -1571,6 +1875,27 @@ def evaluate_range(
     step-index math, so the explode/reduce shape is unchanged. Without
     ``now`` the offset cannot be derived and is ignored (pre-existing
     registry callers evaluate offset-free selectors)."""
+    if eq.const is not None:
+        raise PromQLError(
+            "call",
+            "constant expressions (vector()/time()/argless date "
+            "functions) in range queries are not supported; evaluate "
+            "them as instant queries.",
+        )
+    if eq.sort is not None:
+        raise PromQLError(
+            "call",
+            "sort()/sort_desc() in range queries has no defined order "
+            "across steps (Prometheus ignores it there); sort the "
+            "instant query instead.",
+        )
+    if eq.at_fixed:
+        raise PromQLError(
+            "modifier",
+            "@ in range queries is not supported — the fixed anchor "
+            "would evaluate every step over the same window; use an "
+            "instant query at that timestamp.",
+        )
     if eq.sub_inner is not None:
         raise PromQLError(
             "subquery",
@@ -1745,6 +2070,11 @@ def evaluate_binary(
     for side_eq in (bq.left, bq.right):
         if isinstance(side_eq, float):
             continue
+        if isinstance(side_eq, ScalarOf):
+            # The reduction to one value is shape-agnostic (row count +
+            # first value), so any inner that parses is evaluable;
+            # parse-time checks (no absent, no sort) already ran.
+            continue
         if side_eq.hist_quantile is not None:
             raise PromQLError(
                 "binary",
@@ -1814,13 +2144,36 @@ def evaluate_binary(
         )
         return left.select(*cols).unionByName(extra)
 
-    if isinstance(bq.left, float) or isinstance(bq.right, float):
-        eq = bq.right if isinstance(bq.left, float) else bq.left
+    if isinstance(bq.left, (float, ScalarOf)) or isinstance(
+        bq.right, (float, ScalarOf)
+    ):
+        scalar_left = isinstance(bq.left, (float, ScalarOf))
+        eq = bq.right if scalar_left else bq.left
+        sc = bq.left if scalar_left else bq.right
         out = evaluate_extended(sensors, values, eq)
-        if isinstance(bq.left, float):
-            res = apply(F.lit(bq.left), F.col("value"))
+        if isinstance(sc, ScalarOf):
+            # scalar(v): ONE value — the single series' value, or NaN
+            # unless exactly one series (Prometheus). The reduction is
+            # a global aggregate of a series-sized frame; the 1-row
+            # result broadcasts onto the vector side (the same
+            # broadcast-literal nested-loop shape as the engine's other
+            # one-row scalars — bounded by construction).
+            reduced = evaluate_extended(sensors, values, sc.eq).agg(
+                F.count("*").alias("__n"),
+                F.first("value").alias("__v"),
+            ).select(
+                F.when(F.col("__n") == 1, F.col("__v"))
+                .otherwise(F.lit(float("nan")))
+                .alias("__sv")
+            )
+            out = out.crossJoin(F.broadcast(reduced))
+            sc_col = F.col("__sv")
         else:
-            res = apply(F.col("value"), F.lit(bq.right))
+            sc_col = F.lit(sc)
+        if scalar_left:
+            res = apply(sc_col, F.col("value"))
+        else:
+            res = apply(F.col("value"), sc_col)
         cols = [c for c in ("sensor_id", "name", "labels") if c in out.columns]
         if bq.op in _CMP_OPS:
             if bq.bool_mode:

@@ -480,22 +480,25 @@ def create_app(
             except PromQLError as e:
                 return jsonify({"error": str(e)}), 400
             if isinstance(eq, BinaryQuery):
+                from sensapp_spark.query.promql_ext import ScalarOf
+
                 # Load the envelope of both operands' data windows
-                # (data_window widens for subquery operands); each
-                # side re-applies its own exact range inside evaluate.
+                # (data_window widens for subquery operands, unwraps
+                # scalar() operands, and is (None, None) for constant
+                # vectors); each side re-applies its own exact range
+                # inside evaluate.
                 windows = [
-                    data_window(s)
+                    data_window(s.eq if isinstance(s, ScalarOf) else s)
                     for s in (eq.left, eq.right)
                     if not isinstance(s, float)
                 ]
+                windows = [w for w in windows if w[0] is not None]
+                start = min((w[0] for w in windows), default=None)
+                end = max((w[1] for w in windows), default=None)
                 try:
                     out = evaluate_binary(
                         lake.sensors(),
-                        lake.values(
-                            SensorType.FLOAT,
-                            min(w[0] for w in windows),
-                            max(w[1] for w in windows),
-                        ),
+                        lake.values(SensorType.FLOAT, start, end),
                         eq,
                     )
                 except PromQLError as e:
@@ -511,6 +514,8 @@ def create_app(
                 eq.func is not None
                 or eq.agg is not None
                 or eq.hist_quantile is not None
+                or eq.const is not None
+                or eq.sort is not None
             ):
                 start, end = data_window(eq)
                 try:
@@ -641,6 +646,16 @@ def create_app(
             eq = parse_extended(query, now=now_parse)
         except (ValueError, PromQLError) as e:
             return jsonify({"error": str(e)}), 400
+        if eq.selector is None:
+            # Constant vectors (vector()/time()/argless date funcs)
+            # have no sample window; evaluate_range rejects them with
+            # the didactic message.
+            return jsonify(
+                {
+                    "error": "constant expressions in range queries are "
+                    "not supported; evaluate them as instant queries."
+                }
+            ), 400
         lookback = eq.selector.end_time - eq.selector.start_time
         offset = max(
             dt.timedelta(0), now_parse - eq.selector.end_time

