@@ -1357,6 +1357,10 @@ BENCH_MEMBERS: dict[str, dict] = {
         for t in ("irate", "changes", "deriv", "predict_linear",
                   "timestamp", "subquery")
     },
+    "promql_ext_range_query": {
+        t: _scoped_main("promql_ext_range_query", t)
+        for t in ("rate", "subquery", "hist")
+    },
     "sample_split": {
         "split_assign": _split_member,
         "stratified_sample": _strat_member,

@@ -1114,6 +1114,34 @@ def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         parse_extended,
     )
 
+    bsensors, bvals = _click_bucket_snapshots(
+        sensors, vals, [(None, dt.datetime(2024, 1, 31, 23, 30))]
+    )
+    now = dt.datetime(2024, 2, 1)
+    prom = [
+        evaluate_extended(
+            bsensors, bvals,
+            parse_extended(f"histogram_quantile({phi}, click_bucket)",
+                           now=now),
+        ).select(
+            F.lit("prom_le").alias("scope"),
+            F.col("labels").alias("name"),
+            F.lit(phi).alias("bucket"),
+            F.lit(None).cast("long").alias("n"),
+            (F.round("value", 6) + F.lit(0.0)).alias("value"),
+        )
+        for phi in (0.5, 0.9)
+    ]
+    return h.unionByName(quantile).unionByName(prom[0]).unionByName(prom[1])
+
+
+def _click_bucket_snapshots(sensors, vals, snapshots):
+    """Cumulative ``le``-bucket series per click user (thresholds
+    {-0.5, 0, 0.5, +Inf}) — one bucket sample per snapshot time,
+    counting the samples with ``time <= cutoff``. The wire shape a
+    Prometheus client exposes, derived deterministically from events so
+    the DuckDB oracle can rebuild it. Returns (bucket_sensors,
+    bucket_values)."""
     user = F.element_at(F.col("labels"), F.lit("user"))
     click = vals.join(
         F.broadcast(
@@ -1122,14 +1150,27 @@ def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "sensor_id",
     )
-    per_user = click.groupBy(user.alias("user")).agg(
-        F.count(F.when(F.col("value") <= -0.5, 1)).alias("c0"),
-        F.count(F.when(F.col("value") <= 0.0, 1)).alias("c1"),
-        F.count(F.when(F.col("value") <= 0.5, 1)).alias("c2"),
-        F.count("*").alias("c3"),
-    )
+    parts = []
+    for cutoff, sample_time in snapshots:
+        src = click if cutoff is None else click.filter(
+            F.col("time") <= F.lit(cutoff)
+        )
+        parts.append(
+            src.groupBy(user.alias("user")).agg(
+                F.count(F.when(F.col("value") <= -0.5, 1)).alias("c0"),
+                F.count(F.when(F.col("value") <= 0.0, 1)).alias("c1"),
+                F.count(F.when(F.col("value") <= 0.5, 1)).alias("c2"),
+                F.count("*").alias("c3"),
+            ).select(
+                "*", F.lit(sample_time).cast("timestamp").alias("snap")
+            )
+        )
+    per_user = parts[0]
+    for p in parts[1:]:
+        per_user = per_user.unionByName(p)
     stacked = per_user.select(
         "user",
+        "snap",
         F.explode(
             F.array(
                 *[
@@ -1157,31 +1198,14 @@ def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.create_map(
             F.lit("user"), F.col("user"), F.lit("le"), F.col("b.le")
         ).alias("labels"),
-    )
+    ).dropDuplicates(["sensor_id"])
     bvals = stacked.select(
         bucket_sid,
-        F.lit(dt.datetime(2024, 1, 31, 23, 30)).cast("timestamp").alias(
-            "time"
-        ),
+        F.col("snap").alias("time"),
         F.col("b.v").alias("value"),
         F.lit(0).cast("long").alias("event_id"),
     )
-    now = dt.datetime(2024, 2, 1)
-    prom = [
-        evaluate_extended(
-            bsensors, bvals,
-            parse_extended(f"histogram_quantile({phi}, click_bucket)",
-                           now=now),
-        ).select(
-            F.lit("prom_le").alias("scope"),
-            F.col("labels").alias("name"),
-            F.lit(phi).alias("bucket"),
-            F.lit(None).cast("long").alias("n"),
-            (F.round("value", 6) + F.lit(0.0)).alias("value"),
-        )
-        for phi in (0.5, 0.9)
-    ]
-    return h.unionByName(quantile).unionByName(prom[0]).unionByName(prom[1])
+    return bsensors, bvals
 
 
 @register(
@@ -1202,37 +1226,148 @@ def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
                               WHERE name = 'click')
         GROUP BY 1, 2
         HAVING epoch_us(MAX(v.time)) > epoch_us(MIN(v.time)))
-    SELECT sensor_id,
+    , sq_inner AS (
+        SELECT v.sensor_id, s.j,
+               TIMESTAMP '2024-01-05' + s.j * INTERVAL '2 days' AS tj,
+               arg_max(v.value, v.time) - arg_min(v.value, v.time) AS rise,
+               (epoch_us(MAX(v.time)) - epoch_us(MIN(v.time))) / 1e6 AS span
+        FROM vals v
+        JOIN (SELECT unnest(generate_series(0, 6)) AS j) s
+          ON v.time <= TIMESTAMP '2024-01-05' + s.j * INTERVAL '2 days'
+         AND v.time >= TIMESTAMP '2024-01-05' + s.j * INTERVAL '2 days'
+                        - INTERVAL '2 days'
+        WHERE v.sensor_id IN (SELECT sensor_id FROM sensors
+                              WHERE name = 'click')
+        GROUP BY 1, 2
+        HAVING epoch_us(MAX(v.time)) > epoch_us(MIN(v.time)))
+    , rq_cum AS (
+        SELECT p.snap, s.user_label AS u,
+               COUNT(*) FILTER (WHERE v.value <= -0.5) AS c0,
+               COUNT(*) FILTER (WHERE v.value <= 0.0) AS c1,
+               COUNT(*) FILTER (WHERE v.value <= 0.5) AS c2,
+               COUNT(*) AS c3
+        FROM vals v
+        JOIN sensors s USING (sensor_id)
+        CROSS JOIN (SELECT unnest([TIMESTAMP '2024-01-15',
+                                   TIMESTAMP '2024-01-30']) AS snap) p
+        WHERE s.name = 'click' AND v.time <= p.snap
+        GROUP BY 1, 2),
+    rq_buckets AS (
+        SELECT snap, u, -0.5 AS le, c0 AS cum FROM rq_cum
+        UNION ALL SELECT snap, u, 0.0, c1 FROM rq_cum
+        UNION ALL SELECT snap, u, 0.5, c2 FROM rq_cum
+        UNION ALL SELECT snap, u, CAST('inf' AS DOUBLE), c3 FROM rq_cum),
+    rq_hq AS (
+        SELECT snap, u, le, cum,
+               LAG(le) OVER (PARTITION BY snap, u ORDER BY le) AS ple,
+               LAG(cum) OVER (PARTITION BY snap, u ORDER BY le) AS pcum,
+               MAX(cum) OVER (PARTITION BY snap, u) AS total
+        FROM rq_buckets),
+    rq_sel AS (
+        SELECT *, ROW_NUMBER() OVER (
+                   PARTITION BY snap, u ORDER BY le) AS hrn
+        FROM rq_hq WHERE cum >= 0.5 * total)
+    SELECT 'rate' AS scope, sensor_id AS key,
            strftime(TIMESTAMP '2024-01-05' + i * INTERVAL '1 day',
                     '%Y-%m-%d %H:%M:%S') AS t,
-           ROUND(rise / span, 6) AS value
+           ROUND(rise / span, 6) + 0 AS value
     FROM win
+    UNION ALL
+    SELECT 'subquery', q.sensor_id,
+           strftime(TIMESTAMP '2024-01-09' + o.i * INTERVAL '1 day',
+                    '%Y-%m-%d %H:%M:%S'),
+           ROUND(MAX(q.rise / q.span), 6) + 0
+    FROM sq_inner q
+    JOIN (SELECT unnest(generate_series(0, 8)) AS i) o
+      ON q.tj <= TIMESTAMP '2024-01-09' + o.i * INTERVAL '1 day'
+     AND q.tj >= TIMESTAMP '2024-01-09' + o.i * INTERVAL '1 day'
+                  - INTERVAL '4 days'
+    GROUP BY 1, 2, 3
+    UNION ALL
+    SELECT 'hist', 'user="' || u || '"',
+           strftime(snap + INTERVAL '30 minutes', '%Y-%m-%d %H:%M:%S'),
+           ROUND(CASE
+             WHEN isinf(le) THEN ple
+             WHEN pcum IS NULL AND le <= 0 THEN le
+             ELSE (CASE WHEN pcum IS NULL THEN 0 ELSE ple END)
+                  + (le - CASE WHEN pcum IS NULL THEN 0 ELSE ple END)
+                    * (0.5 * total - COALESCE(pcum, 0))
+                    / (cum - COALESCE(pcum, 0))
+           END, 6) + 0
+    FROM rq_sel WHERE hrn = 1
     """,
 )
 def promql_ext_range_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Beyond-reference: Prometheus range query — ``rate(click[2d])``
-    evaluated at 21 daily steps over [2024-01-05, 2024-01-25]. Sliding
-    windows become a bounded explode (ceil(range/step)=2 step indices
-    per sample) feeding one (sensor, step)-keyed reduction; the oracle
-    recomputes each window with an inequality join."""
+    """Beyond-reference: Prometheus range queries as one tagged union —
+
+    * ``rate`` — ``rate(click[2d])`` at 21 daily steps over
+      [2024-01-05, 2024-01-25]. Sliding windows become a bounded
+      explode (ceil(range/step)=2 step indices per sample) feeding one
+      (sensor, step)-keyed reduction; the oracle recomputes each window
+      with an inequality join.
+    * ``subquery`` (round 7) — ``max_over_time(rate(click[2d])[4d:2d])``
+      at daily steps over [2024-01-09, 2024-01-17]: the inner rate is
+      range-evaluated ONCE on the 2-day subquery grid, then each outer
+      step maxes the inner samples in its trailing 4-day window — a
+      second bounded explode over the dimension×inner-steps frame.
+    * ``hist`` (round 7) — ``histogram_quantile(0.5, click_bucket)``
+      range-evaluated over two cumulative bucket SNAPSHOTS (counts ≤
+      2024-01-15 / ≤ 2024-01-30, sampled at those times): each step's
+      1-hour instant lookback picks up exactly one snapshot, so the
+      two steps quantile genuinely different CDFs — per-step windows
+      verified end-to-end against the oracle's snapshot-parametrized
+      interpolation."""
     from sensapp_spark.query.promql_ext import (
         evaluate_range,
         parse_extended,
     )
 
-    eq = parse_extended("rate(click[2d])", now=dt.datetime(2024, 2, 1))
-    out = evaluate_range(
-        td.events_sensors(spark, sf_dir),
-        td.events_values(spark, sf_dir),
-        eq,
-        start=dt.datetime(2024, 1, 5),
-        end=dt.datetime(2024, 1, 25),
+    sensors = td.events_sensors(spark, sf_dir)
+    vals = td.events_values(spark, sf_dir)
+    now = dt.datetime(2024, 2, 1)
+
+    def shaped(df, key_col, plus_zero=False):
+        value = F.round("value", 6)
+        if plus_zero:
+            value = value + F.lit(0.0)
+        return df.select(
+            F.col(key_col).alias("key"),
+            F.date_format("t", "yyyy-MM-dd HH:mm:ss").alias("t"),
+            value.alias("value"),
+        )
+
+    rate = evaluate_range(
+        sensors, vals, parse_extended("rate(click[2d])", now=now),
+        start=dt.datetime(2024, 1, 5), end=dt.datetime(2024, 1, 25),
         step_seconds=86400,
     )
-    return out.select(
-        "sensor_id",
-        F.date_format("t", "yyyy-MM-dd HH:mm:ss").alias("t"),
-        F.round("value", 6).alias("value"),
+    subq = evaluate_range(
+        sensors, vals,
+        parse_extended("max_over_time(rate(click[2d])[4d:2d])", now=now),
+        start=dt.datetime(2024, 1, 9), end=dt.datetime(2024, 1, 17),
+        step_seconds=86400,
+    )
+    bsensors, bvals = _click_bucket_snapshots(
+        sensors, vals,
+        [
+            (dt.datetime(2024, 1, 15), dt.datetime(2024, 1, 15)),
+            (dt.datetime(2024, 1, 30), dt.datetime(2024, 1, 30)),
+        ],
+    )
+    hist = evaluate_range(
+        bsensors, bvals,
+        parse_extended("histogram_quantile(0.5, click_bucket)", now=now),
+        start=dt.datetime(2024, 1, 15, 0, 30),
+        end=dt.datetime(2024, 1, 30, 0, 30),
+        step_seconds=15 * 86400,
+    )
+    return _union_tagged(
+        [
+            ("rate", shaped(rate, "sensor_id", plus_zero=True)),
+            ("subquery", shaped(subq, "sensor_id", plus_zero=True)),
+            ("hist", shaped(hist, "labels", plus_zero=True)),
+        ],
+        "scope",
     )
 
 

@@ -1717,8 +1717,6 @@ def _evaluate_subquery(
         now=eq.sub_eval,  # activates the inner selector's offset
     )
     series_shaped = "sensor_id" in steps.columns
-    t_us = F.unix_micros("t")
-    outer = eq.func
     if series_shaped:
         group = ["sensor_id"]
         carry = [
@@ -1728,7 +1726,25 @@ def _evaluate_subquery(
     else:
         group = [c for c in steps.columns if c not in ("t", "value")]
         carry = []
-    grouped = steps.groupBy(*group) if group else steps.groupBy()
+    return (
+        _outer_step_agg(steps, eq, group, carry, F.unix_micros("t")),
+        series_shaped,
+    )
+
+
+def _outer_step_agg(
+    frame: DataFrame,
+    eq: ExtendedQuery,
+    group: list,
+    carry: list,
+    t_us: F.Column,
+) -> DataFrame:
+    """Apply ``eq.func`` — the subquery's OUTER range function — over
+    each group's step samples (shared by the instant-subquery path and
+    the range-evaluated-subquery path, whose groups additionally carry
+    the outer step index)."""
+    outer = eq.func
+    grouped = frame.groupBy(*group) if group else frame.groupBy()
     if outer in ("rate", "increase", "delta"):
         raw = grouped.agg(
             *carry,
@@ -1738,11 +1754,8 @@ def _evaluate_subquery(
         ).filter(F.col("__span_s") > 0)
         rise = F.col("__last") - F.col("__first")
         value = rise / F.col("__span_s") if outer == "rate" else rise
-        return (
-            raw.withColumn("value", value).drop(
-                "__last", "__first", "__span_s"
-            ),
-            series_shaped,
+        return raw.withColumn("value", value).drop(
+            "__last", "__first", "__span_s"
         )
     if outer == "last_over_time":
         val = F.max_by("value", t_us)
@@ -1754,11 +1767,14 @@ def _evaluate_subquery(
         val = _OVER_TIME[outer]("value")
         if outer == "count_over_time":
             val = val.cast("long")
-    return grouped.agg(*carry, val.alias("value")), series_shaped
+    return grouped.agg(*carry, val.alias("value"))
 
 
 def _histogram_le_quantile(
-    vec: DataFrame, phi: float, by: list[str] | None
+    vec: DataFrame,
+    phi: float,
+    by: list[str] | None,
+    extra_keys: tuple[str, ...] = (),
 ) -> DataFrame:
     """Prometheus-native ``histogram_quantile`` over cumulative
     ``le``-bucket series (prometheus/prometheus promql/quantile.go
@@ -1775,9 +1791,12 @@ def _histogram_le_quantile(
     ``by`` None means the input is a series vector (labels map, the
     ``le`` label extracted and dropped from the output key); otherwise
     the input is ``sum by (le, …)`` output and the group is the
-    remaining by-keys. Every window here partitions the SERIES frame
-    (one row per bucket series) — dimension-sized, so the sort-within-
-    group work is trivial at any corpus scale."""
+    remaining by-keys. ``extra_keys`` appends further group columns —
+    the range-query path passes ``("t",)`` so each evaluation step
+    quantiles its own bucket snapshot. Every window here partitions
+    the SERIES frame (one row per bucket series, × steps for a range)
+    — dimension-sized, so the sort-within-group work is trivial at any
+    corpus scale."""
     inf = float("inf")
     if by is None:
         le_str = F.element_at(F.col("labels"), "le")
@@ -1787,6 +1806,8 @@ def _histogram_le_quantile(
         le_str = F.col("le")
         group_names = [k for k in by if k != "le"]
         group = [F.col(k) for k in group_names]
+    group = group + [F.col(k) for k in extra_keys]
+    group_names = group_names + list(extra_keys)
 
     if phi != phi or phi < 0 or phi > 1:  # NaN / out-of-range φ
         edge = float("nan") if phi != phi else (-inf if phi < 0 else inf)
@@ -1896,19 +1917,13 @@ def evaluate_range(
             "would evaluate every step over the same window; use an "
             "instant query at that timestamp.",
         )
-    if eq.sub_inner is not None:
-        raise PromQLError(
-            "subquery",
-            "Subqueries inside range queries are not supported — a "
-            "subquery IS a range evaluation; query the inner "
-            "expression with /api/v1/query_range directly, or the "
-            "whole subquery as an instant query.",
-        )
     if eq.hist_quantile is not None:
-        raise PromQLError(
-            "call",
-            "histogram_quantile() in range queries is not supported "
-            "yet; evaluate it as an instant query.",
+        return _evaluate_range_histogram(
+            sensors, values, eq, start, end, step_seconds, now
+        )
+    if eq.sub_inner is not None:
+        return _evaluate_range_subquery(
+            sensors, values, eq, start, end, step_seconds, now
         )
     if eq.func in ABSENT_FUNCS:
         raise PromQLError(
@@ -1967,6 +1982,14 @@ def evaluate_range(
         F.broadcast(selected.select("sensor_id", "name", "labels")),
         "sensor_id",
     )
+    return _finish_range(out, eq, t_col)
+
+
+def _finish_range(out: DataFrame, eq: ExtendedQuery, t_col) -> DataFrame:
+    """Shared range-query tail over any per-(series, step) frame
+    carrying ``(sensor_id, name, labels, __i, value)`` — the raw-scan
+    path and the range-evaluated-subquery path both end here (the
+    instant analogue is :func:`_finish_instant`)."""
     if eq.label_ops:
         out = _apply_label_ops(out, eq.label_ops)
     if eq.series_post:
@@ -2020,6 +2043,131 @@ def evaluate_range(
     return _apply_post(
         out.groupBy(*keys, t_col).agg(agg_col.alias("value")), eq.post
     )
+
+
+def _evaluate_range_histogram(
+    sensors: DataFrame,
+    values: DataFrame,
+    eq: ExtendedQuery,
+    start: dt.datetime,
+    end: dt.datetime,
+    step_seconds: float,
+    now: dt.datetime | None,
+) -> DataFrame:
+    """Range-evaluated ``histogram_quantile`` (round 7 — closes the
+    round-6 didactic rejection): the bucket expression is range-
+    evaluated first (one bounded explode, per the standard path), then
+    each step's bucket snapshot is quantiled independently — the
+    cumulative-bucket interpolation runs per (group, t), still entirely
+    in JVM expressions over the dimension×steps frame."""
+    import dataclasses
+
+    inner_agg = eq.agg is not None and "le" in eq.by
+    vec = evaluate_range(
+        sensors,
+        values,
+        dataclasses.replace(
+            eq,
+            hist_quantile=None,
+            sort=None,
+            post=eq.hist_inner_post,
+            **(
+                {}
+                if inner_agg
+                else {"agg": None, "param": None, "by": [],
+                      "without": [], "series_post": []}
+            ),
+        ),
+        start,
+        end,
+        step_seconds,
+        now=now,
+    )
+    hq = _histogram_le_quantile(
+        vec,
+        eq.hist_quantile,
+        by=(eq.by if inner_agg else None),
+        extra_keys=("t",),
+    )
+    if not inner_agg and eq.series_post:
+        hq = _apply_post(hq, eq.series_post)
+    if eq.agg is not None and not inner_agg:
+        # Ungrouped outer aggregation over the quantile vector, PER
+        # STEP (max(histogram_quantile(…))) — grouped outer
+        # aggregation is parse-rejected, as on the instant path.
+        if eq.agg == "quantile":
+            agg_col = F.percentile("value", F.lit(eq.param)).cast("double")
+        else:
+            agg_col = _AGG_FNS[eq.agg]("value")
+            if eq.agg == "count":
+                agg_col = agg_col.cast("long")
+        hq = hq.groupBy("t").agg(agg_col.alias("value"))
+    return _apply_post(hq, eq.post)
+
+
+def _evaluate_range_subquery(
+    sensors: DataFrame,
+    values: DataFrame,
+    eq: ExtendedQuery,
+    start: dt.datetime,
+    end: dt.datetime,
+    step_seconds: float,
+    now: dt.datetime | None,
+) -> DataFrame:
+    """Range-evaluated subquery (round 7 — closes the round-6 didactic
+    rejection): the inner expression is range-evaluated ONCE over the
+    widened window [start − range, end] at the SUBQUERY's step
+    resolution, then each outer step ``T`` applies ``eq.func`` over the
+    inner samples with ``t ∈ [T − range, T]`` — a second bounded
+    explode, this time over the dimension×inner-steps frame, never over
+    raw samples.
+
+    Anchoring deviation (documented, same as the instant subquery
+    path): the inner grid anchors at ``start − range`` and is SHARED by
+    all outer steps, while Prometheus re-derives absolutely-aligned
+    inner timestamps; when the outer step is a multiple of the inner
+    step the grids coincide."""
+    widen = dt.timedelta(seconds=eq.sub_range_s)
+    steps = evaluate_range(
+        sensors, values, eq.sub_inner, start - widen, end, eq.sub_step_s,
+        now=now,
+    )
+    series_shaped = "sensor_id" in steps.columns
+    tau = F.unix_micros("t")
+    s_us = int(step_seconds * 1_000_000)
+    r_us = int(eq.sub_range_s * 1_000_000)
+    start_us = int(start.replace(tzinfo=dt.timezone.utc).timestamp() * 1e6)
+    n_steps = int(
+        (end.replace(tzinfo=dt.timezone.utc).timestamp() * 1e6 - start_us)
+        // s_us
+    )
+    idx0 = F.greatest(
+        F.lit(0), -F.floor((tau - F.lit(start_us)) / -s_us).cast("long")
+    )
+    idx1 = F.least(
+        F.lit(n_steps),
+        F.floor((tau + F.lit(r_us) - F.lit(start_us)) / s_us).cast("long"),
+    )
+    exploded = steps.filter(idx0 <= idx1).withColumn(
+        "__i", F.explode(F.sequence(idx0, idx1))
+    )
+    t_col = F.timestamp_micros(
+        (F.lit(start_us) + F.col("__i") * s_us).cast("long")
+    ).alias("t")
+    if series_shaped:
+        group = ["sensor_id", "__i"]
+        carry = [
+            F.first("name").alias("name"),
+            F.first("labels").alias("labels"),
+        ]
+        out = _outer_step_agg(exploded, eq, group, carry, tau)
+        return _finish_range(out, eq, t_col)
+    # Aggregated-inner subquery: the group keys ride along; the
+    # (parse-rejected) enclosing aggregation never applies.
+    group = [c for c in steps.columns if c not in ("t", "value")] + ["__i"]
+    out = _outer_step_agg(exploded, eq, group, [], tau)
+    keys = [c for c in out.columns if c not in ("value", "__i")]
+    return _apply_post(out.select(*keys, t_col, "value"), eq.post)
 
 
 def _matching_key(on: list[str], ignoring: list[str]) -> F.Column:

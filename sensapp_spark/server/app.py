@@ -657,6 +657,11 @@ def create_app(
                 }
             ), 400
         lookback = eq.selector.end_time - eq.selector.start_time
+        if eq.sub_inner is not None:
+            # A subquery's earliest outer step reaches back its range
+            # PLUS the inner lookback (eq.selector is the INNER
+            # selector here).
+            lookback += dt.timedelta(seconds=eq.sub_range_s)
         offset = max(
             dt.timedelta(0), now_parse - eq.selector.end_time
         )

@@ -364,6 +364,19 @@ def test_query_range_endpoint(client):
     assert entry["metric"]["__name__"] == "temperature"
     assert [v for _, v in entry["values"]] == [20.5, 21.0]
 
+    # Round 7: subqueries are range-evaluated, not rejected — the
+    # handler widens the scan window by the subquery range so the
+    # earliest outer step still sees its inner samples.
+    r = client.get(
+        "/api/v1/query_range?query=max_over_time("
+        "last_over_time(temperature[1m])[2m:1m])"
+        "&start=2024-01-01T00:02:00Z&end=2024-01-01T00:02:00Z&step=60"
+    )
+    assert r.status_code == 200
+    sub_rows = {row["t"][:19]: row["value"]
+                for row in r.get_json()["result"]}
+    assert sub_rows["2024-01-01T00:02:00"] == pytest.approx(21.0)
+
     r = client.get("/api/v1/query_range?query=temperature&start=bad"
                    "&end=2024-01-01T00:00:00Z")
     assert r.status_code == 400

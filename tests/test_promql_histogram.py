@@ -143,22 +143,60 @@ def test_zero_observation_group_is_nan(frames, spark):
     assert len(out) == 1 and math.isnan(out[0].value)
 
 
-def test_range_query_rejects_subquery_and_histogram(frames):
-    import datetime as dt
-
+def test_range_query_evaluates_histogram_per_step(frames):
+    """Round 7: histogram_quantile is range-evaluated (the round-6
+    didactic rejection is gone) — each step quantiles its own bucket
+    snapshot. The fixture's single sample at T0 sits inside the 1 h
+    instant lookback of the first two steps but not the third, so two
+    steps yield quantiles and one yields nothing — per-step windows
+    are real, not broadcast."""
     from sensapp_spark.query.promql_ext import evaluate_range
 
     sensors, vals = frames
-    for expr, frag in [
-        ("max_over_time(b[5d:1d])", "Subqueries inside range queries"),
-        ("histogram_quantile(0.9, b)", "histogram_quantile() in range"),
-    ]:
-        with pytest.raises(PromQLError) as exc:
-            evaluate_range(
-                sensors, vals, parse_extended(expr, now=NOW),
-                NOW - dt.timedelta(days=1), NOW, 3600,
-            )
-        assert frag in str(exc.value)
+    out = evaluate_range(
+        sensors, vals,
+        parse_extended("histogram_quantile(0.5, b)", now=NOW),
+        T0 + dt.timedelta(minutes=30),
+        T0 + dt.timedelta(minutes=90),
+        1800.0,  # steps at 00:30, 01:00, 01:30 — last is out of reach
+    )
+    rows = out.collect()
+    steps = sorted({r.t for r in rows})
+    assert steps == [T0 + dt.timedelta(minutes=30),
+                     T0 + dt.timedelta(minutes=60)]
+    by_step = {
+        (r.labels, r.t): r.value
+        for r in rows
+        if not (isinstance(r.value, float) and math.isnan(r.value))
+    }
+    for t in steps:
+        assert by_step[('instance="i1"', t)] == pytest.approx(0.42)
+        assert by_step[('instance="i4"', t)] == -1.0
+
+
+def test_range_query_evaluates_subquery_per_step(frames):
+    """Round 7: subqueries are range-evaluated — each outer step T
+    applies the outer function over the inner step samples in
+    [T − range, T]."""
+    from sensapp_spark.query.promql_ext import evaluate_range
+
+    sensors, vals = frames
+    out = evaluate_range(
+        sensors, vals,
+        parse_extended("max_over_time(b[1h:30m])", now=NOW),
+        T0 + dt.timedelta(minutes=30),
+        T0 + dt.timedelta(hours=3),
+        3600.0,
+    )
+    rows = out.collect()
+    # Inner grid anchors at (start − 1h); the fixture sample at T0 is
+    # seen by inner steps up to T0+1h (instant lookback), so outer
+    # steps at 00:30 and 01:30 carry values; 02:30+ are empty.
+    steps = sorted({r.t for r in rows})
+    assert steps == [T0 + dt.timedelta(minutes=30),
+                     T0 + dt.timedelta(minutes=90)]
+    got = {r.sensor_id: r.value for r in rows if r.t == steps[0]}
+    assert got["b/i1/inf"] == 100.0 and got["b/i2/0.5"] == 15.0
 
 
 def test_post_function_applies_to_quantile_not_buckets(frames):
