@@ -728,18 +728,52 @@ def create_app(
 
     # Beyond-reference: Prometheus HTTP-API label browsing (the
     # response envelope is Prometheus' {"status","data"} shape).
+    # Cardinality safety (round 7): both routes collect a DISTINCT set
+    # to the driver, so a high-cardinality dimension (a uuid-valued
+    # label) could balloon the response and the driver heap. ``limit=``
+    # caps the result (Prometheus' own HTTP-API parameter); the default
+    # of 1000 keeps the worst case bounded, ``limit=0`` means
+    # unlimited for operators who really want the full set. The LIMIT
+    # lands inside the Spark plan (sorted for determinism), so the
+    # driver never materializes more than the cap.
+    DEFAULT_LABEL_LIMIT = 1000
+
+    def _label_limit():
+        limit = request.args.get("limit", type=int)
+        if limit is None:
+            return DEFAULT_LABEL_LIMIT
+        if limit < 0:
+            raise ValueError("limit must be >= 0")
+        return limit or None  # 0 → unlimited
+
     @app.get("/api/v1/labels")
     def labels():
         from sensapp_spark.operators.catalog import label_names
 
-        data = [r.label for r in label_names(lake.sensors()).collect()]
-        return jsonify({"status": "success", "data": data})
+        try:
+            limit = _label_limit()
+        except ValueError as e:
+            return jsonify({"error": str(e)}), 400
+        df = label_names(lake.sensors()).orderBy("label")
+        if limit:
+            df = df.limit(limit)
+        return jsonify(
+            {"status": "success", "data": [r.label for r in df.collect()]}
+        )
 
     @app.get("/api/v1/label/<name>/values")
     def label_values_route(name):
         from sensapp_spark.operators.catalog import label_values
 
-        data = [r.value for r in label_values(lake.sensors(), name).collect()]
-        return jsonify({"status": "success", "data": data})
+        try:
+            limit = _label_limit()
+        except ValueError as e:
+            return jsonify({"error": str(e)}), 400
+        df = label_values(lake.sensors(), name).orderBy("value")
+        if limit:
+            df = df.limit(limit)
+        return jsonify(
+            {"status": "success", "data": [r.value for r in df.collect()]}
+        )
 
     return app

@@ -406,6 +406,19 @@ def test_label_browsing_endpoints(client):
     assert r.status_code == 200
     assert r.get_json()["data"] == []
 
+    # Round 7: cardinality safety — limit= caps the response (the
+    # LIMIT executes inside the Spark plan, sorted for determinism);
+    # limit=0 means unlimited; negative is a client error.
+    full = client.get("/api/v1/label/__name__/values").get_json()["data"]
+    r = client.get("/api/v1/label/__name__/values?limit=1")
+    assert r.get_json()["data"] == sorted(full)[:1]
+    r = client.get("/api/v1/labels?limit=1")
+    assert len(r.get_json()["data"]) == 1
+    assert client.get(
+        "/api/v1/labels?limit=0"
+    ).get_json()["data"] == client.get("/api/v1/labels").get_json()["data"]
+    assert client.get("/api/v1/labels?limit=-1").status_code == 400
+
 
 def test_prometheus_headers_strictly_validated(client):
     # Reference verify_headers (prometheus_write.rs:21-73,
