@@ -1350,7 +1350,7 @@ BENCH_MEMBERS: dict[str, dict] = {
     },
     "value_histogram": {
         t: _scoped_main("value_histogram", t)
-        for t in ("hist", "quantile", "prom_le")
+        for t in ("hist", "quantile", "prom_le", "prom_frac")
     },
     "promql_ext_range_funcs": {
         t: _scoped_main("promql_ext_range_funcs", t, col="func")

@@ -1038,6 +1038,10 @@ def geo_within_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
                     / (cum - COALESCE(pcum, 0))
            END, 6) + 0
     FROM hsel WHERE hrn = 1
+    UNION ALL
+    SELECT 'prom_frac', 'user="' || u || '"', 0.25, CAST(NULL AS BIGINT),
+           ROUND((c1 + 0.5 * (c2 - c1) - c0) / c3, 6) + 0
+    FROM click_cum
     """,
 )
 def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1132,7 +1136,30 @@ def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         for phi in (0.5, 0.9)
     ]
-    return h.unionByName(quantile).unionByName(prom[0]).unionByName(prom[1])
+    # prom_frac arm (round 7): histogram_fraction(-0.5, 0.25,
+    # click_bucket) — the classic-bucket analogue of Prometheus'
+    # native-histogram fraction estimator. The lower bound sits exactly
+    # on the first bucket edge (cdf = c0) and the upper bound bisects
+    # the (0, 0.5] bucket, so the oracle states the interpolation in
+    # closed form: (c1 + 0.5·(c2−c1) − c0) / c3.
+    frac = evaluate_extended(
+        bsensors, bvals,
+        parse_extended(
+            "histogram_fraction(-0.5, 0.25, click_bucket)", now=now
+        ),
+    ).select(
+        F.lit("prom_frac").alias("scope"),
+        F.col("labels").alias("name"),
+        F.lit(0.25).alias("bucket"),
+        F.lit(None).cast("long").alias("n"),
+        (F.round("value", 6) + F.lit(0.0)).alias("value"),
+    )
+    return (
+        h.unionByName(quantile)
+        .unionByName(prom[0])
+        .unionByName(prom[1])
+        .unionByName(frac)
+    )
 
 
 def _click_bucket_snapshots(sensors, vals, snapshots):

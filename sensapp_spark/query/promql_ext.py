@@ -140,6 +140,10 @@ class ExtendedQuery:
     label_ops: list[tuple[str, tuple]] = field(default_factory=list)
     # histogram_quantile(φ, …) wrapping this vector: the φ, or None.
     hist_quantile: float | None = None
+    # histogram_fraction(lower, upper, …) wrapping this vector: the
+    # (lower, upper) bounds, or None. Mutually exclusive with
+    # hist_quantile (both consume a le-bucket vector).
+    hist_fraction: tuple[float, float] | None = None
     # Post-functions that were applied INSIDE histogram_quantile's
     # argument (to the bucket values) — kept apart from ``post`` so
     # functions wrapping the quantile can never leak onto the counts.
@@ -432,6 +436,12 @@ def _parse_selector(
     )
 
 
+def _is_hist(eq: "ExtendedQuery") -> bool:
+    """The expression is a histogram function over a le-bucket vector
+    (quantile or fraction) — they share every composition rule."""
+    return eq.hist_quantile is not None or eq.hist_fraction is not None
+
+
 def _reject_wrapped_sort(sub: ExtendedQuery, head: str) -> None:
     """sort()/sort_desc() order the FINAL vector — anything applied on
     top would silently discard the ordering, so wrapping is rejected
@@ -641,21 +651,22 @@ def parse_extended(query: str, now: dt.datetime | None = None) -> ExtendedQuery:
                 "Aggregate either inside the subquery or outside it, "
                 "not both.",
             )
-        if sub.hist_quantile is not None:
-            # Outer aggregation over a quantile vector: only ungrouped
-            # value folds are meaningful (the quantile output keys on a
-            # canonical label string, not a label map).
+        if _is_hist(sub):
+            # Outer aggregation over a quantile/fraction vector: only
+            # ungrouped value folds are meaningful (the histogram
+            # output keys on a canonical label string, not a label
+            # map).
             if labels:
                 raise PromQLError(
                     "aggregation",
-                    "Grouped aggregation over histogram_quantile() is "
+                    "Grouped aggregation over a histogram function is "
                     "not supported — aggregate ungrouped "
                     "(e.g. max(histogram_quantile(0.9, m_bucket))).",
                 )
             if head not in _AGG_FNS and head != "quantile":
                 raise PromQLError(
                     "aggregation",
-                    f"{head}() over histogram_quantile() is not "
+                    f"{head}() over a histogram function is not "
                     "supported.",
                 )
         return ExtendedQuery(
@@ -670,6 +681,7 @@ def parse_extended(query: str, now: dt.datetime | None = None) -> ExtendedQuery:
             label_ops=sub.label_ops,
             series_post=sub.post,
             hist_quantile=sub.hist_quantile,
+            hist_fraction=sub.hist_fraction,
             hist_inner_post=sub.hist_inner_post,
             sub_inner=sub.sub_inner,
             sub_range_s=sub.sub_range_s,
@@ -679,55 +691,68 @@ def parse_extended(query: str, now: dt.datetime | None = None) -> ExtendedQuery:
             at_fixed=sub.at_fixed,
         )
 
-    if head == "histogram_quantile" and rest.startswith("("):
+    if head in ("histogram_quantile", "histogram_fraction") and (
+        rest.startswith("(")
+    ):
         inner, trailing = _strip_parens(rest)
         if trailing.strip():
             raise PromQLError(
                 "parse",
                 f"Unexpected trailing content in query: '{trailing.strip()}'",
             )
-        # φ may be any scalar, including negative (→ -Inf) — a signed
-        # variant of _PARAM_RE rather than the shared unsigned one.
-        mphi = re.match(
-            r"\s*([+-]?[0-9]+(?:\.[0-9]+)?(?:[eE][+-]?[0-9]+)?)\s*,", inner
-        )
-        if not mphi:
-            raise PromQLError(
-                "call",
-                "histogram_quantile() requires a scalar first argument "
-                "— e.g. histogram_quantile(0.9, metric_bucket).",
-            )
-        param = float(mphi.group(1))
-        inner = inner[mphi.end():]
+        # Leading scalars may be any sign (φ < 0 → -Inf; fraction
+        # bounds are arbitrary reals) — a signed variant of _PARAM_RE
+        # rather than the shared unsigned one.
+        signed = r"\s*([+-]?[0-9]+(?:\.[0-9]+)?(?:[eE][+-]?[0-9]+)?)\s*,"
+        n_scalars = 1 if head == "histogram_quantile" else 2
+        params = []
+        for _ in range(n_scalars):
+            m2 = re.match(signed, inner)
+            if not m2:
+                example = (
+                    "histogram_quantile(0.9, metric_bucket)"
+                    if head == "histogram_quantile"
+                    else "histogram_fraction(0, 0.5, metric_bucket)"
+                )
+                raise PromQLError(
+                    "call",
+                    f"{head}() requires {n_scalars} scalar leading "
+                    f"argument(s) — e.g. {example}.",
+                )
+            params.append(float(m2.group(1)))
+            inner = inner[m2.end():]
         sub = parse_extended(inner, now)
         _reject_wrapped_sort(sub, head)
         if sub.const is not None:
             raise PromQLError(
                 "call",
-                "histogram_quantile() requires a bucket vector, not a "
-                "constant.",
+                f"{head}() requires a bucket vector, not a constant.",
             )
-        if sub.hist_quantile is not None:
+        if _is_hist(sub):
             raise PromQLError(
                 "call",
-                "histogram_quantile() cannot nest inside itself — the "
-                "inner result is a quantile, not a bucket vector.",
+                f"{head}() cannot wrap a histogram function — the "
+                "inner result is already a quantile/fraction, not a "
+                "bucket vector.",
             )
         if sub.agg is not None:
             if sub.agg not in _AGG_FNS or sub.without or "le" not in sub.by:
                 raise PromQLError(
                     "call",
-                    "an aggregation inside histogram_quantile() must "
-                    "keep the le label — e.g. histogram_quantile(0.9, "
-                    "sum by (le, instance) (rate(m_bucket[5m]))).",
+                    f"an aggregation inside {head}() must keep the le "
+                    f"label — e.g. {head}(…, sum by (le, instance) "
+                    "(rate(m_bucket[5m]))).",
                 )
         # Posts parsed so far wrapped the ARGUMENT (bucket values);
-        # posts parsed after this point wrap the quantile. Separate
-        # them so e.g. max(abs(histogram_quantile(…))) applies abs to
+        # posts parsed after this point wrap the result. Separate them
+        # so e.g. max(abs(histogram_quantile(…))) applies abs to
         # quantiles, never to counts.
         sub.hist_inner_post = sub.post
         sub.post = []
-        sub.hist_quantile = param
+        if head == "histogram_quantile":
+            sub.hist_quantile = params[0]
+        else:
+            sub.hist_fraction = (params[0], params[1])
         return sub
 
     if head in RANGE_FUNCS and rest.startswith("("):
@@ -781,11 +806,12 @@ def parse_extended(query: str, now: dt.datetime | None = None) -> ExtendedQuery:
                     "subquery",
                     f"{sub.func}() inside a subquery is not supported.",
                 )
-            if sub.hist_quantile is not None:
+            if _is_hist(sub):
                 raise PromQLError(
                     "subquery",
-                    "histogram_quantile inside a subquery is not "
-                    "supported; quantile the subquery result instead.",
+                    "histogram functions inside a subquery are not "
+                    "supported; apply them to the subquery result "
+                    "instead.",
                 )
             if sub.agg == "count_values":
                 raise PromQLError(
@@ -841,7 +867,8 @@ def parse_extended(query: str, now: dt.datetime | None = None) -> ExtendedQuery:
             | INSTANT_FUNCS
             | DATE_FUNCS
             | SORT_FUNCS
-            | {"histogram_quantile", "time", "vector", "scalar"}
+            | {"histogram_quantile", "histogram_fraction", "time",
+               "vector", "scalar"}
         ):
             raise PromQLError(
                 "call",
@@ -881,7 +908,7 @@ def parse_extended(query: str, now: dt.datetime | None = None) -> ExtendedQuery:
             sub.func is not None
             or sub.agg is not None
             or sub.post
-            or sub.hist_quantile is not None
+            or _is_hist(sub)
             or sub.sub_inner is not None
             or sub.const is not None
             or sub.sort is not None
@@ -1474,7 +1501,7 @@ def _evaluate_extended_core(
 ) -> DataFrame:
     if eq.const is not None:
         return _const_vector(sensors.sparkSession, eq)
-    if eq.hist_quantile is not None:
+    if _is_hist(eq):
         import dataclasses
 
         # The enclosing agg (if any) is the OUTER one — an aggregated
@@ -1492,6 +1519,7 @@ def _evaluate_extended_core(
             dataclasses.replace(
                 eq,
                 hist_quantile=None,
+                hist_fraction=None,
                 sort=None,  # the outer wrapper sorts; not the buckets
                 post=eq.hist_inner_post,
                 **(
@@ -1502,9 +1530,14 @@ def _evaluate_extended_core(
                 ),
             ),
         )
-        hq = _histogram_le_quantile(
-            vec, eq.hist_quantile, by=(eq.by if inner_agg else None)
-        )
+        if eq.hist_quantile is not None:
+            hq = _histogram_le_quantile(
+                vec, eq.hist_quantile, by=(eq.by if inner_agg else None)
+            )
+        else:
+            hq = _histogram_le_fraction(
+                vec, *eq.hist_fraction, by=(eq.by if inner_agg else None)
+            )
         if not inner_agg and eq.series_post:
             hq = _apply_post(hq, eq.series_post)
         if eq.agg is not None and not inner_agg:
@@ -1866,6 +1899,95 @@ def _histogram_le_quantile(
     return chosen.select(*group_names, value.alias("value"))
 
 
+def _histogram_le_fraction(
+    vec: DataFrame,
+    lower: float,
+    upper: float,
+    by: list[str] | None,
+    extra_keys: tuple[str, ...] = (),
+) -> DataFrame:
+    """``histogram_fraction(lower, upper, b)`` over cumulative
+    ``le``-bucket series: the estimated fraction of observations in
+    [lower, upper] — ``(cdf(upper) − cdf(lower)) / total`` with linear
+    interpolation inside the bucket containing each bound. Upstream
+    Prometheus defines this function for NATIVE histograms only; this
+    is the classic-bucket analogue, built on the same conventions as
+    :func:`_histogram_le_quantile` (running-max monotonicity repair,
+    first-bucket lower edge 0 unless its ``le`` ≤ 0, a bound past the
+    highest finite ``le`` reads the last finite bucket's count — the
+    +Inf bucket's mass is unlocatable). No ``+Inf`` bucket or zero
+    observations → NaN; the result clamps to [0, 1] (a reversed bound
+    pair reads 0).
+
+    Plan shape: one dimension-sized window for the cumulative repair,
+    then each group's buckets fold into ONE sorted array row — both
+    bound lookups are array expressions over it, entirely in JVM."""
+    inf = float("inf")
+    if by is None:
+        le_str = F.element_at(F.col("labels"), "le")
+        group = [_labels_without(["le"]).alias("labels")]
+        group_names = ["labels"]
+    else:
+        le_str = F.col("le")
+        group_names = [k for k in by if k != "le"]
+        group = [F.col(k) for k in group_names]
+    group = group + [F.col(k) for k in extra_keys]
+    group_names = group_names + list(extra_keys)
+
+    le_d = F.when(le_str == "+Inf", F.lit(inf)).otherwise(
+        le_str.cast("double")
+    )
+    staged = vec.select(*group, le_d.alias("__le"), F.col("value"))
+    w_ord = Window.partitionBy(*group_names).orderBy("__le")
+    cum = F.max("value").over(
+        w_ord.rowsBetween(Window.unboundedPreceding, 0)
+    )
+    staged = staged.select(*group_names, "__le", cum.alias("__cum"))
+    agged = staged.groupBy(*group_names).agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.col("__le").alias("le"), F.col("__cum").alias("cum")
+                )
+            )
+        ).alias("__bs"),
+        F.max((F.col("__le") == inf).cast("int")).alias("__has_inf"),
+        F.max("__cum").alias("__total"),
+    )
+
+    def cdf(bound: float) -> F.Column:
+        b = F.lit(float(bound))
+        bs = F.col("__bs")
+        hits = F.filter(bs, lambda s: s["le"] >= b)
+        nprev = F.size(bs) - F.size(hits)
+        first = F.element_at(hits, 1)
+        prev = F.element_at(bs, F.greatest(nprev, F.lit(1)))
+        prev_cum = F.when(nprev >= 1, prev["cum"]).otherwise(F.lit(0.0))
+        start = F.when(nprev >= 1, prev["le"]).otherwise(F.lit(0.0))
+        t = (b - start) / (first["le"] - start)
+        t = F.least(F.greatest(t, F.lit(0.0)), F.lit(1.0))
+        interp = prev_cum + (first["cum"] - prev_cum) * t
+        return (
+            F.when(first["le"] == inf, prev_cum)
+            .when(
+                (nprev == 0) & (first["le"] <= 0),
+                F.when(b >= first["le"], first["cum"]).otherwise(F.lit(0.0)),
+            )
+            .otherwise(interp)
+        )
+
+    frac = (cdf(upper) - cdf(lower)) / F.col("__total")
+    frac = F.least(F.greatest(frac, F.lit(0.0)), F.lit(1.0))
+    value = (
+        F.when(F.col("__has_inf") == 0, F.lit(float("nan")))
+        .when(F.col("__total") == 0, F.lit(float("nan")))
+        .otherwise(frac)
+    )
+    return agged.select(
+        *group_names, value.cast("double").alias("value")
+    )
+
+
 def evaluate_range(
     sensors: DataFrame,
     values: DataFrame,
@@ -1917,7 +2039,7 @@ def evaluate_range(
             "would evaluate every step over the same window; use an "
             "instant query at that timestamp.",
         )
-    if eq.hist_quantile is not None:
+    if _is_hist(eq):
         return _evaluate_range_histogram(
             sensors, values, eq, start, end, step_seconds, now
         )
@@ -2069,6 +2191,7 @@ def _evaluate_range_histogram(
         dataclasses.replace(
             eq,
             hist_quantile=None,
+            hist_fraction=None,
             sort=None,
             post=eq.hist_inner_post,
             **(
@@ -2083,12 +2206,20 @@ def _evaluate_range_histogram(
         step_seconds,
         now=now,
     )
-    hq = _histogram_le_quantile(
-        vec,
-        eq.hist_quantile,
-        by=(eq.by if inner_agg else None),
-        extra_keys=("t",),
-    )
+    if eq.hist_quantile is not None:
+        hq = _histogram_le_quantile(
+            vec,
+            eq.hist_quantile,
+            by=(eq.by if inner_agg else None),
+            extra_keys=("t",),
+        )
+    else:
+        hq = _histogram_le_fraction(
+            vec,
+            *eq.hist_fraction,
+            by=(eq.by if inner_agg else None),
+            extra_keys=("t",),
+        )
     if not inner_agg and eq.series_post:
         hq = _apply_post(hq, eq.series_post)
     if eq.agg is not None and not inner_agg:
@@ -2223,11 +2354,11 @@ def evaluate_binary(
             # first value), so any inner that parses is evaluable;
             # parse-time checks (no absent, no sort) already ran.
             continue
-        if side_eq.hist_quantile is not None:
+        if _is_hist(side_eq):
             raise PromQLError(
                 "binary",
-                "histogram_quantile() operands in binary operations "
-                "are not supported; compute the quantiles separately.",
+                "histogram-function operands in binary operations "
+                "are not supported; compute them separately.",
             )
         if side_eq.func in ABSENT_FUNCS:
             raise PromQLError(

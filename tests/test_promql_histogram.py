@@ -199,6 +199,86 @@ def test_range_query_evaluates_subquery_per_step(frames):
     assert got["b/i1/inf"] == 100.0 and got["b/i2/0.5"] == 15.0
 
 
+class TestHistogramFraction:
+    """histogram_fraction(lower, upper, b) — the classic-bucket
+    analogue of Prometheus' native-histogram estimator (round 7):
+    (cdf(upper) − cdf(lower)) / total with linear interpolation inside
+    the bucket containing each bound."""
+
+    def test_exact_bucket_edges(self, frames):
+        got = _run(frames, "histogram_fraction(0.1, 0.5, b)")
+        # i1: (60 − 10) / 100.
+        assert got['instance="i1"'] == pytest.approx(0.5)
+        # i2 repaired to (20, 20, 95, 100): (20 − 20) / 100 = 0.
+        assert got['instance="i2"'] == 0.0
+        assert math.isnan(got['instance="i3"'])  # no +Inf bucket
+
+    def test_interpolated_bound(self, frames):
+        got = _run(frames, "histogram_fraction(0, 0.3, b)")
+        # i1: cdf(0.3) = 10 + 50·(0.3−0.1)/0.4 = 35; cdf(0) = 0.
+        assert got['instance="i1"'] == pytest.approx(0.35)
+
+    def test_bound_past_highest_finite_le(self, frames):
+        got = _run(frames, "histogram_fraction(0.5, 99, b)")
+        # cdf(99) reads the last finite bucket (90): (90 − 60) / 100.
+        assert got['instance="i1"'] == pytest.approx(0.3)
+
+    def test_reversed_bounds_clamp_to_zero(self, frames):
+        got = _run(frames, "histogram_fraction(0.5, 0.1, b)")
+        assert got['instance="i1"'] == 0.0
+
+    def test_negative_first_bucket(self, frames):
+        got = _run(frames, "histogram_fraction(-1, 0, b)")
+        # i4: cdf(0) = 90, cdf(-1) hits the le=-1 first bucket → 80.
+        assert got['instance="i4"'] == pytest.approx(0.1)
+
+    def test_range_evaluated_per_step(self, frames):
+        from sensapp_spark.query.promql_ext import evaluate_range
+
+        sensors, vals = frames
+        out = evaluate_range(
+            sensors, vals,
+            parse_extended("histogram_fraction(0.1, 0.5, b)", now=NOW),
+            T0 + dt.timedelta(minutes=30),
+            T0 + dt.timedelta(minutes=60),
+            1800.0,
+        )
+        got = [
+            (r.labels, r.value)
+            for r in out.collect()
+            if r.labels == 'instance="i1"'
+        ]
+        assert got == [('instance="i1"', 0.5)] * 2
+
+    def test_rejections(self, frames):
+        for expr, frag in [
+            ("histogram_fraction(0.5, b)", "2 scalar"),
+            ("histogram_fraction(0, 1, histogram_quantile(0.5, b))",
+             "cannot wrap"),
+            ("histogram_quantile(0.9, histogram_fraction(0, 1, b))",
+             "cannot wrap"),
+            ("histogram_fraction(0, 1, vector(1))", "not a constant"),
+            ("absent(histogram_fraction(0, 1, b))", "plain selector"),
+        ]:
+            with pytest.raises(PromQLError, match=frag):
+                _run(frames, expr)
+
+    def test_rejected_as_binary_operand(self, frames):
+        from sensapp_spark.query.promql_ext import (
+            evaluate_binary,
+            parse_extended_expr,
+        )
+
+        sensors, vals = frames
+        with pytest.raises(PromQLError, match="binary operations"):
+            evaluate_binary(
+                sensors, vals,
+                parse_extended_expr(
+                    "histogram_fraction(0, 1, b) / b", now=NOW
+                ),
+            )
+
+
 def test_post_function_applies_to_quantile_not_buckets(frames):
     """clamp_max over histogram_quantile clamps the RESULT; clamping
     the cumulative counts instead would destroy the CDF and pick the
@@ -214,20 +294,20 @@ def test_post_function_applies_to_quantile_not_buckets(frames):
     [
         (
             "histogram_quantile(0.5, histogram_quantile(0.5, b))",
-            "cannot nest",
+            "cannot wrap a histogram function",
         ),
         (
             "histogram_quantile(0.5, sum by (instance) (b))",
             "must keep the le label",
         ),
-        ("histogram_quantile(b)", "scalar first argument"),
+        ("histogram_quantile(b)", "1 scalar leading argument"),
         (
             "max by (instance) (histogram_quantile(0.5, b))",
-            "Grouped aggregation over histogram_quantile",
+            "Grouped aggregation over a histogram function",
         ),
         (
             "topk(2, histogram_quantile(0.5, b))",
-            "over histogram_quantile() is not supported",
+            "over a histogram function is not supported",
         ),
     ],
 )
