@@ -399,14 +399,19 @@ def _parse_selector(
             "query's window; use an absolute unix timestamp — e.g. "
             "m @ 1706000000.",
         )
-    offset_ms = 0
+    offset_ms: int | None = None
     at_ts: float | None = None
     changed = True
     while changed:
         changed = False
         m = _OFFSET_RE.match(s)
         if m:
-            offset_ms += _duration_ms(m.group("dur"))
+            if offset_ms is not None:
+                raise PromQLError(
+                    "modifier",
+                    "duplicate offset modifier on one selector.",
+                )
+            offset_ms = _duration_ms(m.group("dur"))
             s = m.group("body").strip()
             changed = True
         m = _AT_TAIL_RE.match(s)
@@ -418,13 +423,18 @@ def _parse_selector(
             at_ts = float(m.group("ts"))
             s = m.group("body").strip()
             changed = True
+    offset_ms = offset_ms or 0
     q = parse_promql_query(s, now)
     start, end = q.start_time, q.end_time
     if at_ts is not None and end is not None:
         lookback = end - start
-        end = dt.datetime.fromtimestamp(at_ts, dt.timezone.utc).replace(
-            tzinfo=None
-        )
+        anchored = dt.datetime.fromtimestamp(at_ts, dt.timezone.utc)
+        if end.tzinfo is None:
+            # Match the surrounding convention (registry callers pass
+            # naive-UTC nows; the HTTP server passes aware ones) — a
+            # mixed pair would crash every later datetime subtraction.
+            anchored = anchored.replace(tzinfo=None)
+        end = anchored
         start = end - lookback
     if offset_ms:
         shift = dt.timedelta(milliseconds=offset_ms)
@@ -440,6 +450,27 @@ def _is_hist(eq: "ExtendedQuery") -> bool:
     """The expression is a histogram function over a le-bucket vector
     (quantile or fraction) — they share every composition rule."""
     return eq.hist_quantile is not None or eq.hist_fraction is not None
+
+
+def needs_extended(eq: "ExtendedQuery") -> bool:
+    """True when ``eq`` uses ANY extended-grammar feature and must be
+    evaluated by this module rather than the reference-parity plain
+    selector path. The single source of truth for HTTP dispatch — an
+    accreting boolean enumeration in the handler missed new fields
+    twice (hist_fraction, at_fixed; round-7 review), so every new
+    ExtendedQuery capability must be added HERE, next to its field."""
+    return (
+        eq.func is not None
+        or eq.agg is not None
+        or _is_hist(eq)
+        or eq.const is not None
+        or eq.sort is not None
+        or eq.at_fixed
+        or eq.sub_inner is not None
+        or bool(eq.label_ops)
+        or bool(eq.post)
+        or bool(eq.series_post)
+    )
 
 
 def _reject_wrapped_sort(sub: ExtendedQuery, head: str) -> None:
@@ -1803,6 +1834,41 @@ def _outer_step_agg(
     return grouped.agg(*carry, val.alias("value"))
 
 
+def _stage_le_buckets(
+    vec: DataFrame, by: list[str] | None, extra_keys: tuple[str, ...]
+):
+    """Shared staging for the histogram functions: resolve the group
+    (label-string for a series vector, by-keys for ``sum by (le,…)``
+    output, plus ``extra_keys`` like the range path's ``t``), cast
+    ``le`` to double (``+Inf`` included), and repair non-monotone
+    cumulative counts with a running max. Returns ``(staged frame with
+    group_names + __le + __cum, group exprs, group names)`` — one
+    definition of the bucket canonicalization so quantile and fraction
+    can never diverge on it (round-7 review)."""
+    inf = float("inf")
+    if by is None:
+        le_str = F.element_at(F.col("labels"), "le")
+        group = [_labels_without(["le"]).alias("labels")]
+        group_names = ["labels"]
+    else:
+        le_str = F.col("le")
+        group_names = [k for k in by if k != "le"]
+        group = [F.col(k) for k in group_names]
+    group = group + [F.col(k) for k in extra_keys]
+    group_names = group_names + list(extra_keys)
+
+    le_d = F.when(le_str == "+Inf", F.lit(inf)).otherwise(
+        le_str.cast("double")
+    )
+    staged = vec.select(*group, le_d.alias("__le"), F.col("value"))
+    w_ord = Window.partitionBy(*group_names).orderBy("__le")
+    cum = F.max("value").over(
+        w_ord.rowsBetween(Window.unboundedPreceding, 0)
+    )
+    staged = staged.select(*group_names, "__le", cum.alias("__cum"))
+    return staged, group, group_names
+
+
 def _histogram_le_quantile(
     vec: DataFrame,
     phi: float,
@@ -1831,16 +1897,7 @@ def _histogram_le_quantile(
     — dimension-sized, so the sort-within-group work is trivial at any
     corpus scale."""
     inf = float("inf")
-    if by is None:
-        le_str = F.element_at(F.col("labels"), "le")
-        group = [_labels_without(["le"]).alias("labels")]
-        group_names = ["labels"]
-    else:
-        le_str = F.col("le")
-        group_names = [k for k in by if k != "le"]
-        group = [F.col(k) for k in group_names]
-    group = group + [F.col(k) for k in extra_keys]
-    group_names = group_names + list(extra_keys)
+    staged, group, group_names = _stage_le_buckets(vec, by, extra_keys)
 
     if phi != phi or phi < 0 or phi > 1:  # NaN / out-of-range φ
         edge = float("nan") if phi != phi else (-inf if phi < 0 else inf)
@@ -1850,16 +1907,8 @@ def _histogram_le_quantile(
             .select(*group_names, F.lit(edge).alias("value"))
         )
 
-    le_d = F.when(le_str == "+Inf", F.lit(inf)).otherwise(
-        le_str.cast("double")
-    )
-    staged = vec.select(*group, le_d.alias("__le"), F.col("value"))
     w_ord = Window.partitionBy(*group_names).orderBy("__le")
     w_all = Window.partitionBy(*group_names)
-    cum = F.max("value").over(
-        w_ord.rowsBetween(Window.unboundedPreceding, 0)
-    )
-    staged = staged.select(*group_names, "__le", cum.alias("__cum"))
     staged = staged.select(
         *group_names,
         "__le",
@@ -1923,26 +1972,7 @@ def _histogram_le_fraction(
     then each group's buckets fold into ONE sorted array row — both
     bound lookups are array expressions over it, entirely in JVM."""
     inf = float("inf")
-    if by is None:
-        le_str = F.element_at(F.col("labels"), "le")
-        group = [_labels_without(["le"]).alias("labels")]
-        group_names = ["labels"]
-    else:
-        le_str = F.col("le")
-        group_names = [k for k in by if k != "le"]
-        group = [F.col(k) for k in group_names]
-    group = group + [F.col(k) for k in extra_keys]
-    group_names = group_names + list(extra_keys)
-
-    le_d = F.when(le_str == "+Inf", F.lit(inf)).otherwise(
-        le_str.cast("double")
-    )
-    staged = vec.select(*group, le_d.alias("__le"), F.col("value"))
-    w_ord = Window.partitionBy(*group_names).orderBy("__le")
-    cum = F.max("value").over(
-        w_ord.rowsBetween(Window.unboundedPreceding, 0)
-    )
-    staged = staged.select(*group_names, "__le", cum.alias("__cum"))
+    staged, _, group_names = _stage_le_buckets(vec, by, extra_keys)
     agged = staged.groupBy(*group_names).agg(
         F.sort_array(
             F.collect_list(

@@ -510,13 +510,9 @@ def create_app(
                     {"result": [row.asDict(recursive=True)
                                 for row in out.collect()]}
                 )
-            if (
-                eq.func is not None
-                or eq.agg is not None
-                or eq.hist_quantile is not None
-                or eq.const is not None
-                or eq.sort is not None
-            ):
+            from sensapp_spark.query.promql_ext import needs_extended
+
+            if needs_extended(eq):
                 start, end = data_window(eq)
                 try:
                     out = evaluate_extended(

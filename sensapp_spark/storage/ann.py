@@ -60,14 +60,17 @@ from sensapp_spark.pipeline.similarity import (
 )
 from sensapp_spark.storage.lake import (
     CommitConflict,
+    _backfill_legacy_entry,
     _claim_commit,
     _flip_current,
+    _is_stale_scan_error,
     _next_version,
     _prune_versions,
     atomic_overwrite,
     dir_lock,
     read_committed,
     resolve_table,
+    vacuum_orphans,
 )
 
 
@@ -421,6 +424,11 @@ class AnnIndexStore:
         meta."""
         path = self._path(name)
         for _ in range(max_retries):
+            # Idempotent: a pre-log (pointer-era) layout gets its
+            # pointer version recorded as log entry 0, so the old
+            # corpus-sized dir is retired on the normal prune schedule
+            # instead of lingering unreferenced forever.
+            _backfill_legacy_entry(path)
             seq, data = read_committed(path)
             meta_path = data and os.path.join(data, META_FILE)
             if data is None or not os.path.exists(meta_path):
@@ -434,17 +442,22 @@ class AnnIndexStore:
             for col in ("centroid_id", "assign_cos", "bucket", "table"):
                 if col in src.columns:
                     src = src.drop(col)
+            # Append batches are bounded (the corpus-sized path is
+            # write_ivf/write_lsh), so persisting the assignment is
+            # cheap and the drift aggregate + the partitioned write
+            # share ONE computation instead of assigning twice.
+            cached = None
             if meta["kind"] == "ivf":
                 cents = [
                     (int(c), [float(x) for x in v])
                     for c, v in meta["codebook"]
                 ]
-                assigned = ivf_assign(src, cents, keep_score=True)
-                stats = assigned.agg(
+                cached = ivf_assign(src, cents, keep_score=True).persist()
+                stats = cached.agg(
                     F.count("*").alias("n"),
                     F.avg("assign_cos").alias("fit"),
                 ).first()
-                batch = assigned.drop("assign_cos")
+                batch = cached.drop("assign_cos")
                 partition = ["centroid_id"]
                 record = {
                     "n": int(stats.n),
@@ -454,13 +467,15 @@ class AnnIndexStore:
                 }
             else:
                 n_tables = int(meta.get("n_tables", 1))
+                cached = src.persist()
                 batch = _lsh_bucket_frame(
-                    src, int(meta["n_planes"]), int(meta["dim"]), n_tables
+                    cached, int(meta["n_planes"]), int(meta["dim"]),
+                    n_tables,
                 )
                 partition = (
                     ["table", "bucket"] if n_tables > 1 else ["bucket"]
                 )
-                record = {"n": int(src.count())}
+                record = {"n": int(cached.count())}
             new_meta = dict(meta)
             new_meta["appends"] = list(meta.get("appends", [])) + [record]
             if "n_vectors" in new_meta and record["n"]:
@@ -469,17 +484,34 @@ class AnnIndexStore:
                 )
             version = _next_version(path)
             vdir = os.path.join(path, version)
-            _clone_tree(data, vdir, skip=frozenset({META_FILE}))
-            batch.write.mode("append").partitionBy(*partition).parquet(vdir)
-            with open(os.path.join(vdir, META_FILE), "wb") as f:
-                f.write(json.dumps(new_meta).encode())
-                f.flush()
-                os.fsync(f.fileno())
             try:
+                _clone_tree(data, vdir, skip=frozenset({META_FILE}))
+                batch.write.mode("append").partitionBy(
+                    *partition
+                ).parquet(vdir)
+                with open(os.path.join(vdir, META_FILE), "wb") as f:
+                    f.write(json.dumps(new_meta).encode())
+                    f.flush()
+                    os.fsync(f.fileno())
                 _claim_commit(path, seq + 1, version)
             except CommitConflict:
                 shutil.rmtree(vdir, ignore_errors=True)
                 continue
+            except Exception as e:  # noqa: BLE001 — filtered below
+                # The pinned base dir can be pruned out from under the
+                # clone/write by two interleaved commits — staleness,
+                # not corruption: discard and retry against the newer
+                # committed version. Anything else propagates (with the
+                # orphan dir reclaimed).
+                shutil.rmtree(vdir, ignore_errors=True)
+                if isinstance(e, FileNotFoundError) or _is_stale_scan_error(
+                    e
+                ):
+                    continue
+                raise
+            finally:
+                if cached is not None:
+                    cached.unpersist()
             _flip_current(path, version)
             _prune_versions(path, seq + 1)
             return new_meta
@@ -487,6 +519,15 @@ class AnnIndexStore:
             f"append to {name!r} lost {max_retries} consecutive commit "
             "races — pathological writer contention"
         )
+
+    def vacuum(
+        self, name: str, min_age_s: float = 3600.0
+    ) -> list[str]:
+        """Reclaim crashed writers' never-committed version dirs and
+        stale claim temps for one layout (the same age-gated contract
+        as the lake's :func:`vacuum_orphans` — the commit path never
+        deletes unreferenced dirs itself)."""
+        return vacuum_orphans(self._path(name), min_age_s=min_age_s)
 
     def drift(
         self, name: str, reindex_ratio: float = 1.5

@@ -113,6 +113,16 @@ class SensorLake:
                 return
             except CommitConflict:
                 continue
+            except Exception as e:  # noqa: BLE001 — filtered below
+                # The pinned merge base can lose its one-generation
+                # grace to TWO interleaved commits while the merge plan
+                # executes — the scan then fails with a vanished-file
+                # error, which is staleness, not corruption: re-read
+                # the (newer) committed base and retry. Anything else
+                # propagates.
+                if _is_stale_scan_error(e):
+                    continue
+                raise
         raise CommitConflict(
             f"upsert_sensors lost {max_retries} consecutive commit races "
             f"on {path} — pathological writer contention"
@@ -373,6 +383,25 @@ class CommitConflict(Exception):
     re-merge, retry."""
 
 
+def _is_stale_scan_error(exc: Exception) -> bool:
+    """A Spark job failed because the files it planned against vanished
+    mid-execution. Under the CAS protocol this happens when a pinned
+    merge base loses its one-generation reader grace to TWO interleaved
+    commits from other writers — semantically the same staleness as a
+    lost claim, so retry loops treat it as a conflict. Detection is by
+    message (the JVM error classes surface through Py4J as text)."""
+    text = str(exc)
+    return any(
+        marker in text
+        for marker in (
+            "FileNotFoundException",
+            "PATH_NOT_FOUND",
+            "FILE_NOT_EXIST",
+            "does not exist",
+        )
+    )
+
+
 def _log_entries(path: str) -> list[int]:
     """Committed sequence numbers present in the table's commit log,
     ascending (empty when the table predates the log or was never
@@ -590,8 +619,7 @@ def vacuum_orphans(path: str, min_age_s: float = 3600.0) -> list[str]:
     now = time.time()
     deleted = []
     for d in os.listdir(path):
-        stale_tmp = d.startswith((".ptr_", ".claim_"))
-        if not (d.startswith("v_") or stale_tmp) or d in referenced:
+        if not (d.startswith(("v_", ".ptr_"))) or d in referenced:
             continue
         full = os.path.join(path, d)
         with contextlib.suppress(OSError):
@@ -602,6 +630,20 @@ def vacuum_orphans(path: str, min_age_s: float = 3600.0) -> list[str]:
             else:
                 os.unlink(full)
             deleted.append(d)
+    # Crashed writers' claim temps live INSIDE the commit-log dir
+    # (_claim_commit's pre-link staging files) — sweep them with the
+    # same age gate.
+    cdir = os.path.join(path, COMMITS_DIR)
+    if os.path.isdir(cdir):
+        for d in os.listdir(cdir):
+            if not d.startswith(".claim_"):
+                continue
+            full = os.path.join(cdir, d)
+            with contextlib.suppress(OSError):
+                if now - os.path.getmtime(full) < min_age_s:
+                    continue
+                os.unlink(full)
+                deleted.append(os.path.join(COMMITS_DIR, d))
     return deleted
 
 
@@ -670,40 +712,40 @@ def atomic_overwrite(
     os.makedirs(path, exist_ok=True)
     _backfill_legacy_entry(path)
     version = _next_version(path)
-    writer = df.write.mode("overwrite")
-    if partition_by:
-        writer = writer.partitionBy(partition_by)
-    writer.parquet(os.path.join(path, version))
-    for name, blob in (extra_files or {}).items():
-        if not name.startswith(("_", ".")):
-            raise ValueError(
-                f"extra file {name!r} must start with '_' or '.' so "
-                "parquet scans skip it"
-            )
-        with open(os.path.join(path, version, name), "wb") as f:
-            f.write(blob)
-            f.flush()
-            os.fsync(f.fileno())
-    if expected_seq is not None:
-        try:
+    try:
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(partition_by)
+        writer.parquet(os.path.join(path, version))
+        for name, blob in (extra_files or {}).items():
+            if not name.startswith(("_", ".")):
+                raise ValueError(
+                    f"extra file {name!r} must start with '_' or '.' so "
+                    "parquet scans skip it"
+                )
+            with open(os.path.join(path, version, name), "wb") as f:
+                f.write(blob)
+                f.flush()
+                os.fsync(f.fileno())
+        if expected_seq is not None:
             _claim_commit(path, expected_seq + 1, version)
-        except CommitConflict:
-            # Our version dir can never be referenced — reclaim it now
-            # rather than leaving it for vacuum_orphans.
-            shutil.rmtree(os.path.join(path, version), ignore_errors=True)
-            raise
-        seq = expected_seq + 1
-    else:
-        for _ in range(1000):  # unconditional: last-writer-wins
-            seq = read_committed(path)[0] + 1
-            try:
-                _claim_commit(path, seq, version)
-                break
-            except CommitConflict:
-                continue
-        else:  # pragma: no cover — 1000 lost races means a stuck log
-            shutil.rmtree(os.path.join(path, version), ignore_errors=True)
-            raise CommitConflict(f"could not claim a commit on {path}")
+            seq = expected_seq + 1
+        else:
+            for _ in range(1000):  # unconditional: last-writer-wins
+                seq = read_committed(path)[0] + 1
+                try:
+                    _claim_commit(path, seq, version)
+                    break
+                except CommitConflict:
+                    continue
+            else:  # pragma: no cover — 1000 lost races = a stuck log
+                raise CommitConflict(f"could not claim a commit on {path}")
+    except BaseException:
+        # Never-claimed version dirs are unreferenced by construction —
+        # reclaim now (failed write, lost claim, stale-base scan error,
+        # interrupt) rather than leaving them for vacuum_orphans.
+        shutil.rmtree(os.path.join(path, version), ignore_errors=True)
+        raise
     _flip_current(path, version)
     _prune_versions(path, seq)
     return seq

@@ -218,6 +218,40 @@ class TestIncrementalAppend:
         with pytest.raises(FileNotFoundError, match="no layout"):
             inc_store.append("nope", split[1])
 
+    def test_append_migrates_pointer_era_layout(
+        self, spark, tmp_path_factory, embeddings, query_vec
+    ):
+        """A pre-log (pointer-only) layout gets its pointer version
+        backfilled as log entry 0 on append, so the old corpus-sized
+        dir is retired on the normal prune schedule instead of being
+        stranded unreferenced forever (round-7 review)."""
+        import os
+        import shutil
+
+        from sensapp_spark.storage.lake import COMMITS_DIR, resolve_table
+
+        s = AnnIndexStore(spark, str(tmp_path_factory.mktemp("ann_leg")))
+        s.write_ivf(embeddings.filter("vec_id < 300"), name="leg")
+        path = s._path("leg")
+        legacy = os.path.basename(resolve_table(path))
+        shutil.rmtree(os.path.join(path, COMMITS_DIR))  # simulate pre-log
+        assert os.path.basename(resolve_table(path)) == legacy
+
+        s.append("leg", embeddings.filter("vec_id >= 300 AND vec_id < 400"))
+        assert legacy in os.listdir(path)  # one generation of grace
+        s.append("leg", embeddings.filter("vec_id >= 400"))
+        assert legacy not in os.listdir(path)  # retired on schedule
+        full = [
+            (r.vec_id, r.centroid_id, r.cosine)
+            for r in ivf_topk(embeddings, query_vec, k=10).collect()
+        ]
+        got = [
+            (r.vec_id, r.centroid_id, r.cosine)
+            for r in s.ivf_topk(query_vec, k=10, name="leg").collect()
+        ]
+        assert got == full
+        assert s.vacuum("leg", min_age_s=0.0) == []  # nothing stranded
+
 
 class TestMultiTableLsh:
     """Multi-table stored LSH — VERDICT r6 gap #6: N independent plane

@@ -406,6 +406,33 @@ def test_label_browsing_endpoints(client):
     assert r.status_code == 200
     assert r.get_json()["data"] == []
 
+    # Round 7 review fixes: @-anchored selectors must work over HTTP
+    # with the server's timezone-AWARE clock (naive/aware mixing used
+    # to 500), and the didactic @-in-range-queries rejection must be a
+    # 400, not a crash.
+    r = client.get(
+        "/api/v1/query?extended=true&query=temperature%20%40%201704067230"
+    )
+    assert r.status_code == 200
+    vals = [row["value"] for row in r.get_json()["result"]]
+    assert 20.5 in vals  # last sample ≤ 2024-01-01T00:00:30
+    r = client.get(
+        "/api/v1/query_range?query=rate(temperature%5B1m%5D%20%40%20"
+        "1704067230)&start=2024-01-01T00:00:00Z&end=2024-01-01T00:02:00Z"
+        "&step=60"
+    )
+    assert r.status_code == 400
+    assert "fixed anchor" in r.get_json()["error"]
+
+    # histogram_fraction over a PLAIN selector dispatches to the
+    # extended evaluator (the hand-enumerated dispatch missed the new
+    # field — round-7 review, verified by execution).
+    r = client.get(
+        "/api/v1/query?extended=true&query="
+        "histogram_fraction(0,%2030,%20temperature)"
+    )
+    assert r.status_code == 200
+
     # Round 7: cardinality safety — limit= caps the response (the
     # LIMIT executes inside the Spark plan, sorted for determinism);
     # limit=0 means unlimited; negative is a client error.

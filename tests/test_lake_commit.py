@@ -224,6 +224,58 @@ def test_legacy_pointer_table_migrates_into_log(spark, tmp_path):
     assert resolve_table(path) is not None
 
 
+def test_failed_write_reclaims_version_dir(spark, tmp_path):
+    """A commit whose WRITE job fails (here: a raise_error expression)
+    must reclaim its never-claimed version dir instead of leaving a
+    crash orphan for vacuum (round-7 review)."""
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame([("x", "n", "Float", None, None, {})],
+                               SENSOR_DDL)
+    atomic_overwrite(df, path)
+    poisoned = df.withColumn(
+        "name", F.raise_error(F.lit("boom")).cast("string")
+    )
+    with pytest.raises(Exception, match="boom"):
+        atomic_overwrite(poisoned, path)
+    assert len(_versions(path)) == 1  # only the committed version
+    assert resolve_table(path) is not None
+
+
+def test_vacuum_reclaims_stale_claim_temps(spark, tmp_path):
+    """A writer that dies between staging its claim temp and linking it
+    leaves `.claim_*` inside _commits/ — vacuum_orphans sweeps those
+    with the same age gate (round-7 review: the old check scanned the
+    wrong directory and could never match)."""
+    import os
+
+    from sensapp_spark.storage.lake import COMMITS_DIR, vacuum_orphans
+
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame([("x", "n", "Float", None, None, {})],
+                               SENSOR_DDL)
+    atomic_overwrite(df, path)
+    stale = os.path.join(path, COMMITS_DIR, ".claim_deadbeef")
+    with open(stale, "w") as f:
+        f.write("v_junk")
+    assert vacuum_orphans(path, min_age_s=3600) == []  # age-gated
+    deleted = vacuum_orphans(path, min_age_s=0.0)
+    assert os.path.join(COMMITS_DIR, ".claim_deadbeef") in deleted
+    assert not os.path.exists(stale)
+    assert resolve_table(path) is not None
+
+
+def test_stale_scan_error_classifier():
+    from sensapp_spark.storage.lake import _is_stale_scan_error
+
+    assert _is_stale_scan_error(
+        RuntimeError("java.io.FileNotFoundException: /x/v_1/part-0")
+    )
+    assert _is_stale_scan_error(ValueError("[PATH_NOT_FOUND] no such"))
+    assert not _is_stale_scan_error(RuntimeError("OutOfMemoryError"))
+
+
 # Two workers SIMULATING TWO HOSTS: the file barrier forces both to pin
 # their merge base BEFORE either commits — the exact interleaving that
 # silently loses one writer's sensors under read-merge-write protected

@@ -201,8 +201,53 @@ def test_at_rejections(frames):
         _run(frames, "m @ start()")
     with pytest.raises(PromQLError, match="duplicate @"):
         _run(frames, "m @ 5 @ 6")
+    with pytest.raises(PromQLError, match="duplicate offset"):
+        # Prometheus parse-rejects duplicate offset too; silently
+        # summing them would read the wrong window (round-7 review).
+        _run(frames, "avg_over_time(m[5m] offset 1h offset 30m)")
     with pytest.raises(PromQLError, match="not supported"):
         _run(frames, "rate(m[5m:1m] @ 99)")
+
+
+def test_at_preserves_timezone_awareness(frames):
+    """An aware `now` (the HTTP server's convention) must yield aware
+    anchored windows — a naive/aware mix crashed every later datetime
+    subtraction in the handlers with a 500 (round-7 review, verified
+    by execution)."""
+    at = _epoch(T0 + dt.timedelta(minutes=2))
+    aware_now = NOW.replace(tzinfo=dt.timezone.utc)
+    eq = parse_extended(f"avg_over_time(m[2m] @ {at})", now=aware_now)
+    assert eq.selector.end_time.tzinfo is not None
+    # The subtraction the query_range handler performs:
+    assert aware_now - eq.selector.end_time == dt.timedelta(minutes=28)
+    # Naive `now` (registry convention) stays naive.
+    eq = parse_extended(f"avg_over_time(m[2m] @ {at})", now=NOW)
+    assert eq.selector.end_time.tzinfo is None
+
+
+def test_needs_extended_covers_every_capability(frames):
+    """The HTTP dispatch predicate must fire for every extended-grammar
+    shape — the handler's hand-enumerated booleans missed new fields
+    twice (round-7 review)."""
+    from sensapp_spark.query.promql_ext import needs_extended
+
+    at = _epoch(T0 + dt.timedelta(minutes=2))
+    for expr in [
+        "rate(m[5m])",
+        "sum(m)",
+        "histogram_quantile(0.5, m)",
+        "histogram_fraction(0, 1, m)",
+        "vector(1)",
+        "time()",
+        "sort(m)",
+        f"m @ {at}",
+        "max_over_time(m[10m:5m])",
+        'label_replace(m, "a", "b", "job", ".*")',
+        "abs(m)",
+    ]:
+        assert needs_extended(parse_extended(expr, now=NOW)), expr
+    assert not needs_extended(parse_extended("m", now=NOW))
+    assert not needs_extended(parse_extended('m{job="a"}', now=NOW))
 
 
 def test_at_rejected_in_range_query(frames):
