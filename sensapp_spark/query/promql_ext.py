@@ -165,6 +165,10 @@ class ExtendedQuery:
     # range evaluation must reject it (a fixed window cannot slide
     # with the steps).
     at_fixed: bool = False
+    # The selector carried an `offset` modifier. Pure plan-time window
+    # arithmetic (already folded into selector.start/end), but HTTP
+    # dispatch needs to know the query used extended grammar.
+    offset_used: bool = False
 
 
 @dataclass
@@ -389,8 +393,10 @@ def _parse_selector(
       only relative to a range query's window and are rejected
       didactically.
 
-    Returns ``(query, at_used)`` — range evaluation needs the flag to
-    reject fixed-anchor selectors (their window cannot slide)."""
+    Returns ``(query, at_used, offset_used)`` — range evaluation needs
+    the @ flag to reject fixed-anchor selectors (their window cannot
+    slide); HTTP dispatch needs the offset flag (the shift itself is
+    already folded into the window)."""
     s = text.strip()
     if _AT_STARTEND_RE.search(s):
         raise PromQLError(
@@ -443,6 +449,7 @@ def _parse_selector(
     return (
         ParsedQuery(matchers=q.matchers, start_time=start, end_time=end),
         at_ts is not None,
+        offset_ms > 0,
     )
 
 
@@ -466,6 +473,7 @@ def needs_extended(eq: "ExtendedQuery") -> bool:
         or eq.const is not None
         or eq.sort is not None
         or eq.at_fixed
+        or eq.offset_used
         or eq.sub_inner is not None
         or bool(eq.label_ops)
         or bool(eq.post)
@@ -720,6 +728,7 @@ def parse_extended(query: str, now: dt.datetime | None = None) -> ExtendedQuery:
             sub_eval=sub.sub_eval,
             const=sub.const,
             at_fixed=sub.at_fixed,
+            offset_used=sub.offset_used,
         )
 
     if head in ("histogram_quantile", "histogram_fraction") and (
@@ -863,12 +872,13 @@ def parse_extended(query: str, now: dt.datetime | None = None) -> ExtendedQuery:
                 "call",
                 f"{head}() requires a range vector — e.g. {head}(metric[5m]).",
             )
-        sel, at_used = _parse_selector(inner, now)
+        sel, at_used, off_used = _parse_selector(inner, now)
         return ExtendedQuery(
             selector=sel,
             func=head,
             func_param=func_param,
             at_fixed=at_used,
+            offset_used=off_used,
         )
 
     if head in ABSENT_FUNCS and rest.startswith("("):
@@ -924,8 +934,10 @@ def parse_extended(query: str, now: dt.datetime | None = None) -> ExtendedQuery:
                 "absent_over_time() requires a range vector — e.g. "
                 "absent_over_time(metric[5m]).",
             )
-        sel, at_used = _parse_selector(inner, now)
-        return ExtendedQuery(selector=sel, func=head, at_fixed=at_used)
+        sel, at_used, off_used = _parse_selector(inner, now)
+        return ExtendedQuery(
+            selector=sel, func=head, at_fixed=at_used, offset_used=off_used
+        )
 
     if head in INSTANT_FUNCS and rest.startswith("("):
         inner, trailing = _strip_parens(rest)
@@ -952,8 +964,8 @@ def parse_extended(query: str, now: dt.datetime | None = None) -> ExtendedQuery:
         sub.func = head
         return sub
 
-    sel, at_used = _parse_selector(query, now)
-    return ExtendedQuery(selector=sel, at_fixed=at_used)
+    sel, at_used, off_used = _parse_selector(query, now)
+    return ExtendedQuery(selector=sel, at_fixed=at_used, offset_used=off_used)
 
 
 _SET_OPS = ("and", "unless", "or")

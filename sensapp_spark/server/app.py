@@ -472,6 +472,7 @@ def create_app(
                 data_window,
                 evaluate_binary,
                 evaluate_extended,
+                needs_extended,
                 parse_extended_expr,
             )
 
@@ -510,8 +511,6 @@ def create_app(
                     {"result": [row.asDict(recursive=True)
                                 for row in out.collect()]}
                 )
-            from sensapp_spark.query.promql_ext import needs_extended
-
             if needs_extended(eq):
                 start, end = data_window(eq)
                 try:

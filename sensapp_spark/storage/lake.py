@@ -394,10 +394,14 @@ def _is_stale_scan_error(exc: Exception) -> bool:
     return any(
         marker in text
         for marker in (
+            # Only the vanished-FILE error classes: a broader match
+            # (e.g. bare "does not exist") would retry permanent
+            # failures like a deleted lake root as if they were
+            # transient staleness and surface them as "writer
+            # contention" (round-7 review, second pass).
             "FileNotFoundException",
             "PATH_NOT_FOUND",
             "FILE_NOT_EXIST",
-            "does not exist",
         )
     )
 
@@ -712,6 +716,7 @@ def atomic_overwrite(
     os.makedirs(path, exist_ok=True)
     _backfill_legacy_entry(path)
     version = _next_version(path)
+    claimed = False
     try:
         writer = df.write.mode("overwrite")
         if partition_by:
@@ -729,12 +734,14 @@ def atomic_overwrite(
                 os.fsync(f.fileno())
         if expected_seq is not None:
             _claim_commit(path, expected_seq + 1, version)
+            claimed = True
             seq = expected_seq + 1
         else:
             for _ in range(1000):  # unconditional: last-writer-wins
                 seq = read_committed(path)[0] + 1
                 try:
                     _claim_commit(path, seq, version)
+                    claimed = True
                     break
                 except CommitConflict:
                     continue
@@ -743,8 +750,13 @@ def atomic_overwrite(
     except BaseException:
         # Never-claimed version dirs are unreferenced by construction —
         # reclaim now (failed write, lost claim, stale-base scan error,
-        # interrupt) rather than leaving them for vacuum_orphans.
-        shutil.rmtree(os.path.join(path, version), ignore_errors=True)
+        # interrupt) rather than leaving them for vacuum_orphans. The
+        # ``claimed`` flag is what makes this safe against an interrupt
+        # landing AFTER the link(2) claim: a claimed dir is referenced
+        # by a durable log entry and must never be deleted (round-7
+        # review, second pass).
+        if not claimed:
+            shutil.rmtree(os.path.join(path, version), ignore_errors=True)
         raise
     _flip_current(path, version)
     _prune_versions(path, seq)

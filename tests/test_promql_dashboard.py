@@ -241,6 +241,8 @@ def test_needs_extended_covers_every_capability(frames):
         "time()",
         "sort(m)",
         f"m @ {at}",
+        "m offset 1h",
+        "avg_over_time(m[5m] offset 1h)",
         "max_over_time(m[10m:5m])",
         'label_replace(m, "a", "b", "job", ".*")',
         "abs(m)",
