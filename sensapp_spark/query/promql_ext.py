@@ -2075,11 +2075,33 @@ def evaluate_range(
             "instant query instead.",
         )
     if eq.at_fixed:
-        raise PromQLError(
-            "modifier",
-            "@ in range queries is not supported — the fixed anchor "
-            "would evaluate every step over the same window; use an "
-            "instant query at that timestamp.",
+        # Prometheus semantics: a fixed @ anchor makes the expression
+        # CONSTANT over the range — every step carries the value
+        # evaluated at the anchor. One instant evaluation, then the
+        # (series-sized) result repeats across the (bounded) step grid
+        # via a broadcast cross join — no per-step work.
+        import dataclasses
+
+        inst = evaluate_extended(
+            sensors, values, dataclasses.replace(eq, sort=None)
+        )
+        spark = sensors.sparkSession
+        s_us = int(step_seconds * 1_000_000)
+        start_us = int(
+            start.replace(tzinfo=dt.timezone.utc).timestamp() * 1e6
+        )
+        n_steps = int(
+            (end.replace(tzinfo=dt.timezone.utc).timestamp() * 1e6
+             - start_us) // s_us
+        )
+        steps = spark.range(n_steps + 1).select(
+            F.timestamp_micros(
+                (F.lit(start_us) + F.col("id") * s_us).cast("long")
+            ).alias("t")
+        )
+        keep = [c for c in inst.columns if c != "value"]
+        return inst.crossJoin(F.broadcast(steps)).select(
+            *keep, "t", "value"
         )
     if _is_hist(eq):
         return _evaluate_range_histogram(
@@ -2090,10 +2112,8 @@ def evaluate_range(
             sensors, values, eq, start, end, step_seconds, now
         )
     if eq.func in ABSENT_FUNCS:
-        raise PromQLError(
-            "call",
-            f"{eq.func}() in range queries is not supported yet; "
-            "evaluate it as an instant query.",
+        return _evaluate_range_absent(
+            sensors, values, eq, start, end, step_seconds
         )
     q = eq.selector
     lookback = q.end_time - q.start_time
@@ -2206,6 +2226,79 @@ def _finish_range(out: DataFrame, eq: ExtendedQuery, t_col) -> DataFrame:
         ]
     return _apply_post(
         out.groupBy(*keys, t_col).agg(agg_col.alias("value")), eq.post
+    )
+
+
+def _evaluate_range_absent(
+    sensors: DataFrame,
+    values: DataFrame,
+    eq: ExtendedQuery,
+    start: dt.datetime,
+    end: dt.datetime,
+    step_seconds: float,
+) -> DataFrame:
+    """Range-evaluated ``absent()``/``absent_over_time()`` (round 7 —
+    closes the last didactic range rejection): one row ``(labels, t,
+    1.0)`` for every step whose window contains NO matching sample —
+    the alerting shape Grafana draws as a "gap detector".
+
+    Plan: the matched scan explodes each sample to its covering step
+    indices (the standard bounded fan-out), reduces to the DISTINCT
+    present steps (≤ n_steps rows), and the bounded step grid
+    anti-joins against that — sample-grain data never crosses the
+    anti-join, so the cost is the pruned scan plus two tiny-frame
+    operations."""
+    from sensapp_spark.operators.matchers import MatcherType
+
+    q = eq.selector
+    lookback = q.end_time - q.start_time
+    r_us = int(lookback.total_seconds() * 1_000_000)
+    s_us = int(step_seconds * 1_000_000)
+    start_us = int(start.replace(tzinfo=dt.timezone.utc).timestamp() * 1e6)
+    n_steps = int(
+        (end.replace(tzinfo=dt.timezone.utc).timestamp() * 1e6 - start_us)
+        // s_us
+    )
+    selected = select_sensors(sensors, q.matchers)
+    scan = values.join(
+        F.broadcast(selected.select("sensor_id")), "sensor_id", "leftsemi"
+    )
+    scan = time_range(scan, start - lookback, end)
+    tau = F.unix_micros("time")
+    idx0 = F.greatest(
+        F.lit(0), -F.floor((tau - F.lit(start_us)) / -s_us).cast("long")
+    )
+    idx1 = F.least(
+        F.lit(n_steps),
+        F.floor((tau + F.lit(r_us) - F.lit(start_us)) / s_us).cast("long"),
+    )
+    present = (
+        scan.filter(idx0 <= idx1)
+        .withColumn("__i", F.explode(F.sequence(idx0, idx1)))
+        .select("__i")
+        .distinct()
+    )
+    spark = sensors.sparkSession
+    steps = spark.range(n_steps + 1).select(F.col("id").alias("__i"))
+    missing = steps.join(present, "__i", "left_anti")
+    pairs = sorted(
+        (m.name, m.value)
+        for m in q.matchers
+        if m.name != "__name__" and m.matcher_type is MatcherType.EQUAL
+    )
+
+    def _esc(v: str) -> str:
+        return v.replace("\\", "\\\\").replace('"', '\\"')
+
+    lbl_str = ",".join(f'{k}="{_esc(v)}"' for k, v in pairs)
+    t_col = F.timestamp_micros(
+        (F.lit(start_us) + F.col("__i") * s_us).cast("long")
+    ).alias("t")
+    return _apply_post(
+        missing.select(
+            F.lit(lbl_str).alias("labels"), t_col, F.lit(1.0).alias("value")
+        ),
+        eq.post,
     )
 
 

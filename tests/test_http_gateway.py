@@ -417,12 +417,14 @@ def test_label_browsing_endpoints(client):
     vals = [row["value"] for row in r.get_json()["result"]]
     assert 20.5 in vals  # last sample ≤ 2024-01-01T00:00:30
     r = client.get(
-        "/api/v1/query_range?query=rate(temperature%5B1m%5D%20%40%20"
-        "1704067230)&start=2024-01-01T00:00:00Z&end=2024-01-01T00:02:00Z"
-        "&step=60"
+        "/api/v1/query_range?query=max_over_time(temperature%5B1m%5D"
+        "%20%40%201704067230)&start=2024-01-01T00:00:00Z"
+        "&end=2024-01-01T00:02:00Z&step=60"
     )
-    assert r.status_code == 400
-    assert "fixed anchor" in r.get_json()["error"]
+    assert r.status_code == 200
+    anchored = [row["value"] for row in r.get_json()["result"]]
+    # Fixed anchor ⇒ the same anchored-window value at all 3 steps.
+    assert anchored == [20.5] * 3
 
     # histogram_fraction over a PLAIN selector dispatches to the
     # extended evaluator (the hand-enumerated dispatch missed the new

@@ -119,15 +119,24 @@ def test_absent_rejections(frames, expr, fragment):
     assert fragment in str(exc.value)
 
 
-def test_absent_rejected_in_binary_and_range(frames):
+def test_absent_rejected_in_binary(frames):
     sensors, vals = frames
     with pytest.raises(PromQLError, match="operands in binary"):
         evaluate_binary(
             sensors, vals,
             parse_extended_expr("absent(down) + absent(up)", now=NOW),
         )
-    with pytest.raises(PromQLError, match="range queries"):
-        evaluate_range(
-            sensors, vals, parse_extended("absent(down)", now=NOW),
-            T0, NOW, 600,
-        )
+
+
+def test_absent_range_evaluates_per_step(frames):
+    """Round 7: absent() in range queries emits one row per step whose
+    window has no matching sample (previously a didactic rejection) —
+    a missing metric is absent at EVERY step, a present one at none
+    within its coverage."""
+    sensors, vals = frames
+    out = evaluate_range(
+        sensors, vals, parse_extended("absent(down)", now=NOW),
+        T0, T0 + dt.timedelta(minutes=20), 600,
+    )
+    rows = out.collect()
+    assert len(rows) == 3 and all(r.value == 1.0 for r in rows)

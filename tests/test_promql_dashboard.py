@@ -252,13 +252,46 @@ def test_needs_extended_covers_every_capability(frames):
     assert not needs_extended(parse_extended('m{job="a"}', now=NOW))
 
 
-def test_at_rejected_in_range_query(frames):
+def test_at_in_range_query_repeats_constant(frames):
+    """Prometheus: a fixed @ anchor makes the expression constant over
+    the range — every step carries the anchor-time value (round 7;
+    previously a didactic rejection)."""
     from sensapp_spark.query.promql_ext import evaluate_range
 
     sensors, vals = frames
-    eq = parse_extended(f"avg_over_time(m[2m] @ {_epoch(NOW)})", now=NOW)
-    with pytest.raises(PromQLError, match="fixed anchor"):
-        evaluate_range(sensors, vals, eq, T0, NOW, 60.0)
+    at = _epoch(T0 + dt.timedelta(minutes=2))
+    eq = parse_extended(f"avg_over_time(m[2m] @ {at})", now=NOW)
+    out = evaluate_range(
+        sensors, vals, eq, T0, T0 + dt.timedelta(minutes=2), 60.0
+    )
+    rows = out.collect()
+    assert sorted({str(r.t)[14:16] for r in rows}) == ["00", "01", "02"]
+    by_sensor = {}
+    for r in rows:
+        by_sensor.setdefault(r.sensor_id, set()).add(r.value)
+    # Same anchored value at every step: s1 avg(0,1,2)=1, s2 avg=9.
+    assert by_sensor == {"s1": {1.0}, "s2": {9.0}}
+
+
+def test_absent_in_range_query_marks_missing_steps(frames):
+    """absent_over_time(m[2m]) range-evaluated: a row per step whose
+    window holds no samples (round 7; previously rejected). Samples
+    exist for minutes 0-4, so steps ≤ 00:06 are covered and later
+    steps report absence."""
+    from sensapp_spark.query.promql_ext import evaluate_range
+
+    sensors, vals = frames
+    eq = parse_extended("absent_over_time(m[2m])", now=NOW)
+    out = evaluate_range(
+        sensors, vals, eq, T0, T0 + dt.timedelta(minutes=10), 120.0
+    )
+    rows = sorted((str(r.t)[11:16], r.value) for r in out.collect())
+    assert rows == [("00:08", 1.0), ("00:10", 1.0)]
+    # The present metric yields no absence rows over a covered range.
+    out = evaluate_range(
+        sensors, vals, eq, T0, T0 + dt.timedelta(minutes=4), 120.0
+    )
+    assert out.collect() == []
 
 
 def test_metric_named_like_function_stays_selector(frames):
