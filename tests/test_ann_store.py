@@ -218,6 +218,70 @@ class TestIncrementalAppend:
         with pytest.raises(FileNotFoundError, match="no layout"):
             inc_store.append("nope", split[1])
 
+    def test_concurrent_appends_lose_nothing(
+        self, spark, tmp_path_factory, embeddings, query_vec
+    ):
+        """Two appenders racing on one layout: the CAS claim makes the
+        loser retry against the winner's version, so BOTH batches land
+        and the final top-k equals a full rebuild. A barrier pins both
+        base resolutions before either commits — same interleaving the
+        lake's two-host test forces, here through the ANN append path's
+        own retry loop."""
+        import threading
+
+        from sensapp_spark.storage import ann as ann_mod
+
+        s = AnnIndexStore(spark, str(tmp_path_factory.mktemp("ann_race")))
+        s.write_ivf(embeddings.filter("vec_id < 300"), name="race")
+
+        barrier = threading.Barrier(2, timeout=120)
+        real_claim = ann_mod._claim_commit
+        passed = threading.Event()
+
+        def claiming(path, seq, version, **kw):
+            # Both threads resolve their base, then race the claim.
+            if not passed.is_set():
+                try:
+                    barrier.wait()
+                    passed.set()
+                except threading.BrokenBarrierError:
+                    pass  # second round (the retry) races freely
+            return real_claim(path, seq, version, **kw)
+
+        ann_mod._claim_commit = claiming
+        errors = []
+        try:
+            def run(lo, hi):
+                try:
+                    s.append(
+                        "race",
+                        embeddings.filter(
+                            f"vec_id >= {lo} AND vec_id < {hi}"
+                        ),
+                    )
+                except Exception as e:  # noqa: BLE001
+                    errors.append(e)
+
+            t1 = threading.Thread(target=run, args=(300, 400))
+            t2 = threading.Thread(target=run, args=(400, 500))
+            t1.start(); t2.start()
+            t1.join(180); t2.join(180)
+        finally:
+            ann_mod._claim_commit = real_claim
+        assert not errors, errors
+        _, meta = s._resolve("race", "ivf")
+        assert meta["n_vectors"] == embeddings.count()
+        assert len(meta["appends"]) == 2
+        full = [
+            (r.vec_id, r.centroid_id, r.cosine)
+            for r in ivf_topk(embeddings, query_vec, k=10).collect()
+        ]
+        got = [
+            (r.vec_id, r.centroid_id, r.cosine)
+            for r in s.ivf_topk(query_vec, k=10, name="race").collect()
+        ]
+        assert got == full
+
     def test_append_migrates_pointer_era_layout(
         self, spark, tmp_path_factory, embeddings, query_vec
     ):

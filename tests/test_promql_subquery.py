@@ -131,7 +131,7 @@ def test_binary_rejects_non_series_operands(frames):
     for expr, frag in [
         (
             "histogram_quantile(0.5, click) / rate(click[2d])",
-            "histogram_quantile() operands",
+            "histogram-function operands",
         ),
         (
             "max_over_time(sum(rate(click[2d]))[20d:1d]) / rate(click[2d])",
