@@ -222,26 +222,16 @@ class SensorLake:
 
     # -- admin ops (X-dedup, X-vac) ------------------------------------------
 
-    def dedup_rewrite(self, stype: SensorType) -> None:
+    def dedup_rewrite(self, stype: SensorType, **kw) -> None:
         """Offline dedupe: drop duplicate (sensor_id, time, value) rows —
         the distributed rewrite of reference storage.rs:632-661 (DELETE
-        keeping MIN(rowid) + VACUUM).
-
-        Serialized against other maintenance rewrites of this table via
-        the directory lock. An append landing DURING the rewrite window
-        is still lost (read happened before the appended file existed) —
-        that read-vs-append race is exactly what a transaction-log table
-        format closes (Delta OPTIMIZE commits against the log); run
-        vacuum in a maintenance window on the plain-parquet build."""
-        path = self._values_path(stype)
-        if resolve_table(path) is None:
-            return
-        with self._dir_lock(path):
-            deduped = (
-                self.spark.read.parquet(resolve_table(path))
-                .dropDuplicates(["sensor_id", "time", "value"])
-            )
-            self._atomic_overwrite(deduped, path, partition_by=MONTH_COL)
+        keeping MIN(rowid) + VACUUM). Append-safe since round 7 — see
+        :meth:`_rewrite_table` for the reconciliation contract."""
+        self._rewrite_table(
+            self._values_path(stype),
+            lambda df: df.dropDuplicates(["sensor_id", "time", "value"]),
+            **kw,
+        )
 
     def vacuum_orphans(self, min_age_s: float = 3600.0) -> dict[str, list[str]]:
         """Reclaim crashed writers' never-committed version dirs across
@@ -259,20 +249,115 @@ class SensorLake:
                 out[os.path.basename(t)] = deleted
         return out
 
-    def optimize(self, stype: SensorType, files_per_month: int = 1) -> None:
+    def optimize(
+        self, stype: SensorType, files_per_month: int = 1, **kw
+    ) -> None:
         """Compaction: rewrite each month partition into ``files_per_month``
         files sorted by (sensor_id, time) — the analogue of ClickHouse
-        OPTIMIZE / Delta ZORDER clustering (clickhouse init.sql:40)."""
-        path = self._values_path(stype)
+        OPTIMIZE / Delta ZORDER clustering (clickhouse init.sql:40).
+        Append-safe since round 7 — see :meth:`_rewrite_table`."""
+        self._rewrite_table(
+            self._values_path(stype),
+            lambda df: df.repartition(files_per_month, F.col(MONTH_COL))
+            .sortWithinPartitions("sensor_id", "time"),
+            **kw,
+        )
+
+    def _rewrite_table(
+        self,
+        path: str,
+        transform,
+        max_retries: int = 5,
+        _test_after_plan=None,
+    ) -> None:
+        """Maintenance rewrite (dedupe / compaction) with APPEND
+        RECONCILIATION — the round-6 contract "an append landing during
+        the rewrite window is lost; run maintenance in a quiet window"
+        is gone:
+
+        1. Pin the committed version AND the exact parquet file list
+           the rewrite will read (the Spark plan is built over that
+           explicit list, so later-arriving files cannot be half-read).
+        2. Commit the rewrite conditionally on the pinned sequence
+           (lost CAS race / pruned-base scan → retry from a fresh
+           read, like every other writer).
+        3. AFTER committing, re-list the superseded version dir: any
+           file that appeared since the pin is a concurrent append that
+           resolved the old version — fold those rows into a follow-up
+           conditional commit (re-applying ``transform``, so a late
+           duplicate still dedupes). Loop until a listing is clean.
+
+        The residual window is a file becoming VISIBLE only after the
+        final clean listing yet having been targeted at the superseded
+        dir — sub-millisecond against the one-generation retention, vs
+        the whole rewrite duration before; a transaction-log format
+        (Delta OPTIMIZE) is what closes it exactly. The flock still
+        serializes same-host maintenance so two compactions never
+        duel; cross-host ones are serialized by the CAS claim.
+
+        ``_test_after_plan`` is a test seam invoked between the pin and
+        the commit — where a concurrent append is injected."""
         if resolve_table(path) is None:
             return
         with self._dir_lock(path):
-            compacted = (
-                self.spark.read.parquet(resolve_table(path))
-                .repartition(files_per_month, F.col(MONTH_COL))
-                .sortWithinPartitions("sensor_id", "time")
-            )
-            self._atomic_overwrite(compacted, path, partition_by=MONTH_COL)
+            for _ in range(max_retries):
+                seq, data = read_committed(path)
+                if data is None:
+                    return
+                seen = _list_data_files(data)
+                if not seen:
+                    return
+                src = self.spark.read.option("basePath", data).parquet(
+                    *seen
+                )
+                if _test_after_plan is not None:
+                    _test_after_plan()
+                try:
+                    atomic_overwrite(
+                        transform(src), path,
+                        partition_by=MONTH_COL, expected_seq=seq,
+                    )
+                except CommitConflict:
+                    continue
+                except Exception as e:  # noqa: BLE001 — filtered below
+                    if _is_stale_scan_error(e):
+                        continue
+                    raise
+                break
+            else:
+                raise CommitConflict(
+                    f"maintenance rewrite of {path} lost {max_retries} "
+                    "consecutive commit races"
+                )
+            # Post-commit reconciliation: fold in appends that resolved
+            # the superseded version while the rewrite ran.
+            known = set(seen)
+            for _ in range(max_retries):
+                late = [
+                    f for f in _list_data_files(data) if f not in known
+                ]
+                if not late:
+                    return
+                cur_seq, cur = read_committed(path)
+                merged = transform(
+                    self.spark.read.parquet(cur).unionByName(
+                        self.spark.read.option("basePath", data).parquet(
+                            *late
+                        )
+                    )
+                )
+                try:
+                    atomic_overwrite(
+                        merged, path,
+                        partition_by=MONTH_COL, expected_seq=cur_seq,
+                    )
+                    known |= set(late)
+                except CommitConflict:
+                    continue
+                except Exception as e:  # noqa: BLE001
+                    if _is_stale_scan_error(e):
+                        continue
+                    raise
 
     # -- materialized catalog (C1/C2 snapshot) -------------------------------
 
@@ -404,6 +489,18 @@ def _is_stale_scan_error(exc: Exception) -> bool:
             "FILE_NOT_EXIST",
         )
     )
+
+
+def _list_data_files(d: str) -> list[str]:
+    """Every parquet data file under a version dir (recursing through
+    hive partition subdirs; hidden/metadata entries skipped) — the
+    pinned read set of a maintenance rewrite."""
+    out = []
+    for root, _dirs, files in os.walk(d):
+        for f in files:
+            if f.endswith(".parquet") and not f.startswith((".", "_")):
+                out.append(os.path.join(root, f))
+    return sorted(out)
 
 
 def _log_entries(path: str) -> list[int]:

@@ -266,6 +266,47 @@ def test_vacuum_reclaims_stale_claim_temps(spark, tmp_path):
     assert resolve_table(path) is not None
 
 
+def test_maintenance_folds_in_concurrent_append(spark, tmp_path):
+    """Round 7: an append landing DURING a maintenance rewrite is no
+    longer lost — the rewrite pins its read set, and post-commit
+    reconciliation folds in files that appeared in the superseded
+    version (re-applying the transform, so a late duplicate still
+    dedupes). This replaces the round-6 'run maintenance in a quiet
+    window' contract."""
+    import datetime as dtm
+
+    from sensapp_spark.datamodel.types import SensorType
+
+    lake = SensorLake(spark, str(tmp_path / "lake"))
+    t0 = dtm.datetime(2024, 1, 1)
+    rows = [("s1", t0, 1.0), ("s1", t0, 1.0), ("s2", t0, 2.0)]
+    lake.append_values(
+        SensorType.FLOAT,
+        spark.createDataFrame(
+            rows, "sensor_id string, time timestamp, value double"
+        ),
+    )
+
+    def inject_append():
+        # Resolves the CURRENT (pre-rewrite) version — the file lands
+        # in the dir the rewrite has already pinned its read set from.
+        lake.append_values(
+            SensorType.FLOAT,
+            spark.createDataFrame(
+                [("s3", t0, 3.0), ("s3", t0, 3.0)],
+                "sensor_id string, time timestamp, value double",
+            ),
+        )
+
+    lake.dedup_rewrite(SensorType.FLOAT, _test_after_plan=inject_append)
+    got = sorted(
+        (r.sensor_id, r.value)
+        for r in lake.values(SensorType.FLOAT).collect()
+    )
+    # Duplicates gone — including within the late-arriving append.
+    assert got == [("s1", 1.0), ("s2", 2.0), ("s3", 3.0)]
+
+
 def test_stale_scan_error_classifier():
     from sensapp_spark.storage.lake import _is_stale_scan_error
 
