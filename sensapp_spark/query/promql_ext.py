@@ -156,6 +156,10 @@ class ExtendedQuery:
     sub_range_s: float | None = None
     sub_step_s: float | None = None
     sub_eval: dt.datetime | None = None
+    # The subquery's own trailing `offset` (seconds) — already folded
+    # into sub_eval for instant evaluation; range evaluation rejects it
+    # (use @, whose fixed anchor is constant over the range).
+    sub_offset_s: float = 0.0
     # sort()/sort_desc() wrapping the whole expression: "asc"/"desc".
     sort: str | None = None
     # Constant 1-element vector (vector(1) / time() / date funcs'
@@ -377,26 +381,11 @@ _AT_TAIL_RE = re.compile(
 _AT_STARTEND_RE = re.compile(r"@\s*(start|end)\s*\(\s*\)")
 
 
-def _parse_selector(
-    text: str, now: dt.datetime
-) -> tuple[ParsedQuery, bool]:
-    """Selector parse with the PromQL evaluation-time modifiers, peeled
-    from the tail in either order (both legal upstream):
-
-    * ``offset <dur>`` shifts the window back — ``m[5m] offset 1h``
-      reads [now-1h-5m, now-1h];
-    * ``@ <unix-seconds>`` anchors the window at an ABSOLUTE time —
-      ``m[5m] @ 1706000000`` reads the 5 minutes ending there. With
-      both present, offset applies relative to the @ anchor
-      (Prometheus semantics) — which the additive peel reproduces
-      regardless of textual order. ``@ start()``/``@ end()`` exist
-      only relative to a range query's window and are rejected
-      didactically.
-
-    Returns ``(query, at_used, offset_used)`` — range evaluation needs
-    the @ flag to reject fixed-anchor selectors (their window cannot
-    slide); HTTP dispatch needs the offset flag (the shift itself is
-    already folded into the window)."""
+def _peel_eval_modifiers(text: str) -> tuple[str, float | None, int]:
+    """Strip trailing ``offset <dur>`` / ``@ <unix-seconds>`` modifiers
+    (either order, each at most once — duplicates are rejected like
+    upstream) from a selector or subquery expression. Returns
+    ``(body, at_ts, offset_ms)``."""
     s = text.strip()
     if _AT_STARTEND_RE.search(s):
         raise PromQLError(
@@ -429,7 +418,30 @@ def _parse_selector(
             at_ts = float(m.group("ts"))
             s = m.group("body").strip()
             changed = True
-    offset_ms = offset_ms or 0
+    return s, at_ts, offset_ms or 0
+
+
+def _parse_selector(
+    text: str, now: dt.datetime
+) -> tuple[ParsedQuery, bool]:
+    """Selector parse with the PromQL evaluation-time modifiers, peeled
+    from the tail in either order (both legal upstream):
+
+    * ``offset <dur>`` shifts the window back — ``m[5m] offset 1h``
+      reads [now-1h-5m, now-1h];
+    * ``@ <unix-seconds>`` anchors the window at an ABSOLUTE time —
+      ``m[5m] @ 1706000000`` reads the 5 minutes ending there. With
+      both present, offset applies relative to the @ anchor
+      (Prometheus semantics) — which the additive peel reproduces
+      regardless of textual order. ``@ start()``/``@ end()`` exist
+      only relative to a range query's window and are rejected
+      didactically.
+
+    Returns ``(query, at_used, offset_used)`` — range evaluation needs
+    the @ flag to reject fixed-anchor selectors (their window cannot
+    slide); HTTP dispatch needs the offset flag (the shift itself is
+    already folded into the window)."""
+    s, at_ts, offset_ms = _peel_eval_modifiers(text)
     q = parse_promql_query(s, now)
     start, end = q.start_time, q.end_time
     if at_ts is not None and end is not None:
@@ -807,7 +819,13 @@ def parse_extended(query: str, now: dt.datetime | None = None) -> ExtendedQuery:
             func_param, inner = _split_param(inner, head)
         elif head in TAIL_PARAM_RANGE_FUNCS:
             func_param, inner = _split_tail_param(inner, head, required=True)
-        sq = _SUBQUERY_RE.fullmatch(inner.strip())
+        # A subquery may carry its own trailing @/offset modifiers
+        # (`expr[r:s] @ ts offset d` — Prometheus grammar): peel them
+        # first; when the body is NOT a subquery the ORIGINAL text
+        # flows to the selector parser, which peels selector-level
+        # modifiers itself.
+        sq_body, sq_at, sq_off_ms = _peel_eval_modifiers(inner)
+        sq = _SUBQUERY_RE.fullmatch(sq_body)
         if sq:
             if head not in SUBQUERY_OUTER:
                 raise PromQLError(
@@ -858,6 +876,23 @@ def parse_extended(query: str, now: dt.datetime | None = None) -> ExtendedQuery:
                     "subquery",
                     "count_values inside a subquery is not supported.",
                 )
+            sub_eval = now
+            if sq_at is not None:
+                anchored = dt.datetime.fromtimestamp(
+                    sq_at, dt.timezone.utc
+                )
+                if sub_eval.tzinfo is None:
+                    anchored = anchored.replace(tzinfo=None)
+                sub_eval = anchored
+            if sq_off_ms:
+                sub_eval = sub_eval - dt.timedelta(milliseconds=sq_off_ms)
+            if (sq_at is not None or sq_off_ms) and sub.offset_used:
+                raise PromQLError(
+                    "modifier",
+                    "an inner selector offset cannot combine with an "
+                    "outer subquery @/offset — fold the shifts into "
+                    "one modifier.",
+                )
             return ExtendedQuery(
                 selector=sub.selector,
                 func=head,
@@ -865,7 +900,10 @@ def parse_extended(query: str, now: dt.datetime | None = None) -> ExtendedQuery:
                 sub_inner=sub,
                 sub_range_s=_dur_seconds(sq.group("rng")),
                 sub_step_s=_dur_seconds(sq.group("step")),
-                sub_eval=now,
+                sub_eval=sub_eval,
+                at_fixed=sq_at is not None,
+                offset_used=bool(sq_off_ms) or sub.offset_used,
+                sub_offset_s=sq_off_ms / 1000.0,
             )
         if "[" not in inner:
             raise PromQLError(
@@ -2393,6 +2431,13 @@ def _evaluate_range_subquery(
     all outer steps, while Prometheus re-derives absolutely-aligned
     inner timestamps; when the outer step is a multiple of the inner
     step the grids coincide."""
+    if eq.sub_offset_s:
+        raise PromQLError(
+            "modifier",
+            "a subquery offset in range queries is not supported; "
+            "use an absolute @ anchor (constant over the range) or "
+            "shift the query window itself.",
+        )
     widen = dt.timedelta(seconds=eq.sub_range_s)
     steps = evaluate_range(
         sensors, values, eq.sub_inner, start - widen, end, eq.sub_step_s,

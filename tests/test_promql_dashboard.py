@@ -205,8 +205,13 @@ def test_at_rejections(frames):
         # Prometheus parse-rejects duplicate offset too; silently
         # summing them would read the wrong window (round-7 review).
         _run(frames, "avg_over_time(m[5m] offset 1h offset 30m)")
-    with pytest.raises(PromQLError, match="not supported"):
-        _run(frames, "rate(m[5m:1m] @ 99)")
+    # `rate(m[5m:1m] @ ts)` is a SUPPORTED @-anchored subquery since
+    # late round 7 (test_promql_subquery pins its semantics); @ inside
+    # the subquery BODY stays rejected.
+    eq = parse_extended("rate(m[5m:1m] @ 99)", now=NOW)
+    assert eq.sub_inner is not None and eq.at_fixed
+    with pytest.raises(PromQLError, match="inside a subquery"):
+        _run(frames, "max_over_time(avg_over_time(m[2m] @ 99)[10m:5m])")
 
 
 def test_at_preserves_timezone_awareness(frames):

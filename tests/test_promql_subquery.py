@@ -145,6 +145,59 @@ def test_binary_rejects_non_series_operands(frames):
         assert frag in str(exc.value)
 
 
+def test_subquery_at_and_offset_modifiers(frames):
+    """Round 7: a subquery carries its own trailing @/offset
+    (Prometheus grammar) — `e[r:s] @ t` anchors the step grid at t,
+    `e[r:s] offset d` at now−d, and `@ t offset d` at t−d."""
+    import datetime as dtm
+
+    sensors, vals = frames
+    shifted_now = NOW - dtm.timedelta(days=5)
+    want = sorted(
+        tuple(r)
+        for r in evaluate_extended(
+            sensors, vals,
+            parse_extended("max_over_time(click[10d:1d])",
+                           now=shifted_now),
+        ).collect()
+    )
+    at = int(
+        shifted_now.replace(tzinfo=dtm.timezone.utc).timestamp()
+    )
+    for expr in (
+        f"max_over_time(click[10d:1d] @ {at})",
+        "max_over_time(click[10d:1d] offset 5d)",
+        f"max_over_time(click[10d:1d] @ {at + 86400} offset 1d)",
+    ):
+        got = sorted(
+            tuple(r)
+            for r in evaluate_extended(
+                sensors, vals, parse_extended(expr, now=NOW)
+            ).collect()
+        )
+        assert got == want and len(got) > 0, expr
+
+
+def test_subquery_modifier_rejections(frames):
+    import datetime as dtm
+
+    from sensapp_spark.query.promql_ext import evaluate_range
+
+    sensors, vals = frames
+    with pytest.raises(PromQLError, match="fold the shifts"):
+        parse_extended(
+            "max_over_time(click[10d:1d] offset 1d)".replace(
+                "click", "click offset 1d"
+            ),
+            now=NOW,
+        )
+    eq = parse_extended("max_over_time(click[10d:1d] offset 1d)", now=NOW)
+    with pytest.raises(PromQLError, match="subquery offset in range"):
+        evaluate_range(
+            sensors, vals, eq, NOW - dtm.timedelta(days=2), NOW, 86400
+        )
+
+
 def test_subquery_count_is_long(frames):
     out = _run(frames, "count_over_time(click[20d:1d])")
     assert dict(out.dtypes)["value"] == "bigint"
