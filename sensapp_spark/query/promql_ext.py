@@ -33,6 +33,7 @@ Evaluation shapes (all single-shuffle, map-side partial aggregates):
 from __future__ import annotations
 
 import datetime as dt
+import math
 import re
 from dataclasses import dataclass, field
 
@@ -53,7 +54,8 @@ RANGE_FUNCS = frozenset(
     "rate increase delta irate idelta changes resets deriv predict_linear "
     "avg_over_time sum_over_time min_over_time "
     "max_over_time count_over_time last_over_time quantile_over_time "
-    "stddev_over_time stdvar_over_time present_over_time".split()
+    "stddev_over_time stdvar_over_time present_over_time "
+    "mad_over_time holt_winters double_exponential_smoothing".split()
 )
 # Instant-vector functions (argument is an instant selector, not a range).
 INSTANT_FUNCS = frozenset(["timestamp"])
@@ -62,20 +64,37 @@ INSTANT_FUNCS = frozenset(["timestamp"])
 ABSENT_FUNCS = frozenset(["absent", "absent_over_time"])
 # Range functions taking a scalar SECOND argument.
 TAIL_PARAM_RANGE_FUNCS = frozenset(["predict_linear"])
+# Range functions taking TWO scalar trailing arguments (smoothing /
+# trend factors — `holt_winters(m[1h], 0.5, 0.1)`; Prometheus 3.x
+# renames it double_exponential_smoothing, both spellings accepted).
+TAIL2_PARAM_RANGE_FUNCS = frozenset(
+    ["holt_winters", "double_exponential_smoothing"]
+)
 AGG_OPS = frozenset(
     "sum avg min max count group count_values stddev stdvar quantile "
-    "topk bottomk".split()
+    "topk bottomk limitk limit_ratio".split()
 )
 # Aggregations / range functions taking a scalar first argument.
-PARAM_AGGS = frozenset("quantile topk bottomk".split())
+PARAM_AGGS = frozenset("quantile topk bottomk limitk limit_ratio".split())
+# Series SAMPLERS (Prometheus experimental limitk/limit_ratio): keep a
+# deterministic subset of series per group. Prometheus' selection hash
+# is unspecified for clients; this engine documents its own — the md5
+# hex digest of the series identity (sensor_id), which any SQL engine
+# reproduces bit-identically (see _evaluate_limit_agg).
+LIMIT_AGGS = frozenset(["limitk", "limit_ratio"])
 PARAM_FUNCS = frozenset(["quantile_over_time"])
 # Element-wise functions over an instant vector's values, applied after
 # any aggregation. TAIL_PARAM ones take a scalar SECOND argument.
 SCALAR_FUNCS = frozenset(
     "abs ceil floor round sqrt exp ln log2 log10 sgn clamp_min "
-    "clamp_max".split()
+    "clamp_max clamp "
+    "sin cos tan asin acos atan sinh cosh tanh asinh acosh atanh "
+    "deg rad".split()
 )
 TAIL_PARAM_FUNCS = frozenset("round clamp_min clamp_max".split())
+# Element-wise functions taking TWO scalar trailing arguments:
+# `clamp(v, min, max)`. Prometheus: min > max yields an EMPTY vector.
+TAIL2_PARAM_FUNCS = frozenset(["clamp"])
 # Label-manipulation functions over the series vector (applied before
 # any enclosing aggregation, so `sum by (dst) (label_replace(...))`
 # groups on the rewritten label).
@@ -90,6 +109,10 @@ DATE_FUNCS = frozenset(
 )
 # Presentation-level ordering of the final instant vector.
 SORT_FUNCS = frozenset(["sort", "sort_desc"])
+# Order by LABEL VALUES instead of sample values (Prometheus
+# experimental sort_by_label/sort_by_label_desc) — series-shaped
+# results only, lexicographic on each given label in turn.
+SORT_LABEL_FUNCS = frozenset(["sort_by_label", "sort_by_label_desc"])
 
 _NAME_RE = re.compile(r"[a-zA-Z_][a-zA-Z0-9_]*")
 # expr[<range>:<step>] — the colon is what distinguishes a subquery
@@ -162,6 +185,10 @@ class ExtendedQuery:
     sub_offset_s: float = 0.0
     # sort()/sort_desc() wrapping the whole expression: "asc"/"desc".
     sort: str | None = None
+    # sort_by_label(_desc)(expr, "l1", …): the label names to order by
+    # (lexicographic, each in turn); empty = order by value (plain
+    # sort()/sort_desc()). Direction rides ``sort``.
+    sort_labels: list[str] = field(default_factory=list)
     # Constant 1-element vector (vector(1) / time() / date funcs'
     # default argument): the value; selector is None.
     const: float | None = None
@@ -545,6 +572,50 @@ def parse_extended(query: str, now: dt.datetime | None = None) -> ExtendedQuery:
         sub.sort = "asc" if head == "sort" else "desc"
         return sub
 
+    if head in SORT_LABEL_FUNCS and rest.startswith("("):
+        inner, trailing = _strip_parens(rest)
+        if trailing.strip():
+            raise PromQLError(
+                "parse",
+                f"Unexpected trailing content in query: '{trailing.strip()}'",
+            )
+        args = _split_args(inner)
+        if len(args) < 2:
+            raise PromQLError(
+                "parse",
+                f"{head}() expects a vector and at least one label "
+                f'name — e.g. {head}(m, "instance").',
+            )
+        labels = [_string_arg(a, head) for a in args[1:]]
+        for lbl in labels:
+            if not _NAME_RE.fullmatch(lbl):
+                raise PromQLError(
+                    "parse", f"{head}(): invalid label name '{lbl}'"
+                )
+        if _find_top_level_op(args[0]) is not None:
+            raise PromQLError(
+                "call",
+                f"{head}() over a binary operation is not supported; "
+                "sort the result client-side.",
+            )
+        sub = parse_extended(args[0], now)
+        if sub.sort is not None:
+            raise PromQLError(
+                "call", "sort functions cannot nest — one ordering."
+            )
+        if (
+            sub.agg not in (None, "topk", "bottomk", "limitk", "limit_ratio")
+            or sub.const is not None
+        ):
+            raise PromQLError(
+                "call",
+                f"{head}() orders a SERIES vector by its labels; "
+                "aggregated or constant results have none.",
+            )
+        sub.sort = "asc" if head == "sort_by_label" else "desc"
+        sub.sort_labels = labels
+        return sub
+
     if head == "time" and rest.startswith("("):
         inner, trailing = _strip_parens(rest)
         if trailing.strip() or inner.strip():
@@ -632,6 +703,11 @@ def parse_extended(query: str, now: dt.datetime | None = None) -> ExtendedQuery:
             )
             if head == "round" and p is None:
                 p = 1.0
+        elif head in TAIL2_PARAM_FUNCS:
+            # clamp(v, min, max): peel max first (rightmost), then min.
+            hi, inner = _split_tail_param(inner, head, required=True)
+            lo, inner = _split_tail_param(inner, head, required=True)
+            p = (lo, hi)
         if head in DATE_FUNCS and not inner.strip():
             # Prometheus default argument: vector(time()).
             sub = ExtendedQuery(selector=None, const=_now_epoch(now))
@@ -673,7 +749,34 @@ def parse_extended(query: str, now: dt.datetime | None = None) -> ExtendedQuery:
         param = None
         label_param = None
         if head in PARAM_AGGS:
-            param, inner = _split_param(inner, head)
+            if head == "limit_ratio":
+                # The ratio may be NEGATIVE (complement selection) — a
+                # signed variant of the shared unsigned _PARAM_RE.
+                m = re.match(
+                    r"\s*([+-]?[0-9]+(?:\.[0-9]+)?(?:[eE][+-]?[0-9]+)?)\s*,",
+                    inner,
+                )
+                if not m:
+                    raise PromQLError(
+                        "parse",
+                        "limit_ratio() requires a scalar first argument "
+                        "— e.g. limit_ratio(0.9, metric).",
+                    )
+                param, inner = float(m.group(1)), inner[m.end():]
+            else:
+                param, inner = _split_param(inner, head)
+            if head == "limitk" and (param < 0 or param != int(param)):
+                raise PromQLError(
+                    "call",
+                    f"limitk() expects a non-negative integer k, got "
+                    f"{param:g}.",
+                )
+            if head == "limit_ratio" and not (-1.0 <= param <= 1.0):
+                raise PromQLError(
+                    "call",
+                    f"limit_ratio() expects a ratio in [-1, 1], got "
+                    f"{param:g}.",
+                )
         elif head == "count_values":
             m = re.match(r"""\s*["']([a-zA-Z_][a-zA-Z0-9_]*)["']\s*,""", inner)
             if not m:
@@ -819,6 +922,17 @@ def parse_extended(query: str, now: dt.datetime | None = None) -> ExtendedQuery:
             func_param, inner = _split_param(inner, head)
         elif head in TAIL_PARAM_RANGE_FUNCS:
             func_param, inner = _split_tail_param(inner, head, required=True)
+        elif head in TAIL2_PARAM_RANGE_FUNCS:
+            # holt_winters(m[1h], sf, tf): peel tf (rightmost), then sf.
+            tf, inner = _split_tail_param(inner, head, required=True)
+            sf, inner = _split_tail_param(inner, head, required=True)
+            for nm, v in (("smoothing factor", sf), ("trend factor", tf)):
+                if not (0.0 < v < 1.0):
+                    raise PromQLError(
+                        "call",
+                        f"{head}(): {nm} must be in (0, 1), got {v:g}.",
+                    )
+            func_param = (sf, tf)
         # A subquery may carry its own trailing @/offset modifiers
         # (`expr[r:s] @ ts offset d` — Prometheus grammar): peel them
         # first; when the body is NOT a subquery the ORIGINAL text
@@ -1062,7 +1176,9 @@ def _find_top_level_op(s: str) -> tuple[int, str] | None:
             )
         found = (i, tok)
 
-    for m in re.finditer(r"(?<![A-Za-z0-9_:])(and|unless|or)(?![A-Za-z0-9_:])", s):
+    for m in re.finditer(
+        r"(?<![A-Za-z0-9_:])(and|unless|or|atan2)(?![A-Za-z0-9_:])", s
+    ):
         if depths[m.start()] == 0:
             record(m.start(), m.group(1))
     if found is not None:
@@ -1081,7 +1197,12 @@ def _find_top_level_op(s: str) -> tuple[int, str] | None:
         c = s[i]
         if c in "><":
             record(i, c)
-        elif c in "+-*/":
+        elif c in "+-*/%^":
+            # A sign inside a scientific literal (`2e-3`) is not an
+            # operator.
+            if c in "+-" and i >= 2 and s[i - 1] in "eE" and s[i - 2].isdigit():
+                i += 1
+                continue
             record(i, c)
         i += 1
     return found
@@ -1135,6 +1256,8 @@ def parse_extended_expr(
             # time() is a SCALAR in Prometheus — as an operand it is a
             # plain literal, not an empty-label vector to match on.
             return _now_epoch(now)
+        if re.fullmatch(r"pi\s*\(\s*\)", text):
+            return math.pi
         m = _NAME_RE.match(text)
         if (
             m
@@ -1300,7 +1423,20 @@ SUBQUERY_OUTER = frozenset(
 )
 
 
-def _apply_post(df: DataFrame, post: list[tuple[str, float | None]]) -> DataFrame:
+# Trigonometric / angle-conversion post-functions — one JVM expression
+# each (Prometheus deg()/rad() ≡ Spark degrees()/radians()).
+_TRIG_FUNCS = {
+    "sin": F.sin, "cos": F.cos, "tan": F.tan,
+    "asin": F.asin, "acos": F.acos, "atan": F.atan,
+    "sinh": F.sinh, "cosh": F.cosh, "tanh": F.tanh,
+    "asinh": F.asinh, "acosh": F.acosh, "atanh": F.atanh,
+    "deg": F.degrees, "rad": F.radians,
+}
+
+
+def _apply_post(
+    df: DataFrame, post: list[tuple[str, float | tuple | None]]
+) -> DataFrame:
     """Apply element-wise post-functions (innermost first) to ``value``.
     All stay whole-stage-codegen JVM expressions; ``ceil``/``floor``
     cast back to double (Spark returns LONG, Prometheus floats).
@@ -1308,6 +1444,7 @@ def _apply_post(df: DataFrame, post: list[tuple[str, float | None]]) -> DataFram
     Spark's HALF_UP matches Prometheus here."""
     if not post:
         return df
+    empty = False
     col = F.col("value")
     for name, p in post:
         if name == "abs":
@@ -1334,6 +1471,15 @@ def _apply_post(df: DataFrame, post: list[tuple[str, float | None]]) -> DataFram
             col = F.greatest(col, F.lit(p))
         elif name == "clamp_max":
             col = F.least(col, F.lit(p))
+        elif name == "clamp":
+            lo, hi = p
+            if lo > hi:
+                # Prometheus: clamp with min > max is an EMPTY vector.
+                empty = True
+            else:
+                col = F.least(F.greatest(col, F.lit(lo)), F.lit(hi))
+        elif name in _TRIG_FUNCS:
+            col = _TRIG_FUNCS[name](col)
         elif name in DATE_FUNCS:
             # Calendar field of the value read as epoch seconds, in UTC
             # (the engine's session timezone — Prometheus is UTC too).
@@ -1355,7 +1501,8 @@ def _apply_post(df: DataFrame, post: list[tuple[str, float | None]]) -> DataFram
                 col = F.year(ts)
             else:  # days_in_month
                 col = F.dayofmonth(F.last_day(ts))
-    return df.withColumn("value", col.cast("double"))
+    out = df.withColumn("value", col.cast("double"))
+    return out.filter(F.lit(False)) if empty else out
 
 
 def _apply_label_ops(df: DataFrame, ops: list[tuple[str, tuple]]) -> DataFrame:
@@ -1412,6 +1559,55 @@ def _labels_without(without: list[str], labels_col: F.Column | None = None):
         ),
         ",",
     )
+
+
+def _limit_agg_filter(
+    out: DataFrame, eq: ExtendedQuery, extra_part: list | None = None
+) -> DataFrame:
+    """Deterministic series sampling for ``limitk``/``limit_ratio``
+    (Prometheus experimental samplers). Selection key: the md5 hex
+    digest of the series identity (sensor_id) — Prometheus' own hash is
+    unspecified for clients, and md5 is reproduced bit-identically by
+    any SQL oracle, so the deviation is documented rather than hidden.
+
+    * ``limitk(k, v)``: the k series with the smallest digests per
+      by/without group (row_number window — dimension-sized input).
+    * ``limit_ratio(r, v)``: keep series whose digest-derived fraction
+      (first 8 nibbles / 2³²) is ≤ r for r ≥ 0, > 1+r for r < 0 —
+      ``limit_ratio(r, v)`` and ``limit_ratio(r-1, v)`` partition the
+      vector exactly (Prometheus complement contract), map-only.
+    """
+    fp = F.md5(F.col("sensor_id").cast("string"))
+    if eq.agg == "limitk":
+        if eq.without:
+            part = [_labels_without(eq.without)]
+        else:
+            part = [F.element_at(F.col("labels"), lbl) for lbl in eq.by]
+        part = (extra_part or []) + part
+        w = (
+            Window.partitionBy(*part) if part else Window.partitionBy()
+        ).orderBy(fp)
+        return (
+            out.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= int(eq.param))
+            .drop("__rn")
+        )
+    frac = F.conv(F.substring(fp, 1, 8), 16, 10).cast("double") / F.lit(
+        4294967296.0
+    )
+    r = float(eq.param)
+    cond = (frac <= F.lit(r)) if r >= 0 else (frac > F.lit(1.0 + r))
+    return out.filter(cond)
+
+
+def _array_median(a: F.Column) -> F.Column:
+    """Linear-interpolated median of a SORTED numeric array (φ=0.5 of
+    Prometheus quantile / DuckDB quantile_cont): midpoint of the two
+    central elements for even n, the central element for odd n."""
+    n = F.size(a)
+    lo = F.element_at(a, ((n + 1) / 2).cast("int"))
+    hi = F.element_at(a, (n / 2 + 1).cast("int"))
+    return (lo + hi) / 2
 
 
 def _per_series_agg(
@@ -1534,6 +1730,75 @@ def _per_series_agg(
             .cast("double")
             .alias("value")
         )
+    if eq.func == "mad_over_time":
+        # Median absolute deviation: median(|v − median(v)|), both
+        # medians linearly interpolated (Prometheus quantile(0.5)
+        # ≡ DuckDB mad()). One collect per (series[, step]) window —
+        # the window is sample-bounded like quantile_over_time, and
+        # both medians are array HOFs over the single collected list,
+        # so there is still exactly one shuffle and no Python.
+        arr = gb.agg(
+            F.array_sort(
+                F.collect_list(F.col("value").cast("double"))
+            ).alias("__v")
+        )
+        med = _array_median(F.col("__v"))
+        dev = F.array_sort(
+            F.transform(F.col("__v"), lambda x: F.abs(x - med))
+        )
+        return arr.select(
+            *keys, _array_median(dev).cast("double").alias("value")
+        )
+    if eq.func in TAIL2_PARAM_RANGE_FUNCS:
+        # Holt-Winters double exponential smoothing (Prometheus
+        # `holt_winters` / 3.x `double_exponential_smoothing`): a
+        # sequential recurrence over the window's time-ordered samples
+        # — expressed as one JVM `aggregate` fold over the collected
+        # array (struct accumulator ⟨s0, s1, b, i⟩), mirroring
+        # Prometheus promql/functions.go funcHoltWinters: s1 seeds at
+        # v[0], the trend at v[1]−v[0], and calcTrendValue leaves b
+        # unchanged on the first step. Windows with < 2 samples drop.
+        sf, tf = eq.func_param
+        arr = gb.agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("time").alias("t"),
+                        F.col("value").cast("double").alias("v"),
+                    )
+                )
+            ).alias("__s")
+        )
+        vals = F.transform(F.col("__s"), lambda s: s["v"])
+        n = F.size(vals)
+        acc0 = F.struct(
+            F.lit(0.0).alias("s0"),
+            F.element_at(vals, 1).alias("s1"),
+            (F.element_at(vals, 2) - F.element_at(vals, 1)).alias("b"),
+            F.lit(0).alias("i"),
+        )
+
+        def _hw_step(acc: F.Column, v: F.Column) -> F.Column:
+            b_new = F.when(acc["i"] == 0, acc["b"]).otherwise(
+                F.lit(tf) * (acc["s1"] - acc["s0"])
+                + F.lit(1.0 - tf) * acc["b"]
+            )
+            return F.struct(
+                acc["s1"].alias("s0"),
+                (
+                    F.lit(sf) * v
+                    + F.lit(1.0 - sf) * (acc["s1"] + b_new)
+                ).alias("s1"),
+                b_new.alias("b"),
+                (acc["i"] + F.lit(1)).alias("i"),
+            )
+
+        smoothed = F.aggregate(
+            F.slice(vals, 2, n - 1), acc0, _hw_step, lambda a: a["s1"]
+        )
+        return arr.filter(F.size(F.col("__s")) >= 2).select(
+            *keys, smoothed.cast("double").alias("value")
+        )
     return gb.agg(_OVER_TIME[eq.func]("value").cast("double").alias("value"))
 
 
@@ -1547,6 +1812,18 @@ def evaluate_extended(
     the global sort is presentation cost, not a scale hazard)."""
     out = _evaluate_extended_core(sensors, values, eq)
     if eq.sort is not None:
+        if eq.sort_labels:
+            # sort_by_label(_desc): lexicographic on each given label's
+            # value in turn (absent labels last), sensor_id tie-break.
+            cols = [
+                (
+                    F.element_at(F.col("labels"), lbl).asc_nulls_last()
+                    if eq.sort == "asc"
+                    else F.element_at(F.col("labels"), lbl).desc_nulls_last()
+                )
+                for lbl in eq.sort_labels
+            ]
+            return out.orderBy(*cols, F.col("sensor_id"))
         direction = (
             F.col("value").asc_nulls_last()
             if eq.sort == "asc"
@@ -1709,6 +1986,12 @@ def _finish_instant(out: DataFrame, eq: ExtendedQuery) -> DataFrame:
             .filter(F.col("__rn") <= int(eq.param))
             .select("sensor_id", "name", "labels", "value"),
             eq.post,
+        )
+
+    if eq.agg in LIMIT_AGGS:
+        picked = _limit_agg_filter(out, eq)
+        return _apply_post(
+            picked.select("sensor_id", "name", "labels", "value"), eq.post
         )
 
     if eq.agg == "quantile":
@@ -2248,6 +2531,14 @@ def _finish_range(out: DataFrame, eq: ExtendedQuery, t_col) -> DataFrame:
             .select("sensor_id", "name", "labels", t_col, "value"),
             eq.post,
         )
+    if eq.agg in LIMIT_AGGS:
+        # Same deterministic sampler PER STEP (limitk windows partition
+        # on the step index too; limit_ratio is step-independent).
+        picked = _limit_agg_filter(out, eq, extra_part=[F.col("__i")])
+        return _apply_post(
+            picked.select("sensor_id", "name", "labels", t_col, "value"),
+            eq.post,
+        )
     if eq.agg == "quantile":
         agg_col = F.percentile("value", F.lit(eq.param)).cast("double")
     elif eq.agg == "group":
@@ -2567,6 +2858,12 @@ def evaluate_binary(
             "-": lc - rc,
             "*": lc * rc,
             "/": lc / rc,
+            # Spark's % on doubles is Java fmod — truncated toward
+            # zero, sign of the dividend, same as Go math.Mod
+            # (Prometheus % semantics).
+            "%": lc % rc,
+            "^": F.pow(lc, rc),
+            "atan2": F.atan2(lc, rc),
             ">": lc > rc,
             "<": lc < rc,
             ">=": lc >= rc,
