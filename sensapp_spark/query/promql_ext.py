@@ -612,6 +612,17 @@ def parse_extended(query: str, now: dt.datetime | None = None) -> ExtendedQuery:
                 f"{head}() orders a SERIES vector by its labels; "
                 "aggregated or constant results have none.",
             )
+        if _is_hist(sub):
+            # histogram_quantile/fraction results carry canonicalized
+            # STRING labels (the le bucket is folded away) — there is
+            # no map to element_at, so reject here rather than letting
+            # evaluation die with an opaque AnalysisException.
+            raise PromQLError(
+                "call",
+                f"{head}() over histogram_quantile()/histogram_fraction() "
+                "is not supported — the histogram result's labels are "
+                "canonicalized; use sort()/sort_desc() on the value.",
+            )
         sub.sort = "asc" if head == "sort_by_label" else "desc"
         sub.sort_labels = labels
         return sub

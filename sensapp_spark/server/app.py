@@ -660,13 +660,34 @@ def create_app(
         offset = max(
             dt.timedelta(0), now_parse - eq.selector.end_time
         )
+        scan_lo = start - lookback - offset
+        scan_hi = end
+        if eq.at_fixed:
+            # A fixed `@` anchor pins the selector's sample window
+            # absolutely — it may lie entirely outside [start, end]
+            # (e.g. an anchor later than `end`, where `offset` clamps
+            # to 0). Widen the scan to cover it, or evaluate_range's
+            # anchored-constant broadcast sees no samples and every
+            # step silently returns empty.
+            def _naive(t: dt.datetime) -> dt.datetime:
+                # The selector carries the parse anchor's tz-awareness;
+                # the lake scan bounds are naive UTC like start/end.
+                if t.tzinfo is not None:
+                    t = t.astimezone(dt.timezone.utc).replace(tzinfo=None)
+                return t
+
+            scan_lo = min(scan_lo, _naive(eq.selector.start_time) - (
+                dt.timedelta(seconds=eq.sub_range_s)
+                if eq.sub_inner is not None else dt.timedelta(0)
+            ))
+            scan_hi = max(scan_hi, _naive(eq.selector.end_time))
         try:
             out = evaluate_range(
                 lake.sensors(),
                 lake.values(
                     SensorType.FLOAT,
-                    start - lookback - offset,
-                    end,
+                    scan_lo,
+                    scan_hi,
                 ),
                 eq,
                 start=start,

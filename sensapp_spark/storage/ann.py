@@ -212,6 +212,14 @@ class AnnIndexStore:
         stats = assigned.agg(
             F.count("*").alias("n"), F.avg("assign_cos").alias("fit")
         ).first()
+        if stats.fit is None:
+            # An empty corpus has no assignment fit; `float(None)`
+            # would raise a bare TypeError here and a null
+            # write_mean_assign_cos would crash drift() later.
+            raise ValueError(
+                f"write_ivf({name!r}): embeddings frame is empty — an IVF "
+                "layout needs at least one vector to quantize"
+            )
         path = self._path(name)
         meta = {
             "kind": "ivf",

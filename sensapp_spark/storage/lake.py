@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import contextlib
 import datetime as dt
+import json
 import os
 import shutil
 import time
@@ -147,24 +148,31 @@ class SensorLake:
                 F.col("value").isNull()
                 | (~F.isnan("value") & (F.abs("value") != float("inf")))
             )
-        (
-            df.withColumn(MONTH_COL, F.date_format("time", "yyyy-MM"))
-            .write.partitionBy(MONTH_COL)
-            .mode("append")
-            .parquet(self._append_dir(self._values_path(stype)))
-        )
+        dest = self._append_dir(self._values_path(stype))
+        # Intent marker for the whole write (resolve → plan → job): a
+        # concurrent maintenance rewrite superseding `dest` sees the
+        # marker and knows rows may still be landing here — see the
+        # append-intent protocol notes below.
+        with _append_intent(dest):
+            (
+                df.withColumn(MONTH_COL, F.date_format("time", "yyyy-MM"))
+                .write.partitionBy(MONTH_COL)
+                .mode("append")
+                .parquet(dest)
+            )
 
     def _append_dir(self, path: str) -> str:
         """The directory appends land in: the table's current committed
         version. Appends are new uniquely-named part files, so they are
         safe against OTHER APPENDS with no lock. Against a concurrent
-        MAINTENANCE REWRITE (dedup_rewrite/optimize) the same caveat as
-        the pre-versioning layout applies — and it is dedup_rewrite's
-        documented contract: an append landing during the rewrite
-        window was read neither by the rewrite nor retained past
-        pruning, so run maintenance in a window without active
-        publishers (a transaction-log table format is what closes this
-        for real). The FIRST append on a brand new table creates
+        MAINTENANCE REWRITE (dedup_rewrite/optimize) the append-intent
+        protocol applies (see the marker/manifest notes near
+        ``_append_intent``): the appender holds a hidden intent marker
+        for the whole write, the rewrite reconciles late-landing files
+        into its result, and a superseded dir is retained (manifested,
+        vacuum-reclaimed) so even an append finishing AFTER the
+        rewrite's reconciliation is folded in by the next maintenance
+        pass rather than lost. The FIRST append on a brand new table creates
         version 1 via the same cross-host CAS claim as every other
         commit: the loser of the creation race discards its empty dir
         and appends into the winner's."""
@@ -244,6 +252,10 @@ class SensorLake:
             self._values_path(st) for st in SensorType
         ]
         for t in tables:
+            # Fold late-landing appends out of superseded manifested
+            # dirs BEFORE reclaiming: vacuum refuses to delete a dir
+            # with unfolded extras, so this is what unblocks it.
+            self._fold_manifest_extras(t)
             deleted = vacuum_orphans(t, min_age_s=min_age_s)
             if deleted:
                 out[os.path.basename(t)] = deleted
@@ -268,38 +280,45 @@ class SensorLake:
         path: str,
         transform,
         max_retries: int = 5,
+        quiesce_wait_s: float = 10.0,
         _test_after_plan=None,
     ) -> None:
         """Maintenance rewrite (dedupe / compaction) with APPEND
-        RECONCILIATION — the round-6 contract "an append landing during
-        the rewrite window is lost; run maintenance in a quiet window"
-        is gone:
+        RECONCILIATION — a concurrent append is never lost:
 
+        0. Fold any late-landed files from previously superseded
+           (manifested) version dirs into the live table first
+           (:meth:`_fold_manifest_extras`).
         1. Pin the committed version AND the exact parquet file list
            the rewrite will read (the Spark plan is built over that
-           explicit list, so later-arriving files cannot be half-read).
+           explicit list, so later-arriving files cannot be half-read;
+           in-flight ``_temporary`` staging is pruned from the walk).
         2. Commit the rewrite conditionally on the pinned sequence
            (lost CAS race / pruned-base scan → retry from a fresh
-           read, like every other writer).
-        3. AFTER committing, re-list the superseded version dir: any
-           file that appeared since the pin is a concurrent append that
-           resolved the old version — fold those rows into a follow-up
-           conditional commit (re-applying ``transform``, so a late
-           duplicate still dedupes). Loop until a listing is clean.
+           read, like every other writer), then immediately write a
+           ``_reconciled.json`` manifest into the superseded dir — from
+           that point the commit path never prunes it; only the
+           age-gated vacuum reclaims it once it is quiescent and fully
+           folded.
+        3. Re-list the superseded dir: any file that appeared since the
+           pin is a concurrent append that resolved the old version —
+           fold those rows into a follow-up conditional commit
+           (re-applying ``transform``, so a late duplicate still
+           dedupes), updating the manifest each time. Wait up to
+           ``quiesce_wait_s`` for fresh append-intent markers /
+           ``_temporary`` staging to drain before declaring the listing
+           final; anything landing later is picked up by step 0 of the
+           NEXT maintenance pass (or by :meth:`vacuum_orphans`' fold).
 
-        The residual window is a file becoming VISIBLE only after the
-        final clean listing yet having been targeted at the superseded
-        dir — sub-millisecond against the one-generation retention, vs
-        the whole rewrite duration before; a transaction-log format
-        (Delta OPTIMIZE) is what closes it exactly. The flock still
-        serializes same-host maintenance so two compactions never
-        duel; cross-host ones are serialized by the CAS claim.
+        The flock serializes same-host maintenance so two compactions
+        never duel; cross-host ones are serialized by the CAS claim.
 
         ``_test_after_plan`` is a test seam invoked between the pin and
         the commit — where a concurrent append is injected."""
         if resolve_table(path) is None:
             return
         with self._dir_lock(path):
+            self._fold_manifest_extras(path, max_retries=max_retries)
             for _ in range(max_retries):
                 seq, data = read_committed(path)
                 if data is None:
@@ -330,14 +349,33 @@ class SensorLake:
                     "consecutive commit races"
                 )
             # Post-commit reconciliation: fold in appends that resolved
-            # the superseded version while the rewrite ran.
+            # the superseded version while the rewrite ran. The manifest
+            # goes in FIRST, before any further commit can prune `data`
+            # — from here on the superseded dir survives (vacuum-
+            # reclaimed) no matter when this process dies, so a still-
+            # in-flight append's rows cannot be destroyed with it.
             known = set(seen)
-            for _ in range(max_retries):
+            _write_manifest(data, known)
+            deadline = time.monotonic() + quiesce_wait_s
+            fold_attempts = 0
+            while fold_attempts < max_retries:
                 late = [
                     f for f in _list_data_files(data) if f not in known
                 ]
                 if not late:
+                    if (
+                        _live_append_activity(data)
+                        and time.monotonic() < deadline
+                    ):
+                        # An appender announced itself (intent marker /
+                        # _temporary staging) but its files are not
+                        # visible yet — give it the quiesce budget so
+                        # its rows land NOW instead of at the next
+                        # maintenance pass.
+                        time.sleep(0.25)
+                        continue
                     return
+                fold_attempts += 1
                 cur_seq, cur = read_committed(path)
                 merged = transform(
                     self.spark.read.parquet(cur).unionByName(
@@ -352,12 +390,68 @@ class SensorLake:
                         partition_by=MONTH_COL, expected_seq=cur_seq,
                     )
                     known |= set(late)
+                    _write_manifest(data, known)
                 except CommitConflict:
                     continue
                 except Exception as e:  # noqa: BLE001
                     if _is_stale_scan_error(e):
                         continue
                     raise
+            # Fold-retry budget exhausted: safe to leave — whatever is
+            # not yet in the manifest is folded by the next maintenance
+            # pass (step 0) or vacuum's fold; nothing is lost.
+
+    def _fold_manifest_extras(self, path: str, max_retries: int = 5) -> None:
+        """Step 0 of maintenance (also run by :meth:`vacuum_orphans`):
+        fold parquet files that landed in a SUPERSEDED, manifested
+        version dir after its rewrite's reconciliation finished — i.e.
+        appends that resolved the old version and completed late. Rows
+        are unioned into the live table as a plain append (conditional
+        commit); the manifest is advanced so the fold is idempotent and
+        the dir becomes vacuum-reclaimable. Dirs with live append
+        activity are skipped (their writer is still landing files —
+        next pass gets them)."""
+        if not os.path.isdir(path):
+            return
+        for d in sorted(os.listdir(path)):
+            full = os.path.join(path, d)
+            # Re-resolve the live version each iteration — a fold
+            # commit below advances it.
+            _cur_seq, cur = read_committed(path)
+            if (
+                not d.startswith("v_")
+                or full == cur
+                or not os.path.isdir(full)
+            ):
+                continue
+            known = _read_manifest(full)
+            if known is None or _live_append_activity(full):
+                continue
+            extras = [f for f in _list_data_files(full) if f not in known]
+            if not extras:
+                continue
+            for _ in range(max_retries):
+                cur_seq, cur_data = read_committed(path)
+                if cur_data is None:
+                    break
+                merged = self.spark.read.parquet(cur_data).unionByName(
+                    self.spark.read.option("basePath", full).parquet(
+                        *extras
+                    )
+                )
+                try:
+                    atomic_overwrite(
+                        merged, path,
+                        partition_by=MONTH_COL, expected_seq=cur_seq,
+                    )
+                except CommitConflict:
+                    continue
+                except Exception as e:  # noqa: BLE001
+                    if _is_stale_scan_error(e):
+                        continue
+                    raise
+                _write_manifest(full, known | set(extras))
+                break
 
     # -- materialized catalog (C1/C2 snapshot) -------------------------------
 
@@ -496,11 +590,137 @@ def _list_data_files(d: str) -> list[str]:
     hive partition subdirs; hidden/metadata entries skipped) — the
     pinned read set of a maintenance rewrite."""
     out = []
-    for root, _dirs, files in os.walk(d):
+    for root, dirs, files in os.walk(d):
+        # Prune hidden/metadata directories (Spark's in-flight
+        # `_temporary/` staging above all): a concurrent append's
+        # task-attempt files must never enter the pinned read set —
+        # they may be torn, and after the committer renames them into
+        # place the same rows would be re-detected as "late" and
+        # folded in twice.
+        dirs[:] = [x for x in dirs if not x.startswith((".", "_"))]
         for f in files:
             if f.endswith(".parquet") and not f.startswith((".", "_")):
                 out.append(os.path.join(root, f))
     return sorted(out)
+
+
+# -- append-intent markers + reconciliation manifests ------------------------
+#
+# The protocol that closes the "concurrent append lost to a maintenance
+# rewrite" window (round-7 advisor, lake.py:330):
+#
+# * Every appender drops a hidden INTENT MARKER (`.append_<uuid>`) into
+#   the version dir it resolved, immediately after resolving and before
+#   Spark even plans the write — so a rewrite can SEE a pre-commit-
+#   resolved append whose `_temporary/` staging does not exist yet.
+# * A rewrite that supersedes a version dir writes a `_reconciled.json`
+#   MANIFEST into it (the exact file set whose rows the new version
+#   contains). A dir carrying a manifest is never pruned by the commit
+#   path: any parquet file later appearing in it beyond the manifest is
+#   a late-landing append, folded into the live table by the next
+#   maintenance pass (`_fold_manifest_extras`) — then, and only then,
+#   the dir is reclaimed by the age-gated `vacuum_orphans`.
+#
+# Net contract: an append racing a rewrite is never lost — at worst its
+# rows become visible at the NEXT maintenance/vacuum pass instead of
+# immediately. The residual loss window is two cross-host maintenance
+# rewrites duelling (no shared flock) interleaved with an in-flight
+# append — scheduled maintenance is already expected to be singular.
+
+APPEND_MARKER_PREFIX = ".append_"
+RECONCILED_MANIFEST = "_reconciled.json"
+# A marker older than this with no filesystem activity behind it is a
+# crashed appender, not a live one.
+_MARKER_STALE_S = 3600.0
+
+
+@contextlib.contextmanager
+def _append_intent(data_dir: str):
+    """Hidden intent marker held for the duration of an append write."""
+    marker = os.path.join(
+        data_dir, APPEND_MARKER_PREFIX + uuid_mod.uuid4().hex
+    )
+    with open(marker, "w"):
+        pass
+    try:
+        yield
+    finally:
+        with contextlib.suppress(OSError):
+            os.unlink(marker)
+
+
+def _live_append_activity(
+    data_dir: str, stale_s: float = _MARKER_STALE_S
+) -> bool:
+    """Is an append plausibly in flight in this version dir? True when a
+    fresh intent marker exists, or Spark's ``_temporary`` staging dir is
+    present with recent activity."""
+    now = time.time()
+    try:
+        entries = os.listdir(data_dir)
+    except OSError:
+        return False
+    for d in entries:
+        full = os.path.join(data_dir, d)
+        with contextlib.suppress(OSError):
+            if d.startswith(APPEND_MARKER_PREFIX):
+                if now - os.path.getmtime(full) < stale_s:
+                    return True
+            elif d == "_temporary":
+                if now - _newest_mtime(full) < stale_s:
+                    return True
+    return False
+
+
+def _newest_mtime(d: str) -> float:
+    """Most recent mtime anywhere under ``d`` (the dir itself included) —
+    the liveness signal vacuum gates on: an in-flight append keeps
+    bumping mtimes inside ``_temporary`` even after its intent marker
+    has aged."""
+    newest = 0.0
+    with contextlib.suppress(OSError):
+        newest = os.path.getmtime(d)
+    for root, dirs, files in os.walk(d):
+        for name in dirs + files:
+            with contextlib.suppress(OSError):
+                newest = max(
+                    newest, os.path.getmtime(os.path.join(root, name))
+                )
+    return newest
+
+
+def _write_manifest(data_dir: str, files: set[str]) -> None:
+    """Record (fsynced, atomically replaced) the file set whose rows the
+    superseding version already contains — paths relative to the version
+    dir, so the manifest survives a lake root move."""
+    rel = sorted(os.path.relpath(f, data_dir) for f in files)
+    tmp = os.path.join(data_dir, f".manifest_{uuid_mod.uuid4().hex}")
+    with open(tmp, "w") as f:
+        json.dump({"files": rel}, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, os.path.join(data_dir, RECONCILED_MANIFEST))
+
+
+def _read_manifest(data_dir: str) -> set[str] | None:
+    """Absolute paths of the manifest's file set, or None if the dir was
+    never superseded by a manifest-writing rewrite."""
+    p = os.path.join(data_dir, RECONCILED_MANIFEST)
+    try:
+        with open(p) as f:
+            rel = json.load(f)["files"]
+    except (OSError, ValueError, KeyError):
+        return None
+    return {os.path.join(data_dir, r) for r in rel}
+
+
+def _manifest_extras(data_dir: str) -> list[str]:
+    """Parquet data files present in a superseded version dir but absent
+    from its manifest: late-landing appends awaiting a fold."""
+    known = _read_manifest(data_dir)
+    if known is None:
+        return []
+    return [f for f in _list_data_files(data_dir) if f not in known]
 
 
 def _log_entries(path: str) -> list[int]:
@@ -679,7 +899,13 @@ def _prune_versions(path: str, seq: int) -> None:
             version = _entry_version(path, s)
         except OSError:
             continue  # concurrently pruned by another committer
-        shutil.rmtree(os.path.join(path, version), ignore_errors=True)
+        vdir = os.path.join(path, version)
+        if not os.path.exists(os.path.join(vdir, RECONCILED_MANIFEST)):
+            # A MANIFESTED dir was superseded by a maintenance rewrite
+            # and may still receive a late-landing append's files — the
+            # commit path leaves it alone; vacuum_orphans reclaims it
+            # age-gated once quiescent and fully folded.
+            shutil.rmtree(vdir, ignore_errors=True)
         if s < seq - (_KEEP_LOG_ENTRIES - 1):
             with contextlib.suppress(OSError):
                 os.unlink(os.path.join(path, COMMITS_DIR, f"{s:08d}"))
@@ -700,13 +926,15 @@ def _prune_versions(path: str, seq: int) -> None:
 
 
 def vacuum_orphans(path: str, min_age_s: float = 3600.0) -> list[str]:
-    """Reclaim crashed writers' never-committed version dirs: delete
+    """Reclaim crashed writers' never-committed version dirs — delete
     ``v_`` dirs that are (a) not referenced by any commit-log entry and
     not the legacy pointer's target, and (b) older than ``min_age_s``
-    (mtime) — the age gate is what distinguishes a crash orphan from a
-    live cross-host writer's in-flight commit, so this is an explicit
-    maintenance operation, not part of the commit path. Returns the
-    deleted names."""
+    (mtime) — plus SUPERSEDED MANIFESTED dirs (rewrite-retired versions
+    under the append-grace contract) once they are quiescent, fully
+    folded, and aged. The age gate is what distinguishes a crash orphan
+    from a live cross-host writer's in-flight commit, so this is an
+    explicit maintenance operation, not part of the commit path.
+    Returns the deleted names."""
     if not os.path.isdir(path):
         return []
     referenced = set()
@@ -717,12 +945,37 @@ def vacuum_orphans(path: str, min_age_s: float = 3600.0) -> list[str]:
     if os.path.exists(ptr):
         with open(ptr) as f:
             referenced.add(f.read().strip())
+    entries = _log_entries(path)
+    current_version = None
+    if entries:
+        with contextlib.suppress(OSError):
+            current_version = _entry_version(path, entries[-1])
     now = time.time()
     deleted = []
     for d in os.listdir(path):
-        if not (d.startswith(("v_", ".ptr_"))) or d in referenced:
+        if not d.startswith(("v_", ".ptr_")):
             continue
         full = os.path.join(path, d)
+        has_manifest = os.path.isdir(full) and os.path.exists(
+            os.path.join(full, RECONCILED_MANIFEST)
+        )
+        if has_manifest and d != current_version:
+            # Superseded-by-rewrite dir under the grace contract:
+            # reclaim only when (a) no append is plausibly in flight,
+            # (b) every data file is covered by the manifest (late
+            # arrivals must be FOLDED first — _fold_manifest_extras),
+            # and (c) nothing under it moved within the age gate.
+            if (
+                _live_append_activity(full, stale_s=min_age_s)
+                or _manifest_extras(full)
+                or now - _newest_mtime(full) < min_age_s
+            ):
+                continue
+            shutil.rmtree(full, ignore_errors=True)
+            deleted.append(d)
+            continue
+        if d in referenced:
+            continue
         with contextlib.suppress(OSError):
             if now - os.path.getmtime(full) < min_age_s:
                 continue

@@ -396,3 +396,12 @@ def test_rewrite_with_new_codebook_rewires_assignment(
     frame8, cents8 = s.read_ivf()
     assert len(cents8) == 8
     assert frame8.select("centroid_id").distinct().count() > 4
+
+
+def test_write_ivf_rejects_empty_corpus(spark, tmp_path, embeddings):
+    """An empty embeddings frame has no assignment fit — must be a
+    descriptive ValueError, not float(None)'s bare TypeError (advisor
+    r7, low)."""
+    s = AnnIndexStore(spark, str(tmp_path / "ann_empty"))
+    with pytest.raises(ValueError, match="empty"):
+        s.write_ivf(embeddings.limit(0))

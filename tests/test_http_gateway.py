@@ -377,6 +377,21 @@ def test_query_range_endpoint(client):
                 for row in r.get_json()["result"]}
     assert sub_rows["2024-01-01T00:02:00"] == pytest.approx(21.0)
 
+    # Round 8 (advisor r7, medium): a fixed `@` anchor LATER than `end`
+    # pins the sample window outside [start, end] — the scan envelope
+    # must widen to cover it, or the anchored window is silently
+    # truncated at `end` (here: max over [00:00, 00:01] is 21.0; a
+    # scan clipped at end=00:00 would report 20.5).
+    anchor = 1704067260  # 2024-01-01T00:01:00Z
+    r = client.get(
+        f"/api/v1/query_range?query=max_over_time(temperature%5B1m%5D"
+        f"%20%40%20{anchor})"
+        "&start=2024-01-01T00:00:00Z&end=2024-01-01T00:00:00Z&step=60"
+    )
+    assert r.status_code == 200
+    [row] = r.get_json()["result"]
+    assert row["value"] == pytest.approx(21.0)
+
     r = client.get("/api/v1/query_range?query=temperature&start=bad"
                    "&end=2024-01-01T00:00:00Z")
     assert r.status_code == 400

@@ -486,3 +486,178 @@ def test_two_real_processes_publish_concurrently(spark, tmp_path):
 
     vals = {r.sensor_id for r in lake.values(SensorType.FLOAT).collect()}
     assert vals == want
+
+
+# ---------------------------------------------------------------------------
+# Round 8: the append-intent / manifest protocol that closes the
+# "append racing a maintenance rewrite" windows the round-7 advisor
+# flagged — torn _temporary staging entering the pinned read set, and
+# a pre-commit-resolved append destroyed with the pruned superseded dir.
+# ---------------------------------------------------------------------------
+
+VALUES_DDL = "sensor_id string, time timestamp, value double"
+
+
+def _float_lake(spark, tmp_path, rows):
+    import datetime as dtm
+
+    from sensapp_spark.datamodel.types import SensorType
+
+    lake = SensorLake(spark, str(tmp_path / "lake"))
+    t0 = dtm.datetime(2024, 1, 1)
+    lake.append_values(
+        SensorType.FLOAT,
+        spark.createDataFrame([(s, t0, v) for s, v in rows], VALUES_DDL),
+    )
+    return lake, SensorType.FLOAT, t0
+
+
+def _write_raw_part(data_dir, sensor_id, value):
+    """A late-landing append simulated at the file level: one completed
+    parquet part file appearing in a (possibly superseded) version dir,
+    bypassing append_values' marker so the test controls timing."""
+    import datetime as dtm
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    month_dir = os.path.join(data_dir, "month=2024-01")
+    os.makedirs(month_dir, exist_ok=True)
+    tbl = pa.table(
+        {
+            "sensor_id": pa.array([sensor_id], pa.string()),
+            "time": pa.array(
+                [dtm.datetime(2024, 1, 1)], pa.timestamp("us")
+            ),
+            "value": pa.array([value], pa.float64()),
+        }
+    )
+    pq.write_table(
+        tbl, os.path.join(month_dir, f"part-late-{sensor_id}.parquet")
+    )
+
+
+def test_list_data_files_skips_inflight_staging(tmp_path):
+    """Spark's _temporary task-attempt staging (and any hidden dir) must
+    never enter a rewrite's pinned read set or its late-file diff — the
+    files there may be torn, and they reappear under their final names
+    at job commit (advisor r7, high)."""
+    from sensapp_spark.storage.lake import _list_data_files
+
+    d = tmp_path / "v_x"
+    (d / "month=2024-01").mkdir(parents=True)
+    (d / "month=2024-01" / "part-0.parquet").write_bytes(b"ok")
+    staging = d / "_temporary" / "0" / "_tmp" / "attempt_0"
+    staging.mkdir(parents=True)
+    (staging / "part-torn.parquet").write_bytes(b"\x00torn")
+    (d / ".hidden" / "x").mkdir(parents=True)
+    (d / ".hidden" / "x" / "part-h.parquet").write_bytes(b"h")
+    got = _list_data_files(str(d))
+    assert got == [str(d / "month=2024-01" / "part-0.parquet")]
+
+
+def test_rewrite_tolerates_torn_staging_and_folds_once(spark, tmp_path):
+    """A concurrent append injected DURING the rewrite together with a
+    torn _temporary staging file: the rewrite must neither crash on the
+    torn file nor fold the completed rows twice."""
+    from sensapp_spark.storage.lake import resolve_table
+
+    lake, ftype, t0 = _float_lake(
+        spark, tmp_path, [("s1", 1.0), ("s1", 1.0), ("s2", 2.0)]
+    )
+    path = lake._values_path(ftype)
+
+    def inject():
+        data = resolve_table(path)
+        staging = os.path.join(data, "_temporary", "0", "task")
+        os.makedirs(staging, exist_ok=True)
+        with open(os.path.join(staging, "part-torn.parquet"), "wb") as f:
+            f.write(b"\x00not a parquet footer")
+        lake.append_values(
+            ftype,
+            spark.createDataFrame([("s3", t0, 3.0)], VALUES_DDL),
+        )
+
+    lake.dedup_rewrite(ftype, quiesce_wait_s=1.0, _test_after_plan=inject)
+    got = sorted(
+        (r.sensor_id, r.value) for r in lake.values(ftype).collect()
+    )
+    assert got == [("s1", 1.0), ("s2", 2.0), ("s3", 3.0)]
+
+
+def test_rewrite_waits_for_announced_append(spark, tmp_path):
+    """An appender that RESOLVED the pre-rewrite version and dropped its
+    intent marker, but whose files land only after the rewrite commits:
+    the reconciliation loop must honor the marker, wait, and fold the
+    rows — not declare the listing clean and exit."""
+    import threading
+
+    from sensapp_spark.storage.lake import resolve_table
+
+    lake, ftype, _t0 = _float_lake(spark, tmp_path, [("s1", 1.0)])
+    path = lake._values_path(ftype)
+    state = {}
+
+    def inject():
+        data = resolve_table(path)
+        marker = os.path.join(data, ".append_testmarker")
+        open(marker, "w").close()
+
+        def finish():
+            import time as _t
+
+            _t.sleep(1.0)
+            _write_raw_part(data, "s-late", 9.0)
+            os.unlink(marker)
+
+        state["thread"] = threading.Thread(target=finish)
+        state["thread"].start()
+
+    lake.dedup_rewrite(ftype, quiesce_wait_s=15.0, _test_after_plan=inject)
+    state["thread"].join()
+    got = sorted(
+        (r.sensor_id, r.value) for r in lake.values(ftype).collect()
+    )
+    assert got == [("s-late", 9.0), ("s1", 1.0)]
+
+
+def test_late_append_survives_via_manifest_fold(spark, tmp_path):
+    """An append that finishes AFTER the rewrite's reconciliation: its
+    rows land in the superseded (manifested, grace-kept) dir, the next
+    maintenance pass folds them in, and only then does vacuum reclaim
+    the dir."""
+    from sensapp_spark.storage.lake import (
+        RECONCILED_MANIFEST,
+        resolve_table,
+    )
+
+    lake, ftype, _t0 = _float_lake(
+        spark, tmp_path, [("s1", 1.0), ("s1", 1.0)]
+    )
+    path = lake._values_path(ftype)
+    superseded = resolve_table(path)
+    lake.dedup_rewrite(ftype)
+    # Grace contract: the superseded dir survives the rewrite (and its
+    # reconciliation commits) carrying a manifest of what was folded.
+    assert os.path.isdir(superseded)
+    assert os.path.exists(os.path.join(superseded, RECONCILED_MANIFEST))
+
+    # The too-late append lands at the file level in the dead dir.
+    _write_raw_part(superseded, "s-straggler", 7.0)
+
+    # Vacuum refuses while unfolded extras exist (module-level call —
+    # no fold), then the lake-level vacuum folds and reclaims.
+    from sensapp_spark.storage.lake import vacuum_orphans as vac
+
+    assert vac(path, min_age_s=0.0) == []
+    assert os.path.isdir(superseded)
+
+    deleted = lake.vacuum_orphans(min_age_s=0.0)
+    got = sorted(
+        (r.sensor_id, r.value) for r in lake.values(ftype).collect()
+    )
+    assert got == [("s-straggler", 7.0), ("s1", 1.0)]
+    assert not os.path.isdir(superseded)
+    assert os.path.basename(superseded) in deleted.get(
+        os.path.basename(path), []
+    )

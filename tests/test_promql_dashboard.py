@@ -162,6 +162,17 @@ def test_sort_rejections(frames):
         ("sort(m) + n", "not supported"),
         ("sort(m / n)", "binary operation is not supported"),
         ("absent(sort(m))", "plain selector"),
+        # Histogram results carry canonicalized STRING labels — no map
+        # to order by; must be a parse-time didactic rejection, not an
+        # evaluation-time AnalysisException (advisor r7, low).
+        (
+            'sort_by_label(histogram_quantile(0.9, m), "job")',
+            "canonicalized",
+        ),
+        (
+            'sort_by_label_desc(histogram_fraction(0, 1, m), "job")',
+            "canonicalized",
+        ),
     ]:
         with pytest.raises(PromQLError, match=frag):
             _run(frames, expr)
