@@ -120,3 +120,102 @@ def kmeans_assign(
             "cluster", assign_expr(F.col("embedding"), cents)
         )
     return assigned.select("vec_id", "cluster")
+
+
+DEFAULT_MAX_SEMDEDUP_CLUSTER = 2000
+
+
+def semdedup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.35,
+    k: int = KMEANS_K,
+    rounds: int = KMEANS_ROUNDS,
+    dim: int = 64,
+    max_cluster: int | None = DEFAULT_MAX_SEMDEDUP_CLUSTER,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication by clustering-then-pairwise-cosine. Returns
+    ``(vec_a, vec_b, cosine)`` where ``vec_b`` is a DROPPED vector and
+    ``vec_a`` its keeper — the smallest vec_id in the same k-means
+    cluster whose cosine to ``vec_b`` meets ``threshold`` (the paper
+    keeps one representative per ε-ball; smallest-id is our
+    deterministic representative rule, matching every other dedup
+    operator's keep-MIN convention).
+
+    Scale posture (100 TB): the expensive pairwise step never crosses
+    cluster boundaries — the self-join key is the cluster id, so each
+    cluster's quadratic expansion is independent and ``k`` is the
+    parallelism/size lever (grow k with the corpus to hold cluster
+    sizes ~constant; the paper uses k ≈ n/100). Two guards bound the
+    worst case:
+
+    * ``max_cluster``: members of an oversized cluster are compared
+      only against the cluster's min-id HUB rather than pairwise —
+      the same star-edge design as the MinHash/embedding-LSH bucket
+      guards, degrading recall (not correctness) exactly where a
+      quadratic blow-up would live.
+    * the join build side is the guard-bounded keeper-candidate frame
+      (≤ k × max_cluster rows), broadcast when it fits — a shuffled
+      join on a k-valued key would serialize each cluster's expansion
+      onto one reducer (measured 6× on the LSH analogue,
+      similarity.py).
+
+    EAGER-EVALUATION CONTRACT: fitting the codebook and sizing the
+    build side run jobs at call time (same batch-only/deterministic-
+    input contract as ``embedding_neardup_pairs``)."""
+    from sensapp_spark.pipeline.similarity import cosine_similarity
+
+    cents = kmeans_codebook(embeddings, k, rounds, dim)
+    av = embeddings.select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("emb"),
+        assign_expr(F.col("embedding"), cents).alias("cluster"),
+    )
+    sizes = av.groupBy("cluster").agg(
+        F.count("*").alias("sz"), F.min("vec_id").alias("hub")
+    )
+    sized = av.join(F.broadcast(sizes), "cluster")
+    if max_cluster is None:
+        keepers = sized
+        build_rows = None
+    else:
+        keepers = sized.filter(
+            (F.col("sz") <= max_cluster) | (F.col("vec_id") == F.col("hub"))
+        )
+        build_rows = int(
+            sizes.agg(
+                F.sum(F.least(F.col("sz"), F.lit(max_cluster))).alias("n")
+            ).first().n
+            or 0
+        )
+    if build_rows is not None and build_rows * (dim * 8 + 32) < (64 << 20):
+        build = F.broadcast(keepers)
+    elif build_rows is not None:
+        build = keepers.hint("shuffle_hash")
+    else:
+        build = keepers
+    pairs = (
+        build.alias("a")
+        .join(sized.alias("b"), "cluster")
+        .filter(F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round(
+                cosine_similarity(F.col("a.emb"), F.col("b.emb")), 6
+            ).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+    # One dropped row per vec_b: min-id keeper carries ITS cosine (the
+    # struct min orders by vec_a first — ids are unique, so the pick is
+    # total and deterministic).
+    return (
+        pairs.groupBy("vec_b")
+        .agg(F.min(F.struct("vec_a", "cosine")).alias("kp"))
+        .select(
+            F.col("kp.vec_a").alias("vec_a"),
+            "vec_b",
+            F.col("kp.cosine").alias("cosine"),
+        )
+    )

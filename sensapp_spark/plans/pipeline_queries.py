@@ -982,58 +982,11 @@ def ann_ivf_topk(spark, sf_dir):
 
 
 
-def _emb_neardup_oracle() -> str:
-    planes = hyperplanes(4, 64)
-    bucket = " + ".join(
-        f"(CASE WHEN list_dot_product(embedding::DOUBLE[], "
-        f"[{', '.join(str(c) for c in planes[i])}]::DOUBLE[]) > 0 "
-        f"THEN {2**i} ELSE 0 END)"
-        for i in range(4)
-    )
-    from sensapp_spark.pipeline.similarity import DEFAULT_MAX_EMB_BUCKET
-
-    cos = (
-        "ROUND(list_dot_product(a.emb, b.emb)"
-        " / (sqrt(list_dot_product(a.emb, a.emb))"
-        " * sqrt(list_dot_product(b.emb, b.emb))), 6)"
-    )
-    return f"""
-    WITH bucketed AS (
-        SELECT vec_id, embedding::DOUBLE[] AS emb, {bucket} AS bucket
-        FROM embeddings),
-    -- max_bucket star-edge guard, mirrored from
-    -- pipeline/similarity.embedding_neardup_pairs: oversized buckets
-    -- emit hub→member pairs (real cosine) instead of cliques.
-    bs AS (
-        SELECT bucketed.*,
-               COUNT(*) OVER (PARTITION BY bucket) AS sz,
-               MIN(vec_id) OVER (PARTITION BY bucket) AS hub
-        FROM bucketed)
-    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, {cos} AS cosine
-    FROM bs a JOIN bs b USING (bucket)
-    WHERE a.sz <= {DEFAULT_MAX_EMB_BUCKET}
-      AND a.vec_id < b.vec_id AND {cos} >= 0.3
-    UNION ALL
-    -- Star pairs are connectivity edges: real cosine, NOT
-    -- threshold-filtered (matches embedding_neardup_pairs).
-    SELECT a.vec_id, b.vec_id, {cos} AS cosine
-    FROM bs a JOIN bs b USING (bucket)
-    WHERE a.sz > {DEFAULT_MAX_EMB_BUCKET}
-      AND a.vec_id = a.hub AND b.vec_id <> b.hub
-    """
-
-
-@register("dedup_embedding_pairs", _emb_neardup_oracle())
-def dedup_embedding_pairs(spark, sf_dir):
-    """Embedding-cosine near-dup pairs: exact cosine within hyperplane-LSH
-    buckets (equality join on bucket id — no cross join)."""
-    return embedding_neardup_pairs(_emb(spark, sf_dir), threshold=0.3)
-
-# ---------------------------------------------------------------------------
-# Clustering
-# ---------------------------------------------------------------------------
-
-def _kmeans_oracle() -> str:
+def _kmeans_ctes() -> str:
+    """The two-round spherical-kmeans replay as a CTE chain ending in
+    ``a2(vec_id, cluster)`` — shared by the embedding_kmeans oracle and
+    the semdedup arm of dedup_embedding_pairs, so the assignment the
+    dedup is judged against can never drift from the clustering's."""
     from sensapp_spark.pipeline.clustering import KMEANS_K
 
     def cos(a: str, b: str) -> str:
@@ -1057,15 +1010,123 @@ def _kmeans_oracle() -> str:
         FROM embeddings e CROSS JOIN {cents} c)
     WHERE rn = 1
     """
-    return f"""
-    WITH c0 AS (
+    return f"""c0 AS (
         SELECT vec_id AS cid, embedding::DOUBLE[] AS cvec
         FROM embeddings WHERE vec_id < {KMEANS_K}),
     a1 AS ({assign.format(cos=cos(e, "c.cvec"), cents="c0")}),
     c1 AS (
         SELECT cluster AS cid, {mean_vec} AS cvec
         FROM embeddings JOIN a1 USING (vec_id) GROUP BY cluster),
-    a2 AS ({assign.format(cos=cos(e, "c.cvec"), cents="c1")})
+    a2 AS ({assign.format(cos=cos(e, "c.cvec"), cents="c1")})"""
+
+
+def _emb_neardup_oracle() -> str:
+    planes = hyperplanes(4, 64)
+    bucket = " + ".join(
+        f"(CASE WHEN list_dot_product(embedding::DOUBLE[], "
+        f"[{', '.join(str(c) for c in planes[i])}]::DOUBLE[]) > 0 "
+        f"THEN {2**i} ELSE 0 END)"
+        for i in range(4)
+    )
+    from sensapp_spark.pipeline.similarity import DEFAULT_MAX_EMB_BUCKET
+
+    cos = (
+        "ROUND(list_dot_product(a.emb, b.emb)"
+        " / (sqrt(list_dot_product(a.emb, a.emb))"
+        " * sqrt(list_dot_product(b.emb, b.emb))), 6)"
+    )
+    from sensapp_spark.pipeline.clustering import (
+        DEFAULT_MAX_SEMDEDUP_CLUSTER,
+    )
+
+    sem_cos = (
+        "ROUND(list_dot_product(a.emb, b.emb)"
+        " / (sqrt(list_dot_product(a.emb, a.emb))"
+        " * sqrt(list_dot_product(b.emb, b.emb))), 6)"
+    )
+    return f"""
+    WITH bucketed AS (
+        SELECT vec_id, embedding::DOUBLE[] AS emb, {bucket} AS bucket
+        FROM embeddings),
+    -- max_bucket star-edge guard, mirrored from
+    -- pipeline/similarity.embedding_neardup_pairs: oversized buckets
+    -- emit hub→member pairs (real cosine) instead of cliques.
+    bs AS (
+        SELECT bucketed.*,
+               COUNT(*) OVER (PARTITION BY bucket) AS sz,
+               MIN(vec_id) OVER (PARTITION BY bucket) AS hub
+        FROM bucketed)
+    SELECT 'lsh' AS scope, a.vec_id AS vec_a, b.vec_id AS vec_b,
+           {cos} AS cosine
+    FROM bs a JOIN bs b USING (bucket)
+    WHERE a.sz <= {DEFAULT_MAX_EMB_BUCKET}
+      AND a.vec_id < b.vec_id AND {cos} >= 0.3
+    UNION ALL
+    -- Star pairs are connectivity edges: real cosine, NOT
+    -- threshold-filtered (matches embedding_neardup_pairs).
+    SELECT 'lsh', a.vec_id, b.vec_id, {cos} AS cosine
+    FROM bs a JOIN bs b USING (bucket)
+    WHERE a.sz > {DEFAULT_MAX_EMB_BUCKET}
+      AND a.vec_id = a.hub AND b.vec_id <> b.hub
+    UNION ALL
+    -- SemDeDup replay: the kmeans a2 assignment (identical CTEs to the
+    -- embedding_kmeans oracle), within-cluster pairs at the semantic
+    -- threshold, min-id keeper per dropped vector (arg_min carries the
+    -- keeper's own cosine).
+    SELECT 'semdedup', vec_a, vec_b, cosine FROM (
+        SELECT b_id AS vec_b,
+               arg_min(a_id, a_id) AS vec_a,
+               arg_min(cosine, a_id) AS cosine
+        FROM (
+            WITH {_kmeans_ctes()},
+            av AS (
+                SELECT e.vec_id, e.embedding::DOUBLE[] AS emb, a2.cluster
+                FROM embeddings e JOIN a2 USING (vec_id)),
+            cs AS (
+                SELECT av.*,
+                       COUNT(*) OVER (PARTITION BY cluster) AS sz,
+                       MIN(vec_id) OVER (PARTITION BY cluster) AS hub
+                FROM av)
+            SELECT a.vec_id AS a_id, b.vec_id AS b_id, {sem_cos} AS cosine
+            FROM cs a JOIN cs b USING (cluster)
+            WHERE a.vec_id < b.vec_id
+              AND (a.sz <= {DEFAULT_MAX_SEMDEDUP_CLUSTER}
+                   OR a.vec_id = a.hub)
+              AND {sem_cos} >= 0.35)
+        GROUP BY b_id)
+    """
+
+
+@register("dedup_embedding_pairs", _emb_neardup_oracle())
+def dedup_embedding_pairs(spark, sf_dir):
+    """Embedding near-duplicate family, tagged union:
+
+    * ``lsh``: exact cosine within hyperplane-LSH buckets (equality
+      join on bucket id — no cross join).
+    * ``semdedup``: SemDeDup (Abbas et al. 2023) — k-means clusters
+      (the oracle-verified embedding_kmeans assignment), within-cluster
+      pairwise cosine, one min-id keeper per dropped vector. The
+      cluster id bounds the quadratic step; ``k`` is the 100 TB lever.
+    """
+    from sensapp_spark.pipeline.clustering import semdedup_pairs
+
+    emb = _emb(spark, sf_dir)
+    lsh = embedding_neardup_pairs(emb, threshold=0.3).select(
+        F.lit("lsh").alias("scope"), "vec_a", "vec_b", "cosine"
+    )
+    sem = semdedup_pairs(emb, threshold=0.35).select(
+        F.lit("semdedup").alias("scope"), "vec_a", "vec_b", "cosine"
+    )
+    return lsh.unionByName(sem)
+
+# ---------------------------------------------------------------------------
+# Clustering
+# ---------------------------------------------------------------------------
+
+
+def _kmeans_oracle() -> str:
+    return f"""
+    WITH {_kmeans_ctes()}
     SELECT vec_id, cluster FROM a2
     """
 
@@ -1333,6 +1394,9 @@ BENCH_MEMBERS: dict[str, dict] = {
     "dedup_jaccard_pairs": {
         t: _scoped("dedup_jaccard_pairs", t)
         for t in ("inverted", "prefix", "winnow")
+    },
+    "dedup_embedding_pairs": {
+        t: _scoped("dedup_embedding_pairs", t) for t in ("lsh", "semdedup")
     },
     "text_terms": {
         t: _scoped("text_terms", t)

@@ -412,3 +412,61 @@ def test_winnow_fingerprints_are_subset_of_gram_hashes(spark):
     assert missing == 0
     # And winnowing genuinely compresses: fewer fps than grams.
     assert fps.count() < grams.count()
+
+
+# -- SemDeDup (round 8) -------------------------------------------------------
+
+
+def test_semdedup_keeps_min_id_per_ball(emb):
+    """Every dropped vector maps to exactly one keeper: the smallest
+    same-cluster vec_id whose cosine clears the threshold, carrying that
+    keeper's own cosine. Verified against a naive driver replay."""
+    from sensapp_spark.pipeline.clustering import (
+        kmeans_codebook,
+        semdedup_pairs,
+    )
+
+    got = {
+        r.vec_b: (r.vec_a, r.cosine)
+        for r in semdedup_pairs(emb, threshold=0.35).collect()
+    }
+    assert got, "threshold must drop at least one vector on testdata"
+
+    cents = kmeans_codebook(emb)
+    rows = emb.orderBy("vec_id").collect()
+    vecs = {int(r.vec_id): [float(x) for x in r.embedding] for r in rows}
+    assign = {}
+    for vid, v in vecs.items():
+        scored = sorted(
+            ((round(_cos(v, c), 6), -cid) for cid, c in cents),
+            reverse=True,
+        )
+        assign[vid] = -scored[0][1]
+    want = {}
+    for vid, v in vecs.items():
+        cands = [
+            (other, round(_cos(v, vecs[other]), 6))
+            for other in vecs
+            if other < vid and assign[other] == assign[vid]
+            and round(_cos(v, vecs[other]), 6) >= 0.35
+        ]
+        if cands:
+            want[vid] = min(cands)
+    assert got == {k: (v[0], pytest.approx(v[1])) for k, v in want.items()}
+
+
+def test_semdedup_oversized_cluster_degrades_to_hub(spark):
+    """max_cluster guard: members of an oversized cluster compare only
+    against its min-id hub — no quadratic clique."""
+    from sensapp_spark.pipeline.clustering import semdedup_pairs
+
+    # 6 near-identical vectors (one cluster) with k=1 trivially.
+    rows = [(i, [1.0, 0.01 * i] + [0.0] * 62) for i in range(6)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = semdedup_pairs(
+        emb, threshold=0.9, k=1, dim=64, max_cluster=3
+    ).collect()
+    # Every non-hub vector is dropped, keeper is always the hub (0).
+    assert sorted((r.vec_a, r.vec_b) for r in out) == [
+        (0, i) for i in range(1, 6)
+    ]
