@@ -46,9 +46,22 @@ MONTH_COL = "month"
 
 
 class SensorLake:
-    def __init__(self, spark: SparkSession, root: str):
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        retain_generations: int = 2,
+    ):
+        """``retain_generations`` is the TIME-TRAVEL retention knob: how
+        many committed versions each table keeps on disk (minimum 2 —
+        the live version plus one generation of in-flight-reader
+        grace). Older versions are readable via ``at_seq=`` on
+        :meth:`sensors`/:meth:`values` until they age out; the Delta
+        analogue is ``delta.deletedFileRetentionDuration`` +
+        ``VERSION AS OF``."""
         self.spark = spark
         self.root = root
+        self.retain_generations = max(2, int(retain_generations))
         os.makedirs(root, exist_ok=True)
 
     # -- paths -------------------------------------------------------------
@@ -110,7 +123,8 @@ class SensorLake:
             if _pause_before_commit is not None:
                 _pause_before_commit()
             try:
-                atomic_overwrite(merged, path, expected_seq=seq)
+                atomic_overwrite(merged, path, expected_seq=seq,
+                                 keep_generations=self.retain_generations)
                 return
             except CommitConflict:
                 continue
@@ -192,24 +206,55 @@ class SensorLake:
 
     # -- read path -----------------------------------------------------------
 
-    def sensors(self) -> DataFrame:
-        data = resolve_table(self._sensors_path())
+    def sensors(self, at_seq: int | None = None) -> DataFrame:
+        """The dimension table — optionally TIME-TRAVELLED to commit
+        ``at_seq`` (see :meth:`history`; raises
+        :class:`VersionNotRetained` past the retention window)."""
+        if at_seq is not None:
+            data = resolve_at(self._sensors_path(), at_seq)
+        else:
+            data = resolve_table(self._sensors_path())
         if data is None:
             return self.spark.createDataFrame([], SENSOR_SCHEMA)
         # Explicit schema for the same reason as values(): no footer
         # inference, no race against a concurrent dimension rewrite.
         return self.spark.read.schema(SENSOR_SCHEMA).parquet(data)
 
+    def history(self, stype: SensorType | None = None) -> list[dict]:
+        """Retained commit history of the values table for ``stype`` (or
+        the sensors dimension when ``None``), oldest first — the
+        ``DESCRIBE HISTORY`` analogue. Each entry carries seq / version
+        dir / committed_at / on_disk / current; any ``on_disk`` seq is a
+        valid ``at_seq=`` for :meth:`sensors`/:meth:`values`."""
+        path = (
+            self._sensors_path()
+            if stype is None
+            else self._values_path(stype)
+        )
+        return table_history(path)
+
     def values(
         self,
         stype: SensorType,
         start: dt.datetime | None = None,
         end: dt.datetime | None = None,
+        at_seq: int | None = None,
     ) -> DataFrame:
         """Typed scan with month-partition pruning derived from the time
         range: the ``month`` predicate prunes directories at planning
-        time; the ``time`` predicate pushes into the row-group reader."""
-        data = resolve_table(self._values_path(stype))
+        time; the ``time`` predicate pushes into the row-group reader.
+
+        ``at_seq`` time-travels to an earlier committed version (within
+        ``retain_generations``). Snapshot scope: appends write part
+        files INTO the current version (file-grain atomicity), so a
+        snapshot isolates against REWRITES (dedupe/compaction) exactly
+        and against appends only from the next commit boundary — the
+        same contract as Hive-style dirs; Delta's per-append commits
+        are what sharpen it."""
+        if at_seq is not None:
+            data = resolve_at(self._values_path(stype), at_seq)
+        else:
+            data = resolve_table(self._values_path(stype))
         schema = value_schema(stype).add(MONTH_COL, "string")
         if data is None:
             return self.spark.createDataFrame([], schema)
@@ -335,6 +380,7 @@ class SensorLake:
                     atomic_overwrite(
                         transform(src), path,
                         partition_by=MONTH_COL, expected_seq=seq,
+                        keep_generations=self.retain_generations,
                     )
                 except CommitConflict:
                     continue
@@ -388,6 +434,7 @@ class SensorLake:
                     atomic_overwrite(
                         merged, path,
                         partition_by=MONTH_COL, expected_seq=cur_seq,
+                        keep_generations=self.retain_generations,
                     )
                     known |= set(late)
                     _write_manifest(data, known)
@@ -443,6 +490,7 @@ class SensorLake:
                     atomic_overwrite(
                         merged, path,
                         partition_by=MONTH_COL, expected_seq=cur_seq,
+                        keep_generations=self.retain_generations,
                     )
                 except CommitConflict:
                     continue
@@ -500,7 +548,10 @@ class SensorLake:
     def _atomic_overwrite(
         self, df: DataFrame, path: str, partition_by: str | None = None
     ) -> None:
-        atomic_overwrite(df, path, partition_by)
+        atomic_overwrite(
+            df, path, partition_by,
+            keep_generations=self.retain_generations,
+        )
 
 
 @contextlib.contextmanager
@@ -770,6 +821,59 @@ def read_committed(path: str) -> tuple[int, str | None]:
     return 0, None
 
 
+class VersionNotRetained(Exception):
+    """A time-travel read asked for a commit whose version directory
+    (or log entry) has been pruned by the retention policy — construct
+    the lake with a larger ``retain_generations`` to keep more history."""
+
+
+def resolve_at(path: str, seq: int) -> str:
+    """The data directory of commit ``seq`` — the time-travel resolver.
+    Raises :class:`VersionNotRetained` with the retained range when the
+    entry or its version dir has been pruned."""
+    entries = _log_entries(path)
+    if seq not in entries:
+        raise VersionNotRetained(
+            f"commit {seq} is not in {path}'s log "
+            f"(retained: {entries or 'none'}) — history this old was "
+            "pruned; construct SensorLake with a larger "
+            "retain_generations to keep it"
+        )
+    full = os.path.join(path, _entry_version(path, seq))
+    if not os.path.isdir(full):
+        raise VersionNotRetained(
+            f"commit {seq} of {path} is logged but its version dir was "
+            "pruned by retention — raise retain_generations"
+        )
+    return full
+
+
+def table_history(path: str) -> list[dict]:
+    """The table's retained commit history, oldest first: one dict per
+    log entry with ``seq``, ``version`` (dir name), ``committed_at``
+    (entry-file mtime, epoch seconds), ``on_disk`` (False once retention
+    pruned the data), and ``current``."""
+    entries = _log_entries(path)
+    out = []
+    for s in entries:
+        try:
+            version = _entry_version(path, s)
+        except OSError:
+            continue
+        entry_file = os.path.join(path, COMMITS_DIR, f"{s:08d}")
+        with contextlib.suppress(OSError):
+            out.append(
+                {
+                    "seq": s,
+                    "version": version,
+                    "committed_at": os.path.getmtime(entry_file),
+                    "on_disk": os.path.isdir(os.path.join(path, version)),
+                    "current": s == entries[-1],
+                }
+            )
+    return out
+
+
 def resolve_table(path: str) -> str | None:
     """The directory holding the table's LIVE data files (the read-only
     half of :func:`read_committed`): highest commit-log entry, else the
@@ -871,12 +975,14 @@ def _flip_current(path: str, version: str) -> None:
 _KEEP_LOG_ENTRIES = 8
 
 
-def _prune_versions(path: str, seq: int) -> None:
+def _prune_versions(path: str, seq: int, keep_generations: int = 2) -> None:
     """Prune after committing ``seq``, using ONLY the commit log as
-    evidence: delete version dirs referenced by entries ≤ ``seq − 2``
-    (the just-committed version and its committed predecessor stay —
-    one generation of reader grace), then drop log entries older than
-    the last ``_KEEP_LOG_ENTRIES``.
+    evidence: delete version dirs referenced by entries ≤
+    ``seq − keep_generations`` (the default 2 keeps the just-committed
+    version and its committed predecessor — one generation of reader
+    grace; a larger value is the TIME-TRAVEL retention knob), then drop
+    log entries older than the last
+    ``max(_KEEP_LOG_ENTRIES, keep_generations)``.
 
     A ``v_`` dir NOT referenced by any log entry is never touched here:
     under cross-host CAS it may be another writer's in-flight commit,
@@ -891,7 +997,8 @@ def _prune_versions(path: str, seq: int) -> None:
     entries are removed too; otherwise they would linger as a
     permanent stale copy of the table."""
     entries = _log_entries(path)
-    keep = {s for s in entries if s >= seq - 1}
+    keep = {s for s in entries if s >= seq - (keep_generations - 1)}
+    keep_entries = max(_KEEP_LOG_ENTRIES, keep_generations)
     for s in entries:
         if s in keep:
             continue
@@ -906,7 +1013,7 @@ def _prune_versions(path: str, seq: int) -> None:
             # commit path leaves it alone; vacuum_orphans reclaims it
             # age-gated once quiescent and fully folded.
             shutil.rmtree(vdir, ignore_errors=True)
-        if s < seq - (_KEEP_LOG_ENTRIES - 1):
+        if s < seq - (keep_entries - 1):
             with contextlib.suppress(OSError):
                 os.unlink(os.path.join(path, COMMITS_DIR, f"{s:08d}"))
     if len(entries) >= 2:
@@ -1024,6 +1131,7 @@ def atomic_overwrite(
     partition_by: str | None = None,
     extra_files: dict[str, bytes] | None = None,
     expected_seq: int | None = None,
+    keep_generations: int = 2,
 ) -> int:
     """CAS commit protocol: write a fresh IMMUTABLE version directory
     under the table path, then atomically claim the next commit-log
@@ -1109,5 +1217,5 @@ def atomic_overwrite(
             shutil.rmtree(os.path.join(path, version), ignore_errors=True)
         raise
     _flip_current(path, version)
-    _prune_versions(path, seq)
+    _prune_versions(path, seq, keep_generations)
     return seq

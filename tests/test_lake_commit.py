@@ -661,3 +661,70 @@ def test_late_append_survives_via_manifest_fold(spark, tmp_path):
     assert os.path.basename(superseded) in deleted.get(
         os.path.basename(path), []
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 8: time travel + retention (VERSION AS OF over the commit log).
+# ---------------------------------------------------------------------------
+
+
+def test_time_travel_reads_retained_versions(spark, tmp_path):
+    """With retain_generations=4, earlier dimension states stay readable
+    via at_seq; history() describes them; reads past the window raise
+    the didactic VersionNotRetained."""
+    from sensapp_spark.storage.lake import VersionNotRetained
+
+    lake = SensorLake(spark, str(tmp_path / "lake"), retain_generations=4)
+    _upsert(lake, spark, ["a"])           # seq 1
+    _upsert(lake, spark, ["b"])           # seq 2
+    _upsert(lake, spark, ["c"])           # seq 3
+    hist = lake.history()
+    assert [h["seq"] for h in hist] == [1, 2, 3]
+    assert [h["on_disk"] for h in hist] == [True, True, True]
+    assert [h["current"] for h in hist] == [False, False, True]
+
+    assert {r.sensor_id for r in lake.sensors(at_seq=1).collect()} == {"a"}
+    assert {r.sensor_id for r in lake.sensors(at_seq=2).collect()} == {
+        "a", "b",
+    }
+    assert {r.sensor_id for r in lake.sensors().collect()} == {
+        "a", "b", "c",
+    }
+    with pytest.raises(VersionNotRetained, match="not in"):
+        lake.sensors(at_seq=9)
+
+
+def test_default_retention_prunes_and_raises(spark, tmp_path):
+    """Default retain_generations=2: seq 1's data dir is pruned by the
+    third commit; at_seq=1 raises rather than reading a missing dir, and
+    history reports on_disk=False while the log entry survives."""
+    from sensapp_spark.storage.lake import VersionNotRetained
+
+    lake = SensorLake(spark, str(tmp_path / "lake"))
+    _upsert(lake, spark, ["a"])
+    _upsert(lake, spark, ["b"])
+    _upsert(lake, spark, ["c"])
+    hist = {h["seq"]: h for h in lake.history()}
+    assert not hist[1]["on_disk"]
+    assert hist[2]["on_disk"] and hist[3]["on_disk"]
+    with pytest.raises(VersionNotRetained, match="pruned"):
+        lake.sensors(at_seq=1)
+    # The grace generation is still time-travel readable.
+    assert {r.sensor_id for r in lake.sensors(at_seq=2).collect()} == {
+        "a", "b",
+    }
+
+
+def test_time_travel_values_across_rewrite(spark, tmp_path):
+    """A maintenance rewrite creates a new commit; at_seq reads the
+    pre-rewrite values (duplicates intact) while the live read sees the
+    deduped table."""
+    from sensapp_spark.datamodel.types import SensorType
+
+    lake, ftype, _t0 = _float_lake(
+        spark, tmp_path, [("s1", 1.0), ("s1", 1.0)]
+    )
+    [pre] = [h["seq"] for h in lake.history(ftype) if h["current"]]
+    lake.dedup_rewrite(ftype)
+    assert lake.values(ftype).count() == 1
+    assert lake.values(ftype, at_seq=pre).count() == 2
