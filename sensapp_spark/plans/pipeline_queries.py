@@ -970,15 +970,124 @@ def _ivf_oracle() -> str:
     """
 
 
-@register("ann_ivf_topk", _ivf_oracle())
+PQ_RERANK = 100
+
+
+def _pq_oracle_arm() -> str:
+    """Full SQL replay of the PQ two-stage search (pipeline/pq.py): per
+    subspace, the deterministic sub-codebook fit (init = first ksub
+    subvectors, one Lloyd update, L2 argmin with round-6 distances and
+    smallest-code ties), then ADC scoring from the codes alone, then
+    exact-cosine re-rank of the ADC top candidates."""
+    import math
+
+    from sensapp_spark.pipeline.pq import PQ_KSUB, PQ_M
+
+    dsub = 64 // PQ_M
+    q = [float(x) for x in QUERY_VEC]
+    normq = repr(math.sqrt(sum(x * x for x in q)))
+
+    ctes = []
+    for mi in range(PQ_M):
+        lo, hi = mi * dsub + 1, (mi + 1) * dsub
+        sub = f"embedding[{lo}:{hi}]::DOUBLE[]"
+        # Left-associated squared-diff sum — the identical IEEE order
+        # to the Spark fold (0.0 + t1 + t2 + …).
+        d = " + ".join(
+            f"(s.sv[{i}] - c.cvec[{i}]) * (s.sv[{i}] - c.cvec[{i}])"
+            for i in range(1, dsub + 1)
+        )
+        argmin = f"""
+        SELECT vec_id, cid AS code FROM (
+            SELECT s.vec_id, c.cid,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY s.vec_id
+                       ORDER BY ROUND({d}, 6) ASC, c.cid) AS rn
+            FROM sv{mi} s CROSS JOIN {{cents}} c)
+        WHERE rn = 1"""
+        mean_vec = "[" + ", ".join(
+            f"ROUND(avg(sv[{i}]), 6)" for i in range(1, dsub + 1)
+        ) + "]"
+        ctes.append(f"""sv{mi} AS (
+        SELECT vec_id, {sub} AS sv FROM embeddings),
+    p{mi}0 AS (
+        SELECT vec_id AS cid, {sub} AS cvec
+        FROM embeddings WHERE vec_id < {PQ_KSUB}),
+    a{mi}1 AS ({argmin.format(cents=f"p{mi}0")}),
+    p{mi}1 AS (
+        SELECT code AS cid, {mean_vec} AS cvec
+        FROM sv{mi} JOIN a{mi}1 USING (vec_id) GROUP BY code),
+    a{mi}2 AS ({argmin.format(cents=f"p{mi}1")})""")
+
+    qsubs = [
+        "[" + ", ".join(repr(x) for x in q[mi * dsub:(mi + 1) * dsub])
+        + "]::DOUBLE[]"
+        for mi in range(PQ_M)
+    ]
+    joins = " ".join(
+        f"JOIN a{mi}2 ON a0.vec_id = a{mi}2.vec_id "
+        f"JOIN p{mi}1 c{mi} ON a{mi}2.code = c{mi}.cid"
+        for mi in range(1, PQ_M)
+    )
+    dots = " + ".join(
+        f"list_dot_product({qsubs[mi]}, c{mi}.cvec)" for mi in range(PQ_M)
+    )
+    n2s = " + ".join(
+        f"list_dot_product(c{mi}.cvec, c{mi}.cvec)" for mi in range(PQ_M)
+    )
+    cos = (
+        "ROUND(list_dot_product(e.embedding::DOUBLE[], {q})"
+        " / (sqrt(list_dot_product(e.embedding::DOUBLE[],"
+        " e.embedding::DOUBLE[])) * sqrt(list_dot_product({q}, {q}))), 6)"
+    ).format(q=_Q_SQL)
+    return f"""
+    WITH {",".join(ctes)},
+    adc AS (
+        SELECT a0.vec_id,
+               ROUND(({dots}) / ({normq} * sqrt({n2s})), 6) AS score
+        FROM a02 a0 JOIN p01 c0 ON a0.code = c0.cid {joins}
+        ORDER BY score DESC, a0.vec_id LIMIT {PQ_RERANK})
+    SELECT 'pq' AS scope, e.vec_id, NULL::BIGINT AS centroid_id,
+           {cos} AS cosine
+    FROM embeddings e JOIN adc USING (vec_id)
+    ORDER BY cosine DESC, e.vec_id LIMIT {ANN_K}
+    """
+
+
+@register(
+    "ann_ivf_topk",
+    f"(SELECT 'ivf' AS scope, * FROM ({_ivf_oracle()}))"
+    f" UNION ALL ({_pq_oracle_arm()})",
+)
 def ann_ivf_topk(spark, sf_dir):
-    """IVF ANN: deterministic codebook (first nlist vectors), shuffle-free
-    nearest-centroid assignment, exact cosine over the nprobe probed
-    lists only. The oracle recomputes assignment with a windowed argmax —
-    same codebook, same rounding, same tie rule."""
+    """Quantized-ANN family, tagged union:
+
+    * ``ivf``: deterministic codebook (first nlist vectors),
+      shuffle-free nearest-centroid assignment, exact cosine over the
+      nprobe probed lists only. The oracle recomputes assignment with a
+      windowed argmax — same codebook, same rounding, same tie rule.
+    * ``pq``: product quantization (Jégou et al. 2011) two-stage
+      search — ADC top-{PQ_RERANK} from the 64×-compressed codes, exact
+      cosine re-rank to the top-k. The oracle replays the per-subspace
+      codebook fit, the ADC scoring, and the re-rank in full.
+    """
+    from sensapp_spark.pipeline.pq import pq_topk
     from sensapp_spark.pipeline.similarity import ivf_topk
 
-    return ivf_topk(_emb(spark, sf_dir), QUERY_VEC, ANN_K)
+    emb = _emb(spark, sf_dir)
+    ivf = ivf_topk(emb, QUERY_VEC, ANN_K).select(
+        F.lit("ivf").alias("scope"),
+        "vec_id",
+        F.col("centroid_id").cast("long").alias("centroid_id"),
+        "cosine",
+    )
+    pq = pq_topk(emb, QUERY_VEC, k=ANN_K, rerank=PQ_RERANK).select(
+        F.lit("pq").alias("scope"),
+        "vec_id",
+        F.lit(None).cast("long").alias("centroid_id"),
+        F.col("score").alias("cosine"),
+    )
+    return ivf.unionByName(pq)
 
 
 
@@ -1397,6 +1506,9 @@ BENCH_MEMBERS: dict[str, dict] = {
     },
     "dedup_embedding_pairs": {
         t: _scoped("dedup_embedding_pairs", t) for t in ("lsh", "semdedup")
+    },
+    "ann_ivf_topk": {
+        t: _scoped("ann_ivf_topk", t) for t in ("ivf", "pq")
     },
     "text_terms": {
         t: _scoped("text_terms", t)
