@@ -55,6 +55,7 @@ from sensapp_spark.pipeline.similarity import (
     hyperplanes,
     ivf_assign,
     ivf_centroids,
+    ivf_probes,
     ivf_topk,
     query_bucket,
 )
@@ -269,6 +270,168 @@ class AnnIndexStore:
                 "embeddings — probe centroids would be meaningless"
             )
         return ivf_topk(frame, query, k=k, nprobe=nprobe, codebook=cents)
+
+    # -- IVF + PQ (compressed codes, FAISS IVFADC shape) ---------------------
+
+    def write_ivfpq(
+        self,
+        embeddings: DataFrame,
+        name: str = "embeddings_ivfpq",
+        codebook: list[tuple[int, list[float]]] | None = None,
+        nlist: int = IVF_NLIST,
+        m: int | None = None,
+        ksub: int | None = None,
+        dim: int = 64,
+    ) -> None:
+        """The compression layout: coarse-quantize for partition pruning
+        AND product-quantize the vectors away. The stored table is
+        ``(vec_id, codes array<int>)`` partitioned by ``centroid_id`` —
+        per row, ``m`` small codes instead of ``dim`` floats (64× at
+        the defaults), so a probe scans a table 64× smaller than the
+        IVF-flat layout on top of touching only ~nprobe/nlist of its
+        files. Both codebooks persist in the atomic sidecar.
+
+        This is the FAISS ``IVFx,PQy`` shape with one documented
+        simplification: PQ codes are fit on the RAW vectors, not the
+        per-list residuals (IVFADC §V.B) — residual encoding buys
+        precision at the cost of coupling the two codebooks; the
+        two-stage re-rank (``ivfpq_topk(rerank=…)``) recovers exactness
+        wherever it matters here."""
+        from sensapp_spark.pipeline.pq import (
+            PQ_KSUB,
+            PQ_M,
+            pq_codebooks,
+            pq_encode,
+        )
+
+        m = PQ_M if m is None else m
+        ksub = PQ_KSUB if ksub is None else ksub
+        cents = (
+            codebook
+            if codebook is not None
+            else ivf_centroids(embeddings, nlist)
+        )
+        books = pq_codebooks(embeddings, m=m, ksub=ksub, dim=dim)
+        coded = pq_encode(embeddings, books, dim=dim).join(
+            ivf_assign(embeddings, cents).select("vec_id", "centroid_id"),
+            "vec_id",
+        )
+        stats = coded.agg(F.count("*").alias("n")).first()
+        path = self._path(name)
+        meta = {
+            "kind": "ivfpq",
+            "nlist": len(cents),
+            "dim": dim,
+            "m": m,
+            "ksub": ksub,
+            "codebook": [[cid, vec] for cid, vec in cents],
+            "pq_books": [
+                [[code, vec] for code, vec in book] for book in books
+            ],
+            "n_vectors": int(stats.n),
+            "appends": [],
+        }
+        with dir_lock(path):
+            atomic_overwrite(
+                coded,
+                path,
+                partition_by="centroid_id",
+                extra_files={META_FILE: json.dumps(meta).encode()},
+            )
+
+    def read_ivfpq(
+        self, name: str = "embeddings_ivfpq"
+    ) -> tuple[DataFrame, list, list]:
+        """(codes frame with its ``centroid_id`` partition column,
+        coarse codebook, per-subspace PQ books)."""
+        data, meta = self._resolve(name, "ivfpq")
+        cents = [
+            (int(c), [float(x) for x in v]) for c, v in meta["codebook"]
+        ]
+        books = [
+            [(int(j), [float(x) for x in v]) for j, v in book]
+            for book in meta["pq_books"]
+        ]
+        return self.spark.read.parquet(data), cents, books
+
+    def ivfpq_topk(
+        self,
+        query: list[float],
+        k: int = 10,
+        nprobe: int = IVF_NPROBE,
+        name: str = "embeddings_ivfpq",
+        rerank_against: DataFrame | None = None,
+        rerank: int | None = None,
+    ) -> DataFrame:
+        """ADC top-k against the stored codes: the probe filter prunes
+        centroid directories, the per-subspace lookup tables are baked
+        into one codegen projection over the ``codes`` column (dense
+        ksub-slot literal arrays — dropped codes keep a never-referenced
+        0.0 slot), and no raw vector is read at all. Returns
+        (vec_id, centroid_id, score≈cosine).
+
+        ``rerank_against`` + ``rerank=k'`` re-ranks the ADC top-k' with
+        exact cosine against the ORIGINAL vectors (the layout does not
+        store them — that is its point), via a broadcast join on
+        vec_id."""
+        from sensapp_spark.pipeline.pq import PQ_KSUB
+
+        frame, cents, books = self.read_ivfpq(name)
+        dim = len(cents[0][1]) if cents else 0
+        if len(query) != dim:
+            raise ValueError(
+                f"query vector has {len(query)} dimensions but layout "
+                f"{name!r} was written from {dim}-dim embeddings"
+            )
+        import math
+
+        q = [float(x) for x in query]
+        normq = math.sqrt(sum(x * x for x in q))
+        probes = ivf_probes(q, cents, nprobe)
+        dsub = dim // len(books)
+        num = None
+        n2 = None
+        for mi, book in enumerate(books):
+            qm = q[mi * dsub:(mi + 1) * dsub]
+            ks = max((code for code, _ in book), default=-1) + 1
+            ks = max(ks, PQ_KSUB)
+            dots = [0.0] * ks
+            norms = [0.0] * ks
+            for code, cv in book:
+                dots[code] = float(sum(a * b for a, b in zip(qm, cv)))
+                norms[code] = float(sum(x * x for x in cv))
+            c = F.element_at(F.col("codes"), mi + 1)
+            dq = F.element_at(F.lit(dots), c + 1)
+            nn = F.element_at(F.lit(norms), c + 1)
+            num = dq if num is None else num + dq
+            n2 = nn if n2 is None else n2 + nn
+        score = F.round(num / (F.lit(normq) * F.sqrt(n2)), 6)
+        adc = (
+            frame.filter(F.col("centroid_id").isin(probes))
+            .select("vec_id", "centroid_id", score.alias("score"))
+            .orderBy(F.col("score").desc(), "vec_id")
+            .limit(rerank if rerank is not None else k)
+        )
+        if rerank is None or rerank_against is None:
+            return adc
+        qlit = F.array(*[F.lit(x) for x in q])
+        return (
+            rerank_against.join(
+                F.broadcast(adc.select("vec_id", "centroid_id")), "vec_id"
+            )
+            .select(
+                "vec_id",
+                "centroid_id",
+                F.round(
+                    cosine_similarity(
+                        F.col("embedding").cast("array<double>"), qlit
+                    ),
+                    6,
+                ).alias("score"),
+            )
+            .orderBy(F.col("score").desc(), "vec_id")
+            .limit(k)
+        )
 
     # -- hyperplane LSH ------------------------------------------------------
 

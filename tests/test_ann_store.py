@@ -405,3 +405,95 @@ def test_write_ivf_rejects_empty_corpus(spark, tmp_path, embeddings):
     s = AnnIndexStore(spark, str(tmp_path / "ann_empty"))
     with pytest.raises(ValueError, match="empty"):
         s.write_ivf(embeddings.limit(0))
+
+
+# -- IVF + PQ compressed layout (round 8) ------------------------------------
+
+
+@pytest.fixture(scope="module")
+def pq_store(spark, tmp_path_factory, embeddings):
+    s = AnnIndexStore(spark, str(tmp_path_factory.mktemp("ann_pq")))
+    s.write_ivfpq(embeddings)
+    return s
+
+
+def test_ivfpq_stores_codes_not_vectors(pq_store):
+    frame, cents, books = pq_store.read_ivfpq()
+    assert "embedding" not in frame.columns
+    assert set(frame.columns) == {"vec_id", "codes", "centroid_id"}
+    assert len(books) == 8 and all(1 <= len(b) <= 16 for b in books)
+
+
+def test_ivfpq_full_probe_matches_flat_adc(pq_store, embeddings, query_vec):
+    """Probing every list must reproduce the flat-frame two-stage PQ
+    search bit-for-bit: same deterministic codebooks, same ADC scores,
+    same re-ranked exact cosines."""
+    from sensapp_spark.pipeline.pq import pq_topk
+    from sensapp_spark.pipeline.similarity import IVF_NLIST
+
+    flat = [
+        (r.vec_id, r.score)
+        for r in pq_topk(embeddings, query_vec, k=10, rerank=50).collect()
+    ]
+    stored = [
+        (r.vec_id, r.score)
+        for r in pq_store.ivfpq_topk(
+            query_vec, k=10, nprobe=IVF_NLIST,
+            rerank_against=embeddings, rerank=50,
+        ).collect()
+    ]
+    assert stored == flat and len(stored) == 10
+
+
+def test_ivfpq_plan_prunes_partitions_and_stays_jvm(pq_store, query_vec):
+    df = pq_store.ivfpq_topk(query_vec, k=10)
+    plan = _plan(df)
+    assert "PartitionFilters" in plan
+    assert "centroid_id" in plan.split("PartitionFilters")[1][:200]
+    assert "BatchEvalPython" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_ivfpq_adc_scores_match_flat_restricted(
+    pq_store, embeddings, query_vec
+):
+    """ADC-only probe over nprobe lists == the flat ADC ranking
+    restricted to vectors whose coarse assignment is probed."""
+    from pyspark.sql import functions as F
+
+    from sensapp_spark.pipeline.pq import pq_topk
+    from sensapp_spark.pipeline.similarity import (
+        IVF_NPROBE,
+        ivf_assign,
+        ivf_centroids,
+        ivf_probes,
+    )
+
+    cents = ivf_centroids(embeddings)
+    probes = set(ivf_probes(query_vec, cents, IVF_NPROBE))
+    member = {
+        r.vec_id
+        for r in ivf_assign(embeddings, cents)
+        .filter(F.col("centroid_id").isin(list(probes)))
+        .select("vec_id")
+        .collect()
+    }
+    n = len(member)
+    flat = [
+        (r.vec_id, r.score)
+        for r in pq_topk(embeddings, query_vec, k=n).collect()
+        if r.vec_id in member
+    ][:10]
+    stored = [
+        (r.vec_id, r.score)
+        for r in pq_store.ivfpq_topk(query_vec, k=10).collect()
+    ]
+    assert stored == flat
+
+
+def test_ivfpq_wrong_dim_and_missing_layout(pq_store, spark, tmp_path):
+    with pytest.raises(ValueError, match="dimensions"):
+        pq_store.ivfpq_topk([0.1, 0.2], k=5)
+    fresh = AnnIndexStore(spark, str(tmp_path / "none"))
+    with pytest.raises(FileNotFoundError, match="ivfpq"):
+        fresh.ivfpq_topk([0.0] * 64, k=5)
