@@ -182,15 +182,38 @@ def query_all_types(
     sensors use — unmatched type tables are never scanned.
     """
     from sensapp_spark.datamodel.types import SensorType
+    from sensapp_spark.storage.lake import ZONEMAP_PROBE_MAX
 
     selected = select_sensors(lake.sensors(), matchers, numeric_only)
-    types_present = [
-        SensorType.from_label(r.type)
-        for r in selected.select("type").distinct().collect()
-    ]
+    # Matcher queries typically select a handful of series out of the
+    # whole dimension — probe for that case (bounded collect: at most
+    # PROBE_MAX+1 dimension rows) and, when it holds, hand the ids to
+    # the scan so the zone map FILE-SKIPS the fact table before any IO.
+    # Over the cap, the broadcast semi-join below is the right plan and
+    # the type set comes from the (cheaper) distinct collect instead.
+    probe = (
+        selected.select("sensor_id", "type")
+        .limit(ZONEMAP_PROBE_MAX + 1)
+        .collect()
+    )
+    ids_by_type: dict[str, list[str]] | None
+    if len(probe) <= ZONEMAP_PROBE_MAX:
+        ids_by_type = {}
+        for r in probe:
+            ids_by_type.setdefault(r.type, []).append(r.sensor_id)
+        type_labels = list(ids_by_type)
+    else:
+        ids_by_type = None
+        type_labels = [
+            r.type for r in selected.select("type").distinct().collect()
+        ]
     out = {}
-    for stype in types_present:
-        values = lake.values(stype, start, end)
+    for label in type_labels:
+        stype = SensorType.from_label(label)
+        values = lake.values(
+            stype, start, end,
+            sensor_ids=None if ids_by_type is None else ids_by_type[label],
+        )
         out[stype] = query_samples(
             selected, values, matchers, start=start, end=end,
             limit=limit, numeric_only=numeric_only,

@@ -553,17 +553,28 @@ def create_app(
         except ValueError as e:
             return jsonify({"error": f"bad datetime: {e}"}), 400
         limit = request.args.get("limit", type=int)
-        meta = lake.sensors().filter(f"sensor_id = '{sensor_id}'").collect()
+        from pyspark.sql import functions as F
+
+        # Column equality, not f-string SQL: the id comes from the URL
+        # path and must never be interpolated into an expression.
+        meta = (
+            lake.sensors()
+            .filter(F.col("sensor_id") == sensor_id)
+            .collect()
+        )
         if not meta:
             return jsonify({"error": "sensor not found"}), 404
         stype = SensorType.from_label(meta[0].type)
-        vals = time_range(lake.values(stype), start, end).filter(
-            f"sensor_id = '{sensor_id}'"
+        # sensor_ids both filters and FILE-SKIPS via the zone map — on
+        # a clustered table this reads ~1 file per month instead of
+        # every part file (storage/zonemap.py).
+        vals = time_range(
+            lake.values(stype, start, end, sensor_ids=[sensor_id]),
+            start,
+            end,
         )
         if limit:
             vals = vals.orderBy("time").limit(limit)
-        from pyspark.sql import functions as F
-
         df = vals.join(F.broadcast(lake.sensors()), "sensor_id", "left")
         return _export(df, fmt, stype)
 

@@ -49,6 +49,13 @@ def get_spark(
         # docs/DATAMODEL.md:184-186); keep Spark session timezone UTC so
         # timestamp arithmetic and formatting are deterministic everywhere.
         .config("spark.sql.session.timeZone", "UTC")
+        # TIMESTAMP_MICROS, not the legacy INT96 default: it IS the
+        # data model's physical unit, every modern reader handles it,
+        # and — load-bearing for file skipping — the parquet writer
+        # records min/max statistics for it, which INT96 never gets.
+        # The lake's zone maps (storage/zonemap.py) read those footer
+        # stats; INT96-era files simply stay unknown on the time axis.
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         .config("spark.driver.memory", os.environ.get("SENSAPP_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
     )

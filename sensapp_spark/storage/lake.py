@@ -41,8 +41,14 @@ from sensapp_spark.datamodel.types import (
     value_table_name,
 )
 from sensapp_spark.ingest.csv_importer import IngestBatch
+from sensapp_spark.storage import zonemap as zm
 
 MONTH_COL = "month"
+
+# Pass at most this many sensor ids down to the file-skipping layer as
+# a zone-map probe: beyond it the isin literal stops paying for itself
+# and the broadcast semi-join alone is the right plan.
+ZONEMAP_PROBE_MAX = 64
 
 
 class SensorLake:
@@ -174,6 +180,11 @@ class SensorLake:
                 .mode("append")
                 .parquet(dest)
             )
+        # Fold the just-landed files' footer stats into the version's
+        # zone map (incremental: only unmapped files are opened). Best
+        # effort under a short flock — a skipped or lost refresh leaves
+        # the new files UNKNOWN, i.e. read unpruned, never mispruned.
+        self._refresh_zonemap_dir(dest)
 
     def _append_dir(self, path: str) -> str:
         """The directory appends land in: the table's current committed
@@ -239,18 +250,31 @@ class SensorLake:
         start: dt.datetime | None = None,
         end: dt.datetime | None = None,
         at_seq: int | None = None,
+        sensor_ids: list[str] | None = None,
     ) -> DataFrame:
-        """Typed scan with month-partition pruning derived from the time
-        range: the ``month`` predicate prunes directories at planning
-        time; the ``time`` predicate pushes into the row-group reader.
+        """Typed scan with three pruning grains: month directories
+        (derived from the time range, pruned at planning time), FILES
+        (the version's zone-map sidecar proves a part file cannot hold
+        the window or any probed sensor — see ``storage/zonemap.py``;
+        unknown files always read), and row groups (the ``time``
+        predicate pushes into the parquet reader).
+
+        ``sensor_ids`` both filters the rows AND probes the zone map:
+        after a clustering :meth:`optimize` the per-file sensor ranges
+        are disjoint, so a single-series fetch plans over ~1 file per
+        month instead of every file in the month. Callers with a
+        LARGE selected set should keep their broadcast semi-join and
+        pass nothing (the isin literal stops paying for itself past
+        :data:`ZONEMAP_PROBE_MAX`).
 
         ``at_seq`` time-travels to an earlier committed version (within
-        ``retain_generations``). Snapshot scope: appends write part
-        files INTO the current version (file-grain atomicity), so a
-        snapshot isolates against REWRITES (dedupe/compaction) exactly
-        and against appends only from the next commit boundary — the
-        same contract as Hive-style dirs; Delta's per-append commits
-        are what sharpen it."""
+        ``retain_generations``) — its zone map rides in the same
+        version dir, so skipping works on snapshots too. Snapshot
+        scope: appends write part files INTO the current version
+        (file-grain atomicity), so a snapshot isolates against REWRITES
+        (dedupe/compaction) exactly and against appends only from the
+        next commit boundary — the same contract as Hive-style dirs;
+        Delta's per-append commits are what sharpen it."""
         if at_seq is not None:
             data = resolve_at(self._values_path(stype), at_seq)
         else:
@@ -264,14 +288,55 @@ class SensorLake:
         # do this) sees an empty-but-valid frame instead of an
         # UNABLE_TO_INFER_SCHEMA race, and the driver skips the footer
         # sampling entirely (one less metadata pass on wide tables).
-        df = self.spark.read.schema(schema).parquet(data)
+        df = self._pruned_scan(data, schema, start, end, sensor_ids)
         if start is not None:
             df = df.filter(F.col(MONTH_COL) >= start.strftime("%Y-%m"))
             df = df.filter(F.col("time") >= F.lit(start))
         if end is not None:
             df = df.filter(F.col(MONTH_COL) <= end.strftime("%Y-%m"))
             df = df.filter(F.col("time") <= F.lit(end))
+        if sensor_ids is not None:
+            df = df.filter(F.col("sensor_id").isin(list(sensor_ids)))
         return df
+
+    def _pruned_scan(
+        self,
+        data: str,
+        schema,
+        start: dt.datetime | None,
+        end: dt.datetime | None,
+        sensor_ids: list[str] | None,
+    ) -> DataFrame:
+        """The scan under :meth:`values`: a whole-directory read unless
+        a zone map exists AND a predicate can use it, in which case the
+        plan is built over the pruned explicit file list (with
+        ``basePath`` so the hive ``month=`` column survives). The
+        driver-side walk REPLACES Spark's own file-index listing of the
+        same directory, it does not add a pass; files the walk sees
+        that the map does not are read unpruned (fresh appends)."""
+        want_prune = (
+            start is not None or end is not None or sensor_ids
+        )
+        zmap = zm.read_zonemap(data) if want_prune else None
+        if not zmap:
+            return self.spark.read.schema(schema).parquet(data)
+        files = zm.prune_files(
+            data,
+            _list_data_files(data),
+            zmap,
+            t_lo_us=_epoch_us(start),
+            t_hi_us=_epoch_us(end),
+            month_lo=start.strftime("%Y-%m") if start else None,
+            month_hi=end.strftime("%Y-%m") if end else None,
+            sensor_ids=list(sensor_ids) if sensor_ids else None,
+        )
+        if not files:
+            return self.spark.createDataFrame([], schema)
+        return (
+            self.spark.read.schema(schema)
+            .option("basePath", data)
+            .parquet(*files)
+        )
 
     # -- admin ops (X-dedup, X-vac) ------------------------------------------
 
@@ -309,14 +374,38 @@ class SensorLake:
     def optimize(
         self, stype: SensorType, files_per_month: int = 1, **kw
     ) -> None:
-        """Compaction: rewrite each month partition into ``files_per_month``
-        files sorted by (sensor_id, time) — the analogue of ClickHouse
-        OPTIMIZE / Delta ZORDER clustering (clickhouse init.sql:40).
+        """Compaction + CLUSTERING: rewrite the table range-partitioned
+        by ``(month, sensor_id, time)`` into ~``files_per_month`` files
+        per month, each a sorted run — the analogue of ClickHouse
+        OPTIMIZE / Delta ``OPTIMIZE ZORDER BY (sensor_id, time)``
+        (clickhouse init.sql:40 expresses the same layout as the
+        table's primary key). Range partitioning (not hash) is what
+        makes the rewrite's zone map SELECTIVE: consecutive files carry
+        disjoint sensor ranges, so a point probe keeps ~1 file per
+        month. For the lake's 1-D-plus-time access pattern a range
+        cluster dominates an actual Z-order curve (Z-ordering only wins
+        when queries probe either of two independent axes).
+        ``files_per_month`` is a target — range boundaries come from
+        sampling, so a skewed month may get more files.
         Append-safe since round 7 — see :meth:`_rewrite_table`."""
+        path = self._values_path(stype)
+        data = resolve_table(path)
+        n_months = 1
+        if data is not None:
+            n_months = max(
+                1,
+                sum(
+                    1
+                    for d in os.listdir(data)
+                    if d.startswith(f"{MONTH_COL}=")
+                ),
+            )
         self._rewrite_table(
-            self._values_path(stype),
-            lambda df: df.repartition(files_per_month, F.col(MONTH_COL))
-            .sortWithinPartitions("sensor_id", "time"),
+            path,
+            lambda df: df.repartitionByRange(
+                files_per_month * n_months,
+                F.col(MONTH_COL), F.col("sensor_id"), F.col("time"),
+            ).sortWithinPartitions(MONTH_COL, "sensor_id", "time"),
             **kw,
         )
 
@@ -381,6 +470,7 @@ class SensorLake:
                         transform(src), path,
                         partition_by=MONTH_COL, expected_seq=seq,
                         keep_generations=self.retain_generations,
+                        collect_stats=True,
                     )
                 except CommitConflict:
                     continue
@@ -435,6 +525,7 @@ class SensorLake:
                         merged, path,
                         partition_by=MONTH_COL, expected_seq=cur_seq,
                         keep_generations=self.retain_generations,
+                        collect_stats=True,
                     )
                     known |= set(late)
                     _write_manifest(data, known)
@@ -491,6 +582,7 @@ class SensorLake:
                         merged, path,
                         partition_by=MONTH_COL, expected_seq=cur_seq,
                         keep_generations=self.retain_generations,
+                        collect_stats=True,
                     )
                 except CommitConflict:
                     continue
@@ -500,6 +592,36 @@ class SensorLake:
                     raise
                 _write_manifest(full, known | set(extras))
                 break
+
+    # -- zone-map maintenance --------------------------------------------
+
+    def refresh_zonemap(self, stype: SensorType | None = None) -> None:
+        """Backfill/refresh the current version's zone-map sidecar for
+        one value table (or all of them when ``None``) — the migration
+        entry point for tables written before file skipping existed
+        (their INT96-era files contribute sensor bounds only; files
+        re-written by :meth:`optimize` under the µs timestamp type gain
+        time bounds too). Appends and rewrites refresh automatically;
+        this is for adopting an existing lake."""
+        types = [stype] if stype is not None else list(SensorType)
+        for st in types:
+            data = resolve_table(self._values_path(st))
+            if data is not None:
+                self._refresh_zonemap_dir(data)
+
+    def _refresh_zonemap_dir(self, data: str) -> None:
+        """Incremental sidecar refresh under a short best-effort flock
+        (same-host writers serialize; cross-host losers degrade to
+        unknown-files-read-unpruned, never to a wrong prune)."""
+        try:
+            with self._dir_lock(
+                os.path.join(data, ".zonemap"), timeout=5.0
+            ):
+                zm.refresh_zonemap(data, _list_data_files(data))
+        except TimeoutError:
+            return  # another writer is refreshing — its pass folds us in
+        except OSError:
+            return  # read-only or vanished dir: skipping stays off
 
     # -- materialized catalog (C1/C2 snapshot) -------------------------------
 
@@ -634,6 +756,18 @@ def _is_stale_scan_error(exc: Exception) -> bool:
             "FILE_NOT_EXIST",
         )
     )
+
+
+def _epoch_us(t: dt.datetime | None) -> int | None:
+    """Naive datetimes carry the data model's UTC semantics (session
+    timezone is pinned to UTC) — anchor them explicitly before
+    converting to epoch microseconds for zone-map bounds."""
+    if t is None:
+        return None
+    if t.tzinfo is None:
+        t = t.replace(tzinfo=dt.timezone.utc)
+    delta = t - dt.datetime(1970, 1, 1, tzinfo=dt.timezone.utc)
+    return (delta.days * 86400 + delta.seconds) * 1_000_000 + delta.microseconds
 
 
 def _list_data_files(d: str) -> list[str]:
@@ -1132,6 +1266,7 @@ def atomic_overwrite(
     extra_files: dict[str, bytes] | None = None,
     expected_seq: int | None = None,
     keep_generations: int = 2,
+    collect_stats: bool = False,
 ) -> int:
     """CAS commit protocol: write a fresh IMMUTABLE version directory
     under the table path, then atomically claim the next commit-log
@@ -1190,6 +1325,14 @@ def atomic_overwrite(
                 f.write(blob)
                 f.flush()
                 os.fsync(f.fileno())
+        if collect_stats:
+            # Zone-map sidecar for file skipping (storage/zonemap.py),
+            # built BEFORE the claim so it commits atomically with the
+            # version it describes — the same contract as extra_files.
+            vdir = os.path.join(path, version)
+            from sensapp_spark.storage import zonemap as _zm
+
+            _zm.refresh_zonemap(vdir, _list_data_files(vdir))
         if expected_seq is not None:
             _claim_commit(path, expected_seq + 1, version)
             claimed = True

@@ -1,0 +1,239 @@
+"""File-level zone maps: per-parquet-file (time, sensor_id) min/max
+statistics for data skipping BELOW the month-directory grain.
+
+Why this exists (the 100 TB story): month partitioning prunes whole
+directories, but inside a hot month a 100 TB lake still holds thousands
+of part files, and a matcher query that selects 3 series out of 50k —
+or a single-series fetch — pays a footer open (and often a row-group
+read) on every one of them. Delta/Iceberg solve this with per-file
+column statistics in the table log; this module is that data-skipping
+layer for the lake's plain-parquet versioned layout. After a clustering
+``optimize()`` (range-partitioned by ``(month, sensor_id, time)``), the
+per-file sensor ranges are disjoint, so a point lookup plans over ~1
+file per month instead of all of them.
+
+Design rules (all load-bearing for correctness):
+
+* The map is a HINT, never an authority. A file missing from the map —
+  a fresh append whose refresh hasn't run, a lost sidecar update, a
+  legacy INT96 file with no timestamp statistics — is always kept in
+  the read set. Pruning only ever drops a file whose recorded stats
+  PROVE it cannot match.
+* Per-axis independence: each entry's fields are optional. An
+  INT96-era file contributes sensor bounds but no time bounds; it is
+  then prunable on the sensor axis only.
+* The sidecar commits atomically. Rewrites build the map into the new
+  version dir BEFORE the commit-log claim (same contract as the ANN
+  codebook: a reader can never pair one version's data with another's
+  map). Append refreshes replace the JSON via temp + ``os.replace``
+  under a best-effort flock; a lost cross-host update degrades to
+  "files unknown", never to a wrong prune.
+* String statistics are used only when both bounds are short
+  (< :data:`MAX_STAT_LEN`): the parquet writer may truncate long
+  min/max to a prefix, and a truncated upper bound would make
+  ``probe > smax`` an UNSOUND prune. Sensor ids are 36-char UUIDs, so
+  in practice the bounds are always exact.
+
+At real cluster scale the footer-stat collection distributes trivially
+(a ``mapInPandas`` over file names, executors read footers); here it is
+a driver-side incremental pass bounded to files not yet in the map —
+the same place Delta pays its commit-time stats collection.
+
+Reference anchor: the reference has no file-skipping layer at all — its
+backends delegate to database indexes (src/storage/clickhouse/
+migrations/20240223133248_init.sql ORDER BY (sensor_id, timestamp_us)
+is the same clustering idea expressed as a ClickHouse primary key).
+"""
+
+from __future__ import annotations
+
+import contextlib
+import json
+import os
+
+ZONEMAP_NAME = "_zonemap.json"
+ZONEMAP_VERSION = 1
+# String min/max longer than this may be writer-truncated prefixes —
+# unsound as exact bounds, so such entries are not recorded.
+MAX_STAT_LEN = 128
+
+_TIME_UNIT_US = {"ms": 1000, "us": 1, "ns": None}  # ns: integer-divide
+
+
+def file_stats(path: str) -> dict:
+    """Footer statistics for one parquet data file: row count plus
+    min/max of ``time`` (epoch microseconds) and ``sensor_id`` when the
+    writer recorded them. Every field except ``rows`` is optional —
+    absent means "unknown on that axis" and the file is never pruned on
+    it (INT96 timestamps, stats disabled, truncated strings)."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(path).metadata
+    out: dict = {"rows": md.num_rows}
+    tmin = tmax = None
+    smin = smax = None
+    complete_t = complete_s = True
+    for rg in range(md.num_row_groups):
+        g = md.row_group(rg)
+        for c in range(g.num_columns):
+            col = g.column(c)
+            name = col.path_in_schema
+            if name not in ("time", "sensor_id"):
+                continue
+            st = col.statistics
+            if st is None or not st.has_min_max:
+                if name == "time":
+                    complete_t = False
+                else:
+                    complete_s = False
+                continue
+            if name == "time":
+                lo, hi = _to_micros(st.min), _to_micros(st.max)
+                if lo is None or hi is None:
+                    complete_t = False
+                    continue
+                tmin = lo if tmin is None else min(tmin, lo)
+                tmax = hi if tmax is None else max(tmax, hi)
+            else:
+                lo, hi = st.min, st.max
+                if (
+                    not isinstance(lo, str)
+                    or not isinstance(hi, str)
+                    or len(lo) >= MAX_STAT_LEN
+                    or len(hi) >= MAX_STAT_LEN
+                ):
+                    complete_s = False
+                    continue
+                smin = lo if smin is None else min(smin, lo)
+                smax = hi if smax is None else max(smax, hi)
+    # Bounds are sound only if EVERY row group contributed: one
+    # stats-less group could hold rows outside the partial bounds.
+    if complete_t and tmin is not None:
+        out["tmin"], out["tmax"] = tmin, tmax
+    if complete_s and smin is not None:
+        out["smin"], out["smax"] = smin, smax
+    return out
+
+
+def _to_micros(v) -> int | None:
+    """Parquet timestamp stat → epoch microseconds. pyarrow surfaces
+    TIMESTAMP(MICROS/MILLIS/NANOS) stats as datetimes (tz-aware when
+    adjusted-to-UTC); INT96 carries no stats and never reaches here."""
+    import datetime as dt
+
+    if isinstance(v, dt.datetime):
+        if v.tzinfo is None:
+            v = v.replace(tzinfo=dt.timezone.utc)
+        delta = v - dt.datetime(1970, 1, 1, tzinfo=dt.timezone.utc)
+        return (
+            (delta.days * 86400 + delta.seconds) * 1_000_000
+            + delta.microseconds
+        )
+    if isinstance(v, int):
+        return v
+    return None
+
+
+def read_zonemap(data_dir: str) -> dict[str, dict] | None:
+    """The version dir's sidecar as {relative file path: stats}, or
+    ``None`` if absent/unreadable/wrong-version (all of which mean
+    "no pruning", never an error)."""
+    p = os.path.join(data_dir, ZONEMAP_NAME)
+    try:
+        with open(p) as f:
+            doc = json.load(f)
+    except (OSError, ValueError):
+        return None
+    if not isinstance(doc, dict) or doc.get("version") != ZONEMAP_VERSION:
+        return None
+    files = doc.get("files")
+    return files if isinstance(files, dict) else None
+
+
+def write_zonemap(data_dir: str, files: dict[str, dict]) -> None:
+    """Atomically replace the sidecar (temp + ``os.replace`` + dir
+    fsync): a concurrent reader sees the old complete map or the new
+    one, never torn JSON."""
+    doc = {"version": ZONEMAP_VERSION, "files": files}
+    tmp = os.path.join(data_dir, f".{ZONEMAP_NAME}.tmp.{os.getpid()}")
+    with open(tmp, "w") as f:
+        json.dump(doc, f, separators=(",", ":"))
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, os.path.join(data_dir, ZONEMAP_NAME))
+    with contextlib.suppress(OSError):
+        fd = os.open(data_dir, os.O_RDONLY)
+        try:
+            os.fsync(fd)
+        finally:
+            os.close(fd)
+
+
+def refresh_zonemap(data_dir: str, data_files: list[str]) -> dict[str, dict]:
+    """Incrementally fold new files' stats into the sidecar: stat only
+    files not already mapped (bounding each refresh to the batch that
+    just landed), drop entries whose file vanished, atomically replace.
+    Concurrent refreshes race read-modify-write benignly: the loser's
+    entries fall out of the map and those files read unpruned until the
+    next refresh re-folds them. Returns the new map."""
+    existing = read_zonemap(data_dir) or {}
+    rels = {os.path.relpath(f, data_dir): f for f in data_files}
+    merged = {r: existing[r] for r in rels if r in existing}
+    for rel, full in rels.items():
+        if rel in merged:
+            continue
+        try:
+            merged[rel] = file_stats(full)
+        except Exception:  # noqa: BLE001 — a torn/foreign file stays unknown
+            continue
+    write_zonemap(data_dir, merged)
+    return merged
+
+
+def _month_of(rel: str) -> str | None:
+    for seg in rel.split(os.sep):
+        if seg.startswith("month="):
+            return seg[len("month="):]
+    return None
+
+
+def prune_files(
+    data_dir: str,
+    data_files: list[str],
+    zonemap: dict[str, dict] | None,
+    t_lo_us: int | None = None,
+    t_hi_us: int | None = None,
+    month_lo: str | None = None,
+    month_hi: str | None = None,
+    sensor_ids: list[str] | None = None,
+) -> list[str]:
+    """The read set for a predicated scan: every data file EXCEPT those
+    whose recorded stats (or hive ``month=`` path segment) prove they
+    cannot match. Unknown files — absent from the map, or missing the
+    relevant axis — always survive. The bounds are inclusive on both
+    ends, mirroring the lake's inclusive time-range contract."""
+    probe = sorted(sensor_ids) if sensor_ids else None
+    kept = []
+    for full in data_files:
+        rel = os.path.relpath(full, data_dir)
+        m = _month_of(rel)
+        if m is not None:
+            if month_lo is not None and m < month_lo:
+                continue
+            if month_hi is not None and m > month_hi:
+                continue
+        st = (zonemap or {}).get(rel)
+        if st:
+            tmin, tmax = st.get("tmin"), st.get("tmax")
+            if tmin is not None:
+                if t_hi_us is not None and tmin > t_hi_us:
+                    continue
+                if t_lo_us is not None and tmax < t_lo_us:
+                    continue
+            smin, smax = st.get("smin"), st.get("smax")
+            if probe is not None and smin is not None and not any(
+                smin <= s <= smax for s in probe
+            ):
+                continue
+        kept.append(full)
+    return kept

@@ -1,0 +1,239 @@
+"""File-level zone maps (storage/zonemap.py): data skipping below the
+month grain, and the safety rules that make a stale/missing/partial map
+a performance event, never a correctness one.
+
+The reference has no file-skipping layer (its backends delegate to DB
+indexes — clickhouse init.sql ORDER BY (sensor_id, timestamp_us)); this
+is the Delta/Iceberg-style stats layer for the lake's plain-parquet
+versioned layout, so everything here is pinned by behavior, not by a
+reference oracle."""
+
+import datetime as dt
+import glob
+import json
+import os
+
+import pytest
+
+from sensapp_spark.datamodel.types import SensorType
+from sensapp_spark.storage import zonemap as zm
+from sensapp_spark.storage.lake import SensorLake, resolve_table
+
+
+def _mk_lake(spark, tmp_path, months=(1, 2, 3), sensors=8, samples=5):
+    lake = SensorLake(spark, str(tmp_path / "lake"))
+    rows = [
+        (f"sensor-{s:04d}", dt.datetime(2024, m, 3 + i, 10), float(i))
+        for m in months
+        for s in range(sensors)
+        for i in range(samples)
+    ]
+    df = spark.createDataFrame(
+        rows, "sensor_id string, time timestamp, value double"
+    )
+    lake.append_values(SensorType.FLOAT, df)
+    return lake, len(rows)
+
+
+def _data_dir(lake):
+    return resolve_table(os.path.join(lake.root, "float_values"))
+
+
+def test_append_writes_sidecar_with_both_axes(spark, tmp_path):
+    lake, _ = _mk_lake(spark, tmp_path)
+    doc = json.load(open(os.path.join(_data_dir(lake), zm.ZONEMAP_NAME)))
+    assert doc["version"] == zm.ZONEMAP_VERSION
+    assert doc["files"]
+    for st in doc["files"].values():
+        # TIMESTAMP_MICROS stats + short UUID-ish strings: every axis
+        # present on freshly-written files.
+        assert {"rows", "tmin", "tmax", "smin", "smax"} <= set(st)
+        assert st["tmin"] <= st["tmax"]
+        assert st["smin"] <= st["smax"]
+
+
+def test_clustered_optimize_prunes_point_lookup_to_one_file_per_month(
+    spark, tmp_path
+):
+    lake, total = _mk_lake(spark, tmp_path, sensors=40, samples=10)
+    lake.optimize(SensorType.FLOAT, files_per_month=4)
+    data = _data_dir(lake)
+    all_files = glob.glob(data + "/month=*/*.parquet")
+    assert len(all_files) >= 9  # ~4 per month across 3 months
+
+    d = lake.values(SensorType.FLOAT, sensor_ids=["sensor-0007"])
+    assert d.count() == 30  # 10 samples x 3 months
+    # Range clustering makes per-file sensor ranges disjoint: the probe
+    # plans over ~1 file per month, not all of them.
+    assert len(d.inputFiles()) <= 3
+
+    # Time + sensor combined: a single file survives.
+    d2 = lake.values(
+        SensorType.FLOAT,
+        start=dt.datetime(2024, 2, 1),
+        end=dt.datetime(2024, 2, 28),
+        sensor_ids=["sensor-0039"],
+    )
+    assert d2.count() == 10
+    assert len(d2.inputFiles()) == 1
+
+
+def test_results_identical_with_and_without_pruning(spark, tmp_path):
+    lake, _ = _mk_lake(spark, tmp_path, sensors=12)
+    lake.optimize(SensorType.FLOAT, files_per_month=3)
+    lo, hi = dt.datetime(2024, 1, 4), dt.datetime(2024, 2, 5)
+    pruned = lake.values(
+        SensorType.FLOAT, lo, hi, sensor_ids=["sensor-0003"]
+    )
+    full = (
+        lake.values(SensorType.FLOAT, lo, hi)
+        .filter("sensor_id = 'sensor-0003'")
+    )
+    assert sorted(map(tuple, pruned.collect())) == sorted(
+        map(tuple, full.collect())
+    )
+    assert len(pruned.inputFiles()) < len(full.inputFiles())
+
+
+def test_stale_map_never_hides_rows(spark, tmp_path):
+    """A file the sidecar does not know (lost refresh, crashed writer,
+    cross-host race) is always read — pruning only drops files whose
+    recorded stats PROVE non-match."""
+    lake, _ = _mk_lake(spark, tmp_path)
+    data = _data_dir(lake)
+    path = os.path.join(data, zm.ZONEMAP_NAME)
+    before = json.load(open(path))
+
+    extra = spark.createDataFrame(
+        [("zz-unmapped", dt.datetime(2024, 2, 14, 10), 7.0)],
+        "sensor_id string, time timestamp, value double",
+    )
+    lake.append_values(SensorType.FLOAT, extra)
+    # Simulate the lost refresh: restore the pre-append sidecar.
+    zm.write_zonemap(data, before["files"])
+
+    d = lake.values(SensorType.FLOAT, sensor_ids=["zz-unmapped"])
+    assert d.count() == 1
+
+
+def test_empty_prune_returns_empty_frame_with_schema(spark, tmp_path):
+    lake, _ = _mk_lake(spark, tmp_path)
+    d = lake.values(
+        SensorType.FLOAT,
+        start=dt.datetime(2030, 1, 1),
+        end=dt.datetime(2030, 2, 1),
+    )
+    assert d.count() == 0
+    assert d.columns == ["sensor_id", "time", "value", "month"]
+
+
+def test_zonemap_travels_with_at_seq(spark, tmp_path):
+    lake, total = _mk_lake(spark, tmp_path)
+    lake.optimize(SensorType.FLOAT)
+    hist = lake.history(SensorType.FLOAT)
+    old_seq = [h["seq"] for h in hist if h["on_disk"]][0]
+    d = lake.values(
+        SensorType.FLOAT, at_seq=old_seq, sensor_ids=["sensor-0001"]
+    )
+    assert d.count() == 15  # 5 samples x 3 months
+
+
+def test_partial_stats_prune_on_known_axis_only():
+    files = ["/d/month=2024-01/a.parquet", "/d/month=2024-01/b.parquet"]
+    zmap = {
+        "month=2024-01/a.parquet": {"rows": 5, "smin": "s-a", "smax": "s-f"},
+        "month=2024-01/b.parquet": {"rows": 5, "smin": "s-m", "smax": "s-z"},
+    }
+    # No time bounds recorded (INT96-era file): a time predicate keeps
+    # both; the sensor axis still prunes.
+    kept = zm.prune_files("/d", files, zmap, t_lo_us=0, t_hi_us=10)
+    assert kept == files
+    kept = zm.prune_files("/d", files, zmap, sensor_ids=["s-p"])
+    assert kept == [files[1]]
+
+
+def test_month_path_pruning_without_stats():
+    files = [
+        "/d/month=2024-01/a.parquet",
+        "/d/month=2024-03/b.parquet",
+    ]
+    kept = zm.prune_files(
+        "/d", files, None, month_lo="2024-02", month_hi="2024-12"
+    )
+    assert kept == [files[1]]
+
+
+def test_inclusive_bounds_keep_edge_files():
+    files = ["/d/month=2024-01/a.parquet"]
+    zmap = {
+        "month=2024-01/a.parquet": {"rows": 1, "tmin": 100, "tmax": 200}
+    }
+    # Query window touching either bound exactly keeps the file.
+    assert zm.prune_files("/d", files, zmap, t_lo_us=200, t_hi_us=300)
+    assert zm.prune_files("/d", files, zmap, t_lo_us=0, t_hi_us=100)
+    assert not zm.prune_files("/d", files, zmap, t_lo_us=201, t_hi_us=300)
+    assert not zm.prune_files("/d", files, zmap, t_lo_us=0, t_hi_us=99)
+
+
+def test_long_string_stats_are_not_recorded(spark, tmp_path):
+    """Writer-truncatable bounds are unsound — ids at/over MAX_STAT_LEN
+    must leave the sensor axis unknown (file kept), never mispruned."""
+    lake = SensorLake(spark, str(tmp_path / "lake"))
+    long_id = "x" * zm.MAX_STAT_LEN
+    df = spark.createDataFrame(
+        [(long_id, dt.datetime(2024, 1, 1, 10), 1.0)],
+        "sensor_id string, time timestamp, value double",
+    )
+    lake.append_values(SensorType.FLOAT, df)
+    doc = json.load(open(os.path.join(_data_dir(lake), zm.ZONEMAP_NAME)))
+    (st,) = doc["files"].values()
+    assert "smin" not in st
+    assert lake.values(SensorType.FLOAT, sensor_ids=[long_id]).count() == 1
+
+
+def test_corrupt_sidecar_disables_pruning(spark, tmp_path):
+    lake, total = _mk_lake(spark, tmp_path)
+    with open(os.path.join(_data_dir(lake), zm.ZONEMAP_NAME), "w") as f:
+        f.write("{not json")
+    d = lake.values(SensorType.FLOAT, sensor_ids=["sensor-0001"])
+    assert d.count() == 15
+
+
+def test_refresh_zonemap_backfills_existing_table(spark, tmp_path):
+    lake, _ = _mk_lake(spark, tmp_path)
+    data = _data_dir(lake)
+    os.unlink(os.path.join(data, zm.ZONEMAP_NAME))
+    lake.refresh_zonemap(SensorType.FLOAT)
+    assert zm.read_zonemap(data)
+
+
+def test_rewrite_commits_sidecar_atomically_with_version(spark, tmp_path):
+    """dedup_rewrite/optimize build the map INSIDE the new version dir
+    before the commit-log claim — a reader can never pair a version's
+    data with another version's map."""
+    lake, _ = _mk_lake(spark, tmp_path)
+    old_data = _data_dir(lake)
+    lake.dedup_rewrite(SensorType.FLOAT)
+    new_data = _data_dir(lake)
+    assert new_data != old_data
+    zmap = zm.read_zonemap(new_data)
+    assert zmap
+    # Every data file of the committed version is mapped.
+    import glob as g
+
+    rels = {
+        os.path.relpath(f, new_data)
+        for f in g.glob(new_data + "/month=*/*.parquet")
+    }
+    assert rels == set(zmap)
+
+
+@pytest.mark.parametrize("n_ids", [1, 3])
+def test_values_sensor_ids_is_a_real_filter(spark, tmp_path, n_ids):
+    """sensor_ids filters rows, not just files — a caller that passes it
+    and does nothing else still gets only those series."""
+    lake, _ = _mk_lake(spark, tmp_path, sensors=6)
+    ids = [f"sensor-{i:04d}" for i in range(n_ids)]
+    d = lake.values(SensorType.FLOAT, sensor_ids=ids)
+    got = {r.sensor_id for r in d.select("sensor_id").distinct().collect()}
+    assert got == set(ids)
