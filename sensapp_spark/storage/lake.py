@@ -80,14 +80,56 @@ class SensorLake:
 
     # -- write path (B4/B5) --------------------------------------------------
 
-    def publish(self, batch: IngestBatch) -> None:
+    def publish(
+        self,
+        batch: IngestBatch,
+        epoch: tuple[str, int] | None = None,
+    ) -> None:
         """One reference 'transaction': upsert the sensors dimension, then
         append the typed value frames (reference storage.rs:69-77 wraps
         both in one SQL txn; Parquet appends are atomic per-file, the
-        dimension upsert is a CAS commit — Delta gives real ACID)."""
+        dimension upsert is a CAS commit — Delta gives real ACID).
+
+        ``epoch=(stream_id, epoch_id)`` makes the publish IDEMPOTENT
+        per micro-batch epoch — the sink half of Structured Streaming's
+        exactly-once contract (``foreachBatch`` redelivers an epoch
+        after a failed/killed batch; the source side replays from the
+        checkpoint). A marker under ``_epochs/<stream_id>/`` is claimed
+        with ``O_EXCL`` AFTER the publish lands, so a redelivered epoch
+        is skipped. Failure window, stated honestly: a crash BETWEEN
+        the append and the marker write replays the epoch as a
+        duplicate — erring on the at-least-once side, because the
+        opposite order (marker first) converts the same crash into
+        silent data LOSS. The duplicates are exact re-deliveries, which
+        ``dedup_rewrite`` (offline) or the ingest stream's
+        ``dropDuplicatesWithinWatermark`` (online) already remove;
+        Delta's transactional ``txnAppId``/``txnVersion`` is what
+        closes the window fully, and this marker maps 1:1 onto it."""
+        if epoch is not None:
+            marker = self._epoch_marker(*epoch)
+            if os.path.exists(marker):
+                return
         self.upsert_sensors(batch.sensors)
         for stype, df in batch.values.items():
             self.append_values(stype, df)
+        if epoch is not None:
+            os.makedirs(os.path.dirname(marker), exist_ok=True)
+            try:
+                fd = os.open(marker, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            except FileExistsError:
+                return  # concurrent redelivery of the same epoch
+            try:
+                os.fsync(fd)
+            finally:
+                os.close(fd)
+
+    def _epoch_marker(self, stream_id: str, epoch_id: int) -> str:
+        safe = "".join(
+            c if c.isalnum() or c in "-_." else "_" for c in stream_id
+        )
+        return os.path.join(
+            self.root, "_epochs", safe, f"{int(epoch_id):012d}"
+        )
 
     def upsert_sensors(
         self,
@@ -337,6 +379,68 @@ class SensorLake:
             .option("basePath", data)
             .parquet(*files)
         )
+
+    # -- incremental reads (changes feed) --------------------------------
+
+    def changes(
+        self, stype: SensorType, cursor: dict | None = None
+    ) -> tuple[DataFrame, dict]:
+        """Incremental read: the rows that became visible since
+        ``cursor`` (from a previous call), plus the next cursor — the
+        primitive under incremental downstream pipelines (catalog
+        refresh, ANN appends, export ticks) that must not re-scan a
+        100 TB table per poll.
+
+        Grain and contract:
+
+        * Appends land as new part files in the CURRENT version and do
+          not bump the commit sequence — so within one version the feed
+          is an exact file diff: rows of files the cursor has not seen,
+          read as an explicit pruned list (planned IO proportional to
+          the NEW data, not the table).
+        * A maintenance rewrite (dedupe/compaction/reconciliation)
+          commits a NEW version whose files share nothing with the old
+          — row-grain attribution across it would cost a full anti-join
+          by content. The feed instead returns the full snapshot with
+          ``cursor["reset"] = True``. Rewrites preserve row content
+          (dedup only removes exact duplicates), so a consumer keyed on
+          ``(sensor_id, time, value)`` re-applies idempotently; this is
+          the same contract as Structured Streaming's file source and
+          Delta CDF-less streams, which also require a reset on
+          non-append commits.
+        * A cursor is a plain JSON-able dict — persist it wherever the
+          consumer checkpoints.
+
+        First call (``cursor=None``) returns the full snapshot with
+        ``reset=False`` (there is nothing to have missed)."""
+        path = self._values_path(stype)
+        seq, data = read_committed(path)
+        schema = value_schema(stype).add(MONTH_COL, "string")
+        if data is None:
+            return (
+                self.spark.createDataFrame([], schema),
+                {"seq": seq, "files": [], "reset": False},
+            )
+        files = _list_data_files(data)
+        rels = sorted(os.path.relpath(f, data) for f in files)
+        next_cursor = {"seq": seq, "files": rels, "reset": False}
+        if cursor is not None and cursor.get("seq") == seq:
+            seen = set(cursor.get("files", ()))
+            new = [
+                f
+                for f in files
+                if os.path.relpath(f, data) not in seen
+            ]
+            if not new:
+                return self.spark.createDataFrame([], schema), next_cursor
+            df = (
+                self.spark.read.schema(schema)
+                .option("basePath", data)
+                .parquet(*new)
+            )
+            return df, next_cursor
+        next_cursor["reset"] = cursor is not None
+        return self.spark.read.schema(schema).parquet(data), next_cursor
 
     # -- admin ops (X-dedup, X-vac) ------------------------------------------
 

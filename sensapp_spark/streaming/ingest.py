@@ -21,6 +21,8 @@ reference accepts any timestamp and never dedups on ingest
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
@@ -71,10 +73,21 @@ def stream_csv_directory(
             .drop("__time")
         )
 
+    # Epoch-idempotent publish: the stream id is the checkpoint
+    # location (that IS the replay domain — a new checkpoint is a new
+    # stream with its own epoch numbering), so a foreachBatch
+    # redelivery after a crash/kill is skipped instead of
+    # double-appended. See SensorLake.publish for the exact
+    # exactly-once contract and its stated failure window.
+    stream_id = os.path.abspath(checkpoint_dir)
+
     def publish(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        lake.publish(apply_plan(spark, batch_df, plan))
+        lake.publish(
+            apply_plan(spark, batch_df, plan),
+            epoch=(stream_id, epoch_id),
+        )
 
     writer = (
         raw.writeStream.foreachBatch(publish)

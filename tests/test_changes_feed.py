@@ -1,0 +1,166 @@
+"""Incremental reads (SensorLake.changes) and epoch-idempotent publish
+(SensorLake.publish(epoch=...)) — the two primitives under incremental
+downstream pipelines and the streaming sink's exactly-once contract.
+
+Both are beyond-reference (the reference re-queries and re-inserts; its
+exactly-once story is the DB transaction) — behavior-pinned here."""
+
+import datetime as dt
+
+import pytest
+
+from sensapp_spark.datamodel.types import SensorType
+from sensapp_spark.storage.lake import SensorLake
+
+
+def _vals(spark, rows):
+    return spark.createDataFrame(
+        rows, "sensor_id string, time timestamp, value double"
+    )
+
+
+T0 = dt.datetime(2024, 1, 5, 10)
+T1 = dt.datetime(2024, 2, 5, 10)
+
+
+def test_changes_file_diff_within_a_version(spark, tmp_path):
+    lake = SensorLake(spark, str(tmp_path / "lake"))
+    lake.append_values(SensorType.FLOAT, _vals(spark, [("a", T0, 1.0)]))
+
+    snap, cur = lake.changes(SensorType.FLOAT)
+    assert snap.count() == 1
+    assert cur["reset"] is False
+
+    # Nothing new: empty frame, same schema, cursor stable.
+    none, cur2 = lake.changes(SensorType.FLOAT, cur)
+    assert none.count() == 0
+    assert none.columns == ["sensor_id", "time", "value", "month"]
+    assert cur2 == cur
+
+    # Appends within the version surface exactly the new rows.
+    lake.append_values(
+        SensorType.FLOAT, _vals(spark, [("b", T0, 2.0), ("c", T1, 3.0)])
+    )
+    delta, cur3 = lake.changes(SensorType.FLOAT, cur2)
+    got = {(r.sensor_id, r.value) for r in delta.collect()}
+    assert got == {("b", 2.0), ("c", 3.0)}
+    assert cur3["reset"] is False
+
+    # The new cursor has absorbed them.
+    none2, _ = lake.changes(SensorType.FLOAT, cur3)
+    assert none2.count() == 0
+
+
+def test_changes_resets_across_a_rewrite(spark, tmp_path):
+    lake = SensorLake(spark, str(tmp_path / "lake"))
+    lake.append_values(
+        SensorType.FLOAT, _vals(spark, [("a", T0, 1.0), ("a", T0, 1.0)])
+    )
+    _, cur = lake.changes(SensorType.FLOAT)
+    lake.dedup_rewrite(SensorType.FLOAT)
+    snap, cur2 = lake.changes(SensorType.FLOAT, cur)
+    # Rewrite bumped the version: full (deduped) snapshot, flagged.
+    assert cur2["reset"] is True
+    assert snap.count() == 1
+
+
+def test_changes_on_empty_table(spark, tmp_path):
+    lake = SensorLake(spark, str(tmp_path / "lake"))
+    df, cur = lake.changes(SensorType.FLOAT)
+    assert df.count() == 0
+    assert cur["files"] == []
+
+
+def test_changes_cursor_is_json_roundtrippable(spark, tmp_path):
+    import json
+
+    lake = SensorLake(spark, str(tmp_path / "lake"))
+    lake.append_values(SensorType.FLOAT, _vals(spark, [("a", T0, 1.0)]))
+    _, cur = lake.changes(SensorType.FLOAT)
+    lake.append_values(SensorType.FLOAT, _vals(spark, [("b", T0, 2.0)]))
+    delta, _ = lake.changes(
+        SensorType.FLOAT, json.loads(json.dumps(cur))
+    )
+    assert {r.sensor_id for r in delta.collect()} == {"b"}
+
+
+# -- epoch-idempotent publish -------------------------------------------
+
+
+def _batch(spark, rows):
+    from sensapp_spark.ingest.csv_importer import IngestBatch
+    from sensapp_spark.datamodel.types import SENSOR_SCHEMA
+
+    sensors = spark.createDataFrame(
+        [(r[0], r[0], "Float", None, None, {}) for r in rows],
+        SENSOR_SCHEMA,
+    )
+    return IngestBatch(
+        sensors=sensors,
+        values={SensorType.FLOAT: _vals(spark, rows)},
+    )
+
+
+def test_publish_epoch_redelivery_is_skipped(spark, tmp_path):
+    lake = SensorLake(spark, str(tmp_path / "lake"))
+    b = _batch(spark, [("u1", T0, 1.0)])
+    lake.publish(b, epoch=("ckpt-a", 0))
+    lake.publish(b, epoch=("ckpt-a", 0))  # foreachBatch redelivery
+    assert lake.values(SensorType.FLOAT).count() == 1
+
+    lake.publish(_batch(spark, [("u1", T0, 2.0)]), epoch=("ckpt-a", 1))
+    assert lake.values(SensorType.FLOAT).count() == 2
+
+
+def test_publish_epochs_are_scoped_per_stream(spark, tmp_path):
+    lake = SensorLake(spark, str(tmp_path / "lake"))
+    b = _batch(spark, [("u1", T0, 1.0)])
+    lake.publish(b, epoch=("ckpt-a", 0))
+    # Same epoch number, DIFFERENT stream: its own numbering domain.
+    lake.publish(b, epoch=("ckpt-b", 0))
+    assert lake.values(SensorType.FLOAT).count() == 2
+
+
+def test_publish_without_epoch_is_unconditional(spark, tmp_path):
+    lake = SensorLake(spark, str(tmp_path / "lake"))
+    b = _batch(spark, [("u1", T0, 1.0)])
+    lake.publish(b)
+    lake.publish(b)
+    assert lake.values(SensorType.FLOAT).count() == 2
+
+
+def test_stream_restart_does_not_replay_published_epochs(spark, tmp_path):
+    """End-to-end: kill a file-drop stream after its first epoch, then
+    restart on the same checkpoint with the same files present — the
+    epoch ledger plus the source checkpoint must yield each row once."""
+    from sensapp_spark.ingest.csv_importer import plan_csv
+    from sensapp_spark.streaming.ingest import stream_csv_directory
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    lake = SensorLake(spark, str(tmp_path / "lake"))
+    plan = plan_csv(
+        ["datetime", "sensor_name", "value", "unit"],
+        [["2024-01-01T00:00:00Z", "temp", "20.5", "°C"]],
+    )
+    (in_dir / "a.csv").write_text(
+        "datetime,sensor_name,value,unit\n"
+        "2024-01-01T00:00:00Z,temp,20.5,°C\n"
+    )
+    q = stream_csv_directory(
+        spark, str(in_dir), lake, plan, ckpt, trigger_available_now=True
+    )
+    q.awaitTermination(120)
+    n1 = lake.values(SensorType.FLOAT).count()
+    assert n1 == 1
+
+    (in_dir / "b.csv").write_text(
+        "datetime,sensor_name,value,unit\n"
+        "2024-01-01T00:01:00Z,temp,21.0,°C\n"
+    )
+    q2 = stream_csv_directory(
+        spark, str(in_dir), lake, plan, ckpt, trigger_available_now=True
+    )
+    q2.awaitTermination(120)
+    assert lake.values(SensorType.FLOAT).count() == 2
