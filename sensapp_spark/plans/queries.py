@@ -648,36 +648,94 @@ def promql_ext_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     _PRELUDE
     + """
     , sums AS (
-        SELECT sensor_id, SUM(value) AS value
-        FROM vals
-        WHERE time >= TIMESTAMP '2024-01-01'
-          AND time <= TIMESTAMP '2024-02-01'
-          AND sensor_id IN (SELECT sensor_id FROM sensors
-                            WHERE name = 'click')
-        GROUP BY sensor_id)
-    SELECT sensor_id, ROUND(value, 6) AS value FROM (
+        SELECT v.sensor_id, s.region_label, s.user_label,
+               SUM(v.value) AS value
+        FROM vals v JOIN sensors s USING (sensor_id)
+        WHERE v.time >= TIMESTAMP '2024-01-01'
+          AND v.time <= TIMESTAMP '2024-02-01'
+          AND s.name = 'click'
+        GROUP BY 1, 2, 3)
+    SELECT 'plain' AS op, sensor_id AS key, ROUND(value, 6) AS value
+    FROM (
         SELECT sensor_id, value,
                row_number() OVER (ORDER BY value DESC, sensor_id) AS rn
         FROM sums) WHERE rn <= 3
+    UNION ALL
+    SELECT 'nested_topk_by', region, ROUND(value, 6) FROM (
+        SELECT region, value,
+               row_number() OVER (ORDER BY value DESC, region) AS rn
+        FROM (SELECT region_label AS region, SUM(value) AS value
+              FROM sums GROUP BY 1)) WHERE rn <= 2
+    UNION ALL
+    SELECT 'nested_sum_topk', CAST(NULL AS VARCHAR), ROUND(SUM(value), 6)
+    FROM (
+        SELECT value,
+               row_number() OVER (ORDER BY value DESC, sensor_id) AS rn
+        FROM sums) WHERE rn <= 3
+    UNION ALL
+    SELECT 'nested_max_by', region, ROUND(MAX(value), 6) FROM (
+        SELECT region_label AS region, user_label, SUM(value) AS value
+        FROM sums GROUP BY 1, 2)
+    GROUP BY region
     """,
 )
 def promql_ext_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Beyond-reference: PromQL ``topk(3, sum_over_time(click[31d]))`` —
-    series selection by extreme value. The row_number window runs over
-    the per-series instant vector (dimension-sized), never over raw
-    samples, so the single-partition window is not a scale hazard."""
+    """Beyond-reference: PromQL series/group selection by extreme value,
+    including NESTED aggregations (round 8) — tagged union:
+
+    * ``plain``: ``topk(3, sum_over_time(click[31d]))`` — series
+      selection; the row_number window runs over the per-series
+      instant vector (dimension-sized), never over raw samples.
+    * ``nested_topk_by``: ``topk(2, sum by (region) (…))`` — the
+      canonical dashboard shape; the outer window runs over the inner
+      aggregation's GROUPS (≤ label cardinality).
+    * ``nested_sum_topk``: ``sum(topk(3, …))`` — reduction over a
+      selection (series-shaped inner keeps its label map).
+    * ``nested_max_by``: ``max by (region) (sum by (region, user) (…))``
+      — outer keys a subset of inner keys, column-shaped all the way.
+
+    Prometheus evaluates nesting inner-first (promql/engine.go); the
+    oracle replays each level as its own SQL window/grouping."""
     from sensapp_spark.query.promql_ext import (
         evaluate_extended,
         parse_extended,
     )
 
-    eq = parse_extended(
-        "topk(3, sum_over_time(click[31d]))", now=dt.datetime(2024, 2, 1)
-    )
-    out = evaluate_extended(
-        td.events_sensors(spark, sf_dir), td.events_values(spark, sf_dir), eq
-    )
-    return out.select("sensor_id", F.round("value", 6).alias("value"))
+    sensors = td.events_sensors(spark, sf_dir)
+    vals = td.events_values(spark, sf_dir)
+    now = dt.datetime(2024, 2, 1)
+    cases = [
+        ("plain", "topk(3, sum_over_time(click[31d]))", "sensor_id"),
+        (
+            "nested_topk_by",
+            "topk(2, sum by (region) (sum_over_time(click[31d])))",
+            "region",
+        ),
+        ("nested_sum_topk", "sum(topk(3, sum_over_time(click[31d])))", None),
+        (
+            "nested_max_by",
+            "max by (region) (sum by (region, user) "
+            "(sum_over_time(click[31d])))",
+            "region",
+        ),
+    ]
+    parts = []
+    for tag, expr, key_col in cases:
+        out = evaluate_extended(sensors, vals, parse_extended(expr, now=now))
+        key = (
+            F.col(key_col).cast("string")
+            if key_col is not None
+            else F.lit(None).cast("string")
+        )
+        parts.append(
+            (
+                tag,
+                out.select(
+                    key.alias("key"), F.round("value", 6).alias("value")
+                ),
+            )
+        )
+    return _union_tagged(parts, "op")
 
 
 @register(

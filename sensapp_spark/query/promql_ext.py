@@ -200,6 +200,22 @@ class ExtendedQuery:
     # arithmetic (already folded into selector.start/end), but HTTP
     # dispatch needs to know the query used extended grammar.
     offset_used: bool = False
+    # NESTED aggregation — topk(5, sum by (x) (rate(m[5m]))): the OUTER
+    # level. ``agg``/``by``/``without``/``param`` describe the INNER
+    # aggregation; the outer one applies to the inner's dashboard-sized
+    # result (prometheus promql/parser accepts arbitrary nesting; two
+    # levels cover the dashboard shapes, deeper is parse-rejected).
+    outer_agg: str | None = None
+    outer_param: float | None = None
+    outer_by: list[str] = field(default_factory=list)
+    outer_without: list[str] = field(default_factory=list)
+    # Element-wise functions wrapping the OUTER aggregation — kept
+    # apart from ``post`` (the inner's wrappers) so abs(topk(5,
+    # sum by (x)(m))) applies in parse order: inner agg → post →
+    # outer agg → outer_post.
+    outer_post: list[tuple[str, float | None]] = field(
+        default_factory=list
+    )
 
 
 @dataclass
@@ -517,6 +533,7 @@ def needs_extended(eq: "ExtendedQuery") -> bool:
         or bool(eq.label_ops)
         or bool(eq.post)
         or bool(eq.series_post)
+        or eq.outer_agg is not None
     )
 
 
@@ -530,6 +547,98 @@ def _reject_wrapped_sort(sub: ExtendedQuery, head: str) -> None:
             f"{head}() over sort()/sort_desc() discards the ordering — "
             "apply sort() outermost.",
         )
+
+
+_SELECTION_AGGS = frozenset(["topk", "bottomk"]) | LIMIT_AGGS
+
+
+def _nest_aggregation(
+    head: str,
+    mode: str | None,
+    labels: list[str],
+    param: float | None,
+    sub: "ExtendedQuery",
+) -> "ExtendedQuery":
+    """An aggregation operator over an already-aggregated expression —
+    ``topk(5, sum by (x) (rate(m[5m])))`` and friends. The outer level
+    rides the ``outer_*`` fields and is applied to the inner result
+    (dashboard-sized — groups or selected series, never samples).
+
+    Supported inner result shapes, and what the outer may do to them:
+
+    * inner ``by (…)`` reduction (incl. ``count_values`` and an
+      ungrouped reduction, whose key set is empty): the result's only
+      columns are the inner group keys — the outer may group ``by`` a
+      SUBSET of them, or not group at all. ``without`` has no label
+      map to subtract from and is rejected.
+    * inner selection (``topk``/``bottomk``/``limitk``/``limit_ratio``):
+      series-shaped — outer ``by``/``without`` both work as on any
+      instant vector.
+    * inner ``without (…)`` reduction: the residual label set is a
+      CANONICAL STRING key (Spark cannot group by a map) — only an
+      ungrouped outer reduction is meaningful; grouped outers are
+      rejected with the remedy (group the inner with ``by``).
+
+    Three levels are rejected (no dashboard shape needs them), as are
+    ``count_values``/``limitk``/``limit_ratio`` as the outer level and
+    outers over aggregated histogram functions."""
+    import dataclasses
+
+    if sub.outer_agg is not None:
+        raise PromQLError(
+            "aggregation",
+            "More than two nested aggregation levels are not "
+            "supported — flatten the inner levels.",
+        )
+    if head == "count_values" or head in LIMIT_AGGS:
+        raise PromQLError(
+            "aggregation",
+            f"{head}() over an aggregation is not supported — "
+            "apply it to the series, then aggregate.",
+        )
+    if _is_hist(sub):
+        raise PromQLError(
+            "aggregation",
+            f"{head}() over an AGGREGATED histogram function is not "
+            "supported — drop the inner aggregation (the bucket "
+            "sum rides inside histogram_quantile) or the outer one.",
+        )
+    inner_selection = sub.agg in _SELECTION_AGGS
+    if mode == "without" and not inner_selection:
+        raise PromQLError(
+            "aggregation",
+            f"{head} without (…) over an inner by (…)/without (…) "
+            "reduction is not supported — the inner result carries "
+            "only its group keys; group the outer with by (…).",
+        )
+    if mode == "by" and not inner_selection:
+        if sub.without:
+            raise PromQLError(
+                "aggregation",
+                f"{head} by (…) over an inner without (…) reduction "
+                "is not supported — the residual label set is a "
+                "canonical string; group the inner with by (…) "
+                "instead.",
+            )
+        inner_keys = set(sub.by)
+        if sub.agg == "count_values" and sub.label_param:
+            inner_keys.add(sub.label_param)
+        missing = [lbl for lbl in labels if lbl not in inner_keys]
+        if missing:
+            raise PromQLError(
+                "aggregation",
+                f"{head} by ({', '.join(labels)}) groups on labels the "
+                f"inner aggregation dropped ({', '.join(missing)}) — "
+                "add them to the inner by (…) clause.",
+            )
+    return dataclasses.replace(
+        sub,
+        outer_agg=head,
+        outer_param=param,
+        outer_by=list(labels) if mode == "by" else [],
+        outer_without=list(labels) if mode == "without" else [],
+        outer_post=[],
+    )
 
 
 def _now_epoch(now: dt.datetime) -> float:
@@ -725,7 +834,10 @@ def parse_extended(query: str, now: dt.datetime | None = None) -> ExtendedQuery:
         else:
             sub = parse_extended(inner, now)
         _reject_wrapped_sort(sub, head)
-        sub.post.append((head, p))
+        if sub.outer_agg is not None:
+            sub.outer_post.append((head, p))
+        else:
+            sub.post.append((head, p))
         return sub
 
     if head in AGG_OPS and (
@@ -801,8 +913,8 @@ def parse_extended(query: str, now: dt.datetime | None = None) -> ExtendedQuery:
         sub = parse_extended(inner, now)
         _reject_wrapped_sort(sub, head)
         if sub.agg is not None:
-            raise PromQLError(
-                "aggregation", "Nested aggregations are not supported."
+            return _nest_aggregation(
+                head, mode, labels, param, sub
             )
         if sub.func in ABSENT_FUNCS:
             raise PromQLError(
@@ -1959,8 +2071,18 @@ def _evaluate_extended_core(
 
 def _finish_instant(out: DataFrame, eq: ExtendedQuery) -> DataFrame:
     """Shared instant-vector tail: per-series projection or the
-    aggregation step, over any ``(sensor_id, name, labels, value)``
-    frame (the raw-scan path and the subquery path both end here)."""
+    aggregation step(s), over any ``(sensor_id, name, labels, value)``
+    frame (the raw-scan path and the subquery path both end here).
+    A nested aggregation's outer level applies AFTER the inner one and
+    its wrappers (parse order: inner agg → post → outer agg →
+    outer_post)."""
+    res = _finish_instant_core(out, eq)
+    if eq.outer_agg is not None:
+        res = _apply_post(_apply_outer_agg(res, eq), eq.outer_post)
+    return res
+
+
+def _finish_instant_core(out: DataFrame, eq: ExtendedQuery) -> DataFrame:
     if eq.agg is None:
         return _apply_post(
             out.select("sensor_id", "name", "labels", "value"), eq.post
@@ -2022,6 +2144,76 @@ def _finish_instant(out: DataFrame, eq: ExtendedQuery) -> DataFrame:
         ]
         grouped = out.groupBy(*keys) if keys else out.groupBy()
     return _apply_post(grouped.agg(agg_col.alias("value")), eq.post)
+
+
+def _apply_outer_agg(out: DataFrame, eq: ExtendedQuery) -> DataFrame:
+    """The outer level of a nested aggregation, over the inner level's
+    result frame. Input shapes (enforced at parse time by
+    :func:`_nest_aggregation`):
+
+    * series-shaped (inner was topk/bottomk/limitk/limit_ratio):
+      carries ``(sensor_id, name, labels, value)`` — outer ``by`` keys
+      come from the labels map, ``without`` canonicalizes it.
+    * key-shaped (inner was a by-reduction / count_values): carries
+      ``(*inner_keys, value)`` — outer ``by`` keys ARE columns.
+
+    A range-query input additionally carries ``t``; the outer level
+    always groups/partitions per step. The frame is dashboard-sized
+    (groups × steps), so the window/groupBy here is presentation-scale
+    work, not a shuffle of samples."""
+    series_shaped = "sensor_id" in out.columns
+    step_keys = [F.col("t")] if "t" in out.columns else []
+
+    if eq.outer_without:
+        keys = [
+            _labels_without(eq.outer_without).alias("labels")
+        ]
+    elif series_shaped:
+        keys = [
+            F.element_at(F.col("labels"), lbl).alias(lbl)
+            for lbl in eq.outer_by
+        ]
+    else:
+        keys = [F.col(lbl) for lbl in eq.outer_by]
+
+    if eq.outer_agg in ("topk", "bottomk"):
+        # Selection, not reduction: keep the k extreme ROWS of the
+        # inner result per (step, outer-group), preserving the inner's
+        # columns. Deterministic tie-break: sensor_id when present,
+        # else the inner key columns.
+        order = (
+            F.col("value").desc()
+            if eq.outer_agg == "topk"
+            else F.col("value").asc()
+        )
+        ties = (
+            [F.col("sensor_id")]
+            if series_shaped
+            else [
+                F.col(c)
+                for c in sorted(out.columns)
+                if c not in ("value", "t")
+            ]
+        )
+        w = Window.partitionBy(*step_keys, *keys).orderBy(order, *ties)
+        return (
+            out.withColumn("__orn", F.row_number().over(w))
+            .filter(F.col("__orn") <= int(eq.outer_param))
+            .drop("__orn")
+        )
+
+    if eq.outer_agg == "quantile":
+        agg_col = F.percentile("value", F.lit(eq.outer_param)).cast(
+            "double"
+        )
+    elif eq.outer_agg == "group":
+        agg_col = F.max(F.lit(1.0))
+    else:
+        agg_col = _AGG_FNS[eq.outer_agg]("value")
+        if eq.outer_agg == "count":
+            agg_col = agg_col.cast("long")
+    grouped = out.groupBy(*keys, *step_keys)
+    return grouped.agg(agg_col.alias("value"))
 
 
 def data_window(eq: ExtendedQuery) -> tuple[dt.datetime, dt.datetime]:
@@ -2505,7 +2697,17 @@ def _finish_range(out: DataFrame, eq: ExtendedQuery, t_col) -> DataFrame:
     """Shared range-query tail over any per-(series, step) frame
     carrying ``(sensor_id, name, labels, __i, value)`` — the raw-scan
     path and the range-evaluated-subquery path both end here (the
-    instant analogue is :func:`_finish_instant`)."""
+    instant analogue is :func:`_finish_instant`). A nested
+    aggregation's outer level applies per step, after the inner."""
+    res = _finish_range_core(out, eq, t_col)
+    if eq.outer_agg is not None:
+        res = _apply_post(_apply_outer_agg(res, eq), eq.outer_post)
+    return res
+
+
+def _finish_range_core(
+    out: DataFrame, eq: ExtendedQuery, t_col
+) -> DataFrame:
     if eq.label_ops:
         out = _apply_label_ops(out, eq.label_ops)
     if eq.series_post:
@@ -2847,6 +3049,15 @@ def evaluate_binary(
                 "binary",
                 f"{side_eq.func}() operands in binary operations are "
                 "not supported; alert on the absent vector directly.",
+            )
+        if side_eq.outer_agg is not None:
+            # A nested aggregation's result keys on the OUTER group
+            # columns, not a label map — the matching-key expression
+            # would crash opaquely.
+            raise PromQLError(
+                "binary",
+                "Nested-aggregation operands in binary operations are "
+                "not supported; compute the sides separately.",
             )
         if side_eq.sub_inner is not None and side_eq.sub_inner.agg not in (
             None,
