@@ -1537,6 +1537,16 @@ BENCH_MEMBERS: dict[str, dict] = {
         t: _scoped_main("promql_ext_range_query", t)
         for t in ("rate", "subquery", "hist")
     },
+    "promql_ext_topk": {
+        t: _scoped_main("promql_ext_topk", t, col="op")
+        for t in ("plain", "nested_topk_by", "nested_sum_topk",
+                  "nested_max_by")
+    },
+    "catalog_metrics_rollup": {
+        t: _scoped_main("catalog_metrics_rollup", t, col="op")
+        for t in ("rollup_series", "rollup_rows", "kmv_series",
+                  "cms_rows")
+    },
     "sample_split": {
         "split_assign": _split_member,
         "stratified_sample": _strat_member,

@@ -1518,22 +1518,125 @@ def gapfill_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     "catalog_metrics_rollup",
     _PRELUDE
     + """
-    SELECT name, type,
-           COUNT(DISTINCT sensor_id) AS series_count,
-           COUNT(*) AS sensor_rows
+    , hset AS (
+        SELECT DISTINCT split_part(sensor_id, '/', 1) AS name,
+               CAST(CONCAT('0x', SUBSTR(md5(sensor_id), 1, 15))
+                    AS UBIGINT) AS h
+        FROM vals),
+    kmv AS (
+        SELECT name, h,
+               row_number() OVER (PARTITION BY name ORDER BY h) AS rn
+        FROM hset),
+    cnt0 AS (
+        SELECT 0 AS row,
+               CAST(CONCAT('0x', SUBSTR(md5(CONCAT('cms0|', sensor_id)),
+                    1, 15)) AS UBIGINT) % 8192 AS bucket,
+               COUNT(*) AS cnt
+        FROM vals GROUP BY 2),
+    cnt1 AS (
+        SELECT 1 AS row,
+               CAST(CONCAT('0x', SUBSTR(md5(CONCAT('cms1|', sensor_id)),
+                    1, 15)) AS UBIGINT) % 8192 AS bucket,
+               COUNT(*) AS cnt
+        FROM vals GROUP BY 2),
+    counters AS (SELECT * FROM cnt0 UNION ALL SELECT * FROM cnt1),
+    pr AS (
+        SELECT sensor_id, 0 AS row,
+               CAST(CONCAT('0x', SUBSTR(md5(CONCAT('cms0|', sensor_id)),
+                    1, 15)) AS UBIGINT) % 8192 AS bucket
+        FROM sensors
+        UNION ALL
+        SELECT sensor_id, 1,
+               CAST(CONCAT('0x', SUBSTR(md5(CONCAT('cms1|', sensor_id)),
+                    1, 15)) AS UBIGINT) % 8192
+        FROM sensors)
+    SELECT 'rollup_series' AS op, name AS key_a, type AS key_b,
+           CAST(COUNT(DISTINCT sensor_id) AS DOUBLE) AS value
     FROM sensors GROUP BY ROLLUP (name, type)
+    UNION ALL
+    SELECT 'rollup_rows', name, type, CAST(COUNT(*) AS DOUBLE)
+    FROM sensors GROUP BY ROLLUP (name, type)
+    UNION ALL
+    SELECT 'kmv_series', name, NULL,
+           ROUND(CASE WHEN COUNT(*) < 256
+                      THEN CAST(COUNT(*) AS DOUBLE)
+                      ELSE (255.0 * 1152921504606846976.0) / MAX(h)
+                 END, 6)
+    FROM kmv WHERE rn <= 256 GROUP BY name
+    UNION ALL
+    SELECT 'cms_rows', p.sensor_id, NULL,
+           CAST(MIN(COALESCE(c.cnt, 0)) AS DOUBLE)
+    FROM pr p LEFT JOIN counters c USING (row, bucket)
+    GROUP BY p.sensor_id
     """,
 )
 def catalog_metrics_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Beyond-reference: grouping-sets catalog aggregate — per-(metric,
-    type) counts plus per-metric and grand-total rows in one pass
-    (Spark ``rollup`` ≡ SQL GROUP BY ROLLUP). The reference's catalog
-    can only produce the flat per-metric view (C1)."""
+    """Beyond-reference catalog/statistics family — tagged union:
+
+    * ``rollup_series`` / ``rollup_rows``: grouping-sets catalog
+      aggregate — per-(metric, type) counts plus per-metric and
+      grand-total rows in one pass (Spark ``rollup`` ≡ SQL GROUP BY
+      ROLLUP). The reference's catalog can only produce the flat
+      per-metric view (C1).
+    * ``kmv_series`` (round 8): k-minimum-values distinct-series
+      estimate per metric over the SAMPLES table
+      (operators/sketches.py) — the oracle replays the estimator
+      bit-identically via the portable md5-prefix hash, so the
+      driver's value-hash gate covers the sketch math, which Spark's
+      own approx_count_distinct (HLL++) never allows.
+    * ``cms_rows`` (round 8): count-min row-count estimate for every
+      catalog sensor from a d×w=2×8192-counter summary — the per-key
+      frequency a driver can hold for a table it cannot groupBy.
+
+    Sketch math hand-checkable: estimates are ≥-true-count (CMS) /
+    unbiased around truth (KMV), and at testdata scale collisions are
+    rare so most estimates equal the exact values the rollup arms
+    produce."""
+    from sensapp_spark.operators.sketches import (
+        cms_build,
+        cms_estimate,
+        kmv_distinct,
+    )
+
     sensors = td.events_sensors(spark, sf_dir)
-    return sensors.rollup("name", "type").agg(
+    vals = td.events_values(spark, sf_dir)
+
+    rolled = sensors.rollup("name", "type").agg(
         F.countDistinct("sensor_id").alias("series_count"),
         F.count("*").alias("sensor_rows"),
     )
+    r_series = rolled.select(
+        F.lit("rollup_series").alias("op"),
+        F.col("name").alias("key_a"),
+        F.col("type").alias("key_b"),
+        F.col("series_count").cast("double").alias("value"),
+    )
+    r_rows = rolled.select(
+        F.lit("rollup_rows").alias("op"),
+        F.col("name").alias("key_a"),
+        F.col("type").alias("key_b"),
+        F.col("sensor_rows").cast("double").alias("value"),
+    )
+    named = vals.withColumn(
+        "name", F.substring_index("sensor_id", "/", 1)
+    )
+    kmv = kmv_distinct(named, key="sensor_id", by="name").select(
+        F.lit("kmv_series").alias("op"),
+        F.col("name").alias("key_a"),
+        F.lit(None).cast("string").alias("key_b"),
+        F.col("estimate").alias("value"),
+    )
+    cms = cms_estimate(
+        cms_build(vals, key="sensor_id"),
+        sensors.select("sensor_id"),
+        key="sensor_id",
+    ).select(
+        F.lit("cms_rows").alias("op"),
+        F.col("sensor_id").alias("key_a"),
+        F.lit(None).cast("string").alias("key_b"),
+        F.col("estimate").alias("value"),
+    )
+    return r_series.unionByName(r_rows).unionByName(kmv).unionByName(cms)
 
 
 @register(
