@@ -87,28 +87,35 @@ def main():
     feb = (dt.datetime(2024, 2, 1), dt.datetime(2024, 2, 28))
 
     out = {"total_files": total_files, "rows": N_SENSORS * MONTHS * SAMPLES}
-    for tag in ("with_map", "without_map"):
-        if tag == "without_map":
+    moved = False
+    try:
+        for tag in ("with_map", "without_map"):
+            if tag == "without_map":
+                os.replace(
+                    os.path.join(data, ZONEMAP_NAME),
+                    os.path.join(data, ZONEMAP_NAME + ".bak"),
+                )
+                moved = True
+            walls, files = [], []
+            for s in probes:
+                n, nf, w = timed_fetch(lake, s)
+                walls.append(w)
+                files.append(nf)
+            nw, nfw, ww = timed_fetch(lake, probes[0], feb)
+            out[tag] = {
+                "point_files": files,
+                "point_wall_s": [round(w, 3) for w in walls],
+                "window_files": nfw,
+                "window_wall_s": round(ww, 3),
+            }
+    finally:
+        # Always restore the sidecar — a crashed without_map pass must
+        # not leave the reused bench lake silently unpruned.
+        if moved:
             os.replace(
-                os.path.join(data, ZONEMAP_NAME),
                 os.path.join(data, ZONEMAP_NAME + ".bak"),
+                os.path.join(data, ZONEMAP_NAME),
             )
-        walls, files = [], []
-        for s in probes:
-            n, nf, w = timed_fetch(lake, s)
-            walls.append(w)
-            files.append(nf)
-        nw, nfw, ww = timed_fetch(lake, probes[0], feb)
-        out[tag] = {
-            "point_files": files,
-            "point_wall_s": [round(w, 3) for w in walls],
-            "window_files": nfw,
-            "window_wall_s": round(ww, 3),
-        }
-    os.replace(
-        os.path.join(data, ZONEMAP_NAME + ".bak"),
-        os.path.join(data, ZONEMAP_NAME),
-    )
     print(json.dumps(out))
 
 

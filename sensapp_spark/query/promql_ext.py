@@ -3050,10 +3050,16 @@ def evaluate_binary(
                 f"{side_eq.func}() operands in binary operations are "
                 "not supported; alert on the absent vector directly.",
             )
-        if side_eq.outer_agg is not None:
+        if side_eq.outer_agg is not None or (
+            side_eq.sub_inner is not None
+            and side_eq.sub_inner.outer_agg is not None
+        ):
             # A nested aggregation's result keys on the OUTER group
             # columns, not a label map — the matching-key expression
-            # would crash opaquely.
+            # would crash opaquely. The same applies wrapped in a
+            # subquery: avg_over_time(sum(topk(2, m))[10m:5m]) loses
+            # the series shape even though sub_inner.agg ('topk')
+            # alone would pass the allowlist below (round-8 review).
             raise PromQLError(
                 "binary",
                 "Nested-aggregation operands in binary operations are "

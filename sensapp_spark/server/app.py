@@ -567,12 +567,9 @@ def create_app(
         stype = SensorType.from_label(meta[0].type)
         # sensor_ids both filters and FILE-SKIPS via the zone map — on
         # a clustered table this reads ~1 file per month instead of
-        # every part file (storage/zonemap.py).
-        vals = time_range(
-            lake.values(stype, start, end, sensor_ids=[sensor_id]),
-            start,
-            end,
-        )
+        # every part file (storage/zonemap.py). values() applies the
+        # inclusive time bounds itself; no extra time_range wrapper.
+        vals = lake.values(stype, start, end, sensor_ids=[sensor_id])
         if limit:
             vals = vals.orderBy("time").limit(limit)
         df = vals.join(F.broadcast(lake.sensors()), "sensor_id", "left")

@@ -124,11 +124,21 @@ class SensorLake:
                 os.close(fd)
 
     def _epoch_marker(self, stream_id: str, epoch_id: int) -> str:
-        safe = "".join(
+        # Hash, don't sanitize: character substitution is non-injective
+        # (/a/b_c and /a/b/c collide, letting one stream's markers
+        # suppress another's publishes) and an over-long checkpoint
+        # path would blow NAME_MAX as a single component (round-8
+        # review). The digest is the namespace; a short sanitized
+        # suffix keeps the ledger dir human-greppable.
+        import hashlib
+
+        digest = hashlib.md5(stream_id.encode()).hexdigest()
+        hint = "".join(
             c if c.isalnum() or c in "-_." else "_" for c in stream_id
-        )
+        )[-40:]
         return os.path.join(
-            self.root, "_epochs", safe, f"{int(epoch_id):012d}"
+            self.root, "_epochs", f"{digest}-{hint}",
+            f"{int(epoch_id):012d}",
         )
 
     def upsert_sensors(
@@ -317,6 +327,13 @@ class SensorLake:
         (dedupe/compaction) exactly and against appends only from the
         next commit boundary — the same contract as Hive-style dirs;
         Delta's per-append commits are what sharpen it."""
+        # Normalize tz-aware bounds to the UTC instant FIRST: the month
+        # filters below (and the zone map's month bounds) come from
+        # strftime, which would otherwise use the caller's wall-clock
+        # month while the time filter uses the UTC instant — silently
+        # dropping rows near a month boundary (round-8 review).
+        start = _utc_naive(start)
+        end = _utc_naive(end)
         if at_seq is not None:
             data = resolve_at(self._values_path(stype), at_seq)
         else:
@@ -366,8 +383,8 @@ class SensorLake:
             data,
             _list_data_files(data),
             zmap,
-            t_lo_us=_epoch_us(start),
-            t_hi_us=_epoch_us(end),
+            t_lo_us=zm.to_epoch_us(start),
+            t_hi_us=zm.to_epoch_us(end),
             month_lo=start.strftime("%Y-%m") if start else None,
             month_hi=end.strftime("%Y-%m") if end else None,
             sensor_ids=list(sensor_ids) if sensor_ids else None,
@@ -862,16 +879,13 @@ def _is_stale_scan_error(exc: Exception) -> bool:
     )
 
 
-def _epoch_us(t: dt.datetime | None) -> int | None:
-    """Naive datetimes carry the data model's UTC semantics (session
-    timezone is pinned to UTC) — anchor them explicitly before
-    converting to epoch microseconds for zone-map bounds."""
-    if t is None:
-        return None
-    if t.tzinfo is None:
-        t = t.replace(tzinfo=dt.timezone.utc)
-    delta = t - dt.datetime(1970, 1, 1, tzinfo=dt.timezone.utc)
-    return (delta.days * 86400 + delta.seconds) * 1_000_000 + delta.microseconds
+def _utc_naive(t: dt.datetime | None) -> dt.datetime | None:
+    """tz-aware → the same instant as a NAIVE UTC datetime (the data
+    model's convention; session timezone is pinned to UTC). Naive
+    values pass through — they already carry UTC semantics."""
+    if t is None or t.tzinfo is None:
+        return t
+    return t.astimezone(dt.timezone.utc).replace(tzinfo=None)
 
 
 def _list_data_files(d: str) -> list[str]:
@@ -1434,9 +1448,7 @@ def atomic_overwrite(
             # built BEFORE the claim so it commits atomically with the
             # version it describes — the same contract as extra_files.
             vdir = os.path.join(path, version)
-            from sensapp_spark.storage import zonemap as _zm
-
-            _zm.refresh_zonemap(vdir, _list_data_files(vdir))
+            zm.refresh_zonemap(vdir, _list_data_files(vdir))
         if expected_seq is not None:
             _claim_commit(path, expected_seq + 1, version)
             claimed = True

@@ -57,9 +57,6 @@ ZONEMAP_VERSION = 1
 # unsound as exact bounds, so such entries are not recorded.
 MAX_STAT_LEN = 128
 
-_TIME_UNIT_US = {"ms": 1000, "us": 1, "ns": None}  # ns: integer-divide
-
-
 def file_stats(path: str) -> dict:
     """Footer statistics for one parquet data file: row count plus
     min/max of ``time`` (epoch microseconds) and ``sensor_id`` when the
@@ -88,7 +85,7 @@ def file_stats(path: str) -> dict:
                     complete_s = False
                 continue
             if name == "time":
-                lo, hi = _to_micros(st.min), _to_micros(st.max)
+                lo, hi = to_epoch_us(st.min), to_epoch_us(st.max)
                 if lo is None or hi is None:
                     complete_t = False
                     continue
@@ -115,10 +112,14 @@ def file_stats(path: str) -> dict:
     return out
 
 
-def _to_micros(v) -> int | None:
-    """Parquet timestamp stat → epoch microseconds. pyarrow surfaces
-    TIMESTAMP(MICROS/MILLIS/NANOS) stats as datetimes (tz-aware when
-    adjusted-to-UTC); INT96 carries no stats and never reaches here."""
+def to_epoch_us(v) -> int | None:
+    """Datetime (naive = UTC) or raw int → epoch microseconds; None
+    for anything else. THE shared conversion for both sides of a
+    zone-map comparison — the recorded bounds (parquet timestamp stats,
+    which pyarrow surfaces as datetimes, tz-aware when adjusted-to-UTC;
+    INT96 carries no stats and never reaches here) and the probe bounds
+    the lake derives from a query window — so the two can never drift
+    apart and turn a hint into a wrong prune."""
     import datetime as dt
 
     if isinstance(v, dt.datetime):
@@ -129,7 +130,7 @@ def _to_micros(v) -> int | None:
             (delta.days * 86400 + delta.seconds) * 1_000_000
             + delta.microseconds
         )
-    if isinstance(v, int):
+    if isinstance(v, int) and not isinstance(v, bool):
         return v
     return None
 

@@ -164,3 +164,23 @@ def test_stream_restart_does_not_replay_published_epochs(spark, tmp_path):
     )
     q2.awaitTermination(120)
     assert lake.values(SensorType.FLOAT).count() == 2
+
+
+def test_epoch_marker_namespaces_do_not_collide(spark, tmp_path):
+    """Sanitization-colliding stream ids ('/a/b_c' vs '/a/b/c') must
+    keep distinct epoch ledgers — the namespace is a hash of the id,
+    not a lossy character substitution (round-8 review)."""
+    lake = SensorLake(spark, str(tmp_path / "lake"))
+    b = _batch(spark, [("u1", T0, 1.0)])
+    lake.publish(b, epoch=("/ckpt/a_b", 0))
+    lake.publish(b, epoch=("/ckpt/a/b", 0))  # different stream!
+    assert lake.values(SensorType.FLOAT).count() == 2
+
+
+def test_epoch_marker_survives_very_long_stream_ids(spark, tmp_path):
+    lake = SensorLake(spark, str(tmp_path / "lake"))
+    sid = "/ckpt/" + "x" * 600  # far past NAME_MAX as one component
+    b = _batch(spark, [("u1", T0, 1.0)])
+    lake.publish(b, epoch=(sid, 0))
+    lake.publish(b, epoch=(sid, 0))
+    assert lake.values(SensorType.FLOAT).count() == 1

@@ -280,6 +280,45 @@ def test_extended_promql_binary(client):
     assert r.status_code == 400
 
 
+def test_extended_promql_nested_aggregation(client):
+    """Round-8 nested aggregations ride the same HTTP opt-in:
+    selection over reduction, reduction over selection, and the
+    didactic 400 for three levels. The selector names its metrics —
+    the module-scoped lake accumulates other tests' publishes, so a
+    bare .+ regex would sum foreign series."""
+    assert client.post(
+        "/publish", data=CSV, content_type="text/csv"
+    ).status_code == 200
+
+    # temperature max=21.0, humidity max=65.0. Selection over the
+    # reduction: topk(1, sum(…)) rides the ungrouped inner (86 total).
+    r = client.get(
+        "/api/v1/query?query="
+        "topk(1, sum(max_over_time({__name__=~'temperature|humidity'}[100000h])))"
+        "&extended=true"
+    )
+    assert r.status_code == 200
+    (row,) = r.get_json()["result"]
+    assert row["value"] == pytest.approx(86.0)
+
+    # Reduction over a selection keeps the value pipeline honest:
+    # topk(1) picks humidity's 65.0, the outer sum passes it through.
+    r = client.get(
+        "/api/v1/query?query="
+        "sum(topk(1, max_over_time({__name__=~'temperature|humidity'}[100000h])))"
+        "&extended=true"
+    )
+    assert r.status_code == 200
+    assert r.get_json()["result"][0]["value"] == pytest.approx(65.0)
+
+    # Three levels: didactic 400, not a 500.
+    r = client.get(
+        "/api/v1/query?query=sum(sum(sum(temperature)))&extended=true"
+    )
+    assert r.status_code == 400
+    assert "nested aggregation levels" in r.get_json()["error"]
+
+
 def test_extended_promql_round6_features(client):
     """Round-6 extended features ride the same HTTP opt-in: subqueries
     (pinning the WIDENED data window — the samples sit years before the

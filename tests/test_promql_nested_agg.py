@@ -177,3 +177,21 @@ def test_existing_single_agg_unchanged(frames):
     out = _run(frames, "sum by (region) (m)")
     got = {(r.region, r.value) for r in out.collect()}
     assert got == {("eu", 90.0), ("us", 60.0)}
+
+
+def test_binary_rejects_subquery_wrapped_nested(frames):
+    """A nested aggregation hiding inside a subquery operand loses the
+    series shape just like a bare one — didactic rejection, not an
+    opaque AnalysisException (round-8 review)."""
+    from sensapp_spark.query.promql_ext import (
+        evaluate_binary,
+        parse_extended_expr,
+    )
+
+    bq = parse_extended_expr(
+        "avg_over_time(sum(topk(2, m))[10m:5m]) + "
+        "max_over_time(m[10m])",
+        NOW,
+    )
+    with pytest.raises(PromQLError, match="Nested-aggregation"):
+        evaluate_binary(*frames, bq)

@@ -237,3 +237,26 @@ def test_values_sensor_ids_is_a_real_filter(spark, tmp_path, n_ids):
     d = lake.values(SensorType.FLOAT, sensor_ids=ids)
     got = {r.sensor_id for r in d.select("sensor_id").distinct().collect()}
     assert got == set(ids)
+
+
+def test_tz_aware_bounds_use_utc_instant(spark, tmp_path):
+    """A tz-aware start whose WALL-CLOCK month differs from its UTC
+    month must not drop the UTC-month's rows (round-8 review): the
+    month filters and the zone-map bounds both derive from the UTC
+    instant."""
+    lake = SensorLake(spark, str(tmp_path / "lake"))
+    # Sample at 2024-01-31T23:00Z — inside [start, end] below.
+    df = spark.createDataFrame(
+        [("edge", dt.datetime(2024, 1, 31, 23), 1.0)],
+        "sensor_id string, time timestamp, value double",
+    )
+    lake.append_values(SensorType.FLOAT, df)
+    # start = 2024-02-01T00:30+02:00 == 2024-01-31T22:30Z: wall-clock
+    # month "2024-02", UTC month "2024-01".
+    tz = dt.timezone(dt.timedelta(hours=2))
+    d = lake.values(
+        SensorType.FLOAT,
+        start=dt.datetime(2024, 2, 1, 0, 30, tzinfo=tz),
+        end=dt.datetime(2024, 2, 2, tzinfo=tz),
+    )
+    assert d.count() == 1
