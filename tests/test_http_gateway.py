@@ -373,6 +373,26 @@ def test_extended_promql_round6_features(client):
     assert "operands in binary" in r.get_json()["error"]
 
 
+def test_query_range_nested_aggregation(client):
+    """Round-8 nested aggregations range-evaluate over HTTP: the outer
+    level applies per step."""
+    assert client.post(
+        "/publish", data=CSV, content_type="text/csv"
+    ).status_code == 200
+    r = client.get(
+        "/api/v1/query_range?query="
+        "topk(1, sum(max_over_time("
+        "{__name__=~'temperature|humidity'}[1m])))"
+        "&start=2024-01-01T00:00:00Z&end=2024-01-01T00:02:00Z&step=120"
+    )
+    assert r.status_code == 200
+    rows = {row["t"][:19]: row["value"] for row in r.get_json()["result"]}
+    # step :00 → 20.5 + 65.0; step :02 → only temperature's 21.0 is in
+    # the 1m window.
+    assert rows["2024-01-01T00:00:00"] == pytest.approx(85.5)
+    assert rows["2024-01-01T00:02:00"] == pytest.approx(21.0)
+
+
 def test_query_range_endpoint(client):
     assert client.post(
         "/publish", data=CSV, content_type="text/csv"
