@@ -453,6 +453,27 @@ def create_app(
             headers={"Content-Encoding": "snappy"},
         )
 
+    def _probe_matched_ids(eq) -> list[str] | None:
+        """Bounded dimension probe for the zone-map file-skipping path
+        (storage/zonemap.py): when the extended query's selector
+        matches at most ZONEMAP_PROBE_MAX sensors, hand their ids to
+        ``lake.values`` so the FLOAT fact scan plans over the pruned
+        file list instead of every part file in the window. Returns
+        None (full scan) for over-cap matches or shapes without a
+        selector. Uses the SAME select_sensors the evaluator runs, so
+        the restricted scan is exactly the rows evaluation reads —
+        including the empty set (absent() still sees the absence)."""
+        from sensapp_spark.operators.selection import select_sensors
+        from sensapp_spark.storage.lake import ZONEMAP_PROBE_MAX
+
+        if eq.selector is None:
+            return None
+        sel = select_sensors(lake.sensors(), eq.selector.matchers)
+        rows = sel.select("sensor_id").limit(ZONEMAP_PROBE_MAX + 1).collect()
+        if len(rows) > ZONEMAP_PROBE_MAX:
+            return None
+        return [r.sensor_id for r in rows]
+
     @app.get("/api/v1/query")
     def promql_query():
         query = request.args.get("query")
@@ -516,7 +537,10 @@ def create_app(
                 try:
                     out = evaluate_extended(
                         lake.sensors(),
-                        lake.values(SensorType.FLOAT, start, end),
+                        lake.values(
+                            SensorType.FLOAT, start, end,
+                            sensor_ids=_probe_matched_ids(eq),
+                        ),
                         eq,
                     )
                 except PromQLError as e:
@@ -696,6 +720,7 @@ def create_app(
                     SensorType.FLOAT,
                     scan_lo,
                     scan_hi,
+                    sensor_ids=_probe_matched_ids(eq),
                 ),
                 eq,
                 start=start,
