@@ -159,6 +159,24 @@ def dedup_values(values: DataFrame) -> DataFrame:
     return values.dropDuplicates(["sensor_id", "time", "value"])
 
 
+def probe_sensor_rows(
+    selected: DataFrame, extra_cols: list[str] | None = None
+) -> list | None:
+    """THE bounded dimension probe for zone-map file skipping (shared
+    by :func:`query_all_types` and the HTTP PromQL paths so the cap
+    semantics can never diverge): collect at most PROBE_MAX+1 matched
+    rows; return them when the match fits under the cap, else None
+    (caller keeps the full scan + broadcast semi-join plan)."""
+    from sensapp_spark.storage.lake import ZONEMAP_PROBE_MAX
+
+    rows = (
+        selected.select("sensor_id", *(extra_cols or []))
+        .limit(ZONEMAP_PROBE_MAX + 1)
+        .collect()
+    )
+    return rows if len(rows) <= ZONEMAP_PROBE_MAX else None
+
+
 def query_all_types(
     lake,
     matchers: list[LabelMatcher],
@@ -191,13 +209,9 @@ def query_all_types(
     # the scan so the zone map FILE-SKIPS the fact table before any IO.
     # Over the cap, the broadcast semi-join below is the right plan and
     # the type set comes from the (cheaper) distinct collect instead.
-    probe = (
-        selected.select("sensor_id", "type")
-        .limit(ZONEMAP_PROBE_MAX + 1)
-        .collect()
-    )
+    probe = probe_sensor_rows(selected, extra_cols=["type"])
     ids_by_type: dict[str, list[str]] | None
-    if len(probe) <= ZONEMAP_PROBE_MAX:
+    if probe is not None:
         ids_by_type = {}
         for r in probe:
             ids_by_type.setdefault(r.type, []).append(r.sensor_id)

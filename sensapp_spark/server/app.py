@@ -50,7 +50,7 @@ from sensapp_spark.ingest.prometheus_write import (
 from sensapp_spark.ingest.senml_importer import SenMLError, ingest_senml
 from sensapp_spark.operators.catalog import metrics_list, series_list
 from sensapp_spark.operators.dcat import metrics_catalog, series_catalog
-from sensapp_spark.operators.selection import query_samples, time_range
+from sensapp_spark.operators.selection import query_samples
 from sensapp_spark.query.promql import PromQLError, parse_promql_query
 from sensapp_spark.storage.lake import SensorLake
 
@@ -463,14 +463,17 @@ def create_app(
         selector. Uses the SAME select_sensors the evaluator runs, so
         the restricted scan is exactly the rows evaluation reads —
         including the empty set (absent() still sees the absence)."""
-        from sensapp_spark.operators.selection import select_sensors
-        from sensapp_spark.storage.lake import ZONEMAP_PROBE_MAX
+        from sensapp_spark.operators.selection import (
+            probe_sensor_rows,
+            select_sensors,
+        )
 
         if eq.selector is None:
             return None
-        sel = select_sensors(lake.sensors(), eq.selector.matchers)
-        rows = sel.select("sensor_id").limit(ZONEMAP_PROBE_MAX + 1).collect()
-        if len(rows) > ZONEMAP_PROBE_MAX:
+        rows = probe_sensor_rows(
+            select_sensors(lake.sensors(), eq.selector.matchers)
+        )
+        if rows is None:
             return None
         return [r.sensor_id for r in rows]
 

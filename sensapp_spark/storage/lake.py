@@ -129,10 +129,16 @@ class SensorLake:
         # suppress another's publishes) and an over-long checkpoint
         # path would blow NAME_MAX as a single component (round-8
         # review). The digest is the namespace; a short sanitized
-        # suffix keeps the ledger dir human-greppable.
+        # suffix keeps the ledger dir human-greppable. No legacy-path
+        # fallback: the sanitized scheme never existed in a committed
+        # round, so no ledger on disk uses it. usedforsecurity=False:
+        # the digest is a directory name, and FIPS-enforcing OpenSSL
+        # builds refuse plain md5() (second review pass).
         import hashlib
 
-        digest = hashlib.md5(stream_id.encode()).hexdigest()
+        digest = hashlib.md5(
+            stream_id.encode(), usedforsecurity=False
+        ).hexdigest()
         hint = "".join(
             c if c.isalnum() or c in "-_." else "_" for c in stream_id
         )[-40:]
