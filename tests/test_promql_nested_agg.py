@@ -195,3 +195,23 @@ def test_binary_rejects_subquery_wrapped_nested(frames):
     )
     with pytest.raises(PromQLError, match="Nested-aggregation"):
         evaluate_binary(*frames, bq)
+
+
+def test_count_values_as_inner(frames):
+    """count_values produces a key-shaped frame whose keys include the
+    value-derived label — the outer may group by it."""
+    out = _run(frames, 'sum by (v) (count_values("v", m))')
+    # Latest per series: 0,10,20,30,40,50 — each value seen once, so
+    # every (v, count=1) group sums to 1.
+    got = {(r.v, r.value) for r in out.collect()}
+    assert got == {(float(i * 10), 1) for i in range(6)}
+    # And ungrouped: 6 distinct values, count 1 each, sum 6.
+    tot = _run(frames, 'sum(count_values("v", m))')
+    assert [r.value for r in tot.collect()] == [6]
+
+
+def test_sort_over_nested(frames):
+    out = _run(frames, "sort_desc(sum by (host) (m))")
+    assert [r.value for r in out.collect()] == [50.0, 40.0, 30.0, 20.0, 10.0, 0.0]
+    out2 = _run(frames, "sort(topk(2, sum by (region) (m)))")
+    assert [r.value for r in out2.collect()] == [60.0, 90.0]
