@@ -478,6 +478,45 @@ class SensorLake:
             **kw,
         )
 
+    def delete_where(
+        self, stype: SensorType, condition, **kw
+    ) -> None:
+        """Row-level DELETE (GDPR erasure, bad-batch retraction): keep
+        every row NOT matching ``condition`` (a Column or SQL string
+        over ``sensor_id``/``time``/``value``/``month``), as a
+        maintenance rewrite — the Spark analogue of the reference's
+        storage-level DELETE (src/storage/sqlite/storage.rs:632-661 is
+        the same rewrite shape for its dedup) and of Delta's
+        ``DELETE FROM``.
+
+        Concurrent-append safety comes from :meth:`_rewrite_table`'s
+        reconciliation contract FOR FREE: a late-landing append folded
+        out of the superseded version re-applies the transform, so
+        rows matching the predicate cannot resurrect through the fold
+        path. (An append STARTED after the delete commits is new data
+        and is kept — same as any engine.)
+
+        Erasure completeness, stated honestly: superseded versions
+        remain readable via ``at_seq`` until retention prunes them and
+        ``vacuum_orphans`` reclaims manifested dirs — a compliance
+        erasure is complete only after those pass. Call
+        ``vacuum_orphans(min_age_s=0)`` after the retention window (or
+        temporarily drop ``retain_generations`` to the minimum 2) to
+        bound the tail."""
+        cond = (
+            F.expr(condition) if isinstance(condition, str) else condition
+        )
+        # DELETE removes rows where the predicate is TRUE — a NULL
+        # evaluation (e.g. `value > 5` on a NULL sample) keeps the row,
+        # matching SQL DELETE three-valued logic; a bare `~cond` would
+        # silently drop it.
+        keep = ~F.coalesce(cond, F.lit(False))
+        self._rewrite_table(
+            self._values_path(stype),
+            lambda df: df.filter(keep),
+            **kw,
+        )
+
     def vacuum_orphans(self, min_age_s: float = 3600.0) -> dict[str, list[str]]:
         """Reclaim crashed writers' never-committed version dirs across
         every lake table (see :func:`vacuum_orphans` for the age-gated
