@@ -479,43 +479,59 @@ class SensorLake:
         )
 
     def delete_where(
-        self, stype: SensorType, condition, **kw
+        self, stype: SensorType, condition: str, **kw
     ) -> None:
         """Row-level DELETE (GDPR erasure, bad-batch retraction): keep
-        every row NOT matching ``condition`` (a Column or SQL string
+        every row NOT matching ``condition`` (an SQL boolean string
         over ``sensor_id``/``time``/``value``/``month``), as a
         maintenance rewrite — the Spark analogue of the reference's
         storage-level DELETE (src/storage/sqlite/storage.rs:632-661 is
         the same rewrite shape for its dedup) and of Delta's
         ``DELETE FROM``.
 
-        Concurrent-append safety comes from :meth:`_rewrite_table`'s
-        reconciliation contract FOR FREE: a late-landing append folded
-        out of the superseded version re-applies the transform, so
-        rows matching the predicate cannot resurrect through the fold
-        path. (An append STARTED after the delete commits is new data
-        and is kept — same as any engine.)
+        The condition must be an SQL STRING (not a Column): it is
+        persisted as a TOMBSTONE under ``_tombstones/`` so that a
+        laggard append which outlives the post-commit quiesce window —
+        and is therefore folded back by a LATER maintenance pass
+        (:meth:`_fold_manifest_extras`) — still has the predicate
+        applied; a Column object cannot be serialized for that replay.
+        Within :meth:`_rewrite_table` itself the fold scope is
+        ``late``-only, so rows appended AFTER the delete committed are
+        never re-filtered (an append started after the delete is new
+        data and is kept).
 
         Erasure completeness, stated honestly: superseded versions
         remain readable via ``at_seq`` until retention prunes them and
         ``vacuum_orphans`` reclaims manifested dirs — a compliance
-        erasure is complete only after those pass. Call
+        erasure is complete only after those pass (the same vacuum
+        retires tombstones once no superseded dir remains). Call
         ``vacuum_orphans(min_age_s=0)`` after the retention window (or
         temporarily drop ``retain_generations`` to the minimum 2) to
         bound the tail."""
-        cond = (
-            F.expr(condition) if isinstance(condition, str) else condition
-        )
+        if not isinstance(condition, str):
+            raise TypeError(
+                "delete_where() takes the predicate as an SQL string — "
+                "it must be persisted as a tombstone for late-append "
+                "folds, which a Column object cannot be; use e.g. "
+                "delete_where(st, \"sensor_id = 'x'\")."
+            )
+        path = self._values_path(stype)
         # DELETE removes rows where the predicate is TRUE — a NULL
         # evaluation (e.g. `value > 5` on a NULL sample) keeps the row,
         # matching SQL DELETE three-valued logic; a bare `~cond` would
         # silently drop it.
-        keep = ~F.coalesce(cond, F.lit(False))
         self._rewrite_table(
-            self._values_path(stype),
-            lambda df: df.filter(keep),
+            path,
+            lambda df: df.filter(_keep_expr(condition)),
+            fold_scope="late",
             **kw,
         )
+        # Tombstone AFTER the successful rewrite: it exists to protect
+        # the delete's result against later folds, not to pre-delete
+        # future data. (Crash before this line = the delete rewrite
+        # may or may not have committed; re-run delete_where — the
+        # rewrite is idempotent.)
+        _write_tombstone(path, condition)
 
     def vacuum_orphans(self, min_age_s: float = 3600.0) -> dict[str, list[str]]:
         """Reclaim crashed writers' never-committed version dirs across
@@ -581,6 +597,7 @@ class SensorLake:
         transform,
         max_retries: int = 5,
         quiesce_wait_s: float = 10.0,
+        fold_scope: str = "union",
         _test_after_plan=None,
     ) -> None:
         """Maintenance rewrite (dedupe / compaction) with APPEND
@@ -679,13 +696,30 @@ class SensorLake:
                     return
                 fold_attempts += 1
                 cur_seq, cur = read_committed(path)
-                merged = transform(
-                    self.spark.read.parquet(cur).unionByName(
-                        self.spark.read.option("basePath", data).parquet(
-                            *late
-                        )
-                    )
-                )
+                cur_df = self.spark.read.parquet(cur)
+                late_df = self.spark.read.option(
+                    "basePath", data
+                ).parquet(*late)
+                # Laggards folded here resolved the superseded version
+                # (seq = the pinned base): EARLIER deletes' tombstones
+                # apply to them exactly as in _fold_manifest_extras —
+                # a dedup/compaction fold must not resurrect rows a
+                # prior delete_where erased.
+                late_df = _apply_tombstones(path, late_df, seq)
+                if fold_scope == "late":
+                    # The transform filters ROWS independently (a
+                    # delete predicate): apply it to the late files
+                    # only. Re-applying it to `cur` would also hit
+                    # rows appended AFTER the main commit (appends
+                    # land in the current version without bumping the
+                    # seq) — destroying legitimately-new data (second
+                    # round-8 review pass, finding 2).
+                    merged = cur_df.unionByName(transform(late_df))
+                else:
+                    # Cross-set transforms (dedup, compaction) need
+                    # the whole union: a late duplicate must dedup
+                    # against current rows.
+                    merged = transform(cur_df.unionByName(late_df))
                 try:
                     atomic_overwrite(
                         merged, path,
@@ -711,10 +745,14 @@ class SensorLake:
         version dir after its rewrite's reconciliation finished — i.e.
         appends that resolved the old version and completed late. Rows
         are unioned into the live table as a plain append (conditional
-        commit); the manifest is advanced so the fold is idempotent and
-        the dir becomes vacuum-reclaimable. Dirs with live append
-        activity are skipped (their writer is still landing files —
-        next pass gets them)."""
+        commit) — EXCEPT that every registered DELETE TOMBSTONE
+        (:meth:`delete_where`) filters the folded rows first, so a
+        laggard append that outlived the delete's quiesce window cannot
+        resurrect erased rows (second round-8 review pass, finding 1).
+        The manifest is advanced so the fold is idempotent and the dir
+        becomes vacuum-reclaimable. Dirs with live append activity are
+        skipped (their writer is still landing files — next pass gets
+        them)."""
         if not os.path.isdir(path):
             return
         for d in sorted(os.listdir(path)):
@@ -738,10 +776,14 @@ class SensorLake:
                 cur_seq, cur_data = read_committed(path)
                 if cur_data is None:
                     break
+                extras_df = self.spark.read.option(
+                    "basePath", full
+                ).parquet(*extras)
+                extras_df = _apply_tombstones(
+                    path, extras_df, _version_seq(path, d)
+                )
                 merged = self.spark.read.parquet(cur_data).unionByName(
-                    self.spark.read.option("basePath", full).parquet(
-                        *extras
-                    )
+                    extras_df
                 )
                 try:
                     atomic_overwrite(
@@ -893,6 +935,7 @@ def dir_lock(path: str, timeout: float = 30.0):
 
 CURRENT_PTR = "_CURRENT"
 COMMITS_DIR = "_commits"
+TOMBSTONES_DIR = "_tombstones"
 
 
 class CommitConflict(Exception):
@@ -1035,6 +1078,111 @@ def _newest_mtime(d: str) -> float:
                     newest, os.path.getmtime(os.path.join(root, name))
                 )
     return newest
+
+
+def _keep_expr(condition_sql: str) -> F.Column:
+    """The KEEP filter for a DELETE predicate: NOT true, with NULL
+    evaluations keeping the row (SQL DELETE three-valued logic)."""
+    return ~F.coalesce(F.expr(condition_sql), F.lit(False))
+
+
+def _write_tombstone(path: str, condition_sql: str) -> None:
+    """Persist a DELETE predicate so later maintenance folds
+    (:meth:`SensorLake._fold_manifest_extras`) re-apply it to
+    late-landing appends that resolved a pre-delete version. One file
+    per delete under ``_tombstones/``, fsynced; named by the commit
+    seq current at write time (for operator forensics) plus a uuid
+    (two deletes in the same seq window must not collide)."""
+    tdir = os.path.join(path, TOMBSTONES_DIR)
+    os.makedirs(tdir, exist_ok=True)
+    seq, _ = read_committed(path)
+    name = f"{seq:08d}_{uuid_mod.uuid4().hex[:12]}.json"
+    tmp = os.path.join(tdir, f".{name}.tmp")
+    with open(tmp, "w") as f:
+        json.dump({"seq": seq, "condition": condition_sql}, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, os.path.join(tdir, name))
+    _fsync_dir(tdir)
+
+
+def _read_tombstones(path: str) -> list[tuple[int | None, str]]:
+    """Registered DELETE predicates for a table as (seq, condition)
+    pairs (unreadable/torn entries are skipped — a missing tombstone
+    degrades to the pre-tombstone behavior for that fold, never to an
+    error)."""
+    tdir = os.path.join(path, TOMBSTONES_DIR)
+    if not os.path.isdir(tdir):
+        return []
+    out = []
+    for name in sorted(os.listdir(tdir)):
+        if name.startswith(".") or not name.endswith(".json"):
+            continue
+        try:
+            with open(os.path.join(tdir, name)) as f:
+                doc = json.load(f)
+            cond = doc.get("condition")
+            seq = doc.get("seq")
+            if isinstance(cond, str):
+                out.append((seq if isinstance(seq, int) else None, cond))
+        except (OSError, ValueError):
+            continue
+    return out
+
+
+def _version_seq(path: str, version_name: str) -> int | None:
+    """Reverse commit-log lookup: the sequence number that committed
+    ``version_name``, or None if its entry has been pruned."""
+    for s in _log_entries(path):
+        with contextlib.suppress(OSError):
+            if _entry_version(path, s) == version_name:
+                return s
+    return None
+
+
+def _apply_tombstones(
+    path: str, df: DataFrame, dir_seq: int | None
+) -> DataFrame:
+    """Filter a to-be-folded frame through the DELETE tombstones that
+    APPLY to the superseded dir it came from: a tombstone written at
+    commit seq T covers appends that resolved a PRE-delete version
+    (dir seq < T) — the laggards whose rows the delete meant to erase.
+    Appends into the delete's own or a later version (dir seq >= T)
+    are post-delete data and must pass untouched. An unknown dir seq
+    (pruned log entry) applies every tombstone — erasure-biased, and
+    only reachable for dirs old enough that their log entries aged
+    out."""
+    for ts_seq, cond in _read_tombstones(path):
+        if dir_seq is not None and ts_seq is not None and dir_seq >= ts_seq:
+            continue
+        df = df.filter(_keep_expr(cond))
+    return df
+
+
+def _prune_tombstones(path: str) -> list[str]:
+    """Retire tombstones once they can no longer matter: a tombstone
+    protects against folds from SUPERSEDED manifested dirs, so when
+    none remain (and no append is in flight against one), every
+    registered predicate has been applied to everything it ever could
+    be. Returns the deleted names. Called by :func:`vacuum_orphans`
+    AFTER dir reclamation."""
+    tdir = os.path.join(path, TOMBSTONES_DIR)
+    if not os.path.isdir(tdir):
+        return []
+    for d in os.listdir(path):
+        full = os.path.join(path, d)
+        if (
+            d.startswith("v_")
+            and os.path.isdir(full)
+            and os.path.exists(os.path.join(full, RECONCILED_MANIFEST))
+        ):
+            return []  # a superseded dir still exists — keep them all
+    deleted = []
+    for name in os.listdir(tdir):
+        with contextlib.suppress(OSError):
+            os.unlink(os.path.join(tdir, name))
+            deleted.append(os.path.join(TOMBSTONES_DIR, name))
+    return deleted
 
 
 def _write_manifest(data_dir: str, files: set[str]) -> None:
@@ -1319,7 +1467,8 @@ def _prune_versions(path: str, seq: int, keep_generations: int = 2) -> None:
             # pointer, or an in-flight pointer temp is legacy data
             # (including Spark's hidden .crc shadows).
             if d.startswith(("v_", ".ptr_")) or d in (CURRENT_PTR,
-                                                      COMMITS_DIR):
+                                                      COMMITS_DIR,
+                                                      TOMBSTONES_DIR):
                 continue
             full = os.path.join(path, d)
             if os.path.isdir(full):
@@ -1402,6 +1551,9 @@ def vacuum_orphans(path: str, min_age_s: float = 3600.0) -> list[str]:
                     continue
                 os.unlink(full)
                 deleted.append(os.path.join(COMMITS_DIR, d))
+    # Delete tombstones retire once no superseded manifested dir
+    # remains to fold from (checked inside).
+    deleted.extend(_prune_tombstones(path))
     return deleted
 
 

@@ -1,16 +1,25 @@
 """Row-level DELETE (SensorLake.delete_where): GDPR erasure / bad-batch
-retraction as a maintenance rewrite. Reference anchor: the same rewrite
-shape as the reference's storage-level dedup DELETE
+retraction as a maintenance rewrite, with DELETE TOMBSTONES so erased
+rows cannot resurrect through ANY fold path — including laggard appends
+that outlive the post-commit quiesce window and are folded back by a
+later maintenance pass. Reference anchor: the same rewrite shape as the
+reference's storage-level dedup DELETE
 (src/storage/sqlite/storage.rs:632-661); Delta's ``DELETE FROM`` is the
-lakehouse analogue. Concurrent-append safety rides _rewrite_table's
-reconciliation contract — pinned here with the injection seam."""
+lakehouse analogue."""
 
 import datetime as dt
+import glob
+import os
+import shutil
 
-from pyspark.sql import functions as F
+import pytest
 
 from sensapp_spark.datamodel.types import SensorType
-from sensapp_spark.storage.lake import SensorLake
+from sensapp_spark.storage.lake import (
+    SensorLake,
+    TOMBSTONES_DIR,
+    resolve_table,
+)
 
 T0 = dt.datetime(2024, 1, 5, 10)
 
@@ -32,14 +41,14 @@ def test_delete_by_sensor(spark, tmp_path):
     assert got == [("b", 2.0)]
 
 
-def test_delete_accepts_column_predicates(spark, tmp_path):
+def test_delete_requires_sql_string(spark, tmp_path):
+    """Column predicates cannot be persisted as tombstones — didactic
+    TypeError instead of a silent weaker contract."""
+    from pyspark.sql import functions as F
+
     lake = SensorLake(spark, str(tmp_path / "lake"))
-    lake.append_values(
-        SensorType.FLOAT,
-        _vals(spark, [("a", T0, 1.0), ("a", T0, 9.0)]),
-    )
-    lake.delete_where(SensorType.FLOAT, F.col("value") > 5)
-    assert [r.value for r in lake.values(SensorType.FLOAT).collect()] == [1.0]
+    with pytest.raises(TypeError, match="SQL string"):
+        lake.delete_where(SensorType.FLOAT, F.col("value") > 5)
 
 
 def test_null_predicate_rows_are_kept(spark, tmp_path):
@@ -50,15 +59,15 @@ def test_null_predicate_rows_are_kept(spark, tmp_path):
         SensorType.FLOAT,
         _vals(spark, [("a", T0, None), ("a", T0, 9.0)]),
     )
-    lake.delete_where(SensorType.FLOAT, F.col("value") > 5)
+    lake.delete_where(SensorType.FLOAT, "value > 5")
     got = [r.value for r in lake.values(SensorType.FLOAT).collect()]
     assert got == [None]
 
 
 def test_concurrent_append_cannot_resurrect_deleted_rows(spark, tmp_path):
     """An append racing the delete (resolved the pre-delete version,
-    landed after the read-set pin) is folded through the SAME transform
-    — matching rows stay deleted, non-matching rows are kept."""
+    landed within the quiesce window) is folded through the delete
+    filter — matching rows stay deleted, non-matching rows are kept."""
     lake = SensorLake(spark, str(tmp_path / "lake"))
     lake.append_values(
         SensorType.FLOAT, _vals(spark, [("erase-me", T0, 1.0), ("b", T0, 2.0)])
@@ -80,6 +89,86 @@ def test_concurrent_append_cannot_resurrect_deleted_rows(spark, tmp_path):
         for r in lake.values(SensorType.FLOAT).collect()
     )
     assert got == [("b", 2.0), ("c", 3.0)]
+
+
+def test_laggard_fold_applies_tombstone(spark, tmp_path):
+    """THE second-review finding: an append that outlives the quiesce
+    window lands its files in the superseded manifested dir and is
+    folded by a LATER maintenance pass — the registered tombstone must
+    filter it there too, or erased rows resurrect permanently."""
+    root = str(tmp_path / "lake")
+    lake = SensorLake(spark, root)
+    lake.append_values(
+        SensorType.FLOAT, _vals(spark, [("erase-me", T0, 1.0), ("b", T0, 2.0)])
+    )
+    table = os.path.join(root, "float_values")
+    old_data = resolve_table(table)
+    lake.delete_where(SensorType.FLOAT, "sensor_id = 'erase-me'")
+    # Simulate the laggard: write a post-quiesce file with erased AND
+    # legitimate rows straight into the superseded manifested dir.
+    stage = str(tmp_path / "stage")
+    _vals(
+        spark, [("erase-me", T0, 9.0), ("d", T0, 4.0)]
+    ).createOrReplaceTempView("_lag")
+    spark.sql("SELECT * FROM _lag").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(stage)
+    (part,) = glob.glob(stage + "/*.parquet")
+    dest_dir = os.path.join(old_data, "month=2024-01")
+    os.makedirs(dest_dir, exist_ok=True)
+    shutil.copy(part, os.path.join(dest_dir, "laggard.parquet"))
+
+    # The next maintenance pass folds the laggard through the tombstone.
+    lake.vacuum_orphans(min_age_s=10_000.0)
+    got = sorted(
+        (r.sensor_id, r.value)
+        for r in lake.values(SensorType.FLOAT).collect()
+    )
+    assert got == [("b", 2.0), ("d", 4.0)]  # 'erase-me' stays erased
+
+
+def test_post_delete_appends_of_matching_rows_survive_folds(
+    spark, tmp_path
+):
+    """The fold scope is late-only: rows appended AFTER the delete
+    committed are new data — a fold triggered by a racing pre-delete
+    append must not re-filter them out of the current table."""
+    lake = SensorLake(spark, str(tmp_path / "lake"))
+    lake.append_values(
+        SensorType.FLOAT, _vals(spark, [("u", T0, 1.0), ("b", T0, 2.0)])
+    )
+
+    def inject():
+        # Pre-delete-resolved racing append: triggers the fold loop.
+        lake.append_values(SensorType.FLOAT, _vals(spark, [("u", T0, 7.0)]))
+
+    lake.delete_where(
+        SensorType.FLOAT, "sensor_id = 'u'", _test_after_plan=inject
+    )
+    # New data for the same key AFTER the erasure: legitimate.
+    lake.append_values(SensorType.FLOAT, _vals(spark, [("u", T0, 5.0)]))
+    # A maintenance dedup pass (its own whole-union transform) must
+    # keep the post-delete row.
+    lake.dedup_rewrite(SensorType.FLOAT)
+    got = sorted(
+        (r.sensor_id, r.value)
+        for r in lake.values(SensorType.FLOAT).collect()
+    )
+    assert got == [("b", 2.0), ("u", 5.0)]
+
+
+def test_tombstones_retire_with_vacuum(spark, tmp_path):
+    root = str(tmp_path / "lake")
+    lake = SensorLake(spark, root)
+    lake.append_values(SensorType.FLOAT, _vals(spark, [("a", T0, 1.0)]))
+    lake.delete_where(SensorType.FLOAT, "sensor_id = 'a'")
+    tdir = os.path.join(root, "float_values", TOMBSTONES_DIR)
+    assert os.listdir(tdir)
+    # Further commits age the superseded dirs out; vacuum reclaims
+    # them and then retires the tombstones.
+    lake.optimize(SensorType.FLOAT)
+    lake.vacuum_orphans(min_age_s=0.0)
+    assert not os.path.isdir(tdir) or not os.listdir(tdir)
 
 
 def test_deleted_rows_age_out_of_time_travel(spark, tmp_path):
