@@ -504,10 +504,13 @@ class SensorLake:
         remain readable via ``at_seq`` until retention prunes them and
         ``vacuum_orphans`` reclaims manifested dirs — a compliance
         erasure is complete only after those pass (the same vacuum
-        retires tombstones once no superseded dir remains). Call
-        ``vacuum_orphans(min_age_s=0)`` after the retention window (or
-        temporarily drop ``retain_generations`` to the minimum 2) to
-        bound the tail."""
+        retires tombstones once no superseded dir remains). To bound
+        the tail, run ``vacuum_orphans`` with a small ``min_age_s``
+        after the retention window — but only with writers QUIESCED:
+        ``min_age_s=0`` disables the age gate that distinguishes a
+        live appender's in-flight files from crash orphans, so running
+        it under concurrent appends can destroy their rows (third
+        review pass, finding 4)."""
         if not isinstance(condition, str):
             raise TypeError(
                 "delete_where() takes the predicate as an SQL string — "
@@ -519,19 +522,20 @@ class SensorLake:
         # DELETE removes rows where the predicate is TRUE — a NULL
         # evaluation (e.g. `value > 5` on a NULL sample) keeps the row,
         # matching SQL DELETE three-valued logic; a bare `~cond` would
-        # silently drop it.
+        # silently drop it. The tombstone is written by the rewrite's
+        # on_commit hook — inside the maintenance lock, stamped with
+        # the delete's own commit seq, and BEFORE the manifest that
+        # enables any fold — so there is no window in which a laggard
+        # can fold back unfiltered, and a table with no committed data
+        # never grows a tombstone (the rewrite returns before
+        # committing).
         self._rewrite_table(
             path,
             lambda df: df.filter(_keep_expr(condition)),
             fold_scope="late",
+            on_commit=lambda s: _write_tombstone(path, condition, s),
             **kw,
         )
-        # Tombstone AFTER the successful rewrite: it exists to protect
-        # the delete's result against later folds, not to pre-delete
-        # future data. (Crash before this line = the delete rewrite
-        # may or may not have committed; re-run delete_where — the
-        # rewrite is idempotent.)
-        _write_tombstone(path, condition)
 
     def vacuum_orphans(self, min_age_s: float = 3600.0) -> dict[str, list[str]]:
         """Reclaim crashed writers' never-committed version dirs across
@@ -598,6 +602,7 @@ class SensorLake:
         max_retries: int = 5,
         quiesce_wait_s: float = 10.0,
         fold_scope: str = "union",
+        on_commit=None,
         _test_after_plan=None,
     ) -> None:
         """Maintenance rewrite (dedupe / compaction) with APPEND
@@ -673,6 +678,13 @@ class SensorLake:
             # — from here on the superseded dir survives (vacuum-
             # reclaimed) no matter when this process dies, so a still-
             # in-flight append's rows cannot be destroyed with it.
+            if on_commit is not None:
+                # Post-commit metadata (delete tombstones) lands BEFORE
+                # the manifest: folds require the manifest, so no fold
+                # — this process's or a concurrent vacuum's — can run
+                # against the superseded dir without seeing it (third
+                # review pass, finding 3b).
+                on_commit(seq + 1)
             known = set(seen)
             _write_manifest(data, known)
             deadline = time.monotonic() + quiesce_wait_s
@@ -696,10 +708,18 @@ class SensorLake:
                     return
                 fold_attempts += 1
                 cur_seq, cur = read_committed(path)
-                cur_df = self.spark.read.parquet(cur)
                 late_df = self.spark.read.option(
                     "basePath", data
                 ).parquet(*late)
+                # Explicit schema (from the late files, which always
+                # exist here): a delete that matched every row commits
+                # an EMPTY version dir, and a schema-less read of it
+                # would die with UNABLE_TO_INFER_SCHEMA — wedging the
+                # very fold that protects the erasure (third review
+                # pass, finding 1).
+                cur_df = self.spark.read.schema(late_df.schema).parquet(
+                    cur
+                )
                 # Laggards folded here resolved the superseded version
                 # (seq = the pinned base): EARLIER deletes' tombstones
                 # apply to them exactly as in _fold_manifest_extras —
@@ -782,9 +802,11 @@ class SensorLake:
                 extras_df = _apply_tombstones(
                     path, extras_df, _version_seq(path, d)
                 )
-                merged = self.spark.read.parquet(cur_data).unionByName(
-                    extras_df
-                )
+                # Explicit schema for the same empty-current-version
+                # reason as _rewrite_table's fold loop.
+                merged = self.spark.read.schema(extras_df.schema).parquet(
+                    cur_data
+                ).unionByName(extras_df)
                 try:
                     atomic_overwrite(
                         merged, path,
@@ -1086,16 +1108,19 @@ def _keep_expr(condition_sql: str) -> F.Column:
     return ~F.coalesce(F.expr(condition_sql), F.lit(False))
 
 
-def _write_tombstone(path: str, condition_sql: str) -> None:
+def _write_tombstone(path: str, condition_sql: str, seq: int) -> None:
     """Persist a DELETE predicate so later maintenance folds
     (:meth:`SensorLake._fold_manifest_extras`) re-apply it to
-    late-landing appends that resolved a pre-delete version. One file
-    per delete under ``_tombstones/``, fsynced; named by the commit
-    seq current at write time (for operator forensics) plus a uuid
-    (two deletes in the same seq window must not collide)."""
+    late-landing appends that resolved a pre-delete version. ``seq``
+    is the DELETE'S OWN commit sequence (passed by the rewrite's
+    on_commit hook, inside the maintenance lock) — stamping the seq
+    current at some later time would inflate the tombstone's coverage
+    onto the delete's own result version, whose appends are
+    post-delete data (third review pass, finding 3a). One file per
+    delete under ``_tombstones/``, fsynced; uuid suffix so two deletes
+    in the same seq window cannot collide."""
     tdir = os.path.join(path, TOMBSTONES_DIR)
     os.makedirs(tdir, exist_ok=True)
-    seq, _ = read_committed(path)
     name = f"{seq:08d}_{uuid_mod.uuid4().hex[:12]}.json"
     tmp = os.path.join(tdir, f".{name}.tmp")
     with open(tmp, "w") as f:
@@ -1259,7 +1284,7 @@ def read_committed(path: str) -> tuple[int, str | None]:
         legacy = [
             d for d in os.listdir(path)
             if not (d.startswith(".") or d.startswith("v_")
-                    or d in (CURRENT_PTR, COMMITS_DIR))
+                    or d in (CURRENT_PTR, COMMITS_DIR, TOMBSTONES_DIR))
         ]
         if legacy:
             return 0, path

@@ -189,3 +189,37 @@ def test_deleted_rows_age_out_of_time_travel(spark, tmp_path):
     on_disk = [h["seq"] for h in lake.history(SensorType.FLOAT) if h["on_disk"]]
     assert pre_seq not in on_disk
     assert lake.values(SensorType.FLOAT).count() == 0
+
+
+def test_delete_everything_keeps_folds_alive(spark, tmp_path):
+    """A delete matching every row commits an EMPTY version — the fold
+    of a racing append must still work (schema comes from the late
+    files, not inference over the empty dir) and apply the filter."""
+    lake = SensorLake(spark, str(tmp_path / "lake"))
+    lake.append_values(SensorType.FLOAT, _vals(spark, [("a", T0, 1.0)]))
+
+    def inject():
+        lake.append_values(
+            SensorType.FLOAT, _vals(spark, [("a", T0, 2.0), ("b", T0, 3.0)])
+        )
+
+    lake.delete_where(SensorType.FLOAT, "true", _test_after_plan=inject)
+    assert lake.values(SensorType.FLOAT).count() == 0
+    # Maintenance over the (possibly empty) table keeps working.
+    lake.vacuum_orphans(min_age_s=10_000.0)
+    assert lake.values(SensorType.FLOAT).count() == 0
+
+
+def test_no_tombstone_on_empty_table_and_protocol_intact(spark, tmp_path):
+    """delete_where before any data is a no-op: no tombstone dir may
+    appear (it would trip read_committed's legacy-flat-dir detection
+    and de-version the table), and the first real append still commits
+    through the log."""
+    root = str(tmp_path / "lake")
+    lake = SensorLake(spark, root)
+    lake.delete_where(SensorType.FLOAT, "sensor_id = 'x'")
+    table = os.path.join(root, "float_values")
+    assert not os.path.isdir(os.path.join(table, TOMBSTONES_DIR))
+    lake.append_values(SensorType.FLOAT, _vals(spark, [("a", T0, 1.0)]))
+    assert lake.history(SensorType.FLOAT)  # versioned, not legacy-flat
+    assert lake.values(SensorType.FLOAT).count() == 1
