@@ -42,6 +42,7 @@ from sensapp_spark.datamodel.types import (
 )
 from sensapp_spark.ingest.csv_importer import IngestBatch
 from sensapp_spark.storage import zonemap as zm
+from sensapp_spark.storage.logstore import get_store
 
 MONTH_COL = "month"
 
@@ -94,34 +95,57 @@ class SensorLake:
         per micro-batch epoch — the sink half of Structured Streaming's
         exactly-once contract (``foreachBatch`` redelivers an epoch
         after a failed/killed batch; the source side replays from the
-        checkpoint). A marker under ``_epochs/<stream_id>/`` is claimed
-        with ``O_EXCL`` AFTER the publish lands, so a redelivered epoch
-        is skipped. Failure window, stated honestly: a crash BETWEEN
-        the append and the marker write replays the epoch as a
-        duplicate — erring on the at-least-once side, because the
-        opposite order (marker first) converts the same crash into
-        silent data LOSS. The duplicates are exact re-deliveries, which
-        ``dedup_rewrite`` (offline) or the ingest stream's
-        ``dropDuplicatesWithinWatermark`` (online) already remove;
-        Delta's transactional ``txnAppId``/``txnVersion`` is what
-        closes the window fully, and this marker maps 1:1 onto it."""
+        checkpoint). Two markers under ``_epochs/<stream_id>/``, both
+        claimed through the log store's conditional create:
+
+        * an IN-FLIGHT marker claimed BEFORE publishing — so two
+          CONCURRENT redeliveries of the same epoch cannot both append
+          (the round-8 check-then-act gap): the loser observes the
+          fresh claim and raises :class:`EpochInFlight` so its engine
+          redelivers later, by which time the winner's done marker has
+          landed. A crashed winner's in-flight marker goes stale after
+          ``_MARKER_STALE_S`` and the next redelivery takes it over
+          (last-writer-wins put — two takers racing the takeover can
+          both publish, which is the same at-least-once duplicate as
+          the crash window below, never a loss);
+        * a DONE marker claimed AFTER the publish lands, so a
+          redelivered completed epoch is skipped. Failure window,
+          stated honestly: a crash BETWEEN the append and the done
+          marker replays the epoch as a duplicate — erring on the
+          at-least-once side, because the opposite order (done marker
+          first) converts the same crash into silent data LOSS. The
+          duplicates are exact re-deliveries, which ``dedup_rewrite``
+          (offline) or the ingest stream's
+          ``dropDuplicatesWithinWatermark`` (online) already remove;
+          Delta's transactional ``txnAppId``/``txnVersion`` is what
+          closes the window fully, and the done marker maps 1:1 onto
+          it."""
+        store = get_store()
+        inflight = None
         if epoch is not None:
             marker = self._epoch_marker(*epoch)
-            if os.path.exists(marker):
+            if store.read(marker) is not None:
                 return
+            inflight = marker + ".inflight"
+            if not store.put_if_absent(inflight, uuid_mod.uuid4().bytes):
+                if store.read(marker) is not None:
+                    return  # the holder finished while we looked
+                age = _object_age_s(inflight)
+                if age is not None and age < _MARKER_STALE_S:
+                    raise EpochInFlight(
+                        f"epoch {epoch} has a live in-flight publisher "
+                        "— redeliver after it completes or goes stale"
+                    )
+                # Stale holder (crashed mid-publish): take the claim
+                # over. Unconditional put — see the docstring's
+                # at-least-once caveat.
+                store.put(inflight, uuid_mod.uuid4().bytes)
         self.upsert_sensors(batch.sensors)
         for stype, df in batch.values.items():
             self.append_values(stype, df)
         if epoch is not None:
-            os.makedirs(os.path.dirname(marker), exist_ok=True)
-            try:
-                fd = os.open(marker, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-            except FileExistsError:
-                return  # concurrent redelivery of the same epoch
-            try:
-                os.fsync(fd)
-            finally:
-                os.close(fd)
+            store.put_if_absent(marker, b"done")
+            store.delete(inflight)
 
     def _epoch_marker(self, stream_id: str, epoch_id: int) -> str:
         # Hash, don't sanitize: character substitution is non-injective
@@ -966,6 +990,23 @@ class CommitConflict(Exception):
     re-merge, retry."""
 
 
+class EpochInFlight(Exception):
+    """Another attempt of the same publish epoch holds a live in-flight
+    marker — redeliver the micro-batch after it completes (or its
+    marker goes stale and the next delivery takes it over)."""
+
+
+def _object_age_s(path: str) -> float | None:
+    """Seconds since the metadata object at ``path`` was last written,
+    or None if it cannot be statted (both log stores keep objects as
+    real local files; a pure object-store implementation reads
+    LastModified instead)."""
+    try:
+        return time.time() - os.path.getmtime(path)
+    except OSError:
+        return None
+
+
 def _is_stale_scan_error(exc: Exception) -> bool:
     """A Spark job failed because the files it planned against vanished
     mid-execution. Under the CAS protocol this happens when a pinned
@@ -1120,15 +1161,11 @@ def _write_tombstone(path: str, condition_sql: str, seq: int) -> None:
     delete under ``_tombstones/``, fsynced; uuid suffix so two deletes
     in the same seq window cannot collide."""
     tdir = os.path.join(path, TOMBSTONES_DIR)
-    os.makedirs(tdir, exist_ok=True)
     name = f"{seq:08d}_{uuid_mod.uuid4().hex[:12]}.json"
-    tmp = os.path.join(tdir, f".{name}.tmp")
-    with open(tmp, "w") as f:
-        json.dump({"seq": seq, "condition": condition_sql}, f)
-        f.flush()
-        os.fsync(f.fileno())
-    os.replace(tmp, os.path.join(tdir, name))
-    _fsync_dir(tdir)
+    get_store().put(
+        os.path.join(tdir, name),
+        json.dumps({"seq": seq, "condition": condition_sql}).encode(),
+    )
 
 
 def _read_tombstones(path: str) -> list[tuple[int | None, str]]:
@@ -1136,16 +1173,17 @@ def _read_tombstones(path: str) -> list[tuple[int | None, str]]:
     pairs (unreadable/torn entries are skipped — a missing tombstone
     degrades to the pre-tombstone behavior for that fold, never to an
     error)."""
+    store = get_store()
     tdir = os.path.join(path, TOMBSTONES_DIR)
-    if not os.path.isdir(tdir):
-        return []
     out = []
-    for name in sorted(os.listdir(tdir)):
+    for name in store.list(tdir):
         if name.startswith(".") or not name.endswith(".json"):
             continue
         try:
-            with open(os.path.join(tdir, name)) as f:
-                doc = json.load(f)
+            raw = store.read(os.path.join(tdir, name))
+            if raw is None:
+                continue
+            doc = json.loads(raw)
             cond = doc.get("condition")
             seq = doc.get("seq")
             if isinstance(cond, str):
@@ -1215,22 +1253,21 @@ def _write_manifest(data_dir: str, files: set[str]) -> None:
     superseding version already contains — paths relative to the version
     dir, so the manifest survives a lake root move."""
     rel = sorted(os.path.relpath(f, data_dir) for f in files)
-    tmp = os.path.join(data_dir, f".manifest_{uuid_mod.uuid4().hex}")
-    with open(tmp, "w") as f:
-        json.dump({"files": rel}, f)
-        f.flush()
-        os.fsync(f.fileno())
-    os.replace(tmp, os.path.join(data_dir, RECONCILED_MANIFEST))
+    get_store().put(
+        os.path.join(data_dir, RECONCILED_MANIFEST),
+        json.dumps({"files": rel}).encode(),
+    )
 
 
 def _read_manifest(data_dir: str) -> set[str] | None:
     """Absolute paths of the manifest's file set, or None if the dir was
     never superseded by a manifest-writing rewrite."""
-    p = os.path.join(data_dir, RECONCILED_MANIFEST)
+    raw = get_store().read(os.path.join(data_dir, RECONCILED_MANIFEST))
+    if raw is None:
+        return None
     try:
-        with open(p) as f:
-            rel = json.load(f)["files"]
-    except (OSError, ValueError, KeyError):
+        rel = json.loads(raw)["files"]
+    except (ValueError, KeyError):
         return None
     return {os.path.join(data_dir, r) for r in rel}
 
@@ -1249,18 +1286,22 @@ def _log_entries(path: str) -> list[int]:
     ascending (empty when the table predates the log or was never
     written)."""
     cdir = os.path.join(path, COMMITS_DIR)
-    if not os.path.isdir(cdir):
-        return []
     out = []
-    for d in os.listdir(cdir):
+    for d in get_store().list(cdir):
         if d.isdigit():
             out.append(int(d))
     return sorted(out)
 
 
 def _entry_version(path: str, seq: int) -> str:
-    with open(os.path.join(path, COMMITS_DIR, f"{seq:08d}")) as f:
-        return f.read().strip()
+    content = get_store().read(
+        os.path.join(path, COMMITS_DIR, f"{seq:08d}")
+    )
+    if content is None:
+        raise FileNotFoundError(
+            f"commit-log entry {seq} of {path} is absent or torn"
+        )
+    return content.decode().strip()
 
 
 def read_committed(path: str) -> tuple[int, str | None]:
@@ -1268,18 +1309,20 @@ def read_committed(path: str) -> tuple[int, str | None]:
     CAS read half: a writer merges against this dir and passes this seq
     as ``expected_seq`` to :func:`atomic_overwrite`.
 
-    Resolution order: highest commit-log entry (the cross-host
-    authority) → legacy ``_CURRENT`` pointer (pre-log tables, seq 0) →
-    legacy flat directory (seq 0) → ``(0, None)`` for a never-written
-    table."""
+    Resolution order: highest READABLE commit-log entry (the
+    cross-host authority; an unreadable top entry is a claim whose PUT
+    never completed — a crashed writer on the emulated object store —
+    and resolution falls back to its predecessor, exactly as if the
+    claim had not happened yet) → legacy ``_CURRENT`` pointer (pre-log
+    tables, seq 0) → legacy flat directory (seq 0) → ``(0, None)`` for
+    a never-written table."""
     entries = _log_entries(path)
-    if entries:
-        seq = entries[-1]
-        return seq, os.path.join(path, _entry_version(path, seq))
-    ptr = os.path.join(path, CURRENT_PTR)
-    if os.path.exists(ptr):
-        with open(ptr) as f:
-            return 0, os.path.join(path, f.read().strip())
+    for seq in reversed(entries):
+        with contextlib.suppress(OSError):
+            return seq, os.path.join(path, _entry_version(path, seq))
+    ptr_content = get_store().read(os.path.join(path, CURRENT_PTR))
+    if ptr_content is not None:
+        return 0, os.path.join(path, ptr_content.decode().strip())
     if os.path.isdir(path):
         legacy = [
             d for d in os.listdir(path)
@@ -1387,57 +1430,32 @@ def _fsync_dir(path: str) -> None:
 def _claim_commit(path: str, seq: int, version: str,
                   tolerate_existing: bool = False) -> None:
     """Atomically claim commit ``seq`` for ``version`` — the CAS
-    primitive. The entry file is prepared with its full content and
-    fsynced, then ``link(2)``-ed to the sequence-numbered name:
-    ``link`` fails with EEXIST if ANY writer (same host or not) already
-    claimed this sequence, and it is atomic on POSIX filesystems
-    including NFS — the classic cross-host mutex primitive that
-    ``flock`` (per-kernel) and ``O_EXCL``+write (content not atomic
-    with creation) cannot provide. A lost claim raises
-    :class:`CommitConflict`.
-
-    NFS hardening: a retransmitted ``link`` reply can surface as an
-    error even though the operation succeeded server-side, so on a
-    non-EEXIST error the link count of the source is checked
-    (``nlink == 2`` ⇒ our link landed)."""
+    primitive, expressed as the log store's CONDITIONAL CREATE
+    (``LogStore.put_if_absent``): exactly one writer, on any host,
+    creates the sequence-numbered entry object, content atomic with
+    creation. On POSIX that is a ``link(2)`` of a fsynced entry file
+    (atomic including NFS — the classic cross-host mutex that
+    ``flock``, per-kernel, and ``O_EXCL``+write, content not atomic
+    with creation, cannot provide); on an object store it is a
+    conditional PUT (S3 ``If-None-Match: *``). A lost claim raises
+    :class:`CommitConflict`."""
     cdir = os.path.join(path, COMMITS_DIR)
-    os.makedirs(cdir, exist_ok=True)
-    tmp = os.path.join(cdir, f".claim_{uuid_mod.uuid4().hex[:8]}")
-    with open(tmp, "w") as f:
-        f.write(version)
-        f.flush()
-        os.fsync(f.fileno())
-    target = os.path.join(cdir, f"{seq:08d}")
-    try:
-        os.link(tmp, target)
-    except FileExistsError:
-        if not tolerate_existing:
-            os.unlink(tmp)
-            raise CommitConflict(
-                f"commit {seq} of {path} was claimed by another writer"
-            ) from None
-    except OSError:
-        if os.stat(tmp).st_nlink != 2:
-            os.unlink(tmp)
-            raise
-    finally:
-        if os.path.exists(tmp):
-            os.unlink(tmp)
-    _fsync_dir(cdir)
+    created = get_store().put_if_absent(
+        os.path.join(cdir, f"{seq:08d}"), version.encode()
+    )
+    if not created and not tolerate_existing:
+        raise CommitConflict(
+            f"commit {seq} of {path} was claimed by another writer"
+        )
 
 
 def _flip_current(path: str, version: str) -> None:
     """Refresh the legacy ``_CURRENT`` pointer cache (pre-log readers;
-    also a human-friendly marker). Under concurrent cross-host writers
-    two flips can land out of order — harmless: every log-aware reader
-    prefers the commit log, and log-less readers predate the
-    concurrent-writer support."""
-    tmp = os.path.join(path, f".ptr_{uuid_mod.uuid4().hex[:8]}")
-    with open(tmp, "w") as f:
-        f.write(version)
-        f.flush()
-        os.fsync(f.fileno())
-    os.replace(tmp, os.path.join(path, CURRENT_PTR))
+    also a human-friendly marker) — an atomic last-writer-wins put.
+    Under concurrent cross-host writers two flips can land out of
+    order — harmless: every log-aware reader prefers the commit log,
+    and log-less readers predate the concurrent-writer support."""
+    get_store().put(os.path.join(path, CURRENT_PTR), version.encode())
 
 
 # Commit-log entries retained beyond the pruned versions (tiny files;
@@ -1477,15 +1495,28 @@ def _prune_versions(path: str, seq: int, keep_generations: int = 2) -> None:
         except OSError:
             continue  # concurrently pruned by another committer
         vdir = os.path.join(path, version)
-        if not os.path.exists(os.path.join(vdir, RECONCILED_MANIFEST)):
+        manifested = os.path.exists(
+            os.path.join(vdir, RECONCILED_MANIFEST)
+        )
+        if not manifested:
             # A MANIFESTED dir was superseded by a maintenance rewrite
             # and may still receive a late-landing append's files — the
             # commit path leaves it alone; vacuum_orphans reclaims it
             # age-gated once quiescent and fully folded.
             shutil.rmtree(vdir, ignore_errors=True)
         if s < seq - (keep_entries - 1):
-            with contextlib.suppress(OSError):
-                os.unlink(os.path.join(path, COMMITS_DIR, f"{s:08d}"))
+            if manifested and os.path.isdir(vdir):
+                # Keep the tiny log entry as long as the manifested dir
+                # survives: it is what lets a late fold resolve the
+                # dir's commit seq, so _apply_tombstones never has to
+                # fall back to its erasure-biased every-tombstone path
+                # for a dir that is still foldable (round-8 advisor,
+                # finding 4). vacuum_orphans reclaims dir and entry
+                # together.
+                continue
+            get_store().delete(
+                os.path.join(path, COMMITS_DIR, f"{s:08d}")
+            )
     if len(entries) >= 2:
         for d in os.listdir(path):
             # Everything that is not a version dir, the commit log, the
@@ -1519,10 +1550,9 @@ def vacuum_orphans(path: str, min_age_s: float = 3600.0) -> list[str]:
     for s in _log_entries(path):
         with contextlib.suppress(OSError):
             referenced.add(_entry_version(path, s))
-    ptr = os.path.join(path, CURRENT_PTR)
-    if os.path.exists(ptr):
-        with open(ptr) as f:
-            referenced.add(f.read().strip())
+    ptr_content = get_store().read(os.path.join(path, CURRENT_PTR))
+    if ptr_content is not None:
+        referenced.add(ptr_content.decode().strip())
     entries = _log_entries(path)
     current_version = None
     if entries:
@@ -1592,11 +1622,12 @@ def _backfill_legacy_entry(path: str) -> None:
     content, so a lost race is not a conflict."""
     if _log_entries(path):
         return
-    ptr = os.path.join(path, CURRENT_PTR)
-    if os.path.exists(ptr):
-        with open(ptr) as f:
-            legacy = f.read().strip()
-        _claim_commit(path, 0, legacy, tolerate_existing=True)
+    ptr_content = get_store().read(os.path.join(path, CURRENT_PTR))
+    if ptr_content is not None:
+        _claim_commit(
+            path, 0, ptr_content.decode().strip(),
+            tolerate_existing=True,
+        )
 
 
 def atomic_overwrite(

@@ -25,9 +25,11 @@ Design rules (all load-bearing for correctness):
 * The sidecar commits atomically. Rewrites build the map into the new
   version dir BEFORE the commit-log claim (same contract as the ANN
   codebook: a reader can never pair one version's data with another's
-  map). Append refreshes replace the JSON via temp + ``os.replace``
-  under a best-effort flock; a lost cross-host update degrades to
-  "files unknown", never to a wrong prune.
+  map). Append refreshes replace the JSON via the log store's atomic
+  put (``storage/logstore.py`` — temp + ``os.replace`` on POSIX,
+  conditional-PUT object on the emulated object store) under a
+  best-effort flock; a lost cross-host update degrades to "files
+  unknown", never to a wrong prune.
 * String statistics are used only when both bounds are short
   (< :data:`MAX_STAT_LEN`): the parquet writer may truncate long
   min/max to a prefix, and a truncated upper bound would make
@@ -47,7 +49,6 @@ is the same clustering idea expressed as a ClickHouse primary key).
 
 from __future__ import annotations
 
-import contextlib
 import json
 import os
 
@@ -139,11 +140,14 @@ def read_zonemap(data_dir: str) -> dict[str, dict] | None:
     """The version dir's sidecar as {relative file path: stats}, or
     ``None`` if absent/unreadable/wrong-version (all of which mean
     "no pruning", never an error)."""
-    p = os.path.join(data_dir, ZONEMAP_NAME)
+    from sensapp_spark.storage.logstore import get_store
+
+    raw = get_store().read(os.path.join(data_dir, ZONEMAP_NAME))
+    if raw is None:
+        return None
     try:
-        with open(p) as f:
-            doc = json.load(f)
-    except (OSError, ValueError):
+        doc = json.loads(raw)
+    except ValueError:
         return None
     if not isinstance(doc, dict) or doc.get("version") != ZONEMAP_VERSION:
         return None
@@ -152,22 +156,16 @@ def read_zonemap(data_dir: str) -> dict[str, dict] | None:
 
 
 def write_zonemap(data_dir: str, files: dict[str, dict]) -> None:
-    """Atomically replace the sidecar (temp + ``os.replace`` + dir
-    fsync): a concurrent reader sees the old complete map or the new
-    one, never torn JSON."""
+    """Atomically replace the sidecar (the log store's atomic put):
+    a concurrent reader sees the old complete map or the new one,
+    never torn JSON."""
+    from sensapp_spark.storage.logstore import get_store
+
     doc = {"version": ZONEMAP_VERSION, "files": files}
-    tmp = os.path.join(data_dir, f".{ZONEMAP_NAME}.tmp.{os.getpid()}")
-    with open(tmp, "w") as f:
-        json.dump(doc, f, separators=(",", ":"))
-        f.flush()
-        os.fsync(f.fileno())
-    os.replace(tmp, os.path.join(data_dir, ZONEMAP_NAME))
-    with contextlib.suppress(OSError):
-        fd = os.open(data_dir, os.O_RDONLY)
-        try:
-            os.fsync(fd)
-        finally:
-            os.close(fd)
+    get_store().put(
+        os.path.join(data_dir, ZONEMAP_NAME),
+        json.dumps(doc, separators=(",", ":")).encode(),
+    )
 
 
 def refresh_zonemap(data_dir: str, data_files: list[str]) -> dict[str, dict]:

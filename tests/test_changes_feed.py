@@ -184,3 +184,49 @@ def test_epoch_marker_survives_very_long_stream_ids(spark, tmp_path):
     lake.publish(b, epoch=(sid, 0))
     lake.publish(b, epoch=(sid, 0))
     assert lake.values(SensorType.FLOAT).count() == 1
+
+
+def test_concurrent_epoch_redelivery_is_fenced(spark, tmp_path):
+    """Two CONCURRENT redeliveries of one epoch (round-8 advisor: the
+    done-marker check was check-then-act): the second attempt finds the
+    first's fresh in-flight claim and raises EpochInFlight instead of
+    double-appending; once the first completes, a further redelivery
+    skips cleanly on the done marker."""
+    import pytest as _pytest
+
+    from sensapp_spark.storage.lake import EpochInFlight
+    from sensapp_spark.storage.logstore import get_store
+
+    lake = SensorLake(spark, str(tmp_path / "lake"))
+    b = _batch(spark, [("u1", T0, 1.0)])
+    marker = lake._epoch_marker("ckpt-c", 0)
+    # Simulate attempt #1 holding the in-flight claim mid-publish.
+    assert get_store().put_if_absent(marker + ".inflight", b"attempt1")
+    with _pytest.raises(EpochInFlight):
+        lake.publish(b, epoch=("ckpt-c", 0))
+    assert lake.values(SensorType.FLOAT).count() == 0  # nothing landed
+    # Attempt #1 finishes: done marker lands, in-flight released.
+    get_store().put_if_absent(marker, b"done")
+    get_store().delete(marker + ".inflight")
+    lake.publish(b, epoch=("ckpt-c", 0))  # redelivery → skipped
+    assert lake.values(SensorType.FLOAT).count() == 0
+
+
+def test_stale_inflight_epoch_is_taken_over(spark, tmp_path):
+    """A crashed publisher's in-flight marker (older than the stale
+    gate) must not wedge the epoch forever: the next redelivery takes
+    the claim over and publishes."""
+    import os as _os
+    import time as _time
+
+    from sensapp_spark.storage.logstore import get_store
+
+    lake = SensorLake(spark, str(tmp_path / "lake"))
+    b = _batch(spark, [("u1", T0, 1.0)])
+    marker = lake._epoch_marker("ckpt-d", 0)
+    inflight = marker + ".inflight"
+    assert get_store().put_if_absent(inflight, b"crashed")
+    old = _time.time() - 7200.0
+    _os.utime(inflight, (old, old))  # age past _MARKER_STALE_S
+    lake.publish(b, epoch=("ckpt-d", 0))
+    assert lake.values(SensorType.FLOAT).count() == 1
