@@ -53,9 +53,15 @@ def kmv_distinct(
 
     Plan shape: one distinct-cardinality shuffle (bounded by the
     number of distinct keys, not rows — map-side partial dedup), then
-    a per-group top-k window over hashes. At 100 TB prefer the
-    built-in ``approx_count_distinct`` (mergeable HLL++, no distinct
-    shuffle); this estimator exists to be oracle-replayable.
+    the k smallest hashes. GROUPED, that is a per-group window
+    (bounded by group sizes, Spark rewrites rank<=k windows to
+    WindowGroupLimit); UNGROUPED it is ``orderBy().limit(k)`` —
+    TakeOrderedAndProject, i.e. per-partition top-k merged on the
+    driver, NEVER a single-reducer global window (the round-8 watch
+    item: ``Window.partitionBy()`` with no keys funnels every distinct
+    hash through one task). At 100 TB prefer the built-in
+    ``approx_count_distinct`` (mergeable HLL++, no distinct shuffle);
+    this estimator exists to be oracle-replayable.
 
     Returns ``(by?, estimate double)``."""
     from pyspark.sql import Window
@@ -66,12 +72,13 @@ def kmv_distinct(
         .select(*group, portable_hash(F.col(key)).alias("__h"))
         .distinct()
     )
-    w = (
-        Window.partitionBy(*group) if group else Window.partitionBy()
-    ).orderBy("__h")
-    top = hashes.withColumn("__rn", F.row_number().over(w)).filter(
-        F.col("__rn") <= k
-    )
+    if group:
+        w = Window.partitionBy(*group).orderBy("__h")
+        top = hashes.withColumn("__rn", F.row_number().over(w)).filter(
+            F.col("__rn") <= k
+        )
+    else:
+        top = hashes.orderBy("__h").limit(k)
     agg = top.groupBy(*([by] if by else [])).agg(
         F.count("*").alias("__n"), F.max("__h").alias("__hk")
     )

@@ -28,6 +28,7 @@ from __future__ import annotations
 
 import datetime as dt
 import json
+import os
 
 from flask import Flask, Response, jsonify, request
 
@@ -462,13 +463,26 @@ def create_app(
         None (full scan) for over-cap matches or shapes without a
         selector. Uses the SAME select_sensors the evaluator runs, so
         the restricted scan is exactly the rows evaluation reads —
-        including the empty set (absent() still sees the absence)."""
+        including the empty set (absent() still sees the absence).
+
+        Skipped entirely — one driver-side stat, no Spark job — when
+        the scanned table version carries no zone-map sidecar: the
+        probe's collect() would then buy nothing (round-8 advisor,
+        finding 3)."""
         from sensapp_spark.operators.selection import (
             probe_sensor_rows,
             select_sensors,
         )
+        from sensapp_spark.storage import zonemap as zm
+        from sensapp_spark.storage.lake import resolve_table
+        from sensapp_spark.storage.logstore import get_store
 
         if eq.selector is None:
+            return None
+        data = resolve_table(lake._values_path(SensorType.FLOAT))
+        if data is None or not get_store().exists(
+            os.path.join(data, zm.ZONEMAP_NAME)
+        ):
             return None
         rows = probe_sensor_rows(
             select_sensors(lake.sensors(), eq.selector.matchers)

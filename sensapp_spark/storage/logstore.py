@@ -107,6 +107,13 @@ class LogStore:
         """Remove the object; absent is not an error."""
         raise NotImplementedError
 
+    def exists(self, path: str) -> bool:
+        """Cheap existence check (S3 HEAD). May report True for an
+        object whose PUT never completed — callers needing validated
+        content use :meth:`read`. Both local stores answer with one
+        stat."""
+        return os.path.exists(path)
+
 
 class PosixLogStore(LogStore):
     """The original POSIX mechanics, verbatim (correct on local

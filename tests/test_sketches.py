@@ -71,6 +71,19 @@ def test_kmv_grouped(keys):
         assert est > 0
 
 
+def test_ungrouped_kmv_has_no_global_window(keys):
+    """The ungrouped estimator must plan as TakeOrderedAndProject
+    (per-partition top-k merged on the driver) — a
+    ``Window.partitionBy()`` with no keys would funnel every distinct
+    hash through ONE task at 100 TB (round-8 watch item #2)."""
+    plan = (
+        kmv_distinct(keys, "k", k=256)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan
+
+
 def test_kmv_duplicates_do_not_inflate(spark):
     once = spark.range(500).select(F.format_string("d%d", "id").alias("k"))
     dup = once.unionByName(once).unionByName(once)

@@ -260,3 +260,43 @@ def test_tz_aware_bounds_use_utc_instant(spark, tmp_path):
         end=dt.datetime(2024, 2, 2, tzinfo=tz),
     )
     assert d.count() == 1
+
+
+def test_gateway_probe_skipped_without_sidecar(spark, tmp_path, monkeypatch):
+    """The extended-PromQL dimension probe (server/app.py
+    _probe_matched_ids) costs a blocking collect(); when the scanned
+    version has no zone-map sidecar the probe cannot prune anything,
+    so it must be skipped with one driver-side stat (round-8 advisor,
+    finding 3) — and fire again once a sidecar exists."""
+    from sensapp_spark import server
+    from sensapp_spark.server.app import create_app
+
+    lake, _ = _mk_lake(spark, tmp_path, months=(1,), sensors=2)
+    calls = {"n": 0}
+    real = None
+    import sensapp_spark.operators.selection as sel
+
+    real = sel.probe_sensor_rows
+
+    def counting(df):
+        calls["n"] += 1
+        return real(df)
+
+    monkeypatch.setattr(sel, "probe_sensor_rows", counting)
+    app = create_app(spark, lake)
+    app.testing = True
+    url = (
+        "/api/v1/query?extended=true"
+        "&query=sum(temperature%20@%201704276000)"
+    )
+    with app.test_client() as c:
+        # Sidecar present (append wrote it): probe fires.
+        r = c.get(url)
+        assert r.status_code == 200, r.get_json()
+        assert calls["n"] == 1
+        # Remove the sidecar: same query, probe skipped.
+        os.remove(os.path.join(_data_dir(lake), zm.ZONEMAP_NAME))
+        r = c.get(url)
+        assert r.status_code == 200, r.get_json()
+        assert calls["n"] == 1
+    del server
