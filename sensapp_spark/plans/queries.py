@@ -1568,6 +1568,23 @@ def gapfill_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(MIN(COALESCE(c.cnt, 0)) AS DOUBLE)
     FROM pr p LEFT JOIN counters c USING (row, bucket)
     GROUP BY p.sensor_id
+    UNION ALL
+    SELECT 'kmv_sidecar', NULL, NULL,
+           ROUND(CASE WHEN COUNT(*) < 256
+                      THEN CAST(COUNT(*) AS DOUBLE)
+                      ELSE (255.0 * 1152921504606846976.0) / MAX(h)
+                 END, 6)
+    FROM (
+        SELECT h, row_number() OVER (ORDER BY h) AS rn
+        FROM (
+            SELECT DISTINCT
+                   CAST(CONCAT('0x', SUBSTR(md5(sensor_id), 1, 15))
+                        AS UBIGINT) AS h
+            FROM vals
+            WHERE event_id % 10 = 0
+              AND (value IS NULL OR isfinite(value))
+        )
+    ) WHERE rn <= 256
     """,
 )
 def catalog_metrics_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1587,16 +1604,28 @@ def catalog_metrics_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     * ``cms_rows`` (round 8): count-min row-count estimate for every
       catalog sensor from a d×w=2×8192-counter summary — the per-key
       frequency a driver can hold for a table it cannot groupBy.
+    * ``kmv_sidecar`` (round 9): the PERSISTED sketch path — a real
+      SensorLake is written (10×-thinned values, like the Q8 entry)
+      and the distinct-series estimate is folded from the per-file KMV
+      sketches in the zone-map sidecar (``storage/zonemap.py``),
+      touching ZERO data files at query time; the oracle replays the
+      identical estimator over the same rows, proving fold == scan.
 
     Sketch math hand-checkable: estimates are ≥-true-count (CMS) /
     unbiased around truth (KMV), and at testdata scale collisions are
     rare so most estimates equal the exact values the rollup arms
     produce."""
+    import os
+    import shutil
+    import tempfile
+
+    from sensapp_spark.datamodel.types import SensorType
     from sensapp_spark.operators.sketches import (
         cms_build,
         cms_estimate,
         kmv_distinct,
     )
+    from sensapp_spark.storage.lake import SensorLake
 
     sensors = td.events_sensors(spark, sf_dir)
     vals = td.events_values(spark, sf_dir)
@@ -1636,7 +1665,32 @@ def catalog_metrics_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("string").alias("key_b"),
         F.col("estimate").alias("value"),
     )
-    return r_series.unionByName(r_rows).unionByName(kmv).unionByName(cms)
+    # kmv_sidecar: write a thinned lake, fold the PERSISTED per-file
+    # sketches — query-time IO is the sidecar JSON only. append_values
+    # drops non-finite floats, which the oracle replays (isfinite).
+    base = os.path.join(
+        tempfile.gettempdir(),
+        "sensapp_kmv_lake_" + os.path.basename(os.path.normpath(sf_dir)),
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    lake = SensorLake(spark, base)
+    lake.append_values(
+        SensorType.FLOAT,
+        vals.filter(F.col("event_id") % 10 == 0)
+        .drop("event_id")
+        .coalesce(8),
+    )
+    est = lake.sketch_distinct_series(SensorType.FLOAT)
+    sidecar = spark.createDataFrame(
+        [("kmv_sidecar", None, None, float(est))],
+        "op string, key_a string, key_b string, value double",
+    )
+    return (
+        r_series.unionByName(r_rows)
+        .unionByName(kmv)
+        .unionByName(cms)
+        .unionByName(sidecar)
+    )
 
 
 @register(

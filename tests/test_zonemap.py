@@ -300,3 +300,69 @@ def test_gateway_probe_skipped_without_sidecar(spark, tmp_path, monkeypatch):
         assert r.status_code == 200, r.get_json()
         assert calls["n"] == 1
     del server
+
+
+# -- persisted per-file KMV sketches (round 9) ----------------------------
+
+
+def test_sidecar_fold_equals_scan_based_kmv(spark, tmp_path):
+    """The persisted-sketch contract: folding the per-file KMV sets
+    from the sidecar gives EXACTLY the scan-based kmv_distinct
+    estimate (per-file k-minima merge losslessly), with zero data
+    files opened at query time."""
+    from sensapp_spark.operators.sketches import kmv_distinct
+
+    lake, _ = _mk_lake(spark, tmp_path, months=(1, 2), sensors=30)
+    folded = lake.sketch_distinct_series(SensorType.FLOAT)
+    (scan,) = kmv_distinct(
+        lake.values(SensorType.FLOAT), "sensor_id"
+    ).collect()
+    assert folded == scan.estimate == 30.0  # < k=256 → exact
+
+
+def test_sidecar_fold_survives_appends_and_optimize(spark, tmp_path):
+    lake, _ = _mk_lake(spark, tmp_path, months=(1,), sensors=10)
+    lake.append_values(
+        SensorType.FLOAT,
+        spark.createDataFrame(
+            [(f"extra-{i}", dt.datetime(2024, 2, 1), 1.0) for i in range(5)],
+            "sensor_id string, time timestamp, value double",
+        ),
+    )
+    assert lake.sketch_distinct_series(SensorType.FLOAT) == 15.0
+    lake.optimize(SensorType.FLOAT, quiesce_wait_s=0.2)
+    assert lake.sketch_distinct_series(SensorType.FLOAT) == 15.0
+
+
+def test_sidecar_fold_refuses_partial_coverage(spark, tmp_path):
+    """A sketch-less entry (pre-round-9 writer) must yield None, never
+    a silent undercount — the same hint-not-authority rule as
+    pruning."""
+    lake, _ = _mk_lake(spark, tmp_path, months=(1,), sensors=4)
+    data = _data_dir(lake)
+    doc = json.load(open(os.path.join(data, zm.ZONEMAP_NAME)))
+    first = next(iter(doc["files"]))
+    del doc["files"][first]["kmv"]
+    zm.write_zonemap(data, doc["files"])
+    assert lake.sketch_distinct_series(SensorType.FLOAT) is None
+
+
+def test_per_file_kmv_uses_portable_hash(spark, tmp_path):
+    """The persisted hashes must be the same md5-prefix construction
+    Spark and DuckDB replay — pin one value end to end."""
+    import hashlib
+
+    lake = SensorLake(spark, str(tmp_path / "lake"))
+    lake.append_values(
+        SensorType.FLOAT,
+        spark.createDataFrame(
+            [("pinned-sensor", dt.datetime(2024, 1, 1), 1.0)],
+            "sensor_id string, time timestamp, value double",
+        ),
+    )
+    doc = json.load(open(os.path.join(_data_dir(lake), zm.ZONEMAP_NAME)))
+    (st,) = doc["files"].values()
+    want = int(
+        hashlib.md5(b"pinned-sensor").hexdigest()[:15], 16
+    )
+    assert st["kmv"] == [want]
