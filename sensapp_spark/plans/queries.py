@@ -677,6 +677,13 @@ def promql_ext_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT region_label AS region, user_label, SUM(value) AS value
         FROM sums GROUP BY 1, 2)
     GROUP BY region
+    UNION ALL
+    SELECT 'triple_sum_topk', CAST(NULL AS VARCHAR), ROUND(SUM(value), 6)
+    FROM (
+        SELECT region, value,
+               row_number() OVER (ORDER BY value DESC, region) AS rn
+        FROM (SELECT region_label AS region, SUM(value) AS value
+              FROM sums GROUP BY 1)) WHERE rn <= 2
     """,
 )
 def promql_ext_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -693,6 +700,9 @@ def promql_ext_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
       selection (series-shaped inner keeps its label map).
     * ``nested_max_by``: ``max by (region) (sum by (region, user) (…))``
       — outer keys a subset of inner keys, column-shaped all the way.
+    * ``triple_sum_topk`` (round 9): ``sum(topk(2, sum by (region)
+      (…)))`` — the permitted THIRD level ("total held by the top
+      k"), an ungrouped plain reduction over the level-2 sampler.
 
     Prometheus evaluates nesting inner-first (promql/engine.go); the
     oracle replays each level as its own SQL window/grouping."""
@@ -717,6 +727,11 @@ def promql_ext_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max by (region) (sum by (region, user) "
             "(sum_over_time(click[31d])))",
             "region",
+        ),
+        (
+            "triple_sum_topk",
+            "sum(topk(2, sum by (region) (sum_over_time(click[31d]))))",
+            None,
         ),
     ]
     parts = []

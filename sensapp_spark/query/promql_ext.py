@@ -216,6 +216,11 @@ class ExtendedQuery:
     outer_post: list[tuple[str, float | None]] = field(
         default_factory=list
     )
+    # THIRD nesting level (round 9): an UNGROUPED plain reduction over
+    # a topk/bottomk sampler — sum(topk(5, sum by (x)(rate(m[5m])))),
+    # the one dashboard triple ("total held by the top k"). Everything
+    # deeper or wider stays parse-rejected.
+    outer2_agg: str | None = None
 
 
 @dataclass
@@ -579,16 +584,35 @@ def _nest_aggregation(
       ungrouped outer reduction is meaningful; grouped outers are
       rejected with the remedy (group the inner with ``by``).
 
-    Three levels are rejected (no dashboard shape needs them), as are
-    ``count_values``/``limitk``/``limit_ratio`` as the outer level and
-    outers over aggregated histogram functions."""
+    A THIRD level is permitted for exactly one shape (round 9): an
+    UNGROUPED plain reduction (sum/avg/min/max/count/group) over a
+    ``topk``/``bottomk`` second level — ``sum(topk(5, sum by (x)
+    (rate(m[5m]))))``, the "total held by the top k" dashboard
+    triple. Anything deeper or wider is rejected, as are
+    ``count_values``/``limitk``/``limit_ratio`` as the outer level
+    and outers over aggregated histogram functions."""
     import dataclasses
 
     if sub.outer_agg is not None:
+        if (
+            sub.outer2_agg is None
+            and not sub.outer_post
+            and sub.outer_agg in ("topk", "bottomk")
+            and head in ("sum", "avg", "min", "max", "count", "group")
+            and mode is None
+        ):
+            # (outer_post must be empty: sum(abs(topk(...))) would
+            # need the wrapper BETWEEN levels, but outer_post applies
+            # after the whole nest — reject rather than misorder.)
+            # The permitted triple: plain ungrouped reduction over the
+            # level-2 sampler's selected rows.
+            return dataclasses.replace(sub, outer2_agg=head)
         raise PromQLError(
             "aggregation",
-            "More than two nested aggregation levels are not "
-            "supported — flatten the inner levels.",
+            "Nested aggregations deeper than two levels are only "
+            "supported as an ungrouped plain reduction over a "
+            "topk/bottomk sampler (e.g. sum(topk(5, sum by (x) "
+            "(...)))) — flatten the inner levels otherwise.",
         )
     if head == "count_values" or head in LIMIT_AGGS:
         raise PromQLError(
@@ -2078,7 +2102,9 @@ def _finish_instant(out: DataFrame, eq: ExtendedQuery) -> DataFrame:
     outer_post)."""
     res = _finish_instant_core(out, eq)
     if eq.outer_agg is not None:
-        res = _apply_post(_apply_outer_agg(res, eq), eq.outer_post)
+        res = _apply_post(
+            _apply_outer2(_apply_outer_agg(res, eq), eq), eq.outer_post
+        )
     return res
 
 
@@ -2214,6 +2240,24 @@ def _apply_outer_agg(out: DataFrame, eq: ExtendedQuery) -> DataFrame:
             agg_col = agg_col.cast("long")
     grouped = out.groupBy(*keys, *step_keys)
     return grouped.agg(agg_col.alias("value"))
+
+
+def _apply_outer2(out: DataFrame, eq: ExtendedQuery) -> DataFrame:
+    """The permitted THIRD nesting level (round 9): an ungrouped plain
+    reduction over the level-2 topk/bottomk sampler's selected rows —
+    per step on a range input. Output shape matches an ungrouped
+    reduction (one row, or one row per ``t``), which every downstream
+    consumer already handles."""
+    if eq.outer2_agg is None:
+        return out
+    step_keys = [F.col("t")] if "t" in out.columns else []
+    if eq.outer2_agg == "group":
+        agg_col = F.max(F.lit(1.0))
+    else:
+        agg_col = _AGG_FNS[eq.outer2_agg]("value")
+        if eq.outer2_agg == "count":
+            agg_col = agg_col.cast("long")
+    return out.groupBy(*step_keys).agg(agg_col.alias("value"))
 
 
 def data_window(eq: ExtendedQuery) -> tuple[dt.datetime, dt.datetime]:
@@ -2701,7 +2745,9 @@ def _finish_range(out: DataFrame, eq: ExtendedQuery, t_col) -> DataFrame:
     aggregation's outer level applies per step, after the inner."""
     res = _finish_range_core(out, eq, t_col)
     if eq.outer_agg is not None:
-        res = _apply_post(_apply_outer_agg(res, eq), eq.outer_post)
+        res = _apply_post(
+            _apply_outer2(_apply_outer_agg(res, eq), eq), eq.outer_post
+        )
     return res
 
 

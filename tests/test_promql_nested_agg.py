@@ -215,3 +215,71 @@ def test_sort_over_nested(frames):
     assert [r.value for r in out.collect()] == [50.0, 40.0, 30.0, 20.0, 10.0, 0.0]
     out2 = _run(frames, "sort(topk(2, sum by (region) (m)))")
     assert [r.value for r in out2.collect()] == [60.0, 90.0]
+
+
+# -- the permitted third level (round 9) ----------------------------------
+
+
+def test_triple_sum_over_topk_of_grouped_sum(frames):
+    """sum(topk(1, sum by (region)(m))) — the 'total held by the top
+    k' dashboard triple: region sums are eu=90, us=60; topk(1) keeps
+    eu; outer sum = 90."""
+    out = _run(frames, "sum(topk(1, sum by (region) (m)))")
+    assert out.columns == ["value"]
+    assert [r.value for r in out.collect()] == [90.0]
+    # k wider than the groups: total of all groups.
+    assert [
+        r.value
+        for r in _run(frames, "sum(topk(5, sum by (region) (m)))").collect()
+    ] == [150.0]
+
+
+def test_triple_other_reductions(frames):
+    assert [
+        r.value
+        for r in _run(
+            frames, "avg(bottomk(2, sum by (host) (m)))"
+        ).collect()
+    ] == [5.0]  # host sums {0,10,20,30,40,50} → bottomk(2)={0,10}
+    assert [
+        r.value
+        for r in _run(
+            frames, "count(topk(3, sum by (host) (m)))"
+        ).collect()
+    ] == [3]
+
+
+def test_triple_parse_fields():
+    eq = parse_extended(
+        "sum(topk(2, sum by (region) (rate(m[5m]))))", NOW
+    )
+    assert eq.agg == "sum" and eq.by == ["region"]
+    assert eq.outer_agg == "topk" and eq.outer_param == 2.0
+    assert eq.outer2_agg == "sum"
+    assert needs_extended(eq)
+
+
+def test_triple_range(frames):
+    eq = parse_extended("sum(topk(1, sum by (region) (m)))", NOW)
+    out = evaluate_range(
+        *frames, eq, NOW - dt.timedelta(minutes=10), NOW, 300, now=NOW
+    )
+    assert out.columns == ["t", "value"]
+    assert [tuple(r) for r in out.collect()] == [(NOW, 90.0)]
+
+
+@pytest.mark.parametrize(
+    "bad",
+    [
+        "sum(sum(sum(m)))",                       # still: no plain triple
+        "sum by (region) (topk(1, sum by (region) (m)))",  # grouped L3
+        "topk(1, topk(1, sum by (region) (m)))",  # sampler over sampler
+        "sum(sum(topk(1, sum by (region) (m))))",  # four levels
+        "quantile(0.5, topk(1, sum by (region) (m)))",  # param'd L3
+        "sum(abs(topk(1, sum by (region) (m))))",  # wrapper between
+    ],
+)
+def test_triple_rejections_stay_didactic(bad):
+    with pytest.raises(PromQLError) as e:
+        parse_extended(bad, NOW)
+    assert e.value.kind == "aggregation"
