@@ -316,7 +316,7 @@ def test_extended_promql_nested_aggregation(client):
         "/api/v1/query?query=sum(sum(sum(temperature)))&extended=true"
     )
     assert r.status_code == 400
-    assert "nested aggregation levels" in r.get_json()["error"]
+    assert "deeper than two levels" in r.get_json()["error"]
 
 
 def test_extended_promql_round6_features(client):
