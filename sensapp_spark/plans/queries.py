@@ -813,6 +813,42 @@ def promql_ext_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY sensor_id
     UNION ALL
     SELECT 'time_const', CAST(NULL AS VARCHAR), 1706745600.0
+    UNION ALL
+    SELECT 'mad', sensor_id, ROUND(mad(value), 6)
+    FROM vals
+    WHERE time >= TIMESTAMP '2024-01-01'
+      AND time <= TIMESTAMP '2024-02-01'
+      AND sensor_id IN (SELECT sensor_id FROM sensors WHERE name = 'view')
+    GROUP BY sensor_id
+    UNION ALL
+    SELECT 'holt_winters', sensor_id,
+           -- State rides a DOUBLE[4] list [s0, s1, b, i] rather than a
+           -- struct: DuckDB 1.0's list_reduce mis-binds struct
+           -- accumulator fields (a probe shows {'p': a.q, 'q': a.q+b.p}
+           -- assigning q's value to p); list elements bind correctly.
+           ROUND((list_reduce(
+             [[0.0::DOUBLE, vs[1], vs[2] - vs[1], 0.0]] ||
+             list_transform(vs[2:], x -> [0.0::DOUBLE, x, 0.0, 0.0]),
+             (acc, e) -> [
+               acc[2],
+               0.5 * e[2] + (1.0 - 0.5) * (acc[2] +
+                     CASE WHEN acc[4] = 0 THEN acc[3]
+                          ELSE 0.25 * (acc[2] - acc[1])
+                               + (1.0 - 0.25) * acc[3] END),
+               CASE WHEN acc[4] = 0 THEN acc[3]
+                    ELSE 0.25 * (acc[2] - acc[1])
+                         + (1.0 - 0.25) * acc[3] END,
+               acc[4] + 1.0
+             ]))[2], 6) AS value
+    FROM (
+        SELECT sensor_id, list(value::DOUBLE ORDER BY time, value) AS vs
+        FROM vals
+        WHERE time >= TIMESTAMP '2024-01-01'
+          AND time <= TIMESTAMP '2024-02-01'
+          AND sensor_id IN (SELECT sensor_id FROM sensors
+                            WHERE name = 'click')
+        GROUP BY sensor_id
+        HAVING COUNT(*) >= 2)
     """,
 )
 def promql_ext_instant(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -862,6 +898,16 @@ def promql_ext_instant(spark: SparkSession, sf_dir: str) -> DataFrame:
         # Round 7: time() — the evaluation timestamp as a constant
         # 1-row vector (2024-02-01 UTC = 1706745600).
         ("time_const", "time()"),
+        # Round 9: the last two range functions — mad_over_time
+        # (median absolute deviation, Prometheus 3.x; DuckDB's mad()
+        # is the same interpolated-median definition) and
+        # holt_winters/double_exponential_smoothing (the
+        # promql/functions.go funcHoltWinters recurrence as one JVM
+        # `aggregate` fold; the oracle replays the identical left
+        # fold with list_reduce). tf=0.25 is exactly representable,
+        # so both folds are bit-identical before rounding.
+        ("mad", "mad_over_time(view[31d])"),
+        ("holt_winters", "holt_winters(click[31d], 0.5, 0.25)"),
     ]
     parts = [
         (

@@ -475,3 +475,103 @@ def test_offset_window_excludes_recent_samples(spark, frames):
     out = {r.sensor_id: r.value for r in _eval(
         spark, frames, "sum_over_time(m[1h] offset 45m)").collect()}
     assert out == {"s1": 1.0, "s2": 2.0, "s3": 7.0}
+
+
+def _hw_reference(samples, sf, tf):
+    """Pure-Python port of Prometheus promql/functions.go
+    funcHoltWinters — the oracle for the DataFrame fold."""
+    s0, s1, b = 0.0, samples[0], samples[1] - samples[0]
+    for i in range(1, len(samples)):
+        x = sf * samples[i]
+        if i - 1 != 0:
+            b = tf * (s1 - s0) + (1.0 - tf) * b
+        y = (1.0 - sf) * (s1 + b)
+        s0, s1 = s1, x + y
+    return s1
+
+
+def test_holt_winters_matches_prometheus_recurrence(spark, frames):
+    # Window [1h] holds two samples per series — the minimal legal
+    # fold; the reference recurrence must agree exactly.
+    out = {r.sensor_id: r.value for r in _eval(
+        spark, frames, "holt_winters(m[1h], 0.5, 0.3)").collect()}
+    assert set(out) == {"s1", "s2", "s3"}
+    for sid, vals in [("s1", [1.0, 5.0]), ("s2", [2.0, 4.0]),
+                      ("s3", [7.0, 7.5])]:
+        assert out[sid] == pytest.approx(_hw_reference(vals, 0.5, 0.3))
+    # Prometheus 3.x spelling is the same function.
+    des = {r.sensor_id: r.value for r in _eval(
+        spark, frames,
+        "double_exponential_smoothing(m[1h], 0.5, 0.3)").collect()}
+    assert des == out
+
+
+def test_holt_winters_longer_fold(spark):
+    # A 6-sample fold exercises the i>0 trend branch several times.
+    sensors = spark.createDataFrame(
+        [("h1", "m", "Float", None, None, {})],
+        "sensor_id string, name string, type string, unit string, "
+        "unit_description string, labels map<string,string>",
+    )
+    t0 = dt.datetime(2024, 1, 31, 22, 0)
+    vals = [3.0, 1.0, 4.0, 1.0, 5.0, 9.0]
+    values = spark.createDataFrame(
+        [("h1", t0 + dt.timedelta(minutes=10 * i), v)
+         for i, v in enumerate(vals)],
+        "sensor_id string, time timestamp, value double",
+    )
+    out = evaluate_extended(
+        sensors, values,
+        parse_extended("holt_winters(m[2h], 0.5, 0.3)", NOW)).collect()
+    assert out[0].value == pytest.approx(_hw_reference(vals, 0.5, 0.3))
+
+
+def test_holt_winters_single_sample_drops(spark, frames):
+    # offset 45m leaves one sample per series in the 30m window —
+    # fewer than the two the recurrence needs, so every series drops
+    # (Prometheus: windows with < 2 points yield no sample).
+    out = _eval(
+        spark, frames, "holt_winters(m[30m] offset 45m, 0.5, 0.3)"
+    ).collect()
+    assert out == []
+
+
+def test_holt_winters_param_validation():
+    for bad in ["holt_winters(m[1h], 0.0, 0.3)",
+                "holt_winters(m[1h], 0.5, 1.0)",
+                "holt_winters(m[1h], -1, 0.5)"]:
+        with pytest.raises(PromQLError) as e:
+            parse_extended(bad, NOW)
+        assert e.value.kind == "call"
+        assert "must be in (0, 1)" in str(e.value)
+
+
+def test_mad_over_time(spark):
+    # median(|v − median(v)|): vals 3,1,4,1,5,9 → median 3.5,
+    # deviations sorted 0.5,1.5,1.5,2.5,2.5,5.5 → MAD 2.0.
+    sensors = spark.createDataFrame(
+        [("h1", "m", "Float", None, None, {})],
+        "sensor_id string, name string, type string, unit string, "
+        "unit_description string, labels map<string,string>",
+    )
+    t0 = dt.datetime(2024, 1, 31, 22, 0)
+    values = spark.createDataFrame(
+        [("h1", t0 + dt.timedelta(minutes=10 * i), v)
+         for i, v in enumerate([3.0, 1.0, 4.0, 1.0, 5.0, 9.0])],
+        "sensor_id string, time timestamp, value double",
+    )
+    out = evaluate_extended(
+        sensors, values,
+        parse_extended("mad_over_time(m[2h])", NOW)).collect()
+    assert out[0].value == pytest.approx(2.0)
+    # Even count uses interpolated medians: [1,2,4,8] → median 3,
+    # deviations 2,1,1,5 → MAD 1.5.
+    values2 = spark.createDataFrame(
+        [("h1", t0 + dt.timedelta(minutes=10 * i), v)
+         for i, v in enumerate([1.0, 2.0, 4.0, 8.0])],
+        "sensor_id string, time timestamp, value double",
+    )
+    out2 = evaluate_extended(
+        sensors, values2,
+        parse_extended("mad_over_time(m[2h])", NOW)).collect()
+    assert out2[0].value == pytest.approx(1.5)
