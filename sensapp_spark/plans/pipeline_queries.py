@@ -715,6 +715,25 @@ def _bucket_sql(salt: str, buckets: int = 100) -> str:
     mix AS (
         SELECT doc_id FROM documents
         WHERE {_bucket_sql('sensapp-mix', 1000000)} < {_mix_case_sql()}),
+    packing AS (
+        SELECT doc_id, tok_len,
+               (cum - tok_len) // 2048 AS pack_seq,
+               (cum - tok_len) % 2048 AS pack_off,
+               ((cum - tok_len + GREATEST(tok_len, 1) - 1) // 2048)
+                 - ((cum - tok_len) // 2048) + 1 AS pack_n_seqs
+        FROM (
+            SELECT doc_id, tok_len,
+                   SUM(tok_len) OVER (
+                       ORDER BY hkey, doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS cum
+            FROM (
+                SELECT doc_id,
+                       len(regexp_split_to_array(trim(text), '\\s+'))
+                         AS tok_len,
+                       md5('sensapp-pack:' || CAST(doc_id AS VARCHAR))
+                         AS hkey
+                FROM documents))),
     words AS (SELECT doc_id, {_WORDS_SQL} AS w FROM documents),
     {_DECONTAM_CTES},
     {_QUAL_CTE},
@@ -742,12 +761,14 @@ def _bucket_sql(salt: str, buckets: int = 100) -> str:
     SELECT d.doc_id, sp.split,
            st.doc_id IS NOT NULL AS sampled, st.bucket, st.lang,
            v.drop_reason IS NULL AS kept, v.drop_reason,
-           mx.doc_id IS NOT NULL AS mix_kept
+           mx.doc_id IS NOT NULL AS mix_kept,
+           pk.tok_len, pk.pack_seq, pk.pack_off, pk.pack_n_seqs
     FROM documents d
     JOIN splits sp USING (doc_id)
     LEFT JOIN strat st USING (doc_id)
     JOIN verdict v USING (doc_id)
     LEFT JOIN mix mx USING (doc_id)
+    JOIN packing pk USING (doc_id)
     """,
 )
 def sample_split(spark, sf_dir):
@@ -757,10 +778,15 @@ def sample_split(spark, sf_dir):
     (per-language keep rates, independent salt) selected it, and
     whether the TEMPERATURE-MIX sampler kept it (round 6: per-source
     keep rates ∝ w^(1/T − 1) — the pretraining source-mixing sampler,
-    reproducible ppm-granular hash buckets). Reproducible across
-    engines and runs; every derivation is a map-only scan, the joins
-    are per-document."""
+    reproducible ppm-granular hash buckets). Round 9 adds the
+    SEQUENCE-PACKING manifest (GPT-style concat-and-chunk into
+    2048-token sequences, arXiv:2005.14165 §2.2) — a two-phase
+    distributed prefix sum whose only global object is the 256-row
+    bucket-offset table; the oracle replays it as one plain window
+    cumsum. Reproducible across engines and runs; every derivation is
+    a map-only scan, the joins are per-document."""
     from sensapp_spark.pipeline.assemble import corpus_verdict
+    from sensapp_spark.pipeline.packing import pack_manifest
     from sensapp_spark.pipeline.sampling import (
         split_assign,
         stratified_sample,
@@ -788,11 +814,15 @@ def sample_split(spark, sf_dir):
         # join planned as a sort-merge (registry-wide join-shape test).
         .join(verdict.hint("shuffle_hash"), "doc_id")
         .join(mix, "doc_id", "left")
+        # Window-derived frame → no reliable size estimate; pin the
+        # equality join to shuffle_hash like the verdict join above.
+        .join(pack_manifest(docs).hint("shuffle_hash"), "doc_id")
         .select(
             "doc_id", "split",
             F.coalesce("sampled", F.lit(False)).alias("sampled"),
             "bucket", "lang", "kept", "drop_reason",
             F.coalesce("mix_kept", F.lit(False)).alias("mix_kept"),
+            "tok_len", "pack_seq", "pack_off", "pack_n_seqs",
         )
     )
 
