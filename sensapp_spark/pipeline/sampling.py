@@ -130,3 +130,106 @@ def split_assign(
         .otherwise(F.lit("test"))
     )
     return docs.select("doc_id", split.alias("split"))
+
+
+DSIR_SALT = "sensapp-dsir"
+DSIR_BUCKETS = 10_000
+
+
+def dsir_weights(
+    docs: DataFrame,
+    target: DataFrame,
+    buckets: int = DSIR_BUCKETS,
+    salt: str = DSIR_SALT,
+) -> DataFrame:
+    """DSIR-style data selection with importance resampling (Xie et
+    al. 2023, arXiv:2302.03169): score every raw document by how much
+    more likely its hashed n-gram features are under a TARGET domain's
+    unigram feature model than under the raw corpus's own, then keep a
+    deterministic importance resample.
+
+    Features are unigrams + bigrams of the normalized word stream,
+    hashed into ``buckets`` ids (the paper's hashed n-gram trick — the
+    model is a fixed-width count vector no matter the vocabulary).
+    Both models are add-1-smoothed multinomials; the per-document
+    score is the summed log-likelihood ratio
+
+        dsir_logratio(d) = Σ_f  ln P_target(f) − ln P_raw(f).
+
+    ``dsir_kept`` replaces the paper's Gumbel-noise resample with a
+    salted-hash uniform — keep iff ``ln u < logratio`` with ``u``
+    derived from the doc id, so membership is reproducible across
+    engines, runs, and partitionings (the same property every sampler
+    in this module guarantees).
+
+    Scale shape: the only non-map stages are the two feature-count
+    aggregations (map-side-combined, output ≤ ``buckets`` rows each),
+    a keyless window over that ≤``buckets``-row model table (bounded
+    by construction — NOT corpus-sized), and the per-doc sum. The
+    model broadcasts; the corpus never joins itself."""
+    from pyspark.sql import Window
+
+    from sensapp_spark.pipeline.dedup import hash32
+    from sensapp_spark.pipeline.text import word_ngrams, words_col
+
+    def feats(df: DataFrame) -> DataFrame:
+        words = F.col("__words")
+        return (
+            df.select("doc_id", words_col())
+            .select(
+                "doc_id",
+                F.explode(
+                    F.concat(word_ngrams(words, 1), word_ngrams(words, 2))
+                ).alias("g"),
+            )
+            .select(
+                "doc_id",
+                F.pmod(hash32(F.col("g")), F.lit(buckets)).alias("f"),
+            )
+        )
+
+    raw_f = feats(docs)
+    raw_counts = raw_f.groupBy("f").agg(F.count("*").alias("cr"))
+    tgt_counts = (
+        feats(target).groupBy("f").agg(F.count("*").alias("ct"))
+    )
+    # The model table: one row per OBSERVED feature id (≤ buckets).
+    # The keyless windows below total each side over this bounded
+    # frame — the single-partition exchange moves at most `buckets`
+    # rows, independent of corpus size.
+    everything = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    model = (
+        # Both sides are ≤`buckets`-row aggregates; without the hint
+        # the unreliable post-aggregation estimates plan a sort-merge.
+        raw_counts.join(tgt_counts.hint("shuffle_hash"), "f", "full_outer")
+        .select(
+            "f",
+            F.coalesce("cr", F.lit(0)).alias("cr"),
+            F.coalesce("ct", F.lit(0)).alias("ct"),
+        )
+        .select(
+            "f",
+            (
+                F.log(F.col("ct") + 1)
+                - F.log(F.sum("ct").over(everything) + buckets)
+                - F.log(F.col("cr") + 1)
+                + F.log(F.sum("cr").over(everything) + buckets)
+            ).alias("term"),
+        )
+    )
+    per_doc = (
+        raw_f.join(F.broadcast(model), "f")
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("term"), 6).alias("dsir_logratio"))
+    )
+    u = (
+        sample_bucket(F.col("doc_id"), salt, buckets=MIX_BUCKETS)
+        + F.lit(0.5)
+    ) / F.lit(float(MIX_BUCKETS))
+    return per_doc.select(
+        "doc_id",
+        "dsir_logratio",
+        (F.log(u) < F.col("dsir_logratio")).alias("dsir_kept"),
+    )

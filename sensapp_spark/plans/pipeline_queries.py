@@ -266,12 +266,41 @@ def _signals_oracle() -> str:
         SELECT doc_id, emails, phones, ipv4s, ({pii_total}) > 0 AS has_pii
         FROM (SELECT doc_id, {pii_counts} FROM documents)),
     words AS (SELECT doc_id, {_WORDS_SQL} AS w FROM documents),
-    {_DECONTAM_CTES}
+    {_DECONTAM_CTES},
+    dsir_feats AS (
+        SELECT doc_id,
+               ('0x' || substring(md5(g), 1, 8))::UBIGINT % 10000 AS f
+        FROM (
+            SELECT doc_id, unnest(
+                w || CASE WHEN len(w) >= 2
+                     THEN [w[i] || ' ' || w[i+1] FOR i IN range(1, len(w))]
+                     ELSE []::VARCHAR[] END) AS g
+            FROM words)),
+    dsir_counts AS (
+        SELECT f, COUNT(*) AS cr,
+               COUNT(*) FILTER (WHERE lang = 'en') AS ct
+        FROM dsir_feats
+        JOIN (SELECT doc_id, lang FROM documents) USING (doc_id)
+        GROUP BY f),
+    dsir_model AS (
+        SELECT f,
+               ln(ct + 1) - ln((SELECT SUM(ct) FROM dsir_counts) + 10000)
+             - ln(cr + 1) + ln((SELECT SUM(cr) FROM dsir_counts) + 10000)
+                 AS term
+        FROM dsir_counts),
+    dsir AS (
+        SELECT doc_id, ROUND(SUM(term), 6) AS dsir_logratio,
+               ln((('0x' || substring(md5('sensapp-dsir:'
+                      || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+                    % 1000000 + 0.5) / 1000000.0)
+                 < ROUND(SUM(term), 6) AS dsir_kept
+        FROM dsir_feats JOIN dsir_model USING (f)
+        GROUP BY doc_id)
     SELECT doc_id, hits_en, hits_de, hits_fr, hits_es, lang_pred,
            fingerprint, emails, phones, ipv4s, has_pii,
-           n_collisions, contaminated
+           n_collisions, contaminated, dsir_logratio, dsir_kept
     FROM lang JOIN fp USING (doc_id) JOIN pii USING (doc_id)
-         JOIN decontam USING (doc_id)
+         JOIN decontam USING (doc_id) JOIN dsir USING (doc_id)
     """
 
 
@@ -285,8 +314,14 @@ def text_signals(spark, sf_dir):
     by unit tests), and benchmark decontamination (distinct trigram
     collisions against a held-out benchmark slice, broadcast-joined).
     Language/fingerprint/PII fuse into one narrow projection over one
-    scan (see ``text_profile``); the decontam frame is the only join
-    (its count is a doc_id-keyed aggregation with map-side combine)."""
+    scan (see ``text_profile``); the decontam frame is a doc_id-keyed
+    aggregation with map-side combine. Round 9 adds DSIR importance
+    resampling (hashed-n-gram log-likelihood ratio against the
+    English-slice target model, arXiv:2302.03169) — the model table is
+    feature-bucket-bounded (≤10k rows) and broadcasts; see
+    ``sampling.dsir_weights`` for the scale shape."""
+    from sensapp_spark.pipeline.sampling import dsir_weights
+
     raw = _docs(spark, sf_dir)
     out = tx.with_pii_flag(
         tx.spread_if_needed(raw).select(
@@ -300,7 +335,13 @@ def text_signals(spark, sf_dir):
     # scan so the corpus is not repartitioned twice.
     bench = raw.filter(F.col("doc_id") % 97 == 0)
     hits = dd.benchmark_collision_hits(raw, bench, n=3)
-    return dd.attach_collisions(out, hits, threshold=2)
+    dsir = dsir_weights(raw, raw.filter(F.col("lang") == "en"))
+    return dd.attach_collisions(out, hits, threshold=2).join(
+        # Aggregation-derived frame → unreliable estimate; pin the
+        # per-doc equality join off sort-merge.
+        dsir.hint("shuffle_hash"),
+        "doc_id",
+    )
 
 
 # ---------------------------------------------------------------------------
