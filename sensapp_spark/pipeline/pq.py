@@ -202,7 +202,16 @@ def pq_topk(
     representation, then EXACT cosine re-ranks just those ``k'`` rows —
     ``score`` is then the exact cosine. At 100 TB the first stage scans
     codes only (64× smaller than the vectors); the second touches k'
-    rows via a broadcast semi-join on vec_id."""
+    rows via a broadcast semi-join on vec_id.
+
+    NOT the production entry point: this convenience form RE-TRAINS
+    both codebooks on every call (k-means over the corpus) so a replay
+    — and the DuckDB oracle — sees deterministic books. Production
+    trains once and persists: ``storage/ann.write_ivfpq`` stores codes
+    + both codebooks in the versioned layout and ``ivfpq_topk`` probes
+    them with partition pruning — same scoring math, none of the
+    training cost. (Same loudness rule as ``kmv_distinct``'s
+    approx_count_distinct note.)"""
     if len(query) != dim:
         raise ValueError(
             f"query has {len(query)} dimensions, corpus has {dim}"

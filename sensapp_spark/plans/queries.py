@@ -1601,6 +1601,23 @@ def gapfill_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
                COUNT(*) AS cnt
         FROM vals GROUP BY 2),
     counters AS (SELECT * FROM cnt0 UNION ALL SELECT * FROM cnt1),
+    tvals AS (
+        SELECT sensor_id FROM vals
+        WHERE event_id % 10 = 0
+          AND (value IS NULL OR isfinite(value))),
+    tcnt0 AS (
+        SELECT 0 AS row,
+               CAST(CONCAT('0x', SUBSTR(md5(CONCAT('cms0|', sensor_id)),
+                    1, 15)) AS UBIGINT) % 8192 AS bucket,
+               COUNT(*) AS cnt
+        FROM tvals GROUP BY 2),
+    tcnt1 AS (
+        SELECT 1 AS row,
+               CAST(CONCAT('0x', SUBSTR(md5(CONCAT('cms1|', sensor_id)),
+                    1, 15)) AS UBIGINT) % 8192 AS bucket,
+               COUNT(*) AS cnt
+        FROM tvals GROUP BY 2),
+    tcounters AS (SELECT * FROM tcnt0 UNION ALL SELECT * FROM tcnt1),
     pr AS (
         SELECT sensor_id, 0 AS row,
                CAST(CONCAT('0x', SUBSTR(md5(CONCAT('cms0|', sensor_id)),
@@ -1628,6 +1645,11 @@ def gapfill_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT 'cms_rows', p.sensor_id, NULL,
            CAST(MIN(COALESCE(c.cnt, 0)) AS DOUBLE)
     FROM pr p LEFT JOIN counters c USING (row, bucket)
+    GROUP BY p.sensor_id
+    UNION ALL
+    SELECT 'cms_sidecar', p.sensor_id, NULL,
+           CAST(MIN(COALESCE(c.cnt, 0)) AS DOUBLE)
+    FROM pr p LEFT JOIN tcounters c USING (row, bucket)
     GROUP BY p.sensor_id
     UNION ALL
     SELECT 'kmv_sidecar', NULL, NULL,
@@ -1671,6 +1693,11 @@ def catalog_metrics_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
       sketches in the zone-map sidecar (``storage/zonemap.py``),
       touching ZERO data files at query time; the oracle replays the
       identical estimator over the same rows, proving fold == scan.
+    * ``cms_sidecar`` (round 9): per-sensor row-count estimates folded
+      from the SAME lake's sparse per-file count-min counters —
+      counter addition is lossless, so the sidecar fold is bit-equal
+      to a scan-built sketch over the thinned rows (the oracle builds
+      exactly that); every catalog sensor is probed.
 
     Sketch math hand-checkable: estimates are ≥-true-count (CMS) /
     unbiased around truth (KMV), and at testdata scale collisions are
@@ -1742,8 +1769,15 @@ def catalog_metrics_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .coalesce(8),
     )
     est = lake.sketch_distinct_series(SensorType.FLOAT)
+    # cms_sidecar: fold the SAME lake's sparse per-file count-min
+    # counters and probe every catalog sensor's row count — counter
+    # addition is lossless, so the fold equals a scan-built sketch
+    # over the thinned rows exactly (which is what the oracle builds).
+    ids = [r.sensor_id for r in sensors.select("sensor_id").collect()]
+    probed = lake.sketch_series_rows(SensorType.FLOAT, ids)
     sidecar = spark.createDataFrame(
-        [("kmv_sidecar", None, None, float(est))],
+        [("kmv_sidecar", None, None, float(est))]
+        + [("cms_sidecar", s, None, float(n)) for s, n in probed.items()],
         "op string, key_a string, key_b string, value double",
     )
     return (

@@ -1197,6 +1197,43 @@ class SensorLake:
             sketches.append(st["kmv"])
         return zm.fold_kmv(sketches)
 
+    def sketch_series_rows(
+        self,
+        stype: SensorType,
+        sensor_ids: list[str],
+        at_seq: int | None = None,
+    ) -> dict[str, int] | None:
+        """Count-min row-count estimates for the given sensors over one
+        value table, with planned IO proportional to FILES: folds the
+        sparse per-file count-min counters persisted in the zone-map
+        sidecar (counter addition is lossless, so the fold equals the
+        scan-built ``operators/sketches.cms_build`` table exactly) and
+        probes each id. The per-series row count drives query planning
+        (LIMIT short-circuits, join-side choice) and ingest monitoring
+        without touching a data file.
+
+        Hint-not-authority: ``None`` when any file lacks a counter
+        entry (pre-round-9 writer, lost sidecar update) — a partial
+        fold would undercount, and count-min's ≥-true-count guarantee
+        is the property callers rely on."""
+        if at_seq is not None:
+            data = resolve_at(self._values_path(stype), at_seq)
+        else:
+            data = resolve_table(self._values_path(stype))
+        if data is None:
+            return None
+        zmap = zm.read_zonemap(data)
+        if zmap is None:
+            return None
+        counters = []
+        for f in _scan_file_list(data):
+            st = zmap.get(os.path.relpath(f, data))
+            if st is None or "cms" not in st:
+                return None
+            counters.append(st["cms"])
+        folded = zm.fold_cms(counters)
+        return {s: zm.cms_probe(folded, s) for s in sensor_ids}
+
     # -- materialized catalog (C1/C2 snapshot) -------------------------------
 
     def materialize_catalog(self) -> None:

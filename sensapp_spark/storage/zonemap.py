@@ -61,6 +61,11 @@ MAX_STAT_LEN = 128
 # portable 60-bit hash space both engines reproduce from md5 prefixes.
 KMV_K = 256
 KMV_HASH_MAX = float(16 ** 15)
+# Per-file count-min geometry (matches operators/sketches.CMS_W/_D):
+# stored SPARSE — only non-zero buckets — so a range-clustered file
+# with few sensors costs ~d entries per distinct sensor, not d*w.
+CMS_W = 8192
+CMS_SALTS = ("cms0|", "cms1|")
 
 
 def _kmv_of_column(pf, column: str = "sensor_id", k: int = KMV_K):
@@ -96,6 +101,81 @@ def _kmv_of_column(pf, column: str = "sensor_id", k: int = KMV_K):
     return sorted(hashes)[:k]
 
 
+def _cms_of_column(
+    pf, column: str = "sensor_id", w: int = CMS_W, salts=CMS_SALTS
+):
+    """Sparse count-min counters for one parquet file: for each of the
+    d salted hash rows, {bucket: row-count} over ``column`` — the
+    per-file MERGEABLE frequency sketch (counters are additive, so a
+    fold across files equals the whole-table sketch EXACTLY, not
+    approximately). Sparse because a range-clustered file holds few
+    distinct sensors: the dict carries only non-zero buckets, ~one
+    entry per (row, distinct value), never d·w. Hash and geometry
+    match ``operators/sketches.py`` (portable md5-prefix, w=8192,
+    d=2), so a sidecar fold is interchangeable with the scan-built
+    counter table. None when the column is absent."""
+    import hashlib
+
+    import pyarrow.compute as pc
+
+    if column not in pf.schema_arrow.names:
+        return None
+    counts = pc.value_counts(pf.read(columns=[column]).column(column))
+    out: dict[str, int] = {}
+    for item in counts.to_pylist():
+        v, n = item["values"], item["counts"]
+        if v is None:
+            continue
+        for row, salt in enumerate(salts):
+            bucket = (
+                int(
+                    hashlib.md5(
+                        (salt + str(v)).encode(), usedforsecurity=False
+                    ).hexdigest()[:15],
+                    16,
+                )
+                % w
+            )
+            key = f"{row}:{bucket}"
+            out[key] = out.get(key, 0) + n
+    return out
+
+
+def fold_cms(counters_list) -> dict[str, int]:
+    """Merge per-file sparse count-min counters by summation — the
+    query-time half. Counter addition is lossless: the folded table is
+    identical to one built over the concatenated rows."""
+    folded: dict[str, int] = {}
+    for c in counters_list:
+        for key, n in c.items():
+            folded[key] = folded.get(key, 0) + n
+    return folded
+
+
+def cms_probe(
+    folded: dict[str, int], value, w: int = CMS_W, salts=CMS_SALTS
+) -> int:
+    """Point-frequency estimate from a folded counter dict: MIN across
+    the d rows of the value's bucket counts (count-min guarantee —
+    never an undercount; overshoot bounded by collisions)."""
+    import hashlib
+
+    est = None
+    for row, salt in enumerate(salts):
+        bucket = (
+            int(
+                hashlib.md5(
+                    (salt + str(value)).encode(), usedforsecurity=False
+                ).hexdigest()[:15],
+                16,
+            )
+            % w
+        )
+        n = folded.get(f"{row}:{bucket}", 0)
+        est = n if est is None else min(est, n)
+    return est or 0
+
+
 def fold_kmv(sketches, k: int = KMV_K) -> float:
     """Fold per-file KMV sketches into one distinct-count estimate —
     the query-time half: union, take the k smallest, then the standard
@@ -128,6 +208,9 @@ def file_stats(path: str) -> dict:
     kmv = _kmv_of_column(pf)
     if kmv is not None:
         out["kmv"] = kmv
+        cms = _cms_of_column(pf)
+        if cms is not None:
+            out["cms"] = cms
     tmin = tmax = None
     smin = smax = None
     complete_t = complete_s = True

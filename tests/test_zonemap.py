@@ -366,3 +366,64 @@ def test_per_file_kmv_uses_portable_hash(spark, tmp_path):
         hashlib.md5(b"pinned-sensor").hexdigest()[:15], 16
     )
     assert st["kmv"] == [want]
+
+
+def test_cms_sidecar_fold_equals_scan_based_estimates(spark, tmp_path):
+    """Per-file count-min counters are additive, so the sidecar fold
+    must equal the scan-built cms_build/cms_estimate path EXACTLY for
+    every probed sensor — zero data files opened at query time."""
+    from sensapp_spark.operators.sketches import cms_build, cms_estimate
+
+    lake, _ = _mk_lake(spark, tmp_path, months=(1, 2), sensors=12)
+    vals = lake.values(SensorType.FLOAT)
+    ids = [r.sensor_id for r in vals.select("sensor_id").distinct().collect()]
+    folded = lake.sketch_series_rows(SensorType.FLOAT, ids)
+    assert folded is not None
+    scan = {
+        r.sensor_id: r.estimate
+        for r in cms_estimate(
+            cms_build(vals, "sensor_id"),
+            vals.select("sensor_id").distinct(),
+            "sensor_id",
+        ).collect()
+    }
+    assert folded == {k: int(v) for k, v in scan.items()}
+    # ≥-true-count guarantee against the exact counts.
+    exact = {
+        r.sensor_id: r.n
+        for r in vals.groupBy("sensor_id").count().withColumnRenamed(
+            "count", "n"
+        ).collect()
+    }
+    for s, est in folded.items():
+        assert est >= exact[s]
+
+
+def test_cms_sidecar_survives_appends_and_optimize(spark, tmp_path):
+    lake, _ = _mk_lake(spark, tmp_path, months=(1,), sensors=6)
+    before = lake.sketch_series_rows(SensorType.FLOAT, ["s0"])
+    lake.append_values(
+        SensorType.FLOAT,
+        spark.createDataFrame(
+            [("s0", dt.datetime(2024, 2, 1), 1.0)] * 3,
+            "sensor_id string, time timestamp, value double",
+        ),
+    )
+    after = lake.sketch_series_rows(SensorType.FLOAT, ["s0"])
+    assert after["s0"] == before["s0"] + 3
+    lake.optimize(SensorType.FLOAT, quiesce_wait_s=0.2)
+    assert lake.sketch_series_rows(SensorType.FLOAT, ["s0"]) == after
+    # An id the lake never saw: usually 0; never negative, and only
+    # positive on a (rare at this size) bucket collision.
+    ghost = lake.sketch_series_rows(SensorType.FLOAT, ["no-such"])
+    assert ghost["no-such"] >= 0
+
+
+def test_cms_sidecar_refuses_partial_coverage(spark, tmp_path):
+    lake, _ = _mk_lake(spark, tmp_path, months=(1,), sensors=4)
+    data = _data_dir(lake)
+    doc = json.load(open(os.path.join(data, zm.ZONEMAP_NAME)))
+    first = next(iter(doc["files"]))
+    del doc["files"][first]["cms"]
+    zm.write_zonemap(data, doc["files"])
+    assert lake.sketch_series_rows(SensorType.FLOAT, ["s0"]) is None
