@@ -1768,13 +1768,33 @@ def catalog_metrics_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("event_id")
         .coalesce(8),
     )
+    # The sidecar folds return None when coverage is incomplete (the
+    # zone-map refresh is best-effort); honor that contract with the
+    # documented fallback — the scan-based estimators, which compute
+    # the IDENTICAL values (fold == scan is the sidecar's invariant),
+    # so the oracle comparison is unaffected either way (round-9
+    # review: float(None) crashed the whole family instead).
     est = lake.sketch_distinct_series(SensorType.FLOAT)
+    thinned = lake.values(SensorType.FLOAT)
+    if est is None:
+        (row,) = kmv_distinct(thinned, key="sensor_id").collect()
+        est = row.estimate
     # cms_sidecar: fold the SAME lake's sparse per-file count-min
     # counters and probe every catalog sensor's row count — counter
     # addition is lossless, so the fold equals a scan-built sketch
     # over the thinned rows exactly (which is what the oracle builds).
     ids = [r.sensor_id for r in sensors.select("sensor_id").collect()]
     probed = lake.sketch_series_rows(SensorType.FLOAT, ids)
+    if probed is None:
+        scan = {
+            r.sensor_id: int(r.estimate)
+            for r in cms_estimate(
+                cms_build(thinned, key="sensor_id"),
+                sensors.select("sensor_id"),
+                key="sensor_id",
+            ).collect()
+        }
+        probed = {s: scan.get(s, 0) for s in ids}
     sidecar = spark.createDataFrame(
         [("kmv_sidecar", None, None, float(est))]
         + [("cms_sidecar", s, None, float(n)) for s, n in probed.items()],

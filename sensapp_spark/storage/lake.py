@@ -140,9 +140,23 @@ class SensorLake:
                 # over. Unconditional put — see the docstring's
                 # at-least-once caveat.
                 store.put(inflight, uuid_mod.uuid4().bytes)
-        self.upsert_sensors(batch.sensors)
-        for stype, df in batch.values.items():
-            self.append_values(stype, df)
+        try:
+            self.upsert_sensors(batch.sensors)
+            for stype, df in batch.values.items():
+                self.append_values(stype, df)
+        except BaseException:
+            # Release the in-flight claim on a failed attempt — without
+            # this a transient publish error wedges the epoch behind
+            # EpochInFlight for the full stale window (round-9 review).
+            # Worst case (partial append, then release) is the same
+            # at-least-once duplicate the crash-window caveat already
+            # documents, never a loss.
+            if inflight is not None:
+                try:
+                    store.delete(inflight)
+                except OSError:
+                    pass
+            raise
         if epoch is not None:
             store.put_if_absent(marker, b"done")
             store.delete(inflight)
@@ -258,7 +272,7 @@ class SensorLake:
         # trusting the file log — see the append-intent protocol notes
         # below. ONE walk after the job serves the file-log diff and
         # the zone-map fold.
-        with _append_intent(dest):
+        with _append_intent(dest) as intent:
             (
                 df.withColumn(MONTH_COL, F.date_format("time", "yyyy-MM"))
                 .write.partitionBy(MONTH_COL)
@@ -270,7 +284,13 @@ class SensorLake:
             # CAS-claimed) so pollers and scans can diff generations
             # instead of re-walking — inside the intent, so a failure
             # here leaves the marker and the walk fallback stays on.
-            _filelog_record(dest, files)
+            # Exhausted contention keeps the marker too (round-9
+            # review): the files are durable but unrecorded, so a
+            # log-as-listing read would silently miss them; the next
+            # successful append's diff reconciles and the marker then
+            # ages out as stale.
+            if not _filelog_record(dest, files):
+                intent.keep_marker = True
             # Fold the just-landed files' footer stats into the
             # version's zone map (incremental: only unmapped files are
             # opened). Best effort under a short flock — a skipped or
@@ -675,7 +695,11 @@ class SensorLake:
         )
 
     def delete_where(
-        self, stype: SensorType, condition: str, **kw
+        self,
+        stype: SensorType,
+        condition: str,
+        record_cdc: bool = True,
+        **kw,
     ) -> None:
         """Row-level DELETE (GDPR erasure, bad-batch retraction): keep
         every row NOT matching ``condition`` (an SQL boolean string
@@ -735,8 +759,19 @@ class SensorLake:
             # bounded by the delete's own delta) land in the version's
             # _changes/removed sidecar so changes(cdc=True) hands
             # consumers the deletions row-grain instead of a reset.
-            cdc_removed=lambda df: df.filter(
-                F.coalesce(F.expr(condition), F.lit(False))
+            # ``record_cdc=False`` (the erase_sensor path) skips the
+            # sidecar entirely: it would materialize the very rows a
+            # compliance erasure must stop persisting, INSIDE the new
+            # live version (round-9 review) — downstream consumers get
+            # an honest reset instead.
+            cdc_removed=(
+                (
+                    lambda df: df.filter(
+                        F.coalesce(F.expr(condition), F.lit(False))
+                    )
+                )
+                if record_cdc
+                else None
             ),
             **kw,
         )
@@ -758,7 +793,14 @@ class SensorLake:
         retention prunes them and :meth:`vacuum_orphans` reclaims
         manifested dirs — run vacuum after the retention window to
         finish the erasure; this method only guarantees the LIVE
-        table is clean on return.
+        table is clean on return. The deletes run with
+        ``record_cdc=False``: a row-grain CDC sidecar would persist
+        the erased rows' content inside the new live version — the
+        opposite of erasure — so downstream ``changes()`` consumers
+        see an honest reset for this transition instead (round-9
+        review). The tombstoned PREDICATE still names the sensor id
+        (necessary for late-fold suppression, like Delta's deletion
+        vectors); vacuum retires it with the superseded dirs.
 
         Returns {"values_erased": [type names], "dimension_removed":
         bool}."""
@@ -772,7 +814,7 @@ class SensorLake:
         for st in SensorType:
             if resolve_table(self._values_path(st)) is None:
                 continue
-            self.delete_where(st, cond, **kw)
+            self.delete_where(st, cond, record_cdc=False, **kw)
             erased.append(st.name)
         path = self._sensors_path()
         removed = False
@@ -1449,6 +1491,20 @@ RECONCILED_MANIFEST = "_reconciled.json"
 _MARKER_STALE_S = 3600.0
 
 
+_MARKER_HEARTBEAT_S = 300.0
+
+
+class _IntentToken:
+    """Lets the append body demand the marker OUTLIVE a successful
+    return — used when the file-log entry could not be recorded, so
+    the walk fallback must stay on until a later append reconciles."""
+
+    __slots__ = ("keep_marker",)
+
+    def __init__(self) -> None:
+        self.keep_marker = False
+
+
 @contextlib.contextmanager
 def _append_intent(data_dir: str):
     """Hidden intent marker held for the duration of an append write.
@@ -1460,15 +1516,44 @@ def _append_intent(data_dir: str):
     the marker goes stale and the next successful append's
     reconciliation clears it (round 9 — the file log is only usable
     as a listing when every completed append provably recorded its
-    entry)."""
+    entry). A daemon heartbeat refreshes the marker's mtime while the
+    append runs, so "older than ``_MARKER_STALE_S``" really means a
+    CRASHED appender — a live parquet job that outruns the stale
+    window no longer has its marker swept by a concurrent append's
+    reconciliation (round-9 review). The body may also set
+    ``token.keep_marker`` to retain the marker past a successful
+    return (exhausted file-log contention: the files are durable but
+    unrecorded, so listings must keep walking)."""
+    import threading
+
     marker = os.path.join(
         data_dir, APPEND_MARKER_PREFIX + uuid_mod.uuid4().hex
     )
     with open(marker, "w"):
         pass
-    yield
-    with contextlib.suppress(OSError):
-        os.unlink(marker)
+    stop = threading.Event()
+
+    def _beat() -> None:
+        while not stop.wait(_MARKER_HEARTBEAT_S):
+            with contextlib.suppress(OSError):
+                os.utime(marker, None)
+
+    beat = threading.Thread(
+        target=_beat, name="append-intent-heartbeat", daemon=True
+    )
+    beat.start()
+    token = _IntentToken()
+    try:
+        yield token
+    except BaseException:
+        token.keep_marker = True
+        raise
+    finally:
+        stop.set()
+        beat.join(timeout=2.0)
+        if not token.keep_marker:
+            with contextlib.suppress(OSError):
+                os.unlink(marker)
 
 
 def _live_append_activity(
@@ -1729,19 +1814,21 @@ def _filelog_init(data_dir: str, files: list[str]) -> None:
 
 def _filelog_record(
     data_dir: str, files: list[str], max_retries: int = 8
-) -> None:
+) -> bool:
     """Record an append's files: claim the next entry with
     ``walk − union`` (re-diffed on a lost claim, so two racing
     appenders converge with every file in exactly one entry — a loser
     whose files were picked up by the winner's reconciling diff simply
     records nothing). A version without a file log gets entry 0
-    backfilled from the full walk (legacy upgrade). Best-effort: on
-    exhausted contention the files stay unrecorded and the NEXT
-    successful append's diff picks them up; scans meanwhile use the
-    walk fallback (the caller's intent marker is still held).
-    Afterwards, stale crashed-appender markers are cleared — their
-    unrecorded files, if any, are exactly what this call's diff just
-    recorded."""
+    backfilled from the full walk (legacy upgrade). Returns ``False``
+    on exhausted contention: the files stay unrecorded and the NEXT
+    successful append's diff picks them up — the caller must then KEEP
+    its intent marker (round-9 review: releasing it would let
+    ``_filelog_complete`` bless a listing that misses this append's
+    acknowledged rows). Afterwards, stale crashed-appender markers are
+    cleared — with the heartbeat in ``_append_intent``, stale really
+    means crashed, and their unrecorded files, if any, are exactly
+    what this call's diff just recorded."""
     store = get_store()
     ldir = os.path.join(data_dir, FILELOG_DIR)
     rels_walk = {os.path.relpath(f, data_dir) for f in files}
@@ -1764,7 +1851,7 @@ def _filelog_record(
         ):
             break
     else:
-        return
+        return False
     now = time.time()
     with contextlib.suppress(OSError):
         for d in os.listdir(data_dir):
@@ -1774,6 +1861,7 @@ def _filelog_record(
             with contextlib.suppress(OSError):
                 if now - os.path.getmtime(full) > _MARKER_STALE_S:
                     os.unlink(full)
+    return True
 
 
 def _filelog_complete(data_dir: str) -> bool:

@@ -52,93 +52,77 @@ from __future__ import annotations
 import json
 import os
 
+# Sketch geometry and hash space come from the ONE declaration in
+# operators/sketches.py (its docstring claims single-source-of-truth
+# for the portable construction — round-9 review: a re-declared copy
+# here could silently desynchronize the persisted per-file sketches
+# from the scan-based estimators the fold must equal bit-for-bit).
+from sensapp_spark.operators.sketches import (
+    CMS_SALTS,
+    CMS_W,
+    HASH_MAX,
+    KMV_K,
+)
+
 ZONEMAP_NAME = "_zonemap.json"
 ZONEMAP_VERSION = 1
 # String min/max longer than this may be writer-truncated prefixes —
 # unsound as exact bounds, so such entries are not recorded.
 MAX_STAT_LEN = 128
-# Per-file KMV sketch size (matches operators/sketches.KMV_K) and the
-# portable 60-bit hash space both engines reproduce from md5 prefixes.
-KMV_K = 256
-KMV_HASH_MAX = float(16 ** 15)
-# Per-file count-min geometry (matches operators/sketches.CMS_W/_D):
-# stored SPARSE — only non-zero buckets — so a range-clustered file
-# with few sensors costs ~d entries per distinct sensor, not d*w.
-CMS_W = 8192
-CMS_SALTS = ("cms0|", "cms1|")
+KMV_HASH_MAX = float(HASH_MAX)
 
 
-def _kmv_of_column(pf, column: str = "sensor_id", k: int = KMV_K):
-    """The k smallest distinct portable hashes of ``column`` in one
-    parquet file — the per-file MERGEABLE distinct sketch persisted
-    next to the min/max stats (round 9, VERDICT r8 next-#5). The hash
-    is the md5-hex-prefix construction of ``operators/sketches.py``
-    (``int(md5(x).hexdigest()[:15], 16)``), bit-identical to Spark's
-    ``conv(substr(md5(x),1,15),16,10)`` and DuckDB's UBIGINT cast, so
-    a sidecar FOLD equals the scan-based estimator exactly: every
-    global k-minimum hash is within its own file's k minima, so the
-    k smallest of the union ARE the global k smallest. None when the
-    file has no such column (foreign tables stay sketch-less)."""
+def _portable_hash_py(value, salt: str = "") -> int:
+    """The pure-Python twin of ``operators/sketches.portable_hash`` —
+    ``int(md5(salt + str(v)).hexdigest()[:15], 16)``, bit-identical to
+    Spark's ``conv(substr(md5(x),1,15),16,10)`` and DuckDB's UBIGINT
+    cast, so a sidecar fold equals the scan-based estimator exactly."""
     import hashlib
 
+    return int(
+        hashlib.md5(
+            (salt + str(value)).encode(), usedforsecurity=False
+        ).hexdigest()[:15],
+        16,
+    )
+
+
+def _sketches_of_column(pf, column: str = "sensor_id"):
+    """Both per-file mergeable sketches of ``column`` from ONE column
+    read (round-9 review: reading it twice doubled the dominant cost
+    of ``file_stats``): ``(kmv, cms)`` where
+
+    * ``kmv`` — the :data:`KMV_K` smallest distinct portable hashes
+      (round 9, VERDICT r8 next-#5). A fold across files equals the
+      scan-based estimator exactly: every global k-minimum hash is
+      within its own file's k minima, so the k smallest of the union
+      ARE the global k smallest.
+    * ``cms`` — sparse count-min counters {"row:bucket": row-count}
+      for the d salted hash rows. Counters are additive, so a fold
+      equals the whole-table sketch EXACTLY. Sparse because a
+      range-clustered file holds few distinct sensors: ~d entries per
+      distinct value, never d·w.
+
+    Geometry and hashes match ``operators/sketches.py`` by import.
+    ``(None, None)`` when the column is absent (foreign tables stay
+    sketch-less). The per-value work is over DISTINCT values
+    (``value_counts``), not rows."""
     import pyarrow.compute as pc
 
     if column not in pf.schema_arrow.names:
-        return None
-    uniq = pc.unique(pf.read(columns=[column]).column(column))
-    hashes = set()
-    for v in uniq.to_pylist():
-        if v is None:
-            continue
-        hashes.add(
-            int(
-                hashlib.md5(
-                    str(v).encode(), usedforsecurity=False
-                ).hexdigest()[:15],
-                16,
-            )
-        )
-    return sorted(hashes)[:k]
-
-
-def _cms_of_column(
-    pf, column: str = "sensor_id", w: int = CMS_W, salts=CMS_SALTS
-):
-    """Sparse count-min counters for one parquet file: for each of the
-    d salted hash rows, {bucket: row-count} over ``column`` — the
-    per-file MERGEABLE frequency sketch (counters are additive, so a
-    fold across files equals the whole-table sketch EXACTLY, not
-    approximately). Sparse because a range-clustered file holds few
-    distinct sensors: the dict carries only non-zero buckets, ~one
-    entry per (row, distinct value), never d·w. Hash and geometry
-    match ``operators/sketches.py`` (portable md5-prefix, w=8192,
-    d=2), so a sidecar fold is interchangeable with the scan-built
-    counter table. None when the column is absent."""
-    import hashlib
-
-    import pyarrow.compute as pc
-
-    if column not in pf.schema_arrow.names:
-        return None
+        return None, None
     counts = pc.value_counts(pf.read(columns=[column]).column(column))
-    out: dict[str, int] = {}
+    hashes: set[int] = set()
+    cms: dict[str, int] = {}
     for item in counts.to_pylist():
         v, n = item["values"], item["counts"]
         if v is None:
             continue
-        for row, salt in enumerate(salts):
-            bucket = (
-                int(
-                    hashlib.md5(
-                        (salt + str(v)).encode(), usedforsecurity=False
-                    ).hexdigest()[:15],
-                    16,
-                )
-                % w
-            )
-            key = f"{row}:{bucket}"
-            out[key] = out.get(key, 0) + n
-    return out
+        hashes.add(_portable_hash_py(v))
+        for row, salt in enumerate(CMS_SALTS):
+            key = f"{row}:{_portable_hash_py(v, salt) % CMS_W}"
+            cms[key] = cms.get(key, 0) + n
+    return sorted(hashes)[:KMV_K], cms
 
 
 def fold_cms(counters_list) -> dict[str, int]:
@@ -158,20 +142,9 @@ def cms_probe(
     """Point-frequency estimate from a folded counter dict: MIN across
     the d rows of the value's bucket counts (count-min guarantee —
     never an undercount; overshoot bounded by collisions)."""
-    import hashlib
-
     est = None
     for row, salt in enumerate(salts):
-        bucket = (
-            int(
-                hashlib.md5(
-                    (salt + str(value)).encode(), usedforsecurity=False
-                ).hexdigest()[:15],
-                16,
-            )
-            % w
-        )
-        n = folded.get(f"{row}:{bucket}", 0)
+        n = folded.get(f"{row}:{_portable_hash_py(value, salt) % w}", 0)
         est = n if est is None else min(est, n)
     return est or 0
 
@@ -194,9 +167,12 @@ def fold_kmv(sketches, k: int = KMV_K) -> float:
 def file_stats(path: str) -> dict:
     """Footer statistics for one parquet data file: row count plus
     min/max of ``time`` (epoch microseconds) and ``sensor_id`` when the
-    writer recorded them — plus the per-file KMV distinct-series
-    sketch (``kmv``; one column read, bounded to the freshly-appended
-    files by the incremental refresh). Every field except ``rows`` is
+    writer recorded them — plus the per-file mergeable sketches
+    (``kmv`` + ``cms``; ONE shared column read, bounded to the
+    freshly-appended files by the incremental refresh, distributable
+    via mapInPandas at cluster scale per the module docstring — a
+    maintenance rewrite's full-version rebuild is the expensive
+    case). Every field except ``rows`` is
     optional — absent means "unknown on that axis" and the file is
     never pruned on it (INT96 timestamps, stats disabled, truncated
     strings)."""
@@ -205,12 +181,10 @@ def file_stats(path: str) -> dict:
     pf = pq.ParquetFile(path)
     md = pf.metadata
     out: dict = {"rows": md.num_rows}
-    kmv = _kmv_of_column(pf)
+    kmv, cms = _sketches_of_column(pf)
     if kmv is not None:
         out["kmv"] = kmv
-        cms = _cms_of_column(pf)
-        if cms is not None:
-            out["cms"] = cms
+        out["cms"] = cms
     tmin = tmax = None
     smin = smax = None
     complete_t = complete_s = True

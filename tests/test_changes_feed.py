@@ -6,11 +6,12 @@ Both are beyond-reference (the reference re-queries and re-inserts; its
 exactly-once story is the DB transaction) — behavior-pinned here."""
 
 import datetime as dt
+import os
 
 import pytest
 
 from sensapp_spark.datamodel.types import SensorType
-from sensapp_spark.storage.lake import SensorLake
+from sensapp_spark.storage.lake import SensorLake, resolve_table
 
 
 def _vals(spark, rows):
@@ -331,3 +332,88 @@ def test_stale_inflight_epoch_is_taken_over(spark, tmp_path):
     _os.utime(inflight, (old, old))  # age past _MARKER_STALE_S
     lake.publish(b, epoch=("ckpt-d", 0))
     assert lake.values(SensorType.FLOAT).count() == 1
+
+
+def test_failed_publish_releases_inflight_claim(spark, tmp_path):
+    """A publish attempt that raises must release its in-flight epoch
+    claim (round-9 review) — otherwise the stream crash-loops on
+    EpochInFlight for the full stale window even though the dead
+    attempt lives in the SAME restarted process."""
+    from sensapp_spark.storage.logstore import get_store
+
+    lake = SensorLake(spark, str(tmp_path / "lake"))
+    b = _batch(spark, [("u1", T0, 1.0)])
+    boom = RuntimeError("executor lost")
+
+    orig = lake.append_values
+
+    def failing(*a, **kw):
+        raise boom
+
+    lake.append_values = failing
+    with pytest.raises(RuntimeError):
+        lake.publish(b, epoch=("ckpt-f", 0))
+    marker = lake._epoch_marker("ckpt-f", 0)
+    assert get_store().read(marker + ".inflight") is None  # released
+    assert get_store().read(marker) is None  # and NOT marked done
+    # The immediate redelivery now publishes instead of raising.
+    lake.append_values = orig
+    lake.publish(b, epoch=("ckpt-f", 0))
+    assert lake.values(SensorType.FLOAT).count() == 1
+
+
+def test_exhausted_filelog_contention_keeps_intent_marker(spark, tmp_path):
+    """When the file-log entry cannot be recorded (CAS contention
+    exhausted), the append must KEEP its intent marker so the file log
+    is never blessed as a listing that misses acknowledged rows
+    (round-9 review); the next successful append reconciles."""
+    import sensapp_spark.storage.lake as lk
+
+    lake = SensorLake(spark, str(tmp_path / "lake"))
+    lake.append_values(SensorType.FLOAT, _vals(spark, [("a", T0, 1.0)]))
+
+    orig = lk._filelog_record
+    lk._filelog_record = lambda *a, **kw: False
+    try:
+        lake.append_values(
+            SensorType.FLOAT, _vals(spark, [("b", T0, 2.0)])
+        )
+    finally:
+        lk._filelog_record = orig
+    data = resolve_table(lake._values_path(SensorType.FLOAT))
+    assert not lk._filelog_complete(data)  # marker retained → walk
+    # Scans stay correct through the walk fallback.
+    assert lake.values(SensorType.FLOAT).count() == 2
+    # A later successful append reconciles the unrecorded files; its
+    # own marker is released, and once the stale sweep clears the kept
+    # one the log becomes the listing again (not aged here — just
+    # assert the union now covers every file).
+    lake.append_values(SensorType.FLOAT, _vals(spark, [("c", T0, 3.0)]))
+    data = resolve_table(lake._values_path(SensorType.FLOAT))
+    log = lk._filelog_union(data)
+    walked = {
+        os.path.relpath(f, data) for f in lk._list_data_files(data)
+    }
+    assert log is not None and log[1] == walked
+
+
+def test_append_intent_heartbeat_refreshes_marker(spark, tmp_path, monkeypatch):
+    """The intent marker's mtime must refresh while the append runs, so
+    a live long-running job never looks stale to a concurrent append's
+    sweep (round-9 review)."""
+    import glob as _glob
+    import time as _time
+
+    import sensapp_spark.storage.lake as lk
+
+    monkeypatch.setattr(lk, "_MARKER_HEARTBEAT_S", 0.05)
+    d = tmp_path / "dir"
+    d.mkdir()
+    with lk._append_intent(str(d)):
+        (marker,) = _glob.glob(str(d / ".append_*"))
+        t0 = os.path.getmtime(marker)
+        old = t0 - 10.0
+        os.utime(marker, (old, old))  # simulate an hour passing
+        _time.sleep(0.4)
+        assert os.path.getmtime(marker) > old + 5.0  # beat refreshed
+    assert not _glob.glob(str(d / ".append_*"))  # released on success

@@ -325,3 +325,30 @@ def test_erase_sensor_backslash_id(spark, tmp_path):
     lake.erase_sensor(weird, quiesce_wait_s=0.2)
     got = {r.sensor_id for r in lake.values(SensorType.FLOAT).collect()}
     assert got == {"innocent"}
+
+
+def test_erase_sensor_leaves_no_cdc_copy_of_erased_rows(spark, tmp_path):
+    """The erasure must not materialize the erased rows into the new
+    live version's _changes/removed sidecar (round-9 review: that
+    parquet IS the personal data the erasure claims to remove) — the
+    changes feed gets an honest reset for this transition instead."""
+    lake = SensorLake(spark, str(tmp_path / "lake"))
+    lake.append_values(
+        SensorType.FLOAT,
+        _vals(spark, [("gone", T0, 1.0), ("kept", T0, 2.0)]),
+    )
+    lake.erase_sensor("gone", quiesce_wait_s=0.2)
+    root = str(tmp_path / "lake")
+    for removed_dir in glob.glob(
+        os.path.join(root, "**", "_changes"), recursive=True
+    ):
+        hits = spark.read.parquet(os.path.join(removed_dir, "removed"))
+        assert hits.filter("sensor_id = 'gone'").count() == 0
+    # Plain delete_where (bad-batch retraction) still records CDC.
+    lake.append_values(SensorType.FLOAT, _vals(spark, [("bad", T0, 3.0)]))
+    lake.delete_where(
+        SensorType.FLOAT, "sensor_id = 'bad'", quiesce_wait_s=0.2
+    )
+    data = resolve_table(lake._values_path(SensorType.FLOAT))
+    removed = spark.read.parquet(os.path.join(data, "_changes", "removed"))
+    assert removed.filter("sensor_id = 'bad'").count() == 1
