@@ -1775,9 +1775,10 @@ def catalog_metrics_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # so the oracle comparison is unaffected either way (round-9
     # review: float(None) crashed the whole family instead).
     est = lake.sketch_distinct_series(SensorType.FLOAT)
-    thinned = lake.values(SensorType.FLOAT)
     if est is None:
-        (row,) = kmv_distinct(thinned, key="sensor_id").collect()
+        (row,) = kmv_distinct(
+            lake.values(SensorType.FLOAT), key="sensor_id"
+        ).collect()
         est = row.estimate
     # cms_sidecar: fold the SAME lake's sparse per-file count-min
     # counters and probe every catalog sensor's row count — counter
@@ -1789,7 +1790,7 @@ def catalog_metrics_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         scan = {
             r.sensor_id: int(r.estimate)
             for r in cms_estimate(
-                cms_build(thinned, key="sensor_id"),
+                cms_build(lake.values(SensorType.FLOAT), key="sensor_id"),
                 sensors.select("sensor_id"),
                 key="sensor_id",
             ).collect()

@@ -150,12 +150,10 @@ class SensorLake:
             # EpochInFlight for the full stale window (round-9 review).
             # Worst case (partial append, then release) is the same
             # at-least-once duplicate the crash-window caveat already
-            # documents, never a loss.
+            # documents, never a loss. (delete tolerates absence by
+            # contract.)
             if inflight is not None:
-                try:
-                    store.delete(inflight)
-                except OSError:
-                    pass
+                store.delete(inflight)
             raise
         if epoch is not None:
             store.put_if_absent(marker, b"done")
@@ -519,6 +517,12 @@ class SensorLake:
             return out(empty), {
                 "seq": seq, "files": [], "gen": -1, "reset": False,
             }
+        # Repair the acknowledged-but-unrecorded state before trusting
+        # generations (round-9 second review): an append that kept its
+        # intent marker (exhausted file-log contention) has durable,
+        # acknowledged rows in NO generation — a gen-diff poll would
+        # return empty deltas forever while values() serves the rows.
+        _reconcile_quiescent_markers(data)
         gens = _filelog_entries(data)
         has_log = bool(gens) and gens[0] == 0
 
@@ -632,6 +636,14 @@ class SensorLake:
             return None
         old_log = _filelog_union(old_dir)
         if old_log is None or old_log[0] != cursor["gen"]:
+            return None
+        # A retained intent marker in the superseded dir means rows an
+        # appender acknowledged may be in NO generation — the rewrite
+        # folded them (it reads the walk) into this version's base
+        # content, where entry 0 is skipped as "already-seen keys", so
+        # the delta cannot be proven. Honest reset instead (round-9
+        # second review).
+        if not _filelog_complete(old_dir):
             return None
         parts = []
         if has_removed:
@@ -1862,6 +1874,43 @@ def _filelog_record(
                 if now - os.path.getmtime(full) > _MARKER_STALE_S:
                     os.unlink(full)
     return True
+
+
+_MARKER_QUIESCENT_S = _MARKER_HEARTBEAT_S * 2
+
+
+def _reconcile_quiescent_markers(data_dir: str) -> None:
+    """Repair the acknowledged-but-unrecorded file-log state: a marker
+    whose heartbeat stopped longer ago than a live holder's beat
+    interval allows (2× :data:`_MARKER_HEARTBEAT_S`) belongs to an
+    append that either KEPT it deliberately (exhausted contention —
+    durable acknowledged rows in no generation) or crashed after
+    landing files. Record the walk−union diff as a new generation,
+    then clear the quiescent markers — the feed and log-as-listing
+    reads converge within minutes instead of waiting for the next
+    successful append. FRESH markers (a live appender, beating) are
+    left alone: its rows are unacknowledged and will be recorded — or
+    kept — by the append itself. Cheap when there is nothing to do:
+    one listdir, no walk."""
+    now = time.time()
+    quiescent = []
+    try:
+        entries = os.listdir(data_dir)
+    except OSError:
+        return
+    for d in entries:
+        if not d.startswith(APPEND_MARKER_PREFIX):
+            continue
+        full = os.path.join(data_dir, d)
+        with contextlib.suppress(OSError):
+            if now - os.path.getmtime(full) > _MARKER_QUIESCENT_S:
+                quiescent.append(full)
+    if not quiescent:
+        return
+    if _filelog_record(data_dir, _list_data_files(data_dir)):
+        for full in quiescent:
+            with contextlib.suppress(OSError):
+                os.unlink(full)
 
 
 def _filelog_complete(data_dir: str) -> bool:

@@ -417,3 +417,73 @@ def test_append_intent_heartbeat_refreshes_marker(spark, tmp_path, monkeypatch):
         _time.sleep(0.4)
         assert os.path.getmtime(marker) > old + 5.0  # beat refreshed
     assert not _glob.glob(str(d / ".append_*"))  # released on success
+
+
+def _age_markers(data_dir, seconds=7200.0):
+    import glob as _glob
+    import time as _time
+
+    old = _time.time() - seconds
+    for m in _glob.glob(os.path.join(data_dir, ".append_*")):
+        os.utime(m, (old, old))
+
+
+def test_quiescent_marker_reconciles_into_the_feed(spark, tmp_path):
+    """Acknowledged rows whose file-log record was lost to contention
+    must reach a gen-cursor consumer once the kept marker goes
+    quiescent (heartbeat stopped) — the poll itself repairs the log
+    instead of returning empty deltas forever (round-9 second
+    review)."""
+    import sensapp_spark.storage.lake as lk
+
+    lake = SensorLake(spark, str(tmp_path / "lake"))
+    lake.append_values(SensorType.FLOAT, _vals(spark, [("a", T0, 1.0)]))
+    _, cur = lake.changes(SensorType.FLOAT)  # caught up
+
+    orig = lk._filelog_record
+    lk._filelog_record = lambda *a, **kw: False
+    try:
+        lake.append_values(SensorType.FLOAT, _vals(spark, [("b", T0, 2.0)]))
+    finally:
+        lk._filelog_record = orig
+    data = resolve_table(lake._values_path(SensorType.FLOAT))
+    # Fresh kept marker: the poll must NOT yet claim b's rows are
+    # delivered nor lose them — with the marker fresh the gen diff is
+    # served from unchanged generations (empty), which is the honest
+    # "not yet acknowledged to the feed" answer.
+    delta, cur_mid = lake.changes(SensorType.FLOAT, cur)
+    assert delta.count() == 0
+    # Heartbeat stops (append returned); once quiescent, the next poll
+    # records the walk diff and emits b.
+    _age_markers(data)
+    delta2, cur2 = lake.changes(SensorType.FLOAT, cur_mid)
+    assert [r.sensor_id for r in delta2.collect()] == ["b"]
+    assert cur2["reset"] is False
+    assert lk._filelog_complete(data)  # marker cleared by the repair
+    none, _ = lake.changes(SensorType.FLOAT, cur2)
+    assert none.count() == 0
+
+
+def test_rewrite_delta_refuses_incomplete_old_log(spark, tmp_path):
+    """A maintenance rewrite crossing an append whose rows are in no
+    old-version generation must RESET the feed, not hand a caught-up
+    consumer an empty 'preserved' delta that silently drops the rows
+    (round-9 second review)."""
+    import sensapp_spark.storage.lake as lk
+
+    lake = SensorLake(spark, str(tmp_path / "lake"))
+    lake.append_values(SensorType.FLOAT, _vals(spark, [("a", T0, 1.0)]))
+    _, cur = lake.changes(SensorType.FLOAT)  # caught up at gen 0
+
+    orig = lk._filelog_record
+    lk._filelog_record = lambda *a, **kw: False
+    try:
+        lake.append_values(SensorType.FLOAT, _vals(spark, [("b", T0, 2.0)]))
+    finally:
+        lk._filelog_record = orig
+    # The rewrite folds b's durable rows into its output (it reads the
+    # walk), superseding the version whose log never recorded them.
+    lake.dedup_rewrite(SensorType.FLOAT, quiesce_wait_s=0.2)
+    delta, cur2 = lake.changes(SensorType.FLOAT, cur)
+    assert cur2["reset"] is True  # honest reset, not empty-preserved
+    assert {r.sensor_id for r in delta.collect()} == {"a", "b"}

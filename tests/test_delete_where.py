@@ -339,11 +339,12 @@ def test_erase_sensor_leaves_no_cdc_copy_of_erased_rows(spark, tmp_path):
     )
     lake.erase_sensor("gone", quiesce_wait_s=0.2)
     root = str(tmp_path / "lake")
-    for removed_dir in glob.glob(
+    # The erasure rewrite must not create a _changes sidecar AT ALL —
+    # not merely one without the erased id (second review pass: the
+    # earlier loop was vacuous when no sidecar existed).
+    assert glob.glob(
         os.path.join(root, "**", "_changes"), recursive=True
-    ):
-        hits = spark.read.parquet(os.path.join(removed_dir, "removed"))
-        assert hits.filter("sensor_id = 'gone'").count() == 0
+    ) == []
     # Plain delete_where (bad-batch retraction) still records CDC.
     lake.append_values(SensorType.FLOAT, _vals(spark, [("bad", T0, 3.0)]))
     lake.delete_where(
