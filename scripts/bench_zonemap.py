@@ -37,7 +37,7 @@ MONTHS = 3
 ROOT = "/tmp/bench_zonemap_lake"
 
 
-def build(spark) -> SensorLake:
+def build(spark, clustered: bool = True) -> SensorLake:
     shutil.rmtree(ROOT, ignore_errors=True)
     lake = SensorLake(spark, ROOT)
     base = dt.datetime(2024, 1, 1)
@@ -60,8 +60,15 @@ def build(spark) -> SensorLake:
         .withColumn("value", F.rand(seed=7))
         .select("sensor_id", "time", "value")
     )
+    if not clustered:
+        # Model append-per-device-batch: each file carries a sensor
+        # SUBSET (hash partition) whose lexical (smin, smax) range
+        # still spans nearly the whole id space — range pruning is
+        # blind here; only the count-min membership proof bites.
+        df = df.repartition(FILES_PER_MONTH, "sensor_id")
     lake.append_values(SensorType.FLOAT, df)
-    lake.optimize(SensorType.FLOAT, files_per_month=FILES_PER_MONTH)
+    if clustered:
+        lake.optimize(SensorType.FLOAT, files_per_month=FILES_PER_MONTH)
     return lake
 
 
@@ -76,9 +83,8 @@ def timed_fetch(lake, sensor, window=None):
     return n, len(d.inputFiles()), wall
 
 
-def main():
-    spark = get_spark()
-    lake = build(spark)
+def scenario(spark, clustered: bool) -> dict:
+    lake = build(spark, clustered=clustered)
     data = resolve_table(os.path.join(ROOT, "float_values"))
     import glob
 
@@ -116,6 +122,18 @@ def main():
                 os.path.join(data, ZONEMAP_NAME + ".bak"),
                 os.path.join(data, ZONEMAP_NAME),
             )
+    return out
+
+
+def main():
+    spark = get_spark()
+    # clustered: range pruning (smin/smax disjoint after optimize).
+    # unclustered: every file's sensor range spans the id space, so the
+    # only lever is the per-file count-min MEMBERSHIP proof (round 9).
+    out = {
+        "clustered": scenario(spark, clustered=True),
+        "unclustered": scenario(spark, clustered=False),
+    }
     print(json.dumps(out))
 
 

@@ -327,7 +327,22 @@ def prune_files(
     whose recorded stats (or hive ``month=`` path segment) prove they
     cannot match. Unknown files — absent from the map, or missing the
     relevant axis — always survive. The bounds are inclusive on both
-    ends, mirroring the lake's inclusive time-range contract."""
+    ends, mirroring the lake's inclusive time-range contract.
+
+    Three independent proofs of non-match, each optional per file:
+
+    * month path segment outside [month_lo, month_hi];
+    * recorded (tmin/tmax, smin/smax) bounds disjoint from the probe;
+    * MEMBERSHIP (round 9): every probed sensor_id count-min-probes to
+      0 in the file's own sidecar counters. Count-min never
+      undercounts, so a zero row is a proof of absence — this is the
+      Bloom-filter role Delta/Iceberg play with puffin blobs, and it
+      is what bites on UNCLUSTERED data, where per-file (smin, smax)
+      ranges all overlap and the range test keeps everything. NULL
+      rows are skipped at build time, which is sound here because an
+      ``IN`` probe never matches NULL. Per-file counters (not the
+      fold!) are probed: a fold proves absence from the whole table,
+      not from one file."""
     probe = sorted(sensor_ids) if sensor_ids else None
     kept = []
     for full in data_files:
@@ -349,6 +364,11 @@ def prune_files(
             smin, smax = st.get("smin"), st.get("smax")
             if probe is not None and smin is not None and not any(
                 smin <= s <= smax for s in probe
+            ):
+                continue
+            cms = st.get("cms")
+            if probe is not None and cms is not None and all(
+                cms_probe(cms, s) == 0 for s in probe
             ):
                 continue
         kept.append(full)

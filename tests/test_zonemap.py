@@ -152,6 +152,60 @@ def test_partial_stats_prune_on_known_axis_only():
     assert kept == [files[1]]
 
 
+def test_cms_membership_prunes_inside_overlapping_ranges():
+    """Unclustered files whose (smin, smax) ranges all overlap are
+    still prunable when the probed id count-min-probes to 0 in a
+    file's own counters — absence proof, never an undercount."""
+    files = ["/d/month=2024-01/a.parquet", "/d/month=2024-01/b.parquet"]
+
+    def counters(*ids):
+        c: dict[str, int] = {}
+        for v in ids:
+            for row, salt in enumerate(zm.CMS_SALTS):
+                key = f"{row}:{zm._portable_hash_py(v, salt) % zm.CMS_W}"
+                c[key] = c.get(key, 0) + 1
+        return c
+
+    zmap = {
+        "month=2024-01/a.parquet": {
+            "rows": 2, "smin": "s-a", "smax": "s-z",
+            "cms": counters("s-a", "s-z"),
+        },
+        "month=2024-01/b.parquet": {
+            "rows": 2, "smin": "s-b", "smax": "s-y",
+            "cms": counters("s-b", "s-y"),
+        },
+    }
+    # Both ranges span s-b; only b.parquet actually holds it.
+    assert zm.prune_files("/d", files, zmap, sensor_ids=["s-b"]) == [
+        files[1]
+    ]
+    # A multi-id probe keeps any file holding ANY of the ids.
+    assert (
+        zm.prune_files("/d", files, zmap, sensor_ids=["s-a", "s-b"])
+        == files
+    )
+    # No counters recorded (pre-round-9 writer): axis unknown, kept.
+    zmap["month=2024-01/a.parquet"].pop("cms")
+    assert zm.prune_files("/d", files, zmap, sensor_ids=["s-b"]) == files
+
+
+def test_cms_membership_prunes_unclustered_lake_scan(spark, tmp_path):
+    """End-to-end: two appends with disjoint sensor sets but globally
+    overlapping id ranges (no optimize between them) — a point fetch
+    plans only the append that holds the id."""
+    lake = SensorLake(spark, str(tmp_path / "lake"))
+    mk = lambda ids: spark.createDataFrame(  # noqa: E731
+        [(s, dt.datetime(2024, 1, 5, 10), 1.0) for s in ids],
+        "sensor_id string, time timestamp, value double",
+    ).coalesce(1)
+    lake.append_values(SensorType.FLOAT, mk(["s-a", "s-z"]))
+    lake.append_values(SensorType.FLOAT, mk(["s-b", "s-y"]))
+    d = lake.values(SensorType.FLOAT, sensor_ids=["s-b"])
+    assert d.count() == 1
+    assert len(d.inputFiles()) == 1
+
+
 def test_month_path_pruning_without_stats():
     files = [
         "/d/month=2024-01/a.parquet",
