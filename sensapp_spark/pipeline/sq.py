@@ -1,0 +1,209 @@
+"""Scalar (SQ8) and binary (sign-bit) quantization ANN — the two
+simplest members of the quantization family next to PQ
+(``pipeline/pq.py``), both standard production techniques (faiss
+``ScalarQuantizer``/SQ8; sign-random-projection Hamming search,
+Charikar STOC 2002 — here with the identity rotation, i.e. raw signs).
+
+Why they matter at 100 TB:
+
+* **SQ8**: each dimension is affinely mapped to one unsigned byte via
+  per-dimension corpus (min, max) — a 64-dim float32 vector becomes 64
+  bytes (4× compression; 8× vs the double the scorer would otherwise
+  materialize) with NO codebook training. Scoring dequantizes inside
+  one whole-stage-codegen projection: the scan side reads codes only,
+  and the per-dim constants (lo, (hi−lo)/255) fold into literals.
+* **Binary**: one SIGN BIT per dimension — the 64-dim corpus packs to
+  exactly one BIGINT per vector (32× compression), and the candidate
+  score is ``bit_count(xor(sig, qsig))``: a two-instruction Hamming
+  distance that turns the first-stage scan into pure integer ALU work.
+  Recall is the coarsest of the family; the exact re-rank stage does
+  the rescue, and the prefilter's job is only to be CHEAP and never
+  miss obvious neighbors.
+
+Both follow the family's two-stage shape (PQ paper §V): compressed
+first pass selects ``rerank`` candidates, exact cosine re-ranks those
+rows via a broadcast semi-join. All float math is double-precision
+left-to-right folds rounded to 6 decimals, so the DuckDB oracle
+(plans/pipeline_queries.py) replays bit-for-bit; the Hamming prefilter
+is exact integer math with vec_id tie-breaks — no float in the
+candidate choice at all.
+
+Like ``pq_topk``, the ``*_topk`` conveniences recompute corpus stats
+per call so a replay is deterministic; a production deployment persists
+the (lo, hi) table / signature column once (the ``storage/ann``
+versioned-layout pattern) and scans only codes thereafter. The
+reference has no ANN surface at all — this extends the training-data
+side of the engine, not reference parity.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from sensapp_spark.pipeline.similarity import _dot, _norm
+
+SQ_LEVELS = 255      # uint8 code points 0..255
+SQ_RERANK = 100
+BQ_RERANK = 100
+
+
+def sq_stats(embeddings: DataFrame, dim: int = 64) -> tuple[list, list]:
+    """Per-dimension (min, max) over the corpus — ONE aggregation with
+    2·dim map-side-combined exprs; driver traffic is 2·dim doubles
+    (the SQ analogue of a codebook)."""
+    row = embeddings.agg(
+        *[
+            F.min(F.col("embedding")[i].cast("double")).alias(f"lo{i}")
+            for i in range(dim)
+        ],
+        *[
+            F.max(F.col("embedding")[i].cast("double")).alias(f"hi{i}")
+            for i in range(dim)
+        ],
+    ).collect()[0]
+    lo = [float(row[f"lo{i}"]) for i in range(dim)]
+    hi = [float(row[f"hi{i}"]) for i in range(dim)]
+    return lo, hi
+
+
+def _sq_dequant(lo: list, hi: list, dim: int) -> F.Column:
+    """codes → dequantized vector, and encode fused in front: ONE
+    projection computing x̂_i = lo_i + code_i·b_i where
+    code_i = clamp(floor((x_i − lo_i)/scale_i·255 + 0.5), 0, 255).
+    floor(t + 0.5) — not round() — because banker's vs half-away
+    rounding differs across engines; floor is identical everywhere."""
+    scale = [h - l if h != l else 1.0 for l, h in zip(lo, hi)]
+    b = [s / float(SQ_LEVELS) for s in scale]
+    dbl = F.col("embedding").cast("array<double>")
+    lo_arr = F.array(*[F.lit(v) for v in lo])
+    sc_arr = F.array(*[F.lit(v) for v in scale])
+    b_arr = F.array(*[F.lit(v) for v in b])
+    diff = F.zip_with(dbl, lo_arr, lambda x, l: x - l)
+    codes = F.zip_with(
+        diff,
+        sc_arr,
+        lambda d, s: F.floor(d / s * float(SQ_LEVELS) + F.lit(0.5)),
+    )
+    codes = F.transform(
+        codes,
+        lambda c: F.least(
+            F.lit(SQ_LEVELS).cast("bigint"),
+            F.greatest(F.lit(0).cast("bigint"), c),
+        ),
+    )
+    xq = F.zip_with(codes, b_arr, lambda c, bb: c.cast("double") * bb)
+    return F.zip_with(xq, lo_arr, lambda v, l: v + l)
+
+
+def sq_topk(
+    embeddings: DataFrame,
+    query: list[float],
+    k: int = 10,
+    rerank: int = SQ_RERANK,
+    dim: int = 64,
+) -> DataFrame:
+    """(vec_id, score): asymmetric SQ8 search — approximate cosine
+    against dequantized codes picks ``rerank`` candidates, exact
+    cosine re-ranks them. Stats + encode + dequant + score all fuse
+    into codegen; top-k is TakeOrderedAndProject."""
+    if len(query) != dim:
+        raise ValueError(
+            f"query has {len(query)} dimensions, corpus has {dim}"
+        )
+    q = [float(x) for x in query]
+    normq = math.sqrt(sum(x * x for x in q))
+    lo, hi = sq_stats(embeddings, dim)
+    xhat = _sq_dequant(lo, hi, dim)
+    qlit = F.array(*[F.lit(x) for x in q])
+    score = F.round(_dot(xhat, qlit) / (F.lit(normq) * _norm(xhat)), 6)
+    cand = (
+        embeddings.select("vec_id", score.alias("score"))
+        .orderBy(F.col("score").desc(), "vec_id")
+        .limit(rerank)
+    )
+    return _exact_rerank(embeddings, cand, qlit, k)
+
+
+def bq_signature_py(vec: list[float]) -> int:
+    """Python twin of the packed sign signature (for the query side):
+    bit i set iff vec[i] > 0, two's-complement signed 64-bit."""
+    sig = 0
+    for i, x in enumerate(vec):
+        if x > 0:
+            sig |= 1 << i
+    return sig - (1 << 64) if sig >= (1 << 63) else sig
+
+
+def bq_topk(
+    embeddings: DataFrame,
+    query: list[float],
+    k: int = 10,
+    rerank: int = BQ_RERANK,
+    dim: int = 64,
+) -> DataFrame:
+    """(vec_id, score): binary-quantized search — per-row packed sign
+    signature (one BIGINT for dim ≤ 64), Hamming distance to the query
+    signature via ``bit_count(xor(...))`` picks ``rerank`` candidates
+    (integer-exact, vec_id ties), exact cosine re-ranks."""
+    if len(query) != dim:
+        raise ValueError(
+            f"query has {len(query)} dimensions, corpus has {dim}"
+        )
+    if dim > 64:
+        raise ValueError("packed signature supports dim <= 64")
+    q = [float(x) for x in query]
+    qsig = bq_signature_py(q)
+    # Bit-63 weight is Long.MIN_VALUE: the sum of distinct two's-
+    # complement bit weights always stays in signed-64 range.
+    weights = [
+        (1 << i) - (1 << 64) if i == 63 else (1 << i)
+        for i in range(dim)
+    ]
+    dbl = F.col("embedding").cast("array<double>")
+    w_arr = F.array(*[F.lit(w).cast("bigint") for w in weights])
+    sig = F.aggregate(
+        F.zip_with(
+            dbl,
+            w_arr,
+            lambda x, w: F.when(x > 0, w).otherwise(
+                F.lit(0).cast("bigint")
+            ),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+    dist = F.bit_count(sig.bitwiseXOR(F.lit(qsig).cast("bigint")))
+    cand = (
+        embeddings.select("vec_id", dist.alias("dist"))
+        .orderBy(F.col("dist").asc(), "vec_id")
+        .limit(rerank)
+    )
+    qlit = F.array(*[F.lit(x) for x in q])
+    return _exact_rerank(embeddings, cand, qlit, k)
+
+
+def _exact_rerank(
+    embeddings: DataFrame, cand: DataFrame, qlit, k: int
+) -> DataFrame:
+    """Stage two, shared: exact cosine over the candidate rows only —
+    a broadcast semi-join (candidates are ≤ rerank rows), then the
+    final k-row TakeOrdered."""
+    from sensapp_spark.pipeline.similarity import cosine_similarity
+
+    return (
+        embeddings.join(F.broadcast(cand.select("vec_id")), "vec_id")
+        .select(
+            "vec_id",
+            F.round(
+                cosine_similarity(
+                    F.col("embedding").cast("array<double>"), qlit
+                ),
+                6,
+            ).alias("score"),
+        )
+        .orderBy(F.col("score").desc(), "vec_id")
+        .limit(k)
+    )

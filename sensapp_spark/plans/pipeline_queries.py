@@ -1125,10 +1125,112 @@ def _pq_oracle_arm() -> str:
     """
 
 
+def _sq8_oracle_arm() -> str:
+    """SQL replay of the SQ8 two-stage search (pipeline/sq.py): the
+    per-dimension (min, max) fit, the floor(t + 0.5) uint8 encode, the
+    dequantized approximate-cosine candidate pass, then exact-cosine
+    re-rank — every float op in the same IEEE order as the Spark
+    fold."""
+    import math
+
+    from sensapp_spark.pipeline.sq import SQ_LEVELS, SQ_RERANK
+
+    q = [float(x) for x in QUERY_VEC]
+    normq = repr(math.sqrt(sum(x * x for x in q)))
+    los = ", ".join(
+        f"min(embedding[{i + 1}]::DOUBLE) AS lo{i}, "
+        f"max(embedding[{i + 1}]::DOUBLE) AS hi{i}"
+        for i in range(64)
+    )
+    scs = ", ".join(
+        f"CASE WHEN hi{i} = lo{i} THEN 1.0 ELSE hi{i} - lo{i} END"
+        f" AS sc{i}"
+        for i in range(64)
+    )
+    lv = f"{float(SQ_LEVELS)!r}"
+    xh = ", ".join(
+        f"(least({lv}, greatest(0.0, floor("
+        f"(e.embedding[{i + 1}]::DOUBLE - s.lo{i}) / s.sc{i} * {lv}"
+        f" + 0.5))) * (s.sc{i} / {lv})) + s.lo{i}"
+        for i in range(64)
+    )
+    cos = (
+        "ROUND(list_dot_product(e.embedding::DOUBLE[], {q})"
+        " / (sqrt(list_dot_product(e.embedding::DOUBLE[],"
+        " e.embedding::DOUBLE[])) * sqrt(list_dot_product({q}, {q}))), 6)"
+    ).format(q=_Q_SQL)
+    return f"""
+    WITH sqstat0 AS (SELECT {los} FROM embeddings),
+    sqstat AS (SELECT *, {scs} FROM sqstat0),
+    sqx AS (
+        SELECT e.vec_id, [{xh}]::DOUBLE[] AS xh
+        FROM embeddings e CROSS JOIN sqstat s),
+    sqscore AS (
+        SELECT vec_id,
+               ROUND(list_dot_product(xh, {_Q_SQL})
+                 / ({normq} * sqrt(list_dot_product(xh, xh))), 6)
+               AS score
+        FROM sqx),
+    sqcand AS (
+        SELECT vec_id FROM sqscore
+        ORDER BY score DESC, vec_id LIMIT {SQ_RERANK})
+    SELECT 'sq8' AS scope, e.vec_id, NULL::BIGINT AS centroid_id,
+           {cos} AS cosine
+    FROM embeddings e JOIN sqcand USING (vec_id)
+    ORDER BY cosine DESC, e.vec_id LIMIT {ANN_K}
+    """
+
+
+def _bq_oracle_arm() -> str:
+    """SQL replay of the binary-quantization search (pipeline/sq.py):
+    packed sign signature (one BIGINT), integer-exact Hamming
+    prefilter via bit_count(xor(...)), exact-cosine re-rank. The
+    candidate choice has no float in it at all."""
+    from sensapp_spark.pipeline.sq import (
+        BQ_RERANK,
+        bq_signature_py,
+    )
+
+    long_min = "(-9223372036854775807 - 1)"
+
+    def wlit(i: int) -> str:
+        return long_min if i == 63 else str(1 << i)
+
+    sig = " + ".join(
+        f"CASE WHEN embedding[{i + 1}]::DOUBLE > 0"
+        f" THEN {wlit(i)} ELSE 0 END"
+        for i in range(64)
+    )
+    qsig = bq_signature_py([float(x) for x in QUERY_VEC])
+    qsig_sql = long_min if qsig == -(1 << 63) else str(qsig)
+    cos = (
+        "ROUND(list_dot_product(e.embedding::DOUBLE[], {q})"
+        " / (sqrt(list_dot_product(e.embedding::DOUBLE[],"
+        " e.embedding::DOUBLE[])) * sqrt(list_dot_product({q}, {q}))), 6)"
+    ).format(q=_Q_SQL)
+    return f"""
+    WITH bsig AS (
+        SELECT vec_id, ({sig})::BIGINT AS sig FROM embeddings),
+    bdist AS (
+        SELECT vec_id,
+               bit_count(xor(sig, ({qsig_sql})::BIGINT)) AS dist
+        FROM bsig),
+    bcand AS (
+        SELECT vec_id FROM bdist
+        ORDER BY dist ASC, vec_id LIMIT {BQ_RERANK})
+    SELECT 'bq' AS scope, e.vec_id, NULL::BIGINT AS centroid_id,
+           {cos} AS cosine
+    FROM embeddings e JOIN bcand USING (vec_id)
+    ORDER BY cosine DESC, e.vec_id LIMIT {ANN_K}
+    """
+
+
 @register(
     "ann_ivf_topk",
     f"(SELECT 'ivf' AS scope, * FROM ({_ivf_oracle()}))"
-    f" UNION ALL ({_pq_oracle_arm()})",
+    f" UNION ALL ({_pq_oracle_arm()})"
+    f" UNION ALL ({_sq8_oracle_arm()})"
+    f" UNION ALL ({_bq_oracle_arm()})",
 )
 def ann_ivf_topk(spark, sf_dir):
     """Quantized-ANN family, tagged union:
@@ -1141,9 +1243,17 @@ def ann_ivf_topk(spark, sf_dir):
       search — ADC top-{PQ_RERANK} from the 64×-compressed codes, exact
       cosine re-rank to the top-k. The oracle replays the per-subspace
       codebook fit, the ADC scoring, and the re-rank in full.
+    * ``sq8``: scalar quantization (round 9) — per-dim (min, max)
+      affine uint8 codes (4× compression, no training), dequantized
+      approximate cosine picks candidates, exact re-rank. Oracle
+      replays fit + encode + both stages.
+    * ``bq``: binary quantization (round 9) — one packed sign BIGINT
+      per vector (32×), integer-exact Hamming prefilter
+      (bit_count(xor)), exact re-rank.
     """
     from sensapp_spark.pipeline.pq import pq_topk
     from sensapp_spark.pipeline.similarity import ivf_topk
+    from sensapp_spark.pipeline.sq import bq_topk, sq_topk
 
     emb = _emb(spark, sf_dir)
     ivf = ivf_topk(emb, QUERY_VEC, ANN_K).select(
@@ -1158,7 +1268,20 @@ def ann_ivf_topk(spark, sf_dir):
         F.lit(None).cast("long").alias("centroid_id"),
         F.col("score").alias("cosine"),
     )
-    return ivf.unionByName(pq)
+
+    def _qarm(tag, fn, rerank):
+        return fn(emb, QUERY_VEC, k=ANN_K, rerank=rerank).select(
+            F.lit(tag).alias("scope"),
+            "vec_id",
+            F.lit(None).cast("long").alias("centroid_id"),
+            F.col("score").alias("cosine"),
+        )
+
+    from sensapp_spark.pipeline.sq import BQ_RERANK, SQ_RERANK
+
+    sq = _qarm("sq8", sq_topk, SQ_RERANK)
+    bq = _qarm("bq", bq_topk, BQ_RERANK)
+    return ivf.unionByName(pq).unionByName(sq).unionByName(bq)
 
 
 
@@ -1579,7 +1702,8 @@ BENCH_MEMBERS: dict[str, dict] = {
         t: _scoped("dedup_embedding_pairs", t) for t in ("lsh", "semdedup")
     },
     "ann_ivf_topk": {
-        t: _scoped("ann_ivf_topk", t) for t in ("ivf", "pq")
+        t: _scoped("ann_ivf_topk", t)
+        for t in ("ivf", "pq", "sq8", "bq")
     },
     "text_terms": {
         t: _scoped("text_terms", t)
