@@ -69,33 +69,77 @@ def sq_stats(embeddings: DataFrame, dim: int = 64) -> tuple[list, list]:
     return lo, hi
 
 
-def _sq_dequant(lo: list, hi: list, dim: int) -> F.Column:
-    """codes → dequantized vector, and encode fused in front: ONE
-    projection computing x̂_i = lo_i + code_i·b_i where
+def _sq_scale(lo: list, hi: list) -> list:
+    return [h - l if h != l else 1.0 for l, h in zip(lo, hi)]
+
+
+def sq_codes_expr(lo: list, hi: list, col: str = "embedding") -> F.Column:
+    """vector → uint8 code array (the STORED representation):
     code_i = clamp(floor((x_i − lo_i)/scale_i·255 + 0.5), 0, 255).
     floor(t + 0.5) — not round() — because banker's vs half-away
-    rounding differs across engines; floor is identical everywhere."""
-    scale = [h - l if h != l else 1.0 for l, h in zip(lo, hi)]
-    b = [s / float(SQ_LEVELS) for s in scale]
-    dbl = F.col("embedding").cast("array<double>")
+    rounding differs across engines; floor is identical everywhere.
+    Out-of-range components (append batches under frozen stats) clamp
+    to the edge codes."""
+    scale = _sq_scale(lo, hi)
+    dbl = F.col(col).cast("array<double>")
     lo_arr = F.array(*[F.lit(v) for v in lo])
     sc_arr = F.array(*[F.lit(v) for v in scale])
-    b_arr = F.array(*[F.lit(v) for v in b])
     diff = F.zip_with(dbl, lo_arr, lambda x, l: x - l)
     codes = F.zip_with(
         diff,
         sc_arr,
         lambda d, s: F.floor(d / s * float(SQ_LEVELS) + F.lit(0.5)),
     )
-    codes = F.transform(
+    return F.transform(
         codes,
         lambda c: F.least(
             F.lit(SQ_LEVELS).cast("bigint"),
             F.greatest(F.lit(0).cast("bigint"), c),
         ),
     )
+
+
+def sq_clamp_frac_expr(
+    lo: list, hi: list, col: str = "embedding"
+) -> F.Column:
+    """Per-row fraction of components whose unclamped code falls
+    outside 0..255 — the SQ-specific drift signal: frozen (lo, hi)
+    stats saturate when the data distribution moves past the
+    write-time corpus range."""
+    scale = _sq_scale(lo, hi)
+    dbl = F.col(col).cast("array<double>")
+    lo_arr = F.array(*[F.lit(v) for v in lo])
+    sc_arr = F.array(*[F.lit(v) for v in scale])
+    diff = F.zip_with(dbl, lo_arr, lambda x, l: x - l)
+    raw = F.zip_with(
+        diff,
+        sc_arr,
+        lambda d, s: F.floor(d / s * float(SQ_LEVELS) + F.lit(0.5)),
+    )
+    n_out = F.size(
+        F.filter(raw, lambda c: (c < 0) | (c > SQ_LEVELS))
+    )
+    return n_out.cast("double") / F.size(raw).cast("double")
+
+
+def sq_dequant_codes_expr(lo: list, hi: list, codes_col) -> F.Column:
+    """code array → dequantized vector x̂_i = lo_i + code_i·b_i,
+    b_i = scale_i/255 — the probe-side half, usable over a stored
+    codes column with no raw vector in sight."""
+    scale = _sq_scale(lo, hi)
+    b = [s / float(SQ_LEVELS) for s in scale]
+    lo_arr = F.array(*[F.lit(v) for v in lo])
+    b_arr = F.array(*[F.lit(v) for v in b])
+    codes = codes_col if not isinstance(codes_col, str) else F.col(codes_col)
     xq = F.zip_with(codes, b_arr, lambda c, bb: c.cast("double") * bb)
     return F.zip_with(xq, lo_arr, lambda v, l: v + l)
+
+
+def _sq_dequant(lo: list, hi: list, dim: int) -> F.Column:
+    """Encode + dequantize fused into ONE projection (the convenience
+    search path; the stored layout splits the halves across write and
+    probe time with the identical arithmetic)."""
+    return sq_dequant_codes_expr(lo, hi, sq_codes_expr(lo, hi))
 
 
 def sq_topk(

@@ -48,6 +48,7 @@ import shutil
 
 from sensapp_spark.pipeline.similarity import (
     IVF_NLIST,
+    _dot as _dot_arr,
     IVF_NPROBE,
     bucket_expr,
     cosine_similarity,
@@ -444,6 +445,147 @@ class AnnIndexStore:
             .limit(k)
         )
 
+    # -- IVF + SQ8 (scalar-quantized codes, FAISS IVF_SQ shape) --------------
+
+    def write_ivfsq(
+        self,
+        embeddings: DataFrame,
+        name: str = "embeddings_ivfsq",
+        codebook: list[tuple[int, list[float]]] | None = None,
+        nlist: int = IVF_NLIST,
+        dim: int = 64,
+    ) -> None:
+        """Coarse-quantize for partition pruning AND scalar-quantize
+        the vectors to uint8 codes (faiss ``IVFx,SQ8``): the stored
+        table is ``(vec_id, codes array<int>)`` partitioned by
+        ``centroid_id`` — 4× smaller than the raw float32 vectors
+        before parquet's bit-packing even starts (0..255 values
+        dictionary/RLE-encode to ~1 byte), with NO codebook training:
+        the whole quantizer is the per-dimension (lo, hi) table, one
+        map-side-combined aggregate. Both the coarse codebook and the
+        (lo, hi) stats persist in the atomic sidecar — a probe can
+        never pair codes with foreign stats (same contract as
+        ``write_ivfpq``'s two codebooks)."""
+        from sensapp_spark.pipeline.sq import sq_codes_expr, sq_stats
+
+        cents = (
+            codebook
+            if codebook is not None
+            else ivf_centroids(embeddings, nlist)
+        )
+        assigned = ivf_assign(embeddings, cents, keep_score=True)
+        stats = assigned.agg(
+            F.count("*").alias("n"), F.avg("assign_cos").alias("fit")
+        ).first()
+        if stats.fit is None:
+            raise ValueError(
+                f"write_ivfsq({name!r}): embeddings frame is empty — an "
+                "IVF+SQ layout needs at least one vector to quantize"
+            )
+        lo, hi = sq_stats(embeddings, dim)
+        coded = assigned.select(
+            "vec_id",
+            sq_codes_expr(lo, hi).cast("array<int>").alias("codes"),
+            "centroid_id",
+        )
+        path = self._path(name)
+        meta = {
+            "kind": "ivfsq",
+            "nlist": len(cents),
+            "dim": dim,
+            "codebook": [[cid, vec] for cid, vec in cents],
+            "sq_lo": lo,
+            "sq_hi": hi,
+            "n_vectors": int(stats.n),
+            "write_mean_assign_cos": float(stats.fit),
+            "appends": [],
+        }
+        with dir_lock(path):
+            atomic_overwrite(
+                coded,
+                path,
+                partition_by="centroid_id",
+                extra_files={META_FILE: json.dumps(meta).encode()},
+            )
+
+    def read_ivfsq(
+        self, name: str = "embeddings_ivfsq"
+    ) -> tuple[DataFrame, list, list, list]:
+        """(codes frame with its ``centroid_id`` partition column,
+        coarse codebook, lo, hi)."""
+        data, meta = self._resolve(name, "ivfsq")
+        cents = [
+            (int(c), [float(x) for x in v]) for c, v in meta["codebook"]
+        ]
+        lo = [float(x) for x in meta["sq_lo"]]
+        hi = [float(x) for x in meta["sq_hi"]]
+        return self.spark.read.parquet(data), cents, lo, hi
+
+    def ivfsq_topk(
+        self,
+        query: list[float],
+        k: int = 10,
+        nprobe: int = IVF_NPROBE,
+        name: str = "embeddings_ivfsq",
+        rerank_against: DataFrame | None = None,
+        rerank: int | None = None,
+    ) -> DataFrame:
+        """Dequantized-cosine top-k against the stored codes: the probe
+        filter prunes centroid directories and the dequantization +
+        scoring fuse into one codegen projection over the ``codes``
+        column — no raw vector read. Returns
+        (vec_id, centroid_id, score≈cosine); ``rerank_against`` +
+        ``rerank=k'`` re-ranks with exact cosine like
+        :meth:`ivfpq_topk`."""
+        import math
+
+        from sensapp_spark.pipeline.sq import sq_dequant_codes_expr
+
+        frame, cents, lo, hi = self.read_ivfsq(name)
+        dim = len(lo)
+        if len(query) != dim:
+            raise ValueError(
+                f"query vector has {len(query)} dimensions but layout "
+                f"{name!r} was written from {dim}-dim embeddings"
+            )
+        q = [float(x) for x in query]
+        normq = math.sqrt(sum(x * x for x in q))
+        probes = ivf_probes(q, cents, nprobe)
+        xhat = sq_dequant_codes_expr(
+            lo, hi, F.col("codes").cast("array<bigint>")
+        )
+        qlit = F.array(*[F.lit(x) for x in q])
+        score = F.round(
+            _dot_arr(xhat, qlit) / (F.lit(normq) * F.sqrt(_dot_arr(xhat, xhat))),
+            6,
+        )
+        approx = (
+            frame.filter(F.col("centroid_id").isin(probes))
+            .select("vec_id", "centroid_id", score.alias("score"))
+            .orderBy(F.col("score").desc(), "vec_id")
+            .limit(rerank if rerank is not None else k)
+        )
+        if rerank is None or rerank_against is None:
+            return approx
+        return (
+            rerank_against.join(
+                F.broadcast(approx.select("vec_id", "centroid_id")),
+                "vec_id",
+            )
+            .select(
+                "vec_id",
+                "centroid_id",
+                F.round(
+                    cosine_similarity(
+                        F.col("embedding").cast("array<double>"), qlit
+                    ),
+                    6,
+                ).alias("score"),
+            )
+            .orderBy(F.col("score").desc(), "vec_id")
+            .limit(k)
+        )
+
     # -- hyperplane LSH ------------------------------------------------------
 
     def write_lsh(
@@ -680,6 +822,49 @@ class AnnIndexStore:
                         float(stats.fit) if stats.fit is not None else None
                     ),
                 }
+            elif meta["kind"] == "ivfsq":
+                # Encode against the FROZEN sidecar (lo, hi) stats +
+                # coarse codebook. Components outside the write-time
+                # range CLAMP to the edge codes — sound (the dequant
+                # stays inside the corpus envelope) but lossy, so the
+                # clamp fraction is recorded as the SQ drift signal
+                # alongside the coarse-assignment cosine.
+                from sensapp_spark.pipeline.sq import (
+                    sq_clamp_frac_expr,
+                    sq_codes_expr,
+                )
+
+                cents = [
+                    (int(c), [float(x) for x in v])
+                    for c, v in meta["codebook"]
+                ]
+                lo = [float(x) for x in meta["sq_lo"]]
+                hi = [float(x) for x in meta["sq_hi"]]
+                cached = ivf_assign(src, cents, keep_score=True).persist()
+                stats = cached.agg(
+                    F.count("*").alias("n"),
+                    F.avg("assign_cos").alias("fit"),
+                    F.avg(sq_clamp_frac_expr(lo, hi)).alias("clamp"),
+                ).first()
+                batch = cached.select(
+                    "vec_id",
+                    sq_codes_expr(lo, hi).cast("array<int>").alias(
+                        "codes"
+                    ),
+                    "centroid_id",
+                )
+                partition = ["centroid_id"]
+                record = {
+                    "n": int(stats.n),
+                    "mean_assign_cos": (
+                        float(stats.fit) if stats.fit is not None else None
+                    ),
+                    "clamp_frac": (
+                        float(stats.clamp)
+                        if stats.clamp is not None
+                        else None
+                    ),
+                }
             else:
                 n_tables = int(meta.get("n_tables", 1))
                 cached = src.persist()
@@ -758,7 +943,7 @@ class AnnIndexStore:
         report ``recommend_reindex=False``."""
         _, meta = self._resolve(name, kind=None)
         appends = meta.get("appends", [])
-        if meta["kind"] not in ("ivf", "ivfpq"):
+        if meta["kind"] not in ("ivf", "ivfpq", "ivfsq"):
             return {
                 "kind": meta["kind"],
                 "n_appends": len(appends),
@@ -793,7 +978,7 @@ class AnnIndexStore:
                 "reason": "no appended batches to compare",
             }
         ratio = (1.0 - latest) / max(1e-12, 1.0 - write_fit)
-        return {
+        out = {
             "kind": meta["kind"],
             "write_mean_assign_cos": write_fit,
             "latest_mean_assign_cos": float(latest),
@@ -802,3 +987,22 @@ class AnnIndexStore:
             "distance_ratio": round(ratio, 4),
             "recommend_reindex": ratio > reindex_ratio,
         }
+        if meta["kind"] == "ivfsq":
+            # SQ-specific saturation signal: fraction of components in
+            # the latest batch that clamped against the frozen (lo, hi)
+            # envelope. Clamping caps dequant precision even when the
+            # coarse assignment still fits.
+            clamp = next(
+                (
+                    a["clamp_frac"]
+                    for a in reversed(appends)
+                    if a.get("clamp_frac") is not None
+                ),
+                None,
+            )
+            if clamp is not None:
+                out["latest_clamp_frac"] = round(float(clamp), 6)
+                out["recommend_reindex"] = (
+                    out["recommend_reindex"] or clamp > 0.05
+                )
+        return out

@@ -561,3 +561,157 @@ def test_ivfpq_wrong_dim_and_missing_layout(pq_store, spark, tmp_path):
     fresh = AnnIndexStore(spark, str(tmp_path / "none"))
     with pytest.raises(FileNotFoundError, match="ivfpq"):
         fresh.ivfpq_topk([0.0] * 64, k=5)
+
+
+# -- IVF + SQ8 (round 9) ----------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def sq_store(spark, tmp_path_factory, embeddings):
+    s = AnnIndexStore(spark, str(tmp_path_factory.mktemp("ann_sq")))
+    s.write_ivfsq(embeddings)
+    return s
+
+
+def test_ivfsq_stores_codes_not_vectors(sq_store):
+    frame, cents, lo, hi = sq_store.read_ivfsq()
+    assert set(frame.columns) == {"vec_id", "codes", "centroid_id"}
+    assert len(lo) == len(hi) == 64
+    row = frame.first()
+    assert len(row.codes) == 64
+    assert all(0 <= c <= 255 for c in row.codes)
+
+
+def test_ivfsq_probe_matches_flat_sq_scoring(
+    sq_store, embeddings, query_vec
+):
+    """Stored-layout dequantized scores are bit-identical to scoring
+    the flat frame with the same frozen stats, restricted to the probed
+    lists — the layout changes I/O shape only."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from sensapp_spark.pipeline.similarity import (
+        IVF_NPROBE,
+        _dot,
+        _norm,
+        ivf_assign,
+        ivf_centroids,
+        ivf_probes,
+    )
+    from sensapp_spark.pipeline.sq import _sq_dequant
+
+    _, cents, lo, hi = sq_store.read_ivfsq()
+    probes = set(ivf_probes(query_vec, cents, IVF_NPROBE))
+    q = [float(x) for x in query_vec]
+    normq = math.sqrt(sum(x * x for x in q))
+    qlit = F.array(*[F.lit(x) for x in q])
+    xhat = _sq_dequant(lo, hi, 64)
+    score = F.round(_dot(xhat, qlit) / (F.lit(normq) * _norm(xhat)), 6)
+    flat = [
+        (r.vec_id, r.score)
+        for r in ivf_assign(embeddings, cents)
+        .filter(F.col("centroid_id").isin(list(probes)))
+        .select("vec_id", score.alias("score"))
+        .orderBy(F.col("score").desc(), "vec_id")
+        .limit(10)
+        .collect()
+    ]
+    stored = [
+        (r.vec_id, r.score)
+        for r in sq_store.ivfsq_topk(query_vec, k=10).collect()
+    ]
+    assert stored == flat and len(stored) == 10
+
+
+def test_ivfsq_plan_prunes_partitions_and_stays_jvm(sq_store, query_vec):
+    plan = _plan(sq_store.ivfsq_topk(query_vec, k=5))
+    assert "PartitionFilters" in plan
+    assert "centroid_id" in plan.split("PartitionFilters")[1][:200]
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_ivfsq_rerank_recovers_exact_top(sq_store, embeddings, query_vec):
+    rows = sq_store.ivfsq_topk(
+        query_vec, k=5, rerank_against=embeddings, rerank=25
+    ).collect()
+    assert len(rows) == 5
+    # The query IS vec_id 0's vector: exact re-rank puts it first.
+    assert rows[0].score == 1.0
+
+
+def test_ivfsq_append_encodes_against_frozen_stats(
+    spark, tmp_path_factory, embeddings, query_vec
+):
+    """append() on an ivfsq layout: the batch encodes against the
+    FROZEN sidecar (lo, hi) stats + coarse codebook — codes equal
+    re-encoding the full corpus with the BASE stats (not a rebuild's
+    refreshed stats), assignments land in the right partitions, and
+    the drift report carries the clamp signal."""
+    from pyspark.sql import functions as F
+
+    from sensapp_spark.pipeline.similarity import ivf_assign
+    from sensapp_spark.pipeline.sq import sq_codes_expr
+
+    base = embeddings.filter("vec_id < 350")
+    batch = embeddings.filter("vec_id >= 350")
+    s = AnnIndexStore(spark, str(tmp_path_factory.mktemp("ann_sq_inc")))
+    s.write_ivfsq(base, name="sq_inc")
+    meta = s.append("sq_inc", batch)
+    assert meta["n_vectors"] == embeddings.count()
+    assert len(meta["appends"]) == 1
+    assert meta["appends"][0]["mean_assign_cos"] is not None
+    assert meta["appends"][0]["clamp_frac"] is not None
+
+    frame, cents, lo, hi = s.read_ivfsq("sq_inc")
+    got = {
+        r.vec_id: (list(r.codes), r.centroid_id) for r in frame.collect()
+    }
+    expected_codes = {
+        r.vec_id: list(r.c)
+        for r in embeddings.select(
+            "vec_id", sq_codes_expr(lo, hi).alias("c")
+        ).collect()
+    }
+    expected_cents = {
+        r.vec_id: r.centroid_id
+        for r in ivf_assign(embeddings, cents)
+        .select("vec_id", "centroid_id")
+        .collect()
+    }
+    assert set(got) == set(expected_codes)
+    for vid, (codes, cid) in got.items():
+        assert codes == expected_codes[vid], f"codes drift at {vid}"
+        assert cid == expected_cents[vid], f"assignment drift at {vid}"
+
+    plan = _plan(s.ivfsq_topk(query_vec, k=5, name="sq_inc"))
+    assert "PartitionFilters" in plan
+
+    report = s.drift("sq_inc")
+    assert report["kind"] == "ivfsq"
+    assert "latest_clamp_frac" in report
+    assert report["recommend_reindex"] is False
+
+
+def test_ivfsq_clamp_drift_recommends_reindex(
+    spark, tmp_path_factory, embeddings
+):
+    """A batch far outside the frozen (lo, hi) envelope saturates the
+    encoder — the clamp fraction must trip the re-index signal even
+    when the coarse assignment still fits (scaling preserves cosine)."""
+    from pyspark.sql import functions as F
+
+    s = AnnIndexStore(spark, str(tmp_path_factory.mktemp("ann_sq_cl")))
+    s.write_ivfsq(embeddings, name="sq_cl")
+    scaled = embeddings.select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform(
+            F.col("embedding"), lambda x: x * F.lit(10.0)
+        ).cast("array<float>").alias("embedding"),
+    )
+    meta = s.append("sq_cl", scaled)
+    assert meta["appends"][0]["clamp_frac"] > 0.05
+    report = s.drift("sq_cl")
+    assert report["latest_clamp_frac"] > 0.05
+    assert report["recommend_reindex"] is True
