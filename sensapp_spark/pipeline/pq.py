@@ -238,20 +238,7 @@ def pq_topk(
     )
     if rerank is None:
         return adc
-    from sensapp_spark.pipeline.similarity import cosine_similarity
+    from sensapp_spark.pipeline.similarity import exact_rerank
 
     qlit = F.array(*[F.lit(x) for x in q])
-    return (
-        embeddings.join(F.broadcast(adc.select("vec_id")), "vec_id")
-        .select(
-            "vec_id",
-            F.round(
-                cosine_similarity(
-                    F.col("embedding").cast("array<double>"), qlit
-                ),
-                6,
-            ).alias("score"),
-        )
-        .orderBy(F.col("score").desc(), "vec_id")
-        .limit(k)
-    )
+    return exact_rerank(embeddings, adc, qlit, k)

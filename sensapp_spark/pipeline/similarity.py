@@ -38,6 +38,35 @@ def cosine_similarity(a, b) -> F.Column:
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
+def exact_rerank(
+    embeddings: DataFrame, cand: DataFrame, qlit, k: int, keep=()
+) -> DataFrame:
+    """Stage two of every two-stage quantized search (PQ paper §V) —
+    THE single definition, shared by pq_topk, sq/bq_topk and the
+    stored-layout probes so the family's determinism contract (round
+    to 6, score-desc + vec_id ties) can never drift between copies:
+    exact cosine over the candidate rows only, via a broadcast
+    semi-join on vec_id (candidates are ≤ rerank rows), then the final
+    k-row TakeOrdered. ``keep`` names extra candidate columns to carry
+    through (e.g. ``centroid_id``)."""
+    cols = ["vec_id", *keep]
+    return (
+        embeddings.join(F.broadcast(cand.select(*cols)), "vec_id")
+        .select(
+            "vec_id",
+            *keep,
+            F.round(
+                cosine_similarity(
+                    F.col("embedding").cast("array<double>"), qlit
+                ),
+                6,
+            ).alias("score"),
+        )
+        .orderBy(F.col("score").desc(), "vec_id")
+        .limit(k)
+    )
+
+
 def cosine_topk(
     embeddings: DataFrame, query: list[float], k: int = 10
 ) -> DataFrame:

@@ -43,7 +43,7 @@ import math
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from sensapp_spark.pipeline.similarity import _dot, _norm
+from sensapp_spark.pipeline.similarity import _dot, _norm, exact_rerank
 
 SQ_LEVELS = 255      # uint8 code points 0..255
 SQ_RERANK = 100
@@ -73,25 +73,30 @@ def _sq_scale(lo: list, hi: list) -> list:
     return [h - l if h != l else 1.0 for l, h in zip(lo, hi)]
 
 
-def sq_codes_expr(lo: list, hi: list, col: str = "embedding") -> F.Column:
-    """vector → uint8 code array (the STORED representation):
-    code_i = clamp(floor((x_i − lo_i)/scale_i·255 + 0.5), 0, 255).
-    floor(t + 0.5) — not round() — because banker's vs half-away
-    rounding differs across engines; floor is identical everywhere.
-    Out-of-range components (append batches under frozen stats) clamp
-    to the edge codes."""
+def _sq_raw_codes_expr(lo: list, hi: list, col: str) -> F.Column:
+    """The UNCLAMPED encode — floor((x_i − lo_i)/scale_i·255 + 0.5) —
+    shared by the stored codes and the clamp-drift signal so the two
+    can never disagree about what saturates. floor(t + 0.5) — not
+    round() — because banker's vs half-away rounding differs across
+    engines; floor is identical everywhere."""
     scale = _sq_scale(lo, hi)
     dbl = F.col(col).cast("array<double>")
     lo_arr = F.array(*[F.lit(v) for v in lo])
     sc_arr = F.array(*[F.lit(v) for v in scale])
     diff = F.zip_with(dbl, lo_arr, lambda x, l: x - l)
-    codes = F.zip_with(
+    return F.zip_with(
         diff,
         sc_arr,
         lambda d, s: F.floor(d / s * float(SQ_LEVELS) + F.lit(0.5)),
     )
+
+
+def sq_codes_expr(lo: list, hi: list, col: str = "embedding") -> F.Column:
+    """vector → uint8 code array (the STORED representation):
+    clamp(:func:`_sq_raw_codes_expr`, 0, 255). Out-of-range components
+    (append batches under frozen stats) clamp to the edge codes."""
     return F.transform(
-        codes,
+        _sq_raw_codes_expr(lo, hi, col),
         lambda c: F.least(
             F.lit(SQ_LEVELS).cast("bigint"),
             F.greatest(F.lit(0).cast("bigint"), c),
@@ -106,16 +111,7 @@ def sq_clamp_frac_expr(
     outside 0..255 — the SQ-specific drift signal: frozen (lo, hi)
     stats saturate when the data distribution moves past the
     write-time corpus range."""
-    scale = _sq_scale(lo, hi)
-    dbl = F.col(col).cast("array<double>")
-    lo_arr = F.array(*[F.lit(v) for v in lo])
-    sc_arr = F.array(*[F.lit(v) for v in scale])
-    diff = F.zip_with(dbl, lo_arr, lambda x, l: x - l)
-    raw = F.zip_with(
-        diff,
-        sc_arr,
-        lambda d, s: F.floor(d / s * float(SQ_LEVELS) + F.lit(0.5)),
-    )
+    raw = _sq_raw_codes_expr(lo, hi, col)
     n_out = F.size(
         F.filter(raw, lambda c: (c < 0) | (c > SQ_LEVELS))
     )
@@ -168,15 +164,20 @@ def sq_topk(
         .orderBy(F.col("score").desc(), "vec_id")
         .limit(rerank)
     )
-    return _exact_rerank(embeddings, cand, qlit, k)
+    return exact_rerank(embeddings, cand, qlit, k)
 
 
 def bq_signature_py(vec: list[float]) -> int:
     """Python twin of the packed sign signature (for the query side):
-    bit i set iff vec[i] > 0, two's-complement signed 64-bit."""
+    bit i set iff vec[i] > 0, two's-complement signed 64-bit. NaN
+    counts as POSITIVE — both Spark SQL and DuckDB order NaN above
+    every number, so the engine-side ``x > 0`` sets the bit and the
+    twin must too (Python's ``nan > 0`` is False; without this a
+    NaN-bearing vector would disagree with its own stored
+    signature)."""
     sig = 0
     for i, x in enumerate(vec):
-        if x > 0:
+        if x > 0 or math.isnan(x):
             sig |= 1 << i
     return sig - (1 << 64) if sig >= (1 << 63) else sig
 
@@ -226,28 +227,4 @@ def bq_topk(
         .limit(rerank)
     )
     qlit = F.array(*[F.lit(x) for x in q])
-    return _exact_rerank(embeddings, cand, qlit, k)
-
-
-def _exact_rerank(
-    embeddings: DataFrame, cand: DataFrame, qlit, k: int
-) -> DataFrame:
-    """Stage two, shared: exact cosine over the candidate rows only —
-    a broadcast semi-join (candidates are ≤ rerank rows), then the
-    final k-row TakeOrdered."""
-    from sensapp_spark.pipeline.similarity import cosine_similarity
-
-    return (
-        embeddings.join(F.broadcast(cand.select("vec_id")), "vec_id")
-        .select(
-            "vec_id",
-            F.round(
-                cosine_similarity(
-                    F.col("embedding").cast("array<double>"), qlit
-                ),
-                6,
-            ).alias("score"),
-        )
-        .orderBy(F.col("score").desc(), "vec_id")
-        .limit(k)
-    )
+    return exact_rerank(embeddings, cand, qlit, k)

@@ -1044,6 +1044,18 @@ def _ivf_oracle() -> str:
 PQ_RERANK = 100
 
 
+def _rerank_cos_sql() -> str:
+    """THE exact-cosine re-rank expression every quantized-ANN oracle
+    arm shares (pq/sq8/bq) — one definition, like the Spark side's
+    ``similarity.exact_rerank``, so a rounding/ordering tweak cannot
+    diverge between arms."""
+    return (
+        "ROUND(list_dot_product(e.embedding::DOUBLE[], {q})"
+        " / (sqrt(list_dot_product(e.embedding::DOUBLE[],"
+        " e.embedding::DOUBLE[])) * sqrt(list_dot_product({q}, {q}))), 6)"
+    ).format(q=_Q_SQL)
+
+
 def _pq_oracle_arm() -> str:
     """Full SQL replay of the PQ two-stage search (pipeline/pq.py): per
     subspace, the deterministic sub-codebook fit (init = first ksub
@@ -1106,11 +1118,7 @@ def _pq_oracle_arm() -> str:
     n2s = " + ".join(
         f"list_dot_product(c{mi}.cvec, c{mi}.cvec)" for mi in range(PQ_M)
     )
-    cos = (
-        "ROUND(list_dot_product(e.embedding::DOUBLE[], {q})"
-        " / (sqrt(list_dot_product(e.embedding::DOUBLE[],"
-        " e.embedding::DOUBLE[])) * sqrt(list_dot_product({q}, {q}))), 6)"
-    ).format(q=_Q_SQL)
+    cos = _rerank_cos_sql()
     return f"""
     WITH {",".join(ctes)},
     adc AS (
@@ -1154,11 +1162,7 @@ def _sq8_oracle_arm() -> str:
         f" + 0.5))) * (s.sc{i} / {lv})) + s.lo{i}"
         for i in range(64)
     )
-    cos = (
-        "ROUND(list_dot_product(e.embedding::DOUBLE[], {q})"
-        " / (sqrt(list_dot_product(e.embedding::DOUBLE[],"
-        " e.embedding::DOUBLE[])) * sqrt(list_dot_product({q}, {q}))), 6)"
-    ).format(q=_Q_SQL)
+    cos = _rerank_cos_sql()
     return f"""
     WITH sqstat0 AS (SELECT {los} FROM embeddings),
     sqstat AS (SELECT *, {scs} FROM sqstat0),
@@ -1203,11 +1207,7 @@ def _bq_oracle_arm() -> str:
     )
     qsig = bq_signature_py([float(x) for x in QUERY_VEC])
     qsig_sql = long_min if qsig == -(1 << 63) else str(qsig)
-    cos = (
-        "ROUND(list_dot_product(e.embedding::DOUBLE[], {q})"
-        " / (sqrt(list_dot_product(e.embedding::DOUBLE[],"
-        " e.embedding::DOUBLE[])) * sqrt(list_dot_product({q}, {q}))), 6)"
-    ).format(q=_Q_SQL)
+    cos = _rerank_cos_sql()
     return f"""
     WITH bsig AS (
         SELECT vec_id, ({sig})::BIGINT AS sig FROM embeddings),
@@ -1253,7 +1253,12 @@ def ann_ivf_topk(spark, sf_dir):
     """
     from sensapp_spark.pipeline.pq import pq_topk
     from sensapp_spark.pipeline.similarity import ivf_topk
-    from sensapp_spark.pipeline.sq import bq_topk, sq_topk
+    from sensapp_spark.pipeline.sq import (
+        BQ_RERANK,
+        SQ_RERANK,
+        bq_topk,
+        sq_topk,
+    )
 
     emb = _emb(spark, sf_dir)
     ivf = ivf_topk(emb, QUERY_VEC, ANN_K).select(
@@ -1276,8 +1281,6 @@ def ann_ivf_topk(spark, sf_dir):
             F.lit(None).cast("long").alias("centroid_id"),
             F.col("score").alias("cosine"),
         )
-
-    from sensapp_spark.pipeline.sq import BQ_RERANK, SQ_RERANK
 
     sq = _qarm("sq8", sq_topk, SQ_RERANK)
     bq = _qarm("bq", bq_topk, BQ_RERANK)

@@ -49,6 +49,7 @@ import shutil
 from sensapp_spark.pipeline.similarity import (
     IVF_NLIST,
     _dot as _dot_arr,
+    exact_rerank,
     IVF_NPROBE,
     bucket_expr,
     cosine_similarity,
@@ -206,7 +207,10 @@ class AnnIndexStore:
             src = src.drop("centroid_id")
         if "assign_cos" in src.columns:
             src = src.drop("assign_cos")
-        assigned = ivf_assign(src, cents, keep_score=True)
+        # Persisted across its two consumers (the fit aggregate and
+        # the partitioned write) so the corpus-sized centroid scoring
+        # runs once — the same reason append() persists its assignment.
+        assigned = ivf_assign(src, cents, keep_score=True).persist()
         # Write-time quantization fit — the drift baseline `append`
         # compares against. One map-side-combined aggregate over the
         # assignment projection; the score column itself is not stored
@@ -218,6 +222,7 @@ class AnnIndexStore:
             # An empty corpus has no assignment fit; `float(None)`
             # would raise a bare TypeError here and a null
             # write_mean_assign_cos would crash drift() later.
+            assigned.unpersist()
             raise ValueError(
                 f"write_ivf({name!r}): embeddings frame is empty — an IVF "
                 "layout needs at least one vector to quantize"
@@ -232,13 +237,16 @@ class AnnIndexStore:
             "write_mean_assign_cos": float(stats.fit),
             "appends": [],
         }
-        with dir_lock(path):
-            atomic_overwrite(
-                assigned.drop("assign_cos"),
-                path,
-                partition_by="centroid_id",
-                extra_files={META_FILE: json.dumps(meta).encode()},
-            )
+        try:
+            with dir_lock(path):
+                atomic_overwrite(
+                    assigned.drop("assign_cos"),
+                    path,
+                    partition_by="centroid_id",
+                    extra_files={META_FILE: json.dumps(meta).encode()},
+                )
+        finally:
+            assigned.unpersist()
         return cents
 
     def read_ivf(
@@ -313,7 +321,9 @@ class AnnIndexStore:
             else ivf_centroids(embeddings, nlist)
         )
         books = pq_codebooks(embeddings, m=m, ksub=ksub, dim=dim)
-        assigned = ivf_assign(embeddings, cents, keep_score=True)
+        # Persisted: the fit aggregate and the coded join both consume
+        # the corpus-sized assignment.
+        assigned = ivf_assign(embeddings, cents, keep_score=True).persist()
         coded = pq_encode(embeddings, books, dim=dim).join(
             assigned.select("vec_id", "centroid_id"), "vec_id"
         )
@@ -324,6 +334,7 @@ class AnnIndexStore:
             F.count("*").alias("n"), F.avg("assign_cos").alias("fit")
         ).first()
         if stats.fit is None:
+            assigned.unpersist()
             raise ValueError(
                 f"write_ivfpq({name!r}): embeddings frame is empty — an "
                 "IVF+PQ layout needs at least one vector to quantize"
@@ -343,13 +354,16 @@ class AnnIndexStore:
             "write_mean_assign_cos": float(stats.fit),
             "appends": [],
         }
-        with dir_lock(path):
-            atomic_overwrite(
-                coded,
-                path,
-                partition_by="centroid_id",
-                extra_files={META_FILE: json.dumps(meta).encode()},
-            )
+        try:
+            with dir_lock(path):
+                atomic_overwrite(
+                    coded,
+                    path,
+                    partition_by="centroid_id",
+                    extra_files={META_FILE: json.dumps(meta).encode()},
+                )
+        finally:
+            assigned.unpersist()
 
     def read_ivfpq(
         self, name: str = "embeddings_ivfpq"
@@ -427,22 +441,8 @@ class AnnIndexStore:
         if rerank is None or rerank_against is None:
             return adc
         qlit = F.array(*[F.lit(x) for x in q])
-        return (
-            rerank_against.join(
-                F.broadcast(adc.select("vec_id", "centroid_id")), "vec_id"
-            )
-            .select(
-                "vec_id",
-                "centroid_id",
-                F.round(
-                    cosine_similarity(
-                        F.col("embedding").cast("array<double>"), qlit
-                    ),
-                    6,
-                ).alias("score"),
-            )
-            .orderBy(F.col("score").desc(), "vec_id")
-            .limit(k)
+        return exact_rerank(
+            rerank_against, adc, qlit, k, keep=("centroid_id",)
         )
 
     # -- IVF + SQ8 (scalar-quantized codes, FAISS IVF_SQ shape) --------------
@@ -473,11 +473,13 @@ class AnnIndexStore:
             if codebook is not None
             else ivf_centroids(embeddings, nlist)
         )
-        assigned = ivf_assign(embeddings, cents, keep_score=True)
+        # Persisted across the fit aggregate and the coded write.
+        assigned = ivf_assign(embeddings, cents, keep_score=True).persist()
         stats = assigned.agg(
             F.count("*").alias("n"), F.avg("assign_cos").alias("fit")
         ).first()
         if stats.fit is None:
+            assigned.unpersist()
             raise ValueError(
                 f"write_ivfsq({name!r}): embeddings frame is empty — an "
                 "IVF+SQ layout needs at least one vector to quantize"
@@ -500,13 +502,16 @@ class AnnIndexStore:
             "write_mean_assign_cos": float(stats.fit),
             "appends": [],
         }
-        with dir_lock(path):
-            atomic_overwrite(
-                coded,
-                path,
-                partition_by="centroid_id",
-                extra_files={META_FILE: json.dumps(meta).encode()},
-            )
+        try:
+            with dir_lock(path):
+                atomic_overwrite(
+                    coded,
+                    path,
+                    partition_by="centroid_id",
+                    extra_files={META_FILE: json.dumps(meta).encode()},
+                )
+        finally:
+            assigned.unpersist()
 
     def read_ivfsq(
         self, name: str = "embeddings_ivfsq"
@@ -567,23 +572,8 @@ class AnnIndexStore:
         )
         if rerank is None or rerank_against is None:
             return approx
-        return (
-            rerank_against.join(
-                F.broadcast(approx.select("vec_id", "centroid_id")),
-                "vec_id",
-            )
-            .select(
-                "vec_id",
-                "centroid_id",
-                F.round(
-                    cosine_similarity(
-                        F.col("embedding").cast("array<double>"), qlit
-                    ),
-                    6,
-                ).alias("score"),
-            )
-            .orderBy(F.col("score").desc(), "vec_id")
-            .limit(k)
+        return exact_rerank(
+            rerank_against, approx, qlit, k, keep=("centroid_id",)
         )
 
     # -- hyperplane LSH ------------------------------------------------------

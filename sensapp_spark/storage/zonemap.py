@@ -105,11 +105,21 @@ def _sketches_of_column(pf, column: str = "sensor_id"):
 
     Geometry and hashes match ``operators/sketches.py`` by import.
     ``(None, None)`` when the column is absent (foreign tables stay
-    sketch-less). The per-value work is over DISTINCT values
-    (``value_counts``), not rows."""
+    sketch-less) OR not a string column: the sketches hash ``str(v)``
+    and a binary/numeric column's Python repr (``b'abc'``) would key
+    counters under strings no probe ever asks for — and since round 9
+    a zero counter row is an absence PROOF in ``prune_files``, that
+    mis-keying would be a wrong prune, not a skewed estimate. The
+    smin/smax axis defends the same way with its isinstance guards.
+    The per-value work is over DISTINCT values (``value_counts``), not
+    rows."""
+    import pyarrow as pa
     import pyarrow.compute as pc
 
     if column not in pf.schema_arrow.names:
+        return None, None
+    ftype = pf.schema_arrow.field(column).type
+    if not (pa.types.is_string(ftype) or pa.types.is_large_string(ftype)):
         return None, None
     counts = pc.value_counts(pf.read(columns=[column]).column(column))
     hashes: set[int] = set()
@@ -253,10 +263,24 @@ def to_epoch_us(v) -> int | None:
     return None
 
 
+# The persisted sketches' hash geometry: since the counters double as
+# absence PROOFS (prune_files membership axis), the geometry they were
+# built with is part of the on-disk format — a probe hashed with a
+# different CMS_W/CMS_SALTS would read the wrong bucket, see 0, and
+# wrongly prune a file that holds the sensor. Recorded at write time;
+# a mismatched (or missing — pre-geometry writer) stamp strips the
+# sketch fields at READ time, degrading every consumer to "axis
+# unknown" instead of silently lying.
+_SKETCH_GEOM = {"w": CMS_W, "d": len(CMS_SALTS), "k": KMV_K}
+
+
 def read_zonemap(data_dir: str) -> dict[str, dict] | None:
     """The version dir's sidecar as {relative file path: stats}, or
     ``None`` if absent/unreadable/wrong-version (all of which mean
-    "no pruning", never an error)."""
+    "no pruning", never an error). Entries' sketch fields are dropped
+    unless the doc's geometry stamp matches the current
+    :data:`_SKETCH_GEOM` — min/max pruning survives a geometry bump,
+    sketch folds and membership pruning degrade to unknown."""
     from sensapp_spark.storage.logstore import get_store
 
     raw = get_store().read(os.path.join(data_dir, ZONEMAP_NAME))
@@ -269,7 +293,16 @@ def read_zonemap(data_dir: str) -> dict[str, dict] | None:
     if not isinstance(doc, dict) or doc.get("version") != ZONEMAP_VERSION:
         return None
     files = doc.get("files")
-    return files if isinstance(files, dict) else None
+    if not isinstance(files, dict):
+        return None
+    if doc.get("sketch_geom") != _SKETCH_GEOM:
+        files = {
+            rel: {
+                k: v for k, v in st.items() if k not in ("kmv", "cms")
+            }
+            for rel, st in files.items()
+        }
+    return files
 
 
 def write_zonemap(data_dir: str, files: dict[str, dict]) -> None:
@@ -278,7 +311,11 @@ def write_zonemap(data_dir: str, files: dict[str, dict]) -> None:
     never torn JSON."""
     from sensapp_spark.storage.logstore import get_store
 
-    doc = {"version": ZONEMAP_VERSION, "files": files}
+    doc = {
+        "version": ZONEMAP_VERSION,
+        "sketch_geom": _SKETCH_GEOM,
+        "files": files,
+    }
     get_store().put(
         os.path.join(data_dir, ZONEMAP_NAME),
         json.dumps(doc, separators=(",", ":")).encode(),
@@ -344,6 +381,18 @@ def prune_files(
       fold!) are probed: a fold proves absence from the whole table,
       not from one file."""
     probe = sorted(sensor_ids) if sensor_ids else None
+    # The md5 bucket keys are file-independent: hoist them out of the
+    # file loop (S·d hashes total, not F·S·d — the planning path walks
+    # thousands of files in a hot month).
+    probe_keys = None
+    if probe is not None:
+        probe_keys = [
+            [
+                f"{row}:{_portable_hash_py(s, salt) % CMS_W}"
+                for row, salt in enumerate(CMS_SALTS)
+            ]
+            for s in probe
+        ]
     kept = []
     for full in data_files:
         rel = os.path.relpath(full, data_dir)
@@ -367,8 +416,11 @@ def prune_files(
             ):
                 continue
             cms = st.get("cms")
-            if probe is not None and cms is not None and all(
-                cms_probe(cms, s) == 0 for s in probe
+            if probe_keys is not None and cms is not None and all(
+                # id absent from this file iff ANY of its d rows is 0
+                # (count-min never undercounts).
+                any(cms.get(k, 0) == 0 for k in ks)
+                for ks in probe_keys
             ):
                 continue
         kept.append(full)

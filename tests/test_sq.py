@@ -88,6 +88,34 @@ def test_bq_signature_packing_matches_python(spark):
     assert got["zeros"] == 0
 
 
+def test_bq_signature_nan_counts_as_positive(spark):
+    """Round-9 review: Spark SQL (and DuckDB) order NaN above every
+    number, so the engine-side `x > 0` sets a NaN component's bit; the
+    Python twin must agree or a NaN-bearing vector disagrees with its
+    own stored signature."""
+    nan_vec = [float("nan")] * 2 + [-1.0] * 62
+    df = spark.createDataFrame(
+        [("nan", nan_vec)], "vec_id string, embedding array<float>"
+    )
+    weights = [
+        (1 << i) - (1 << 64) if i == 63 else (1 << i) for i in range(64)
+    ]
+    w_arr = F.array(*[F.lit(w).cast("bigint") for w in weights])
+    sig = F.aggregate(
+        F.zip_with(
+            F.col("embedding").cast("array<double>"),
+            w_arr,
+            lambda x, w: F.when(x > 0, w).otherwise(
+                F.lit(0).cast("bigint")
+            ),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+    engine = df.select(sig.alias("sig")).first().sig
+    assert engine == sq.bq_signature_py(nan_vec) == 0b11
+
+
 def test_sq8_codes_clamp_and_roundtrip(spark):
     # A corpus of two vectors pins lo/hi exactly; dequantized values
     # must land back on the originals (codes 0 and 255) and a constant

@@ -206,6 +206,59 @@ def test_cms_membership_prunes_unclustered_lake_scan(spark, tmp_path):
     assert len(d.inputFiles()) == 1
 
 
+def test_non_string_sensor_column_records_no_sketches(tmp_path):
+    """Round-9 review: the sketches hash str(v), so a binary/numeric
+    sensor_id column would key counters under reprs no probe asks for
+    — and a zero counter row is an absence PROOF, so that mis-keying
+    would be a wrong prune. Non-string columns must stay sketch-less
+    (axis unknown, file kept), like the smin/smax isinstance guard."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    p = str(tmp_path / "bin.parquet")
+    pq.write_table(
+        pa.table({
+            "sensor_id": pa.array([b"s-b", b"s-y"], type=pa.binary()),
+            "time": [1, 2],
+            "value": [1.0, 2.0],
+        }),
+        p,
+    )
+    st = zm.file_stats(p)
+    assert "kmv" not in st and "cms" not in st
+    zmap = {"bin.parquet": st}
+    kept = zm.prune_files(
+        str(tmp_path), [p], zmap, sensor_ids=["s-b"]
+    )
+    assert kept == [p]
+
+
+def test_geometry_mismatch_strips_sketches(spark, tmp_path):
+    """The counters' hash geometry is part of the on-disk format now
+    that they prove absence: a sidecar stamped with a different
+    CMS_W/d/k must degrade to 'sketch axis unknown' at read time —
+    min/max pruning survives, membership pruning and sketch folds do
+    not silently lie."""
+    lake, _ = _mk_lake(spark, tmp_path)
+    data = _data_dir(lake)
+    path = os.path.join(data, zm.ZONEMAP_NAME)
+    doc = json.load(open(path))
+    assert doc["sketch_geom"] == zm._SKETCH_GEOM
+    doc["sketch_geom"] = {"w": 1024, "d": 2, "k": 64}
+    with open(path, "w") as f:
+        json.dump(doc, f)
+    zmap = zm.read_zonemap(data)
+    assert zmap is not None
+    for st in zmap.values():
+        assert "kmv" not in st and "cms" not in st
+        assert "smin" in st  # min/max axes survive the strip
+    # Sketch folds see incomplete coverage and answer None, never a
+    # wrong-geometry estimate.
+    from sensapp_spark.datamodel.types import SensorType
+
+    assert lake.sketch_distinct_series(SensorType.FLOAT) is None
+
+
 def test_month_path_pruning_without_stats():
     files = [
         "/d/month=2024-01/a.parquet",
