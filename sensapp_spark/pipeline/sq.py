@@ -53,7 +53,16 @@ BQ_RERANK = 100
 def sq_stats(embeddings: DataFrame, dim: int = 64) -> tuple[list, list]:
     """Per-dimension (min, max) over the corpus — ONE aggregation with
     2·dim map-side-combined exprs; driver traffic is 2·dim doubles
-    (the SQ analogue of a codebook)."""
+    (the SQ analogue of a codebook).
+
+    Rejects non-finite stats instead of encoding through them: a NaN
+    component poisons its dimension's max (both engines order NaN
+    above every number), and NaN then diverges between Spark's encode
+    (``F.floor`` → long 0) and SQL's (``least``/``greatest`` keep NaN
+    → clamps high) — a silent bit-for-bit replay break and a quantizer
+    whose whole dimension collapses. SQ8 is a finite-vector technique;
+    the didactic error here beats both wrong outcomes. (Binary
+    quantization handles NaN fine — sign bits only.)"""
     row = embeddings.agg(
         *[
             F.min(F.col("embedding")[i].cast("double")).alias(f"lo{i}")
@@ -66,6 +75,18 @@ def sq_stats(embeddings: DataFrame, dim: int = 64) -> tuple[list, list]:
     ).collect()[0]
     lo = [float(row[f"lo{i}"]) for i in range(dim)]
     hi = [float(row[f"hi{i}"]) for i in range(dim)]
+    bad = [
+        i
+        for i in range(dim)
+        if not (math.isfinite(lo[i]) and math.isfinite(hi[i]))
+    ]
+    if bad:
+        raise ValueError(
+            "SQ8 requires finite embeddings: corpus min/max is "
+            f"NaN/Inf in dimension(s) {bad[:8]}"
+            f"{'…' if len(bad) > 8 else ''} — filter or impute the "
+            "non-finite components before quantizing"
+        )
     return lo, hi
 
 

@@ -49,6 +49,7 @@ import shutil
 from sensapp_spark.pipeline.similarity import (
     IVF_NLIST,
     _dot as _dot_arr,
+    _norm as _norm_arr,
     exact_rerank,
     IVF_NPROBE,
     bucket_expr,
@@ -473,36 +474,41 @@ class AnnIndexStore:
             if codebook is not None
             else ivf_centroids(embeddings, nlist)
         )
-        # Persisted across the fit aggregate and the coded write.
+        # Persisted across all three consumers — the fit aggregate,
+        # the (lo, hi) stats aggregate, and the coded write — under
+        # one try/finally so no error path leaks the cached frame.
         assigned = ivf_assign(embeddings, cents, keep_score=True).persist()
-        stats = assigned.agg(
-            F.count("*").alias("n"), F.avg("assign_cos").alias("fit")
-        ).first()
-        if stats.fit is None:
-            assigned.unpersist()
-            raise ValueError(
-                f"write_ivfsq({name!r}): embeddings frame is empty — an "
-                "IVF+SQ layout needs at least one vector to quantize"
-            )
-        lo, hi = sq_stats(embeddings, dim)
-        coded = assigned.select(
-            "vec_id",
-            sq_codes_expr(lo, hi).cast("array<int>").alias("codes"),
-            "centroid_id",
-        )
-        path = self._path(name)
-        meta = {
-            "kind": "ivfsq",
-            "nlist": len(cents),
-            "dim": dim,
-            "codebook": [[cid, vec] for cid, vec in cents],
-            "sq_lo": lo,
-            "sq_hi": hi,
-            "n_vectors": int(stats.n),
-            "write_mean_assign_cos": float(stats.fit),
-            "appends": [],
-        }
         try:
+            stats = assigned.agg(
+                F.count("*").alias("n"), F.avg("assign_cos").alias("fit")
+            ).first()
+            if stats.fit is None:
+                raise ValueError(
+                    f"write_ivfsq({name!r}): embeddings frame is empty — "
+                    "an IVF+SQ layout needs at least one vector to "
+                    "quantize"
+                )
+            # Stats over the PERSISTED assignment (it still carries the
+            # embedding column) — not the source lineage, which would
+            # re-execute the whole upstream scan a third time.
+            lo, hi = sq_stats(assigned, dim)
+            coded = assigned.select(
+                "vec_id",
+                sq_codes_expr(lo, hi).cast("array<int>").alias("codes"),
+                "centroid_id",
+            )
+            path = self._path(name)
+            meta = {
+                "kind": "ivfsq",
+                "nlist": len(cents),
+                "dim": dim,
+                "codebook": [[cid, vec] for cid, vec in cents],
+                "sq_lo": lo,
+                "sq_hi": hi,
+                "n_vectors": int(stats.n),
+                "write_mean_assign_cos": float(stats.fit),
+                "appends": [],
+            }
             with dir_lock(path):
                 atomic_overwrite(
                     coded,
@@ -561,8 +567,7 @@ class AnnIndexStore:
         )
         qlit = F.array(*[F.lit(x) for x in q])
         score = F.round(
-            _dot_arr(xhat, qlit) / (F.lit(normq) * F.sqrt(_dot_arr(xhat, xhat))),
-            6,
+            _dot_arr(xhat, qlit) / (F.lit(normq) * _norm_arr(xhat)), 6
         )
         approx = (
             frame.filter(F.col("centroid_id").isin(probes))
@@ -920,7 +925,8 @@ class AnnIndexStore:
         return vacuum_orphans(self._path(name), min_age_s=min_age_s)
 
     def drift(
-        self, name: str, reindex_ratio: float = 1.5
+        self, name: str, reindex_ratio: float = 1.5,
+        clamp_ratio: float = 0.05,
     ) -> dict:
         """Quantization-drift report for a stored IVF layout: compares
         the most recent appended batch's mean assignment cosine with
@@ -993,6 +999,6 @@ class AnnIndexStore:
             if clamp is not None:
                 out["latest_clamp_frac"] = round(float(clamp), 6)
                 out["recommend_reindex"] = (
-                    out["recommend_reindex"] or clamp > 0.05
+                    out["recommend_reindex"] or clamp > clamp_ratio
                 )
         return out

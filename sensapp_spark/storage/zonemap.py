@@ -274,13 +274,12 @@ def to_epoch_us(v) -> int | None:
 _SKETCH_GEOM = {"w": CMS_W, "d": len(CMS_SALTS), "k": KMV_K}
 
 
-def read_zonemap(data_dir: str) -> dict[str, dict] | None:
-    """The version dir's sidecar as {relative file path: stats}, or
-    ``None`` if absent/unreadable/wrong-version (all of which mean
-    "no pruning", never an error). Entries' sketch fields are dropped
-    unless the doc's geometry stamp matches the current
-    :data:`_SKETCH_GEOM` — min/max pruning survives a geometry bump,
-    sketch folds and membership pruning degrade to unknown."""
+def _read_doc(data_dir: str) -> dict | None:
+    """The raw parsed sidecar doc (version-checked, entries sanitized
+    to dicts — a malformed entry means "file unknown", never an
+    error), WITHOUT the geometry strip: refresh needs to see the stamp
+    itself to decide whether stale-geometry entries must be rebuilt
+    rather than silently re-stamped."""
     from sensapp_spark.storage.logstore import get_store
 
     raw = get_store().read(os.path.join(data_dir, ZONEMAP_NAME))
@@ -295,6 +294,23 @@ def read_zonemap(data_dir: str) -> dict[str, dict] | None:
     files = doc.get("files")
     if not isinstance(files, dict):
         return None
+    doc["files"] = {
+        rel: st for rel, st in files.items() if isinstance(st, dict)
+    }
+    return doc
+
+
+def read_zonemap(data_dir: str) -> dict[str, dict] | None:
+    """The version dir's sidecar as {relative file path: stats}, or
+    ``None`` if absent/unreadable/wrong-version (all of which mean
+    "no pruning", never an error). Entries' sketch fields are dropped
+    unless the doc's geometry stamp matches the current
+    :data:`_SKETCH_GEOM` — min/max pruning survives a geometry bump,
+    sketch folds and membership pruning degrade to unknown."""
+    doc = _read_doc(data_dir)
+    if doc is None:
+        return None
+    files = doc["files"]
     if doc.get("sketch_geom") != _SKETCH_GEOM:
         files = {
             rel: {
@@ -329,7 +345,18 @@ def refresh_zonemap(data_dir: str, data_files: list[str]) -> dict[str, dict]:
     Concurrent refreshes race read-modify-write benignly: the loser's
     entries fall out of the map and those files read unpruned until the
     next refresh re-folds them. Returns the new map."""
-    existing = read_zonemap(data_dir) or {}
+    # Read the RAW doc: a stale/missing geometry stamp means the
+    # persisted sketches are unusable, and keeping the stripped
+    # entries would re-stamp them sketch-less FOREVER (refresh only
+    # stats unmapped files). Dropping the entries instead makes the
+    # next refresh rebuild every file's stats once — the one-time
+    # O(files) rebuild a geometry bump honestly costs.
+    doc = _read_doc(data_dir)
+    existing = (
+        doc["files"]
+        if doc is not None and doc.get("sketch_geom") == _SKETCH_GEOM
+        else {}
+    )
     rels = {os.path.relpath(f, data_dir): f for f in data_files}
     merged = {r: existing[r] for r in rels if r in existing}
     for rel, full in rels.items():

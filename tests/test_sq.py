@@ -136,6 +136,19 @@ def test_sq8_codes_clamp_and_roundtrip(spark):
     assert rows[0][63] == 5.0 and rows[1][63] == 5.0
 
 
+def test_sq_stats_rejects_non_finite_corpus(spark):
+    """A NaN component would poison its dimension's max (NaN-greatest
+    in both engines) and then encode DIFFERENTLY in Spark (floor→0)
+    vs SQL (clamp→255) — sq_stats must refuse instead of silently
+    breaking the bit-for-bit replay contract."""
+    df = spark.createDataFrame(
+        [(0, [float("nan")] + [0.5] * 63), (1, [1.0] * 64)],
+        "vec_id long, embedding array<float>",
+    )
+    with pytest.raises(ValueError, match="finite"):
+        sq.sq_stats(df)
+
+
 def test_dim_validation():
     with pytest.raises(ValueError, match="dimensions"):
         sq.sq_topk(None, [1.0] * 3)

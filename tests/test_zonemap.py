@@ -259,6 +259,47 @@ def test_geometry_mismatch_strips_sketches(spark, tmp_path):
     assert lake.sketch_distinct_series(SensorType.FLOAT) is None
 
 
+def test_geometry_mismatch_refresh_rebuilds_sketches(spark, tmp_path):
+    """Second-pass review: a refresh over a stale-geometry sidecar
+    must REBUILD the entries (one-time O(files) cost), not persist the
+    stripped sketch-less entries under the new stamp forever."""
+    lake, _ = _mk_lake(spark, tmp_path)
+    data = _data_dir(lake)
+    path = os.path.join(data, zm.ZONEMAP_NAME)
+    doc = json.load(open(path))
+    doc["sketch_geom"] = {"w": 1024, "d": 2, "k": 64}
+    with open(path, "w") as f:
+        json.dump(doc, f)
+    files = glob.glob(os.path.join(data, "month=*", "*.parquet"))
+    merged = zm.refresh_zonemap(data, files)
+    assert merged and all(
+        "kmv" in st and "cms" in st for st in merged.values()
+    )
+    # And the rewritten doc carries the current stamp, so the rebuilt
+    # sketches are trusted again.
+    from sensapp_spark.datamodel.types import SensorType
+
+    assert lake.sketch_distinct_series(SensorType.FLOAT) is not None
+
+
+def test_malformed_sidecar_entry_degrades_not_raises(tmp_path):
+    """A non-dict files entry (torn/foreign writer) means 'file
+    unknown' — read_zonemap's contract is never-an-error."""
+    import json as _json
+
+    data = str(tmp_path)
+    with open(os.path.join(data, zm.ZONEMAP_NAME), "w") as f:
+        _json.dump(
+            {
+                "version": zm.ZONEMAP_VERSION,
+                "sketch_geom": {"w": 1, "d": 1, "k": 1},  # mismatched
+                "files": {"a.parquet": ["not", "a", "dict"]},
+            },
+            f,
+        )
+    assert zm.read_zonemap(data) == {}
+
+
 def test_month_path_pruning_without_stats():
     files = [
         "/d/month=2024-01/a.parquet",
