@@ -764,10 +764,14 @@ def _bucket_sql(salt: str, buckets: int = 100) -> str:
                  - ((cum - tok_len) // 2048) + 1 AS pack_n_seqs
         FROM (
             SELECT doc_id, tok_len,
-                   SUM(tok_len) OVER (
+                   -- CAST: DuckDB's SUM(BIGINT) window is HUGEINT,
+                   -- which pandas renders as float64 and breaks the
+                   -- dtype half of the parity check (the values were
+                   -- always equal).
+                   CAST(SUM(tok_len) OVER (
                        ORDER BY hkey, doc_id
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-                   ) AS cum
+                   ) AS BIGINT) AS cum
             FROM (
                 SELECT doc_id,
                        len(regexp_split_to_array(trim(text), '\\s+'))
