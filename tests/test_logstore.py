@@ -331,3 +331,51 @@ def test_two_hosts_lost_update_closed_on_emulated_store(spark, tmp_path):
     finally:
         set_store(prev)
     assert got == {"s-h1", "s-h2"}, f"lost update: {got}"
+
+
+# ---------------------------------------------------------------------------
+# The ANN store on the emulated object store
+# ---------------------------------------------------------------------------
+
+
+def test_ann_store_lifecycle_on_emulated_object_store(
+    spark, tmp_path, monkeypatch
+):
+    """The ANN layouts commit through the same conditional-put log as
+    the lake, so the whole write → probe → append → drift lifecycle
+    must run with the POSIX metadata primitives out of reach. os.link
+    raises OSError (an object store has no hardlinks) rather than
+    AssertionError: _clone_tree's documented fallback is a real copy —
+    data plane, like Spark's parquet writes — while os.replace stays
+    FORBIDDEN (any Python-side metadata rename would be a protocol
+    leak)."""
+    from sensapp_spark.storage.ann import AnnIndexStore
+
+    prev = set_store(ObjectStoreEmulator())
+    monkeypatch.setattr(
+        os, "link", lambda *a, **kw: (_ for _ in ()).throw(
+            OSError("object stores have no hardlinks")
+        )
+    )
+    monkeypatch.setattr(os, "replace", _forbid("replace"))
+    try:
+        emb = spark.read.parquet(
+            "/root/testdata/sf0.001/embeddings.parquet"
+        )
+        base = emb.filter("vec_id < 350")
+        batch = emb.filter("vec_id >= 350")
+        s = AnnIndexStore(spark, str(tmp_path / "ann"))
+        s.write_ivfsq(base, name="sq_obj")
+        q = [float(x) for x in emb.orderBy("vec_id").first().embedding]
+        assert s.ivfsq_topk(q, k=5, name="sq_obj").count() == 5
+        meta = s.append("sq_obj", batch)
+        assert meta["n_vectors"] == emb.count()
+        rows = s.ivfsq_topk(
+            q, k=5, name="sq_obj", rerank_against=emb, rerank=25
+        ).collect()
+        assert len(rows) == 5 and rows[0].score == 1.0
+        report = s.drift("sq_obj")
+        assert report["kind"] == "ivfsq"
+        assert s.vacuum("sq_obj", min_age_s=0.0) == []
+    finally:
+        set_store(prev)
