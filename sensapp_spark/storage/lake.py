@@ -1210,6 +1210,7 @@ class SensorLake:
                 zm.refresh_zonemap(
                     data,
                     files if files is not None else _list_data_files(data),
+                    spark=self.spark,
                 )
         except TimeoutError:
             return  # another writer is refreshing — its pass folds us in
@@ -2378,7 +2379,9 @@ def atomic_overwrite(
             # Zone-map sidecar for file skipping (storage/zonemap.py),
             # built BEFORE the claim so it commits atomically with the
             # version it describes — the same contract as extra_files.
-            zm.refresh_zonemap(vdir, initial_files)
+            # The writing df carries the session, so a rewrite's
+            # full-version stat collection fans out across executors.
+            zm.refresh_zonemap(vdir, initial_files, spark=df.sparkSession)
         if expected_seq is not None:
             _claim_commit(path, expected_seq + 1, version)
             claimed = True

@@ -240,6 +240,52 @@ def file_stats(path: str) -> dict:
     return out
 
 
+def file_stats_many(
+    files: list[str], spark=None, distribute_threshold: int = 64
+) -> dict[str, dict]:
+    """Footer stats for a batch of files — the scale path the module
+    docstring promises: below ``distribute_threshold`` (or without a
+    session) a driver loop; above it a ``mapInPandas`` fan-out where
+    each executor task opens its share of footers, so a maintenance
+    rewrite's full-version rebuild over thousands of part files costs
+    O(files / cores) wall instead of a serial driver pass. The output
+    is identical either way (``file_stats`` is a pure function of the
+    file bytes — pinned by test_zonemap); a torn/foreign file is
+    skipped on both paths (stays unknown, read unpruned)."""
+    if spark is None or len(files) < distribute_threshold:
+        out: dict[str, dict] = {}
+        for f in files:
+            try:
+                out[f] = file_stats(f)
+            except Exception:  # noqa: BLE001 — unknown file stays unpruned
+                continue
+        return out
+
+    def _scan(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            paths, blobs = [], []
+            for p in pdf["path"]:
+                try:
+                    blobs.append(json.dumps(file_stats(p)))
+                    paths.append(p)
+                except Exception:  # noqa: BLE001 — same skip contract
+                    continue
+            yield pd.DataFrame({"path": paths, "stats": blobs})
+
+    n_tasks = min(
+        len(files), spark.sparkContext.defaultParallelism * 2
+    )
+    rows = (
+        spark.createDataFrame([(f,) for f in files], "path string")
+        .repartition(n_tasks)
+        .mapInPandas(_scan, "path string, stats string")
+        .collect()
+    )
+    return {r.path: json.loads(r.stats) for r in rows}
+
+
 def to_epoch_us(v) -> int | None:
     """Datetime (naive = UTC) or raw int → epoch microseconds; None
     for anything else. THE shared conversion for both sides of a
@@ -338,13 +384,18 @@ def write_zonemap(data_dir: str, files: dict[str, dict]) -> None:
     )
 
 
-def refresh_zonemap(data_dir: str, data_files: list[str]) -> dict[str, dict]:
+def refresh_zonemap(
+    data_dir: str, data_files: list[str], spark=None
+) -> dict[str, dict]:
     """Incrementally fold new files' stats into the sidecar: stat only
     files not already mapped (bounding each refresh to the batch that
     just landed), drop entries whose file vanished, atomically replace.
     Concurrent refreshes race read-modify-write benignly: the loser's
     entries fall out of the map and those files read unpruned until the
-    next refresh re-folds them. Returns the new map."""
+    next refresh re-folds them. Returns the new map. With ``spark``,
+    large unmapped batches (a rewrite's full-version rebuild, a
+    geometry-bump rebuild) fan out across executors
+    (:func:`file_stats_many`)."""
     # Read the RAW doc: a stale/missing geometry stamp means the
     # persisted sketches are unusable, and keeping the stripped
     # entries would re-stamp them sketch-less FOREVER (refresh only
@@ -359,13 +410,12 @@ def refresh_zonemap(data_dir: str, data_files: list[str]) -> dict[str, dict]:
     )
     rels = {os.path.relpath(f, data_dir): f for f in data_files}
     merged = {r: existing[r] for r in rels if r in existing}
-    for rel, full in rels.items():
-        if rel in merged:
-            continue
-        try:
-            merged[rel] = file_stats(full)
-        except Exception:  # noqa: BLE001 — a torn/foreign file stays unknown
-            continue
+    missing = {
+        full: rel for rel, full in rels.items() if rel not in merged
+    }
+    stats = file_stats_many(list(missing), spark=spark)
+    for full, st in stats.items():
+        merged[missing[full]] = st
     write_zonemap(data_dir, merged)
     return merged
 

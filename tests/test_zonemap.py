@@ -300,6 +300,31 @@ def test_malformed_sidecar_entry_degrades_not_raises(tmp_path):
     assert zm.read_zonemap(data) == {}
 
 
+def test_distributed_stats_equal_driver_stats(spark, tmp_path):
+    """file_stats_many's mapInPandas fan-out (the module docstring's
+    promised cluster path, real since round 9) must produce exactly
+    the driver loop's output — stats are a pure function of the file
+    bytes, so the execution venue cannot matter."""
+    lake, _ = _mk_lake(spark, tmp_path, sensors=16)
+    files = glob.glob(os.path.join(_data_dir(lake), "month=*", "*.parquet"))
+    assert len(files) > 1
+    driver = zm.file_stats_many(files)  # no session → driver loop
+    dist = zm.file_stats_many(files, spark=spark, distribute_threshold=1)
+    assert driver == dist
+    # Torn file skipped identically on both paths.
+    bad = os.path.join(_data_dir(lake), "month=2024-01", "torn.parquet")
+    with open(bad, "wb") as f:
+        f.write(b"not a parquet file")
+    try:
+        d2 = zm.file_stats_many(files + [bad])
+        x2 = zm.file_stats_many(
+            files + [bad], spark=spark, distribute_threshold=1
+        )
+        assert bad not in d2 and bad not in x2 and d2 == x2
+    finally:
+        os.remove(bad)
+
+
 def test_month_path_pruning_without_stats():
     files = [
         "/d/month=2024-01/a.parquet",
