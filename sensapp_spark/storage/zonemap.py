@@ -36,10 +36,13 @@ Design rules (all load-bearing for correctness):
   ``probe > smax`` an UNSOUND prune. Sensor ids are 36-char UUIDs, so
   in practice the bounds are always exact.
 
-At real cluster scale the footer-stat collection distributes trivially
-(a ``mapInPandas`` over file names, executors read footers); here it is
-a driver-side incremental pass bounded to files not yet in the map —
-the same place Delta pays its commit-time stats collection.
+The footer-stat collection is incremental (bounded to files not yet in
+the map — the same place Delta pays its commit-time stats collection)
+and, since round 9, DISTRIBUTED for large batches:
+:func:`file_stats_many` fans out over executors via ``mapInPandas``
+above a measured break-even threshold, so a rewrite's full-version
+rebuild costs O(files / cores) wall while small append refreshes stay
+on the cheap driver loop.
 
 Reference anchor: the reference has no file-skipping layer at all — its
 backends delegate to database indexes (src/storage/clickhouse/
@@ -241,7 +244,7 @@ def file_stats(path: str) -> dict:
 
 
 def file_stats_many(
-    files: list[str], spark=None, distribute_threshold: int = 64
+    files: list[str], spark=None, distribute_threshold: int = 512
 ) -> dict[str, dict]:
     """Footer stats for a batch of files — the scale path the module
     docstring promises: below ``distribute_threshold`` (or without a
@@ -251,7 +254,14 @@ def file_stats_many(
     O(files / cores) wall instead of a serial driver pass. The output
     is identical either way (``file_stats`` is a pure function of the
     file bytes — pinned by test_zonemap); a torn/foreign file is
-    skipped on both paths (stays unknown, read unpruned)."""
+    skipped on both paths (stays unknown, read unpruned).
+
+    The 512 default comes from measurement, not taste: per-file stat
+    cost is ~15 ms (96 files → 1.5 s driver-side at 30M rows) while
+    the fan-out pays a fixed ~8 s of job/pickling overhead (9.0 s for
+    the same 96 files), so local[32] breaks even around ~550 files —
+    and on a real cluster against an object store the per-file cost is
+    a network GET, which moves the break-even sharply DOWN, not up."""
     if spark is None or len(files) < distribute_threshold:
         out: dict[str, dict] = {}
         for f in files:
