@@ -1214,8 +1214,14 @@ class SensorLake:
                 )
         except TimeoutError:
             return  # another writer is refreshing — its pass folds us in
-        except OSError:
-            return  # read-only or vanished dir: skipping stays off
+        except Exception:  # noqa: BLE001 — best-effort by contract
+            # Read-only/vanished dir (OSError), or a failed stat
+            # fan-out job (round-9 review: mapInPandas failures are
+            # PySparkException, not OSError — they must not fail an
+            # append whose data write already landed). Either way the
+            # sidecar is merely stale: files read unpruned, never
+            # mispruned.
+            return
 
     def sketch_distinct_series(
         self, stype: SensorType, at_seq: int | None = None
@@ -2381,7 +2387,15 @@ def atomic_overwrite(
             # version it describes — the same contract as extra_files.
             # The writing df carries the session, so a rewrite's
             # full-version stat collection fans out across executors.
-            zm.refresh_zonemap(vdir, initial_files, spark=df.sparkSession)
+            # Best-effort like every sidecar build: a failed stat job
+            # must not abort a rewrite whose data is already written —
+            # the version simply commits without a map (no pruning).
+            try:
+                zm.refresh_zonemap(
+                    vdir, initial_files, spark=df.sparkSession
+                )
+            except Exception:  # noqa: BLE001
+                pass
         if expected_seq is not None:
             _claim_commit(path, expected_seq + 1, version)
             claimed = True

@@ -262,6 +262,8 @@ def file_stats_many(
     the same 96 files), so local[32] breaks even around ~550 files —
     and on a real cluster against an object store the per-file cost is
     a network GET, which moves the break-even sharply DOWN, not up."""
+    if not files:
+        return {}
     if spark is None or len(files) < distribute_threshold:
         out: dict[str, dict] = {}
         for f in files:
@@ -284,8 +286,8 @@ def file_stats_many(
                     continue
             yield pd.DataFrame({"path": paths, "stats": blobs})
 
-    n_tasks = min(
-        len(files), spark.sparkContext.defaultParallelism * 2
+    n_tasks = max(
+        1, min(len(files), spark.sparkContext.defaultParallelism * 2)
     )
     rows = (
         spark.createDataFrame([(f,) for f in files], "path string")

@@ -600,3 +600,29 @@ def test_cms_sidecar_refuses_partial_coverage(spark, tmp_path):
     del doc["files"][first]["cms"]
     zm.write_zonemap(data, doc["files"])
     assert lake.sketch_series_rows(SensorType.FLOAT, ["s0"]) is None
+
+
+def test_file_stats_many_empty_and_forced_distribution(spark):
+    """Round-9 review: an empty batch must return {} on BOTH paths —
+    a forced fan-out (threshold 0) used to hit repartition(0)."""
+    assert zm.file_stats_many([]) == {}
+    assert zm.file_stats_many([], spark=spark, distribute_threshold=0) == {}
+
+
+def test_refresh_failure_is_best_effort_in_lake(spark, tmp_path, monkeypatch):
+    """A failed stat job (PySparkException, not OSError) must not fail
+    an append whose data write already landed — the sidecar merely
+    goes stale (files read unpruned)."""
+    lake = SensorLake(spark, str(tmp_path / "lake"))
+    df = spark.createDataFrame(
+        [("s-a", dt.datetime(2024, 1, 5, 10), 1.0)],
+        "sensor_id string, time timestamp, value double",
+    )
+    lake.append_values(SensorType.FLOAT, df)
+
+    def boom(*a, **kw):
+        raise RuntimeError("simulated mapInPandas job failure")
+
+    monkeypatch.setattr(zm, "refresh_zonemap", boom)
+    lake.append_values(SensorType.FLOAT, df)  # must not raise
+    assert lake.values(SensorType.FLOAT).count() == 2
