@@ -12,6 +12,8 @@ Routes:
 * ``GET /series/<uuid>?start&end&limit&format=`` — single series
 * ``GET /metrics`` / ``GET /series`` — DCAT catalogs (C3/C4)
 * ``POST /api/v1/admin/vacuum`` — dedup+compact every value table
+* ``GET /api/v1/admin/stats`` — table statistics from the folded
+  sidecar sketches (planned IO ∝ files, zero data reads)
 * ``GET /`` — frontpage: instance name as JSON (server.rs:151-155)
 * ``GET /docs`` — OpenAPI 3 document generated from the live route
   table (server.rs:40-52,84 — reference's ApiDoc derive + Scalar UI)
@@ -259,6 +261,7 @@ def create_app(
             "/api/v1/prometheus_remote_write": "Prometheus",
             "/api/v1/prometheus_remote_read": "Prometheus",
             "/api/v1/admin/vacuum": "Admin",
+            "/api/v1/admin/stats": "Admin",
             "/health": "Health", "/health/live": "Health",
             "/health/ready": "Health",
         }
@@ -646,6 +649,38 @@ def create_app(
             lake.dedup_rewrite(stype)
             lake.optimize(stype)
         return jsonify({"status": "vacuumed"})
+
+    # Beyond-reference: table statistics from the FOLDED sidecar
+    # sketches — planned IO proportional to files, zero data reads
+    # (storage/lake.py sketch_distinct_series / sketch_series_rows).
+    # `exact=false` (the default) answers from the sketches and
+    # reports null for any table whose sidecar coverage is incomplete
+    # (hint-not-authority); per-sensor row estimates are returned only
+    # for an explicit bounded id list.
+    @app.get("/api/v1/admin/stats")
+    def table_stats():
+        ids = [
+            s for s in request.args.get("sensor_ids", "").split(",") if s
+        ]
+        if len(ids) > 64:
+            return jsonify({
+                "error": "sensor_ids is capped at 64 ids per call — "
+                "the probe is driver-side and bounded by design"
+            }), 400
+        out: dict = {}
+        for stype in SensorType:
+            est = lake.sketch_distinct_series(stype)
+            entry: dict = {
+                "distinct_series_estimate": est,
+                "estimated_from": "sidecar-sketch" if est is not None
+                else None,
+            }
+            if ids:
+                entry["series_rows_estimate"] = lake.sketch_series_rows(
+                    stype, ids
+                )
+            out[stype.name.lower()] = entry
+        return jsonify(out)
 
     # Beyond-reference: GDPR erasure across the star — value rows
     # (tombstoned delete per typed table) AND the dimension row with

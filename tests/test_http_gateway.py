@@ -200,6 +200,45 @@ def test_vacuum(client):
         "status": "vacuumed"}
 
 
+def test_admin_stats_from_sidecar_sketches(client):
+    """GET /api/v1/admin/stats answers from the FOLDED sidecar sketches
+    (planned IO ∝ files): a published table reports a distinct-series
+    estimate; an empty table reports null (hint-not-authority); the
+    per-sensor probe is bounded to 64 ids."""
+    client.post(
+        "/publish",
+        data="datetime,stats_a,stats_b\n2024-01-01T10:00:00Z,1.0,2.0\n"
+             "2024-01-01T11:00:00Z,3.0,4.0\n",
+        content_type="text/csv",
+    )
+    from sensapp_spark.datamodel.types import SensorType
+
+    doc = client.get("/api/v1/admin/stats").get_json()
+    assert set(doc) == {t.name.lower() for t in SensorType}
+    flt = doc["float"]
+    # Exactly-k-below-K KMV folds are exact counts; a statsfix publish
+    # adds 2 series, and the shared-fixture client may have published
+    # more — assert shape + positivity, not a absolute count.
+    assert flt["estimated_from"] == "sidecar-sketch"
+    assert flt["distinct_series_estimate"] >= 2
+    # String table: nothing published here → null estimate, honest.
+    assert doc["json"]["distinct_series_estimate"] is None
+    assert doc["json"]["estimated_from"] is None
+
+    # Bounded per-sensor probe: known ids get >=1-row estimates
+    # (count-min never undercounts), unknown ids get 0.
+    sid = client.get("/series?metric=stats_a").get_json()[
+        "dcat:dataset"][0]["dct:identifier"]
+    probed = client.get(
+        f"/api/v1/admin/stats?sensor_ids={sid},nope"
+    ).get_json()["float"]["series_rows_estimate"]
+    assert probed[sid] >= 2 and probed["nope"] == 0
+
+    too_many = ",".join(f"id-{i}" for i in range(65))
+    r = client.get(f"/api/v1/admin/stats?sensor_ids={too_many}")
+    assert r.status_code == 400
+
+
 def test_publish_senml(client):
     payload = json.dumps([
         {"bn": "senml_sensor", "bt": 1704067200, "bu": "m", "v": 3.5}])
