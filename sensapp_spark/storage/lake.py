@@ -1269,9 +1269,11 @@ class SensorLake:
         sparse per-file count-min counters persisted in the zone-map
         sidecar (counter addition is lossless, so the fold equals the
         scan-built ``operators/sketches.cms_build`` table exactly) and
-        probes each id. The per-series row count drives query planning
-        (LIMIT short-circuits, join-side choice) and ingest monitoring
-        without touching a data file.
+        probes each id. Serves the gateway's ``/api/v1/admin/stats``
+        and ingest monitoring without touching a data file; the
+        per-type dispatch does NOT need it (the dimension's ``type``
+        column prunes type tables exactly), so it deliberately stays
+        out of the query planner.
 
         Hint-not-authority: ``None`` when any file lacks a counter
         entry (pre-round-9 writer, lost sidecar update) — a partial
