@@ -714,6 +714,7 @@ class AnnIndexStore:
         name: str,
         vectors: DataFrame,
         max_retries: int = 5,
+        epoch: str | int | None = None,
     ) -> dict:
         """Incremental index maintenance (VERDICT r6 gap #2): add a
         batch of vectors to a stored layout WITHOUT re-quantizing or
@@ -740,7 +741,19 @@ class AnnIndexStore:
         that fits the frozen codebook markedly worse than the write-time
         corpus did means the data distribution moved and the partition
         balance (and probe recall) is decaying. Returns the committed
-        meta."""
+        meta.
+
+        ``epoch`` makes the append EXACTLY-ONCE under redelivery (the
+        foreachBatch half of Structured Streaming's contract, like the
+        lake's ``publish(epoch=…)``): each applied epoch is recorded in
+        the meta's ``appends`` history, and since the meta travels
+        atomically with the committed version, the check needs no
+        separate ledger — a redelivered epoch reads the winner's meta
+        and returns it unchanged, and a CONCURRENT redelivery loses the
+        CAS, retries against the winner's version, sees the epoch, and
+        skips. (Stronger than the lake's O_EXCL ledger: there is no
+        check-then-act window at all, because the epoch record and the
+        data commit are one atomic pointer flip.)"""
         path = self._path(name)
         for _ in range(max_retries):
             # Idempotent: a pre-log (pointer-era) layout gets its
@@ -757,6 +770,11 @@ class AnnIndexStore:
                 )
             with open(meta_path) as f:
                 meta = json.load(f)
+            if epoch is not None and any(
+                a.get("epoch") == epoch
+                for a in meta.get("appends", [])
+            ):
+                return meta  # redelivered epoch: already committed
             src = vectors
             for col in ("centroid_id", "assign_cos", "bucket", "table"):
                 if col in src.columns:
@@ -871,6 +889,8 @@ class AnnIndexStore:
                     ["table", "bucket"] if n_tables > 1 else ["bucket"]
                 )
                 record = {"n": int(cached.count())}
+            if epoch is not None:
+                record["epoch"] = epoch
             new_meta = dict(meta)
             new_meta["appends"] = list(meta.get("appends", [])) + [record]
             if "n_vectors" in new_meta and record["n"]:

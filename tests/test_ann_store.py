@@ -715,3 +715,40 @@ def test_ivfsq_clamp_drift_recommends_reindex(
     report = s.drift("sq_cl")
     assert report["latest_clamp_frac"] > 0.05
     assert report["recommend_reindex"] is True
+
+
+def test_append_epoch_is_exactly_once(spark, tmp_path_factory, embeddings):
+    """append(epoch=…): a redelivered micro-batch is a no-op — the
+    epoch record travels atomically with the committed version's meta,
+    so there is no check-then-act window (stronger than a separate
+    ledger). Distinct epochs still apply."""
+    base = embeddings.filter("vec_id < 350")
+    batch = embeddings.filter("vec_id >= 350 AND vec_id < 400")
+    batch2 = embeddings.filter("vec_id >= 400")
+    s = AnnIndexStore(spark, str(tmp_path_factory.mktemp("ann_epoch")))
+    s.write_ivf(base, name="ep")
+    n_base = base.count()
+
+    m1 = s.append("ep", batch, epoch=7)
+    assert m1["n_vectors"] == n_base + batch.count()
+    assert m1["appends"][-1]["epoch"] == 7
+
+    # Redelivery of epoch 7 (same or corrupted payload): skipped.
+    m2 = s.append("ep", batch, epoch=7)
+    assert m2["n_vectors"] == m1["n_vectors"]
+    assert len(m2["appends"]) == len(m1["appends"])
+
+    # A NEW epoch applies on top.
+    m3 = s.append("ep", batch2, epoch=8)
+    assert m3["n_vectors"] == n_base + batch.count() + batch2.count()
+    assert [a.get("epoch") for a in m3["appends"]] == [7, 8]
+
+    # The layout holds each vector exactly once.
+    frame, _ = s.read_ivf("ep")
+    assert frame.count() == embeddings.count()
+    assert frame.select("vec_id").distinct().count() == embeddings.count()
+
+    # Un-epoched appends keep the at-least-once legacy contract
+    # (no spurious dedup of epoch-less records).
+    s.append("ep", batch2.limit(1))
+    assert s.read_ivf("ep")[0].count() == embeddings.count() + 1
