@@ -653,14 +653,17 @@ def create_app(
     # Beyond-reference: table statistics from the FOLDED sidecar
     # sketches — planned IO proportional to files, zero data reads
     # (storage/lake.py sketch_distinct_series / sketch_series_rows).
-    # `exact=false` (the default) answers from the sketches and
-    # reports null for any table whose sidecar coverage is incomplete
-    # (hint-not-authority); per-sensor row estimates are returned only
-    # for an explicit bounded id list.
+    # Estimates report null for any table whose sidecar coverage is
+    # incomplete (hint-not-authority); per-sensor row estimates are
+    # returned only for an explicit bounded id list. Both folds are
+    # pinned to ONE committed version per table so a concurrent
+    # publish cannot mix versions inside a response.
     @app.get("/api/v1/admin/stats")
     def table_stats():
         ids = [
-            s for s in request.args.get("sensor_ids", "").split(",") if s
+            s.strip()
+            for s in request.args.get("sensor_ids", "").split(",")
+            if s.strip()
         ]
         if len(ids) > 64:
             return jsonify({
@@ -669,7 +672,8 @@ def create_app(
             }), 400
         out: dict = {}
         for stype in SensorType:
-            est = lake.sketch_distinct_series(stype)
+            seq = lake.committed_seq(stype)
+            est = lake.sketch_distinct_series(stype, at_seq=seq)
             entry: dict = {
                 "distinct_series_estimate": est,
                 "estimated_from": "sidecar-sketch" if est is not None
@@ -677,7 +681,7 @@ def create_app(
             }
             if ids:
                 entry["series_rows_estimate"] = lake.sketch_series_rows(
-                    stype, ids
+                    stype, ids, at_seq=seq
                 )
             out[stype.name.lower()] = entry
         return jsonify(out)

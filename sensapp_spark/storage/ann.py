@@ -79,6 +79,58 @@ from sensapp_spark.storage.lake import (
 
 
 META_FILE = "_ann_meta.json"
+# appends-history retention: full stat records for the newest
+# APPENDS_KEEP_STATS entries, epoch-only markers back to
+# APPENDS_KEEP_EPOCHS — Structured Streaming only ever redelivers the
+# most recent uncommitted epoch per stream, so a deep marker window is
+# safety margin, not a requirement, and it keeps the meta (re-read and
+# rewritten on every append) O(1) instead of O(batches-ever).
+APPENDS_KEEP_STATS = 32
+APPENDS_KEEP_EPOCHS = 512
+
+
+def _epoch_key(epoch):
+    """JSON-stable form of an append epoch: tuples/lists normalize to
+    lists (JSON round-trips tuples as lists, so a tuple key would
+    silently never match its own persisted record)."""
+    return list(epoch) if isinstance(epoch, (tuple, list)) else epoch
+
+
+def _carry_epochs(path: str) -> list:
+    """Epoch markers carried across a re-index: a ``write_*`` over an
+    existing layout resets the appends history, but the re-index corpus
+    is the source of truth that already ABSORBED every applied epoch —
+    dropping the markers would let a post-re-index redelivery re-apply
+    its batch (duplicate vectors). Markers survive as
+    ``{"epoch": e, "absorbed": true}`` stubs."""
+    data = resolve_table(path)
+    meta_path = data and os.path.join(data, META_FILE)
+    if not data or not os.path.exists(meta_path):
+        return []
+    try:
+        with open(meta_path) as f:
+            meta = json.load(f)
+    except (OSError, ValueError):
+        return []
+    return [
+        {"epoch": a["epoch"], "absorbed": True}
+        for a in meta.get("appends", [])
+        if a.get("epoch") is not None
+    ][-APPENDS_KEEP_EPOCHS:]
+
+
+def _bound_appends(appends: list) -> list:
+    """Apply the retention window: newest APPENDS_KEEP_STATS records
+    stay whole; older ones shrink to epoch markers (dropped entirely
+    when epoch-less); at most APPENDS_KEEP_EPOCHS total survive."""
+    whole = appends[-APPENDS_KEEP_STATS:]
+    older = appends[:-APPENDS_KEEP_STATS]
+    markers = [
+        {"epoch": a["epoch"], **({"absorbed": True} if a.get("absorbed") else {})}
+        for a in older
+        if a.get("epoch") is not None
+    ]
+    return (markers + whole)[-APPENDS_KEEP_EPOCHS:]
 
 
 def _lsh_bucket_frame(
@@ -236,7 +288,7 @@ class AnnIndexStore:
             "codebook": [[cid, vec] for cid, vec in cents],
             "n_vectors": int(stats.n),
             "write_mean_assign_cos": float(stats.fit),
-            "appends": [],
+            "appends": _carry_epochs(path),
         }
         try:
             with dir_lock(path):
@@ -353,7 +405,7 @@ class AnnIndexStore:
             ],
             "n_vectors": int(stats.n),
             "write_mean_assign_cos": float(stats.fit),
-            "appends": [],
+            "appends": _carry_epochs(path),
         }
         try:
             with dir_lock(path):
@@ -507,7 +559,7 @@ class AnnIndexStore:
                 "sq_hi": hi,
                 "n_vectors": int(stats.n),
                 "write_mean_assign_cos": float(stats.fit),
-                "appends": [],
+                "appends": _carry_epochs(path),
             }
             with dir_lock(path):
                 atomic_overwrite(
@@ -620,7 +672,7 @@ class AnnIndexStore:
             "n_planes": n_planes,
             "dim": dim,
             "n_tables": n_tables,
-            "appends": [],
+            "appends": _carry_epochs(path),
         }
         partition = ["table", "bucket"] if n_tables > 1 else ["bucket"]
         with dir_lock(path):
@@ -753,7 +805,20 @@ class AnnIndexStore:
         CAS, retries against the winner's version, sees the epoch, and
         skips. (Stronger than the lake's O_EXCL ledger: there is no
         check-then-act window at all, because the epoch record and the
-        data commit are one atomic pointer flip.)"""
+        data commit are one atomic pointer flip.)
+
+        NAMESPACE the epoch like the lake does — pass
+        ``(stream_id, batch_id)``, not the bare foreachBatch batch_id:
+        batch ids restart at 0 on a checkpoint reset and collide across
+        queries, and a colliding epoch is silently skipped (dropped
+        from the index). Tuples are normalized to their JSON list form
+        so the persisted record always matches. Epoch markers survive a
+        ``write_*`` re-index as ``absorbed`` stubs (the re-index corpus
+        is the source of truth that already contains them) and are
+        retained for the last :data:`APPENDS_KEEP_EPOCHS` appends —
+        streaming redelivery only ever replays the most recent epoch
+        per stream, so the bounded window keeps the meta O(1) without
+        weakening the real contract."""
         path = self._path(name)
         for _ in range(max_retries):
             # Idempotent: a pre-log (pointer-era) layout gets its
@@ -771,7 +836,7 @@ class AnnIndexStore:
             with open(meta_path) as f:
                 meta = json.load(f)
             if epoch is not None and any(
-                a.get("epoch") == epoch
+                a.get("epoch") == _epoch_key(epoch)
                 for a in meta.get("appends", [])
             ):
                 return meta  # redelivered epoch: already committed
@@ -890,9 +955,11 @@ class AnnIndexStore:
                 )
                 record = {"n": int(cached.count())}
             if epoch is not None:
-                record["epoch"] = epoch
+                record["epoch"] = _epoch_key(epoch)
             new_meta = dict(meta)
-            new_meta["appends"] = list(meta.get("appends", [])) + [record]
+            new_meta["appends"] = _bound_appends(
+                list(meta.get("appends", [])) + [record]
+            )
             if "n_vectors" in new_meta and record["n"]:
                 new_meta["n_vectors"] = (
                     int(new_meta["n_vectors"]) + record["n"]

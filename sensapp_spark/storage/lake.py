@@ -1223,6 +1223,16 @@ class SensorLake:
             # mispruned.
             return
 
+    def committed_seq(self, stype: SensorType) -> int | None:
+        """The current committed sequence of one value table (None
+        when the table has never committed) — lets a caller pin
+        several metadata reads to ONE version instead of racing a
+        concurrent publish between them (the gateway's stats endpoint
+        reads two sketch folds; unpinned, they could mix versions
+        N and N+1 in one response)."""
+        seq, data = read_committed(self._values_path(stype))
+        return seq if data is not None else None
+
     def sketch_distinct_series(
         self, stype: SensorType, at_seq: int | None = None
     ) -> float | None:

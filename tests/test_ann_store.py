@@ -752,3 +752,64 @@ def test_append_epoch_is_exactly_once(spark, tmp_path_factory, embeddings):
     # (no spurious dedup of epoch-less records).
     s.append("ep", batch2.limit(1))
     assert s.read_ivf("ep")[0].count() == embeddings.count() + 1
+
+
+def test_append_epoch_tuple_and_reindex_carry(
+    spark, tmp_path_factory, embeddings
+):
+    """Second-pass review pins: (a) a (stream_id, batch_id) tuple epoch
+    matches its own JSON-persisted record (lists after round-trip);
+    (b) a re-index carries applied epochs forward as absorbed stubs, so
+    a post-re-index redelivery is still a no-op."""
+    base = embeddings.filter("vec_id < 350")
+    batch = embeddings.filter("vec_id >= 350")
+    s = AnnIndexStore(spark, str(tmp_path_factory.mktemp("ann_ep2")))
+    s.write_ivf(base, name="ep2")
+
+    m1 = s.append("ep2", batch, epoch=("streamA", 0))
+    assert m1["appends"][-1]["epoch"] == ["streamA", 0]
+    m2 = s.append("ep2", batch, epoch=("streamA", 0))  # redelivery
+    assert m2["n_vectors"] == m1["n_vectors"]
+    # A different stream's batch 0 is NOT a collision.
+    n_before = m2["n_vectors"]
+    m3 = s.append("ep2", batch.limit(1), epoch=("streamB", 0))
+    assert m3["n_vectors"] == n_before + 1
+
+    # Re-index from the (source-of-truth) full corpus: epochs survive
+    # as absorbed markers and the redelivered epoch still skips.
+    s.write_ivf(embeddings, name="ep2")
+    frame, _ = s.read_ivf("ep2")
+    n_reindexed = frame.count()
+    m4 = s.append("ep2", batch, epoch=("streamA", 0))
+    assert m4["n_vectors"] == n_reindexed  # skipped, not re-applied
+    assert any(
+        a.get("epoch") == ["streamA", 0] and a.get("absorbed")
+        for a in m4["appends"]
+    )
+
+
+def test_appends_history_is_bounded(spark, tmp_path_factory, embeddings):
+    """The meta's appends history keeps full stats for the newest
+    records and epoch-only markers beyond that — O(1) meta, not
+    O(batches-ever)."""
+    from sensapp_spark.storage.ann import (
+        APPENDS_KEEP_EPOCHS,
+        APPENDS_KEEP_STATS,
+        _bound_appends,
+    )
+
+    long = [
+        {"n": 1, "mean_assign_cos": 0.9, "epoch": i} for i in range(1000)
+    ]
+    bounded = _bound_appends(long)
+    assert len(bounded) == APPENDS_KEEP_EPOCHS
+    # Newest keep their stats; older shrink to markers.
+    assert all("n" in a for a in bounded[-APPENDS_KEEP_STATS:])
+    assert all(
+        set(a) <= {"epoch", "absorbed"}
+        for a in bounded[:-APPENDS_KEEP_STATS]
+    )
+    # Epoch-less old records drop entirely (nothing to dedup against).
+    assert _bound_appends(
+        [{"n": 1}] * 100 + [{"n": 2, "epoch": "x"}]
+    )[-1]["epoch"] == "x"

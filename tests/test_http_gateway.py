@@ -215,23 +215,33 @@ def test_admin_stats_from_sidecar_sketches(client):
 
     doc = client.get("/api/v1/admin/stats").get_json()
     assert set(doc) == {t.name.lower() for t in SensorType}
+    # The honesty pairing holds for EVERY type regardless of module
+    # order: a non-null estimate is always labeled with its source,
+    # a null one never is.
+    for entry in doc.values():
+        assert (entry["estimated_from"] == "sidecar-sketch") == (
+            entry["distinct_series_estimate"] is not None
+        )
     flt = doc["float"]
+    # The refresh is best-effort by contract — name the coverage gap
+    # instead of crashing on None if it was skipped.
+    assert flt["distinct_series_estimate"] is not None, (
+        "float sidecar refresh was skipped — sketch coverage incomplete"
+    )
     # Exactly-k-below-K KMV folds are exact counts; a statsfix publish
     # adds 2 series, and the shared-fixture client may have published
-    # more — assert shape + positivity, not a absolute count.
-    assert flt["estimated_from"] == "sidecar-sketch"
+    # more — assert shape + positivity, not an absolute count.
     assert flt["distinct_series_estimate"] >= 2
-    # String table: nothing published here → null estimate, honest.
-    assert doc["json"]["distinct_series_estimate"] is None
-    assert doc["json"]["estimated_from"] is None
 
     # Bounded per-sensor probe: known ids get >=1-row estimates
     # (count-min never undercounts), unknown ids get 0.
     sid = client.get("/series?metric=stats_a").get_json()[
         "dcat:dataset"][0]["dct:identifier"]
+    # Whitespace around ids must not poison the probe keys.
     probed = client.get(
-        f"/api/v1/admin/stats?sensor_ids={sid},nope"
+        f"/api/v1/admin/stats?sensor_ids={sid},%20nope"
     ).get_json()["float"]["series_rows_estimate"]
+    assert probed is not None, "float sidecar coverage incomplete"
     assert probed[sid] >= 2 and probed["nope"] == 0
 
     too_many = ",".join(f"id-{i}" for i in range(65))
