@@ -94,8 +94,39 @@ def main() -> int:
                 "sec": round(time.time() - t0, 2),
             }
         print(f"## {name}: {report[name]}", file=sys.stderr, flush=True)
+
+    # Per-member walls for the tagged-union families — same decomposition
+    # bench.py emits at sf0.1, so growth in a family's 10× wall is
+    # attributable to a MEMBER (scope growth vs regression) instead of
+    # being a single opaque number (round-9 verdict: the +40% jaccard
+    # growth could not be attributed without these). Members re-execute
+    # in isolation, so they do NOT sum to the family wall (shared scans
+    # re-run) and are excluded from total_sec. Disable with
+    # SPARK_GRAFT_MEMBERS=0.
+    members: dict = {}
+    if os.environ.get("SPARK_GRAFT_MEMBERS", "1") != "0":
+        from sensapp_spark.plans.pipeline_queries import BENCH_MEMBERS
+
+        for family, parts in BENCH_MEMBERS.items():
+            members[family] = {}
+            for part, pfn in parts.items():
+                t0 = time.time()
+                try:
+                    n = pfn(spark, OUT_DIR).count()
+                    members[family][part] = {
+                        "sec": round(time.time() - t0, 2), "rows": n,
+                    }
+                except Exception as e:
+                    members[family][part] = {
+                        "error": str(e).splitlines()[0][:200],
+                        "sec": round(time.time() - t0, 2),
+                    }
+                print(f"## member {family}/{part}: "
+                      f"{members[family][part]}", file=sys.stderr,
+                      flush=True)
+
     print(json.dumps({"sf": "10x-sf0.1", "total_sec": round(total, 1),
-                      "queries": report}, indent=2))
+                      "queries": report, "members": members}, indent=2))
     return 0
 
 

@@ -69,6 +69,31 @@ def _out(df: DataFrame) -> DataFrame:
     return df.select("sensor_id", "time", "value", "name")
 
 
+def _entry_lake_dir(tag: str, sf_dir: str) -> str:
+    """Fresh scratch dir for a registry entry that builds a throwaway
+    lake. Per-PROCESS unique (pid suffix) so two concurrent registry
+    runs on one host never race on the same path, while staying stable
+    within a process so repeated calls are idempotent (rebuilt in
+    place). A plain ``mkdtemp`` per call would leak a dir per
+    invocation AND break the returned (lazy) DataFrame if cleaned at
+    function exit — the lake files must still exist when the caller
+    finally executes the plan — so cleanup happens at process exit
+    instead."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"sensapp_{tag}_{os.path.basename(os.path.normpath(sf_dir))}"
+        f"_{os.getpid()}",
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
+    return base
+
+
 # ---------------------------------------------------------------------------
 # Q1/Q10 — label-matcher selection (reference src/storage/sqlite/matchers.rs)
 #
@@ -1703,10 +1728,6 @@ def catalog_metrics_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     unbiased around truth (KMV), and at testdata scale collisions are
     rare so most estimates equal the exact values the rollup arms
     produce."""
-    import os
-    import shutil
-    import tempfile
-
     from sensapp_spark.datamodel.types import SensorType
     from sensapp_spark.operators.sketches import (
         cms_build,
@@ -1756,12 +1777,7 @@ def catalog_metrics_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # kmv_sidecar: write a thinned lake, fold the PERSISTED per-file
     # sketches — query-time IO is the sidecar JSON only. append_values
     # drops non-finite floats, which the oracle replays (isfinite).
-    base = os.path.join(
-        tempfile.gettempdir(),
-        "sensapp_kmv_lake_" + os.path.basename(os.path.normpath(sf_dir)),
-    )
-    shutil.rmtree(base, ignore_errors=True)
-    lake = SensorLake(spark, base)
+    lake = SensorLake(spark, _entry_lake_dir("kmv_lake", sf_dir))
     lake.append_values(
         SensorType.FLOAT,
         vals.filter(F.col("event_id") % 10 == 0)
@@ -2668,21 +2684,12 @@ def query_all_types_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     Events are thinned 10× (event_id % 10) to bound the per-run lake
     write; the lake lands in a per-sf temp dir rebuilt on each call so
     the entry is idempotent."""
-    import os
-    import shutil
-    import tempfile
-
     from sensapp_spark.datamodel.types import SensorType
     from sensapp_spark.operators.selection import query_all_types
     from sensapp_spark.storage.lake import SensorLake
 
     ev = td.load_events(spark, sf_dir).filter(F.col("event_id") % 10 == 0)
-    base = os.path.join(
-        tempfile.gettempdir(),
-        "sensapp_q8_lake_" + os.path.basename(os.path.normpath(sf_dir)),
-    )
-    shutil.rmtree(base, ignore_errors=True)
-    lake = SensorLake(spark, base)
+    lake = SensorLake(spark, _entry_lake_dir("q8_lake", sf_dir))
 
     value_exprs = {
         SensorType.FLOAT: F.col("value"),

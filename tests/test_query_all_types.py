@@ -68,3 +68,33 @@ def test_parse_uuid():
         "20115fa5-aecd-8271-835d-07bfee981d6a")
     assert parse_uuid("zz115fa5-aecd-8271-835d-07bfee981d6a") is None
     assert parse_uuid("") is None
+
+
+def test_entry_lake_dir_is_process_unique_and_idempotent():
+    """Registry entries that build throwaway lakes must not race across
+    concurrent registry processes (round-9 watch item #2): the scratch
+    path embeds the pid, so two processes computing the path for the
+    same sf_dir land in different dirs, while repeated calls within one
+    process stay stable (rebuilt in place → entry idempotent)."""
+    import os
+    import subprocess
+    import sys
+
+    from sensapp_spark.plans.queries import _entry_lake_dir
+
+    a = _entry_lake_dir("kmv_lake", "/root/testdata/sf0.001")
+    b = _entry_lake_dir("kmv_lake", "/root/testdata/sf0.001")
+    assert a == b  # stable within one process
+    assert f"_{os.getpid()}" in a
+    # A different process computes a different path for the same inputs.
+    other = subprocess.run(
+        [sys.executable, "-c",
+         "from sensapp_spark.plans.queries import _entry_lake_dir;"
+         "print(_entry_lake_dir('kmv_lake', '/root/testdata/sf0.001'))"],
+        capture_output=True, text=True, check=True,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    ).stdout.strip()
+    assert other != a
+    # Distinct tags and sf dirs never collide either.
+    assert _entry_lake_dir("q8_lake", "/root/testdata/sf0.001") != a
+    assert _entry_lake_dir("kmv_lake", "/root/testdata/sf0.01") != a
