@@ -113,7 +113,11 @@ def _carry_epochs(path: str) -> list:
     except (OSError, ValueError):
         return []
     return [
-        {"epoch": a["epoch"], "absorbed": True}
+        {
+            "epoch": a["epoch"],
+            "absorbed": True,
+            **({"state": a["state"]} if a.get("state") is not None else {}),
+        }
         for a in meta.get("appends", [])
         if a.get("epoch") is not None
     ][-APPENDS_KEEP_EPOCHS:]
@@ -122,11 +126,19 @@ def _carry_epochs(path: str) -> list:
 def _bound_appends(appends: list) -> list:
     """Apply the retention window: newest APPENDS_KEEP_STATS records
     stay whole; older ones shrink to epoch markers (dropped entirely
-    when epoch-less); at most APPENDS_KEEP_EPOCHS total survive."""
+    when epoch-less); at most APPENDS_KEEP_EPOCHS total survive. A
+    consumer-recovery ``state`` (the changes-feed cursor a maintenance
+    stream committed atomically with its batch) survives the shrink —
+    it is what a restarted stream resumes from, and it is a few dozen
+    bytes against the 512-marker cap."""
     whole = appends[-APPENDS_KEEP_STATS:]
     older = appends[:-APPENDS_KEEP_STATS]
     markers = [
-        {"epoch": a["epoch"], **({"absorbed": True} if a.get("absorbed") else {})}
+        {
+            "epoch": a["epoch"],
+            **({"absorbed": True} if a.get("absorbed") else {}),
+            **({"state": a["state"]} if a.get("state") is not None else {}),
+        }
         for a in older
         if a.get("epoch") is not None
     ]
@@ -162,7 +174,47 @@ def _lsh_bucket_frame(
     return out
 
 
-def _clone_tree(src: str, dst: str, skip: frozenset[str]) -> None:
+def _retrain_codebook(
+    vectors: DataFrame, nlist: int, rounds: int = 3
+) -> list[tuple[int, list[float]]]:
+    """A freshly TRAINED coarse codebook for :meth:`AnnIndexStore.
+    reindex` — the whole point of a drift-triggered rebuild is that the
+    new quantizer fits the data the frozen one drifted away from. Seeds
+    with the first ``nlist`` vectors BY ORDER (TakeOrderedAndProject —
+    id-space-independent, unlike ``ivf_centroids``' ``vec_id < nlist``
+    rule, which returns nothing for hashed/sparse id spaces like a
+    changes-feed's xxhash ids), then runs Lloyd rounds with
+    codebook-sized driver traffic per update."""
+    from sensapp_spark.pipeline.clustering import (
+        assign_expr,
+        update_centroids,
+    )
+
+    rows = (
+        vectors.select("vec_id", "embedding")
+        .orderBy("vec_id").limit(nlist).collect()
+    )
+    if not rows:
+        raise ValueError("cannot retrain a codebook from an empty corpus")
+    dim = len(rows[0].embedding)
+    cents = [
+        (i, [float(x) for x in r.embedding]) for i, r in enumerate(rows)
+    ]
+    for _ in range(rounds - 1):
+        assigned = vectors.withColumn(
+            "cluster", assign_expr(F.col("embedding"), cents)
+        )
+        cents = update_centroids(assigned, dim)
+    return cents
+
+
+def _clone_tree(
+    src: str,
+    dst: str,
+    skip: frozenset[str],
+    skip_rel: frozenset[str] = frozenset(),
+    _rel: str = "",
+) -> None:
     """Hardlink-clone a committed version dir into a new one: directory
     structure is recreated, every data file becomes a ``link(2)`` to
     the same inode — O(number of files) metadata work, ZERO bytes
@@ -170,14 +222,24 @@ def _clone_tree(src: str, dst: str, skip: frozenset[str]) -> None:
     The old version stays immutable (links share content, and neither
     protocol ever rewrites a committed data file in place). Falls back
     to a real copy across devices. On object storage this step is a
-    manifest copy instead — same shape, documented, not runnable here."""
+    manifest copy instead — same shape, documented, not runnable here.
+
+    ``skip`` matches an entry NAME at any depth (sidecar files);
+    ``skip_rel`` matches a RELATIVE path from ``src`` — the partition
+    dirs a delete-bearing append rewrites instead of cloning (nested
+    multi-table LSH partitions like ``table=0/bucket=5`` need the
+    path form: skipping the name ``table=0`` would drop its untouched
+    sibling buckets too)."""
     os.makedirs(dst, exist_ok=True)
     for entry in os.listdir(src):
         if entry in skip:
             continue
+        rel = f"{_rel}/{entry}" if _rel else entry
+        if rel in skip_rel:
+            continue
         s, d = os.path.join(src, entry), os.path.join(dst, entry)
         if os.path.isdir(s):
-            _clone_tree(s, d, skip)
+            _clone_tree(s, d, skip, skip_rel, rel)
         else:
             try:
                 os.link(s, d)
@@ -767,6 +829,8 @@ class AnnIndexStore:
         vectors: DataFrame,
         max_retries: int = 5,
         epoch: str | int | None = None,
+        deletes: DataFrame | None = None,
+        state: dict | None = None,
     ) -> dict:
         """Incremental index maintenance (VERDICT r6 gap #2): add a
         batch of vectors to a stored layout WITHOUT re-quantizing or
@@ -818,8 +882,34 @@ class AnnIndexStore:
         retained for the last :data:`APPENDS_KEEP_EPOCHS` appends —
         streaming redelivery only ever replays the most recent epoch
         per stream, so the bounded window keeps the meta O(1) without
-        weakening the real contract."""
+        weakening the real contract.
+
+        ``deletes`` removes vectors IN THE SAME COMMIT (the CDC
+        delete half of a changes-feed micro-batch — a ``delete_where``
+        crossing must not leave erased rows probeable): a
+        ``(vec_id, embedding)`` frame whose partition assignment is
+        recomputed against the SAME frozen parameters the original
+        insert used (deterministic, so it lands on the same partition
+        dirs), and only those affected partition directories are
+        rewritten with a broadcast anti-join — every untouched
+        partition is still a hardlink clone, so delete IO is
+        O(affected partitions), never O(corpus). Ids never indexed are
+        no-ops.
+
+        ``state`` is an opaque JSON-able dict recorded on the epoch's
+        append record — the consumer's resume token (e.g. the lake
+        changes-feed cursor) committed ATOMICALLY with the batch it
+        acknowledges, which is what makes the feed→index composition
+        exactly-once end-to-end: recover it with
+        :meth:`applied_epoch`."""
         path = self._path(name)
+        if deletes is not None and deletes.isEmpty():
+            deletes = None
+        del_src = deletes
+        if del_src is not None:
+            for col in ("centroid_id", "assign_cos", "bucket", "table"):
+                if col in del_src.columns:
+                    del_src = del_src.drop(col)
         for _ in range(max_retries):
             # Idempotent: a pre-log (pointer-era) layout gets its
             # pointer version recorded as log entry 0, so the old
@@ -954,20 +1044,87 @@ class AnnIndexStore:
                     ["table", "bucket"] if n_tables > 1 else ["bucket"]
                 )
                 record = {"n": int(cached.count())}
+            # -- delete plan: affected partitions only ------------------
+            # The deleted ids' partition keys are recomputed from their
+            # embeddings against the layout's frozen parameters — the
+            # identical deterministic assignment the insert-time write
+            # used, so the affected-dir set is exact. Collects are
+            # batch-partition-sized (distinct partition values), never
+            # corpus-sized.
+            affected: set[str] = set()
+            rewritten = None
+            removed = 0
+            if del_src is not None:
+                if meta["kind"] in ("ivf", "ivfpq", "ivfsq"):
+                    cents_d = [
+                        (int(c), [float(x) for x in v])
+                        for c, v in meta["codebook"]
+                    ]
+                    rels = {
+                        f"centroid_id={int(r.centroid_id)}"
+                        for r in ivf_assign(del_src, cents_d)
+                        .select("centroid_id").distinct().collect()
+                    }
+                elif int(meta.get("n_tables", 1)) > 1:
+                    rels = {
+                        f"table={int(r.table)}/bucket={int(r.bucket)}"
+                        for r in _lsh_bucket_frame(
+                            del_src, int(meta["n_planes"]),
+                            int(meta["dim"]), int(meta["n_tables"]),
+                        ).select("table", "bucket").distinct().collect()
+                    }
+                else:
+                    rels = {
+                        f"bucket={int(r.bucket)}"
+                        for r in _lsh_bucket_frame(
+                            del_src, int(meta["n_planes"]),
+                            int(meta["dim"]), 1,
+                        ).select("bucket").distinct().collect()
+                    }
+                affected = {
+                    rel for rel in rels
+                    if os.path.isdir(os.path.join(data, rel))
+                }
+                if affected:
+                    ids = del_src.select("vec_id")
+                    aff = (
+                        self.spark.read.option("basePath", data)
+                        .parquet(
+                            *[os.path.join(data, r)
+                              for r in sorted(affected)]
+                        )
+                    )
+                    removed = aff.join(
+                        F.broadcast(ids), "vec_id", "left_semi"
+                    ).count()
+                    rewritten = aff.join(
+                        F.broadcast(ids), "vec_id", "left_anti"
+                    )
+            if del_src is not None:
+                record["n_deleted"] = removed
             if epoch is not None:
                 record["epoch"] = _epoch_key(epoch)
+            if state is not None:
+                record["state"] = state
             new_meta = dict(meta)
             new_meta["appends"] = _bound_appends(
                 list(meta.get("appends", [])) + [record]
             )
-            if "n_vectors" in new_meta and record["n"]:
-                new_meta["n_vectors"] = (
-                    int(new_meta["n_vectors"]) + record["n"]
+            if "n_vectors" in new_meta and (record["n"] or removed):
+                new_meta["n_vectors"] = max(
+                    0, int(new_meta["n_vectors"]) + record["n"] - removed
                 )
             version = _next_version(path)
             vdir = os.path.join(path, version)
             try:
-                _clone_tree(data, vdir, skip=frozenset({META_FILE}))
+                _clone_tree(
+                    data, vdir, skip=frozenset({META_FILE}),
+                    skip_rel=frozenset(affected),
+                )
+                if rewritten is not None:
+                    rewritten.write.mode("append").partitionBy(
+                        *partition
+                    ).parquet(vdir)
                 batch.write.mode("append").partitionBy(
                     *partition
                 ).parquet(vdir)
@@ -1010,6 +1167,92 @@ class AnnIndexStore:
         as the lake's :func:`vacuum_orphans` — the commit path never
         deletes unreferenced dirs itself)."""
         return vacuum_orphans(self._path(name), min_age_s=min_age_s)
+
+    def applied_epoch(self, name: str, epoch) -> dict | None:
+        """The append record a given epoch committed (or its absorbed
+        marker after a re-index), or None when the epoch has never been
+        applied — the recovery read of the exactly-once contract: a
+        restarted maintenance stream asks whether its redelivered batch
+        already landed and, if so, resumes from the record's ``state``
+        (the changes-feed cursor committed with it)."""
+        _, meta = self._resolve(name, kind=None)
+        key = _epoch_key(epoch)
+        for a in reversed(meta.get("appends", [])):
+            if a.get("epoch") == key:
+                return a
+        return None
+
+    def latest_state(self, name: str, stream_id: str) -> dict | None:
+        """The most recent ``state`` a given stream committed to this
+        layout (epochs are ``[stream_id, batch_id]`` lists) — what a
+        maintenance stream resumes from when its checkpoint survives
+        but the driver restarted."""
+        _, meta = self._resolve(name, kind=None)
+        for a in reversed(meta.get("appends", [])):
+            e = a.get("epoch")
+            if (
+                isinstance(e, list) and e and e[0] == stream_id
+                and a.get("state") is not None
+            ):
+                return a["state"]
+        return None
+
+    def reindex(
+        self,
+        name: str,
+        vectors: DataFrame,
+        epoch=None,
+        state: dict | None = None,
+    ) -> dict:
+        """Rebuild a layout from a source-of-truth corpus with its OWN
+        stored hyperparameters (kind, nlist / planes / tables /
+        PQ shape) — the remedy :meth:`drift` recommends and the path a
+        changes-feed consumer takes when the feed resets (a laggard
+        cursor's delta cannot be proven, so appending the snapshot
+        would duplicate the index). Re-training the quantizer is the
+        point: the new codebook fits the data that drifted away from
+        the frozen one.
+
+        With ``epoch``/``state`` the rebuild additionally commits an
+        empty epoch-bearing append on top, so the consumer's resume
+        cursor rides the same atomic meta as every incremental batch
+        (``write_*`` alone records no epochs — it absorbs them). A
+        crash between the two steps redelivers the batch, which
+        re-runs the (content-idempotent) rebuild and then records."""
+        _, meta = self._resolve(name, kind=None)
+        kind = meta["kind"]
+        if kind == "ivf":
+            self.write_ivf(
+                vectors, name=name,
+                codebook=_retrain_codebook(vectors, int(meta["nlist"])),
+            )
+        elif kind == "ivfpq":
+            books = meta["pq_books"]
+            self.write_ivfpq(
+                vectors, name=name,
+                codebook=_retrain_codebook(vectors, int(meta["nlist"])),
+                m=len(books), ksub=len(books[0]), dim=int(meta["dim"]),
+            )
+        elif kind == "ivfsq":
+            self.write_ivfsq(
+                vectors, name=name,
+                codebook=_retrain_codebook(vectors, int(meta["nlist"])),
+                dim=int(meta["dim"]),
+            )
+        elif kind == "lsh":
+            self.write_lsh(
+                vectors, name=name, n_planes=int(meta["n_planes"]),
+                dim=int(meta["dim"]),
+                n_tables=int(meta.get("n_tables", 1)),
+            )
+        else:
+            raise ValueError(f"unknown layout kind {kind!r}")
+        if epoch is not None:
+            empty = self.spark.createDataFrame(
+                [], "vec_id bigint, embedding array<float>"
+            )
+            return self.append(name, empty, epoch=epoch, state=state)
+        return self._resolve(name, kind=None)[1]
 
     def drift(
         self, name: str, reindex_ratio: float = 1.5,

@@ -21,6 +21,7 @@ from sensapp_spark.pipeline.similarity import (
     ivf_topk,
 )
 from sensapp_spark.storage.ann import AnnIndexStore
+from sensapp_spark.storage.lake import resolve_table
 
 from tests.conftest import SF_SMOKE
 
@@ -813,3 +814,182 @@ def test_appends_history_is_bounded(spark, tmp_path_factory, embeddings):
     assert _bound_appends(
         [{"n": 1}] * 100 + [{"n": 2, "epoch": "x"}]
     )[-1]["epoch"] == "x"
+
+
+class TestDeletesAndState:
+    """append(deletes=…) removes vectors in the SAME commit with
+    IO bounded to the affected partition dirs, and append(state=…)
+    rides the epoch record — the two storage-side halves of the
+    changes-feed → index composition (round-10; the streaming loop
+    itself is tests/test_stream_ann_maintenance.py)."""
+
+    def _store(self, spark, tmp_path_factory, embeddings, kind):
+        s = AnnIndexStore(
+            spark, str(tmp_path_factory.mktemp(f"ann_del_{kind}"))
+        )
+        getattr(s, f"write_{kind}")(embeddings, name="d")
+        return s
+
+    @pytest.mark.parametrize("kind", ["ivf", "ivfpq", "ivfsq", "lsh"])
+    def test_deletes_remove_rows_across_kinds(
+        self, spark, tmp_path_factory, embeddings, kind
+    ):
+        s = self._store(spark, tmp_path_factory, embeddings, kind)
+        dels = embeddings.filter("vec_id < 40")
+        meta = s.append(
+            "d", embeddings.limit(0), deletes=dels, epoch=("s", 0)
+        )
+        assert meta["appends"][-1]["n_deleted"] == 40
+        data = resolve_table(s._path("d"))
+        frame = spark.read.parquet(data)
+        assert frame.filter("vec_id < 40").count() == 0
+        per_copy = 1  # lsh single-table & ivf kinds store each id once
+        assert (
+            frame.select("vec_id").distinct().count()
+            == embeddings.count() - 40
+        )
+        assert frame.count() == (embeddings.count() - 40) * per_copy
+        if "n_vectors" in meta:
+            assert meta["n_vectors"] == embeddings.count() - 40
+
+    def test_multi_table_lsh_deletes_every_copy(
+        self, spark, tmp_path_factory, embeddings
+    ):
+        s = AnnIndexStore(spark, str(tmp_path_factory.mktemp("ann_del_mt")))
+        s.write_lsh(embeddings, name="d", n_planes=4, n_tables=3)
+        s.append(
+            "d", embeddings.limit(0),
+            deletes=embeddings.filter("vec_id < 25"),
+        )
+        frame, _, _ = s.read_lsh("d")
+        assert frame.filter("vec_id < 25").count() == 0
+        assert frame.count() == (embeddings.count() - 25) * 3
+
+    def test_delete_io_is_partition_bounded(
+        self, spark, tmp_path_factory, embeddings
+    ):
+        """Untouched partition dirs stay HARDLINKS of the previous
+        version's files (same inode) — the delete rewrote only the
+        directories the deleted ids actually live in."""
+        import os
+
+        from sensapp_spark.pipeline.similarity import ivf_assign
+
+        s = self._store(spark, tmp_path_factory, embeddings, "ivf")
+        before = resolve_table(s._path("d"))
+        _, meta = s._resolve("d", "ivf")
+        cents = [
+            (int(c), [float(x) for x in v]) for c, v in meta["codebook"]
+        ]
+        # Delete vectors that all live in ONE centroid partition, so
+        # the bounded-IO property is observable.
+        assigned = ivf_assign(embeddings, cents)
+        one = assigned.select("centroid_id").first().centroid_id
+        dels = assigned.filter(
+            assigned.centroid_id == one
+        ).limit(10).select("vec_id", "embedding")
+        hit = {f"centroid_id={int(one)}"}
+        s.append("d", embeddings.limit(0), deletes=dels)
+        after = resolve_table(s._path("d"))
+        assert after != before
+        touched, untouched = 0, 0
+        for part in os.listdir(before):
+            if not part.startswith("centroid_id="):
+                continue
+            old = {
+                f: os.stat(os.path.join(before, part, f)).st_ino
+                for f in os.listdir(os.path.join(before, part))
+                if f.endswith(".parquet")
+            }
+            newdir = os.path.join(after, part)
+            new = {
+                f: os.stat(os.path.join(newdir, f)).st_ino
+                for f in os.listdir(newdir)
+                if f.endswith(".parquet")
+            } if os.path.isdir(newdir) else {}
+            if part in hit:
+                touched += 1
+                assert not set(old) & set(new) or all(
+                    old[f] != new.get(f) for f in old if f in new
+                )
+            else:
+                untouched += 1
+                assert old == new  # same names, same inodes
+        assert touched == len(hit) and untouched > 0
+
+    def test_delete_of_unknown_ids_is_noop(
+        self, spark, tmp_path_factory, embeddings
+    ):
+        from pyspark.sql import functions as F
+
+        s = self._store(spark, tmp_path_factory, embeddings, "ivf")
+        ghost = embeddings.filter("vec_id < 5").select(
+            (F.col("vec_id") + 10_000_000).alias("vec_id"), "embedding"
+        )
+        meta = s.append("d", embeddings.limit(0), deletes=ghost)
+        assert meta["appends"][-1]["n_deleted"] == 0
+        assert meta["n_vectors"] == embeddings.count()
+
+    def test_same_batch_insert_and_delete(
+        self, spark, tmp_path_factory, embeddings
+    ):
+        """A value update arrives as delete(old)+insert(new) in one
+        micro-batch: both apply in one commit."""
+        from pyspark.sql import functions as F
+
+        base = embeddings.filter("vec_id < 400")
+        s = AnnIndexStore(spark, str(tmp_path_factory.mktemp("ann_updt")))
+        s.write_ivf(base, name="d")
+        updated = embeddings.filter("vec_id >= 390 AND vec_id < 400").select(
+            (F.col("vec_id") + 1000).alias("vec_id"), "embedding"
+        )
+        s.append(
+            "d", updated,
+            deletes=embeddings.filter("vec_id >= 390 AND vec_id < 400"),
+        )
+        frame, _ = s.read_ivf("d")
+        ids = {r.vec_id for r in frame.select("vec_id").collect()}
+        assert ids == {int(r.vec_id) for r in base.filter("vec_id < 390")
+                       .select("vec_id").collect()} | set(range(1390, 1400))
+
+    def test_state_survives_appends_window_shrink(self):
+        from sensapp_spark.storage.ann import (
+            APPENDS_KEEP_STATS,
+            _bound_appends,
+        )
+
+        appends = [
+            {"n": 1, "epoch": ["s", i], "state": {"cursor": {"gen": i}}}
+            for i in range(APPENDS_KEEP_STATS + 10)
+        ]
+        bounded = _bound_appends(appends)
+        shrunk = [a for a in bounded if "n" not in a]
+        assert shrunk and all(
+            a["state"]["cursor"]["gen"] == a["epoch"][1] for a in shrunk
+        )
+
+    def test_reindex_retrains_and_preserves_kind(
+        self, spark, tmp_path_factory, embeddings
+    ):
+        """reindex() rebuilds each kind with its stored hyperparams and
+        an id-space-independent retrained codebook (hashed/sparse ids
+        defeat ivf_centroids' dense vec_id<nlist rule)."""
+        from pyspark.sql import functions as F
+
+        hashed = embeddings.select(
+            F.xxhash64("vec_id").alias("vec_id"), "embedding"
+        )
+        for kind in ("ivf", "ivfpq", "ivfsq", "lsh"):
+            s = AnnIndexStore(
+                spark, str(tmp_path_factory.mktemp(f"ann_re_{kind}"))
+            )
+            getattr(s, f"write_{kind}")(embeddings, name="r")
+            meta = s.reindex("r", hashed, epoch=("s", 1),
+                             state={"cursor": {"seq": 4}})
+            assert meta["kind"] == kind if "kind" in meta else True
+            _, m2 = s._resolve("r", None)
+            assert m2["kind"] == kind
+            assert s.latest_state("r", "s") == {"cursor": {"seq": 4}}
+            data = resolve_table(s._path("r"))
+            n = spark.read.parquet(data).select("vec_id").distinct().count()
+            assert n == embeddings.count()

@@ -1,0 +1,274 @@
+"""The changes-feed → ANN-index composition, end to end (round-9
+verdict task #1): a Structured Streaming ``foreachBatch`` consumes
+``lake.changes(cdc=True)`` and drives ``AnnIndexStore.append(epoch=
+(stream_id, batch_id), state={"cursor": …})`` — the loop a deployment
+actually runs, with every crash window exercised:
+
+* redelivery AFTER the index commit (crash before Spark's checkpoint)
+  → skip + cursor recovery from the layout's own meta;
+* redelivery BEFORE the index commit → the re-poll may see MORE rows
+  than the first attempt; all land exactly once;
+* a ``delete_where`` crossing → CDC delete rows remove the erased
+  vectors from the index in the same atomic commit;
+* a feed RESET (multi-commit gap) → re-index from the snapshot, no
+  duplicate vectors, epoch still exactly-once;
+* a real kill-and-restart of the streaming query over a checkpoint.
+
+Beyond-reference surface: the reference has no incremental index
+maintenance (it re-queries storage per request)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from sensapp_spark.datamodel.types import SensorType
+from sensapp_spark.storage.ann import AnnIndexStore
+from sensapp_spark.storage.lake import SensorLake
+from sensapp_spark.streaming.ann_maintenance import (
+    bootstrap_ann_index,
+    maintenance_tick,
+    stream_ann_maintenance,
+)
+
+T0 = dt.datetime(2024, 1, 5, 10)
+ST = SensorType.FLOAT
+
+
+def _vals(spark, rows):
+    return spark.createDataFrame(
+        rows, "sensor_id string, time timestamp, value double"
+    )
+
+
+def _rows(tag: str, n: int, base: float = 0.0):
+    return [
+        (f"{tag}{i}", T0 + dt.timedelta(minutes=i), base + float(i))
+        for i in range(n)
+    ]
+
+
+def vectorize(df):
+    """Deterministic content-keyed featurization: vec_id hashes the
+    feed's row-content key (sensor_id, time, value) so a CDC delete
+    row recomputes the exact id its insert used; the embedding is a
+    pure column expression (replay-stable on any partitioning)."""
+    v = F.col("value")
+    return df.select(
+        F.xxhash64("sensor_id", "time", "value").alias("vec_id"),
+        F.array(
+            v.cast("float"),
+            (v * 0.5 + 1.0).cast("float"),
+            ((v + 3.0) * (v + 3.0)).cast("float"),
+            F.lit(1.0).cast("float"),
+        ).cast("array<float>").alias("embedding"),
+    )
+
+
+@pytest.fixture()
+def rig(spark, tmp_path):
+    lake = SensorLake(spark, str(tmp_path / "lake"))
+    store = AnnIndexStore(spark, str(tmp_path / "ann"))
+    ckpt = str(tmp_path / "ckpt")
+    sid = f"{ckpt}::idx"  # _stream_id(ckpt, "idx") with ckpt absolute
+    return lake, store, ckpt, sid
+
+
+def _index_ids(store):
+    frame, _ = store.read_ivf("idx")
+    return {r.vec_id for r in frame.select("vec_id").collect()}
+
+
+def _expected_ids(spark, lake):
+    return {
+        r.vec_id
+        for r in vectorize(lake.values(ST)).select("vec_id").collect()
+    }
+
+
+def _tick(lake, store, sid, holder, batch_id, **kw):
+    return maintenance_tick(
+        lake, ST, store, "idx", vectorize, sid, holder, batch_id, **kw
+    )
+
+
+def test_bootstrap_stamps_cursor_and_builds_index(spark, rig):
+    lake, store, ckpt, sid = rig
+    lake.append_values(ST, _vals(spark, _rows("a", 8)))
+    meta = bootstrap_ann_index(lake, ST, store, "idx", vectorize, ckpt)
+    assert meta["n_vectors"] == 8
+    assert _index_ids(store) == _expected_ids(spark, lake)
+    assert store.latest_state("idx", sid)["cursor"]["reset"] is False
+    # The very next tick sees nothing.
+    assert _tick(lake, store, sid, {}, 0) == "empty"
+
+
+def test_stream_composes_feed_into_index(spark, rig, tmp_path):
+    """The real Structured Streaming loop: bootstrap, then micro-batches
+    (one per dropped tick file) carry appends AND a delete_where
+    crossing into the index; the final content is bit-identical to
+    vectorizing the table's current state."""
+    lake, store, ckpt, sid = rig
+    ticks = tmp_path / "ticks"
+    ticks.mkdir()
+    lake.append_values(ST, _vals(spark, _rows("a", 8)))
+    bootstrap_ann_index(lake, ST, store, "idx", vectorize, ckpt)
+
+    lake.append_values(ST, _vals(spark, _rows("b", 5, base=100.0)))
+    (ticks / "t0.txt").write_text("tick\n")
+    q = stream_ann_maintenance(
+        spark, lake, ST, store, "idx", vectorize, ckpt,
+        tick_dir=str(ticks), trigger_available_now=True,
+    )
+    q.awaitTermination(120)
+    assert _index_ids(store) == _expected_ids(spark, lake)
+
+    # Next run: an erasure crossing + more appends, one batch each.
+    lake.delete_where(ST, "sensor_id = 'a3'", quiesce_wait_s=0.2)
+    lake.append_values(ST, _vals(spark, _rows("c", 3, base=200.0)))
+    (ticks / "t1.txt").write_text("tick\n")
+    q2 = stream_ann_maintenance(
+        spark, lake, ST, store, "idx", vectorize, ckpt,
+        tick_dir=str(ticks), trigger_available_now=True,
+    )
+    q2.awaitTermination(120)
+    expected = _expected_ids(spark, lake)
+    assert _index_ids(store) == expected
+    assert len(expected) == 8 + 5 + 3 - 1
+    # Probe parity: a full probe over the maintained index returns the
+    # deleted vector never, and the same top-1 as brute force.
+    probe = vectorize(
+        _vals(spark, [("a3", T0 + dt.timedelta(minutes=3), 3.0)])
+    ).first()
+    assert probe.vec_id not in expected
+    res = store.ivf_topk(
+        [float(x) for x in probe.embedding], k=3, nprobe=10**6,
+        name="idx",
+    )
+    assert probe.vec_id not in {r.vec_id for r in res.collect()}
+
+
+def test_redelivery_after_commit_skips_and_recovers_cursor(spark, rig):
+    """Kill-and-redeliver, crash-after-commit side: the batch landed in
+    the index but Spark never checkpointed it. The redelivered epoch
+    (fresh driver → empty cursor holder) is a no-op and the cursor
+    recovers from the record the commit carried."""
+    lake, store, ckpt, sid = rig
+    lake.append_values(ST, _vals(spark, _rows("a", 6)))
+    bootstrap_ann_index(lake, ST, store, "idx", vectorize, ckpt)
+    lake.append_values(ST, _vals(spark, _rows("b", 4, base=50.0)))
+
+    holder: dict = {}
+    assert _tick(lake, store, sid, holder, 0) == "appended"
+    n_after = store._resolve("idx", None)[1]["n_vectors"]
+
+    # "Crash": new process = new empty holder; Spark redelivers batch 0.
+    holder2: dict = {}
+    assert _tick(lake, store, sid, holder2, 0) == "skipped"
+    assert store._resolve("idx", None)[1]["n_vectors"] == n_after
+    assert holder2["cursor"] == holder["cursor"]
+    assert _index_ids(store) == _expected_ids(spark, lake)
+
+    # The next batch proceeds normally from the recovered cursor.
+    lake.append_values(ST, _vals(spark, _rows("c", 2, base=80.0)))
+    assert _tick(lake, store, sid, holder2, 1) == "appended"
+    assert _index_ids(store) == _expected_ids(spark, lake)
+
+
+def test_redelivery_before_commit_replays_wider_poll(spark, rig):
+    """Crash-before-commit side: the first attempt at batch 0 died
+    before the index commit, MORE rows arrived, and the redelivered
+    batch's re-poll picks up both waves — applied exactly once."""
+    lake, store, ckpt, sid = rig
+    lake.append_values(ST, _vals(spark, _rows("a", 6)))
+    bootstrap_ann_index(lake, ST, store, "idx", vectorize, ckpt)
+
+    lake.append_values(ST, _vals(spark, _rows("b", 3, base=50.0)))
+    # (first attempt at batch 0 crashes here: nothing committed)
+    lake.append_values(ST, _vals(spark, _rows("c", 2, base=70.0)))
+    holder: dict = {}
+    assert _tick(lake, store, sid, holder, 0) == "appended"
+    ids = _index_ids(store)
+    assert ids == _expected_ids(spark, lake)
+    assert len(ids) == 6 + 3 + 2
+
+
+def test_reset_triggers_content_idempotent_reindex(spark, rig):
+    """A laggard consumer crossing a multi-commit gap gets reset=True —
+    appending that snapshot would duplicate the index, so the tick
+    re-indexes instead, stamps the cursor through the same epoch, and
+    a redelivered reset batch still skips."""
+    lake, store, ckpt, sid = rig
+    lake.append_values(
+        ST, _vals(spark, _rows("a", 6) + [("a1", T0 + dt.timedelta(minutes=1), 1.0)])
+    )
+    bootstrap_ann_index(lake, ST, store, "idx", vectorize, ckpt)
+    holder: dict = {}
+
+    # Two maintenance commits while the consumer sleeps → gap > 1.
+    lake.dedup_rewrite(ST, quiesce_wait_s=0.2)
+    lake.delete_where(ST, "sensor_id = 'a5'", quiesce_wait_s=0.2)
+
+    assert _tick(lake, store, sid, holder, 0) == "reindexed"
+    assert _index_ids(store) == _expected_ids(spark, lake)
+    assert len(_index_ids(store)) == 5  # 6 distinct - a5
+
+    # Redelivery of the reset batch: exactly-once via the stamped epoch.
+    holder2: dict = {}
+    assert _tick(lake, store, sid, holder2, 0) == "skipped"
+    assert _index_ids(store) == _expected_ids(spark, lake)
+
+    # on_reset="error" surfaces instead of rebuilding.
+    lake.dedup_rewrite(ST, quiesce_wait_s=0.2)
+    lake.delete_where(ST, "sensor_id = 'a4'", quiesce_wait_s=0.2)
+    with pytest.raises(RuntimeError, match="reset"):
+        _tick(lake, store, sid, holder2, 1, on_reset="error")
+
+
+def test_streaming_kill_and_restart_over_checkpoint(spark, rig, tmp_path):
+    """A second streaming query over the SAME checkpoint (driver
+    restart) resumes batch numbering and cursor state: nothing is
+    double-applied, everything new is applied."""
+    lake, store, ckpt, sid = rig
+    ticks = tmp_path / "ticks"
+    ticks.mkdir()
+    lake.append_values(ST, _vals(spark, _rows("a", 5)))
+    bootstrap_ann_index(lake, ST, store, "idx", vectorize, ckpt)
+
+    lake.append_values(ST, _vals(spark, _rows("b", 3, base=40.0)))
+    (ticks / "t0.txt").write_text("tick\n")
+    (ticks / "t1.txt").write_text("tick\n")
+    q = stream_ann_maintenance(
+        spark, lake, ST, store, "idx", vectorize, ckpt,
+        tick_dir=str(ticks), trigger_available_now=True,
+    )
+    q.awaitTermination(120)  # drains both ticks, then stops (the kill)
+    assert _index_ids(store) == _expected_ids(spark, lake)
+
+    lake.append_values(ST, _vals(spark, _rows("c", 4, base=90.0)))
+    (ticks / "t2.txt").write_text("tick\n")
+    q2 = stream_ann_maintenance(  # fresh query object: empty holder
+        spark, lake, ST, store, "idx", vectorize, ckpt,
+        tick_dir=str(ticks), trigger_available_now=True,
+    )
+    q2.awaitTermination(120)
+    ids = _index_ids(store)
+    assert ids == _expected_ids(spark, lake)
+    assert len(ids) == 5 + 3 + 4
+
+
+def test_tick_without_bootstrap_raises(spark, rig):
+    lake, store, ckpt, sid = rig
+    lake.append_values(ST, _vals(spark, _rows("a", 3)))
+    with pytest.raises(FileNotFoundError):
+        _tick(lake, store, sid, {}, 0)  # no layout at all
+    # Layout exists but carries no stamp for this stream: refuse to
+    # guess (appending the snapshot could duplicate the index).
+    store.write_ivf(
+        vectorize(lake.values(ST)), name="idx",
+        codebook=[(0, [1.0, 1.0, 1.0, 1.0])],
+    )
+    with pytest.raises(RuntimeError, match="bootstrap"):
+        _tick(lake, store, sid, {}, 0)
