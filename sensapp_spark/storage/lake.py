@@ -1432,13 +1432,11 @@ class EpochInFlight(Exception):
 
 def _object_age_s(path: str) -> float | None:
     """Seconds since the metadata object at ``path`` was last written,
-    or None if it cannot be statted (both log stores keep objects as
-    real local files; a pure object-store implementation reads
-    LastModified instead)."""
-    try:
-        return time.time() - os.path.getmtime(path)
-    except OSError:
-        return None
+    or None if the backend cannot stat it — via the log store, so the
+    S3 client answers with HEAD LastModified while the local stores
+    stat the file."""
+    age = get_store().mtime(path)
+    return None if age is None else time.time() - age
 
 
 def _is_stale_scan_error(exc: Exception) -> bool:
@@ -2050,16 +2048,18 @@ def table_history(path: str) -> list[dict]:
         except OSError:
             continue
         entry_file = os.path.join(path, COMMITS_DIR, f"{s:08d}")
-        with contextlib.suppress(OSError):
-            out.append(
-                {
-                    "seq": s,
-                    "version": version,
-                    "committed_at": os.path.getmtime(entry_file),
-                    "on_disk": os.path.isdir(os.path.join(path, version)),
-                    "current": s == entries[-1],
-                }
-            )
+        out.append(
+            {
+                "seq": s,
+                "version": version,
+                # Via the log store (S3 HEAD LastModified / local stat):
+                # None when the backend exposes no timestamp —
+                # informational either way, order authority is `seq`.
+                "committed_at": get_store().mtime(entry_file),
+                "on_disk": os.path.isdir(os.path.join(path, version)),
+                "current": s == entries[-1],
+            }
+        )
     return out
 
 

@@ -29,13 +29,111 @@ import pytest
 from sensapp_spark.storage.logstore import (
     ObjectStoreEmulator,
     PosixLogStore,
+    S3LogStore,
     set_store,
 )
 
-STORES = [PosixLogStore, ObjectStoreEmulator]
+
+class _ClientError(Exception):
+    """botocore.ClientError look-alike: S3LogStore classifies errors
+    by duck-typing the ``response`` attribute, so the stub needs no
+    botocore installed."""
+
+    def __init__(self, code: str, status: int):
+        super().__init__(code)
+        self.response = {
+            "Error": {"Code": code},
+            "ResponseMetadata": {"HTTPStatusCode": status},
+        }
 
 
-@pytest.fixture(params=STORES, ids=["posix", "emulated"])
+class StubS3Client:
+    """In-memory S3 with the exact call/error shapes the production
+    client classifies: conditional PUT → 412 PreconditionFailed on an
+    existing key, GET/HEAD → 404 on a missing one, ListObjectsV2 with
+    delimiter grouping and (deliberately tiny) 2-keys-per-page
+    pagination, idempotent DELETE. ``inject_conflicts`` makes the next
+    N conditional PUTs fail with 409 ConflictingOperation — S3's
+    'another conditional write is in flight' answer."""
+
+    def __init__(self):
+        self._lock = threading.Lock()
+        self.objects: dict[str, bytes] = {}
+        self.mtimes: dict[str, dt.datetime] = {}
+        self.inject_conflicts = 0
+
+    def put_object(self, Bucket, Key, Body, IfNoneMatch=None):
+        with self._lock:
+            if IfNoneMatch == "*" and self.inject_conflicts > 0:
+                self.inject_conflicts -= 1
+                raise _ClientError("ConflictingOperation", 409)
+            if IfNoneMatch == "*" and Key in self.objects:
+                raise _ClientError("PreconditionFailed", 412)
+            self.objects[Key] = bytes(Body)
+            self.mtimes[Key] = dt.datetime.now(dt.timezone.utc)
+            return {}
+
+    def get_object(self, Bucket, Key):
+        import io
+
+        with self._lock:
+            if Key not in self.objects:
+                raise _ClientError("NoSuchKey", 404)
+            return {"Body": io.BytesIO(self.objects[Key])}
+
+    def list_objects_v2(
+        self, Bucket, Prefix="", Delimiter=None, ContinuationToken=None
+    ):
+        with self._lock:
+            contents = []
+            prefixes = set()
+            for k in sorted(self.objects):
+                if not k.startswith(Prefix):
+                    continue
+                rest = k[len(Prefix):]
+                if Delimiter and Delimiter in rest:
+                    prefixes.add(
+                        Prefix + rest.split(Delimiter)[0] + Delimiter
+                    )
+                else:
+                    contents.append({"Key": k})
+            start = int(ContinuationToken or 0)
+            page = contents[start:start + 2]
+            trunc = start + 2 < len(contents)
+            resp = {
+                "Contents": page,
+                "IsTruncated": trunc,
+                "CommonPrefixes": [
+                    {"Prefix": p} for p in sorted(prefixes)
+                ],
+            }
+            if trunc:
+                resp["NextContinuationToken"] = str(start + 2)
+            return resp
+
+    def delete_object(self, Bucket, Key):
+        with self._lock:
+            self.objects.pop(Key, None)
+            return {}
+
+    def head_object(self, Bucket, Key):
+        with self._lock:
+            if Key not in self.objects:
+                raise _ClientError("404", 404)
+            return {
+                "ContentLength": len(self.objects[Key]),
+                "LastModified": self.mtimes.get(Key),
+            }
+
+
+def _s3_stub_store() -> S3LogStore:
+    return S3LogStore("test-bucket", prefix="lakes", client=StubS3Client())
+
+
+STORES = [PosixLogStore, ObjectStoreEmulator, _s3_stub_store]
+
+
+@pytest.fixture(params=STORES, ids=["posix", "emulated", "s3stub"])
 def store(request):
     return request.param()
 
@@ -142,11 +240,12 @@ def _forbid(name):
     return boom
 
 
-@pytest.fixture()
-def object_store_lake(spark, tmp_path, monkeypatch):
+@pytest.fixture(params=[ObjectStoreEmulator, _s3_stub_store],
+                ids=["emulated", "s3stub"])
+def object_store_lake(request, spark, tmp_path, monkeypatch):
     from sensapp_spark.storage.lake import SensorLake
 
-    prev = set_store(ObjectStoreEmulator())
+    prev = set_store(request.param())
     # Forbid the POSIX primitives for the duration: every Python-side
     # metadata write must go through the emulator. (Spark's JVM-side
     # parquet committer is the data plane — out of scope, object-store
@@ -379,3 +478,99 @@ def test_ann_store_lifecycle_on_emulated_object_store(
         assert s.vacuum("sq_obj", min_age_s=0.0) == []
     finally:
         set_store(prev)
+
+
+# ---------------------------------------------------------------------------
+# S3LogStore specifics (beyond the shared contract suite above)
+# ---------------------------------------------------------------------------
+
+
+def test_s3_conflict_409_retries_until_win(tmp_path):
+    """ConflictingOperation (another conditional PUT in flight) is not
+    a loss: the claim re-probes and, with the key still absent, retries
+    the PUT — AWS's own guidance for 409 on conditional writes."""
+    s = _s3_stub_store()
+    s.client.inject_conflicts = 3
+    p = str(tmp_path / "log" / "00000001")
+    assert s.put_if_absent(p, b"v1") is True
+    assert s.read(p) == b"v1"
+
+
+def test_s3_conflict_409_then_loser_detects_winner(tmp_path):
+    """If the in-flight competitor LANDS during the 409 window, the
+    re-probe sees the durable object and the claim returns False."""
+    s = _s3_stub_store()
+    p = str(tmp_path / "log" / "00000001")
+
+    real_exists = s.exists
+
+    def exists_with_competitor_landing(path):
+        # The competitor's PUT completes while we were backing off.
+        s.client.objects[s._key(p)] = b"winner"
+        return real_exists(path)
+
+    s.client.inject_conflicts = 1
+    s.exists = exists_with_competitor_landing
+    assert s.put_if_absent(p, b"loser") is False
+    assert s.read(p) == b"winner"
+
+
+def test_s3_conflict_retries_exhausted_raises(tmp_path):
+    s = _s3_stub_store()
+    s.client.inject_conflicts = 10**9
+    s.conflict_retries = 3
+    with pytest.raises(TimeoutError, match="conflicting"):
+        s.put_if_absent(str(tmp_path / "x"), b"v")
+
+
+def test_s3_list_paginates_and_excludes_nested(tmp_path):
+    """ListObjectsV2 pagination (stub pages at 2 keys) and delimiter
+    grouping: nested 'directories' never leak into a listing."""
+    s = _s3_stub_store()
+    d = str(tmp_path / "log")
+    for n in ("5", "1", "3", "2", "4"):
+        s.put(os.path.join(d, f"0000000{n}"), n.encode())
+    s.put(os.path.join(d, "nested", "deep"), b"x")
+    assert s.list(d) == [f"0000000{n}" for n in "12345"]
+    assert s.list(str(tmp_path / "missing")) == []
+
+
+def test_s3_keys_carry_prefix(tmp_path):
+    s = _s3_stub_store()
+    p = str(tmp_path / "lake" / "_commits" / "00000001")
+    s.put(p, b"v")
+    (key,) = s.client.objects.keys()
+    assert key == "lakes" + p
+    assert key.startswith("lakes/") and not key.startswith("lakes//")
+
+
+def test_s3_exists_and_delete(tmp_path):
+    s = _s3_stub_store()
+    p = str(tmp_path / "obj")
+    assert s.exists(p) is False
+    s.put(p, b"v")
+    assert s.exists(p) is True
+    s.delete(p)
+    s.delete(p)  # idempotent
+    assert s.exists(p) is False and s.read(p) is None
+
+
+def test_env_selection_parses_s3_url(monkeypatch):
+    """SENSAPP_LOG_STORE=s3://bucket/prefix picks the production
+    client. boto3 is absent in this container, so constructing the
+    default client must raise the documented ImportError — proving the
+    guard, not silently falling back."""
+    import sensapp_spark.storage.logstore as ls
+
+    prev = ls.set_store(None)
+    monkeypatch.setenv("SENSAPP_LOG_STORE", "s3://bkt/pre")
+    try:
+        try:
+            store = ls.get_store()
+        except ImportError as e:
+            assert "boto3" in str(e)
+        else:  # boto3 present in some environments: check the wiring
+            assert isinstance(store, ls.S3LogStore)
+            assert (store.bucket, store.prefix) == ("bkt", "pre")
+    finally:
+        ls.set_store(prev)
