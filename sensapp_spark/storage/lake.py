@@ -594,6 +594,18 @@ class SensorLake:
             if delta is not None:
                 return delta
 
+        # -- multi-commit gap: chain per-version deltas (round 10) -------
+        if (
+            cursor is not None
+            and isinstance(cursor.get("seq"), int)
+            and cursor["seq"] < seq - 1
+        ):
+            delta = self._chained_delta(
+                path, data, seq, cursor, schema, cdc, gens, has_log
+            )
+            if delta is not None:
+                return delta
+
         # -- anything else: honest reset ---------------------------------
         next_cursor = fresh_cursor(cursor is not None)
         return out(
@@ -674,8 +686,15 @@ class SensorLake:
             parts.append(ins)
         next_cursor = {"seq": seq, "gen": gens[-1], "reset": False}
         if not parts:
+            # COPY before extending: StructType.add mutates in place.
+            from pyspark.sql import types as T
+
             out_schema = (
-                schema.add("_change_type", "string") if cdc else schema
+                T.StructType(list(schema.fields)).add(
+                    "_change_type", "string"
+                )
+                if cdc
+                else schema
             )
             return (
                 self.spark.createDataFrame([], out_schema), next_cursor
@@ -685,6 +704,162 @@ class SensorLake:
             df = df.unionByName(p)
         if cdc and "_change_type" not in df.columns:
             df = df.withColumn("_change_type", F.lit("insert"))
+        return df, next_cursor
+
+    def _retained_dir(self, path: str, s: int) -> str | None:
+        """Version dir of commit ``s`` if both the log entry and the
+        data dir still exist, else None (pruned / vacuumed)."""
+        try:
+            v = _entry_version(path, s)
+        except OSError:
+            return None
+        d = os.path.join(path, v)
+        return d if os.path.isdir(d) else None
+
+    def _chained_delta(
+        self, path, data, seq, cursor, schema, cdc, gens, has_log
+    ):
+        """Row-grain delta across a MULTI-commit gap (round 10, r9
+        verdict next-#5): chain each intermediate rewrite's recorded
+        delta when every link is provable, so a laggard consumer
+        crossing e.g. ``dedup_rewrite()`` then ``delete_where()`` gets
+        deltas instead of a 100 TB full-snapshot reset. Links hold as
+        long as superseded dirs survive — rewrites leave manifested
+        dirs behind for late-append folds, so the window is the vacuum
+        schedule, not just ``retain_generations``.
+
+        Per link ``s`` (base+1 … seq), the same proofs as the single
+        step: the version's ``_changes_meta.json`` names ``s-1`` as
+        its base, the superseded dir is retained with a COMPLETE file
+        log (for the first link, the cursor's generation equals that
+        log's last — the consumer saw every pre-rewrite append; for
+        deeper links the previous delta delivered exactly that state,
+        so completeness alone suffices), and every insert generation
+        entry is readable. Any unprovable link → None → honest reset.
+
+        The chained events compose into NET-EFFECT rows — a key both
+        inserted and later deleted inside the gap nets to its LAST
+        state — because the returned frame is unordered and a consumer
+        could not sequence flip-flops itself. Contract (same one the
+        ANN maintenance applies): **deletes apply before inserts**. A
+        key is emitted as ``delete`` if ANY link deleted it (a delete
+        of a never-present key is a no-op downstream), and as
+        ``insert`` if its last event is an insert — so
+        delete-then-reinsert replays correctly and insert-then-delete
+        nets to a harmless no-op delete. The groupBy shuffles
+        delta-sized data only."""
+        base = cursor.get("seq")
+        if not has_log or "gen" not in cursor or base < 0:
+            return None
+        parts: list[tuple[int, DataFrame, str]] = []
+        for s in range(base + 1, seq + 1):
+            data_s = data if s == seq else self._retained_dir(path, s)
+            if data_s is None:
+                return None
+            raw = get_store().read(os.path.join(data_s, CHANGES_META))
+            if raw is None:
+                return None
+            try:
+                meta = json.loads(raw)
+            except ValueError:
+                return None
+            if meta.get("base_seq") != s - 1:
+                return None
+            preserved = bool(meta.get("preserved"))
+            has_removed = bool(meta.get("has_removed"))
+            if not (preserved or has_removed):
+                return None  # delta unknown for this rewrite shape
+            if has_removed and not cdc:
+                return None  # deletes inexpressible without cdc
+            old_dir = self._retained_dir(path, s - 1)
+            if old_dir is None:
+                return None
+            old_log = _filelog_union(old_dir)
+            if old_log is None:
+                return None
+            if s == base + 1 and old_log[0] != cursor["gen"]:
+                return None  # consumer missed pre-rewrite appends
+            if not _filelog_complete(old_dir):
+                return None  # acknowledged rows outside the log
+            gens_s = _filelog_entries(data_s)
+            if not gens_s or gens_s[0] != 0:
+                return None
+            if has_removed:
+                parts.append((
+                    s,
+                    self.spark.read.schema(schema).parquet(
+                        os.path.join(data_s, CHANGES_DIR, "removed")
+                    ),
+                    "delete",
+                ))
+            insert_rels: set[str] = set()
+            for g in gens_s:
+                if g == 0:
+                    continue  # the rewrite's own output: seen keys
+                entry = _filelog_entry_files(data_s, g)
+                if entry is None:
+                    return None
+                insert_rels.update(entry)
+            if insert_rels:
+                parts.append((
+                    s,
+                    self.spark.read.schema(schema)
+                    .option("basePath", data_s)
+                    .parquet(
+                        *[os.path.join(data_s, r)
+                          for r in sorted(insert_rels)]
+                    ),
+                    "insert",
+                ))
+        next_cursor = {"seq": seq, "gen": gens[-1], "reset": False}
+        cols = schema.fieldNames()
+        if not parts:
+            # COPY before extending: StructType.add mutates in place,
+            # and `schema` is shared with the caller's other branches.
+            from pyspark.sql import types as T
+
+            out_schema = (
+                T.StructType(list(schema.fields)).add(
+                    "_change_type", "string"
+                )
+                if cdc
+                else schema
+            )
+            return (
+                self.spark.createDataFrame([], out_schema), next_cursor
+            )
+        ev = None
+        for s, df, ctype in parts:
+            tagged = (
+                df.select(*cols)
+                .withColumn("__step", F.lit(s))
+                .withColumn(
+                    "__p", F.lit(1 if ctype == "insert" else 0)
+                )
+            )
+            ev = tagged if ev is None else ev.unionByName(tagged)
+        agg = ev.groupBy(*cols).agg(
+            F.max(F.struct("__step", "__p")).alias("__last"),
+            F.max(
+                F.when(F.col("__p") == 0, 1).otherwise(0)
+            ).alias("__everdel"),
+        )
+        out_parts = []
+        if cdc:
+            out_parts.append(
+                agg.filter(F.col("__everdel") == 1)
+                .select(*cols)
+                .withColumn("_change_type", F.lit("delete"))
+            )
+        ins = agg.filter(F.col("__last").getField("__p") == 1).select(
+            *cols
+        )
+        if cdc:
+            ins = ins.withColumn("_change_type", F.lit("insert"))
+        out_parts.append(ins)
+        df = out_parts[0]
+        for p in out_parts[1:]:
+            df = df.unionByName(p)
         return df, next_cursor
 
     # -- admin ops (X-dedup, X-vac) ------------------------------------------

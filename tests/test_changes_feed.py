@@ -487,3 +487,136 @@ def test_rewrite_delta_refuses_incomplete_old_log(spark, tmp_path):
     delta, cur2 = lake.changes(SensorType.FLOAT, cur)
     assert cur2["reset"] is True  # honest reset, not empty-preserved
     assert {r.sensor_id for r in delta.collect()} == {"a", "b"}
+
+
+# ---------------------------------------------------------------------------
+# Multi-step CDC: chained per-version deltas across commit gaps (round 10)
+# ---------------------------------------------------------------------------
+
+
+def test_changes_chain_across_dedup_then_delete(spark, tmp_path):
+    """A consumer sleeping through dedup() THEN delete_where() gets the
+    composed row-grain delta — no full-snapshot reset (r9 verdict
+    next-#5's Done criterion)."""
+    lake = SensorLake(spark, str(tmp_path / "lake"))
+    lake.append_values(
+        SensorType.FLOAT,
+        _vals(spark, [("a", T0, 1.0), ("a", T0, 1.0), ("b", T0, 2.0),
+                      ("c", T1, 3.0)]),
+    )
+    _, cur = lake.changes(SensorType.FLOAT)
+
+    lake.dedup_rewrite(SensorType.FLOAT, quiesce_wait_s=0.2)
+    lake.delete_where(SensorType.FLOAT, "sensor_id = 'b'",
+                      quiesce_wait_s=0.2)
+
+    delta, cur2 = lake.changes(SensorType.FLOAT, cur, cdc=True)
+    assert cur2["reset"] is False
+    got = {(r.sensor_id, r._change_type) for r in delta.collect()}
+    assert got == {("b", "delete")}
+    # Caught up: the next poll is empty, later appends flow normally.
+    none, cur3 = lake.changes(SensorType.FLOAT, cur2, cdc=True)
+    assert none.count() == 0 and cur3["reset"] is False
+    lake.append_values(SensorType.FLOAT, _vals(spark, [("d", T1, 4.0)]))
+    d2, _ = lake.changes(SensorType.FLOAT, cur3, cdc=True)
+    assert {(r.sensor_id, r._change_type) for r in d2.collect()} == {
+        ("d", "insert")
+    }
+
+
+def test_changes_chain_nets_interleaved_appends(spark, tmp_path):
+    """Appends landing BETWEEN the gap's rewrites compose into the
+    delta; a key appended mid-gap and deleted by a later link nets to
+    a no-op delete, never a phantom insert."""
+    lake = SensorLake(spark, str(tmp_path / "lake"))
+    lake.append_values(
+        SensorType.FLOAT, _vals(spark, [("a", T0, 1.0), ("a", T0, 1.0)])
+    )
+    _, cur = lake.changes(SensorType.FLOAT)
+
+    lake.dedup_rewrite(SensorType.FLOAT, quiesce_wait_s=0.2)
+    lake.append_values(
+        SensorType.FLOAT, _vals(spark, [("x", T0, 9.0), ("y", T1, 8.0)])
+    )
+    lake.delete_where(SensorType.FLOAT, "sensor_id = 'x'",
+                      quiesce_wait_s=0.2)
+    lake.append_values(SensorType.FLOAT, _vals(spark, [("z", T1, 7.0)]))
+
+    delta, cur2 = lake.changes(SensorType.FLOAT, cur, cdc=True)
+    assert cur2["reset"] is False
+    got = {(r.sensor_id, r._change_type) for r in delta.collect()}
+    assert got == {("x", "delete"), ("y", "insert"), ("z", "insert")}
+
+
+def test_changes_chain_delete_then_reinsert_emits_both(spark, tmp_path):
+    """A key present at the base, deleted by one link, re-appended by a
+    later one: BOTH events emit (the consumer contract applies deletes
+    before inserts, so replay lands on the correct final state)."""
+    lake = SensorLake(spark, str(tmp_path / "lake"))
+    lake.append_values(
+        SensorType.FLOAT, _vals(spark, [("a", T0, 1.0), ("a", T0, 1.0),
+                                        ("b", T0, 2.0)])
+    )
+    _, cur = lake.changes(SensorType.FLOAT)
+
+    lake.dedup_rewrite(SensorType.FLOAT, quiesce_wait_s=0.2)
+    lake.delete_where(SensorType.FLOAT, "sensor_id = 'b'",
+                      quiesce_wait_s=0.2)
+    lake.append_values(SensorType.FLOAT, _vals(spark, [("b", T0, 2.0)]))
+
+    delta, cur2 = lake.changes(SensorType.FLOAT, cur, cdc=True)
+    assert cur2["reset"] is False
+    got = {(r.sensor_id, r._change_type) for r in delta.collect()}
+    assert got == {("b", "delete"), ("b", "insert")}
+
+
+def test_changes_chain_without_cdc_resets_on_delete(spark, tmp_path):
+    """A gap containing a delete is inexpressible without the
+    _change_type column: cdc=False falls back to the honest reset."""
+    lake = SensorLake(spark, str(tmp_path / "lake"))
+    lake.append_values(
+        SensorType.FLOAT, _vals(spark, [("a", T0, 1.0), ("a", T0, 1.0),
+                                        ("b", T0, 2.0)])
+    )
+    _, cur = lake.changes(SensorType.FLOAT)
+    lake.dedup_rewrite(SensorType.FLOAT, quiesce_wait_s=0.2)
+    lake.delete_where(SensorType.FLOAT, "sensor_id = 'b'",
+                      quiesce_wait_s=0.2)
+    snap, cur2 = lake.changes(SensorType.FLOAT, cur)  # cdc=False
+    assert cur2["reset"] is True
+    assert snap.count() == 1  # the full current state
+
+
+def test_changes_chain_key_preserving_only_gap_is_empty(spark, tmp_path):
+    """dedup() then optimize(): two key-preserving links compose into
+    an EMPTY delta — and without cdc too (nothing inexpressible)."""
+    lake = SensorLake(spark, str(tmp_path / "lake"))
+    lake.append_values(
+        SensorType.FLOAT,
+        _vals(spark, [("a", T0, 1.0), ("a", T0, 1.0), ("b", T1, 2.0)]),
+    )
+    _, cur = lake.changes(SensorType.FLOAT)
+    lake.dedup_rewrite(SensorType.FLOAT, quiesce_wait_s=0.2)
+    lake.optimize(SensorType.FLOAT, quiesce_wait_s=0.2)
+    for cdc in (True, False):
+        delta, cur2 = lake.changes(SensorType.FLOAT, cur, cdc=cdc)
+        assert cur2["reset"] is False
+        assert delta.count() == 0
+
+
+def test_changes_chain_falls_back_when_link_pruned(spark, tmp_path):
+    """Once vacuum reclaims a superseded link dir, the chain is
+    unprovable: honest reset, never a guessed delta."""
+    lake = SensorLake(spark, str(tmp_path / "lake"))
+    lake.append_values(
+        SensorType.FLOAT, _vals(spark, [("a", T0, 1.0), ("a", T0, 1.0),
+                                        ("b", T0, 2.0)])
+    )
+    _, cur = lake.changes(SensorType.FLOAT)
+    lake.dedup_rewrite(SensorType.FLOAT, quiesce_wait_s=0.2)
+    lake.delete_where(SensorType.FLOAT, "sensor_id = 'b'",
+                      quiesce_wait_s=0.2)
+    lake.vacuum_orphans(min_age_s=0.0)  # writers quiesced: reclaim all
+    delta, cur2 = lake.changes(SensorType.FLOAT, cur, cdc=True)
+    assert cur2["reset"] is True
+    assert delta.count() == 1  # full snapshot ("a" only)

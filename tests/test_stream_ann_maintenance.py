@@ -195,11 +195,12 @@ def test_redelivery_before_commit_replays_wider_poll(spark, rig):
     assert len(ids) == 6 + 3 + 2
 
 
-def test_reset_triggers_content_idempotent_reindex(spark, rig):
-    """A laggard consumer crossing a multi-commit gap gets reset=True —
-    appending that snapshot would duplicate the index, so the tick
-    re-indexes instead, stamps the cursor through the same epoch, and
-    a redelivered reset batch still skips."""
+def test_multi_commit_gap_chains_deltas_not_reindex(spark, rig):
+    """Round-10 composition win: a consumer sleeping through
+    dedup() THEN delete_where() gets the lake's CHAINED per-version
+    delta (multi-step CDC) and applies it as a normal append+delete —
+    the 100 TB re-index is no longer the price of being two commits
+    behind."""
     lake, store, ckpt, sid = rig
     lake.append_values(
         ST, _vals(spark, _rows("a", 6) + [("a1", T0 + dt.timedelta(minutes=1), 1.0)])
@@ -207,9 +208,32 @@ def test_reset_triggers_content_idempotent_reindex(spark, rig):
     bootstrap_ann_index(lake, ST, store, "idx", vectorize, ckpt)
     holder: dict = {}
 
-    # Two maintenance commits while the consumer sleeps → gap > 1.
+    # Two maintenance commits while the consumer sleeps → gap of 2.
     lake.dedup_rewrite(ST, quiesce_wait_s=0.2)
     lake.delete_where(ST, "sensor_id = 'a5'", quiesce_wait_s=0.2)
+
+    assert _tick(lake, store, sid, holder, 0) == "appended"
+    assert _index_ids(store) == _expected_ids(spark, lake)
+    assert len(_index_ids(store)) == 5  # 6 distinct - a5
+
+
+def test_reset_triggers_content_idempotent_reindex(spark, rig):
+    """When the gap is genuinely unprovable (vacuum reclaimed the link
+    dirs), the feed resets — appending that snapshot would duplicate
+    the index, so the tick re-indexes instead, stamps the cursor
+    through the same epoch, and a redelivered reset batch still
+    skips."""
+    lake, store, ckpt, sid = rig
+    lake.append_values(
+        ST, _vals(spark, _rows("a", 6) + [("a1", T0 + dt.timedelta(minutes=1), 1.0)])
+    )
+    bootstrap_ann_index(lake, ST, store, "idx", vectorize, ckpt)
+    holder: dict = {}
+
+    # Two maintenance commits + vacuum → the chain's links are gone.
+    lake.dedup_rewrite(ST, quiesce_wait_s=0.2)
+    lake.delete_where(ST, "sensor_id = 'a5'", quiesce_wait_s=0.2)
+    lake.vacuum_orphans(min_age_s=0.0)
 
     assert _tick(lake, store, sid, holder, 0) == "reindexed"
     assert _index_ids(store) == _expected_ids(spark, lake)
@@ -223,6 +247,7 @@ def test_reset_triggers_content_idempotent_reindex(spark, rig):
     # on_reset="error" surfaces instead of rebuilding.
     lake.dedup_rewrite(ST, quiesce_wait_s=0.2)
     lake.delete_where(ST, "sensor_id = 'a4'", quiesce_wait_s=0.2)
+    lake.vacuum_orphans(min_age_s=0.0)
     with pytest.raises(RuntimeError, match="reset"):
         _tick(lake, store, sid, holder2, 1, on_reset="error")
 
