@@ -1,0 +1,211 @@
+"""Corpus-trained byte-pair encoding (Sennrich et al. 2016,
+arXiv:1508.07909) as distributed pair counting — round-10 (r9 verdict
+next-#4): the token arithmetic that ``token_stats``, the packing
+manifest, and the mix sampler consume can now speak a unit an actual
+pretraining loader uses, instead of the whitespace/regex approximation.
+
+Spark-first shape
+-----------------
+BPE training is inherently sequential in its MERGES (merge k+1 depends
+on the corpus state after merge k) but embarrassingly parallel inside
+each round. The classic formulation trains on the WORD-FREQUENCY
+table, not the raw corpus — one corpus scan builds ``(word, freq)``
+(bounded by distinct words, millions at 100 TB, not corpus-sized), and
+every subsequent round touches only that compact table:
+
+* **pair counting** (the expensive half) is a distributed aggregation:
+  adjacent symbol pairs exploded from each word, weighted by word
+  frequency, map-side combined — only the ONE winning pair row travels
+  to the driver per round;
+* **merge application** is a shuffle-free string projection (below);
+* encoding a corpus reuses the trained table: documents explode to
+  words and broadcast-join the word → token-count map, so the
+  per-document BPE length costs one scan + one broadcast join —
+  never a per-row Python tokenizer.
+
+The symbol-string trick (what makes this replayable in ANSI SQL)
+----------------------------------------------------------------
+A word's segmentation is a separator-framed string —
+``\\x1f h \\x1f e \\x1f r \\x1f`` — and applying merge ``(a, b)`` is a
+LITERAL string replace of ``\\x1f a \\x1f b \\x1f`` with
+``\\x1f ab \\x1f``. Because a replacement re-supplies the shared frame
+separator, consecutive pairs chain; one scan can still skip a pair
+whose left frame was consumed by the previous match, so the replace is
+applied :data:`PASSES` times per merge (a fixpoint for any run the
+corpus plausibly contains). This is deliberately DEFINED semantics,
+identical in Spark and DuckDB (both `replace` literally, left-to-right,
+non-overlapping): it coincides with Sennrich's lookaround-regex pass
+everywhere except odd self-overlapping runs of one symbol
+(``aaaaa`` with merge ``(a,a)`` segments ``[aa, a, aa]`` here vs
+``[aa, aa, a]`` there — same token COUNT, different split), which RE2
+(DuckDB) could not express at all. Token count per word is then just
+``#separators − 1``.
+
+Tie-breaks are deterministic across engines: highest pair frequency,
+then lexicographically smallest ``(a, b)``.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from sensapp_spark.pipeline.text import normalized_text
+
+__all__ = [
+    "SEP",
+    "PASSES",
+    "BpeModel",
+    "word_freq",
+    "train_bpe",
+    "bpe_token_counts",
+]
+
+SEP = "\x1f"  # ASCII unit separator: absent from any natural-text corpus
+PASSES = 3  # fixed replace passes per merge (fixpoint for runs ≤ ~8)
+
+
+@dataclass
+class BpeModel:
+    """A trained tokenizer: the ranked merge list (with the pair count
+    each merge won its round with) and the final word table
+    ``(word, freq, sym, n_tokens)`` — the broadcastable artifact
+    encoding reuses."""
+
+    merges: list[tuple[str, str, int]]
+    words: DataFrame
+
+
+def _sym(col) -> F.Column:
+    """The separator-framed character segmentation of a word:
+    ``her`` → ``\\x1fh\\x1fe\\x1fr\\x1f``."""
+    return F.concat(F.lit(SEP), F.regexp_replace(col, "(.)", "$1" + SEP))
+
+
+def _apply_merge(col, a: str, b: str) -> F.Column:
+    """One merge as PASSES literal replaces (module docstring)."""
+    pat = F.lit(f"{SEP}{a}{SEP}{b}{SEP}")
+    rep = F.lit(f"{SEP}{a}{b}{SEP}")
+    for _ in range(PASSES):
+        col = F.replace(col, pat, rep)
+    return col
+
+
+def _n_tokens(sym_col) -> F.Column:
+    """Symbols in a framed string: #separators − 1."""
+    return (
+        F.length(sym_col)
+        - F.length(F.replace(sym_col, F.lit(SEP), F.lit("")))
+        - F.lit(1)
+    ).cast("long")
+
+
+def word_freq(docs: DataFrame) -> DataFrame:
+    """One corpus scan → the compact ``(word, freq)`` training table
+    (the same normalize/split convention as every text operator)."""
+    return (
+        docs.select(
+            F.explode(
+                F.split(normalized_text(F.col("text")), r"\s+")
+            ).alias("word")
+        )
+        .filter(F.length("word") > 0)
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+    )
+
+
+def train_bpe(
+    docs: DataFrame,
+    num_merges: int = 16,
+    checkpoint_every: int = 8,
+    table_partitions: int | None = None,
+) -> BpeModel:
+    """Learn ``num_merges`` merges from the corpus. Driver traffic is
+    ONE row per round (the winning pair); each round's pair count is a
+    map-side-combined aggregation over the word table and each merge
+    application a codegen string projection. The word table is
+    localCheckpoint'ed every ``checkpoint_every`` rounds so the plan
+    does not accrete ``3 × num_merges`` nested replaces.
+
+    Training can stop early: a corpus whose best remaining pair occurs
+    once gains nothing from memorizing it (and a singleton tie would
+    make the ranking order data-layout-dependent); remaining rounds
+    are skipped.
+
+    ``table_partitions`` sizes the word table for the round jobs: the
+    table is VOCABULARY-sized (fixed by the language, not the corpus),
+    so a small partition count keeps each round's per-task scheduling
+    overhead from dominating — 1 is right for test-scale vocabularies,
+    dozens for a real web-corpus vocabulary; None keeps the session's
+    shuffle partitioning."""
+    w = word_freq(docs).withColumn("sym", _sym(F.col("word")))
+    if table_partitions is not None:
+        w = w.coalesce(table_partitions)
+    w = w.localCheckpoint(eager=True)
+    merges: list[tuple[str, str, int]] = []
+    for rnd in range(num_merges):
+        syms = F.split(F.col("sym"), SEP)
+        n = F.size(syms)
+        pairs = F.when(
+            n >= 4,
+            F.transform(
+                F.sequence(F.lit(2), n - 2),
+                lambda i: F.struct(
+                    F.element_at(syms, i).alias("a"),
+                    F.element_at(syms, i + 1).alias("b"),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+        best = (
+            w.select(F.explode(pairs).alias("p"), "freq")
+            .groupBy("p.a", "p.b")
+            .agg(F.sum("freq").alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("a"), F.asc("b"))
+            .first()
+        )
+        if best is None or int(best.cnt) < 2:
+            break
+        a, b = str(best.a), str(best.b)
+        merges.append((a, b, int(best.cnt)))
+        w = w.withColumn("sym", _apply_merge(F.col("sym"), a, b))
+        if (rnd + 1) % checkpoint_every == 0:
+            w = w.localCheckpoint(eager=True)
+    return BpeModel(
+        merges=merges,
+        words=w.withColumn("n_tokens", _n_tokens(F.col("sym"))),
+    )
+
+
+def bpe_token_counts(docs: DataFrame, model: BpeModel) -> DataFrame:
+    """Per-document BPE token count under a trained model:
+    explode to words, broadcast-join the trained word table, sum.
+    Out-of-vocabulary words (encoding a different corpus than the one
+    trained on) fall back to their character count — exactly what an
+    untrained BPE would emit for them, and the join stays a broadcast
+    instead of an encode-per-row Python path."""
+    per_word = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.split(normalized_text(F.col("text")), r"\s+")
+            ).alias("word"),
+        )
+        .filter(F.length("word") > 0)
+        .join(
+            F.broadcast(model.words.select("word", "n_tokens")),
+            "word",
+            "left",
+        )
+        .select(
+            "doc_id",
+            F.coalesce(
+                F.col("n_tokens"), F.length("word").cast("long")
+            ).alias("n_tokens"),
+        )
+    )
+    return per_word.groupBy("doc_id").agg(
+        F.sum("n_tokens").alias("bpe_len")
+    )

@@ -739,6 +739,96 @@ def _bucket_sql(salt: str, buckets: int = 100) -> str:
     )
 
 
+# ---------------------------------------------------------------------------
+# Corpus-trained BPE (pipeline/bpe.py) — the DuckDB replay of the FULL
+# training loop, unrolled one CTE pair per merge round exactly like the
+# kmeans oracle unrolls its Lloyd rounds. Each round: distributed pair
+# count over the word table (frequency-weighted adjacent symbol pairs),
+# deterministic argmax (count DESC, then lexicographic pair), then the
+# merge applied as PASSES literal separator-framed replaces — the same
+# DEFINED semantics bpe.py documents, so both engines compute one
+# function. Requires the `words` CTE in scope; ends with
+# `bpe_words(word, n_tokens)` plus per-round `bm{i}` merge rows.
+# ---------------------------------------------------------------------------
+
+BPE_MERGES = 10
+
+
+def _bpe_ctes(n: int = BPE_MERGES) -> str:
+    from sensapp_spark.pipeline.bpe import PASSES
+
+    s = "chr(31)"
+    parts = [f"""bw0 AS MATERIALIZED (
+        SELECT word, COUNT(*) AS freq,
+               {s} || regexp_replace(word, '(.)', '\\1' || {s}, 'g')
+                 AS sym
+        FROM (SELECT unnest(w) AS word FROM words)
+        WHERE length(word) > 0
+        GROUP BY word)"""]
+    for i in range(n):
+        pat = f"{s} || m.a || {s} || m.b || {s}"
+        rep = f"{s} || m.a || m.b || {s}"
+        applied = "sym"
+        for _ in range(PASSES):
+            applied = f"replace({applied}, {pat}, {rep})"
+        parts.append(f"""bp{i} AS MATERIALIZED (
+        SELECT s[j] AS a, s[j+1] AS b, SUM(freq) AS cnt
+        FROM (SELECT freq, string_split(sym, {s}) AS s FROM bw{i}),
+             UNNEST(generate_series(2, len(s) - 2)) AS t(j)
+        GROUP BY 1, 2),
+    bm{i} AS MATERIALIZED (
+        SELECT a, b, cnt FROM bp{i} WHERE cnt >= 2
+        ORDER BY cnt DESC, a, b LIMIT 1),
+    bw{i + 1} AS MATERIALIZED (
+        SELECT word, freq,
+               CASE WHEN m.a IS NULL THEN sym ELSE {applied} END AS sym
+        FROM bw{i} LEFT JOIN bm{i} m ON TRUE)""")
+    parts.append(f"""bpe_words AS MATERIALIZED (
+        SELECT word,
+               CAST(length(sym) - length(replace(sym, {s}, '')) - 1
+                    AS BIGINT) AS n_tokens
+        FROM bw{n})""")
+    return ",\n    ".join(parts)
+
+
+def _bpe_merge_rows_sql(n: int = BPE_MERGES) -> str:
+    return "\n    UNION ALL\n    ".join(
+        f"SELECT 'bpe_merge' AS scope, CAST({i} AS BIGINT) AS doc_id, "
+        f"a || ' ' || b AS term, CAST(cnt AS DOUBLE) AS score FROM bm{i}"
+        for i in range(n)
+    )
+
+
+# Per-doc BPE token totals; COALESCE(0) keeps empty documents (mirrors
+# bpe.bpe_token_counts joined back over the full docs frame).
+_BPE_DOC_SQL = """bpe_doc AS (
+        SELECT d.doc_id, COALESCE(b.n, CAST(0 AS BIGINT)) AS bpe_len
+        FROM documents d LEFT JOIN (
+            SELECT doc_id, CAST(SUM(n_tokens) AS BIGINT) AS n
+            FROM (SELECT doc_id, unnest(w) AS word FROM words)
+            JOIN bpe_words USING (word)
+            WHERE length(word) > 0
+            GROUP BY doc_id) b USING (doc_id))"""
+
+
+def _bpe_model(spark, docs):
+    """Train the registry's BPE arms (shared constants with the
+    oracle); returns (merge-rows frame, per-doc token-count frame)."""
+    from sensapp_spark.pipeline.bpe import bpe_token_counts, train_bpe
+
+    model = train_bpe(
+        docs, num_merges=BPE_MERGES, table_partitions=1
+    )
+    rows = [
+        (i, f"{a} {b}", float(c))
+        for i, (a, b, c) in enumerate(model.merges)
+    ]
+    merges = spark.createDataFrame(
+        rows, "doc_id long, term string, score double"
+    )
+    return merges, bpe_token_counts(docs, model)
+
+
 @register(
     "sample_split",
     f"""
@@ -780,6 +870,25 @@ def _bucket_sql(salt: str, buckets: int = 100) -> str:
                          AS hkey
                 FROM documents))),
     words AS (SELECT doc_id, {_WORDS_SQL} AS w FROM documents),
+    {_bpe_ctes()},
+    {_BPE_DOC_SQL},
+    bpacking AS (
+        SELECT doc_id, tok_len AS bpe_tok_len,
+               (cum - tok_len) // 2048 AS bpe_pack_seq,
+               (cum - tok_len) % 2048 AS bpe_pack_off,
+               ((cum - tok_len + GREATEST(tok_len, 1) - 1) // 2048)
+                 - ((cum - tok_len) // 2048) + 1 AS bpe_pack_n_seqs
+        FROM (
+            SELECT doc_id, bpe_len AS tok_len,
+                   CAST(SUM(bpe_len) OVER (
+                       ORDER BY hkey, doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS BIGINT) AS cum
+            FROM (
+                SELECT doc_id, bpe_len,
+                       md5('sensapp-pack:' || CAST(doc_id AS VARCHAR))
+                         AS hkey
+                FROM bpe_doc))),
     {_DECONTAM_CTES},
     {_QUAL_CTE},
     canon AS (
@@ -807,13 +916,16 @@ def _bucket_sql(salt: str, buckets: int = 100) -> str:
            st.doc_id IS NOT NULL AS sampled, st.bucket, st.lang,
            v.drop_reason IS NULL AS kept, v.drop_reason,
            mx.doc_id IS NOT NULL AS mix_kept,
-           pk.tok_len, pk.pack_seq, pk.pack_off, pk.pack_n_seqs
+           pk.tok_len, pk.pack_seq, pk.pack_off, pk.pack_n_seqs,
+           bp.bpe_tok_len, bp.bpe_pack_seq, bp.bpe_pack_off,
+           bp.bpe_pack_n_seqs
     FROM documents d
     JOIN splits sp USING (doc_id)
     LEFT JOIN strat st USING (doc_id)
     JOIN verdict v USING (doc_id)
     LEFT JOIN mix mx USING (doc_id)
     JOIN packing pk USING (doc_id)
+    JOIN bpacking bp USING (doc_id)
     """,
 )
 def sample_split(spark, sf_dir):
@@ -862,13 +974,36 @@ def sample_split(spark, sf_dir):
         # Window-derived frame → no reliable size estimate; pin the
         # equality join to shuffle_hash like the verdict join above.
         .join(pack_manifest(docs).hint("shuffle_hash"), "doc_id")
+        .join(_bpe_pack(spark, docs).hint("shuffle_hash"), "doc_id")
         .select(
             "doc_id", "split",
             F.coalesce("sampled", F.lit(False)).alias("sampled"),
             "bucket", "lang", "kept", "drop_reason",
             F.coalesce("mix_kept", F.lit(False)).alias("mix_kept"),
             "tok_len", "pack_seq", "pack_off", "pack_n_seqs",
+            "bpe_tok_len", "bpe_pack_seq", "bpe_pack_off",
+            "bpe_pack_n_seqs",
         )
+    )
+
+
+def _bpe_pack(spark, docs):
+    """The packing manifest in TRAINED-BPE token units (round 10): the
+    same two-phase distributed prefix sum, fed by the corpus-trained
+    tokenizer's per-doc lengths instead of the whitespace count —
+    manifest arithmetic in the unit a pretraining loader consumes."""
+    from sensapp_spark.pipeline.packing import pack_manifest
+
+    _, blen = _bpe_model(spark, docs)
+    docs_b = docs.join(blen, "doc_id", "left").withColumn(
+        "bpe_len", F.coalesce(F.col("bpe_len"), F.lit(0))
+    )
+    return pack_manifest(docs_b, token_count=F.col("bpe_len")).select(
+        "doc_id",
+        F.col("tok_len").alias("bpe_tok_len"),
+        F.col("pack_seq").alias("bpe_pack_seq"),
+        F.col("pack_off").alias("bpe_pack_off"),
+        F.col("pack_n_seqs").alias("bpe_pack_n_seqs"),
     )
 
 
@@ -876,6 +1011,8 @@ def sample_split(spark, sf_dir):
     "text_terms",
     f"""
     WITH words AS (SELECT doc_id, {_WORDS_SQL} AS w FROM documents),
+    {_bpe_ctes()},
+    {_BPE_DOC_SQL},
     tok AS (SELECT doc_id, unnest(w) AS token FROM words),
     counts AS (
         SELECT doc_id, token, COUNT(*) AS tf_n FROM tok
@@ -911,6 +1048,12 @@ def sample_split(spark, sf_dir):
     UNION ALL
     SELECT 'perplexity', doc_id, CAST(NULL AS VARCHAR), perplexity
     FROM ({_PPL_FROM_WORDS})
+    UNION ALL
+    {_bpe_merge_rows_sql()}
+    UNION ALL
+    SELECT 'bpe_len', doc_id, CAST(NULL AS VARCHAR),
+           CAST(bpe_len AS DOUBLE)
+    FROM bpe_doc
     """,
 )
 def text_terms(spark, sf_dir):
@@ -947,7 +1090,26 @@ def text_terms(spark, sf_dir):
         F.lit(None).cast("string").alias("term"),
         F.col("perplexity").alias("score"),
     )
-    return tfidf.unionByName(corpus).unionByName(srcq).unionByName(ppl)
+    # Round 10: the corpus-trained BPE tokenizer — ranked merge table
+    # (distributed pair counting, one driver row per round) and the
+    # per-document token count it induces, both replayed bit-for-bit
+    # by the oracle's unrolled training CTEs.
+    merges, blen = _bpe_model(spark, docs)
+    bmerge = merges.select(
+        F.lit("bpe_merge").alias("scope"), "doc_id", "term", "score"
+    )
+    blen_rows = blen.join(docs.select("doc_id"), "doc_id", "right").select(
+        F.lit("bpe_len").alias("scope"),
+        "doc_id",
+        F.lit(None).cast("string").alias("term"),
+        F.coalesce(F.col("bpe_len"), F.lit(0)).cast("double").alias(
+            "score"
+        ),
+    )
+    return (
+        tfidf.unionByName(corpus).unionByName(srcq).unionByName(ppl)
+        .unionByName(bmerge).unionByName(blen_rows)
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1714,7 +1876,8 @@ BENCH_MEMBERS: dict[str, dict] = {
     },
     "text_terms": {
         t: _scoped("text_terms", t)
-        for t in ("tfidf_top", "corpus_top", "source_quality", "perplexity")
+        for t in ("tfidf_top", "corpus_top", "source_quality",
+                  "perplexity", "bpe_merge", "bpe_len")
     },
     "multimodal_frames": {
         t: _scoped("multimodal_frames", t) for t in ("frame", "chunk")
@@ -1754,6 +1917,9 @@ BENCH_MEMBERS: dict[str, dict] = {
         "stratified_sample": _strat_member,
         "corpus_verdict": _verdict_member,
         "temperature_mix": _mix_member,
+        "bpe_pack": lambda spark, sf_dir: _bpe_pack(
+            spark, _docs(spark, sf_dir)
+        ),
     },
     "text_signals": {
         "signals": _signals_base_member,
