@@ -427,3 +427,97 @@ def gapfill(
         F.last(F.col(value_col), ignorenulls=True).over(w).alias(value_col),
         F.col(value_col).isNull().alias("gap_filled"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Sidecar-statistics-driven planning (round 10, r9 verdict next-#6)
+# ---------------------------------------------------------------------------
+
+VIRTUAL_BROADCAST_ROWS = 2_000_000
+"""Per-side row bound under which a virtual-sensor join side is worth
+broadcasting: ~2M (sensor_id, bucket, double) rows is tens of MB on the
+wire — cheap against a corpus-sized shuffle of the other side."""
+
+
+def lake_virtual_sensor(
+    lake,
+    stype,
+    left_id: str,
+    right_id: str,
+    bucket: str = "1 hour",
+    start=None,
+    end=None,
+    broadcast_rows: int = VIRTUAL_BROADCAST_ROWS,
+) -> tuple[DataFrame, dict]:
+    """Composite 'virtual sensor' over STORED series (the lake-side
+    sibling of the registry's ``virtual_sensor_join``): both series
+    are zone-map-pruned scans, resampled to ``bucket`` windows, and
+    joined on the bucket — with the JOIN STRATEGY chosen from the
+    lake's persisted sidecar sketches instead of a fixed constant
+    (round 10, r9 verdict next-#6).
+
+    The decision: ``lake.sketch_series_rows`` folds the per-file
+    count-min counters (planned IO ∝ files, zero data reads) into a
+    row-count estimate per series. Count-min NEVER undercounts, so
+    ``estimate ≤ broadcast_rows`` is a SOUND broadcast gate — the true
+    side is at most that many raw samples, and bucket aggregation only
+    shrinks it. The smaller qualifying side gets the broadcast hint;
+    if neither qualifies, the join stays a shuffle (at 100 TB that is
+    the right default — Spark's own 10 MB auto-broadcast never fires
+    on corpus-sized sides, and a wrong broadcast OOMs executors).
+
+    Estimates are hints, never authority: when the sidecar answers
+    ``None`` (no zone map, partial coverage, pre-sketch writer) the
+    gate falls back to a COUNTED bound — a ``limit(broadcast_rows+1)``
+    count over the already-pruned single-series scan, which reads at
+    most one series' files and stops early. Returns
+    ``(frame, decision)`` where ``decision`` records the strategy and
+    its evidence source (``sidecar`` / ``counted``) so plans are
+    auditable and the flip is testable."""
+    est = lake.sketch_series_rows(stype, [left_id, right_id])
+    source = "sidecar"
+    if est is None:
+        source = "counted"
+        est = {}
+        for sid in (left_id, right_id):
+            scan = lake.values(stype, start, end, sensor_ids=[sid])
+            est[sid] = scan.limit(broadcast_rows + 1).count()
+
+    def side(sid, alias):
+        scan = lake.values(stype, start, end, sensor_ids=[sid])
+        return scan.groupBy(
+            F.window("time", bucket).getField("start").alias("bucket")
+        ).agg(F.avg("value").alias(alias))
+
+    left = side(left_id, "left_avg")
+    right = side(right_id, "right_avg")
+
+    candidates = sorted(
+        (
+            (est[sid], sid)
+            for sid in (left_id, right_id)
+            if est[sid] <= broadcast_rows
+        ),
+    )
+    if candidates and candidates[0][1] == left_id:
+        strategy = "broadcast_left"
+        joined = F.broadcast(left).join(right, "bucket")
+    elif candidates:
+        strategy = "broadcast_right"
+        joined = left.join(F.broadcast(right), "bucket")
+    else:
+        strategy = "shuffle"
+        joined = left.join(right, "bucket")
+    out = joined.select(
+        "bucket",
+        "left_avg",
+        "right_avg",
+        F.try_divide(
+            F.col("left_avg"), F.nullif(F.col("right_avg"), F.lit(0.0))
+        ).alias("ratio"),
+    )
+    return out, {
+        "strategy": strategy,
+        "source": source,
+        "estimates": {left_id: est[left_id], right_id: est[right_id]},
+    }

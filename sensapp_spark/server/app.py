@@ -683,6 +683,14 @@ def create_app(
                 entry["series_rows_estimate"] = lake.sketch_series_rows(
                     stype, ids, at_seq=seq
                 )
+            if request.args.get("partitions") in ("1", "true"):
+                # Per-month partition stats (round 10): files/rows/time
+                # bounds per month from the sidecar + file log alone —
+                # zero data reads; null when the sidecar cannot answer
+                # completely (same rule as the sketch folds).
+                entry["partitions"] = lake.partition_stats(
+                    stype, at_seq=seq
+                )
             out[stype.name.lower()] = entry
         return jsonify(out)
 

