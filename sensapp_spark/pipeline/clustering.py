@@ -88,12 +88,16 @@ def kmeans_codebook(
     k: int = KMEANS_K,
     rounds: int = KMEANS_ROUNDS,
     dim: int = 64,
+    init: list[tuple[int, list[float]]] | None = None,
 ) -> list[tuple[int, list[float]]]:
     """The TRAINED centroids after ``rounds - 1`` Lloyd updates — the
     production IVF codebook (``similarity.ivf_topk(codebook=...)``
     accepts it directly). Driver traffic stays k x dim floats per
-    update; the scans are the same ones ``kmeans_assign`` runs."""
-    cents = init_centroids(embeddings, k)
+    update; the scans are the same ones ``kmeans_assign`` runs.
+    ``init`` overrides the dense-id seeding rule (``init_centroids``'
+    ``vec_id < k``) for corpora with hashed/sparse id spaces — the
+    ANN store's drift-triggered reindex passes order-based seeds."""
+    cents = init if init is not None else init_centroids(embeddings, k)
     for _ in range(rounds - 1):
         assigned = embeddings.withColumn(
             "cluster", assign_expr(F.col("embedding"), cents)

@@ -183,12 +183,10 @@ def _retrain_codebook(
     with the first ``nlist`` vectors BY ORDER (TakeOrderedAndProject —
     id-space-independent, unlike ``ivf_centroids``' ``vec_id < nlist``
     rule, which returns nothing for hashed/sparse id spaces like a
-    changes-feed's xxhash ids), then runs Lloyd rounds with
-    codebook-sized driver traffic per update."""
-    from sensapp_spark.pipeline.clustering import (
-        assign_expr,
-        update_centroids,
-    )
+    changes-feed's xxhash ids), then delegates the Lloyd rounds to
+    ``clustering.kmeans_codebook`` (ONE training loop in the repo —
+    round-10 review, finding 5)."""
+    from sensapp_spark.pipeline.clustering import kmeans_codebook
 
     rows = (
         vectors.select("vec_id", "embedding")
@@ -196,16 +194,13 @@ def _retrain_codebook(
     )
     if not rows:
         raise ValueError("cannot retrain a codebook from an empty corpus")
-    dim = len(rows[0].embedding)
-    cents = [
+    seeds = [
         (i, [float(x) for x in r.embedding]) for i, r in enumerate(rows)
     ]
-    for _ in range(rounds - 1):
-        assigned = vectors.withColumn(
-            "cluster", assign_expr(F.col("embedding"), cents)
-        )
-        cents = update_centroids(assigned, dim)
-    return cents
+    return kmeans_codebook(
+        vectors, k=nlist, rounds=rounds,
+        dim=len(rows[0].embedding), init=seeds,
+    )
 
 
 def _clone_tree(
@@ -1253,6 +1248,77 @@ class AnnIndexStore:
             )
             return self.append(name, empty, epoch=epoch, state=state)
         return self._resolve(name, kind=None)[1]
+
+    def truncate(
+        self,
+        name: str,
+        epoch=None,
+        state: dict | None = None,
+        max_retries: int = 5,
+    ) -> dict:
+        """Empty the layout while keeping its kind, hyperparameters,
+        and epoch history — the end state a fully-erased source table
+        demands from its index (round-10 review, finding 3: a reset
+        whose snapshot is EMPTY cannot ``reindex`` — codebook training
+        needs at least one vector — and must not wedge the maintenance
+        stream). Commits a version holding only the schema (an empty
+        parquet write, so probes still resolve columns) through the
+        same CAS protocol; ``epoch``/``state`` ride the record exactly
+        as in :meth:`append`."""
+        path = self._path(name)
+        for _ in range(max_retries):
+            _backfill_legacy_entry(path)
+            seq, data = read_committed(path)
+            meta_path = data and os.path.join(data, META_FILE)
+            if data is None or not os.path.exists(meta_path):
+                raise FileNotFoundError(
+                    f"no layout named {name!r} under {self.root}"
+                )
+            with open(meta_path) as f:
+                meta = json.load(f)
+            if epoch is not None and any(
+                a.get("epoch") == _epoch_key(epoch)
+                for a in meta.get("appends", [])
+            ):
+                return meta
+            record: dict = {"n": 0, "truncated": True}
+            if epoch is not None:
+                record["epoch"] = _epoch_key(epoch)
+            if state is not None:
+                record["state"] = state
+            new_meta = dict(meta)
+            new_meta["appends"] = _bound_appends(
+                list(meta.get("appends", [])) + [record]
+            )
+            if "n_vectors" in new_meta:
+                new_meta["n_vectors"] = 0
+            version = _next_version(path)
+            vdir = os.path.join(path, version)
+            try:
+                empty = self.spark.read.parquet(data).limit(0)
+                empty.write.parquet(vdir)
+                with open(os.path.join(vdir, META_FILE), "wb") as f:
+                    f.write(json.dumps(new_meta).encode())
+                    f.flush()
+                    os.fsync(f.fileno())
+                _claim_commit(path, seq + 1, version)
+            except CommitConflict:
+                shutil.rmtree(vdir, ignore_errors=True)
+                continue
+            except Exception as e:  # noqa: BLE001 — filtered below
+                shutil.rmtree(vdir, ignore_errors=True)
+                if isinstance(e, FileNotFoundError) or _is_stale_scan_error(
+                    e
+                ):
+                    continue
+                raise
+            _flip_current(path, version)
+            _prune_versions(path, seq + 1)
+            return new_meta
+        raise CommitConflict(
+            f"truncate of {name!r} lost {max_retries} consecutive "
+            "commit races"
+        )
 
     def drift(
         self, name: str, reindex_ratio: float = 1.5,

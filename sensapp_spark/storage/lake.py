@@ -586,19 +586,13 @@ class SensorLake:
             )
             return out(df), next_cursor
 
-        # -- one-commit boundary: the rewrite's recorded delta -----------
-        if cursor is not None and cursor.get("seq") == seq - 1:
-            delta = self._rewrite_delta(
-                path, data, seq, cursor, schema, cdc, gens, has_log
-            )
-            if delta is not None:
-                return delta
-
-        # -- multi-commit gap: chain per-version deltas (round 10) -------
+        # -- rewrite crossings: chained per-version recorded deltas ------
+        # One link for the single-commit boundary, several for a
+        # multi-commit gap (round 10) — one proof path for both.
         if (
             cursor is not None
             and isinstance(cursor.get("seq"), int)
-            and cursor["seq"] < seq - 1
+            and cursor["seq"] < seq
         ):
             delta = self._chained_delta(
                 path, data, seq, cursor, schema, cdc, gens, has_log
@@ -611,100 +605,6 @@ class SensorLake:
         return out(
             self.spark.read.schema(schema).parquet(data)
         ), next_cursor
-
-    def _rewrite_delta(
-        self, path, data, seq, cursor, schema, cdc, gens, has_log
-    ):
-        """The row-grain delta across ONE maintenance rewrite, or None
-        when it cannot be proven (missing meta, laggard cursor, torn
-        entries, or an inexpressible delete without ``cdc``) — the
-        caller then falls back to reset. Requires: the version's
-        ``_changes_meta.json`` names the cursor's seq as its base, the
-        superseded version dir is still retained with a file log, and
-        the cursor's generation equals that log's last (the consumer
-        saw every pre-rewrite append — otherwise unseen old-version
-        rows were folded into this version's base content and cannot
-        be attributed)."""
-        raw = get_store().read(os.path.join(data, CHANGES_META))
-        if raw is None or not has_log or "gen" not in cursor:
-            return None
-        try:
-            meta = json.loads(raw)
-        except ValueError:
-            return None
-        if meta.get("base_seq") != cursor["seq"]:
-            return None
-        preserved = bool(meta.get("preserved"))
-        has_removed = bool(meta.get("has_removed"))
-        if not (preserved or has_removed):
-            return None  # delta unknown for this rewrite shape
-        if has_removed and not cdc:
-            return None  # deletes are inexpressible without _change_type
-        try:
-            old_dir = os.path.join(
-                path, _entry_version(path, cursor["seq"])
-            )
-        except OSError:
-            return None
-        old_log = _filelog_union(old_dir)
-        if old_log is None or old_log[0] != cursor["gen"]:
-            return None
-        # A retained intent marker in the superseded dir means rows an
-        # appender acknowledged may be in NO generation — the rewrite
-        # folded them (it reads the walk) into this version's base
-        # content, where entry 0 is skipped as "already-seen keys", so
-        # the delta cannot be proven. Honest reset instead (round-9
-        # second review).
-        if not _filelog_complete(old_dir):
-            return None
-        parts = []
-        if has_removed:
-            removed = (
-                self.spark.read.schema(schema)
-                .parquet(os.path.join(data, CHANGES_DIR, "removed"))
-                .withColumn("_change_type", F.lit("delete"))
-            )
-            parts.append(removed)
-        insert_rels: set[str] = set()
-        for g in gens:
-            if g == 0:
-                continue  # the rewrite's own output: already-seen keys
-            entry = _filelog_entry_files(data, g)
-            if entry is None:
-                return None
-            insert_rels.update(entry)
-        if insert_rels:
-            ins = (
-                self.spark.read.schema(schema)
-                .option("basePath", data)
-                .parquet(
-                    *[os.path.join(data, r) for r in sorted(insert_rels)]
-                )
-            )
-            if cdc:
-                ins = ins.withColumn("_change_type", F.lit("insert"))
-            parts.append(ins)
-        next_cursor = {"seq": seq, "gen": gens[-1], "reset": False}
-        if not parts:
-            # COPY before extending: StructType.add mutates in place.
-            from pyspark.sql import types as T
-
-            out_schema = (
-                T.StructType(list(schema.fields)).add(
-                    "_change_type", "string"
-                )
-                if cdc
-                else schema
-            )
-            return (
-                self.spark.createDataFrame([], out_schema), next_cursor
-            )
-        df = parts[0]
-        for p in parts[1:]:
-            df = df.unionByName(p)
-        if cdc and "_change_type" not in df.columns:
-            df = df.withColumn("_change_type", F.lit("insert"))
-        return df, next_cursor
 
     def _retained_dir(self, path: str, s: int) -> str | None:
         """Version dir of commit ``s`` if both the log entry and the
@@ -719,11 +619,12 @@ class SensorLake:
     def _chained_delta(
         self, path, data, seq, cursor, schema, cdc, gens, has_log
     ):
-        """Row-grain delta across a MULTI-commit gap (round 10, r9
-        verdict next-#5): chain each intermediate rewrite's recorded
-        delta when every link is provable, so a laggard consumer
-        crossing e.g. ``dedup_rewrite()`` then ``delete_where()`` gets
-        deltas instead of a 100 TB full-snapshot reset. Links hold as
+        """Row-grain delta across rewrite crossings — ONE proof path
+        for the single-commit boundary and the multi-commit gap (round
+        10, r9 verdict next-#5): chain each rewrite's recorded delta
+        when every link is provable, so a laggard consumer crossing
+        e.g. ``dedup_rewrite()`` then ``delete_where()`` gets deltas
+        instead of a 100 TB full-snapshot reset. Links hold as
         long as superseded dirs survive — rewrites leave manifested
         dirs behind for late-append folds, so the window is the vacuum
         schedule, not just ``retain_generations``.
@@ -781,7 +682,14 @@ class SensorLake:
                 return None  # consumer missed pre-rewrite appends
             if not _filelog_complete(old_dir):
                 return None  # acknowledged rows outside the log
-            gens_s = _filelog_entries(data_s)
+            # The FINAL link uses the caller's generation snapshot for
+            # both delivery and the cursor stamp. Re-listing here would
+            # race a concurrent appender: a generation committed after
+            # the snapshot would be DELIVERED but not ACKNOWLEDGED
+            # (cursor stamped from the stale snapshot), and the next
+            # poll would re-deliver it — duplicate rows downstream
+            # (round-10 review, finding 1).
+            gens_s = gens if s == seq else _filelog_entries(data_s)
             if not gens_s or gens_s[0] != 0:
                 return None
             if has_removed:
@@ -1454,11 +1362,15 @@ class SensorLake:
         sparse per-file count-min counters persisted in the zone-map
         sidecar (counter addition is lossless, so the fold equals the
         scan-built ``operators/sketches.cms_build`` table exactly) and
-        probes each id. Serves the gateway's ``/api/v1/admin/stats``
-        and ingest monitoring without touching a data file; the
-        per-type dispatch does NOT need it (the dimension's ``type``
-        column prunes type tables exactly), so it deliberately stays
-        out of the query planner.
+        probes each id. Serves the gateway's ``/api/v1/admin/stats``,
+        ingest monitoring, AND — since round 10 — the planner's
+        broadcast-vs-shuffle gate in
+        ``operators/timeseries.lake_virtual_sensor``: that gate is
+        sound ONLY because count-min never undercounts (estimate ≤
+        budget ⇒ true rows ≤ budget), so any change weakening the
+        ≥-true-count guarantee breaks join planning, not just
+        monitoring. The per-type dispatch still does not need it (the
+        dimension's ``type`` column prunes type tables exactly).
 
         Hint-not-authority: ``None`` when any file lacks a counter
         entry (pre-round-9 writer, lost sidecar update) — a partial

@@ -355,7 +355,17 @@ class S3LogStore(LogStore):
             except Exception as e:  # noqa: BLE001 — classified below
                 code, status = _s3_error_code(e)
                 if code == "PreconditionFailed" or status == 412:
-                    return False  # a durable object already exists
+                    # Retried-PUT ambiguity (round-10 review, finding
+                    # 2): if OUR earlier conditional PUT succeeded but
+                    # its 200 was lost, the SDK's automatic re-send
+                    # gets 412 from our own object. Read back and
+                    # compare — content equality means this claim WON
+                    # (commit-log entries embed a writer-unique
+                    # version name, so equal bytes identify the
+                    # writer; callers with non-unique contents must
+                    # embed a nonce). The POSIX store's st_nlink==2
+                    # check guards the identical NFS ambiguity.
+                    return self.read(path) == content
                 if code == "ConflictingOperation" or status == 409:
                     # A concurrent conditional PUT is in flight on this
                     # key: re-probe — if it lands, this claim lost.

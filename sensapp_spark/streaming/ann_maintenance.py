@@ -180,6 +180,16 @@ def maintenance_tick(
             delta.filter(F.col("_change_type") == "insert")
             .drop("_change_type")
         )
+        if vectors.isEmpty():
+            # A reset whose snapshot is EMPTY (table fully erased):
+            # reindex would wedge the stream forever — codebook
+            # training refuses an empty corpus and Spark would
+            # redeliver the failing batch on every restart. The
+            # correct end state is an empty index with its
+            # hyperparameters (and epoch history) intact.
+            store.truncate(name, epoch=epoch, state={"cursor": nxt})
+            holder["cursor"] = nxt
+            return "truncated"
         store.reindex(name, vectors, epoch=epoch, state={"cursor": nxt})
         holder["cursor"] = nxt
         return "reindexed"
@@ -196,16 +206,42 @@ def maintenance_tick(
         delta.filter(F.col("_change_type") == "delete")
         .drop("_change_type")
     ).dropDuplicates(["vec_id"])
-    if inserts.isEmpty() and deletes.isEmpty():
-        # Nothing to commit: advance the driver-side cursor only. A
-        # crash loses that advance, and the redelivered batch replays
-        # the same empty poll — idempotent by emptiness.
-        holder["cursor"] = nxt
-        return "empty"
-    store.append(
-        name, inserts, deletes=deletes, epoch=epoch,
-        state={"cursor": nxt},
-    )
+    # Persist the tick once per computation: both frames re-execute
+    # the feed-poll lineage otherwise (the emptiness checks here plus
+    # append's own isEmpty / partition collect / anti-join would
+    # re-read the delta parquet and re-run vectorize 4-6×) — round-10
+    # review, finding 8.
+    inserts = inserts.persist()
+    deletes = deletes.persist()
+    try:
+        has_ins = bool(inserts.take(1))
+        has_del = bool(deletes.take(1))
+        if not has_ins and not has_del:
+            if nxt.get("seq") != holder["cursor"].get("seq"):
+                # The gap was rewrite crossings with empty deltas —
+                # the DURABLE resume stamp must still advance, or a
+                # restart after vacuum prunes the old link dirs would
+                # force a needless full reindex (round-10 review,
+                # finding 4). An empty epoch-bearing append is a
+                # metadata-only commit.
+                empty = store.spark.createDataFrame(
+                    [], "vec_id bigint, embedding array<float>"
+                )
+                store.append(
+                    name, empty, epoch=epoch, state={"cursor": nxt}
+                )
+            # Same-version empty polls stay commit-free: a crash loses
+            # only the driver-side advance, and the redelivered batch
+            # replays the same empty poll — idempotent by emptiness.
+            holder["cursor"] = nxt
+            return "empty"
+        store.append(
+            name, inserts, deletes=deletes if has_del else None,
+            epoch=epoch, state={"cursor": nxt},
+        )
+    finally:
+        inserts.unpersist()
+        deletes.unpersist()
     holder["cursor"] = nxt
     return "appended"
 

@@ -620,3 +620,44 @@ def test_changes_chain_falls_back_when_link_pruned(spark, tmp_path):
     delta, cur2 = lake.changes(SensorType.FLOAT, cur, cdc=True)
     assert cur2["reset"] is True
     assert delta.count() == 1  # full snapshot ("a" only)
+
+
+def test_chain_final_link_uses_callers_generation_snapshot(spark, tmp_path):
+    """Round-10 review finding 1: the final link must deliver and
+    acknowledge the SAME generation set. A generation committed after
+    the caller's snapshot (concurrent appender racing the poll) is
+    neither delivered nor acknowledged — the NEXT poll gets it exactly
+    once."""
+    from sensapp_spark.datamodel.types import SensorType as STy
+    from sensapp_spark.storage.lake import (
+        _filelog_entries,
+        read_committed,
+        value_schema,
+    )
+    from sensapp_spark.storage.lake import MONTH_COL
+
+    lake = SensorLake(spark, str(tmp_path / "lake"))
+    lake.append_values(
+        STy.FLOAT, _vals(spark, [("a", T0, 1.0), ("a", T0, 1.0)])
+    )
+    _, cur = lake.changes(STy.FLOAT)
+    lake.dedup_rewrite(STy.FLOAT, quiesce_wait_s=0.2)
+    lake.append_values(STy.FLOAT, _vals(spark, [("b", T1, 2.0)]))
+
+    # Reproduce the race deterministically: snapshot the gens as the
+    # poll would, THEN land another append, then run the chain with the
+    # stale snapshot.
+    path = lake._values_path(STy.FLOAT)
+    seq, data = read_committed(path)
+    gens = _filelog_entries(data)
+    lake.append_values(STy.FLOAT, _vals(spark, [("c", T1, 3.0)]))
+
+    schema = value_schema(STy.FLOAT).add(MONTH_COL, "string")
+    delta, cur2 = lake._chained_delta(
+        path, data, seq, cur, schema, True, gens, True
+    )
+    got = {r.sensor_id for r in delta.collect()}
+    assert got == {"b"}  # "c" not delivered under the stale snapshot...
+    delta2, cur3 = lake.changes(STy.FLOAT, cur2, cdc=True)
+    assert {r.sensor_id for r in delta2.collect()} == {"c"}  # ...once here
+    assert cur3["reset"] is False

@@ -574,3 +574,29 @@ def test_env_selection_parses_s3_url(monkeypatch):
             assert (store.bucket, store.prefix) == ("bkt", "pre")
     finally:
         ls.set_store(prev)
+
+
+def test_s3_lost_response_retry_is_not_a_lost_claim(tmp_path):
+    """Round-10 review finding 2: our conditional PUT succeeds but the
+    200 is lost; the SDK re-sends and gets 412 from OUR OWN object.
+    The read-back comparison recognizes the claim as WON — a False
+    here would make the winner re-commit its batch at the next seq
+    (duplicate rows). A genuinely foreign object still loses."""
+    s = _s3_stub_store()
+    p = str(tmp_path / "log" / "00000001")
+
+    real_put = s.client.put_object
+
+    def put_lost_response(Bucket, Key, Body, IfNoneMatch=None):
+        real_put(Bucket=Bucket, Key=Key, Body=Body,
+                 IfNoneMatch=IfNoneMatch)
+        # The write landed server-side; the response did not make it
+        # back, and the SDK's internal retry then observed 412.
+        raise _ClientError("PreconditionFailed", 412)
+
+    s.client.put_object = put_lost_response
+    assert s.put_if_absent(p, b"v_00000001_deadbeef") is True
+    s.client.put_object = real_put
+    # A different writer's claim (different content) still loses.
+    assert s.put_if_absent(p, b"v_00000001_cafebabe") is False
+    assert s.read(p) == b"v_00000001_deadbeef"

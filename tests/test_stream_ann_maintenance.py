@@ -297,3 +297,60 @@ def test_tick_without_bootstrap_raises(spark, rig):
     )
     with pytest.raises(RuntimeError, match="bootstrap"):
         _tick(lake, store, sid, {}, 0)
+
+
+def test_fully_erased_table_truncates_index_instead_of_wedging(spark, rig):
+    """Round-10 review finding 3: a reset whose snapshot is EMPTY
+    (everything erased) cannot retrain a codebook — the tick must
+    truncate the layout (kind + hyperparams + epoch history intact),
+    not crash-loop the stream."""
+    lake, store, ckpt, sid = rig
+    lake.append_values(ST, _vals(spark, _rows("a", 6)))
+    bootstrap_ann_index(lake, ST, store, "idx", vectorize, ckpt)
+
+    lake.delete_where(ST, "value >= 0.0", quiesce_wait_s=0.2)
+    lake.dedup_rewrite(ST, quiesce_wait_s=0.2)
+    lake.vacuum_orphans(min_age_s=0.0)  # unprovable gap → reset
+
+    holder: dict = {}
+    assert _tick(lake, store, sid, holder, 0) == "truncated"
+    frame, _ = store.read_ivf("idx")
+    assert frame.count() == 0
+    assert frame.columns  # schema survives: probes still resolve
+    _, meta = store._resolve("idx", None)
+    assert meta["n_vectors"] == 0 and meta["kind"] == "ivf"
+    # Exactly-once like every other commit.
+    assert _tick(lake, store, sid, {}, 0) == "skipped"
+    # The stream recovers when data returns.
+    lake.append_values(ST, _vals(spark, _rows("b", 3, base=10.0)))
+    assert _tick(lake, store, sid, holder, 1) == "appended"
+    assert _index_ids(store) == _expected_ids(spark, lake)
+
+
+def test_empty_gap_crossing_stamps_durable_cursor(spark, rig):
+    """Round-10 review finding 4: rewrite crossings with EMPTY deltas
+    must still advance the layout's durable resume stamp — otherwise a
+    restart after vacuum reclaims the link dirs forces a needless full
+    reindex."""
+    lake, store, ckpt, sid = rig
+    lake.append_values(
+        ST, _vals(spark, _rows("a", 5) + [("a1", T0 + dt.timedelta(minutes=1), 1.0)])
+    )
+    bootstrap_ann_index(lake, ST, store, "idx", vectorize, ckpt)
+    seq0 = store.latest_state("idx", sid)["cursor"]["seq"]
+
+    lake.dedup_rewrite(ST, quiesce_wait_s=0.2)  # key-preserving: empty delta
+    holder: dict = {}
+    assert _tick(lake, store, sid, holder, 0) == "empty"
+    stamped = store.latest_state("idx", sid)["cursor"]
+    assert stamped["seq"] > seq0  # the stamp advanced durably
+
+    # Restart AFTER vacuum pruned the superseded dir: recovery resumes
+    # from the advanced stamp — a plain empty poll, never a reindex.
+    lake.vacuum_orphans(min_age_s=0.0)
+    assert _tick(lake, store, sid, {}, 1) == "empty"
+
+    # Same-version empty polls stay commit-free (no version churn).
+    n_appends = len(store._resolve("idx", None)[1]["appends"])
+    assert _tick(lake, store, sid, holder, 2) == "empty"
+    assert len(store._resolve("idx", None)[1]["appends"]) == n_appends
