@@ -512,9 +512,9 @@ def lake_virtual_sensor(
         "bucket",
         "left_avg",
         "right_avg",
-        F.try_divide(
-            F.col("left_avg"), F.nullif(F.col("right_avg"), F.lit(0.0))
-        ).alias("ratio"),
+        F.try_divide(F.col("left_avg"), F.col("right_avg")).alias(
+            "ratio"
+        ),
     )
     return out, {
         "strategy": strategy,

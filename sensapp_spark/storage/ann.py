@@ -898,6 +898,23 @@ class AnnIndexStore:
         exactly-once end-to-end: recover it with
         :meth:`applied_epoch`."""
         path = self._path(name)
+        if epoch is not None:
+            # Redelivery fast path BEFORE any Spark job: the deletes
+            # emptiness probe below executes the frame's whole lineage
+            # (a feed poll + vectorize in the maintenance loop), which
+            # a redelivered epoch must not pay — it is metadata-only
+            # by contract (round-10 second review, finding 5). The
+            # in-loop check still guards the CAS race.
+            data0 = resolve_table(path)
+            meta_path0 = data0 and os.path.join(data0, META_FILE)
+            if data0 is not None and os.path.exists(meta_path0):
+                with open(meta_path0) as f:
+                    meta0 = json.load(f)
+                if any(
+                    a.get("epoch") == _epoch_key(epoch)
+                    for a in meta0.get("appends", [])
+                ):
+                    return meta0
         if deletes is not None and deletes.isEmpty():
             deletes = None
         del_src = deletes

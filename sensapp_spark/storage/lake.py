@@ -493,9 +493,15 @@ class SensorLake:
           KEY-PRESERVING rewrite (dedup, optimize) with an EMPTY delta,
           and a ``delete_where`` with the erased rows — as rows tagged
           ``_change_type="delete"`` when ``cdc=True``, else via the
-          old full-snapshot ``reset``. Laggard cursors, reconciliation
-          fold commits, and multi-commit gaps still reset honestly:
-          the feed never guesses attribution it cannot prove.
+          old full-snapshot ``reset``. Since round 10, MULTI-commit
+          gaps chain the per-version recorded deltas too (every link
+          provable → NET-EFFECT rows, deletes to apply before inserts
+          — see :meth:`_chained_delta`), so a laggard crossing
+          ``dedup()`` then ``delete_where()`` gets deltas, not a
+          snapshot. Unprovable links (pruned dirs, torn/incomplete
+          logs, reconciliation fold commits, deletes without ``cdc``)
+          still reset honestly: the feed never guesses attribution it
+          cannot prove.
         * ``cdc=True`` adds a ``_change_type`` column ("insert" /
           "delete") to every returned frame — Delta CDF's shape.
         * A cursor is a plain JSON-able dict — persist it wherever the
@@ -585,6 +591,22 @@ class SensorLake:
                 .parquet(*new)
             )
             return out(df), next_cursor
+
+        # -- pre-data cursor: the base was EMPTY ---------------------------
+        # A cursor taken from a never-written table (gen=-1, no files)
+        # crossing ANY number of commits: everything currently visible
+        # is new relative to an empty base, so the full current state
+        # IS the exact delta — no reset, no per-link proofs needed.
+        # (What a pipeline bootstrapped ahead of first ingest holds.)
+        if (
+            cursor is not None
+            and cursor.get("gen") == -1
+            and not cursor.get("files")
+            and cursor.get("seq", seq) < seq
+        ):
+            return out(
+                self.spark.read.schema(schema).parquet(data)
+            ), fresh_cursor(False)
 
         # -- rewrite crossings: chained per-version recorded deltas ------
         # One link for the single-commit boundary, several for a

@@ -366,7 +366,10 @@ class S3LogStore(LogStore):
                     # embed a nonce). The POSIX store's st_nlink==2
                     # check guards the identical NFS ambiguity.
                     return self.read(path) == content
-                if code == "ConflictingOperation" or status == 409:
+                if code in (
+                    "ConditionalRequestConflict",  # AWS's actual code
+                    "ConflictingOperation",  # compat: some S3 clones
+                ) or status == 409:
                     # A concurrent conditional PUT is in flight on this
                     # key: re-probe — if it lands, this claim lost.
                     if self.exists(path):

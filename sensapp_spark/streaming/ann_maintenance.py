@@ -99,10 +99,28 @@ def bootstrap_ann_index(
 
     ``builder`` defaults to an IVF layout (``store.write_ivf``); pass
     a lambda for other kinds or tuned hyperparameters. Returns the
-    stamped meta."""
+    stamped meta.
+
+    An EMPTY table cannot bootstrap the default IVF layout — codebook
+    training needs at least one vector to learn a dimensionality —
+    so that case raises with guidance rather than a bare training
+    error: either bootstrap after first ingest, or pass a builder
+    whose layout is data-independent (``write_lsh`` with an explicit
+    ``dim`` accepts an empty corpus) to deploy the pipeline ahead of
+    the data."""
     snapshot, cursor = lake.changes(stype, None)
-    vectors = vectorize(snapshot)
+    # Content-keyed grain, like every incremental batch: exact-copy
+    # rows collapse to one vector (round-10 second review, finding 2 —
+    # bootstrap and incremental paths must index identical content).
+    vectors = vectorize(snapshot).dropDuplicates(["vec_id"])
     if builder is None:
+        if vectors.isEmpty():
+            raise ValueError(
+                f"cannot bootstrap IVF layout {name!r} from an empty "
+                "table — bootstrap after first ingest, or pass a "
+                "builder with a data-independent layout (e.g. "
+                "store.write_lsh(…, dim=<embedding width>))"
+            )
         # Default IVF build with a TRAINED codebook: feed vec_ids are
         # content hashes, so ivf_centroids' dense `vec_id < nlist`
         # seeding rule would find nothing.
@@ -176,21 +194,31 @@ def maintenance_tick(
                 f"changes feed for {stype} reset under maintenance "
                 f"stream {stream_id!r} (on_reset='error')"
             )
+        # Persisted: the snapshot lineage (full table read + vectorize)
+        # otherwise re-executes for the emptiness check, the codebook
+        # seed collect, each Lloyd round, and the layout write — the
+        # most expensive path must not pay it 5-6× (round-10 second
+        # review, finding 3). Content-keyed dedup as everywhere.
         vectors = vectorize(
             delta.filter(F.col("_change_type") == "insert")
             .drop("_change_type")
-        )
-        if vectors.isEmpty():
-            # A reset whose snapshot is EMPTY (table fully erased):
-            # reindex would wedge the stream forever — codebook
-            # training refuses an empty corpus and Spark would
-            # redeliver the failing batch on every restart. The
-            # correct end state is an empty index with its
-            # hyperparameters (and epoch history) intact.
-            store.truncate(name, epoch=epoch, state={"cursor": nxt})
-            holder["cursor"] = nxt
-            return "truncated"
-        store.reindex(name, vectors, epoch=epoch, state={"cursor": nxt})
+        ).dropDuplicates(["vec_id"]).persist()
+        try:
+            if not vectors.take(1):
+                # A reset whose snapshot is EMPTY (table fully
+                # erased): reindex would wedge the stream forever —
+                # codebook training refuses an empty corpus and Spark
+                # would redeliver the failing batch on every restart.
+                # The correct end state is an empty index with its
+                # hyperparameters (and epoch history) intact.
+                store.truncate(name, epoch=epoch, state={"cursor": nxt})
+                holder["cursor"] = nxt
+                return "truncated"
+            store.reindex(
+                name, vectors, epoch=epoch, state={"cursor": nxt}
+            )
+        finally:
+            vectors.unpersist()
         holder["cursor"] = nxt
         return "reindexed"
     # The feed's grain is row CONTENT (exact copies are not distinct

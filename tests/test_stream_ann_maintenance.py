@@ -354,3 +354,40 @@ def test_empty_gap_crossing_stamps_durable_cursor(spark, rig):
     n_appends = len(store._resolve("idx", None)[1]["appends"])
     assert _tick(lake, store, sid, holder, 2) == "empty"
     assert len(store._resolve("idx", None)[1]["appends"]) == n_appends
+
+
+def test_bootstrap_empty_table_guides_or_builds_data_independent(spark, rig):
+    """Round-10 second review, finding 1: pre-ingest deployment. The
+    default IVF bootstrap refuses an empty table with guidance (no
+    dimensionality to learn); an explicit data-independent builder
+    (LSH with a fixed dim) deploys the pipeline ahead of the data and
+    the stream picks up the first rows normally."""
+    lake, store, ckpt, sid = rig
+    with pytest.raises(ValueError, match="empty table"):
+        bootstrap_ann_index(lake, ST, store, "idx", vectorize, ckpt)
+
+    bootstrap_ann_index(
+        lake, ST, store, "idx", vectorize, ckpt,
+        builder=lambda vecs: store.write_lsh(
+            vecs.withColumnRenamed("vec_id", "vec_id"), name="idx",
+            n_planes=4, dim=4,
+        ),
+    )
+    lake.append_values(ST, _vals(spark, _rows("a", 5)))
+    holder: dict = {}
+    assert _tick(lake, store, sid, holder, 0) == "appended"
+    frame, _, _ = store.read_lsh("idx")
+    assert frame.select("vec_id").distinct().count() == 5
+
+
+def test_bootstrap_collapses_exact_copies(spark, rig):
+    """Round-10 second review, finding 2: exact-copy rows (same content
+    key) index ONCE through bootstrap, exactly as they would through an
+    incremental batch."""
+    lake, store, ckpt, sid = rig
+    dup = ("a1", T0 + dt.timedelta(minutes=1), 1.0)
+    lake.append_values(ST, _vals(spark, _rows("a", 4) + [dup]))
+    meta = bootstrap_ann_index(lake, ST, store, "idx", vectorize, ckpt)
+    assert meta["n_vectors"] == 4  # a0..a3 distinct; a1 copy collapsed
+    frame, _ = store.read_ivf("idx")
+    assert frame.count() == frame.select("vec_id").distinct().count() == 4
