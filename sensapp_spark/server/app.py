@@ -14,6 +14,8 @@ Routes:
 * ``POST /api/v1/admin/vacuum`` — dedup+compact every value table
 * ``GET /api/v1/admin/stats`` — table statistics from the folded
   sidecar sketches (planned IO ∝ files, zero data reads)
+* ``POST /api/v1/admin/retention?before=`` — partition-grain expiry of
+  months older than the cutoff (metadata-only commit, zero data reads)
 * ``GET /`` — frontpage: instance name as JSON (server.rs:151-155)
 * ``GET /docs`` — OpenAPI 3 document generated from the live route
   table (server.rs:40-52,84 — reference's ApiDoc derive + Scalar UI)
@@ -262,6 +264,7 @@ def create_app(
             "/api/v1/prometheus_remote_read": "Prometheus",
             "/api/v1/admin/vacuum": "Admin",
             "/api/v1/admin/stats": "Admin",
+            "/api/v1/admin/retention": "Admin",
             "/health": "Health", "/health/live": "Health",
             "/health/ready": "Health",
         }
@@ -649,6 +652,36 @@ def create_app(
             lake.dedup_rewrite(stype)
             lake.optimize(stype)
         return jsonify({"status": "vacuumed"})
+
+    # Beyond-reference: partition-grain retention — expire every month
+    # partition strictly older than `before` as a METADATA-ONLY commit
+    # (storage/lake.py expire_before: hardlinked kept files, filtered
+    # zone-map carry, tombstone; zero data reads). The ops call an
+    # operator runs on a schedule — typically after checking
+    # /api/v1/admin/stats?partitions=1 for what a cutoff would drop.
+    @app.post("/api/v1/admin/retention")
+    def retention():
+        raw = request.args.get("before")
+        if not raw:
+            return jsonify({"error": "missing before parameter "
+                            "(ISO timestamp or epoch seconds)"}), 400
+        try:
+            try:
+                cutoff = dt.datetime.fromtimestamp(
+                    float(raw), dt.timezone.utc
+                ).replace(tzinfo=None)
+            except ValueError:
+                cutoff = dt.datetime.fromisoformat(
+                    raw.replace("Z", "+00:00")
+                ).astimezone(dt.timezone.utc).replace(tzinfo=None)
+        except ValueError as e:
+            return jsonify({"error": str(e)}), 400
+        report = lake.expire_before(cutoff)
+        return jsonify({
+            "status": "expired",
+            "cutoff_month": cutoff.strftime("%Y-%m"),
+            "tables": {k.lower(): v for k, v in report.items()},
+        })
 
     # Beyond-reference: table statistics from the FOLDED sidecar
     # sketches — planned IO proportional to files, zero data reads

@@ -498,7 +498,11 @@ class SensorLake:
           provable → NET-EFFECT rows, deletes to apply before inserts
           — see :meth:`_chained_delta`), so a laggard crossing
           ``dedup()`` then ``delete_where()`` gets deltas, not a
-          snapshot. Unprovable links (pruned dirs, torn/incomplete
+          snapshot. A RETENTION commit (:meth:`expire_before`) records
+          its dropped month dirs instead of materialized rows — the
+          deletes are read lazily from the superseded dir, so the
+          zero-IO expire stays zero-IO and the consumer pays for its
+          own delta. Unprovable links (pruned dirs, torn/incomplete
           logs, reconciliation fold commits, deletes without ``cdc``)
           still reset honestly: the feed never guesses attribution it
           cannot prove.
@@ -690,9 +694,12 @@ class SensorLake:
                 return None
             preserved = bool(meta.get("preserved"))
             has_removed = bool(meta.get("has_removed"))
-            if not (preserved or has_removed):
+            removed_dirs = meta.get("removed_dirs") or []
+            if not isinstance(removed_dirs, list):
+                return None
+            if not (preserved or has_removed or removed_dirs):
                 return None  # delta unknown for this rewrite shape
-            if has_removed and not cdc:
+            if (has_removed or removed_dirs) and not cdc:
                 return None  # deletes inexpressible without cdc
             old_dir = self._retained_dir(path, s - 1)
             if old_dir is None:
@@ -720,6 +727,27 @@ class SensorLake:
                     self.spark.read.schema(schema).parquet(
                         os.path.join(data_s, CHANGES_DIR, "removed")
                     ),
+                    "delete",
+                ))
+            if removed_dirs:
+                # Retention (expire_before): the commit recorded the
+                # DROPPED MONTH DIRS instead of materializing the rows
+                # — the whole point was zero data reads. The rows still
+                # sit in the superseded dir (retained until vacuum;
+                # `old_dir` existence is already proven above), so the
+                # CONSUMER reads them here, lazily — the expirer never
+                # paid for it. A pruned month dir → unprovable link →
+                # honest reset, same rule as every other missing proof.
+                drop_paths = [
+                    os.path.join(old_dir, str(r)) for r in removed_dirs
+                ]
+                if not all(os.path.isdir(p) for p in drop_paths):
+                    return None
+                parts.append((
+                    s,
+                    self.spark.read.schema(schema)
+                    .option("basePath", old_dir)
+                    .parquet(*drop_paths),
                     "delete",
                 ))
             insert_rels: set[str] = set()
@@ -963,6 +991,186 @@ class SensorLake:
                 f"erase_sensor lost 8 consecutive commit races on {path}"
             )
         return {"values_erased": erased, "dimension_removed": removed}
+
+    def expire_before(
+        self,
+        cutoff: dt.datetime,
+        stype: SensorType | None = None,
+        max_retries: int = 5,
+    ) -> dict[str, dict]:
+        """Partition-grain RETENTION: drop every month partition
+        strictly older than ``cutoff``'s month as a METADATA-ONLY
+        commit — the analogue of ClickHouse ``TTL`` / Timescale
+        ``drop_chunks`` / Delta partition delete. At 100 TB this is
+        the only viable way to expire data: :meth:`delete_where`
+        rewrites the table (IO ∝ surviving rows); this writes NOTHING
+        — the new version hardlinks the kept files (O(files) metadata,
+        zero bytes; an object-store deployment maps the link to a
+        server-side copy or, in Delta/Iceberg terms, to a
+        remove-files-only commit), carries the zone-map sidecar
+        FILTERED to the kept entries (no footer re-reads; sketch folds
+        stay exact because folds are per-file), and re-inits the file
+        log. Nothing reads a data file: provable by truncating every
+        parquet to 0 bytes and expiring anyway (the test does).
+
+        Grain, stated honestly: whole months only. Rows inside
+        ``cutoff``'s own month but older than the instant SURVIVE —
+        partition-grain retention trades the boundary month for the
+        zero-IO drop (same trade as drop_chunks). Exact-boundary
+        callers can follow with ``delete_where(st, "time < …")`` on
+        the one boundary month.
+
+        Late appends cannot resurrect expired months: the commit
+        registers a ``month < cutoff_month`` TOMBSTONE (seq-stamped,
+        exactly like :meth:`delete_where`), so a concurrent append
+        that resolved the superseded version and is folded later
+        (:meth:`_fold_manifest_extras`) has the expired months
+        filtered on the way in. Rows appended AFTER the expire with
+        old timestamps are new data and are kept until the next
+        expire — the same contract delete_where gives.
+
+        CHANGES FEED: the commit's ``_changes_meta.json`` records the
+        dropped month dirs (``removed_dirs``) instead of materializing
+        the removed rows — materializing them would be the very data
+        read this op exists to avoid. A ``changes(cdc=True)`` consumer
+        crossing the expire gets row-grain deletes read LAZILY from
+        the superseded dir (retained until vacuum — consumer pays,
+        expirer never does); after vacuum the link is unprovable and
+        laggards reset honestly. Content-grain safety: a row's month
+        derives from its own ``time`` (append_values), so a dropped
+        month can never hold a content-duplicate of a surviving row —
+        a chained delete cannot cancel a kept copy.
+
+        Snapshot scope: superseded versions stay readable via
+        ``at_seq`` until pruning/vacuum — a compliance-grade expiry is
+        complete only after :meth:`vacuum_orphans`, same tail as
+        delete_where documents.
+
+        Returns {type name: {"months": [...], "files": n, "seq": s}}
+        for each table that dropped something."""
+        cutoff = _utc_naive(cutoff)
+        cutoff_month = cutoff.strftime("%Y-%m")
+        out: dict[str, dict] = {}
+        for st in [stype] if stype is not None else list(SensorType):
+            res = self._expire_table(
+                self._values_path(st), cutoff_month, max_retries
+            )
+            if res is not None:
+                out[st.name] = res
+        return out
+
+    def _expire_table(
+        self, path: str, cutoff_month: str, max_retries: int,
+        _test_after_pin=None,
+    ) -> dict | None:
+        """One table's expire: pin → hardlink kept files into a fresh
+        version dir → carry filtered sidecars → conditional commit →
+        tombstone + manifest. Same locking/CAS/cleanup discipline as
+        :func:`atomic_overwrite` (claimed dirs are never deleted;
+        unclaimed ones are reclaimed on any exit)."""
+        if resolve_table(path) is None:
+            return None
+        with self._dir_lock(path):
+            self._fold_manifest_extras(path, max_retries=max_retries)
+            for _ in range(max_retries):
+                seq, data = read_committed(path)
+                if data is None:
+                    return None
+                seen = _list_data_files(data)
+                kept_rels: list[str] = []
+                dropped_rels: list[str] = []
+                for f in seen:
+                    rel = os.path.relpath(f, data)
+                    m = zm._month_of(rel)
+                    if m is not None and m < cutoff_month:
+                        dropped_rels.append(rel)
+                    else:
+                        kept_rels.append(rel)
+                if not dropped_rels:
+                    return None
+                if _test_after_pin is not None:
+                    _test_after_pin()
+                months = sorted(
+                    {os.path.dirname(r) for r in dropped_rels}
+                )
+                version = _next_version(path)
+                vdir = os.path.join(path, version)
+                claimed = False
+                try:
+                    os.makedirs(vdir, exist_ok=True)
+                    for rel in kept_rels:
+                        dst = os.path.join(vdir, rel)
+                        os.makedirs(os.path.dirname(dst), exist_ok=True)
+                        try:
+                            os.link(os.path.join(data, rel), dst)
+                        except OSError:  # cross-device: degrade to copy
+                            shutil.copy2(os.path.join(data, rel), dst)
+                    doc = zm._read_doc(data)
+                    if (
+                        doc is not None
+                        and doc.get("sketch_geom") == zm._SKETCH_GEOM
+                    ):
+                        # Relative layout is identical (links preserve
+                        # paths), so the old entries transfer verbatim.
+                        # A stale-geometry doc is NOT carried: write_
+                        # zonemap would re-stamp sketch-less entries as
+                        # current and refresh would never rebuild them
+                        # (the documented re-stamp trap) — commit
+                        # map-less and let the next refresh rebuild.
+                        zm.write_zonemap(
+                            vdir,
+                            {
+                                r: st_
+                                for r, st_ in doc["files"].items()
+                                if r in set(kept_rels)
+                            },
+                        )
+                    _filelog_init(
+                        vdir, [os.path.join(vdir, r) for r in kept_rels]
+                    )
+                    meta = json.dumps({
+                        "base_seq": seq,
+                        "preserved": False,
+                        "has_removed": False,
+                        "removed_dirs": months,
+                    }).encode()
+                    with open(
+                        os.path.join(vdir, CHANGES_META), "wb"
+                    ) as fh:
+                        fh.write(meta)
+                        fh.flush()
+                        os.fsync(fh.fileno())
+                    _claim_commit(path, seq + 1, version)
+                    claimed = True
+                except CommitConflict:
+                    shutil.rmtree(vdir, ignore_errors=True)
+                    continue
+                except BaseException:
+                    if not claimed:
+                        shutil.rmtree(vdir, ignore_errors=True)
+                    raise
+                _flip_current(path, version)
+                _prune_versions(
+                    path, seq + 1, self.retain_generations
+                )
+                # Tombstone BEFORE the manifest (the delete_where
+                # ordering): no fold can run against the superseded
+                # dir without seeing the predicate.
+                _write_tombstone(
+                    path, f"{MONTH_COL} < '{cutoff_month}'", seq + 1
+                )
+                _write_manifest(data, set(seen))
+                return {
+                    "months": [
+                        m.split("=", 1)[1] for m in months
+                    ],
+                    "files": len(dropped_rels),
+                    "seq": seq + 1,
+                }
+            raise CommitConflict(
+                f"expire_before lost {max_retries} consecutive commit "
+                f"races on {path}"
+            )
 
     def vacuum_orphans(self, min_age_s: float = 3600.0) -> dict[str, list[str]]:
         """Reclaim crashed writers' never-committed version dirs across

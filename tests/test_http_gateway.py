@@ -911,3 +911,43 @@ def test_admin_stats_partitions_zero_data_reads(spark, tmp_path):
     data = resolve_table(lake._values_path(SensorType.FLOAT))
     os.unlink(os.path.join(data, "_zonemap.json"))
     assert lake.partition_stats(SensorType.FLOAT) is None
+
+
+def test_admin_retention_expires_old_months(spark, tmp_path):
+    """POST /api/v1/admin/retention?before=… (round 10): partition-
+    grain expiry through the gateway — the ops call pairs with
+    ?partitions=1 (check what a cutoff would drop, then drop it).
+    Whole months older than the cutoff's month vanish; the boundary
+    month survives; missing/invalid cutoff is a 400."""
+    from sensapp_spark.storage.lake import SensorLake
+
+    lake = SensorLake(spark, str(tmp_path / "retention_lake"))
+    app = create_app(spark, lake)
+    app.testing = True
+    with app.test_client() as c:
+        c.post(
+            "/publish",
+            data="datetime,ret_a\n"
+                 "2023-11-05T10:00:00Z,1.0\n"
+                 "2024-01-02T11:00:00Z,2.0\n"
+                 "2024-02-02T09:30:00Z,3.0\n",
+            content_type="text/csv",
+        )
+        assert c.post("/api/v1/admin/retention").status_code == 400
+        assert c.post(
+            "/api/v1/admin/retention?before=not-a-time"
+        ).status_code == 400
+        r = c.post("/api/v1/admin/retention?before=2024-01-15T00:00:00Z")
+        assert r.status_code == 200
+        body = r.get_json()
+        assert body["status"] == "expired"
+        assert body["cutoff_month"] == "2024-01"
+        assert body["tables"]["float"]["months"] == ["2023-11"]
+        parts = c.get(
+            "/api/v1/admin/stats?partitions=1"
+        ).get_json()["float"]["partitions"]
+        assert set(parts) == {"2024-01", "2024-02"}
+        # Epoch-seconds cutoff accepted too; nothing older → no-op.
+        r2 = c.post("/api/v1/admin/retention?before=1700000000")
+        assert r2.status_code == 200
+        assert r2.get_json()["tables"] == {}
