@@ -1885,6 +1885,10 @@ BENCH_MEMBERS: dict[str, dict] = {
     "downsample_m4": {
         t: _scoped_main("downsample_m4", t) for t in ("m4", "lttb")
     },
+    "downsample_rate_1h": {
+        t: _scoped_main("downsample_rate_1h", t, col="kind")
+        for t in ("downsample", "rate", "continuous")
+    },
     "promql_ext_binary_ratio": {
         t: _scoped_main("promql_ext_binary_ratio", t)
         for t in ("ratio", "group_left", "group_right", "scalar_div")

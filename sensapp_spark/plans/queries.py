@@ -408,14 +408,26 @@ def catalog_label_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM vals
     GROUP BY sensor_id, date_trunc('hour', time)
     HAVING epoch_us(max(time)) > epoch_us(min(time))
+    UNION ALL
+    SELECT 'continuous', sensor_id, date_trunc('hour', time),
+           COUNT(*), ROUND(SUM(value) / COUNT(*), 6),
+           MIN(value), MAX(value), CAST(NULL AS DOUBLE)
+    FROM vals
+    WHERE event_id % 10 = 0 AND (value IS NULL OR isfinite(value))
+    GROUP BY sensor_id, date_trunc('hour', time)
     """,
 )
 def downsample_rate_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Beyond-reference downsampling family as one tagged union: hourly
-    min/avg/max/count per metric, and PromQL-style rate() per sensor per
-    hour ((last-first)/seconds via max_by/min_by JVM aggregates). Both
-    are single-shuffle partial aggregations — shuffle bytes ∝ buckets,
-    not samples, at any scale."""
+    min/avg/max/count per metric, PromQL-style rate() per sensor per
+    hour ((last-first)/seconds via max_by/min_by JVM aggregates), and
+    ``continuous`` — the same hourly quartet served from an
+    INCREMENTALLY MAINTAINED RollupStore (storage/rollup.py), built
+    in-entry in two refresh ticks so the hash gate proves
+    maintained == direct aggregation. The ad-hoc arms are
+    single-shuffle partial aggregations — shuffle bytes ∝ buckets,
+    not samples, at any scale; the continuous arm is what a dashboard
+    reads INSTEAD of them at 100 TB."""
     sensors = td.events_sensors(spark, sf_dir)
     vals = td.events_values(spark, sf_dir)
     joined = vals.join(F.broadcast(sensors.select("sensor_id", "name")), "sensor_id")
@@ -458,7 +470,43 @@ def downsample_rate_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rate",
         )
     )
-    return down.unionByName(rate)
+    # ``continuous`` (round 10): the MAINTAINED rollup — a real lake is
+    # written in two halves with a RollupStore.refresh() after each, so
+    # the value-hash gate covers the incremental maintenance path
+    # (recompute-affected-buckets), not just a fresh aggregation. The
+    # oracle re-aggregates the same thinned rows directly: maintained
+    # == direct is the continuous aggregate's whole contract
+    # (storage/rollup.py; non-finite drop replayed like kmv_sidecar).
+    from sensapp_spark.datamodel.types import SensorType
+    from sensapp_spark.storage.lake import SensorLake
+    from sensapp_spark.storage.rollup import RollupStore
+
+    lake = SensorLake(spark, _entry_lake_dir("rollup_cagg", sf_dir))
+    thin = vals.filter(F.col("event_id") % 10 == 0)
+    store = RollupStore(lake, grain_s=3600)
+    lake.append_values(
+        SensorType.FLOAT,
+        thin.filter(F.col("event_id") % 20 == 0)
+        .drop("event_id").coalesce(4),
+    )
+    store.refresh(SensorType.FLOAT)
+    lake.append_values(
+        SensorType.FLOAT,
+        thin.filter(F.col("event_id") % 20 != 0)
+        .drop("event_id").coalesce(4),
+    )
+    store.refresh(SensorType.FLOAT)
+    cont = store.read(SensorType.FLOAT).select(
+        F.lit("continuous").alias("kind"),
+        F.col("sensor_id").alias("series"),
+        "bucket",
+        F.col("cnt").alias("n"),
+        F.round(F.col("vsum") / F.col("cnt"), 6).alias("avg_value"),
+        F.col("vmin").alias("min_value"),
+        F.col("vmax").alias("max_value"),
+        F.lit(None).cast("double").alias("rate"),
+    )
+    return down.unionByName(rate).unionByName(cont)
 
 
 # ---------------------------------------------------------------------------

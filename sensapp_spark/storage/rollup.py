@@ -1,0 +1,423 @@
+"""Continuous aggregates: an incrementally-maintained rollup table over
+a typed value table — the Timescale continuous-aggregate / ClickHouse
+AggregatingMergeTree analogue, composed from the lake's own primitives.
+
+The reference has no materialized aggregates at all (every dashboard
+query re-aggregates raw rows — src/storage/*/queries re-scan per call);
+at 100 TB that re-scan is the difference between a dashboard and a
+batch job. This module keeps a small bucketed table
+``(sensor_id, bucket, cnt, vsum, vmin, vmax)`` continuously correct
+with work per refresh proportional to WHAT CHANGED, never to the table:
+
+    refresh = poll changes() → recompute exactly the affected buckets
+              from the base table → commit [unaffected months hardlink].
+
+ONE rule — "affected buckets are recomputed from the base" — covers
+every crossing the feed can hand us, because recomputation is
+idempotent and delete-safe:
+
+* appends touch their buckets; the recompute re-reads those buckets'
+  raw rows (zone-map/month-pruned) and replaces the rollup rows;
+* ``delete_where`` / ``erase_sensor`` arrive as CDC delete rows whose
+  buckets recompute to their new (possibly empty) state;
+* ``expire_before`` arrives as lazy whole-month deletes — the months
+  recompute against a base that no longer has them and drop out;
+* a feed RESET (laggard cursor, vacuumed link) falls back to a full
+  rebuild — priced honestly, never guessed around.
+
+Exactly-once: the changes-feed cursor commits ATOMICALLY with the
+rollup version (``_rollup_meta.json`` inside the version dir — the same
+cursor-rides-the-commit idea as ``streaming/ann_maintenance.py``). A
+crash before the commit re-polls from the old cursor and recomputes the
+same buckets to the same values; a crash after it resumes from the new
+one. There is no window in which a bucket can double-count.
+
+Scale posture: per refresh, feed metadata is O(new appends); the
+recompute scan is bounded by the delta's time span and pruned to the
+affected months/files; the rollup rewrite touches only the affected
+month partitions (every other month dir is a hardlink clone — inode-
+pinned in tests); driver traffic is two collects, bucket-span- and
+month-count-sized. ``read_realtime`` serves rollup ∪ recomputed-tail —
+exact even against rows the maintainer has not seen yet.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+import os
+import shutil
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from sensapp_spark.datamodel.types import SensorType
+from sensapp_spark.storage.lake import (
+    MONTH_COL,
+    CommitConflict,
+    SensorLake,
+    _claim_commit,
+    _flip_current,
+    _next_version,
+    _prune_versions,
+    _utc_naive,
+    dir_lock,
+    read_committed,
+    resolve_table,
+)
+from sensapp_spark.storage.logstore import get_store
+
+ROLLUP_META = "_rollup_meta.json"
+
+__all__ = ["RollupStore", "ROLLUP_META"]
+
+
+class RollupStore:
+    """Continuous per-sensor bucket aggregates for one lake.
+
+    ``grain_s`` is the bucket width in seconds (3600 = hourly).
+    Numeric value tables only (FLOAT/INTEGER) — min/sum over strings
+    or blobs is not a rollup. The rollup row is the standard mergeable
+    quartet ``cnt/vsum/vmin/vmax`` (avg = vsum/cnt derives; anything
+    non-mergeable like exact quantiles must come from raw)."""
+
+    SCHEMA = (
+        "sensor_id string, bucket timestamp, cnt long, "
+        "vsum double, vmin double, vmax double"
+    )
+    _NUMERIC = (SensorType.FLOAT, SensorType.INTEGER, SensorType.NUMERIC)
+
+    def __init__(
+        self,
+        lake: SensorLake,
+        grain_s: int = 3600,
+        retain_generations: int = 2,
+    ) -> None:
+        if grain_s <= 0:
+            raise ValueError("grain_s must be positive")
+        self.lake = lake
+        self.spark = lake.spark
+        self.grain_s = int(grain_s)
+        self.retain_generations = retain_generations
+
+    def _path(self, stype: SensorType) -> str:
+        if stype not in self._NUMERIC:
+            raise ValueError(
+                f"rollup is defined for numeric value tables only, "
+                f"not {stype.name}"
+            )
+        return os.path.join(
+            self.lake.root,
+            "_rollups",
+            f"{stype.name.lower()}_{self.grain_s}s",
+        )
+
+    def _bucket(self, col: Column) -> Column:
+        """Floor ``col`` to the grain — µs-exact (unix_timestamp would
+        truncate sub-second samples into the wrong bucket edge)."""
+        g_us = self.grain_s * 1_000_000
+        return F.timestamp_seconds(
+            F.floor(F.unix_micros(col) / F.lit(g_us)).cast("long")
+            * self.grain_s
+        )
+
+    def _aggregate(self, rows: DataFrame) -> DataFrame:
+        """The one aggregation shape — full rebuilds and bucket
+        recomputes both use it, so they cannot drift."""
+        return (
+            rows.groupBy(
+                "sensor_id", self._bucket(F.col("time")).alias("bucket")
+            )
+            .agg(
+                F.count("*").alias("cnt"),
+                F.sum(F.col("value").cast("double")).alias("vsum"),
+                F.min(F.col("value").cast("double")).alias("vmin"),
+                F.max(F.col("value").cast("double")).alias("vmax"),
+            )
+            .withColumn(MONTH_COL, F.date_format("bucket", "yyyy-MM"))
+        )
+
+    # -- committed state ---------------------------------------------------
+
+    def committed_cursor(self, stype: SensorType) -> dict | None:
+        """The changes-feed cursor of the last committed refresh, or
+        None before the first one. Reading it and reading the rollup
+        rows resolve the same version dir — one pointer, no skew."""
+        data = resolve_table(self._path(stype))
+        if data is None:
+            return None
+        raw = get_store().read(os.path.join(data, ROLLUP_META))
+        if raw is None:
+            return None
+        try:
+            meta = json.loads(raw)
+        except ValueError:
+            return None
+        cur = meta.get("cursor")
+        return cur if isinstance(cur, dict) else None
+
+    def read(
+        self,
+        stype: SensorType,
+        start: dt.datetime | None = None,
+        end: dt.datetime | None = None,
+    ) -> DataFrame:
+        """The committed rollup (complete up to ``committed_cursor``).
+        Month partition pruning applies through the hive layout."""
+        start = _utc_naive(start)
+        end = _utc_naive(end)
+        schema_df = self.spark.createDataFrame([], self.SCHEMA)
+        data = resolve_table(self._path(stype))
+        if data is None:
+            return schema_df
+        df = self.spark.read.schema(
+            schema_df.schema.add(MONTH_COL, "string")
+        ).parquet(data)
+        if start is not None:
+            df = df.filter(F.col(MONTH_COL) >= start.strftime("%Y-%m"))
+            df = df.filter(F.col("bucket") >= F.lit(start))
+        if end is not None:
+            df = df.filter(F.col(MONTH_COL) <= end.strftime("%Y-%m"))
+            df = df.filter(F.col("bucket") <= F.lit(end))
+        return df.drop(MONTH_COL)
+
+    # -- maintenance ---------------------------------------------------------
+
+    def refresh(self, stype: SensorType, max_retries: int = 5) -> dict:
+        """One maintenance tick: poll the feed, recompute the affected
+        buckets, commit rollup + cursor atomically. Returns a report
+        {"mode": "noop"|"incremental"|"rebuild", "affected_months": n,
+        "seq": committed seq or None}."""
+        path = self._path(stype)
+        os.makedirs(path, exist_ok=True)
+        with dir_lock(path):
+            for _ in range(max_retries):
+                seq, data = read_committed(path)
+                cursor = self.committed_cursor(stype)
+                delta, next_cur = self.lake.changes(
+                    stype, cursor, cdc=True
+                )
+                rebuild = cursor is None or next_cur.get("reset")
+                if rebuild:
+                    # The reset frame IS the current snapshot — one scan.
+                    new_rows = self._aggregate(
+                        delta.filter(F.col("_change_type") == "insert")
+                        .drop("_change_type")
+                    )
+                    affected_months = None  # everything
+                else:
+                    bounds = delta.agg(
+                        F.min("time").alias("lo"), F.max("time").alias("hi")
+                    ).collect()[0]
+                    if bounds["lo"] is None:
+                        if next_cur == cursor:
+                            return {
+                                "mode": "noop",
+                                "affected_months": 0,
+                                "seq": seq or None,
+                            }
+                        # Cursor moved with an empty delta (e.g. a
+                        # preserved rewrite crossing): commit the new
+                        # cursor over unchanged rows so the next poll
+                        # does not re-prove the crossing.
+                        new_rows = None
+                        affected_months = []
+                    else:
+                        new_rows, affected_months = self._recompute(
+                            stype, delta, bounds
+                        )
+                try:
+                    committed = self._commit(
+                        path, seq, data, new_rows, affected_months,
+                        next_cur,
+                    )
+                except CommitConflict:
+                    continue
+                return {
+                    "mode": "rebuild" if rebuild else (
+                        "incremental" if affected_months else "noop"
+                    ),
+                    "affected_months": (
+                        -1 if affected_months is None
+                        else len(affected_months)
+                    ),
+                    "seq": committed,
+                }
+            raise CommitConflict(
+                f"rollup refresh lost {max_retries} consecutive commit "
+                f"races on {path}"
+            )
+
+    def _keys(self, delta: DataFrame) -> DataFrame:
+        """The delta's distinct affected (sensor_id, bucket) pairs."""
+        return delta.select(
+            "sensor_id", self._bucket(F.col("time")).alias("bucket")
+        ).distinct()
+
+    def _recompute_buckets(self, stype, keys, bounds) -> DataFrame:
+        """Re-aggregate exactly the affected buckets from the BASE
+        table: time-bounded scan (month/zone-map pruned), key
+        semi-join, then the one aggregation shape. Authoritative for
+        those buckets — whatever changed, the base is the truth."""
+        # Bucket-floor the scan bounds with epoch arithmetic — naive
+        # ``.timestamp()`` would apply the host timezone and shift the
+        # window off the UTC bucket edges.
+        epoch = dt.datetime(1970, 1, 1)
+        lo_s = int((bounds["lo"] - epoch).total_seconds())
+        lo = epoch + dt.timedelta(
+            seconds=(lo_s // self.grain_s) * self.grain_s
+        )
+        hi = bounds["hi"] + dt.timedelta(seconds=self.grain_s)
+        base = self.lake.values(stype, start=lo, end=hi)
+        # Semi-join the RAW rows before aggregating: the time window
+        # may hold many untouched sensors' rows — aggregate only what
+        # the keys keep (partial aggs then shuffle bucket-counts only).
+        hit = base.withColumn(
+            "bucket", self._bucket(F.col("time"))
+        ).join(keys, ["sensor_id", "bucket"], "semi").drop("bucket")
+        return self._aggregate(hit)
+
+    def _recompute(self, stype, delta, bounds):
+        """The refresh splice: recomputed buckets REPLACE their rows
+        inside the affected months' full content (the commit rewrites
+        whole month partitions). Returns (rows for the affected
+        months, [month partition names])."""
+        keys = self._keys(delta)
+        recomputed = self._recompute_buckets(stype, keys, bounds)
+        # Affected months come from the DELTA (so a bucket whose rows
+        # all vanished still rewrites its month), collected — month
+        # cardinality, tiny.
+        months = sorted({
+            r[0]
+            for r in delta.select(
+                F.date_format(
+                    self._bucket(F.col("time")), "yyyy-MM"
+                )
+            ).distinct().collect()
+        })
+        month_dirs = [f"{MONTH_COL}={m}" for m in months]
+        old = self.read(stype).withColumn(
+            MONTH_COL, F.date_format("bucket", "yyyy-MM")
+        )
+        kept_old = old.filter(
+            F.col(MONTH_COL).isin(months)
+        ).join(keys, ["sensor_id", "bucket"], "anti")
+        return kept_old.unionByName(recomputed), month_dirs
+
+    def _commit(
+        self, path, seq, data, new_rows, affected_months, next_cur
+    ) -> int:
+        """Commit a refresh: write the affected months' rows into a
+        fresh version dir, hardlink every unaffected month dir from the
+        committed version, land the cursor meta INSIDE the dir, claim
+        ``seq+1`` conditionally (the CAS discipline every lake writer
+        follows). ``affected_months=None`` = full rebuild (nothing is
+        cloned); ``new_rows=None`` = cursor-only commit (everything is
+        cloned)."""
+        version = _next_version(path)
+        vdir = os.path.join(path, version)
+        claimed = False
+        try:
+            if new_rows is not None:
+                new_rows.select(
+                    "sensor_id", "bucket", "cnt", "vsum", "vmin",
+                    "vmax", MONTH_COL,
+                ).write.partitionBy(MONTH_COL).mode(
+                    "overwrite"
+                ).parquet(vdir)
+            else:
+                os.makedirs(vdir, exist_ok=True)
+            if data is not None and affected_months is not None:
+                skip = set(affected_months)
+                for d in os.listdir(data):
+                    src = os.path.join(data, d)
+                    if (
+                        not d.startswith(f"{MONTH_COL}=")
+                        or d in skip
+                        or not os.path.isdir(src)
+                    ):
+                        continue
+                    _link_dir(src, os.path.join(vdir, d))
+            blob = json.dumps({
+                "cursor": next_cur, "grain_s": self.grain_s,
+            }).encode()
+            with open(os.path.join(vdir, ROLLUP_META), "wb") as fh:
+                fh.write(blob)
+                fh.flush()
+                os.fsync(fh.fileno())
+            _claim_commit(path, (seq or 0) + 1, version)
+            claimed = True
+        except BaseException:
+            if not claimed:
+                shutil.rmtree(vdir, ignore_errors=True)
+            raise
+        _flip_current(path, version)
+        _prune_versions(path, (seq or 0) + 1, self.retain_generations)
+        return (seq or 0) + 1
+
+    # -- real-time reads -----------------------------------------------------
+
+    def read_realtime(
+        self,
+        stype: SensorType,
+        start: dt.datetime | None = None,
+        end: dt.datetime | None = None,
+    ) -> DataFrame:
+        """Rollup ∪ live tail — exact against rows the maintainer has
+        not refreshed yet (Timescale's real-time aggregation). The tail
+        is the feed since the COMMITTED cursor (peeked, never
+        acknowledged — reads must not advance maintenance state); its
+        affected buckets are recomputed from raw via the same rule the
+        refresh uses, REPLACING the rollup's stale rows, so a raced
+        append can never double-count. A tail the feed cannot attribute
+        (reset) falls back to direct raw aggregation — always correct,
+        priced as such."""
+        start = _utc_naive(start)
+        end = _utc_naive(end)
+        cursor = self.committed_cursor(stype)
+        if cursor is None:
+            return self._aggregate(
+                self.lake.values(stype, start=start, end=end)
+            ).drop(MONTH_COL)
+        tail, tail_cur = self.lake.changes(stype, cursor, cdc=True)
+        rollup = self.read(stype, start, end)
+        if tail_cur.get("reset"):
+            return self._aggregate(
+                self.lake.values(stype, start=start, end=end)
+            ).drop(MONTH_COL)
+        bounds = tail.agg(
+            F.min("time").alias("lo"), F.max("time").alias("hi")
+        ).collect()[0]
+        if bounds["lo"] is None:
+            return rollup
+        # Replace ONLY the tail's buckets: recomputed rows in, the
+        # rollup's stale versions of those same keys out. (The refresh
+        # splice `_recompute` would be wrong here — its kept-old month
+        # content is already present in `rollup`.)
+        keys = self._keys(tail)
+        fresh = self._recompute_buckets(stype, keys, bounds)
+        out = rollup.join(
+            keys, ["sensor_id", "bucket"], "anti"
+        ).unionByName(fresh.drop(MONTH_COL))
+        if start is not None:
+            out = out.filter(F.col("bucket") >= F.lit(start))
+        if end is not None:
+            out = out.filter(F.col("bucket") <= F.lit(end))
+        return out
+
+
+def _link_dir(src: str, dst: str) -> None:
+    """Hardlink-clone one partition dir (flat: rollup month dirs hold
+    part files only) — O(files) metadata, zero bytes copied; copy2 on
+    cross-device, same degrade as the lake's expire."""
+    os.makedirs(dst, exist_ok=True)
+    for entry in os.listdir(src):
+        s = os.path.join(src, entry)
+        d = os.path.join(dst, entry)
+        if os.path.isdir(s):  # pragma: no cover — not produced today
+            _link_dir(s, d)
+            continue
+        try:
+            os.link(s, d)
+        except OSError:
+            shutil.copy2(s, d)
