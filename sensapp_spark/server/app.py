@@ -16,6 +16,9 @@ Routes:
   sidecar sketches (planned IO ∝ files, zero data reads)
 * ``POST /api/v1/admin/retention?before=`` — partition-grain expiry of
   months older than the cutoff (metadata-only commit, zero data reads)
+* ``GET /api/v1/rollup?type&grain&start&end&realtime=`` — continuous
+  aggregate reads (JSONL, streamed above the threshold);
+  ``POST /api/v1/admin/rollup/refresh`` — the maintenance tick
 * ``GET /`` — frontpage: instance name as JSON (server.rs:151-155)
 * ``GET /docs`` — OpenAPI 3 document generated from the live route
   table (server.rs:40-52,84 — reference's ApiDoc derive + Scalar UI)
@@ -265,6 +268,8 @@ def create_app(
             "/api/v1/admin/vacuum": "Admin",
             "/api/v1/admin/stats": "Admin",
             "/api/v1/admin/retention": "Admin",
+            "/api/v1/admin/rollup/refresh": "Admin",
+            "/api/v1/rollup": "SensApp",
             "/health": "Health", "/health/live": "Health",
             "/health/ready": "Health",
         }
@@ -659,6 +664,17 @@ def create_app(
     # zone-map carry, tombstone; zero data reads). The ops call an
     # operator runs on a schedule — typically after checking
     # /api/v1/admin/stats?partitions=1 for what a cutoff would drop.
+    def _parse_ts(raw: str) -> dt.datetime:
+        """Epoch seconds or ISO-8601 → naive UTC (raises ValueError)."""
+        try:
+            return dt.datetime.fromtimestamp(
+                float(raw), dt.timezone.utc
+            ).replace(tzinfo=None)
+        except ValueError:
+            return dt.datetime.fromisoformat(
+                raw.replace("Z", "+00:00")
+            ).astimezone(dt.timezone.utc).replace(tzinfo=None)
+
     @app.post("/api/v1/admin/retention")
     def retention():
         raw = request.args.get("before")
@@ -666,14 +682,7 @@ def create_app(
             return jsonify({"error": "missing before parameter "
                             "(ISO timestamp or epoch seconds)"}), 400
         try:
-            try:
-                cutoff = dt.datetime.fromtimestamp(
-                    float(raw), dt.timezone.utc
-                ).replace(tzinfo=None)
-            except ValueError:
-                cutoff = dt.datetime.fromisoformat(
-                    raw.replace("Z", "+00:00")
-                ).astimezone(dt.timezone.utc).replace(tzinfo=None)
+            cutoff = _parse_ts(raw)
         except ValueError as e:
             return jsonify({"error": str(e)}), 400
         report = lake.expire_before(cutoff)
@@ -682,6 +691,100 @@ def create_app(
             "cutoff_month": cutoff.strftime("%Y-%m"),
             "tables": {k.lower(): v for k, v in report.items()},
         })
+
+    # Beyond-reference: continuous aggregates (storage/rollup.py) —
+    # the maintained per-sensor bucket quartet a dashboard reads
+    # INSTEAD of re-aggregating raw rows. GET serves the committed
+    # rollup (or realtime=1: rollup ∪ recomputed live tail); the
+    # admin POST is the maintenance tick a scheduler calls. Rows
+    # stream JSONL above the threshold with bounded driver memory —
+    # the same peek-ahead discipline as every other export.
+    @app.post("/api/v1/admin/rollup/refresh")
+    def rollup_refresh():
+        from sensapp_spark.storage.lake import resolve_table
+        from sensapp_spark.storage.rollup import RollupStore
+
+        try:
+            grain = int(request.args.get("grain", "3600"))
+            store = RollupStore(lake, grain_s=grain)
+        except ValueError as e:
+            return jsonify({"error": str(e)}), 400
+        out = {}
+        for stype in RollupStore._NUMERIC:
+            if resolve_table(lake._values_path(stype)) is None:
+                continue
+            out[stype.name.lower()] = store.refresh(stype)
+        return jsonify({"status": "refreshed", "grain_s": grain,
+                        "tables": out})
+
+    @app.get("/api/v1/rollup")
+    def rollup_read():
+        from itertools import islice
+
+        from pyspark.sql import functions as F
+
+        from sensapp_spark.exporters.csv_exporter import row_lines
+        from sensapp_spark.exporters.text import rfc3339_col
+        from sensapp_spark.storage.rollup import RollupStore
+
+        try:
+            grain = int(request.args.get("grain", "3600"))
+            stype = SensorType[request.args.get("type", "float").upper()]
+            store = RollupStore(lake, grain_s=grain)
+            store._path(stype)  # numeric-table guard
+        except (KeyError, ValueError):
+            return jsonify({"error": "unknown type or grain"}), 400
+        try:
+            start = (
+                _parse_ts(request.args["start"])
+                if "start" in request.args else None
+            )
+            end = (
+                _parse_ts(request.args["end"])
+                if "end" in request.args else None
+            )
+        except ValueError as e:
+            return jsonify({"error": str(e)}), 400
+        realtime = request.args.get("realtime") in ("1", "true")
+        df = (
+            store.read_realtime(stype, start, end)
+            if realtime
+            else store.read(stype, start, end)
+        )
+        lines = (
+            df.orderBy("sensor_id", "bucket")
+            .select(
+                F.to_json(
+                    F.struct(
+                        F.col("sensor_id"),
+                        rfc3339_col(F.col("bucket")).alias("bucket"),
+                        F.col("cnt"),
+                        F.col("vsum"),
+                        F.col("vmin"),
+                        F.col("vmax"),
+                    )
+                ).alias("line")
+            )
+        )
+        it = row_lines(lines)
+        if stream_threshold is None:
+            body = "".join(ln + "\n" for ln in it)
+            return Response(body, mimetype="application/jsonl")
+        head = list(islice(it, stream_threshold + 1))
+        if len(head) <= stream_threshold:
+            it.close()
+            return Response(
+                "".join(ln + "\n" for ln in head),
+                mimetype="application/jsonl",
+            )
+
+        def resumed(first=head):
+            for ln in first:
+                yield ln + "\n"
+            for ln in it:
+                yield ln + "\n"
+
+        return Response(resumed(), mimetype="application/jsonl")
 
     # Beyond-reference: table statistics from the FOLDED sidecar
     # sketches — planned IO proportional to files, zero data reads

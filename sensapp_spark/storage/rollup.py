@@ -60,6 +60,7 @@ from sensapp_spark.storage.lake import (
     _flip_current,
     _next_version,
     _prune_versions,
+    _is_stale_scan_error,
     _utc_naive,
     dir_lock,
     read_committed,
@@ -233,6 +234,14 @@ class RollupStore:
                     )
                 except CommitConflict:
                     continue
+                except Exception as e:  # noqa: BLE001 — filtered below
+                    # A cross-host commit pruning the version our lazy
+                    # plan reads surfaces as a stale-scan job failure —
+                    # retry from a fresh read, the same discipline as
+                    # every lake rewrite.
+                    if _is_stale_scan_error(e):
+                        continue
+                    raise
                 return {
                     "mode": "rebuild" if rebuild else (
                         "incremental" if affected_months else "noop"

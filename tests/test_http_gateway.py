@@ -951,3 +951,66 @@ def test_admin_retention_expires_old_months(spark, tmp_path):
         r2 = c.post("/api/v1/admin/retention?before=1700000000")
         assert r2.status_code == 200
         assert r2.get_json()["tables"] == {}
+
+
+def test_rollup_routes_serve_maintained_aggregates(spark, tmp_path):
+    """GET /api/v1/rollup + POST /api/v1/admin/rollup/refresh (round
+    10): the refresh tick maintains the continuous aggregate, the read
+    serves it as JSONL, realtime=1 covers rows the tick has not seen,
+    and bad params are 400s."""
+    import json as _json
+
+    from sensapp_spark.storage.lake import SensorLake
+
+    lake = SensorLake(spark, str(tmp_path / "rollup_lake"))
+    app = create_app(spark, lake)
+    app.testing = True
+    with app.test_client() as c:
+        c.post(
+            "/publish",
+            data="datetime,roll_a\n"
+                 "2024-01-05T10:05:00Z,1.0\n"
+                 "2024-01-05T10:35:00Z,3.0\n"
+                 "2024-02-02T09:30:00Z,5.0\n",
+            content_type="text/csv",
+        )
+        r = c.post("/api/v1/admin/rollup/refresh")
+        assert r.status_code == 200
+        body = r.get_json()
+        assert body["tables"]["float"]["mode"] == "rebuild"
+
+        r = c.get("/api/v1/rollup?type=float")
+        assert r.status_code == 200
+        rows = [
+            _json.loads(ln)
+            for ln in r.get_data(as_text=True).splitlines()
+        ]
+        assert len(rows) == 2
+        jan = next(
+            x for x in rows if x["bucket"].startswith("2024-01-05T10")
+        )
+        assert (jan["cnt"], jan["vsum"], jan["vmin"], jan["vmax"]) == (
+            2, 4.0, 1.0, 3.0,
+        )
+
+        # Unrefreshed tail: committed read misses it, realtime sees it.
+        c.post(
+            "/publish",
+            data="datetime,roll_a\n2024-02-02T09:45:00Z,7.0\n",
+            content_type="text/csv",
+        )
+        stale = c.get(
+            "/api/v1/rollup?type=float&start=2024-02-01T00:00:00Z"
+        ).get_data(as_text=True).splitlines()
+        assert _json.loads(stale[0])["cnt"] == 1
+        live = c.get(
+            "/api/v1/rollup?type=float&start=2024-02-01T00:00:00Z"
+            "&realtime=1"
+        ).get_data(as_text=True).splitlines()
+        assert _json.loads(live[0])["cnt"] == 2
+
+        assert c.get("/api/v1/rollup?type=string").status_code == 400
+        assert c.get("/api/v1/rollup?type=float&grain=x").status_code == 400
+        assert c.get(
+            "/api/v1/rollup?type=float&start=nope"
+        ).status_code == 400
