@@ -1,0 +1,133 @@
+"""Continuous-aggregate maintenance cost at 10× scale (round 10).
+
+The rollup's claim is work-∝-what-changed: a refresh after a small
+append must cost the append's buckets, not the table. This script
+builds a real SensorLake from the 10× events corpus (~1M rows,
+~7.5k series — run scripts/bench_scale_registry.py first so
+/tmp/sensapp_sf1/events.parquet exists), then times
+
+* the initial full rebuild (the priced worst case),
+* an incremental refresh after a 10k-row append into ONE hour
+  (the steady-state tick),
+* a no-op refresh (the idle tick a scheduler pays),
+* read() vs read_realtime() vs direct raw aggregation for a
+  dashboard-shaped window,
+
+and cross-checks rollup == direct aggregation row-for-row after each
+step. Results recorded in BASELINE.md.
+
+Usage: python scripts/bench_rollup.py
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF1 = "/tmp/sensapp_sf1/events.parquet"
+LAKE = "/tmp/sensapp_rollup_bench"
+
+
+def main() -> int:
+    from pyspark.sql import functions as F
+
+    from sensapp_spark.datamodel.types import SensorType
+    from sensapp_spark.session import get_spark
+    from sensapp_spark.storage.lake import SensorLake
+    from sensapp_spark.storage.rollup import RollupStore
+
+    if not os.path.exists(SF1):
+        print("run scripts/bench_scale_registry.py first", file=sys.stderr)
+        return 1
+    spark = get_spark(master="local[32]", shuffle_partitions=32)
+    shutil.rmtree(LAKE, ignore_errors=True)
+    lake = SensorLake(spark, LAKE)
+    ev = spark.read.parquet(SF1).select(
+        F.concat(
+            F.col("event_type"), F.lit("/"), F.col("user_id").cast("string")
+        ).alias("sensor_id"),
+        F.col("ts").cast("timestamp").alias("time"),
+        F.col("value"),
+    )
+    n_rows = ev.count()
+    t0 = time.time()
+    lake.append_values(SensorType.FLOAT, ev.repartition(32))
+    ingest_s = time.time() - t0
+
+    store = RollupStore(lake, grain_s=3600)
+    report: dict = {"corpus_rows": n_rows, "ingest_s": round(ingest_s, 1)}
+
+    def check() -> int:
+        got = store.read(SensorType.FLOAT)
+        want = store._aggregate(
+            lake.values(SensorType.FLOAT)
+        ).drop("month")
+        assert got.exceptAll(want).count() == 0
+        assert want.exceptAll(got).count() == 0
+        return got.count()
+
+    t0 = time.time()
+    rep = store.refresh(SensorType.FLOAT)
+    report["full_rebuild"] = {
+        "sec": round(time.time() - t0, 2),
+        "mode": rep["mode"],
+        "buckets": check(),
+    }
+
+    # Steady-state tick: 10k rows into ONE hour across 100 sensors.
+    hour = dt.datetime(2024, 3, 1, 12)
+    batch = spark.range(10_000).select(
+        F.concat(F.lit("click/"), (F.col("id") % 100).cast("string"))
+        .alias("sensor_id"),
+        (F.lit(hour) + F.make_dt_interval(
+            secs=(F.col("id") % 3600).cast("double")
+        )).alias("time"),
+        (F.col("id") % 7).cast("double").alias("value"),
+    )
+    lake.append_values(SensorType.FLOAT, batch)
+    t0 = time.time()
+    rep = store.refresh(SensorType.FLOAT)
+    report["incremental_10k_one_hour"] = {
+        "sec": round(time.time() - t0, 2),
+        "mode": rep["mode"],
+        "affected_months": rep["affected_months"],
+        "buckets": check(),
+    }
+
+    t0 = time.time()
+    rep = store.refresh(SensorType.FLOAT)
+    report["noop_tick"] = {
+        "sec": round(time.time() - t0, 2), "mode": rep["mode"],
+    }
+
+    # Dashboard window: one month, all series.
+    w0, w1 = dt.datetime(2024, 1, 1), dt.datetime(2024, 2, 1)
+    t0 = time.time()
+    n = store.read(SensorType.FLOAT, w0, w1).count()
+    report["read_window"] = {"sec": round(time.time() - t0, 2), "rows": n}
+    t0 = time.time()
+    n = store.read_realtime(SensorType.FLOAT, w0, w1).count()
+    report["read_realtime_window"] = {
+        "sec": round(time.time() - t0, 2), "rows": n,
+    }
+    t0 = time.time()
+    n = store._aggregate(
+        lake.values(SensorType.FLOAT, start=w0, end=w1)
+    ).count()
+    report["direct_aggregation_window"] = {
+        "sec": round(time.time() - t0, 2), "rows": n,
+    }
+
+    print(json.dumps(report, indent=2))
+    shutil.rmtree(LAKE, ignore_errors=True)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -995,7 +995,13 @@ def _bpe_pack(spark, docs):
     from sensapp_spark.pipeline.packing import pack_manifest
 
     _, blen = _bpe_model(spark, docs)
-    docs_b = docs.join(blen, "doc_id", "left").withColumn(
+    # shuffle_hash: doc_id is high-cardinality and both sides are
+    # corpus-sized — hash join skips SMJ's two sorts (the same hint
+    # every other doc_id join in this family carries; the plan gate
+    # pins it).
+    docs_b = docs.join(
+        blen.hint("shuffle_hash"), "doc_id", "left"
+    ).withColumn(
         "bpe_len", F.coalesce(F.col("bpe_len"), F.lit(0))
     )
     return pack_manifest(docs_b, token_count=F.col("bpe_len")).select(
@@ -1098,7 +1104,9 @@ def text_terms(spark, sf_dir):
     bmerge = merges.select(
         F.lit("bpe_merge").alias("scope"), "doc_id", "term", "score"
     )
-    blen_rows = blen.join(docs.select("doc_id"), "doc_id", "right").select(
+    blen_rows = blen.hint("shuffle_hash").join(
+        docs.select("doc_id"), "doc_id", "right"
+    ).select(
         F.lit("bpe_len").alias("scope"),
         "doc_id",
         F.lit(None).cast("string").alias("term"),

@@ -1071,6 +1071,10 @@ class SensorLake:
         if resolve_table(path) is None:
             return None
         with self._dir_lock(path):
+            # Legacy flat tables get their commit-log entry 0 first, so
+            # the CAS claim below composes — the same upgrade step
+            # every other committer runs (atomic_overwrite).
+            _backfill_legacy_entry(path)
             self._fold_manifest_extras(path, max_retries=max_retries)
             for _ in range(max_retries):
                 seq, data = read_committed(path)

@@ -328,12 +328,17 @@ class RollupStore:
         claimed = False
         try:
             if new_rows is not None:
+                # One shuffle keyed by month before the partitioned
+                # write: each month lands as ~one file instead of one
+                # per shuffle partition — the rollup is bucket-sized,
+                # so the shuffle is negligible and the read-side file
+                # count stays flat across refresh ticks.
                 new_rows.select(
                     "sensor_id", "bucket", "cnt", "vsum", "vmin",
                     "vmax", MONTH_COL,
-                ).write.partitionBy(MONTH_COL).mode(
-                    "overwrite"
-                ).parquet(vdir)
+                ).repartition(F.col(MONTH_COL)).write.partitionBy(
+                    MONTH_COL
+                ).mode("overwrite").parquet(vdir)
             else:
                 os.makedirs(vdir, exist_ok=True)
             if data is not None and affected_months is not None:
