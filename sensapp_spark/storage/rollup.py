@@ -369,6 +369,27 @@ class RollupStore:
         _prune_versions(path, (seq or 0) + 1, self.retain_generations)
         return (seq or 0) + 1
 
+    def _direct_buckets(self, stype, start, end) -> DataFrame:
+        """Direct raw aggregation with the SAME window semantics as
+        :meth:`read`: whole buckets whose start lies in [start, end] —
+        the raw scan is padded one grain past ``end`` and the clip
+        happens on the BUCKET, or a window-edge bucket would come back
+        partial from this path and whole from the committed one."""
+        pad_end = (
+            end + dt.timedelta(seconds=self.grain_s)
+            if end is not None else None
+        )
+        out = self._aggregate(
+            self.lake.values(stype, start=None, end=pad_end)
+            if start is None
+            else self.lake.values(stype, start=start, end=pad_end)
+        ).drop(MONTH_COL)
+        if start is not None:
+            out = out.filter(F.col("bucket") >= F.lit(start))
+        if end is not None:
+            out = out.filter(F.col("bucket") <= F.lit(end))
+        return out
+
     # -- real-time reads -----------------------------------------------------
 
     def read_realtime(
@@ -390,15 +411,11 @@ class RollupStore:
         end = _utc_naive(end)
         cursor = self.committed_cursor(stype)
         if cursor is None:
-            return self._aggregate(
-                self.lake.values(stype, start=start, end=end)
-            ).drop(MONTH_COL)
+            return self._direct_buckets(stype, start, end)
         tail, tail_cur = self.lake.changes(stype, cursor, cdc=True)
         rollup = self.read(stype, start, end)
         if tail_cur.get("reset"):
-            return self._aggregate(
-                self.lake.values(stype, start=start, end=end)
-            ).drop(MONTH_COL)
+            return self._direct_buckets(stype, start, end)
         bounds = tail.agg(
             F.min("time").alias("lo"), F.max("time").alias("hi")
         ).collect()[0]

@@ -322,3 +322,37 @@ def test_stream_rollup_maintenance_drains_ticks(spark, tmp_path):
     assert _rolled(store)[("a", T0.replace(minute=0))] == (
         2, 10.0, 1.0, 9.0,
     )
+
+
+def test_realtime_fallback_window_semantics_match_read(spark, tmp_path):
+    """Window clipping is on BUCKETS in every path: before any refresh
+    (direct-aggregation fallback) a window that starts mid-bucket and
+    ends mid-bucket returns the same whole-bucket rows the committed
+    read() would — no partial edge buckets from the fallback path."""
+    lake = SensorLake(spark, str(tmp_path / "lake"))
+    lake.append_values(
+        SensorType.FLOAT,
+        _vals(spark, [
+            ("a", T0, 1.0),                            # 10:15 → bucket 10
+            ("a", T0 + dt.timedelta(minutes=30), 2.0), # 10:45 → bucket 10
+            ("a", T0 + H, 3.0),                        # 11:15 → bucket 11
+            ("a", T0 + 2 * H, 4.0),                    # 12:15 → bucket 12
+        ]),
+    )
+    store = RollupStore(lake)
+    w0 = T0 + dt.timedelta(minutes=20)   # mid-bucket-10: excludes it
+    w1 = T0 + H                           # inside bucket 11: includes it
+    before = {
+        (r.sensor_id, r.bucket): (r.cnt, r.vsum)
+        for r in store.read_realtime(SensorType.FLOAT, w0, w1).collect()
+    }
+    # Bucket 10 starts before w0 → out; bucket 11 starts 11:00 <= w1 →
+    # in, WHOLE (row at 11:15 counted though > w1 is irrelevant: the
+    # bucket is the unit); bucket 12 starts after w1 → out.
+    assert before == {("a", T0.replace(minute=0) + H): (1, 3.0)}
+    store.refresh(SensorType.FLOAT)
+    after = {
+        (r.sensor_id, r.bucket): (r.cnt, r.vsum)
+        for r in store.read(SensorType.FLOAT, w0, w1).collect()
+    }
+    assert after == before
