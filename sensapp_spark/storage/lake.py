@@ -1196,6 +1196,57 @@ class SensorLake:
                 out[os.path.basename(t)] = deleted
         return out
 
+    def optimize_auto(
+        self,
+        stype: SensorType,
+        target_rows_per_file: int = 4_000_000,
+        max_files_per_month: int = 256,
+        **kw,
+    ) -> dict:
+        """Stats-driven compaction (round 10 — the write-side twin of
+        the sidecar-driven join planning in
+        ``operators/timeseries.lake_virtual_sensor``): choose
+        :meth:`optimize`'s ``files_per_month`` from the sidecar's EXACT
+        per-month footer row counts instead of a hand-picked constant.
+        The DECISION costs zero data reads (:meth:`partition_stats`);
+        when the sidecar cannot answer completely, the fallback is an
+        honest counted scan — acceptable here precisely because the
+        rewrite that follows re-reads everything anyway (decision cost
+        is amortized into the job it parameterizes; hint-not-authority
+        everywhere else stays the rule).
+
+        ``target_rows_per_file`` defaults to ~4M rows (~100-150 MB of
+        this schema at parquet encodings — a few row groups, large
+        enough to amortize footers, small enough to split). The knob a
+        deployment tunes is the TARGET, which is stable across data
+        growth, not the file count, which is not.
+
+        Returns {"files_per_month", "rows", "months", "source"} —
+        ``source`` names the evidence ("sidecar-stats" / "counted"),
+        same contract as the planning-side decisions."""
+        stats = self.partition_stats(stype)
+        if stats is not None:
+            rows = sum(m["rows"] for m in stats.values())
+            n_months = max(1, len(stats))
+            source = "sidecar-stats"
+        else:
+            df = self.values(stype)
+            rows = df.count()
+            n_months = max(
+                1,
+                df.select(MONTH_COL).distinct().count(),
+            )
+            source = "counted"
+        per_month = max(1, -(-rows // n_months // target_rows_per_file))
+        per_month = min(per_month, max_files_per_month)
+        self.optimize(stype, files_per_month=per_month, **kw)
+        return {
+            "files_per_month": per_month,
+            "rows": rows,
+            "months": n_months,
+            "source": source,
+        }
+
     def optimize(
         self, stype: SensorType, files_per_month: int = 1, **kw
     ) -> None:

@@ -317,3 +317,42 @@ def test_appends_and_feed_work_after_expire(spark, tmp_path):
     } == {("e", "insert")}
     assert cur2["reset"] is False
     assert lake.values(SensorType.FLOAT).count() == 3
+
+
+def test_optimize_auto_decides_from_sidecar_stats(spark, tmp_path):
+    """Stats-driven compaction: files_per_month comes from the
+    sidecar's exact per-month row counts (zero data reads for the
+    decision); with the sidecar gone the fallback counts honestly and
+    says so."""
+    lake = _mklake(spark, tmp_path)
+    lake.refresh_zonemap(SensorType.FLOAT)
+    rep = lake.expire_before(dt.datetime(2023, 1, 1), SensorType.FLOAT)
+    assert rep == {}  # fixture untouched
+
+    out = lake.optimize_auto(
+        SensorType.FLOAT, target_rows_per_file=1, quiesce_wait_s=0.2
+    )
+    assert out["source"] == "sidecar-stats"
+    assert out["rows"] == 4
+    assert out["months"] == 4
+    assert out["files_per_month"] == 1  # 4 rows / 4 months / target 1
+    assert lake.values(SensorType.FLOAT).count() == 4  # rewrite kept all
+
+    # No sidecar → counted fallback, same decision.
+    import os as _os
+
+    from sensapp_spark.storage.lake import resolve_table as _rt
+
+    data = _rt(lake._values_path(SensorType.FLOAT))
+    _os.unlink(_os.path.join(data, "_zonemap.json"))
+    out2 = lake.optimize_auto(
+        SensorType.FLOAT, target_rows_per_file=1, quiesce_wait_s=0.2
+    )
+    assert out2["source"] == "counted"
+    assert out2["files_per_month"] == 1
+    # Cap respected when the target implies an absurd fan-out.
+    out3 = lake.optimize_auto(
+        SensorType.FLOAT, target_rows_per_file=1,
+        max_files_per_month=1, quiesce_wait_s=0.2,
+    )
+    assert out3["files_per_month"] == 1
