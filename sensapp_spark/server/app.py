@@ -746,11 +746,18 @@ def create_app(
         except ValueError as e:
             return jsonify({"error": str(e)}), 400
         realtime = request.args.get("realtime") in ("1", "true")
-        df = (
-            store.read_realtime(stype, start, end)
-            if realtime
-            else store.read(stype, start, end)
-        )
+        fold = request.args.get("fold")
+        if fold is not None:
+            try:
+                df = store.read_folded(
+                    stype, int(fold), start, end, realtime=realtime
+                )
+            except ValueError as e:
+                return jsonify({"error": str(e)}), 400
+        elif realtime:
+            df = store.read_realtime(stype, start, end)
+        else:
+            df = store.read(stype, start, end)
         lines = (
             df.orderBy("sensor_id", "bucket")
             .select(

@@ -369,6 +369,60 @@ class RollupStore:
         _prune_versions(path, (seq or 0) + 1, self.retain_generations)
         return (seq or 0) + 1
 
+    def read_folded(
+        self,
+        stype: SensorType,
+        fold_grain_s: int,
+        start: dt.datetime | None = None,
+        end: dt.datetime | None = None,
+        realtime: bool = False,
+    ) -> DataFrame:
+        """Coarser-grain reads WITHOUT a second maintained table: the
+        quartet is mergeable (cnt/vsum sum, vmin min, vmax max), so a
+        1h rollup folds to 1d/1w exactly at read time — IO is the fine
+        rollup's buckets, never raw rows. ``fold_grain_s`` must be a
+        multiple of the store grain (a 90-minute fold of hourly buckets
+        would split buckets, which a fold cannot do). Window clipping
+        is on the FOLDED bucket, consistent with :meth:`read`."""
+        if fold_grain_s % self.grain_s != 0 or fold_grain_s <= 0:
+            raise ValueError(
+                f"fold grain {fold_grain_s}s must be a positive "
+                f"multiple of the store grain {self.grain_s}s"
+            )
+        start = _utc_naive(start)
+        end = _utc_naive(end)
+        # Pad only the END: a kept folded bucket starts >= start, so
+        # its fine buckets do too, but its tail fine buckets run up to
+        # one folded grain past `end` — scan them, then clip folded.
+        pad_end = (
+            None if end is None
+            else end + dt.timedelta(seconds=fold_grain_s)
+        )
+        fine = (
+            self.read_realtime(stype, start, pad_end)
+            if realtime
+            else self.read(stype, start, pad_end)
+        )
+        g_us = fold_grain_s * 1_000_000
+        folded = F.timestamp_seconds(
+            F.floor(F.unix_micros(F.col("bucket")) / F.lit(g_us))
+            .cast("long") * fold_grain_s
+        )
+        out = (
+            fine.groupBy("sensor_id", folded.alias("bucket"))
+            .agg(
+                F.sum("cnt").alias("cnt"),
+                F.sum("vsum").alias("vsum"),
+                F.min("vmin").alias("vmin"),
+                F.max("vmax").alias("vmax"),
+            )
+        )
+        if start is not None:
+            out = out.filter(F.col("bucket") >= F.lit(start))
+        if end is not None:
+            out = out.filter(F.col("bucket") <= F.lit(end))
+        return out
+
     def _direct_buckets(self, stype, start, end) -> DataFrame:
         """Direct raw aggregation with the SAME window semantics as
         :meth:`read`: whole buckets whose start lies in [start, end] —

@@ -1009,6 +1009,20 @@ def test_rollup_routes_serve_maintained_aggregates(spark, tmp_path):
         ).get_data(as_text=True).splitlines()
         assert _json.loads(live[0])["cnt"] == 2
 
+        # Read-time fold to daily: both hourly buckets of 2024-01-05
+        # merge into one row; non-multiple folds are 400s.
+        daily = c.get(
+            "/api/v1/rollup?type=float&fold=86400&realtime=1"
+        ).get_data(as_text=True).splitlines()
+        jan_day = next(
+            _json.loads(ln) for ln in daily
+            if _json.loads(ln)["bucket"].startswith("2024-01-05")
+        )
+        assert (jan_day["cnt"], jan_day["vsum"]) == (2, 4.0)
+        assert c.get(
+            "/api/v1/rollup?type=float&fold=5400"
+        ).status_code == 400
+
         assert c.get("/api/v1/rollup?type=string").status_code == 400
         assert c.get("/api/v1/rollup?type=float&grain=x").status_code == 400
         assert c.get(

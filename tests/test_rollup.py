@@ -356,3 +356,58 @@ def test_realtime_fallback_window_semantics_match_read(spark, tmp_path):
         for r in store.read(SensorType.FLOAT, w0, w1).collect()
     }
     assert after == before
+
+
+def test_read_folded_matches_coarse_store(spark, tmp_path):
+    """Folding the 1h rollup to 2h at read time equals a 2h store
+    maintained directly — the quartet is mergeable, so no second
+    maintained table is needed for dashboard zoom-out."""
+    lake = SensorLake(spark, str(tmp_path / "lake"))
+    lake.append_values(
+        SensorType.FLOAT,
+        _vals(spark, [
+            ("a", T0, 1.0), ("a", T0 + H, 2.0), ("a", T0 + 2 * H, 4.0),
+            ("b", T1, 8.0),
+        ]),
+    )
+    fine = RollupStore(lake, grain_s=3600)
+    coarse = RollupStore(lake, grain_s=7200)
+    fine.refresh(SensorType.FLOAT)
+    coarse.refresh(SensorType.FLOAT)
+    folded = {
+        (r.sensor_id, r.bucket): (r.cnt, r.vsum, r.vmin, r.vmax)
+        for r in fine.read_folded(SensorType.FLOAT, 7200).collect()
+    }
+    direct = _rolled(coarse)
+    assert folded == direct
+    # realtime fold covers an unrefreshed tail too.
+    lake.append_values(SensorType.FLOAT, _vals(spark, [("a", T0, 9.0)]))
+    live = {
+        (r.sensor_id, r.bucket): (r.cnt, r.vsum, r.vmin, r.vmax)
+        for r in fine.read_folded(
+            SensorType.FLOAT, 7200, realtime=True
+        ).collect()
+    }
+    assert live == _direct(coarse)
+    # Non-multiple fold grains split buckets — refused.
+    with pytest.raises(ValueError):
+        fine.read_folded(SensorType.FLOAT, 5400).collect()
+
+
+def test_read_folded_window_clips_on_folded_bucket(spark, tmp_path):
+    lake = SensorLake(spark, str(tmp_path / "lake"))
+    lake.append_values(
+        SensorType.FLOAT,
+        _vals(spark, [
+            ("a", T0, 1.0),            # 10:15 → 2h bucket 10:00
+            ("a", T0 + 2 * H, 3.0),    # 12:15 → 2h bucket 12:00
+        ]),
+    )
+    fine = RollupStore(lake, grain_s=3600)
+    fine.refresh(SensorType.FLOAT)
+    got = fine.read_folded(
+        SensorType.FLOAT, 7200,
+        start=T0.replace(minute=0) + 2 * H,   # 12:00
+        end=T0.replace(minute=0) + 2 * H,
+    ).collect()
+    assert [(r.sensor_id, r.vsum) for r in got] == [("a", 3.0)]
