@@ -1176,6 +1176,92 @@ class SensorLake:
                 f"races on {path}"
             )
 
+    def clone_to(self, dest_root: str) -> "SensorLake":
+        """Zero-copy SHALLOW CLONE (Delta ``SHALLOW CLONE`` analogue,
+        beyond-reference): a new lake at ``dest_root`` whose every
+        table starts as the source's committed state with ZERO bytes
+        copied — each table's pinned file set hardlinks into the
+        clone's version 1 (object-store mapping: a manifest referencing
+        the same objects). Safe because committed data files are
+        IMMUTABLE in both protocols: neither lake ever rewrites a
+        committed file in place, so writes on either side land as new
+        files/versions and the two histories diverge freely — the
+        dev/test branch of a 100 TB lake costs O(files) metadata.
+
+        Per table the pinned set is the same listing a maintenance
+        rewrite pins (:func:`_scan_file_list` — file log when provably
+        complete, walk otherwise); the zone-map sidecar transfers
+        filtered to that set (the expire carry rule: verbatim when the
+        sketch geometry matches, absent otherwise); the clone's file
+        log and commit log start fresh at generation 0 / sequence 1
+        (its ``changes()`` feed is its own — a clone consumer's first
+        poll is an honest full snapshot). Tombstones are NOT carried:
+        they guard the SOURCE's superseded dirs against late folds,
+        and the cloned state already reflects every committed delete.
+
+        Concurrent source appends land before or after the pin —
+        file-grain snapshot semantics, same contract as any reader."""
+        dest = SensorLake(
+            self.spark, dest_root,
+            retain_generations=self.retain_generations,
+        )
+        pairs = [(self._sensors_path(), dest._sensors_path())] + [
+            (self._values_path(st), dest._values_path(st))
+            for st in SensorType
+        ]
+        for _, dst_path in pairs:
+            if resolve_table(dst_path) is not None:
+                raise ValueError(
+                    f"clone target {dest_root} is not empty "
+                    f"({dst_path} has committed data)"
+                )
+        for src_path, dst_path in pairs:
+            data = resolve_table(src_path)
+            if data is None:
+                continue
+            files = _scan_file_list(data)
+            os.makedirs(dst_path, exist_ok=True)
+            version = _next_version(dst_path)
+            vdir = os.path.join(dst_path, version)
+            claimed = False
+            try:
+                os.makedirs(vdir, exist_ok=True)
+                rels = []
+                for f in files:
+                    rel = os.path.relpath(f, data)
+                    rels.append(rel)
+                    dst = os.path.join(vdir, rel)
+                    os.makedirs(os.path.dirname(dst), exist_ok=True)
+                    try:
+                        os.link(f, dst)
+                    except OSError:  # cross-device: degrade to copy
+                        shutil.copy2(f, dst)
+                doc = zm._read_doc(data)
+                if (
+                    doc is not None
+                    and doc.get("sketch_geom") == zm._SKETCH_GEOM
+                ):
+                    keep = set(rels)
+                    zm.write_zonemap(
+                        vdir,
+                        {
+                            r: st_
+                            for r, st_ in doc["files"].items()
+                            if r in keep
+                        },
+                    )
+                _filelog_init(
+                    vdir, [os.path.join(vdir, r) for r in rels]
+                )
+                _claim_commit(dst_path, 1, version)
+                claimed = True
+            except BaseException:
+                if not claimed:
+                    shutil.rmtree(vdir, ignore_errors=True)
+                raise
+            _flip_current(dst_path, version)
+        return dest
+
     def vacuum_orphans(self, min_age_s: float = 3600.0) -> dict[str, list[str]]:
         """Reclaim crashed writers' never-committed version dirs across
         every lake table (see :func:`vacuum_orphans` for the age-gated

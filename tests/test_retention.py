@@ -356,3 +356,72 @@ def test_optimize_auto_decides_from_sidecar_stats(spark, tmp_path):
         max_files_per_month=1, quiesce_wait_s=0.2,
     )
     assert out3["files_per_month"] == 1
+
+
+def test_clone_to_is_zero_copy_and_independent(spark, tmp_path):
+    """Shallow clone: the branch starts as the source's committed
+    state with hardlinked files (zero bytes copied), then the two
+    lakes diverge freely — appends and deletes on one never show on
+    the other, because committed files are immutable in both."""
+    lake = _mklake(spark, tmp_path)
+    lake.upsert_sensors(spark.createDataFrame(
+        [("a", "name-a", "Float", None, None, {})],
+        "sensor_id string, name string, type string, unit string, "
+        "unit_description string, labels map<string,string>",
+    ))
+    lake.refresh_zonemap(SensorType.FLOAT)
+    clone = lake.clone_to(str(tmp_path / "branch"))
+
+    src_rows = {
+        (r.sensor_id, r.value)
+        for r in lake.values(SensorType.FLOAT).collect()
+    }
+    assert {
+        (r.sensor_id, r.value)
+        for r in clone.values(SensorType.FLOAT).collect()
+    } == src_rows
+    assert clone.sensors().count() == lake.sensors().count()
+
+    # Zero-copy: every cloned parquet shares its source inode.
+    src_data = resolve_table(lake._values_path(SensorType.FLOAT))
+    dst_data = resolve_table(clone._values_path(SensorType.FLOAT))
+    src_inodes = {}
+    for root, _d, files in os.walk(src_data):
+        for f in files:
+            if f.endswith(".parquet"):
+                p = os.path.join(root, f)
+                src_inodes[os.path.relpath(p, src_data)] = os.stat(p).st_ino
+    n = 0
+    for root, _d, files in os.walk(dst_data):
+        for f in files:
+            if f.endswith(".parquet"):
+                p = os.path.join(root, f)
+                assert os.stat(p).st_ino == src_inodes[
+                    os.path.relpath(p, dst_data)
+                ]
+                n += 1
+    assert n >= 3
+    # Sidecar carried filtered-verbatim → pruning works on the branch.
+    assert zm.read_zonemap(dst_data) is not None
+
+    # Divergence: branch-side delete, source-side append.
+    clone.delete_where(
+        SensorType.FLOAT, "sensor_id = 'c'", quiesce_wait_s=0.2
+    )
+    lake.append_values(
+        SensorType.FLOAT, _vals(spark, [("z", KEEP, 9.0)])
+    )
+    assert {
+        (r.sensor_id, r.value)
+        for r in lake.values(SensorType.FLOAT).collect()
+    } == src_rows | {("z", 9.0)}
+    assert {
+        (r.sensor_id, r.value)
+        for r in clone.values(SensorType.FLOAT).collect()
+    } == src_rows - {("c", 4.0)}
+
+    # A clone's feed starts fresh; a non-empty target is refused.
+    snap, cur = clone.changes(SensorType.FLOAT)
+    assert cur["reset"] is False and snap.count() == 3
+    with pytest.raises(ValueError):
+        lake.clone_to(str(tmp_path / "branch"))
