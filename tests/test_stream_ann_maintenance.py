@@ -391,3 +391,27 @@ def test_bootstrap_collapses_exact_copies(spark, rig):
     assert meta["n_vectors"] == 4  # a0..a3 distinct; a1 copy collapsed
     frame, _ = store.read_ivf("idx")
     assert frame.count() == frame.select("vec_id").distinct().count() == 4
+
+
+def test_expire_crossing_removes_expired_vectors(spark, rig):
+    """Retention composes into index maintenance (round 10): an
+    expire_before crossing arrives as the feed's LAZY month-deletes
+    (read from the superseded dir — the expire itself never
+    materialized them), and the expired months' vectors leave the
+    index through the normal delete path, exactly-once, no reindex."""
+    lake, store, ckpt, sid = rig
+    old = dt.datetime(2023, 11, 2, 6)
+    lake.append_values(ST, _vals(spark, [
+        ("old0", old, 1.0), ("old1", old, 2.0),
+    ]))
+    lake.append_values(ST, _vals(spark, _rows("a", 6)))
+    bootstrap_ann_index(lake, ST, store, "idx", vectorize, ckpt)
+    assert len(_index_ids(store)) == 8
+
+    lake.expire_before(dt.datetime(2024, 1, 1), ST)
+    assert _tick(lake, store, sid, {}, 1) == "appended"
+    assert _index_ids(store) == _expected_ids(spark, lake)
+    assert len(_index_ids(store)) == 6
+    # Redelivered epoch: a no-op, content unchanged.
+    assert _tick(lake, store, sid, {}, 1) == "skipped"
+    assert len(_index_ids(store)) == 6
