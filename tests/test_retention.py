@@ -425,3 +425,21 @@ def test_clone_to_is_zero_copy_and_independent(spark, tmp_path):
     assert cur["reset"] is False and snap.count() == 3
     with pytest.raises(ValueError):
         lake.clone_to(str(tmp_path / "branch"))
+
+
+def test_two_expires_chain_for_one_laggard(spark, tmp_path):
+    """A consumer crossing TWO retention commits gets both months'
+    deletes through the chained per-version deltas — each link's lazy
+    rows read from its own superseded dir — with no reset."""
+    lake = _mklake(spark, tmp_path)
+    _, cur = lake.changes(SensorType.FLOAT, cdc=True)
+    out1 = lake.expire_before(dt.datetime(2023, 12, 1), SensorType.FLOAT)
+    assert out1["FLOAT"]["months"] == ["2023-11"]
+    out2 = lake.expire_before(dt.datetime(2024, 1, 1), SensorType.FLOAT)
+    assert out2["FLOAT"]["months"] == ["2023-12"]
+    delta, cur2 = lake.changes(SensorType.FLOAT, cur, cdc=True)
+    assert cur2["reset"] is False
+    rows = {
+        (r.sensor_id, r.value, r._change_type) for r in delta.collect()
+    }
+    assert rows == {("a", 1.0, "delete"), ("b", 2.0, "delete")}
