@@ -60,7 +60,7 @@ from sensapp_spark.operators.catalog import metrics_list, series_list
 from sensapp_spark.operators.dcat import metrics_catalog, series_catalog
 from sensapp_spark.operators.selection import query_samples
 from sensapp_spark.query.promql import PromQLError, parse_promql_query
-from sensapp_spark.storage.lake import SensorLake
+from sensapp_spark.storage.lake import SensorLake, VersionNotRetained
 
 VALID_FORMATS = ("senml", "csv", "jsonl", "arrow", "parquet")
 
@@ -621,7 +621,20 @@ def create_app(
         # a clustered table this reads ~1 file per month instead of
         # every part file (storage/zonemap.py). values() applies the
         # inclusive time bounds itself; no extra time_range wrapper.
-        vals = lake.values(stype, start, end, sensor_ids=[sensor_id])
+        # ?at_seq= time-travels to an earlier committed version (the
+        # lake's retain_generations window) — the ops read for "what
+        # did this series hold before that rewrite/delete" (round 10;
+        # 410 when the version has been pruned, which is not a client
+        # error and not a 404: the series exists, the snapshot is
+        # gone).
+        at_seq = request.args.get("at_seq", type=int)
+        try:
+            vals = lake.values(
+                stype, start, end, at_seq=at_seq,
+                sensor_ids=[sensor_id],
+            )
+        except VersionNotRetained as e:
+            return jsonify({"error": str(e)}), 410
         if limit:
             vals = vals.orderBy("time").limit(limit)
         df = vals.join(F.broadcast(lake.sensors()), "sensor_id", "left")

@@ -1028,3 +1028,38 @@ def test_rollup_routes_serve_maintained_aggregates(spark, tmp_path):
         assert c.get(
             "/api/v1/rollup?type=float&start=nope"
         ).status_code == 400
+
+
+def test_series_at_seq_time_travel(spark, tmp_path):
+    """?at_seq= on the single-series fetch: read the snapshot a
+    rewrite superseded (within retain_generations); a pruned version
+    is a 410, not a 404 — the series exists, the snapshot is gone."""
+    from sensapp_spark.datamodel.types import SensorType
+    from sensapp_spark.storage.lake import SensorLake, read_committed
+
+    lake = SensorLake(spark, str(tmp_path / "tt_lake"))
+    app = create_app(spark, lake)
+    app.testing = True
+    with app.test_client() as c:
+        c.post(
+            "/publish",
+            data="datetime,tt_a\n"
+                 "2024-01-05T10:00:00Z,1.0\n"
+                 "2024-01-05T11:00:00Z,9.0\n",
+            content_type="text/csv",
+        )
+        doc = c.get("/series").get_json()
+        sid = doc["dcat:dataset"][0]["dct:identifier"]
+        pre = read_committed(lake._values_path(SensorType.FLOAT))[0]
+        lake.delete_where(
+            SensorType.FLOAT, "value > 4", quiesce_wait_s=0.2
+        )
+        live = c.get(f"/series/{sid}?format=jsonl").get_data(as_text=True)
+        assert live.count("\n") == 1  # the 9.0 row is gone
+        old = c.get(
+            f"/series/{sid}?format=jsonl&at_seq={pre}"
+        ).get_data(as_text=True)
+        assert old.count("\n") == 2  # snapshot still has it
+        assert c.get(
+            f"/series/{sid}?at_seq=99"
+        ).status_code == 410
