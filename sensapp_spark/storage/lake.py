@@ -1200,7 +1200,13 @@ class SensorLake:
         and the cloned state already reflects every committed delete.
 
         Concurrent source appends land before or after the pin —
-        file-grain snapshot semantics, same contract as any reader."""
+        file-grain snapshot semantics, same contract as any reader. A
+        concurrent maintenance REWRITE that prunes the pinned version
+        mid-clone (two commits inside the clone's walk — the same
+        stale-read exposure every reader has) surfaces as an error and
+        the partial target is reclaimed; re-run the clone. Run clones
+        outside maintenance windows or with a larger
+        ``retain_generations``, exactly like long scans."""
         dest = SensorLake(
             self.spark, dest_root,
             retain_generations=self.retain_generations,
@@ -1215,16 +1221,19 @@ class SensorLake:
                     f"clone target {dest_root} is not empty "
                     f"({dst_path} has committed data)"
                 )
-        for src_path, dst_path in pairs:
-            data = resolve_table(src_path)
-            if data is None:
-                continue
-            files = _scan_file_list(data)
-            os.makedirs(dst_path, exist_ok=True)
-            version = _next_version(dst_path)
-            vdir = os.path.join(dst_path, version)
-            claimed = False
-            try:
+        # Every dest table was just verified empty, so on ANY failure
+        # every table dir under the target is this call's own partial
+        # work — reclaim it all, or the half-clone would wedge re-runs
+        # on the not-empty guard above.
+        try:
+            for src_path, dst_path in pairs:
+                data = resolve_table(src_path)
+                if data is None:
+                    continue
+                files = _scan_file_list(data)
+                os.makedirs(dst_path, exist_ok=True)
+                version = _next_version(dst_path)
+                vdir = os.path.join(dst_path, version)
                 os.makedirs(vdir, exist_ok=True)
                 rels = []
                 for f in files:
@@ -1254,12 +1263,11 @@ class SensorLake:
                     vdir, [os.path.join(vdir, r) for r in rels]
                 )
                 _claim_commit(dst_path, 1, version)
-                claimed = True
-            except BaseException:
-                if not claimed:
-                    shutil.rmtree(vdir, ignore_errors=True)
-                raise
-            _flip_current(dst_path, version)
+                _flip_current(dst_path, version)
+        except BaseException:
+            for _, dst_path in pairs:
+                shutil.rmtree(dst_path, ignore_errors=True)
+            raise
         return dest
 
     def vacuum_orphans(self, min_age_s: float = 3600.0) -> dict[str, list[str]]:

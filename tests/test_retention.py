@@ -443,3 +443,40 @@ def test_two_expires_chain_for_one_laggard(spark, tmp_path):
         (r.sensor_id, r.value, r._change_type) for r in delta.collect()
     }
     assert rows == {("a", 1.0, "delete"), ("b", 2.0, "delete")}
+
+
+def test_failed_clone_reclaims_partial_target(spark, tmp_path):
+    """A clone that dies mid-way leaves NO half-branch behind: every
+    table dir under the target is reclaimed, so a re-run is not wedged
+    by the not-empty guard."""
+    lake = _mklake(spark, tmp_path)
+    lake.append_values(
+        SensorType.INTEGER,
+        spark.createDataFrame(
+            [("i", KEEP, 5)],
+            "sensor_id string, time timestamp, value long",
+        ),
+    )
+    dest = str(tmp_path / "branch")
+    import sensapp_spark.storage.lake as lk
+
+    real_init = lk._filelog_init
+    calls = {"n": 0}
+
+    def boom(*a, **kw):
+        calls["n"] += 1
+        if calls["n"] == 2:  # die on the SECOND table
+            raise OSError("disk gone")
+        return real_init(*a, **kw)
+
+    lk._filelog_init = boom
+    try:
+        with pytest.raises(OSError):
+            lake.clone_to(dest)
+    finally:
+        lk._filelog_init = real_init
+    assert calls["n"] == 2
+    # Re-run succeeds: nothing half-committed survived.
+    clone = lake.clone_to(dest)
+    assert clone.values(SensorType.FLOAT).count() == 4
+    assert clone.values(SensorType.INTEGER).count() == 1
