@@ -666,10 +666,16 @@ def create_app(
 
     @app.post("/api/v1/admin/vacuum")
     def vacuum():
+        # Compaction is stats-driven (round 10): files_per_month comes
+        # from the sidecar's exact per-month row counts instead of a
+        # constant — the decision per table rides back in the response.
+        decisions = {}
         for stype in SensorType:
             lake.dedup_rewrite(stype)
-            lake.optimize(stype)
-        return jsonify({"status": "vacuumed"})
+            d = lake.optimize_auto(stype)
+            if d is not None:
+                decisions[stype.name.lower()] = d
+        return jsonify({"status": "vacuumed", "optimize": decisions})
 
     # Beyond-reference: partition-grain retention — expire every month
     # partition strictly older than `before` as a METADATA-ONLY commit

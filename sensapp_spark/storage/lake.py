@@ -1317,7 +1317,10 @@ class SensorLake:
 
         Returns {"files_per_month", "rows", "months", "source"} —
         ``source`` names the evidence ("sidecar-stats" / "counted"),
-        same contract as the planning-side decisions."""
+        same contract as the planning-side decisions — or ``None`` for
+        a never-written table (no decision to make, no scan to pay)."""
+        if resolve_table(self._values_path(stype)) is None:
+            return None
         stats = self.partition_stats(stype)
         if stats is not None:
             rows = sum(m["rows"] for m in stats.values())

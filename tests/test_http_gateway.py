@@ -196,8 +196,14 @@ def test_prometheus_write_read_roundtrip(client):
 
 
 def test_vacuum(client):
-    assert client.post("/api/v1/admin/vacuum").get_json() == {
-        "status": "vacuumed"}
+    # Self-sufficient when run alone: make sure FLOAT data exists.
+    client.post("/publish", data=CSV, content_type="text/csv")
+    body = client.post("/api/v1/admin/vacuum").get_json()
+    assert body["status"] == "vacuumed"
+    # Compaction sizing is stats-driven and reports its evidence.
+    d = body["optimize"]["float"]
+    assert d["source"] in ("sidecar-stats", "counted")
+    assert d["files_per_month"] >= 1 and d["rows"] >= 1
 
 
 def test_admin_stats_from_sidecar_sketches(client):
