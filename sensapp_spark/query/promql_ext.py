@@ -9,10 +9,18 @@ SURVEY §2.8 lists as the "free wins": range functions
 parametric ``quantile_over_time(φ, m[5m])``), aggregation operators
 (``sum/avg/min/max/count/stddev/stdvar/quantile/topk/bottomk``, with
 ``by (label,…)`` / ``without (label,…)`` grouping in either PromQL
-position), and the ``offset <duration>`` selector modifier. Grammar is
-deliberately the Prometheus *core*: one optional aggregation over one
-optional range function over one selector — no binary ops, no
-subqueries; anything else still raises the didactic ``PromQLError``.
+position), the ``offset <duration>`` and ``@ <unix-seconds>`` selector
+modifiers, one top-level **binary operation** between two vector
+expressions (arithmetic, comparison with/without ``bool``, the
+``and/or/unless`` set operators, ``scalar(expr)`` and numeric-literal
+operands, ``on``/``ignoring`` matching with ``group_left``/
+``group_right``), and one level of **subquery** (``expr[range:step]``,
+with its own trailing offset). The remaining didactic rejections are
+the genuinely rare tail: 4+-level aggregation nesting, binary
+operations nested INSIDE another operand, nested subqueries, and a
+fixed ``@`` anchor inside a RANGE query (its window would be constant
+at every step); those raise the didactic ``PromQLError`` naming the
+construct.
 
 Evaluation shapes (all single-shuffle, map-side partial aggregates):
 

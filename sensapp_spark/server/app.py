@@ -627,7 +627,20 @@ def create_app(
         # 410 when the version has been pruned, which is not a client
         # error and not a 404: the series exists, the snapshot is
         # gone).
-        at_seq = request.args.get("at_seq", type=int)
+        # Parse at_seq by hand: Flask's type=int silently returns None
+        # on a malformed value, which would serve the CURRENT version
+        # with 200 — a time-travel read silently answering from the
+        # wrong snapshot. Present-but-not-an-integer is a 400; 410 is
+        # reserved for a valid seq whose version has been pruned.
+        at_seq_raw = request.args.get("at_seq")
+        at_seq = None
+        if at_seq_raw is not None:
+            try:
+                at_seq = int(at_seq_raw)
+            except ValueError:
+                return jsonify(
+                    {"error": f"at_seq must be an integer, got "
+                              f"{at_seq_raw!r}"}), 400
         try:
             vals = lake.values(
                 stype, start, end, at_seq=at_seq,
@@ -684,15 +697,26 @@ def create_app(
     # operator runs on a schedule — typically after checking
     # /api/v1/admin/stats?partitions=1 for what a cutoff would drop.
     def _parse_ts(raw: str) -> dt.datetime:
-        """Epoch seconds or ISO-8601 → naive UTC (raises ValueError)."""
+        """Epoch seconds or ISO-8601 → naive UTC (raises ValueError).
+
+        Naive ISO input is UTC — same contract as _parse_rfc3339 and
+        the lake's naive-UTC storage; astimezone() would reinterpret
+        it in host-local time and shift a retention cutoff across a
+        month boundary. fromtimestamp raises OverflowError/OSError
+        (not ValueError) for out-of-range epochs like 1e20, which
+        must surface as a 400, not a 500.
+        """
         try:
             return dt.datetime.fromtimestamp(
                 float(raw), dt.timezone.utc
             ).replace(tzinfo=None)
+        except (OverflowError, OSError) as e:
+            raise ValueError(f"epoch timestamp out of range: {raw}") from e
         except ValueError:
-            return dt.datetime.fromisoformat(
-                raw.replace("Z", "+00:00")
-            ).astimezone(dt.timezone.utc).replace(tzinfo=None)
+            parsed = dt.datetime.fromisoformat(raw.replace("Z", "+00:00"))
+            if parsed.tzinfo is not None:
+                parsed = parsed.astimezone(dt.timezone.utc)
+            return parsed.replace(tzinfo=None)
 
     @app.post("/api/v1/admin/retention")
     def retention():

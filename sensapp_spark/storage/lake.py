@@ -1121,12 +1121,13 @@ class SensorLake:
                         # current and refresh would never rebuild them
                         # (the documented re-stamp trap) — commit
                         # map-less and let the next refresh rebuild.
+                        kept = set(kept_rels)
                         zm.write_zonemap(
                             vdir,
                             {
                                 r: st_
                                 for r, st_ in doc["files"].items()
-                                if r in set(kept_rels)
+                                if r in kept
                             },
                         )
                     _filelog_init(

@@ -198,36 +198,44 @@ class RollupStore:
                 delta, next_cur = self.lake.changes(
                     stype, cursor, cdc=True
                 )
-                rebuild = cursor is None or next_cur.get("reset")
-                if rebuild:
-                    # The reset frame IS the current snapshot — one scan.
-                    new_rows = self._aggregate(
-                        delta.filter(F.col("_change_type") == "insert")
-                        .drop("_change_type")
-                    )
-                    affected_months = None  # everything
-                else:
-                    bounds = delta.agg(
-                        F.min("time").alias("lo"), F.max("time").alias("hi")
-                    ).collect()[0]
-                    if bounds["lo"] is None:
-                        if next_cur == cursor:
-                            return {
-                                "mode": "noop",
-                                "affected_months": 0,
-                                "seq": seq or None,
-                            }
-                        # Cursor moved with an empty delta (e.g. a
-                        # preserved rewrite crossing): commit the new
-                        # cursor over unchanged rows so the next poll
-                        # does not re-prove the crossing.
-                        new_rows = None
-                        affected_months = []
-                    else:
-                        new_rows, affected_months = self._recompute(
-                            stype, delta, bounds
-                        )
+                # The stale-scan retry wraps the WHOLE tick body, not
+                # just _commit: the delta-bounds and affected-months
+                # collects materialize the same lazily-planned scan,
+                # and a cross-host rewrite pruning that version
+                # mid-plan must re-poll from a fresh read, not surface
+                # as a raw Spark job failure.
                 try:
+                    rebuild = cursor is None or next_cur.get("reset")
+                    if rebuild:
+                        # The reset frame IS the current snapshot —
+                        # one scan.
+                        new_rows = self._aggregate(
+                            delta.filter(F.col("_change_type") == "insert")
+                            .drop("_change_type")
+                        )
+                        affected_months = None  # everything
+                    else:
+                        bounds = delta.agg(
+                            F.min("time").alias("lo"),
+                            F.max("time").alias("hi"),
+                        ).collect()[0]
+                        if bounds["lo"] is None:
+                            if next_cur == cursor:
+                                return {
+                                    "mode": "noop",
+                                    "affected_months": 0,
+                                    "seq": seq or None,
+                                }
+                            # Cursor moved with an empty delta (e.g. a
+                            # preserved rewrite crossing): commit the new
+                            # cursor over unchanged rows so the next poll
+                            # does not re-prove the crossing.
+                            new_rows = None
+                            affected_months = []
+                        else:
+                            new_rows, affected_months = self._recompute(
+                                stype, delta, bounds
+                            )
                     committed = self._commit(
                         path, seq, data, new_rows, affected_months,
                         next_cur,
@@ -463,16 +471,27 @@ class RollupStore:
         priced as such."""
         start = _utc_naive(start)
         end = _utc_naive(end)
-        cursor = self.committed_cursor(stype)
-        if cursor is None:
-            return self._direct_buckets(stype, start, end)
-        tail, tail_cur = self.lake.changes(stype, cursor, cdc=True)
-        rollup = self.read(stype, start, end)
-        if tail_cur.get("reset"):
-            return self._direct_buckets(stype, start, end)
-        bounds = tail.agg(
-            F.min("time").alias("lo"), F.max("time").alias("hi")
-        ).collect()[0]
+        # The tail-bounds collect materializes the feed's lazy plan; a
+        # cross-host rewrite pruning that version mid-plan surfaces as
+        # a stale-scan job failure — re-poll from a fresh cursor read
+        # (same discipline as refresh), bounded, then raise.
+        for attempt in range(3):
+            cursor = self.committed_cursor(stype)
+            if cursor is None:
+                return self._direct_buckets(stype, start, end)
+            tail, tail_cur = self.lake.changes(stype, cursor, cdc=True)
+            rollup = self.read(stype, start, end)
+            if tail_cur.get("reset"):
+                return self._direct_buckets(stype, start, end)
+            try:
+                bounds = tail.agg(
+                    F.min("time").alias("lo"), F.max("time").alias("hi")
+                ).collect()[0]
+            except Exception as e:  # noqa: BLE001 — filtered below
+                if _is_stale_scan_error(e) and attempt < 2:
+                    continue
+                raise
+            break
         if bounds["lo"] is None:
             return rollup
         # Replace ONLY the tail's buckets: recomputed rows in, the

@@ -957,6 +957,16 @@ def test_admin_retention_expires_old_months(spark, tmp_path):
         r2 = c.post("/api/v1/admin/retention?before=1700000000")
         assert r2.status_code == 200
         assert r2.get_json()["tables"] == {}
+        # A NAIVE ISO cutoff is UTC (the lake's storage contract), not
+        # host-local — on any TZ the cutoff month must be stable
+        # (round 11: _parse_ts mirrored on _parse_rfc3339).
+        r3 = c.post("/api/v1/admin/retention?before=2024-03-01T00:00:00")
+        assert r3.status_code == 200
+        assert r3.get_json()["cutoff_month"] == "2024-03"
+        # Out-of-range epoch raises OverflowError inside, surfaces 400.
+        assert c.post(
+            "/api/v1/admin/retention?before=1e20"
+        ).status_code == 400
 
 
 def test_rollup_routes_serve_maintained_aggregates(spark, tmp_path):
@@ -1069,3 +1079,8 @@ def test_series_at_seq_time_travel(spark, tmp_path):
         assert c.get(
             f"/series/{sid}?at_seq=99"
         ).status_code == 410
+        # Malformed at_seq is a 400, NOT a silent read of the current
+        # version — Flask's type=int would swallow it (round 11).
+        r = c.get(f"/series/{sid}?at_seq=abc")
+        assert r.status_code == 400
+        assert "at_seq" in r.get_json()["error"]
