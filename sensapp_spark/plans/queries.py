@@ -415,6 +415,16 @@ def catalog_label_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM vals
     WHERE event_id % 10 = 0 AND (value IS NULL OR isfinite(value))
     GROUP BY sensor_id, date_trunc('hour', time)
+    UNION ALL
+    SELECT 'served', v.sensor_id, g.t,
+           COUNT(*), ROUND(SUM(v.value) / COUNT(*), 6),
+           MIN(v.value), MAX(v.value), CAST(NULL AS DOUBLE)
+    FROM generate_series(TIMESTAMP '2024-01-10 00:00:00',
+                         TIMESTAMP '2024-01-12 00:00:00',
+                         INTERVAL 1 HOUR) AS g(t)
+    JOIN vals v ON v.time >= g.t - INTERVAL 2 HOUR AND v.time <= g.t
+    WHERE v.event_id % 10 = 0 AND (v.value IS NULL OR isfinite(v.value))
+    GROUP BY v.sensor_id, g.t
     """,
 )
 def downsample_rate_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -424,10 +434,14 @@ def downsample_rate_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``continuous`` — the same hourly quartet served from an
     INCREMENTALLY MAINTAINED RollupStore (storage/rollup.py), built
     in-entry in two refresh ticks so the hash gate proves
-    maintained == direct aggregation. The ad-hoc arms are
-    single-shuffle partial aggregations — shuffle bytes ∝ buckets,
-    not samples, at any scale; the continuous arm is what a dashboard
-    reads INSTEAD of them at 100 TB."""
+    maintained == direct aggregation — and ``served`` (round 11) —
+    closed range windows folded from that rollup's buckets + edge
+    quartet (query/rollup_serve.py), the path /api/v1/query_range now
+    auto-routes through, pinned against the oracle recomputing the
+    same windows from raw. The ad-hoc arms are single-shuffle partial
+    aggregations — shuffle bytes ∝ buckets, not samples, at any
+    scale; the continuous/served arms are what a dashboard reads
+    INSTEAD of them at 100 TB."""
     sensors = td.events_sensors(spark, sf_dir)
     vals = td.events_values(spark, sf_dir)
     joined = vals.join(F.broadcast(sensors.select("sensor_id", "name")), "sensor_id")
@@ -506,7 +520,47 @@ def downsample_rate_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vmax").alias("max_value"),
         F.lit(None).cast("double").alias("rate"),
     )
-    return down.unionByName(rate).unionByName(cont)
+    # ``served`` (round 11): rollup-SERVED closed range windows
+    # (query/rollup_serve.py — what /api/v1/query_range now reads
+    # instead of raw rows when the window arithmetic is
+    # grain-compatible). Step grid 1h over [Jan 10, Jan 12], window
+    # [t−2h, t] INCLUSIVE-BOTH (Q5 semantics): each window folds from
+    # two full buckets plus the edge quartet of the boundary bucket.
+    # The oracle recomputes the same closed windows directly from the
+    # thinned raw rows — rollup-served == raw truth is the whole
+    # point of the serving path.
+    from sensapp_spark.query.rollup_serve import range_windows
+
+    g_start = dt.datetime(2024, 1, 10)
+    start_us = int(
+        g_start.replace(tzinfo=dt.timezone.utc).timestamp() * 1e6
+    )
+    # realtime=False: the store is fully refreshed two lines up, so
+    # the committed read is exact here and skips the feed poll + tail
+    # recompute (realtime-tail exactness is pinned by
+    # tests/test_rollup_serve.py); keeps the in-entry verification
+    # cost bounded (r10 verdict watch item 3).
+    win = range_windows(
+        store, SensorType.FLOAT,
+        start=g_start, end=dt.datetime(2024, 1, 12),
+        step_seconds=3600, window_seconds=7200, realtime=False,
+    )
+    served = win.select(
+        F.lit("served").alias("kind"),
+        F.col("sensor_id").alias("series"),
+        F.timestamp_micros(
+            (F.lit(start_us) + F.col("__i") * F.lit(3_600_000_000))
+            .cast("long")
+        ).alias("bucket"),
+        F.col("cnt").alias("n"),
+        F.round(F.col("vsum") / F.col("cnt"), 6).alias("avg_value"),
+        F.col("vmin").alias("min_value"),
+        F.col("vmax").alias("max_value"),
+        F.lit(None).cast("double").alias("rate"),
+    )
+    return (
+        down.unionByName(rate).unionByName(cont).unionByName(served)
+    )
 
 
 # ---------------------------------------------------------------------------

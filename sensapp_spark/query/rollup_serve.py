@@ -1,0 +1,314 @@
+"""Serve range queries from the maintained continuous aggregate.
+
+The reference re-aggregates raw rows for every dashboard query
+(src/storage/*/queries re-scan per call); its ClickHouse backend keeps
+AggregatingMergeTree materialized views precisely to avoid that
+(src/storage/clickhouse/migrations/20240223133248_init.sql:133-146).
+This module is the Spark-side analogue's QUERY path: when a range
+query's window arithmetic is grain-compatible with a maintained
+RollupStore, ``/api/v1/query_range`` folds the answer from rollup
+buckets instead of re-scanning raw samples — measured 5.4× less IO at
+10× (BASELINE.md), and the gap is the table-to-rollup size ratio, so
+it widens with scale.
+
+Exactness, not approximation: the engine's range windows are CLOSED
+``[t−R, t]`` (Q5 semantics) while rollup buckets are half-open
+``[b, b+g)``. A closed window folds exactly from half-open buckets as
+
+    window(t) = fold(buckets [t−R, t−g]) ⊕ edge-stats(bucket t)
+
+where the edge quartet (``ecnt/esum/emin/emax`` — samples at exactly
+the bucket's left boundary) is maintained in the rollup row for this
+purpose (storage/rollup.py). Serveability is therefore a pure
+plan-time window-arithmetic check — R, step, start−offset all
+multiples of the grain — and the served result is hash-identical to
+the raw path, letting the HTTP route auto-route with zero semantic
+drift and an honest fallback to raw for everything else.
+
+Plan shape: rollup buckets explode to the step indices whose window
+covers them (fan-out R/g per bucket — the bucket-level analogue of
+evaluate_range's sample explode, over ~samples/bucket fewer rows),
+union the boundary-edge rows, then ONE groupBy (sensor, step) with
+map-side partials. The tail (label joins, aggregations, post-ops)
+reuses promql_ext._finish_range verbatim, so everything above the
+per-series window reduction behaves identically by construction.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from sensapp_spark.datamodel.types import SensorType
+from sensapp_spark.operators.selection import select_sensors
+from sensapp_spark.storage.rollup import RollupStore
+
+__all__ = [
+    "ROLLUP_SERVE_FUNCS",
+    "rollup_serveable",
+    "range_windows",
+    "evaluate_range_rollup",
+    "maintained_grains",
+]
+
+# The per-series window reductions a cnt/vsum/vmin/vmax quartet can
+# answer exactly. rate/increase need first/last samples, last_over_time
+# the last one, stddev would need sum-of-squares — all honest fallbacks
+# to raw (extending the quartet with vsum2 would admit stddev; the five
+# below are the dashboard staples).
+ROLLUP_SERVE_FUNCS = frozenset(
+    [
+        "sum_over_time",
+        "count_over_time",
+        "min_over_time",
+        "max_over_time",
+        "avg_over_time",
+    ]
+)
+
+
+def _epoch_us(t: dt.datetime) -> int:
+    if t.tzinfo is None:
+        t = t.replace(tzinfo=dt.timezone.utc)
+    return int(t.timestamp() * 1_000_000)
+
+
+def _offset_us(eq, now: dt.datetime | None) -> int:
+    """The selector's offset in µs — same derivation as
+    promql_ext.evaluate_range (offset = parse anchor − selector end)."""
+    if now is None:
+        return 0
+    return max(0, _epoch_us(now) - _epoch_us(eq.selector.end_time))
+
+
+def rollup_serveable(
+    eq,
+    grain_s: int,
+    start: dt.datetime,
+    step_seconds: float,
+    now: dt.datetime | None = None,
+) -> bool:
+    """True iff ``eq`` evaluated at steps ``start + i·step`` folds
+    EXACTLY from a grain_s rollup: the shape is a quartet-expressible
+    range function over one selector (aggregations/post-ops on top are
+    fine — they apply to per-series per-step values either way), and
+    every window endpoint lands on a bucket boundary."""
+    # Shape gates — anything here falls back to the raw path (which
+    # either evaluates it or raises its own didactic error).
+    if (
+        eq is None
+        or getattr(eq, "selector", None) is None
+        or eq.const is not None
+        or eq.sub_inner is not None
+        or eq.at_fixed
+        or eq.sort is not None
+        or eq.hist_quantile is not None
+        or eq.hist_fraction is not None
+        or eq.series_post
+        or eq.func not in ROLLUP_SERVE_FUNCS
+    ):
+        return False
+    g_us = grain_s * 1_000_000
+    r_us = int(
+        (eq.selector.end_time - eq.selector.start_time).total_seconds()
+        * 1_000_000
+    )
+    s_us = int(step_seconds * 1_000_000)
+    off_us = _offset_us(eq, now)
+    return (
+        r_us > 0
+        and r_us % g_us == 0
+        and s_us % g_us == 0
+        and (_epoch_us(start) - off_us) % g_us == 0
+    )
+
+
+def range_windows(
+    store: RollupStore,
+    stype: SensorType,
+    start: dt.datetime,
+    end: dt.datetime,
+    step_seconds: float,
+    window_seconds: float,
+    offset_us: int = 0,
+    sensor_ids: DataFrame | None = None,
+    realtime: bool = True,
+) -> DataFrame:
+    """Per-(sensor, step) closed-window quartet from rollup buckets:
+    for each step t_i = start + i·step in [start, end], aggregate the
+    samples in [t_i − offset − W, t_i − offset] as
+    ``(sensor_id, __i, cnt, vsum, vmin, vmax)``. Alignment (W, step,
+    start−offset all multiples of the grain) is the CALLER's contract
+    (checked by :func:`rollup_serveable`); this function asserts it.
+
+    ``realtime`` reads rollup ∪ recomputed live tail — exact even
+    against rows the maintainer has not refreshed yet. ``sensor_ids``
+    (a 1-column DataFrame) semi-joins BEFORE the step explode so an
+    over-selective matcher prunes the fan-out, not just the output.
+    """
+    g_us = store.grain_s * 1_000_000
+    r_us = int(window_seconds * 1_000_000)
+    s_us = int(step_seconds * 1_000_000)
+    start_us = _epoch_us(start)
+    if r_us % g_us or s_us % g_us or (start_us - offset_us) % g_us:
+        raise ValueError(
+            "rollup-served windows need W, step, start-offset to be "
+            f"multiples of the {store.grain_s}s grain"
+        )
+    n_steps = (_epoch_us(end) - start_us) // s_us
+    epoch = dt.datetime(1970, 1, 1)
+    scan_lo = epoch + dt.timedelta(
+        microseconds=start_us - offset_us - r_us
+    )
+    scan_hi = epoch + dt.timedelta(
+        microseconds=start_us + n_steps * s_us - offset_us
+    )
+    buckets = (
+        store.read_realtime(stype, scan_lo, scan_hi)
+        if realtime
+        else store.read(stype, scan_lo, scan_hi)
+    )
+    if sensor_ids is not None:
+        buckets = buckets.join(
+            F.broadcast(sensor_ids), "sensor_id", "leftsemi"
+        )
+    # Shifted bucket clock: τ = bucket + offset, so step windows are
+    # [t_i − W, t_i] on the τ axis with integer-µs arithmetic.
+    tau = F.unix_micros("bucket") + F.lit(offset_us)
+    # FULL contribution: bucket [b, b+g) ⊂ [t_i − W, t_i] ⟺
+    # t_i − W ≤ τ and τ + g ≤ t_i ⟺ ceil((τ+g−start)/s) ≤ i ≤
+    # floor((τ+W−start)/s). ceil via negated floor stays integral.
+    i0 = F.greatest(
+        F.lit(0),
+        -F.floor(-(tau + F.lit(g_us) - F.lit(start_us)) / F.lit(s_us))
+        .cast("long"),
+    )
+    i1 = F.least(
+        F.lit(n_steps),
+        F.floor((tau + F.lit(r_us) - F.lit(start_us)) / F.lit(s_us))
+        .cast("long"),
+    )
+    full = (
+        buckets.filter(i0 <= i1)
+        .withColumn("__i", F.explode(F.sequence(i0, i1)))
+        .select("sensor_id", "__i", "cnt", "vsum", "vmin", "vmax")
+    )
+    # EDGE contribution: the closed window's right endpoint t_i is the
+    # LEFT boundary of bucket t_i — only that bucket's boundary-exact
+    # samples (the edge quartet) are inside the window.
+    d = tau - F.lit(start_us)
+    edge = (
+        buckets.filter(
+            (d >= 0)
+            & (d % F.lit(s_us) == 0)
+            & (d / F.lit(s_us) <= n_steps)
+            & (F.col("ecnt") > 0)
+        )
+        .select(
+            "sensor_id",
+            (d / F.lit(s_us)).cast("long").alias("__i"),
+            F.col("ecnt").alias("cnt"),
+            F.col("esum").alias("vsum"),
+            F.col("emin").alias("vmin"),
+            F.col("emax").alias("vmax"),
+        )
+    )
+    return (
+        full.unionByName(edge)
+        .groupBy("sensor_id", "__i")
+        .agg(
+            F.sum("cnt").alias("cnt"),
+            F.sum("vsum").alias("vsum"),
+            F.min("vmin").alias("vmin"),
+            F.max("vmax").alias("vmax"),
+        )
+        # A window no sample falls in produces NO row (PromQL): every
+        # contributing bucket row carries cnt ≥ 1, so this only guards
+        # degenerate all-edge-zero unions.
+        .filter(F.col("cnt") > 0)
+    )
+
+
+def _func_value(func: str):
+    """The quartet expression for one served window reduction (built
+    lazily — Column construction needs an active session)."""
+    return {
+        "sum_over_time": F.col("vsum"),
+        "count_over_time": F.col("cnt").cast("double"),
+        "min_over_time": F.col("vmin"),
+        "max_over_time": F.col("vmax"),
+        "avg_over_time": F.col("vsum") / F.col("cnt"),
+    }[func]
+
+
+def evaluate_range_rollup(
+    store: RollupStore,
+    sensors: DataFrame,
+    eq,
+    start: dt.datetime,
+    end: dt.datetime,
+    step_seconds: float,
+    now: dt.datetime | None = None,
+    stype: SensorType = SensorType.FLOAT,
+    realtime: bool = True,
+) -> DataFrame:
+    """promql_ext.evaluate_range, served from the rollup: same output
+    frame, same tail (_finish_range — label ops, aggregations,
+    topk/bottomk, post functions apply identically), but the scan reads
+    rollup buckets instead of raw samples. Caller must have checked
+    :func:`rollup_serveable`."""
+    from sensapp_spark.query.promql_ext import _finish_range
+
+    q = eq.selector
+    off_us = _offset_us(eq, now)
+    window_s = (q.end_time - q.start_time).total_seconds()
+    selected = select_sensors(sensors, q.matchers)
+    win = range_windows(
+        store,
+        stype,
+        start,
+        end,
+        step_seconds,
+        window_s,
+        offset_us=off_us,
+        sensor_ids=selected.select("sensor_id"),
+        realtime=realtime,
+    )
+    s_us = int(step_seconds * 1_000_000)
+    start_us = _epoch_us(start)
+    t_col = F.timestamp_micros(
+        (F.lit(start_us) + F.col("__i") * F.lit(s_us)).cast("long")
+    ).alias("t")
+    out = win.select(
+        "sensor_id", "__i", _func_value(eq.func).alias("value")
+    ).join(
+        F.broadcast(selected.select("sensor_id", "name", "labels")),
+        "sensor_id",
+    )
+    return _finish_range(out, eq, t_col)
+
+
+def maintained_grains(lake, stype: SensorType = SensorType.FLOAT) -> list[int]:
+    """The grains (seconds, descending) with a COMMITTED rollup for
+    ``stype`` under this lake — one listdir + one committed-pointer
+    read per candidate, no Spark jobs. Descending so the first
+    serveable grain is the coarsest (fewest bucket rows scanned)."""
+    import os
+    import re as _re
+
+    from sensapp_spark.storage.lake import resolve_table
+
+    root = os.path.join(lake.root, "_rollups")
+    try:
+        entries = os.listdir(root)
+    except OSError:
+        return []
+    pat = _re.compile(rf"^{stype.name.lower()}_(\d+)s$")
+    grains = []
+    for name in entries:
+        m = pat.match(name)
+        if m and resolve_table(os.path.join(root, name)) is not None:
+            grains.append(int(m.group(1)))
+    return sorted(grains, reverse=True)

@@ -951,6 +951,38 @@ def create_app(
                     "not supported; evaluate them as instant queries."
                 }
             ), 400
+        # Auto-route grain-compatible range queries through the
+        # MAINTAINED continuous aggregate (query/rollup_serve.py):
+        # exact — the rollup's edge quartet makes closed windows fold
+        # precisely from half-open buckets — so no opt-in is needed,
+        # only an opt-out (?rollup=0) for A/B verification. The served
+        # plan reads rollup buckets (∪ recomputed live tail), never
+        # the raw value table; X-Served-From says which path answered.
+        served_from = "raw"
+        out = None
+        if request.args.get("rollup", "auto").lower() not in (
+            "0", "off", "false"
+        ):
+            from sensapp_spark.query.rollup_serve import (
+                evaluate_range_rollup,
+                maintained_grains,
+                rollup_serveable,
+            )
+            from sensapp_spark.storage.rollup import RollupStore
+
+            for g in maintained_grains(lake, SensorType.FLOAT):
+                if rollup_serveable(eq, g, start, step, now_parse):
+                    out = evaluate_range_rollup(
+                        RollupStore(lake, grain_s=g),
+                        lake.sensors(),
+                        eq,
+                        start=start,
+                        end=end,
+                        step_seconds=step,
+                        now=now_parse,
+                    )
+                    served_from = f"rollup-{g}s"
+                    break
         lookback = eq.selector.end_time - eq.selector.start_time
         if eq.sub_inner is not None:
             # A subquery's earliest outer step reaches back its range
@@ -962,7 +994,7 @@ def create_app(
         )
         scan_lo = start - lookback - offset
         scan_hi = end
-        if eq.at_fixed:
+        if out is None and eq.at_fixed:
             # A fixed `@` anchor pins the selector's sample window
             # absolutely — it may lie entirely outside [start, end]
             # (e.g. an anchor later than `end`, where `offset` clamps
@@ -981,25 +1013,26 @@ def create_app(
                 if eq.sub_inner is not None else dt.timedelta(0)
             ))
             scan_hi = max(scan_hi, _naive(eq.selector.end_time))
-        try:
-            out = evaluate_range(
-                lake.sensors(),
-                lake.values(
-                    SensorType.FLOAT,
-                    scan_lo,
-                    scan_hi,
-                    sensor_ids=_probe_matched_ids(eq),
-                ),
-                eq,
-                start=start,
-                end=end,
-                step_seconds=step,
-                now=now_parse,
-            )
-        except PromQLError as e:
-            # Shapes evaluate_range rejects (subqueries,
-            # histogram_quantile) are client errors, not 500s.
-            return jsonify({"error": str(e)}), 400
+        if out is None:
+            try:
+                out = evaluate_range(
+                    lake.sensors(),
+                    lake.values(
+                        SensorType.FLOAT,
+                        scan_lo,
+                        scan_hi,
+                        sensor_ids=_probe_matched_ids(eq),
+                    ),
+                    eq,
+                    start=start,
+                    end=end,
+                    step_seconds=step,
+                    now=now_parse,
+                )
+            except PromQLError as e:
+                # Shapes evaluate_range rejects (subqueries,
+                # histogram_quantile) are client errors, not 500s.
+                return jsonify({"error": str(e)}), 400
         # ISO-format the step timestamp explicitly (Flask would render
         # datetime values as RFC-822 strings).
         from pyspark.sql import functions as F
@@ -1032,7 +1065,7 @@ def create_app(
                 )["values"].append([t, v])
             for entry in series.values():
                 entry["values"].sort(key=lambda tv: tv[0])
-            return jsonify(
+            resp = jsonify(
                 {
                     "status": "success",
                     "data": {
@@ -1041,7 +1074,11 @@ def create_app(
                     },
                 }
             )
-        return jsonify({"result": rows})
+            resp.headers["X-Served-From"] = served_from
+            return resp
+        resp = jsonify({"result": rows})
+        resp.headers["X-Served-From"] = served_from
+        return resp
 
     # Beyond-reference: Prometheus HTTP-API label browsing (the
     # response envelope is Prometheus' {"status","data"} shape).

@@ -80,11 +80,20 @@ class RollupStore:
     Numeric value tables only (FLOAT/INTEGER) — min/sum over strings
     or blobs is not a rollup. The rollup row is the standard mergeable
     quartet ``cnt/vsum/vmin/vmax`` (avg = vsum/cnt derives; anything
-    non-mergeable like exact quantiles must come from raw)."""
+    non-mergeable like exact quantiles must come from raw), plus the
+    EDGE quartet ``ecnt/esum/emin/emax`` over only the samples whose
+    time is exactly the bucket's left boundary. Buckets are half-open
+    ``[b, b+grain)`` but the engine's range windows are CLOSED
+    ``[t-R, t]`` (Q5 semantics) — the edge stats are precisely the
+    correction term that makes a closed window fold exactly from
+    half-open buckets (query/rollup_serve.py), so the maintained
+    rollup can serve ``/api/v1/query_range`` with zero semantic
+    drift from the raw path."""
 
     SCHEMA = (
         "sensor_id string, bucket timestamp, cnt long, "
-        "vsum double, vmin double, vmax double"
+        "vsum double, vmin double, vmax double, "
+        "ecnt long, esum double, emin double, emax double"
     )
     _NUMERIC = (SensorType.FLOAT, SensorType.INTEGER, SensorType.NUMERIC)
 
@@ -124,16 +133,27 @@ class RollupStore:
 
     def _aggregate(self, rows: DataFrame) -> DataFrame:
         """The one aggregation shape — full rebuilds and bucket
-        recomputes both use it, so they cannot drift."""
+        recomputes both use it, so they cannot drift. The edge quartet
+        conditions on "sample time IS the bucket's left boundary"
+        (µs-exact); F.count over the when() is 0 for edge-less buckets
+        while esum/emin/emax stay null — both merge transparently
+        (sum/min/max ignore nulls)."""
+        g_us = self.grain_s * 1_000_000
+        edge = (F.unix_micros(F.col("time")) % F.lit(g_us)) == 0
+        val = F.col("value").cast("double")
         return (
             rows.groupBy(
                 "sensor_id", self._bucket(F.col("time")).alias("bucket")
             )
             .agg(
                 F.count("*").alias("cnt"),
-                F.sum(F.col("value").cast("double")).alias("vsum"),
-                F.min(F.col("value").cast("double")).alias("vmin"),
-                F.max(F.col("value").cast("double")).alias("vmax"),
+                F.sum(val).alias("vsum"),
+                F.min(val).alias("vmin"),
+                F.max(val).alias("vmax"),
+                F.count(F.when(edge, 1)).alias("ecnt"),
+                F.sum(F.when(edge, val)).alias("esum"),
+                F.min(F.when(edge, val)).alias("emin"),
+                F.max(F.when(edge, val)).alias("emax"),
             )
             .withColumn(MONTH_COL, F.date_format("bucket", "yyyy-MM"))
         )
@@ -343,7 +363,7 @@ class RollupStore:
                 # count stays flat across refresh ticks.
                 new_rows.select(
                     "sensor_id", "bucket", "cnt", "vsum", "vmin",
-                    "vmax", MONTH_COL,
+                    "vmax", "ecnt", "esum", "emin", "emax", MONTH_COL,
                 ).repartition(F.col(MONTH_COL)).write.partitionBy(
                     MONTH_COL
                 ).mode("overwrite").parquet(vdir)
@@ -416,6 +436,11 @@ class RollupStore:
             F.floor(F.unix_micros(F.col("bucket")) / F.lit(g_us))
             .cast("long") * fold_grain_s
         )
+        # The folded bucket's edge quartet is the edge quartet of the
+        # ONE fine bucket sitting at its left boundary — samples at
+        # exactly the folded edge are by definition at that fine
+        # bucket's edge too.
+        at_edge = F.col("bucket") == folded
         out = (
             fine.groupBy("sensor_id", folded.alias("bucket"))
             .agg(
@@ -423,6 +448,12 @@ class RollupStore:
                 F.sum("vsum").alias("vsum"),
                 F.min("vmin").alias("vmin"),
                 F.max("vmax").alias("vmax"),
+                F.coalesce(
+                    F.sum(F.when(at_edge, F.col("ecnt"))), F.lit(0)
+                ).alias("ecnt"),
+                F.sum(F.when(at_edge, F.col("esum"))).alias("esum"),
+                F.min(F.when(at_edge, F.col("emin"))).alias("emin"),
+                F.max(F.when(at_edge, F.col("emax"))).alias("emax"),
             )
         )
         if start is not None:

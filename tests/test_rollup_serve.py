@@ -1,0 +1,317 @@
+"""Rollup-served range queries (query/rollup_serve.py): the maintained
+continuous aggregate must answer grain-compatible range queries
+EXACTLY — hash-equal to promql_ext.evaluate_range over raw rows —
+including the closed-window boundary samples that the edge quartet
+exists for, rows the maintainer has not refreshed yet (realtime tail),
+offset modifiers, and every aggregation/post-op layered on top. The
+oracle in every test is the raw evaluator itself."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from sensapp_spark.datamodel.types import SensorType
+from sensapp_spark.query.promql_ext import evaluate_range, parse_extended
+from sensapp_spark.query.rollup_serve import (
+    evaluate_range_rollup,
+    maintained_grains,
+    range_windows,
+    rollup_serveable,
+)
+from sensapp_spark.storage.lake import SensorLake
+from sensapp_spark.storage.rollup import RollupStore
+
+T0 = dt.datetime(2024, 1, 1)  # hour-aligned
+NOW = dt.datetime(2024, 1, 1, 12, 17, 3)  # NOT aligned — never matters
+H = 3600
+
+
+def _mk_lake(spark, tmp_path, rows):
+    """rows: (sensor_id, seconds_after_T0, value). Returns (lake,
+    sensors frame shaped like the dimension table)."""
+    lake = SensorLake(spark, str(tmp_path / "serve_lake"))
+    vals = spark.createDataFrame(
+        [(s, T0 + dt.timedelta(seconds=off), float(v))
+         for (s, off, v) in rows],
+        "sensor_id string, time timestamp, value double",
+    )
+    lake.append_values(SensorType.FLOAT, vals)
+    sensors = (
+        vals.select("sensor_id").distinct()
+        .select(
+            "sensor_id",
+            F.split("sensor_id", "/").getItem(0).alias("name"),
+            F.lit("Float").alias("type"),
+            F.lit(None).cast("string").alias("unit"),
+            F.lit(None).cast("string").alias("unit_description"),
+            F.create_map(
+                F.lit("site"), F.split("sensor_id", "/").getItem(1)
+            ).alias("labels"),
+        )
+    )
+    return lake, sensors
+
+
+# Samples deliberately include EXACT hour-boundary times (0, 3600,
+# 7200…) — the closed-window right-endpoint case a naive bucket fold
+# gets wrong — interleaved with mid-bucket times. Values are binary-
+# exact (k/4) so served == raw is equality, not approx.
+ROWS = [
+    ("m/a", 0, 1.25),        # exactly at T0 (bucket + window edges)
+    ("m/a", 1800, 2.5),
+    ("m/a", 3600, 4.0),      # exactly at T0+1h
+    ("m/a", 3600, -1.0),     # duplicate boundary instant
+    ("m/a", 5400, 0.25),
+    ("m/a", 10800, 9.0),     # exactly at T0+3h
+    ("m/b", 900, 3.0),
+    ("m/b", 7200, -2.75),    # exactly at T0+2h
+    ("m/b", 7201, 8.0),
+    ("m/b", 13500, 1.0),
+    ("n/a", 3600, 100.0),    # different metric name
+]
+
+
+def _rows(df):
+    out = []
+    for r in df.collect():
+        d = r.asDict(recursive=True)
+        v = d.pop("value")
+        key = tuple(sorted(
+            (k, tuple(sorted(val.items())) if isinstance(val, dict)
+             else val)
+            for k, val in d.items()
+        ))
+        out.append((key, v))
+    out.sort(key=lambda kv: str(kv[0]))
+    return out
+
+
+def _assert_served_equals_raw(store, lake, sensors, expr, start, end,
+                              step, realtime=True):
+    eq = parse_extended(expr, now=NOW)
+    assert rollup_serveable(eq, store.grain_s, start, step, now=NOW), expr
+    served = evaluate_range_rollup(
+        store, sensors, eq, start, end, step, now=NOW, realtime=realtime
+    )
+    raw = evaluate_range(
+        sensors, lake.values(SensorType.FLOAT), eq,
+        start=start, end=end, step_seconds=step, now=NOW,
+    )
+    s, w = _rows(served), _rows(raw)
+    assert [k for k, _ in s] == [k for k, _ in w], expr
+    for (ks, vs), (_, vw) in zip(s, w):
+        assert vs == pytest.approx(vw, rel=1e-12, abs=1e-12), (expr, ks)
+
+
+@pytest.fixture(scope="module")
+def served_lake(spark, tmp_path_factory):
+    lake, sensors = _mk_lake(
+        spark, tmp_path_factory.mktemp("serve"), ROWS
+    )
+    store = RollupStore(lake, grain_s=H)
+    store.refresh(SensorType.FLOAT)
+    return lake, sensors, store
+
+
+FUNCS = ["sum_over_time", "count_over_time", "min_over_time",
+         "max_over_time", "avg_over_time"]
+
+
+@pytest.mark.parametrize("func", FUNCS)
+def test_served_equals_raw_all_funcs(served_lake, func):
+    """Tiling windows (step == range) — the dashboard shape — over
+    data with exact-boundary samples: the edge quartet must make the
+    closed-window fold sample-exact for every quartet function."""
+    lake, sensors, store = served_lake
+    _assert_served_equals_raw(
+        store, lake, sensors, f"{func}(m[1h])",
+        start=T0 + dt.timedelta(hours=1), end=T0 + dt.timedelta(hours=4),
+        step=3600,
+    )
+
+
+def test_served_overlapping_and_gapped_windows(served_lake):
+    """range > step (sliding/overlapping) and range < step (gapped)
+    both fold exactly — the explode index math, not luck."""
+    lake, sensors, store = served_lake
+    _assert_served_equals_raw(
+        store, lake, sensors, "sum_over_time(m[3h])",
+        start=T0 + dt.timedelta(hours=1), end=T0 + dt.timedelta(hours=4),
+        step=3600,
+    )
+    _assert_served_equals_raw(
+        store, lake, sensors, "max_over_time(m[1h])",
+        start=T0 + dt.timedelta(hours=1), end=T0 + dt.timedelta(hours=4),
+        step=7200,
+    )
+
+
+def test_served_with_offset_and_matchers(served_lake):
+    """offset (a grain multiple) shifts the served windows identically
+    to the raw path; label matchers prune the same series."""
+    lake, sensors, store = served_lake
+    _assert_served_equals_raw(
+        store, lake, sensors, "sum_over_time(m[1h] offset 1h)",
+        start=T0 + dt.timedelta(hours=2), end=T0 + dt.timedelta(hours=4),
+        step=3600,
+    )
+    _assert_served_equals_raw(
+        store, lake, sensors, 'avg_over_time(m{site="b"}[2h])',
+        start=T0 + dt.timedelta(hours=2), end=T0 + dt.timedelta(hours=4),
+        step=3600,
+    )
+
+
+def test_served_with_aggregations_and_post_ops(served_lake):
+    """Everything above the window reduction reuses _finish_range —
+    pin a representative stack of each layer anyway."""
+    lake, sensors, store = served_lake
+    for expr in [
+        "sum(sum_over_time(m[1h]))",
+        "max by (site) (avg_over_time(m[2h]))",
+        "abs(sum_over_time(m[1h]))",
+        "topk(1, count_over_time(m[1h]))",
+    ]:
+        _assert_served_equals_raw(
+            store, lake, sensors, expr,
+            start=T0 + dt.timedelta(hours=1),
+            end=T0 + dt.timedelta(hours=4), step=3600,
+        )
+
+
+def test_served_covers_unrefreshed_tail(served_lake, spark):
+    """Rows appended AFTER the last refresh must still be answered
+    exactly (read_realtime's recomputed tail) — the serving path can
+    never return stale buckets."""
+    lake, sensors, store = served_lake
+    lake.append_values(
+        SensorType.FLOAT,
+        spark.createDataFrame(
+            [("m/a", T0 + dt.timedelta(seconds=7200), 50.0),
+             ("m/b", T0 + dt.timedelta(seconds=9000), -9.5)],
+            "sensor_id string, time timestamp, value double",
+        ),
+    )
+    _assert_served_equals_raw(
+        store, lake, sensors, "sum_over_time(m[1h])",
+        start=T0 + dt.timedelta(hours=1), end=T0 + dt.timedelta(hours=4),
+        step=3600,
+    )
+    # Refresh folds the tail in; still exact (and back to rollup-only
+    # IO — test_served_plan_reads_rollup_not_raw pins that).
+    store.refresh(SensorType.FLOAT)
+    _assert_served_equals_raw(
+        store, lake, sensors, "min_over_time(m[2h])",
+        start=T0 + dt.timedelta(hours=2), end=T0 + dt.timedelta(hours=4),
+        step=3600,
+    )
+
+
+def test_serveability_gate(served_lake):
+    """Misaligned or quartet-inexpressible shapes must refuse — the
+    route's honest fallback to raw depends on this gate."""
+    lake, sensors, store = served_lake
+    aligned = T0 + dt.timedelta(hours=1)
+
+    def ok(expr, start=aligned, step=3600.0):
+        return rollup_serveable(
+            parse_extended(expr, now=NOW), store.grain_s, start, step,
+            now=NOW,
+        )
+
+    assert ok("sum_over_time(m[1h])")
+    assert not ok("sum_over_time(m[90m])")          # range % grain != 0
+    assert not ok("sum_over_time(m[1h])", step=1800)  # step % grain
+    assert not ok(                                   # start-offset % grain
+        "sum_over_time(m[1h])", start=aligned + dt.timedelta(minutes=7)
+    )
+    assert not ok("sum_over_time(m[1h] offset 30m)")  # offset % grain
+    assert not ok("rate(m[1h])")                     # needs samples
+    assert not ok("last_over_time(m[1h])")
+    assert not ok("stddev_over_time(m[1h])")
+    assert not ok("sum(abs(m))")                     # series_post on samples
+    assert not ok("m")                               # instant selector
+    assert not ok("max_over_time(m[1h] @ 1704070800)")  # fixed anchor
+
+
+def test_served_plan_reads_rollup_not_raw(served_lake):
+    """The whole point: once refreshed, the served plan's input files
+    live under _rollups/ — the raw value table is not scanned."""
+    lake, sensors, store = served_lake
+    store.refresh(SensorType.FLOAT)
+    eq = parse_extended("sum_over_time(m[1h])", now=NOW)
+    served = evaluate_range_rollup(
+        store, sensors, eq,
+        T0 + dt.timedelta(hours=1), T0 + dt.timedelta(hours=4), 3600,
+        now=NOW,
+    )
+    files = served.inputFiles()
+    assert files, "served plan should read committed rollup files"
+    assert all("_rollups" in f for f in files), files
+
+
+def test_maintained_grains_discovery(spark, tmp_path):
+    lake, sensors = _mk_lake(spark, tmp_path, ROWS[:3])
+    assert maintained_grains(lake) == []
+    RollupStore(lake, grain_s=3600).refresh(SensorType.FLOAT)
+    RollupStore(lake, grain_s=86400).refresh(SensorType.FLOAT)
+    assert maintained_grains(lake) == [86400, 3600]
+
+
+def test_range_windows_rejects_misalignment(served_lake):
+    lake, sensors, store = served_lake
+    with pytest.raises(ValueError, match="multiples of"):
+        range_windows(
+            store, SensorType.FLOAT,
+            T0 + dt.timedelta(hours=1), T0 + dt.timedelta(hours=2),
+            step_seconds=1800, window_seconds=3600,
+        )
+
+
+def test_gateway_query_range_auto_routes(spark, tmp_path):
+    """HTTP: with a maintained rollup, /api/v1/query_range answers
+    grain-compatible queries from it (X-Served-From: rollup-3600s) with
+    a body identical to ?rollup=0 (raw); incompatible shapes fall back
+    honestly."""
+    from sensapp_spark.server.app import create_app
+
+    lake = SensorLake(spark, str(tmp_path / "gw_lake"))
+    app = create_app(spark, lake)
+    app.testing = True
+    with app.test_client() as c:
+        c.post(
+            "/publish",
+            data="datetime,gw_m\n"
+                 "2024-01-01T00:00:00Z,1.25\n"
+                 "2024-01-01T00:30:00Z,2.5\n"
+                 "2024-01-01T01:00:00Z,4.0\n"
+                 "2024-01-01T02:15:00Z,0.5\n",
+            content_type="text/csv",
+        )
+        q = (
+            "/api/v1/query_range?query=sum_over_time(gw_m[1h])"
+            "&start=2024-01-01T01:00:00Z&end=2024-01-01T03:00:00Z"
+            "&step=3600"
+        )
+        # No rollup maintained yet → raw.
+        r0 = c.get(q)
+        assert r0.status_code == 200
+        assert r0.headers["X-Served-From"] == "raw"
+        assert c.post(
+            "/api/v1/admin/rollup/refresh"
+        ).status_code == 200
+        r1 = c.get(q)
+        assert r1.headers["X-Served-From"] == "rollup-3600s"
+        raw = c.get(q + "&rollup=0")
+        assert raw.headers["X-Served-From"] == "raw"
+        assert r1.get_json() == raw.get_json()
+        assert r1.get_json()["result"], "non-empty served result"
+        # Misaligned step falls back to raw — honestly, not wrongly.
+        r2 = c.get(q.replace("step=3600", "step=1800"))
+        assert r2.headers["X-Served-From"] == "raw"
+        # rate() is not quartet-expressible → raw.
+        r3 = c.get(q.replace("sum_over_time", "rate"))
+        assert r3.headers["X-Served-From"] == "raw"
