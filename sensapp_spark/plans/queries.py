@@ -1795,6 +1795,59 @@ def gapfill_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
               AND (value IS NULL OR isfinite(value))
         )
     ) WHERE rn <= 256
+    UNION ALL
+    SELECT 'kmv_cagg', CAST(bkt AS VARCHAR), NULL,
+           ROUND(CASE WHEN COUNT(*) < 256
+                      THEN CAST(COUNT(*) AS DOUBLE)
+                      ELSE (255.0 * 1152921504606846976.0) / MAX(h)
+                 END, 6)
+    FROM (
+        SELECT bkt, h, row_number() OVER (PARTITION BY bkt ORDER BY h)
+               AS rn
+        FROM (
+            SELECT DISTINCT date_trunc('hour', time) AS bkt,
+                   CAST(CONCAT('0x', SUBSTR(md5(sensor_id), 1, 15))
+                        AS UBIGINT) AS h
+            FROM vals
+            WHERE event_id % 10 = 0
+              AND (value IS NULL OR isfinite(value))
+        )
+    ) WHERE rn <= 256 GROUP BY bkt
+    UNION ALL
+    SELECT 'cms_cagg', CAST(p.bkt AS VARCHAR), p.sensor_id,
+           CAST(MIN(COALESCE(c.cnt, 0)) AS DOUBLE)
+    FROM (
+        SELECT bkt, sensor_id, 0 AS row,
+               CAST(CONCAT('0x', SUBSTR(md5(CONCAT('cms0|', sensor_id)),
+                    1, 15)) AS UBIGINT) % 512 AS bucket
+        FROM (SELECT DISTINCT date_trunc('hour', time) AS bkt, sensor_id
+              FROM vals WHERE event_id % 10 = 0
+                AND (value IS NULL OR isfinite(value)))
+        UNION ALL
+        SELECT bkt, sensor_id, 1,
+               CAST(CONCAT('0x', SUBSTR(md5(CONCAT('cms1|', sensor_id)),
+                    1, 15)) AS UBIGINT) % 512
+        FROM (SELECT DISTINCT date_trunc('hour', time) AS bkt, sensor_id
+              FROM vals WHERE event_id % 10 = 0
+                AND (value IS NULL OR isfinite(value)))
+    ) p LEFT JOIN (
+        SELECT date_trunc('hour', time) AS bkt, 0 AS row,
+               CAST(CONCAT('0x', SUBSTR(md5(CONCAT('cms0|', sensor_id)),
+                    1, 15)) AS UBIGINT) % 512 AS bucket,
+               COUNT(*) AS cnt
+        FROM vals WHERE event_id % 10 = 0
+          AND (value IS NULL OR isfinite(value))
+        GROUP BY 1, 3
+        UNION ALL
+        SELECT date_trunc('hour', time), 1,
+               CAST(CONCAT('0x', SUBSTR(md5(CONCAT('cms1|', sensor_id)),
+                    1, 15)) AS UBIGINT) % 512,
+               COUNT(*)
+        FROM vals WHERE event_id % 10 = 0
+          AND (value IS NULL OR isfinite(value))
+        GROUP BY 1, 3
+    ) c ON p.bkt = c.bkt AND p.row = c.row AND p.bucket = c.bucket
+    GROUP BY p.bkt, p.sensor_id
     """,
 )
 def catalog_metrics_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1825,6 +1878,14 @@ def catalog_metrics_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
       counter addition is lossless, so the sidecar fold is bit-equal
       to a scan-built sketch over the thinned rows (the oracle builds
       exactly that); every catalog sensor is probed.
+    * ``kmv_cagg`` / ``cms_cagg`` (round 11): the CONTINUOUS sketch
+      rollup (storage/rollup.py SketchRollupStore) — per-hour
+      distinct-series KMV estimates and per-(hour, sensor)
+      heavy-hitter CMS probes served from a table MAINTAINED in two
+      incremental refresh ticks off the changes feed, pinned against
+      the oracle replaying both estimators from the raw thinned rows.
+      This is metrics_summary's COUNT(DISTINCT sensor_id) dashboard
+      shape answered without a re-scan.
 
     Sketch math hand-checkable: estimates are ≥-true-count (CMS) /
     unbiased around truth (KMV), and at testdata scale collisions are
@@ -1879,13 +1940,26 @@ def catalog_metrics_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # kmv_sidecar: write a thinned lake, fold the PERSISTED per-file
     # sketches — query-time IO is the sidecar JSON only. append_values
     # drops non-finite floats, which the oracle replays (isfinite).
+    # Written in TWO halves with a SketchRollupStore refresh between
+    # (round 11) so the continuous-sketch arms below cover the
+    # incremental maintenance path, not just a fresh build.
+    from sensapp_spark.storage.rollup import SketchRollupStore
+
     lake = SensorLake(spark, _entry_lake_dir("kmv_lake", sf_dir))
+    thin = vals.filter(F.col("event_id") % 10 == 0)
+    sk_store = SketchRollupStore(lake, grain_s=3600)
     lake.append_values(
         SensorType.FLOAT,
-        vals.filter(F.col("event_id") % 10 == 0)
-        .drop("event_id")
-        .coalesce(8),
+        thin.filter(F.col("event_id") % 20 == 0)
+        .drop("event_id").coalesce(4),
     )
+    sk_store.refresh(SensorType.FLOAT)
+    lake.append_values(
+        SensorType.FLOAT,
+        thin.filter(F.col("event_id") % 20 != 0)
+        .drop("event_id").coalesce(4),
+    )
+    sk_store.refresh(SensorType.FLOAT)
     # The sidecar folds return None when coverage is incomplete (the
     # zone-map refresh is best-effort); honor that contract with the
     # documented fallback — the scan-based estimators, which compute
@@ -1919,11 +1993,41 @@ def catalog_metrics_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         + [("cms_sidecar", s, None, float(n)) for s, n in probed.items()],
         "op string, key_a string, key_b string, value double",
     )
+    # kmv_cagg / cms_cagg (round 11): the CONTINUOUS sketch rollup —
+    # per-hour distinct-series KMV and heavy-hitter CMS maintained by
+    # the two refresh ticks above (storage/rollup.py
+    # SketchRollupStore). This is metrics_summary's
+    # COUNT(DISTINCT sensor_id) per bucket
+    # (/root/reference/src/storage/sqlite/migrations/20250819144000_add_metrics_summary_view.sql:3-16)
+    # answered from a maintained table instead of a raw re-scan; the
+    # oracle replays both estimators bit-identically from the thinned
+    # rows via the portable md5-prefix hash.
+    sk_rows = sk_store.read(SensorType.FLOAT)
+    bucket_str = F.date_format("bucket", "yyyy-MM-dd HH:mm:ss")
+    kmv_cagg = sk_store.distinct_estimates(sk_rows).select(
+        F.lit("kmv_cagg").alias("op"),
+        bucket_str.alias("key_a"),
+        F.lit(None).cast("string").alias("key_b"),
+        F.col("distinct_series").alias("value"),
+    )
+    # Probe exactly the (bucket, sensor) pairs active in the lake —
+    # the "who was heavy in the hours they were active" shape.
+    pairs = lake.values(SensorType.FLOAT).select(
+        F.date_trunc("hour", "time").alias("bucket"), "sensor_id"
+    ).distinct()
+    cms_cagg = sk_store.heavy_hitters(sk_rows, pairs).select(
+        F.lit("cms_cagg").alias("op"),
+        bucket_str.alias("key_a"),
+        F.col("sensor_id").alias("key_b"),
+        F.col("rows_estimate").alias("value"),
+    )
     return (
         r_series.unionByName(r_rows)
         .unionByName(kmv)
         .unionByName(cms)
         .unionByName(sidecar)
+        .unionByName(kmv_cagg)
+        .unionByName(cms_cagg)
     )
 
 

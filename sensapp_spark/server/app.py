@@ -745,11 +745,22 @@ def create_app(
     @app.post("/api/v1/admin/rollup/refresh")
     def rollup_refresh():
         from sensapp_spark.storage.lake import resolve_table
-        from sensapp_spark.storage.rollup import RollupStore
+        from sensapp_spark.storage.rollup import (
+            RollupStore,
+            SketchRollupStore,
+        )
 
         try:
             grain = int(request.args.get("grain", "3600"))
-            store = RollupStore(lake, grain_s=grain)
+            # ?sketch=1 maintains the bucket-keyed SKETCH rollup
+            # (per-bucket KMV distinct-series + CMS heavy-hitters)
+            # instead of the quartet (round 11).
+            cls = (
+                SketchRollupStore
+                if request.args.get("sketch") in ("1", "true")
+                else RollupStore
+            )
+            store = cls(lake, grain_s=grain)
         except ValueError as e:
             return jsonify({"error": str(e)}), 400
         out = {}
@@ -758,6 +769,7 @@ def create_app(
                 continue
             out[stype.name.lower()] = store.refresh(stype)
         return jsonify({"status": "refreshed", "grain_s": grain,
+                        "sketch": cls is SketchRollupStore,
                         "tables": out})
 
     @app.get("/api/v1/rollup")
@@ -835,6 +847,91 @@ def create_app(
                 yield ln + "\n"
 
         return Response(resumed(), mimetype="application/jsonl")
+
+    # Beyond-reference (round 11): the CONTINUOUS sketch rollup's two
+    # read shapes — per-bucket distinct-series estimates (the
+    # metrics_summary COUNT(DISTINCT sensor_id) dashboard, served from
+    # the maintained table instead of a re-scan) and per-bucket
+    # heavy-hitter probes for a bounded id list (same 64-id cap as
+    # /admin/stats: the probe output is driver-collected).
+    def _sketch_store_from_args():
+        from sensapp_spark.storage.rollup import SketchRollupStore
+
+        grain = int(request.args.get("grain", "3600"))
+        stype = SensorType[request.args.get("type", "float").upper()]
+        store = SketchRollupStore(lake, grain_s=grain)
+        store._path(stype)  # numeric-table guard
+        start = (
+            _parse_ts(request.args["start"])
+            if "start" in request.args else None
+        )
+        end = (
+            _parse_ts(request.args["end"])
+            if "end" in request.args else None
+        )
+        realtime = request.args.get("realtime") in ("1", "true")
+        fold = request.args.get("fold")
+        if fold is not None:
+            rows = store.read_folded(
+                stype, int(fold), start, end, realtime=realtime
+            )
+        elif realtime:
+            rows = store.read_realtime(stype, start, end)
+        else:
+            rows = store.read(stype, start, end)
+        return store, rows
+
+    @app.get("/api/v1/rollup/distinct")
+    def rollup_distinct():
+        from pyspark.sql import functions as F
+
+        from sensapp_spark.exporters.text import rfc3339_col
+
+        try:
+            store, rows = _sketch_store_from_args()
+        except (KeyError, ValueError) as e:
+            return jsonify({"error": str(e)}), 400
+        est = store.distinct_estimates(rows).orderBy("bucket").select(
+            rfc3339_col(F.col("bucket")).alias("bucket"),
+            "distinct_series",
+        )
+        return jsonify({
+            "buckets": [r.asDict() for r in est.collect()]
+        })
+
+    @app.get("/api/v1/rollup/heavy")
+    def rollup_heavy():
+        from pyspark.sql import functions as F
+
+        from sensapp_spark.exporters.text import rfc3339_col
+
+        ids = [
+            s.strip()
+            for s in request.args.get("sensor_ids", "").split(",")
+            if s.strip()
+        ]
+        if not ids:
+            return jsonify({"error": "missing sensor_ids"}), 400
+        if len(ids) > 64:
+            return jsonify({"error": "sensor_ids is capped at 64 ids "
+                            "per call"}), 400
+        try:
+            store, rows = _sketch_store_from_args()
+        except (KeyError, ValueError) as e:
+            return jsonify({"error": str(e)}), 400
+        probes = spark.createDataFrame(
+            [(s,) for s in ids], "sensor_id string"
+        )
+        est = store.heavy_hitters(rows, probes).orderBy(
+            "bucket", "sensor_id"
+        ).select(
+            rfc3339_col(F.col("bucket")).alias("bucket"),
+            "sensor_id",
+            "rows_estimate",
+        )
+        return jsonify({
+            "estimates": [r.asDict() for r in est.collect()]
+        })
 
     # Beyond-reference: table statistics from the FOLDED sidecar
     # sketches — planned IO proportional to files, zero data reads

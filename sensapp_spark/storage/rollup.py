@@ -70,7 +70,7 @@ from sensapp_spark.storage.logstore import get_store
 
 ROLLUP_META = "_rollup_meta.json"
 
-__all__ = ["RollupStore", "ROLLUP_META"]
+__all__ = ["RollupStore", "SketchRollupStore", "ROLLUP_META"]
 
 
 class RollupStore:
@@ -95,6 +95,16 @@ class RollupStore:
         "vsum double, vmin double, vmax double, "
         "ecnt long, esum double, emin double, emax double"
     )
+    # The row identity and payload — everything the maintenance loop
+    # (refresh/recompute/splice/commit) needs to know about the
+    # aggregation shape; subclasses with a different shape (the
+    # bucket-keyed sketch rollup) override these three + _aggregate
+    # and inherit the whole exactly-once machinery.
+    KEYS = ("sensor_id", "bucket")
+    VALUE_COLS = (
+        "cnt", "vsum", "vmin", "vmax", "ecnt", "esum", "emin", "emax"
+    )
+    _TABLE_SUFFIX = ""
     _NUMERIC = (SensorType.FLOAT, SensorType.INTEGER, SensorType.NUMERIC)
 
     def __init__(
@@ -119,7 +129,7 @@ class RollupStore:
         return os.path.join(
             self.lake.root,
             "_rollups",
-            f"{stype.name.lower()}_{self.grain_s}s",
+            f"{stype.name.lower()}_{self._TABLE_SUFFIX}{self.grain_s}s",
         )
 
     def _bucket(self, col: Column) -> Column:
@@ -286,9 +296,11 @@ class RollupStore:
             )
 
     def _keys(self, delta: DataFrame) -> DataFrame:
-        """The delta's distinct affected (sensor_id, bucket) pairs."""
+        """The delta's distinct affected key tuples (``KEYS`` with the
+        bucket column derived from the sample time)."""
         return delta.select(
-            "sensor_id", self._bucket(F.col("time")).alias("bucket")
+            *[k for k in self.KEYS if k != "bucket"],
+            self._bucket(F.col("time")).alias("bucket"),
         ).distinct()
 
     def _recompute_buckets(self, stype, keys, bounds) -> DataFrame:
@@ -311,7 +323,7 @@ class RollupStore:
         # the keys keep (partial aggs then shuffle bucket-counts only).
         hit = base.withColumn(
             "bucket", self._bucket(F.col("time"))
-        ).join(keys, ["sensor_id", "bucket"], "semi").drop("bucket")
+        ).join(keys, list(self.KEYS), "semi").drop("bucket")
         return self._aggregate(hit)
 
     def _recompute(self, stype, delta, bounds):
@@ -338,7 +350,7 @@ class RollupStore:
         )
         kept_old = old.filter(
             F.col(MONTH_COL).isin(months)
-        ).join(keys, ["sensor_id", "bucket"], "anti")
+        ).join(keys, list(self.KEYS), "anti")
         return kept_old.unionByName(recomputed), month_dirs
 
     def _commit(
@@ -362,8 +374,7 @@ class RollupStore:
                 # so the shuffle is negligible and the read-side file
                 # count stays flat across refresh ticks.
                 new_rows.select(
-                    "sensor_id", "bucket", "cnt", "vsum", "vmin",
-                    "vmax", "ecnt", "esum", "emin", "emax", MONTH_COL,
+                    *self.KEYS, *self.VALUE_COLS, MONTH_COL,
                 ).repartition(F.col(MONTH_COL)).write.partitionBy(
                     MONTH_COL
                 ).mode("overwrite").parquet(vdir)
@@ -532,13 +543,243 @@ class RollupStore:
         keys = self._keys(tail)
         fresh = self._recompute_buckets(stype, keys, bounds)
         out = rollup.join(
-            keys, ["sensor_id", "bucket"], "anti"
+            keys, list(self.KEYS), "anti"
         ).unionByName(fresh.drop(MONTH_COL))
         if start is not None:
             out = out.filter(F.col("bucket") >= F.lit(start))
         if end is not None:
             out = out.filter(F.col("bucket") <= F.lit(end))
         return out
+
+
+class SketchRollupStore(RollupStore):
+    """Continuous MERGEABLE-SKETCH aggregates, bucket-keyed: per time
+    bucket, a KMV distinct-series sketch (the k smallest distinct
+    md5-prefix hashes of sensor_id) and a count-min heavy-hitter
+    counter table (d×w flattened longs) over sensor_id row counts.
+
+    This is the continuous form of the ``metrics_summary`` dashboard
+    shape — ``COUNT(DISTINCT sensor_id)`` per bucket (the reference
+    maintains a metrics_summary VIEW that re-scans:
+    src/storage/sqlite/migrations/20250819144000_add_metrics_summary_view.sql:3-16)
+    — answered from a maintained table instead of a raw re-scan. Both
+    sketches are mergeable, so :meth:`read_folded` folds hourly rows
+    to daily/weekly at read time (KMV: union-dedup-keep-k; CMS:
+    element-wise sum — lossless), the same property the zone-map
+    sidecar folds rely on (storage/zonemap.py).
+
+    The hashes are the engine-portable md5 prefixes of
+    operators/sketches.py, so a DuckDB oracle replays the estimator
+    bit-identically — the registry's ``kmv_cagg``/``cms_cagg`` arms
+    pin maintained == recomputed-from-raw, hash-equal.
+
+    Maintenance is inherited UNCHANGED from RollupStore — one key
+    column (``bucket``) instead of two, ``_aggregate`` swapped: the
+    affected-bucket recompute rule is sketch-correct by construction
+    because sketches are recomputed from the base rows, never
+    incrementally mutated (a KMV cannot un-see a deleted series; the
+    recompute does not need to)."""
+
+    SCHEMA = "bucket timestamp, kmv array<long>, cms array<long>"
+    KEYS = ("bucket",)
+    VALUE_COLS = ("kmv", "cms")
+    _TABLE_SUFFIX = "sketch_"
+
+    # Smaller CMS than the ad-hoc operator default (8192): the table
+    # holds one counter array PER BUCKET, and per-bucket key
+    # cardinality is series-count, not row-count. d·w longs = 8 KB per
+    # bucket at these defaults; widen w for very high-cardinality
+    # fleets (the stated lever).
+    KMV_K = 256
+    CMS_W = 512
+    CMS_D = 2
+
+    def _aggregate(self, rows: DataFrame) -> DataFrame:
+        from pyspark.sql import Window
+
+        from sensapp_spark.operators.sketches import (
+            CMS_SALTS,
+            portable_hash,
+        )
+
+        b = self._bucket(F.col("time")).alias("bucket")
+        # KMV: distinct (bucket, hash) first — the shuffle is bounded
+        # by per-bucket series cardinality, map-side pre-deduped —
+        # then a rank<=k window (plans as WindowGroupLimit: map tasks
+        # keep local top-k) and ONE ≤k-element collect per bucket.
+        hashes = rows.select(
+            b, portable_hash(F.col("sensor_id")).alias("__h")
+        ).distinct()
+        w = Window.partitionBy("bucket").orderBy("__h")
+        kmv = (
+            hashes.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= self.KMV_K)
+            .groupBy("bucket")
+            .agg(F.array_sort(F.collect_list("__h")).alias("kmv"))
+        )
+        # CMS: d map-side-combined groupBys keyed (bucket, flat pos);
+        # the sparse (≤ d·w rows per bucket) counters densify into one
+        # flat array via a map lookup over 0..d·w-1.
+        sparse = None
+        for i, salt in enumerate(CMS_SALTS[: self.CMS_D]):
+            part = rows.groupBy(
+                b,
+                (
+                    F.lit(i * self.CMS_W)
+                    + portable_hash(F.col("sensor_id"), salt)
+                    % self.CMS_W
+                ).cast("int").alias("__pos"),
+            ).agg(F.count("*").alias("__cnt"))
+            sparse = part if sparse is None else sparse.unionByName(part)
+        dense = (
+            sparse.groupBy("bucket")
+            .agg(
+                F.map_from_entries(
+                    F.collect_list(F.struct("__pos", "__cnt"))
+                ).alias("__m")
+            )
+            .select(
+                "bucket",
+                F.transform(
+                    F.sequence(
+                        F.lit(0), F.lit(self.CMS_D * self.CMS_W - 1)
+                    ),
+                    lambda i: F.coalesce(
+                        F.element_at("__m", i), F.lit(0).cast("long")
+                    ),
+                ).alias("cms"),
+            )
+        )
+        return kmv.join(dense, "bucket").withColumn(
+            MONTH_COL, F.date_format("bucket", "yyyy-MM")
+        )
+
+    def read_folded(
+        self,
+        stype: SensorType,
+        fold_grain_s: int,
+        start: dt.datetime | None = None,
+        end: dt.datetime | None = None,
+        realtime: bool = False,
+    ) -> DataFrame:
+        """Coarser-grain sketch reads without a second table: KMV
+        merges as union→dedup→keep-k (the merged sketch IS the sketch
+        of the union — k smallest of the combined distinct hashes);
+        CMS merges as element-wise counter addition (lossless)."""
+        if fold_grain_s % self.grain_s != 0 or fold_grain_s <= 0:
+            raise ValueError(
+                f"fold grain {fold_grain_s}s must be a positive "
+                f"multiple of the store grain {self.grain_s}s"
+            )
+        start = _utc_naive(start)
+        end = _utc_naive(end)
+        pad_end = (
+            None if end is None
+            else end + dt.timedelta(seconds=fold_grain_s)
+        )
+        fine = (
+            self.read_realtime(stype, start, pad_end)
+            if realtime
+            else self.read(stype, start, pad_end)
+        )
+        g_us = fold_grain_s * 1_000_000
+        folded = F.timestamp_seconds(
+            F.floor(F.unix_micros(F.col("bucket")) / F.lit(g_us))
+            .cast("long") * fold_grain_s
+        )
+        zeros = F.array_repeat(
+            F.lit(0).cast("long"), self.CMS_D * self.CMS_W
+        )
+        out = (
+            fine.groupBy(folded.alias("bucket"))
+            .agg(
+                F.slice(
+                    F.array_sort(
+                        F.array_distinct(F.flatten(F.collect_list("kmv")))
+                    ),
+                    1,
+                    self.KMV_K,
+                ).alias("kmv"),
+                F.aggregate(
+                    F.collect_list("cms"),
+                    zeros,
+                    lambda acc, x: F.zip_with(
+                        acc, x, lambda a, c: a + c
+                    ),
+                ).alias("cms"),
+            )
+        )
+        if start is not None:
+            out = out.filter(F.col("bucket") >= F.lit(start))
+        if end is not None:
+            out = out.filter(F.col("bucket") <= F.lit(end))
+        return out
+
+    # -- estimates -----------------------------------------------------------
+
+    def distinct_estimates(self, buckets: DataFrame) -> DataFrame:
+        """(bucket, distinct_series double) from a sketch frame —
+        exact below k (the KMV array IS the distinct hash set), the
+        (k−1)·H/h_k estimator at or above."""
+        from sensapp_spark.operators.sketches import HASH_MAX
+
+        n = F.size("kmv")
+        est = F.when(
+            n < self.KMV_K, n.cast("double")
+        ).otherwise(
+            F.lit(float(self.KMV_K - 1))
+            * F.lit(HASH_MAX)
+            / F.element_at("kmv", self.KMV_K)
+        )
+        return buckets.select(
+            "bucket", F.round(est, 6).alias("distinct_series")
+        )
+
+    def heavy_hitters(
+        self, buckets: DataFrame, probes: DataFrame
+    ) -> DataFrame:
+        """Per-bucket row-count estimates for every probe sensor_id:
+        min over the d counter rows (count-min guarantee: ≥ true,
+        overshoot ≈ bucket_rows/w). Two probe shapes: a sensor_id-only
+        frame probes every id against EVERY bucket (dimension-sized —
+        broadcast cross join); a (bucket, sensor_id) frame probes
+        exactly those pairs (an equality join on bucket — the shape
+        for "who was heavy in the hours they were active")."""
+        from sensapp_spark.operators.sketches import (
+            CMS_SALTS,
+            portable_hash,
+        )
+
+        pos = [
+            (
+                F.lit(i * self.CMS_W)
+                + portable_hash(F.col("sensor_id"), salt) % self.CMS_W
+            ).cast("int")
+            for i, salt in enumerate(CMS_SALTS[: self.CMS_D])
+        ]
+        pair_mode = "bucket" in probes.columns
+        probed = probes.select(
+            *(["bucket"] if pair_mode else []),
+            "sensor_id",
+            F.array(*pos).alias("__pos"),
+        )
+        cnt = F.array_min(
+            F.transform(
+                F.col("__pos"),
+                # element_at is 1-indexed.
+                lambda p: F.element_at(F.col("cms"), p + 1),
+            )
+        )
+        joined = (
+            buckets.join(probed, "bucket")
+            if pair_mode
+            else buckets.crossJoin(F.broadcast(probed))
+        )
+        return joined.select(
+            "bucket",
+            "sensor_id",
+            cnt.cast("double").alias("rows_estimate"),
+        )
 
 
 def _link_dir(src: str, dst: str) -> None:

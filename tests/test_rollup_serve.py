@@ -315,3 +315,43 @@ def test_gateway_query_range_auto_routes(spark, tmp_path):
         # rate() is not quartet-expressible → raw.
         r3 = c.get(q.replace("sum_over_time", "rate"))
         assert r3.headers["X-Served-From"] == "raw"
+
+
+def test_gateway_sketch_rollup_routes(spark, tmp_path):
+    """HTTP surface of the continuous sketch rollup: ?sketch=1 on the
+    refresh tick maintains the bucket-keyed KMV/CMS table;
+    /rollup/distinct serves per-bucket distinct-series estimates
+    (exact below k), /rollup/heavy probes a bounded id list."""
+    from sensapp_spark.server.app import create_app
+
+    lake = SensorLake(spark, str(tmp_path / "sk_lake"))
+    app = create_app(spark, lake)
+    app.testing = True
+    with app.test_client() as c:
+        c.post(
+            "/publish",
+            data="datetime,sk_a,sk_b\n"
+                 "2024-01-01T00:10:00Z,1.0,5.0\n"
+                 "2024-01-01T00:40:00Z,2.0,5.5\n"
+                 "2024-01-01T01:20:00Z,3.0,6.0\n",
+            content_type="text/csv",
+        )
+        r = c.post("/api/v1/admin/rollup/refresh?sketch=1")
+        assert r.status_code == 200
+        assert r.get_json()["sketch"] is True
+        d = c.get("/api/v1/rollup/distinct").get_json()
+        got = {b["bucket"]: b["distinct_series"] for b in d["buckets"]}
+        assert {b.split("T")[0] for b in got} == {"2024-01-01"}
+        assert sorted(got.values()) == [2.0, 2.0]
+        # Daily fold merges the hourly sketches at read time.
+        f = c.get("/api/v1/rollup/distinct?fold=86400").get_json()
+        assert [b["distinct_series"] for b in f["buckets"]] == [2.0]
+        doc = c.get("/series").get_json()
+        sid = doc["dcat:dataset"][0]["dct:identifier"]
+        h = c.get(f"/api/v1/rollup/heavy?sensor_ids={sid}").get_json()
+        assert len(h["estimates"]) == 2  # two buckets probed
+        assert all(e["rows_estimate"] >= 1.0 for e in h["estimates"])
+        assert c.get("/api/v1/rollup/heavy").status_code == 400
+        assert c.get(
+            "/api/v1/rollup/distinct?grain=abc"
+        ).status_code == 400
