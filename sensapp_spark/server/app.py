@@ -848,6 +848,51 @@ def create_app(
 
         return Response(resumed(), mimetype="application/jsonl")
 
+    # Beyond-reference (round 11): one composed maintenance pass —
+    # rollup/sketch refresh, stats-driven compaction, zone-map
+    # refresh, optional retention — the admin loop a scheduler calls
+    # (streaming/maintenance.py runs the same tick continuously).
+    @app.post("/api/v1/admin/maintain")
+    def admin_maintain():
+        from sensapp_spark.streaming.maintenance import (
+            MaintenancePlan,
+            maintenance_tick,
+        )
+
+        def _grains(name, default):
+            raw = request.args.get(name)
+            if raw is None:
+                return default
+            return tuple(int(g) for g in raw.split(",") if g.strip())
+
+        try:
+            cutoff = (
+                _parse_ts(request.args["retain_before"])
+                if "retain_before" in request.args else None
+            )
+            plan = MaintenancePlan(
+                rollup_grains=_grains("rollup_grains", (3600,)),
+                sketch_grains=_grains("sketch_grains", ()),
+                optimize=request.args.get("optimize", "1")
+                not in ("0", "false"),
+                dedup=request.args.get("dedup") in ("1", "true"),
+                retention_before=(
+                    (lambda c=cutoff: c) if cutoff is not None else None
+                ),
+            )
+        except ValueError as e:
+            return jsonify({"error": str(e)}), 400
+        report = maintenance_tick(lake, plan)
+        return jsonify({
+            "status": "maintained",
+            "conflicts": report.pop("conflicts", 0),
+            "steps": {
+                k: (v if isinstance(v, (dict, int, float, str, list))
+                    or v is None else str(v))
+                for k, v in report.items()
+            },
+        })
+
     # Beyond-reference (round 11): the CONTINUOUS sketch rollup's two
     # read shapes — per-bucket distinct-series estimates (the
     # metrics_summary COUNT(DISTINCT sensor_id) dashboard, served from

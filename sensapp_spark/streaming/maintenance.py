@@ -1,0 +1,195 @@
+"""The composed maintenance loop: ONE scheduler that runs every
+housekeeping tick a deployed lake needs — continuous-aggregate refresh
+(quartet + sketch grains), stats-driven compaction, zone-map refresh,
+optional retention — against live concurrent ingest.
+
+Each primitive is already exactly-once by itself (CAS commit log,
+feed-cursor-rides-the-commit, stale-scan re-poll); what nothing proved
+until round 11 is that they stay correct RUN TOGETHER while writers
+append: compaction rewrites the version a rollup refresh is scanning,
+retention expires a month mid-tick, two ticks race the same store.
+``maintenance_tick`` composes them in dependency order and reports
+per-step outcomes including retry pressure; ``stream_maintenance``
+wraps it in the same Structured-Streaming scheduler shape as
+``streaming/rollup_maintenance.py`` (file-drop tick dir for
+deterministic tests, rate source for background operation).
+
+Order inside a tick (deliberate):
+
+1. rollup/sketch refresh FIRST — they poll the changes feed, and a
+   compaction in the same tick would otherwise force every consumer
+   through a preserved-rewrite crossing each tick;
+2. optimize_auto next (content-preserving rewrite — the feeds cross it
+   without replay);
+3. retention (when a cutoff policy is given) — metadata-only expiry;
+   the NEXT tick's refresh folds the dropped months out of the
+   aggregates (the lazy whole-month delete crossing);
+4. zone-map refresh last, over whatever version the tick settled on.
+
+A step that loses its CAS race ``max_retries`` times reports
+``{"conflict": …}`` instead of raising — the loop's next tick retries
+from fresh state; losing N consecutive ticks is a monitoring signal,
+not a crash. Every other exception propagates (a maintenance loop that
+swallows real errors hides corruption).
+
+The reference has no maintenance composition at all (its TODO lists
+vacuum/compaction as future work — /root/reference/TODO.md); this is
+the ops loop a 100 TB deployment schedules once per table.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming import StreamingQuery
+
+from sensapp_spark.datamodel.types import SensorType
+from sensapp_spark.storage.lake import CommitConflict, resolve_table
+from sensapp_spark.storage.rollup import RollupStore, SketchRollupStore
+
+__all__ = ["MaintenancePlan", "maintenance_tick", "stream_maintenance"]
+
+
+@dataclass
+class MaintenancePlan:
+    """What one tick maintains. Grains list the maintained continuous
+    aggregates (empty = skip that family). ``retention_before`` is a
+    POLICY — a callable returning the cutoff at tick time (e.g.
+    ``lambda: datetime.now(timezone.utc) - timedelta(days=90)``) so the
+    window slides with the clock. ``dedup`` opts into the exact-dup
+    rewrite (off by default: dropping duplicate rows is a data-shape
+    decision, not housekeeping). ``extra_ticks`` compose anything else
+    (an ANN maintenance tick, a custom exporter) into the same
+    schedule — each is called once per tick and its return value lands
+    in the report under its index."""
+
+    rollup_grains: tuple[int, ...] = (3600,)
+    sketch_grains: tuple[int, ...] = ()
+    optimize: bool = True
+    dedup: bool = False
+    retention_before: Callable[[], dt.datetime] | None = None
+    refresh_zonemaps: bool = True
+    extra_ticks: tuple[Callable[[], object], ...] = field(
+        default_factory=tuple
+    )
+
+
+def _guard(report: dict, key: str, fn: Callable[[], object]) -> None:
+    """Run one step; a CAS loss after its internal retries is reported,
+    not raised — the next tick retries from fresh state."""
+    try:
+        report[key] = fn()
+    except CommitConflict as e:
+        report[key] = {"conflict": str(e)}
+        report["conflicts"] = report.get("conflicts", 0) + 1
+
+
+def maintenance_tick(
+    lake,
+    plan: MaintenancePlan,
+    stypes: tuple[SensorType, ...] | None = None,
+) -> dict:
+    """One composed maintenance pass over every (written) value table.
+    Returns {step: outcome} with ``conflicts`` counting steps that lost
+    their CAS race this tick (each already retried internally)."""
+    report: dict = {}
+    written = [
+        st
+        for st in (stypes or tuple(SensorType))
+        if resolve_table(lake._values_path(st)) is not None
+    ]
+    numeric = [st for st in written if st in RollupStore._NUMERIC]
+    for grain in plan.rollup_grains:
+        store = RollupStore(lake, grain_s=grain)
+        for st in numeric:
+            _guard(
+                report,
+                f"rollup_{grain}s_{st.name.lower()}",
+                lambda s=store, t=st: s.refresh(t),
+            )
+    for grain in plan.sketch_grains:
+        store = SketchRollupStore(lake, grain_s=grain)
+        for st in numeric:
+            _guard(
+                report,
+                f"sketch_{grain}s_{st.name.lower()}",
+                lambda s=store, t=st: s.refresh(t),
+            )
+    for st in written:
+        if plan.dedup:
+            _guard(
+                report,
+                f"dedup_{st.name.lower()}",
+                lambda t=st: lake.dedup_rewrite(t),
+            )
+        if plan.optimize:
+            _guard(
+                report,
+                f"optimize_{st.name.lower()}",
+                lambda t=st: lake.optimize_auto(t),
+            )
+    if plan.retention_before is not None:
+        cutoff = plan.retention_before()
+        _guard(
+            report, "retention", lambda: lake.expire_before(cutoff)
+        )
+        report["retention_cutoff"] = cutoff.isoformat()
+    if plan.refresh_zonemaps:
+        for st in written:
+            _guard(
+                report,
+                f"zonemap_{st.name.lower()}",
+                lambda t=st: lake.refresh_zonemap(t),
+            )
+    for i, tick in enumerate(plan.extra_ticks):
+        _guard(report, f"extra_{i}", tick)
+    return report
+
+
+def stream_maintenance(
+    spark: SparkSession,
+    lake,
+    plan: MaintenancePlan,
+    checkpoint_dir: str,
+    tick_dir: str | None = None,
+    trigger_available_now: bool = False,
+    processing_time: str | None = None,
+    on_report: Callable[[dict], None] | None = None,
+) -> StreamingQuery:
+    """The composed tick on a Structured-Streaming schedule — same
+    scheduler contract as stream_rollup_maintenance: every primitive
+    is idempotent/exactly-once by itself, so the stream carries no
+    state across the boundary; a redelivered tick re-runs safely."""
+
+    def maintain(_tick_df: DataFrame, _epoch_id: int) -> None:
+        report = maintenance_tick(lake, plan)
+        if on_report is not None:
+            on_report(report)
+
+    if tick_dir is not None:
+        os.makedirs(tick_dir, exist_ok=True)
+        ticks = (
+            spark.readStream.format("text")
+            .option("maxFilesPerTrigger", 1)
+            .load(tick_dir)
+        )
+    else:
+        ticks = (
+            spark.readStream.format("rate")
+            .option("rowsPerSecond", 1)
+            .load()
+        )
+    writer = (
+        ticks.writeStream.foreachBatch(maintain)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    elif processing_time is not None:
+        writer = writer.trigger(processingTime=processing_time)
+    return writer.start()
