@@ -1078,7 +1078,7 @@ def promql_ext_instant(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM vals v JOIN sensors s USING (sensor_id)
         WHERE v.time >= TIMESTAMP '2024-01-01'
           AND v.time <= TIMESTAMP '2024-02-01'
-          AND s.name IN ('click', 'view')
+          AND s.name IN ('click', 'view', 'purchase')
         GROUP BY 1, 2, 3, 4
         HAVING epoch_us(MAX(v.time)) > epoch_us(MIN(v.time))),
     region_sum AS (
@@ -1101,6 +1101,17 @@ def promql_ext_instant(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(m.value / (SELECT SUM(value) FROM rates
                             WHERE name = 'view'), 6) + 0
     FROM (SELECT * FROM rates WHERE name = 'click') m
+    UNION ALL
+    SELECT 'nested_gt', l.labels, ROUND(l.value / r.value, 6) + 0
+    FROM (SELECT * FROM rates WHERE name = 'click') l
+    JOIN (SELECT * FROM rates WHERE name = 'view') r USING (labels)
+    WHERE l.value / r.value > 1
+    UNION ALL
+    SELECT 'global_ratio', '',
+           ROUND((SELECT SUM(value) FROM rates WHERE name = 'click')
+                 / ((SELECT SUM(value) FROM rates WHERE name = 'view')
+                    + (SELECT SUM(value) FROM rates
+                       WHERE name = 'purchase')), 6) + 0
     """,
 )
 def promql_ext_binary_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1116,6 +1127,12 @@ def promql_ext_binary_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
       (absent region ⇒ empty-value match group, Prometheus);
     * ``group_right`` — the mirrored direction: ``sum by (region)
       (rate(view[31d])) * on (region) group_right rate(click[31d])``.
+
+    * ``nested_gt`` / ``global_ratio`` (round 11) — ONE nested binary
+      operand: the dashboard ratio threshold ``(a / b) > 1``
+      (Prometheus filter semantics) and the global three-way ratio
+      ``sum(a) / (sum(b) + sum(c))`` (ungrouped aggregates join on
+      the empty label set).
 
     All operands are per-series (or per-group) aggregates, so every
     equality join is dimension-sized and AQE broadcasts the one side."""
@@ -1146,6 +1163,17 @@ def promql_ext_binary_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         (
             "scalar_div",
             "rate(click[31d]) / scalar(sum(rate(view[31d])))",
+        ),
+        # Round 11: ONE nested binary operand — the dashboard ratio
+        # threshold `(a / b) > 1` (filter semantics: the ratio value
+        # survives) and the global three-way ratio
+        # `sum(a) / (sum(b) + sum(c))` (global aggregates are
+        # Prometheus' one-row empty-label vectors).
+        ("nested_gt", "(rate(click[31d]) / rate(view[31d])) > 1"),
+        (
+            "global_ratio",
+            "sum(rate(click[31d])) / (sum(rate(view[31d])) "
+            "+ sum(rate(purchase[31d])))",
         ),
     ]
     from sensapp_spark.query.promql_ext import _labels_without

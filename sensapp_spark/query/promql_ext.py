@@ -10,17 +10,22 @@ parametric ``quantile_over_time(φ, m[5m])``), aggregation operators
 (``sum/avg/min/max/count/stddev/stdvar/quantile/topk/bottomk``, with
 ``by (label,…)`` / ``without (label,…)`` grouping in either PromQL
 position), the ``offset <duration>`` and ``@ <unix-seconds>`` selector
-modifiers, one top-level **binary operation** between two vector
-expressions (arithmetic, comparison with/without ``bool``, the
-``and/or/unless`` set operators, ``scalar(expr)`` and numeric-literal
-operands, ``on``/``ignoring`` matching with ``group_left``/
-``group_right``), and one level of **subquery** (``expr[range:step]``,
-with its own trailing offset). The remaining didactic rejections are
-the genuinely rare tail: 4+-level aggregation nesting, binary
-operations nested INSIDE another operand, nested subqueries, and a
-fixed ``@`` anchor inside a RANGE query (its window would be constant
-at every step); those raise the didactic ``PromQLError`` naming the
-construct.
+modifiers, **binary operations** between vector expressions
+(arithmetic, comparison with/without ``bool``, the ``and/or/unless``
+set operators, ``scalar(expr)``, numeric-literal and
+globally-aggregated (``sum(a) / sum(b)``) operands, ``on``/
+``ignoring`` matching with ``group_left``/``group_right``, and —
+round 11 — ONE nested binary operand with Prometheus precedence and
+associativity: ``(a / b) > 0.5``, ``a / b / c``,
+``sum(a) / (sum(b) + sum(c))``), and one level of **subquery**
+(``expr[range:step]``, with its own trailing offset). A fixed ``@``
+anchor is supported in both instant and range queries (in a range
+query the anchored expression is constant across steps — one instant
+evaluation broadcast onto the step grid, Prometheus semantics). The
+remaining didactic rejections are the genuinely rare tail: 4+-level
+aggregation nesting, 2+-level binary nesting, by/without-grouped
+binary operands, nested subqueries, and ``@`` inside a subquery;
+those raise the didactic ``PromQLError`` naming the construct.
 
 Evaluation shapes (all single-shuffle, map-side partial aggregates):
 
@@ -258,8 +263,11 @@ class BinaryQuery:
     copied onto each result series (``group_left(lbl, …)``)."""
 
     op: str
-    left: "ExtendedQuery | float"
-    right: "ExtendedQuery | float"
+    # Operands: a vector expression, a scalar literal, scalar(expr),
+    # or (round 11) ONE nested BinaryQuery — the dashboard shapes
+    # '(a / b) > 0.5' and 'sum(a) / (sum(b) + sum(c))'.
+    left: "ExtendedQuery | BinaryQuery | ScalarOf | float"
+    right: "ExtendedQuery | BinaryQuery | ScalarOf | float"
     on: list[str] = field(default_factory=list)
     ignoring: list[str] = field(default_factory=list)
     bool_mode: bool = False
@@ -1312,32 +1320,35 @@ def _depth_at(s: str) -> list[int]:
     return depths
 
 
+# Prometheus operator precedence, loosest-binding first — the split
+# point of an expression is its loosest top-level operator (rightmost
+# within a class for the left-associative ones, leftmost for the
+# right-associative ``^``).
+_PRECEDENCE = (
+    ("or",),
+    ("and", "unless"),
+    (">=", "<=", "==", "!=", ">", "<"),
+    ("+", "-"),
+    ("*", "/", "%", "atan2"),
+    ("^",),
+)
+
+
 def _find_top_level_op(s: str) -> tuple[int, str] | None:
-    """The single top-level binary operator (position, token), outside
-    any parens/brackets/braces/quotes; None when absent. Two top-level
-    operators is a didactic error (one binary operation per query).
-
-    Scans set-operation keywords first (whole words), then two-char
-    comparisons, then single-char comparison/arithmetic operators."""
+    """The binary operator to SPLIT at (position, token): the
+    loosest-precedence operator outside any parens/brackets/braces/
+    quotes, rightmost within its precedence class (Prometheus
+    left-associativity; ``^`` is right-associative → leftmost). None
+    when the expression has no top-level operator. Nesting depth is
+    bounded by the caller (parse_extended_expr), not here."""
     depths = _depth_at(s)
-    found: tuple[int, str] | None = None
-
-    def record(i: int, tok: str) -> None:
-        nonlocal found
-        if found is not None:
-            raise PromQLError(
-                "binary",
-                "Only one binary operation per query is supported.",
-            )
-        found = (i, tok)
+    found: list[tuple[int, str]] = []
 
     for m in re.finditer(
         r"(?<![A-Za-z0-9_:])(and|unless|or|atan2)(?![A-Za-z0-9_:])", s
     ):
         if depths[m.start()] == 0:
-            record(m.start(), m.group(1))
-    if found is not None:
-        return found
+            found.append((m.start(), m.group(1)))
 
     i = 0
     while i < len(s):
@@ -1346,33 +1357,57 @@ def _find_top_level_op(s: str) -> tuple[int, str] | None:
             continue
         two = s[i:i + 2]
         if two in (">=", "<=", "==", "!="):
-            record(i, two)
+            found.append((i, two))
             i += 2
             continue
         c = s[i]
         if c in "><":
-            record(i, c)
+            found.append((i, c))
         elif c in "+-*/%^":
             # A sign inside a scientific literal (`2e-3`) is not an
             # operator.
             if c in "+-" and i >= 2 and s[i - 1] in "eE" and s[i - 2].isdigit():
                 i += 1
                 continue
-            record(i, c)
+            found.append((i, c))
         i += 1
-    return found
+    if not found:
+        return None
+    for cls in _PRECEDENCE:
+        hits = [(i, tok) for i, tok in found if tok in cls]
+        if hits:
+            return hits[0] if cls == ("^",) else hits[-1]
+    return None  # pragma: no cover — every token is classed above
 
 
 def parse_extended_expr(
-    query: str, now: dt.datetime | None = None
+    query: str, now: dt.datetime | None = None, _depth: int = 0
 ) -> "ExtendedQuery | BinaryQuery":
     """Full extended grammar: ``expr [op [on|ignoring (…)] expr]`` where
-    each side is the `parse_extended` grammar or a scalar literal."""
+    each side is the `parse_extended` grammar, a scalar literal, or
+    (round 11) ONE nested binary expression — the dashboard shapes
+    ``(a / b) > 0.5``, ``sum(a) / (sum(b) + sum(c))``, ``a / b / c``
+    (Prometheus precedence + associativity pick the split). Two levels
+    of binary nesting is the bound; deeper raises didactically."""
     now = now or dt.datetime.now(dt.timezone.utc)
     s = query.strip()
+    # Surrounding parentheses that wrap the WHOLE expression are
+    # grouping only — unwrap before splitting.
+    while s.startswith("("):
+        inner, trailing = _strip_parens(s)
+        if trailing.strip():
+            break
+        s = inner.strip()
     hit = _find_top_level_op(s)
     if hit is None:
-        return parse_extended(query, now)
+        return parse_extended(s, now)
+    if _depth >= 2:
+        raise PromQLError(
+            "binary",
+            "Binary operations nest at most one level deep "
+            "(e.g. '(a / b) > 0.5'); compute deeper expressions in "
+            "two queries.",
+        )
     idx, op = hit
     left_text, rest = s[:idx].strip(), s[idx + len(op):].strip()
     bool_mode = False
@@ -1435,7 +1470,18 @@ def parse_extended_expr(
                     "absent vector directly.",
                 )
             return ScalarOf(sub)
-        sub = parse_extended(text, now)
+        # A (possibly parenthesized) operand that itself contains a
+        # top-level binary operator is ONE nested binary expression —
+        # parse it through the same grammar, one level down.
+        unwrapped = text
+        while unwrapped.startswith("("):
+            inner, trailing = _strip_parens(unwrapped)
+            if trailing.strip():
+                break
+            unwrapped = inner.strip()
+        if _find_top_level_op(unwrapped) is not None:
+            return parse_extended_expr(unwrapped, now, _depth + 1)
+        sub = parse_extended(unwrapped, now)
         if sub.sort is not None:
             raise PromQLError(
                 "binary",
@@ -1471,6 +1517,14 @@ def parse_extended_expr(
             "binary",
             f"group_{gmode} is many-to-one VECTOR matching; a scalar "
             "operand has no series to group.",
+        )
+    if gmode is not None and (
+        isinstance(left, BinaryQuery) or isinstance(right, BinaryQuery)
+    ):
+        raise PromQLError(
+            "binary",
+            f"group_{gmode} over a nested binary operand is not "
+            "supported; compute the inner expression separately.",
         )
     return BinaryQuery(
         op=op,
@@ -2275,7 +2329,18 @@ def data_window(eq: ExtendedQuery) -> tuple[dt.datetime, dt.datetime]:
     reaches back ``range`` plus the inner lookback from its evaluation
     time (the selector window alone would silently starve the earliest
     steps of their samples). Constant vectors read no samples:
-    ``(None, None)``."""
+    ``(None, None)``. A nested BinaryQuery operand (round 11) loads
+    the envelope of its own operands' windows."""
+    if isinstance(eq, BinaryQuery):
+        windows = [
+            data_window(s.eq if isinstance(s, ScalarOf) else s)
+            for s in (eq.left, eq.right)
+            if not isinstance(s, float)
+        ]
+        windows = [w for w in windows if w[0] is not None]
+        if not windows:
+            return None, None
+        return min(w[0] for w in windows), max(w[1] for w in windows)
     if eq.const is not None:
         return None, None
     if eq.sub_inner is not None:
@@ -3092,6 +3157,11 @@ def evaluate_binary(
             # first value), so any inner that parses is evaluable;
             # parse-time checks (no absent, no sort) already ran.
             continue
+        if isinstance(side_eq, BinaryQuery):
+            # A nested binary operand (round 11) re-enters this
+            # function — its own operands were checked by its own
+            # recursion.
+            continue
         if _is_hist(side_eq):
             raise PromQLError(
                 "binary",
@@ -3154,31 +3224,76 @@ def evaluate_binary(
             "!=": lc != rc,
         }[bq.op]
 
+    def _operand_frame(side) -> DataFrame:
+        """Evaluate one vector operand — an ExtendedQuery (series
+        shape: map labels) or a nested BinaryQuery (one-to-one
+        arithmetic results carry a CANONICAL LABEL STRING instead)."""
+        if isinstance(side, BinaryQuery):
+            return evaluate_binary(sensors, values, side)
+        return evaluate_extended(sensors, values, side)
+
+    def _key_for(frame: DataFrame) -> F.Column:
+        """The matching key for one operand frame. A string-labeled
+        frame (nested arithmetic result) IS its full-label canonical
+        key; a label-LESS frame (a global aggregation like ``sum(a)``
+        — one row, Prometheus' empty label set) keys on the empty
+        string. on/ignoring cannot re-address labels inside either
+        shape, so explicit matching over them is didactic."""
+        kind = dict(frame.dtypes).get("labels")
+        if kind == "string" or kind is None:
+            if bq.on or bq.ignoring:
+                raise PromQLError(
+                    "binary",
+                    "on/ignoring over a parenthesized-binary or "
+                    "globally-aggregated operand is not supported — "
+                    "its result keys on its full (possibly empty) "
+                    "label set; put the matching clause inside the "
+                    "parentheses instead.",
+                )
+            return F.col("labels") if kind else F.lit("")
+        return _matching_key(bq.on, bq.ignoring)
+
     if bq.op in _SET_OPS:
         for side_eq in (bq.left, bq.right):
-            if side_eq.agg is not None:
+            if not isinstance(side_eq, BinaryQuery) and (
+                side_eq.agg is not None
+            ):
                 raise PromQLError(
                     "binary",
                     f"'{bq.op}' operates on series vectors; aggregated "
                     "operands have no series identity to match on.",
                 )
-        left = evaluate_extended(sensors, values, bq.left)
-        right = evaluate_extended(sensors, values, bq.right)
-        key = _matching_key(bq.on, bq.ignoring)
-        lk = left.withColumn("__k", key)
-        rk = right.select(key.alias("__k")).distinct()
-        cols = ["sensor_id", "name", "labels", "value"]
+        left = _operand_frame(bq.left)
+        right = _operand_frame(bq.right)
+        lkey, rkey = _key_for(left), _key_for(right)
+        lk = left.withColumn("__k", lkey)
+        rk = right.select(rkey.alias("__k")).distinct()
+        cols = [
+            c for c in ("sensor_id", "name", "labels", "value")
+            if c in left.columns
+        ]
         if bq.op == "and":
             return lk.join(rk, "__k", "leftsemi").select(*cols)
         if bq.op == "unless":
             return lk.join(rk, "__k", "leftanti").select(*cols)
         # or: all left series, plus right series whose key matches no
-        # left series.
-        lkeys = left.select(key.alias("__k")).distinct()
+        # left series. Mixed shapes (one side a string-labeled nested
+        # result) canonicalize BOTH sides to (labels, value) so the
+        # union is well-typed.
+        mixed = dict(left.dtypes).get("labels") != dict(
+            right.dtypes
+        ).get("labels")
+        if mixed:
+            left = left.select(lkey.alias("labels"), "value")
+            right = right.select(rkey.alias("labels"), "value")
+            lkey = rkey = F.col("labels")
+            cols = ["labels", "value"]
+        rcols = [c for c in cols if c in right.columns]
+        lkeys = left.select(lkey.alias("__k")).distinct()
         extra = (
-            right.withColumn("__k", key)
+            right.withColumn("__k", rkey)
             .join(lkeys, "__k", "leftanti")
-            .select(*cols)
+            .select(*rcols)
         )
         return left.select(*cols).unionByName(extra)
 
@@ -3188,7 +3303,7 @@ def evaluate_binary(
         scalar_left = isinstance(bq.left, (float, ScalarOf))
         eq = bq.right if scalar_left else bq.left
         sc = bq.left if scalar_left else bq.right
-        out = evaluate_extended(sensors, values, eq)
+        out = _operand_frame(eq)
         if isinstance(sc, ScalarOf):
             # scalar(v): ONE value — the single series' value, or NaN
             # unless exactly one series (Prometheus). The reduction is
@@ -3225,18 +3340,33 @@ def evaluate_binary(
         return _evaluate_group_binary(sensors, values, bq, apply)
 
     for side_eq in (bq.left, bq.right):
-        if side_eq.agg not in (None, "topk", "bottomk"):
+        if (
+            not isinstance(side_eq, BinaryQuery)
+            and side_eq.agg not in (None, "topk", "bottomk")
+            # A GLOBAL reduction (no by/without — round 11) is
+            # Prometheus' one-row empty-label vector: sum(a) / sum(b)
+            # joins on the empty key, the dashboard ratio shape.
+            # count_values is excluded: its rows differ only in the
+            # value-label column, which the empty key cannot see.
+            and (side_eq.by or side_eq.without
+                 or side_eq.agg == "count_values")
+        ):
             raise PromQLError(
                 "binary",
-                "Aggregated operands in vector-to-vector binary "
-                "operations are not supported; aggregate the result "
-                "instead.",
+                "by/without-grouped operands in vector-to-vector "
+                "binary operations are not supported (their result "
+                "keys on group columns, not a label set); use "
+                "'on (…)' with group_left/group_right, or aggregate "
+                "the result instead.",
             )
-    left = evaluate_extended(sensors, values, bq.left)
-    right = evaluate_extended(sensors, values, bq.right)
-    key = _matching_key(bq.on, bq.ignoring)
-    lk = left.select(key.alias("labels"), F.col("value").alias("__lv"))
-    rk = right.select(key.alias("labels"), F.col("value").alias("__rv"))
+    left = _operand_frame(bq.left)
+    right = _operand_frame(bq.right)
+    lk = left.select(
+        _key_for(left).alias("labels"), F.col("value").alias("__lv")
+    )
+    rk = right.select(
+        _key_for(right).alias("labels"), F.col("value").alias("__rv")
+    )
     joined = lk.join(rk, "labels")
     if bq.op in _CMP_OPS:
         cond = apply(F.col("__lv"), F.col("__rv"))

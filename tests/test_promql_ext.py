@@ -424,8 +424,20 @@ def test_parse_binary():
     # non-binary falls through to the plain grammar
     eq = parse_extended_expr("sum(rate(m[5m]))", NOW)
     assert not isinstance(eq, BinaryQuery) and eq.agg == "sum"
+    # Round 11: ONE level of binary nesting parses — left-assoc split
+    # (a + b) + c, and Prometheus precedence picks the loosest split.
+    bq = parse_extended_expr("a + b + c", NOW)
+    assert isinstance(bq, BinaryQuery) and isinstance(bq.left, BinaryQuery)
+    assert bq.op == "+" and bq.left.op == "+"
+    bq = parse_extended_expr("a + b * c", NOW)
+    assert bq.op == "+" and isinstance(bq.right, BinaryQuery)
+    assert bq.right.op == "*"
+    bq = parse_extended_expr("(a / b) > 0.5", NOW)
+    assert bq.op == ">" and isinstance(bq.left, BinaryQuery)
+    assert bq.right == 0.5
+    # Two levels stay didactically rejected.
     with pytest.raises(PromQLError) as e:
-        parse_extended_expr("a + b + c", NOW)
+        parse_extended_expr("a + b + c + d", NOW)
     assert e.value.kind == "binary"
     with pytest.raises(PromQLError) as e:
         parse_extended_expr("1 + 2", NOW)
@@ -459,11 +471,18 @@ def test_binary_vector_matching(spark, frames):
            for r in evaluate_binary(sensors, values, bq).collect()}
     assert out['region="r1"'] == pytest.approx(2.0)  # 5 - 3
     assert out['region=""'] == pytest.approx(0.25)  # 7.5 - 7.25
-    # aggregated vector operand → didactic rejection
+    # GLOBAL aggregates are Prometheus' one-row empty-label vectors
+    # (round 11): sum(m)/sum(m) joins on the empty key.
+    out = evaluate_binary(
+        sensors, values, parse_extended_expr("sum(m) / sum(m)", NOW)
+    ).collect()
+    assert [(r.labels, r.value) for r in out] == [("", 1.0)]
+    # by-GROUPED vector operands stay didactically rejected (their
+    # result keys on group columns, not a label set).
     with pytest.raises(PromQLError) as e:
         evaluate_binary(
             sensors, values,
-            parse_extended_expr("sum(m) / sum(m)", NOW))
+            parse_extended_expr("sum by (region) (m) / sum(m)", NOW))
     assert e.value.kind == "binary"
 
 

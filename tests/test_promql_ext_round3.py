@@ -98,9 +98,13 @@ def test_parse_or_inside_name_not_an_operator():
     assert not isinstance(eq, BinaryQuery)
 
 
-def test_parse_two_ops_rejected():
+def test_parse_nesting_bounded():
+    # One nested level parses (round 11) — left-assoc set-op chain…
+    bq = parse_extended_expr("a and b and c", now=NOW)
+    assert bq.op == "and" and isinstance(bq.left, BinaryQuery)
+    # …two nested levels stay didactically rejected.
     with pytest.raises(PromQLError):
-        parse_extended_expr("a and b and c", now=NOW)
+        parse_extended_expr("a and b and c and d", now=NOW)
 
 
 def test_parse_set_op_scalar_rejected():

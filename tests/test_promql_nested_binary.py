@@ -1,0 +1,184 @@
+"""Round 11 PromQL tail: ONE nested binary operand with Prometheus
+precedence/associativity, global-aggregate operands (empty-label
+vectors), and the didactic bounds. Semantics pinned on hand-built
+frames (the DuckDB oracle covers the registry shapes:
+promql_ext_binary_ratio's nested_gt/global_ratio arms)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from sensapp_spark.query.promql_ext import (
+    BinaryQuery,
+    PromQLError,
+    data_window,
+    evaluate_binary,
+    parse_extended_expr,
+)
+
+T0 = dt.datetime(2024, 1, 1)
+NOW = T0 + dt.timedelta(minutes=30)
+
+
+@pytest.fixture(scope="module")
+def frames(spark):
+    rows = [
+        ("a/u1", 0, 4.0), ("a/u2", 60, 9.0),
+        ("b/u1", 0, 2.0), ("b/u2", 60, 3.0),
+        ("c/u1", 0, 1.0), ("c/u2", 60, 100.0),
+    ]
+    vals = spark.createDataFrame(
+        [(s, T0 + dt.timedelta(seconds=o), float(v), i)
+         for i, (s, o, v) in enumerate(rows)],
+        "sensor_id string, time timestamp, value double, event_id long",
+    )
+    sensors = (
+        vals.select("sensor_id").distinct()
+        .select(
+            "sensor_id",
+            F.split("sensor_id", "/").getItem(0).alias("name"),
+            F.lit("Float").alias("type"),
+            F.lit(None).cast("string").alias("unit"),
+            F.lit(None).cast("string").alias("unit_description"),
+            F.create_map(
+                F.lit("user"), F.split("sensor_id", "/").getItem(1)
+            ).alias("labels"),
+        )
+    )
+    return sensors, vals
+
+
+def _run(frames, expr):
+    sensors, vals = frames
+    out = evaluate_binary(
+        sensors, vals, parse_extended_expr(expr, now=NOW)
+    )
+    return sorted(
+        (r.asDict().get("labels"), round(r["value"], 6))
+        for r in out.collect()
+    )
+
+
+def test_precedence_and_associativity():
+    # * binds tighter than + → split at '+', right side nested.
+    bq = parse_extended_expr("a + b * c", now=NOW)
+    assert bq.op == "+" and isinstance(bq.right, BinaryQuery)
+    assert bq.right.op == "*"
+    # Comparisons bind looser than arithmetic.
+    bq = parse_extended_expr("a / b > 0.5", now=NOW)
+    assert bq.op == ">" and isinstance(bq.left, BinaryQuery)
+    # Set ops are loosest.
+    bq = parse_extended_expr("a / b and c", now=NOW)
+    assert bq.op == "and" and bq.left.op == "/"
+    # Left-assoc chain splits at the RIGHTMOST same-precedence op.
+    bq = parse_extended_expr("a - b - c", now=NOW)
+    assert bq.op == "-" and bq.left.op == "-"
+    assert not isinstance(bq.right, BinaryQuery)
+    # ^ is right-assoc: a ^ b ^ c = a ^ (b ^ c).
+    bq = parse_extended_expr("a ^ b ^ c", now=NOW)
+    assert bq.op == "^" and isinstance(bq.right, BinaryQuery)
+    # Redundant full-expression parens unwrap at any depth.
+    bq = parse_extended_expr("((a / b))", now=NOW)
+    assert isinstance(bq, BinaryQuery) and bq.op == "/"
+
+
+def test_nesting_bound_is_two_levels():
+    with pytest.raises(PromQLError, match="one level deep"):
+        parse_extended_expr("a / b / c / d", now=NOW)
+    with pytest.raises(PromQLError, match="one level deep"):
+        parse_extended_expr("(a + b) / (c + d) > 1", now=NOW)
+
+
+def test_nested_arithmetic_values(frames):
+    # a/b per user: u1=2, u2=3; then /c: u1=2/1, u2=3/100.
+    assert _run(frames, "a / b / c") == [
+        ('user="u1"', 2.0), ('user="u2"', 0.03),
+    ]
+    assert _run(frames, "a / (b * c)") == [
+        ('user="u1"', 2.0), ('user="u2"', 0.03),
+    ]
+    # Nested on BOTH sides of the outer op.
+    assert _run(frames, "(a / b) + (a / b)") == [
+        ('user="u1"', 4.0), ('user="u2"', 6.0),
+    ]
+
+
+def test_nested_comparison_filters_ratio(frames):
+    # Ratio threshold: filter semantics keep the RATIO value.
+    assert _run(frames, "(a / b) > 2.5") == [('user="u2"', 3.0)]
+    assert _run(frames, "(a / b) > bool 2.5") == [
+        ('user="u1"', 0.0), ('user="u2"', 1.0),
+    ]
+
+
+def test_nested_set_ops(frames):
+    assert _run(frames, "(a / b) and c") == [
+        ('user="u1"', 2.0), ('user="u2"', 3.0),
+    ]
+    assert _run(frames, "(a / b) unless c") == []
+
+
+def test_global_aggregate_operands(frames):
+    # sum(a)=13, sum(b)=5, sum(c)=101 — empty-label one-row vectors.
+    assert _run(frames, "sum(a) / sum(b)") == [("", 2.6)]
+    assert _run(frames, "sum(a) / (sum(b) + sum(c))") == [
+        ("", round(13.0 / 106.0, 6)),
+    ]
+    # Empty key ≠ a labeled series: no match, empty result.
+    assert _run(frames, "sum(a) / c") == []
+
+
+def test_didactic_bounds(frames):
+    sensors, vals = frames
+    with pytest.raises(PromQLError, match="on/ignoring over"):
+        evaluate_binary(
+            sensors, vals,
+            parse_extended_expr("(a / b) / on(user) c", now=NOW),
+        )
+    with pytest.raises(PromQLError, match="group_left over a nested"):
+        parse_extended_expr(
+            "(a + b) * on (user) group_left c", now=NOW
+        )
+    with pytest.raises(PromQLError, match="by/without-grouped"):
+        evaluate_binary(
+            sensors, vals,
+            parse_extended_expr("sum by (user) (a) / c", now=NOW),
+        )
+
+
+def test_data_window_envelope_covers_nested_operands():
+    bq = parse_extended_expr(
+        "(rate(a[2h]) / rate(b[1h])) > 0.5", now=NOW
+    )
+    start, end = data_window(bq)
+    assert end - start == dt.timedelta(hours=2)
+
+
+def test_gateway_nested_binary(spark, tmp_path):
+    from sensapp_spark.server.app import create_app
+    from sensapp_spark.storage.lake import SensorLake
+
+    lake = SensorLake(spark, str(tmp_path / "lake"))
+    app = create_app(spark, lake)
+    app.testing = True
+    with app.test_client() as c:
+        c.post(
+            "/publish",
+            data="datetime,nb_a,nb_b\n"
+                 "2024-01-01T00:10:00Z,6.0,2.0\n"
+                 "2024-01-01T00:40:00Z,8.0,4.0\n",
+            content_type="text/csv",
+        )
+        import urllib.parse
+
+        q = urllib.parse.quote(
+            "(sum_over_time(nb_a[1h] @ 1704070800) "
+            "/ sum_over_time(nb_b[1h] @ 1704070800)) > bool 2"
+        )
+        r = c.get(f"/api/v1/query?extended=true&query={q}")
+        assert r.status_code == 200, r.get_data(as_text=True)
+        rows = r.get_json()["result"]
+        assert [row["value"] for row in rows] == [1.0]  # 14/6 > 2
