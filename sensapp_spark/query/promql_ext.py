@@ -3382,6 +3382,209 @@ def evaluate_binary(
     )
 
 
+def evaluate_range_binary(
+    sensors: DataFrame,
+    values: DataFrame | None,
+    bq: BinaryQuery,
+    start: dt.datetime,
+    end: dt.datetime,
+    step_seconds: float,
+    now: dt.datetime | None = None,
+    side_eval=None,
+) -> DataFrame:
+    """Range-query binary operations (round 11) — the Grafana ratio
+    panel: evaluate both operands at every step, then apply the
+    operation PER STEP (one-to-one matching joins on (key, t); scalar
+    operands broadcast; ``scalar(expr)`` reduces per step).
+
+    ``side_eval(eq) -> DataFrame`` evaluates one vector operand to its
+    per-step frame — the HTTP route passes a callback that serves a
+    grain-compatible side from the MAINTAINED rollup
+    (query/rollup_serve.py) and falls back to the raw
+    ``evaluate_range``; the default evaluates raw against ``values``.
+    Each operand therefore picks its own fastest exact path.
+
+    Supported operand shapes mirror the instant path: plain series
+    vectors, global aggregations (empty-label one-row-per-step),
+    topk/bottomk samplers, scalars, and ONE nested BinaryQuery.
+    group_left/group_right stays didactic at range level (evaluate the
+    panel's instant form, or precompute the one side)."""
+    if side_eval is None:
+        def side_eval(eq):
+            return evaluate_range(
+                sensors, values, eq,
+                start=start, end=end, step_seconds=step_seconds,
+                now=now,
+            )
+
+    if bq.group_mode is not None:
+        raise PromQLError(
+            "binary",
+            f"group_{bq.group_mode} in RANGE queries is not supported; "
+            "evaluate the instant form per refresh, or precompute the "
+            "one side.",
+        )
+    for side_eq in (bq.left, bq.right):
+        if isinstance(side_eq, (float, ScalarOf, BinaryQuery)):
+            continue
+        if _is_hist(side_eq) or side_eq.func in ABSENT_FUNCS:
+            raise PromQLError(
+                "binary",
+                "histogram/absent operands in range binary operations "
+                "are not supported; compute them separately.",
+            )
+        if side_eq.outer_agg is not None:
+            raise PromQLError(
+                "binary",
+                "Nested-aggregation operands in binary operations are "
+                "not supported; compute the sides separately.",
+            )
+        if side_eq.agg not in (None, "topk", "bottomk") and (
+            side_eq.by or side_eq.without
+            or side_eq.agg == "count_values"
+        ):
+            raise PromQLError(
+                "binary",
+                "by/without-grouped operands in vector-to-vector "
+                "binary operations are not supported (their result "
+                "keys on group columns, not a label set).",
+            )
+
+    def _frame(side) -> DataFrame:
+        if isinstance(side, BinaryQuery):
+            return evaluate_range_binary(
+                sensors, values, side, start, end, step_seconds,
+                now=now, side_eval=side_eval,
+            )
+        return side_eval(side)
+
+    def _key(frame: DataFrame) -> F.Column:
+        kind = dict(frame.dtypes).get("labels")
+        if kind == "string" or kind is None:
+            if bq.on or bq.ignoring:
+                raise PromQLError(
+                    "binary",
+                    "on/ignoring over a parenthesized-binary or "
+                    "globally-aggregated operand is not supported — "
+                    "put the matching clause inside the parentheses.",
+                )
+            return F.col("labels") if kind else F.lit("")
+        return _matching_key(bq.on, bq.ignoring)
+
+    def apply(lc: F.Column, rc: F.Column) -> F.Column:
+        return {
+            "+": lc + rc, "-": lc - rc, "*": lc * rc, "/": lc / rc,
+            "%": lc % rc, "^": F.pow(lc, rc),
+            "atan2": F.atan2(lc, rc),
+            ">": lc > rc, "<": lc < rc, ">=": lc >= rc,
+            "<=": lc <= rc, "==": lc == rc, "!=": lc != rc,
+        }[bq.op]
+
+    if bq.op in _SET_OPS:
+        for side_eq in (bq.left, bq.right):
+            if isinstance(side_eq, (float, ScalarOf)):
+                raise PromQLError(
+                    "binary",
+                    f"'{bq.op}' is a set operation between two instant "
+                    "vectors; scalars have no label sets to match on.",
+                )
+        left, right = _frame(bq.left), _frame(bq.right)
+        lk = left.withColumn("__k", _key(left))
+        rk = right.select(_key(right).alias("__k"), "t").distinct()
+        cols = [
+            c for c in ("sensor_id", "name", "labels", "t", "value")
+            if c in left.columns
+        ]
+        if bq.op == "and":
+            return lk.join(rk, ["__k", "t"], "leftsemi").select(*cols)
+        if bq.op == "unless":
+            return lk.join(rk, ["__k", "t"], "leftanti").select(*cols)
+        mixed = dict(left.dtypes).get("labels") != dict(
+            right.dtypes
+        ).get("labels")
+        lkey, rkey = _key(left), _key(right)
+        if mixed:
+            left = left.select(lkey.alias("labels"), "t", "value")
+            right = right.select(rkey.alias("labels"), "t", "value")
+            lkey = rkey = F.col("labels")
+            cols = ["labels", "t", "value"]
+        rcols = [c for c in cols if c in right.columns]
+        lkeys = left.select(lkey.alias("__k"), "t").distinct()
+        extra = (
+            right.withColumn("__k", rkey)
+            .join(lkeys, ["__k", "t"], "leftanti")
+            .select(*rcols)
+        )
+        return left.select(*cols).unionByName(extra)
+
+    if isinstance(bq.left, (float, ScalarOf)) or isinstance(
+        bq.right, (float, ScalarOf)
+    ):
+        scalar_left = isinstance(bq.left, (float, ScalarOf))
+        eq = bq.right if scalar_left else bq.left
+        sc = bq.left if scalar_left else bq.right
+        out = _frame(eq)
+        if isinstance(sc, ScalarOf):
+            # scalar(v) PER STEP: the inner vector reduces to one value
+            # per t (NaN unless exactly one series at that step) and
+            # joins back on t — step-count-sized, broadcastable.
+            reduced = (
+                _frame(sc.eq)
+                .groupBy("t")
+                .agg(
+                    F.count("*").alias("__n"),
+                    F.first("value").alias("__v"),
+                )
+                .select(
+                    "t",
+                    F.when(F.col("__n") == 1, F.col("__v"))
+                    .otherwise(F.lit(float("nan")))
+                    .alias("__sv"),
+                )
+            )
+            out = out.join(F.broadcast(reduced), "t")
+            sc_col = F.col("__sv")
+        else:
+            sc_col = F.lit(sc)
+        res = (
+            apply(sc_col, F.col("value"))
+            if scalar_left
+            else apply(F.col("value"), sc_col)
+        )
+        cols = [
+            c for c in ("sensor_id", "name", "labels")
+            if c in out.columns
+        ]
+        if bq.op in _CMP_OPS:
+            if bq.bool_mode:
+                return out.select(
+                    *cols, "t", res.cast("double").alias("value")
+                )
+            return out.filter(res).select(*cols, "t", "value")
+        return out.select(*cols, "t", res.alias("value"))
+
+    left, right = _frame(bq.left), _frame(bq.right)
+    lk = left.select(
+        _key(left).alias("labels"), "t", F.col("value").alias("__lv")
+    )
+    rk = right.select(
+        _key(right).alias("labels"), "t", F.col("value").alias("__rv")
+    )
+    joined = lk.join(rk, ["labels", "t"])
+    if bq.op in _CMP_OPS:
+        cond = apply(F.col("__lv"), F.col("__rv"))
+        if bq.bool_mode:
+            return joined.select(
+                "labels", "t", cond.cast("double").alias("value")
+            )
+        return joined.filter(cond).select(
+            "labels", "t", F.col("__lv").alias("value")
+        )
+    return joined.select(
+        "labels", "t", apply(F.col("__lv"), F.col("__rv")).alias("value")
+    )
+
+
 def _evaluate_group_binary(
     sensors: DataFrame, values: DataFrame, bq: BinaryQuery, apply
 ) -> DataFrame:

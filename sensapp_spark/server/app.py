@@ -19,6 +19,16 @@ Routes:
 * ``GET /api/v1/rollup?type&grain&start&end&realtime=`` — continuous
   aggregate reads (JSONL, streamed above the threshold);
   ``POST /api/v1/admin/rollup/refresh`` — the maintenance tick
+  (``?sketch=1`` maintains the bucket-keyed KMV/CMS sketch rollup)
+* ``GET /api/v1/rollup/distinct`` / ``GET /api/v1/rollup/heavy`` —
+  per-bucket distinct-series estimates and heavy-hitter probes from
+  the maintained sketch rollup (round 11)
+* ``POST /api/v1/admin/maintain`` — one composed maintenance pass:
+  rollup/sketch refresh + compaction + zone maps + optional retention
+  (round 11; streaming/maintenance.py runs the same tick on a schedule)
+* ``GET /api/v1/query_range`` — Prometheus range queries; grain-
+  compatible shapes are served from the maintained rollup
+  (query/rollup_serve.py — X-Served-From header; ?rollup=0 opts out)
 * ``GET /`` — frontpage: instance name as JSON (server.rs:151-155)
 * ``GET /docs`` — OpenAPI 3 document generated from the live route
   table (server.rs:40-52,84 — reference's ApiDoc derive + Scalar UI)
@@ -1045,8 +1055,10 @@ def create_app(
     @app.get("/api/v1/query_range")
     def promql_query_range():
         from sensapp_spark.query.promql_ext import (
+            BinaryQuery,
             evaluate_range,
-            parse_extended,
+            evaluate_range_binary,
+            parse_extended_expr,
         )
 
         query = request.args.get("query")
@@ -1061,9 +1073,20 @@ def create_app(
                 return dt.datetime.fromtimestamp(
                     float(raw), dt.timezone.utc
                 ).replace(tzinfo=None)
+            except (OverflowError, OSError) as e:
+                raise ValueError(
+                    f"{name} epoch timestamp out of range"
+                ) from e
             except ValueError:
-                return dt.datetime.fromisoformat(raw.replace("Z", "+00:00")) \
-                    .astimezone(dt.timezone.utc).replace(tzinfo=None)
+                # Naive ISO input is UTC (the API-wide contract) —
+                # astimezone() on a naive value would reinterpret it
+                # in host-local time.
+                parsed = dt.datetime.fromisoformat(
+                    raw.replace("Z", "+00:00")
+                )
+                if parsed.tzinfo is not None:
+                    parsed = parsed.astimezone(dt.timezone.utc)
+                return parsed.replace(tzinfo=None)
 
         try:
             start = parse_time("start")
@@ -1080,9 +1103,104 @@ def create_app(
             # Explicit parse anchor so the selector's `offset` can be
             # derived exactly (offset = anchor − selector end).
             now_parse = dt.datetime.now(dt.timezone.utc)
-            eq = parse_extended(query, now=now_parse)
+            eq = parse_extended_expr(query, now=now_parse)
         except (ValueError, PromQLError) as e:
             return jsonify({"error": str(e)}), 400
+
+        rollup_on = request.args.get("rollup", "auto").lower() not in (
+            "0", "off", "false"
+        )
+
+        def _scan_bounds(seq):
+            """Raw-scan window for ONE vector operand — lookback +
+            offset behind [start, end], widened for subquery reach
+            and fixed-@ anchors (whose window may lie entirely
+            outside the step range)."""
+            lookback = seq.selector.end_time - seq.selector.start_time
+            if seq.sub_inner is not None:
+                lookback += dt.timedelta(seconds=seq.sub_range_s)
+            offset = max(
+                dt.timedelta(0), now_parse - seq.selector.end_time
+            )
+            lo, hi = start - lookback - offset, end
+            if seq.at_fixed:
+                def _naive(t: dt.datetime) -> dt.datetime:
+                    if t.tzinfo is not None:
+                        t = t.astimezone(
+                            dt.timezone.utc
+                        ).replace(tzinfo=None)
+                    return t
+
+                lo = min(lo, _naive(seq.selector.start_time) - (
+                    dt.timedelta(seconds=seq.sub_range_s)
+                    if seq.sub_inner is not None else dt.timedelta(0)
+                ))
+                hi = max(hi, _naive(seq.selector.end_time))
+            return lo, hi
+
+        def _raw_side(seq):
+            lo, hi = _scan_bounds(seq)
+            return evaluate_range(
+                lake.sensors(),
+                lake.values(
+                    SensorType.FLOAT, lo, hi,
+                    sensor_ids=_probe_matched_ids(seq),
+                ),
+                seq,
+                start=start, end=end, step_seconds=step, now=now_parse,
+            )
+
+        def _rollup_side(seq):
+            """The maintained-rollup frame for one operand when its
+            window arithmetic is grain-compatible, else None."""
+            if not rollup_on:
+                return None
+            from sensapp_spark.query.rollup_serve import (
+                evaluate_range_rollup,
+                maintained_grains,
+                rollup_serveable,
+            )
+            from sensapp_spark.storage.rollup import RollupStore
+
+            for g in maintained_grains(lake, SensorType.FLOAT):
+                if rollup_serveable(seq, g, start, step, now_parse):
+                    return evaluate_range_rollup(
+                        RollupStore(lake, grain_s=g),
+                        lake.sensors(), seq,
+                        start=start, end=end, step_seconds=step,
+                        now=now_parse,
+                    ), g
+            return None
+
+        if isinstance(eq, BinaryQuery):
+            # Range-query binary operations (round 11) — each vector
+            # operand independently picks the maintained rollup when
+            # grain-compatible; X-Served-From reports the blend.
+            served_tags: list[str] = []
+
+            def side_frame(seq):
+                hit = _rollup_side(seq)
+                if hit is not None:
+                    frame, g = hit
+                    served_tags.append(f"rollup-{g}s")
+                    return frame
+                served_tags.append("raw")
+                return _raw_side(seq)
+
+            try:
+                out = evaluate_range_binary(
+                    lake.sensors(), None, eq,
+                    start=start, end=end, step_seconds=step,
+                    now=now_parse, side_eval=side_frame,
+                )
+            except PromQLError as e:
+                return jsonify({"error": str(e)}), 400
+            served_from = (
+                served_tags[0]
+                if len(set(served_tags)) == 1
+                else "mixed(" + ",".join(served_tags) + ")"
+            )
+            return _finish_query_range(out, served_from)
         if eq.selector is None:
             # Constant vectors (vector()/time()/argless date funcs)
             # have no sample window; evaluate_range rejects them with
@@ -1100,81 +1218,21 @@ def create_app(
         # only an opt-out (?rollup=0) for A/B verification. The served
         # plan reads rollup buckets (∪ recomputed live tail), never
         # the raw value table; X-Served-From says which path answered.
-        served_from = "raw"
-        out = None
-        if request.args.get("rollup", "auto").lower() not in (
-            "0", "off", "false"
-        ):
-            from sensapp_spark.query.rollup_serve import (
-                evaluate_range_rollup,
-                maintained_grains,
-                rollup_serveable,
-            )
-            from sensapp_spark.storage.rollup import RollupStore
-
-            for g in maintained_grains(lake, SensorType.FLOAT):
-                if rollup_serveable(eq, g, start, step, now_parse):
-                    out = evaluate_range_rollup(
-                        RollupStore(lake, grain_s=g),
-                        lake.sensors(),
-                        eq,
-                        start=start,
-                        end=end,
-                        step_seconds=step,
-                        now=now_parse,
-                    )
-                    served_from = f"rollup-{g}s"
-                    break
-        lookback = eq.selector.end_time - eq.selector.start_time
-        if eq.sub_inner is not None:
-            # A subquery's earliest outer step reaches back its range
-            # PLUS the inner lookback (eq.selector is the INNER
-            # selector here).
-            lookback += dt.timedelta(seconds=eq.sub_range_s)
-        offset = max(
-            dt.timedelta(0), now_parse - eq.selector.end_time
-        )
-        scan_lo = start - lookback - offset
-        scan_hi = end
-        if out is None and eq.at_fixed:
-            # A fixed `@` anchor pins the selector's sample window
-            # absolutely — it may lie entirely outside [start, end]
-            # (e.g. an anchor later than `end`, where `offset` clamps
-            # to 0). Widen the scan to cover it, or evaluate_range's
-            # anchored-constant broadcast sees no samples and every
-            # step silently returns empty.
-            def _naive(t: dt.datetime) -> dt.datetime:
-                # The selector carries the parse anchor's tz-awareness;
-                # the lake scan bounds are naive UTC like start/end.
-                if t.tzinfo is not None:
-                    t = t.astimezone(dt.timezone.utc).replace(tzinfo=None)
-                return t
-
-            scan_lo = min(scan_lo, _naive(eq.selector.start_time) - (
-                dt.timedelta(seconds=eq.sub_range_s)
-                if eq.sub_inner is not None else dt.timedelta(0)
-            ))
-            scan_hi = max(scan_hi, _naive(eq.selector.end_time))
-        if out is None:
+        hit = _rollup_side(eq)
+        if hit is not None:
+            out, g = hit
+            served_from = f"rollup-{g}s"
+        else:
+            served_from = "raw"
             try:
-                out = evaluate_range(
-                    lake.sensors(),
-                    lake.values(
-                        SensorType.FLOAT,
-                        scan_lo,
-                        scan_hi,
-                        sensor_ids=_probe_matched_ids(eq),
-                    ),
-                    eq,
-                    start=start,
-                    end=end,
-                    step_seconds=step,
-                    now=now_parse,
-                )
+                out = _raw_side(eq)
             except PromQLError as e:
-                # Shapes evaluate_range rejects (subqueries,
-                # histogram_quantile) are client errors, not 500s.
+                # Shapes evaluate_range rejects (histogram_quantile
+                # etc.) are client errors, not 500s.
                 return jsonify({"error": str(e)}), 400
+        return _finish_query_range(out, served_from)
+
+    def _finish_query_range(out, served_from: str):
         # ISO-format the step timestamp explicitly (Flask would render
         # datetime values as RFC-822 strings).
         from pyspark.sql import functions as F

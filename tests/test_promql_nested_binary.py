@@ -182,3 +182,81 @@ def test_gateway_nested_binary(spark, tmp_path):
         assert r.status_code == 200, r.get_data(as_text=True)
         rows = r.get_json()["result"]
         assert [row["value"] for row in rows] == [1.0]  # 14/6 > 2
+
+
+def test_gateway_range_binary_served_from_rollup(spark, tmp_path):
+    """Range-query binary ops (round 11): the Grafana ratio panel —
+    each operand independently served from the maintained rollup when
+    grain-compatible (X-Served-From blend), byte-equal to the raw
+    evaluation, correct per-step values."""
+    from sensapp_spark.server.app import create_app
+    from sensapp_spark.storage.lake import SensorLake
+
+    lake = SensorLake(spark, str(tmp_path / "lake"))
+    app = create_app(spark, lake)
+    app.testing = True
+    with app.test_client() as c:
+        c.post(
+            "/publish",
+            data="datetime,rb_a,rb_b\n"
+                 "2024-01-01T00:15:00Z,6.0,2.0\n"
+                 "2024-01-01T00:45:00Z,8.0,5.0\n"
+                 "2024-01-01T01:30:00Z,9.0,3.0\n",
+            content_type="text/csv",
+        )
+        q = (
+            "/api/v1/query_range?query="
+            "sum_over_time(rb_a[1h])/sum_over_time(rb_b[1h])"
+            "&start=2024-01-01T01:00:00Z&end=2024-01-01T02:00:00Z"
+            "&step=3600"
+        )
+        raw = c.get(q + "&rollup=0")
+        assert raw.status_code == 200, raw.get_data(as_text=True)
+        assert raw.headers["X-Served-From"] == "raw"
+        vals = {r["t"]: r["value"] for r in raw.get_json()["result"]}
+        # t=01:00: [00:00,01:00] → a=14, b=7 → 2.0; t=02:00: 9/3.
+        assert vals == {
+            "2024-01-01T01:00:00": 2.0,
+            "2024-01-01T02:00:00": 3.0,
+        }
+        assert c.post(
+            "/api/v1/admin/rollup/refresh"
+        ).status_code == 200
+        served = c.get(q)
+        assert served.headers["X-Served-From"] == "rollup-3600s"
+
+        def _rows(resp):
+            return sorted(
+                tuple(sorted(r.items()))
+                for r in resp.get_json()["result"]
+            )
+
+        assert _rows(served) == _rows(raw)
+        # Misaligned step: both sides fall back — an honest blend tag.
+        r2 = c.get(q.replace("step=3600", "step=1800"))
+        assert r2.headers["X-Served-From"] == "raw"
+        # One side grain-compatible, the other not → mixed.
+        q3 = (
+            "/api/v1/query_range?query="
+            "sum_over_time(rb_a[1h])/rate(rb_b[1h])"
+            "&start=2024-01-01T01:00:00Z&end=2024-01-01T02:00:00Z"
+            "&step=3600"
+        )
+        r3 = c.get(q3)
+        assert r3.status_code == 200
+        assert r3.headers["X-Served-From"] == "mixed(rollup-3600s,raw)"
+        # Comparison with scalar; group_left at range level didactic.
+        r4 = c.get(q.replace(
+            "sum_over_time(rb_b[1h])",
+            "sum_over_time(rb_b[1h])%20%3E%202.5",  # " > 2.5"
+        ))
+        assert r4.status_code == 200
+        assert [x["value"] for x in r4.get_json()["result"]] == [3.0]
+        r5 = c.get(
+            "/api/v1/query_range?query="
+            "rb_a%20/%20on(user)%20group_left%20rb_b"
+            "&start=2024-01-01T01:00:00Z&end=2024-01-01T02:00:00Z"
+            "&step=3600"
+        )
+        assert r5.status_code == 400
+        assert "group_left in RANGE" in r5.get_json()["error"]
