@@ -1527,6 +1527,27 @@ def _click_bucket_snapshots(sensors, vals, snapshots):
                               WHERE name = 'click')
         GROUP BY 1, 2
         HAVING epoch_us(MAX(v.time)) > epoch_us(MIN(v.time)))
+    , winb AS (
+        SELECT s.name,
+               CASE WHEN s.region_label IS NULL
+                    THEN 'user="' || s.user_label || '"'
+                    ELSE 'region="' || s.region_label
+                         || '",user="' || s.user_label || '"'
+               END AS labels,
+               st.i,
+               arg_max(v.value, v.time) - arg_min(v.value, v.time)
+                 AS rise,
+               (epoch_us(MAX(v.time)) - epoch_us(MIN(v.time))) / 1e6
+                 AS span
+        FROM vals v
+        JOIN sensors s USING (sensor_id)
+        JOIN steps st
+          ON v.time <= TIMESTAMP '2024-01-05' + st.i * INTERVAL '1 day'
+         AND v.time >= TIMESTAMP '2024-01-05' + st.i * INTERVAL '1 day'
+                        - INTERVAL '2 days'
+        WHERE s.name IN ('click', 'view')
+        GROUP BY 1, 2, 3
+        HAVING epoch_us(MAX(v.time)) > epoch_us(MIN(v.time)))
     , sq_inner AS (
         SELECT v.sensor_id, s.j,
                TIMESTAMP '2024-01-05' + s.j * INTERVAL '2 days' AS tj,
@@ -1596,6 +1617,13 @@ def _click_bucket_snapshots(sensors, vals, snapshots):
                     / (cum - COALESCE(pcum, 0))
            END, 6) + 0
     FROM rq_sel WHERE hrn = 1
+    UNION ALL
+    SELECT 'binary', l.labels,
+           strftime(TIMESTAMP '2024-01-05' + l.i * INTERVAL '1 day',
+                    '%Y-%m-%d %H:%M:%S'),
+           ROUND((l.rise / l.span) / (r.rise / r.span), 6) + 0
+    FROM winb l JOIN winb r ON l.labels = r.labels AND l.i = r.i
+    WHERE l.name = 'click' AND r.name = 'view'
     """,
 )
 def promql_ext_range_query(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1617,10 +1645,17 @@ def promql_ext_range_query(spark: SparkSession, sf_dir: str) -> DataFrame:
       1-hour instant lookback picks up exactly one snapshot, so the
       two steps quantile genuinely different CDFs — per-step windows
       verified end-to-end against the oracle's snapshot-parametrized
-      interpolation."""
+      interpolation.
+    * ``binary`` (round 11) — ``rate(click[2d]) / rate(view[2d])``
+      per step (the Grafana ratio panel): evaluate_range_binary joins
+      the two per-step frames one-to-one on (labels, t); the oracle
+      recomputes both windows per step and joins on the same
+      canonical label string."""
     from sensapp_spark.query.promql_ext import (
         evaluate_range,
+        evaluate_range_binary,
         parse_extended,
+        parse_extended_expr,
     )
 
     sensors = td.events_sensors(spark, sf_dir)
@@ -1662,11 +1697,23 @@ def promql_ext_range_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         end=dt.datetime(2024, 1, 30, 0, 30),
         step_seconds=15 * 86400,
     )
+    # ``binary`` (round 11): the Grafana ratio panel —
+    # rate(click)/rate(view) evaluated PER STEP with one-to-one
+    # matching on the full label set (evaluate_range_binary joins the
+    # two per-step frames on (labels, t)); the oracle recomputes both
+    # windows per step and joins on the same canonical label string.
+    rbin = evaluate_range_binary(
+        sensors, vals,
+        parse_extended_expr("rate(click[2d]) / rate(view[2d])", now=now),
+        start=dt.datetime(2024, 1, 5), end=dt.datetime(2024, 1, 25),
+        step_seconds=86400, now=now,
+    )
     return _union_tagged(
         [
             ("rate", shaped(rate, "sensor_id", plus_zero=True)),
             ("subquery", shaped(subq, "sensor_id", plus_zero=True)),
             ("hist", shaped(hist, "labels", plus_zero=True)),
+            ("binary", shaped(rbin, "labels", plus_zero=True)),
         ],
         "scope",
     )
