@@ -124,6 +124,66 @@ def main() -> int:
         "sec": round(time.time() - t0, 2), "rows": n,
     }
 
+    # Round 11: the SERVED query path — a Grafana-shaped range query
+    # (sum_over_time at 25 daily steps, 1-day closed windows) answered
+    # from the maintained rollup vs the raw evaluate_range explode,
+    # value-checked row-for-row (the edge quartet makes them EQUAL,
+    # not approximately equal).
+    from pyspark.sql import functions as PF
+
+    from sensapp_spark.query.promql_ext import (
+        evaluate_range,
+        parse_extended,
+    )
+    from sensapp_spark.query.rollup_serve import (
+        evaluate_range_rollup,
+        rollup_serveable,
+    )
+
+    sensors_dim = lake.sensors().select(
+        "sensor_id", "name", "type", "unit", "unit_description", "labels"
+    )
+    if sensors_dim.isEmpty():
+        # append_values alone maintains no dimension; derive one.
+        sensors_dim = (
+            lake.values(SensorType.FLOAT).select("sensor_id").distinct()
+            .select(
+                "sensor_id",
+                PF.split("sensor_id", "/").getItem(0).alias("name"),
+                PF.lit("Float").alias("type"),
+                PF.lit(None).cast("string").alias("unit"),
+                PF.lit(None).cast("string").alias("unit_description"),
+                PF.create_map(
+                    PF.lit("user"),
+                    PF.split("sensor_id", "/").getItem(1),
+                ).alias("labels"),
+            )
+        )
+    now = dt.datetime(2024, 4, 1)
+    eq = parse_extended("sum_over_time(click[1d])", now=now)
+    q0, q1, step = dt.datetime(2024, 1, 2), dt.datetime(2024, 1, 27), 86400.0
+    assert rollup_serveable(eq, 3600, q0, step, now=now)
+    t0 = time.time()
+    served = evaluate_range_rollup(
+        store, sensors_dim, eq, q0, q1, step, now=now
+    ).select("sensor_id", "t", "value").cache()
+    n_served = served.count()
+    report["range_query_rollup_served"] = {
+        "sec": round(time.time() - t0, 2), "rows": n_served,
+    }
+    t0 = time.time()
+    raw = evaluate_range(
+        sensors_dim, lake.values(SensorType.FLOAT), eq,
+        start=q0, end=q1, step_seconds=step, now=now,
+    ).select("sensor_id", "t", "value").cache()
+    n_raw = raw.count()
+    report["range_query_raw"] = {
+        "sec": round(time.time() - t0, 2), "rows": n_raw,
+    }
+    assert served.exceptAll(raw).count() == 0
+    assert raw.exceptAll(served).count() == 0
+    report["range_query_served_equals_raw"] = True
+
     print(json.dumps(report, indent=2))
     shutil.rmtree(LAKE, ignore_errors=True)
     return 0

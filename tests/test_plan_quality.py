@@ -319,7 +319,13 @@ def test_registry_wide_join_shapes(spark):
     (caught live on the embedding clique join at 10x)."""
     import __spark_entry__ as mod
 
-    allowed_smj = {"virtual_sensor_join", "gapfill_1h"}
+    # promql_ext_range_query (round 11): the `binary` arm's one-to-one
+    # per-step join keys on the high-cardinality (labels, t) composite
+    # over two ALREADY-REDUCED series×steps frames — the same
+    # SMJ-on-reduced-frames class as virtual_sensor_join; AQE converts
+    # it to a broadcast join when a side is dashboard-small.
+    allowed_smj = {"virtual_sensor_join", "gapfill_1h",
+                   "promql_ext_range_query"}
     # text_terms/sample_split carry lm_perplexity's broadcast one-row
     # vocabulary scalar (1 each); promql_ext_instant carries the two
     # absent() arms' 1-row × LIMIT-1 anti joins (both sides bounded to
@@ -328,11 +334,14 @@ def test_registry_wide_join_shapes(spark):
     # waiver, so an accidental nested-loop join sneaking into any other
     # arm of these families still fails the gate (advisor finding,
     # round 6).
-    # promql_ext_binary_ratio's 1 is the scalar_div arm's broadcast
-    # one-row scalar(sum(...)) reduction.
+    # promql_ext_binary_ratio's 3: the scalar_div arm's broadcast
+    # one-row scalar(sum(...)) reduction, plus the round-11
+    # global_ratio arm's TWO empty-key joins (sum(b)+sum(c) nested,
+    # then sum(a)/…) — every side is a one-row global aggregate by
+    # construction, so each nested loop is one comparison.
     allowed_bnlj = {"text_terms": 2, "sample_split": 1,
                     "promql_ext_instant": 2,
-                    "promql_ext_binary_ratio": 1}
+                    "promql_ext_binary_ratio": 3}
     sf = "/root/testdata/sf0.001"
     offences = []
     for name, fn in mod.queries().items():
