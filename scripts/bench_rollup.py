@@ -180,9 +180,93 @@ def main() -> int:
     report["range_query_raw"] = {
         "sec": round(time.time() - t0, 2), "rows": n_raw,
     }
-    assert served.exceptAll(raw).count() == 0
-    assert raw.exceptAll(served).count() == 0
+    # Equality is SEMANTIC, not bit-level: summing bucket subsums
+    # associates differently than summing raw samples, so ~0.4% of
+    # windows differ in the last double ULP (the oracle gate's %.6g
+    # formatting absorbs the same class). Pin key sets identical and
+    # every value within 1e-9 relative.
+    j = served.alias("s").join(
+        raw.alias("r"), ["sensor_id", "t"], "full"
+    ).select(
+        F.col("s.value").alias("sv"), F.col("r.value").alias("rv")
+    )
+    bad = j.filter(
+        F.col("sv").isNull() | F.col("rv").isNull()
+        | (F.abs(F.col("sv") - F.col("rv"))
+           > 1e-9 * F.greatest(F.abs("sv"), F.abs("rv"), F.lit(1.0)))
+    ).count()
+    assert bad == 0, f"{bad} windows beyond ULP tolerance"
     report["range_query_served_equals_raw"] = True
+
+    # DENSE corpus: the events corpus is ~1 sample per sensor-hour, so
+    # rollup buckets ≈ raw rows and serving only saves the
+    # re-aggregation. Real fleets are DENSE (a 1/min sensor = 60
+    # samples per hourly bucket) — that ratio is the serving win, so
+    # measure it: 800 sensors × 1/min × 30 days = 34.6M rows → 576k
+    # buckets (60×).
+    DLAKE = LAKE + "_dense"
+    shutil.rmtree(DLAKE, ignore_errors=True)
+    dlake = SensorLake(spark, DLAKE)
+    epoch0 = int(dt.datetime(
+        2024, 1, 1, tzinfo=dt.timezone.utc
+    ).timestamp())
+    dense = spark.range(34_560_000).select(
+        F.concat(F.lit("dense/"), (F.col("id") % 800).cast("string"))
+        .alias("sensor_id"),
+        F.timestamp_seconds(
+            F.lit(epoch0) + (F.col("id") / 800).cast("long") * 60
+        ).alias("time"),
+        (F.col("id") % 97).cast("double").alias("value"),
+    )
+    t0 = time.time()
+    dlake.append_values(SensorType.FLOAT, dense.repartition(32))
+    dstore = RollupStore(dlake, grain_s=3600)
+    dstore.refresh(SensorType.FLOAT)
+    report["dense_ingest_plus_rebuild_s"] = round(time.time() - t0, 1)
+    dsensors = (
+        dlake.values(SensorType.FLOAT).select("sensor_id").distinct()
+        .select(
+            "sensor_id",
+            PF.split("sensor_id", "/").getItem(0).alias("name"),
+            PF.lit("Float").alias("type"),
+            PF.lit(None).cast("string").alias("unit"),
+            PF.lit(None).cast("string").alias("unit_description"),
+            PF.create_map(
+                PF.lit("u"), PF.split("sensor_id", "/").getItem(1)
+            ).alias("labels"),
+        )
+    )
+    deq = parse_extended("sum_over_time(dense[1d])", now=now)
+    t0 = time.time()
+    dserved = evaluate_range_rollup(
+        dstore, dsensors, deq, q0, q1, step, now=now
+    ).select("sensor_id", "t", "value").cache()
+    nds = dserved.count()
+    report["dense_range_query_rollup_served"] = {
+        "sec": round(time.time() - t0, 2), "rows": nds,
+    }
+    t0 = time.time()
+    draw = evaluate_range(
+        dsensors, dlake.values(SensorType.FLOAT), deq,
+        start=q0, end=q1, step_seconds=step, now=now,
+    ).select("sensor_id", "t", "value").cache()
+    ndr = draw.count()
+    report["dense_range_query_raw"] = {
+        "sec": round(time.time() - t0, 2), "rows": ndr,
+    }
+    dj = dserved.alias("s").join(
+        draw.alias("r"), ["sensor_id", "t"], "full"
+    ).select(
+        F.col("s.value").alias("sv"), F.col("r.value").alias("rv")
+    )
+    dbad = dj.filter(
+        F.col("sv").isNull() | F.col("rv").isNull()
+        | (F.abs(F.col("sv") - F.col("rv"))
+           > 1e-9 * F.greatest(F.abs("sv"), F.abs("rv"), F.lit(1.0)))
+    ).count()
+    assert dbad == 0, f"{dbad} dense windows beyond ULP tolerance"
+    report["dense_range_query_served_equals_raw"] = True
+    shutil.rmtree(DLAKE, ignore_errors=True)
 
     print(json.dumps(report, indent=2))
     shutil.rmtree(LAKE, ignore_errors=True)

@@ -197,7 +197,11 @@ def range_windows(
     )
     # EDGE contribution: the closed window's right endpoint t_i is the
     # LEFT boundary of bucket t_i — only that bucket's boundary-exact
-    # samples (the edge quartet) are inside the window.
+    # samples (the edge quartet) are inside the window. Two branches
+    # scan the rollup twice — measured FASTER than fusing them into a
+    # single array-of-structs explode (columnar re-scans of a rollup-
+    # sized table are cheap; wide struct-array construction is not:
+    # the fused form doubled the served wall at 10×).
     d = tau - F.lit(start_us)
     edge = (
         buckets.filter(

@@ -271,12 +271,48 @@ class SensorLake:
         # below. ONE walk after the job serves the file-log diff and
         # the zone-map fold.
         with _append_intent(dest) as intent:
-            (
-                df.withColumn(MONTH_COL, F.date_format("time", "yyyy-MM"))
-                .write.partitionBy(MONTH_COL)
-                .mode("append")
-                .parquet(dest)
+            # Stage in a PRIVATE sibling dir, then rename the part
+            # files in. Two concurrent `mode("append")` jobs into the
+            # same directory share Hadoop's `_temporary` staging — the
+            # first job commit DELETES it under the other's feet
+            # (TASK_WRITE_FAILED chmod races, caught live by the
+            # round-11 maintenance-loop test). Part names carry the
+            # writer job's UUID, so renames from distinct stagings
+            # never collide; rename is same-filesystem metadata, and a
+            # crash mid-move leaves only uniquely-named durable files
+            # that the intent-marker walk reconciles — the same
+            # late-landing-file story as before.
+            staging = os.path.join(
+                os.path.dirname(dest),
+                f".stage_{uuid_mod.uuid4().hex}",
             )
+            try:
+                (
+                    df.withColumn(
+                        MONTH_COL, F.date_format("time", "yyyy-MM")
+                    )
+                    .write.partitionBy(MONTH_COL)
+                    .mode("overwrite")
+                    .parquet(staging)
+                )
+                for mdir in os.listdir(staging):
+                    src_m = os.path.join(staging, mdir)
+                    if not (
+                        mdir.startswith(f"{MONTH_COL}=")
+                        and os.path.isdir(src_m)
+                    ):
+                        continue
+                    dst_m = os.path.join(dest, mdir)
+                    os.makedirs(dst_m, exist_ok=True)
+                    for part in os.listdir(src_m):
+                        if not part.endswith(".parquet"):
+                            continue
+                        os.rename(
+                            os.path.join(src_m, part),
+                            os.path.join(dst_m, part),
+                        )
+            finally:
+                shutil.rmtree(staging, ignore_errors=True)
             files = _list_data_files(dest)
             # Record the batch in the version's file log (walk − union,
             # CAS-claimed) so pollers and scans can diff generations

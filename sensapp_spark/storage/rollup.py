@@ -187,6 +187,38 @@ class RollupStore:
         cur = meta.get("cursor")
         return cur if isinstance(cur, dict) else None
 
+    def _cursor_current(self, stype: SensorType, cursor: dict) -> bool:
+        """Metadata-only staleness check: True iff the committed
+        cursor PROVABLY covers the lake's current committed state —
+        one pointer read + one listdir, zero Spark jobs. False on any
+        doubt (reset cursor, legacy/missing file log, seq or
+        generation mismatch, ANY append-intent marker — live or
+        quiescent — whose rows may not be in the log yet); the caller
+        then takes the full ``changes()`` path, which proves or
+        repairs what this check only inspects. This is what makes the
+        steady-state serve/noop paths cost metadata instead of the
+        feed-poll floor (~1.4 s of Spark jobs at 10×)."""
+        from sensapp_spark.storage.lake import (
+            APPEND_MARKER_PREFIX,
+            _filelog_entries,
+        )
+
+        if not cursor or cursor.get("reset") or "gen" not in cursor:
+            return False
+        seq, data = read_committed(self.lake._values_path(stype))
+        if data is None or cursor.get("seq") != seq:
+            return False
+        try:
+            entries = os.listdir(data)
+        except OSError:
+            return False
+        if any(d.startswith(APPEND_MARKER_PREFIX) for d in entries):
+            return False
+        gens = _filelog_entries(data)
+        if not gens or gens[0] != 0:
+            return False
+        return cursor.get("gen") == gens[-1]
+
     def read(
         self,
         stype: SensorType,
@@ -225,6 +257,16 @@ class RollupStore:
             for _ in range(max_retries):
                 seq, data = read_committed(path)
                 cursor = self.committed_cursor(stype)
+                if cursor is not None and self._cursor_current(
+                    stype, cursor
+                ):
+                    # Caught up: the idle tick costs one pointer read
+                    # + one listdir, not a feed-poll Spark job.
+                    return {
+                        "mode": "noop",
+                        "affected_months": 0,
+                        "seq": seq or None,
+                    }
                 delta, next_cur = self.lake.changes(
                     stype, cursor, cdc=True
                 )
@@ -521,6 +563,10 @@ class RollupStore:
             cursor = self.committed_cursor(stype)
             if cursor is None:
                 return self._direct_buckets(stype, start, end)
+            if self._cursor_current(stype, cursor):
+                # Steady state (maintenance caught up): serve the
+                # committed rollup with zero feed-poll Spark jobs.
+                return self.read(stype, start, end)
             tail, tail_cur = self.lake.changes(stype, cursor, cdc=True)
             rollup = self.read(stype, start, end)
             if tail_cur.get("reset"):

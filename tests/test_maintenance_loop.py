@@ -135,10 +135,13 @@ def test_loop_under_concurrent_ingest_no_lost_updates(spark, tmp_path):
     # No step ever exhausted its internal CAS retries.
     assert sum(r.get("conflicts", 0) for r in reports) == 0
     # No lost updates: every appended row survived every compaction.
+    # An append that finished into a JUST-superseded dir is visible
+    # only after the next maintenance pass reconciles the superseded
+    # manifest (the documented append-intent protocol), so settle
+    # FIRST, then count — rows may be deferred, never lost.
+    maintenance_tick(lake, plan)
     got = lake.values(SensorType.FLOAT).count()
     assert got == 1 + 2 * n_batches * rows_per
-    # A final settle tick, then maintained == direct for both stores.
-    maintenance_tick(lake, plan)
     assert _quartet(lake) == _direct_quartet(lake)
     sk = SketchRollupStore(lake)
     maintained = {

@@ -271,6 +271,50 @@ def test_range_windows_rejects_misalignment(served_lake):
         )
 
 
+def test_caught_up_fast_path(spark, tmp_path):
+    """The metadata-only staleness check (round 11): a caught-up store
+    serves read_realtime from the committed rollup with NO feed poll,
+    and the idle refresh tick is a pointer read + listdir. Any doubt
+    (new append, live intent marker) falls back to the proving path."""
+    import os
+
+    from sensapp_spark.storage.lake import APPEND_MARKER_PREFIX, resolve_table
+
+    lake, sensors = _mk_lake(spark, tmp_path, ROWS[:4])
+    store = RollupStore(lake, grain_s=H)
+    store.refresh(SensorType.FLOAT)
+    cur = store.committed_cursor(SensorType.FLOAT)
+    assert store._cursor_current(SensorType.FLOAT, cur)
+    # Caught up → realtime plan reads rollup files only (no raw scan,
+    # which also proves no feed-poll job ran to build the frame).
+    rt = store.read_realtime(SensorType.FLOAT)
+    assert all("_rollups" in f for f in rt.inputFiles())
+    # A new append makes the check refuse — the proving path resumes.
+    lake.append_values(
+        SensorType.FLOAT,
+        spark.createDataFrame(
+            [("m/a", T0 + dt.timedelta(seconds=60), 7.0)],
+            "sensor_id string, time timestamp, value double",
+        ),
+    )
+    assert not store._cursor_current(SensorType.FLOAT, cur)
+    store.refresh(SensorType.FLOAT)
+    cur = store.committed_cursor(SensorType.FLOAT)
+    assert store._cursor_current(SensorType.FLOAT, cur)
+    # ANY append-intent marker (even quiescent) = possible unrecorded
+    # rows → refuse.
+    data = resolve_table(lake._values_path(SensorType.FLOAT))
+    marker = os.path.join(data, APPEND_MARKER_PREFIX + "test")
+    open(marker, "w").close()
+    try:
+        assert not store._cursor_current(SensorType.FLOAT, cur)
+    finally:
+        os.unlink(marker)
+    assert store._cursor_current(SensorType.FLOAT, cur)
+    # The idle tick reports noop without a feed poll.
+    assert store.refresh(SensorType.FLOAT)["mode"] == "noop"
+
+
 def test_gateway_query_range_auto_routes(spark, tmp_path):
     """HTTP: with a maintained rollup, /api/v1/query_range answers
     grain-compatible queries from it (X-Served-From: rollup-3600s) with
