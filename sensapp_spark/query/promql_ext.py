@@ -3104,6 +3104,26 @@ def _evaluate_range_subquery(
     return _apply_post(out.select(*keys, t_col, "value"), eq.post)
 
 
+def _pdiv(lc: F.Column, rc: F.Column) -> F.Column:
+    """PromQL (IEEE-754) division: x/0 = ±Inf, 0/0 = NaN — Spark 4's
+    default ANSI mode instead THROWS on a zero divisor, which a query
+    engine must never do because one zero-valued series aborts the
+    whole query (bit us live: a 2-day rate window with equal first and
+    last samples is a 0 denominator). NaN divisors fall through to the
+    plain division (NaN != 0 is true under Spark's NaN ordering)."""
+    return F.when(rc != 0, lc / rc).otherwise(
+        F.when(lc > 0, F.lit(float("inf")))
+        .when(lc < 0, F.lit(float("-inf")))
+        .otherwise(F.lit(float("nan")))
+    )
+
+
+def _pmod(lc: F.Column, rc: F.Column) -> F.Column:
+    """PromQL modulo (Go math.Mod): x % 0 = NaN, never an ANSI error;
+    otherwise Spark's fmod already matches (sign of the dividend)."""
+    return F.when(rc != 0, lc % rc).otherwise(F.lit(float("nan")))
+
+
 def _matching_key(on: list[str], ignoring: list[str]) -> F.Column:
     """The one-to-one matching key: canonical string of ``on`` labels
     (absent label ⇒ empty value, Prometheus semantics) or of the full
@@ -3209,11 +3229,12 @@ def evaluate_binary(
             "+": lc + rc,
             "-": lc - rc,
             "*": lc * rc,
-            "/": lc / rc,
+            "/": _pdiv(lc, rc),
             # Spark's % on doubles is Java fmod — truncated toward
             # zero, sign of the dividend, same as Go math.Mod
-            # (Prometheus % semantics).
-            "%": lc % rc,
+            # (Prometheus % semantics); _pdiv/_pmod add the IEEE
+            # zero-divisor cases ANSI mode would otherwise throw on.
+            "%": _pmod(lc, rc),
             "^": F.pow(lc, rc),
             "atan2": F.atan2(lc, rc),
             ">": lc > rc,
@@ -3472,9 +3493,13 @@ def evaluate_range_binary(
         return _matching_key(bq.on, bq.ignoring)
 
     def apply(lc: F.Column, rc: F.Column) -> F.Column:
+        # IEEE division/modulo via _pdiv/_pmod — see the instant
+        # path's apply; ANSI throwing on one zero-valued series would
+        # abort the whole range query.
         return {
-            "+": lc + rc, "-": lc - rc, "*": lc * rc, "/": lc / rc,
-            "%": lc % rc, "^": F.pow(lc, rc),
+            "+": lc + rc, "-": lc - rc, "*": lc * rc,
+            "/": _pdiv(lc, rc),
+            "%": _pmod(lc, rc), "^": F.pow(lc, rc),
             "atan2": F.atan2(lc, rc),
             ">": lc > rc, "<": lc < rc, ">=": lc >= rc,
             "<=": lc <= rc, "==": lc == rc, "!=": lc != rc,
