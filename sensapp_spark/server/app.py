@@ -950,9 +950,16 @@ def create_app(
             rfc3339_col(F.col("bucket")).alias("bucket"),
             "distinct_series",
         )
-        return jsonify({
-            "buckets": [r.asDict() for r in est.collect()]
-        })
+        # Same driver bound as /rollup/heavy: the bucket axis is the
+        # retention window — cap and ask for a window or a fold.
+        cap = 100_000
+        out = est.limit(cap + 1).collect()
+        if len(out) > cap:
+            return jsonify({
+                "error": f"result exceeds {cap} rows; narrow the "
+                "start/end window or fold to a coarser grain"
+            }), 400
+        return jsonify({"buckets": [r.asDict() for r in out]})
 
     @app.get("/api/v1/rollup/heavy")
     def rollup_heavy():
@@ -984,9 +991,18 @@ def create_app(
             "sensor_id",
             "rows_estimate",
         )
-        return jsonify({
-            "estimates": [r.asDict() for r in est.collect()]
-        })
+        # Driver-memory bound: ids are capped at 64 but the bucket
+        # axis is the retention window (years of hourly buckets × 64
+        # ids collects millions of rows). Cap inside the plan and
+        # tell the caller to narrow start/end or coarsen with fold=.
+        cap = 100_000
+        out = est.limit(cap + 1).collect()
+        if len(out) > cap:
+            return jsonify({
+                "error": f"result exceeds {cap} rows; narrow the "
+                "start/end window or fold to a coarser grain"
+            }), 400
+        return jsonify({"estimates": [r.asDict() for r in out]})
 
     # Beyond-reference: table statistics from the FOLDED sidecar
     # sketches — planned IO proportional to files, zero data reads
