@@ -129,7 +129,14 @@ def main() -> int:
                 counters[k] = 0 if k != "zonemap_s" else 0.0
             root = f"{LAKE_ROOT}_{n_writers}w"
             shutil.rmtree(root, ignore_errors=True)
-            lake = SensorLake(spark, root)
+            # SPARK_GRAFT_DEFER_ZM=1 measures the deferred-fold lever
+            # (zonemap_on_append=False): writes skip the footer fold,
+            # the maintenance tick pays it instead.
+            lake = SensorLake(
+                spark, root,
+                zonemap_on_append=os.environ.get(
+                    "SPARK_GRAFT_DEFER_ZM") != "1",
+            )
             errors: list = []
 
             def run(wid: int, n=n_writers, lk=lake):

@@ -58,6 +58,7 @@ class SensorLake:
         spark: SparkSession,
         root: str,
         retain_generations: int = 2,
+        zonemap_on_append: bool = True,
     ):
         """``retain_generations`` is the TIME-TRAVEL retention knob: how
         many committed versions each table keeps on disk (minimum 2 —
@@ -65,10 +66,21 @@ class SensorLake:
         grace). Older versions are readable via ``at_seq=`` on
         :meth:`sensors`/:meth:`values` until they age out; the Delta
         analogue is ``delta.deletedFileRetentionDuration`` +
-        ``VERSION AS OF``."""
+        ``VERSION AS OF``.
+
+        ``zonemap_on_append``: whether each append synchronously folds
+        its new files' footer stats into the zone-map sidecar. The
+        fold is the measured single-host write bottleneck (~51% of
+        publish wall at 100k-row epochs — BASELINE.md round-11 ingest
+        bench); ``False`` defers it to the maintenance tick
+        (:meth:`refresh_zonemap`, run by
+        ``streaming/maintenance.py``), trading read-side pruning
+        freshness on the newest files for write throughput. Safe
+        either way: unmapped files read UNPRUNED, never mispruned."""
         self.spark = spark
         self.root = root
         self.retain_generations = max(2, int(retain_generations))
+        self.zonemap_on_append = zonemap_on_append
         os.makedirs(root, exist_ok=True)
 
     # -- paths -------------------------------------------------------------
@@ -329,8 +341,11 @@ class SensorLake:
             # version's zone map (incremental: only unmapped files are
             # opened). Best effort under a short flock — a skipped or
             # lost refresh leaves the new files UNKNOWN, i.e. read
-            # unpruned, never mispruned.
-            self._refresh_zonemap_dir(dest, files)
+            # unpruned, never mispruned. zonemap_on_append=False
+            # defers the fold to the maintenance tick (the measured
+            # write-throughput lever — see __init__).
+            if self.zonemap_on_append:
+                self._refresh_zonemap_dir(dest, files)
 
     def _append_dir(self, path: str) -> str:
         """The directory appends land in: the table's current committed

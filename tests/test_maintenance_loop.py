@@ -189,6 +189,38 @@ def test_streamed_scheduler_drains_ticks(spark, tmp_path):
     assert _quartet(lake) == _direct_quartet(lake)
 
 
+def test_deferred_zonemap_fold(spark, tmp_path):
+    """zonemap_on_append=False (round 11 — the measured write-
+    throughput lever): appends leave new files unmapped (read
+    UNPRUNED, never mispruned), and the maintenance tick's
+    refresh_zonemap folds them in."""
+    from sensapp_spark.storage import zonemap as zm
+    from sensapp_spark.storage.lake import resolve_table
+
+    lake = SensorLake(
+        spark, str(tmp_path / "lake"), zonemap_on_append=False
+    )
+    lake.append_values(
+        SensorType.FLOAT,
+        _vals(spark, [("a", T0, 1.0), ("b", T0, 2.0)]),
+    )
+    data = resolve_table(lake._values_path(SensorType.FLOAT))
+    files = zm.read_zonemap(data)
+    assert not files  # nothing folded at append
+    # Unmapped files are still READ (unpruned, not mispruned).
+    assert lake.values(
+        SensorType.FLOAT, sensor_ids=["a"]
+    ).count() == 1
+    rep = maintenance_tick(
+        lake,
+        MaintenancePlan(rollup_grains=(), optimize=False,
+                        refresh_zonemaps=True),
+    )
+    assert "zonemap_float" in rep
+    files = zm.read_zonemap(data)
+    assert files and len(files) >= 1  # the tick folded the footer stats
+
+
 def test_gateway_maintain_route(spark, tmp_path):
     """POST /api/v1/admin/maintain: one composed tick through the
     gateway — refresh + compaction + zone maps + explicit retention."""
