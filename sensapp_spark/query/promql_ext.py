@@ -3427,9 +3427,9 @@ def evaluate_range_binary(
 
     Supported operand shapes mirror the instant path: plain series
     vectors, global aggregations (empty-label one-row-per-step),
-    topk/bottomk samplers, scalars, and ONE nested BinaryQuery.
-    group_left/group_right stays didactic at range level (evaluate the
-    panel's instant form, or precompute the one side)."""
+    topk/bottomk samplers, scalars, ONE nested BinaryQuery, and
+    group_left/group_right many-to-one matching (the info-metric
+    ratio panel) joined per (match key, t)."""
     if side_eval is None:
         def side_eval(eq):
             return evaluate_range(
@@ -3438,13 +3438,6 @@ def evaluate_range_binary(
                 now=now,
             )
 
-    if bq.group_mode is not None:
-        raise PromQLError(
-            "binary",
-            f"group_{bq.group_mode} in RANGE queries is not supported; "
-            "evaluate the instant form per refresh, or precompute the "
-            "one side.",
-        )
     for side_eq in (bq.left, bq.right):
         if isinstance(side_eq, (float, ScalarOf, BinaryQuery)):
             continue
@@ -3460,10 +3453,14 @@ def evaluate_range_binary(
                 "Nested-aggregation operands in binary operations are "
                 "not supported; compute the sides separately.",
             )
-        if side_eq.agg not in (None, "topk", "bottomk") and (
+        if bq.group_mode is None and side_eq.agg not in (
+            None, "topk", "bottomk"
+        ) and (
             side_eq.by or side_eq.without
             or side_eq.agg == "count_values"
         ):
+            # (group_mode's aggregated-one-side legality is checked by
+            # _validate_group_shapes in its own branch below.)
             raise PromQLError(
                 "binary",
                 "by/without-grouped operands in vector-to-vector "
@@ -3504,6 +3501,19 @@ def evaluate_range_binary(
             ">": lc > rc, "<": lc < rc, ">=": lc >= rc,
             "<=": lc <= rc, "==": lc == rc, "!=": lc != rc,
         }[bq.op]
+
+    if bq.group_mode is not None:
+        # group_left/group_right PER STEP (round 11 session 2 — the
+        # info-metric ratio panel): the same many-to-one join body as
+        # the instant path, keyed (match key, t); the duplicate-one-
+        # side guard partitions per (key, step).
+        one_aggregated = _validate_group_shapes(bq)
+        many_eq = bq.left if bq.group_mode == "left" else bq.right
+        one_eq = bq.right if bq.group_mode == "left" else bq.left
+        return _group_join(
+            _frame(many_eq), _frame(one_eq), bq, apply,
+            one_aggregated, with_t=True,
+        )
 
     if bq.op in _SET_OPS:
         for side_eq in (bq.left, bq.right):
@@ -3637,6 +3647,17 @@ def _evaluate_group_binary(
     sample-grain frame."""
     many_eq = bq.left if bq.group_mode == "left" else bq.right
     one_eq = bq.right if bq.group_mode == "left" else bq.left
+    one_aggregated = _validate_group_shapes(bq)
+    many = evaluate_extended(sensors, values, many_eq)
+    one = evaluate_extended(sensors, values, one_eq)
+    return _group_join(many, one, bq, apply, one_aggregated)
+
+
+def _validate_group_shapes(bq: BinaryQuery) -> bool:
+    """The group_left/group_right operand-shape rules, shared by the
+    instant and range paths; returns one_aggregated."""
+    many_eq = bq.left if bq.group_mode == "left" else bq.right
+    one_eq = bq.right if bq.group_mode == "left" else bq.left
     if many_eq.agg not in (None, "topk", "bottomk"):
         raise PromQLError(
             "binary",
@@ -3666,8 +3687,21 @@ def _evaluate_group_binary(
                 'copies labels from the "one" side, but an aggregation '
                 "keeps only its 'by' keys — nothing extra to copy.",
             )
-    many = evaluate_extended(sensors, values, many_eq)
-    one = evaluate_extended(sensors, values, one_eq)
+    return one_aggregated
+
+
+def _group_join(
+    many: DataFrame,
+    one: DataFrame,
+    bq: BinaryQuery,
+    apply,
+    one_aggregated: bool,
+    with_t: bool = False,
+) -> DataFrame:
+    """The many-to-one join body shared by the instant and range group
+    paths: ``with_t`` joins on (key, t) — the per-step form — and the
+    duplicate-one-side guard then partitions per (key, t)."""
+    jk = ["__k"] + (["t"] if with_t else [])
     key = _matching_key(bq.on, bq.ignoring)
     mk = many.withColumn("__k", key)
     if one_aggregated:
@@ -3685,10 +3719,13 @@ def _evaluate_group_binary(
         ]
         ok = one.select(
             F.concat_ws(",", *parts).alias("__k"),
+            *(["t"] if with_t else []),
             F.col("value").alias("__ov"),
         )
     else:
-        sel = [key.alias("__k"), F.col("value").alias("__ov")]
+        sel = [key.alias("__k")] + (
+            [F.col("t")] if with_t else []
+        ) + [F.col("value").alias("__ov")]
         if bq.group_labels:
             sel.append(F.col("labels").alias("__ol"))
         ok = one.select(*sel)
@@ -3699,7 +3736,7 @@ def _evaluate_group_binary(
         # (dimension-sized) and the guard stays a JVM expression, so
         # the check is free at sample scale. (The aggregated-one-side
         # branch is unique per group by construction.)
-        dup = F.count("*").over(Window.partitionBy("__k"))
+        dup = F.count("*").over(Window.partitionBy(*jk))
         ok = ok.withColumn(
             "__ov",
             F.when(
@@ -3715,7 +3752,7 @@ def _evaluate_group_binary(
                 ).cast("double"),
             ).otherwise(F.col("__ov")),
         )
-    joined = mk.join(ok, "__k")
+    joined = mk.join(ok, jk)
     if bq.group_labels:
         # An absent one-side label is REMOVED from the result (empty
         # label value ≡ no label, Prometheus), hence the null filter
@@ -3741,16 +3778,18 @@ def _evaluate_group_binary(
         )
     else:
         merged = F.col("labels")
-    out_labels = _labels_without([], merged).alias("labels")
+    out_cols = [_labels_without([], merged).alias("labels")] + (
+        [F.col("t")] if with_t else []
+    )
     lv = F.col("value") if bq.group_mode == "left" else F.col("__ov")
     rv = F.col("__ov") if bq.group_mode == "left" else F.col("value")
     if bq.op in _CMP_OPS:
         cond = apply(lv, rv)
         if bq.bool_mode:
             return joined.select(
-                out_labels, cond.cast("double").alias("value")
+                *out_cols, cond.cast("double").alias("value")
             )
         # Filtering comparison: keep the LEFT operand's value
         # (Prometheus), labels from the many side as always.
-        return joined.filter(cond).select(out_labels, lv.alias("value"))
-    return joined.select(out_labels, apply(lv, rv).alias("value"))
+        return joined.filter(cond).select(*out_cols, lv.alias("value"))
+    return joined.select(*out_cols, apply(lv, rv).alias("value"))

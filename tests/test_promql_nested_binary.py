@@ -149,6 +149,43 @@ def test_didactic_bounds(frames):
         )
 
 
+def test_range_group_left_per_step(spark, frames):
+    """group_left in RANGE queries (round 11 session 2): the
+    many-to-one join applies PER STEP, the duplicate-one-side guard
+    partitions per (key, t), and the aggregated-one-side shape rule
+    matches the instant path."""
+    import datetime as _dt
+
+    from sensapp_spark.query.promql_ext import evaluate_range_binary
+
+    sensors, vals = frames
+    bq = parse_extended_expr("a / on(user) group_left c", now=NOW)
+    out = evaluate_range_binary(
+        sensors, vals, bq,
+        start=T0 + _dt.timedelta(minutes=10),
+        end=T0 + _dt.timedelta(minutes=20),
+        step_seconds=600, now=NOW,
+    )
+    rows = {(r.labels, r.t.minute): round(r.value, 6)
+            for r in out.collect()}
+    # Both steps' 1h instant lookback sees all samples:
+    # u1: 4/1, u2: 9/100 — at minutes 10 and 20.
+    assert rows == {
+        ('user="u1"', 10): 4.0, ('user="u1"', 20): 4.0,
+        ('user="u2"', 10): 0.09, ('user="u2"', 20): 0.09,
+    }
+    # Aggregated one side must group by exactly the on-labels.
+    with pytest.raises(PromQLError, match="EXACTLY"):
+        evaluate_range_binary(
+            sensors, vals,
+            parse_extended_expr(
+                "a / on(user) group_left sum(c)", now=NOW
+            ),
+            start=T0, end=T0 + _dt.timedelta(minutes=10),
+            step_seconds=600, now=NOW,
+        )
+
+
 def test_data_window_envelope_covers_nested_operands():
     bq = parse_extended_expr(
         "(rate(a[2h]) / rate(b[1h])) > 0.5", now=NOW
@@ -252,11 +289,17 @@ def test_gateway_range_binary_served_from_rollup(spark, tmp_path):
         ))
         assert r4.status_code == 200
         assert [x["value"] for x in r4.get_json()["result"]] == [3.0]
+        # group_left per step (round 11 session 2): works end-to-end.
         r5 = c.get(
             "/api/v1/query_range?query="
-            "rb_a%20/%20on(user)%20group_left%20rb_b"
+            "sum_over_time(rb_a[1h])%20/%20on(user)%20group_left%20"
+            "sum%20by%20(user)%20(sum_over_time(rb_b[1h]))"
             "&start=2024-01-01T01:00:00Z&end=2024-01-01T02:00:00Z"
             "&step=3600"
         )
-        assert r5.status_code == 400
-        assert "group_left in RANGE" in r5.get_json()["error"]
+        assert r5.status_code == 200, r5.get_data(as_text=True)
+        vals5 = {r["t"]: r["value"] for r in r5.get_json()["result"]}
+        assert vals5 == {
+            "2024-01-01T01:00:00": 2.0,
+            "2024-01-01T02:00:00": 3.0,
+        }
