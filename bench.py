@@ -19,10 +19,49 @@ from sensapp_spark.plans.queries import QUERIES  # noqa: E402
 from sensapp_spark.session import get_spark  # noqa: E402
 
 
+def _io_probe(sf_dir: str) -> dict:
+    """One cold(ish)-read throughput sample of the bench input device,
+    emitted with every run so a wall-clock spread between runs can be
+    attributed to device throttling AUTOMATICALLY instead of
+    forensically (round-11 sessions measured 12 MB/s cold reads while
+    the driver's run saw full speed; the attribution had to be
+    reconstructed after the fact). Reads up to 64 MiB of the largest
+    parquet file with O_DIRECT-ish cadence (sequential 4 MiB chunks);
+    page-cache hits make this an upper bound, which is fine — the
+    signal is the LOW readings."""
+    try:
+        files = [
+            os.path.join(sf_dir, f)
+            for f in os.listdir(sf_dir)
+            if f.endswith(".parquet")
+        ]
+        path = max(files, key=os.path.getsize)
+        budget = min(64 * 1024 * 1024, os.path.getsize(path))
+        start = time.perf_counter()
+        read = 0
+        with open(path, "rb", buffering=0) as fh:
+            while read < budget:
+                chunk = fh.read(4 * 1024 * 1024)
+                if not chunk:
+                    break
+                read += len(chunk)
+        wall = time.perf_counter() - start
+        return {
+            "file": os.path.basename(path),
+            "bytes": read,
+            "mb_per_s": round(read / max(wall, 1e-9) / 1e6, 1),
+        }
+    except OSError as e:  # pragma: no cover — probe must never abort
+        return {"error": str(e)}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    probe = _io_probe(sf_dir)
+    print(json.dumps({"metric": "io_probe", **probe}))
+    sys.stdout.flush()
     spark = get_spark(
         app_name="sensapp-spark-bench",
         master=f"local[{cpus}]",

@@ -1286,6 +1286,13 @@ def parse_extended(query: str, now: dt.datetime | None = None) -> ExtendedQuery:
 _SET_OPS = ("and", "unless", "or")
 _CMP_OPS = (">=", "<=", "==", "!=", ">", "<")
 
+# How deep binary expressions may nest below the top-level split
+# (each recursion into an operand that itself contains a top-level
+# operator costs one level). 3 admits the real dashboard shapes —
+# 'a / (b + c) * 100' needs operand splits at depths 1 and 2 — while
+# still bounding the join tree a single HTTP query can demand.
+MAX_BINARY_DEPTH = 3
+
 
 def _depth_at(s: str) -> list[int]:
     """Per-character nesting depth over ``()[]{}``, with -1 marking
@@ -1373,6 +1380,13 @@ def _find_top_level_op(s: str) -> tuple[int, str] | None:
         i += 1
     if not found:
         return None
+    # Position-order across BOTH scans: keyword operators (and/unless/
+    # or/atan2) were collected before the single-char pass, so without
+    # this sort hits[-1] is not the rightmost operator of a mixed
+    # class — 'a / b atan2 c' would split at '/' and evaluate the
+    # right-associative grouping a / (b atan2 c) instead of the
+    # Prometheus left-associative (a / b) atan2 c.
+    found.sort(key=lambda p: p[0])
     for cls in _PRECEDENCE:
         hits = [(i, tok) for i, tok in found if tok in cls]
         if hits:
@@ -1384,11 +1398,13 @@ def parse_extended_expr(
     query: str, now: dt.datetime | None = None, _depth: int = 0
 ) -> "ExtendedQuery | BinaryQuery":
     """Full extended grammar: ``expr [op [on|ignoring (…)] expr]`` where
-    each side is the `parse_extended` grammar, a scalar literal, or
-    (round 11) ONE nested binary expression — the dashboard shapes
-    ``(a / b) > 0.5``, ``sum(a) / (sum(b) + sum(c))``, ``a / b / c``
-    (Prometheus precedence + associativity pick the split). Two levels
-    of binary nesting is the bound; deeper raises didactically."""
+    each side is the `parse_extended` grammar, a scalar literal, or a
+    nested binary expression up to :data:`MAX_BINARY_DEPTH` split
+    levels — the dashboard shapes ``(a / b) > 0.5``,
+    ``sum(a) / (sum(b) + sum(c))``, ``a / b / c`` and (round 12) the
+    two-level percentage shape ``a / (b + c) * 100`` (Prometheus
+    precedence + associativity pick every split). Deeper nesting
+    raises didactically at the configured bound."""
     now = now or dt.datetime.now(dt.timezone.utc)
     s = query.strip()
     # Surrounding parentheses that wrap the WHOLE expression are
@@ -1401,11 +1417,12 @@ def parse_extended_expr(
     hit = _find_top_level_op(s)
     if hit is None:
         return parse_extended(s, now)
-    if _depth >= 2:
+    if _depth >= MAX_BINARY_DEPTH:
         raise PromQLError(
             "binary",
-            "Binary operations nest at most one level deep "
-            "(e.g. '(a / b) > 0.5'); compute deeper expressions in "
+            f"Binary operations nest at most {MAX_BINARY_DEPTH - 1} "
+            "levels below the top-level operator (e.g. "
+            "'a / (b + c) * 100'); compute deeper expressions in "
             "two queries.",
         )
     idx, op = hit
@@ -1834,12 +1851,27 @@ def _per_series_agg(
     step index for range queries) — only ``predict_linear`` reads it.
     """
     gb = scan.groupBy(*keys)
+    # First/last samples via min/max over struct(time, value):
+    # lexicographic struct ordering makes the duplicate-timestamp
+    # tie-break DETERMINISTIC (first → smallest value, last → largest)
+    # where max_by/min_by leave it unspecified — and it is the same
+    # rule the rollup-served path's edge quartet realizes
+    # (query/rollup_serve.py folds the boundary bucket's emin/emax at
+    # the shared boundary instant), so served == raw holds even on
+    # data with repeated instants.
+    sample = F.struct(F.col("time").alias("t"),
+                      F.col("value").alias("v"))
     if eq.func in (None, "last_over_time"):
-        return gb.agg(F.max_by("value", "time").alias("value"))
+        return gb.agg(F.max(sample)["v"].alias("value"))
     if eq.func in ("rate", "increase", "delta"):
-        span = (F.unix_micros(F.max("time")) - F.unix_micros(F.min("time"))) / 1e6
-        rise = F.max_by("value", "time") - F.min_by("value", "time")
-        value = rise / span if eq.func == "rate" else rise
+        first, last = F.min(sample), F.max(sample)
+        span = (F.unix_micros(last["t"]) - F.unix_micros(first["t"])) / 1e6
+        rise = last["v"] - first["v"]
+        # when() guards the single-sample window: ANSI mode throws on
+        # the 0-span division before the filter below can drop the row.
+        value = (
+            F.when(span > 0, rise / span) if eq.func == "rate" else rise
+        )
         return (
             gb.agg(value.alias("value"), span.alias("__span"))
             .filter(F.col("__span") > 0)
@@ -2044,6 +2076,41 @@ def evaluate_extended(
         ties = ["sensor_id"] if "sensor_id" in out.columns else []
         out = out.orderBy(direction, *ties)
     return out
+
+
+def _const_range_vector(
+    spark, eq: ExtendedQuery, start: dt.datetime, end: dt.datetime,
+    step_seconds: float,
+) -> DataFrame:
+    """A constant vector evaluated over a step grid — the range form of
+    :func:`_const_vector`: one empty-label series carrying ``eq.const``
+    at every step. Exists for BINARY range operands ('x or vector(0)',
+    the Grafana fallback): a top-level constant range query stays a
+    didactic 400 in evaluate_range, but as an operand the constant has
+    a well-defined per-step value and costs one ``spark.range``."""
+    s_us = int(step_seconds * 1_000_000)
+    start_us = int(
+        start.replace(tzinfo=dt.timezone.utc).timestamp() * 1e6
+    )
+    n_steps = int(
+        (end.replace(tzinfo=dt.timezone.utc).timestamp() * 1e6 - start_us)
+        // s_us
+    )
+    out = spark.range(n_steps + 1).select(
+        F.lit(None).cast("string").alias("sensor_id"),
+        F.lit(None).cast("string").alias("name"),
+        F.create_map().cast("map<string,string>").alias("labels"),
+        F.col("id").alias("__i"),
+        F.lit(eq.const).cast("double").alias("value"),
+    )
+    if eq.label_ops:
+        out = _apply_label_ops(out, eq.label_ops)
+    if eq.series_post:
+        out = _apply_post(out, eq.series_post)
+    t_col = F.timestamp_micros(
+        (F.lit(start_us) + F.col("__i") * F.lit(s_us)).cast("long")
+    ).alias("t")
+    return _finish_range(out, eq, t_col)
 
 
 def _const_vector(spark, eq: ExtendedQuery) -> DataFrame:
@@ -3112,7 +3179,11 @@ def _pdiv(lc: F.Column, rc: F.Column) -> F.Column:
     last samples is a 0 denominator). NaN divisors fall through to the
     plain division (NaN != 0 is true under Spark's NaN ordering)."""
     return F.when(rc != 0, lc / rc).otherwise(
-        F.when(lc > 0, F.lit(float("inf")))
+        # NaN first: Spark's NaN ordering sorts NaN greater than every
+        # number, so without this branch NaN/0 would take the lc > 0
+        # arm and return +Inf where IEEE-754 (and Prometheus) give NaN.
+        F.when(F.isnan(lc), F.lit(float("nan")))
+        .when(lc > 0, F.lit(float("inf")))
         .when(lc < 0, F.lit(float("-inf")))
         .otherwise(F.lit(float("nan")))
     )
@@ -3474,6 +3545,15 @@ def evaluate_range_binary(
                 sensors, values, side, start, end, step_seconds,
                 now=now, side_eval=side_eval,
             )
+        if getattr(side, "const", None) is not None:
+            # Constant-vector operand ('x or vector(0)'): evaluated
+            # here, never through side_eval — the callback's lake
+            # scan-window arithmetic has no selector to read (the
+            # route used to 500 on exactly this shape), and the
+            # constant needs no scan at all.
+            return _const_range_vector(
+                sensors.sparkSession, side, start, end, step_seconds
+            )
         return side_eval(side)
 
     def _key(frame: DataFrame) -> F.Column:
@@ -3522,6 +3602,18 @@ def evaluate_range_binary(
                     "binary",
                     f"'{bq.op}' is a set operation between two instant "
                     "vectors; scalars have no label sets to match on.",
+                )
+            # Same guard as the instant path (evaluate_binary): an
+            # aggregated operand has no series identity to match on —
+            # without this, 'sum(a) and sum(b)' was a 400 as an
+            # instant query yet evaluated as a range query.
+            if not isinstance(side_eq, BinaryQuery) and (
+                side_eq.agg is not None
+            ):
+                raise PromQLError(
+                    "binary",
+                    f"'{bq.op}' operates on series vectors; aggregated "
+                    "operands have no series identity to match on.",
                 )
         left, right = _frame(bq.left), _frame(bq.right)
         lk = left.withColumn("__k", _key(left))

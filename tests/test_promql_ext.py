@@ -435,9 +435,12 @@ def test_parse_binary():
     bq = parse_extended_expr("(a / b) > 0.5", NOW)
     assert bq.op == ">" and isinstance(bq.left, BinaryQuery)
     assert bq.right == 0.5
-    # Two levels stay didactically rejected.
+    # Round 12: two nested levels parse; the configured bound still
+    # rejects didactically one level further.
+    bq = parse_extended_expr("a + b + c + d", NOW)
+    assert bq.op == "+" and bq.left.op == "+" and bq.left.left.op == "+"
     with pytest.raises(PromQLError) as e:
-        parse_extended_expr("a + b + c + d", NOW)
+        parse_extended_expr("a + b + c + d + e", NOW)
     assert e.value.kind == "binary"
     with pytest.raises(PromQLError) as e:
         parse_extended_expr("1 + 2", NOW)

@@ -85,11 +85,18 @@ def test_precedence_and_associativity():
     assert isinstance(bq, BinaryQuery) and bq.op == "/"
 
 
-def test_nesting_bound_is_two_levels():
-    with pytest.raises(PromQLError, match="one level deep"):
-        parse_extended_expr("a / b / c / d", now=NOW)
-    with pytest.raises(PromQLError, match="one level deep"):
-        parse_extended_expr("(a + b) / (c + d) > 1", now=NOW)
+def test_nesting_bound_is_configured_depth():
+    # Round 12: two nested levels below the top split are admitted —
+    # the percentage shape — and the bound raises one level further.
+    bq = parse_extended_expr("a / (b + c) * 100", now=NOW)
+    assert bq.op == "*" and bq.left.op == "/"
+    assert isinstance(bq.left.right, BinaryQuery)
+    bq = parse_extended_expr("(a + b) / (c + d) > 1", now=NOW)
+    assert bq.op == ">" and bq.left.op == "/"
+    with pytest.raises(PromQLError, match="nest at most"):
+        parse_extended_expr("a / b / c / d / e", now=NOW)
+    with pytest.raises(PromQLError, match="nest at most"):
+        parse_extended_expr("((a + b) / (c - d)) / (a / b) > 1", now=NOW)
 
 
 def test_nested_arithmetic_values(frames):
@@ -104,6 +111,29 @@ def test_nested_arithmetic_values(frames):
     assert _run(frames, "(a / b) + (a / b)") == [
         ('user="u1"', 4.0), ('user="u2"', 6.0),
     ]
+    # Two-level nesting (round 12): the dashboard percentage shape.
+    # b+c: u1=3, u2=103; a/(b+c)*100: u1=400/3, u2=900/103.
+    assert _run(frames, "a / (b + c) * 100") == [
+        ('user="u1"', round(400.0 / 3.0, 6)),
+        ('user="u2"', round(900.0 / 103.0, 6)),
+    ]
+
+
+def test_mixed_class_keyword_operator_is_left_associative(frames):
+    # atan2 shares the */% precedence class; the split must be at the
+    # RIGHTMOST operator of the class across keyword and single-char
+    # scans alike: a / b atan2 c ≡ (a / b) atan2 c (ADVICE round 12 —
+    # unsorted hits split at '/' and computed a / (b atan2 c)).
+    import math
+
+    bq = parse_extended_expr("a / b atan2 c", now=NOW)
+    assert bq.op == "atan2" and isinstance(bq.left, BinaryQuery)
+    assert bq.left.op == "/"
+    expect = [
+        ('user="u1"', round(math.atan2(4.0 / 2.0, 1.0), 6)),
+        ('user="u2"', round(math.atan2(9.0 / 3.0, 100.0), 6)),
+    ]
+    assert _run(frames, "a / b atan2 c") == expect
 
 
 def test_nested_comparison_filters_ratio(frames):
@@ -184,6 +214,109 @@ def test_range_group_left_per_step(spark, frames):
             start=T0, end=T0 + _dt.timedelta(minutes=10),
             step_seconds=600, now=NOW,
         )
+
+
+def test_pdiv_ieee_nan_numerator(spark):
+    """IEEE-754 division at a zero divisor: NaN/0 = NaN (Spark's NaN
+    ordering made `lc > 0` true for NaN, returning +Inf — ADVICE
+    round 12), ±x/0 = ±Inf, 0/0 = NaN, and the non-zero arm is plain
+    division."""
+    import math
+
+    from sensapp_spark.query.promql_ext import _pdiv
+
+    df = spark.createDataFrame(
+        [(float("nan"), 0.0), (1.0, 0.0), (-1.0, 0.0), (0.0, 0.0),
+         (1.0, 2.0), (float("nan"), 2.0)],
+        "l double, r double",
+    )
+    out = [
+        r.v for r in df.select(
+            _pdiv(F.col("l"), F.col("r")).alias("v")
+        ).collect()
+    ]
+    assert math.isnan(out[0])
+    assert out[1] == float("inf") and out[2] == float("-inf")
+    assert math.isnan(out[3])
+    assert out[4] == 0.5 and math.isnan(out[5])
+
+
+def test_set_op_aggregated_operand_guard_matches_instant(frames):
+    """'sum(a) and sum(b)' is a 400 as an instant query; the range
+    path must reject it identically instead of silently evaluating
+    (ADVICE round 12)."""
+    from sensapp_spark.query.promql_ext import evaluate_range_binary
+
+    sensors, vals = frames
+    bq = parse_extended_expr("sum(a) and sum(b)", now=NOW)
+    with pytest.raises(PromQLError, match="no series identity"):
+        evaluate_binary(sensors, vals, bq)
+    with pytest.raises(PromQLError, match="no series identity"):
+        evaluate_range_binary(
+            sensors, vals, bq,
+            start=T0, end=T0 + dt.timedelta(minutes=10),
+            step_seconds=600, now=NOW,
+        )
+
+
+def test_const_vector_operand_in_range_binary(frames):
+    """'x or vector(0)' — the Grafana fallback — as a RANGE query
+    (ADVICE round 12: the route's scan-bounds helper dereferenced the
+    constant operand's absent selector → 500). The constant is an
+    empty-label series at every step; 'or' keeps all left series plus
+    the non-colliding constant."""
+    from sensapp_spark.query.promql_ext import evaluate_range_binary
+
+    sensors, vals = frames
+    bq = parse_extended_expr("a or vector(0)", now=NOW)
+    out = evaluate_range_binary(
+        sensors, vals, bq,
+        start=T0 + dt.timedelta(minutes=10),
+        end=T0 + dt.timedelta(minutes=20),
+        step_seconds=600, now=NOW,
+    )
+    rows = sorted(
+        (str(sorted((r.labels or {}).items())), r.t.minute, r.value)
+        for r in out.collect()
+    )
+    # Two steps × (a/u1=4, a/u2=9, const 0 with empty labels).
+    assert rows == [
+        ("[('user', 'u1')]", 10, 4.0), ("[('user', 'u1')]", 20, 4.0),
+        ("[('user', 'u2')]", 10, 9.0), ("[('user', 'u2')]", 20, 9.0),
+        ("[]", 10, 0.0), ("[]", 20, 0.0),
+    ]
+
+
+def test_gateway_range_binary_const_vector_fallback(spark, tmp_path):
+    from sensapp_spark.server.app import create_app
+    from sensapp_spark.storage.lake import SensorLake
+
+    lake = SensorLake(spark, str(tmp_path / "lake"))
+    app = create_app(spark, lake)
+    app.testing = True
+    with app.test_client() as c:
+        c.post(
+            "/publish",
+            data="datetime,cv_a\n2024-01-01T00:15:00Z,6.0\n",
+            content_type="text/csv",
+        )
+        r = c.get(
+            "/api/v1/query_range?query=cv_a%20or%20vector(0)"
+            "&start=2024-01-01T01:00:00Z&end=2024-01-01T02:00:00Z"
+            "&step=3600"
+        )
+        assert r.status_code == 200, r.get_data(as_text=True)
+        per_t = {}
+        for row in r.get_json()["result"]:
+            per_t.setdefault(row["t"], []).append(row["value"])
+        # t=01:00: the 1h lookback sees the sample AND its empty label
+        # signature matches the constant's → 'or' keeps only the left
+        # (Prometheus). t=02:00: no sample in lookback → the fallback
+        # constant fills the step.
+        assert per_t == {
+            "2024-01-01T01:00:00": [6.0],
+            "2024-01-01T02:00:00": [0.0],
+        }
 
 
 def test_data_window_envelope_covers_nested_operands():
@@ -272,10 +405,12 @@ def test_gateway_range_binary_served_from_rollup(spark, tmp_path):
         # Misaligned step: both sides fall back — an honest blend tag.
         r2 = c.get(q.replace("step=3600", "step=1800"))
         assert r2.headers["X-Served-From"] == "raw"
-        # One side grain-compatible, the other not → mixed.
+        # One side grain-compatible, the other not → mixed. (rate()
+        # serves from the rollup since round 12; stddev_over_time
+        # needs a sum-of-squares the quartet does not carry.)
         q3 = (
             "/api/v1/query_range?query="
-            "sum_over_time(rb_a[1h])/rate(rb_b[1h])"
+            "sum_over_time(rb_a[1h])/stddev_over_time(rb_b[1h])"
             "&start=2024-01-01T01:00:00Z&end=2024-01-01T02:00:00Z"
             "&step=3600"
         )
