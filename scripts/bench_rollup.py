@@ -266,6 +266,41 @@ def main() -> int:
     ).count()
     assert dbad == 0, f"{dbad} dense windows beyond ULP tolerance"
     report["dense_range_query_served_equals_raw"] = True
+
+    # rate() served from the first/last quartet (round 12) — the
+    # Grafana counter panel. Unlike the sum fold, rate's served value
+    # is BIT-equal to raw (same two samples, same division — no
+    # summation-order ULP), so the check is exact equality.
+    req = parse_extended("rate(dense[1d])", now=now)
+    assert rollup_serveable(req, 3600, q0, step, now=now)
+    t0 = time.time()
+    rserved = evaluate_range_rollup(
+        dstore, dsensors, req, q0, q1, step, now=now
+    ).select("sensor_id", "t", "value").cache()
+    nrs = rserved.count()
+    report["dense_rate_rollup_served"] = {
+        "sec": round(time.time() - t0, 2), "rows": nrs,
+    }
+    t0 = time.time()
+    rraw = evaluate_range(
+        dsensors, dlake.values(SensorType.FLOAT), req,
+        start=q0, end=q1, step_seconds=step, now=now,
+    ).select("sensor_id", "t", "value").cache()
+    nrr = rraw.count()
+    report["dense_rate_raw"] = {
+        "sec": round(time.time() - t0, 2), "rows": nrr,
+    }
+    rj = rserved.alias("s").join(
+        rraw.alias("r"), ["sensor_id", "t"], "full"
+    ).select(
+        F.col("s.value").alias("sv"), F.col("r.value").alias("rv")
+    )
+    rbad = rj.filter(
+        F.col("sv").isNull() | F.col("rv").isNull()
+        | (F.col("sv") != F.col("rv"))
+    ).count()
+    assert rbad == 0, f"{rbad} rate windows differ (must be bit-equal)"
+    report["dense_rate_served_equals_raw"] = True
     shutil.rmtree(DLAKE, ignore_errors=True)
 
     print(json.dumps(report, indent=2))

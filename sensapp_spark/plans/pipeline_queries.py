@@ -1895,7 +1895,8 @@ BENCH_MEMBERS: dict[str, dict] = {
     },
     "downsample_rate_1h": {
         t: _scoped_main("downsample_rate_1h", t, col="kind")
-        for t in ("downsample", "rate", "continuous")
+        for t in ("downsample", "rate", "continuous", "served",
+                  "served_rate")
     },
     "promql_ext_binary_ratio": {
         t: _scoped_main("promql_ext_binary_ratio", t)

@@ -425,6 +425,20 @@ def catalog_label_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN vals v ON v.time >= g.t - INTERVAL 2 HOUR AND v.time <= g.t
     WHERE v.event_id % 10 = 0 AND (v.value IS NULL OR isfinite(v.value))
     GROUP BY v.sensor_id, g.t
+    UNION ALL
+    SELECT 'served_rate', v.sensor_id, g.t,
+           CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+           ROUND((arg_max(v.value, v.time) - arg_min(v.value, v.time))
+                 / ((epoch_us(max(v.time)) - epoch_us(min(v.time)))
+                    / 1e6), 6)
+    FROM generate_series(TIMESTAMP '2024-01-10 00:00:00',
+                         TIMESTAMP '2024-01-12 00:00:00',
+                         INTERVAL 1 HOUR) AS g(t)
+    JOIN vals v ON v.time >= g.t - INTERVAL 2 HOUR AND v.time <= g.t
+    WHERE v.event_id % 10 = 0 AND (v.value IS NULL OR isfinite(v.value))
+    GROUP BY v.sensor_id, g.t
+    HAVING epoch_us(max(v.time)) > epoch_us(min(v.time))
     """,
 )
 def downsample_rate_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -434,14 +448,16 @@ def downsample_rate_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``continuous`` — the same hourly quartet served from an
     INCREMENTALLY MAINTAINED RollupStore (storage/rollup.py), built
     in-entry in two refresh ticks so the hash gate proves
-    maintained == direct aggregation — and ``served`` (round 11) —
+    maintained == direct aggregation — ``served`` (round 11) —
     closed range windows folded from that rollup's buckets + edge
     quartet (query/rollup_serve.py), the path /api/v1/query_range now
     auto-routes through, pinned against the oracle recomputing the
-    same windows from raw. The ad-hoc arms are single-shuffle partial
-    aggregations — shuffle bytes ∝ buckets, not samples, at any
-    scale; the continuous/served arms are what a dashboard reads
-    INSTEAD of them at 100 TB."""
+    same windows from raw — and ``served_rate`` (round 12) — rate()
+    folded from the rollup's first/last quartet, the Grafana counter
+    panel served without a raw scan. The ad-hoc arms are
+    single-shuffle partial aggregations — shuffle bytes ∝ buckets,
+    not samples, at any scale; the continuous/served arms are what a
+    dashboard reads INSTEAD of them at 100 TB."""
     sensors = td.events_sensors(spark, sf_dir)
     vals = td.events_values(spark, sf_dir)
     joined = vals.join(F.broadcast(sensors.select("sensor_id", "name")), "sensor_id")
@@ -545,21 +561,50 @@ def downsample_rate_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
         start=g_start, end=dt.datetime(2024, 1, 12),
         step_seconds=3600, window_seconds=7200, realtime=False,
     )
+    bucket_col = F.timestamp_micros(
+        (F.lit(start_us) + F.col("__i") * F.lit(3_600_000_000))
+        .cast("long")
+    ).alias("bucket")
     served = win.select(
         F.lit("served").alias("kind"),
         F.col("sensor_id").alias("series"),
-        F.timestamp_micros(
-            (F.lit(start_us) + F.col("__i") * F.lit(3_600_000_000))
-            .cast("long")
-        ).alias("bucket"),
+        bucket_col,
         F.col("cnt").alias("n"),
         F.round(F.col("vsum") / F.col("cnt"), 6).alias("avg_value"),
         F.col("vmin").alias("min_value"),
         F.col("vmax").alias("max_value"),
         F.lit(None).cast("double").alias("rate"),
     )
+    # ``served_rate`` (round 12): rate() folded from the rollup's
+    # first/last quartet (query/rollup_serve.py) — the path
+    # /api/v1/query_range now takes for every Grafana counter panel —
+    # pinned against the oracle recomputing (last−first)/span over the
+    # same closed windows from raw. Same windows as ``served``;
+    # single-sample (span 0) windows drop on both sides.
+    span = (
+        F.unix_micros(F.col("last")["t"])
+        - F.unix_micros(F.col("first")["t"])
+    ) / 1e6
+    served_rate = win.filter(span > 0).select(
+        F.lit("served_rate").alias("kind"),
+        F.col("sensor_id").alias("series"),
+        bucket_col,
+        F.lit(None).cast("long").alias("n"),
+        F.lit(None).cast("double").alias("avg_value"),
+        F.lit(None).cast("double").alias("min_value"),
+        F.lit(None).cast("double").alias("max_value"),
+        F.round(
+            (F.col("last")["v"] - F.col("first")["v"])
+            / (
+                (F.unix_micros(F.col("last")["t"])
+                 - F.unix_micros(F.col("first")["t"])) / 1e6
+            ),
+            6,
+        ).alias("rate"),
+    )
     return (
-        down.unionByName(rate).unionByName(cont).unionByName(served)
+        down.unionByName(rate).unionByName(cont)
+        .unionByName(served).unionByName(served_rate)
     )
 
 
@@ -1805,7 +1850,7 @@ def gapfill_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     counters AS (SELECT * FROM cnt0 UNION ALL SELECT * FROM cnt1),
     tvals AS (
         SELECT sensor_id FROM vals
-        WHERE event_id % 10 = 0
+        WHERE event_id % 40 = 0
           AND (value IS NULL OR isfinite(value))),
     tcnt0 AS (
         SELECT 0 AS row,
@@ -1866,7 +1911,7 @@ def gapfill_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
                    CAST(CONCAT('0x', SUBSTR(md5(sensor_id), 1, 15))
                         AS UBIGINT) AS h
             FROM vals
-            WHERE event_id % 10 = 0
+            WHERE event_id % 40 = 0
               AND (value IS NULL OR isfinite(value))
         )
     ) WHERE rn <= 256
@@ -1884,7 +1929,7 @@ def gapfill_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
                    CAST(CONCAT('0x', SUBSTR(md5(sensor_id), 1, 15))
                         AS UBIGINT) AS h
             FROM vals
-            WHERE event_id % 10 = 0
+            WHERE event_id % 40 = 0
               AND (value IS NULL OR isfinite(value))
         )
     ) WHERE rn <= 256 GROUP BY bkt
@@ -1896,21 +1941,21 @@ def gapfill_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(CONCAT('0x', SUBSTR(md5(CONCAT('cms0|', sensor_id)),
                     1, 15)) AS UBIGINT) % 512 AS bucket
         FROM (SELECT DISTINCT date_trunc('hour', time) AS bkt, sensor_id
-              FROM vals WHERE event_id % 10 = 0
+              FROM vals WHERE event_id % 40 = 0
                 AND (value IS NULL OR isfinite(value)))
         UNION ALL
         SELECT bkt, sensor_id, 1,
                CAST(CONCAT('0x', SUBSTR(md5(CONCAT('cms1|', sensor_id)),
                     1, 15)) AS UBIGINT) % 512
         FROM (SELECT DISTINCT date_trunc('hour', time) AS bkt, sensor_id
-              FROM vals WHERE event_id % 10 = 0
+              FROM vals WHERE event_id % 40 = 0
                 AND (value IS NULL OR isfinite(value)))
     ) p LEFT JOIN (
         SELECT date_trunc('hour', time) AS bkt, 0 AS row,
                CAST(CONCAT('0x', SUBSTR(md5(CONCAT('cms0|', sensor_id)),
                     1, 15)) AS UBIGINT) % 512 AS bucket,
                COUNT(*) AS cnt
-        FROM vals WHERE event_id % 10 = 0
+        FROM vals WHERE event_id % 40 = 0
           AND (value IS NULL OR isfinite(value))
         GROUP BY 1, 3
         UNION ALL
@@ -1918,7 +1963,7 @@ def gapfill_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(CONCAT('0x', SUBSTR(md5(CONCAT('cms1|', sensor_id)),
                     1, 15)) AS UBIGINT) % 512,
                COUNT(*)
-        FROM vals WHERE event_id % 10 = 0
+        FROM vals WHERE event_id % 40 = 0
           AND (value IS NULL OR isfinite(value))
         GROUP BY 1, 3
     ) c ON p.bkt = c.bkt AND p.row = c.row AND p.bucket = c.bucket
@@ -1943,7 +1988,7 @@ def catalog_metrics_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
       catalog sensor from a d×w=2×8192-counter summary — the per-key
       frequency a driver can hold for a table it cannot groupBy.
     * ``kmv_sidecar`` (round 9): the PERSISTED sketch path — a real
-      SensorLake is written (10×-thinned values, like the Q8 entry)
+      SensorLake is written (40×-thinned values — bounded in round 12 so the entry measures the queries, not the in-entry maintenance build; same hash coverage)
       and the distinct-series estimate is folded from the per-file KMV
       sketches in the zone-map sidecar (``storage/zonemap.py``),
       touching ZERO data files at query time; the oracle replays the
@@ -2021,17 +2066,17 @@ def catalog_metrics_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sensapp_spark.storage.rollup import SketchRollupStore
 
     lake = SensorLake(spark, _entry_lake_dir("kmv_lake", sf_dir))
-    thin = vals.filter(F.col("event_id") % 10 == 0)
+    thin = vals.filter(F.col("event_id") % 40 == 0)
     sk_store = SketchRollupStore(lake, grain_s=3600)
     lake.append_values(
         SensorType.FLOAT,
-        thin.filter(F.col("event_id") % 20 == 0)
+        thin.filter(F.col("event_id") % 80 == 0)
         .drop("event_id").coalesce(4),
     )
     sk_store.refresh(SensorType.FLOAT)
     lake.append_values(
         SensorType.FLOAT,
-        thin.filter(F.col("event_id") % 20 != 0)
+        thin.filter(F.col("event_id") % 80 != 0)
         .drop("event_id").coalesce(4),
     )
     sk_store.refresh(SensorType.FLOAT)

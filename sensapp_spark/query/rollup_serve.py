@@ -47,25 +47,41 @@ from sensapp_spark.storage.rollup import RollupStore
 
 __all__ = [
     "ROLLUP_SERVE_FUNCS",
+    "FIRSTLAST_FUNCS",
     "rollup_serveable",
+    "rollup_serveable_instant",
     "range_windows",
     "evaluate_range_rollup",
+    "evaluate_instant_rollup",
     "maintained_grains",
 ]
 
-# The per-series window reductions a cnt/vsum/vmin/vmax quartet can
-# answer exactly. rate/increase need first/last samples, last_over_time
-# the last one, stddev would need sum-of-squares — all honest fallbacks
-# to raw (extending the quartet with vsum2 would admit stddev; the five
-# below are the dashboard staples).
-ROLLUP_SERVE_FUNCS = frozenset(
-    [
-        "sum_over_time",
-        "count_over_time",
-        "min_over_time",
-        "max_over_time",
-        "avg_over_time",
-    ]
+# The reductions the first/last quartet admits (round 12): the rise
+# functions and last_over_time — every Grafana counter panel. A plain
+# selector range query (func None) is per-step last-sample, the same
+# fold. These need rollup schema ≥ 2 (storage/rollup.py
+# committed_schema); the route gates on that so a pre-upgrade table
+# falls back to raw instead of folding nulls.
+FIRSTLAST_FUNCS = frozenset(
+    [None, "last_over_time", "rate", "increase", "delta"]
+)
+
+# The per-series window reductions the maintained quartets answer
+# exactly: cnt/vsum/vmin/vmax for the *_over_time staples, the
+# first/last quartet for the rise family. stddev would need
+# sum-of-squares — an honest fallback to raw (extending the row with
+# vsum2 would admit it).
+ROLLUP_SERVE_FUNCS = (
+    frozenset(
+        [
+            "sum_over_time",
+            "count_over_time",
+            "min_over_time",
+            "max_over_time",
+            "avg_over_time",
+        ]
+    )
+    | FIRSTLAST_FUNCS
 )
 
 
@@ -193,7 +209,13 @@ def range_windows(
     full = (
         buckets.filter(i0 <= i1)
         .withColumn("__i", F.explode(F.sequence(i0, i1)))
-        .select("sensor_id", "__i", "cnt", "vsum", "vmin", "vmax")
+        .select(
+            "sensor_id", "__i", "cnt", "vsum", "vmin", "vmax",
+            F.struct(F.col("tfirst").alias("t"),
+                     F.col("vfirst").alias("v")).alias("first"),
+            F.struct(F.col("tlast").alias("t"),
+                     F.col("vlast").alias("v")).alias("last"),
+        )
     )
     # EDGE contribution: the closed window's right endpoint t_i is the
     # LEFT boundary of bucket t_i — only that bucket's boundary-exact
@@ -201,7 +223,10 @@ def range_windows(
     # scan the rollup twice — measured FASTER than fusing them into a
     # single array-of-structs explode (columnar re-scans of a rollup-
     # sized table are cheap; wide struct-array construction is not:
-    # the fused form doubled the served wall at 10×).
+    # the fused form doubled the served wall at 10×). Edge samples all
+    # share the boundary instant, so under struct(time, value)
+    # ordering their first is (boundary, emin) and their last is
+    # (boundary, emax) — the first/last fold needs no new edge columns.
     d = tau - F.lit(start_us)
     edge = (
         buckets.filter(
@@ -217,6 +242,10 @@ def range_windows(
             F.col("esum").alias("vsum"),
             F.col("emin").alias("vmin"),
             F.col("emax").alias("vmax"),
+            F.struct(F.col("bucket").alias("t"),
+                     F.col("emin").alias("v")).alias("first"),
+            F.struct(F.col("bucket").alias("t"),
+                     F.col("emax").alias("v")).alias("last"),
         )
     )
     return (
@@ -227,6 +256,8 @@ def range_windows(
             F.sum("vsum").alias("vsum"),
             F.min("vmin").alias("vmin"),
             F.max("vmax").alias("vmax"),
+            F.min("first").alias("first"),
+            F.max("last").alias("last"),
         )
         # A window no sample falls in produces NO row (PromQL): every
         # contributing bucket row carries cnt ≥ 1, so this only guards
@@ -235,16 +266,62 @@ def range_windows(
     )
 
 
-def _func_value(func: str):
-    """The quartet expression for one served window reduction (built
-    lazily — Column construction needs an active session)."""
-    return {
+def _func_value(func: str | None):
+    """The quartet expression for one served window reduction, plus an
+    optional row filter (built lazily — Column construction needs an
+    active session). The rise family mirrors
+    promql_ext._per_series_agg exactly: rise = last.v − first.v, span
+    in seconds, single-sample (span == 0) windows DROP — the when()
+    guard keeps ANSI mode from throwing on the 0-span division before
+    the filter applies."""
+    simple = {
         "sum_over_time": F.col("vsum"),
         "count_over_time": F.col("cnt").cast("double"),
         "min_over_time": F.col("vmin"),
         "max_over_time": F.col("vmax"),
         "avg_over_time": F.col("vsum") / F.col("cnt"),
-    }[func]
+    }
+    if func in simple:
+        return simple[func], None
+    first, last = F.col("first"), F.col("last")
+    if func in (None, "last_over_time"):
+        return last["v"], None
+    span = (F.unix_micros(last["t"]) - F.unix_micros(first["t"])) / 1e6
+    rise = last["v"] - first["v"]
+    if func == "rate":
+        return F.when(span > 0, rise / span), span > 0
+    return rise, span > 0  # increase / delta
+
+
+def _served_window_values(
+    pairs, eq, selected, start, end, step_seconds, offset_us, realtime
+) -> DataFrame:
+    """Per-(sensor, __i) served values unioned across one or more
+    (store, stype) pairs. A sensor has exactly one type, so the union
+    never collides; it happens BEFORE the shared tail so aggregations
+    (sum over a mixed Integer/Float fleet) group across types exactly
+    like the raw path's pre-aggregation union."""
+    q = eq.selector
+    window_s = (q.end_time - q.start_time).total_seconds()
+    value, keep = _func_value(eq.func)
+    out = None
+    for store, stype in pairs:
+        win = range_windows(
+            store,
+            stype,
+            start,
+            end,
+            step_seconds,
+            window_s,
+            offset_us=offset_us,
+            sensor_ids=selected.select("sensor_id"),
+            realtime=realtime,
+        )
+        if keep is not None:
+            win = win.filter(keep)
+        frame = win.select("sensor_id", "__i", value.alias("value"))
+        out = frame if out is None else out.unionByName(frame)
+    return out
 
 
 def evaluate_range_rollup(
@@ -257,48 +334,124 @@ def evaluate_range_rollup(
     now: dt.datetime | None = None,
     stype: SensorType = SensorType.FLOAT,
     realtime: bool = True,
+    extra: tuple = (),
 ) -> DataFrame:
     """promql_ext.evaluate_range, served from the rollup: same output
     frame, same tail (_finish_range — label ops, aggregations,
     topk/bottomk, post functions apply identically), but the scan reads
     rollup buckets instead of raw samples. Caller must have checked
-    :func:`rollup_serveable`."""
+    :func:`rollup_serveable` (per store for grain, per type for
+    schema). ``extra`` is additional (store, stype) pairs for
+    multi-numeric-type fleets — their per-window values union with the
+    primary's BEFORE the tail (the Integer/Numeric→f64 semantics of
+    exporters/prometheus_read.py:36-68, served)."""
     from sensapp_spark.query.promql_ext import _finish_range
 
-    q = eq.selector
     off_us = _offset_us(eq, now)
-    window_s = (q.end_time - q.start_time).total_seconds()
-    selected = select_sensors(sensors, q.matchers)
-    win = range_windows(
-        store,
-        stype,
-        start,
-        end,
-        step_seconds,
-        window_s,
-        offset_us=off_us,
-        sensor_ids=selected.select("sensor_id"),
-        realtime=realtime,
+    selected = select_sensors(sensors, eq.selector.matchers)
+    win = _served_window_values(
+        [(store, stype), *extra], eq, selected,
+        start, end, step_seconds, off_us, realtime,
     )
     s_us = int(step_seconds * 1_000_000)
     start_us = _epoch_us(start)
     t_col = F.timestamp_micros(
         (F.lit(start_us) + F.col("__i") * F.lit(s_us)).cast("long")
     ).alias("t")
-    out = win.select(
-        "sensor_id", "__i", _func_value(eq.func).alias("value")
-    ).join(
+    out = win.join(
         F.broadcast(selected.select("sensor_id", "name", "labels")),
         "sensor_id",
     )
     return _finish_range(out, eq, t_col)
 
 
-def maintained_grains(lake, stype: SensorType = SensorType.FLOAT) -> list[int]:
+def rollup_serveable_instant(eq, grain_s: int) -> bool:
+    """True iff the INSTANT evaluation of ``eq`` folds exactly from a
+    grain_s rollup. Same shape gates as the range check plus
+    sort-None (sort applies in evaluate_extended's wrapper, above the
+    tail this path reuses); the window arithmetic is simpler — offset
+    and @ anchors are already folded into the selector's absolute
+    [start, end] at parse time, so the check is R and end both
+    grain-aligned. Unanchored instant queries (end = wall-clock now)
+    essentially never align; the anchored dashboards ('@ <ts>', the
+    replay/report shape) are the ones this serves."""
+    if (
+        eq is None
+        or getattr(eq, "selector", None) is None
+        or eq.const is not None
+        or eq.sub_inner is not None
+        or eq.sort is not None
+        or eq.hist_quantile is not None
+        or eq.hist_fraction is not None
+        or eq.series_post
+        or eq.func not in ROLLUP_SERVE_FUNCS
+    ):
+        return False
+    g_us = grain_s * 1_000_000
+    r_us = _epoch_us(eq.selector.end_time) - _epoch_us(
+        eq.selector.start_time
+    )
+    return (
+        r_us > 0
+        and r_us % g_us == 0
+        and _epoch_us(eq.selector.end_time) % g_us == 0
+    )
+
+
+def evaluate_instant_rollup(
+    store: RollupStore,
+    sensors: DataFrame,
+    eq,
+    stype: SensorType = SensorType.FLOAT,
+    realtime: bool = True,
+    extra: tuple = (),
+) -> DataFrame:
+    """promql_ext.evaluate_extended, served from the rollup: the
+    instant window [selector.start, selector.end] is ONE closed window
+    — a degenerate step grid (start = end = selector end, one step) of
+    the range fold — and the tail reuses _finish_instant so label ops,
+    aggregations and post functions behave identically. Caller must
+    have checked :func:`rollup_serveable_instant`. ``extra`` unions
+    further (store, stype) pairs before the tail, as in
+    :func:`evaluate_range_rollup`."""
+    import math
+
+    from sensapp_spark.query.promql_ext import (
+        _apply_label_ops,
+        _finish_instant,
+    )
+
+    q = eq.selector
+    end_t = q.end_time
+    if end_t.tzinfo is not None:
+        end_t = end_t.astimezone(dt.timezone.utc).replace(tzinfo=None)
+    selected = select_sensors(sensors, q.matchers)
+    pairs = [(store, stype), *extra]
+    # The degenerate grid has one step, but range_windows asserts
+    # step % grain per store — the lcm satisfies every pair.
+    step = float(math.lcm(*(s.grain_s for s, _ in pairs)))
+    win = _served_window_values(
+        pairs, eq, selected, start=end_t, end=end_t,
+        step_seconds=step, offset_us=0, realtime=realtime,
+    )
+    out = win.drop("__i").join(
+        F.broadcast(selected.select("sensor_id", "name", "labels")),
+        "sensor_id",
+    )
+    if eq.label_ops:
+        out = _apply_label_ops(out, eq.label_ops)
+    return _finish_instant(out, eq)
+
+
+def maintained_grains(
+    lake, stype: SensorType = SensorType.FLOAT, sketch: bool = False
+) -> list[int]:
     """The grains (seconds, descending) with a COMMITTED rollup for
     ``stype`` under this lake — one listdir + one committed-pointer
     read per candidate, no Spark jobs. Descending so the first
-    serveable grain is the coarsest (fewest bucket rows scanned)."""
+    serveable grain is the coarsest (fewest bucket rows scanned).
+    ``sketch=True`` lists the bucket-keyed KMV/CMS sketch rollups
+    instead (the /rollup/distinct fold=auto discovery)."""
     import os
     import re as _re
 
@@ -309,7 +462,8 @@ def maintained_grains(lake, stype: SensorType = SensorType.FLOAT) -> list[int]:
         entries = os.listdir(root)
     except OSError:
         return []
-    pat = _re.compile(rf"^{stype.name.lower()}_(\d+)s$")
+    infix = "sketch_" if sketch else ""
+    pat = _re.compile(rf"^{stype.name.lower()}_{infix}(\d+)s$")
     grains = []
     for name in entries:
         m = pat.match(name)

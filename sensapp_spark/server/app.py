@@ -95,6 +95,14 @@ def _parse_rfc3339(raw: str | None) -> dt.datetime | None:
 
 DEFAULT_STREAM_THRESHOLD = 100_000
 
+# Driver-memory bound for /api/v1/query_range: the result is steps ×
+# matched series rows and the response is inherently driver-
+# materialized JSON — a step=1s query over 30 days is 2.6M steps PER
+# SERIES and would OOM the driver instead of erroring. Same in-plan
+# limit(cap+1) discipline as the sketch routes; Prometheus itself
+# rejects >11k points per series.
+QUERY_RANGE_ROW_CAP = 100_000
+
 
 def create_app(
     spark,
@@ -512,6 +520,77 @@ def create_app(
             return None
         return [r.sensor_id for r in rows]
 
+    def _numeric_types_present():
+        """Numeric value tables with a committed version — one pointer
+        read each, no Spark jobs. FLOAT is always included so an empty
+        lake still plans the canonical empty scan."""
+        from sensapp_spark.storage.rollup import RollupStore
+
+        present = [
+            st for st in RollupStore._NUMERIC
+            if lake.committed_seq(st) is not None
+        ]
+        return present or [SensorType.FLOAT]
+
+    def _numeric_values(start, end, sensor_ids=None):
+        """Integer/Numeric→f64 union for the extended PromQL paths —
+        the remote-read P4 semantics
+        (exporters/prometheus_read.py:36-68; reference
+        src/ingestors/http/prometheus_read.rs:363-409). Before round
+        12 these routes scanned FLOAT only, so an Integer counter
+        queried through /api/v1/query or /api/v1/query_range silently
+        returned no series."""
+        from pyspark.sql import functions as F
+
+        out = None
+        for st in _numeric_types_present():
+            frame = lake.values(
+                st, start, end, sensor_ids=sensor_ids
+            ).select(
+                "sensor_id", "time",
+                F.col("value").cast("double").alias("value"),
+            )
+            out = frame if out is None else out.unionByName(frame)
+        return out
+
+    def _pick_rollup(eq, serveable) -> list | None:
+        """One (store, stype, grain) per present numeric type whose
+        window arithmetic ``serveable(grain)`` accepts — coarsest
+        grain first — with the rise family gated on rollup schema ≥ 2
+        (a pre-upgrade table reads the first/last quartet as null).
+        None when ANY type with data cannot be served: a partial serve
+        would silently drop that type's series, so the caller falls
+        back to the raw union instead."""
+        from sensapp_spark.query.rollup_serve import (
+            FIRSTLAST_FUNCS,
+            maintained_grains,
+        )
+        from sensapp_spark.storage.rollup import RollupStore
+
+        picked = []
+        for st in _numeric_types_present():
+            got = None
+            for g in maintained_grains(lake, st):
+                if not serveable(g):
+                    continue
+                store = RollupStore(lake, grain_s=g)
+                if (
+                    eq.func in FIRSTLAST_FUNCS
+                    and store.committed_schema(st)
+                    < RollupStore.SCHEMA_VERSION
+                ):
+                    continue
+                got = (store, st, g)
+                break
+            if got is None:
+                return None
+            picked.append(got)
+        return picked
+
+    def _rollup_tag(picked) -> str:
+        grains = sorted({g for _, _, g in picked})
+        return "rollup-" + "+".join(f"{g}s" for g in grains)
+
     @app.get("/api/v1/query")
     def promql_query():
         query = request.args.get("query")
@@ -558,7 +637,7 @@ def create_app(
                 try:
                     out = evaluate_binary(
                         lake.sensors(),
-                        lake.values(SensorType.FLOAT, start, end),
+                        _numeric_values(start, end),
                         eq,
                     )
                 except PromQLError as e:
@@ -571,22 +650,49 @@ def create_app(
                                 for row in out.collect()]}
                 )
             if needs_extended(eq):
-                start, end = data_window(eq)
-                try:
-                    out = evaluate_extended(
-                        lake.sensors(),
-                        lake.values(
-                            SensorType.FLOAT, start, end,
-                            sensor_ids=_probe_matched_ids(eq),
-                        ),
+                from sensapp_spark.query.rollup_serve import (
+                    evaluate_instant_rollup,
+                    rollup_serveable_instant,
+                )
+
+                # Auto-route grain-compatible INSTANT evaluations
+                # through the maintained rollup (round 12) — the same
+                # exactness argument as query_range's served path;
+                # ?rollup=0 opts out for A/B.
+                out, served_from = None, "raw"
+                if request.args.get("rollup", "auto").lower() not in (
+                    "0", "off", "false"
+                ):
+                    picked = _pick_rollup(
                         eq,
+                        lambda g: rollup_serveable_instant(eq, g),
                     )
-                except PromQLError as e:
-                    return jsonify({"error": str(e)}), 400
-                return jsonify(
+                    if picked:
+                        store, st, _g = picked[0]
+                        out = evaluate_instant_rollup(
+                            store, lake.sensors(), eq, stype=st,
+                            extra=[(s, t) for s, t, _ in picked[1:]],
+                        )
+                        served_from = _rollup_tag(picked)
+                if out is None:
+                    start, end = data_window(eq)
+                    try:
+                        out = evaluate_extended(
+                            lake.sensors(),
+                            _numeric_values(
+                                start, end,
+                                sensor_ids=_probe_matched_ids(eq),
+                            ),
+                            eq,
+                        )
+                    except PromQLError as e:
+                        return jsonify({"error": str(e)}), 400
+                resp = jsonify(
                     {"result": [row.asDict(recursive=True)
                                 for row in out.collect()]}
                 )
+                resp.headers["X-Served-From"] = served_from
+                return resp
         try:
             parsed = parse_promql_query(query)
         except PromQLError as e:
@@ -926,7 +1032,26 @@ def create_app(
         )
         realtime = request.args.get("realtime") in ("1", "true")
         fold = request.args.get("fold")
-        if fold is not None:
+        if fold == "auto":
+            # Round 12: pick the COARSEST maintained sketch grain
+            # instead of making the client know the grains — fewest
+            # bucket rows under the response cap, and reading a
+            # maintained coarse table beats folding the fine one
+            # (maintained-vs-folded equivalence is the sketch fold's
+            # invariant; both clip on the same epoch-aligned coarse
+            # bucket grid, so no window-alignment caveat applies).
+            from sensapp_spark.query.rollup_serve import (
+                maintained_grains,
+            )
+
+            grains = maintained_grains(lake, stype, sketch=True)
+            if grains:
+                store = SketchRollupStore(lake, grain_s=grains[0])
+            rows = (
+                store.read_realtime(stype, start, end)
+                if realtime else store.read(stype, start, end)
+            )
+        elif fold is not None:
             rows = store.read_folded(
                 stype, int(fold), start, end, realtime=realtime
             )
@@ -959,7 +1084,8 @@ def create_app(
                 "error": f"result exceeds {cap} rows; narrow the "
                 "start/end window or fold to a coarser grain"
             }), 400
-        return jsonify({"buckets": [r.asDict() for r in out]})
+        return jsonify({"grain": store.grain_s,
+                        "buckets": [r.asDict() for r in out]})
 
     @app.get("/api/v1/rollup/heavy")
     def rollup_heavy():
@@ -1002,7 +1128,8 @@ def create_app(
                 "error": f"result exceeds {cap} rows; narrow the "
                 "start/end window or fold to a coarser grain"
             }), 400
-        return jsonify({"estimates": [r.asDict() for r in out]})
+        return jsonify({"grain": store.grain_s,
+                        "estimates": [r.asDict() for r in out]})
 
     # Beyond-reference: table statistics from the FOLDED sidecar
     # sketches — planned IO proportional to files, zero data reads
@@ -1156,11 +1283,12 @@ def create_app(
 
         def _raw_side(seq):
             lo, hi = _scan_bounds(seq)
+            # Integer/Numeric→f64 union (round 12): integer counters
+            # appear in range queries exactly as in remote-read.
             return evaluate_range(
                 lake.sensors(),
-                lake.values(
-                    SensorType.FLOAT, lo, hi,
-                    sensor_ids=_probe_matched_ids(seq),
+                _numeric_values(
+                    lo, hi, sensor_ids=_probe_matched_ids(seq)
                 ),
                 seq,
                 start=start, end=end, step_seconds=step, now=now_parse,
@@ -1168,25 +1296,30 @@ def create_app(
 
         def _rollup_side(seq):
             """The maintained-rollup frame for one operand when its
-            window arithmetic is grain-compatible, else None."""
+            window arithmetic is grain-compatible (for EVERY numeric
+            type holding data — a partial serve would drop the
+            unserved type's series), else None."""
             if not rollup_on:
                 return None
             from sensapp_spark.query.rollup_serve import (
                 evaluate_range_rollup,
-                maintained_grains,
                 rollup_serveable,
             )
-            from sensapp_spark.storage.rollup import RollupStore
 
-            for g in maintained_grains(lake, SensorType.FLOAT):
-                if rollup_serveable(seq, g, start, step, now_parse):
-                    return evaluate_range_rollup(
-                        RollupStore(lake, grain_s=g),
-                        lake.sensors(), seq,
-                        start=start, end=end, step_seconds=step,
-                        now=now_parse,
-                    ), g
-            return None
+            picked = _pick_rollup(
+                seq,
+                lambda g: rollup_serveable(seq, g, start, step, now_parse),
+            )
+            if not picked:
+                return None
+            store, st, _g = picked[0]
+            frame = evaluate_range_rollup(
+                store, lake.sensors(), seq,
+                start=start, end=end, step_seconds=step,
+                now=now_parse, stype=st,
+                extra=[(s, t) for s, t, _ in picked[1:]],
+            )
+            return frame, _rollup_tag(picked)
 
         if isinstance(eq, BinaryQuery):
             # Range-query binary operations (round 11) — each vector
@@ -1197,8 +1330,8 @@ def create_app(
             def side_frame(seq):
                 hit = _rollup_side(seq)
                 if hit is not None:
-                    frame, g = hit
-                    served_tags.append(f"rollup-{g}s")
+                    frame, tag = hit
+                    served_tags.append(tag)
                     return frame
                 served_tags.append("raw")
                 return _raw_side(seq)
@@ -1236,8 +1369,7 @@ def create_app(
         # the raw value table; X-Served-From says which path answered.
         hit = _rollup_side(eq)
         if hit is not None:
-            out, g = hit
-            served_from = f"rollup-{g}s"
+            out, served_from = hit
         else:
             served_from = "raw"
             try:
@@ -1256,7 +1388,17 @@ def create_app(
         out = out.withColumn(
             "t", F.date_format("t", "yyyy-MM-dd'T'HH:mm:ss")
         )
-        rows = [row.asDict(recursive=True) for row in out.collect()]
+        cap = QUERY_RANGE_ROW_CAP
+        rows = [
+            row.asDict(recursive=True)
+            for row in out.limit(cap + 1).collect()
+        ]
+        if len(rows) > cap:
+            return jsonify({
+                "error": f"result exceeds {cap} points; increase the "
+                "step, narrow the time range, or export raw samples "
+                "via /series"
+            }), 400
         if request.args.get("format") == "matrix":
             # Prometheus-style matrix: one entry per series with its
             # label set and the (t, value) samples in step order.

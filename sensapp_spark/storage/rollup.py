@@ -82,19 +82,30 @@ class RollupStore:
     quartet ``cnt/vsum/vmin/vmax`` (avg = vsum/cnt derives; anything
     non-mergeable like exact quantiles must come from raw), plus the
     EDGE quartet ``ecnt/esum/emin/emax`` over only the samples whose
-    time is exactly the bucket's left boundary. Buckets are half-open
-    ``[b, b+grain)`` but the engine's range windows are CLOSED
-    ``[t-R, t]`` (Q5 semantics) — the edge stats are precisely the
-    correction term that makes a closed window fold exactly from
-    half-open buckets (query/rollup_serve.py), so the maintained
-    rollup can serve ``/api/v1/query_range`` with zero semantic
-    drift from the raw path."""
+    time is exactly the bucket's left boundary, plus (round 12) the
+    FIRST/LAST quartet ``tfirst/vfirst/tlast/vlast`` — the bucket's
+    extreme samples under struct(time, value) ordering, which is what
+    admits ``rate()``/``increase()``/``delta``/``last_over_time`` (the
+    Grafana counter panels) into the served set: a window's rise is
+    last.v − first.v across its buckets, both mergeable by struct
+    min/max. Buckets are half-open ``[b, b+grain)`` but the engine's
+    range windows are CLOSED ``[t-R, t]`` (Q5 semantics) — the edge
+    stats are precisely the correction term that makes a closed window
+    fold exactly from half-open buckets (query/rollup_serve.py), so
+    the maintained rollup can serve ``/api/v1/query_range`` with zero
+    semantic drift from the raw path. ``_rollup_meta.json`` records
+    ``schema: 2`` for tables maintaining the first/last quartet;
+    tables written before it read their new columns as null, and
+    :meth:`committed_schema` lets the serving layer fall back to raw
+    honestly instead of folding nulls."""
 
     SCHEMA = (
         "sensor_id string, bucket timestamp, cnt long, "
         "vsum double, vmin double, vmax double, "
-        "ecnt long, esum double, emin double, emax double"
+        "ecnt long, esum double, emin double, emax double, "
+        "tfirst timestamp, vfirst double, tlast timestamp, vlast double"
     )
+    SCHEMA_VERSION = 2
     # The row identity and payload — everything the maintenance loop
     # (refresh/recompute/splice/commit) needs to know about the
     # aggregation shape; subclasses with a different shape (the
@@ -102,7 +113,8 @@ class RollupStore:
     # and inherit the whole exactly-once machinery.
     KEYS = ("sensor_id", "bucket")
     VALUE_COLS = (
-        "cnt", "vsum", "vmin", "vmax", "ecnt", "esum", "emin", "emax"
+        "cnt", "vsum", "vmin", "vmax", "ecnt", "esum", "emin", "emax",
+        "tfirst", "vfirst", "tlast", "vlast",
     )
     _TABLE_SUFFIX = ""
     _NUMERIC = (SensorType.FLOAT, SensorType.INTEGER, SensorType.NUMERIC)
@@ -151,6 +163,13 @@ class RollupStore:
         g_us = self.grain_s * 1_000_000
         edge = (F.unix_micros(F.col("time")) % F.lit(g_us)) == 0
         val = F.col("value").cast("double")
+        # First/last under struct(time, value) ordering — the SAME
+        # deterministic duplicate-instant tie-break the raw evaluator
+        # uses (promql_ext._per_series_agg), so a window folded from
+        # these columns is hash-equal to a raw scan even on data with
+        # repeated timestamps.
+        sample = F.struct(F.col("time").alias("t"), val.alias("v"))
+        first, last = F.min(sample), F.max(sample)
         return (
             rows.groupBy(
                 "sensor_id", self._bucket(F.col("time")).alias("bucket")
@@ -164,6 +183,10 @@ class RollupStore:
                 F.sum(F.when(edge, val)).alias("esum"),
                 F.min(F.when(edge, val)).alias("emin"),
                 F.max(F.when(edge, val)).alias("emax"),
+                first["t"].alias("tfirst"),
+                first["v"].alias("vfirst"),
+                last["t"].alias("tlast"),
+                last["v"].alias("vlast"),
             )
             .withColumn(MONTH_COL, F.date_format("bucket", "yyyy-MM"))
         )
@@ -186,6 +209,16 @@ class RollupStore:
             return None
         cur = meta.get("cursor")
         return cur if isinstance(cur, dict) else None
+
+    def committed_schema(self, stype: SensorType) -> int:
+        """The committed rollup's row-schema version (0 when nothing is
+        committed): 1 = base + edge quartets only, 2 = first/last
+        quartet maintained. The serving layer gates the rate family on
+        ≥ 2 — a pre-upgrade table reads tfirst/… as null and a fold
+        over nulls would be silently wrong, so it falls back to raw
+        until the next full refresh rebuild."""
+        data = resolve_table(self._path(stype))
+        return 0 if data is None else _schema_of(data)
 
     def _cursor_current(self, stype: SensorType, cursor: dict) -> bool:
         """Metadata-only staleness check: True iff the committed
@@ -433,8 +466,19 @@ class RollupStore:
                     ):
                         continue
                     _link_dir(src, os.path.join(vdir, d))
+            # Schema version is a statement about EVERY row: a full
+            # rebuild (affected_months None) or a fresh table writes
+            # the current version; an incremental splice inherits the
+            # predecessor's (its kept-old month rows were written by
+            # that code). An old table therefore stays honestly
+            # version-1 until its next rebuild.
+            if data is None or affected_months is None:
+                schema_v = self.SCHEMA_VERSION
+            else:
+                schema_v = min(_schema_of(data), self.SCHEMA_VERSION)
             blob = json.dumps({
                 "cursor": next_cur, "grain_s": self.grain_s,
+                "schema": schema_v,
             }).encode()
             with open(os.path.join(vdir, ROLLUP_META), "wb") as fh:
                 fh.write(blob)
@@ -492,8 +536,23 @@ class RollupStore:
         # The folded bucket's edge quartet is the edge quartet of the
         # ONE fine bucket sitting at its left boundary — samples at
         # exactly the folded edge are by definition at that fine
-        # bucket's edge too.
+        # bucket's edge too. The first/last quartet folds by the same
+        # struct(time, value) ordering it was built under (null-safe:
+        # min/max skip a pre-upgrade row's null structs, and an
+        # all-null group yields null — committed_schema gates serving).
         at_edge = F.col("bucket") == folded
+        # when() → null for a pre-upgrade row (struct(null, null) is
+        # NOT null itself and would otherwise participate in min/max).
+        first = F.min(F.when(
+            F.col("tfirst").isNotNull(),
+            F.struct(F.col("tfirst").alias("t"),
+                     F.col("vfirst").alias("v")),
+        ))
+        last = F.max(F.when(
+            F.col("tlast").isNotNull(),
+            F.struct(F.col("tlast").alias("t"),
+                     F.col("vlast").alias("v")),
+        ))
         out = (
             fine.groupBy("sensor_id", folded.alias("bucket"))
             .agg(
@@ -507,6 +566,10 @@ class RollupStore:
                 F.sum(F.when(at_edge, F.col("esum"))).alias("esum"),
                 F.min(F.when(at_edge, F.col("emin"))).alias("emin"),
                 F.max(F.when(at_edge, F.col("emax"))).alias("emax"),
+                first["t"].alias("tfirst"),
+                first["v"].alias("vfirst"),
+                last["t"].alias("tlast"),
+                last["v"].alias("vlast"),
             )
         )
         if start is not None:
@@ -627,6 +690,7 @@ class SketchRollupStore(RollupStore):
     recompute does not need to)."""
 
     SCHEMA = "bucket timestamp, kmv array<long>, cms array<long>"
+    SCHEMA_VERSION = 1  # sketch rows are unchanged since round 11
     KEYS = ("bucket",)
     VALUE_COLS = ("kmv", "cms")
     _TABLE_SUFFIX = "sketch_"
@@ -826,6 +890,19 @@ class SketchRollupStore(RollupStore):
             "sensor_id",
             cnt.cast("double").alias("rows_estimate"),
         )
+
+
+def _schema_of(version_dir: str) -> int:
+    """Row-schema version recorded in a version dir's meta (1 for
+    pre-versioning tables — they predate the ``schema`` key)."""
+    raw = get_store().read(os.path.join(version_dir, ROLLUP_META))
+    if raw is None:
+        return 1
+    try:
+        v = json.loads(raw).get("schema", 1)
+    except ValueError:
+        return 1
+    return v if isinstance(v, int) else 1
 
 
 def _link_dir(src: str, dst: str) -> None:

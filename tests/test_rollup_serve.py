@@ -210,6 +210,134 @@ def test_served_covers_unrefreshed_tail(served_lake, spark):
     )
 
 
+@pytest.mark.parametrize("expr", [
+    "rate(m[1h])",
+    "rate(m[2h])",
+    "increase(m[1h])",
+    "delta(m[2h])",
+    "last_over_time(m[1h])",
+    "m",                       # plain selector: per-step last sample
+    "sum(rate(m[2h]))",        # agg over served rise values
+])
+def test_served_rise_family_equals_raw(served_lake, expr):
+    """Round 12: the first/last quartet serves rate/increase/delta/
+    last_over_time — including single-sample windows dropping (span
+    0), the duplicate-boundary-instant tie (struct ordering on both
+    paths), and windows whose first/last samples sit exactly on bucket
+    edges."""
+    lake, sensors, store = served_lake
+    _assert_served_equals_raw(
+        store, lake, sensors, expr,
+        start=T0 + dt.timedelta(hours=1), end=T0 + dt.timedelta(hours=4),
+        step=3600,
+    )
+
+
+def test_served_rate_plan_reads_rollup_not_raw(served_lake):
+    """The counter-panel claim: a served rate() plans over _rollups/
+    files only."""
+    lake, sensors, store = served_lake
+    store.refresh(SensorType.FLOAT)
+    eq = parse_extended("rate(m[2h])", now=NOW)
+    served = evaluate_range_rollup(
+        store, sensors, eq,
+        T0 + dt.timedelta(hours=2), T0 + dt.timedelta(hours=4), 3600,
+        now=NOW,
+    )
+    files = served.inputFiles()
+    assert files and all("_rollups" in f for f in files), files
+
+
+def test_instant_serving_equals_raw(served_lake):
+    """Anchored instant queries (the replay/report shape) fold from
+    the rollup: served == evaluate_extended for quartet AND rise
+    functions, including aggregation tails."""
+    from sensapp_spark.query.promql_ext import evaluate_extended
+    from sensapp_spark.query.rollup_serve import (
+        evaluate_instant_rollup,
+        rollup_serveable_instant,
+    )
+
+    lake, sensors, store = served_lake
+    anchor = int(
+        (T0 + dt.timedelta(hours=3)).replace(
+            tzinfo=dt.timezone.utc
+        ).timestamp()
+    )
+    for expr in [
+        f"sum_over_time(m[2h] @ {anchor})",
+        f"rate(m[3h] @ {anchor})",
+        f"last_over_time(m[1h] @ {anchor})",
+        f"sum by (site) (increase(m[2h] @ {anchor}))",
+    ]:
+        eq = parse_extended(expr, now=NOW)
+        assert rollup_serveable_instant(eq, store.grain_s), expr
+        served = evaluate_instant_rollup(store, sensors, eq)
+        raw = evaluate_extended(
+            sensors, lake.values(SensorType.FLOAT), eq
+        )
+        assert _rows(served) == _rows(raw), expr
+    # Misaligned anchor or window: not serveable.
+    eq = parse_extended(f"rate(m[90m] @ {anchor})", now=NOW)
+    assert not rollup_serveable_instant(eq, store.grain_s)
+    eq = parse_extended(f"rate(m[1h] @ {anchor + 7})", now=NOW)
+    assert not rollup_serveable_instant(eq, store.grain_s)
+
+
+def test_committed_schema_versioning(spark, tmp_path):
+    """A fresh table commits schema 2 (first/last maintained); an
+    incremental splice over a downgraded (pre-upgrade) table inherits
+    version 1 — the serving layer's honest-fallback gate."""
+    import json as _json
+    import os as _os
+
+    from sensapp_spark.storage.lake import resolve_table
+    from sensapp_spark.storage.rollup import ROLLUP_META
+
+    lake, sensors = _mk_lake(spark, tmp_path, ROWS[:4])
+    store = RollupStore(lake, grain_s=H)
+    store.refresh(SensorType.FLOAT)
+    assert store.committed_schema(SensorType.FLOAT) == 2
+    # Simulate a table written before the first/last quartet: strip
+    # the schema key from the committed meta (pre-versioning metas
+    # have none and read as 1).
+    data = resolve_table(store._path(SensorType.FLOAT))
+    meta_path = _os.path.join(data, ROLLUP_META)
+    meta = _json.loads(open(meta_path, "rb").read())
+    meta.pop("schema")
+    with open(meta_path, "wb") as fh:
+        fh.write(_json.dumps(meta).encode())
+    assert store.committed_schema(SensorType.FLOAT) == 1
+    # Incremental refresh keeps the honest version-1 stamp (its
+    # kept-old months still lack real first/last values) …
+    lake.append_values(
+        SensorType.FLOAT,
+        spark.createDataFrame(
+            [("m/a", T0 + dt.timedelta(seconds=1000), 7.5)],
+            "sensor_id string, time timestamp, value double",
+        ),
+    )
+    assert store.refresh(SensorType.FLOAT)["mode"] == "incremental"
+    assert store.committed_schema(SensorType.FLOAT) == 1
+
+
+def test_folded_firstlast_matches_direct_coarse_store(served_lake):
+    """read_folded's first/last fold must equal a coarse-grain store's
+    direct aggregation — the struct min/max merge is exact."""
+    lake, sensors, store = served_lake
+    store.refresh(SensorType.FLOAT)
+    folded = store.read_folded(SensorType.FLOAT, 7200)
+    direct = RollupStore(lake, grain_s=7200)._direct_buckets(
+        SensorType.FLOAT, None, None
+    )
+    cols = ["sensor_id", "bucket", "cnt", "vsum", "vmin", "vmax",
+            "ecnt", "esum", "emin", "emax",
+            "tfirst", "vfirst", "tlast", "vlast"]
+    f = sorted(map(str, folded.select(*cols).collect()))
+    d = sorted(map(str, direct.select(*cols).collect()))
+    assert f == d
+
+
 def test_serveability_gate(served_lake):
     """Misaligned or quartet-inexpressible shapes must refuse — the
     route's honest fallback to raw depends on this gate."""
@@ -229,11 +357,16 @@ def test_serveability_gate(served_lake):
         "sum_over_time(m[1h])", start=aligned + dt.timedelta(minutes=7)
     )
     assert not ok("sum_over_time(m[1h] offset 30m)")  # offset % grain
-    assert not ok("rate(m[1h])")                     # needs samples
-    assert not ok("last_over_time(m[1h])")
-    assert not ok("stddev_over_time(m[1h])")
+    # Round 12: the first/last quartet admits the rise family, plain
+    # selectors and last_over_time (every Grafana counter panel).
+    assert ok("rate(m[1h])")
+    assert ok("increase(m[2h])")
+    assert ok("last_over_time(m[1h])")
+    assert ok("m")                                   # per-step last
+    assert not ok("rate(m[90m])")                    # range % grain
+    assert not ok("irate(m[1h])")                    # needs last TWO
+    assert not ok("stddev_over_time(m[1h])")         # needs vsum2
     assert not ok("sum(abs(m))")                     # series_post on samples
-    assert not ok("m")                               # instant selector
     assert not ok("max_over_time(m[1h] @ 1704070800)")  # fixed anchor
 
 
@@ -356,9 +489,19 @@ def test_gateway_query_range_auto_routes(spark, tmp_path):
         # Misaligned step falls back to raw — honestly, not wrongly.
         r2 = c.get(q.replace("step=3600", "step=1800"))
         assert r2.headers["X-Served-From"] == "raw"
-        # rate() is not quartet-expressible → raw.
+        # rate() serves from the first/last quartet (round 12) —
+        # byte-equal to the raw evaluation.
         r3 = c.get(q.replace("sum_over_time", "rate"))
-        assert r3.headers["X-Served-From"] == "raw"
+        assert r3.headers["X-Served-From"] == "rollup-3600s"
+        raw3 = c.get(
+            q.replace("sum_over_time", "rate") + "&rollup=0"
+        )
+        assert raw3.headers["X-Served-From"] == "raw"
+        assert r3.get_json() == raw3.get_json()
+        assert r3.get_json()["result"], "non-empty served rate"
+        # stddev needs a sum-of-squares the row does not carry → raw.
+        r4 = c.get(q.replace("sum_over_time", "stddev_over_time"))
+        assert r4.headers["X-Served-From"] == "raw"
 
 
 def test_gateway_sketch_rollup_routes(spark, tmp_path):
