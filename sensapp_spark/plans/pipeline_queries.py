@@ -1900,7 +1900,8 @@ BENCH_MEMBERS: dict[str, dict] = {
     },
     "promql_ext_binary_ratio": {
         t: _scoped_main("promql_ext_binary_ratio", t)
-        for t in ("ratio", "group_left", "group_right", "scalar_div")
+        for t in ("ratio", "group_left", "group_right", "scalar_div",
+                  "nested_gt", "global_ratio", "pct")
     },
     "value_histogram": {
         t: _scoped_main("value_histogram", t)

@@ -439,6 +439,17 @@ def catalog_label_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE v.event_id % 10 = 0 AND (v.value IS NULL OR isfinite(v.value))
     GROUP BY v.sensor_id, g.t
     HAVING epoch_us(max(v.time)) > epoch_us(min(v.time))
+    UNION ALL
+    SELECT 'served_stdvar', v.sensor_id, g.t,
+           CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+           ROUND(var_pop(v.value), 6) + 0
+    FROM generate_series(TIMESTAMP '2024-01-10 00:00:00',
+                         TIMESTAMP '2024-01-12 00:00:00',
+                         INTERVAL 1 HOUR) AS g(t)
+    JOIN vals v ON v.time >= g.t - INTERVAL 2 HOUR AND v.time <= g.t
+    WHERE v.event_id % 10 = 0 AND (v.value IS NULL OR isfinite(v.value))
+    GROUP BY v.sensor_id, g.t
     """,
 )
 def downsample_rate_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -602,9 +613,34 @@ def downsample_rate_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("rate"),
     )
+    # ``served_stdvar`` (round 12): population variance folded from
+    # the rollup's second moment (Σv²/n − μ² — the AggregatingMergeTree
+    # moment state), pinned against DuckDB's var_pop over the same
+    # closed windows; ROUND(.., 6) absorbs the summation-order ULP
+    # class the other folded sums already document. `+ 0.0`
+    # canonicalizes an IEEE −0.0 from the clamped subtraction.
+    served_stdvar = win.select(
+        F.lit("served_stdvar").alias("kind"),
+        F.col("sensor_id").alias("series"),
+        bucket_col,
+        F.lit(None).cast("long").alias("n"),
+        F.lit(None).cast("double").alias("avg_value"),
+        F.lit(None).cast("double").alias("min_value"),
+        F.lit(None).cast("double").alias("max_value"),
+        (F.round(
+            F.greatest(
+                F.lit(0.0),
+                F.col("vsum2") / F.col("cnt")
+                - (F.col("vsum") / F.col("cnt"))
+                * (F.col("vsum") / F.col("cnt")),
+            ),
+            6,
+        ) + F.lit(0.0)).alias("rate"),
+    )
     return (
         down.unionByName(rate).unionByName(cont)
         .unionByName(served).unionByName(served_rate)
+        .unionByName(served_stdvar)
     )
 
 
@@ -1157,6 +1193,12 @@ def promql_ext_instant(spark: SparkSession, sf_dir: str) -> DataFrame:
                  / ((SELECT SUM(value) FROM rates WHERE name = 'view')
                     + (SELECT SUM(value) FROM rates
                        WHERE name = 'purchase')), 6) + 0
+    UNION ALL
+    SELECT 'pct', l.labels,
+           ROUND(l.value / (r.value + p.value) * 100, 6) + 0
+    FROM (SELECT * FROM rates WHERE name = 'click') l
+    JOIN (SELECT * FROM rates WHERE name = 'view') r USING (labels)
+    JOIN (SELECT * FROM rates WHERE name = 'purchase') p USING (labels)
     """,
 )
 def promql_ext_binary_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1219,6 +1261,15 @@ def promql_ext_binary_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             "global_ratio",
             "sum(rate(click[31d])) / (sum(rate(view[31d])) "
             "+ sum(rate(purchase[31d])))",
+        ),
+        # Round 12: TWO-level nesting — the dashboard percentage shape
+        # (split at '*', then '/', then the parenthesized '+'): each
+        # click rate as a percentage of that user's view + purchase
+        # rates, joined one-to-one on the full label set.
+        (
+            "pct",
+            "rate(click[31d]) / (rate(view[31d]) "
+            "+ rate(purchase[31d])) * 100",
         ),
     ]
     from sensapp_spark.query.promql_ext import _labels_without

@@ -48,6 +48,7 @@ from sensapp_spark.storage.rollup import RollupStore
 __all__ = [
     "ROLLUP_SERVE_FUNCS",
     "FIRSTLAST_FUNCS",
+    "SCHEMA2_FUNCS",
     "rollup_serveable",
     "rollup_serveable_instant",
     "range_windows",
@@ -59,18 +60,25 @@ __all__ = [
 # The reductions the first/last quartet admits (round 12): the rise
 # functions and last_over_time — every Grafana counter panel. A plain
 # selector range query (func None) is per-step last-sample, the same
-# fold. These need rollup schema ≥ 2 (storage/rollup.py
-# committed_schema); the route gates on that so a pre-upgrade table
-# falls back to raw instead of folding nulls.
+# fold.
 FIRSTLAST_FUNCS = frozenset(
     [None, "last_over_time", "rate", "increase", "delta"]
 )
 
-# The per-series window reductions the maintained quartets answer
-# exactly: cnt/vsum/vmin/vmax for the *_over_time staples, the
-# first/last quartet for the rise family. stddev would need
-# sum-of-squares — an honest fallback to raw (extending the row with
-# vsum2 would admit it).
+# Reductions that read columns only a schema-≥2 rollup maintains
+# (storage/rollup.py committed_schema): the first/last quartet AND the
+# second moment (stddev/stdvar fold from Σv²). The route gates these
+# so a pre-upgrade table falls back to raw instead of folding nulls.
+SCHEMA2_FUNCS = FIRSTLAST_FUNCS | frozenset(
+    ["stddev_over_time", "stdvar_over_time"]
+)
+
+# The per-series window reductions the maintained row answers:
+# cnt/vsum/vmin/vmax for the *_over_time staples, the first/last
+# quartet for the rise family, Σv² for the deviation pair. Exact to
+# the raw path up to summation-order ULPs on the folded sums (the
+# min/max/first/last/rise families are bit-equal); quantiles are not
+# mergeable and honestly fall back to raw.
 ROLLUP_SERVE_FUNCS = (
     frozenset(
         [
@@ -81,7 +89,7 @@ ROLLUP_SERVE_FUNCS = (
             "avg_over_time",
         ]
     )
-    | FIRSTLAST_FUNCS
+    | SCHEMA2_FUNCS
 )
 
 
@@ -141,6 +149,36 @@ def rollup_serveable(
     )
 
 
+# Logical window-stat columns → (full-bucket expr, edge expr, merge).
+# Built lazily inside range_windows (Column construction needs an
+# active session); the edge first/last structs carry the BOUNDARY
+# instant with emin/emax — edge samples all share that instant, so
+# under struct(time, value) ordering those ARE their first/last.
+_STAT_COLS = ("cnt", "vsum", "vmin", "vmax", "first", "last", "vsum2")
+
+
+def _needed_stats(func: str | None) -> frozenset:
+    """The window stats ``func``'s fold actually reads — the explode
+    carries ONLY these (plus cnt for the empty-window guard). Carrying
+    the full row measured ~4× slower on a sparse 1M-bucket corpus for
+    a plain sum fold: the fan-out multiplies every byte."""
+    need = {
+        "sum_over_time": {"vsum"},
+        "count_over_time": set(),
+        "min_over_time": {"vmin"},
+        "max_over_time": {"vmax"},
+        "avg_over_time": {"vsum"},
+        "stdvar_over_time": {"vsum", "vsum2"},
+        "stddev_over_time": {"vsum", "vsum2"},
+        None: {"last"},
+        "last_over_time": {"last"},
+        "rate": {"first", "last"},
+        "increase": {"first", "last"},
+        "delta": {"first", "last"},
+    }[func]
+    return frozenset(need | {"cnt"})
+
+
 def range_windows(
     store: RollupStore,
     stype: SensorType,
@@ -151,11 +189,14 @@ def range_windows(
     offset_us: int = 0,
     sensor_ids: DataFrame | None = None,
     realtime: bool = True,
+    need: frozenset | None = None,
 ) -> DataFrame:
-    """Per-(sensor, step) closed-window quartet from rollup buckets:
+    """Per-(sensor, step) closed-window stats from rollup buckets:
     for each step t_i = start + i·step in [start, end], aggregate the
-    samples in [t_i − offset − W, t_i − offset] as
-    ``(sensor_id, __i, cnt, vsum, vmin, vmax)``. Alignment (W, step,
+    samples in [t_i − offset − W, t_i − offset] as ``(sensor_id, __i,
+    <stats>)`` where <stats> is ``need`` (a subset of
+    ``cnt/vsum/vmin/vmax/first/last/vsum2``; None = all — ``cnt`` is
+    always included for the empty-window guard). Alignment (W, step,
     start−offset all multiples of the grain) is the CALLER's contract
     (checked by :func:`rollup_serveable`); this function asserts it.
 
@@ -206,15 +247,28 @@ def range_windows(
         F.floor((tau + F.lit(r_us) - F.lit(start_us)) / F.lit(s_us))
         .cast("long"),
     )
+    if need is None:
+        need = frozenset(_STAT_COLS)
+    else:
+        need = frozenset(need) | {"cnt"}
+    full_expr = {
+        "cnt": F.col("cnt"),
+        "vsum": F.col("vsum"),
+        "vmin": F.col("vmin"),
+        "vmax": F.col("vmax"),
+        "first": F.struct(F.col("tfirst").alias("t"),
+                          F.col("vfirst").alias("v")),
+        "last": F.struct(F.col("tlast").alias("t"),
+                         F.col("vlast").alias("v")),
+        "vsum2": F.col("vsum2"),
+    }
+    cols = [c for c in _STAT_COLS if c in need]
     full = (
         buckets.filter(i0 <= i1)
         .withColumn("__i", F.explode(F.sequence(i0, i1)))
         .select(
-            "sensor_id", "__i", "cnt", "vsum", "vmin", "vmax",
-            F.struct(F.col("tfirst").alias("t"),
-                     F.col("vfirst").alias("v")).alias("first"),
-            F.struct(F.col("tlast").alias("t"),
-                     F.col("vlast").alias("v")).alias("last"),
+            "sensor_id", "__i",
+            *[full_expr[c].alias(c) for c in cols],
         )
     )
     # EDGE contribution: the closed window's right endpoint t_i is the
@@ -228,37 +282,36 @@ def range_windows(
     # ordering their first is (boundary, emin) and their last is
     # (boundary, emax) — the first/last fold needs no new edge columns.
     d = tau - F.lit(start_us)
-    edge = (
-        buckets.filter(
-            (d >= 0)
-            & (d % F.lit(s_us) == 0)
-            & (d / F.lit(s_us) <= n_steps)
-            & (F.col("ecnt") > 0)
-        )
-        .select(
-            "sensor_id",
-            (d / F.lit(s_us)).cast("long").alias("__i"),
-            F.col("ecnt").alias("cnt"),
-            F.col("esum").alias("vsum"),
-            F.col("emin").alias("vmin"),
-            F.col("emax").alias("vmax"),
-            F.struct(F.col("bucket").alias("t"),
-                     F.col("emin").alias("v")).alias("first"),
-            F.struct(F.col("bucket").alias("t"),
-                     F.col("emax").alias("v")).alias("last"),
-        )
+    edge = buckets.filter(
+        (d >= 0)
+        & (d % F.lit(s_us) == 0)
+        & (d / F.lit(s_us) <= n_steps)
+        & (F.col("ecnt") > 0)
     )
+    edge_expr = {
+        "cnt": F.col("ecnt"),
+        "vsum": F.col("esum"),
+        "vmin": F.col("emin"),
+        "vmax": F.col("emax"),
+        "first": F.struct(F.col("bucket").alias("t"),
+                          F.col("emin").alias("v")),
+        "last": F.struct(F.col("bucket").alias("t"),
+                         F.col("emax").alias("v")),
+        "vsum2": F.col("esum2"),
+    }
+    edge = edge.select(
+        "sensor_id",
+        (d / F.lit(s_us)).cast("long").alias("__i"),
+        *[edge_expr[c].alias(c) for c in cols],
+    )
+    merge = {
+        "cnt": F.sum, "vsum": F.sum, "vmin": F.min, "vmax": F.max,
+        "first": F.min, "last": F.max, "vsum2": F.sum,
+    }
     return (
         full.unionByName(edge)
         .groupBy("sensor_id", "__i")
-        .agg(
-            F.sum("cnt").alias("cnt"),
-            F.sum("vsum").alias("vsum"),
-            F.min("vmin").alias("vmin"),
-            F.max("vmax").alias("vmax"),
-            F.min("first").alias("first"),
-            F.max("last").alias("last"),
-        )
+        .agg(*[merge[c](c).alias(c) for c in cols])
         # A window no sample falls in produces NO row (PromQL): every
         # contributing bucket row carries cnt ≥ 1, so this only guards
         # degenerate all-edge-zero unions.
@@ -274,12 +327,21 @@ def _func_value(func: str | None):
     in seconds, single-sample (span == 0) windows DROP — the when()
     guard keeps ANSI mode from throwing on the 0-span division before
     the filter applies."""
+    # Population variance from the mergeable moments (Σv²/n − μ²) —
+    # clamped at 0: the subtraction can go ULP-negative where the true
+    # variance is ~0, and Prometheus returns 0 there, not a NaN sqrt.
+    mean = F.col("vsum") / F.col("cnt")
+    pvar = F.greatest(
+        F.lit(0.0), F.col("vsum2") / F.col("cnt") - mean * mean
+    )
     simple = {
         "sum_over_time": F.col("vsum"),
         "count_over_time": F.col("cnt").cast("double"),
         "min_over_time": F.col("vmin"),
         "max_over_time": F.col("vmax"),
         "avg_over_time": F.col("vsum") / F.col("cnt"),
+        "stdvar_over_time": pvar,
+        "stddev_over_time": F.sqrt(pvar),
     }
     if func in simple:
         return simple[func], None
@@ -304,6 +366,7 @@ def _served_window_values(
     q = eq.selector
     window_s = (q.end_time - q.start_time).total_seconds()
     value, keep = _func_value(eq.func)
+    need = _needed_stats(eq.func)
     out = None
     for store, stype in pairs:
         win = range_windows(
@@ -316,6 +379,7 @@ def _served_window_values(
             offset_us=offset_us,
             sensor_ids=selected.select("sensor_id"),
             realtime=realtime,
+            need=need,
         )
         if keep is not None:
             win = win.filter(keep)

@@ -556,13 +556,13 @@ def create_app(
     def _pick_rollup(eq, serveable) -> list | None:
         """One (store, stype, grain) per present numeric type whose
         window arithmetic ``serveable(grain)`` accepts — coarsest
-        grain first — with the rise family gated on rollup schema ≥ 2
+        grain first — with the rise/deviation families gated on rollup schema ≥ 2
         (a pre-upgrade table reads the first/last quartet as null).
         None when ANY type with data cannot be served: a partial serve
         would silently drop that type's series, so the caller falls
         back to the raw union instead."""
         from sensapp_spark.query.rollup_serve import (
-            FIRSTLAST_FUNCS,
+            SCHEMA2_FUNCS,
             maintained_grains,
         )
         from sensapp_spark.storage.rollup import RollupStore
@@ -575,7 +575,7 @@ def create_app(
                     continue
                 store = RollupStore(lake, grain_s=g)
                 if (
-                    eq.func in FIRSTLAST_FUNCS
+                    eq.func in SCHEMA2_FUNCS
                     and store.committed_schema(st)
                     < RollupStore.SCHEMA_VERSION
                 ):

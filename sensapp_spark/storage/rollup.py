@@ -88,14 +88,22 @@ class RollupStore:
     admits ``rate()``/``increase()``/``delta``/``last_over_time`` (the
     Grafana counter panels) into the served set: a window's rise is
     last.v − first.v across its buckets, both mergeable by struct
-    min/max. Buckets are half-open ``[b, b+grain)`` but the engine's
-    range windows are CLOSED ``[t-R, t]`` (Q5 semantics) — the edge
-    stats are precisely the correction term that makes a closed window
-    fold exactly from half-open buckets (query/rollup_serve.py), so
-    the maintained rollup can serve ``/api/v1/query_range`` with zero
-    semantic drift from the raw path. ``_rollup_meta.json`` records
-    ``schema: 2`` for tables maintaining the first/last quartet;
-    tables written before it read their new columns as null, and
+    min/max — plus the SECOND MOMENT ``vsum2/esum2`` (Σv², whole
+    bucket / boundary edge), which admits ``stddev_over_time`` /
+    ``stdvar_over_time`` as var = Σv²/n − (Σv/n)² — the standard
+    mergeable moment state (ClickHouse's AggregatingMergeTree varPop
+    keeps the same form); the fold differs from a streaming Welford
+    pass only in summation-order ULPs, the class the serving layer's
+    sum fold already documents, degrading only for pathological
+    μ²/σ² ≳ 1e12 corpora. Buckets are half-open ``[b, b+grain)`` but
+    the engine's range windows are CLOSED ``[t-R, t]`` (Q5 semantics)
+    — the edge stats are precisely the correction term that makes a
+    closed window fold exactly from half-open buckets
+    (query/rollup_serve.py), so the maintained rollup can serve
+    ``/api/v1/query_range`` with zero semantic drift from the raw
+    path. ``_rollup_meta.json`` records ``schema: 2`` for tables
+    maintaining the first/last + moment columns; tables written
+    before it read their new columns as null, and
     :meth:`committed_schema` lets the serving layer fall back to raw
     honestly instead of folding nulls."""
 
@@ -103,7 +111,8 @@ class RollupStore:
         "sensor_id string, bucket timestamp, cnt long, "
         "vsum double, vmin double, vmax double, "
         "ecnt long, esum double, emin double, emax double, "
-        "tfirst timestamp, vfirst double, tlast timestamp, vlast double"
+        "tfirst timestamp, vfirst double, tlast timestamp, vlast double, "
+        "vsum2 double, esum2 double"
     )
     SCHEMA_VERSION = 2
     # The row identity and payload — everything the maintenance loop
@@ -114,7 +123,7 @@ class RollupStore:
     KEYS = ("sensor_id", "bucket")
     VALUE_COLS = (
         "cnt", "vsum", "vmin", "vmax", "ecnt", "esum", "emin", "emax",
-        "tfirst", "vfirst", "tlast", "vlast",
+        "tfirst", "vfirst", "tlast", "vlast", "vsum2", "esum2",
     )
     _TABLE_SUFFIX = ""
     _NUMERIC = (SensorType.FLOAT, SensorType.INTEGER, SensorType.NUMERIC)
@@ -175,11 +184,15 @@ class RollupStore:
                 "sensor_id", self._bucket(F.col("time")).alias("bucket")
             )
             .agg(
-                F.count("*").alias("cnt"),
+                # Non-null count: a null value is not a sample —
+                # keeps cnt-derived folds (avg, count_over_time, the
+                # Σv² variance) aligned with Spark's null-ignoring
+                # aggregates on the raw path.
+                F.count(val).alias("cnt"),
                 F.sum(val).alias("vsum"),
                 F.min(val).alias("vmin"),
                 F.max(val).alias("vmax"),
-                F.count(F.when(edge, 1)).alias("ecnt"),
+                F.count(F.when(edge, val)).alias("ecnt"),
                 F.sum(F.when(edge, val)).alias("esum"),
                 F.min(F.when(edge, val)).alias("emin"),
                 F.max(F.when(edge, val)).alias("emax"),
@@ -187,6 +200,8 @@ class RollupStore:
                 first["v"].alias("vfirst"),
                 last["t"].alias("tlast"),
                 last["v"].alias("vlast"),
+                F.sum(val * val).alias("vsum2"),
+                F.sum(F.when(edge, val * val)).alias("esum2"),
             )
             .withColumn(MONTH_COL, F.date_format("bucket", "yyyy-MM"))
         )
@@ -570,6 +585,8 @@ class RollupStore:
                 first["v"].alias("vfirst"),
                 last["t"].alias("tlast"),
                 last["v"].alias("vlast"),
+                F.sum("vsum2").alias("vsum2"),
+                F.sum(F.when(at_edge, F.col("esum2"))).alias("esum2"),
             )
         )
         if start is not None:

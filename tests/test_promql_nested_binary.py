@@ -406,11 +406,11 @@ def test_gateway_range_binary_served_from_rollup(spark, tmp_path):
         r2 = c.get(q.replace("step=3600", "step=1800"))
         assert r2.headers["X-Served-From"] == "raw"
         # One side grain-compatible, the other not → mixed. (rate()
-        # serves from the rollup since round 12; stddev_over_time
-        # needs a sum-of-squares the quartet does not carry.)
+        # and stddev serve from the rollup since round 12; quantiles
+        # are not mergeable.)
         q3 = (
             "/api/v1/query_range?query="
-            "sum_over_time(rb_a[1h])/stddev_over_time(rb_b[1h])"
+            "sum_over_time(rb_a[1h])/quantile_over_time(0.5,rb_b[1h])"
             "&start=2024-01-01T01:00:00Z&end=2024-01-01T02:00:00Z"
             "&step=3600"
         )

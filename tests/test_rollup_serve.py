@@ -117,7 +117,8 @@ def served_lake(spark, tmp_path_factory):
 
 
 FUNCS = ["sum_over_time", "count_over_time", "min_over_time",
-         "max_over_time", "avg_over_time"]
+         "max_over_time", "avg_over_time", "stddev_over_time",
+         "stdvar_over_time"]
 
 
 @pytest.mark.parametrize("func", FUNCS)
@@ -332,7 +333,7 @@ def test_folded_firstlast_matches_direct_coarse_store(served_lake):
     )
     cols = ["sensor_id", "bucket", "cnt", "vsum", "vmin", "vmax",
             "ecnt", "esum", "emin", "emax",
-            "tfirst", "vfirst", "tlast", "vlast"]
+            "tfirst", "vfirst", "tlast", "vlast", "vsum2", "esum2"]
     f = sorted(map(str, folded.select(*cols).collect()))
     d = sorted(map(str, direct.select(*cols).collect()))
     assert f == d
@@ -363,9 +364,11 @@ def test_serveability_gate(served_lake):
     assert ok("increase(m[2h])")
     assert ok("last_over_time(m[1h])")
     assert ok("m")                                   # per-step last
+    assert ok("stddev_over_time(m[1h])")             # Σv² moment
+    assert ok("stdvar_over_time(m[1h])")
     assert not ok("rate(m[90m])")                    # range % grain
     assert not ok("irate(m[1h])")                    # needs last TWO
-    assert not ok("stddev_over_time(m[1h])")         # needs vsum2
+    assert not ok("quantile_over_time(0.5, m[1h])")  # not mergeable
     assert not ok("sum(abs(m))")                     # series_post on samples
     assert not ok("max_over_time(m[1h] @ 1704070800)")  # fixed anchor
 
@@ -499,9 +502,26 @@ def test_gateway_query_range_auto_routes(spark, tmp_path):
         assert raw3.headers["X-Served-From"] == "raw"
         assert r3.get_json() == raw3.get_json()
         assert r3.get_json()["result"], "non-empty served rate"
-        # stddev needs a sum-of-squares the row does not carry → raw.
-        r4 = c.get(q.replace("sum_over_time", "stddev_over_time"))
+        # Quantiles are not mergeable → raw; stddev serves (round 12).
+        r4 = c.get(q.replace(
+            "sum_over_time(gw_m[1h])",
+            "quantile_over_time(0.5,gw_m[1h])",
+        ))
         assert r4.headers["X-Served-From"] == "raw"
+        r5 = c.get(q.replace("sum_over_time", "stdvar_over_time"))
+        assert r5.headers["X-Served-From"] == "rollup-3600s"
+        raw5 = c.get(
+            q.replace("sum_over_time", "stdvar_over_time") + "&rollup=0"
+        )
+        # The deviation pair folds from the Σv² moment — equal to the
+        # raw Welford pass up to summation-order ULPs (documented in
+        # rollup_serve.py; the sum fold has the same class), so this
+        # A/B is approx, not byte-equal.
+        sv = {x["t"]: x["value"] for x in r5.get_json()["result"]}
+        rv = {x["t"]: x["value"] for x in raw5.get_json()["result"]}
+        assert sv.keys() == rv.keys() and all(
+            sv[t] == pytest.approx(rv[t], rel=1e-12) for t in sv
+        )
 
 
 def test_gateway_sketch_rollup_routes(spark, tmp_path):
