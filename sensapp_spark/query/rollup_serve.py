@@ -70,7 +70,7 @@ FIRSTLAST_FUNCS = frozenset(
 # second moment (stddev/stdvar fold from Σv²). The route gates these
 # so a pre-upgrade table falls back to raw instead of folding nulls.
 SCHEMA2_FUNCS = FIRSTLAST_FUNCS | frozenset(
-    ["stddev_over_time", "stdvar_over_time"]
+    ["stddev_over_time", "stdvar_over_time", "timestamp"]
 )
 
 # The per-series window reductions the maintained row answers:
@@ -87,6 +87,7 @@ ROLLUP_SERVE_FUNCS = (
             "min_over_time",
             "max_over_time",
             "avg_over_time",
+            "present_over_time",
         ]
     )
     | SCHEMA2_FUNCS
@@ -170,6 +171,8 @@ def _needed_stats(func: str | None) -> frozenset:
         "avg_over_time": {"vsum"},
         "stdvar_over_time": {"vsum", "vsum2"},
         "stddev_over_time": {"vsum", "vsum2"},
+        "present_over_time": set(),
+        "timestamp": {"last"},
         None: {"last"},
         "last_over_time": {"last"},
         "rate": {"first", "last"},
@@ -342,12 +345,19 @@ def _func_value(func: str | None):
         "avg_over_time": F.col("vsum") / F.col("cnt"),
         "stdvar_over_time": pvar,
         "stddev_over_time": F.sqrt(pvar),
+        # present: any window that produced a row has >= 1 sample.
+        "present_over_time": F.lit(1.0),
     }
     if func in simple:
         return simple[func], None
     first, last = F.col("first"), F.col("last")
     if func in (None, "last_over_time"):
         return last["v"], None
+    if func == "timestamp":
+        # Last sample's epoch seconds (µs fraction preserved) — the
+        # same arithmetic as the raw path's max(unix_micros)/1e6,
+        # bit-equal.
+        return F.unix_micros(last["t"]) / 1e6, None
     span = (F.unix_micros(last["t"]) - F.unix_micros(first["t"])) / 1e6
     rise = last["v"] - first["v"]
     if func == "rate":

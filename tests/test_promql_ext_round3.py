@@ -99,12 +99,14 @@ def test_parse_or_inside_name_not_an_operator():
 
 
 def test_parse_nesting_bounded():
-    # One nested level parses (round 11) — left-assoc set-op chain…
-    bq = parse_extended_expr("a and b and c", now=NOW)
+    # Two nested levels parse (round 12: MAX_BINARY_DEPTH) — the
+    # left-assoc set-op chain…
+    bq = parse_extended_expr("a and b and c and d", now=NOW)
     assert bq.op == "and" and isinstance(bq.left, BinaryQuery)
-    # …two nested levels stay didactically rejected.
+    assert bq.left.left.op == "and"
+    # …one level further stays didactically rejected.
     with pytest.raises(PromQLError):
-        parse_extended_expr("a and b and c and d", now=NOW)
+        parse_extended_expr("a and b and c and d and e", now=NOW)
 
 
 def test_parse_set_op_scalar_rejected():

@@ -219,6 +219,8 @@ def test_served_covers_unrefreshed_tail(served_lake, spark):
     "last_over_time(m[1h])",
     "m",                       # plain selector: per-step last sample
     "sum(rate(m[2h]))",        # agg over served rise values
+    "timestamp(m[2h])",        # last-sample epoch seconds, bit-equal
+    "present_over_time(m[1h])",
 ])
 def test_served_rise_family_equals_raw(served_lake, expr):
     """Round 12: the first/last quartet serves rate/increase/delta/
