@@ -128,6 +128,11 @@ def main() -> None:
                     time.perf_counter() - start, 4
                 )
 
+    # Second probe AFTER the workload: mid-run device throttling (the
+    # round-11 burst-credit class) shows as start-high/end-low.
+    print(json.dumps({"metric": "io_probe_end", **_io_probe(sf_dir)}))
+    sys.stdout.flush()
+
     total = round(sum(timings.values()), 4)
     # The members block is bulky enough to push a single combined JSON
     # line past the driver's stdout tail window (BENCH_r05 recorded
