@@ -450,6 +450,117 @@ def catalog_label_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN vals v ON v.time >= g.t - INTERVAL 2 HOUR AND v.time <= g.t
     WHERE v.event_id % 10 = 0 AND (v.value IS NULL OR isfinite(v.value))
     GROUP BY v.sensor_id, g.t
+    UNION ALL
+    SELECT 'served_resets', sensor_id, t,
+           CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+           CAST(SUM(CASE WHEN pv IS NOT NULL AND value < pv
+                         THEN 1 ELSE 0 END) AS DOUBLE)
+    FROM (
+        SELECT v.sensor_id, g.t AS t, v.value,
+               lag(v.value) OVER (
+                   PARTITION BY v.sensor_id, g.t
+                   ORDER BY v.time, v.value
+               ) AS pv
+        FROM generate_series(TIMESTAMP '2024-01-10 00:00:00',
+                             TIMESTAMP '2024-01-12 00:00:00',
+                             INTERVAL 1 HOUR) AS g(t)
+        JOIN vals v ON v.time >= g.t - INTERVAL 2 HOUR
+                   AND v.time <= g.t
+        WHERE v.event_id % 10 = 0
+          AND (v.value IS NULL OR isfinite(v.value))
+    ) GROUP BY sensor_id, t
+    UNION ALL
+    SELECT 'served_irate', sensor_id, t,
+           CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+           ROUND(
+               (CASE WHEN arg_min(value, rn) < arg_max(value, rn)
+                     THEN arg_min(value, rn)
+                     ELSE arg_min(value, rn) - arg_max(value, rn) END)
+               / ((epoch_us(max(time)) - epoch_us(min(time))) / 1e6),
+               6)
+    FROM (
+        SELECT v.sensor_id, g.t AS t, v.value, v.time,
+               row_number() OVER (
+                   PARTITION BY v.sensor_id, g.t
+                   ORDER BY v.time DESC, v.value DESC
+               ) AS rn
+        FROM generate_series(TIMESTAMP '2024-01-10 00:00:00',
+                             TIMESTAMP '2024-01-12 00:00:00',
+                             INTERVAL 1 HOUR) AS g(t)
+        JOIN vals v ON v.time >= g.t - INTERVAL 2 HOUR
+                   AND v.time <= g.t
+        WHERE v.event_id % 10 = 0
+          AND (v.value IS NULL OR isfinite(v.value))
+    ) WHERE rn <= 2
+    GROUP BY sensor_id, t
+    HAVING COUNT(*) = 2
+       AND epoch_us(max(time)) > epoch_us(min(time))
+    UNION ALL
+    SELECT 'served_quantile', sensor_id, t,
+           CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+           ROUND(quantile_cont(value, 0.5), 6) + 0
+    FROM (
+        SELECT sensor_id, t, value,
+               row_number() OVER (
+                   PARTITION BY sensor_id, t ORDER BY h, value
+               ) AS wrn
+        FROM (
+            SELECT s.sensor_id, g.t AS t, s.value, s.h
+            FROM (
+                SELECT v.sensor_id, v.time, v.value,
+                       date_trunc('hour', v.time) AS b,
+                       CAST('0x' || substr(md5(v.sensor_id || ':'
+                            || epoch_us(v.time)), 1, 15) AS UBIGINT)
+                           AS h,
+                       row_number() OVER (
+                           PARTITION BY v.sensor_id,
+                                        date_trunc('hour', v.time)
+                           ORDER BY CAST('0x' || substr(
+                               md5(v.sensor_id || ':'
+                                   || epoch_us(v.time)), 1, 15)
+                               AS UBIGINT), v.value
+                       ) AS brn
+                FROM vals v
+                WHERE v.event_id % 10 = 0
+                  AND (v.value IS NULL OR isfinite(v.value))
+            ) s
+            JOIN generate_series(TIMESTAMP '2024-01-10 00:00:00',
+                                 TIMESTAMP '2024-01-12 00:00:00',
+                                 INTERVAL 1 HOUR) AS g(t)
+              ON s.b >= g.t - INTERVAL 2 HOUR
+             AND s.b <= g.t - INTERVAL 1 HOUR
+            WHERE s.brn <= 4
+            UNION ALL
+            SELECT s.sensor_id, g.t AS t, s.value, s.h
+            FROM (
+                SELECT v.sensor_id, v.time, v.value,
+                       CAST('0x' || substr(md5(v.sensor_id || ':'
+                            || epoch_us(v.time)), 1, 15) AS UBIGINT)
+                           AS h,
+                       row_number() OVER (
+                           PARTITION BY v.sensor_id,
+                                        date_trunc('hour', v.time)
+                           ORDER BY CAST('0x' || substr(
+                               md5(v.sensor_id || ':'
+                                   || epoch_us(v.time)), 1, 15)
+                               AS UBIGINT), v.value
+                       ) AS ern
+                FROM vals v
+                WHERE v.event_id % 10 = 0
+                  AND (v.value IS NULL OR isfinite(v.value))
+                  AND epoch_us(v.time) % 3600000000 = 0
+            ) s
+            JOIN generate_series(TIMESTAMP '2024-01-10 00:00:00',
+                                 TIMESTAMP '2024-01-12 00:00:00',
+                                 INTERVAL 1 HOUR) AS g(t)
+              ON s.time = g.t
+            WHERE s.ern <= 4
+        )
+    ) WHERE wrn <= 4
+    GROUP BY sensor_id, t
     """,
 )
 def downsample_rate_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -637,10 +748,84 @@ def downsample_rate_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ) + F.lit(0.0)).alias("rate"),
     )
+    # ``served_resets`` / ``served_irate`` (round 13): the schema-3
+    # ORDERED per-bucket state — within-bucket reset counters plus the
+    # cross-bucket boundary fold, and the last-two-samples struct —
+    # through the ENGINE's own value expressions (rollup_serve.
+    # _func_value), pinned against DuckDB recomputing resets (lag over
+    # (time, value) order) and irate (top-2 by (time, value) desc,
+    # counter-reset rule) from the same closed windows over raw rows.
+    from sensapp_spark.query.rollup_serve import (
+        _func_value,
+        _needed_stats,
+    )
+
+    def _served_arm(kind, func):
+        win_f = range_windows(
+            store, SensorType.FLOAT,
+            start=g_start, end=dt.datetime(2024, 1, 12),
+            step_seconds=3600, window_seconds=7200, realtime=False,
+            need=_needed_stats(func),
+        )
+        value, keep = _func_value(func)
+        if keep is not None:
+            win_f = win_f.filter(keep)
+        return win_f.select(
+            F.lit(kind).alias("kind"),
+            F.col("sensor_id").alias("series"),
+            bucket_col,
+            F.lit(None).cast("long").alias("n"),
+            F.lit(None).cast("double").alias("avg_value"),
+            F.lit(None).cast("double").alias("min_value"),
+            F.lit(None).cast("double").alias("max_value"),
+            F.round(value, 6).alias("rate"),
+        )
+
+    served_resets = _served_arm("served_resets", "resets")
+    served_irate = _served_arm("served_irate", "irate")
+    # ``served_quantile`` (round 13): the OPT-IN approximate
+    # quantile_over_time path — a deterministic bottom-k value sample
+    # per bucket (storage/qrollup.py), merged per closed window, k
+    # smallest (md5-prefix hash, value) pairs kept, φ-quantile
+    # linearly interpolated. K=4 here ON PURPOSE: sf0.01 windows hold
+    # fewer than the production K=256 samples, so the default store
+    # would never truncate and the gate would only pin the exact-
+    # below-k path; the tiny K forces the selection/merge/truncation
+    # logic through the hash gate. The oracle replays the identical
+    # algorithm in DuckDB (same md5-prefix hashes — the kmv_cagg
+    # precedent) ending in quantile_cont over the same 4-sample set.
+    from sensapp_spark.storage.qrollup import (
+        QuantileRollupStore,
+        quantile_windows,
+    )
+
+    class _QK4(QuantileRollupStore):
+        K = 4
+        _TABLE_SUFFIX = "quantile4_"
+
+    qstore = _QK4(lake, grain_s=3600)
+    qstore.refresh(SensorType.FLOAT)
+    qwin = quantile_windows(
+        qstore, SensorType.FLOAT,
+        start=g_start, end=dt.datetime(2024, 1, 12),
+        step_seconds=3600, window_seconds=7200, phi=0.5,
+        realtime=False,
+    )
+    served_quantile = qwin.select(
+        F.lit("served_quantile").alias("kind"),
+        F.col("sensor_id").alias("series"),
+        bucket_col,
+        F.lit(None).cast("long").alias("n"),
+        F.lit(None).cast("double").alias("avg_value"),
+        F.lit(None).cast("double").alias("min_value"),
+        F.lit(None).cast("double").alias("max_value"),
+        (F.round(F.col("value"), 6) + F.lit(0.0)).alias("rate"),
+    )
     return (
         down.unionByName(rate).unionByName(cont)
         .unionByName(served).unionByName(served_rate)
-        .unionByName(served_stdvar)
+        .unionByName(served_stdvar).unionByName(served_resets)
+        .unionByName(served_irate).unionByName(served_quantile)
     )
 
 

@@ -205,6 +205,14 @@ class ExtendedQuery:
     # Constant 1-element vector (vector(1) / time() / date funcs'
     # default argument): the value; selector is None.
     const: float | None = None
+    # The const came from time() (directly, via vector(time()), or as
+    # a date function's default argument). Instant evaluation freezes
+    # it at the parse anchor — correct, Prometheus evaluates the whole
+    # instant query at one timestamp — but RANGE evaluation must emit
+    # the PER-STEP timestamp (Prometheus evaluates time() at each
+    # step); _const_range_vector branches on this flag instead of
+    # repeating the parse-time now at every step.
+    const_is_time: bool = False
     # The selector carried an absolute `@ <ts>` evaluation anchor —
     # range evaluation must reject it (a fixed window cannot slide
     # with the steps).
@@ -234,6 +242,19 @@ class ExtendedQuery:
     # the one dashboard triple ("total held by the top k"). Everything
     # deeper or wider stays parse-rejected.
     outer2_agg: str | None = None
+
+
+class TimeScalar(float):
+    """``time()`` as a binary operand: a plain float scalar (the parse
+    anchor — INSTANT evaluation happens at exactly that timestamp, so
+    the frozen value is correct there) that RANGE evaluation
+    recognizes by type to substitute the per-step timestamp column —
+    Prometheus evaluates time() independently at every step, and a
+    frozen clock repeated across the grid is silently wrong (round-12
+    advisor). Subclassing float keeps every scalar-operand code path
+    (validation, instant apply, didactic rejections) untouched."""
+
+    __slots__ = ()
 
 
 @dataclass
@@ -780,7 +801,9 @@ def parse_extended(query: str, now: dt.datetime | None = None) -> ExtendedQuery:
         inner, trailing = _strip_parens(rest)
         if trailing.strip() or inner.strip():
             raise PromQLError("call", "time() takes no arguments.")
-        return ExtendedQuery(selector=None, const=_now_epoch(now))
+        return ExtendedQuery(
+            selector=None, const=_now_epoch(now), const_is_time=True
+        )
 
     if head == "vector" and rest.startswith("("):
         inner, trailing = _strip_parens(rest)
@@ -791,7 +814,9 @@ def parse_extended(query: str, now: dt.datetime | None = None) -> ExtendedQuery:
             )
         inner = inner.strip()
         if inner == "time()":
-            return ExtendedQuery(selector=None, const=_now_epoch(now))
+            return ExtendedQuery(
+                selector=None, const=_now_epoch(now), const_is_time=True
+            )
         if _NUMBER_RE.fullmatch(inner):
             return ExtendedQuery(selector=None, const=float(inner))
         raise PromQLError(
@@ -870,7 +895,9 @@ def parse_extended(query: str, now: dt.datetime | None = None) -> ExtendedQuery:
             p = (lo, hi)
         if head in DATE_FUNCS and not inner.strip():
             # Prometheus default argument: vector(time()).
-            sub = ExtendedQuery(selector=None, const=_now_epoch(now))
+            sub = ExtendedQuery(
+                selector=None, const=_now_epoch(now), const_is_time=True
+            )
         else:
             sub = parse_extended(inner, now)
         _reject_wrapped_sort(sub, head)
@@ -1005,6 +1032,7 @@ def parse_extended(query: str, now: dt.datetime | None = None) -> ExtendedQuery:
             sub_step_s=sub.sub_step_s,
             sub_eval=sub.sub_eval,
             const=sub.const,
+            const_is_time=sub.const_is_time,
             at_fixed=sub.at_fixed,
             offset_used=sub.offset_used,
         )
@@ -1462,7 +1490,10 @@ def parse_extended_expr(
         if re.fullmatch(r"time\s*\(\s*\)", text):
             # time() is a SCALAR in Prometheus — as an operand it is a
             # plain literal, not an empty-label vector to match on.
-            return _now_epoch(now)
+            # The TimeScalar type lets range evaluation swap in the
+            # per-step timestamp (instant evaluation keeps the frozen
+            # anchor, which IS its evaluation time).
+            return TimeScalar(_now_epoch(now))
         if re.fullmatch(r"pi\s*\(\s*\)", text):
             return math.pi
         m = _NAME_RE.match(text)
@@ -1966,6 +1997,13 @@ def _per_series_agg(
     if eq.func == "present_over_time":
         return gb.agg(F.max(F.lit(1.0)).alias("value"))
     if eq.func == "quantile_over_time":
+        phi = float(eq.func_param)
+        if not 0.0 <= phi <= 1.0:
+            # Prometheus: out-of-range φ yields -Inf (φ < 0) / +Inf
+            # (φ > 1) for every window holding a sample; Spark's
+            # percentile() would instead fail analysis on the literal.
+            bound = float("-inf") if phi < 0 else float("inf")
+            return gb.agg(F.max(F.lit(bound)).alias("value"))
         return gb.agg(
             F.percentile("value", F.lit(eq.func_param))
             .cast("double")
@@ -2096,12 +2134,23 @@ def _const_range_vector(
         (end.replace(tzinfo=dt.timezone.utc).timestamp() * 1e6 - start_us)
         // s_us
     )
+    # time()-derived constants are only constant at ONE evaluation
+    # instant: Prometheus evaluates time() independently at every step,
+    # so the range form emits the per-step timestamp — repeating the
+    # parse-time `now` would silently serve a frozen clock (round-12
+    # advisor). vector(s) and number literals stay on the constant
+    # path.
+    value = (
+        (F.lit(start_us) + F.col("id") * F.lit(s_us)) / F.lit(1e6)
+        if eq.const_is_time
+        else F.lit(eq.const).cast("double")
+    )
     out = spark.range(n_steps + 1).select(
         F.lit(None).cast("string").alias("sensor_id"),
         F.lit(None).cast("string").alias("name"),
         F.create_map().cast("map<string,string>").alias("labels"),
         F.col("id").alias("__i"),
-        F.lit(eq.const).cast("double").alias("value"),
+        value.cast("double").alias("value"),
     )
     if eq.label_ops:
         out = _apply_label_ops(out, eq.label_ops)
@@ -3671,6 +3720,11 @@ def evaluate_range_binary(
             )
             out = out.join(F.broadcast(reduced), "t")
             sc_col = F.col("__sv")
+        elif isinstance(sc, TimeScalar):
+            # time() PER STEP: the step grid's own timestamp, never
+            # the parse-time anchor repeated (Prometheus evaluates
+            # time() at each step).
+            sc_col = F.unix_micros(F.col("t")) / F.lit(1e6)
         else:
             sc_col = F.lit(sc)
         res = (

@@ -47,51 +47,78 @@ from sensapp_spark.storage.rollup import RollupStore
 
 __all__ = [
     "ROLLUP_SERVE_FUNCS",
-    "FIRSTLAST_FUNCS",
-    "SCHEMA2_FUNCS",
+    "SERVE_MIN_SCHEMA",
+    "min_schema_for",
     "rollup_serveable",
     "rollup_serveable_instant",
+    "quantile_rollup_serveable",
     "range_windows",
     "evaluate_range_rollup",
     "evaluate_instant_rollup",
+    "evaluate_range_quantile",
     "maintained_grains",
 ]
 
-# The reductions the first/last quartet admits (round 12): the rise
-# functions and last_over_time — every Grafana counter panel. A plain
-# selector range query (func None) is per-step last-sample, the same
-# fold.
-FIRSTLAST_FUNCS = frozenset(
-    [None, "last_over_time", "rate", "increase", "delta"]
-)
+# The per-series window reductions the maintained row answers, each
+# with the MINIMUM rollup row-schema version whose columns its fold
+# reads (storage/rollup.py committed_schema; the route falls back to
+# raw below the minimum instead of folding nulls or stale semantics):
+#
+# * 1 — vsum/vmin/vmax only. sum/min/max_over_time: null-ignoring
+#   F.sum/min/max semantics are identical across every schema.
+# * 2 — cnt became null-ignoring count(value) (a schema-1 cnt is
+#   count(*), which diverges from the raw path on null-valued samples
+#   — round-12 advisor), the first/last quartet (rise family,
+#   last_over_time, timestamp; a plain selector range query — func
+#   None — is per-step last-sample, the same fold), and the Σv² moment
+#   (the deviation pair).
+# * 3 — (round 13) nrows/enrows (raw row counts — the null-sample-
+#   exact empty-window guard), the nresets/nchanges counters + endv
+#   (resets()/changes()), and the second-to-last sample tprev/vprev +
+#   evprev (irate/idelta).
+#
+# Null-sample caveat (samples with a NULL value are an intentional
+# extension — storage/lake.py append_values): below schema 3 the
+# empty-window guard counts non-null samples, so a window holding
+# ONLY null-valued samples is absent from served results where the
+# raw path emits its row (null- or 1.0-valued). Schema-3 rows carry
+# raw row counts and the guard switches to them (range_windows), so
+# an upgraded table serves null data exactly.
+#
+# Exact to the raw path up to summation-order ULPs on the folded sums
+# (the min/max/first/last/rise/resets families are bit-equal); exact
+# quantiles are not mergeable and honestly fall back to raw (the
+# OPT-IN approximate path is the bottom-k value-sample sketch,
+# storage/qrollup.py).
+SERVE_MIN_SCHEMA = {
+    "sum_over_time": 1,
+    "min_over_time": 1,
+    "max_over_time": 1,
+    "count_over_time": 2,
+    "avg_over_time": 2,
+    "present_over_time": 2,
+    None: 2,
+    "last_over_time": 2,
+    "rate": 2,
+    "increase": 2,
+    "delta": 2,
+    "stddev_over_time": 2,
+    "stdvar_over_time": 2,
+    "timestamp": 2,
+    "resets": 3,
+    "changes": 3,
+    "irate": 3,
+    "idelta": 3,
+}
 
-# Reductions that read columns only a schema-≥2 rollup maintains
-# (storage/rollup.py committed_schema): the first/last quartet AND the
-# second moment (stddev/stdvar fold from Σv²). The route gates these
-# so a pre-upgrade table falls back to raw instead of folding nulls.
-SCHEMA2_FUNCS = FIRSTLAST_FUNCS | frozenset(
-    ["stddev_over_time", "stdvar_over_time", "timestamp"]
-)
+ROLLUP_SERVE_FUNCS = frozenset(SERVE_MIN_SCHEMA)
 
-# The per-series window reductions the maintained row answers:
-# cnt/vsum/vmin/vmax for the *_over_time staples, the first/last
-# quartet for the rise family, Σv² for the deviation pair. Exact to
-# the raw path up to summation-order ULPs on the folded sums (the
-# min/max/first/last/rise families are bit-equal); quantiles are not
-# mergeable and honestly fall back to raw.
-ROLLUP_SERVE_FUNCS = (
-    frozenset(
-        [
-            "sum_over_time",
-            "count_over_time",
-            "min_over_time",
-            "max_over_time",
-            "avg_over_time",
-            "present_over_time",
-        ]
-    )
-    | SCHEMA2_FUNCS
-)
+
+def min_schema_for(func) -> int:
+    """The minimum committed rollup schema version that serves
+    ``func`` exactly (∞-like large for unservable funcs — callers
+    check membership in ROLLUP_SERVE_FUNCS first)."""
+    return SERVE_MIN_SCHEMA.get(func, 10**9)
 
 
 def _epoch_us(t: dt.datetime) -> int:
@@ -155,22 +182,30 @@ def rollup_serveable(
 # active session); the edge first/last structs carry the BOUNDARY
 # instant with emin/emax — edge samples all share that instant, so
 # under struct(time, value) ordering those ARE their first/last.
-_STAT_COLS = ("cnt", "vsum", "vmin", "vmax", "first", "last", "vsum2")
+# ``seq`` and ``last2`` are ORDERED stats (round 13): their merge is a
+# sorted collect_list of per-bucket structs — bounded by W/grain
+# entries per window, never by samples — because resets/changes need
+# bucket ADJACENCY (a commutative scalar merge cannot see it) and
+# irate/idelta need the top-2 samples across buckets.
+_STAT_COLS = (
+    "cnt", "vsum", "vmin", "vmax", "first", "last", "vsum2",
+    "nrows", "seq", "last2",
+)
 
 
 def _needed_stats(func: str | None) -> frozenset:
     """The window stats ``func``'s fold actually reads — the explode
-    carries ONLY these (plus cnt for the empty-window guard). Carrying
-    the full row measured ~4× slower on a sparse 1M-bucket corpus for
-    a plain sum fold: the fan-out multiplies every byte."""
+    carries ONLY these (plus nrows for the empty-window guard).
+    Carrying the full row measured ~4× slower on a sparse 1M-bucket
+    corpus for a plain sum fold: the fan-out multiplies every byte."""
     need = {
         "sum_over_time": {"vsum"},
-        "count_over_time": set(),
+        "count_over_time": {"cnt"},
         "min_over_time": {"vmin"},
         "max_over_time": {"vmax"},
-        "avg_over_time": {"vsum"},
-        "stdvar_over_time": {"vsum", "vsum2"},
-        "stddev_over_time": {"vsum", "vsum2"},
+        "avg_over_time": {"vsum", "cnt"},
+        "stdvar_over_time": {"vsum", "vsum2", "cnt"},
+        "stddev_over_time": {"vsum", "vsum2", "cnt"},
         "present_over_time": set(),
         "timestamp": {"last"},
         None: {"last"},
@@ -178,8 +213,12 @@ def _needed_stats(func: str | None) -> frozenset:
         "rate": {"first", "last"},
         "increase": {"first", "last"},
         "delta": {"first", "last"},
+        "resets": {"seq"},
+        "changes": {"seq"},
+        "irate": {"last2"},
+        "idelta": {"last2"},
     }[func]
-    return frozenset(need | {"cnt"})
+    return frozenset(need | {"nrows"})
 
 
 def range_windows(
@@ -251,19 +290,41 @@ def range_windows(
         .cast("long"),
     )
     if need is None:
-        need = frozenset(_STAT_COLS)
+        # Default: every SCALAR stat (the pre-round-13 full row). The
+        # ordered array stats are collect_list merges — only built
+        # when a fold explicitly asks for them.
+        need = frozenset(_STAT_COLS) - {"seq", "last2"}
     else:
-        need = frozenset(need) | {"cnt"}
+        need = frozenset(need) | {"nrows"}
+    first_s = F.struct(F.col("tfirst").alias("t"),
+                       F.col("vfirst").alias("v"))
+    last_s = F.struct(F.col("tlast").alias("t"),
+                      F.col("vlast").alias("v"))
+    prev_s = F.when(
+        F.col("tprev").isNotNull(),
+        F.struct(F.col("tprev").alias("t"), F.col("vprev").alias("v")),
+    )
     full_expr = {
         "cnt": F.col("cnt"),
         "vsum": F.col("vsum"),
         "vmin": F.col("vmin"),
         "vmax": F.col("vmax"),
-        "first": F.struct(F.col("tfirst").alias("t"),
-                          F.col("vfirst").alias("v")),
-        "last": F.struct(F.col("tlast").alias("t"),
-                         F.col("vlast").alias("v")),
+        "first": first_s,
+        "last": last_s,
         "vsum2": F.col("vsum2"),
+        # Pre-v3 rows read nrows as null → the raw row count falls
+        # back to the non-null sample count (the pre-round-13 guard),
+        # so the serve fold needs no schema flag in-plan.
+        "nrows": F.coalesce(F.col("nrows"), F.col("cnt")),
+        "seq": F.struct(
+            first_s.alias("first"),
+            last_s.alias("last"),
+            F.coalesce(F.col("nresets"), F.lit(0)).alias("nr"),
+            F.coalesce(F.col("nchanges"), F.lit(0)).alias("nc"),
+        ),
+        "last2": F.struct(
+            last_s.alias("last"), prev_s.alias("prev")
+        ),
     }
     cols = [c for c in _STAT_COLS if c in need]
     full = (
@@ -285,22 +346,51 @@ def range_windows(
     # ordering their first is (boundary, emin) and their last is
     # (boundary, emax) — the first/last fold needs no new edge columns.
     d = tau - F.lit(start_us)
+    # coalesce: a v3 row counts null-valued boundary samples too
+    # (enrows), so a window whose only content is a null sample at the
+    # boundary still produces its row — matching the raw path; pre-v3
+    # rows keep the non-null-count guard they were built under.
     edge = buckets.filter(
         (d >= 0)
         & (d % F.lit(s_us) == 0)
         & (d / F.lit(s_us) <= n_steps)
-        & (F.col("ecnt") > 0)
+        & (F.coalesce(F.col("enrows"), F.col("ecnt")) > 0)
+    )
+    efirst_s = F.struct(F.col("bucket").alias("t"),
+                        F.col("emin").alias("v"))
+    elast_s = F.struct(F.col("bucket").alias("t"),
+                       F.col("emax").alias("v"))
+    # Edge samples all share the boundary instant: under the raw
+    # evaluator's (time, value) ordering they are value-sorted, so
+    # resets within the group are 0 (ascending), changes are
+    # (#distinct values − 1), and the second-to-last sample is the
+    # second-largest value (evprev).
+    eprev_s = F.when(
+        F.col("ecnt") >= 2,
+        F.struct(F.col("bucket").alias("t"),
+                 F.col("evprev").alias("v")),
     )
     edge_expr = {
         "cnt": F.col("ecnt"),
         "vsum": F.col("esum"),
         "vmin": F.col("emin"),
         "vmax": F.col("emax"),
-        "first": F.struct(F.col("bucket").alias("t"),
-                          F.col("emin").alias("v")),
-        "last": F.struct(F.col("bucket").alias("t"),
-                         F.col("emax").alias("v")),
+        "first": efirst_s,
+        "last": elast_s,
         "vsum2": F.col("esum2"),
+        "nrows": F.coalesce(F.col("enrows"), F.col("ecnt")),
+        "seq": F.struct(
+            efirst_s.alias("first"),
+            elast_s.alias("last"),
+            F.lit(0).cast("long").alias("nr"),
+            F.greatest(
+                F.lit(0).cast("long"),
+                F.coalesce(F.col("endv"), F.lit(1)) - 1,
+            ).alias("nc"),
+        ),
+        "last2": F.struct(
+            elast_s.alias("last"), eprev_s.alias("prev")
+        ),
     }
     edge = edge.select(
         "sensor_id",
@@ -310,15 +400,21 @@ def range_windows(
     merge = {
         "cnt": F.sum, "vsum": F.sum, "vmin": F.min, "vmax": F.max,
         "first": F.min, "last": F.max, "vsum2": F.sum,
+        "nrows": F.sum,
+        # Ordered merges: temporally sorted (buckets are time-disjoint
+        # and the outer struct sorts on its first field — `first`
+        # resp. `last`), W/grain-bounded per window.
+        "seq": lambda c: F.sort_array(F.collect_list(c)),
+        "last2": lambda c: F.reverse(F.sort_array(F.collect_list(c))),
     }
     return (
         full.unionByName(edge)
         .groupBy("sensor_id", "__i")
         .agg(*[merge[c](c).alias(c) for c in cols])
         # A window no sample falls in produces NO row (PromQL): every
-        # contributing bucket row carries cnt ≥ 1, so this only guards
-        # degenerate all-edge-zero unions.
-        .filter(F.col("cnt") > 0)
+        # contributing bucket row carries nrows ≥ 1, so this only
+        # guards degenerate unions.
+        .filter(F.col("nrows") > 0)
     )
 
 
@@ -350,6 +446,62 @@ def _func_value(func: str | None):
     }
     if func in simple:
         return simple[func], None
+    if func in ("resets", "changes"):
+        # The ordered fold: Σ within-bucket counters + one boundary
+        # term per ADJACENT bucket pair (previous bucket's last sample
+        # against the next one's first — exactly the raw evaluator's
+        # lag pair at the bucket crossing, promql_ext:1914). ``seq``
+        # is already time-sorted; W/grain entries per window, pure
+        # array HOFs, no Python. coalesce: null-valued boundary
+        # samples compare to null and contribute 0, the raw fold's
+        # null-skipping sum.
+        seq = F.col("seq")
+        n = F.size(seq)
+        inner = F.aggregate(
+            seq,
+            F.lit(0).cast("long"),
+            lambda a, x: a + x["nr" if func == "resets" else "nc"],
+        )
+
+        def hit(a, b):
+            cmp = (
+                b["first"]["v"] < a["last"]["v"]
+                if func == "resets"
+                else b["first"]["v"] != a["last"]["v"]
+            )
+            return F.coalesce(cmp.cast("long"), F.lit(0))
+
+        boundary = F.aggregate(
+            F.zip_with(F.slice(seq, 1, n - 1), F.slice(seq, 2, n - 1),
+                       hit),
+            F.lit(0).cast("long"),
+            lambda a, x: a + x,
+        )
+        return (inner + boundary).cast("double"), None
+    if func in ("irate", "idelta"):
+        # The window's last two samples from the per-bucket (last,
+        # prev) structs, sorted desc by last: the latest bucket holds
+        # the last sample; the second-to-last is that bucket's own
+        # prev, or — when it held a single sample — the next-latest
+        # bucket's last. Counter-reset handling and the span-0 drop
+        # mirror promql_ext._per_series_agg's top-2 fold exactly.
+        arr = F.col("last2")
+        # try_element_at: NULL past the end (ANSI element_at throws
+        # on single-bucket windows).
+        e1 = F.try_element_at(arr, F.lit(1))
+        e2 = F.try_element_at(arr, F.lit(2))
+        last_s = e1["last"]
+        prev_s = F.coalesce(e1["prev"], e2["last"])
+        span = (
+            F.unix_micros(last_s["t"]) - F.unix_micros(prev_s["t"])
+        ) / 1e6
+        keep = prev_s.isNotNull() & (span > 0)
+        if func == "irate":
+            rise = F.when(
+                last_s["v"] < prev_s["v"], last_s["v"]
+            ).otherwise(last_s["v"] - prev_s["v"])
+            return F.when(keep, rise / span), keep
+        return last_s["v"] - prev_s["v"], keep
     first, last = F.col("first"), F.col("last")
     if func in (None, "last_over_time"):
         return last["v"], None
@@ -518,25 +670,43 @@ def evaluate_instant_rollup(
 
 
 def maintained_grains(
-    lake, stype: SensorType = SensorType.FLOAT, sketch: bool = False
+    lake,
+    stype: SensorType = SensorType.FLOAT,
+    sketch: bool = False,
+    quantile: bool = False,
 ) -> list[int]:
     """The grains (seconds, descending) with a COMMITTED rollup for
     ``stype`` under this lake — one listdir + one committed-pointer
     read per candidate, no Spark jobs. Descending so the first
     serveable grain is the coarsest (fewest bucket rows scanned).
     ``sketch=True`` lists the bucket-keyed KMV/CMS sketch rollups
-    instead (the /rollup/distinct fold=auto discovery)."""
+    instead (the /rollup/distinct fold=auto discovery);
+    ``quantile=True`` the bottom-k value-sample rollups
+    (storage/qrollup.py — the opt-in approximate quantile path)."""
     import os
     import re as _re
 
     from sensapp_spark.storage.lake import resolve_table
+    from sensapp_spark.storage.logstore import S3LogStore, get_store
 
+    if isinstance(get_store(), S3LogStore):
+        # Discovery below walks the lake root with os.listdir — on an
+        # object-store lake that would silently report "no maintained
+        # grains" and disable rollup serving forever (round-12
+        # verdict, missing #5). Fail loudly until a LIST-based
+        # discovery ships with the real S3 backend.
+        raise NotImplementedError(
+            "maintained_grains walks the POSIX filesystem; rollup "
+            "discovery on an S3-backed lake needs the object-store "
+            "LIST path (not implemented — serve with rollup=0 or run "
+            "the gateway against a POSIX lake root)."
+        )
     root = os.path.join(lake.root, "_rollups")
     try:
         entries = os.listdir(root)
     except OSError:
         return []
-    infix = "sketch_" if sketch else ""
+    infix = "quantile_" if quantile else ("sketch_" if sketch else "")
     pat = _re.compile(rf"^{stype.name.lower()}_{infix}(\d+)s$")
     grains = []
     for name in entries:
@@ -544,3 +714,93 @@ def maintained_grains(
         if m and resolve_table(os.path.join(root, name)) is not None:
             grains.append(int(m.group(1)))
     return sorted(grains, reverse=True)
+
+
+def quantile_rollup_serveable(
+    eq,
+    grain_s: int,
+    start: dt.datetime,
+    step_seconds: float,
+    now: dt.datetime | None = None,
+) -> bool:
+    """True iff ``eq`` is a ``quantile_over_time(φ, m[W])`` range
+    evaluation the bottom-k sample rollup can APPROXIMATE: same
+    window-arithmetic gates as :func:`rollup_serveable`, φ within
+    [0, 1] (Prometheus maps outside-φ to ±Inf — that stays on the raw
+    path). The caller must ALSO have the user's explicit ?approx=1 —
+    approximation is never silently substituted."""
+    if (
+        eq is None
+        or getattr(eq, "selector", None) is None
+        or eq.const is not None
+        or eq.sub_inner is not None
+        or eq.at_fixed
+        or eq.sort is not None
+        or eq.hist_quantile is not None
+        or eq.hist_fraction is not None
+        or eq.series_post
+        or eq.func != "quantile_over_time"
+        or eq.func_param is None
+        or not (0.0 <= float(eq.func_param) <= 1.0)
+    ):
+        return False
+    g_us = grain_s * 1_000_000
+    r_us = int(
+        (eq.selector.end_time - eq.selector.start_time).total_seconds()
+        * 1_000_000
+    )
+    s_us = int(step_seconds * 1_000_000)
+    off_us = _offset_us(eq, now)
+    return (
+        r_us > 0
+        and r_us % g_us == 0
+        and s_us % g_us == 0
+        and (_epoch_us(start) - off_us) % g_us == 0
+    )
+
+
+def evaluate_range_quantile(
+    store,
+    sensors: DataFrame,
+    eq,
+    start: dt.datetime,
+    end: dt.datetime,
+    step_seconds: float,
+    now: dt.datetime | None = None,
+    stype: SensorType = SensorType.FLOAT,
+    realtime: bool = True,
+    extra: tuple = (),
+) -> DataFrame:
+    """promql_ext.evaluate_range for ``quantile_over_time``, served
+    APPROXIMATELY from the bottom-k sample rollup
+    (storage/qrollup.py): same output frame, same _finish_range tail,
+    per-window values estimated from the merged deterministic sample
+    (exact when the window holds ≤ K samples). Caller must have
+    checked :func:`quantile_rollup_serveable` AND the user's explicit
+    opt-in."""
+    from sensapp_spark.query.promql_ext import _finish_range
+    from sensapp_spark.storage.qrollup import quantile_windows
+
+    q = eq.selector
+    off_us = _offset_us(eq, now)
+    selected = select_sensors(sensors, q.matchers)
+    window_s = (q.end_time - q.start_time).total_seconds()
+    out = None
+    for qstore, st in [(store, stype), *extra]:
+        win = quantile_windows(
+            qstore, st, start, end, step_seconds, window_s,
+            phi=float(eq.func_param), offset_us=off_us,
+            sensor_ids=selected.select("sensor_id"),
+            realtime=realtime,
+        )
+        out = win if out is None else out.unionByName(win)
+    s_us = int(step_seconds * 1_000_000)
+    start_us = _epoch_us(start)
+    t_col = F.timestamp_micros(
+        (F.lit(start_us) + F.col("__i") * F.lit(s_us)).cast("long")
+    ).alias("t")
+    joined = out.join(
+        F.broadcast(selected.select("sensor_id", "name", "labels")),
+        "sensor_id",
+    )
+    return _finish_range(joined, eq, t_col)

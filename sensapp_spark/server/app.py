@@ -103,6 +103,13 @@ DEFAULT_STREAM_THRESHOLD = 100_000
 # rejects >11k points per series.
 QUERY_RANGE_ROW_CAP = 100_000
 
+# The same bound for the extended INSTANT and BINARY routes: their
+# result is one row per matched series (or per group), and a bare
+# selector or `sum by (high_cardinality_label)` over a million-series
+# lake would otherwise materialize every series through jsonify on the
+# driver (round-12 review). In-plan limit(cap+1) → 400, never an OOM.
+INSTANT_ROW_CAP = 100_000
+
 
 def create_app(
     spark,
@@ -556,14 +563,15 @@ def create_app(
     def _pick_rollup(eq, serveable) -> list | None:
         """One (store, stype, grain) per present numeric type whose
         window arithmetic ``serveable(grain)`` accepts — coarsest
-        grain first — with the rise/deviation families gated on rollup schema ≥ 2
-        (a pre-upgrade table reads the first/last quartet as null).
-        None when ANY type with data cannot be served: a partial serve
-        would silently drop that type's series, so the caller falls
-        back to the raw union instead."""
+        grain first — with each function gated on the minimum rollup
+        row-schema version its fold reads (rollup_serve.
+        SERVE_MIN_SCHEMA: a pre-upgrade table would fold nulls or
+        stale cnt semantics). None when ANY type with data cannot be
+        served: a partial serve would silently drop that type's
+        series, so the caller falls back to the raw union instead."""
         from sensapp_spark.query.rollup_serve import (
-            SCHEMA2_FUNCS,
             maintained_grains,
+            min_schema_for,
         )
         from sensapp_spark.storage.rollup import RollupStore
 
@@ -574,11 +582,7 @@ def create_app(
                 if not serveable(g):
                     continue
                 store = RollupStore(lake, grain_s=g)
-                if (
-                    eq.func in SCHEMA2_FUNCS
-                    and store.committed_schema(st)
-                    < RollupStore.SCHEMA_VERSION
-                ):
+                if store.committed_schema(st) < min_schema_for(eq.func):
                     continue
                 got = (store, st, g)
                 break
@@ -590,6 +594,28 @@ def create_app(
     def _rollup_tag(picked) -> str:
         grains = sorted({g for _, _, g in picked})
         return "rollup-" + "+".join(f"{g}s" for g in grains)
+
+    def _finish_instant_vector(out, served_from: str | None = None):
+        """Materialize an instant-vector (or binary) result with the
+        in-plan INSTANT_ROW_CAP guard: limit(cap+1) caps the collect
+        itself, so a pathological-cardinality query returns 400
+        instead of OOMing the driver (the query_range discipline,
+        extended to its siblings — round-12 review)."""
+        cap = INSTANT_ROW_CAP
+        rows = [
+            row.asDict(recursive=True)
+            for row in out.limit(cap + 1).collect()
+        ]
+        if len(rows) > cap:
+            return jsonify({
+                "error": f"result exceeds {cap} series; narrow the "
+                "matchers or aggregate with a lower-cardinality "
+                "grouping"
+            }), 400
+        resp = jsonify({"result": rows})
+        if served_from is not None:
+            resp.headers["X-Served-From"] = served_from
+        return resp
 
     @app.get("/api/v1/query")
     def promql_query():
@@ -645,10 +671,7 @@ def create_app(
                     # time (absent/hist/aggregated-inner operands) are
                     # client errors, not 500s.
                     return jsonify({"error": str(e)}), 400
-                return jsonify(
-                    {"result": [row.asDict(recursive=True)
-                                for row in out.collect()]}
-                )
+                return _finish_instant_vector(out)
             if needs_extended(eq):
                 from sensapp_spark.query.rollup_serve import (
                     evaluate_instant_rollup,
@@ -658,25 +681,30 @@ def create_app(
                 # Auto-route grain-compatible INSTANT evaluations
                 # through the maintained rollup (round 12) — the same
                 # exactness argument as query_range's served path;
-                # ?rollup=0 opts out for A/B.
+                # ?rollup=0 opts out for A/B. The served evaluation
+                # sits in the same try/except PromQLError → 400 as the
+                # raw branch: the shared tail (_finish_instant) raises
+                # the same validation errors on both paths, and a
+                # served 500 where raw answers 400 would make the
+                # auto-routing observable as a bug (round-12 advisor).
                 out, served_from = None, "raw"
-                if request.args.get("rollup", "auto").lower() not in (
-                    "0", "off", "false"
-                ):
-                    picked = _pick_rollup(
-                        eq,
-                        lambda g: rollup_serveable_instant(eq, g),
-                    )
-                    if picked:
-                        store, st, _g = picked[0]
-                        out = evaluate_instant_rollup(
-                            store, lake.sensors(), eq, stype=st,
-                            extra=[(s, t) for s, t, _ in picked[1:]],
+                try:
+                    if request.args.get(
+                        "rollup", "auto"
+                    ).lower() not in ("0", "off", "false"):
+                        picked = _pick_rollup(
+                            eq,
+                            lambda g: rollup_serveable_instant(eq, g),
                         )
-                        served_from = _rollup_tag(picked)
-                if out is None:
-                    start, end = data_window(eq)
-                    try:
+                        if picked:
+                            store, st, _g = picked[0]
+                            out = evaluate_instant_rollup(
+                                store, lake.sensors(), eq, stype=st,
+                                extra=[(s, t) for s, t, _ in picked[1:]],
+                            )
+                            served_from = _rollup_tag(picked)
+                    if out is None:
+                        start, end = data_window(eq)
                         out = evaluate_extended(
                             lake.sensors(),
                             _numeric_values(
@@ -685,14 +713,9 @@ def create_app(
                             ),
                             eq,
                         )
-                    except PromQLError as e:
-                        return jsonify({"error": str(e)}), 400
-                resp = jsonify(
-                    {"result": [row.asDict(recursive=True)
-                                for row in out.collect()]}
-                )
-                resp.headers["X-Served-From"] = served_from
-                return resp
+                except PromQLError as e:
+                    return jsonify({"error": str(e)}), 400
+                return _finish_instant_vector(out, served_from)
         try:
             parsed = parse_promql_query(query)
         except PromQLError as e:
@@ -866,16 +889,21 @@ def create_app(
             SketchRollupStore,
         )
 
+        from sensapp_spark.storage.qrollup import QuantileRollupStore
+
         try:
             grain = int(request.args.get("grain", "3600"))
             # ?sketch=1 maintains the bucket-keyed SKETCH rollup
-            # (per-bucket KMV distinct-series + CMS heavy-hitters)
-            # instead of the quartet (round 11).
-            cls = (
-                SketchRollupStore
-                if request.args.get("sketch") in ("1", "true")
-                else RollupStore
-            )
+            # (per-bucket KMV distinct-series + CMS heavy-hitters),
+            # ?quantile=1 the bottom-k value-sample rollup (the
+            # opt-in approximate quantile_over_time path, round 13),
+            # instead of the quartet.
+            if request.args.get("sketch") in ("1", "true"):
+                cls = SketchRollupStore
+            elif request.args.get("quantile") in ("1", "true"):
+                cls = QuantileRollupStore
+            else:
+                cls = RollupStore
             store = cls(lake, grain_s=grain)
         except ValueError as e:
             return jsonify({"error": str(e)}), 400
@@ -886,6 +914,7 @@ def create_app(
             out[stype.name.lower()] = store.refresh(stype)
         return jsonify({"status": "refreshed", "grain_s": grain,
                         "sketch": cls is SketchRollupStore,
+                        "quantile": cls is QuantileRollupStore,
                         "tables": out})
 
     @app.get("/api/v1/rollup")
@@ -1253,6 +1282,13 @@ def create_app(
         rollup_on = request.args.get("rollup", "auto").lower() not in (
             "0", "off", "false"
         )
+        # ?approx=1: the user's EXPLICIT opt-in to approximate
+        # quantile serving from the bottom-k sample rollup; notes
+        # collected per served operand surface as the X-Approx header.
+        approx_on = request.args.get("approx", "").lower() in (
+            "1", "true"
+        )
+        approx_notes: list[str] = []
 
         def _scan_bounds(seq):
             """Raw-scan window for ONE vector operand — lookback +
@@ -1302,7 +1338,10 @@ def create_app(
             if not rollup_on:
                 return None
             from sensapp_spark.query.rollup_serve import (
+                evaluate_range_quantile,
                 evaluate_range_rollup,
+                maintained_grains,
+                quantile_rollup_serveable,
                 rollup_serveable,
             )
 
@@ -1310,16 +1349,54 @@ def create_app(
                 seq,
                 lambda g: rollup_serveable(seq, g, start, step, now_parse),
             )
-            if not picked:
+            if picked:
+                store, st, _g = picked[0]
+                frame = evaluate_range_rollup(
+                    store, lake.sensors(), seq,
+                    start=start, end=end, step_seconds=step,
+                    now=now_parse, stype=st,
+                    extra=[(s, t) for s, t, _ in picked[1:]],
+                )
+                return frame, _rollup_tag(picked)
+            # APPROXIMATE quantile serving (round 13): only behind the
+            # user's explicit ?approx=1, only for quantile_over_time,
+            # only when a bottom-k sample rollup (storage/qrollup.py)
+            # is maintained and grain-compatible for EVERY numeric
+            # type with data. The response self-describes via X-Approx
+            # — the exact raw path is never silently substituted.
+            if not (
+                approx_on
+                and getattr(seq, "func", None) == "quantile_over_time"
+            ):
                 return None
-            store, st, _g = picked[0]
-            frame = evaluate_range_rollup(
+            from sensapp_spark.storage.qrollup import QuantileRollupStore
+
+            qpicked = []
+            for st in _numeric_types_present():
+                got = None
+                for g in maintained_grains(lake, st, quantile=True):
+                    if quantile_rollup_serveable(
+                        seq, g, start, step, now_parse
+                    ):
+                        got = (QuantileRollupStore(lake, grain_s=g), st, g)
+                        break
+                if got is None:
+                    return None
+                qpicked.append(got)
+            store, st, _g = qpicked[0]
+            frame = evaluate_range_quantile(
                 store, lake.sensors(), seq,
                 start=start, end=end, step_seconds=step,
                 now=now_parse, stype=st,
-                extra=[(s, t) for s, t, _ in picked[1:]],
+                extra=[(s, t) for s, t, _ in qpicked[1:]],
             )
-            return frame, _rollup_tag(picked)
+            k = QuantileRollupStore.K
+            approx_notes.append(
+                f"quantile_over_time: bottom-k sample (k={k}), rank "
+                f"error ~ 1/sqrt(k) = {1 / k ** 0.5:.3f}; exact for "
+                f"windows holding <= {k} samples"
+            )
+            return frame, _rollup_tag(qpicked) + "-quantile-approx"
 
         if isinstance(eq, BinaryQuery):
             # Range-query binary operations (round 11) — each vector
@@ -1349,7 +1426,10 @@ def create_app(
                 if len(set(served_tags)) == 1
                 else "mixed(" + ",".join(served_tags) + ")"
             )
-            return _finish_query_range(out, served_from)
+            return _finish_query_range(
+                out, served_from,
+                approx_note="; ".join(approx_notes) or None,
+            )
         if eq.selector is None:
             # Constant vectors (vector()/time()/argless date funcs)
             # have no sample window; evaluate_range rejects them with
@@ -1378,9 +1458,13 @@ def create_app(
                 # Shapes evaluate_range rejects (histogram_quantile
                 # etc.) are client errors, not 500s.
                 return jsonify({"error": str(e)}), 400
-        return _finish_query_range(out, served_from)
+        return _finish_query_range(
+            out, served_from,
+            approx_note="; ".join(approx_notes) or None,
+        )
 
-    def _finish_query_range(out, served_from: str):
+    def _finish_query_range(out, served_from: str,
+                            approx_note: str | None = None):
         # ISO-format the step timestamp explicitly (Flask would render
         # datetime values as RFC-822 strings).
         from pyspark.sql import functions as F
@@ -1433,9 +1517,13 @@ def create_app(
                 }
             )
             resp.headers["X-Served-From"] = served_from
+            if approx_note:
+                resp.headers["X-Approx"] = approx_note
             return resp
         resp = jsonify({"result": rows})
         resp.headers["X-Served-From"] = served_from
+        if approx_note:
+            resp.headers["X-Approx"] = approx_note
         return resp
 
     # Beyond-reference: Prometheus HTTP-API label browsing (the

@@ -101,20 +101,36 @@ class RollupStore:
     closed window fold exactly from half-open buckets
     (query/rollup_serve.py), so the maintained rollup can serve
     ``/api/v1/query_range`` with zero semantic drift from the raw
-    path. ``_rollup_meta.json`` records ``schema: 2`` for tables
-    maintaining the first/last + moment columns; tables written
-    before it read their new columns as null, and
-    :meth:`committed_schema` lets the serving layer fall back to raw
-    honestly instead of folding nulls."""
+    path.
+
+    Round 13 (schema 3) adds the ORDERED per-bucket state:
+    ``nrows/enrows`` (raw row counts — the null-sample-exact
+    empty-window guard), ``nresets/nchanges`` (within-bucket
+    adjacent-pair counters under the raw evaluator's (time, value)
+    ordering; the cross-bucket boundary term folds from the
+    first/last quartet at serve time), ``endv`` (distinct edge
+    values — changes() inside a duplicate-instant boundary group),
+    and ``tprev/vprev/evprev`` (the bucket's second-largest sample —
+    irate()/idelta()'s last-two-samples fold).
+
+    ``_rollup_meta.json`` records the row-schema version; tables
+    written by older code read the newer columns as null, and
+    :meth:`committed_schema` lets the serving layer gate per function
+    (rollup_serve.SERVE_MIN_SCHEMA) — falling back to raw honestly
+    instead of folding nulls — while :meth:`upgrade_tick` rebuilds
+    old months in bounded batches until the table reaches the current
+    version through maintenance alone."""
 
     SCHEMA = (
         "sensor_id string, bucket timestamp, cnt long, "
         "vsum double, vmin double, vmax double, "
         "ecnt long, esum double, emin double, emax double, "
         "tfirst timestamp, vfirst double, tlast timestamp, vlast double, "
-        "vsum2 double, esum2 double"
+        "vsum2 double, esum2 double, "
+        "nrows long, enrows long, nresets long, nchanges long, "
+        "endv long, tprev timestamp, vprev double, evprev double"
     )
-    SCHEMA_VERSION = 2
+    SCHEMA_VERSION = 3
     # The row identity and payload — everything the maintenance loop
     # (refresh/recompute/splice/commit) needs to know about the
     # aggregation shape; subclasses with a different shape (the
@@ -124,6 +140,8 @@ class RollupStore:
     VALUE_COLS = (
         "cnt", "vsum", "vmin", "vmax", "ecnt", "esum", "emin", "emax",
         "tfirst", "vfirst", "tlast", "vlast", "vsum2", "esum2",
+        "nrows", "enrows", "nresets", "nchanges", "endv",
+        "tprev", "vprev", "evprev",
     )
     _TABLE_SUFFIX = ""
     _NUMERIC = (SensorType.FLOAT, SensorType.INTEGER, SensorType.NUMERIC)
@@ -168,7 +186,29 @@ class RollupStore:
         conditions on "sample time IS the bucket's left boundary"
         (µs-exact); F.count over the when() is 0 for edge-less buckets
         while esum/emin/emax stay null — both merge transparently
-        (sum/min/max ignore nulls)."""
+        (sum/min/max ignore nulls).
+
+        Schema-3 columns (round 13) need ORDER within the bucket, so
+        the plan gains window functions partitioned on the same
+        (sensor, bucket) keys the groupBy uses — one exchange, sorted
+        aggregation instead of hash:
+
+        * ``__pv`` (lag under (time asc, value asc) — the raw
+          evaluator's resets/changes ordering, promql_ext:1914) feeds
+          the within-bucket ``nresets``/``nchanges`` counters;
+        * ``__rn`` (row_number under (time desc, value desc) — the raw
+          irate/idelta top-2 ordering) marks the bucket's
+          second-largest sample ``tprev/vprev``;
+        * ``__re`` ranks EDGE samples by value so ``evprev`` is the
+          second-largest boundary value (edge samples share one
+          instant, so value order IS their (t, v) order);
+        * ``endv`` counts distinct edge values (changes() inside a
+          duplicate-instant boundary group = distinct − 1);
+        * ``nrows``/``enrows`` are raw row counts (count(*)), the
+          null-sample-exact empty-window guard — ``cnt`` stays the
+          null-ignoring count the value folds read."""
+        from pyspark.sql import Window
+
         g_us = self.grain_s * 1_000_000
         edge = (F.unix_micros(F.col("time")) % F.lit(g_us)) == 0
         val = F.col("value").cast("double")
@@ -179,8 +219,19 @@ class RollupStore:
         # repeated timestamps.
         sample = F.struct(F.col("time").alias("t"), val.alias("v"))
         first, last = F.min(sample), F.max(sample)
+        part = Window.partitionBy("sensor_id", self._bucket(F.col("time")))
+        w_desc = part.orderBy(F.col("time").desc(), val.desc())
+        w_asc = part.orderBy(F.col("time").asc(), val.asc())
+        w_edge = part.orderBy(F.when(edge, val).desc_nulls_last())
+        enriched = (
+            rows.withColumn("__rn", F.row_number().over(w_desc))
+            .withColumn("__pv", F.lag(val).over(w_asc))
+            .withColumn("__re", F.row_number().over(w_edge))
+        )
+        pv = F.col("__pv")
+        prev = F.max(F.when(F.col("__rn") == 2, sample))
         return (
-            rows.groupBy(
+            enriched.groupBy(
                 "sensor_id", self._bucket(F.col("time")).alias("bucket")
             )
             .agg(
@@ -202,6 +253,26 @@ class RollupStore:
                 last["v"].alias("vlast"),
                 F.sum(val * val).alias("vsum2"),
                 F.sum(F.when(edge, val * val)).alias("esum2"),
+                F.count(F.lit(1)).alias("nrows"),
+                F.count(F.when(edge, F.lit(1))).alias("enrows"),
+                # The null-propagating cast mirrors the raw lag fold:
+                # a null value (either side of the pair) contributes
+                # nothing, and the coalesce floors sample-less/all-
+                # null buckets at 0.
+                F.coalesce(
+                    F.sum((pv.isNotNull() & (val < pv)).cast("long")),
+                    F.lit(0),
+                ).alias("nresets"),
+                F.coalesce(
+                    F.sum((pv.isNotNull() & (val != pv)).cast("long")),
+                    F.lit(0),
+                ).alias("nchanges"),
+                F.count_distinct(F.when(edge, val)).alias("endv"),
+                prev["t"].alias("tprev"),
+                prev["v"].alias("vprev"),
+                F.max(
+                    F.when((F.col("__re") == 2) & edge, val)
+                ).alias("evprev"),
             )
             .withColumn(MONTH_COL, F.date_format("bucket", "yyyy-MM"))
         )
@@ -215,23 +286,22 @@ class RollupStore:
         data = resolve_table(self._path(stype))
         if data is None:
             return None
-        raw = get_store().read(os.path.join(data, ROLLUP_META))
-        if raw is None:
-            return None
-        try:
-            meta = json.loads(raw)
-        except ValueError:
-            return None
-        cur = meta.get("cursor")
+        meta = _read_meta(data)
+        cur = None if meta is None else meta.get("cursor")
         return cur if isinstance(cur, dict) else None
 
     def committed_schema(self, stype: SensorType) -> int:
-        """The committed rollup's row-schema version (0 when nothing is
-        committed): 1 = base + edge quartets only, 2 = first/last
-        quartet maintained. The serving layer gates the rate family on
-        ≥ 2 — a pre-upgrade table reads tfirst/… as null and a fold
-        over nulls would be silently wrong, so it falls back to raw
-        until the next full refresh rebuild."""
+        """The committed rollup's row-schema version (0 when nothing
+        is committed): 1 = base + edge quartets only (and count(*)
+        cnt semantics), 2 = first/last quartet + Σv² moment +
+        null-ignoring cnt, 3 = ordered per-bucket state (row counts,
+        reset/change counters, second-to-last sample). The serving
+        layer gates each function on its minimum version
+        (rollup_serve.SERVE_MIN_SCHEMA) — a pre-upgrade table reads
+        the newer columns as null and a fold over nulls would be
+        silently wrong, so those functions fall back to raw until
+        :meth:`upgrade_tick` (or a full rebuild) brings the table
+        forward."""
         data = resolve_table(self._path(stype))
         return 0 if data is None else _schema_of(data)
 
@@ -385,6 +455,132 @@ class RollupStore:
                 f"races on {path}"
             )
 
+    def upgrade_tick(
+        self,
+        stype: SensorType,
+        max_months: int = 6,
+        max_retries: int = 5,
+    ) -> dict:
+        """One bounded step of a maintenance-driven schema upgrade:
+        rebuild up to ``max_months`` month partitions of a
+        pre-current-schema rollup from the BASE table (through the
+        one aggregation shape, so the rebuilt rows carry every
+        current column), splice them in with the ordinary
+        hardlink-clone commit, and track the remaining worklist in
+        ``_rollup_meta.json`` (``pending_upgrade_months``). The
+        committed schema version flips to ``SCHEMA_VERSION`` only
+        when the worklist empties — the version stays a statement
+        about EVERY row throughout.
+
+        Exactly-once/idempotent by the same argument as refresh:
+        month rebuilds recompute from the base (a crash or lost CAS
+        race re-rebuilds the same months to the same values), the
+        feed cursor rides the commit UNCHANGED, and incremental
+        refreshes interleave freely — a splice of a not-yet-upgraded
+        month keeps it on the worklist (its kept-old rows are still
+        old-schema); months created fresh by post-upgrade code were
+        never on it. Months dropped by retention fall off the
+        worklist at the next tick.
+
+        Returns {"mode": "noop"|"upgrade", "upgraded_months": n,
+        "remaining": n, "schema": committed-after}. The pre-r12
+        deployment story this closes: without it, a v1 table NEVER
+        gains the served rate()/stddev/resets families — incremental
+        splices honestly inherit v1 forever (round-12 verdict,
+        task 1)."""
+        path = self._path(stype)
+        if resolve_table(path) is None:
+            return {
+                "mode": "noop", "upgraded_months": 0, "remaining": 0,
+                "schema": 0,
+            }
+        with dir_lock(path):
+            for _ in range(max_retries):
+                seq, data = read_committed(path)
+                if data is None:
+                    return {
+                        "mode": "noop", "upgraded_months": 0,
+                        "remaining": 0, "schema": 0,
+                    }
+                meta = _read_meta(data) or {}
+                schema = _schema_of(data)
+                pending = meta.get("pending_upgrade_months")
+                if schema >= self.SCHEMA_VERSION and not pending:
+                    return {
+                        "mode": "noop", "upgraded_months": 0,
+                        "remaining": 0, "schema": schema,
+                    }
+                on_disk = sorted(
+                    d[len(MONTH_COL) + 1:]
+                    for d in os.listdir(data)
+                    if d.startswith(f"{MONTH_COL}=")
+                    and os.path.isdir(os.path.join(data, d))
+                )
+                if pending is None:
+                    # First tick of this upgrade: every committed
+                    # month MAY hold old-schema rows (months written
+                    # since the code upgrade get redundantly — and
+                    # idempotently — rebuilt; bounded, and only once).
+                    pending = on_disk
+                else:
+                    # Retention may have expired worklist months.
+                    keep = set(on_disk)
+                    pending = [m for m in pending if m in keep]
+                batch = pending[:max_months]
+                rest = pending[max_months:]
+                done_schema = (
+                    self.SCHEMA_VERSION if not rest else schema
+                )
+                try:
+                    if batch:
+                        rows = self._rebuild_months(stype, batch)
+                        months = [f"{MONTH_COL}={m}" for m in batch]
+                    else:
+                        # Empty table (or worklist drained by
+                        # retention): flip the version, cursor-only.
+                        rows, months = None, []
+                    committed = self._commit(
+                        path, seq, data, rows, months,
+                        meta.get("cursor"),
+                        schema_override=done_schema,
+                        pending_override=rest or None,
+                    )
+                except CommitConflict:
+                    continue
+                except Exception as e:  # noqa: BLE001 — filtered below
+                    if _is_stale_scan_error(e):
+                        continue
+                    raise
+                return {
+                    "mode": "upgrade" if batch else "noop",
+                    "upgraded_months": len(batch),
+                    "remaining": len(rest),
+                    "schema": done_schema,
+                    "seq": committed,
+                }
+            raise CommitConflict(
+                f"rollup upgrade lost {max_retries} consecutive "
+                f"commit races on {path}"
+            )
+
+    def _rebuild_months(self, stype, months) -> DataFrame:
+        """Re-aggregate ENTIRE month partitions from the base table:
+        scan [first month start, last month end + grain] (buckets of
+        a month can hold samples up to one grain past its end; the
+        month-pruned scan makes the span the worklist batch's, not
+        the table's), aggregate through the one shape, keep only the
+        requested months' buckets — neighbours' partial buckets drop
+        out with the filter, never reaching the splice."""
+        lo_y, lo_m = map(int, min(months).split("-"))
+        hi_y, hi_m = map(int, max(months).split("-"))
+        lo = dt.datetime(lo_y, lo_m, 1)
+        hi = dt.datetime(
+            hi_y + hi_m // 12, hi_m % 12 + 1, 1
+        ) + dt.timedelta(seconds=self.grain_s)
+        return self._aggregate(
+            self.lake.values(stype, start=lo, end=hi)
+        ).filter(F.col(MONTH_COL).isin(list(months)))
+
     def _keys(self, delta: DataFrame) -> DataFrame:
         """The delta's distinct affected key tuples (``KEYS`` with the
         bucket column derived from the sample time)."""
@@ -444,7 +640,9 @@ class RollupStore:
         return kept_old.unionByName(recomputed), month_dirs
 
     def _commit(
-        self, path, seq, data, new_rows, affected_months, next_cur
+        self, path, seq, data, new_rows, affected_months, next_cur,
+        schema_override: int | None = None,
+        pending_override=False,
     ) -> int:
         """Commit a refresh: write the affected months' rows into a
         fresh version dir, hardlink every unaffected month dir from the
@@ -452,7 +650,16 @@ class RollupStore:
         ``seq+1`` conditionally (the CAS discipline every lake writer
         follows). ``affected_months=None`` = full rebuild (nothing is
         cloned); ``new_rows=None`` = cursor-only commit (everything is
-        cloned)."""
+        cloned).
+
+        ``schema_override``/``pending_override`` are the upgrade
+        tick's levers: the recorded row-schema version and the
+        ``pending_upgrade_months`` list. ``pending_override=False``
+        (the refresh default) CARRIES the predecessor's pending list
+        on incremental commits — a splice must not make an
+        in-progress upgrade forget its worklist — and drops it on
+        full rebuilds (everything is current); an explicit list/None
+        replaces it."""
         version = _next_version(path)
         vdir = os.path.join(path, version)
         claimed = False
@@ -485,16 +692,34 @@ class RollupStore:
             # rebuild (affected_months None) or a fresh table writes
             # the current version; an incremental splice inherits the
             # predecessor's (its kept-old month rows were written by
-            # that code). An old table therefore stays honestly
-            # version-1 until its next rebuild.
-            if data is None or affected_months is None:
+            # that code). An old table therefore stays honestly at
+            # its old version until upgrade_tick (or a rebuild)
+            # brings every month forward.
+            if schema_override is not None:
+                schema_v = schema_override
+            elif data is None or affected_months is None:
                 schema_v = self.SCHEMA_VERSION
             else:
                 schema_v = min(_schema_of(data), self.SCHEMA_VERSION)
-            blob = json.dumps({
+            meta: dict = {
                 "cursor": next_cur, "grain_s": self.grain_s,
                 "schema": schema_v,
-            }).encode()
+            }
+            if pending_override is False:
+                # Carry an in-progress upgrade's worklist across
+                # ordinary incremental refreshes; a full rebuild
+                # wrote every row fresh and clears it.
+                if data is not None and affected_months is not None:
+                    prior = _read_meta(data)
+                    pending = (
+                        None if prior is None
+                        else prior.get("pending_upgrade_months")
+                    )
+                    if pending:
+                        meta["pending_upgrade_months"] = pending
+            elif pending_override:
+                meta["pending_upgrade_months"] = list(pending_override)
+            blob = json.dumps(meta).encode()
             with open(os.path.join(vdir, ROLLUP_META), "wb") as fh:
                 fh.write(blob)
                 fh.flush()
@@ -568,6 +793,31 @@ class RollupStore:
             F.struct(F.col("tlast").alias("t"),
                      F.col("vlast").alias("v")),
         ))
+        # Schema-3 folds need ORDER across the folded group's fine
+        # buckets (a commutative merge cannot see bucket adjacency),
+        # so they fold from ONE sorted collect_list of per-bucket
+        # structs — bounded by the fold ratio (e.g. 24 entries for
+        # 1h→1d), not by samples. Entries condition on tfirst so
+        # pre-upgrade (schema < 2) rows drop out of the sequence; on a
+        # mixed pre-/post-upgrade table the v3 folds are therefore
+        # PARTIAL, the same documented degradation as the first/last
+        # fold — committed_schema gates every serving decision.
+        seq_entry = F.when(
+            F.col("tfirst").isNotNull(),
+            F.struct(
+                F.struct(F.col("tfirst").alias("t"),
+                         F.col("vfirst").alias("v")).alias("first"),
+                F.struct(F.col("tlast").alias("t"),
+                         F.col("vlast").alias("v")).alias("last"),
+                F.coalesce(F.col("nresets"), F.lit(0)).alias("nr"),
+                F.coalesce(F.col("nchanges"), F.lit(0)).alias("nc"),
+                F.when(
+                    F.col("tprev").isNotNull(),
+                    F.struct(F.col("tprev").alias("t"),
+                             F.col("vprev").alias("v")),
+                ).alias("prev"),
+            ),
+        )
         out = (
             fine.groupBy("sensor_id", folded.alias("bucket"))
             .agg(
@@ -587,7 +837,73 @@ class RollupStore:
                 last["v"].alias("vlast"),
                 F.sum("vsum2").alias("vsum2"),
                 F.sum(F.when(at_edge, F.col("esum2"))).alias("esum2"),
+                F.sum("nrows").alias("nrows"),
+                F.coalesce(
+                    F.sum(F.when(at_edge, F.col("enrows"))), F.lit(0)
+                ).alias("enrows"),
+                F.coalesce(
+                    F.sum(F.when(at_edge, F.col("endv"))), F.lit(0)
+                ).alias("endv"),
+                F.max(F.when(at_edge, F.col("evprev"))).alias("evprev"),
+                F.sort_array(F.collect_list(seq_entry)).alias("__seq"),
             )
+        )
+        # Fold the ordered stats from the sorted sequence: counters
+        # are Σ within-bucket + a boundary term per adjacent pair
+        # (the serving layer's window fold uses the same identity —
+        # query/rollup_serve.py _func_value); the folded second-to-
+        # last sample is the latest bucket's prev, or the
+        # second-latest bucket's last when that bucket held only one
+        # sample.
+        seq = F.col("__seq")
+        n = F.size(seq)
+        heads = F.slice(seq, 1, n - 1)
+        tails = F.slice(seq, 2, n - 1)
+
+        def _bnd(hit):
+            # coalesce: a null-valued boundary comparison (null
+            # samples, documented extension) contributes 0, matching
+            # the raw lag fold's null-skipping sum.
+            return F.aggregate(
+                F.zip_with(
+                    heads, tails,
+                    lambda a, b: F.coalesce(hit(a, b), F.lit(0)),
+                ),
+                F.lit(0).cast("long"),
+                lambda a, x: a + x,
+            )
+
+        rev = F.reverse(seq)
+        # try_element_at: NULL past the end (ANSI element_at throws).
+        e1 = F.try_element_at(rev, F.lit(1))
+        e2 = F.try_element_at(rev, F.lit(2))
+        fprev = F.when(n >= 1, F.coalesce(e1["prev"], e2["last"]))
+        out = out.select(
+            "sensor_id", "bucket",
+            "cnt", "vsum", "vmin", "vmax",
+            "ecnt", "esum", "emin", "emax",
+            "tfirst", "vfirst", "tlast", "vlast", "vsum2", "esum2",
+            "nrows", "enrows", "endv", "evprev",
+            F.when(
+                n >= 1,
+                _bnd(lambda a, b: (b["first"]["v"] < a["last"]["v"])
+                     .cast("long"))
+                + F.aggregate(
+                    seq, F.lit(0).cast("long"), lambda a, x: a + x["nr"]
+                ),
+            ).alias("nresets"),
+            F.when(
+                n >= 1,
+                _bnd(lambda a, b: (b["first"]["v"] != a["last"]["v"])
+                     .cast("long"))
+                + F.aggregate(
+                    seq, F.lit(0).cast("long"), lambda a, x: a + x["nc"]
+                ),
+            ).alias("nchanges"),
+            fprev["t"].alias("tprev"),
+            fprev["v"].alias("vprev"),
+        ).select(
+            "sensor_id", "bucket", *self.VALUE_COLS
         )
         if start is not None:
             out = out.filter(F.col("bucket") >= F.lit(start))
@@ -909,16 +1225,24 @@ class SketchRollupStore(RollupStore):
         )
 
 
+def _read_meta(version_dir: str) -> dict | None:
+    """The committed version dir's ``_rollup_meta.json`` as a dict
+    (None when absent/unparseable — pre-versioning tables)."""
+    raw = get_store().read(os.path.join(version_dir, ROLLUP_META))
+    if raw is None:
+        return None
+    try:
+        meta = json.loads(raw)
+    except ValueError:
+        return None
+    return meta if isinstance(meta, dict) else None
+
+
 def _schema_of(version_dir: str) -> int:
     """Row-schema version recorded in a version dir's meta (1 for
     pre-versioning tables — they predate the ``schema`` key)."""
-    raw = get_store().read(os.path.join(version_dir, ROLLUP_META))
-    if raw is None:
-        return 1
-    try:
-        v = json.loads(raw).get("schema", 1)
-    except ValueError:
-        return 1
+    meta = _read_meta(version_dir)
+    v = 1 if meta is None else meta.get("schema", 1)
     return v if isinstance(v, int) else 1
 
 

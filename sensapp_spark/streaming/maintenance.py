@@ -69,10 +69,20 @@ class MaintenancePlan:
 
     rollup_grains: tuple[int, ...] = (3600,)
     sketch_grains: tuple[int, ...] = ()
+    # Bottom-k value-sample rollups (storage/qrollup.py) — the opt-in
+    # approximate quantile_over_time serving path (round 13).
+    quantile_grains: tuple[int, ...] = ()
     optimize: bool = True
     dedup: bool = False
     retention_before: Callable[[], dt.datetime] | None = None
     refresh_zonemaps: bool = True
+    # Bounded months of rollup SCHEMA UPGRADE per tick (0 disables):
+    # a table committed by older code (schema < SCHEMA_VERSION) is
+    # progressively rebuilt month-by-month through ticks alone, so an
+    # existing deployment's rate()/resets() start serving from the
+    # rollup without anyone forcing a manual full rebuild (round-12
+    # verdict task 1 — the pre-r12 lockout).
+    upgrade_months_per_tick: int = 4
     extra_ticks: tuple[Callable[[], object], ...] = field(
         default_factory=tuple
     )
@@ -111,6 +121,18 @@ def maintenance_tick(
                 f"rollup_{grain}s_{st.name.lower()}",
                 lambda s=store, t=st: s.refresh(t),
             )
+            if plan.upgrade_months_per_tick > 0:
+                # After the refresh so a first-ever tick (full
+                # rebuild at current schema) makes this a pure
+                # metadata noop; on an old table it rebuilds a
+                # bounded batch of months per tick.
+                _guard(
+                    report,
+                    f"upgrade_{grain}s_{st.name.lower()}",
+                    lambda s=store, t=st: s.upgrade_tick(
+                        t, max_months=plan.upgrade_months_per_tick
+                    ),
+                )
     for grain in plan.sketch_grains:
         store = SketchRollupStore(lake, grain_s=grain)
         for st in numeric:
@@ -119,6 +141,17 @@ def maintenance_tick(
                 f"sketch_{grain}s_{st.name.lower()}",
                 lambda s=store, t=st: s.refresh(t),
             )
+    if plan.quantile_grains:
+        from sensapp_spark.storage.qrollup import QuantileRollupStore
+
+        for grain in plan.quantile_grains:
+            store = QuantileRollupStore(lake, grain_s=grain)
+            for st in numeric:
+                _guard(
+                    report,
+                    f"quantile_{grain}s_{st.name.lower()}",
+                    lambda s=store, t=st: s.refresh(t),
+                )
     for st in written:
         if plan.dedup:
             _guard(
