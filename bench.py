@@ -55,6 +55,36 @@ def _io_probe(sf_dir: str) -> dict:
         return {"error": str(e)}
 
 
+# Calibrated cold-read floor (MB/s) for "this device is healthy":
+# settled runs on this host probe ~1100-1200 MB/s, the documented
+# throttled state ~730 (BASELINE.md round-11/12 environment sections;
+# r5/r11/r12 each shipped a throttled official artifact that had to be
+# re-attributed forensically). Below the floor the harness pre-warms
+# and re-probes once; if the device stays slow, the HEADLINE JSON
+# carries `"throttled": true` so every downstream consumer (driver,
+# judge, BASELINE) self-attributes the wall numbers.
+IO_FLOOR_MBS = float(os.environ.get("SPARK_GRAFT_IO_FLOOR_MBS", "900"))
+
+
+def _prewarm(sf_dir: str, cap_bytes: int = 1 << 30) -> None:
+    """Sequentially read the input parquet once (up to ``cap_bytes``):
+    heats the page cache and gives burst-credit devices a chance to
+    recover before the re-probe."""
+    try:
+        spent = 0
+        for f in sorted(os.listdir(sf_dir)):
+            if not f.endswith(".parquet") or spent >= cap_bytes:
+                continue
+            with open(os.path.join(sf_dir, f), "rb", buffering=0) as fh:
+                while spent < cap_bytes:
+                    chunk = fh.read(4 * 1024 * 1024)
+                    if not chunk:
+                        break
+                    spent += len(chunk)
+    except OSError:  # pragma: no cover — best-effort warm-up
+        pass
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -62,6 +92,13 @@ def main() -> None:
     probe = _io_probe(sf_dir)
     print(json.dumps({"metric": "io_probe", **probe}))
     sys.stdout.flush()
+    slow_start = probe.get("mb_per_s", float("inf")) < IO_FLOOR_MBS
+    if slow_start:
+        _prewarm(sf_dir)
+        probe = _io_probe(sf_dir)
+        print(json.dumps({"metric": "io_probe_after_prewarm", **probe}))
+        sys.stdout.flush()
+        slow_start = probe.get("mb_per_s", 0.0) < IO_FLOOR_MBS
     spark = get_spark(
         app_name="sensapp-spark-bench",
         master=f"local[{cpus}]",
@@ -130,7 +167,8 @@ def main() -> None:
 
     # Second probe AFTER the workload: mid-run device throttling (the
     # round-11 burst-credit class) shows as start-high/end-low.
-    print(json.dumps({"metric": "io_probe_end", **_io_probe(sf_dir)}))
+    end_probe = _io_probe(sf_dir)
+    print(json.dumps({"metric": "io_probe_end", **end_probe}))
     sys.stdout.flush()
 
     total = round(sum(timings.values()), 4)
@@ -153,6 +191,18 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        # Self-attribution (round-12 verdict, measurement-pipeline
+        # gap): the device's cold-read MB/s at start (post-prewarm if
+        # one ran) and end, and whether either sat below the
+        # calibrated floor — a true flag means these walls measure
+        # the DEVICE, not the code, and must not be compared
+        # round-over-round.
+        "io_mb_per_s": probe.get("mb_per_s"),
+        "io_mb_per_s_end": end_probe.get("mb_per_s"),
+        "throttled": bool(
+            slow_start
+            or end_probe.get("mb_per_s", float("inf")) < IO_FLOOR_MBS
+        ),
     }
     print(json.dumps(out))
     spark.stop()
