@@ -301,7 +301,126 @@ def main() -> int:
     ).count()
     assert rbad == 0, f"{rbad} rate windows differ (must be bit-equal)"
     report["dense_rate_served_equals_raw"] = True
+
+    # Round 13: resets()/changes()/irate() served from the v3 ordered
+    # per-bucket state — same dense fleet, bit-equal contract (integer
+    # counters / the same two samples on both paths).
+    for fname in ("resets", "changes", "irate"):
+        feq = parse_extended(f"{fname}(dense[1d])", now=now)
+        assert rollup_serveable(feq, 3600, q0, step, now=now), fname
+        t0 = time.time()
+        fs = evaluate_range_rollup(
+            dstore, dsensors, feq, q0, q1, step, now=now
+        ).select("sensor_id", "t", "value").cache()
+        nfs = fs.count()
+        report[f"dense_{fname}_rollup_served"] = {
+            "sec": round(time.time() - t0, 2), "rows": nfs,
+        }
+        t0 = time.time()
+        fr = evaluate_range(
+            dsensors, dlake.values(SensorType.FLOAT), feq,
+            start=q0, end=q1, step_seconds=step, now=now,
+        ).select("sensor_id", "t", "value").cache()
+        nfr = fr.count()
+        report[f"dense_{fname}_raw"] = {
+            "sec": round(time.time() - t0, 2), "rows": nfr,
+        }
+        fj = fs.alias("s").join(
+            fr.alias("r"), ["sensor_id", "t"], "full"
+        ).select(
+            F.col("s.value").alias("sv"), F.col("r.value").alias("rv")
+        )
+        fbad = fj.filter(
+            F.col("sv").isNull() | F.col("rv").isNull()
+            | (F.col("sv") != F.col("rv"))
+        ).count()
+        assert fbad == 0, f"{fbad} {fname} windows differ"
+        report[f"dense_{fname}_served_equals_raw"] = True
+        fs.unpersist()
+        fr.unpersist()
+
+    # Round 13: OPT-IN approximate quantile vs the exact raw scan on
+    # the same dense fleet — the wall gap is the IO ratio again
+    # (K-sample buckets vs 60 samples/bucket), the value gap is the
+    # sampling error the X-Approx header states (reported, not
+    # asserted: the estimate is approximate BY CONTRACT).
+    from sensapp_spark.query.rollup_serve import (
+        evaluate_range_quantile,
+        quantile_rollup_serveable,
+    )
+    from sensapp_spark.storage.qrollup import QuantileRollupStore
+
+    qstore = QuantileRollupStore(dlake, grain_s=3600)
+    t0 = time.time()
+    qstore.refresh(SensorType.FLOAT)
+    report["dense_quantile_store_rebuild_s"] = round(time.time() - t0, 1)
+    qeq = parse_extended("quantile_over_time(0.95, dense[1d])", now=now)
+    assert quantile_rollup_serveable(qeq, 3600, q0, step, now=now)
+    t0 = time.time()
+    qs = evaluate_range_quantile(
+        qstore, dsensors, qeq, q0, q1, step, now=now
+    ).select("sensor_id", "t", "value").cache()
+    nqs = qs.count()
+    report["dense_quantile_approx_served"] = {
+        "sec": round(time.time() - t0, 2), "rows": nqs,
+    }
+    t0 = time.time()
+    qr = evaluate_range(
+        dsensors, dlake.values(SensorType.FLOAT), qeq,
+        start=q0, end=q1, step_seconds=step, now=now,
+    ).select("sensor_id", "t", "value").cache()
+    nqr = qr.count()
+    report["dense_quantile_exact_raw"] = {
+        "sec": round(time.time() - t0, 2), "rows": nqr,
+    }
+    qj = qs.alias("s").join(
+        qr.alias("r"), ["sensor_id", "t"], "inner"
+    ).select(
+        (F.abs(F.col("s.value") - F.col("r.value"))
+         / F.greatest(F.abs("r.value"), F.lit(1e-12))).alias("relerr")
+    ).agg(
+        F.avg("relerr").alias("mean"), F.max("relerr").alias("max")
+    ).collect()[0]
+    report["dense_quantile_rel_error"] = {
+        "mean": round(float(qj["mean"]), 5),
+        "max": round(float(qj["max"]), 5),
+        "k": QuantileRollupStore.K,
+    }
     shutil.rmtree(DLAKE, ignore_errors=True)
+
+    # Round 13: maintenance-driven schema upgrade cost — a v2-shaped
+    # table (the 16 pre-r13 columns) on the 10× events lake reaches
+    # the current schema through bounded month ticks; each tick's
+    # wall is the cost a scheduler pays per tick.
+    class _V2Store(RollupStore):
+        SCHEMA = (
+            "sensor_id string, bucket timestamp, cnt long, "
+            "vsum double, vmin double, vmax double, "
+            "ecnt long, esum double, emin double, emax double, "
+            "tfirst timestamp, vfirst double, tlast timestamp, "
+            "vlast double, vsum2 double, esum2 double"
+        )
+        SCHEMA_VERSION = 2
+        VALUE_COLS = RollupStore.VALUE_COLS[:16]
+
+    U_LAKE = LAKE + "_upgrade"
+    shutil.rmtree(U_LAKE, ignore_errors=True)
+    ulake = SensorLake(spark, U_LAKE)
+    ulake.append_values(SensorType.FLOAT, ev.repartition(32))
+    _V2Store(ulake, grain_s=3600).refresh(SensorType.FLOAT)
+    ustore = RollupStore(ulake, grain_s=3600)
+    ticks = []
+    while True:
+        t0 = time.time()
+        rep = ustore.upgrade_tick(SensorType.FLOAT, max_months=1)
+        ticks.append(round(time.time() - t0, 2))
+        if rep["remaining"] == 0:
+            break
+    assert ustore.committed_schema(SensorType.FLOAT) == (
+        RollupStore.SCHEMA_VERSION
+    )
+    report["upgrade_v2_to_v3_tick_walls_s"] = ticks
+    shutil.rmtree(U_LAKE, ignore_errors=True)
 
     print(json.dumps(report, indent=2))
     shutil.rmtree(LAKE, ignore_errors=True)

@@ -723,12 +723,13 @@ def quantile_rollup_serveable(
     step_seconds: float,
     now: dt.datetime | None = None,
 ) -> bool:
-    """True iff ``eq`` is a ``quantile_over_time(φ, m[W])`` range
-    evaluation the bottom-k sample rollup can APPROXIMATE: same
-    window-arithmetic gates as :func:`rollup_serveable`, φ within
-    [0, 1] (Prometheus maps outside-φ to ±Inf — that stays on the raw
-    path). The caller must ALSO have the user's explicit ?approx=1 —
-    approximation is never silently substituted."""
+    """True iff ``eq`` is a ``quantile_over_time(φ, m[W])`` or
+    ``mad_over_time(m[W])`` range evaluation the bottom-k sample
+    rollup can APPROXIMATE: same window-arithmetic gates as
+    :func:`rollup_serveable`, φ within [0, 1] (Prometheus maps
+    outside-φ to ±Inf — that stays on the raw path). The caller must
+    ALSO have the user's explicit ?approx=1 — approximation is never
+    silently substituted."""
     if (
         eq is None
         or getattr(eq, "selector", None) is None
@@ -739,9 +740,14 @@ def quantile_rollup_serveable(
         or eq.hist_quantile is not None
         or eq.hist_fraction is not None
         or eq.series_post
-        or eq.func != "quantile_over_time"
-        or eq.func_param is None
-        or not (0.0 <= float(eq.func_param) <= 1.0)
+        or eq.func not in ("quantile_over_time", "mad_over_time")
+        or (
+            eq.func == "quantile_over_time"
+            and (
+                eq.func_param is None
+                or not (0.0 <= float(eq.func_param) <= 1.0)
+            )
+        )
     ):
         return False
     g_us = grain_s * 1_000_000
@@ -771,13 +777,13 @@ def evaluate_range_quantile(
     realtime: bool = True,
     extra: tuple = (),
 ) -> DataFrame:
-    """promql_ext.evaluate_range for ``quantile_over_time``, served
-    APPROXIMATELY from the bottom-k sample rollup
-    (storage/qrollup.py): same output frame, same _finish_range tail,
-    per-window values estimated from the merged deterministic sample
-    (exact when the window holds ≤ K samples). Caller must have
-    checked :func:`quantile_rollup_serveable` AND the user's explicit
-    opt-in."""
+    """promql_ext.evaluate_range for ``quantile_over_time`` /
+    ``mad_over_time``, served APPROXIMATELY from the bottom-k sample
+    rollup (storage/qrollup.py): same output frame, same
+    _finish_range tail, per-window values estimated from the merged
+    deterministic sample (exact when the window holds ≤ K samples).
+    Caller must have checked :func:`quantile_rollup_serveable` AND
+    the user's explicit opt-in."""
     from sensapp_spark.query.promql_ext import _finish_range
     from sensapp_spark.storage.qrollup import quantile_windows
 
@@ -785,13 +791,16 @@ def evaluate_range_quantile(
     off_us = _offset_us(eq, now)
     selected = select_sensors(sensors, q.matchers)
     window_s = (q.end_time - q.start_time).total_seconds()
+    mad = eq.func == "mad_over_time"
     out = None
     for qstore, st in [(store, stype), *extra]:
         win = quantile_windows(
             qstore, st, start, end, step_seconds, window_s,
-            phi=float(eq.func_param), offset_us=off_us,
+            phi=0.5 if mad else float(eq.func_param),
+            offset_us=off_us,
             sensor_ids=selected.select("sensor_id"),
             realtime=realtime,
+            stat="mad" if mad else "quantile",
         )
         out = win if out is None else out.unionByName(win)
     s_us = int(step_seconds * 1_000_000)

@@ -1358,15 +1358,17 @@ def create_app(
                     extra=[(s, t) for s, t, _ in picked[1:]],
                 )
                 return frame, _rollup_tag(picked)
-            # APPROXIMATE quantile serving (round 13): only behind the
-            # user's explicit ?approx=1, only for quantile_over_time,
-            # only when a bottom-k sample rollup (storage/qrollup.py)
-            # is maintained and grain-compatible for EVERY numeric
-            # type with data. The response self-describes via X-Approx
-            # — the exact raw path is never silently substituted.
+            # APPROXIMATE quantile/mad serving (round 13): only
+            # behind the user's explicit ?approx=1, only for
+            # quantile_over_time / mad_over_time, only when a
+            # bottom-k sample rollup (storage/qrollup.py) is
+            # maintained and grain-compatible for EVERY numeric type
+            # with data. The response self-describes via X-Approx —
+            # the exact raw path is never silently substituted.
             if not (
                 approx_on
-                and getattr(seq, "func", None) == "quantile_over_time"
+                and getattr(seq, "func", None)
+                in ("quantile_over_time", "mad_over_time")
             ):
                 return None
             from sensapp_spark.storage.qrollup import QuantileRollupStore
@@ -1392,7 +1394,7 @@ def create_app(
             )
             k = QuantileRollupStore.K
             approx_notes.append(
-                f"quantile_over_time: bottom-k sample (k={k}), rank "
+                f"{seq.func}: bottom-k sample (k={k}), rank "
                 f"error ~ 1/sqrt(k) = {1 / k ** 0.5:.3f}; exact for "
                 f"windows holding <= {k} samples"
             )

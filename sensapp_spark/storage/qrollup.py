@@ -208,13 +208,19 @@ def quantile_windows(
     offset_us: int = 0,
     sensor_ids: DataFrame | None = None,
     realtime: bool = True,
+    stat: str = "quantile",
 ) -> DataFrame:
     """Per-(sensor, step) approximate φ-quantiles over closed windows
     [t_i − offset − W, t_i − offset]: merge the covered buckets'
     bottom-k samples (plus the boundary bucket's edge sample), keep
     the k smallest (h, v) pairs, interpolate. Same alignment contract
     and explode shape as rollup_serve.range_windows — the fan-out is
-    W/grain per bucket over ≤K-element arrays."""
+    W/grain per bucket over ≤K-element arrays.
+
+    ``stat="mad"`` estimates the median absolute deviation instead
+    (median(|v − median|), both medians linearly interpolated over
+    the SAME merged sample — exactly the raw evaluator's
+    mad_over_time formula applied to the sample; φ is ignored)."""
     g_us = store.grain_s * 1_000_000
     r_us = int(window_seconds * 1_000_000)
     s_us = int(step_seconds * 1_000_000)
@@ -279,12 +285,17 @@ def quantile_windows(
         1, store.K,
     )
     vs = F.array_sort(F.transform(F.col("__m"), lambda x: x["v"]))
+    if stat == "mad":
+        med = _interp_quantile(vs, 0.5)
+        dev = F.array_sort(
+            F.transform(vs, lambda x: F.abs(x - med))
+        )
+        value = _interp_quantile(dev, 0.5)
+    else:
+        value = _interp_quantile(vs, phi)
     return (
         full.unionByName(edge)
         .groupBy("sensor_id", "__i")
         .agg(merged.alias("__m"))
-        .select(
-            "sensor_id", "__i",
-            _interp_quantile(vs, phi).alias("value"),
-        )
+        .select("sensor_id", "__i", value.alias("value"))
     )

@@ -62,15 +62,18 @@ def _mk_lake(spark, tmp_path, n_per_hour=7, hours=5):
 
 def test_exact_below_k_matches_raw(spark, tmp_path):
     """Windows holding ≤ K samples keep the WHOLE multiset — the
-    served quantile equals the raw evaluator's F.percentile exactly,
-    boundary samples included."""
+    served quantile (and mad: same sample, same interpolation
+    primitive) equals the raw evaluator exactly, boundary samples
+    included."""
     lake, sensors = _mk_lake(spark, tmp_path)
     store = QuantileRollupStore(lake, grain_s=3600)
     store.refresh(SensorType.FLOAT)
-    for phi in (0.0, 0.25, 0.5, 0.9, 1.0):
-        eq = parse_extended(
-            f"quantile_over_time({phi}, m[2h])", now=NOW
-        )
+    exprs = [
+        f"quantile_over_time({phi}, m[2h])"
+        for phi in (0.0, 0.25, 0.5, 0.9, 1.0)
+    ] + ["mad_over_time(m[2h])"]
+    for expr in exprs:
+        eq = parse_extended(expr, now=NOW)
         assert quantile_rollup_serveable(
             eq, store.grain_s, T0 + dt.timedelta(hours=2), 3600, now=NOW
         )
@@ -87,9 +90,9 @@ def test_exact_below_k_matches_raw(spark, tmp_path):
         )
         s = {(r.sensor_id, str(r.t)): r.value for r in served.collect()}
         w = {(r.sensor_id, str(r.t)): r.value for r in raw.collect()}
-        assert s.keys() == w.keys(), phi
+        assert s.keys() == w.keys(), expr
         for k in w:
-            assert s[k] == pytest.approx(w[k], rel=1e-12), (phi, k)
+            assert s[k] == pytest.approx(w[k], rel=1e-12), (expr, k)
 
 
 def test_truncated_sample_stays_rank_accurate(spark, tmp_path):
@@ -190,6 +193,18 @@ def test_http_route_is_opt_in_and_self_describing(spark, tmp_path):
             + "&approx=1"
         )
         assert wild.headers["X-Served-From"] == "raw"
+        # mad_over_time rides the same sample under the same opt-in.
+        mq = (
+            "/api/v1/query_range?query=mad_over_time(m[1h])"
+            "&start=2024-01-01T02:00:00Z&end=2024-01-01T04:00:00Z"
+            "&step=3600"
+        )
+        mraw = c.get(mq)
+        assert mraw.headers["X-Served-From"] == "raw"
+        mad = c.get(mq + "&approx=1")
+        assert mad.headers["X-Served-From"].endswith("quantile-approx")
+        assert "mad_over_time" in mad.headers["X-Approx"]
+        assert rows(mad) == rows(mraw)
 
 
 def test_maintenance_tick_maintains_quantile_grains(spark, tmp_path):

@@ -286,6 +286,11 @@ def test_instant_serving_equals_raw(served_lake):
         f"rate(m[3h] @ {anchor})",
         f"last_over_time(m[1h] @ {anchor})",
         f"sum by (site) (increase(m[2h] @ {anchor}))",
+        # Round 13: the ordered per-bucket state serves instants too.
+        f"resets(m[3h] @ {anchor})",
+        f"changes(m[2h] @ {anchor})",
+        f"irate(m[3h] @ {anchor})",
+        f"idelta(m[2h] @ {anchor})",
     ]:
         eq = parse_extended(expr, now=NOW)
         assert rollup_serveable_instant(eq, store.grain_s), expr
