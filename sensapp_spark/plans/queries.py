@@ -678,6 +678,19 @@ def downsample_rate_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     # recompute (realtime-tail exactness is pinned by
     # tests/test_rollup_serve.py); keeps the in-entry verification
     # cost bounded (r10 verdict watch item 3).
+    #
+    # Round-13 optimization (guide §2.4): the five served arms fold
+    # from TWO shared window frames instead of three distinct ones —
+    # the scalar arms (served / served_rate / served_stdvar) keep the
+    # scalar-stat frame they already shared, and the two ordered arms
+    # (served_resets / served_irate) now share one {seq, last2} frame
+    # instead of building a pruned pass each. Identical subtrees
+    # dedup at runtime via AQE stage reuse, so one rollup scan +
+    # explode + shuffle serves each GROUP; a single all-stats frame
+    # for all five was measured SLOWER (the collect_list merges ride
+    # every scalar arm's explode — the round-12 payload-pruning
+    # lesson applies to sharing too). The HTTP route still prunes to
+    # a single function's need-set (rollup_serve._needed_stats).
     win = range_windows(
         store, SensorType.FLOAT,
         start=g_start, end=dt.datetime(2024, 1, 12),
@@ -755,21 +768,24 @@ def downsample_rate_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     # _func_value), pinned against DuckDB recomputing resets (lag over
     # (time, value) order) and irate (top-2 by (time, value) desc,
     # counter-reset rule) from the same closed windows over raw rows.
-    from sensapp_spark.query.rollup_serve import (
-        _func_value,
-        _needed_stats,
+    from sensapp_spark.query.rollup_serve import _func_value
+
+    # ONE ordered-stat frame shared by both ordered arms (see the
+    # sharing note above): identical subtrees dedup to a single
+    # executed scan+explode+shuffle at runtime.
+    win_ord = range_windows(
+        store, SensorType.FLOAT,
+        start=g_start, end=dt.datetime(2024, 1, 12),
+        step_seconds=3600, window_seconds=7200, realtime=False,
+        need=frozenset({"seq", "last2", "nrows"}),
     )
 
     def _served_arm(kind, func):
-        win_f = range_windows(
-            store, SensorType.FLOAT,
-            start=g_start, end=dt.datetime(2024, 1, 12),
-            step_seconds=3600, window_seconds=7200, realtime=False,
-            need=_needed_stats(func),
-        )
+        # Fold from the shared ordered frame: same values as a
+        # per-function pruned pass — _func_value reads only its own
+        # stat columns.
         value, keep = _func_value(func)
-        if keep is not None:
-            win_f = win_f.filter(keep)
+        win_f = win_ord if keep is None else win_ord.filter(keep)
         return win_f.select(
             F.lit(kind).alias("kind"),
             F.col("sensor_id").alias("series"),

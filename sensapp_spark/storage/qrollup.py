@@ -93,12 +93,21 @@ class QuantileRollupStore(RollupStore):
         )
         part = Window.partitionBy("sensor_id", "bucket")
         w = part.orderBy("__h", "__v")
-        w_edge = part.orderBy(
-            F.when(F.col("__e"), F.col("__h")).asc_nulls_last(), "__v"
-        )
+        # Edge rank from the SAME (h, v) sort (round-13 optimization:
+        # one Sort instead of two — guide §2.4): the edge sample wants
+        # the bottom-K edge rows by (h, v), and a running conditional
+        # count over the shared ordering ranks edge rows identically
+        # to a dedicated edge-keyed row_number (ties hold identical
+        # (h, v) entries, so any tie permutation selects the same
+        # multiset).
+        run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
         sampled = enriched.withColumn(
             "__rn", F.row_number().over(w)
-        ).withColumn("__re", F.row_number().over(w_edge))
+        ).withColumn(
+            "__re",
+            F.sum(F.when(F.col("__e"), F.lit(1)).otherwise(F.lit(0)))
+            .over(run),
+        )
         entry = F.struct(F.col("__h").alias("h"), F.col("__v").alias("v"))
         return (
             sampled.groupBy("sensor_id", "bucket")

@@ -191,19 +191,35 @@ class RollupStore:
         Schema-3 columns (round 13) need ORDER within the bucket, so
         the plan gains window functions partitioned on the same
         (sensor, bucket) keys the groupBy uses — one exchange, sorted
-        aggregation instead of hash:
+        aggregation instead of hash. Round-13 optimization pass: every
+        ordered stat derives from the SINGLE ordering (time desc,
+        value desc), so the physical plan carries ONE Sort + ONE
+        Window exec instead of the three sorts the first cut paid
+        (guide §2.4 — the sorts were three full passes over the
+        ingest delta at scale):
 
-        * ``__pv`` (lag under (time asc, value asc) — the raw
-          evaluator's resets/changes ordering, promql_ext:1914) feeds
-          the within-bucket ``nresets``/``nchanges`` counters;
+        * ``__pv`` — the previous sample's value under (time asc,
+          value asc), the raw evaluator's resets/changes ordering
+          (promql_ext:1914), obtained as ``lead`` under the desc
+          ordering (desc with NULLS LAST is the exact reverse of asc
+          with NULLS FIRST, and ties carry equal values, so the
+          consecutive value pairs are identical); feeds
+          ``nresets``/``nchanges``;
         * ``__rn`` (row_number under (time desc, value desc) — the raw
           irate/idelta top-2 ordering) marks the bucket's
           second-largest sample ``tprev/vprev``;
-        * ``__re`` ranks EDGE samples by value so ``evprev`` is the
-          second-largest boundary value (edge samples share one
-          instant, so value order IS their (t, v) order);
-        * ``endv`` counts distinct edge values (changes() inside a
-          duplicate-instant boundary group = distinct − 1);
+        * ``evprev`` — the second-largest boundary value. Edge samples
+          all share the bucket's left-boundary instant — the MINIMUM
+          time in the bucket — so under the desc ordering they are
+          exactly the partition's LAST ``__e`` rows, ordered by value
+          desc among themselves: the second-largest edge value sits at
+          ``__rn == __n − __e + 2`` (``__n``/``__e`` are whole-frame
+          counts over the same ordered window, same Window exec);
+        * ``endv`` counts distinct non-null edge values (changes()
+          inside a duplicate-instant boundary group = distinct − 1):
+          equal edge values are ADJACENT under the desc ordering, so
+          it is the run-starts sum — no count_distinct, whose Expand
+          doubles the shuffle;
         * ``nrows``/``enrows`` are raw row counts (count(*)), the
           null-sample-exact empty-window guard — ``cnt`` stays the
           null-ignoring count the value folds read."""
@@ -219,20 +235,45 @@ class RollupStore:
         # repeated timestamps.
         sample = F.struct(F.col("time").alias("t"), val.alias("v"))
         first, last = F.min(sample), F.max(sample)
-        part = Window.partitionBy("sensor_id", self._bucket(F.col("time")))
+        # Materialize the bucket as a REAL column and emit every
+        # window function in ONE select over it: window specs built
+        # from a repeated bucket EXPRESSION get fresh attribute ids
+        # per withColumn, which defeats both window collapsing and
+        # exchange reuse — the first cut of this function planned SIX
+        # Exchange+Sort pairs for what is one partitioning (verified
+        # via explain('formatted'); plans/r13/rollup_aggregate_*.txt).
+        pre = rows.withColumn("__b", self._bucket(F.col("time")))
+        part = Window.partitionBy("sensor_id", "__b")
         w_desc = part.orderBy(F.col("time").desc(), val.desc())
-        w_asc = part.orderBy(F.col("time").asc(), val.asc())
-        w_edge = part.orderBy(F.when(edge, val).desc_nulls_last())
-        enriched = (
-            rows.withColumn("__rn", F.row_number().over(w_desc))
-            .withColumn("__pv", F.lag(val).over(w_asc))
-            .withColumn("__re", F.row_number().over(w_edge))
+        frame = w_desc.rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+        enriched = pre.select(
+            "*",
+            F.row_number().over(w_desc).alias("__rn"),
+            F.lead(val).over(w_desc).alias("__pv"),
+            F.lag(val).over(w_desc).alias("__pvd"),
+            F.lag(edge).over(w_desc).alias("__ped"),
+            F.count(F.lit(1)).over(frame).alias("__n"),
+            F.count(F.when(edge, F.lit(1))).over(frame).alias("__e"),
         )
         pv = F.col("__pv")
+        # A non-null edge value starts a NEW distinct run iff the
+        # previous row (desc order) is not an edge carrying the same
+        # value; edges are the partition tail and equal values are
+        # adjacent, so summing run starts counts distinct values.
+        new_run = (
+            edge
+            & val.isNotNull()
+            & ~(
+                F.coalesce(F.col("__ped"), F.lit(False))
+                & F.col("__pvd").eqNullSafe(val)
+            )
+        )
         prev = F.max(F.when(F.col("__rn") == 2, sample))
         return (
             enriched.groupBy(
-                "sensor_id", self._bucket(F.col("time")).alias("bucket")
+                "sensor_id", F.col("__b").alias("bucket")
             )
             .agg(
                 # Non-null count: a null value is not a sample —
@@ -267,11 +308,18 @@ class RollupStore:
                     F.sum((pv.isNotNull() & (val != pv)).cast("long")),
                     F.lit(0),
                 ).alias("nchanges"),
-                F.count_distinct(F.when(edge, val)).alias("endv"),
+                F.coalesce(
+                    F.sum(new_run.cast("long")), F.lit(0)
+                ).alias("endv"),
                 prev["t"].alias("tprev"),
                 prev["v"].alias("vprev"),
                 F.max(
-                    F.when((F.col("__re") == 2) & edge, val)
+                    F.when(
+                        edge
+                        & (F.col("__rn")
+                           == F.col("__n") - F.col("__e") + 2),
+                        val,
+                    )
                 ).alias("evprev"),
             )
             .withColumn(MONTH_COL, F.date_format("bucket", "yyyy-MM"))
@@ -405,9 +453,21 @@ class RollupStore:
                         )
                         affected_months = None  # everything
                     else:
+                        # ONE probe job for bounds AND affected
+                        # months (round-13 optimization: the two
+                        # collects each re-ran the changes-feed scan;
+                        # month cardinality is tiny, so collect_set
+                        # rides the same aggregation — guide §1.2,
+                        # "don't compute things twice").
                         bounds = delta.agg(
                             F.min("time").alias("lo"),
                             F.max("time").alias("hi"),
+                            F.collect_set(
+                                F.date_format(
+                                    self._bucket(F.col("time")),
+                                    "yyyy-MM",
+                                )
+                            ).alias("months"),
                         ).collect()[0]
                         if bounds["lo"] is None:
                             if next_cur == cursor:
@@ -620,16 +680,10 @@ class RollupStore:
         keys = self._keys(delta)
         recomputed = self._recompute_buckets(stype, keys, bounds)
         # Affected months come from the DELTA (so a bucket whose rows
-        # all vanished still rewrites its month), collected — month
-        # cardinality, tiny.
-        months = sorted({
-            r[0]
-            for r in delta.select(
-                F.date_format(
-                    self._bucket(F.col("time")), "yyyy-MM"
-                )
-            ).distinct().collect()
-        })
+        # all vanished still rewrites its month) — collected by the
+        # caller's single probe job alongside the bounds (month
+        # cardinality, tiny).
+        months = sorted(bounds["months"])
         month_dirs = [f"{MONTH_COL}={m}" for m in months]
         old = self.read(stype).withColumn(
             MONTH_COL, F.date_format("bucket", "yyyy-MM")
