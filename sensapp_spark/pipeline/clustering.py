@@ -167,12 +167,19 @@ def semdedup_pairs(
     EAGER-EVALUATION CONTRACT: fitting the codebook and sizing the
     build side run jobs at call time (same batch-only/deterministic-
     input contract as ``embedding_neardup_pairs``)."""
-    from sensapp_spark.pipeline.similarity import cosine_similarity
+    from sensapp_spark.pipeline.similarity import _dot
 
     cents = kmeans_codebook(embeddings, k, rounds, dim)
+    # Per-vector norm computed ONCE before the quadratic within-cluster
+    # join (round-13, guide §1.2): sqrt(dot(e,e)) is the exact _norm
+    # expression, so dot/(nrm_a·nrm_b) below is the same IEEE op
+    # sequence cosine_similarity ran per pair — bit-equal at a third
+    # of the pair flops.
+    emb_d = F.col("embedding").cast("array<double>")
     av = embeddings.select(
         "vec_id",
-        F.col("embedding").cast("array<double>").alias("emb"),
+        emb_d.alias("emb"),
+        F.sqrt(_dot(emb_d, emb_d)).alias("nrm"),
         assign_expr(F.col("embedding"), cents).alias("cluster"),
     )
     sizes = av.groupBy("cluster").agg(
@@ -206,7 +213,9 @@ def semdedup_pairs(
             F.col("a.vec_id").alias("vec_a"),
             F.col("b.vec_id").alias("vec_b"),
             F.round(
-                cosine_similarity(F.col("a.emb"), F.col("b.emb")), 6
+                _dot(F.col("a.emb"), F.col("b.emb"))
+                / (F.col("a.nrm") * F.col("b.nrm")),
+                6,
             ).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)

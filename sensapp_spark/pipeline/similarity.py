@@ -244,9 +244,18 @@ def _neardup_pairs_one_table(
     dim: int,
     max_bucket: int | None,
 ) -> DataFrame:
+    # Precompute each vector's norm ONCE before the quadratic join
+    # (round-13, guide §1.2 "per-task work"): cosine recomputed both
+    # norms per PAIR, tripling the flops of the O(pairs·d) stage.
+    # sqrt(dot(e,e)) here is the exact expression _norm builds, so
+    # dot/(nrm_a·nrm_b) is the same IEEE op sequence as
+    # cosine_similarity — bit-equal, just evaluated O(n) instead of
+    # O(pairs) times.
+    emb_d = F.col("embedding").cast("array<double>")
     bucketed = embeddings.select(
         "vec_id",
-        F.col("embedding").cast("array<double>").alias("emb"),
+        emb_d.alias("emb"),
+        F.sqrt(_dot(emb_d, emb_d)).alias("nrm"),
         bucket_expr(F.col("embedding"), planes).alias("bucket"),
     )
 
@@ -276,7 +285,9 @@ def _neardup_pairs_one_table(
                 F.col("a.vec_id").alias("vec_a"),
                 F.col("b.vec_id").alias("vec_b"),
                 F.round(
-                    cosine_similarity(F.col("a.emb"), F.col("b.emb")), 6
+                    _dot(F.col("a.emb"), F.col("b.emb"))
+                    / (F.col("a.nrm") * F.col("b.nrm")),
+                    6,
                 ).alias("cosine"),
             )
             .filter(F.col("cosine") >= threshold)
@@ -313,18 +324,21 @@ def _neardup_pairs_one_table(
     )
     sized = bucketed.join(F.broadcast(sizes_local), "bucket")
     small = sized.filter(F.col("sz") <= max_bucket).select(
-        "vec_id", "emb", "bucket"
+        "vec_id", "emb", "nrm", "bucket"
     )
     clique = scored(
         small, sum(r.sz for r in size_rows if r.sz <= max_bucket)
     )
     big = sized.filter(F.col("sz") > max_bucket)
     hubs = big.filter(F.col("vec_id") == F.col("hub")).select(
-        "bucket", F.col("vec_id").alias("vec_a"), F.col("emb").alias("h_emb")
+        "bucket",
+        F.col("vec_id").alias("vec_a"),
+        F.col("emb").alias("h_emb"),
+        F.col("nrm").alias("h_nrm"),
     )
     star = (
         big.filter(F.col("vec_id") != F.col("hub"))
-        .select("bucket", F.col("vec_id").alias("vec_b"), "emb")
+        .select("bucket", F.col("vec_id").alias("vec_b"), "emb", "nrm")
         # hubs is one row per oversized bucket — always tiny; without
         # the hint this planned as a sort-merge join of the big-bucket
         # members.
@@ -333,7 +347,9 @@ def _neardup_pairs_one_table(
             "vec_a",
             "vec_b",
             F.round(
-                cosine_similarity(F.col("h_emb"), F.col("emb")), 6
+                _dot(F.col("h_emb"), F.col("emb"))
+                / (F.col("h_nrm") * F.col("nrm")),
+                6,
             ).alias("cosine"),
         )
         # Deliberately NOT threshold-filtered: see docstring — star
