@@ -647,7 +647,30 @@ def downsample_rate_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
         thin.filter(F.col("event_id") % 20 != 0)
         .drop("event_id").coalesce(4),
     )
-    store.refresh(SensorType.FLOAT)
+    # The second scalar-rollup tick and the quantile store's one-shot
+    # build (defined below, used by the served_quantile arm) are
+    # independent maintenance jobs on DISJOINT tables over the same
+    # committed lake version — overlap them from a driver pool (guide
+    # §2.6) instead of running the quantile build serially after every
+    # served arm's construction. Each store's commit is its own CAS
+    # dir; rows are identical either way.
+    from concurrent.futures import ThreadPoolExecutor
+
+    from sensapp_spark.storage.qrollup import (
+        QuantileRollupStore,
+        quantile_windows,
+    )
+
+    class _QK4(QuantileRollupStore):
+        K = 4
+        _TABLE_SUFFIX = "quantile4_"
+
+    qstore = _QK4(lake, grain_s=3600)
+    with ThreadPoolExecutor(max_workers=2) as _pool:
+        _f1 = _pool.submit(store.refresh, SensorType.FLOAT)
+        _f2 = _pool.submit(qstore.refresh, SensorType.FLOAT)
+        _f1.result()
+        _f2.result()
     cont = store.read(SensorType.FLOAT).select(
         F.lit("continuous").alias("kind"),
         F.col("sensor_id").alias("series"),
@@ -810,17 +833,8 @@ def downsample_rate_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     # logic through the hash gate. The oracle replays the identical
     # algorithm in DuckDB (same md5-prefix hashes — the kmv_cagg
     # precedent) ending in quantile_cont over the same 4-sample set.
-    from sensapp_spark.storage.qrollup import (
-        QuantileRollupStore,
-        quantile_windows,
-    )
-
-    class _QK4(QuantileRollupStore):
-        K = 4
-        _TABLE_SUFFIX = "quantile4_"
-
-    qstore = _QK4(lake, grain_s=3600)
-    qstore.refresh(SensorType.FLOAT)
+    # (_QK4/qstore defined and refreshed above, overlapped with the
+    # second scalar-rollup tick.)
     qwin = quantile_windows(
         qstore, SensorType.FLOAT,
         start=g_start, end=dt.datetime(2024, 1, 12),
@@ -3298,7 +3312,14 @@ def query_all_types_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     from functools import reduce
 
     lake.upsert_sensors(reduce(lambda a, b: a.unionByName(b), sensor_frames))
-    for stype, expr in value_exprs.items():
+
+    # The four typed appends are independent write jobs into disjoint
+    # tables — overlap them from a driver pool (guide §2.6) so each
+    # job's task tail back-fills the others' executors: 7.2 s -> 4.4 s
+    # cold (1.5 s warm) measured at sf0.1. Written rows are identical;
+    # the PG reference runs its per-type queries concurrently too.
+    def _append_typed(item):
+        stype, expr = item
         # coalesce(8): the thinned per-type frame is small, and a
         # 32-task write per type is pure scheduler overhead here; real
         # ingest sizes its writers from the micro-batch, not this demo.
@@ -3312,6 +3333,11 @@ def query_all_types_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
                 expr.alias("value"),
             ).coalesce(8),
         )
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        list(pool.map(_append_typed, value_exprs.items()))
 
     matchers = [LabelMatcher("et", "click", MatcherType.EQUAL)]
     res = query_all_types(lake, matchers, start=T_START, end=T_END)
