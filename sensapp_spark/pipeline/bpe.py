@@ -117,11 +117,54 @@ def word_freq(docs: DataFrame) -> DataFrame:
     )
 
 
+def _train_bpe_local(
+    rows: list, num_merges: int
+) -> tuple[list[tuple[str, str, int]], list[tuple[str, int, str]]]:
+    """The per-round merge loop on the DRIVER, bit-for-bit the
+    distributed rounds' semantics (round-13, the union-find gate
+    precedent): pair counts are exact integer sums, the winner is
+    (count desc, a asc, b asc) — Python's code-point string order
+    equals Spark's UTF-8 binary order — and merge application is the
+    same PASSES literal non-overlapping left-to-right replaces.
+    Returns (merges, [(word, freq, sym), ...] after all merges)."""
+    words = [(r[0], int(r[1]), r[2]) for r in rows]
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(num_merges):
+        counts: dict = {}
+        for _w, freq, sym in words:
+            s = sym.split(SEP)
+            # Mirrors transform(sequence(2, n-2)) over the 1-indexed
+            # framed split (leading/trailing empties at 1 and n).
+            for j in range(1, len(s) - 2):
+                key = (s[j], s[j + 1])
+                counts[key] = counts.get(key, 0) + freq
+        if not counts:
+            break
+        (a, b), cnt = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        if cnt < 2:
+            break
+        merges.append((a, b, cnt))
+        pat, rep = f"{SEP}{a}{SEP}{b}{SEP}", f"{SEP}{a}{b}{SEP}"
+        words = [
+            (w, f, _apply_passes(sym, pat, rep)) for w, f, sym in words
+        ]
+    return merges, words
+
+
+def _apply_passes(sym: str, pat: str, rep: str) -> str:
+    for _ in range(PASSES):
+        sym = sym.replace(pat, rep)
+    return sym
+
+
 def train_bpe(
     docs: DataFrame,
     num_merges: int = 16,
     checkpoint_every: int = 8,
     table_partitions: int | None = None,
+    driver_threshold: int = 200_000,
 ) -> BpeModel:
     """Learn ``num_merges`` merges from the corpus. Driver traffic is
     ONE row per round (the winning pair); each round's pair count is a
@@ -145,6 +188,28 @@ def train_bpe(
     if table_partitions is not None:
         w = w.coalesce(table_partitions)
     w = w.localCheckpoint(eager=True)
+    # Driver-local gate (round-13): below ``driver_threshold``
+    # vocabulary rows, the ~num_merges sequential round JOBS are pure
+    # scheduler/plan overhead on a table this compact — collect the
+    # checkpointed (word, freq, sym) rows once and run the identical
+    # merge loop in-process (tie-breaks and replaces bit-equal, see
+    # ``_train_bpe_local``; pinned by the local==distributed parity
+    # test). The distributed rounds below stay the path for real
+    # web-corpus vocabularies, exactly like neardup_components'
+    # union-find gate. The trained word table returns as a LOCAL
+    # relation, which downstream encode joins broadcast for free.
+    if num_merges > 0 and w.count() <= driver_threshold:
+        spark = docs.sparkSession
+        rows = [(r["word"], r["freq"], r["sym"]) for r in w.collect()]
+        merges_l, words_l = _train_bpe_local(rows, num_merges)
+        words_df = spark.createDataFrame(
+            [
+                (wd, fq, sym, sym.count(SEP) - 1)
+                for wd, fq, sym in words_l
+            ],
+            "word string, freq long, sym string, n_tokens long",
+        )
+        return BpeModel(merges=merges_l, words=words_df)
     merges: list[tuple[str, str, int]] = []
     for rnd in range(num_merges):
         syms = F.split(F.col("sym"), SEP)

@@ -159,3 +159,23 @@ def test_registry_arms_agree_with_library(spark):
         (r.doc_id, r.term, r.score) for r in merges.orderBy("doc_id").collect()
     ] == [(i, f"{a} {b}", float(c)) for i, (a, b, c) in enumerate(lib.merges)]
     assert blen.count() == docs.count()
+
+
+def test_driver_local_gate_matches_distributed_rounds(spark):
+    """Round-13: below ``driver_threshold`` training runs the merge
+    loop on the driver. Pin local == distributed bit-for-bit — merges
+    (incl. win counts), final symbol strings, and token counts — on a
+    corpus with non-ASCII symbols and tie-heavy pairs."""
+    docs = _docs(spark, CORPUS + ["aaaaa aaaaa aa", "tie tie toe toe"])
+    local = train_bpe(docs, num_merges=12, table_partitions=1)
+    dist = train_bpe(
+        docs, num_merges=12, table_partitions=1, driver_threshold=0
+    )
+    assert local.merges == dist.merges
+    l_rows = {
+        r.word: (r.freq, r.sym, r.n_tokens) for r in local.words.collect()
+    }
+    d_rows = {
+        r.word: (r.freq, r.sym, r.n_tokens) for r in dist.words.collect()
+    }
+    assert l_rows == d_rows
