@@ -29,7 +29,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from sensapp_spark.pipeline.similarity import cosine_similarity
 
 KMEANS_K = 8
 KMEANS_ROUNDS = 2  # assignment rounds; updates run between them
@@ -37,18 +36,12 @@ KMEANS_ROUNDS = 2  # assignment rounds; updates run between them
 
 def assign_expr(vec, centroids: list[tuple[int, list[float]]]) -> F.Column:
     """Nearest-centroid-by-cosine cluster id as one JVM expression
-    (round-6 cosine, smallest-id tie-break)."""
-    entries = []
-    for cid, cvec in centroids:
-        c = F.array(*[F.lit(float(x)) for x in cvec])
-        entries.append(
-            F.struct(
-                F.round(cosine_similarity(vec, c), 6).alias("c"),
-                F.lit(-cid).alias("n"),
-            )
-        )
-    best = F.array_max(F.array(*entries))
-    return (-best["n"]).cast("int")
+    (round-6 cosine, smallest-id tie-break). Built as a transform
+    walk of one nested-array literal (round-13, bit-equal — see
+    ``similarity._assign_best``) instead of k unrolled cosine trees."""
+    from sensapp_spark.pipeline.similarity import _assign_best
+
+    return (-_assign_best(vec, centroids)["n"]).cast("int")
 
 
 def init_centroids(

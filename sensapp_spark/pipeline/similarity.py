@@ -507,22 +507,44 @@ def ivf_assign(
     ``assign_cos`` — the quantization-fit signal the index store's
     drift tracking aggregates (storage/ann.py); it costs nothing extra
     (the struct already carries it)."""
-    entries = []
-    for cid, vec in centroids:
-        c = F.array(*[F.lit(x) for x in vec])
-        entries.append(
-            F.struct(
-                F.round(
-                    cosine_similarity(F.col("embedding"), c), 6
-                ).alias("c"),
-                F.lit(-cid).alias("n"),
-            )
-        )
-    best = F.array_max(F.array(*entries))
+    best = _assign_best(F.col("embedding"), centroids)
     out = embeddings.withColumn("centroid_id", (-best["n"]).cast("int"))
     if keep_score:
         out = out.withColumn("assign_cos", best["c"])
     return out
+
+
+def _assign_best(vec, centroids: list[tuple[int, list[float]]]) -> F.Column:
+    """array_max over per-centroid (cosine, -cid) structs, built as a
+    ``transform`` walk of ONE nested-array literal instead of per-
+    centroid unrolled expression trees (round-13; the pq module's
+    measured lesson — the unrolled form costs k× the Catalyst
+    analysis/optimization work and bloats codegen). Values are
+    bit-equal to the unrolled form: the per-pair math is the same
+    dot/(|e|·|c|) with round-6, |e| computed from the same _dot fold,
+    and the centroid norms enter as LITERALS computed by the identical
+    left-to-right IEEE fold in Python (the pq_topk query-LUT
+    precedent). Ties still break to the smallest centroid id via the
+    struct's (c, n=-cid) ordering."""
+    import math
+
+    cvecs = F.lit([[float(x) for x in cv] for _, cv in centroids])
+    cids = F.lit([int(cid) for cid, _ in centroids])
+    cnorms = F.lit([
+        math.sqrt(sum(float(x) * float(x) for x in cv))
+        for _, cv in centroids
+    ])
+    nrm = F.sqrt(_dot(vec, vec))
+    entries = F.transform(
+        cvecs,
+        lambda c, i: F.struct(
+            F.round(
+                _dot(vec, c) / (nrm * F.element_at(cnorms, i + 1)), 6
+            ).alias("c"),
+            (-F.element_at(cids, i + 1)).alias("n"),
+        ),
+    )
+    return F.array_max(entries)
 
 
 def ivf_probes(
