@@ -12,6 +12,7 @@ timestamps are µs on both sides (see plans/testdata.py).
 from __future__ import annotations
 
 import datetime as dt
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -111,6 +112,23 @@ def _union_tagged(parts: list[tuple[str, DataFrame]], tag_col: str) -> DataFrame
         df.select(F.lit(tag).alias(tag_col), "*") for tag, df in parts
     ]
     return reduce(lambda a, b: a.unionByName(b), tagged)
+
+
+def _operand_cache() -> dict | None:
+    """One PromQL operand memo per ENTRY CONSTRUCTION (round 14, guide
+    §2.4/§3.3): the tagged-union entries evaluate several expressions
+    whose operands repeat (rate(click[31d]) appears in all 7
+    binary_ratio cases); a shared dict lets the evaluator build each
+    canonically-equal per-series vector once and localCheckpoint it, so
+    union branches stop re-executing the sample scan + reduction (AQE's
+    stage cache does not reuse canonically-equal exchanges across union
+    branches — measured round 13). The dict never outlives one entry
+    call, so every bench/oracle invocation still computes from parquet.
+    SENSAPP_PROMQL_SHARE=0 disables sharing (same-session A/B lever;
+    results are identical either way)."""
+    return (
+        {} if os.environ.get("SENSAPP_PROMQL_SHARE", "1") != "0" else None
+    )
 
 
 @register(
@@ -1051,9 +1069,12 @@ def promql_ext_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bucket",
         ),
     ]
+    cache = _operand_cache()
     parts = []
     for tag, expr, key_col in cases:
-        out = evaluate_extended(sensors, vals, parse_extended(expr, now=now))
+        out = evaluate_extended(
+            sensors, vals, parse_extended(expr, now=now), cache
+        )
         parts.append(
             (
                 tag,
@@ -1157,9 +1178,12 @@ def promql_ext_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             None,
         ),
     ]
+    cache = _operand_cache()
     parts = []
     for tag, expr, key_col in cases:
-        out = evaluate_extended(sensors, vals, parse_extended(expr, now=now))
+        out = evaluate_extended(
+            sensors, vals, parse_extended(expr, now=now), cache
+        )
         key = (
             F.col(key_col).cast("string")
             if key_col is not None
@@ -1489,10 +1513,11 @@ def promql_ext_binary_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     from sensapp_spark.query.promql_ext import _labels_without
 
+    cache = _operand_cache()
     parts = []
     for tag, expr in cases:
         out = evaluate_binary(
-            sensors, vals, parse_extended_expr(expr, now=now)
+            sensors, vals, parse_extended_expr(expr, now=now), cache
         )
         if "labels" in out.columns and dict(out.dtypes)["labels"] != "string":
             # The vector∘scalar path keeps the series shape (labels
@@ -1659,6 +1684,13 @@ def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     hist = joined.groupBy("name", bucket.alias("bucket")).agg(
         F.count("*").alias("n")
     )
+    cache = _operand_cache()
+    if cache is not None:
+        # The hist and quantile arms both consume this metrics×buckets
+        # frame; a lazy localCheckpoint makes the sample scan + groupBy
+        # run once instead of once per union branch (guide §2.4 — AQE
+        # does not reuse canonically-equal exchanges across branches).
+        hist = hist.localCheckpoint(eager=False)
     wcum = Window.partitionBy("name").orderBy("bucket")
     cum = hist.withColumn("c", F.sum("n").over(wcum)).withColumn(
         "total", F.sum("n").over(Window.partitionBy("name"))
@@ -1712,6 +1744,7 @@ def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             bsensors, bvals,
             parse_extended(f"histogram_quantile({phi}, click_bucket)",
                            now=now),
+            cache,
         ).select(
             F.lit("prom_le").alias("scope"),
             F.col("labels").alias("name"),
@@ -1732,6 +1765,7 @@ def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         parse_extended(
             "histogram_fraction(-0.5, 0.25, click_bucket)", now=now
         ),
+        cache,
     ).select(
         F.lit("prom_frac").alias("scope"),
         F.col("labels").alias("name"),
@@ -1983,6 +2017,13 @@ def promql_ext_range_query(spark: SparkSession, sf_dir: str) -> DataFrame:
             value.alias("value"),
         )
 
+    # NOTE (round 14): sharing rate(click[2d]) between this arm and the
+    # binary arm via the range-path operand cache was MEASURED SLOWER
+    # at sf0.1 (4-round interleaved A/B: med 5.64 → 7.18 s; the eager
+    # Catalyst planning of each checkpointed range subtree costs more
+    # than the one saved re-execution here) — so this entry stays on
+    # the unshared path. The cache plumbing remains available to
+    # callers whose range operands repeat more than once.
     rate = evaluate_range(
         sensors, vals, parse_extended("rate(click[2d])", now=now),
         start=dt.datetime(2024, 1, 5), end=dt.datetime(2024, 1, 25),
@@ -2530,17 +2571,18 @@ _W31 = """v.time >= TIMESTAMP '2024-01-01'
           AND v.time <= TIMESTAMP '2024-02-01'"""
 
 
-def _ext(spark, sf_dir, expr, now=dt.datetime(2024, 2, 1)):
+def _ext(spark, sf_dir, expr, now=dt.datetime(2024, 2, 1), cache=None):
     from sensapp_spark.query.promql_ext import evaluate_extended, parse_extended
 
     return evaluate_extended(
         td.events_sensors(spark, sf_dir),
         td.events_values(spark, sf_dir),
         parse_extended(expr, now=now),
+        cache,
     )
 
 
-def _ext_bin(spark, sf_dir, expr, now=dt.datetime(2024, 2, 1)):
+def _ext_bin(spark, sf_dir, expr, now=dt.datetime(2024, 2, 1), cache=None):
     from sensapp_spark.query.promql_ext import (
         evaluate_binary,
         parse_extended_expr,
@@ -2550,6 +2592,7 @@ def _ext_bin(spark, sf_dir, expr, now=dt.datetime(2024, 2, 1)):
         td.events_sensors(spark, sf_dir),
         td.events_values(spark, sf_dir),
         parse_extended_expr(expr, now=now),
+        cache,
     )
 
 
@@ -2746,10 +2789,11 @@ def promql_ext_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
             'last_over_time(click{region="r2"}[31d])',
         ),
     ]
+    cache = _operand_cache()
     parts = [
         (
             tag,
-            _ext_bin(spark, sf_dir, expr).select(
+            _ext_bin(spark, sf_dir, expr, cache=cache).select(
                 "sensor_id", F.round("value", 6).alias("value")
             ),
         )
@@ -2784,11 +2828,12 @@ def promql_ext_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``avg_over_time(purchase[31d]) > bool 50`` (keep all series, 0/1
     value) and ``… > 50`` (Prometheus default: filter, values
     unchanged)."""
+    cache = _operand_cache()
     gt_bool = _ext_bin(
-        spark, sf_dir, "avg_over_time(purchase[31d]) > bool 50"
+        spark, sf_dir, "avg_over_time(purchase[31d]) > bool 50", cache=cache
     ).select("sensor_id", "value")
     filter_gt = _ext_bin(
-        spark, sf_dir, "avg_over_time(purchase[31d]) > 50"
+        spark, sf_dir, "avg_over_time(purchase[31d]) > 50", cache=cache
     ).select("sensor_id", F.round("value", 6).alias("value"))
     return _union_tagged(
         [("gt_bool", gt_bool), ("filter_gt", filter_gt)], "op"

@@ -46,6 +46,16 @@ def ensure_session_confs(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
 
+# Lazy-PLAN memo for the events fact table (round 14, guide §5 — the
+# driver should do almost no data work): ``spark.read.parquet`` pays a
+# driver-side reader init (file listing + footer schema read) on every
+# call, and the tagged-union entries call the loaders once per case.
+# Only the unexecuted DataFrame (the plan) is memoized — no rows, no
+# materialized state — so every bench/oracle invocation still computes
+# from the parquet inputs.
+_EVENTS_PLAN: dict[tuple[int, str], DataFrame] = {}
+
+
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Load the events fact table, normalizing ``ts`` to a µs timestamp.
 
@@ -54,6 +64,10 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     testdata stores µs TIMESTAMP directly. Handle both: if ``ts`` arrives
     as a long, it is ns — integer-DIV to µs (a double division would round
     at ~256 ns granularity for 2024 epochs, 53-bit mantissa < 1.7e18)."""
+    key = (id(spark), sf_dir)
+    cached = _EVENTS_PLAN.get(key)
+    if cached is not None:
+        return cached
     ensure_session_confs(spark)
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     if dict(ev.dtypes)["ts"] == "bigint":
@@ -64,6 +78,7 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         # so the wall clock is preserved) for the epoch-arithmetic
         # operators downstream.
         ev = ev.withColumn("ts", F.col("ts").cast("timestamp"))
+    _EVENTS_PLAN[key] = ev
     return ev
 
 

@@ -2082,14 +2082,25 @@ def _per_series_agg(
 
 
 def evaluate_extended(
-    sensors: DataFrame, values: DataFrame, eq: ExtendedQuery
+    sensors: DataFrame,
+    values: DataFrame,
+    eq: ExtendedQuery,
+    cache: dict | None = None,
 ) -> DataFrame:
     """Evaluate to an instant vector: ``(sensor_id, name, labels, value)``
     — or, aggregated, one row per ``by``-group: ``(*by, value)``.
     ``sort()``/``sort_desc()`` order the final frame by value (the
     result is dashboard-sized — series or groups, never samples — so
-    the global sort is presentation cost, not a scale hazard)."""
-    out = _evaluate_extended_core(sensors, values, eq)
+    the global sort is presentation cost, not a scale hazard).
+
+    ``cache`` (optional) is a per-construction operand memo: callers
+    evaluating SEVERAL expressions over the same (sensors, values) —
+    the tagged-union registry entries, a dashboard batch — pass one
+    dict so canonically-equal per-series vectors are computed once and
+    shared (see _evaluate_extended_core). It must never outlive one
+    logical query/request: sharing across requests would serve stale
+    data after an ingest commit."""
+    out = _evaluate_extended_core(sensors, values, eq, cache)
     if eq.sort is not None:
         if eq.sort_labels:
             # sort_by_label(_desc): lexicographic on each given label's
@@ -2180,7 +2191,10 @@ def _const_vector(spark, eq: ExtendedQuery) -> DataFrame:
 
 
 def _evaluate_extended_core(
-    sensors: DataFrame, values: DataFrame, eq: ExtendedQuery
+    sensors: DataFrame,
+    values: DataFrame,
+    eq: ExtendedQuery,
+    cache: dict | None = None,
 ) -> DataFrame:
     if eq.const is not None:
         return _const_vector(sensors.sparkSession, eq)
@@ -2199,7 +2213,8 @@ def _evaluate_extended_core(
         vec = evaluate_extended(
             sensors,
             values,
-            dataclasses.replace(
+            cache=cache,
+            eq=dataclasses.replace(
                 eq,
                 hist_quantile=None,
                 hist_fraction=None,
@@ -2251,19 +2266,41 @@ def _evaluate_extended_core(
         # the (parse-rejected) enclosing aggregation never applies.
         return _apply_post(out, eq.post)
     q = eq.selector
-    selected = select_sensors(sensors, q.matchers)
-    scan = values.join(F.broadcast(selected.select("sensor_id")), "sensor_id",
-                       "leftsemi")
-    scan = time_range(scan, q.start_time, q.end_time)
+    # Operand sharing (round 14, guide §2.4/§3.3): within ONE evaluation
+    # context (``cache`` dict scoped to a single query construction —
+    # never across calls), canonically-equal per-series vectors are
+    # built once and MATERIALIZED via a lazy localCheckpoint. A tagged
+    # union whose cases repeat an operand (rate(click[31d]) appears in
+    # all 7 binary_ratio cases) otherwise re-executes the sample scan +
+    # per-series reduction per branch: AQE's stage cache does not reuse
+    # canonically-equal exchanges across union branches (measured in
+    # round 13: 97 jobs/2179 tasks vs 16/789 with static ReuseExchange).
+    # The checkpointed frame is SERIES-sized (post-reduction) — the
+    # only shape that is sane to persist at 100 TB; raw scans are never
+    # cached. The key excludes every post-reduction field (agg/by/post/
+    # sort/…) — those are re-applied per consumer below.
+    key = ("series", repr(q), eq.func, repr(eq.func_param))
+    out = cache.get(key) if cache is not None else None
+    if out is None:
+        selected = select_sensors(sensors, q.matchers)
+        scan = values.join(
+            F.broadcast(selected.select("sensor_id")), "sensor_id",
+            "leftsemi",
+        )
+        scan = time_range(scan, q.start_time, q.end_time)
 
-    eval_us = (
-        F.lit(_epoch_us(q.end_time)) if q.end_time is not None else None
-    )
-    per_series = _per_series_agg(scan, eq, eval_us=eval_us)
+        eval_us = (
+            F.lit(_epoch_us(q.end_time)) if q.end_time is not None else None
+        )
+        per_series = _per_series_agg(scan, eq, eval_us=eval_us)
 
-    out = per_series.join(
-        F.broadcast(selected.select("sensor_id", "name", "labels")), "sensor_id"
-    )
+        out = per_series.join(
+            F.broadcast(selected.select("sensor_id", "name", "labels")),
+            "sensor_id",
+        )
+        if cache is not None:
+            out = out.localCheckpoint(eager=False)
+            cache[key] = out
     if eq.label_ops:
         out = _apply_label_ops(out, eq.label_ops)
     if eq.series_post:
@@ -2795,6 +2832,7 @@ def evaluate_range(
     end: dt.datetime,
     step_seconds: float,
     now: dt.datetime | None = None,
+    cache: dict | None = None,
 ) -> DataFrame:
     """Prometheus range query: evaluate ``eq`` at every step in
     [start, end] (the matrix selector's range — or the 1 h instant
@@ -2890,39 +2928,59 @@ def evaluate_range(
         // s_us
     )
 
-    selected = select_sensors(sensors, q.matchers)
-    scan = values.join(
-        F.broadcast(selected.select("sensor_id")), "sensor_id", "leftsemi"
+    # Range-path operand memo — the range analogue of the instant
+    # path's series-vector sharing (see _evaluate_extended_core): the
+    # per-(series, step) frame for an identical (selector, func, grid)
+    # is built once per construction context and localCheckpoint'd, so
+    # e.g. a range entry evaluating rate(click[2d]) both standalone and
+    # as a binary operand runs the sample explode + reduction once.
+    key = (
+        "range", repr(q), eq.func, repr(eq.func_param),
+        start_us, s_us, n_steps, off_us, r_us,
     )
-    scan = time_range(scan, start - lookback - offset, end - offset)
+    out = cache.get(key) if cache is not None else None
+    if out is None:
+        selected = select_sensors(sensors, q.matchers)
+        scan = values.join(
+            F.broadcast(selected.select("sensor_id")), "sensor_id",
+            "leftsemi",
+        )
+        scan = time_range(scan, start - lookback - offset, end - offset)
 
-    tau = F.unix_micros("time") + F.lit(off_us)
-    idx0 = F.greatest(
-        F.lit(0), -F.floor((tau - F.lit(start_us)) / -s_us).cast("long")
-    )  # ceil((tau-start)/S) via negated floor — stays integral
-    idx1 = F.least(
-        F.lit(n_steps),
-        F.floor((tau + F.lit(r_us) - F.lit(start_us)) / s_us).cast("long"),
-    )
-    # sequence() counts DOWNWARD for idx0 > idx1 (a sample falling
-    # between two step windows has an empty step set) — filter before
-    # the explode.
-    exploded = scan.filter(idx0 <= idx1).withColumn(
-        "__i", F.explode(F.sequence(idx0, idx1))
-    )
+        tau = F.unix_micros("time") + F.lit(off_us)
+        idx0 = F.greatest(
+            F.lit(0), -F.floor((tau - F.lit(start_us)) / -s_us).cast("long")
+        )  # ceil((tau-start)/S) via negated floor — stays integral
+        idx1 = F.least(
+            F.lit(n_steps),
+            F.floor(
+                (tau + F.lit(r_us) - F.lit(start_us)) / s_us
+            ).cast("long"),
+        )
+        # sequence() counts DOWNWARD for idx0 > idx1 (a sample falling
+        # between two step windows has an empty step set) — filter
+        # before the explode.
+        exploded = scan.filter(idx0 <= idx1).withColumn(
+            "__i", F.explode(F.sequence(idx0, idx1))
+        )
 
-    step_eval_us = (F.lit(start_us) + F.col("__i") * F.lit(s_us)).cast("long")
-    per_step = _per_series_agg(
-        exploded, eq, keys=("sensor_id", "__i"), eval_us=step_eval_us
-    )
+        step_eval_us = (
+            F.lit(start_us) + F.col("__i") * F.lit(s_us)
+        ).cast("long")
+        per_step = _per_series_agg(
+            exploded, eq, keys=("sensor_id", "__i"), eval_us=step_eval_us
+        )
+
+        out = per_step.join(
+            F.broadcast(selected.select("sensor_id", "name", "labels")),
+            "sensor_id",
+        )
+        if cache is not None:
+            out = out.localCheckpoint(eager=False)
+            cache[key] = out
     t_col = F.timestamp_micros(
         (F.lit(start_us) + F.col("__i") * s_us).cast("long")
     ).alias("t")
-
-    out = per_step.join(
-        F.broadcast(selected.select("sensor_id", "name", "labels")),
-        "sensor_id",
-    )
     return _finish_range(out, eq, t_col)
 
 
@@ -3262,7 +3320,10 @@ def _matching_key(on: list[str], ignoring: list[str]) -> F.Column:
 
 
 def evaluate_binary(
-    sensors: DataFrame, values: DataFrame, bq: BinaryQuery
+    sensors: DataFrame,
+    values: DataFrame,
+    bq: BinaryQuery,
+    cache: dict | None = None,
 ) -> DataFrame:
     """Evaluate one arithmetic operation between two instant vectors
     with one-to-one matching, or between a vector and a scalar.
@@ -3370,8 +3431,8 @@ def evaluate_binary(
         shape: map labels) or a nested BinaryQuery (one-to-one
         arithmetic results carry a CANONICAL LABEL STRING instead)."""
         if isinstance(side, BinaryQuery):
-            return evaluate_binary(sensors, values, side)
-        return evaluate_extended(sensors, values, side)
+            return evaluate_binary(sensors, values, side, cache)
+        return evaluate_extended(sensors, values, side, cache)
 
     def _key_for(frame: DataFrame) -> F.Column:
         """The matching key for one operand frame. A string-labeled
@@ -3452,7 +3513,7 @@ def evaluate_binary(
             # result broadcasts onto the vector side (the same
             # broadcast-literal nested-loop shape as the engine's other
             # one-row scalars — bounded by construction).
-            reduced = evaluate_extended(sensors, values, sc.eq).agg(
+            reduced = evaluate_extended(sensors, values, sc.eq, cache).agg(
                 F.count("*").alias("__n"),
                 F.first("value").alias("__v"),
             ).select(
@@ -3478,7 +3539,7 @@ def evaluate_binary(
         return out.select(*cols, res.alias("value"))
 
     if bq.group_mode is not None:
-        return _evaluate_group_binary(sensors, values, bq, apply)
+        return _evaluate_group_binary(sensors, values, bq, apply, cache)
 
     for side_eq in (bq.left, bq.right):
         if (
@@ -3532,6 +3593,7 @@ def evaluate_range_binary(
     step_seconds: float,
     now: dt.datetime | None = None,
     side_eval=None,
+    cache: dict | None = None,
 ) -> DataFrame:
     """Range-query binary operations (round 11) — the Grafana ratio
     panel: evaluate both operands at every step, then apply the
@@ -3555,7 +3617,7 @@ def evaluate_range_binary(
             return evaluate_range(
                 sensors, values, eq,
                 start=start, end=end, step_seconds=step_seconds,
-                now=now,
+                now=now, cache=cache,
             )
 
     for side_eq in (bq.left, bq.right):
@@ -3592,7 +3654,7 @@ def evaluate_range_binary(
         if isinstance(side, BinaryQuery):
             return evaluate_range_binary(
                 sensors, values, side, start, end, step_seconds,
-                now=now, side_eval=side_eval,
+                now=now, side_eval=side_eval, cache=cache,
             )
         if getattr(side, "const", None) is not None:
             # Constant-vector operand ('x or vector(0)'): evaluated
@@ -3767,7 +3829,11 @@ def evaluate_range_binary(
 
 
 def _evaluate_group_binary(
-    sensors: DataFrame, values: DataFrame, bq: BinaryQuery, apply
+    sensors: DataFrame,
+    values: DataFrame,
+    bq: BinaryQuery,
+    apply,
+    cache: dict | None = None,
 ) -> DataFrame:
     """Many-to-one vector matching (``group_left``/``group_right``) —
     the real-dashboard join the one-to-one path can't express: each
@@ -3794,8 +3860,8 @@ def _evaluate_group_binary(
     many_eq = bq.left if bq.group_mode == "left" else bq.right
     one_eq = bq.right if bq.group_mode == "left" else bq.left
     one_aggregated = _validate_group_shapes(bq)
-    many = evaluate_extended(sensors, values, many_eq)
-    one = evaluate_extended(sensors, values, one_eq)
+    many = evaluate_extended(sensors, values, many_eq, cache)
+    one = evaluate_extended(sensors, values, one_eq, cache)
     return _group_join(many, one, bq, apply, one_aggregated)
 
 

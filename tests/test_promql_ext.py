@@ -597,3 +597,102 @@ def test_mad_over_time(spark):
         sensors, values2,
         parse_extended("mad_over_time(m[2h])", NOW)).collect()
     assert out2[0].value == pytest.approx(1.5)
+
+
+# -- operand cache (round 14) -------------------------------------------------
+
+def _cache_fixture_frames(spark):
+    sensors = spark.createDataFrame(
+        [("c/1", "click", "Float", None, None, {"user": "1"}),
+         ("c/2", "click", "Float", None, None, {"user": "2"}),
+         ("v/1", "view", "Float", None, None, {"user": "1"}),
+         ("v/2", "view", "Float", None, None, {"user": "2"})],
+        "sensor_id string, name string, type string, unit string, "
+        "unit_description string, labels map<string,string>",
+    )
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    for sid, base in (("c/1", 1.0), ("c/2", 2.0), ("v/1", 3.0), ("v/2", 4.0)):
+        for i in range(6):
+            rows.append((sid, t0 + dt.timedelta(hours=6 * i), base + 0.5 * i))
+    values = spark.createDataFrame(
+        rows, "sensor_id string, time timestamp, value double"
+    )
+    return sensors, values
+
+
+def test_operand_cache_shares_series_vector(spark):
+    """One cache dict per construction: canonically-equal operands are
+    evaluated once (the dict holds ONE frame per distinct key) and every
+    consumer sees values identical to the uncached path."""
+    sensors, values = _cache_fixture_frames(spark)
+    exprs = [
+        "rate(click[31d]) / rate(view[31d])",
+        "rate(click[31d]) / scalar(sum(rate(view[31d])))",
+        "(rate(click[31d]) / rate(view[31d])) > 0",
+    ]
+    cache: dict = {}
+    shared = [
+        sorted(
+            evaluate_binary(
+                sensors, values, parse_extended_expr(e, now=NOW), cache
+            ).collect()
+        )
+        for e in exprs
+    ]
+    plain = [
+        sorted(
+            evaluate_binary(
+                sensors, values, parse_extended_expr(e, now=NOW)
+            ).collect()
+        )
+        for e in exprs
+    ]
+    assert shared == plain
+    # rate(click) + rate(view) — exactly two distinct series vectors.
+    assert len(cache) == 2
+    assert all(k[0] == "series" for k in cache)
+
+
+def test_operand_cache_distinguishes_func_and_selector(spark):
+    """The memo key must separate different funcs over one selector and
+    one func over different selectors — a collision would silently serve
+    the wrong vector."""
+    sensors, values = _cache_fixture_frames(spark)
+    cache: dict = {}
+    r = evaluate_extended(
+        sensors, values, parse_extended("rate(click[31d])", NOW), cache
+    ).collect()
+    inc = evaluate_extended(
+        sensors, values, parse_extended("increase(click[31d])", NOW), cache
+    ).collect()
+    other = evaluate_extended(
+        sensors, values, parse_extended("rate(view[31d])", NOW), cache
+    ).collect()
+    assert len(cache) == 3
+    by_sid_rate = {row.sensor_id: row.value for row in r}
+    by_sid_inc = {row.sensor_id: row.value for row in inc}
+    # increase = rate × span (30h here): values must differ.
+    for sid in by_sid_rate:
+        assert by_sid_inc[sid] != by_sid_rate[sid]
+    assert {row.sensor_id for row in other} == {"v/1", "v/2"}
+
+
+def test_operand_cache_aggregations_apply_per_consumer(spark):
+    """agg/by/post wrappers are OUTSIDE the memo: two different
+    aggregations over one cached operand both come out right."""
+    sensors, values = _cache_fixture_frames(spark)
+    cache: dict = {}
+    total = evaluate_extended(
+        sensors, values,
+        parse_extended("sum(rate(click[31d]))", NOW), cache,
+    ).collect()
+    per_user = evaluate_extended(
+        sensors, values,
+        parse_extended("sum by (user) (rate(click[31d]))", NOW), cache,
+    ).collect()
+    assert len(cache) == 1  # one shared series vector
+    assert len(total) == 1 and len(per_user) == 2
+    assert total[0].value == pytest.approx(
+        sum(row.value for row in per_user)
+    )
