@@ -70,6 +70,7 @@ def main() -> None:
         for name in names:
             for share, label in (("0", "before"), ("1", "after")):
                 os.environ["SENSAPP_PROMQL_SHARE"] = share
+                os.environ["SENSAPP_ANN_DRIVER_TRAIN"] = share
                 df = QUERIES[name](spark, args.sf)
                 try:
                     txt = df._jdf.queryExecution().explainString(

@@ -107,18 +107,101 @@ def _assign_struct(
     return F.array_min(entries)
 
 
+def _round6_py(x: float) -> float:
+    """Python twin of Spark's ``round(x, 6)``: shortest-round-trip
+    decimal repr scaled HALF_UP (java BigDecimal.valueOf(d).setScale(6,
+    HALF_UP)) — ties away from zero, like the engine and the DuckDB
+    oracle. Matches for every value whose shortest repr the two
+    runtimes agree on (all values this corpus produces; the oracle
+    hash gate pins it end-to-end)."""
+    if not math.isfinite(x):
+        return x
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(
+        Decimal(repr(x)).quantize(
+            Decimal("0.000001"), rounding=ROUND_HALF_UP
+        )
+    )
+
+
+def _codebooks_local(
+    train: list[tuple[int, list[float]]],
+    m: int,
+    ksub: int,
+    rounds: int,
+    dsub: int,
+) -> list[list[tuple[int, list[float]]]]:
+    """Driver-local twin of the distributed codebook fit (round 14):
+    the identical init (subvectors of the first ``ksub`` vectors by
+    vec_id), the identical L2 argmin — distances accumulate
+    left-to-right from 0.0 exactly like the ``aggregate`` fold, round
+    to 6, smallest-code tie-break — and the coordinate-mean update
+    rounded to 6. Replaces one Spark job per Lloyd round (plus the
+    init collect) with in-process loops over the already-collected
+    corpus; the distributed path remains for corpora above the gate."""
+    init = [vec for vid, vec in train if vid < ksub][:ksub]
+    books = [
+        [
+            (j, [float(vec[mi * dsub + i]) for i in range(dsub)])
+            for j, vec in enumerate(init)
+        ]
+        for mi in range(m)
+    ]
+    for _ in range(rounds - 1):
+        sums: dict[tuple[int, int], list] = {}
+        for _vid, vec in train:
+            for mi in range(m):
+                off = mi * dsub
+                sub = vec[off:off + dsub]
+                best_d = None
+                best_j = None
+                for j, cv in books[mi]:
+                    acc = 0.0
+                    for x, y in zip(sub, cv):
+                        t = (x - y) * (x - y)
+                        acc = acc + t
+                    d = _round6_py(acc)
+                    if best_d is None or d < best_d or (
+                        d == best_d and j < best_j
+                    ):
+                        best_d, best_j = d, j
+                ent = sums.setdefault((mi, best_j), [0, [0.0] * dsub])
+                ent[0] += 1
+                for i, x in enumerate(sub):
+                    ent[1][i] += x
+        books = [[] for _ in range(m)]
+        for (mi, code), (n, s) in sums.items():
+            books[mi].append(
+                (code, [_round6_py(v / n) for v in s])
+            )
+        for b in books:
+            b.sort()
+    return books
+
+
 def pq_codebooks(
     embeddings: DataFrame,
     m: int = PQ_M,
     ksub: int = PQ_KSUB,
     rounds: int = PQ_ROUNDS,
     dim: int = 64,
+    train: list[tuple[int, list[float]]] | None = None,
 ) -> list[list[tuple[int, list[float]]]]:
     """Per-subspace codebooks: ``books[mi]`` is [(code, centroid), …]
-    sorted by code, after ``rounds − 1`` fused Lloyd updates."""
+    sorted by code, after ``rounds − 1`` fused Lloyd updates.
+
+    ``train`` (from ``similarity.collect_train_vectors``) fits the
+    books driver-locally — the same init, argmin, and rounded mean
+    update without the per-round Spark jobs (the coordinate mean sums
+    in vec_id order instead of partition order; both land on the same
+    round-6 value, pinned by the oracle gate exactly like the
+    distributed path's own order vs DuckDB's)."""
     if dim % m:
         raise ValueError(f"dim {dim} is not divisible by m {m}")
     dsub = dim // m
+    if train is not None:
+        return _codebooks_local(train, m, ksub, rounds, dsub)
     emb = embeddings.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("emb")
     )
@@ -192,6 +275,7 @@ def pq_topk(
     rounds: int = PQ_ROUNDS,
     dim: int = 64,
     rerank: int | None = None,
+    train: list[tuple[int, list[float]]] | None = None,
 ) -> DataFrame:
     """ADC top-k: (vec_id, score) where score ≈ cosine(query, vector),
     computed from the PQ codes alone. Encode + LUT lookup + top-k fuse
@@ -216,7 +300,7 @@ def pq_topk(
         raise ValueError(
             f"query has {len(query)} dimensions, corpus has {dim}"
         )
-    books = pq_codebooks(embeddings, m, ksub, rounds, dim)
+    books = pq_codebooks(embeddings, m, ksub, rounds, dim, train=train)
     dsub = dim // m
     q = [float(x) for x in query]
     normq = math.sqrt(sum(x * x for x in q))

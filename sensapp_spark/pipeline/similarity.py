@@ -474,15 +474,56 @@ def _py_cos(a: list[float], b: list[float]) -> float:
     )
 
 
+# The ANN convenience *_topk paths re-train per call by design (a
+# replay — and the DuckDB oracle — must see deterministic artifacts
+# derived from the data alone). Below this corpus size the trainings
+# run DRIVER-LOCALLY from one bounded collect instead of one Spark job
+# per training collect (round 14, guide §1.2/§5 — the scheduler
+# round-trips were the cost, not the data; the BPE/union-find
+# driver-gate precedent). 200k × 64 doubles ≈ 100 MB driver memory.
+ANN_DRIVER_TRAIN_ROWS = 200_000
+
+
+def collect_train_vectors(
+    embeddings: DataFrame, threshold: int = ANN_DRIVER_TRAIN_ROWS
+) -> list[tuple[int, list[float]]] | None:
+    """ONE bounded collect of (vec_id, embedding-as-doubles), sorted by
+    vec_id, shared by every training that needs corpus vectors (IVF
+    centroids, PQ codebooks, SQ stats). Returns None when the corpus
+    exceeds ``threshold`` — callers then keep their distributed
+    training paths (the probe costs one job either way; above the
+    gate it IS the first training collect's scan, not extra work)."""
+    rows = (
+        embeddings.select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+        )
+        .limit(threshold + 1)
+        .collect()
+    )
+    if len(rows) > threshold:
+        return None
+    return sorted(
+        (int(r.vec_id), [float(x) for x in r.emb]) for r in rows
+    )
+
+
 def ivf_centroids(
-    embeddings: DataFrame, nlist: int = IVF_NLIST
+    embeddings: DataFrame,
+    nlist: int = IVF_NLIST,
+    train: list[tuple[int, list[float]]] | None = None,
 ) -> list[tuple[int, list[float]]]:
     """Coarse-quantizer centroids. Deterministic stand-in for k-means:
     the first ``nlist`` stored vectors serve as centroids, so both
     engines (and every scale factor) derive the identical codebook from
     the data alone. Swap in trained centroids in production — every
     other part of the index is unchanged. Collecting them is a ~nlist·d
-    float driver fetch: the codebook is a broadcast dimension by design."""
+    float driver fetch: the codebook is a broadcast dimension by design.
+
+    ``train`` (from :func:`collect_train_vectors`) serves the same
+    rows without a Spark job — float64 widening of the stored vectors
+    is exact, so both routes yield bit-identical centroids."""
+    if train is not None:
+        return [(vid, list(vec)) for vid, vec in train if vid < nlist]
     rows = (
         embeddings.filter(F.col("vec_id") < nlist)
         .select("vec_id", "embedding")

@@ -50,7 +50,11 @@ SQ_RERANK = 100
 BQ_RERANK = 100
 
 
-def sq_stats(embeddings: DataFrame, dim: int = 64) -> tuple[list, list]:
+def sq_stats(
+    embeddings: DataFrame,
+    dim: int = 64,
+    train: list[tuple[int, list[float]]] | None = None,
+) -> tuple[list, list]:
     """Per-dimension (min, max) over the corpus — ONE aggregation with
     2·dim map-side-combined exprs; driver traffic is 2·dim doubles
     (the SQ analogue of a codebook).
@@ -62,19 +66,35 @@ def sq_stats(embeddings: DataFrame, dim: int = 64) -> tuple[list, list]:
     → clamps high) — a silent bit-for-bit replay break and a quantizer
     whose whole dimension collapses. SQ8 is a finite-vector technique;
     the didactic error here beats both wrong outcomes. (Binary
-    quantization handles NaN fine — sign bits only.)"""
-    row = embeddings.agg(
-        *[
-            F.min(F.col("embedding")[i].cast("double")).alias(f"lo{i}")
-            for i in range(dim)
-        ],
-        *[
-            F.max(F.col("embedding")[i].cast("double")).alias(f"hi{i}")
-            for i in range(dim)
-        ],
-    ).collect()[0]
-    lo = [float(row[f"lo{i}"]) for i in range(dim)]
-    hi = [float(row[f"hi{i}"]) for i in range(dim)]
+    quantization handles NaN fine — sign bits only.)
+
+    ``train`` (from ``similarity.collect_train_vectors``) computes the
+    same stats driver-locally without a Spark job — min/max are exact
+    and order-insensitive, with Spark's NaN-greatest ordering
+    replicated (a NaN component poisons max, never min), so the
+    finite check behaves identically."""
+    if train is not None:
+        lo, hi = [], []
+        for i in range(dim):
+            col = [vec[i] for _, vec in train]
+            finite = [v for v in col if not math.isnan(v)]
+            hi.append(
+                float("nan") if len(finite) < len(col) else max(col)
+            )
+            lo.append(min(finite) if finite else float("nan"))
+    else:
+        row = embeddings.agg(
+            *[
+                F.min(F.col("embedding")[i].cast("double")).alias(f"lo{i}")
+                for i in range(dim)
+            ],
+            *[
+                F.max(F.col("embedding")[i].cast("double")).alias(f"hi{i}")
+                for i in range(dim)
+            ],
+        ).collect()[0]
+        lo = [float(row[f"lo{i}"]) for i in range(dim)]
+        hi = [float(row[f"hi{i}"]) for i in range(dim)]
     bad = [
         i
         for i in range(dim)
@@ -165,6 +185,7 @@ def sq_topk(
     k: int = 10,
     rerank: int = SQ_RERANK,
     dim: int = 64,
+    train: list[tuple[int, list[float]]] | None = None,
 ) -> DataFrame:
     """(vec_id, score): asymmetric SQ8 search — approximate cosine
     against dequantized codes picks ``rerank`` candidates, exact
@@ -176,7 +197,7 @@ def sq_topk(
         )
     q = [float(x) for x in query]
     normq = math.sqrt(sum(x * x for x in q))
-    lo, hi = sq_stats(embeddings, dim)
+    lo, hi = sq_stats(embeddings, dim, train=train)
     xhat = _sq_dequant(lo, hi, dim)
     qlit = F.array(*[F.lit(x) for x in q])
     score = F.round(_dot(xhat, qlit) / (F.lit(normq) * _norm(xhat)), 6)

@@ -1426,7 +1426,11 @@ def ann_ivf_topk(spark, sf_dir):
       (bit_count(xor)), exact re-rank.
     """
     from sensapp_spark.pipeline.pq import pq_topk
-    from sensapp_spark.pipeline.similarity import ivf_topk
+    from sensapp_spark.pipeline.similarity import (
+        collect_train_vectors,
+        ivf_centroids,
+        ivf_topk,
+    )
     from sensapp_spark.pipeline.sq import (
         BQ_RERANK,
         SQ_RERANK,
@@ -1435,28 +1439,48 @@ def ann_ivf_topk(spark, sf_dir):
     )
 
     emb = _emb(spark, sf_dir)
-    ivf = ivf_topk(emb, QUERY_VEC, ANN_K).select(
+    # Round 14 (guide §1.2/§5): ONE bounded collect feeds every
+    # training (IVF centroids, PQ codebooks, SQ stats) driver-locally
+    # below the size gate — previously ivf/pq/sq each ran their own
+    # 1-2 training collect jobs over the same corpus. None above the
+    # gate (or with SENSAPP_ANN_DRIVER_TRAIN=0, the A/B lever) keeps
+    # the distributed trainings unchanged.
+    import os as _os
+
+    train = (
+        collect_train_vectors(emb)
+        if _os.environ.get("SENSAPP_ANN_DRIVER_TRAIN", "1") != "0"
+        else None
+    )
+    ivf = ivf_topk(
+        emb, QUERY_VEC, ANN_K,
+        codebook=(
+            ivf_centroids(emb, train=train) if train is not None else None
+        ),
+    ).select(
         F.lit("ivf").alias("scope"),
         "vec_id",
         F.col("centroid_id").cast("long").alias("centroid_id"),
         "cosine",
     )
-    pq = pq_topk(emb, QUERY_VEC, k=ANN_K, rerank=PQ_RERANK).select(
+    pq = pq_topk(
+        emb, QUERY_VEC, k=ANN_K, rerank=PQ_RERANK, train=train
+    ).select(
         F.lit("pq").alias("scope"),
         "vec_id",
         F.lit(None).cast("long").alias("centroid_id"),
         F.col("score").alias("cosine"),
     )
 
-    def _qarm(tag, fn, rerank):
-        return fn(emb, QUERY_VEC, k=ANN_K, rerank=rerank).select(
+    def _qarm(tag, fn, rerank, **kw):
+        return fn(emb, QUERY_VEC, k=ANN_K, rerank=rerank, **kw).select(
             F.lit(tag).alias("scope"),
             "vec_id",
             F.lit(None).cast("long").alias("centroid_id"),
             F.col("score").alias("cosine"),
         )
 
-    sq = _qarm("sq8", sq_topk, SQ_RERANK)
+    sq = _qarm("sq8", sq_topk, SQ_RERANK, train=train)
     bq = _qarm("bq", bq_topk, BQ_RERANK)
     return ivf.unionByName(pq).unionByName(sq).unionByName(bq)
 

@@ -83,3 +83,47 @@ def test_pq_plan_stays_jvm_side(emb):
     plan = pq_topk(emb, Q, k=10)._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan
     assert "TakeOrderedAndProject" in plan
+
+
+# -- driver-local training gate (round 14) ------------------------------------
+
+def test_driver_local_training_matches_distributed(emb):
+    """collect_train_vectors feeds every training driver-locally below
+    the size gate; artifacts must be BIT-IDENTICAL to the distributed
+    collects (IVF centroids / SQ stats are exact min-max/first-N; the
+    PQ Lloyd mean re-runs the identical fold + HALF_UP round-6)."""
+    from sensapp_spark.pipeline.similarity import (
+        collect_train_vectors,
+        ivf_centroids,
+    )
+    from sensapp_spark.pipeline.sq import sq_stats
+
+    train = collect_train_vectors(emb)
+    assert train is not None and train == sorted(train)
+    assert ivf_centroids(emb, train=train) == ivf_centroids(emb)
+    assert pq_codebooks(emb, train=train) == pq_codebooks(emb)
+    assert sq_stats(emb, train=train) == sq_stats(emb)
+
+
+def test_collect_train_vectors_gate(emb):
+    """Above the threshold the collect returns None — callers keep the
+    distributed training path (corpus never lands on the driver)."""
+    from sensapp_spark.pipeline.similarity import collect_train_vectors
+
+    assert collect_train_vectors(emb, threshold=3) is None
+
+
+def test_round6_py_matches_spark(spark):
+    """The Python round twin must agree with the engine's round(x, 6)
+    on representative values including HALF_UP ties and negatives."""
+    from sensapp_spark.pipeline.pq import _round6_py
+
+    vals = [
+        0.0000005, -0.0000005, 1.2345675, -1.2345675, 0.1 + 0.2,
+        123.45678949999, -0.061, 1e-7, 2.5e-6, 0.9999995,
+    ]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    got = [
+        r.r for r in df.select(F.round("x", 6).alias("r")).collect()
+    ]
+    assert got == [_round6_py(v) for v in vals]
