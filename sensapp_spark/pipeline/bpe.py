@@ -198,7 +198,14 @@ def train_bpe(
     # web-corpus vocabularies, exactly like neardup_components'
     # union-find gate. The trained word table returns as a LOCAL
     # relation, which downstream encode joins broadcast for free.
-    if num_merges > 0 and w.count() <= driver_threshold:
+    # The gate probe is bounded (limit threshold+1, not a full count):
+    # on the real web-corpus path the vocabulary is large and the probe
+    # must not charge it a full extra scan just to learn "too big"
+    # (round-13 ADVICE).
+    if (
+        num_merges > 0
+        and w.limit(driver_threshold + 1).count() <= driver_threshold
+    ):
         spark = docs.sparkSession
         rows = [(r["word"], r["freq"], r["sym"]) for r in w.collect()]
         merges_l, words_l = _train_bpe_local(rows, num_merges)

@@ -114,6 +114,26 @@ def _union_tagged(parts: list[tuple[str, DataFrame]], tag_col: str) -> DataFrame
     return reduce(lambda a, b: a.unionByName(b), tagged)
 
 
+def _await_all(futures) -> None:
+    """Wait for ALL futures, then re-raise. ``f1.result(); f2.result()``
+    (or ``pool.map``) surfaces only the FIRST exception and silently
+    discards any concurrent one, which can mask the more informative of
+    two overlapping maintenance failures (round-13 ADVICE). Secondary
+    errors ride the raised exception as ``__context__``-style notes."""
+    import concurrent.futures as _cf
+
+    done, _ = _cf.wait(list(futures))
+    errs = [f.exception() for f in done]
+    errs = [e for e in errs if e is not None]
+    if errs:
+        primary = errs[0]
+        for other in errs[1:]:
+            primary.add_note(
+                f"concurrent maintenance job also failed: {other!r}"
+            )
+        raise primary
+
+
 def _operand_cache() -> dict | None:
     """One PromQL operand memo per ENTRY CONSTRUCTION (round 14, guide
     §2.4/§3.3): the tagged-union entries evaluate several expressions
@@ -685,10 +705,10 @@ def downsample_rate_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     qstore = _QK4(lake, grain_s=3600)
     with ThreadPoolExecutor(max_workers=2) as _pool:
-        _f1 = _pool.submit(store.refresh, SensorType.FLOAT)
-        _f2 = _pool.submit(qstore.refresh, SensorType.FLOAT)
-        _f1.result()
-        _f2.result()
+        _await_all([
+            _pool.submit(store.refresh, SensorType.FLOAT),
+            _pool.submit(qstore.refresh, SensorType.FLOAT),
+        ])
     cont = store.read(SensorType.FLOAT).select(
         F.lit("continuous").alias("kind"),
         F.col("sensor_id").alias("series"),
@@ -3382,7 +3402,10 @@ def query_all_types_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     from concurrent.futures import ThreadPoolExecutor
 
     with ThreadPoolExecutor(max_workers=4) as pool:
-        list(pool.map(_append_typed, value_exprs.items()))
+        _await_all([
+            pool.submit(_append_typed, item)
+            for item in value_exprs.items()
+        ])
 
     matchers = [LabelMatcher("et", "click", MatcherType.EQUAL)]
     res = query_all_types(lake, matchers, start=T_START, end=T_END)

@@ -676,7 +676,15 @@ class RollupStore:
         """The refresh splice: recomputed buckets REPLACE their rows
         inside the affected months' full content (the commit rewrites
         whole month partitions). Returns (rows for the affected
-        months, [month partition names])."""
+        months, [month partition names]).
+
+        ``bounds`` MUST be the refresh probe's Row carrying ``lo``,
+        ``hi`` AND ``months`` (the ``collect_set(yyyy-MM)`` that rides
+        the same probe aggregation — see ``refresh``). The sibling
+        ``_recompute_buckets`` path accepts a plain lo/hi-only Row;
+        this one does not — callers with only time bounds must collect
+        the affected months themselves (round-13 ADVICE: the implicit
+        field contract is documented here rather than smuggled)."""
         keys = self._keys(delta)
         recomputed = self._recompute_buckets(stype, keys, bounds)
         # Affected months come from the DELTA (so a bucket whose rows
