@@ -71,7 +71,7 @@ def cosine_topk(
     embeddings: DataFrame, query: list[float], k: int = 10
 ) -> DataFrame:
     """Exact brute-force cosine top-k, ties broken by vec_id."""
-    q = F.array(*[F.lit(float(x)) for x in query])
+    q = sql_array_lit([float(x) for x in query])
     scored = embeddings.select(
         "vec_id",
         F.round(cosine_similarity(F.col("embedding"), q), 6).alias("cosine"),
@@ -104,7 +104,7 @@ def bucket_expr(vec, planes: list[list[float]]) -> F.Column:
     """Sign-bit bucket id of a vector column under the given hyperplanes."""
     bucket = F.lit(0)
     for i, plane in enumerate(planes):
-        p = F.array(*[F.lit(c) for c in plane])
+        p = sql_array_lit([float(c) for c in plane])
         bucket = bucket + F.when(_dot(vec, p) > 0, F.lit(2**i)).otherwise(F.lit(0))
     return bucket.cast("int")
 
@@ -423,7 +423,7 @@ def hyperplane_lsh_topk(
         probes = [qb] + (
             [qb ^ (1 << i) for i in range(n_planes)] if multiprobe else []
         )
-        q0 = F.array(*[F.lit(float(x)) for x in query])
+        q0 = sql_array_lit([float(x) for x in query])
         return (
             embeddings.filter(F.col("bucket").isin(probes))
             .select(
@@ -437,7 +437,7 @@ def hyperplane_lsh_topk(
             .limit(k)
         )
     dim = len(query)
-    q = F.array(*[F.lit(float(x)) for x in query])
+    q = sql_array_lit([float(x) for x in query])
     cond = None
     bucket0 = None
     for t in range(n_tables):
@@ -555,6 +555,36 @@ def ivf_assign(
     return out
 
 
+def sql_array_lit(values, depth: int = 1) -> F.Column:
+    """A (nested) numeric array literal built as ONE ``F.expr`` SQL
+    string instead of ``F.lit(list)`` (round 14, guide §1.2 driver-side
+    work): PySpark's ``lit`` on a Python list recurses into one py4j
+    ``lit``/``array`` call per ELEMENT — a (8×16×8)-double codebook
+    literal costs ~1200 driver round-trips (~1-2 s) before analysis
+    even starts. The SQL string round-trips in one call and parses
+    JVM-side in milliseconds.
+
+    Doubles serialize via ``repr`` (shortest round-trip — Spark's
+    ``Double.parseDouble`` restores the identical bits) with the ``D``
+    suffix so the parser yields DOUBLE, not DECIMAL; ints pass through
+    as plain literals. ``depth`` is the nesting level of ``values``
+    (1 = flat list)."""
+
+    def fmt(v) -> str:
+        if isinstance(v, bool):  # pragma: no cover — not used today
+            raise TypeError("bool literals unsupported")
+        if isinstance(v, int):
+            return str(v)
+        return repr(float(v)) + "D"
+
+    def render(vals, d: int) -> str:
+        if d == 0:
+            return fmt(vals)
+        return "array(" + ",".join(render(v, d - 1) for v in vals) + ")"
+
+    return F.expr(render(values, depth))
+
+
 def _assign_best(vec, centroids: list[tuple[int, list[float]]]) -> F.Column:
     """array_max over per-centroid (cosine, -cid) structs, built as a
     ``transform`` walk of ONE nested-array literal instead of per-
@@ -569,9 +599,11 @@ def _assign_best(vec, centroids: list[tuple[int, list[float]]]) -> F.Column:
     struct's (c, n=-cid) ordering."""
     import math
 
-    cvecs = F.lit([[float(x) for x in cv] for _, cv in centroids])
-    cids = F.lit([int(cid) for cid, _ in centroids])
-    cnorms = F.lit([
+    cvecs = sql_array_lit(
+        [[float(x) for x in cv] for _, cv in centroids], depth=2
+    )
+    cids = sql_array_lit([int(cid) for cid, _ in centroids])
+    cnorms = sql_array_lit([
         math.sqrt(sum(float(x) * float(x) for x in cv))
         for _, cv in centroids
     ])
@@ -641,7 +673,7 @@ def ivf_topk(
         )
     cents = codebook if codebook is not None else ivf_centroids(embeddings, nlist)
     probes = ivf_probes(query, cents, nprobe)
-    q = F.array(*[F.lit(float(x)) for x in query])
+    q = sql_array_lit([float(x) for x in query])
     assigned = (
         embeddings
         if "centroid_id" in embeddings.columns

@@ -43,7 +43,12 @@ import math
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from sensapp_spark.pipeline.similarity import _dot, _norm, exact_rerank
+from sensapp_spark.pipeline.similarity import (
+    _dot,
+    _norm,
+    exact_rerank,
+    sql_array_lit,
+)
 
 SQ_LEVELS = 255      # uint8 code points 0..255
 SQ_RERANK = 100
@@ -122,8 +127,8 @@ def _sq_raw_codes_expr(lo: list, hi: list, col: str) -> F.Column:
     engines; floor is identical everywhere."""
     scale = _sq_scale(lo, hi)
     dbl = F.col(col).cast("array<double>")
-    lo_arr = F.array(*[F.lit(v) for v in lo])
-    sc_arr = F.array(*[F.lit(v) for v in scale])
+    lo_arr = sql_array_lit([float(v) for v in lo])
+    sc_arr = sql_array_lit([float(v) for v in scale])
     diff = F.zip_with(dbl, lo_arr, lambda x, l: x - l)
     return F.zip_with(
         diff,
@@ -165,8 +170,8 @@ def sq_dequant_codes_expr(lo: list, hi: list, codes_col) -> F.Column:
     codes column with no raw vector in sight."""
     scale = _sq_scale(lo, hi)
     b = [s / float(SQ_LEVELS) for s in scale]
-    lo_arr = F.array(*[F.lit(v) for v in lo])
-    b_arr = F.array(*[F.lit(v) for v in b])
+    lo_arr = sql_array_lit([float(v) for v in lo])
+    b_arr = sql_array_lit([float(v) for v in b])
     codes = codes_col if not isinstance(codes_col, str) else F.col(codes_col)
     xq = F.zip_with(codes, b_arr, lambda c, bb: c.cast("double") * bb)
     return F.zip_with(xq, lo_arr, lambda v, l: v + l)
@@ -199,7 +204,7 @@ def sq_topk(
     normq = math.sqrt(sum(x * x for x in q))
     lo, hi = sq_stats(embeddings, dim, train=train)
     xhat = _sq_dequant(lo, hi, dim)
-    qlit = F.array(*[F.lit(x) for x in q])
+    qlit = sql_array_lit(q)
     score = F.round(_dot(xhat, qlit) / (F.lit(normq) * _norm(xhat)), 6)
     cand = (
         embeddings.select("vec_id", score.alias("score"))
@@ -250,7 +255,7 @@ def bq_topk(
         for i in range(dim)
     ]
     dbl = F.col("embedding").cast("array<double>")
-    w_arr = F.array(*[F.lit(w).cast("bigint") for w in weights])
+    w_arr = sql_array_lit([int(w) for w in weights]).cast("array<bigint>")
     sig = F.aggregate(
         F.zip_with(
             dbl,
@@ -268,5 +273,5 @@ def bq_topk(
         .orderBy(F.col("dist").asc(), "vec_id")
         .limit(rerank)
     )
-    qlit = F.array(*[F.lit(x) for x in q])
+    qlit = sql_array_lit(q)
     return exact_rerank(embeddings, cand, qlit, k)

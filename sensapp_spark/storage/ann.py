@@ -48,6 +48,7 @@ import shutil
 
 from sensapp_spark.pipeline.similarity import (
     IVF_NLIST,
+    sql_array_lit,
     _dot as _dot_arr,
     _norm as _norm_arr,
     exact_rerank,
@@ -550,7 +551,7 @@ class AnnIndexStore:
         )
         if rerank is None or rerank_against is None:
             return adc
-        qlit = F.array(*[F.lit(x) for x in q])
+        qlit = sql_array_lit([float(x) for x in q])
         return exact_rerank(
             rerank_against, adc, qlit, k, keep=("centroid_id",)
         )
@@ -674,7 +675,7 @@ class AnnIndexStore:
         xhat = sq_dequant_codes_expr(
             lo, hi, F.col("codes").cast("array<bigint>")
         )
-        qlit = F.array(*[F.lit(x) for x in q])
+        qlit = sql_array_lit([float(x) for x in q])
         score = F.round(
             _dot_arr(xhat, qlit) / (F.lit(normq) * _norm_arr(xhat)), 6
         )
@@ -799,7 +800,7 @@ class AnnIndexStore:
             )
             member = (F.col("table") == t) & F.col("bucket").isin(probes)
             cond = member if cond is None else (cond | member)
-        q = F.array(*[F.lit(float(x)) for x in query])
+        q = sql_array_lit([float(x) for x in query])
         candidates = frame.filter(cond).select(
             "vec_id",
             "table",
