@@ -98,20 +98,26 @@ def cms_build(
     output cardinality is d·w regardless of key cardinality (THE point
     of the sketch at 100 TB: the summary a driver can hold for a table
     it cannot groupBy)."""
-    parts = []
-    for i, salt in enumerate(salts):
-        parts.append(
-            df.filter(F.col(key).isNotNull())
-            .groupBy(
-                (portable_hash(F.col(key), salt) % w).alias("bucket")
-            )
-            .agg(F.count("*").alias("cnt"))
-            .select(F.lit(i).alias("row"), "bucket", "cnt")
+    # ONE scan for all d hash rows (round 14, guide §2.4): the union of
+    # d per-salt groupBys re-scanned the base table d times — at corpus
+    # scale a CMS maintenance pass must read the data once. The inline
+    # (row, bucket) array explodes to d rows per input row BEFORE the
+    # map-side partial aggregation, so the shuffle still carries at
+    # most d·w counter rows; per-(row, bucket) counts are identical to
+    # the unioned form by commutativity of count.
+    pairs = F.array(*[
+        F.struct(
+            F.lit(i).alias("row"),
+            (portable_hash(F.col(key), salt) % w).alias("bucket"),
         )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+        for i, salt in enumerate(salts)
+    ])
+    return (
+        df.filter(F.col(key).isNotNull())
+        .select(F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.row").alias("row"), F.col("p.bucket").alias("bucket"))
+        .agg(F.count("*").alias("cnt"))
+    )
 
 
 def cms_estimate(

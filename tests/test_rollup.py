@@ -411,3 +411,78 @@ def test_read_folded_window_clips_on_folded_bucket(spark, tmp_path):
         end=T0.replace(minute=0) + 2 * H,
     ).collect()
     assert [(r.sensor_id, r.vsum) for r in got] == [("a", 3.0)]
+
+
+def test_concurrent_refresh_of_disjoint_stores_is_isolated(
+    spark, tmp_path
+):
+    """Round-14 (verdict item 7): two stores maintained over the SAME
+    committed lake version refresh CONCURRENTLY — the §2.6 overlap the
+    downsample_rate_1h entry runs in production shape — and must
+    commit to DISJOINT CAS dirs with no cross-talk. A barrier injected
+    at both stores' commit entry forces the racy window to actually
+    overlap (not just the submission), and each store's content must
+    equal its own direct aggregation afterwards."""
+    import threading
+    from concurrent.futures import ThreadPoolExecutor
+
+    from sensapp_spark.storage.qrollup import QuantileRollupStore
+
+    lake = SensorLake(spark, str(tmp_path / "lake"))
+    lake.append_values(
+        SensorType.FLOAT,
+        _vals(spark, [
+            ("a", T0, 1.0), ("a", T0 + H, 5.0), ("b", T1, 2.0),
+        ]),
+    )
+    store = RollupStore(lake, grain_s=3600)
+    qstore = QuantileRollupStore(lake, grain_s=3600)
+    assert store._path(SensorType.FLOAT) != qstore._path(SensorType.FLOAT)
+    store.refresh(SensorType.FLOAT)
+    qstore.refresh(SensorType.FLOAT)
+
+    # Second batch → both stores see the same delta; inject a 2-party
+    # barrier so both threads sit INSIDE their commit window together.
+    lake.append_values(
+        SensorType.FLOAT,
+        _vals(spark, [
+            ("a", T0 + dt.timedelta(minutes=30), 3.0), ("b", OLD, -1.0),
+        ]),
+    )
+    barrier = threading.Barrier(2, timeout=60)
+
+    def _racy_commit(st):
+        orig = st._commit
+
+        def patched(*args, **kwargs):
+            barrier.wait()
+            return orig(*args, **kwargs)
+
+        st._commit = patched
+
+    _racy_commit(store)
+    _racy_commit(qstore)
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f1 = pool.submit(store.refresh, SensorType.FLOAT)
+        f2 = pool.submit(qstore.refresh, SensorType.FLOAT)
+        r1, r2 = f1.result(), f2.result()
+    assert r1["mode"] == "incremental"
+    assert r2["mode"] == "incremental"
+
+    # No cross-talk: each store's committed content equals its own
+    # direct aggregation of the base, and each is caught up (the next
+    # tick is a pointer-read noop, i.e. the OTHER store's commit did
+    # not disturb this store's cursor or CAS chain).
+    assert _rolled(store) == _direct(store)
+    q_direct = {
+        (r.sensor_id, r.bucket): (list(r.qs), list(r.eqs), r.cnt)
+        for r in qstore._aggregate(lake.values(SensorType.FLOAT))
+        .drop("month").collect()
+    }
+    q_rolled = {
+        (r.sensor_id, r.bucket): (list(r.qs), list(r.eqs), r.cnt)
+        for r in qstore.read(SensorType.FLOAT).collect()
+    }
+    assert q_rolled == q_direct
+    assert store.refresh(SensorType.FLOAT)["mode"] == "noop"
+    assert qstore.refresh(SensorType.FLOAT)["mode"] == "noop"
