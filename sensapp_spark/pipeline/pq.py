@@ -140,6 +140,8 @@ def _codebooks_local(
     rounded to 6. Replaces one Spark job per Lloyd round (plus the
     init collect) with in-process loops over the already-collected
     corpus; the distributed path remains for corpora above the gate."""
+    import numpy as np
+
     init = [vec for vid, vec in train if vid < ksub][:ksub]
     books = [
         [
@@ -148,32 +150,51 @@ def _codebooks_local(
         ]
         for mi in range(m)
     ]
+    # Vectorized twin of the scalar loop (round 14, guide §1.2 — this
+    # loop was ~1 s of every ann_ivf construction): bit-identical by
+    # construction. Distances accumulate per COORDINATE with elementwise
+    # numpy adds in index order — the identical ``acc = acc + t_i``
+    # IEEE sequence (np.sum would use pairwise reduction and is NOT
+    # used). Rounding is monotone non-decreasing, so the round-6 argmin
+    # winner always lies within ``unrounded_min + 2e-6`` (two rounded
+    # values can only tie when the raw gap is ≤ 1e-6 + representation
+    # slop); only that tie window goes through the exact-but-slow
+    # ``_round6_py``, cutting Decimal calls ~ksub-fold. Group mean sums
+    # run through np.add.accumulate — sequential by definition — over
+    # rows in vec_id order, the same order the scalar loop visited.
+    X = np.array([vec for _, vec in train], dtype=np.float64)
     for _ in range(rounds - 1):
         sums: dict[tuple[int, int], list] = {}
-        for _vid, vec in train:
-            for mi in range(m):
-                off = mi * dsub
-                sub = vec[off:off + dsub]
-                best_d = None
-                best_j = None
-                for j, cv in books[mi]:
-                    acc = 0.0
-                    for x, y in zip(sub, cv):
-                        t = (x - y) * (x - y)
-                        acc = acc + t
-                    d = _round6_py(acc)
-                    if best_d is None or d < best_d or (
-                        d == best_d and j < best_j
-                    ):
-                        best_d, best_j = d, j
-                ent = sums.setdefault((mi, best_j), [0, [0.0] * dsub])
+        for mi in range(m):
+            off = mi * dsub
+            sub = X[:, off:off + dsub]
+            codes_mi = [j for j, _ in books[mi]]
+            C = np.array([cv for _, cv in books[mi]], dtype=np.float64)
+            acc = np.zeros((sub.shape[0], C.shape[0]))
+            for i in range(dsub):
+                diff = sub[:, i:i + 1] - C[None, :, i]
+                acc = acc + diff * diff
+            dmin = acc.min(axis=1)
+            for r in range(acc.shape[0]):
+                row = acc[r]
+                cand = np.nonzero(row <= dmin[r] + 2e-6)[0]
+                best_j = min(
+                    (( _round6_py(float(row[c])), codes_mi[c])
+                     for c in cand)
+                )[1]
+                ent = sums.setdefault((mi, best_j), [0, []])
                 ent[0] += 1
-                for i, x in enumerate(sub):
-                    ent[1][i] += x
+                ent[1].append(r)
         books = [[] for _ in range(m)]
-        for (mi, code), (n, s) in sums.items():
+        for (mi, code), (n, rows) in sums.items():
+            off = mi * dsub
+            g = X[np.array(rows), off:off + dsub]
+            s = (
+                np.add.accumulate(g, axis=0)[-1]
+                if g.shape[0] > 1 else g[0]
+            )
             books[mi].append(
-                (code, [_round6_py(v / n) for v in s])
+                (code, [_round6_py(float(v) / n) for v in s])
             )
         for b in books:
             b.sort()
