@@ -76,12 +76,99 @@ def update_centroids(
     ]
 
 
+def _round6_py(x: float) -> float:
+    from sensapp_spark.pipeline.pq import _round6_py as r6
+
+    return r6(x)
+
+
+def _kmeans_local(
+    train: list[tuple[int, list[float]]],
+    k: int,
+    rounds: int,
+    dim: int,
+    init: list[tuple[int, list[float]]] | None = None,
+) -> list[tuple[int, list[float]]]:
+    """Driver-local twin of the distributed spherical-kmeans fit
+    (round 14; the PQ ``_codebooks_local`` precedent): identical init
+    (``vec_id < k``), identical round-6 cosine argmax with the
+    smallest-cid tie-break, identical rounded coordinate-mean update.
+    IEEE parity by construction: dot products and |e|² accumulate per
+    COORDINATE with elementwise numpy adds in index order — the exact
+    ``aggregate(zip_with(...), 0.0, acc + v)`` fold — centroid norms
+    use the same Python left-to-right sum the literal LUT uses, and
+    rounding is monotone, so the rounded argmax winner always lies
+    within ``unrounded_max − 2e-6`` (only that tie window pays the
+    exact-but-slow ``_round6_py``). Mean sums run through
+    ``np.add.accumulate`` (sequential by definition) in vec_id order —
+    the distributed update sums in partition order; both land on the
+    same round-6 coordinate (the pq/oracle-gate argument). A zero
+    vector yields NaN cosines exactly like the engine (NaN sorts
+    greatest, ties → smallest cid)."""
+    import math
+
+    import numpy as np
+
+    cents = (
+        init
+        if init is not None
+        else [(vid, list(vec)) for vid, vec in train if vid < k][:k]
+    )
+    X = np.array([vec for _, vec in train], dtype=np.float64)
+    e2 = np.zeros(X.shape[0])
+    for i in range(dim):
+        e2 = e2 + X[:, i] * X[:, i]
+    enorm = np.sqrt(e2)
+    for _ in range(rounds - 1):
+        cids = [cid for cid, _ in cents]
+        C = np.array([cv for _, cv in cents], dtype=np.float64)
+        cnorms = np.array([
+            math.sqrt(sum(float(x) * float(x) for x in cv))
+            for _, cv in cents
+        ])
+        dots = np.zeros((X.shape[0], C.shape[0]))
+        for i in range(dim):
+            dots = dots + X[:, i:i + 1] * C[None, :, i]
+        cos = dots / (enorm[:, None] * cnorms[None, :])
+        sums: dict[int, list] = {}
+        for r in range(X.shape[0]):
+            row = cos[r]
+            nan = np.isnan(row)
+            if nan.any():
+                cand = np.nonzero(nan)[0]
+                best = min(cids[c] for c in cand)
+            else:
+                cmax = row.max()
+                cand = np.nonzero(row >= cmax - 2e-6)[0]
+                # max rounded cosine, ties -> smallest cid (the
+                # (c, -cid) struct ordering).
+                best = max(
+                    ((_round6_py(float(row[c])), -cids[c]) for c in cand)
+                )[1]
+                best = -best
+            sums.setdefault(best, []).append(r)
+        cents = []
+        for cid in sorted(sums):
+            rows = np.array(sums[cid])
+            g = X[rows]
+            s = (
+                np.add.accumulate(g, axis=0)[-1]
+                if g.shape[0] > 1 else g[0]
+            )
+            cents.append((
+                cid,
+                [_round6_py(float(v) / g.shape[0]) for v in s],
+            ))
+    return cents
+
+
 def kmeans_codebook(
     embeddings: DataFrame,
     k: int = KMEANS_K,
     rounds: int = KMEANS_ROUNDS,
     dim: int = 64,
     init: list[tuple[int, list[float]]] | None = None,
+    train: list[tuple[int, list[float]]] | None = None,
 ) -> list[tuple[int, list[float]]]:
     """The TRAINED centroids after ``rounds - 1`` Lloyd updates — the
     production IVF codebook (``similarity.ivf_topk(codebook=...)``
@@ -89,7 +176,12 @@ def kmeans_codebook(
     update; the scans are the same ones ``kmeans_assign`` runs.
     ``init`` overrides the dense-id seeding rule (``init_centroids``'
     ``vec_id < k``) for corpora with hashed/sparse id spaces — the
-    ANN store's drift-triggered reindex passes order-based seeds."""
+    ANN store's drift-triggered reindex passes order-based seeds.
+    ``train`` (from ``similarity.collect_train_vectors``) fits the
+    codebook driver-locally without the per-round Spark jobs — see
+    ``_kmeans_local`` for the bit-parity argument."""
+    if train is not None:
+        return _kmeans_local(train, k, rounds, dim, init=init)
     cents = init if init is not None else init_centroids(embeddings, k)
     for _ in range(rounds - 1):
         assigned = embeddings.withColumn(
@@ -104,9 +196,17 @@ def kmeans_assign(
     k: int = KMEANS_K,
     rounds: int = KMEANS_ROUNDS,
     dim: int = 64,
+    train: list[tuple[int, list[float]]] | None = None,
 ) -> DataFrame:
     """Fit-and-assign: ``rounds`` assignment passes with a centroid
-    update between each. Returns (vec_id, cluster)."""
+    update between each. Returns (vec_id, cluster). ``train`` fits the
+    codebook driver-locally (``_kmeans_local``) — the final assignment
+    projection is identical because the trained centroids are."""
+    if train is not None:
+        cents = _kmeans_local(train, k, rounds, dim)
+        return embeddings.withColumn(
+            "cluster", assign_expr(F.col("embedding"), cents)
+        ).select("vec_id", "cluster")
     cents = init_centroids(embeddings, k)
     assigned = embeddings.withColumn(
         "cluster", assign_expr(F.col("embedding"), cents)
@@ -129,6 +229,7 @@ def semdedup_pairs(
     rounds: int = KMEANS_ROUNDS,
     dim: int = 64,
     max_cluster: int | None = DEFAULT_MAX_SEMDEDUP_CLUSTER,
+    train: list[tuple[int, list[float]]] | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
     deduplication by clustering-then-pairwise-cosine. Returns
@@ -162,7 +263,7 @@ def semdedup_pairs(
     input contract as ``embedding_neardup_pairs``)."""
     from sensapp_spark.pipeline.similarity import _dot
 
-    cents = kmeans_codebook(embeddings, k, rounds, dim)
+    cents = kmeans_codebook(embeddings, k, rounds, dim, train=train)
     # Per-vector norm computed ONCE before the quadratic within-cluster
     # join (round-13, guide §1.2): sqrt(dot(e,e)) is the exact _norm
     # expression, so dot/(nrm_a·nrm_b) below is the same IEEE op

@@ -1627,13 +1627,24 @@ def dedup_embedding_pairs(spark, sf_dir):
       pairwise cosine, one min-id keeper per dropped vector. The
       cluster id bounds the quadratic step; ``k`` is the 100 TB lever.
     """
+    import os as _os
+
     from sensapp_spark.pipeline.clustering import semdedup_pairs
+    from sensapp_spark.pipeline.similarity import collect_train_vectors
 
     emb = _emb(spark, sf_dir)
+    # Driver-local k-means fit below the size gate (round 14 — the
+    # ann_ivf_topk pattern extended to the semdedup codebook; bit-
+    # parity pinned by tests/test_clustering_text.py).
+    train = (
+        collect_train_vectors(emb)
+        if _os.environ.get("SENSAPP_ANN_DRIVER_TRAIN", "1") != "0"
+        else None
+    )
     lsh = embedding_neardup_pairs(emb, threshold=0.3).select(
         F.lit("lsh").alias("scope"), "vec_a", "vec_b", "cosine"
     )
-    sem = semdedup_pairs(emb, threshold=0.35).select(
+    sem = semdedup_pairs(emb, threshold=0.35, train=train).select(
         F.lit("semdedup").alias("scope"), "vec_a", "vec_b", "cosine"
     )
     return lsh.unionByName(sem)
@@ -1656,9 +1667,18 @@ def embedding_kmeans(spark, sf_dir):
     assignment over the embedding corpus. Assignment is a shuffle-free
     codegen projection; only the k×dim codebook ever reaches the
     driver. The oracle replays both rounds with windowed argmax CTEs."""
-    from sensapp_spark.pipeline.clustering import kmeans_assign
+    import os as _os
 
-    return kmeans_assign(_emb(spark, sf_dir))
+    from sensapp_spark.pipeline.clustering import kmeans_assign
+    from sensapp_spark.pipeline.similarity import collect_train_vectors
+
+    emb = _emb(spark, sf_dir)
+    train = (
+        collect_train_vectors(emb)
+        if _os.environ.get("SENSAPP_ANN_DRIVER_TRAIN", "1") != "0"
+        else None
+    )
+    return kmeans_assign(emb, train=train)
 
 
 # ---------------------------------------------------------------------------

@@ -470,3 +470,42 @@ def test_semdedup_oversized_cluster_degrades_to_hub(spark):
     assert sorted((r.vec_a, r.vec_b) for r in out) == [
         (0, i) for i in range(1, 6)
     ]
+
+
+def test_driver_local_kmeans_matches_distributed(spark):
+    """Round 14: kmeans_codebook(train=...) must be BIT-IDENTICAL to
+    the distributed fit — the same init, round-6 cosine argmax with
+    smallest-cid ties, and rounded coordinate-mean update — on both
+    the real corpus and a tie-heavy synthetic one (duplicated vectors
+    force rounded-cosine ties, the case the tie-window must get
+    right)."""
+    from sensapp_spark.pipeline.clustering import (
+        kmeans_assign,
+        kmeans_codebook,
+    )
+    from sensapp_spark.pipeline.similarity import collect_train_vectors
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    train = collect_train_vectors(emb)
+    assert train is not None
+    assert kmeans_codebook(emb, train=train) == kmeans_codebook(emb)
+    got = {
+        (r.vec_id, r.cluster)
+        for r in kmeans_assign(emb, train=train).collect()
+    }
+    want = {(r.vec_id, r.cluster) for r in kmeans_assign(emb).collect()}
+    assert got == want
+
+    rows = []
+    for vid in range(120):
+        base = [(vid % 5) * 0.25, 1.0, -0.5] + [
+            ((vid * 7 + i) % 9) * 0.125 for i in range(61)
+        ]
+        rows.append((vid, [float(x) for x in base]))
+    # exact duplicates across ids → guaranteed cosine ties
+    rows += [(200 + i, rows[i][1]) for i in range(10)]
+    emb2 = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    )
+    train2 = collect_train_vectors(emb2)
+    assert kmeans_codebook(emb2, train=train2) == kmeans_codebook(emb2)
